@@ -1,0 +1,110 @@
+"""Independent numpy oracle replicating the reference CUDA math exactly.
+
+Mirrors ffmpeg-gpu/libswscale/cuda/yuv2rgb_cuda.cu semantics (truncating
+casts, 2x2 chroma sharing) so gmat_tpu kernels can be validated against a
+second implementation written directly from the reference source.
+"""
+import numpy as np
+
+
+def constants(cspace):
+    wr, wb = {
+        "bt709": (0.2126, 0.0722),
+        "fcc": (0.30, 0.11),
+        "bt601": (0.2990, 0.1140),
+        "smpte240m": (0.212, 0.087),
+        "bt2020": (0.2627, 0.0593),
+    }[cspace]
+    if cspace == "bt2020":
+        return wr, wb, 64 << 6, 940 << 6, (1 << 16) - 1
+    return wr, wb, 16, 235, 255
+
+
+def mat_yuv2rgb(cspace):
+    wr, wb, black, white, maxv = constants(cspace)
+    m = np.array([
+        [1.0, 0.0, (1.0 - wr) / 0.5],
+        [1.0, -wb * (1.0 - wb) / 0.5 / (1 - wb - wr),
+              -wr * (1 - wr) / 0.5 / (1 - wb - wr)],
+        [1.0, (1.0 - wb) / 0.5, 0.0]])
+    return (m * (1.0 * maxv / (white - black))).astype(np.float32)
+
+
+def mat_rgb2yuv(cspace):
+    wr, wb, black, white, maxv = constants(cspace)
+    m = np.array([
+        [wr, 1.0 - wb - wr, wb],
+        [-0.5 * wr / (1.0 - wb), -0.5 * (1 - wb - wr) / (1.0 - wb), 0.5],
+        [0.5, -0.5 * (1.0 - wb - wr) / (1.0 - wr), -0.5 * wb / (1.0 - wr)]])
+    return (m * (1.0 * (white - black) / maxv)).astype(np.float32)
+
+
+def yuv420_to_rgb24(y, u, v, cspace="bt709", bits=8):
+    """y: (H,W), u/v: (H/2,W/2) -> (H,W,3) uint8/uint16. Truncating casts."""
+    m = mat_yuv2rgb(cspace)
+    low, mid = 1 << (bits - 4), 1 << (bits - 1)
+    maxf = float((1 << bits) - 1)
+    fy = y.astype(np.float32) - low
+    fu = np.repeat(np.repeat(u, 2, 0), 2, 1).astype(np.float32) - mid
+    fv = np.repeat(np.repeat(v, 2, 0), 2, 1).astype(np.float32) - mid
+    out = np.empty(y.shape + (3,), np.float32)
+    for i in range(3):
+        out[..., i] = np.clip(m[i, 0] * fy + m[i, 1] * fu + m[i, 2] * fv,
+                              0.0, maxf)
+    dt = np.uint8 if bits == 8 else np.uint16
+    return np.floor(out).astype(dt)
+
+
+def rgb24_to_yuv420(rgb, cspace="bt709", bits=8):
+    """(H,W,3) uint -> (y, u, v) with 2x2-average chroma, truncating casts."""
+    m = mat_rgb2yuv(cspace)
+    low, mid = 1 << (bits - 4), 1 << (bits - 1)
+    r = rgb[..., 0].astype(np.float32)
+    g = rgb[..., 1].astype(np.float32)
+    b = rgb[..., 2].astype(np.float32)
+    y = m[0, 0] * r + m[0, 1] * g + m[0, 2] * b + low
+    h, w = r.shape
+    # integer 2x2 average like the reference (sum/4 with int division)
+    def avg(c):
+        ci = c.astype(np.uint32).reshape(h // 2, 2, w // 2, 2)
+        return (ci.sum(axis=(1, 3)) // 4).astype(np.float32)
+    ra, ga, ba = avg(rgb[..., 0]), avg(rgb[..., 1]), avg(rgb[..., 2])
+    uu = m[1, 0] * ra + m[1, 1] * ga + m[1, 2] * ba + mid
+    vv = m[2, 0] * ra + m[2, 1] * ga + m[2, 2] * ba + mid
+    dt = np.uint8 if bits == 8 else np.uint16
+    maxf = float((1 << bits) - 1)
+    cast = lambda x: np.floor(np.clip(x, 0, maxf)).astype(dt)
+    return cast(y), cast(uu), cast(vv)
+
+
+def bilinear_resize(img, oh, ow, align=False):
+    """Separable bilinear resize oracle for (H,W) or (H,W,C) float/uint.
+
+    Uses the half-pixel (pixel-center) convention:
+      src = (dst + 0.5) * scale - 0.5, clamped — same as CUDA tex2D with
+      normalized coords as used by metrans Resize.cu and CV-CUDA bilinear.
+    """
+    img = img.astype(np.float64)
+    ih, iw = img.shape[:2]
+
+    def axis_weights(n_in, n_out):
+        if align and n_out > 1:
+            src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+        else:
+            src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        src = np.clip(src, 0, n_in - 1)
+        i0 = np.floor(src).astype(int)
+        i1 = np.minimum(i0 + 1, n_in - 1)
+        f = src - i0
+        return i0, i1, f
+
+    r0, r1, fr = axis_weights(ih, oh)
+    c0, c1, fc = axis_weights(iw, ow)
+    top = img[r0][:, c0] * (1 - fc)[None, :, None] if img.ndim == 3 else img[r0][:, c0] * (1 - fc)
+    if img.ndim == 3:
+        fr_ = fr[:, None, None]; fc_ = fc[None, :, None]
+    else:
+        fr_ = fr[:, None]; fc_ = fc[None, :]
+    row0 = img[r0][:, c0] * (1 - fc_) + img[r0][:, c1] * fc_
+    row1 = img[r1][:, c0] * (1 - fc_) + img[r1][:, c1] * fc_
+    return row0 * (1 - fr_) + row1 * fr_

@@ -1,0 +1,140 @@
+"""CSC kernels vs the independent numpy oracle."""
+import numpy as np
+import pytest
+
+from gmat_tpu.core.frame import FrameBatch, from_numpy_rgb, from_numpy_yuv420
+from gmat_tpu.core.frame import unpack_nv12, pack_nv12
+from gmat_tpu.ops import csc
+
+import jax.numpy as jnp
+
+from . import oracle
+
+
+def random_yuv420(rng, n=2, h=64, w=96, bits=8):
+    dt = np.uint8 if bits == 8 else np.uint16
+    hi = (1 << bits) - 1
+    y = rng.integers(0, hi + 1, (n, h, w)).astype(dt)
+    u = rng.integers(0, hi + 1, (n, h // 2, w // 2)).astype(dt)
+    v = rng.integers(0, hi + 1, (n, h // 2, w // 2)).astype(dt)
+    return y, u, v
+
+
+@pytest.mark.parametrize("cspace", ["bt709", "bt601", "fcc", "smpte240m"])
+def test_yuv420_to_rgb24_exact(rng, cspace):
+    y, u, v = random_yuv420(rng)
+    fb = from_numpy_yuv420(y, u, v, colorspace=cspace)
+    out = csc.yuv_to_rgb(fb, "rgb24", exact=True)
+    got = np.asarray(out.planes["rgb"])
+    for i in range(y.shape[0]):
+        want = oracle.yuv420_to_rgb24(y[i], u[i], v[i], cspace)
+        # float assoc differences can flip a truncation by 1 code value
+        assert np.abs(got[i].astype(int) - want.astype(int)).max() <= 1
+
+
+def test_yuv420_to_rgb24_round_close_to_exact(rng):
+    y, u, v = random_yuv420(rng)
+    fb = from_numpy_yuv420(y, u, v)
+    got = np.asarray(csc.yuv_to_rgb(fb, "rgb24").planes["rgb"])
+    want = oracle.yuv420_to_rgb24(y[0], u[0], v[0], "bt709")
+    assert np.abs(got[0].astype(int) - want.astype(int)).max() <= 1
+
+
+def test_rgb24_to_yuv420_exact(rng):
+    rgb = rng.integers(0, 256, (2, 64, 96, 3)).astype(np.uint8)
+    fb = from_numpy_rgb(rgb)
+    out = csc.rgb_to_yuv(fb, "yuv420p", exact=True)
+    for i in range(2):
+        wy, wu, wv = oracle.rgb24_to_yuv420(rgb[i], "bt709")
+        assert np.abs(np.asarray(out.planes["y"][i], int) - wy.astype(int)).max() <= 1
+        assert np.abs(np.asarray(out.planes["u"][i], int) - wu.astype(int)).max() <= 1
+        assert np.abs(np.asarray(out.planes["v"][i], int) - wv.astype(int)).max() <= 1
+
+
+def test_roundtrip_rgb_yuv_rgb(rng):
+    # smooth content round-trips within a few code values
+    xx = np.linspace(40, 200, 96)[None, :]
+    yy = np.linspace(30, 220, 64)[:, None]
+    rgb = np.stack([xx + 0 * yy, 0 * xx + yy, (xx + yy) / 2], -1)
+    rgb = np.broadcast_to(rgb[None], (1, 64, 96, 3)).astype(np.uint8)
+    fb = from_numpy_rgb(rgb.copy())
+    back = csc.yuv_to_rgb(csc.rgb_to_yuv(fb, "yuv420p"), "rgb24")
+    diff = np.abs(np.asarray(back.planes["rgb"], int) - rgb.astype(int))
+    assert diff.max() <= 8  # chroma subsample + quantization
+
+
+def test_nv12_pack_unpack_roundtrip(rng):
+    data = rng.integers(0, 256, (3, 48 * 3 // 2, 64)).astype(np.uint8)
+    fb = unpack_nv12(jnp.asarray(data), 48, 64)
+    fb.validate()
+    rt = np.asarray(pack_nv12(fb))
+    np.testing.assert_array_equal(rt, data)
+
+
+def test_rgba_alpha_and_order(rng):
+    y, u, v = random_yuv420(rng, n=1)
+    fb = from_numpy_yuv420(y, u, v)
+    rgba = np.asarray(csc.yuv_to_rgb(fb, "rgba").planes["rgb"])
+    bgra = np.asarray(csc.yuv_to_rgb(fb, "bgra").planes["rgb"])
+    assert rgba.shape[-1] == 4 and (rgba[..., 3] == 255).all()
+    np.testing.assert_array_equal(rgba[..., 0], bgra[..., 2])
+    np.testing.assert_array_equal(rgba[..., 1], bgra[..., 1])
+
+
+def test_rgba64_shift(rng):
+    y, u, v = random_yuv420(rng, n=1)
+    fb = from_numpy_yuv420(y, u, v)
+    r8 = np.asarray(csc.yuv_to_rgb(fb, "rgb24", exact=True).planes["rgb"])
+    r16 = np.asarray(csc.yuv_to_rgb(fb, "rgba64", exact=True).planes["rgb"])
+    np.testing.assert_array_equal(r16[..., :3], r8.astype(np.uint16) << 8)
+
+
+def test_float_norm_shift(rng):
+    y, u, v = random_yuv420(rng, n=1)
+    fb = from_numpy_yuv420(y, u, v)
+    raw = np.asarray(csc.yuv_to_rgb(fb, "rgbpf32", exact=True).planes["rgb"])
+    ref = np.asarray(csc.yuv_to_rgb(fb, "rgb24", exact=True).planes["rgb"])
+    np.testing.assert_allclose(raw, ref.astype(np.float32), atol=1)
+    normed = np.asarray(csc.yuv_to_rgb(
+        fb, "rgbpf32", exact=True, norm=255.0,
+        shift=(127.5, 127.5, 127.5)).planes["rgb"])
+    np.testing.assert_allclose(
+        normed, (ref.astype(np.float32) - 127.5) / 255.0, atol=0.005)
+
+
+def test_yuv_depth_conversions(rng):
+    y, u, v = random_yuv420(rng)
+    fb = from_numpy_yuv420(y, u, v)
+    p16 = csc.yuv_to_yuv(fb, "p016")
+    np.testing.assert_array_equal(
+        np.asarray(p16.planes["y"]), y.astype(np.uint16) << 8)
+    back = csc.yuv_to_yuv(p16, "yuv420p")
+    np.testing.assert_array_equal(np.asarray(back.planes["y"]), y)
+
+
+def test_yuv420_to_444_and_back(rng):
+    y, u, v = random_yuv420(rng, n=1)
+    fb = from_numpy_yuv420(y, u, v)
+    f444 = csc.yuv_to_yuv(fb, "yuv444p")
+    assert f444.planes["u"].shape == f444.planes["y"].shape
+    back = csc.yuv_to_yuv(f444, "yuv420p")
+    np.testing.assert_array_equal(np.asarray(back.planes["u"]), u)
+
+
+def test_convert_dispatcher(rng):
+    y, u, v = random_yuv420(rng, n=1)
+    fb = from_numpy_yuv420(y, u, v)
+    assert csc.convert(fb, "bgr24").format == "bgr24"
+    assert csc.convert(fb, "yuv420p").format == "yuv420p"
+    rgb = csc.convert(fb, "rgb24")
+    assert csc.convert(rgb, "rgbpf32").format == "rgbpf32"
+    assert csc.convert(rgb, "yuv420p").format == "yuv420p"
+
+
+def test_nchw_helpers(rng):
+    rgb = rng.integers(0, 256, (2, 16, 24, 3)).astype(np.uint8)
+    fb = from_numpy_rgb(rgb)
+    x = csc.to_nchw(fb)
+    assert x.shape == (2, 3, 16, 24) and x.dtype == jnp.float32
+    back = csc.from_nchw(x, "rgbpf32")
+    assert back.planes["rgb"].shape == (2, 16, 24, 3)
