@@ -1,0 +1,89 @@
+"""Fused preprocess ladder — the hot path of the rebuild.
+
+The reference executes decode->CSC->scale->crop as separate per-frame CUDA
+kernel launches (format_cuda kernel, CV-CUDA resize, CustomCrop...).  Here
+the whole ladder is one jitted XLA program over a *batch* of frames, and —
+because color conversion and resampling are both linear — we reorder them:
+
+    crop (slice)  ->  resize each YUV plane at its native subsampled
+    resolution straight to the output size (one matmul pair per plane,
+    chroma upsample fused into the interpolation matrix)  ->  3x3 color
+    matrix + offsets at OUTPUT resolution  ->  pack/normalize.
+
+For a 1080p -> 224x224 ladder this does the CSC on 224x224 pixels instead
+of 1920x1080 (~40x less CSC work than the reference's ordering) and never
+materializes a full-resolution RGB frame in HBM.
+
+`exact=True` keeps the reference ordering (CSC at source resolution, then
+resize) for oracle comparison.
+
+Reference parity: this is the TPU analog of the pipelines in
+doc/FFMPEG-GPU_User_Guide.md:16-26 (scale_npp + format_cuda chains) and
+FrameExtractor's fused Nv12ToBgrFloatPlanar output (FrameExtractor.h:217-227).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import formats as F
+from ..core.color import yuv2rgb_matrix, yuv_offsets
+from ..core.frame import FrameBatch
+from . import csc
+from .geometry import crop as crop_op, flip as flip_op
+from .resize import resize as resize_op, resize_plane
+
+
+def preprocess(fb: FrameBatch, out_w: int, out_h: int,
+               out_format: str = "rgbpf32", *,
+               method: str = "bilinear",
+               crop_box: Optional[Tuple[int, int, int, int]] = None,
+               flip_code: Optional[int] = None,
+               norm: Optional[float] = None,
+               shift: Optional[Sequence[float]] = None,
+               exact: bool = False) -> FrameBatch:
+    """YUV FrameBatch -> cropped/flipped/resized RGB batch, single pass."""
+    if crop_box is not None:
+        fb = crop_op(fb, *crop_box)
+    if fb.fmt.is_rgb:
+        out = resize_op(fb, out_w, out_h, method)
+        return csc.convert(out, out_format, norm=norm, shift=shift)
+
+    if exact:
+        rgb = csc.yuv_to_rgb(fb, out_format, norm=norm, shift=shift)
+        out = resize_op(rgb, out_w, out_h, method)
+        if flip_code is not None:
+            out = flip_op(out, flip_code)
+        return out
+
+    # ---- fast path: per-plane resize first, CSC at output size ----------
+    bits = csc._offset_bits(fb.fmt)
+    low, mid = yuv_offsets(bits)
+    maxv = float((1 << bits) - 1)
+    y = resize_plane(fb.planes["y"], out_h, out_w, method) - low
+    u = resize_plane(fb.planes["u"], out_h, out_w, method) - mid
+    v = resize_plane(fb.planes["v"], out_h, out_w, method) - mid
+    m = yuv2rgb_matrix(fb.colorspace)
+    r = jnp.clip(m[0, 0] * y + m[0, 1] * u + m[0, 2] * v, 0.0, maxv)
+    g = jnp.clip(m[1, 0] * y + m[1, 1] * u + m[1, 2] * v, 0.0, maxv)
+    b = jnp.clip(m[2, 0] * y + m[2, 1] * u + m[2, 2] * v, 0.0, maxv)
+    out_fmt = F.get(out_format)
+    rgb = csc._pack_rgb(r, g, b, out_fmt, maxv, False, norm, shift)
+    out = FrameBatch({"rgb": rgb}, out_format, out_w, out_h, fb.colorspace)
+    if flip_code is not None:
+        out = flip_op(out, flip_code)
+    return out
+
+
+def preprocess_nchw(fb: FrameBatch, out_w: int, out_h: int, *,
+                    method: str = "bilinear",
+                    norm: float = 255.0,
+                    shift: Sequence[float] = (0.0, 0.0, 0.0),
+                    **kw) -> jax.Array:
+    """Model-input convenience: fused ladder straight to NCHW fp32 (the
+    format_cuda=rgbpf32le -> tensorrt handoff, vf_format_cuda.c:198-206)."""
+    out = preprocess(fb, out_w, out_h, "rgbpf32", method=method, norm=norm,
+                     shift=shift, **kw)
+    return csc.to_nchw(out)

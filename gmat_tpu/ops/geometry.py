@@ -1,0 +1,156 @@
+"""Geometric ops: crop / flip / rotate.
+
+TPU rebuild of the CV-CUDA-backed GMAT filters:
+  * crop_nvcv  (libavfilter/vf_crop_nvcv.c:80-86: w/h/x/y, centered when
+    x or y is -1)
+  * flip_nvcv  (vf_flip_nvcv.c:78: code 0=vertical, 1=horizontal, -1=both;
+    OpenCV flipCode semantics)
+  * rotate_nvcv (vf_rotate_nvcv.c:83-86: angle in degrees, interp
+    linear/nearest/cubic, shift_x/shift_y added after rotation)
+
+Crop/flip are pure layout ops (static slice / reverse) that XLA folds into
+neighbouring kernels for free.  Rotate uses inverse mapping with a
+bilinear/nearest gather — the TPU analog of CV-CUDA's warp — expressed as
+one-hot matmuls when small, or jnp gathers otherwise.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import formats as F
+from ..core.frame import FrameBatch
+
+
+def crop(fb: FrameBatch, w: int, h: int, x: int = -1, y: int = -1) -> FrameBatch:
+    """Crop to (w, h) with top-left (x, y); -1 centers (vf_crop_nvcv.c
+    config_props default)."""
+    if x < 0:
+        x = (fb.width - w) // 2
+    if y < 0:
+        y = (fb.height - h) // 2
+    if x + w > fb.width or y + h > fb.height:
+        raise ValueError(f"crop {w}x{h}+{x}+{y} outside {fb.width}x{fb.height}")
+    fmt = fb.fmt
+    if fmt.is_yuv and any(p.sub_w for p in fmt.planes):
+        if (x | y | w | h) & 1:
+            raise ValueError("4:2:0 crop offsets/sizes must be even")
+    planes = {}
+    for p in fmt.planes:
+        px, py = x >> p.sub_w, y >> p.sub_h
+        pw, ph = w >> p.sub_w, h >> p.sub_h
+        planes[p.name] = fb.planes[p.name][:, py:py + ph, px:px + pw]
+    return fb.with_planes(planes, width=w, height=h)
+
+
+def flip(fb: FrameBatch, code: int = 0) -> FrameBatch:
+    """code: 0 = flip vertically (around x-axis), 1 = horizontally,
+    -1 = both (OpenCV flipCode, vf_flip_nvcv.c:78)."""
+    planes = {}
+    for name, arr in fb.planes.items():
+        if code == 0:
+            arr = arr[:, ::-1]
+        elif code == 1:
+            arr = arr[:, :, ::-1]
+        elif code == -1:
+            arr = arr[:, ::-1, ::-1]
+        else:
+            raise ValueError("flip code must be -1, 0 or 1")
+        planes[name] = arr
+    return fb.with_planes(planes)
+
+
+def _bilinear_sample(img: jax.Array, sy: jax.Array, sx: jax.Array,
+                     fill: float = 0.0) -> jax.Array:
+    """Sample (N,H,W) img at float coords (H',W') grids; outside -> fill."""
+    h, w = img.shape[1], img.shape[2]
+    eps = 1e-4
+    valid = ((sy >= -eps) & (sy <= h - 1 + eps) &
+             (sx >= -eps) & (sx <= w - 1 + eps))
+    sy = jnp.clip(sy, 0.0, h - 1.0)
+    sx = jnp.clip(sx, 0.0, w - 1.0)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    fy = (sy - y0)[None, :, :]
+    fx = (sx - x0)[None, :, :]
+    flat = img.reshape(img.shape[0], -1).astype(jnp.float32)
+
+    def gather(yy, xx):
+        return jnp.take(flat, (yy * w + xx).reshape(-1), axis=1).reshape(
+            img.shape[0], *yy.shape)
+
+    v00, v01 = gather(y0, x0), gather(y0, x1)
+    v10, v11 = gather(y1, x0), gather(y1, x1)
+    out = (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx +
+           v10 * fy * (1 - fx) + v11 * fy * fx)
+    return jnp.where(valid[None], out, fill)
+
+
+def _nearest_sample(img: jax.Array, sy: jax.Array, sx: jax.Array,
+                    fill: float = 0.0) -> jax.Array:
+    h, w = img.shape[1], img.shape[2]
+    valid = (sy >= -0.5) & (sy < h - 0.5) & (sx >= -0.5) & (sx < w - 0.5)
+    y = jnp.clip(jnp.round(sy), 0, h - 1).astype(jnp.int32)
+    x = jnp.clip(jnp.round(sx), 0, w - 1).astype(jnp.int32)
+    flat = img.reshape(img.shape[0], -1).astype(jnp.float32)
+    out = jnp.take(flat, (y * w + x).reshape(-1), axis=1).reshape(
+        img.shape[0], *sy.shape)
+    return jnp.where(valid[None], out, fill)
+
+
+def rotate(fb: FrameBatch, angle_deg: float, interp: str = "linear",
+           shift_x: float = 0.0, shift_y: float = 0.0,
+           center: Optional[bool] = None) -> FrameBatch:
+    """Rotate by angle (degrees, CCW like CV-CUDA) with post-shift.
+
+    The dst->src inverse map matches CV-CUDA Rotate: a dst pixel (x, y)
+    samples src at R(-angle) @ (x - shift).  Pass center=True to rotate
+    about the image center (shift computed for you, the common use of
+    shift_x/shift_y per vf_rotate_nvcv.c:85-86).
+    """
+    a = math.radians(angle_deg)
+    cos_a, sin_a = math.cos(a), math.sin(a)
+    # snap exact multiples of 90 degrees (kills 6e-17 noise at the edges)
+    for v in (-1.0, 0.0, 1.0):
+        if abs(cos_a - v) < 1e-12:
+            cos_a = v
+        if abs(sin_a - v) < 1e-12:
+            sin_a = v
+    w, h = fb.width, fb.height
+    if center:
+        # shift that keeps the center fixed: c - R(angle) @ c
+        cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+        shift_x = cx - (cos_a * cx + sin_a * cy)
+        shift_y = cy - (-sin_a * cx + cos_a * cy)
+
+    fmt = fb.fmt
+    planes = {}
+    for p in fmt.planes:
+        ph, pw = h >> p.sub_h, w >> p.sub_w
+        sub = 1 << p.sub_w
+        ys = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 0)
+        xs = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 1)
+        # inverse rotation about origin after removing the shift
+        xs_ = xs - shift_x / sub
+        ys_ = ys - shift_y / sub
+        sx = cos_a * xs_ - sin_a * ys_
+        sy = sin_a * xs_ + cos_a * ys_
+        arr = fb.planes[p.name]
+        packed = arr.ndim == 4
+        if packed:
+            n, hh, ww, c = arr.shape
+            arr = jnp.transpose(arr, (0, 3, 1, 2)).reshape(n * c, hh, ww)
+        sample = _bilinear_sample if interp in ("linear", "bilinear") else _nearest_sample
+        out = sample(arr, sy, sx)
+        if packed:
+            out = jnp.transpose(out.reshape(n, c, ph, pw), (0, 2, 3, 1))
+        if not fmt.is_float:
+            out = jnp.clip(jnp.round(out), 0, F.max_value(fmt))
+        planes[p.name] = out.astype(fmt.planes[0].dtype)
+    return fb.with_planes(planes)

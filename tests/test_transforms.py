@@ -1,0 +1,184 @@
+"""Resize / crop / flip / rotate / smooth / fused ladder tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gmat_tpu.core.frame import from_numpy_rgb, from_numpy_yuv420
+from gmat_tpu.ops import csc, fused, geometry, resize, smooth
+
+from . import oracle
+
+
+def test_resample_matrix_rows_sum_to_one():
+    for m in ("bilinear", "bicubic", "area", "lanczos3"):
+        A = resize.resample_matrix(97, 33, m)
+        np.testing.assert_allclose(A.sum(1), 1.0, atol=1e-5)
+        A = resize.resample_matrix(33, 97, m)
+        np.testing.assert_allclose(A.sum(1), 1.0, atol=1e-5)
+
+
+def test_bilinear_matches_oracle(rng):
+    img = rng.uniform(0, 255, (1, 48, 72)).astype(np.float32)
+    got = np.asarray(resize.resize_plane(jnp.asarray(img), 20, 36))
+    want = oracle.bilinear_resize(img[0], 20, 36)
+    np.testing.assert_allclose(got[0], want, atol=1e-3)
+    got = np.asarray(resize.resize_plane(jnp.asarray(img), 96, 144))
+    want = oracle.bilinear_resize(img[0], 96, 144)
+    np.testing.assert_allclose(got[0], want, atol=1e-3)
+
+
+def test_nearest_identity_and_constant(rng):
+    img = rng.uniform(0, 255, (1, 32, 32)).astype(np.float32)
+    same = np.asarray(resize.resize_plane(jnp.asarray(img), 32, 32, "nearest"))
+    np.testing.assert_allclose(same[0], img[0])
+    const = np.full((1, 40, 40), 7.0, np.float32)
+    for m in ("bilinear", "bicubic", "area", "lanczos3"):
+        out = np.asarray(resize.resize_plane(jnp.asarray(const), 17, 23, m))
+        np.testing.assert_allclose(out, 7.0, atol=1e-4)
+
+
+def test_area_downscale_is_box_average():
+    img = np.arange(16, dtype=np.float32).reshape(1, 4, 4)
+    out = np.asarray(resize.resize_plane(jnp.asarray(img), 2, 2, "area"))
+    want = img[0].reshape(2, 2, 2, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(out[0], want, atol=1e-5)
+
+
+def test_resize_framebatch_yuv(rng):
+    y = rng.integers(0, 256, (2, 64, 96)).astype(np.uint8)
+    u = rng.integers(0, 256, (2, 32, 48)).astype(np.uint8)
+    v = rng.integers(0, 256, (2, 32, 48)).astype(np.uint8)
+    fb = from_numpy_yuv420(y, u, v)
+    out = resize.resize(fb, 48, 32)
+    assert out.planes["y"].shape == (2, 32, 48)
+    assert out.planes["u"].shape == (2, 16, 24)
+    assert out.planes["y"].dtype == np.uint8
+
+
+def test_crop_center_default(rng):
+    rgb = rng.integers(0, 256, (1, 64, 96, 3)).astype(np.uint8)
+    fb = from_numpy_rgb(rgb)
+    out = geometry.crop(fb, 32, 16)
+    np.testing.assert_array_equal(
+        np.asarray(out.planes["rgb"]), rgb[:, 24:40, 32:64])
+    out2 = geometry.crop(fb, 10, 10, 0, 0)
+    np.testing.assert_array_equal(np.asarray(out2.planes["rgb"]),
+                                  rgb[:, :10, :10])
+    with pytest.raises(ValueError):
+        geometry.crop(fb, 200, 10, 0, 0)
+
+
+def test_crop_yuv_even(rng):
+    y = rng.integers(0, 256, (1, 64, 96)).astype(np.uint8)
+    u = rng.integers(0, 256, (1, 32, 48)).astype(np.uint8)
+    fb = from_numpy_yuv420(y, u, u.copy())
+    out = geometry.crop(fb, 32, 32, 4, 8)
+    np.testing.assert_array_equal(np.asarray(out.planes["y"]),
+                                  y[:, 8:40, 4:36])
+    np.testing.assert_array_equal(np.asarray(out.planes["u"]),
+                                  u[:, 4:20, 2:18])
+    with pytest.raises(ValueError):
+        geometry.crop(fb, 31, 32, 4, 8)
+
+
+def test_flip_codes(rng):
+    rgb = rng.integers(0, 256, (1, 8, 12, 3)).astype(np.uint8)
+    fb = from_numpy_rgb(rgb)
+    np.testing.assert_array_equal(
+        np.asarray(geometry.flip(fb, 0).planes["rgb"]), rgb[:, ::-1])
+    np.testing.assert_array_equal(
+        np.asarray(geometry.flip(fb, 1).planes["rgb"]), rgb[:, :, ::-1])
+    np.testing.assert_array_equal(
+        np.asarray(geometry.flip(fb, -1).planes["rgb"]), rgb[:, ::-1, ::-1])
+
+
+def test_rotate_90_about_center(rng):
+    n = 33  # odd square: 90-degree rotation about center is exact
+    img = rng.integers(0, 256, (1, n, n, 3)).astype(np.uint8)
+    fb = from_numpy_rgb(img)
+    out = geometry.rotate(fb, 90.0, center=True)
+    got = np.asarray(out.planes["rgb"])
+    want = np.rot90(img[0], k=1, axes=(0, 1))  # CCW
+    assert np.abs(got[0].astype(int) - want.astype(int)).max() <= 1
+
+
+def test_rotate_zero_identity(rng):
+    img = rng.integers(0, 256, (1, 16, 24, 3)).astype(np.uint8)
+    fb = from_numpy_rgb(img)
+    out = geometry.rotate(fb, 0.0)
+    np.testing.assert_array_equal(np.asarray(out.planes["rgb"]), img)
+
+
+def test_gaussian_constant_preserved():
+    img = jnp.full((1, 32, 40), 9.0, jnp.float32)
+    out = np.asarray(smooth.gaussian_blur_plane(img, 5, 5))
+    np.testing.assert_allclose(out, 9.0, atol=1e-4)
+
+
+def test_gaussian_matches_separate_numpy(rng):
+    img = rng.uniform(0, 255, (1, 24, 24)).astype(np.float32)
+    k = smooth.gaussian_kernel1d(3)
+    # replicate border, manual separable conv
+    pad = np.pad(img[0], 1, mode="edge")
+    tmp = sum(k[i] * pad[i:i + 24, 1:25] for i in range(3))
+    want = sum(k[i] * np.pad(tmp, ((0, 0), (1, 1)), "edge")[:, i:i + 24]
+               for i in range(3))
+    got = np.asarray(smooth.gaussian_blur_plane(
+        jnp.asarray(img), 3, 3, border="replicate"))[0]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_median_blur(rng):
+    img = rng.integers(0, 256, (1, 16, 16)).astype(np.uint8)
+    got = np.asarray(smooth.median_blur_plane(jnp.asarray(img), 3, 3))
+    pad = np.pad(img[0], 1, mode="edge")
+    want = np.zeros((16, 16))
+    for i in range(16):
+        for j in range(16):
+            want[i, j] = np.median(pad[i:i + 3, j:j + 3])
+    np.testing.assert_allclose(got[0], want)
+
+
+def test_smooth_framebatch(rng):
+    rgb = rng.integers(0, 256, (2, 16, 16, 3)).astype(np.uint8)
+    fb = from_numpy_rgb(rgb)
+    out = smooth.smooth(fb, "gaussian", kw=3, kh=3, border_type="reflect101")
+    assert out.planes["rgb"].dtype == np.uint8
+    out = smooth.smooth(fb, "median", kw=3, kh=3)
+    assert out.planes["rgb"].shape == rgb.shape
+
+
+def test_fused_fast_vs_exact(rng):
+    # smooth content: fast (resize-then-CSC) should track exact closely
+    h, w = 72, 96
+    yy = np.outer(np.linspace(30, 220, h), np.ones(w)).astype(np.uint8)
+    uu = np.outer(np.ones(h // 2), np.linspace(60, 200, w // 2)).astype(np.uint8)
+    vv = np.outer(np.linspace(70, 180, h // 2), np.ones(w // 2)).astype(np.uint8)
+    fb = from_numpy_yuv420(yy[None], uu[None], vv[None])
+    fast = np.asarray(fused.preprocess(fb, 32, 24, "rgb24").planes["rgb"])
+    exact = np.asarray(
+        fused.preprocess(fb, 32, 24, "rgb24", exact=True).planes["rgb"])
+    assert np.abs(fast.astype(int) - exact.astype(int)).max() <= 4
+
+
+def test_fused_nchw_jit(rng):
+    y = rng.integers(0, 256, (2, 64, 96)).astype(np.uint8)
+    u = rng.integers(0, 256, (2, 32, 48)).astype(np.uint8)
+    v = rng.integers(0, 256, (2, 32, 48)).astype(np.uint8)
+    fb = from_numpy_yuv420(y, u, v)
+    f = jax.jit(lambda fb: fused.preprocess_nchw(fb, 32, 32))
+    out = f(fb)
+    assert out.shape == (2, 3, 32, 32) and out.dtype == jnp.float32
+    assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+
+
+def test_fused_crop_flip(rng):
+    y = rng.integers(0, 256, (1, 64, 96)).astype(np.uint8)
+    u = rng.integers(0, 256, (1, 32, 48)).astype(np.uint8)
+    v = rng.integers(0, 256, (1, 32, 48)).astype(np.uint8)
+    fb = from_numpy_yuv420(y, u, v)
+    out = fused.preprocess(fb, 16, 16, "rgb24", crop_box=(32, 32, 8, 10),
+                           flip_code=1)
+    assert out.planes["rgb"].shape == (1, 16, 16, 3)
