@@ -1,0 +1,502 @@
+// gmat_av.cpp — native host runtime for gmat_tpu.
+//
+// TPU rebuild of the reference's host-side stack:
+//   * Demuxer        <- metrans AvToolkit Demuxer (Demuxer.h:16-221):
+//                       file/memory open, annexb BSF, A/V split, seek.
+//   * Decoder        <- NvDecLite's role (NvDecLite.cpp) but via libavcodec
+//                       software decode (no fixed-function decoder on TPU
+//                       hosts); planar I420 output straight into caller
+//                       (numpy) buffers.
+//   * Encoder        <- NvEncLite / NvEncLiteUnbuffered (NvEncLite*.cpp):
+//                       libx264/libx265/mjpeg with GOP/bitrate/preset/CQP
+//                       and stillImage mode (GOP=1, no B-frames).
+//   * Muxer          <- AvToolkit Muxer/LazyMuxer (Muxer.h:15-229).
+//   * NAL inspection <- FrameExtractor's H.264 non-ref detect
+//                       (FrameExtractor.h:44-51) + HEVC *_N sub-layer
+//                       non-ref types (HevcParser subset).
+//
+// Pure C ABI; bound from Python with ctypes (metrans python bindings style,
+// CFrameExtractor.cpp:6-51).  All potentially-slow calls release the GIL by
+// construction (ctypes does this for us).
+
+extern "C" {
+#include <libavformat/avformat.h>
+#include <libavcodec/avcodec.h>
+#include <libavcodec/bsf.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libavutil/pixdesc.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstring>
+#include <string>
+#include <vector>
+
+#define GAV_API extern "C" __attribute__((visibility("default")))
+
+static char g_err[1024];
+static void set_err(const char* where, int code) {
+    char buf[256];
+    av_strerror(code, buf, sizeof buf);
+    snprintf(g_err, sizeof g_err, "%s: %s (%d)", where, buf, code);
+}
+GAV_API const char* gav_last_error() { return g_err; }
+
+// ---------------------------------------------------------------- demuxer
+struct GavDemuxer {
+    AVFormatContext* fmt = nullptr;
+    AVBSFContext* bsf = nullptr;       // annexb conversion for h264/hevc
+    AVPacket* pkt = nullptr;
+    AVPacket* out = nullptr;
+    int vstream = -1;
+    int astream = -1;
+    bool eof = false;
+};
+
+GAV_API void* gav_demux_open(const char* path) {
+    auto* d = new GavDemuxer();
+    int r = avformat_open_input(&d->fmt, path, nullptr, nullptr);
+    if (r < 0) { set_err("avformat_open_input", r); delete d; return nullptr; }
+    r = avformat_find_stream_info(d->fmt, nullptr);
+    if (r < 0) { set_err("find_stream_info", r); avformat_close_input(&d->fmt); delete d; return nullptr; }
+    d->vstream = av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+    d->astream = av_find_best_stream(d->fmt, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0);
+    if (d->vstream < 0) { snprintf(g_err, sizeof g_err, "no video stream"); avformat_close_input(&d->fmt); delete d; return nullptr; }
+    AVCodecParameters* par = d->fmt->streams[d->vstream]->codecpar;
+    const char* bsf_name = nullptr;
+    if (par->codec_id == AV_CODEC_ID_H264) bsf_name = "h264_mp4toannexb";
+    else if (par->codec_id == AV_CODEC_ID_HEVC) bsf_name = "hevc_mp4toannexb";
+    if (bsf_name) {
+        const AVBitStreamFilter* f = av_bsf_get_by_name(bsf_name);
+        if (f && av_bsf_alloc(f, &d->bsf) == 0) {
+            avcodec_parameters_copy(d->bsf->par_in, par);
+            d->bsf->time_base_in = d->fmt->streams[d->vstream]->time_base;
+            if (av_bsf_init(d->bsf) < 0) { av_bsf_free(&d->bsf); d->bsf = nullptr; }
+        }
+    }
+    d->pkt = av_packet_alloc();
+    d->out = av_packet_alloc();
+    return d;
+}
+
+GAV_API void gav_demux_close(void* h) {
+    auto* d = (GavDemuxer*)h;
+    if (!d) return;
+    av_packet_free(&d->pkt);
+    av_packet_free(&d->out);
+    if (d->bsf) av_bsf_free(&d->bsf);
+    avformat_close_input(&d->fmt);
+    delete d;
+}
+
+GAV_API int gav_demux_width(void* h)  { return ((GavDemuxer*)h)->fmt->streams[((GavDemuxer*)h)->vstream]->codecpar->width; }
+GAV_API int gav_demux_height(void* h) { return ((GavDemuxer*)h)->fmt->streams[((GavDemuxer*)h)->vstream]->codecpar->height; }
+GAV_API int gav_demux_codec(void* h) {
+    switch (((GavDemuxer*)h)->fmt->streams[((GavDemuxer*)h)->vstream]->codecpar->codec_id) {
+        case AV_CODEC_ID_H264: return 0;
+        case AV_CODEC_ID_HEVC: return 1;
+        case AV_CODEC_ID_MJPEG: return 2;
+        default: return 99;
+    }
+}
+GAV_API double gav_demux_fps(void* h) {
+    auto* d = (GavDemuxer*)h;
+    AVRational r = d->fmt->streams[d->vstream]->avg_frame_rate;
+    return r.den ? av_q2d(r) : 0.0;
+}
+GAV_API double gav_demux_duration(void* h) {
+    auto* d = (GavDemuxer*)h;
+    if (d->fmt->duration > 0) return d->fmt->duration / (double)AV_TIME_BASE;
+    return 0.0;
+}
+GAV_API long long gav_demux_nb_frames(void* h) {
+    auto* d = (GavDemuxer*)h;
+    return d->fmt->streams[d->vstream]->nb_frames;
+}
+GAV_API void gav_demux_timebase(void* h, int* num, int* den) {
+    auto* d = (GavDemuxer*)h;
+    AVRational tb = d->fmt->streams[d->vstream]->time_base;
+    *num = tb.num; *den = tb.den;
+}
+GAV_API int gav_demux_colorspace(void* h) {
+    // 0=bt601-ish default, 1=bt709, 2=bt2020
+    switch (((GavDemuxer*)h)->fmt->streams[((GavDemuxer*)h)->vstream]->codecpar->color_space) {
+        case AVCOL_SPC_BT709: return 1;
+        case AVCOL_SPC_BT2020_NCL: case AVCOL_SPC_BT2020_CL: return 2;
+        default: return 0;
+    }
+}
+GAV_API int gav_demux_extradata(void* h, unsigned char** data) {
+    auto* d = (GavDemuxer*)h;
+    AVCodecParameters* par = d->fmt->streams[d->vstream]->codecpar;
+    *data = par->extradata;
+    return par->extradata_size;
+}
+
+// H.264: skippable when every VCL NAL has nal_ref_idc==0 && type==1
+// (non-IDR slice) — FrameExtractor.h:44-51.  HEVC: sub-layer non-reference
+// *_N types (TRAIL_N=0, TSA_N=2, STSA_N=4, RADL_N=6, RASL_N=8).
+static bool packet_is_nonref(const uint8_t* p, int n, int codec) {
+    int i = 0;
+    bool any_vcl = false;
+    while (i + 4 < n) {
+        // find start code
+        if (p[i] == 0 && p[i+1] == 0 && (p[i+2] == 1 || (p[i+2] == 0 && i + 5 < n && p[i+3] == 1))) {
+            int off = (p[i+2] == 1) ? 3 : 4;
+            const uint8_t* nal = p + i + off;
+            if (codec == 0) {             // h264
+                int ref_idc = (nal[0] >> 5) & 3;
+                int type = nal[0] & 0x1f;
+                if (type >= 1 && type <= 5) {   // VCL
+                    any_vcl = true;
+                    if (!(ref_idc == 0 && type == 1)) return false;
+                }
+            } else if (codec == 1) {      // hevc
+                int type = (nal[0] >> 1) & 0x3f;
+                if (type <= 31) {              // VCL
+                    any_vcl = true;
+                    if (!(type <= 8 && (type % 2 == 0))) return false;
+                }
+            }
+            i += off;
+        } else {
+            i++;
+        }
+    }
+    return any_vcl;
+}
+
+// returns packet size (>0), 0 on EOF, -1 error. stream_out: 0 video 1 audio.
+GAV_API int gav_demux_read(void* h, unsigned char** data, long long* pts,
+                           long long* dts, int* key, int* nonref, int* stream_out) {
+    auto* d = (GavDemuxer*)h;
+    for (;;) {
+        // drain bsf first
+        if (d->bsf) {
+            int r = av_bsf_receive_packet(d->bsf, d->out);
+            if (r == 0) {
+                *data = d->out->data; *pts = d->out->pts; *dts = d->out->dts;
+                *key = (d->out->flags & AV_PKT_FLAG_KEY) ? 1 : 0;
+                *nonref = packet_is_nonref(d->out->data, d->out->size, gav_demux_codec(h));
+                *stream_out = 0;
+                int sz = d->out->size;
+                av_packet_unref(d->pkt);
+                return sz;
+            }
+        }
+        if (d->eof) return 0;
+        av_packet_unref(d->out);
+        int r = av_read_frame(d->fmt, d->pkt);
+        if (r == AVERROR_EOF || r == AVERROR(EIO)) {
+            d->eof = true;
+            if (d->bsf) { av_bsf_send_packet(d->bsf, nullptr); continue; }
+            return 0;
+        }
+        if (r < 0) { set_err("av_read_frame", r); return -1; }
+        if (d->pkt->stream_index == d->vstream) {
+            if (d->bsf) {
+                av_bsf_send_packet(d->bsf, d->pkt);
+                continue;
+            }
+            *data = d->pkt->data; *pts = d->pkt->pts; *dts = d->pkt->dts;
+            *key = (d->pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0;
+            *nonref = packet_is_nonref(d->pkt->data, d->pkt->size, gav_demux_codec(h));
+            *stream_out = 0;
+            return d->pkt->size;
+        }
+        if (d->pkt->stream_index == d->astream && d->astream >= 0) {
+            *data = d->pkt->data; *pts = d->pkt->pts; *dts = d->pkt->dts;
+            *key = 1; *nonref = 0; *stream_out = 1;
+            return d->pkt->size;
+        }
+        av_packet_unref(d->pkt);
+    }
+}
+
+// Seek to keyframe at/before ts (stream timebase units).
+GAV_API int gav_demux_seek(void* h, long long ts) {
+    auto* d = (GavDemuxer*)h;
+    int r = av_seek_frame(d->fmt, d->vstream, ts, AVSEEK_FLAG_BACKWARD);
+    if (r < 0) { set_err("av_seek_frame", r); return -1; }
+    d->eof = false;
+    if (d->bsf) { av_bsf_flush(d->bsf); }
+    return 0;
+}
+
+// ---------------------------------------------------------------- decoder
+struct GavDecoder {
+    AVCodecContext* ctx = nullptr;
+    AVFrame* frame = nullptr;
+    SwsContext* sws = nullptr;         // only if decoder output isn't yuv420p
+    int sws_w = 0, sws_h = 0;
+    AVPixelFormat sws_fmt = AV_PIX_FMT_NONE;
+};
+
+GAV_API void* gav_dec_create(int codec, const unsigned char* extradata,
+                             int extradata_size, int threads) {
+    AVCodecID id = codec == 0 ? AV_CODEC_ID_H264 :
+                   codec == 1 ? AV_CODEC_ID_HEVC :
+                   codec == 2 ? AV_CODEC_ID_MJPEG : AV_CODEC_ID_NONE;
+    const AVCodec* c = avcodec_find_decoder(id);
+    if (!c) { snprintf(g_err, sizeof g_err, "no decoder for codec %d", codec); return nullptr; }
+    auto* dec = new GavDecoder();
+    dec->ctx = avcodec_alloc_context3(c);
+    dec->ctx->thread_count = threads > 0 ? threads : 1;
+    dec->ctx->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+    if (extradata && extradata_size > 0) {
+        dec->ctx->extradata = (uint8_t*)av_mallocz(extradata_size + AV_INPUT_BUFFER_PADDING_SIZE);
+        memcpy(dec->ctx->extradata, extradata, extradata_size);
+        dec->ctx->extradata_size = extradata_size;
+    }
+    int r = avcodec_open2(dec->ctx, c, nullptr);
+    if (r < 0) { set_err("avcodec_open2", r); avcodec_free_context(&dec->ctx); delete dec; return nullptr; }
+    dec->frame = av_frame_alloc();
+    return dec;
+}
+
+GAV_API void gav_dec_close(void* h) {
+    auto* d = (GavDecoder*)h;
+    if (!d) return;
+    av_frame_free(&d->frame);
+    if (d->sws) sws_freeContext(d->sws);
+    avcodec_free_context(&d->ctx);
+    delete d;
+}
+
+GAV_API int gav_dec_send(void* h, const unsigned char* data, int size, long long pts) {
+    auto* d = (GavDecoder*)h;
+    int r;
+    if (!data || size == 0) {
+        r = avcodec_send_packet(d->ctx, nullptr);   // flush
+    } else {
+        AVPacket* pkt = av_packet_alloc();
+        av_new_packet(pkt, size);
+        memcpy(pkt->data, data, size);
+        pkt->pts = pts;
+        r = avcodec_send_packet(d->ctx, pkt);
+        av_packet_free(&pkt);
+    }
+    if (r < 0 && r != AVERROR(EAGAIN) && r != AVERROR_EOF) { set_err("send_packet", r); return -1; }
+    return r == AVERROR(EAGAIN) ? 1 : 0;
+}
+
+GAV_API int gav_dec_width(void* h)  { return ((GavDecoder*)h)->ctx->width; }
+GAV_API int gav_dec_height(void* h) { return ((GavDecoder*)h)->ctx->height; }
+
+// Receive one frame as planar I420 into caller buffers.
+// Returns 1 = frame written, 0 = need more input, -2 = EOF, -1 = error.
+GAV_API int gav_dec_receive(void* h, unsigned char* y, unsigned char* u,
+                            unsigned char* v, int w, int hgt, long long* pts) {
+    auto* d = (GavDecoder*)h;
+    int r = avcodec_receive_frame(d->ctx, d->frame);
+    if (r == AVERROR(EAGAIN)) return 0;
+    if (r == AVERROR_EOF) return -2;
+    if (r < 0) { set_err("receive_frame", r); return -1; }
+    AVFrame* f = d->frame;
+    *pts = f->pts != AV_NOPTS_VALUE ? f->pts : f->best_effort_timestamp;
+    AVPixelFormat pf = (AVPixelFormat)f->format;
+    if (pf == AV_PIX_FMT_YUV420P || pf == AV_PIX_FMT_YUVJ420P) {
+        for (int i = 0; i < hgt; i++)
+            memcpy(y + (size_t)i * w, f->data[0] + (size_t)i * f->linesize[0], w);
+        for (int i = 0; i < hgt / 2; i++) {
+            memcpy(u + (size_t)i * (w / 2), f->data[1] + (size_t)i * f->linesize[1], w / 2);
+            memcpy(v + (size_t)i * (w / 2), f->data[2] + (size_t)i * f->linesize[2], w / 2);
+        }
+    } else {
+        // convert anything else (yuv444, 10-bit, ...) to I420 via swscale
+        if (!d->sws || d->sws_w != f->width || d->sws_h != f->height || d->sws_fmt != pf) {
+            if (d->sws) sws_freeContext(d->sws);
+            d->sws = sws_getContext(f->width, f->height, pf, w, hgt,
+                                    AV_PIX_FMT_YUV420P, SWS_BILINEAR,
+                                    nullptr, nullptr, nullptr);
+            d->sws_w = f->width; d->sws_h = f->height; d->sws_fmt = pf;
+        }
+        uint8_t* dst[4] = {y, u, v, nullptr};
+        int dstride[4] = {w, w / 2, w / 2, 0};
+        sws_scale(d->sws, f->data, f->linesize, 0, f->height, dst, dstride);
+    }
+    av_frame_unref(f);
+    return 1;
+}
+
+// ---------------------------------------------------------------- encoder
+struct GavEncoder {
+    AVCodecContext* ctx = nullptr;
+    AVFrame* frame = nullptr;
+    AVPacket* pkt = nullptr;
+    long long in_count = 0;
+};
+
+// name: "libx264" | "libx265" | "mjpeg" (| any avcodec encoder name)
+// still_image: GOP 1, no B-frames (NvEncLiteUnbuffered.cpp:75-77,113-115)
+GAV_API void* gav_enc_create(const char* name, int w, int h,
+                             int fps_num, int fps_den, long long bitrate,
+                             int gop, int bf, const char* preset, double crf,
+                             int still_image, const char* opts) {
+    const AVCodec* c = avcodec_find_encoder_by_name(name);
+    if (!c) { snprintf(g_err, sizeof g_err, "no encoder %s", name); return nullptr; }
+    auto* e = new GavEncoder();
+    e->ctx = avcodec_alloc_context3(c);
+    e->ctx->width = w; e->ctx->height = h;
+    e->ctx->time_base = {fps_den, fps_num};
+    e->ctx->framerate = {fps_num, fps_den};
+    e->ctx->pix_fmt = strcmp(name, "mjpeg") == 0 ? AV_PIX_FMT_YUVJ420P : AV_PIX_FMT_YUV420P;
+    e->ctx->gop_size = still_image ? 1 : (gop > 0 ? gop : 300);  // default GOP 300 like NvEncLiteUnbuffered.cpp:111
+    e->ctx->max_b_frames = still_image ? 0 : bf;
+    if (bitrate > 0) e->ctx->bit_rate = bitrate;
+    e->ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    e->ctx->thread_count = 1;
+    if (preset && *preset) av_opt_set(e->ctx->priv_data, "preset", preset, 0);
+    if (crf >= 0) av_opt_set_double(e->ctx->priv_data, "crf", crf, 0);
+    if (strcmp(name, "mjpeg") == 0) {
+        e->ctx->flags |= AV_CODEC_FLAG_QSCALE;
+        e->ctx->global_quality = FF_QP2LAMBDA * (crf >= 0 ? (int)crf : 3);
+        e->ctx->color_range = AVCOL_RANGE_JPEG;
+    }
+    if (opts && *opts) {
+        AVDictionary* dict = nullptr;
+        av_dict_parse_string(&dict, opts, "=", ":", 0);
+        int r = avcodec_open2(e->ctx, c, &dict);
+        av_dict_free(&dict);
+        if (r < 0) { set_err("avcodec_open2(enc)", r); avcodec_free_context(&e->ctx); delete e; return nullptr; }
+    } else {
+        int r = avcodec_open2(e->ctx, c, nullptr);
+        if (r < 0) { set_err("avcodec_open2(enc)", r); avcodec_free_context(&e->ctx); delete e; return nullptr; }
+    }
+    e->frame = av_frame_alloc();
+    e->frame->format = e->ctx->pix_fmt;
+    e->frame->width = w; e->frame->height = h;
+    av_frame_get_buffer(e->frame, 0);
+    e->pkt = av_packet_alloc();
+    return e;
+}
+
+GAV_API void gav_enc_close(void* h) {
+    auto* e = (GavEncoder*)h;
+    if (!e) return;
+    av_frame_free(&e->frame);
+    av_packet_free(&e->pkt);
+    avcodec_free_context(&e->ctx);
+    delete e;
+}
+
+GAV_API int gav_enc_extradata(void* h, unsigned char** data) {
+    auto* e = (GavEncoder*)h;
+    *data = e->ctx->extradata;
+    return e->ctx->extradata_size;
+}
+
+// send one I420 frame (y/u/v NULL = flush). Returns like gav_dec_send.
+GAV_API int gav_enc_send(void* h, const unsigned char* y, const unsigned char* u,
+                         const unsigned char* v, long long pts, int force_key) {
+    auto* e = (GavEncoder*)h;
+    int r;
+    if (!y) {
+        r = avcodec_send_frame(e->ctx, nullptr);
+    } else {
+        av_frame_make_writable(e->frame);
+        int w = e->ctx->width, hh = e->ctx->height;
+        for (int i = 0; i < hh; i++)
+            memcpy(e->frame->data[0] + (size_t)i * e->frame->linesize[0], y + (size_t)i * w, w);
+        for (int i = 0; i < hh / 2; i++) {
+            memcpy(e->frame->data[1] + (size_t)i * e->frame->linesize[1], u + (size_t)i * (w / 2), w / 2);
+            memcpy(e->frame->data[2] + (size_t)i * e->frame->linesize[2], v + (size_t)i * (w / 2), w / 2);
+        }
+        e->frame->pts = pts >= 0 ? pts : e->in_count;
+        e->frame->pict_type = force_key ? AV_PICTURE_TYPE_I : AV_PICTURE_TYPE_NONE;
+        if (e->ctx->flags & AV_CODEC_FLAG_QSCALE)
+            e->frame->quality = e->ctx->global_quality;
+        e->in_count++;
+        r = avcodec_send_frame(e->ctx, e->frame);
+    }
+    if (r < 0 && r != AVERROR(EAGAIN) && r != AVERROR_EOF) { set_err("send_frame", r); return -1; }
+    return r == AVERROR(EAGAIN) ? 1 : 0;
+}
+
+// Returns packet size (>0, *data valid until next call), 0 = need more,
+// -2 = EOF (fully drained), -1 = error.
+GAV_API int gav_enc_receive(void* h, unsigned char** data, long long* pts,
+                            long long* dts, int* key) {
+    auto* e = (GavEncoder*)h;
+    av_packet_unref(e->pkt);
+    int r = avcodec_receive_packet(e->ctx, e->pkt);
+    if (r == AVERROR(EAGAIN)) return 0;
+    if (r == AVERROR_EOF) return -2;
+    if (r < 0) { set_err("receive_packet", r); return -1; }
+    *data = e->pkt->data; *pts = e->pkt->pts; *dts = e->pkt->dts;
+    *key = (e->pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0;
+    return e->pkt->size;
+}
+
+// ---------------------------------------------------------------- muxer
+struct GavMuxer {
+    AVFormatContext* fmt = nullptr;
+    int vstream = -1;
+    AVRational enc_tb;      // encoder timebase (1/fps)
+    bool header_written = false;
+};
+
+GAV_API void* gav_mux_open(const char* path, int w, int h, int fps_num,
+                           int fps_den, int codec /*0 h264,1 hevc,2 mjpeg*/,
+                           const unsigned char* extradata, int extradata_size) {
+    auto* m = new GavMuxer();
+    int r = avformat_alloc_output_context2(&m->fmt, nullptr, nullptr, path);
+    if (r < 0 || !m->fmt) { set_err("alloc_output_context", r); delete m; return nullptr; }
+    AVStream* st = avformat_new_stream(m->fmt, nullptr);
+    st->codecpar->codec_type = AVMEDIA_TYPE_VIDEO;
+    st->codecpar->codec_id = codec == 0 ? AV_CODEC_ID_H264 :
+                             codec == 1 ? AV_CODEC_ID_HEVC : AV_CODEC_ID_MJPEG;
+    st->codecpar->width = w; st->codecpar->height = h;
+    if (extradata_size > 0) {
+        st->codecpar->extradata = (uint8_t*)av_mallocz(extradata_size + AV_INPUT_BUFFER_PADDING_SIZE);
+        memcpy(st->codecpar->extradata, extradata, extradata_size);
+        st->codecpar->extradata_size = extradata_size;
+    }
+    st->time_base = {fps_den, fps_num};
+    st->avg_frame_rate = {fps_num, fps_den};
+    m->enc_tb = {fps_den, fps_num};
+    m->vstream = st->index;
+    if (!(m->fmt->oformat->flags & AVFMT_NOFILE)) {
+        r = avio_open(&m->fmt->pb, path, AVIO_FLAG_WRITE);
+        if (r < 0) { set_err("avio_open", r); avformat_free_context(m->fmt); delete m; return nullptr; }
+    }
+    r = avformat_write_header(m->fmt, nullptr);
+    if (r < 0) { set_err("write_header", r); avformat_free_context(m->fmt); delete m; return nullptr; }
+    m->header_written = true;
+    return m;
+}
+
+GAV_API int gav_mux_write(void* h, const unsigned char* data, int size,
+                          long long pts, long long dts, int key) {
+    auto* m = (GavMuxer*)h;
+    AVPacket* pkt = av_packet_alloc();
+    av_new_packet(pkt, size);
+    memcpy(pkt->data, data, size);
+    pkt->pts = av_rescale_q(pts, m->enc_tb, m->fmt->streams[m->vstream]->time_base);
+    pkt->dts = av_rescale_q(dts, m->enc_tb, m->fmt->streams[m->vstream]->time_base);
+    pkt->stream_index = m->vstream;
+    if (key) pkt->flags |= AV_PKT_FLAG_KEY;
+    int r = av_interleaved_write_frame(m->fmt, pkt);
+    av_packet_free(&pkt);
+    if (r < 0) { set_err("write_frame", r); return -1; }
+    return 0;
+}
+
+GAV_API int gav_mux_close(void* h) {
+    auto* m = (GavMuxer*)h;
+    if (!m) return 0;
+    int r = 0;
+    if (m->header_written) r = av_write_trailer(m->fmt);
+    if (m->fmt && !(m->fmt->oformat->flags & AVFMT_NOFILE) && m->fmt->pb)
+        avio_closep(&m->fmt->pb);
+    avformat_free_context(m->fmt);
+    delete m;
+    return r < 0 ? -1 : 0;
+}
+
+// ------------------------------------------------------- version / caps
+GAV_API int gav_has_encoder(const char* name) {
+    return avcodec_find_encoder_by_name(name) != nullptr;
+}
+GAV_API unsigned gav_avcodec_version() { return avcodec_version(); }

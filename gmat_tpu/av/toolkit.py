@@ -1,0 +1,277 @@
+"""AvToolkit — Pythonic wrappers over the native host runtime.
+
+TPU rebuild of metrans/include/AvToolkit (Demuxer.h, Muxer.h, AvDec.h,
+VidEnc) on top of csrc/gmat_av.cpp.  Packet bytes are copied out of the
+native layer once; frames decode straight into caller-owned numpy planes.
+"""
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from . import native
+
+CODEC_H264, CODEC_HEVC, CODEC_MJPEG = 0, 1, 2
+_CODEC_NAMES = {0: "h264", 1: "hevc", 2: "mjpeg", 99: "other"}
+
+
+@dataclasses.dataclass
+class Packet:
+    data: bytes
+    pts: int
+    dts: int
+    key: bool
+    nonref: bool      # skippable non-reference frame (smart decode)
+    stream: int       # 0 video, 1 audio
+
+
+class Demuxer:
+    """Video/audio packet source (metrans Demuxer.h:16-221 analog)."""
+
+    def __init__(self, path: str):
+        self._lib = native.load()
+        self._h = self._lib.gav_demux_open(path.encode())
+        if not self._h:
+            raise IOError(f"demux open {path}: {native.last_error()}")
+        self.width = self._lib.gav_demux_width(self._h)
+        self.height = self._lib.gav_demux_height(self._h)
+        self.fps = self._lib.gav_demux_fps(self._h)
+        self.duration = self._lib.gav_demux_duration(self._h)
+        self.nb_frames = self._lib.gav_demux_nb_frames(self._h)
+        self.codec = self._lib.gav_demux_codec(self._h)
+        self.codec_name = _CODEC_NAMES.get(self.codec, "other")
+        self.colorspace = ("bt601", "bt709", "bt2020")[
+            self._lib.gav_demux_colorspace(self._h)]
+        num, den = ctypes.c_int(), ctypes.c_int()
+        self._lib.gav_demux_timebase(self._h, ctypes.byref(num),
+                                     ctypes.byref(den))
+        self.time_base = (num.value, den.value)
+
+    def extradata(self) -> bytes:
+        p = native.c_pu8()
+        n = self._lib.gav_demux_extradata(self._h, ctypes.byref(p))
+        return ctypes.string_at(p, n) if n > 0 else b""
+
+    def read(self) -> Optional[Packet]:
+        data = native.c_pu8()
+        pts, dts = native.c_ll(), native.c_ll()
+        key, nonref, stream = (ctypes.c_int(), ctypes.c_int(), ctypes.c_int())
+        n = self._lib.gav_demux_read(
+            self._h, ctypes.byref(data), ctypes.byref(pts), ctypes.byref(dts),
+            ctypes.byref(key), ctypes.byref(nonref), ctypes.byref(stream))
+        if n == 0:
+            return None
+        if n < 0:
+            raise IOError(f"demux read: {native.last_error()}")
+        return Packet(ctypes.string_at(data, n), pts.value, dts.value,
+                      bool(key.value), bool(nonref.value), stream.value)
+
+    def seek(self, seconds: float) -> None:
+        num, den = self.time_base
+        ts = int(seconds * den / num)
+        if self._lib.gav_demux_seek(self._h, ts) < 0:
+            raise IOError(f"seek: {native.last_error()}")
+
+    def seek_ts(self, ts: int) -> None:
+        if self._lib.gav_demux_seek(self._h, ts) < 0:
+            raise IOError(f"seek: {native.last_error()}")
+
+    def __iter__(self) -> Iterator[Packet]:
+        while True:
+            p = self.read()
+            if p is None:
+                return
+            yield p
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.gav_demux_close(self._h)
+            self._h = None
+
+    __del__ = close
+    def __enter__(self): return self
+    def __exit__(self, *a): self.close()
+
+
+class Decoder:
+    """Software video decoder -> planar I420 numpy frames (NvDecLite's
+    role, NvDecLite.cpp:350-398, via libavcodec)."""
+
+    def __init__(self, codec: int, extradata: bytes = b"", threads: int = 0,
+                 width: int = 0, height: int = 0):
+        self._lib = native.load()
+        ex = (ctypes.cast(ctypes.create_string_buffer(extradata, len(extradata)),
+                          native.c_pu8) if extradata else None)
+        self._h = self._lib.gav_dec_create(codec, ex, len(extradata), threads)
+        if not self._h:
+            raise IOError(f"decoder create: {native.last_error()}")
+        self.width, self.height = width, height
+
+    @classmethod
+    def from_demuxer(cls, dm: Demuxer, threads: int = 0) -> "Decoder":
+        # annexb streams don't need extradata
+        return cls(dm.codec, b"", threads, dm.width, dm.height)
+
+    def send(self, data: Optional[bytes], pts: int = -1) -> None:
+        if data is None:
+            r = self._lib.gav_dec_send(self._h, None, 0, 0)
+        else:
+            buf = (ctypes.c_ubyte * len(data)).from_buffer_copy(data)
+            r = self._lib.gav_dec_send(self._h, buf, len(data), pts)
+        if r < 0:
+            raise IOError(f"dec send: {native.last_error()}")
+
+    def receive(self) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
+        """-> (y, u, v, pts) or None (need more input). Raises StopIteration
+        at EOF."""
+        if not self.width:
+            self.width = self._lib.gav_dec_width(self._h)
+            self.height = self._lib.gav_dec_height(self._h)
+        w, h = self.width, self.height
+        if not w:
+            return None
+        y = np.empty((h, w), np.uint8)
+        u = np.empty((h // 2, w // 2), np.uint8)
+        v = np.empty((h // 2, w // 2), np.uint8)
+        pts = native.c_ll()
+        r = self._lib.gav_dec_receive(
+            self._h, y.ctypes.data_as(native.c_pu8),
+            u.ctypes.data_as(native.c_pu8), v.ctypes.data_as(native.c_pu8),
+            w, h, ctypes.byref(pts))
+        if r == 0:
+            # dimensions may only be known after the first send
+            rw = self._lib.gav_dec_width(self._h)
+            if rw and rw != w:
+                self.width, self.height = rw, self._lib.gav_dec_height(self._h)
+                return self.receive()
+            return None
+        if r == -2:
+            raise StopIteration
+        if r < 0:
+            raise IOError(f"dec receive: {native.last_error()}")
+        return y, u, v, pts.value
+
+    def decode(self, data: Optional[bytes], pts: int = -1):
+        """send + drain: yields (y, u, v, pts) tuples."""
+        self.send(data, pts)
+        while True:
+            try:
+                f = self.receive()
+            except StopIteration:
+                return
+            if f is None:
+                return
+            yield f
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.gav_dec_close(self._h)
+            self._h = None
+
+    __del__ = close
+
+
+class Encoder:
+    """Video encoder (NvEncLite analog, NvEncLite.cpp:27-128): libx264 /
+    libx265 / mjpeg with GOP/B-frames/preset/CRF and stillImage mode."""
+
+    def __init__(self, name: str, width: int, height: int,
+                 fps: Tuple[int, int] = (30, 1), bitrate: int = 0,
+                 gop: int = 0, bf: int = 0, preset: str = "veryfast",
+                 crf: float = -1.0, still_image: bool = False,
+                 opts: str = ""):
+        self._lib = native.load()
+        if not self._lib.gav_has_encoder(name.encode()):
+            raise IOError(f"encoder {name} not available in libavcodec")
+        self._h = self._lib.gav_enc_create(
+            name.encode(), width, height, fps[0], fps[1], bitrate, gop, bf,
+            preset.encode(), crf, int(still_image), opts.encode())
+        if not self._h:
+            raise IOError(f"encoder create: {native.last_error()}")
+        self.width, self.height, self.fps = width, height, fps
+        self.name = name
+
+    def extradata(self) -> bytes:
+        p = native.c_pu8()
+        n = self._lib.gav_enc_extradata(self._h, ctypes.byref(p))
+        return ctypes.string_at(p, n) if n > 0 else b""
+
+    def _recv_all(self):
+        out = []
+        while True:
+            data = native.c_pu8()
+            pts, dts, key = native.c_ll(), native.c_ll(), ctypes.c_int()
+            n = self._lib.gav_enc_receive(self._h, ctypes.byref(data),
+                                          ctypes.byref(pts), ctypes.byref(dts),
+                                          ctypes.byref(key))
+            if n <= 0:
+                return out, n
+            out.append(Packet(ctypes.string_at(data, n), pts.value, dts.value,
+                              bool(key.value), False, 0))
+
+    def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+               pts: int = -1, force_key: bool = False):
+        """Encode one I420 frame; returns list of Packets ready so far."""
+        y = np.ascontiguousarray(y, np.uint8)
+        u = np.ascontiguousarray(u, np.uint8)
+        v = np.ascontiguousarray(v, np.uint8)
+        r = self._lib.gav_enc_send(
+            self._h, y.ctypes.data_as(native.c_pu8),
+            u.ctypes.data_as(native.c_pu8), v.ctypes.data_as(native.c_pu8),
+            pts, int(force_key))
+        if r < 0:
+            raise IOError(f"enc send: {native.last_error()}")
+        pkts, _ = self._recv_all()
+        return pkts
+
+    def flush(self):
+        r = self._lib.gav_enc_send(self._h, None, None, None, 0, 0)
+        if r < 0:
+            raise IOError(f"enc flush: {native.last_error()}")
+        pkts, _ = self._recv_all()
+        return pkts
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.gav_enc_close(self._h)
+            self._h = None
+
+    __del__ = close
+
+
+class Muxer:
+    """Single-video-stream muxer (LazyMuxer analog, Muxer.h:51-229)."""
+
+    def __init__(self, path: str, width: int, height: int,
+                 fps: Tuple[int, int], codec: int, extradata: bytes = b""):
+        self._lib = native.load()
+        ex = ((ctypes.c_ubyte * len(extradata)).from_buffer_copy(extradata)
+              if extradata else None)
+        self._h = self._lib.gav_mux_open(path.encode(), width, height,
+                                         fps[0], fps[1], codec, ex,
+                                         len(extradata))
+        if not self._h:
+            raise IOError(f"mux open: {native.last_error()}")
+
+    def write(self, pkt: Packet) -> None:
+        buf = (ctypes.c_ubyte * len(pkt.data)).from_buffer_copy(pkt.data)
+        dts = pkt.dts if pkt.dts is not None else pkt.pts
+        if self._lib.gav_mux_write(self._h, buf, len(pkt.data), pkt.pts,
+                                   dts, int(pkt.key)) < 0:
+            raise IOError(f"mux write: {native.last_error()}")
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.gav_mux_close(self._h)
+            self._h = None
+
+    __del__ = close
+    def __enter__(self): return self
+    def __exit__(self, *a): self.close()
+
+
+CODEC_FOR_ENCODER = {"libx264": CODEC_H264, "libx265": CODEC_HEVC,
+                     "mjpeg": CODEC_MJPEG}

@@ -1,0 +1,131 @@
+"""Native host runtime round-trip tests (encode -> mux -> demux -> decode)."""
+import numpy as np
+import pytest
+
+from gmat_tpu.av import toolkit as tk
+
+
+def synth_frames(n, w, h, seed=0):
+    """Smooth moving-gradient frames (encode-friendly, checkable)."""
+    frames = []
+    for i in range(n):
+        yy = ((np.add.outer(np.arange(h), np.arange(w)) * 0.3 + i * 4) % 200
+              + 20).astype(np.uint8)
+        uu = np.full((h // 2, w // 2), 100 + (i * 3) % 50, np.uint8)
+        vv = np.full((h // 2, w // 2), 140 - (i * 2) % 40, np.uint8)
+        frames.append((yy, uu, vv))
+    return frames
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    """A 48-frame 320x240 H.264 mp4 generated with our own encoder+muxer."""
+    path = str(tmp_path_factory.mktemp("av") / "clip.mp4")
+    w, h, n = 320, 240, 48
+    frames = synth_frames(n, w, h)
+    enc = tk.Encoder("libx264", w, h, fps=(30, 1), gop=12, bf=2,
+                     preset="veryfast", crf=18.0)
+    pkts = []
+    for i, (y, u, v) in enumerate(frames):
+        pkts += enc.encode(y, u, v, pts=i)
+    pkts += enc.flush()
+    mux = tk.Muxer(path, w, h, (30, 1), tk.CODEC_H264, enc.extradata())
+    for p in pkts:
+        mux.write(p)
+    mux.close()
+    enc.close()
+    return path, frames
+
+
+def test_encode_produced_packets(clip):
+    path, frames = clip
+    import os
+    assert os.path.getsize(path) > 1000
+
+
+def test_demux_info(clip):
+    path, frames = clip
+    with tk.Demuxer(path) as dm:
+        assert (dm.width, dm.height) == (320, 240)
+        assert dm.codec_name == "h264"
+        assert abs(dm.fps - 30.0) < 0.1
+        assert dm.nb_frames == 48
+
+
+def test_demux_packets_have_keyframes(clip):
+    path, _ = clip
+    with tk.Demuxer(path) as dm:
+        pkts = [p for p in dm if p.stream == 0]
+    assert len(pkts) == 48
+    keys = [p.key for p in pkts]
+    assert keys[0] and sum(keys) >= 3  # gop 12 over 48 frames
+    # annexb start codes after BSF
+    assert pkts[0].data[:4] in (b"\x00\x00\x00\x01", b"\x00\x00\x01\x67")
+    # with B-frames some packets must be non-reference (smart-skip targets)
+    assert any(p.nonref for p in pkts)
+    assert not pkts[0].nonref
+
+
+def test_decode_roundtrip(clip):
+    path, frames = clip
+    dm = tk.Demuxer(path)
+    dec = tk.Decoder.from_demuxer(dm)
+    out = []
+    for pkt in dm:
+        if pkt.stream != 0:
+            continue
+        out.extend(dec.decode(pkt.data, pkt.pts))
+    out.extend(dec.decode(None))
+    assert len(out) == len(frames)
+    # presentation order: pts ascending
+    pts = [f[3] for f in out]
+    assert pts == sorted(pts)
+    # content close to original (crf 18)
+    y0, u0, v0 = frames[0]
+    yd = out[0][0]
+    assert np.abs(yd.astype(int) - y0.astype(int)).mean() < 4.0
+    dm.close(); dec.close()
+
+
+def test_seek(clip):
+    path, _ = clip
+    dm = tk.Demuxer(path)
+    dm.seek(1.0)  # frame 30 area -> keyframe at/before
+    pkt = dm.read()
+    assert pkt is not None and pkt.key
+    dm.close()
+
+
+def test_hevc_and_mjpeg_paths(tmp_path):
+    w, h = 160, 128
+    frames = synth_frames(6, w, h)
+    for name, codec in (("libx265", tk.CODEC_HEVC), ("mjpeg", tk.CODEC_MJPEG)):
+        enc = tk.Encoder(name, w, h, fps=(30, 1), crf=20.0,
+                         still_image=(name == "mjpeg"),
+                         opts="x265-params=log-level=0" if name == "libx265" else "")
+        pkts = []
+        for i, (y, u, v) in enumerate(frames):
+            pkts += enc.encode(y, u, v, pts=i)
+        pkts += enc.flush()
+        assert pkts, name
+        dec = tk.Decoder(codec, extradata=enc.extradata(), width=w, height=h)
+        got = []
+        for p in pkts:
+            got.extend(dec.decode(p.data, p.pts))
+        got.extend(dec.decode(None))
+        assert len(got) == len(frames), name
+        y0 = frames[0][0]
+        assert np.abs(got[0][0].astype(int) - y0.astype(int)).mean() < 6.0, name
+        enc.close(); dec.close()
+
+
+def test_still_image_mode_all_keyframes(tmp_path):
+    w, h = 160, 128
+    frames = synth_frames(4, w, h)
+    enc = tk.Encoder("libx264", w, h, still_image=True, crf=18.0)
+    pkts = []
+    for i, (y, u, v) in enumerate(frames):
+        pkts += enc.encode(y, u, v, pts=i)
+    pkts += enc.flush()
+    assert len(pkts) == 4 and all(p.key for p in pkts)
+    enc.close()
