@@ -1,0 +1,132 @@
+"""Host ingest pipeline: decode workers -> prefetch queue -> device batches.
+
+TPU rebuild of the reference's producer/consumer plumbing:
+  * RoundQueue (metrans/app/AppMeTrans/RoundQueue.h:5-63): single producer,
+    N consumers with per-consumer cursors -> here a bounded queue.Queue per
+    consumer fed by one producer thread (Python threads release the GIL in
+    libav calls, so decode overlaps JAX dispatch).
+  * TransDataConverter pinned staging (TransDataConverter.h:12-89) ->
+    jax.device_put double buffering: the next batch is transferred while
+    the current one computes.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.frame import FrameBatch
+
+
+class FrameBatchSource:
+    """Iterates (y, u, v, pts) numpy tuples from any generator and groups
+    them into planar numpy batches of a fixed size (padding the tail by
+    repeating the last frame, with a valid-count)."""
+
+    def __init__(self, frame_iter, batch: int, width: int, height: int,
+                 colorspace: str = "bt709"):
+        self.it = frame_iter
+        self.batch = batch
+        self.width, self.height = width, height
+        self.colorspace = colorspace
+
+    def __iter__(self):
+        ys, us, vs, pts = [], [], [], []
+        for (y, u, v, p) in self.it:
+            ys.append(y); us.append(u); vs.append(v); pts.append(p)
+            if len(ys) == self.batch:
+                yield self._pack(ys, us, vs, pts, self.batch)
+                ys, us, vs, pts = [], [], [], []
+        if ys:
+            n = len(ys)
+            while len(ys) < self.batch:   # pad to static shape
+                ys.append(ys[-1]); us.append(us[-1]); vs.append(vs[-1])
+                pts.append(pts[-1])
+            yield self._pack(ys, us, vs, pts, n)
+
+    def _pack(self, ys, us, vs, pts, valid):
+        return (np.stack(ys), np.stack(us), np.stack(vs),
+                np.asarray(pts, np.int64), valid)
+
+
+class PrefetchQueue:
+    """Producer thread fills a bounded queue of device-resident batches.
+
+    The RoundQueue analog: backpressure via the bounded queue (the
+    reference spins with 1 ms sleeps, AppMeTrans.cpp:65-67); device upload
+    (device_put) happens on the producer thread so the consumer overlaps
+    compute with the next batch's H2D transfer.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, batch_iter, depth: int = 3, device=None,
+                 to_device: bool = True, colorspace: str = "bt709",
+                 width: int = 0, height: int = 0):
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.device = device or jax.devices()[0]
+        self.to_device = to_device
+        self.colorspace = colorspace
+        self.width, self.height = width, height
+        self.error: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._run, args=(batch_iter,), daemon=True)
+        self._thread.start()
+
+    def _run(self, batch_iter):
+        try:
+            for (y, u, v, pts, valid) in batch_iter:
+                if self.to_device:
+                    y = jax.device_put(y, self.device)
+                    u = jax.device_put(u, self.device)
+                    v = jax.device_put(v, self.device)
+                self.q.put((y, u, v, pts, valid))
+        except BaseException as e:   # surface worker errors to the consumer
+            self.error = e
+        finally:
+            self.q.put(self._SENTINEL)
+
+    def __iter__(self) -> Iterator[FrameBatch]:
+        while True:
+            item = self.q.get()
+            if item is self._SENTINEL:
+                if self.error:
+                    raise self.error
+                return
+            y, u, v, pts, valid = item
+            h = self.height or y.shape[1]
+            w = self.width or y.shape[2]
+            fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                             "v": jnp.asarray(v)}, "yuv420p", w, h,
+                            self.colorspace)
+            yield fb, pts, valid
+
+
+def decode_stream(path: str, batch: int = 32, depth: int = 3,
+                  device=None, threads: int = 0):
+    """Convenience: full-decode a file into prefetched device FrameBatches.
+
+    Yields (FrameBatch, pts_array, valid_count).
+    """
+    from . import toolkit as tk
+
+    dm = tk.Demuxer(path)
+    dec = tk.Decoder.from_demuxer(dm, threads)
+
+    def frames():
+        for pkt in dm:
+            if pkt.stream != 0:
+                continue
+            yield from dec.decode(pkt.data, pkt.pts)
+        yield from dec.decode(None)
+        dm.close(); dec.close()
+
+    src = FrameBatchSource(frames(), batch, dm.width, dm.height, dm.colorspace)
+    return PrefetchQueue(iter(src), depth=depth, device=device,
+                         colorspace=dm.colorspace, width=dm.width,
+                         height=dm.height)

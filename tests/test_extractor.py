@@ -1,0 +1,153 @@
+"""Smart-decode extractor, scene select, and ingest pipeline tests."""
+import numpy as np
+import pytest
+
+from gmat_tpu.av import toolkit as tk
+from gmat_tpu.av.extractor import FrameExtractor, FrameSelect
+from gmat_tpu.av.ingest import decode_stream
+
+
+W, H, NFRAMES = 320, 240, 60
+
+
+def make_clip(path, scene_cut_at=None, bf=0):
+    """Flat-luma frames: y value encodes the frame index (20 + 3*i)."""
+    enc = tk.Encoder("libx264", W, H, fps=(30, 1), gop=12, bf=bf,
+                     preset="veryfast", crf=14.0)
+    pkts = []
+    for i in range(NFRAMES):
+        lum = 20 + 3 * i
+        uu, vv = 110, 140
+        if scene_cut_at is not None and i >= scene_cut_at:
+            lum = 235 - (i - scene_cut_at) * 2
+            uu, vv = 60, 200
+        y = np.full((H, W), lum, np.uint8)
+        u = np.full((H // 2, W // 2), uu, np.uint8)
+        v = np.full((H // 2, W // 2), vv, np.uint8)
+        pkts += enc.encode(y, u, v, pts=i)
+    pkts += enc.flush()
+    mux = tk.Muxer(path, W, H, (30, 1), tk.CODEC_H264, enc.extradata())
+    for p in pkts:
+        mux.write(p)
+    mux.close()
+    enc.close()
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("sm") / "clip.mp4")
+    make_clip(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def cutclip(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("sm") / "cut.mp4")
+    make_clip(p, scene_cut_at=30)
+    return p
+
+
+def frame_index_of(y):
+    return int(round((float(np.median(y)) - 20) / 3))
+
+
+def test_extract_every_frame(clip):
+    fx = FrameExtractor(clip)  # no interval: every frame
+    got = [frame_index_of(y) for (y, u, v, p) in fx.frames()]
+    assert got == list(range(NFRAMES))
+    fx.close()
+
+
+def test_extract_interval_frames(clip):
+    fx = FrameExtractor(clip, frame_interval=10)
+    got = [frame_index_of(y) for (y, u, v, p) in fx.frames()]
+    assert got == [0, 10, 20, 30, 40, 50]
+    # smart paths actually engaged
+    assert fx.n_skipped_seek > 0
+    assert fx.n_decoded < NFRAMES
+    fx.close()
+
+
+def test_extract_interval_with_bframes(tmp_path):
+    # with B-frames, targets are in decode order (reference semantics:
+    # packet count, FrameExtractor.h:231-268) -> near-uniform display steps
+    p = str(tmp_path / "b.mp4")
+    make_clip(p, bf=2)
+    fx = FrameExtractor(p, frame_interval=10)
+    got = [frame_index_of(y) for (y, u, v, pp) in fx.frames()]
+    assert got[0] == 0 and len(got) >= 5
+    steps = np.diff(got)
+    assert (steps >= 6).all() and (steps <= 14).all(), got
+    assert abs(float(steps.mean()) - 10.0) <= 1.5, got
+    # non-ref skipping only possible with B-frames
+    assert fx.n_skipped_nonref > 0
+    fx.close()
+
+
+def test_extract_interval_smaller_than_gop(clip):
+    fx = FrameExtractor(clip, frame_interval=5)
+    got = [frame_index_of(y) for (y, u, v, p) in fx.frames()]
+    assert got == list(range(0, NFRAMES, 5))
+    fx.close()
+
+
+def test_extract_time_interval(clip):
+    fx = FrameExtractor(clip, time_interval=1.0 / 3.0)  # every 10 frames
+    got = [frame_index_of(y) for (y, u, v, p) in fx.frames()]
+    assert got[0] == 0 and len(got) >= 5
+    steps = np.diff(got)
+    assert (steps >= 9).all() and (steps <= 11).all()
+    fx.close()
+
+
+def test_extract_batch(clip):
+    fx = FrameExtractor(clip, frame_interval=10)
+    b = fx.extract_batch(4)
+    assert b[0].shape == (4, H, W)
+    b2 = fx.extract_batch(4)
+    assert b2[0].shape == (2, H, W)  # remaining 2
+    assert fx.extract_batch(4) is None
+    fx.close()
+
+
+def test_scene_select(cutclip):
+    fs = FrameSelect(cutclip, threshold=0.4, batch_size=16)
+    sel = [(p, s, float(np.median(y))) for (y, u, v, p, s) in fs.frames()]
+    assert len(sel) == 1, sel
+    pts, score, luma = sel[0]
+    num, den = fs.dm.time_base
+    idx = round(pts * num / den * 30.0)   # container pts -> frame index
+    assert idx == 30          # the cut frame
+    assert luma > 200         # post-cut content
+    fs.close()
+
+
+def test_scene_scores_math(rng):
+    import jax.numpy as jnp
+    from gmat_tpu.core.frame import FrameBatch
+    from gmat_tpu.ops.scene import scene_scores
+    n, h, w = 4, 32, 32
+    y = np.zeros((n, h, w), np.uint8)
+    y[2] = 200   # hard cut at frame 2, back at 3
+    u = np.full((n, h // 2, w // 2), 128, np.uint8)
+    v = np.full((n, h // 2, w // 2), 128, np.uint8)
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p", w, h)
+    scores, last_mafd = scene_scores(fb)
+    scores = np.asarray(scores)
+    count = h * w * 1.5
+    mafd2 = 200.0 * h * w / count   # frame2 vs frame1
+    want2 = min(mafd2 / 100.0, 1.0)
+    assert scores[0] == 0.0 and scores[1] == 0.0
+    np.testing.assert_allclose(scores[2], want2, rtol=1e-5)
+    np.testing.assert_allclose(float(last_mafd), mafd2, rtol=1e-5)
+
+
+def test_decode_stream_batches(clip):
+    total, valid_total = 0, 0
+    for fb, pts, valid in decode_stream(clip, batch=16):
+        assert fb.planes["y"].shape == (16, H, W)
+        total += 16
+        valid_total += valid
+    assert valid_total == NFRAMES
+    assert total == 64  # 60 -> 4 batches of 16 (last padded)
