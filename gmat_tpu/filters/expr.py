@@ -1,0 +1,140 @@
+"""Tiny expression engine — the select-filter expression language.
+
+Covers the subset of FFmpeg's av_expr used by GMAT's select_cuda filter
+(vf_select_cuda.c:53-100 var_names: n, t, pts, key, scene, prev_selected_n,
+selected_n ...; doc usage `select_cuda='gt(scene,0.4)'`, FrameSelect.h:12).
+
+Recursive-descent parser -> AST of Python closures; evaluation is per-frame
+on host scalars (the heavy part — scene scores — is computed on device in
+batches by ops/scene.py).
+"""
+from __future__ import annotations
+
+import math
+import re
+from typing import Callable, Dict
+
+Num = float
+Env = Dict[str, float]
+
+_TOKEN = re.compile(r"\s*(?:(\d+\.\d*|\.\d+|\d+)|([A-Za-z_]\w*)|(.))")
+
+_FUNCS = {
+    "gt": lambda a, b: 1.0 if a > b else 0.0,
+    "gte": lambda a, b: 1.0 if a >= b else 0.0,
+    "lt": lambda a, b: 1.0 if a < b else 0.0,
+    "lte": lambda a, b: 1.0 if a <= b else 0.0,
+    "eq": lambda a, b: 1.0 if a == b else 0.0,
+    "ne": lambda a, b: 1.0 if a != b else 0.0,
+    "not": lambda a: 1.0 if a == 0 else 0.0,
+    "and": lambda a, b: 1.0 if (a != 0 and b != 0) else 0.0,
+    "or": lambda a, b: 1.0 if (a != 0 or b != 0) else 0.0,
+    "if": lambda c, a, b=0.0: a if c != 0 else b,
+    "min": min,
+    "max": max,
+    "abs": abs,
+    "floor": math.floor,
+    "ceil": math.ceil,
+    "round": round,
+    "mod": lambda a, b: math.fmod(a, b),
+    "between": lambda x, lo, hi: 1.0 if lo <= x <= hi else 0.0,
+    "isnan": lambda a: 1.0 if math.isnan(a) else 0.0,
+}
+
+
+class Expr:
+    def __init__(self, text: str):
+        self.text = text
+        self._tokens = self._tokenize(text)
+        self._pos = 0
+        self._ast = self._parse_add()
+        if self._pos < len(self._tokens):
+            raise ValueError(f"trailing input in expr {text!r} at "
+                             f"{self._tokens[self._pos]}")
+
+    @staticmethod
+    def _tokenize(text):
+        out = []
+        for m in _TOKEN.finditer(text):
+            num, name, sym = m.groups()
+            if num is not None:
+                out.append(("num", float(num)))
+            elif name is not None:
+                out.append(("name", name))
+            elif sym and not sym.isspace():
+                out.append(("sym", sym))
+        return out
+
+    def _peek(self):
+        return self._tokens[self._pos] if self._pos < len(self._tokens) else (None, None)
+
+    def _next(self):
+        t = self._peek()
+        self._pos += 1
+        return t
+
+    def _expect(self, sym):
+        k, v = self._next()
+        if k != "sym" or v != sym:
+            raise ValueError(f"expected {sym!r} in {self.text!r}, got {v!r}")
+
+    def _parse_add(self):
+        node = self._parse_mul()
+        while self._peek() == ("sym", "+") or self._peek() == ("sym", "-"):
+            _, op = self._next()
+            rhs = self._parse_mul()
+            node = (lambda l, r, o=op: (lambda env: l(env) + r(env) if o == "+"
+                                        else l(env) - r(env)))(node, rhs)
+        return node
+
+    def _parse_mul(self):
+        node = self._parse_unary()
+        while self._peek() in (("sym", "*"), ("sym", "/")):
+            _, op = self._next()
+            rhs = self._parse_unary()
+            node = (lambda l, r, o=op: (lambda env: l(env) * r(env) if o == "*"
+                                        else l(env) / r(env)))(node, rhs)
+        return node
+
+    def _parse_unary(self):
+        if self._peek() == ("sym", "-"):
+            self._next()
+            inner = self._parse_unary()
+            return lambda env: -inner(env)
+        if self._peek() == ("sym", "+"):
+            self._next()
+            return self._parse_unary()
+        return self._parse_atom()
+
+    def _parse_atom(self):
+        kind, val = self._next()
+        if kind == "num":
+            return lambda env, v=val: v
+        if kind == "name":
+            if self._peek() == ("sym", "("):
+                self._next()
+                args = []
+                if self._peek() != ("sym", ")"):
+                    args.append(self._parse_add())
+                    while self._peek() == ("sym", ","):
+                        self._next()
+                        args.append(self._parse_add())
+                self._expect(")")
+                if val not in _FUNCS:
+                    raise ValueError(f"unknown function {val!r} in {self.text!r}")
+                f = _FUNCS[val]
+                return lambda env, f=f, args=args: float(f(*[a(env) for a in args]))
+            name = val
+            return lambda env, n=name: float(env[n])
+        if kind == "sym" and val == "(":
+            node = self._parse_add()
+            self._expect(")")
+            return node
+        raise ValueError(f"unexpected token {val!r} in {self.text!r}")
+
+    def __call__(self, env: Env) -> float:
+        return self._ast(env)
+
+
+def compile_expr(text: str) -> Callable[[Env], float]:
+    return Expr(text)
