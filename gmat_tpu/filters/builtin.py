@@ -1,0 +1,308 @@
+"""Built-in filters — GMAT-compatible names and options.
+
+The TPU rebuild of the GMAT/upstream CUDA filter set
+(doc/FFMPEG-GPU_User_Guide.md:16-26, SURVEY.md §2.1):
+
+  crop / rotate / flip (+hflip/vflip) / smooth   <- *_nvcv filters (F6-F9)
+  format                                          <- format_cuda (F11)
+  infer                                           <- tensorrt filter (F10)
+  select                                          <- select_cuda (F12)
+  scale                                           <- scale_cuda/scale_npp +
+                                                     libgpuscale (F1-F4)
+  yadif / thumbnail / chromakey / overlay / null / fps
+                                                  <- upstream CUDA filters
+                                                     GMAT pipelines rely on
+
+Each filter is a factory: FILTERS[name](**options) -> callable.  Most
+return FrameBatch -> FrameBatch and compose inside one jitted program.
+Batch-control filters (select/thumbnail/fps) also produce a per-frame keep
+decision and are handled by the graph runner.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import formats as F
+from ..core.frame import FrameBatch
+from ..ops import csc, fused, geometry, resize, smooth
+from .expr import compile_expr
+
+
+class FilterError(ValueError):
+    pass
+
+
+def _f_crop(w=0, h=0, x=-1, y=-1):
+    w, h, x, y = int(w), int(h), int(x), int(y)
+    if w <= 0 or h <= 0:
+        raise FilterError("crop requires w>0 and h>0 (crop=w=W:h=H[:x=X:y=Y])")
+    return lambda fb: geometry.crop(fb, w, h, x, y)
+
+
+def _f_rotate(angle=0.0, interp="linear", shift_x=0.0, shift_y=0.0,
+              center=0):
+    angle, shift_x, shift_y = float(angle), float(shift_x), float(shift_y)
+    return lambda fb: geometry.rotate(fb, angle, interp, shift_x, shift_y,
+                                      center=bool(int(center)))
+
+
+def _f_flip(code=0):
+    return lambda fb: geometry.flip(fb, int(code))
+
+
+def _f_hflip():
+    return lambda fb: geometry.flip(fb, 1)
+
+
+def _f_vflip():
+    return lambda fb: geometry.flip(fb, 0)
+
+
+def _f_transpose(dir=0):
+    # 0=cclock_flip, 1=clock, 2=cclock, 3=clock_flip (ffmpeg semantics)
+    d = int(dir)
+
+    def run(fb):
+        rot = geometry.rotate(fb, 90.0 if d in (0, 2) else -90.0, center=True)
+        if d in (0, 3):
+            rot = geometry.flip(rot, 1)
+        return rot
+    return run
+
+
+def _f_smooth(type="gaussian", kw=3, kh=3, border_type="constant",
+              sigmaX=0.0, sigmaY=0.0):
+    kw, kh = int(kw), int(kh)
+    borders = {"0": "constant", "1": "replicate", "2": "reflect",
+               "3": "wrap", "4": "reflect101"}
+    border = borders.get(str(border_type), str(border_type))
+    return lambda fb: smooth.smooth(fb, type, kw, kh, border,
+                                    float(sigmaX), float(sigmaY))
+
+
+def _f_scale(w=0, h=0, interp="bilinear", antialias=0):
+    w, h = int(w), int(h)
+    if w <= 0 or h <= 0:
+        raise FilterError("scale requires w and h (scale=W:H)")
+    interp_map = {"bilinear": "bilinear", "linear": "bilinear",
+                  "bicubic": "bicubic", "cubic": "bicubic", "area": "area",
+                  "nearest": "nearest", "point": "nearest",
+                  "lanczos": "lanczos3"}
+    m = interp_map.get(interp)
+    if m is None:
+        raise FilterError(f"unknown scale interp {interp!r}")
+    return lambda fb: resize.resize(fb, w, h, m, antialias=bool(int(antialias)))
+
+
+def _f_format(pix_fmt="rgbpf32", norm=0.0, shift=0.0):
+    # format_cuda option `pix_fmt` (vf_format_cuda.c:69-72); norm/shift for
+    # the nv12_to_rgbpf32_shift variant (format_cuda_kernel.cu:591-607)
+    name_map = {"rgbpf32le": "rgbpf32", "rgbapf32le": "rgbapf32",
+                "bgrpf32le": "bgrpf32"}
+    fmt = name_map.get(pix_fmt, pix_fmt)
+    F.get(fmt)
+    kw = {}
+    if float(norm):
+        kw["norm"] = float(norm)
+        kw["shift"] = (float(shift),) * 3
+    return lambda fb: csc.convert(fb, fmt, **kw)
+
+
+def _f_null():
+    return lambda fb: fb
+
+
+def _f_chromakey(color="00FF00", similarity=0.1, blend=0.0):
+    """RGBA output with alpha keyed out near `color` (chromakey_cuda
+    analog).  similarity/blend in [0,1] like the upstream filter."""
+    c = color[1:] if color.startswith("#") else color
+    if c.lower().startswith("0x"):
+        c = c[2:]
+    key = np.array([int(c[0:2], 16), int(c[2:4], 16), int(c[4:6], 16)],
+                   np.float32)
+    sim, bl = float(similarity), float(blend)
+
+    def run(fb):
+        rgb_fb = csc.convert(fb, "rgba") if fb.format != "rgba" else fb
+        arr = rgb_fb.planes["rgb"].astype(jnp.float32)
+        dist = jnp.sqrt(jnp.sum((arr[..., :3] - key) ** 2, -1)) / (255.0 * np.sqrt(3.0))
+        if bl > 0:
+            alpha = jnp.clip((dist - sim) / bl, 0.0, 1.0) * 255.0
+        else:
+            alpha = jnp.where(dist < sim, 0.0, 255.0)
+        out = arr.at[..., 3].set(alpha).astype(jnp.uint8)
+        return rgb_fb.with_planes({"rgb": out}, "rgba")
+    return run
+
+
+def _f_overlay(path="", x=0, y=0):
+    """Overlay a still image (decoded with our own mjpeg path) at (x, y) —
+    overlay_cuda analog for the static-watermark use."""
+    if not path:
+        raise FilterError("overlay requires path=FILE (jpeg)")
+    from ..av.jpeg import decode_jpeg_to_rgb
+    img = decode_jpeg_to_rgb(path)      # (h, w, 3) uint8
+    x, y = int(x), int(y)
+
+    def run(fb):
+        if not fb.fmt.is_rgb:
+            fb = csc.convert(fb, "rgb24")
+        h, w = img.shape[:2]
+        base = fb.planes["rgb"]
+        over = jnp.asarray(img).astype(base.dtype)
+        if base.shape[-1] == 4:
+            over = jnp.concatenate(
+                [over, jnp.full(img.shape[:2] + (1,), 255, base.dtype)], -1)
+        patched = base.at[:, y:y + h, x:x + w, :].set(over[None])
+        return fb.with_planes({"rgb": patched})
+    return run
+
+
+def _f_yadif():
+    """Bob deinterlace (yadif_cuda analog, simple linear mode): average
+    each line pair — adequate for progressive-ized content tests."""
+    def run(fb):
+        planes = {}
+        for name, arr in fb.planes.items():
+            a = arr.astype(jnp.float32)
+            up = jnp.roll(a, 1, axis=1)
+            planes[name] = ((a + up) * 0.5).astype(arr.dtype)
+        return fb.with_planes(planes)
+    return run
+
+
+# ---- batch-control filters (select family) --------------------------------
+
+class SelectFilter:
+    """select/select_cuda analog: keep frames where expr evaluates nonzero.
+
+    Vars: n (frame index), t (seconds), pts, key, scene
+    (vf_select_cuda.c:53-100).  Scene scores are computed on device for the
+    whole batch (ops/scene.py); the expression runs per frame on host.
+    """
+
+    batch_control = True
+
+    def __init__(self, expr="1", threshold=None):
+        self.expr = compile_expr(str(expr))
+        self.needs_scene = "scene" in str(expr)
+        self.n = 0
+        self.prev_last = None
+        self.prev_mafd = 0.0
+
+    def keep_mask(self, fb: FrameBatch, pts=None, times=None, keys=None):
+        from ..ops.scene import scene_scores
+        n = fb.batch
+        if self.needs_scene:
+            scores, self.prev_mafd = scene_scores(fb, self.prev_last,
+                                                  self.prev_mafd)
+            scores = np.asarray(scores)
+            self.prev_last = {k: v[-1] for k, v in fb.planes.items()}
+        else:
+            scores = np.zeros(n)
+        keep = np.zeros(n, bool)
+        for i in range(n):
+            env = {
+                "n": float(self.n + i),
+                "t": float(times[i]) if times is not None else 0.0,
+                "pts": float(pts[i]) if pts is not None else 0.0,
+                "key": float(keys[i]) if keys is not None else 0.0,
+                "scene": float(scores[i]),
+            }
+            keep[i] = self.expr(env) != 0
+        self.n += n
+        return keep
+
+
+class FpsFilter:
+    """fps=N decimation (keep every round(src_fps/N)-th frame)."""
+
+    batch_control = True
+
+    def __init__(self, fps=30.0, src_fps=30.0):
+        self.step = max(float(src_fps) / float(fps), 1.0)
+        self.n = 0
+        self.next_emit = 0.0
+
+    def keep_mask(self, fb, pts=None, times=None, keys=None):
+        n = fb.batch
+        keep = np.zeros(n, bool)
+        for i in range(n):
+            if self.n + i >= self.next_emit - 1e-9:
+                keep[i] = True
+                self.next_emit += self.step
+        self.n += n
+        return keep
+
+
+class ThumbnailFilter:
+    """thumbnail_cuda analog: pick the most representative frame of every
+    window of `n` frames (min histogram distance to the window mean)."""
+
+    batch_control = True
+
+    def __init__(self, n=100):
+        self.window = int(n)
+
+    def keep_mask(self, fb, pts=None, times=None, keys=None):
+        y = np.asarray(fb.planes["y"] if "y" in fb.planes
+                       else fb.planes["rgb"][..., 0])
+        nb = y.shape[0]
+        hists = np.stack([np.bincount(f.reshape(-1) >> 2, minlength=64)
+                          for f in y]).astype(np.float64)
+        keep = np.zeros(nb, bool)
+        for s in range(0, nb, self.window):
+            w = hists[s:s + self.window]
+            d = np.abs(w - w.mean(0)).sum(1)
+            keep[s + int(d.argmin())] = True
+        return keep
+
+
+def _f_infer(model="sr2x", weights="", luma_only=0):
+    """tensorrt-filter analog: run a JAX model in-graph.
+
+    model: 'sr2x' | 'sr3x' | 'pose' or 'module:function' for user models.
+    Mirrors vf_tensorrt's two IO modes (vf_tensorrt.c:206-217): 3-channel
+    RGBPF32 in/out, or luma-only with chroma passthrough
+    (copy_UV_plane, tensorrt.cpp:562-584).
+    """
+    from .infer import InferFilter
+    return InferFilter(model, weights, luma_only=bool(int(luma_only)))
+
+
+FILTERS: Dict[str, Callable] = {
+    "crop": _f_crop,
+    "crop_nvcv": _f_crop,
+    "rotate": _f_rotate,
+    "rotate_nvcv": _f_rotate,
+    "flip": _f_flip,
+    "flip_nvcv": _f_flip,
+    "hflip": _f_hflip,
+    "vflip": _f_vflip,
+    "transpose": _f_transpose,
+    "smooth": _f_smooth,
+    "smooth_nvcv": _f_smooth,
+    "scale": _f_scale,
+    "scale_cuda": _f_scale,
+    "scale_npp": _f_scale,
+    "format": _f_format,
+    "format_cuda": _f_format,
+    "null": _f_null,
+    "chromakey": _f_chromakey,
+    "chromakey_cuda": _f_chromakey,
+    "overlay": _f_overlay,
+    "overlay_cuda": _f_overlay,
+    "yadif": _f_yadif,
+    "yadif_cuda": _f_yadif,
+    "select": SelectFilter,
+    "select_cuda": SelectFilter,
+    "select_gpu": SelectFilter,
+    "fps": FpsFilter,
+    "thumbnail": ThumbnailFilter,
+    "thumbnail_cuda": ThumbnailFilter,
+    "tensorrt": _f_infer,
+    "infer": _f_infer,
+}

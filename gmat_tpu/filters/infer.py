@@ -1,0 +1,107 @@
+"""In-graph inference filter — the tensorrt filter, TPU-native.
+
+Where the reference binds AVFrames as TensorRT engine bindings
+(vf_tensorrt.c:160-179, tensorrt.cpp:586-631), here the model is a JAX
+function fused into the same XLA program as the surrounding filters, so
+activations never leave HBM and there is no engine/cache round trip (the
+JAX persistent compilation cache plays the .trtcache role,
+tensorrt.cpp:198-222).
+
+Two IO modes mirroring the reference (vf_tensorrt.c:206-217):
+  * 3-channel: RGBPF32 in -> RGBPF32 out (any spatial scale factor)
+  * luma-only: Y plane in (1 channel), chroma passed through / resampled
+    (copy_UV_plane, tensorrt.cpp:562-584)
+"""
+from __future__ import annotations
+
+import importlib
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.frame import FrameBatch
+from ..ops import csc, resize
+
+
+def _load_weights(params, path: str):
+    if not path:
+        return params
+    loaded = dict(np.load(path))
+    out = {}
+    for k, v in params.items():
+        out[k] = jnp.asarray(loaded[k]) if k in loaded else v
+    return out
+
+
+class InferFilter:
+    """Callable FrameBatch filter wrapping a JAX model."""
+
+    def __init__(self, model: str = "sr2x", weights: str = "",
+                 luma_only: bool = False):
+        self.name = model
+        self.luma_only = luma_only
+        self.last_output = None          # for non-image models (pose)
+        channels = 1 if luma_only else 3
+        if model.startswith("sr"):
+            from ..models import sr
+            scale = int(model[2]) if len(model) > 2 and model[2].isdigit() else 2
+            params = sr.init_params(jax.random.PRNGKey(0), scale=scale,
+                                    channels=channels)
+            self.params = _load_weights(params, weights)
+            self.apply = sr.apply
+            self.scale = scale
+            self.kind = "image"
+        elif model == "pose":
+            from ..models import pose
+            params = pose.init_params(jax.random.PRNGKey(0))
+            self.params = _load_weights(params, weights)
+            self.apply = pose.apply
+            self.scale = 1
+            self.kind = "vector"
+        elif ":" in model:
+            mod, fn = model.split(":", 1)
+            m = importlib.import_module(mod)
+            self.apply = getattr(m, fn)
+            self.params = None
+            self.scale = 1
+            self.kind = "image"
+        else:
+            raise ValueError(f"unknown infer model {model!r} "
+                             "(sr2x|sr3x|pose|module:function)")
+
+    def _run(self, x):
+        if self.params is None:
+            return self.apply(x)
+        return self.apply(self.params, x)
+
+    def __call__(self, fb: FrameBatch) -> FrameBatch:
+        if self.luma_only:
+            return self._call_luma(fb)
+        rgb = fb if fb.format == "rgbpf32" else csc.convert(
+            fb, "rgbpf32", norm=255.0)
+        x = csc.to_nchw(rgb)
+        out = self._run(x)
+        if self.kind == "vector":
+            self.last_output = out
+            return fb
+        return csc.from_nchw(out, "rgbpf32", fb.colorspace)
+
+    def _call_luma(self, fb: FrameBatch) -> FrameBatch:
+        if fb.fmt.is_rgb:
+            raise ValueError("luma_only infer requires a YUV input")
+        y = fb.planes["y"].astype(jnp.float32)[:, None] / 255.0
+        out = jnp.clip(self._run(y), 0.0, 1.0)
+        y_out = jnp.round(out[:, 0] * 255.0).astype(jnp.uint8)
+        r = self.scale
+        planes = {"y": y_out}
+        for c in ("u", "v"):
+            p = fb.planes[c]
+            if r != 1:   # keep chroma consistent with the scaled luma
+                p = resize.resize_plane(p, p.shape[1] * r, p.shape[2] * r,
+                                        "nearest", dtype=jnp.float32)
+                p = jnp.clip(jnp.round(p), 0, 255).astype(jnp.uint8)
+            planes[c] = p
+        return fb.with_planes(planes, width=fb.width * r,
+                              height=fb.height * r)

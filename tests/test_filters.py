@@ -1,0 +1,172 @@
+"""Filter graph, expression engine, and infer filter tests."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gmat_tpu.core.frame import FrameBatch, from_numpy_rgb, from_numpy_yuv420
+from gmat_tpu.filters.expr import compile_expr
+from gmat_tpu.filters.graph import FilterGraph, parse_graph
+from gmat_tpu.filters.builtin import FilterError
+
+
+def yuv_batch(rng, n=4, h=64, w=96):
+    y = rng.integers(0, 256, (n, h, w)).astype(np.uint8)
+    u = rng.integers(0, 256, (n, h // 2, w // 2)).astype(np.uint8)
+    v = rng.integers(0, 256, (n, h // 2, w // 2)).astype(np.uint8)
+    return from_numpy_yuv420(y, u, v)
+
+
+# ---- expression engine ------------------------------------------------------
+
+def test_expr_arith():
+    e = compile_expr("1+2*3-4/2")
+    assert e({}) == 5.0
+
+
+def test_expr_vars_and_funcs():
+    e = compile_expr("gt(scene,0.4)")
+    assert e({"scene": 0.5}) == 1.0
+    assert e({"scene": 0.3}) == 0.0
+    e = compile_expr("if(gt(n,10), 1, 0)*between(t, 0, 5)")
+    assert e({"n": 11, "t": 3}) == 1.0
+    assert e({"n": 11, "t": 6}) == 0.0
+    e = compile_expr("not(mod(n,5))")
+    assert e({"n": 10}) == 1.0 and e({"n": 11}) == 0.0
+
+
+def test_expr_errors():
+    with pytest.raises(ValueError):
+        compile_expr("nosuchfn(1)")
+    with pytest.raises(ValueError):
+        compile_expr("1+")
+    e = compile_expr("undefined_var")
+    with pytest.raises(KeyError):
+        e({})
+
+
+# ---- parser ----------------------------------------------------------------
+
+def test_parse_graph_positional_and_kv():
+    chain = parse_graph("scale=640:360,crop=w=100:h=80:x=0:y=0,"
+                        "rotate=angle=45,select='gt(scene\\,0.4)'")
+    assert [c[0] for c in chain] == ["scale", "crop", "rotate", "select"]
+    assert chain[0][1] == {"w": "640", "h": "360"}
+    assert chain[3][1] == {"expr": "gt(scene,0.4)"}
+
+
+def test_parse_graph_unknown_filter():
+    with pytest.raises(FilterError):
+        parse_graph("nosuchfilter=1")
+
+
+# ---- execution --------------------------------------------------------------
+
+def test_graph_scale_crop_format(rng):
+    fb = yuv_batch(rng)
+    g = FilterGraph("scale=48:32,crop=w=32:h=32,format=rgbpf32le")
+    out, keep = g.process(fb)
+    assert out.format == "rgbpf32"
+    assert out.planes["rgb"].shape == (4, 32, 32, 3)
+    assert keep.all()
+
+
+def test_graph_gmat_names(rng):
+    fb = yuv_batch(rng)
+    g = FilterGraph("scale_npp=48:32,crop_nvcv=32:32,flip_nvcv=1,"
+                    "smooth_nvcv=gaussian:3:3")
+    out, keep = g.process(fb)
+    assert out.width == 32 and out.height == 32
+
+
+def test_graph_select_every_other(rng):
+    fb = yuv_batch(rng, n=8)
+    g = FilterGraph("select=not(mod(n\\,2))")
+    out, keep = g.process(fb)
+    assert keep.tolist() == [True, False] * 4
+    # state carries across batches
+    out, keep = g.process(fb)
+    assert keep.tolist() == [True, False] * 4
+
+
+def test_graph_fps_decimation(rng):
+    fb = yuv_batch(rng, n=8)
+    g = FilterGraph("fps=15", src_fps=30.0)
+    _, keep = g.process(fb)
+    assert keep.sum() == 4
+
+
+def test_graph_valid_mask(rng):
+    fb = yuv_batch(rng, n=8)
+    g = FilterGraph("null")
+    _, keep = g.process(fb, valid=5)
+    assert keep.tolist() == [True] * 5 + [False] * 3
+
+
+def test_infer_sr_rgb(rng):
+    fb = yuv_batch(rng, n=2, h=32, w=32)
+    g = FilterGraph("format=rgbpf32le:255,tensorrt=sr2x")
+    out, _ = g.process(fb)
+    assert out.format == "rgbpf32"
+    assert out.planes["rgb"].shape == (2, 64, 64, 3)
+    vals = np.asarray(out.planes["rgb"])
+    assert 0.0 <= vals.min() and vals.max() <= 1.0
+
+
+def test_infer_luma_only(rng):
+    fb = yuv_batch(rng, n=2, h=32, w=32)
+    g = FilterGraph("infer=sr2x:luma_only=1")
+    out, _ = g.process(fb)
+    assert out.format == "yuv420p"
+    assert out.planes["y"].shape == (2, 64, 64)
+    assert out.planes["u"].shape == (2, 32, 32)
+
+
+def test_infer_pose_passthrough(rng):
+    from gmat_tpu.filters.builtin import FILTERS
+    fb = yuv_batch(rng, n=2, h=120, w=120)
+    filt = FILTERS["infer"](model="pose")
+    out = filt(fb)
+    assert out is fb
+    assert filt.last_output.shape == (2, 62)
+
+
+def test_chromakey(rng):
+    rgb = np.zeros((1, 8, 8, 3), np.uint8)
+    rgb[0, :4] = [0, 255, 0]       # green half
+    rgb[0, 4:] = [200, 20, 30]
+    fb = from_numpy_rgb(rgb)
+    g = FilterGraph("chromakey=00FF00:0.2")
+    out, _ = g.process(fb)
+    a = np.asarray(out.planes["rgb"])[0, :, :, 3]
+    assert (a[:4] == 0).all() and (a[4:] == 255).all()
+
+
+def test_overlay_jpeg(tmp_path, rng):
+    from gmat_tpu.av.jpeg import encode_rgb_to_jpeg
+    logo = np.full((16, 16, 3), [255, 0, 0], np.uint8)
+    p = tmp_path / "logo.jpg"
+    p.write_bytes(encode_rgb_to_jpeg(logo))
+    fb = yuv_batch(rng, n=2)
+    g = FilterGraph(f"format=rgb24,overlay=path={p}:x=4:y=4")
+    out, _ = g.process(fb)
+    patch = np.asarray(out.planes["rgb"])[0, 4:20, 4:20]
+    assert patch[..., 0].mean() > 200 and patch[..., 1].mean() < 60
+
+
+def test_jpeg_roundtrip(rng):
+    from gmat_tpu.av.jpeg import decode_jpeg_to_rgb, encode_rgb_to_jpeg
+    xx = np.linspace(0, 255, 64)[None, :]
+    yy = np.linspace(0, 255, 64)[:, None]
+    rgb = np.stack([xx + 0 * yy, 0 * xx + yy, 0.5 * (xx + yy)], -1).astype(np.uint8)
+    data = encode_rgb_to_jpeg(rgb, quality=2)
+    back = decode_jpeg_to_rgb(data)
+    assert back.shape == rgb.shape
+    assert np.abs(back.astype(int) - rgb.astype(int)).mean() < 6.0
+
+
+def test_thumbnail(rng):
+    fb = yuv_batch(rng, n=8)
+    g = FilterGraph("thumbnail=4")
+    _, keep = g.process(fb)
+    assert keep.sum() == 2   # one per window of 4
