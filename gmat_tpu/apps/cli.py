@@ -1,0 +1,157 @@
+"""gmat CLI — the ffmpeg-like entry point of the TPU rebuild.
+
+Mirrors the reference's CLI pipelines (doc/FFMPEG-GPU_User_Guide.md:16-26,
+doc/Tensorrt_Filter.md:26):
+
+  python -m gmat_tpu.apps.cli -i in.mp4 \
+      -vf "scale=1280:720,format=rgbpf32le,tensorrt=sr2x,format=nv12" \
+      -c:v libx264 -b:v 3M -o out.mp4
+
+The hwaccel/hwupload plumbing of the CUDA version has no analog: batches
+are uploaded to the TPU by the ingest pipeline automatically, filters run
+as one jitted program, outputs come back for host encode.
+
+Outputs: .mp4/.mkv/.mov (mux), 'null' (benchmark, no output),
+pattern with %d -> JPEG still sequence.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="gmat", description="TPU-native GMAT video pipeline")
+    p.add_argument("-i", "--input", required=True, help="input video file")
+    p.add_argument("-vf", "--filter", dest="vf", default="null",
+                   help="filter graph (ffmpeg -vf syntax)")
+    p.add_argument("-o", "--output", default="null",
+                   help="output file (.mp4/.mkv), 'null', or pattern%%d.jpg")
+    p.add_argument("-c:v", "--vcodec", dest="vcodec", default="libx264",
+                   help="libx264|libx265|mjpeg")
+    p.add_argument("-b:v", "--bitrate", dest="bitrate", default="0")
+    p.add_argument("-crf", type=float, default=-1.0)
+    p.add_argument("-preset", default="veryfast")
+    p.add_argument("-g", "--gop", type=int, default=0)
+    p.add_argument("-bf", type=int, default=0)
+    p.add_argument("-enc-param", default="",
+                   help="NvEncoderParam-style option string "
+                        "(codec=hevc:preset=p4:bitrate=2M...)")
+    p.add_argument("-frames", type=int, default=0, help="stop after N frames")
+    p.add_argument("-batch", type=int, default=32, help="TPU batch size")
+    p.add_argument("-stats", action="store_true", help="print fps meter")
+    p.add_argument("-threads", type=int, default=0, help="decoder threads")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from ..av import toolkit as tk
+    from ..av.ingest import decode_stream
+    from ..filters.graph import FilterGraph
+    from ..ops import csc
+    from ..utils.encparam import _size, parse_enc_param
+    from ..utils.stopwatch import FpsMeter, StopWatch
+
+    dm_probe = tk.Demuxer(args.input)
+    src_fps = dm_probe.fps or 30.0
+    fps_tuple = (round(src_fps * 1000), 1000)
+    dm_probe.close()
+
+    graph = FilterGraph(args.vf, src_fps=src_fps)
+    meter = FpsMeter("gmat", quiet=not args.stats)
+    watch = StopWatch()
+
+    enc = mux = None
+    jpeg_pattern = None
+    out_count = 0
+    enc_kwargs = {}
+    if args.output == "null":
+        sink = "null"
+    elif "%d" in args.output or args.output.endswith((".jpg", ".jpeg")):
+        sink = "jpeg"
+        jpeg_pattern = (args.output if "%d" in args.output
+                        else args.output.replace(".jp", "_%d.jp"))
+    else:
+        sink = "mux"
+        enc_kwargs = dict(codec_name=args.vcodec, preset=args.preset,
+                          crf=args.crf, gop=args.gop, bf=args.bf,
+                          bitrate=_size(args.bitrate), fps=fps_tuple)
+        if args.enc_param:
+            enc_kwargs = parse_enc_param(args.enc_param, enc_kwargs)
+
+    def ensure_encoder(w, h):
+        nonlocal enc, mux
+        if enc is not None:
+            return
+        name = enc_kwargs.pop("codec_name")
+        fps = enc_kwargs.pop("fps")
+        enc = tk.Encoder(name, w, h, fps=fps, **enc_kwargs)
+        mux = tk.Muxer(args.output, w, h, fps,
+                       tk.CODEC_FOR_ENCODER.get(name, tk.CODEC_H264),
+                       enc.extradata())
+
+    def emit_yuv(fb_host, keep_idx, out_fb):
+        nonlocal out_count
+        for i in keep_idx:
+            y, u, v = fb_host["y"][i], fb_host["u"][i], fb_host["v"][i]
+            ensure_encoder(y.shape[1], y.shape[0])
+            for pkt in enc.encode(y, u, v, pts=out_count):
+                mux.write(pkt)
+            out_count += 1
+
+    def emit_jpeg(rgb_host, keep_idx):
+        nonlocal out_count
+        from ..av.jpeg import encode_rgb_to_jpeg
+        for i in keep_idx:
+            path = jpeg_pattern % out_count
+            with open(path, "wb") as f:
+                f.write(encode_rgb_to_jpeg(rgb_host[i]))
+            out_count += 1
+
+    done = 0
+    for fb, pts, valid in decode_stream(args.input, batch=args.batch,
+                                        threads=args.threads):
+        num, den = 1, int(round(src_fps)) or 30
+        times = pts * 0.0  # placeholder; pts-based time below
+        out_fb, keep = graph.process(fb, pts=pts, valid=valid)
+        keep_idx = np.nonzero(keep)[0]
+        if args.frames and done + len(keep_idx) > args.frames:
+            keep_idx = keep_idx[: args.frames - done]
+        if sink == "mux":
+            if out_fb.fmt.is_rgb:
+                out_fb = csc.convert(out_fb, "yuv420p")
+            elif out_fb.format != "yuv420p":
+                out_fb = csc.convert(out_fb, "yuv420p")
+            host = {k: np.asarray(v) for k, v in out_fb.planes.items()}
+            emit_yuv(host, keep_idx, out_fb)
+        elif sink == "jpeg":
+            rgb_fb = out_fb if out_fb.format == "rgb24" else csc.convert(
+                out_fb, "rgb24")
+            emit_jpeg(np.asarray(rgb_fb.planes["rgb"]), keep_idx)
+        else:
+            # null sink: force materialization for honest timing
+            for v_ in out_fb.planes.values():
+                v_.block_until_ready()
+        done += len(keep_idx)
+        meter.add(int(valid))
+        if args.frames and done >= args.frames:
+            break
+
+    if enc is not None:
+        for pkt in enc.flush():
+            mux.write(pkt)
+        mux.close()
+        enc.close()
+    dt = watch.stop()
+    print(f"gmat: {meter.count} frames in, {done} frames out, "
+          f"{dt:.2f}s, {meter.count / dt:.1f} fps", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,261 @@
+"""AppMeTrans — 1->N ABR transcoding ladder, TPU rebuild.
+
+Port of metrans/app/AppMeTrans (AppMeTrans.cpp:303-365, Options.h:12-72,
+options.xml): XML-config-driven sessions, each decoding one input and
+fanning out to N resolutions with per-output filters, encoder params and
+muxed files.
+
+Execution model vs the reference:
+  * reference: decode thread -> RoundQueue ring -> N encoder threads each
+    doing CUDA ScaleNv12 + NVENC (AppMeTrans.cpp:71-124)
+  * rebuild: the device work for ALL rungs is one jitted program per batch
+    (shared decode batch -> N fused scale+filter outputs, no ring needed
+    on device); host libx264/x265 encoders run on worker threads fed by
+    bounded queues (they release the GIL, overlapping encode with TPU
+    compute and decode).
+
+Config: XML with the reference's tags (InputFile, Session, FpsLimit,
+VideoEncParam, Resolutions/Resolution{Width,Height,VideoFilterDesc,
+VideoEncParamSuffix,OutputFormat,OutputFile}).  '#' in OutputFile is the
+session index, like the reference.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import queue
+import sys
+import threading
+import xml.etree.ElementTree as ET
+from typing import List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Rung:
+    width: int
+    height: int
+    filter_desc: str = ""
+    enc_suffix: str = ""
+    out_format: str = "mp4"
+    out_file: str = "out_#.mp4"
+
+
+@dataclasses.dataclass
+class Options:
+    input_file: str = ""
+    sessions: int = 1
+    fps_limit: int = 0
+    video_enc_param: str = ""
+    video_filter_desc: str = ""
+    rungs: List[Rung] = dataclasses.field(default_factory=list)
+
+    @classmethod
+    def load_xml(cls, path: str) -> "Options":
+        root = ET.parse(path).getroot()
+
+        def get(tag, default=""):
+            el = root.find(tag)
+            return el.text.strip() if el is not None and el.text else default
+
+        o = cls(
+            input_file=get("InputFile"),
+            sessions=int(get("Session", "1") or 1),
+            fps_limit=int(get("FpsLimit", "0") or 0),
+            video_enc_param=get("VideoEncParam"),
+            video_filter_desc=get("VideoFilterDesc"),
+        )
+        res = root.find("Resolutions")
+        if res is not None:
+            for r in res.findall("Resolution"):
+                def g(tag, default=""):
+                    el = r.find(tag)
+                    return (el.text or default).strip() if el is not None and el.text else default
+                o.rungs.append(Rung(
+                    width=int(g("Width", "0") or 0),
+                    height=int(g("Height", "0") or 0),
+                    filter_desc=g("VideoFilterDesc"),
+                    enc_suffix=g("VideoEncParamSuffix"),
+                    out_format=g("OutputFormat", "mp4"),
+                    out_file=g("OutputFile", "out_#.mp4"),
+                ))
+        return o
+
+
+class EncoderWorker(threading.Thread):
+    """Host encode+mux worker: consumes (y, u, v) I420 frames from a
+    bounded queue (the RoundQueue consumer analog)."""
+
+    def __init__(self, name, path, w, h, fps, enc_kwargs, depth=8):
+        super().__init__(daemon=True, name=name)
+        from ..av import toolkit as tk
+        kw = dict(enc_kwargs)
+        codec_name = kw.pop("codec_name", "libx264")
+        fps_t = kw.pop("fps", fps)
+        self.enc = tk.Encoder(codec_name, w, h, fps=fps_t, **kw)
+        self.mux = tk.Muxer(path, w, h, fps_t,
+                            tk.CODEC_FOR_ENCODER.get(codec_name, 0),
+                            self.enc.extradata())
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.count = 0
+        self.error: Optional[BaseException] = None
+
+    def run(self):
+        try:
+            n = 0
+            while True:
+                item = self.q.get()
+                if item is None:
+                    break
+                y, u, v = item
+                for pkt in self.enc.encode(y, u, v, pts=n):
+                    self.mux.write(pkt)
+                n += 1
+                self.count = n
+            for pkt in self.enc.flush():
+                self.mux.write(pkt)
+            self.mux.close()
+            self.enc.close()
+        except BaseException as e:
+            self.error = e
+
+    def put(self, frame):
+        self.q.put(frame)
+
+    def finish(self):
+        self.q.put(None)
+
+
+def run_session(session_idx: int, opts: Options, batch: int = 16,
+                frames_limit: int = 0, quiet: bool = True) -> dict:
+    import jax
+
+    from ..av.ingest import decode_stream
+    from ..filters.graph import FilterGraph
+    from ..ops import csc, resize as rsz
+    from ..utils.encparam import parse_enc_param
+    from ..utils.stopwatch import FpsLimiter, FpsMeter, StopWatch
+
+    watch = StopWatch()
+    src = decode_stream(opts.input_file, batch=batch)
+    src_fps = max(src.width and 30.0, 30.0)
+
+    common_graph = (FilterGraph(opts.video_filter_desc, src_fps)
+                    if opts.video_filter_desc else None)
+    rung_graphs = [FilterGraph(r.filter_desc, src_fps) if r.filter_desc
+                   else None for r in opts.rungs]
+
+    base_kwargs = parse_enc_param(opts.video_enc_param) if opts.video_enc_param else {
+        "codec_name": "libx264"}
+    base_kwargs.setdefault("preset", "ultrafast")
+    base_kwargs.setdefault("fps", (30, 1))
+
+    workers = []
+    for i, r in enumerate(opts.rungs):
+        kw = dict(base_kwargs)
+        if r.enc_suffix:
+            kw = parse_enc_param(r.enc_suffix, kw)
+        path = r.out_file.replace("#", str(session_idx))
+        workers.append(EncoderWorker(f"enc{i}", path, r.width, r.height,
+                                     kw.get("fps", (30, 1)), kw))
+        workers[-1].start()
+
+    limiter = FpsLimiter(opts.fps_limit)
+    meter = FpsMeter(f"session{session_idx}", quiet=quiet)
+    n_in = 0
+    for fb, pts, valid in src:
+        if common_graph is not None:
+            fb, keep = common_graph.process(fb, pts=pts, valid=valid)
+        else:
+            keep = np.ones(fb.batch, bool)
+            keep[valid:] = False
+        # device: all rungs from the shared batch (one jitted program each)
+        for r, g, w_ in zip(opts.rungs, rung_graphs, workers):
+            out = rsz.resize(fb, r.width, r.height)
+            rkeep = keep
+            if g is not None:
+                out, k2 = g.process(out, pts=pts, valid=valid)
+                rkeep = keep & k2
+            if out.fmt.is_rgb or out.format != "yuv420p":
+                out = csc.convert(out, "yuv420p")
+            host = {k: np.asarray(v) for k, v in out.planes.items()}
+            for i in np.nonzero(rkeep)[0]:
+                w_.put((host["y"][i], host["u"][i], host["v"][i]))
+        n_in += int(valid)
+        meter.add(int(valid))
+        limiter.tick()
+        if frames_limit and n_in >= frames_limit:
+            break
+
+    for w_ in workers:
+        w_.finish()
+    for w_ in workers:
+        w_.join()
+        if w_.error:
+            raise w_.error
+    dt = watch.stop()
+    return {"session": session_idx, "frames_in": n_in,
+            "frames_out": sum(w_.count for w_ in workers),
+            "seconds": dt, "fps": n_in / dt if dt else 0.0}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gmat-metrans",
+                                description="1->N ABR transcode ladder")
+    p.add_argument("-c", "--config", help="options.xml (reference format)")
+    p.add_argument("-i", "--input", help="input file (overrides config)")
+    p.add_argument("-r", "--rung", action="append", default=[],
+                   help="WxH[:out.mp4][:encsuffix] (repeatable)")
+    p.add_argument("-enc-param", default="")
+    p.add_argument("-sessions", type=int, default=0)
+    p.add_argument("-frames", type=int, default=0)
+    p.add_argument("-batch", type=int, default=16)
+    p.add_argument("-stats", action="store_true")
+    args = p.parse_args(argv)
+
+    opts = Options.load_xml(args.config) if args.config else Options()
+    if args.input:
+        opts.input_file = args.input
+    if args.enc_param:
+        opts.video_enc_param = args.enc_param
+    if args.sessions:
+        opts.sessions = args.sessions
+    for spec in args.rung:
+        parts = spec.split(":")
+        w, h = parts[0].lower().split("x")
+        r = Rung(int(w), int(h))
+        if len(parts) > 1:
+            r.out_file = parts[1]
+        if len(parts) > 2:
+            r.enc_suffix = ":".join(parts[2:])
+        opts.rungs.append(r)
+    if not opts.rungs:
+        p.error("no output rungs (use -r WxH:out.mp4 or a config)")
+    if not opts.input_file:
+        p.error("no input")
+
+    results = []
+    threads = []
+    for s in range(opts.sessions):
+        if opts.sessions == 1:
+            results.append(run_session(s, opts, args.batch, args.frames,
+                                       quiet=not args.stats))
+        else:
+            t = threading.Thread(
+                target=lambda s=s: results.append(
+                    run_session(s, opts, args.batch, args.frames,
+                                quiet=not args.stats)))
+            t.start()
+            threads.append(t)
+    for t in threads:
+        t.join()
+    for r in sorted(results, key=lambda r: r["session"]):
+        print(f"session {r['session']}: {r['frames_in']} frames -> "
+              f"{r['frames_out']} encoded in {r['seconds']:.2f}s "
+              f"({r['fps']:.1f} fps)", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,121 @@
+"""CLI and MeTrans ladder app end-to-end tests."""
+import os
+
+import numpy as np
+import pytest
+
+from gmat_tpu.av import toolkit as tk
+
+from .test_extractor import make_clip, W, H, NFRAMES
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("apps") / "in.mp4")
+    make_clip(p)
+    return p
+
+
+def decode_all(path):
+    dm = tk.Demuxer(path)
+    dec = tk.Decoder.from_demuxer(dm)
+    out = []
+    for pkt in dm:
+        if pkt.stream == 0:
+            out.extend(dec.decode(pkt.data, pkt.pts))
+    out.extend(dec.decode(None))
+    dm.close(); dec.close()
+    return out
+
+
+def test_cli_transcode_scale(clip, tmp_path):
+    from gmat_tpu.apps.cli import main
+    out = str(tmp_path / "out.mp4")
+    rc = main(["-i", clip, "-vf", "scale=160:120", "-o", out,
+               "-c:v", "libx264", "-crf", "20", "-batch", "16"])
+    assert rc == 0 and os.path.getsize(out) > 500
+    frames = decode_all(out)
+    assert len(frames) == NFRAMES
+    assert frames[0][0].shape == (120, 160)
+
+
+def test_cli_select_scene_to_jpeg(tmp_path):
+    from gmat_tpu.apps.cli import main
+    clip2 = str(tmp_path / "cut.mp4")
+    make_clip(clip2, scene_cut_at=30)
+    pattern = str(tmp_path / "thumb_%d.jpg")
+    rc = main(["-i", clip2, "-vf", "select=gt(scene\\,0.4)",
+               "-o", pattern, "-batch", "16"])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "thumb_0.jpg"))
+    assert not os.path.exists(str(tmp_path / "thumb_1.jpg"))
+
+
+def test_cli_null_sink(clip):
+    from gmat_tpu.apps.cli import main
+    rc = main(["-i", clip, "-vf", "scale=96:64,format=rgbpf32le",
+               "-o", "null", "-frames", "16", "-batch", "8"])
+    assert rc == 0
+
+
+def test_cli_enc_param(clip, tmp_path):
+    from gmat_tpu.apps.cli import main
+    out = str(tmp_path / "hevc.mp4")
+    rc = main(["-i", clip, "-vf", "scale=160:120", "-o", out,
+               "-enc-param", "codec=hevc:preset=p1:constqp=30:gop=30",
+               "-frames", "8", "-batch", "8"])
+    assert rc == 0
+    dm = tk.Demuxer(out)
+    assert dm.codec_name == "hevc"
+    dm.close()
+
+
+def test_metrans_ladder(clip, tmp_path):
+    from gmat_tpu.apps.metrans import Options, Rung, run_session
+    opts = Options(input_file=clip, rungs=[
+        Rung(160, 120, out_file=str(tmp_path / "r0_#.mp4")),
+        Rung(96, 64, filter_desc="hflip",
+             out_file=str(tmp_path / "r1_#.mp4")),
+    ], video_enc_param="codec=h264:preset=p1:constqp=25")
+    res = run_session(0, opts, batch=16)
+    assert res["frames_in"] == NFRAMES
+    assert res["frames_out"] == 2 * NFRAMES
+    f0 = decode_all(str(tmp_path / "r0_0.mp4"))
+    f1 = decode_all(str(tmp_path / "r1_0.mp4"))
+    assert len(f0) == NFRAMES and f0[0][0].shape == (120, 160)
+    assert len(f1) == NFRAMES and f1[0][0].shape == (64, 96)
+
+
+def test_metrans_xml_config(clip, tmp_path):
+    from gmat_tpu.apps.metrans import Options
+    xml = tmp_path / "options.xml"
+    xml.write_text(f"""<Options>
+      <InputFile>{clip}</InputFile>
+      <Session>2</Session>
+      <VideoEncParam>codec=h264:preset=p1:bitrate=500K</VideoEncParam>
+      <Resolutions>
+        <Resolution><Width>160</Width><Height>120</Height>
+          <OutputFile>{tmp_path}/a_#.mp4</OutputFile></Resolution>
+        <Resolution><Width>96</Width><Height>64</Height>
+          <VideoFilterDesc>hflip</VideoFilterDesc>
+          <VideoEncParamSuffix>maxbitrate=800K</VideoEncParamSuffix>
+          <OutputFile>{tmp_path}/b_#.mp4</OutputFile></Resolution>
+      </Resolutions>
+    </Options>""")
+    o = Options.load_xml(str(xml))
+    assert o.sessions == 2 and len(o.rungs) == 2
+    assert o.rungs[1].filter_desc == "hflip"
+    assert o.rungs[1].enc_suffix == "maxbitrate=800K"
+
+
+def test_encparam_parse():
+    from gmat_tpu.utils.encparam import parse_enc_param
+    kw = parse_enc_param("codec=hevc:fps=30:preset=p4:rc=vbr:bitrate=2M:"
+                         "maxbitrate=2.5M:gop=250:bf=3")
+    assert kw["codec_name"] == "libx265"
+    assert kw["bitrate"] == 2000000
+    assert kw["gop"] == 250 and kw["bf"] == 3
+    assert kw["preset"] == "faster"
+    assert "maxrate=2500000" in kw["opts"]
+    with pytest.raises(ValueError):
+        parse_enc_param("bogus_opt=1")
