@@ -1,0 +1,528 @@
+// gmat_jpeg.cpp — baseline JFIF entropy codec (host half of the TPU JPEG
+// path).  The TPU computes DCT+quantization tiles (gmat_tpu/ops/dct.py);
+// this file turns quantized coefficients into standards-compliant JPEG
+// bytes and back.  Replaces the reference's nvjpeg fixed-function codec
+// (metrans/samples/AppNvjpegDec.cpp) — a TPU has no entropy engine, so
+// Huffman coding stays on host in native code.
+//
+// Coefficient layout at the ABI: per plane, blocks in raster order,
+// 64 int16 per block in *natural* (row-major) order; zigzag happens here.
+// Planes are padded to whole MCUs by the caller; SOF carries true dims.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+#define GJ_API extern "C" __attribute__((visibility("default")))
+
+// ---------------------------------------------------------------- tables
+static const uint8_t ZIGZAG[64] = {
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63};
+
+static const uint8_t DC_L_BITS[17] = {0,0,1,5,1,1,1,1,1,1,0,0,0,0,0,0,0};
+static const uint8_t DC_L_VALS[12] = {0,1,2,3,4,5,6,7,8,9,10,11};
+static const uint8_t DC_C_BITS[17] = {0,0,3,1,1,1,1,1,1,1,1,1,0,0,0,0,0};
+static const uint8_t DC_C_VALS[12] = {0,1,2,3,4,5,6,7,8,9,10,11};
+
+static const uint8_t AC_L_BITS[17] = {0,0,2,1,3,3,2,4,3,5,5,4,4,0,0,1,0x7d};
+static const uint8_t AC_L_VALS[162] = {
+    0x01,0x02,0x03,0x00,0x04,0x11,0x05,0x12,0x21,0x31,0x41,0x06,0x13,0x51,
+    0x61,0x07,0x22,0x71,0x14,0x32,0x81,0x91,0xa1,0x08,0x23,0x42,0xb1,0xc1,
+    0x15,0x52,0xd1,0xf0,0x24,0x33,0x62,0x72,0x82,0x09,0x0a,0x16,0x17,0x18,
+    0x19,0x1a,0x25,0x26,0x27,0x28,0x29,0x2a,0x34,0x35,0x36,0x37,0x38,0x39,
+    0x3a,0x43,0x44,0x45,0x46,0x47,0x48,0x49,0x4a,0x53,0x54,0x55,0x56,0x57,
+    0x58,0x59,0x5a,0x63,0x64,0x65,0x66,0x67,0x68,0x69,0x6a,0x73,0x74,0x75,
+    0x76,0x77,0x78,0x79,0x7a,0x83,0x84,0x85,0x86,0x87,0x88,0x89,0x8a,0x92,
+    0x93,0x94,0x95,0x96,0x97,0x98,0x99,0x9a,0xa2,0xa3,0xa4,0xa5,0xa6,0xa7,
+    0xa8,0xa9,0xaa,0xb2,0xb3,0xb4,0xb5,0xb6,0xb7,0xb8,0xb9,0xba,0xc2,0xc3,
+    0xc4,0xc5,0xc6,0xc7,0xc8,0xc9,0xca,0xd2,0xd3,0xd4,0xd5,0xd6,0xd7,0xd8,
+    0xd9,0xda,0xe1,0xe2,0xe3,0xe4,0xe5,0xe6,0xe7,0xe8,0xe9,0xea,0xf1,0xf2,
+    0xf3,0xf4,0xf5,0xf6,0xf7,0xf8,0xf9,0xfa};
+static const uint8_t AC_C_BITS[17] = {0,0,2,1,2,4,4,3,4,7,5,4,4,0,1,2,0x77};
+static const uint8_t AC_C_VALS[162] = {
+    0x00,0x01,0x02,0x03,0x11,0x04,0x05,0x21,0x31,0x06,0x12,0x41,0x51,0x07,
+    0x61,0x71,0x13,0x22,0x32,0x81,0x08,0x14,0x42,0x91,0xa1,0xb1,0xc1,0x09,
+    0x23,0x33,0x52,0xf0,0x15,0x62,0x72,0xd1,0x0a,0x16,0x24,0x34,0xe1,0x25,
+    0xf1,0x17,0x18,0x19,0x1a,0x26,0x27,0x28,0x29,0x2a,0x35,0x36,0x37,0x38,
+    0x39,0x3a,0x43,0x44,0x45,0x46,0x47,0x48,0x49,0x4a,0x53,0x54,0x55,0x56,
+    0x57,0x58,0x59,0x5a,0x63,0x64,0x65,0x66,0x67,0x68,0x69,0x6a,0x73,0x74,
+    0x75,0x76,0x77,0x78,0x79,0x7a,0x82,0x83,0x84,0x85,0x86,0x87,0x88,0x89,
+    0x8a,0x92,0x93,0x94,0x95,0x96,0x97,0x98,0x99,0x9a,0xa2,0xa3,0xa4,0xa5,
+    0xa6,0xa7,0xa8,0xa9,0xaa,0xb2,0xb3,0xb4,0xb5,0xb6,0xb7,0xb8,0xb9,0xba,
+    0xc2,0xc3,0xc4,0xc5,0xc6,0xc7,0xc8,0xc9,0xca,0xd2,0xd3,0xd4,0xd5,0xd6,
+    0xd7,0xd8,0xd9,0xda,0xe2,0xe3,0xe4,0xe5,0xe6,0xe7,0xe8,0xe9,0xea,0xf2,
+    0xf3,0xf4,0xf5,0xf6,0xf7,0xf8,0xf9,0xfa};
+
+struct HuffEnc { uint16_t code[256]; uint8_t len[256]; };
+
+static void build_enc(const uint8_t* bits, const uint8_t* vals, int nvals,
+                      HuffEnc& h) {
+    memset(h.len, 0, sizeof h.len);
+    uint16_t code = 0;
+    int k = 0;
+    for (int l = 1; l <= 16; l++) {
+        for (int i = 0; i < bits[l]; i++) {
+            h.code[vals[k]] = code++;
+            h.len[vals[k]] = (uint8_t)l;
+            k++;
+            if (k > nvals) return;
+        }
+        code <<= 1;
+    }
+}
+
+// ---------------------------------------------------------------- writer
+struct BitWriter {
+    std::vector<uint8_t>& out;
+    uint32_t acc = 0;
+    int nbits = 0;
+    explicit BitWriter(std::vector<uint8_t>& o) : out(o) {}
+    void put(uint32_t bits, int n) {
+        acc = (acc << n) | (bits & ((1u << n) - 1));
+        nbits += n;
+        while (nbits >= 8) {
+            uint8_t b = (uint8_t)(acc >> (nbits - 8));
+            out.push_back(b);
+            if (b == 0xFF) out.push_back(0x00);
+            nbits -= 8;
+        }
+    }
+    void flush() {
+        if (nbits > 0) {
+            uint8_t b = (uint8_t)((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1));
+            out.push_back(b);
+            if (b == 0xFF) out.push_back(0x00);
+            nbits = 0;
+        }
+    }
+};
+
+static inline int bitlen(int v) {
+    int n = 0;
+    while (v) { n++; v >>= 1; }
+    return n;
+}
+
+static void encode_block(BitWriter& bw, const int16_t* blk, int& pred,
+                         const HuffEnc& dc, const HuffEnc& ac) {
+    int16_t z[64];
+    for (int i = 0; i < 64; i++) z[i] = blk[ZIGZAG[i]];
+    int diff = z[0] - pred;
+    pred = z[0];
+    int mag = diff < 0 ? -diff : diff;
+    int n = bitlen(mag);
+    bw.put(dc.code[n], dc.len[n]);
+    if (n) bw.put(diff < 0 ? diff - 1 : diff, n);
+    int run = 0;
+    for (int i = 1; i < 64; i++) {
+        if (z[i] == 0) { run++; continue; }
+        while (run > 15) {
+            bw.put(ac.code[0xF0], ac.len[0xF0]);   // ZRL
+            run -= 16;
+        }
+        int v = z[i];
+        int m = v < 0 ? -v : v;
+        int s = bitlen(m);
+        int sym = (run << 4) | s;
+        bw.put(ac.code[sym], ac.len[sym]);
+        bw.put(v < 0 ? v - 1 : v, s);
+        run = 0;
+    }
+    if (run) bw.put(ac.code[0x00], ac.len[0x00]);  // EOB
+}
+
+static void put_marker(std::vector<uint8_t>& o, uint8_t m) {
+    o.push_back(0xFF); o.push_back(m);
+}
+static void put_u16(std::vector<uint8_t>& o, uint16_t v) {
+    o.push_back((uint8_t)(v >> 8)); o.push_back((uint8_t)v);
+}
+
+static void put_dht(std::vector<uint8_t>& o, int cls, int id,
+                    const uint8_t* bits, const uint8_t* vals, int nvals) {
+    put_marker(o, 0xC4);
+    put_u16(o, (uint16_t)(2 + 1 + 16 + nvals));
+    o.push_back((uint8_t)((cls << 4) | id));
+    for (int l = 1; l <= 16; l++) o.push_back(bits[l]);
+    o.insert(o.end(), vals, vals + nvals);
+}
+
+// subsamp: 0 = 4:2:0, 1 = 4:4:4, 2 = grayscale
+GJ_API int gjpeg_encode(const int16_t* yc, const int16_t* uc, const int16_t* vc,
+                        int width, int height, int subsamp,
+                        const uint8_t* qluma, const uint8_t* qchroma,
+                        uint8_t* outbuf, long long capacity) {
+    std::vector<uint8_t> o;
+    o.reserve(1 << 16);
+    put_marker(o, 0xD8);                                // SOI
+    // APP0 JFIF
+    put_marker(o, 0xE0); put_u16(o, 16);
+    const char jfif[] = "JFIF";
+    o.insert(o.end(), jfif, jfif + 5);
+    o.push_back(1); o.push_back(1); o.push_back(0);
+    put_u16(o, 1); put_u16(o, 1); o.push_back(0); o.push_back(0);
+    // DQT (zigzag order per spec)
+    int ncomp = subsamp == 2 ? 1 : 3;
+    put_marker(o, 0xDB); put_u16(o, (uint16_t)(2 + 65 * (ncomp == 1 ? 1 : 2)));
+    o.push_back(0x00);
+    for (int i = 0; i < 64; i++) o.push_back(qluma[ZIGZAG[i]]);
+    if (ncomp == 3) {
+        o.push_back(0x01);
+        for (int i = 0; i < 64; i++) o.push_back(qchroma[ZIGZAG[i]]);
+    }
+    // SOF0
+    put_marker(o, 0xC0); put_u16(o, (uint16_t)(8 + 3 * ncomp));
+    o.push_back(8); put_u16(o, (uint16_t)height); put_u16(o, (uint16_t)width);
+    o.push_back((uint8_t)ncomp);
+    int hs = subsamp == 0 ? 2 : 1, vs = subsamp == 0 ? 2 : 1;
+    o.push_back(1); o.push_back((uint8_t)((hs << 4) | vs)); o.push_back(0);
+    if (ncomp == 3) {
+        o.push_back(2); o.push_back(0x11); o.push_back(1);
+        o.push_back(3); o.push_back(0x11); o.push_back(1);
+    }
+    // DHT
+    put_dht(o, 0, 0, DC_L_BITS, DC_L_VALS, 12);
+    put_dht(o, 1, 0, AC_L_BITS, AC_L_VALS, 162);
+    if (ncomp == 3) {
+        put_dht(o, 0, 1, DC_C_BITS, DC_C_VALS, 12);
+        put_dht(o, 1, 1, AC_C_BITS, AC_C_VALS, 162);
+    }
+    // SOS
+    put_marker(o, 0xDA); put_u16(o, (uint16_t)(6 + 2 * ncomp));
+    o.push_back((uint8_t)ncomp);
+    o.push_back(1); o.push_back(0x00);
+    if (ncomp == 3) {
+        o.push_back(2); o.push_back(0x11);
+        o.push_back(3); o.push_back(0x11);
+    }
+    o.push_back(0); o.push_back(63); o.push_back(0);
+
+    HuffEnc dcl, acl, dcc, acc_;
+    build_enc(DC_L_BITS, DC_L_VALS, 12, dcl);
+    build_enc(AC_L_BITS, AC_L_VALS, 162, acl);
+    build_enc(DC_C_BITS, DC_C_VALS, 12, dcc);
+    build_enc(AC_C_BITS, AC_C_VALS, 162, acc_);
+
+    BitWriter bw(o);
+    int predY = 0, predU = 0, predV = 0;
+    if (subsamp == 0) {
+        int mcux = (width + 15) / 16, mcuy = (height + 15) / 16;
+        int ybw = mcux * 2;                 // luma blocks per row (padded)
+        int cbw = mcux;
+        for (int my = 0; my < mcuy; my++) {
+            for (int mx = 0; mx < mcux; mx++) {
+                for (int by = 0; by < 2; by++)
+                    for (int bx = 0; bx < 2; bx++) {
+                        long long idx = (long long)(my * 2 + by) * ybw + (mx * 2 + bx);
+                        encode_block(bw, yc + idx * 64, predY, dcl, acl);
+                    }
+                encode_block(bw, uc + ((long long)my * cbw + mx) * 64, predU, dcc, acc_);
+                encode_block(bw, vc + ((long long)my * cbw + mx) * 64, predV, dcc, acc_);
+            }
+        }
+    } else if (subsamp == 1) {
+        int bwid = (width + 7) / 8, bhei = (height + 7) / 8;
+        for (int by = 0; by < bhei; by++)
+            for (int bx = 0; bx < bwid; bx++) {
+                long long idx = (long long)by * bwid + bx;
+                encode_block(bw, yc + idx * 64, predY, dcl, acl);
+                encode_block(bw, uc + idx * 64, predU, dcc, acc_);
+                encode_block(bw, vc + idx * 64, predV, dcc, acc_);
+            }
+    } else {
+        int bwid = (width + 7) / 8, bhei = (height + 7) / 8;
+        for (long long i = 0; i < (long long)bwid * bhei; i++)
+            encode_block(bw, yc + i * 64, predY, dcl, acl);
+    }
+    bw.flush();
+    put_marker(o, 0xD9);                                 // EOI
+    if ((long long)o.size() > capacity) return -1;
+    memcpy(outbuf, o.data(), o.size());
+    return (int)o.size();
+}
+
+// ---------------------------------------------------------------- reader
+struct HuffDec {
+    // canonical decode: mincode/maxcode/valptr per length
+    int32_t mincode[17], maxcode[17], valptr[17];
+    uint8_t vals[256];
+};
+
+static void build_dec(const uint8_t* bits, const uint8_t* vals, int nvals,
+                      HuffDec& h) {
+    memcpy(h.vals, vals, nvals);
+    int code = 0, k = 0;
+    for (int l = 1; l <= 16; l++) {
+        h.valptr[l] = k;
+        h.mincode[l] = code;
+        code += bits[l];
+        k += bits[l];
+        h.maxcode[l] = code - 1;
+        code <<= 1;
+        if (!bits[l]) h.maxcode[l] = -1;
+    }
+}
+
+struct BitReader {
+    const uint8_t* p;
+    long long n, pos = 0;
+    uint32_t acc = 0;
+    int nbits = 0;
+    bool marker_hit = false;
+    BitReader(const uint8_t* d, long long sz) : p(d), n(sz) {}
+    int bit() {
+        if (nbits == 0) {
+            if (pos >= n) return -1;
+            uint8_t b = p[pos++];
+            if (b == 0xFF) {
+                if (pos < n && p[pos] == 0x00) pos++;
+                else { marker_hit = true; return -1; }
+            }
+            acc = b; nbits = 8;
+        }
+        nbits--;
+        return (acc >> nbits) & 1;
+    }
+    int bits(int cnt) {
+        int v = 0;
+        for (int i = 0; i < cnt; i++) {
+            int b = bit();
+            if (b < 0) return -1;
+            v = (v << 1) | b;
+        }
+        return v;
+    }
+};
+
+static int huff_decode(BitReader& br, const HuffDec& h) {
+    int code = br.bit();
+    if (code < 0) return -1;
+    for (int l = 1; l <= 16; l++) {
+        if (h.maxcode[l] >= 0 && code <= h.maxcode[l])
+            return h.vals[h.valptr[l] + code - h.mincode[l]];
+        int b = br.bit();
+        if (b < 0) return -1;
+        code = (code << 1) | b;
+    }
+    return -1;
+}
+
+static inline int extend(int v, int s) {
+    return v < (1 << (s - 1)) ? v - (1 << s) + 1 : v;
+}
+
+struct GjpegFile {
+    int width = 0, height = 0, subsamp = -1, ncomp = 0;
+    uint8_t qt[4][64];          // natural order
+    int comp_qt[3] = {0, 0, 0};
+    int comp_dc[3] = {0, 0, 0}, comp_ac[3] = {0, 0, 0};
+    int comp_h[3] = {1, 1, 1}, comp_v[3] = {1, 1, 1};
+    HuffDec dc[4], ac[4];
+    bool has_dht[8] = {false};
+    const uint8_t* scan = nullptr;
+    long long scan_size = 0;
+    int restart = 0;
+    std::vector<uint8_t> data;
+};
+
+static char gj_err[256];
+GJ_API const char* gjpeg_last_error() { return gj_err; }
+
+GJ_API void* gjpeg_parse(const uint8_t* buf, long long size) {
+    auto* f = new GjpegFile();
+    f->data.assign(buf, buf + size);
+    const uint8_t* p = f->data.data();
+    long long n = size, i = 0;
+    if (n < 4 || p[0] != 0xFF || p[1] != 0xD8) {
+        snprintf(gj_err, sizeof gj_err, "not a JPEG (no SOI)");
+        delete f; return nullptr;
+    }
+    i = 2;
+    while (i + 4 <= n) {
+        if (p[i] != 0xFF) { i++; continue; }
+        uint8_t m = p[i + 1];
+        if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) { i += 2; continue; }
+        if (m == 0xD9) break;
+        int len = (p[i + 2] << 8) | p[i + 3];
+        const uint8_t* seg = p + i + 4;
+        int seglen = len - 2;
+        if (m == 0xDB) {
+            int off = 0;
+            while (off < seglen) {
+                int pq = seg[off] >> 4, tq = seg[off] & 15;
+                off++;
+                for (int k = 0; k < 64; k++) {
+                    int v = pq ? (seg[off] << 8 | seg[off + 1]) : seg[off];
+                    off += pq ? 2 : 1;
+                    f->qt[tq][ZIGZAG[k]] = (uint8_t)v;
+                }
+            }
+        } else if (m == 0xC0 || m == 0xC1) {
+            f->height = (seg[1] << 8) | seg[2];
+            f->width = (seg[3] << 8) | seg[4];
+            f->ncomp = seg[5];
+            for (int c = 0; c < f->ncomp && c < 3; c++) {
+                f->comp_h[c] = seg[6 + c * 3 + 1] >> 4;
+                f->comp_v[c] = seg[6 + c * 3 + 1] & 15;
+                f->comp_qt[c] = seg[6 + c * 3 + 2];
+            }
+            if (f->ncomp == 1) f->subsamp = 2;
+            else if (f->comp_h[0] == 2 && f->comp_v[0] == 2) f->subsamp = 0;
+            else if (f->comp_h[0] == 1 && f->comp_v[0] == 1) f->subsamp = 1;
+            else {
+                snprintf(gj_err, sizeof gj_err,
+                         "unsupported sampling %dx%d", f->comp_h[0], f->comp_v[0]);
+                delete f; return nullptr;
+            }
+        } else if (m == 0xC2) {
+            snprintf(gj_err, sizeof gj_err, "progressive JPEG not supported");
+            delete f; return nullptr;
+        } else if (m == 0xC4) {
+            int off = 0;
+            while (off < seglen) {
+                int cls = seg[off] >> 4, id = seg[off] & 15;
+                off++;
+                uint8_t bits[17] = {0};
+                int nv = 0;
+                for (int l = 1; l <= 16; l++) { bits[l] = seg[off + l - 1]; nv += bits[l]; }
+                off += 16;
+                if (cls == 0) build_dec(bits, seg + off, nv, f->dc[id]);
+                else build_dec(bits, seg + off, nv, f->ac[id]);
+                f->has_dht[cls * 4 + id] = true;
+                off += nv;
+            }
+        } else if (m == 0xDD) {
+            f->restart = (seg[0] << 8) | seg[1];
+        } else if (m == 0xDA) {
+            int ns = seg[0];
+            for (int c = 0; c < ns && c < 3; c++) {
+                f->comp_dc[c] = seg[1 + c * 2 + 1] >> 4;
+                f->comp_ac[c] = seg[1 + c * 2 + 1] & 15;
+            }
+            f->scan = seg + 1 + ns * 2 + 3;
+            f->scan_size = n - (f->scan - p);
+            return f;
+        }
+        i += 2 + len;
+    }
+    snprintf(gj_err, sizeof gj_err, "no SOS marker found");
+    delete f;
+    return nullptr;
+}
+
+GJ_API void gjpeg_info(void* h, int* w, int* hh, int* subsamp) {
+    auto* f = (GjpegFile*)h;
+    *w = f->width; *hh = f->height; *subsamp = f->subsamp;
+}
+
+GJ_API void gjpeg_qtable(void* h, int comp, uint8_t* out64) {
+    auto* f = (GjpegFile*)h;
+    memcpy(out64, f->qt[f->comp_qt[comp < f->ncomp ? comp : 0]], 64);
+}
+
+GJ_API void gjpeg_free(void* h) { delete (GjpegFile*)h; }
+
+static bool decode_block_d(BitReader& br, const HuffDec& dc, const HuffDec& ac,
+                           int& pred, int16_t* out) {
+    int16_t z[64] = {0};
+    int s = huff_decode(br, dc);
+    if (s < 0) return false;
+    int diff = 0;
+    if (s) {
+        int v = br.bits(s);
+        if (v < 0) return false;
+        diff = extend(v, s);
+    }
+    pred += diff;
+    z[0] = (int16_t)pred;
+    int k = 1;
+    while (k < 64) {
+        int rs = huff_decode(br, ac);
+        if (rs < 0) return false;
+        int r = rs >> 4, sz = rs & 15;
+        if (sz == 0) {
+            if (r == 15) { k += 16; continue; }
+            break;                       // EOB
+        }
+        k += r;
+        if (k > 63) return false;
+        int v = br.bits(sz);
+        if (v < 0) return false;
+        z[k++] = (int16_t)extend(v, sz);
+    }
+    for (int i = 0; i < 64; i++) out[ZIGZAG[i]] = z[i];
+    return true;
+}
+
+// Decode quantized coefficients into caller buffers (padded raster block
+// layout identical to the encoder's).  Returns 0 ok, -1 error.
+GJ_API int gjpeg_decode_coefs(void* h, int16_t* yc, int16_t* uc, int16_t* vc) {
+    auto* f = (GjpegFile*)h;
+    BitReader br(f->scan, f->scan_size);
+    int pred[3] = {0, 0, 0};
+    int mcu_count = 0;
+
+    auto restart_check = [&](void) {
+        if (f->restart && ++mcu_count == f->restart) {
+            mcu_count = 0;
+            // align to byte, expect RSTn marker
+            br.nbits = 0;
+            if (br.pos + 1 < br.n && br.p[br.pos] == 0xFF &&
+                br.p[br.pos + 1] >= 0xD0 && br.p[br.pos + 1] <= 0xD7)
+                br.pos += 2;
+            br.marker_hit = false;
+            pred[0] = pred[1] = pred[2] = 0;
+        }
+    };
+
+    if (f->subsamp == 0) {
+        int mcux = (f->width + 15) / 16, mcuy = (f->height + 15) / 16;
+        int ybw = mcux * 2;
+        for (int my = 0; my < mcuy; my++)
+            for (int mx = 0; mx < mcux; mx++) {
+                for (int by = 0; by < 2; by++)
+                    for (int bx = 0; bx < 2; bx++) {
+                        long long idx = (long long)(my * 2 + by) * ybw + (mx * 2 + bx);
+                        if (!decode_block_d(br, f->dc[f->comp_dc[0]],
+                                            f->ac[f->comp_ac[0]], pred[0],
+                                            yc + idx * 64)) {
+                            snprintf(gj_err, sizeof gj_err, "scan error mcu %d,%d", my, mx);
+                            return -1;
+                        }
+                    }
+                long long ci = (long long)my * mcux + mx;
+                if (!decode_block_d(br, f->dc[f->comp_dc[1]], f->ac[f->comp_ac[1]],
+                                    pred[1], uc + ci * 64)) return -1;
+                if (!decode_block_d(br, f->dc[f->comp_dc[2]], f->ac[f->comp_ac[2]],
+                                    pred[2], vc + ci * 64)) return -1;
+                restart_check();
+            }
+    } else if (f->subsamp == 1) {
+        int bwid = (f->width + 7) / 8, bhei = (f->height + 7) / 8;
+        for (long long i = 0; i < (long long)bwid * bhei; i++) {
+            if (!decode_block_d(br, f->dc[f->comp_dc[0]], f->ac[f->comp_ac[0]],
+                                pred[0], yc + i * 64)) return -1;
+            if (!decode_block_d(br, f->dc[f->comp_dc[1]], f->ac[f->comp_ac[1]],
+                                pred[1], uc + i * 64)) return -1;
+            if (!decode_block_d(br, f->dc[f->comp_dc[2]], f->ac[f->comp_ac[2]],
+                                pred[2], vc + i * 64)) return -1;
+            restart_check();
+        }
+    } else {
+        int bwid = (f->width + 7) / 8, bhei = (f->height + 7) / 8;
+        for (long long i = 0; i < (long long)bwid * bhei; i++) {
+            if (!decode_block_d(br, f->dc[f->comp_dc[0]], f->ac[f->comp_ac[0]],
+                                pred[0], yc + i * 64)) return -1;
+            restart_check();
+        }
+    }
+    return 0;
+}

@@ -1,0 +1,129 @@
+"""TPU JPEG codec: MXU DCT/quant tiles + native Huffman entropy coding.
+
+The nvjpeg replacement (BASELINE config #5): a whole batch of frames is
+transformed on device in one jitted program (ops/dct.py), then each frame's
+quantized coefficients are entropy-coded to standards-compliant JFIF bytes
+by csrc/gmat_jpeg.cpp (and vice versa for decode).  libavcodec's mjpeg
+codec doubles as the interop oracle in tests.
+"""
+from __future__ import annotations
+
+import ctypes
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.frame import FrameBatch
+from ..ops import dct
+from . import native
+
+SUBSAMP_420, SUBSAMP_444, SUBSAMP_GRAY = 0, 1, 2
+
+
+def _pad_to(x: np.ndarray | jax.Array, mult_h: int, mult_w: int):
+    h, w = x.shape[-2], x.shape[-1]
+    ph = (mult_h - h % mult_h) % mult_h
+    pw = (mult_w - w % mult_w) % mult_w
+    if ph or pw:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, ph), (0, pw)],
+                    mode="edge")
+    return x
+
+
+@jax.jit
+def _encode_coefs_420(y, u, v, qy, qc):
+    return (dct.encode_plane(y, qy), dct.encode_plane(u, qc),
+            dct.encode_plane(v, qc))
+
+
+@jax.jit
+def _decode_planes_420(yc, uc, vc, qy, qc):
+    return (dct.decode_plane(yc, qy), dct.decode_plane(uc, qc),
+            dct.decode_plane(vc, qc))
+
+
+def encode_batch(fb: FrameBatch, quality: int = 90) -> List[bytes]:
+    """YUV420 FrameBatch -> list of JPEG byte strings (full batch DCT'd on
+    device in one program; per-frame entropy coding in native code)."""
+    if fb.format not in ("yuv420p", "nv12"):
+        raise ValueError("encode_batch expects a yuv420 FrameBatch")
+    qy, qc = dct.quality_tables(quality)
+    w, h = fb.width, fb.height
+    y = _pad_to(fb.planes["y"], 16, 16)
+    u = _pad_to(fb.planes["u"], 8, 8)
+    v = _pad_to(fb.planes["v"], 8, 8)
+    yc, uc, vc = _encode_coefs_420(y, u, v, jnp.asarray(qy, jnp.float32),
+                                   jnp.asarray(qc, jnp.float32))
+    yc = np.ascontiguousarray(np.asarray(yc), np.int16)
+    uc = np.ascontiguousarray(np.asarray(uc), np.int16)
+    vc = np.ascontiguousarray(np.asarray(vc), np.int16)
+
+    lib = native.load("gmat_jpeg")
+    cap = w * h * 4 + (1 << 16)
+    buf = np.empty(cap, np.uint8)
+    out = []
+    p16 = ctypes.POINTER(ctypes.c_int16)
+    for i in range(fb.batch):
+        n = lib.gjpeg_encode(
+            yc[i].ctypes.data_as(p16), uc[i].ctypes.data_as(p16),
+            vc[i].ctypes.data_as(p16), w, h, SUBSAMP_420,
+            qy.ctypes.data_as(native.c_pu8), qc.ctypes.data_as(native.c_pu8),
+            buf.ctypes.data_as(native.c_pu8), cap)
+        if n < 0:
+            raise IOError("jpeg encode overflow")
+        out.append(buf[:n].tobytes())
+    return out
+
+
+def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601") -> FrameBatch:
+    """JPEG byte strings (same dims/subsampling) -> YUV420 FrameBatch.
+    Entropy decode on host, dequant+IDCT batched on device."""
+    lib = native.load("gmat_jpeg")
+    p16 = ctypes.POINTER(ctypes.c_int16)
+    ycs, ucs, vcs = [], [], []
+    w = h = None
+    qy = np.empty(64, np.uint8)
+    qc = np.empty(64, np.uint8)
+    for data in datas:
+        buf = np.frombuffer(data, np.uint8)
+        hnd = lib.gjpeg_parse(buf.ctypes.data_as(native.c_pu8), len(data))
+        if not hnd:
+            raise IOError(f"jpeg parse: "
+                          f"{lib.gjpeg_last_error().decode()}")
+        wi, hi, ss = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+        lib.gjpeg_info(hnd, ctypes.byref(wi), ctypes.byref(hi),
+                       ctypes.byref(ss))
+        if ss.value != SUBSAMP_420:
+            lib.gjpeg_free(hnd)
+            raise IOError("decode_batch currently handles 4:2:0 only")
+        if w is None:
+            w, h = wi.value, hi.value
+        elif (w, h) != (wi.value, hi.value):
+            lib.gjpeg_free(hnd)
+            raise ValueError("mixed dimensions in decode_batch")
+        lib.gjpeg_qtable(hnd, 0, qy.ctypes.data_as(native.c_pu8))
+        lib.gjpeg_qtable(hnd, 1, qc.ctypes.data_as(native.c_pu8))
+        mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+        yc = np.zeros((mcuy * 2, mcux * 2, 8, 8), np.int16)
+        uc = np.zeros((mcuy, mcux, 8, 8), np.int16)
+        vc = np.zeros((mcuy, mcux, 8, 8), np.int16)
+        r = lib.gjpeg_decode_coefs(hnd, yc.ctypes.data_as(p16),
+                                   uc.ctypes.data_as(p16),
+                                   vc.ctypes.data_as(p16))
+        lib.gjpeg_free(hnd)
+        if r < 0:
+            raise IOError(f"jpeg scan: {lib.gjpeg_last_error().decode()}")
+        ycs.append(yc); ucs.append(uc); vcs.append(vc)
+
+    qyf = np.zeros((8, 8), np.float32); qyf.flat[:] = qy
+    qcf = np.zeros((8, 8), np.float32); qcf.flat[:] = qc
+    y, u, v = _decode_planes_420(
+        jnp.asarray(np.stack(ycs)), jnp.asarray(np.stack(ucs)),
+        jnp.asarray(np.stack(vcs)), jnp.asarray(qyf), jnp.asarray(qcf))
+    y = y[:, :h, :w]
+    u = u[:, : (h + 1) // 2, : (w + 1) // 2]
+    v = v[:, : (h + 1) // 2, : (w + 1) // 2]
+    return FrameBatch({"y": y, "u": u, "v": v}, "yuv420p", w, h, colorspace)

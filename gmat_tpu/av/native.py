@@ -108,6 +108,21 @@ def _declare(name: str, lib: ctypes.CDLL):
             "gav_has_encoder": (ctypes.c_int, [ctypes.c_char_p]),
             "gav_avcodec_version": (ctypes.c_uint, []),
         }
+    elif name == "gmat_jpeg":
+        c_pi16 = ctypes.POINTER(ctypes.c_int16)
+        sigs = {
+            "gjpeg_last_error": (ctypes.c_char_p, []),
+            "gjpeg_encode": (ctypes.c_int, [c_pi16, c_pi16, c_pi16,
+                                            ctypes.c_int, ctypes.c_int,
+                                            ctypes.c_int, c_pu8, c_pu8,
+                                            c_pu8, c_ll]),
+            "gjpeg_parse": (ctypes.c_void_p, [c_pu8, c_ll]),
+            "gjpeg_info": (None, [ctypes.c_void_p, c_pi, c_pi, c_pi]),
+            "gjpeg_qtable": (None, [ctypes.c_void_p, ctypes.c_int, c_pu8]),
+            "gjpeg_decode_coefs": (ctypes.c_int, [ctypes.c_void_p, c_pi16,
+                                                  c_pi16, c_pi16]),
+            "gjpeg_free": (None, [ctypes.c_void_p]),
+        }
     else:
         sigs = {}
     for fn, (res, args) in sigs.items():

@@ -1,0 +1,109 @@
+"""TPU JPEG codec tests: DCT math, self round-trip, and avcodec interop."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gmat_tpu.av import jpeg_tpu, toolkit as tk
+from gmat_tpu.core.frame import from_numpy_yuv420
+from gmat_tpu.ops import dct
+
+
+def smooth_yuv(rng, n=2, h=64, w=80):
+    yy = np.zeros((n, h, w), np.uint8)
+    for i in range(n):
+        base = np.add.outer(np.linspace(30, 200, h), np.linspace(0, 40, w))
+        yy[i] = (base + i * 7 + rng.normal(0, 2, (h, w))).clip(0, 255)
+    u = np.full((n, h // 2, w // 2), 110, np.uint8)
+    v = np.full((n, h // 2, w // 2), 145, np.uint8)
+    return yy, u, v
+
+
+def test_dct_orthonormal():
+    D = dct.dct_matrix()
+    np.testing.assert_allclose(D @ D.T, np.eye(8), atol=1e-6)
+
+
+def test_dct_matches_direct_formula(rng):
+    x = rng.uniform(-128, 127, (1, 1, 1, 8, 8)).astype(np.float32)
+    got = np.asarray(dct.dct8x8(jnp.asarray(x)))[0, 0, 0]
+    # direct DCT-II (T.81 A.3.3)
+    want = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = sum(x[0, 0, 0, i, j] *
+                    np.cos((2 * i + 1) * u * np.pi / 16) *
+                    np.cos((2 * j + 1) * v * np.pi / 16)
+                    for i in range(8) for j in range(8))
+            want[u, v] = 0.25 * cu * cv * s
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_dct_roundtrip(rng):
+    x = rng.uniform(-128, 127, (2, 3, 4, 8, 8)).astype(np.float32)
+    back = np.asarray(dct.idct8x8(dct.dct8x8(jnp.asarray(x))))
+    np.testing.assert_allclose(back, x, atol=1e-3)
+
+
+def test_blockify_roundtrip(rng):
+    x = rng.integers(0, 256, (2, 32, 48)).astype(np.uint8)
+    b = dct.blockify(jnp.asarray(x))
+    assert b.shape == (2, 4, 6, 8, 8)
+    np.testing.assert_array_equal(np.asarray(dct.unblockify(b)), x)
+
+
+def test_jpeg_self_roundtrip(rng):
+    y, u, v = smooth_yuv(rng)
+    fb = from_numpy_yuv420(y, u, v)
+    datas = jpeg_tpu.encode_batch(fb, quality=95)
+    assert all(d[:2] == b"\xff\xd8" and d[-2:] == b"\xff\xd9" for d in datas)
+    back = jpeg_tpu.decode_batch(datas)
+    assert back.width == 80 and back.height == 64
+    dy = np.abs(np.asarray(back.planes["y"]).astype(int) - y.astype(int))
+    assert dy.mean() < 3.0, dy.mean()
+
+
+def test_jpeg_quality_ladder(rng):
+    y, u, v = smooth_yuv(rng, n=1)
+    fb = from_numpy_yuv420(y, u, v)
+    sizes = [len(jpeg_tpu.encode_batch(fb, q)[0]) for q in (30, 70, 95)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_our_jpeg_decodable_by_avcodec(rng):
+    """Interop: our encoder's bytes must decode with libavcodec mjpeg."""
+    y, u, v = smooth_yuv(rng, n=1)
+    fb = from_numpy_yuv420(y, u, v)
+    data = jpeg_tpu.encode_batch(fb, quality=92)[0]
+    dec = tk.Decoder(tk.CODEC_MJPEG)
+    frames = list(dec.decode(data, 0)) + list(dec.decode(None))
+    dec.close()
+    assert len(frames) == 1
+    yd = frames[0][0]
+    assert yd.shape == (64, 80)
+    assert np.abs(yd.astype(int) - y[0].astype(int)).mean() < 3.0
+
+
+def test_avcodec_jpeg_decodable_by_us(rng):
+    """Interop: libavcodec mjpeg output must decode with our parser."""
+    y, u, v = smooth_yuv(rng, n=1, h=64, w=64)
+    enc = tk.Encoder("mjpeg", 64, 64, crf=2.0, still_image=True)
+    pkts = enc.encode(y[0], u[0], v[0], pts=0) + enc.flush()
+    enc.close()
+    data = b"".join(p.data for p in pkts)
+    back = jpeg_tpu.decode_batch([data])
+    dy = np.abs(np.asarray(back.planes["y"])[0].astype(int) - y[0].astype(int))
+    assert dy.mean() < 3.0, dy.mean()
+
+
+def test_odd_dimensions(rng):
+    y = rng.integers(0, 256, (1, 50, 70)).astype(np.uint8)
+    u = rng.integers(0, 256, (1, 25, 35)).astype(np.uint8)
+    v = rng.integers(0, 256, (1, 25, 35)).astype(np.uint8)
+    fb = from_numpy_yuv420(y, u, v)
+    data = jpeg_tpu.encode_batch(fb, quality=90)[0]
+    back = jpeg_tpu.decode_batch([data])
+    assert back.planes["y"].shape == (1, 50, 70)
+    assert back.planes["u"].shape == (1, 25, 35)
