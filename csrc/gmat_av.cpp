@@ -356,7 +356,8 @@ GAV_API void* gav_enc_create(const char* name, int w, int h,
     }
     if (opts && *opts) {
         AVDictionary* dict = nullptr;
-        av_dict_parse_string(&dict, opts, "=", ":", 0);
+        // pairs separated by ',' so values may carry ':'/'=' (x265-params)
+        av_dict_parse_string(&dict, opts, "=", ",", 0);
         int r = avcodec_open2(e->ctx, c, &dict);
         av_dict_free(&dict);
         if (r < 0) { set_err("avcodec_open2(enc)", r); avcodec_free_context(&e->ctx); delete e; return nullptr; }

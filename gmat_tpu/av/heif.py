@@ -1,0 +1,308 @@
+"""HEIF still-image / collection container — NvHeifWriter/Reader rebuild.
+
+Pure-Python ISOBMFF on top of our libx265 still-image encoder and HEVC
+decoder, replacing the reference's Nokia-heif-backed writer/reader
+(metrans/include/NvCodec/NvHeifWriter.h:77-100, NvHeifReader.h:55-72):
+
+  * HeifWriter.write_still      <- NvHeifWriter::writeStillImage
+        (NAL scan/split NvHeifWriter.cpp:81-155, feedDecoderConfig /
+         feedMediaData / addImage / setPrimaryItem :211-253)
+  * HeifWriter.write_collection <- the image-collection flavor of
+        addImageToSequence/writeSequence (:272-469); a track-based 'msf1'
+        sequence is planned (tracked in PARITY.md)
+  * HeifReader.read_image / read_all <- NvHeifReader::readImage (:74-158)
+
+Layout written: ftyp('heic') + meta(hdlr/pitm/iloc/iinf/iprp{ipco:
+hvcC+ispe, ipma}) + mdat, length-prefixed NALs (lengthSize 4).
+"""
+from __future__ import annotations
+
+import dataclasses
+import io
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from . import hevc
+from . import toolkit as tk
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _full(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(typ, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def _annexb_to_length_prefixed(nals: List[bytes]) -> bytes:
+    return b"".join(struct.pack(">I", len(n)) + n for n in nals)
+
+
+class HeifWriter:
+    """Write HEVC still images into .heic files (in memory or to disk)."""
+
+    def __init__(self):
+        self._items: List[Tuple[bytes, bytes, int, int]] = []
+        # (hvcC, item_data, width, height)
+
+    def add_image(self, annexb: bytes) -> None:
+        """Add one still image from an annexb HEVC IDR access unit
+        (the NvEncLite stillImage output; NAL scan mirrors
+        NvHeifWriter.cpp:81-155)."""
+        nals = hevc.split_annexb(annexb)
+        vps = sps = pps = None
+        media = []
+        for n in nals:
+            t = hevc.nal_type(n)
+            if t == hevc.NAL_VPS:
+                vps = n
+            elif t == hevc.NAL_SPS:
+                sps = n
+            elif t == hevc.NAL_PPS:
+                pps = n
+            elif hevc.is_vcl(t) or t == 39:    # slices + prefix SEI
+                media.append(n)
+        if not (vps and sps and pps and media):
+            raise ValueError("still image needs VPS/SPS/PPS/IDR NALs "
+                             "(encode with still_image=True)")
+        s = hevc.parse_sps(sps)
+        rec = hevc.build_hvcc(vps, sps, pps)
+        self._items.append((rec, _annexb_to_length_prefixed(media),
+                            s.width, s.height))
+
+    # -- serialization -------------------------------------------------------
+    def _meta(self, mdat_offsets: List[int]) -> bytes:
+        n = len(self._items)
+        hdlr = _full(b"hdlr", 0, 0,
+                     b"\0\0\0\0" + b"pict" + b"\0" * 12 + b"gmat\0")
+        pitm = _full(b"pitm", 0, 0, struct.pack(">H", 1))
+        iloc_items = b""
+        for i, ((rec, data, w, h), off) in enumerate(
+                zip(self._items, mdat_offsets), start=1):
+            iloc_items += struct.pack(">HHH", i, 0, 1)
+            iloc_items += struct.pack(">II", off, len(data))
+        iloc = _full(b"iloc", 0, 0,
+                     struct.pack(">BBH", 0x44, 0x00, n) + iloc_items)
+        infes = b""
+        for i in range(1, n + 1):
+            infes += _full(b"infe", 2, 0,
+                           struct.pack(">HH", i, 0) + b"hvc1" + b"\0")
+        iinf = _full(b"iinf", 0, 0, struct.pack(">H", n) + infes)
+        props = b""
+        assoc_entries = b""
+        # one hvcC+ispe pair per item (indices 2i-1, 2i)
+        for i, (rec, data, w, h) in enumerate(self._items, start=1):
+            props += _box(b"hvcC", rec)
+            props += _full(b"ispe", 0, 0, struct.pack(">II", w, h))
+            assoc_entries += struct.pack(">HB", i, 2)
+            assoc_entries += bytes([0x80 | (2 * i - 1), 2 * i])
+        ipco = _box(b"ipco", props)
+        ipma = _full(b"ipma", 0, 0, struct.pack(">I", n) + assoc_entries)
+        iprp = _box(b"iprp", ipco + ipma)
+        return _box(b"meta", b"\0\0\0\0" + hdlr + pitm + iloc + iinf + iprp)
+
+    def tobytes(self) -> bytes:
+        if not self._items:
+            raise ValueError("no images added")
+        ftyp = _box(b"ftyp", b"heic" + struct.pack(">I", 0) + b"mif1heic")
+        # two-pass: meta size depends only on item count, offsets on sizes
+        probe = self._meta([0] * len(self._items))
+        base = len(ftyp) + len(probe) + 8     # + mdat header
+        offsets = []
+        off = base
+        for (_, data, _, _) in self._items:
+            offsets.append(off)
+            off += len(data)
+        meta = self._meta(offsets)
+        assert len(meta) == len(probe)
+        mdat = _box(b"mdat", b"".join(d for (_, d, _, _) in self._items))
+        return ftyp + meta + mdat
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            f.write(self.tobytes())
+
+
+def _iter_boxes(data: bytes, start: int = 0, end: Optional[int] = None):
+    end = len(data) if end is None else end
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", data[i:i + 4])[0]
+        typ = data[i + 4:i + 8]
+        if size == 1:
+            size = struct.unpack(">Q", data[i + 8:i + 16])[0]
+            yield typ, i + 16, i + size
+        else:
+            if size == 0:
+                size = end - i
+            yield typ, i + 8, i + size
+        i += size
+
+
+@dataclasses.dataclass
+class HeifItem:
+    item_id: int
+    width: int
+    height: int
+    hvcc: bytes
+    data: bytes
+
+    def to_annexb(self) -> bytes:
+        nals, lsz = hevc.parse_hvcc(self.hvcc)
+        out = b"".join(b"\x00\x00\x00\x01" + n for n in nals)
+        i = 0
+        while i + lsz <= len(self.data):
+            ln = int.from_bytes(self.data[i:i + lsz], "big")
+            out += b"\x00\x00\x00\x01" + self.data[i + lsz:i + lsz + ln]
+            i += lsz + ln
+        return out
+
+
+class HeifReader:
+    """Parse .heic files written by us (and simple single-layer heics)."""
+
+    def __init__(self, path_or_bytes):
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            self.data = bytes(path_or_bytes)
+        else:
+            with open(path_or_bytes, "rb") as f:
+                self.data = f.read()
+        self.items: List[HeifItem] = []
+        self.primary = 1
+        self._parse()
+
+    def _parse(self):
+        d = self.data
+        meta_span = None
+        for typ, s, e in _iter_boxes(d):
+            if typ == b"meta":
+                meta_span = (s + 4, e)
+        if meta_span is None:
+            raise IOError("no meta box (not a HEIF still?)")
+        locs = {}
+        props: List[Tuple[bytes, bytes]] = []
+        assoc = {}
+        for typ, s, e in _iter_boxes(d, *meta_span):
+            if typ == b"pitm":
+                self.primary = struct.unpack(">H", d[s + 4:s + 6])[0]
+            elif typ == b"iloc":
+                v = d[s] >> 4 & 0  # version in full box header
+                version = d[s - 4] if False else struct.unpack(">I", d[s:s + 4])[0] >> 24
+                body = d[s + 4:e]
+                off_sz = body[0] >> 4
+                len_sz = body[0] & 15
+                base_sz = body[1] >> 4
+                idx = 2
+                if version < 2:
+                    count = struct.unpack(">H", body[idx:idx + 2])[0]; idx += 2
+                else:
+                    count = struct.unpack(">I", body[idx:idx + 4])[0]; idx += 4
+                for _ in range(count):
+                    iid = struct.unpack(">H", body[idx:idx + 2])[0]; idx += 2
+                    if version in (1, 2):
+                        idx += 2       # construction_method
+                    idx += 2           # data_reference_index
+                    base = int.from_bytes(body[idx:idx + base_sz], "big"); idx += base_sz
+                    n_ext = struct.unpack(">H", body[idx:idx + 2])[0]; idx += 2
+                    extents = []
+                    for _ in range(n_ext):
+                        off = int.from_bytes(body[idx:idx + off_sz], "big"); idx += off_sz
+                        ln = int.from_bytes(body[idx:idx + len_sz], "big"); idx += len_sz
+                        extents.append((base + off, ln))
+                    locs[iid] = extents
+            elif typ == b"iprp":
+                for t2, s2, e2 in _iter_boxes(d, s, e):
+                    if t2 == b"ipco":
+                        for t3, s3, e3 in _iter_boxes(d, s2, e2):
+                            props.append((t3, d[s3:e3]))
+                    elif t2 == b"ipma":
+                        body = d[s2 + 4:e2]
+                        count = struct.unpack(">I", body[0:4])[0]
+                        idx = 4
+                        for _ in range(count):
+                            iid = struct.unpack(">H", body[idx:idx + 2])[0]
+                            nass = body[idx + 2]
+                            idx += 3
+                            plist = []
+                            for _ in range(nass):
+                                plist.append(body[idx] & 0x7F)
+                                idx += 1
+                            assoc[iid] = plist
+        for iid, extents in sorted(locs.items()):
+            data = b"".join(d[o:o + ln] for o, ln in extents)
+            hvcc = b""
+            w = h = 0
+            for pi in assoc.get(iid, []):
+                if 1 <= pi <= len(props):
+                    t, payload = props[pi - 1]
+                    if t == b"hvcC":
+                        hvcc = payload
+                    elif t == b"ispe":
+                        w, h = struct.unpack(">II", payload[4:12])
+            self.items.append(HeifItem(iid, w, h, hvcc, data))
+
+    def read_image(self, index: Optional[int] = None) -> HeifItem:
+        if index is None:
+            for it in self.items:
+                if it.item_id == self.primary:
+                    return it
+            index = 0
+        return self.items[index]
+
+
+# ---- high-level codec API (CHeif.cpp:20-133 analog) ------------------------
+
+def encode_still(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                 crf: float = 20.0, lossless: bool = False) -> bytes:
+    """One I420 frame -> .heic bytes (libx265 stillImage mode; the NVENC
+    stillImage config analog, NvEncLiteUnbuffered.cpp:75-77)."""
+    h, w = y.shape
+    opts = "x265-params=log-level=0" + (":lossless=1" if lossless else "")
+    enc = tk.Encoder("libx265", w, h, fps=(25, 1), crf=crf,
+                     still_image=True, opts=opts)
+    pkts = enc.encode(y, u, v, pts=0) + enc.flush()
+    extra = enc.extradata()
+    enc.close()
+    annexb = extra + b"".join(p.data for p in pkts)
+    wtr = HeifWriter()
+    wtr.add_image(annexb)
+    return wtr.tobytes()
+
+
+def encode_collection(frames, crf: float = 20.0) -> bytes:
+    """[(y,u,v), ...] -> multi-item .heic (burst/collection)."""
+    wtr = HeifWriter()
+    enc = None
+    for (y, u, v) in frames:
+        h, w = y.shape
+        enc = tk.Encoder("libx265", w, h, fps=(25, 1), crf=crf,
+                         still_image=True,
+                         opts="x265-params=log-level=0")
+        pkts = enc.encode(y, u, v, pts=0) + enc.flush()
+        annexb = enc.extradata() + b"".join(p.data for p in pkts)
+        enc.close()
+        wtr.add_image(annexb)
+    return wtr.tobytes()
+
+
+def decode_still(data, index: Optional[int] = None):
+    """.heic bytes/path -> (y, u, v) I420 planes."""
+    rdr = HeifReader(data)
+    item = rdr.read_image(index)
+    dec = tk.Decoder(tk.CODEC_HEVC, width=item.width, height=item.height)
+    frames = list(dec.decode(item.to_annexb(), 0)) + list(dec.decode(None))
+    dec.close()
+    if not frames:
+        raise IOError("HEVC still decode produced no frame")
+    y, u, v, _ = frames[0]
+    return y, u, v
+
+
+def decode_all(data):
+    rdr = HeifReader(data)
+    out = []
+    for i in range(len(rdr.items)):
+        out.append(decode_still(data, i))
+    return out

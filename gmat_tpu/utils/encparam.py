@@ -95,5 +95,5 @@ def parse_enc_param(s: str, defaults: Dict = None) -> Dict:
         elif k in ("qmin", "qmax", "tune"):
             extras.append(f"{k}={v}")
     if extras:
-        out["opts"] = ":".join(extras)
+        out["opts"] = ",".join(extras)
     return out

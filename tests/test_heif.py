@@ -1,0 +1,100 @@
+"""HEIF writer/reader and HEVC parser subset tests."""
+import numpy as np
+import pytest
+
+from gmat_tpu.av import heif, hevc, toolkit as tk
+
+
+def synth(h=128, w=160, seed=0):
+    rng = np.random.default_rng(seed)
+    y = (np.add.outer(np.linspace(30, 220, h), np.linspace(0, 30, w))
+         + rng.normal(0, 2, (h, w))).clip(0, 255).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 100, np.uint8)
+    v = np.full((h // 2, w // 2), 150, np.uint8)
+    return y, u, v
+
+
+@pytest.fixture(scope="module")
+def still_annexb():
+    y, u, v = synth()
+    enc = tk.Encoder("libx265", 160, 128, crf=18.0, still_image=True,
+                     opts="x265-params=log-level=0")
+    pkts = enc.encode(y, u, v, pts=0) + enc.flush()
+    extra = enc.extradata()
+    enc.close()
+    return extra + b"".join(p.data for p in pkts), (y, u, v)
+
+
+def test_nal_split_and_types(still_annexb):
+    data, _ = still_annexb
+    types = [hevc.nal_type(n) for n in hevc.split_annexb(data)]
+    assert hevc.NAL_VPS in types
+    assert hevc.NAL_SPS in types
+    assert hevc.NAL_PPS in types
+    assert any(hevc.is_idr(t) for t in types)
+
+
+def test_sps_parse(still_annexb):
+    data, _ = still_annexb
+    sps_nal = next(n for n in hevc.split_annexb(data)
+                   if hevc.nal_type(n) == hevc.NAL_SPS)
+    sps = hevc.parse_sps(sps_nal)
+    assert (sps.width, sps.height) == (160, 128)
+    assert sps.chroma_format_idc == 1      # 4:2:0
+    assert sps.bit_depth_luma == 8
+    # 1=Main, 3=Main Still Picture, 4=Rext (x265 signals Main Intra)
+    assert sps.general_profile_idc in (1, 2, 3, 4)
+
+
+def test_hvcc_roundtrip(still_annexb):
+    data, _ = still_annexb
+    nals = {hevc.nal_type(n): n for n in hevc.split_annexb(data)}
+    rec = hevc.build_hvcc(nals[32], nals[33], nals[34])
+    back, lsz = hevc.parse_hvcc(rec)
+    assert lsz == 4
+    assert back == [nals[32], nals[33], nals[34]]
+
+
+def test_heif_write_read_roundtrip(still_annexb, tmp_path):
+    data, (y, u, v) = still_annexb
+    w = heif.HeifWriter()
+    w.add_image(data)
+    path = str(tmp_path / "img.heic")
+    w.save(path)
+    raw = open(path, "rb").read()
+    assert raw[4:8] == b"ftyp" and raw[8:12] == b"heic"
+    yd, ud, vd = heif.decode_still(path)
+    assert yd.shape == y.shape
+    assert np.abs(yd.astype(int) - y.astype(int)).mean() < 3.0
+
+
+def test_heif_highlevel_encode_decode():
+    y, u, v = synth()
+    blob = heif.encode_still(y, u, v, crf=16.0)
+    yd, ud, vd = heif.decode_still(blob)
+    assert np.abs(yd.astype(int) - y.astype(int)).mean() < 3.0
+    assert np.abs(ud.astype(int) - u.astype(int)).mean() < 3.0
+
+
+def test_heif_lossless():
+    y, u, v = synth(64, 64)
+    blob = heif.encode_still(y, u, v, lossless=True)
+    yd, ud, vd = heif.decode_still(blob)
+    np.testing.assert_array_equal(yd, y)
+    np.testing.assert_array_equal(ud, u)
+
+
+def test_heif_collection():
+    frames = [synth(64, 64, seed=i) for i in range(3)]
+    blob = heif.encode_collection(frames, crf=16.0)
+    rdr = heif.HeifReader(blob)
+    assert len(rdr.items) == 3
+    decoded = heif.decode_all(blob)
+    assert len(decoded) == 3
+    for (yd, _, _), (y, _, _) in zip(decoded, frames):
+        assert np.abs(yd.astype(int) - y.astype(int)).mean() < 3.0
+
+
+def test_heif_reader_bad_input():
+    with pytest.raises(IOError):
+        heif.HeifReader(b"not a heif file at all" * 10)
