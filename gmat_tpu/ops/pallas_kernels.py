@@ -1,0 +1,157 @@
+"""Pallas TPU kernels for the hot fused preprocess ladder.
+
+The XLA paths for the 1080p -> 224x224 CSC+resize ladder are bound by HBM
+intermediates (the separable resize's (224, W) f32 tensor round-trips to
+HBM between the row and column stages, ~110 MB per 64-frame batch).  This
+kernel does the whole ladder per frame inside VMEM:
+
+    u8 planes --DMA--> VMEM -> bf16 row matmul (MXU, K-chunked) ->
+    bf16 col matmul (MXU) -> 3x3 CSC + normalize (VPU) -> f32 out
+
+One HBM read of the input planes, one HBM write of the output, everything
+else stays on-chip.  The resample matrices ride along as bf16 operands
+(weights exact to ~0.4%, <=1 u8-LSB effect; u8 pixel values are exact in
+bf16).
+
+Replaces the kernel-launch pipeline of the reference
+(format_cuda_kernel.cu nv12_to_rgbpf32 + CV-CUDA resize) with a single
+fused pass.
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.color import yuv2rgb_matrix, yuv_offsets
+from .resize import resample_matrix
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _ladder_kernel(y_ref, u_ref, v_ref, ahy_ref, awy_ref, ahc_ref, awc_ref,
+                   out_ref, *, mat, low, mid, norm, shift, k_chunks):
+    """One frame: planes -> (3, out_h, out_w) normalized RGB."""
+
+    def rowcol(x_ref, ah_ref, aw_ref):
+        h_in = ah_ref.shape[1]
+        w_in = x_ref.shape[1]
+        chunk = h_in // k_chunks
+        acc = jnp.zeros((ah_ref.shape[0], w_in), jnp.float32)
+        for c in range(k_chunks):
+            # Mosaic lacks a direct u8->bf16/f32 cast; hop via int32
+            xc = x_ref[c * chunk:(c + 1) * chunk, :].astype(
+                jnp.int32).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                ah_ref[:, c * chunk:(c + 1) * chunk], xc,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        rem = h_in - k_chunks * chunk
+        if rem:
+            xc = x_ref[k_chunks * chunk:, :].astype(
+                jnp.int32).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                ah_ref[:, k_chunks * chunk:], xc,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(
+            acc.astype(jnp.bfloat16), aw_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    yy = rowcol(y_ref, ahy_ref, awy_ref) - low
+    uu = rowcol(u_ref, ahc_ref, awc_ref) - mid
+    vv = rowcol(v_ref, ahc_ref, awc_ref) - mid
+    maxv = 2.0 * mid - 1.0
+    r = jnp.clip(mat[0, 0] * yy + mat[0, 1] * uu + mat[0, 2] * vv, 0., maxv)
+    g = jnp.clip(mat[1, 0] * yy + mat[1, 1] * uu + mat[1, 2] * vv, 0., maxv)
+    b = jnp.clip(mat[2, 0] * yy + mat[2, 1] * uu + mat[2, 2] * vv, 0., maxv)
+    out_ref[0, :, :] = (r - shift[0]) * (1.0 / norm)
+    out_ref[1, :, :] = (g - shift[1]) * (1.0 / norm)
+    out_ref[2, :, :] = (b - shift[2]) * (1.0 / norm)
+
+
+@lru_cache(maxsize=64)
+def _build_ladder(n, h, w, ch, cw, out_h, out_w, colorspace, method,
+                  norm, shift, interpret):
+    """Compile-time closure for a fixed shape set."""
+    mat = yuv2rgb_matrix(colorspace)
+    low, mid = yuv_offsets(8)
+    # keep numpy here; convert inside fn so per-trace constants are fresh
+    # (caching jnp arrays created inside a jit trace leaks tracers)
+    ahy_np = resample_matrix(h, out_h, method)
+    awy_np = resample_matrix(w, out_w, method).T
+    ahc_np = resample_matrix(ch, out_h, method)
+    awc_np = resample_matrix(cw, out_w, method).T
+
+    kernel = partial(_ladder_kernel, mat=mat, low=float(low), mid=float(mid),
+                     norm=float(norm), shift=shift,
+                     k_chunks=max(1, h // 512))
+
+    grid_spec = pl.GridSpec(
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((None, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, ch, cw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, ch, cw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, out_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, ch), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cw, out_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 3, out_h, out_w),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 3, out_h, out_w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * (out_h * h * w + out_h * w * out_w
+                           + 2 * (out_h * ch * cw + out_h * cw * out_w)),
+            bytes_accessed=n * (h * w + 2 * ch * cw
+                                + 3 * out_h * out_w * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+    def fn(y, u, v):
+        ahy = jnp.asarray(ahy_np, jnp.bfloat16)
+        awy = jnp.asarray(awy_np, jnp.bfloat16)
+        ahc = jnp.asarray(ahc_np, jnp.bfloat16)
+        awc = jnp.asarray(awc_np, jnp.bfloat16)
+        return call(y, u, v, ahy, awy, ahc, awc)
+
+    return fn
+
+
+def fused_ladder(y: jax.Array, u: jax.Array, v: jax.Array,
+                 out_h: int, out_w: int, colorspace: str = "bt709",
+                 method: str = "bilinear", norm: float = 255.0,
+                 shift=(0.0, 0.0, 0.0), interpret: bool = False) -> jax.Array:
+    """Batched YUV420 planes -> (N, 3, out_h, out_w) f32 in one Pallas pass.
+
+    y: (N, H, W) uint8; u, v: (N, H/2, W/2) uint8.
+    """
+    n, h, w = y.shape
+    ch, cw = u.shape[1], u.shape[2]
+    fn = _build_ladder(n, h, w, ch, cw, out_h, out_w, colorspace, method,
+                       float(norm), tuple(float(s) for s in shift),
+                       bool(interpret))
+    return fn(y, u, v)

@@ -106,13 +106,70 @@ def resample_matrix(n_in: int, n_out: int, method: str = "bilinear",
     return A.astype(np.float32)
 
 
+# tap counts for the gather (windowed) path; other methods use matmuls
+_TAPS = {"nearest": 1, "bilinear": 2, "bicubic": 4}
+
+
+@lru_cache(maxsize=512)
+def _window_taps(n_in: int, n_out: int, method: str):
+    """Decompose a resample matrix into (start_idx[n_out], w[n_out, T])
+    windows of T consecutive input samples.  Exactly equivalent to the
+    dense matrix (edge-clipped weights are accumulated identically)."""
+    T = _TAPS[method]
+    A = resample_matrix(n_in, n_out, method)
+    idx = np.zeros(n_out, np.int32)
+    wts = np.zeros((n_out, T), np.float32)
+    for o in range(n_out):
+        nz = np.nonzero(A[o])[0]
+        s = int(min(nz[0], max(n_in - T, 0)))
+        idx[o] = s
+        span = A[o, s:s + T]
+        wts[o, :len(span)] = span
+    return idx, wts
+
+
+def _gather_resize(x: jax.Array, out_h: int, out_w: int, method: str):
+    """Windowed-tap resize: reads only the input rows/cols each output
+    needs (the TPU analog of tex2D sampling, metrans Resize.cu:15-80).
+    For a 1080p -> 224 ladder this touches ~40% of rows instead of doing
+    dense 1.8 GFLOP matmuls — memory-proportional and exact f32."""
+    n_in_h, n_in_w = x.shape[1], x.shape[2]
+    ridx, rw = _window_taps(n_in_h, out_h, method)
+    cidx, cw = _window_taps(n_in_w, out_w, method)
+    T = rw.shape[1]
+    # rows: accumulate T shifted row-gathers (u8 gathered, converted fused)
+    acc = None
+    for k in range(T):
+        g = jnp.take(x, jnp.asarray(np.minimum(ridx + k, n_in_h - 1)),
+                     axis=1).astype(jnp.float32)
+        wk = jnp.asarray(rw[:, k])
+        wk = wk[None, :, None] if x.ndim == 3 else wk[None, :, None, None]
+        acc = g * wk if acc is None else acc + g * wk
+    # cols
+    out = None
+    for k in range(T):
+        g = jnp.take(acc, jnp.asarray(np.minimum(cidx + k, n_in_w - 1)),
+                     axis=2)
+        wk = jnp.asarray(cw[:, k])
+        wk = wk[None, None, :] if x.ndim == 3 else wk[None, None, :, None]
+        out = g * wk if out is None else out + g * wk
+    return out
+
+
 def resize_plane(x: jax.Array, out_h: int, out_w: int,
                  method: str = "bilinear", antialias: bool = False,
                  dtype=jnp.float32) -> jax.Array:
-    """Resize (N, H, W) or (N, H, W, C) via two MXU matmuls, f32 accum."""
+    """Resize (N, H, W) or (N, H, W, C).
+
+    nearest/bilinear/bicubic use the windowed-gather path (exact f32,
+    memory-proportional); area/lanczos/antialias use two MXU matmuls with
+    the module PRECISION setting.
+    """
     n_in_h, n_in_w = x.shape[1], x.shape[2]
     if (n_in_h, n_in_w) == (out_h, out_w):
         return x.astype(dtype)
+    if method in _TAPS and not antialias:
+        return _gather_resize(x, out_h, out_w, method).astype(dtype)
     Ah = jnp.asarray(resample_matrix(n_in_h, out_h, method, antialias))
     Aw = jnp.asarray(resample_matrix(n_in_w, out_w, method, antialias))
     xf = x.astype(jnp.float32)

@@ -1,0 +1,44 @@
+"""Pallas fused-ladder kernel vs the jnp reference path (interpret mode)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gmat_tpu.core.frame import FrameBatch
+from gmat_tpu.ops import fused
+from gmat_tpu.ops.pallas_kernels import fused_ladder
+
+
+def _data(rng, n=2, h=64, w=128):
+    y = rng.integers(0, 256, (n, h, w)).astype(np.uint8)
+    u = rng.integers(0, 256, (n, h // 2, w // 2)).astype(np.uint8)
+    v = rng.integers(0, 256, (n, h // 2, w // 2)).astype(np.uint8)
+    return y, u, v
+
+
+def test_fused_ladder_matches_jnp(rng):
+    y, u, v = _data(rng)
+    got = np.asarray(fused_ladder(jnp.asarray(y), jnp.asarray(u),
+                                  jnp.asarray(v), 32, 32, interpret=True))
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p", y.shape[2],
+                    y.shape[1], "bt709")
+    want = np.asarray(fused.preprocess_nchw(fb, 32, 32))
+    assert got.shape == want.shape == (2, 3, 32, 32)
+    # bf16 weights: allow ~1.5 u8-LSB
+    assert (np.abs(got - want) * 255).max() <= 2.0
+
+
+def test_fused_ladder_colorspace_and_shift(rng):
+    y, u, v = _data(rng, n=1)
+    got = np.asarray(fused_ladder(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), 32, 32,
+        colorspace="bt601", norm=255.0, shift=(127.5, 127.5, 127.5),
+        interpret=True))
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p", y.shape[2],
+                    y.shape[1], "bt601")
+    want = np.asarray(fused.preprocess_nchw(fb, 32, 32,
+                                            shift=(127.5, 127.5, 127.5)))
+    assert (np.abs(got - want) * 255).max() <= 2.0
+    assert got.min() < 0 < got.max()      # centered by shift
