@@ -1,0 +1,190 @@
+"""Perf harnesses — rebuilds of the metrans perf apps (SURVEY §2.2 M14/M15).
+
+    python -m gmat_tpu.apps.perf decode  -i in.mp4 [-threads N]
+        <- AppNvDecPerf (samples/AppNvDecPerf.cpp:27-171: packets preloaded,
+           decode loop timed)
+    python -m gmat_tpu.apps.perf encode  [-codec libx264] [-frames N]
+        <- AppNvEncPerf (samples/AppNvEncPerf.cpp:208-222)
+    python -m gmat_tpu.apps.perf extract -i in.mp4 [-interval N]
+        <- AppExtractPerf fast-vs-normal cases (app/AppExtractPerf.cpp:
+           100-140,226-240)
+    python -m gmat_tpu.apps.perf heif    [-frames N]
+        <- AppHeifEnc/AppHeifDec fps loops (samples/AppHeifEnc.cpp:69-95)
+    python -m gmat_tpu.apps.perf jpeg    [-frames N]
+        <- nvjpeg-path analog: TPU DCT + native entropy codec
+    python -m gmat_tpu.apps.perf ladder  [-frames N]
+        <- the device transform ladder (bench.py's op) end-to-end
+
+Each prints a one-line JSON result.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _synth(n, w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    ys, us, vs = [], [], []
+    for i in range(n):
+        base = np.add.outer(np.linspace(20, 200, h), np.linspace(0, 50, w))
+        ys.append(((base + i * 3) % 220 + 16).astype(np.uint8))
+        us.append(np.full((h // 2, w // 2), 100 + i % 40, np.uint8))
+        vs.append(np.full((h // 2, w // 2), 140 - i % 30, np.uint8))
+    return ys, us, vs
+
+
+def perf_decode(args):
+    from ..av import toolkit as tk
+    dm = tk.Demuxer(args.input)
+    pkts = [p for p in dm if p.stream == 0]       # preload, like the ref
+    dec = tk.Decoder.from_demuxer(dm, args.threads)
+    t0 = time.perf_counter()
+    count = 0
+    for p in pkts:
+        count += sum(1 for _ in dec.decode(p.data, p.pts))
+    count += sum(1 for _ in dec.decode(None))
+    dt = time.perf_counter() - t0
+    dm.close(); dec.close()
+    return {"case": "decode", "frames": count, "fps": round(count / dt, 1),
+            "threads": args.threads}
+
+
+def perf_encode(args):
+    from ..av import toolkit as tk
+    w, h = args.width, args.height
+    ys, us, vs = _synth(min(args.frames, 60), w, h)
+    enc = tk.Encoder(args.codec, w, h, fps=(30, 1), preset="ultrafast",
+                     crf=25.0, opts="x265-params=log-level=0"
+                     if args.codec == "libx265" else "")
+    t0 = time.perf_counter()
+    npkts = 0
+    for i in range(args.frames):
+        k = i % len(ys)
+        npkts += len(enc.encode(ys[k], us[k], vs[k], pts=i))
+    npkts += len(enc.flush())
+    dt = time.perf_counter() - t0
+    enc.close()
+    return {"case": "encode", "codec": args.codec, "frames": args.frames,
+            "fps": round(args.frames / dt, 1)}
+
+
+def perf_extract(args):
+    from ..av.extractor import FrameExtractor
+    out = {"case": "extract", "interval": args.interval}
+    for fast in (True, False):
+        fx = FrameExtractor(args.input,
+                            frame_interval=args.interval if fast else 0)
+        t0 = time.perf_counter()
+        n = sum(1 for _ in fx.frames())
+        dt = time.perf_counter() - t0
+        key = "fast" if fast else "normal"
+        out[key] = {"frames": n, "seconds": round(dt, 3),
+                    "decoded": fx.n_decoded,
+                    "skipped": fx.n_skipped_seek + fx.n_skipped_nonref}
+        fx.close()
+    out["speedup"] = round(out["normal"]["seconds"] /
+                           max(out["fast"]["seconds"], 1e-9), 2)
+    return out
+
+
+def perf_heif(args):
+    from ..av import heif
+    w, h = args.width, args.height
+    ys, us, vs = _synth(1, w, h)
+    y, u, v = ys[0], us[0], vs[0]
+    t0 = time.perf_counter()
+    blob = None
+    for _ in range(args.frames):
+        blob = heif.encode_still(y, u, v, crf=22.0)
+    enc_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(args.frames):
+        heif.decode_still(blob)
+    dec_dt = time.perf_counter() - t0
+    return {"case": "heif", "reps": args.frames,
+            "encode_fps": round(args.frames / enc_dt, 1),
+            "decode_fps": round(args.frames / dec_dt, 1),
+            "bytes": len(blob)}
+
+
+def perf_jpeg(args):
+    from ..av import jpeg_tpu
+    from ..core.frame import from_numpy_yuv420
+    w, h = args.width, args.height
+    n = min(args.frames, 32)
+    ys, us, vs = _synth(n, w, h)
+    fb = from_numpy_yuv420(np.stack(ys), np.stack(us), np.stack(vs))
+    datas = jpeg_tpu.encode_batch(fb, 90)     # warm/compile
+    t0 = time.perf_counter()
+    reps = max(args.frames // n, 1)
+    for _ in range(reps):
+        datas = jpeg_tpu.encode_batch(fb, 90)
+    enc_dt = time.perf_counter() - t0
+    jpeg_tpu.decode_batch(datas)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jpeg_tpu.decode_batch(datas)
+    dec_dt = time.perf_counter() - t0
+    return {"case": "jpeg", "images": n * reps,
+            "encode_fps": round(n * reps / enc_dt, 1),
+            "decode_fps": round(n * reps / dec_dt, 1)}
+
+
+def perf_ladder(args):
+    import jax
+    import jax.numpy as jnp
+    from ..ops.pallas_kernels import fused_ladder
+    from ..core.frame import FrameBatch
+    from ..ops import fused
+    dev = jax.devices()[0]
+    n, h, w = 64, args.height, args.width
+    rng = np.random.default_rng(0)
+    y = jax.device_put(rng.integers(0, 256, (n, h, w)).astype(np.uint8), dev)
+    u = jax.device_put(rng.integers(0, 256, (n, h // 2, w // 2))
+                       .astype(np.uint8), dev)
+    v = jax.device_put(rng.integers(0, 256, (n, h // 2, w // 2))
+                       .astype(np.uint8), dev)
+    if dev.platform == "tpu":
+        fn = jax.jit(lambda y, u, v: jnp.sum(fused_ladder(y, u, v, 224, 224)))
+    else:
+        fn = jax.jit(lambda y, u, v: jnp.sum(fused.preprocess_nchw(
+            FrameBatch({"y": y, "u": u, "v": v}, "yuv420p", w, h, "bt709"),
+            224, 224)))
+    float(np.asarray(fn(y, u, v)))
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(y, u, v)
+    float(np.asarray(r))
+    dt = time.perf_counter() - t0
+    return {"case": "ladder", "platform": dev.platform,
+            "fps": round(n * iters / dt, 1),
+            "note": "per-call incl dispatch; see bench.py for device rate"}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gmat-perf")
+    p.add_argument("case", choices=["decode", "encode", "extract", "heif",
+                                    "jpeg", "ladder"])
+    p.add_argument("-i", "--input", default="")
+    p.add_argument("-codec", default="libx264")
+    p.add_argument("-frames", type=int, default=100)
+    p.add_argument("-interval", type=int, default=30)
+    p.add_argument("-threads", type=int, default=0)
+    p.add_argument("-width", type=int, default=1920)
+    p.add_argument("-height", type=int, default=1080)
+    args = p.parse_args(argv)
+    fn = {"decode": perf_decode, "encode": perf_encode,
+          "extract": perf_extract, "heif": perf_heif, "jpeg": perf_jpeg,
+          "ladder": perf_ladder}[args.case]
+    print(json.dumps(fn(args)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,68 @@
+"""Tracing/profiling — the NVTX + Nsight analog for TPU.
+
+The reference injects NVTX ranges from Python for Nsight
+(metrans/python/app_extract.py:5-8,24-29 'Frame#n' ranges).  Here the same
+API maps onto jax.profiler TraceAnnotations and xprof traces:
+
+    with trace_range(f"Frame#{i}"):
+        out = pipeline(batch)
+
+    start_trace("/tmp/gmat_trace"); ... ; stop_trace()   # xprof dump
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Iterator, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace_range(name: str) -> Iterator[None]:
+    """NVTX push/pop analog (shows up in xprof timelines)."""
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+def annotate_fn(name: str):
+    """Decorator version for hot functions."""
+    def deco(fn):
+        def wrapped(*a, **kw):
+            with jax.profiler.TraceAnnotation(name):
+                return fn(*a, **kw)
+        return wrapped
+    return deco
+
+
+_active = False
+
+
+def start_trace(logdir: str) -> None:
+    global _active
+    jax.profiler.start_trace(logdir)
+    _active = True
+
+
+def stop_trace() -> None:
+    global _active
+    if _active:
+        jax.profiler.stop_trace()
+        _active = False
+
+
+@contextlib.contextmanager
+def device_timer(label: str = "", sync=None):
+    """Wall-clock a device region (block_until_ready on exit).
+
+    Yields a dict that gets 'seconds' filled in on exit — the StopWatch
+    analog (NvCommon.h:209) with a device sync.
+    """
+    out = {"label": label, "seconds": None}
+    t0 = time.perf_counter()
+    try:
+        yield out
+    finally:
+        if sync is not None:
+            jax.block_until_ready(sync() if callable(sync) else sync)
+        out["seconds"] = time.perf_counter() - t0

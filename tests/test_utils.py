@@ -1,0 +1,90 @@
+"""Logger / tracing / perf harness / torch interop tests."""
+import json
+import socket
+
+import numpy as np
+import pytest
+
+
+def test_logger_console_and_file(tmp_path, capsys):
+    from gmat_tpu.utils import logger
+    f = str(tmp_path / "log.txt")
+    logger.setup(level=logger.TRACE, console=False, file=f)
+    logger.trace("hello %d", 42)
+    logger.error("bad thing")
+    text = open(f).read()
+    assert "hello 42" in text and "TRACE" in text
+    assert "bad thing" in text and "ERROR" in text
+
+
+def test_logger_udp(tmp_path):
+    from gmat_tpu.utils import logger
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    sock.settimeout(2.0)
+    port = sock.getsockname()[1]
+    logger.setup(console=False, udp=("127.0.0.1", port))
+    logger.info("over the wire")
+    data = sock.recv(4096).decode()
+    assert "over the wire" in data
+    logger.setup(console=False)   # reset
+
+
+def test_tracing_range_and_timer():
+    import jax.numpy as jnp
+    from gmat_tpu.utils.tracing import device_timer, trace_range
+    with trace_range("Frame#0"):
+        x = jnp.ones((8, 8)) * 2
+    with device_timer("op", sync=lambda: x) as t:
+        y = x + 1
+    assert t["seconds"] is not None and t["seconds"] >= 0
+
+
+def test_compile_cache_enable(tmp_path):
+    from gmat_tpu.utils.compile_cache import enable
+    d = enable(str(tmp_path / "cache"))
+    import os
+    assert os.path.isdir(d)
+
+
+def test_perf_encode_and_ladder(capsys):
+    from gmat_tpu.apps.perf import main
+    assert main(["encode", "-frames", "12", "-width", "160",
+                 "-height", "128"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["fps"] > 0
+    assert main(["jpeg", "-frames", "8", "-width", "160",
+                 "-height", "128"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["encode_fps"] > 0 and out["decode_fps"] > 0
+
+
+def test_perf_extract(tmp_path, capsys):
+    from gmat_tpu.apps.perf import main
+    from .test_extractor import make_clip
+    clip = str(tmp_path / "c.mp4")
+    make_clip(clip)
+    assert main(["extract", "-i", clip, "-interval", "10"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["fast"]["decoded"] < out["normal"]["decoded"]
+
+
+def test_torch_interop(tmp_path):
+    torch = pytest.importorskip("torch")
+    from gmat_tpu.av.torch_interop import extract_to_torch, jax_to_torch, torch_to_jax
+    import jax.numpy as jnp
+    x = jnp.arange(12.0).reshape(3, 4)
+    t = jax_to_torch(x)
+    assert t.shape == (3, 4) and float(t.sum()) == 66.0
+    back = torch_to_jax(t)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+    from .test_extractor import make_clip
+    clip = str(tmp_path / "t.mp4")
+    make_clip(clip)
+    got = list(extract_to_torch(clip, frame_interval=20, out_size=(64, 48),
+                                batch=2))
+    assert len(got) >= 1
+    tensor, pts = got[0]
+    assert tuple(tensor.shape) == (2, 3, 48, 64)
+    assert tensor.dtype == torch.float32
