@@ -501,3 +501,342 @@ GAV_API int gav_has_encoder(const char* name) {
     return avcodec_find_encoder_by_name(name) != nullptr;
 }
 GAV_API unsigned gav_avcodec_version() { return avcodec_version(); }
+
+// ================================================================= audio
+// AudDec / AudEnc analogs (metrans/include/AvToolkit/AvDec.h:17-77,
+// AudEnc.h:10-186): decode any audio stream to interleaved s16, encode
+// s16 to AAC/AC3/MP2 with swresample handling sample-format conversion
+// and encoder frame-size chunking.
+
+extern "C" {
+#include <libswresample/swresample.h>
+#include <libavutil/channel_layout.h>
+#include <libavutil/audio_fifo.h>
+}
+
+GAV_API int gav_demux_has_audio(void* h) {
+    return ((GavDemuxer*)h)->astream >= 0;
+}
+GAV_API void gav_demux_audio_info(void* h, int* codec_id, int* sample_rate,
+                                  int* channels, int* tb_num, int* tb_den) {
+    auto* d = (GavDemuxer*)h;
+    if (d->astream < 0) { *codec_id = -1; return; }
+    AVStream* st = d->fmt->streams[d->astream];
+    *codec_id = st->codecpar->codec_id;
+    *sample_rate = st->codecpar->sample_rate;
+    *channels = st->codecpar->ch_layout.nb_channels;
+    *tb_num = st->time_base.num; *tb_den = st->time_base.den;
+}
+GAV_API int gav_demux_audio_extradata(void* h, unsigned char** data) {
+    auto* d = (GavDemuxer*)h;
+    if (d->astream < 0) return 0;
+    AVCodecParameters* par = d->fmt->streams[d->astream]->codecpar;
+    *data = par->extradata;
+    return par->extradata_size;
+}
+
+struct GavAudioDec {
+    AVCodecContext* ctx = nullptr;
+    AVFrame* frame = nullptr;
+    SwrContext* swr = nullptr;
+    int out_rate = 0, out_ch = 0;
+};
+
+// decode to interleaved s16 at (sample_rate, channels); pass 0 to keep
+// the stream's native rate/layout.
+GAV_API void* gav_adec_create(int codec_id, const unsigned char* extradata,
+                              int extradata_size, int sample_rate,
+                              int channels) {
+    const AVCodec* c = avcodec_find_decoder((AVCodecID)codec_id);
+    if (!c) { snprintf(g_err, sizeof g_err, "no audio decoder %d", codec_id); return nullptr; }
+    auto* a = new GavAudioDec();
+    a->ctx = avcodec_alloc_context3(c);
+    if (extradata_size > 0) {
+        a->ctx->extradata = (uint8_t*)av_mallocz(extradata_size + AV_INPUT_BUFFER_PADDING_SIZE);
+        memcpy(a->ctx->extradata, extradata, extradata_size);
+        a->ctx->extradata_size = extradata_size;
+    }
+    if (sample_rate) a->ctx->sample_rate = sample_rate;
+    int r = avcodec_open2(a->ctx, c, nullptr);
+    if (r < 0) { set_err("adec open", r); avcodec_free_context(&a->ctx); delete a; return nullptr; }
+    a->frame = av_frame_alloc();
+    a->out_rate = sample_rate; a->out_ch = channels;
+    return a;
+}
+
+GAV_API void gav_adec_close(void* h) {
+    auto* a = (GavAudioDec*)h;
+    if (!a) return;
+    av_frame_free(&a->frame);
+    if (a->swr) swr_free(&a->swr);
+    avcodec_free_context(&a->ctx);
+    delete a;
+}
+
+GAV_API int gav_adec_send(void* h, const unsigned char* data, int size, long long pts) {
+    auto* a = (GavAudioDec*)h;
+    int r;
+    if (!data) {
+        r = avcodec_send_packet(a->ctx, nullptr);
+    } else {
+        AVPacket* pkt = av_packet_alloc();
+        av_new_packet(pkt, size);
+        memcpy(pkt->data, data, size);
+        pkt->pts = pts;
+        r = avcodec_send_packet(a->ctx, pkt);
+        av_packet_free(&pkt);
+    }
+    if (r < 0 && r != AVERROR(EAGAIN) && r != AVERROR_EOF) { set_err("adec send", r); return -1; }
+    return 0;
+}
+
+GAV_API int gav_adec_rate(void* h) {
+    auto* a = (GavAudioDec*)h;
+    return a->out_rate ? a->out_rate : a->ctx->sample_rate;
+}
+GAV_API int gav_adec_channels(void* h) {
+    auto* a = (GavAudioDec*)h;
+    return a->out_ch ? a->out_ch : a->ctx->ch_layout.nb_channels;
+}
+
+// -> samples written (interleaved s16, max_samples per channel capacity),
+// 0 = need more, -2 = EOF, -1 = error.
+GAV_API int gav_adec_receive(void* h, short* out, int max_samples, long long* pts) {
+    auto* a = (GavAudioDec*)h;
+    int r = avcodec_receive_frame(a->ctx, a->frame);
+    if (r == AVERROR(EAGAIN)) return 0;
+    if (r == AVERROR_EOF) return -2;
+    if (r < 0) { set_err("adec recv", r); return -1; }
+    AVFrame* f = a->frame;
+    int och = a->out_ch ? a->out_ch : f->ch_layout.nb_channels;
+    int orate = a->out_rate ? a->out_rate : f->sample_rate;
+    if (!a->swr) {
+        AVChannelLayout ol;
+        av_channel_layout_default(&ol, och);
+        swr_alloc_set_opts2(&a->swr, &ol, AV_SAMPLE_FMT_S16, orate,
+                            &f->ch_layout, (AVSampleFormat)f->format,
+                            f->sample_rate, 0, nullptr);
+        swr_init(a->swr);
+    }
+    uint8_t* outp[1] = {(uint8_t*)out};
+    int n = swr_convert(a->swr, outp, max_samples,
+                        (const uint8_t**)f->extended_data, f->nb_samples);
+    *pts = f->pts;
+    av_frame_unref(f);
+    if (n < 0) { set_err("swr_convert", n); return -1; }
+    return n;
+}
+
+struct GavAudioEnc {
+    AVCodecContext* ctx = nullptr;
+    SwrContext* swr = nullptr;
+    AVAudioFifo* fifo = nullptr;
+    AVFrame* frame = nullptr;
+    AVPacket* pkt = nullptr;
+    long long next_pts = 0;
+    int in_rate = 0, in_ch = 0;
+    // drained packets waiting for gav_aenc_receive (send pumps the codec
+    // so its internal queue never blocks a long sample burst)
+    struct QPkt { std::vector<uint8_t> data; long long pts, dts; };
+    std::vector<QPkt> q;
+    size_t qhead = 0;
+};
+
+static void aenc_drain(GavAudioEnc* e) {
+    for (;;) {
+        int r = avcodec_receive_packet(e->ctx, e->pkt);
+        if (r != 0) break;
+        GavAudioEnc::QPkt qp;
+        qp.data.assign(e->pkt->data, e->pkt->data + e->pkt->size);
+        qp.pts = e->pkt->pts; qp.dts = e->pkt->dts;
+        e->q.push_back(std::move(qp));
+        av_packet_unref(e->pkt);
+    }
+}
+
+GAV_API void* gav_aenc_create(const char* name, int sample_rate, int channels,
+                              long long bitrate) {
+    const AVCodec* c = avcodec_find_encoder_by_name(name);
+    if (!c) { snprintf(g_err, sizeof g_err, "no audio encoder %s", name); return nullptr; }
+    auto* e = new GavAudioEnc();
+    e->ctx = avcodec_alloc_context3(c);
+    e->ctx->sample_rate = sample_rate;
+    av_channel_layout_default(&e->ctx->ch_layout, channels);
+    e->ctx->sample_fmt = c->sample_fmts ? c->sample_fmts[0] : AV_SAMPLE_FMT_S16;
+    e->ctx->bit_rate = bitrate > 0 ? bitrate : 128000;
+    e->ctx->time_base = {1, sample_rate};
+    e->ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    int r = avcodec_open2(e->ctx, c, nullptr);
+    if (r < 0) { set_err("aenc open", r); avcodec_free_context(&e->ctx); delete e; return nullptr; }
+    AVChannelLayout il;
+    av_channel_layout_default(&il, channels);
+    swr_alloc_set_opts2(&e->swr, &e->ctx->ch_layout, e->ctx->sample_fmt,
+                        sample_rate, &il, AV_SAMPLE_FMT_S16, sample_rate,
+                        0, nullptr);
+    swr_init(e->swr);
+    e->fifo = av_audio_fifo_alloc(e->ctx->sample_fmt, channels, 1);
+    e->frame = av_frame_alloc();
+    e->pkt = av_packet_alloc();
+    e->in_rate = sample_rate; e->in_ch = channels;
+    return e;
+}
+
+GAV_API void gav_aenc_close(void* h) {
+    auto* e = (GavAudioEnc*)h;
+    if (!e) return;
+    av_frame_free(&e->frame);
+    av_packet_free(&e->pkt);
+    if (e->fifo) av_audio_fifo_free(e->fifo);
+    if (e->swr) swr_free(&e->swr);
+    avcodec_free_context(&e->ctx);
+    delete e;
+}
+
+GAV_API int gav_aenc_frame_size(void* h) {
+    auto* e = (GavAudioEnc*)h;
+    return e->ctx->frame_size ? e->ctx->frame_size : 1024;
+}
+GAV_API int gav_aenc_extradata(void* h, unsigned char** data) {
+    auto* e = (GavAudioEnc*)h;
+    *data = e->ctx->extradata;
+    return e->ctx->extradata_size;
+}
+GAV_API int gav_aenc_codec_id(void* h) {
+    return (int)((GavAudioEnc*)h)->ctx->codec_id;
+}
+
+// feed interleaved s16; NULL = flush.  Use gav_aenc_receive to drain.
+GAV_API int gav_aenc_send(void* h, const short* samples, int nsamples) {
+    auto* e = (GavAudioEnc*)h;
+    if (samples && nsamples > 0) {
+        // convert to encoder fmt into temp buffers, push into fifo
+        uint8_t** conv = nullptr;
+        int lines;
+        av_samples_alloc_array_and_samples(&conv, &lines,
+                                           e->ctx->ch_layout.nb_channels,
+                                           nsamples, e->ctx->sample_fmt, 0);
+        const uint8_t* inp[1] = {(const uint8_t*)samples};
+        int n = swr_convert(e->swr, conv, nsamples, inp, nsamples);
+        if (n > 0) av_audio_fifo_write(e->fifo, (void**)conv, n);
+        if (conv) { av_freep(&conv[0]); av_freep(&conv); }
+    }
+    int fs = gav_aenc_frame_size(h);
+    bool flush = (samples == nullptr);
+    while (av_audio_fifo_size(e->fifo) >= fs ||
+           (flush && av_audio_fifo_size(e->fifo) > 0)) {
+        int n = av_audio_fifo_size(e->fifo) < fs ? av_audio_fifo_size(e->fifo) : fs;
+        e->frame->nb_samples = n;
+        e->frame->format = e->ctx->sample_fmt;
+        av_channel_layout_copy(&e->frame->ch_layout, &e->ctx->ch_layout);
+        e->frame->sample_rate = e->ctx->sample_rate;
+        av_frame_get_buffer(e->frame, 0);
+        av_audio_fifo_read(e->fifo, (void**)e->frame->data, n);
+        e->frame->pts = e->next_pts;
+        e->next_pts += n;
+        int r = avcodec_send_frame(e->ctx, e->frame);
+        if (r == AVERROR(EAGAIN)) {
+            aenc_drain(e);
+            r = avcodec_send_frame(e->ctx, e->frame);
+        }
+        av_frame_unref(e->frame);
+        if (r < 0 && r != AVERROR(EAGAIN)) { set_err("aenc send", r); return -1; }
+        aenc_drain(e);
+        if (av_audio_fifo_size(e->fifo) == 0) break;
+    }
+    if (flush) { avcodec_send_frame(e->ctx, nullptr); aenc_drain(e); }
+    return 0;
+}
+
+GAV_API int gav_aenc_receive(void* h, unsigned char** data, long long* pts,
+                             long long* dts) {
+    auto* e = (GavAudioEnc*)h;
+    if (e->qhead < e->q.size()) {
+        auto& qp = e->q[e->qhead++];
+        *data = qp.data.data(); *pts = qp.pts; *dts = qp.dts;
+        if (e->qhead == e->q.size()) { /* lazily clear on next send */ }
+        return (int)qp.data.size();
+    }
+    if (e->qhead && e->qhead == e->q.size()) { e->q.clear(); e->qhead = 0; }
+    av_packet_unref(e->pkt);
+    int r = avcodec_receive_packet(e->ctx, e->pkt);
+    if (r == AVERROR(EAGAIN)) return 0;
+    if (r == AVERROR_EOF) return -2;
+    if (r < 0) { set_err("aenc recv", r); return -1; }
+    *data = e->pkt->data; *pts = e->pkt->pts; *dts = e->pkt->dts;
+    return e->pkt->size;
+}
+
+// ---- muxer with optional audio stream --------------------------------
+// (two-stream variant of gav_mux_open; audio timebase = 1/sample_rate)
+GAV_API void* gav_mux_open_av(const char* path, int w, int h, int fps_num,
+                              int fps_den, int vcodec,
+                              const unsigned char* vextra, int vextra_size,
+                              int acodec_id, int sample_rate, int channels,
+                              const unsigned char* aextra, int aextra_size) {
+    auto* m = (GavMuxer*)gav_mux_open(path, w, h, fps_num, fps_den, vcodec,
+                                      vextra, vextra_size);
+    if (!m) return nullptr;
+    if (acodec_id > 0) {
+        // header not yet written? gav_mux_open already wrote it — redo:
+        // simpler: create streams before header, so rebuild here.
+        // (We re-open from scratch to keep gav_mux_open simple.)
+        gav_mux_close(m);
+        m = new GavMuxer();
+        int r = avformat_alloc_output_context2(&m->fmt, nullptr, nullptr, path);
+        if (r < 0) { set_err("alloc_output", r); delete m; return nullptr; }
+        AVStream* vs = avformat_new_stream(m->fmt, nullptr);
+        vs->codecpar->codec_type = AVMEDIA_TYPE_VIDEO;
+        vs->codecpar->codec_id = vcodec == 0 ? AV_CODEC_ID_H264 :
+                                 vcodec == 1 ? AV_CODEC_ID_HEVC : AV_CODEC_ID_MJPEG;
+        vs->codecpar->width = w; vs->codecpar->height = h;
+        if (vextra_size > 0) {
+            vs->codecpar->extradata = (uint8_t*)av_mallocz(vextra_size + AV_INPUT_BUFFER_PADDING_SIZE);
+            memcpy(vs->codecpar->extradata, vextra, vextra_size);
+            vs->codecpar->extradata_size = vextra_size;
+        }
+        vs->time_base = {fps_den, fps_num};
+        vs->avg_frame_rate = {fps_num, fps_den};
+        m->vstream = vs->index;
+        m->enc_tb = {fps_den, fps_num};
+        AVStream* as = avformat_new_stream(m->fmt, nullptr);
+        as->codecpar->codec_type = AVMEDIA_TYPE_AUDIO;
+        as->codecpar->codec_id = (AVCodecID)acodec_id;
+        as->codecpar->sample_rate = sample_rate;
+        av_channel_layout_default(&as->codecpar->ch_layout, channels);
+        if (aextra_size > 0) {
+            as->codecpar->extradata = (uint8_t*)av_mallocz(aextra_size + AV_INPUT_BUFFER_PADDING_SIZE);
+            memcpy(as->codecpar->extradata, aextra, aextra_size);
+            as->codecpar->extradata_size = aextra_size;
+        }
+        as->time_base = {1, sample_rate};
+        if (!(m->fmt->oformat->flags & AVFMT_NOFILE)) {
+            r = avio_open(&m->fmt->pb, path, AVIO_FLAG_WRITE);
+            if (r < 0) { set_err("avio_open", r); avformat_free_context(m->fmt); delete m; return nullptr; }
+        }
+        r = avformat_write_header(m->fmt, nullptr);
+        if (r < 0) { set_err("write_header", r); avformat_free_context(m->fmt); delete m; return nullptr; }
+        m->header_written = true;
+    }
+    return m;
+}
+
+// stream: 0 = video (pts in 1/fps), 1 = audio (pts in 1/sample_rate)
+GAV_API int gav_mux_write_stream(void* h, int stream, const unsigned char* data,
+                                 int size, long long pts, long long dts, int key) {
+    auto* m = (GavMuxer*)h;
+    if (stream == 0)
+        return gav_mux_write(h, data, size, pts, dts, key);
+    AVPacket* pkt = av_packet_alloc();
+    av_new_packet(pkt, size);
+    memcpy(pkt->data, data, size);
+    AVStream* st = m->fmt->streams[1];
+    AVRational atb = {1, st->codecpar->sample_rate};
+    pkt->pts = av_rescale_q(pts, atb, st->time_base);
+    pkt->dts = av_rescale_q(dts, atb, st->time_base);
+    pkt->stream_index = 1;
+    pkt->flags |= AV_PKT_FLAG_KEY;
+    int r = av_interleaved_write_frame(m->fmt, pkt);
+    av_packet_free(&pkt);
+    if (r < 0) { set_err("mux audio", r); return -1; }
+    return 0;
+}

@@ -32,6 +32,9 @@ def build_parser():
                    help="output file (.mp4/.mkv), 'null', or pattern%%d.jpg")
     p.add_argument("-c:v", "--vcodec", dest="vcodec", default="libx264",
                    help="libx264|libx265|mjpeg")
+    p.add_argument("-c:a", "--acodec", dest="acodec", default="",
+                   help="audio codec (aac|ac3|mp2); empty drops audio")
+    p.add_argument("-b:a", dest="abitrate", default="128K")
     p.add_argument("-b:v", "--bitrate", dest="bitrate", default="0")
     p.add_argument("-crf", type=float, default=-1.0)
     p.add_argument("-preset", default="veryfast")
@@ -91,9 +94,22 @@ def main(argv=None):
         name = enc_kwargs.pop("codec_name")
         fps = enc_kwargs.pop("fps")
         enc = tk.Encoder(name, w, h, fps=fps, **enc_kwargs)
-        mux = tk.Muxer(args.output, w, h, fps,
-                       tk.CODEC_FOR_ENCODER.get(name, tk.CODEC_H264),
-                       enc.extradata())
+        vcodec = tk.CODEC_FOR_ENCODER.get(name, tk.CODEC_H264)
+        audio = None
+        if args.acodec:
+            from .metrans import Options, transcode_audio
+            o = Options(input_file=args.input, audio_codec=args.acodec,
+                        audio_bitrate=_size(args.abitrate))
+            audio = transcode_audio(o)
+        if audio:
+            mux = tk.AvMuxer(args.output, w, h, fps, vcodec,
+                             enc.extradata(), audio[0], audio[1], audio[2],
+                             audio[3])
+            for p in audio[4]:
+                mux.write_audio(p)
+            mux.write = mux.write_video
+        else:
+            mux = tk.Muxer(args.output, w, h, fps, vcodec, enc.extradata())
 
     def emit_yuv(fb_host, keep_idx, out_fb):
         nonlocal out_count

@@ -49,6 +49,9 @@ class Options:
     fps_limit: int = 0
     video_enc_param: str = ""
     video_filter_desc: str = ""
+    audio_codec: str = ""          # "aac" | "ac3" | "mp2" | "" (drop audio)
+    audio_bitrate: int = 0
+    audio_sample_rate: int = 0
     rungs: List[Rung] = dataclasses.field(default_factory=list)
 
     @classmethod
@@ -65,6 +68,9 @@ class Options:
             fps_limit=int(get("FpsLimit", "0") or 0),
             video_enc_param=get("VideoEncParam"),
             video_filter_desc=get("VideoFilterDesc"),
+            audio_codec=get("AudioCodec"),
+            audio_bitrate=int(get("AudioBitRate", "0") or 0),
+            audio_sample_rate=int(get("AudioSampleRate", "0") or 0),
         )
         res = root.find("Resolutions")
         if res is not None:
@@ -87,22 +93,42 @@ class EncoderWorker(threading.Thread):
     """Host encode+mux worker: consumes (y, u, v) I420 frames from a
     bounded queue (the RoundQueue consumer analog)."""
 
-    def __init__(self, name, path, w, h, fps, enc_kwargs, depth=8):
+    def __init__(self, name, path, w, h, fps, enc_kwargs, depth=8,
+                 audio=None):
+        """audio: optional (codec_id, sample_rate, channels, extradata,
+        packets) to interleave into the same container (the reference's
+        audio lane, AppMeTrans.cpp:176-200)."""
         super().__init__(daemon=True, name=name)
         from ..av import toolkit as tk
         kw = dict(enc_kwargs)
         codec_name = kw.pop("codec_name", "libx264")
         fps_t = kw.pop("fps", fps)
         self.enc = tk.Encoder(codec_name, w, h, fps=fps_t, **kw)
-        self.mux = tk.Muxer(path, w, h, fps_t,
-                            tk.CODEC_FOR_ENCODER.get(codec_name, 0),
-                            self.enc.extradata())
+        vcodec = tk.CODEC_FOR_ENCODER.get(codec_name, 0)
+        self.audio_pkts = []
+        if audio:
+            acid, arate, ach, aextra, apkts = audio
+            self.mux = tk.AvMuxer(path, w, h, fps_t, vcodec,
+                                  self.enc.extradata(), acid, arate, ach,
+                                  aextra)
+            self.audio_pkts = apkts
+        else:
+            self.mux = tk.Muxer(path, w, h, fps_t, vcodec,
+                                self.enc.extradata())
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self.count = 0
         self.error: Optional[BaseException] = None
 
+    def _write_video(self, pkt):
+        if self.audio_pkts is not None and hasattr(self.mux, "write_video"):
+            self.mux.write_video(pkt)
+        else:
+            self.mux.write(pkt)
+
     def run(self):
         try:
+            for p in self.audio_pkts:
+                self.mux.write_audio(p)
             n = 0
             while True:
                 item = self.q.get()
@@ -110,11 +136,11 @@ class EncoderWorker(threading.Thread):
                     break
                 y, u, v = item
                 for pkt in self.enc.encode(y, u, v, pts=n):
-                    self.mux.write(pkt)
+                    self._write_video(pkt)
                 n += 1
                 self.count = n
             for pkt in self.enc.flush():
-                self.mux.write(pkt)
+                self._write_video(pkt)
             self.mux.close()
             self.enc.close()
         except BaseException as e:
@@ -125,6 +151,35 @@ class EncoderWorker(threading.Thread):
 
     def finish(self):
         self.q.put(None)
+
+
+def transcode_audio(opts: Options):
+    """Decode the input's audio lane and re-encode it once per session
+    (shared across rungs).  Returns the AvMuxer audio tuple or None."""
+    from ..av import toolkit as tk
+
+    dm = tk.Demuxer(opts.input_file)
+    info = tk.AudioInfo(dm)
+    if not info.present:
+        dm.close()
+        return None
+    rate = opts.audio_sample_rate or info.sample_rate
+    dec = tk.AudioDecoder(info, sample_rate=rate)
+    enc = tk.AudioEncoder(opts.audio_codec, rate,
+                          min(info.channels, 2) or 2,
+                          opts.audio_bitrate or 128000)
+    pkts = []
+    for pkt in dm:
+        if pkt.stream != 1:
+            continue
+        for (chunk, _pts) in dec.decode(pkt.data, pkt.pts):
+            pkts += enc.encode(chunk)
+    for (chunk, _pts) in dec.decode(None):
+        pkts += enc.encode(chunk)
+    pkts += enc.flush()
+    audio = (enc.codec_id, rate, enc.channels, enc.extradata(), pkts)
+    dm.close(); dec.close(); enc.close()
+    return audio
 
 
 def run_session(session_idx: int, opts: Options, batch: int = 16,
@@ -151,6 +206,8 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
     base_kwargs.setdefault("preset", "ultrafast")
     base_kwargs.setdefault("fps", (30, 1))
 
+    audio = transcode_audio(opts) if opts.audio_codec else None
+
     workers = []
     for i, r in enumerate(opts.rungs):
         kw = dict(base_kwargs)
@@ -158,7 +215,8 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
             kw = parse_enc_param(r.enc_suffix, kw)
         path = r.out_file.replace("#", str(session_idx))
         workers.append(EncoderWorker(f"enc{i}", path, r.width, r.height,
-                                     kw.get("fps", (30, 1)), kw))
+                                     kw.get("fps", (30, 1)), kw,
+                                     audio=audio))
         workers[-1].start()
 
     limiter = FpsLimiter(opts.fps_limit)

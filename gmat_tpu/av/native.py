@@ -17,7 +17,8 @@ _CSRC = _PKG.parent.parent / "csrc"
 _LIBDIR = _PKG / "_lib"
 
 _LIBS = {
-    "gmat_av": (["gmat_av.cpp"], ["-lavformat", "-lavcodec", "-lavutil", "-lswscale"]),
+    "gmat_av": (["gmat_av.cpp"], ["-lavformat", "-lavcodec", "-lavutil",
+                                  "-lswscale", "-lswresample"]),
     "gmat_jpeg": (["gmat_jpeg.cpp"], []),
 }
 
@@ -107,6 +108,46 @@ def _declare(name: str, lib: ctypes.CDLL):
             "gav_mux_close": (ctypes.c_int, [ctypes.c_void_p]),
             "gav_has_encoder": (ctypes.c_int, [ctypes.c_char_p]),
             "gav_avcodec_version": (ctypes.c_uint, []),
+            # audio
+            "gav_demux_has_audio": (ctypes.c_int, [ctypes.c_void_p]),
+            "gav_demux_audio_info": (None, [ctypes.c_void_p, c_pi, c_pi,
+                                            c_pi, c_pi, c_pi]),
+            "gav_demux_audio_extradata": (ctypes.c_int, [ctypes.c_void_p,
+                                                         c_ppu8]),
+            "gav_adec_create": (ctypes.c_void_p, [ctypes.c_int, c_pu8,
+                                                  ctypes.c_int, ctypes.c_int,
+                                                  ctypes.c_int]),
+            "gav_adec_close": (None, [ctypes.c_void_p]),
+            "gav_adec_send": (ctypes.c_int, [ctypes.c_void_p, c_pu8,
+                                             ctypes.c_int, c_ll]),
+            "gav_adec_receive": (ctypes.c_int, [ctypes.c_void_p,
+                                                ctypes.POINTER(ctypes.c_short),
+                                                ctypes.c_int, c_pll]),
+            "gav_adec_rate": (ctypes.c_int, [ctypes.c_void_p]),
+            "gav_adec_channels": (ctypes.c_int, [ctypes.c_void_p]),
+            "gav_aenc_create": (ctypes.c_void_p, [ctypes.c_char_p,
+                                                  ctypes.c_int, ctypes.c_int,
+                                                  c_ll]),
+            "gav_aenc_close": (None, [ctypes.c_void_p]),
+            "gav_aenc_frame_size": (ctypes.c_int, [ctypes.c_void_p]),
+            "gav_aenc_extradata": (ctypes.c_int, [ctypes.c_void_p, c_ppu8]),
+            "gav_aenc_codec_id": (ctypes.c_int, [ctypes.c_void_p]),
+            "gav_aenc_send": (ctypes.c_int, [ctypes.c_void_p,
+                                             ctypes.POINTER(ctypes.c_short),
+                                             ctypes.c_int]),
+            "gav_aenc_receive": (ctypes.c_int, [ctypes.c_void_p, c_ppu8,
+                                                c_pll, c_pll]),
+            "gav_mux_open_av": (ctypes.c_void_p, [ctypes.c_char_p,
+                                                  ctypes.c_int, ctypes.c_int,
+                                                  ctypes.c_int, ctypes.c_int,
+                                                  ctypes.c_int, c_pu8,
+                                                  ctypes.c_int, ctypes.c_int,
+                                                  ctypes.c_int, ctypes.c_int,
+                                                  c_pu8, ctypes.c_int]),
+            "gav_mux_write_stream": (ctypes.c_int, [ctypes.c_void_p,
+                                                    ctypes.c_int, c_pu8,
+                                                    ctypes.c_int, c_ll, c_ll,
+                                                    ctypes.c_int]),
         }
     elif name == "gmat_jpeg":
         c_pi16 = ctypes.POINTER(ctypes.c_int16)

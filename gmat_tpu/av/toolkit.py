@@ -275,3 +275,176 @@ class Muxer:
 
 CODEC_FOR_ENCODER = {"libx264": CODEC_H264, "libx265": CODEC_HEVC,
                      "mjpeg": CODEC_MJPEG}
+
+
+# --------------------------------------------------------------- audio
+class AudioInfo:
+    def __init__(self, dm: "Demuxer"):
+        lib = native.load()
+        cid, sr, ch = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+        tn, td = ctypes.c_int(), ctypes.c_int()
+        self.present = bool(lib.gav_demux_has_audio(dm._h))
+        if self.present:
+            lib.gav_demux_audio_info(dm._h, ctypes.byref(cid),
+                                     ctypes.byref(sr), ctypes.byref(ch),
+                                     ctypes.byref(tn), ctypes.byref(td))
+            self.codec_id = cid.value
+            self.sample_rate = sr.value
+            self.channels = ch.value
+            self.time_base = (tn.value, td.value)
+            p = native.c_pu8()
+            n = lib.gav_demux_audio_extradata(dm._h, ctypes.byref(p))
+            self.extradata = ctypes.string_at(p, n) if n > 0 else b""
+
+
+class AudioDecoder:
+    """Audio decode -> interleaved s16 numpy (AudDec analog, AvDec.h)."""
+
+    def __init__(self, info: AudioInfo, sample_rate: int = 0,
+                 channels: int = 0):
+        self._lib = native.load()
+        ex = ((ctypes.c_ubyte * len(info.extradata))
+              .from_buffer_copy(info.extradata) if info.extradata else None)
+        self._h = self._lib.gav_adec_create(info.codec_id, ex,
+                                            len(info.extradata), sample_rate,
+                                            channels)
+        if not self._h:
+            raise IOError(f"audio decoder: {native.last_error()}")
+
+    @property
+    def sample_rate(self):
+        return self._lib.gav_adec_rate(self._h)
+
+    @property
+    def channels(self):
+        return self._lib.gav_adec_channels(self._h)
+
+    def decode(self, data, pts: int = -1):
+        """Yields (samples int16 (n, channels), pts)."""
+        if data is None:
+            r = self._lib.gav_adec_send(self._h, None, 0, 0)
+        else:
+            buf = (ctypes.c_ubyte * len(data)).from_buffer_copy(data)
+            r = self._lib.gav_adec_send(self._h, buf, len(data), pts)
+        if r < 0:
+            raise IOError(f"adec: {native.last_error()}")
+        while True:
+            cap = 65536
+            ch = max(self.channels, 1)
+            out = np.empty(cap * ch, np.int16)
+            p = native.c_ll()
+            n = self._lib.gav_adec_receive(
+                self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+                cap, ctypes.byref(p))
+            if n == 0 or n == -2:
+                return
+            if n < 0:
+                raise IOError(f"adec recv: {native.last_error()}")
+            yield out[: n * ch].reshape(n, ch), p.value
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.gav_adec_close(self._h)
+            self._h = None
+
+    __del__ = close
+
+
+class AudioEncoder:
+    """s16 interleaved -> AAC/AC3/MP2 packets (AudEnc analog, AudEnc.h)."""
+
+    def __init__(self, name: str = "aac", sample_rate: int = 48000,
+                 channels: int = 2, bitrate: int = 128000):
+        self._lib = native.load()
+        self._h = self._lib.gav_aenc_create(name.encode(), sample_rate,
+                                            channels, bitrate)
+        if not self._h:
+            raise IOError(f"audio encoder {name}: {native.last_error()}")
+        self.sample_rate, self.channels = sample_rate, channels
+
+    def extradata(self) -> bytes:
+        p = native.c_pu8()
+        n = self._lib.gav_aenc_extradata(self._h, ctypes.byref(p))
+        return ctypes.string_at(p, n) if n > 0 else b""
+
+    @property
+    def codec_id(self):
+        return self._lib.gav_aenc_codec_id(self._h)
+
+    @property
+    def frame_size(self):
+        return self._lib.gav_aenc_frame_size(self._h)
+
+    def _recv_all(self):
+        pkts = []
+        while True:
+            data = native.c_pu8()
+            pts, dts = native.c_ll(), native.c_ll()
+            n = self._lib.gav_aenc_receive(self._h, ctypes.byref(data),
+                                           ctypes.byref(pts),
+                                           ctypes.byref(dts))
+            if n <= 0:
+                return pkts
+            pkts.append(Packet(ctypes.string_at(data, n), pts.value,
+                               dts.value, True, False, 1))
+
+    def encode(self, samples: np.ndarray):
+        """samples: (n, channels) or flat interleaved int16."""
+        samples = np.ascontiguousarray(samples, np.int16)
+        n = samples.size // self.channels
+        r = self._lib.gav_aenc_send(
+            self._h, samples.ctypes.data_as(ctypes.POINTER(ctypes.c_short)), n)
+        if r < 0:
+            raise IOError(f"aenc: {native.last_error()}")
+        return self._recv_all()
+
+    def flush(self):
+        self._lib.gav_aenc_send(self._h, None, 0)
+        return self._recv_all()
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.gav_aenc_close(self._h)
+            self._h = None
+
+    __del__ = close
+
+
+class AvMuxer:
+    """Video + optional audio muxer (LazyMuxer analog with both lanes)."""
+
+    def __init__(self, path: str, width: int, height: int, fps, vcodec: int,
+                 vextra: bytes = b"", acodec_id: int = 0,
+                 sample_rate: int = 0, channels: int = 0,
+                 aextra: bytes = b""):
+        self._lib = native.load()
+        ve = ((ctypes.c_ubyte * len(vextra)).from_buffer_copy(vextra)
+              if vextra else None)
+        ae = ((ctypes.c_ubyte * len(aextra)).from_buffer_copy(aextra)
+              if aextra else None)
+        self._h = self._lib.gav_mux_open_av(
+            path.encode(), width, height, fps[0], fps[1], vcodec, ve,
+            len(vextra), acodec_id, sample_rate, channels, ae, len(aextra))
+        if not self._h:
+            raise IOError(f"mux open: {native.last_error()}")
+
+    def write_video(self, pkt: Packet):
+        self._write(0, pkt)
+
+    def write_audio(self, pkt: Packet):
+        self._write(1, pkt)
+
+    def _write(self, stream: int, pkt: Packet):
+        buf = (ctypes.c_ubyte * len(pkt.data)).from_buffer_copy(pkt.data)
+        dts = pkt.dts if pkt.dts is not None else pkt.pts
+        if self._lib.gav_mux_write_stream(self._h, stream, buf,
+                                          len(pkt.data), pkt.pts, dts,
+                                          int(pkt.key)) < 0:
+            raise IOError(f"mux write: {native.last_error()}")
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.gav_mux_close(self._h)
+            self._h = None
+
+    __del__ = close

@@ -1,0 +1,161 @@
+"""Audio decode/encode/mux round-trip tests."""
+import numpy as np
+import pytest
+
+from gmat_tpu.av import toolkit as tk
+
+
+def sine(rate=48000, channels=2, seconds=1.0, freq=440.0):
+    t = np.arange(int(rate * seconds)) / rate
+    s = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+    return np.stack([s] * channels, axis=1)
+
+
+def test_audio_encode_decode_roundtrip():
+    samples = sine()
+    enc = tk.AudioEncoder("aac", 48000, 2, 128000)
+    pkts = enc.encode(samples)
+    pkts += enc.flush()
+    assert pkts and sum(len(p.data) for p in pkts) > 1000
+    extra = enc.extradata()
+    codec_id = enc.codec_id
+    enc.close()
+
+    class FakeInfo:
+        pass
+    info = FakeInfo()
+    info.codec_id, info.extradata = codec_id, extra
+    dec = tk.AudioDecoder(info)
+    out = []
+    for p in pkts:
+        for (chunk, pts) in dec.decode(p.data, p.pts):
+            out.append(chunk)
+    for (chunk, pts) in dec.decode(None):
+        out.append(chunk)
+    dec.close()
+    got = np.concatenate(out)
+    # AAC adds priming delay; total length within 10%
+    assert abs(got.shape[0] - samples.shape[0]) < 0.1 * samples.shape[0]
+    # energy should be comparable (lossy)
+    assert got.astype(np.float64).std() > samples.std() * 0.5
+
+
+def test_av_mux_with_audio(tmp_path):
+    from .test_extractor import make_clip  # noqa: F401  (reuse video helper)
+    w, h, nframes = 160, 128, 30
+    venc = tk.Encoder("libx264", w, h, fps=(30, 1), crf=25.0,
+                      preset="ultrafast")
+    vpkts = []
+    for i in range(nframes):
+        y = np.full((h, w), 60 + i * 4, np.uint8)
+        u = np.full((h // 2, w // 2), 110, np.uint8)
+        v = np.full((h // 2, w // 2), 140, np.uint8)
+        vpkts += venc.encode(y, u, v, pts=i)
+    vpkts += venc.flush()
+    aenc = tk.AudioEncoder("aac", 48000, 2)
+    apkts = aenc.encode(sine())
+    apkts += aenc.flush()
+
+    path = str(tmp_path / "av.mp4")
+    mux = tk.AvMuxer(path, w, h, (30, 1), tk.CODEC_H264, venc.extradata(),
+                     aenc.codec_id, 48000, 2, aenc.extradata())
+    for p in vpkts:
+        mux.write_video(p)
+    for p in apkts:
+        mux.write_audio(p)
+    mux.close()
+    venc.close(); aenc.close()
+
+    dm = tk.Demuxer(path)
+    info = tk.AudioInfo(dm)
+    assert info.present and info.sample_rate == 48000 and info.channels == 2
+    vid = sum(1 for p in dm if p.stream == 0)
+    assert vid == nframes
+    dm.close()
+
+
+def test_demux_decode_audio_from_file(tmp_path):
+    # build an A/V file, then demux+decode the audio lane back
+    w, h = 160, 128
+    venc = tk.Encoder("libx264", w, h, fps=(30, 1), crf=25.0)
+    y = np.full((h, w), 100, np.uint8)
+    u = np.full((h // 2, w // 2), 110, np.uint8)
+    v = np.full((h // 2, w // 2), 140, np.uint8)
+    vpkts = []
+    for i in range(10):
+        vpkts += venc.encode(y, u, v, pts=i)
+    vpkts += venc.flush()
+    aenc = tk.AudioEncoder("aac", 44100, 1)
+    apkts = aenc.encode(sine(44100, 1, 0.5)) + aenc.flush()
+    path = str(tmp_path / "a.mp4")
+    mux = tk.AvMuxer(path, w, h, (30, 1), tk.CODEC_H264, venc.extradata(),
+                     aenc.codec_id, 44100, 1, aenc.extradata())
+    for p in vpkts:
+        mux.write_video(p)
+    for p in apkts:
+        mux.write_audio(p)
+    mux.close(); venc.close(); aenc.close()
+
+    dm = tk.Demuxer(path)
+    info = tk.AudioInfo(dm)
+    dec = tk.AudioDecoder(info)
+    total = 0
+    for pkt in dm:
+        if pkt.stream == 1:
+            for (chunk, pts) in dec.decode(pkt.data, pkt.pts):
+                total += chunk.shape[0]
+    for (chunk, pts) in dec.decode(None):
+        total += chunk.shape[0]
+    assert total > 0.4 * 44100 * 0.5
+    dm.close(); dec.close()
+
+
+def make_av_clip(path, nframes=30, w=160, h=128):
+    venc = tk.Encoder("libx264", w, h, fps=(30, 1), crf=25.0,
+                      preset="ultrafast")
+    vpkts = []
+    for i in range(nframes):
+        y = np.full((h, w), 60 + i * 4 % 150, np.uint8)
+        u = np.full((h // 2, w // 2), 110, np.uint8)
+        v = np.full((h // 2, w // 2), 140, np.uint8)
+        vpkts += venc.encode(y, u, v, pts=i)
+    vpkts += venc.flush()
+    aenc = tk.AudioEncoder("aac", 48000, 2)
+    apkts = aenc.encode(sine(seconds=nframes / 30.0)) + aenc.flush()
+    mux = tk.AvMuxer(path, w, h, (30, 1), tk.CODEC_H264, venc.extradata(),
+                     aenc.codec_id, 48000, 2, aenc.extradata())
+    for p in vpkts:
+        mux.write_video(p)
+    for p in apkts:
+        mux.write_audio(p)
+    mux.close(); venc.close(); aenc.close()
+
+
+def test_metrans_with_audio(tmp_path):
+    from gmat_tpu.apps.metrans import Options, Rung, run_session
+    clip = str(tmp_path / "av_in.mp4")
+    make_av_clip(clip)
+    opts = Options(input_file=clip, audio_codec="aac", audio_bitrate=96000,
+                   rungs=[Rung(96, 64, out_file=str(tmp_path / "o_#.mp4"))],
+                   video_enc_param="codec=h264:preset=p1:constqp=28")
+    res = run_session(0, opts, batch=8)
+    assert res["frames_out"] == 30
+    dm = tk.Demuxer(str(tmp_path / "o_0.mp4"))
+    info = tk.AudioInfo(dm)
+    assert info.present and info.sample_rate == 48000
+    npkts = sum(1 for p in dm if p.stream == 1)
+    assert npkts > 10
+    dm.close()
+
+
+def test_cli_with_audio(tmp_path):
+    from gmat_tpu.apps.cli import main
+    clip = str(tmp_path / "av_in2.mp4")
+    make_av_clip(clip)
+    out = str(tmp_path / "out_av.mp4")
+    rc = main(["-i", clip, "-vf", "scale=96:64", "-o", out,
+               "-c:a", "aac", "-crf", "25", "-batch", "8"])
+    assert rc == 0
+    dm = tk.Demuxer(out)
+    assert tk.AudioInfo(dm).present
+    dm.close()
