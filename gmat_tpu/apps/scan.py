@@ -1,0 +1,109 @@
+"""Stream scan / census apps.
+
+    python -m gmat_tpu.apps.scan census DIR [-fast] [-threads N]
+        <- AppNvDecScan (metrans/app/AppNvDecScan.cpp:27-69,130-149):
+           decode census over a directory, fast mode skips non-ref frames.
+    python -m gmat_tpu.apps.scan hevc FILE
+        <- AppHevcParse (app/AppHevcParse.cpp:141-210): RPS analysis, which
+           frames can be skipped because the next frame never references
+           them.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+
+def scan_one(path: str, fast: bool) -> dict:
+    from ..av import toolkit as tk
+    try:
+        dm = tk.Demuxer(path)
+    except IOError as e:
+        return {"file": os.path.basename(path), "error": str(e)[:80]}
+    dec = tk.Decoder.from_demuxer(dm)
+    frames = skipped = 0
+    t0 = time.perf_counter()
+    try:
+        for pkt in dm:
+            if pkt.stream != 0:
+                continue
+            if fast and pkt.nonref:
+                skipped += 1
+                continue
+            frames += sum(1 for _ in dec.decode(pkt.data, pkt.pts))
+        frames += sum(1 for _ in dec.decode(None))
+    except IOError as e:
+        return {"file": os.path.basename(path), "error": str(e)[:80]}
+    finally:
+        dm.close(); dec.close()
+    dt = time.perf_counter() - t0
+    return {"file": os.path.basename(path), "codec": dm.codec_name,
+            "size": f"{dm.width}x{dm.height}", "frames": frames,
+            "skipped": skipped, "fps": round(frames / dt, 1) if dt else 0}
+
+
+def census(args) -> int:
+    files = sorted(
+        os.path.join(args.path, f) for f in os.listdir(args.path)
+        if f.lower().endswith((".mp4", ".mkv", ".mov", ".264", ".265",
+                               ".h264", ".hevc", ".avi", ".webm")))
+    results = []
+    lock = threading.Lock()
+
+    def worker(sub):
+        for p in sub:
+            r = scan_one(p, args.fast)
+            with lock:
+                results.append(r)
+
+    nthreads = max(args.threads, 1)
+    chunks = [files[i::nthreads] for i in range(nthreads)]
+    threads = [threading.Thread(target=worker, args=(c,)) for c in chunks]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for r in sorted(results, key=lambda r: r["file"]):
+        print(json.dumps(r))
+    total = sum(r.get("frames", 0) for r in results)
+    print(json.dumps({"total_files": len(files), "total_frames": total}))
+    return 0
+
+
+def hevc_rps(args) -> int:
+    from ..av import hevc, toolkit as tk
+    dm = tk.Demuxer(args.path)
+    if dm.codec_name != "hevc":
+        print("not an HEVC stream", file=sys.stderr)
+        return 1
+    packets = [p.data for p in dm if p.stream == 0]
+    dm.close()
+    res = hevc.analyze_skippable(packets)
+    nskip = sum(1 for _, s in res if s)
+    for poc, s in res:
+        print(("Skip " if s else "Decode ") + str(poc))
+    print(json.dumps({"total": len(res), "skippable": nskip,
+                      "ratio": round(nskip / max(len(res), 1), 3)}))
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gmat-scan")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("census")
+    c.add_argument("path")
+    c.add_argument("-fast", action="store_true",
+                   help="skip non-reference frames (smart scan)")
+    c.add_argument("-threads", type=int, default=2)
+    h = sub.add_parser("hevc")
+    h.add_argument("path")
+    args = p.parse_args(argv)
+    return census(args) if args.cmd == "census" else hevc_rps(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -212,3 +212,255 @@ def parse_hvcc(rec: bytes) -> Tuple[List[bytes], int]:
             ln = int.from_bytes(rec[i:i + 2], "big"); i += 2
             nals.append(rec[i:i + ln]); i += ln
     return nals, length_size
+
+
+# ===================================================================== RPS
+# Short-term reference picture set parsing + the AppHevcParse analysis
+# (metrans/app/AppHevcParse.cpp:141-210): frame N-1 is skippable when frame
+# N's ref pic set does not contain N-1's POC.
+
+
+@dataclasses.dataclass
+class StRps:
+    s0_deltas: list          # delta_poc_s0_minus1 values (negative refs)
+    s1_deltas: list          # delta_poc_s1_minus1 values (positive refs)
+    used0: list
+    used1: list
+
+    @property
+    def num_delta_pocs(self):
+        return len(self.s0_deltas) + len(self.s1_deltas)
+
+
+def _parse_st_rps(r: "BitReader", idx: int, rps_list: list) -> StRps:
+    """st_ref_pic_set(idx) per H.265 7.3.7 incl. inter-set prediction."""
+    inter_pred = r.u(1) if idx != 0 else 0
+    if inter_pred:
+        delta_idx = (r.ue() + 1) if idx == len(rps_list) else 1
+        ref = rps_list[idx - delta_idx]
+        sign = r.u(1)
+        abs_delta = r.ue() + 1
+        delta_rps = -abs_delta if sign else abs_delta
+        # build DeltaPoc lists of the reference set
+        ref_deltas = ([-(d + 1) for d in ref.s0_deltas] +
+                      [(d + 1) for d in ref.s1_deltas])
+        ref_used = ref.used0 + ref.used1
+        use, used_by = [], []
+        for j in range(ref.num_delta_pocs + 1):
+            u = r.u(1)
+            used_by.append(u)
+            use.append(1 if u else r.u(1))
+        s0, s1, u0, u1 = [], [], [], []
+        # spec derivation (7-59..7-71), simplified for the common layout
+        for j in range(len(ref.s1_deltas) - 1, -1, -1):
+            dpoc = ref_deltas[len(ref.s0_deltas) + j] + delta_rps
+            if dpoc < 0 and use[len(ref.s0_deltas) + j]:
+                s0.append(-dpoc - 1)
+                u0.append(used_by[len(ref.s0_deltas) + j])
+        if delta_rps < 0 and use[ref.num_delta_pocs]:
+            s0.append(-delta_rps - 1)
+            u0.append(used_by[ref.num_delta_pocs])
+        for j in range(len(ref.s0_deltas)):
+            dpoc = ref_deltas[j] + delta_rps
+            if dpoc < 0 and use[j]:
+                s0.append(-dpoc - 1)
+                u0.append(used_by[j])
+        for j in range(len(ref.s0_deltas) - 1, -1, -1):
+            dpoc = ref_deltas[j] + delta_rps
+            if dpoc > 0 and use[j]:
+                s1.append(dpoc - 1)
+                u1.append(used_by[j])
+        if delta_rps > 0 and use[ref.num_delta_pocs]:
+            s1.append(delta_rps - 1)
+            u1.append(used_by[ref.num_delta_pocs])
+        for j in range(len(ref.s1_deltas)):
+            dpoc = ref_deltas[len(ref.s0_deltas) + j] + delta_rps
+            if dpoc > 0 and use[len(ref.s0_deltas) + j]:
+                s1.append(dpoc - 1)
+                u1.append(used_by[len(ref.s0_deltas) + j])
+        return StRps(s0, s1, u0, u1)
+    n_neg = r.ue()
+    n_pos = r.ue()
+    s0, u0, s1, u1 = [], [], [], []
+    for _ in range(n_neg):
+        s0.append(r.ue())
+        u0.append(r.u(1))
+    for _ in range(n_pos):
+        s1.append(r.ue())
+        u1.append(r.u(1))
+    return StRps(s0, s1, u0, u1)
+
+
+def _skip_scaling_list(r: "BitReader"):
+    for size_id in range(4):
+        m = 0
+        while m < (6 if size_id != 3 else 2):
+            if not r.u(1):                       # pred_mode_flag
+                r.ue()                           # pred_matrix_id_delta
+            else:
+                ncoef = min(64, 1 << (4 + (size_id << 1)))
+                if size_id > 1:
+                    r.se()                       # dc coef
+                for _ in range(ncoef):
+                    r.se()
+            m += 1 if size_id != 3 else 3        # matrixId inc step
+
+
+@dataclasses.dataclass
+class SpsFull:
+    sps: "Sps"
+    log2_max_poc_lsb: int
+    rps_list: list
+    sps_id: int
+
+
+def parse_sps_full(nal: bytes) -> SpsFull:
+    """SPS parse continued far enough to get the RPS list (7.3.2.2)."""
+    r = BitReader(nal)
+    r.u(4)
+    max_sub_layers = r.u(3) + 1
+    r.u(1)
+    r.u(2 + 1 + 5)
+    r.u(32)
+    r.u(48)
+    r.u(8)
+    sub_present = [(r.u(1), r.u(1)) for _ in range(max_sub_layers - 1)]
+    if max_sub_layers > 1:
+        for _ in range(max_sub_layers - 1, 8):
+            r.u(2)
+        for pp, lp in sub_present:
+            if pp:
+                r.u(88)
+            if lp:
+                r.u(8)
+    sps_id = r.ue()
+    chroma = r.ue()
+    if chroma == 3:
+        r.u(1)
+    w = r.ue(); h = r.ue()
+    if r.u(1):
+        r.ue(); r.ue(); r.ue(); r.ue()
+    r.ue(); r.ue()                                # bit depths
+    log2_max_poc = r.ue() + 4
+    sub_ordering = r.u(1)
+    n = max_sub_layers if sub_ordering else 1
+    for _ in range(n):
+        r.ue(); r.ue(); r.ue()
+    r.ue(); r.ue(); r.ue(); r.ue()                # coding block sizes
+    r.ue(); r.ue()                                # transform hierarchy
+    if r.u(1):                                    # scaling_list_enabled
+        if r.u(1):
+            _skip_scaling_list(r)
+    r.u(1); r.u(1)                                # amp, sao
+    if r.u(1):                                    # pcm_enabled
+        r.u(4); r.u(4); r.ue(); r.ue(); r.u(1)
+    num_rps = r.ue()
+    rps_list = []
+    for i in range(num_rps):
+        rps_list.append(_parse_st_rps(r, i, rps_list))
+    sps = parse_sps(nal)
+    return SpsFull(sps, log2_max_poc, rps_list, sps_id)
+
+
+@dataclasses.dataclass
+class Pps:
+    pps_id: int
+    sps_id: int
+    dependent_slices: bool
+    output_flag_present: bool
+    num_extra_slice_header_bits: int
+
+
+def parse_pps(nal: bytes) -> Pps:
+    r = BitReader(nal)
+    pps_id = r.ue()
+    sps_id = r.ue()
+    dep = r.u(1)
+    out = r.u(1)
+    extra = r.u(3)
+    return Pps(pps_id, sps_id, bool(dep), bool(out), extra)
+
+
+@dataclasses.dataclass
+class SliceRps:
+    poc_lsb: int
+    ref_pocs: set            # POCs (lsb arithmetic) this slice references
+    is_idr: bool
+    nal_type_: int
+
+
+def parse_slice_rps(nal: bytes, spsf: SpsFull, pps: Pps) -> Optional[SliceRps]:
+    """Slice-segment header up to the short-term RPS (7.3.6.1)."""
+    t = nal_type(nal)
+    if not is_vcl(t):
+        return None
+    r = BitReader(nal)
+    first = r.u(1)
+    if is_irap(t):
+        r.u(1)                                    # no_output_of_prior_pics
+    r.ue()                                        # slice_pic_parameter_set_id
+    if not first and pps.dependent_slices:
+        if r.u(1):
+            return None                           # dependent slice: no header
+    if not first:
+        pass                                      # slice_segment_address (needs CTU count); assume 1 slice/pic
+    r.u(pps.num_extra_slice_header_bits)
+    r.ue()                                        # slice_type
+    if pps.output_flag_present:
+        r.u(1)
+    if is_idr(t):
+        return SliceRps(0, set(), True, t)
+    poc_lsb = r.u(spsf.log2_max_poc_lsb)
+    rps = None
+    if r.u(1):                                    # short_term_ref_pic_set_sps_flag
+        nbits = max(1, (len(spsf.rps_list) - 1).bit_length())
+        idx = r.u(nbits) if len(spsf.rps_list) > 1 else 0
+        if idx < len(spsf.rps_list):
+            rps = spsf.rps_list[idx]
+    else:
+        rps = _parse_st_rps(r, len(spsf.rps_list), spsf.rps_list)
+    refs = set()
+    if rps:
+        acc = poc_lsb
+        for d in rps.s0_deltas:
+            acc = acc - (d + 1)
+            refs.add(acc)
+        acc = poc_lsb
+        for d in rps.s1_deltas:
+            acc = acc + (d + 1)
+            refs.add(acc)
+    return SliceRps(poc_lsb, refs, False, t)
+
+
+def analyze_skippable(packets) -> list:
+    """AppHevcParse's analysis over annexb HEVC packets.
+
+    Returns [(poc_lsb, skippable_bool), ...] in decode order: packet i is
+    skippable when packet i+1's reference picture set does not contain
+    packet i's POC (AppHevcParse.cpp:186-196).  The last frame is never
+    marked skippable (nothing follows to prove it unused).
+    """
+    spsf = None
+    pps = None
+    slices = []
+    for data in packets:
+        sl = None
+        for n in split_annexb(data):
+            t = nal_type(n)
+            if t == NAL_SPS:
+                spsf = parse_sps_full(n)
+            elif t == NAL_PPS:
+                pps = parse_pps(n)
+            elif is_vcl(t) and sl is None and spsf and pps:
+                sl = parse_slice_rps(n, spsf, pps)
+        if sl is not None:
+            slices.append(sl)
+    out = []
+    for i, sl in enumerate(slices):
+        if i + 1 < len(slices):
+            nxt = slices[i + 1]
+            skippable = (not nxt.is_idr) and (sl.poc_lsb not in nxt.ref_pocs)
+        else:
+            skippable = False
+        out.append((sl.poc_lsb, skippable))
+    return out
