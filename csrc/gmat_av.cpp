@@ -840,3 +840,104 @@ GAV_API int gav_mux_write_stream(void* h, int stream, const unsigned char* data,
     if (r < 0) { set_err("mux audio", r); return -1; }
     return 0;
 }
+
+// ============================================================ 10-bit lane
+// P010/10-bit support (the reference's P016 paths: AppNvTrans 8<->10-bit,
+// NvDecLite 10-bit output).  Samples cross the ABI as lsb-aligned u16
+// ("yuv420p10" in gmat_tpu/core/formats.py).
+
+GAV_API int gav_dec_receive16(void* h, unsigned short* y, unsigned short* u,
+                              unsigned short* v, int w, int hgt,
+                              long long* pts) {
+    auto* d = (GavDecoder*)h;
+    int r = avcodec_receive_frame(d->ctx, d->frame);
+    if (r == AVERROR(EAGAIN)) return 0;
+    if (r == AVERROR_EOF) return -2;
+    if (r < 0) { set_err("receive_frame", r); return -1; }
+    AVFrame* f = d->frame;
+    *pts = f->pts != AV_NOPTS_VALUE ? f->pts : f->best_effort_timestamp;
+    AVPixelFormat pf = (AVPixelFormat)f->format;
+    if (pf == AV_PIX_FMT_YUV420P10LE) {
+        for (int i = 0; i < hgt; i++)
+            memcpy(y + (size_t)i * w, f->data[0] + (size_t)i * f->linesize[0], w * 2);
+        for (int i = 0; i < hgt / 2; i++) {
+            memcpy(u + (size_t)i * (w / 2), f->data[1] + (size_t)i * f->linesize[1], w);
+            memcpy(v + (size_t)i * (w / 2), f->data[2] + (size_t)i * f->linesize[2], w);
+        }
+    } else {
+        if (!d->sws || d->sws_w != f->width || d->sws_h != f->height ||
+            d->sws_fmt != pf) {
+            if (d->sws) sws_freeContext(d->sws);
+            d->sws = sws_getContext(f->width, f->height, pf, w, hgt,
+                                    AV_PIX_FMT_YUV420P10LE, SWS_BILINEAR,
+                                    nullptr, nullptr, nullptr);
+            d->sws_w = f->width; d->sws_h = f->height; d->sws_fmt = pf;
+        }
+        uint8_t* dst[4] = {(uint8_t*)y, (uint8_t*)u, (uint8_t*)v, nullptr};
+        int dstride[4] = {w * 2, w, w, 0};
+        sws_scale(d->sws, f->data, f->linesize, 0, f->height, dst, dstride);
+    }
+    av_frame_unref(f);
+    return 1;
+}
+
+// 10-bit still/video encoder (libx265 main10); input lsb-aligned u16.
+GAV_API void* gav_enc_create10(const char* name, int w, int h, int fps_num,
+                               int fps_den, long long bitrate, int gop,
+                               int bf, const char* preset, double crf,
+                               int still_image, const char* opts) {
+    const AVCodec* c = avcodec_find_encoder_by_name(name);
+    if (!c) { snprintf(g_err, sizeof g_err, "no encoder %s", name); return nullptr; }
+    auto* e = new GavEncoder();
+    e->ctx = avcodec_alloc_context3(c);
+    e->ctx->width = w; e->ctx->height = h;
+    e->ctx->time_base = {fps_den, fps_num};
+    e->ctx->framerate = {fps_num, fps_den};
+    e->ctx->pix_fmt = AV_PIX_FMT_YUV420P10LE;
+    e->ctx->gop_size = still_image ? 1 : (gop > 0 ? gop : 300);
+    e->ctx->max_b_frames = still_image ? 0 : bf;
+    if (bitrate > 0) e->ctx->bit_rate = bitrate;
+    e->ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    e->ctx->thread_count = 1;
+    if (preset && *preset) av_opt_set(e->ctx->priv_data, "preset", preset, 0);
+    if (crf >= 0) av_opt_set_double(e->ctx->priv_data, "crf", crf, 0);
+    AVDictionary* dict = nullptr;
+    if (opts && *opts) av_dict_parse_string(&dict, opts, "=", ",", 0);
+    int r = avcodec_open2(e->ctx, c, opts && *opts ? &dict : nullptr);
+    av_dict_free(&dict);
+    if (r < 0) { set_err("open enc10", r); avcodec_free_context(&e->ctx); delete e; return nullptr; }
+    e->frame = av_frame_alloc();
+    e->frame->format = e->ctx->pix_fmt;
+    e->frame->width = w; e->frame->height = h;
+    av_frame_get_buffer(e->frame, 0);
+    e->pkt = av_packet_alloc();
+    return e;
+}
+
+GAV_API int gav_enc_send16(void* h, const unsigned short* y,
+                           const unsigned short* u, const unsigned short* v,
+                           long long pts, int force_key) {
+    auto* e = (GavEncoder*)h;
+    int r;
+    if (!y) {
+        r = avcodec_send_frame(e->ctx, nullptr);
+    } else {
+        av_frame_make_writable(e->frame);
+        int w = e->ctx->width, hh = e->ctx->height;
+        for (int i = 0; i < hh; i++)
+            memcpy(e->frame->data[0] + (size_t)i * e->frame->linesize[0],
+                   y + (size_t)i * w, w * 2);
+        for (int i = 0; i < hh / 2; i++) {
+            memcpy(e->frame->data[1] + (size_t)i * e->frame->linesize[1],
+                   u + (size_t)i * (w / 2), w);
+            memcpy(e->frame->data[2] + (size_t)i * e->frame->linesize[2],
+                   v + (size_t)i * (w / 2), w);
+        }
+        e->frame->pts = pts >= 0 ? pts : e->in_count;
+        e->frame->pict_type = force_key ? AV_PICTURE_TYPE_I : AV_PICTURE_TYPE_NONE;
+        e->in_count++;
+        r = avcodec_send_frame(e->ctx, e->frame);
+    }
+    if (r < 0 && r != AVERROR(EAGAIN) && r != AVERROR_EOF) { set_err("send16", r); return -1; }
+    return r == AVERROR(EAGAIN) ? 1 : 0;
+}

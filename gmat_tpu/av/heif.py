@@ -306,3 +306,207 @@ def decode_all(data):
     for i in range(len(rdr.items)):
         out.append(decode_still(data, i))
     return out
+
+
+# ======================================================== image sequences
+# Track-based HEIF sequence ('msf1'), the NvHeifWriter::writeSequence /
+# readVideoFrame analog (NvHeifWriter.cpp:272-469, NvHeifReader.cpp:119).
+
+
+def _u32(v): return struct.pack(">I", v)
+def _u16(v): return struct.pack(">H", v)
+
+
+def _hvc1_sample_entry(w: int, h: int, hvcc: bytes) -> bytes:
+    e = bytearray()
+    e += b"\0" * 6 + _u16(1)                  # reserved + data_ref_index
+    e += b"\0" * 16                           # predefined/reserved
+    e += _u16(w) + _u16(h)
+    e += _u32(0x00480000) + _u32(0x00480000)  # 72 dpi
+    e += _u32(0)
+    e += _u16(1)                              # frame_count
+    e += b"\0" * 32                           # compressor name
+    e += _u16(0x18) + struct.pack(">h", -1)
+    e += _box(b"hvcC", hvcc)
+    return _box(b"hvc1", bytes(e))
+
+
+class HeifSequenceWriter:
+    """HEVC access units -> 'msf1' HEIF image sequence (one video track,
+    handler 'pict')."""
+
+    def __init__(self, fps: int = 30):
+        self.fps = fps
+        self.samples: List[bytes] = []
+        self.sync: List[int] = []
+        self.hvcc = b""
+        self.width = self.height = 0
+
+    def add_frame(self, annexb: bytes) -> None:
+        nals = hevc.split_annexb(annexb)
+        ps = {hevc.nal_type(n): n for n in nals
+              if hevc.nal_type(n) in (32, 33, 34)}
+        media = [n for n in nals if hevc.is_vcl(hevc.nal_type(n))]
+        if not self.hvcc and len(ps) == 3:
+            self.hvcc = hevc.build_hvcc(ps[32], ps[33], ps[34])
+            s = hevc.parse_sps(ps[33])
+            self.width, self.height = s.width, s.height
+        if not media:
+            return
+        if any(hevc.is_irap(hevc.nal_type(n)) for n in media):
+            self.sync.append(len(self.samples) + 1)    # 1-based
+        self.samples.append(_annexb_to_length_prefixed(media))
+
+    def tobytes(self) -> bytes:
+        if not self.samples or not self.hvcc:
+            raise ValueError("no frames / missing parameter sets")
+        n = len(self.samples)
+        timescale = self.fps
+        dur = n
+        ftyp = _box(b"ftyp", b"msf1" + _u32(0) + b"msf1hevciso8")
+        mvhd = _full(b"mvhd", 0, 0,
+                     _u32(0) * 2 + _u32(timescale) + _u32(dur) +
+                     _u32(0x00010000) + _u16(0x0100) + _u16(0) + _u32(0) * 2 +
+                     _u32(0x00010000) + _u32(0) * 2 + _u32(0) + _u32(0x00010000) +
+                     _u32(0) * 2 + _u32(0) + _u32(0x40000000) +
+                     _u32(0) * 6 + _u32(2))
+        tkhd = _full(b"tkhd", 0, 7,
+                     _u32(0) * 2 + _u32(1) + _u32(0) + _u32(dur) +
+                     _u32(0) * 2 + _u16(0) * 2 + _u16(0) + _u16(0) +
+                     _u32(0x00010000) + _u32(0) * 2 + _u32(0) +
+                     _u32(0x00010000) + _u32(0) * 2 + _u32(0) +
+                     _u32(0x40000000) +
+                     _u32(self.width << 16) + _u32(self.height << 16))
+        mdhd = _full(b"mdhd", 0, 0,
+                     _u32(0) * 2 + _u32(timescale) + _u32(dur) +
+                     _u16(0x55C4) + _u16(0))
+        hdlr = _full(b"hdlr", 0, 0,
+                     b"\0\0\0\0" + b"pict" + b"\0" * 12 + b"gmat seq\0")
+        stsd = _full(b"stsd", 0, 0,
+                     _u32(1) + _hvc1_sample_entry(self.width, self.height,
+                                                  self.hvcc))
+        stts = _full(b"stts", 0, 0, _u32(1) + _u32(n) + _u32(1))
+        stsc = _full(b"stsc", 0, 0, _u32(1) + _u32(1) + _u32(n) + _u32(1))
+        stsz = _full(b"stsz", 0, 0, _u32(0) + _u32(n) +
+                     b"".join(_u32(len(s)) for s in self.samples))
+        stss = _full(b"stss", 0, 0, _u32(len(self.sync)) +
+                     b"".join(_u32(i) for i in self.sync))
+        vmhd = _full(b"vmhd", 0, 1, _u16(0) + _u16(0) * 3)
+        dinf = _box(b"dinf", _full(b"dref", 0, 0,
+                                   _u32(1) + _full(b"url ", 0, 1, b"")))
+        # stco needs the mdat offset: two-pass like the still writer
+        def build(stco_off):
+            stco = _full(b"stco", 0, 0, _u32(1) + _u32(stco_off))
+            stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+            minf = _box(b"minf", vmhd + dinf + stbl)
+            mdia = _box(b"mdia", mdhd + hdlr + minf)
+            trak = _box(b"trak", tkhd + mdia)
+            return _box(b"moov", mvhd + trak)
+        probe = build(0)
+        mdat_payload = b"".join(self.samples)
+        offset = len(ftyp) + len(probe) + 8
+        moov = build(offset)
+        assert len(moov) == len(probe)
+        return ftyp + moov + _box(b"mdat", mdat_payload)
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            f.write(self.tobytes())
+
+
+class HeifSequenceReader:
+    """Parse our 'msf1' sequences back into annexb access units."""
+
+    def __init__(self, path_or_bytes):
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            d = bytes(path_or_bytes)
+        else:
+            with open(path_or_bytes, "rb") as f:
+                d = f.read()
+        self.data = d
+        self.hvcc = b""
+        self.width = self.height = 0
+        sizes, chunk_off = [], 0
+        moov_span = None
+        for typ, s, e in _iter_boxes(d):
+            if typ == b"moov":
+                moov_span = (s, e)
+        if moov_span is None:
+            raise IOError("no moov box (not a HEIF sequence)")
+
+        def walk(s, e):
+            nonlocal sizes, chunk_off
+            for typ, s2, e2 in _iter_boxes(d, s, e):
+                if typ in (b"trak", b"mdia", b"minf", b"stbl"):
+                    walk(s2, e2)
+                elif typ == b"stsd":
+                    entry = d[s2 + 8:e2]
+                    if entry[4:8] == b"hvc1":
+                        self.width = struct.unpack(">H", entry[8 + 24:8 + 26])[0]
+                        self.height = struct.unpack(">H", entry[8 + 26:8 + 28])[0]
+                        # children follow the 8-byte entry header + the
+                        # 78-byte VisualSampleEntry body
+                        for t3, s3, e3 in _iter_boxes(d, s2 + 8 + 8 + 78, e2):
+                            if t3 == b"hvcC":
+                                self.hvcc = d[s3:e3]
+                elif typ == b"stsz":
+                    body = d[s2 + 4:e2]
+                    cnt = struct.unpack(">I", body[4:8])[0]
+                    sizes = [struct.unpack(">I", body[8 + 4 * i:12 + 4 * i])[0]
+                             for i in range(cnt)]
+                elif typ == b"stco":
+                    chunk_off = struct.unpack(">I", d[s2 + 8:s2 + 12])[0]
+        walk(*moov_span)
+        if not sizes or not self.hvcc:
+            raise IOError("missing sample table / hvcC")
+        self.frames: List[bytes] = []
+        off = chunk_off
+        for sz in sizes:
+            self.frames.append(d[off:off + sz])
+            off += sz
+
+    def frame_annexb(self, i: int) -> bytes:
+        nals, lsz = hevc.parse_hvcc(self.hvcc)
+        out = b""
+        if i == 0:
+            out = b"".join(b"\x00\x00\x00\x01" + n for n in nals)
+        data = self.frames[i]
+        j = 0
+        while j + lsz <= len(data):
+            ln = int.from_bytes(data[j:j + lsz], "big")
+            out += b"\x00\x00\x00\x01" + data[j + lsz:j + lsz + ln]
+            j += lsz + ln
+        return out
+
+
+def encode_sequence(frames, fps: int = 30, crf: float = 22.0,
+                    gop: int = 30) -> bytes:
+    """[(y,u,v), ...] -> inter-coded HEIF image sequence bytes."""
+    first = frames[0][0]
+    h, w = first.shape
+    enc = tk.Encoder("libx265", w, h, fps=(fps, 1), gop=gop, crf=crf,
+                     opts="x265-params=log-level=0")
+    wtr = HeifSequenceWriter(fps)
+    extra = None
+    pending = []
+    for i, (y, u, v) in enumerate(frames):
+        pending += enc.encode(y, u, v, pts=i)
+    pending += enc.flush()
+    extra = enc.extradata()
+    enc.close()
+    for i, p in enumerate(pending):
+        wtr.add_frame((extra if i == 0 else b"") + p.data)
+    return wtr.tobytes()
+
+
+def decode_sequence(data) -> list:
+    """HEIF sequence bytes/path -> [(y, u, v), ...] in decode order."""
+    rdr = HeifSequenceReader(data)
+    dec = tk.Decoder(tk.CODEC_HEVC, width=rdr.width, height=rdr.height)
+    out = []
+    for i in range(len(rdr.frames)):
+        out += [(y, u, v) for (y, u, v, _) in
+                dec.decode(rdr.frame_annexb(i), i)]
+    out += [(y, u, v) for (y, u, v, _) in dec.decode(None)]
+    dec.close()
+    return out

@@ -148,6 +148,27 @@ def _declare(name: str, lib: ctypes.CDLL):
                                                     ctypes.c_int, c_pu8,
                                                     ctypes.c_int, c_ll, c_ll,
                                                     ctypes.c_int]),
+            # 10-bit lane
+            "gav_dec_receive16": (ctypes.c_int, [ctypes.c_void_p,
+                                                 ctypes.POINTER(ctypes.c_ushort),
+                                                 ctypes.POINTER(ctypes.c_ushort),
+                                                 ctypes.POINTER(ctypes.c_ushort),
+                                                 ctypes.c_int, ctypes.c_int,
+                                                 c_pll]),
+            "gav_enc_create10": (ctypes.c_void_p, [ctypes.c_char_p,
+                                                   ctypes.c_int, ctypes.c_int,
+                                                   ctypes.c_int, ctypes.c_int,
+                                                   c_ll, ctypes.c_int,
+                                                   ctypes.c_int,
+                                                   ctypes.c_char_p,
+                                                   ctypes.c_double,
+                                                   ctypes.c_int,
+                                                   ctypes.c_char_p]),
+            "gav_enc_send16": (ctypes.c_int, [ctypes.c_void_p,
+                                              ctypes.POINTER(ctypes.c_ushort),
+                                              ctypes.POINTER(ctypes.c_ushort),
+                                              ctypes.POINTER(ctypes.c_ushort),
+                                              c_ll, ctypes.c_int]),
         }
     elif name == "gmat_jpeg":
         c_pi16 = ctypes.POINTER(ctypes.c_int16)

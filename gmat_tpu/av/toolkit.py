@@ -166,6 +166,46 @@ class Decoder:
                 return
             yield f
 
+    def receive16(self):
+        """Like receive() but 10-bit: lsb-aligned uint16 planes
+        ('yuv420p10'); any source depth is normalized to 10-bit."""
+        if not self.width:
+            self.width = self._lib.gav_dec_width(self._h)
+            self.height = self._lib.gav_dec_height(self._h)
+        w, h = self.width, self.height
+        if not w:
+            return None
+        y = np.empty((h, w), np.uint16)
+        u = np.empty((h // 2, w // 2), np.uint16)
+        v = np.empty((h // 2, w // 2), np.uint16)
+        pts = native.c_ll()
+        pu16 = ctypes.POINTER(ctypes.c_ushort)
+        r = self._lib.gav_dec_receive16(
+            self._h, y.ctypes.data_as(pu16), u.ctypes.data_as(pu16),
+            v.ctypes.data_as(pu16), w, h, ctypes.byref(pts))
+        if r == 0:
+            rw = self._lib.gav_dec_width(self._h)
+            if rw and rw != w:
+                self.width, self.height = rw, self._lib.gav_dec_height(self._h)
+                return self.receive16()
+            return None
+        if r == -2:
+            raise StopIteration
+        if r < 0:
+            raise IOError(f"dec receive16: {native.last_error()}")
+        return y, u, v, pts.value
+
+    def decode16(self, data: Optional[bytes], pts: int = -1):
+        self.send(data, pts)
+        while True:
+            try:
+                f = self.receive16()
+            except StopIteration:
+                return
+            if f is None:
+                return
+            yield f
+
     def close(self):
         if getattr(self, "_h", None):
             self._lib.gav_dec_close(self._h)
@@ -182,17 +222,37 @@ class Encoder:
                  fps: Tuple[int, int] = (30, 1), bitrate: int = 0,
                  gop: int = 0, bf: int = 0, preset: str = "veryfast",
                  crf: float = -1.0, still_image: bool = False,
-                 opts: str = ""):
+                 opts: str = "", bits: int = 8):
         self._lib = native.load()
         if not self._lib.gav_has_encoder(name.encode()):
             raise IOError(f"encoder {name} not available in libavcodec")
-        self._h = self._lib.gav_enc_create(
+        create = (self._lib.gav_enc_create10 if bits == 10
+                  else self._lib.gav_enc_create)
+        self._h = create(
             name.encode(), width, height, fps[0], fps[1], bitrate, gop, bf,
             preset.encode(), crf, int(still_image), opts.encode())
         if not self._h:
             raise IOError(f"encoder create: {native.last_error()}")
         self.width, self.height, self.fps = width, height, fps
         self.name = name
+        self.bits = bits
+        self._kwargs = dict(fps=fps, bitrate=bitrate, gop=gop, bf=bf,
+                            preset=preset, crf=crf, still_image=still_image,
+                            opts=opts, bits=bits)
+
+    def reconfigure(self, **changes) -> None:
+        """Change encoder parameters mid-stream (NvEncLite::Reconfigure
+        analog, NvEncLiteUnbuffered.cpp:288-290).  libavcodec software
+        encoders can't live-reconfig, so the encoder is recreated and the
+        next frame is forced IDR; drain pending packets before calling."""
+        kw = dict(self._kwargs, **changes)
+        self._lib.gav_enc_close(self._h)
+        self._h = None
+        new = Encoder(self.name, self.width, self.height, **kw)
+        self._h, new._h = new._h, None
+        self._kwargs = kw
+        self.bits = kw["bits"]
+        self._force_next_key = True
 
     def extradata(self) -> bytes:
         p = native.c_pu8()
@@ -214,14 +274,25 @@ class Encoder:
 
     def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                pts: int = -1, force_key: bool = False):
-        """Encode one I420 frame; returns list of Packets ready so far."""
-        y = np.ascontiguousarray(y, np.uint8)
-        u = np.ascontiguousarray(u, np.uint8)
-        v = np.ascontiguousarray(v, np.uint8)
-        r = self._lib.gav_enc_send(
-            self._h, y.ctypes.data_as(native.c_pu8),
-            u.ctypes.data_as(native.c_pu8), v.ctypes.data_as(native.c_pu8),
-            pts, int(force_key))
+        """Encode one I420 (or 10-bit u16) frame; returns ready Packets."""
+        if getattr(self, "_force_next_key", False):
+            force_key, self._force_next_key = True, False
+        if self.bits == 10:
+            pu16 = ctypes.POINTER(ctypes.c_ushort)
+            y = np.ascontiguousarray(y, np.uint16)
+            u = np.ascontiguousarray(u, np.uint16)
+            v = np.ascontiguousarray(v, np.uint16)
+            r = self._lib.gav_enc_send16(
+                self._h, y.ctypes.data_as(pu16), u.ctypes.data_as(pu16),
+                v.ctypes.data_as(pu16), pts, int(force_key))
+        else:
+            y = np.ascontiguousarray(y, np.uint8)
+            u = np.ascontiguousarray(u, np.uint8)
+            v = np.ascontiguousarray(v, np.uint8)
+            r = self._lib.gav_enc_send(
+                self._h, y.ctypes.data_as(native.c_pu8),
+                u.ctypes.data_as(native.c_pu8),
+                v.ctypes.data_as(native.c_pu8), pts, int(force_key))
         if r < 0:
             raise IOError(f"enc send: {native.last_error()}")
         pkts, _ = self._recv_all()

@@ -129,3 +129,49 @@ def test_still_image_mode_all_keyframes(tmp_path):
     pkts += enc.flush()
     assert len(pkts) == 4 and all(p.key for p in pkts)
     enc.close()
+
+
+def test_10bit_encode_decode_roundtrip():
+    w, h = 160, 128
+    rng = np.random.default_rng(3)
+    y = (np.add.outer(np.linspace(64, 900, h), np.linspace(0, 80, w))
+         ).astype(np.uint16)
+    u = np.full((h // 2, w // 2), 400, np.uint16)
+    v = np.full((h // 2, w // 2), 620, np.uint16)
+    enc = tk.Encoder("libx265", w, h, crf=12.0, still_image=True, bits=10,
+                     opts="x265-params=log-level=0")
+    pkts = enc.encode(y, u, v, pts=0) + enc.flush()
+    extra = enc.extradata()
+    enc.close()
+    assert pkts
+    dec = tk.Decoder(tk.CODEC_HEVC, extradata=extra, width=w, height=h)
+    frames = []
+    for p in pkts:
+        frames += list(dec.decode16(p.data, p.pts))
+    frames += list(dec.decode16(None))
+    dec.close()
+    assert len(frames) == 1
+    yd = frames[0][0]
+    assert yd.dtype == np.uint16 and yd.max() > 255   # true 10-bit content
+    assert np.abs(yd.astype(int) - y.astype(int)).mean() < 12.0
+
+
+def test_encoder_reconfigure(tmp_path):
+    w, h = 160, 128
+    enc = tk.Encoder("libx264", w, h, fps=(30, 1), bitrate=500_000,
+                     preset="ultrafast", gop=30)
+    y = np.full((h, w), 100, np.uint8)
+    u = np.full((h // 2, w // 2), 110, np.uint8)
+    v = np.full((h // 2, w // 2), 140, np.uint8)
+    pkts = []
+    for i in range(5):
+        pkts += enc.encode(y, u, v, pts=i)
+    pkts += enc.flush()
+    enc.reconfigure(bitrate=100_000)
+    pkts2 = []
+    for i in range(5, 10):
+        pkts2 += enc.encode(y, u, v, pts=i)
+    pkts2 += enc.flush()
+    assert pkts and pkts2
+    assert pkts2[0].key    # reconfigure forces an IDR
+    enc.close()

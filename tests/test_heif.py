@@ -98,3 +98,25 @@ def test_heif_collection():
 def test_heif_reader_bad_input():
     with pytest.raises(IOError):
         heif.HeifReader(b"not a heif file at all" * 10)
+
+
+def test_heif_sequence_roundtrip(tmp_path):
+    frames = [synth(64, 80, seed=i) for i in range(8)]
+    blob = heif.encode_sequence(frames, fps=30, crf=18.0)
+    assert blob[4:8] == b"ftyp" and blob[8:12] == b"msf1"
+    p = tmp_path / "seq.heif"
+    p.write_bytes(blob)
+    back = heif.decode_sequence(str(p))
+    assert len(back) == 8
+    for (yd, ud, vd), (y, u, v) in zip(back, frames):
+        assert yd.shape == y.shape
+        assert np.abs(yd.astype(int) - y.astype(int)).mean() < 4.0
+
+
+def test_heif_sequence_reader_metadata():
+    frames = [synth(64, 80, seed=i) for i in range(4)]
+    blob = heif.encode_sequence(frames)
+    rdr = heif.HeifSequenceReader(blob)
+    assert (rdr.width, rdr.height) == (80, 64)
+    assert len(rdr.frames) == 4
+    assert rdr.hvcc[:1] == b"\x01"
