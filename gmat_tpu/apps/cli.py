@@ -43,7 +43,12 @@ def build_parser():
     p.add_argument("-enc-param", default="",
                    help="NvEncoderParam-style option string "
                         "(codec=hevc:preset=p4:bitrate=2M...)")
-    p.add_argument("-frames", type=int, default=0, help="stop after N frames")
+    p.add_argument("-frames", "-vframes", type=int, default=0,
+                   help="stop after N frames")
+    p.add_argument("-ss", type=float, default=0.0,
+                   help="seek to position (seconds) before decoding")
+    p.add_argument("-s", "--size", default="",
+                   help="WxH for headerless raw input (.yuv/.nv12)")
     p.add_argument("-batch", type=int, default=32, help="TPU batch size")
     p.add_argument("-stats", action="store_true", help="print fps meter")
     p.add_argument("-threads", type=int, default=0, help="decoder threads")
@@ -60,10 +65,21 @@ def main(argv=None):
     from ..utils.encparam import _size, parse_enc_param
     from ..utils.stopwatch import FpsMeter, StopWatch
 
-    dm_probe = tk.Demuxer(args.input)
-    src_fps = dm_probe.fps or 30.0
+    raw_w = raw_h = 0
+    if args.size:
+        raw_w, raw_h = (int(x) for x in args.size.lower().split("x"))
+    if args.input.lower().endswith((".y4m", ".yuv", ".nv12", ".iyuv", ".raw")):
+        src_fps = 30.0
+        if args.input.lower().endswith(".y4m"):
+            from ..av.rawvideo import Y4MReader
+            rd = Y4MReader(args.input)
+            src_fps = rd.fps[0] / max(rd.fps[1], 1)
+            rd.close()
+    else:
+        dm_probe = tk.Demuxer(args.input)
+        src_fps = dm_probe.fps or 30.0
+        dm_probe.close()
     fps_tuple = (round(src_fps * 1000), 1000)
-    dm_probe.close()
 
     graph = FilterGraph(args.vf, src_fps=src_fps)
     meter = FpsMeter("gmat", quiet=not args.stats)
@@ -73,8 +89,11 @@ def main(argv=None):
     jpeg_pattern = None
     out_count = 0
     enc_kwargs = {}
+    y4m_writer = None
     if args.output == "null":
         sink = "null"
+    elif args.output.endswith(".y4m"):
+        sink = "y4m"
     elif "%d" in args.output or args.output.endswith((".jpg", ".jpeg")):
         sink = "jpeg"
         jpeg_pattern = (args.output if "%d" in args.output
@@ -129,9 +148,21 @@ def main(argv=None):
                 f.write(encode_rgb_to_jpeg(rgb_host[i]))
             out_count += 1
 
+    def emit_y4m(fb_host, keep_idx):
+        nonlocal out_count, y4m_writer
+        from ..av.rawvideo import Y4MWriter
+        for i in keep_idx:
+            y = fb_host["y"][i]
+            if y4m_writer is None:
+                y4m_writer = Y4MWriter(args.output, y.shape[1], y.shape[0],
+                                       fps_tuple)
+            y4m_writer.write(y, fb_host["u"][i], fb_host["v"][i])
+            out_count += 1
+
     done = 0
     for fb, pts, valid in decode_stream(args.input, batch=args.batch,
-                                        threads=args.threads):
+                                        threads=args.threads, seek=args.ss,
+                                        width=raw_w, height=raw_h):
         num, den = 1, int(round(src_fps)) or 30
         times = pts * 0.0  # placeholder; pts-based time below
         out_fb, keep = graph.process(fb, pts=pts, valid=valid)
@@ -145,6 +176,11 @@ def main(argv=None):
                 out_fb = csc.convert(out_fb, "yuv420p")
             host = {k: np.asarray(v) for k, v in out_fb.planes.items()}
             emit_yuv(host, keep_idx, out_fb)
+        elif sink == "y4m":
+            if out_fb.format != "yuv420p":
+                out_fb = csc.convert(out_fb, "yuv420p")
+            host = {k: np.asarray(v) for k, v in out_fb.planes.items()}
+            emit_y4m(host, keep_idx)
         elif sink == "jpeg":
             rgb_fb = out_fb if out_fb.format == "rgb24" else csc.convert(
                 out_fb, "rgb24")
@@ -163,6 +199,8 @@ def main(argv=None):
             mux.write(pkt)
         mux.close()
         enc.close()
+    if y4m_writer is not None:
+        y4m_writer.close()
     dt = watch.stop()
     print(f"gmat: {meter.count} frames in, {done} frames out, "
           f"{dt:.2f}s, {meter.count / dt:.1f} fps", file=sys.stderr)

@@ -108,15 +108,50 @@ class PrefetchQueue:
 
 
 def decode_stream(path: str, batch: int = 32, depth: int = 3,
-                  device=None, threads: int = 0):
+                  device=None, threads: int = 0, seek: float = 0.0,
+                  width: int = 0, height: int = 0, layout: str = "i420"):
     """Convenience: full-decode a file into prefetched device FrameBatches.
 
-    Yields (FrameBatch, pts_array, valid_count).
+    Accepts compressed containers (mp4/mkv/...), .y4m, and headerless raw
+    .yuv/.nv12/.iyuv (pass width/height/layout).  Yields
+    (FrameBatch, pts_array, valid_count).
     """
     from . import toolkit as tk
 
+    lower = path.lower()
+    if lower.endswith(".y4m"):
+        from .rawvideo import Y4MReader
+        rd = Y4MReader(path)
+
+        def frames():
+            try:
+                yield from rd.frames()
+            finally:
+                rd.close()
+        src = FrameBatchSource(frames(), batch, rd.width, rd.height, "bt709")
+        return PrefetchQueue(iter(src), depth=depth, device=device,
+                             colorspace="bt709", width=rd.width,
+                             height=rd.height)
+    if lower.endswith((".yuv", ".nv12", ".iyuv", ".raw")):
+        if not (width and height):
+            raise ValueError("raw input needs width/height")
+        from .rawvideo import RawYUVReader
+        lay = "nv12" if lower.endswith(".nv12") else layout
+        rd = RawYUVReader(path, width, height, lay)
+
+        def frames():
+            try:
+                yield from rd.frames()
+            finally:
+                rd.close()
+        src = FrameBatchSource(frames(), batch, width, height, "bt709")
+        return PrefetchQueue(iter(src), depth=depth, device=device,
+                             colorspace="bt709", width=width, height=height)
+
     dm = tk.Demuxer(path)
     dec = tk.Decoder.from_demuxer(dm, threads)
+    if seek > 0:
+        dm.seek(seek)
 
     def frames():
         for pkt in dm:

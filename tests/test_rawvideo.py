@@ -1,0 +1,86 @@
+"""Y4M / raw YUV IO and CLI integration tests."""
+import os
+
+import numpy as np
+import pytest
+
+from gmat_tpu.av.rawvideo import RawYUVReader, Y4MReader, Y4MWriter, write_raw
+
+
+def frames(n=6, w=64, h=48):
+    out = []
+    for i in range(n):
+        y = np.full((h, w), 20 + i * 10, np.uint8)
+        u = np.full((h // 2, w // 2), 100, np.uint8)
+        v = np.full((h // 2, w // 2), 150, np.uint8)
+        out.append((y, u, v))
+    return out
+
+
+def test_y4m_roundtrip(tmp_path):
+    p = str(tmp_path / "t.y4m")
+    fr = frames()
+    w = Y4MWriter(p, 64, 48, (25, 1))
+    for (y, u, v) in fr:
+        w.write(y, u, v)
+    w.close()
+    r = Y4MReader(p)
+    assert (r.width, r.height, r.fps) == (64, 48, (25, 1))
+    got = list(r.frames())
+    r.close()
+    assert len(got) == 6
+    np.testing.assert_array_equal(got[3][0], fr[3][0])
+
+
+def test_raw_i420_and_nv12(tmp_path):
+    fr = frames()
+    for layout in ("i420", "nv12"):
+        p = str(tmp_path / f"t.{layout}")
+        write_raw(p, fr, layout)
+        r = RawYUVReader(p, 64, 48, layout)
+        got = list(r.frames())
+        r.close()
+        assert len(got) == 6
+        np.testing.assert_array_equal(got[2][0], fr[2][0])
+        np.testing.assert_array_equal(got[2][1], fr[2][1])
+
+
+def test_cli_y4m_in_out(tmp_path):
+    from gmat_tpu.apps.cli import main
+    src = str(tmp_path / "in.y4m")
+    w = Y4MWriter(src, 64, 48, (30, 1))
+    for (y, u, v) in frames():
+        w.write(y, u, v)
+    w.close()
+    out = str(tmp_path / "out.y4m")
+    rc = main(["-i", src, "-vf", "scale=32:32", "-o", out, "-batch", "4"])
+    assert rc == 0
+    r = Y4MReader(out)
+    got = list(r.frames())
+    r.close()
+    assert len(got) == 6 and got[0][0].shape == (32, 32)
+
+
+def test_cli_raw_nv12_input(tmp_path):
+    from gmat_tpu.apps.cli import main
+    src = str(tmp_path / "in.nv12")
+    write_raw(src, frames(), "nv12")
+    out = str(tmp_path / "o.mp4")
+    rc = main(["-i", src, "-s", "64x48", "-vf", "null", "-o", out,
+               "-crf", "20", "-batch", "4"])
+    assert rc == 0 and os.path.getsize(out) > 200
+
+
+def test_cli_seek(tmp_path):
+    from gmat_tpu.apps.cli import main
+    from .test_extractor import make_clip
+    clip = str(tmp_path / "c.mp4")
+    make_clip(clip)   # 60 frames @30fps, gop 12
+    out = str(tmp_path / "s.y4m")
+    rc = main(["-i", clip, "-ss", "1.0", "-vf", "null", "-o", out,
+               "-batch", "8"])
+    assert rc == 0
+    r = Y4MReader(out)
+    got = list(r.frames())
+    r.close()
+    assert 20 <= len(got) <= 40   # seeked to keyframe at/before 1s
