@@ -52,6 +52,7 @@ class Options:
     audio_codec: str = ""          # "aac" | "ac3" | "mp2" | "" (drop audio)
     audio_bitrate: int = 0
     audio_sample_rate: int = 0
+    audio_filter_desc: str = ""    # e.g. "atempo=0.7143,volume=0.8"
     rungs: List[Rung] = dataclasses.field(default_factory=list)
 
     @classmethod
@@ -71,6 +72,7 @@ class Options:
             audio_codec=get("AudioCodec"),
             audio_bitrate=int(get("AudioBitRate", "0") or 0),
             audio_sample_rate=int(get("AudioSampleRate", "0") or 0),
+            audio_filter_desc=get("AudioFilterDesc"),
         )
         res = root.find("Resolutions")
         if res is not None:
@@ -168,14 +170,27 @@ def transcode_audio(opts: Options):
     enc = tk.AudioEncoder(opts.audio_codec, rate,
                           min(info.channels, 2) or 2,
                           opts.audio_bitrate or 128000)
-    pkts = []
+    chunks = []
     for pkt in dm:
         if pkt.stream != 1:
             continue
         for (chunk, _pts) in dec.decode(pkt.data, pkt.pts):
-            pkts += enc.encode(chunk)
+            chunks.append(chunk)
     for (chunk, _pts) in dec.decode(None):
-        pkts += enc.encode(chunk)
+        chunks.append(chunk)
+    samples = (np.concatenate(chunks) if chunks
+               else np.zeros((0, 2), np.int16))
+    if opts.audio_filter_desc:
+        from ..av.audio_filters import apply_audio_filters
+        samples, new_rate = apply_audio_filters(samples, rate,
+                                                opts.audio_filter_desc)
+        if new_rate != rate:
+            enc.close()
+            rate = new_rate
+            enc = tk.AudioEncoder(opts.audio_codec, rate,
+                                  min(info.channels, 2) or 2,
+                                  opts.audio_bitrate or 128000)
+    pkts = enc.encode(samples) if samples.size else []
     pkts += enc.flush()
     audio = (enc.codec_id, rate, enc.channels, enc.extradata(), pkts)
     dm.close(); dec.close(); enc.close()

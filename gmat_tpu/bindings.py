@@ -1,0 +1,119 @@
+"""Compatibility façade mirroring the reference's Python binding surface.
+
+metrans ships ctypes classes (python/frame_extractor.py, heif_format.py,
+swscale.py) over its C shims; users of those APIs find the same verbs
+here, returning numpy / JAX / torch values:
+
+    fx = FrameExtractor("in.mp4"); fx.set_frame_interval(30)
+    arr = fx.extract_to_buffer()            # next frame, I420 numpy
+    x = fx.extract_to_device_buffer()       # fused BGR-planar fp32 on TPU
+    heif = HeifFormat(); blob = heif.encode(y, u, v); y2, u2, v2 = heif.decode(blob)
+    rgb = Swscale(w, h).nv12_to_rgbpf32(nv12_bytes)
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+class FrameExtractor:
+    """python/frame_extractor.py analog (C ABI CFrameExtractor.cpp:6-51)."""
+
+    def __init__(self, path: str, gpu: int = 0):
+        from .av.extractor import FrameExtractor as _FX
+        self._fx = _FX(path)
+        self._it = None
+        self.width, self.height = self._fx.width, self._fx.height
+
+    def set_frame_interval(self, n: int):
+        self._fx.set_interval(frames=n)
+        self._it = None
+
+    def set_time_interval(self, seconds: float):
+        self._fx.set_interval(seconds=seconds)
+        self._it = None
+
+    def _iter(self):
+        if self._it is None:
+            self._it = self._fx.frames()
+        return self._it
+
+    def extract(self):
+        """-> (y, u, v, pts) numpy planes or None at EOF."""
+        try:
+            return next(self._iter())
+        except StopIteration:
+            return None
+
+    def extract_to_buffer(self) -> Optional[np.ndarray]:
+        """-> contiguous I420 bytes as (H*3/2, W) numpy, like the
+        reference's host-buffer path."""
+        f = self.extract()
+        if f is None:
+            return None
+        y, u, v, _ = f
+        h, w = y.shape
+        out = np.empty((h * 3 // 2, w), np.uint8)
+        out[:h] = y
+        out[h:h + h // 4] = u.reshape(h // 4, w)
+        out[h + h // 4:] = v.reshape(h // 4, w)
+        return out
+
+    def extract_to_device_buffer(self, size=None, bgr: bool = True):
+        """-> (3, H, W) fp32 planar on device (the fused
+        Nv12ToBgrFloatPlanar output, FrameExtractor.h:222-227)."""
+        import jax.numpy as jnp
+        from .core.frame import from_numpy_yuv420
+        from .ops import csc, fused
+        f = self.extract()
+        if f is None:
+            return None
+        y, u, v, _ = f
+        fb = from_numpy_yuv420(y[None], u[None], v[None],
+                               colorspace=self._fx.colorspace)
+        if size is not None:
+            out = fused.preprocess(fb, size[0], size[1],
+                                   "bgrpf32" if bgr else "rgbpf32")
+        else:
+            out = csc.convert(fb, "bgrpf32" if bgr else "rgbpf32")
+        return csc.to_nchw(out)[0]
+
+    def close(self):
+        self._fx.close()
+
+
+class HeifFormat:
+    """python/heif_format.py analog (CHeif.cpp:20-133)."""
+
+    def __init__(self, crf: float = 20.0, lossless: bool = False):
+        self.crf, self.lossless = crf, lossless
+
+    def encode(self, y, u, v) -> bytes:
+        from .av import heif
+        return heif.encode_still(y, u, v, crf=self.crf,
+                                 lossless=self.lossless)
+
+    def decode(self, data):
+        from .av import heif
+        return heif.decode_still(data)
+
+
+class Swscale:
+    """python/swscale.py analog (CSwscale.c:9-42): NV12 -> RGBPF32."""
+
+    def __init__(self, width: int, height: int, colorspace: str = "bt709"):
+        self.width, self.height, self.colorspace = width, height, colorspace
+
+    def nv12_to_rgbpf32(self, nv12, norm: float = 1.0):
+        """nv12: bytes or (H*3/2, W) array -> (3, H, W) fp32 device array."""
+        import jax.numpy as jnp
+        from .core.frame import unpack_nv12
+        from .ops import csc
+        if isinstance(nv12, (bytes, bytearray)):
+            nv12 = np.frombuffer(bytes(nv12), np.uint8).reshape(
+                self.height * 3 // 2, self.width)
+        fb = unpack_nv12(jnp.asarray(nv12)[None], self.height, self.width,
+                         self.colorspace)
+        out = csc.yuv_to_rgb(fb, "rgbpf32", norm=norm)
+        return csc.to_nchw(out)[0]

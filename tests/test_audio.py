@@ -159,3 +159,42 @@ def test_cli_with_audio(tmp_path):
     dm = tk.Demuxer(out)
     assert tk.AudioInfo(dm).present
     dm.close()
+
+
+def test_atempo_and_resample():
+    from gmat_tpu.av.audio_filters import apply_audio_filters, atempo
+    s = sine(48000, 2, 1.0)
+    fast = atempo(s, 48000, 1.5)
+    assert abs(fast.shape[0] - 48000 / 1.5) < 48000 * 0.1
+    slow = atempo(s, 48000, 0.7)
+    assert abs(slow.shape[0] - 48000 / 0.7) < 48000 * 0.1
+    # dominant frequency preserved (pitch unchanged)
+    def peak_freq(x):
+        n = x.shape[0]
+        sp = np.abs(np.fft.rfft(x[:, 0].astype(np.float64)))
+        k = np.argmax(sp[5:]) + 5
+        return k * 48000.0 / n
+    assert abs(peak_freq(fast) - 440) < 80
+    out, rate = apply_audio_filters(s, 48000, "atempo=1.25,volume=0.5")
+    assert rate == 48000
+    assert out.std() < s.std()
+    out2, rate2 = apply_audio_filters(s, 48000, "aresample=24000")
+    assert rate2 == 24000 and abs(out2.shape[0] - 24000) < 100
+    with pytest.raises(ValueError):
+        apply_audio_filters(s, 48000, "bogus=1")
+    with pytest.raises(ValueError):
+        atempo(s, 48000, 3.0)
+
+
+def test_metrans_audio_filter(tmp_path):
+    from gmat_tpu.apps.metrans import Options, Rung, run_session
+    clip = str(tmp_path / "afin.mp4")
+    make_av_clip(clip)
+    opts = Options(input_file=clip, audio_codec="aac",
+                   audio_filter_desc="atempo=0.7143",
+                   rungs=[Rung(96, 64, out_file=str(tmp_path / "af_#.mp4"))],
+                   video_enc_param="codec=h264:preset=p1:constqp=28")
+    run_session(0, opts, batch=8)
+    dm = tk.Demuxer(str(tmp_path / "af_0.mp4"))
+    assert tk.AudioInfo(dm).present
+    dm.close()

@@ -88,3 +88,30 @@ def test_torch_interop(tmp_path):
     tensor, pts = got[0]
     assert tuple(tensor.shape) == (2, 3, 48, 64)
     assert tensor.dtype == torch.float32
+
+
+def test_bindings_facade(tmp_path):
+    from gmat_tpu.bindings import FrameExtractor, HeifFormat, Swscale
+    from .test_extractor import make_clip
+    clip = str(tmp_path / "b.mp4")
+    make_clip(clip)
+    fx = FrameExtractor(clip)
+    fx.set_frame_interval(20)
+    buf = fx.extract_to_buffer()
+    assert buf.shape == (240 * 3 // 2, 320)
+    dev = fx.extract_to_device_buffer(size=(64, 48))
+    assert dev.shape == (3, 48, 64)
+    fx.close()
+
+    h = HeifFormat(crf=18.0)
+    y = np.full((64, 64), 120, np.uint8)
+    u = np.full((32, 32), 100, np.uint8)
+    v = np.full((32, 32), 150, np.uint8)
+    blob = h.encode(y, u, v)
+    y2, u2, v2 = h.decode(blob)
+    assert np.abs(y2.astype(int) - 120).mean() < 3
+
+    sw = Swscale(64, 48)
+    nv12 = np.random.default_rng(0).integers(0, 256, (72, 64)).astype(np.uint8)
+    rgb = sw.nv12_to_rgbpf32(nv12.tobytes())
+    assert rgb.shape == (3, 48, 64)
