@@ -192,6 +192,10 @@ class SelectFilter:
         self.n = 0
         self.prev_last = None
         self.prev_mafd = 0.0
+        # selection bookkeeping (vf_select var set, vf_select_cuda.c:53-100)
+        self.selected_n = 0.0
+        self.prev_selected_n = float("nan")
+        self.prev_selected_t = float("nan")
 
     def keep_mask(self, fb: FrameBatch, pts=None, times=None, keys=None):
         from ..ops.scene import scene_scores
@@ -205,14 +209,22 @@ class SelectFilter:
             scores = np.zeros(n)
         keep = np.zeros(n, bool)
         for i in range(n):
+            t = float(times[i]) if times is not None else 0.0
             env = {
                 "n": float(self.n + i),
-                "t": float(times[i]) if times is not None else 0.0,
+                "t": t,
                 "pts": float(pts[i]) if pts is not None else 0.0,
                 "key": float(keys[i]) if keys is not None else 0.0,
                 "scene": float(scores[i]),
+                "selected_n": self.selected_n,
+                "prev_selected_n": self.prev_selected_n,
+                "prev_selected_t": self.prev_selected_t,
             }
             keep[i] = self.expr(env) != 0
+            if keep[i]:
+                self.prev_selected_n = float(self.n + i)
+                self.prev_selected_t = t
+                self.selected_n += 1.0
         self.n += n
         return keep
 

@@ -170,3 +170,13 @@ def test_thumbnail(rng):
     g = FilterGraph("thumbnail=4")
     _, keep = g.process(fb)
     assert keep.sum() == 2   # one per window of 4
+
+
+def test_select_selected_n_vars(rng):
+    fb = yuv_batch(rng, n=8)
+    g = FilterGraph("select=lt(selected_n\\,3)")
+    _, keep = g.process(fb)
+    assert keep.tolist() == [True] * 3 + [False] * 5
+    # state persists: nothing more selected in the next batch
+    _, keep = g.process(fb)
+    assert keep.sum() == 0
