@@ -155,3 +155,131 @@ def fused_ladder(y: jax.Array, u: jax.Array, v: jax.Array,
                        float(norm), tuple(float(s) for s in shift),
                        bool(interpret))
     return fn(y, u, v)
+
+
+# ---------------------------------------------------------- NV12 variant
+# Wire-format NV12 input (N, H*3/2, W): Y plane stacked on interleaved UV.
+# The deinterleave costs nothing — the chroma *column* interpolation
+# matrices are built against the interleaved layout (U reads even columns,
+# V odd), so the same two matmuls resample and deinterleave at once.
+
+
+def _ladder_nv12_kernel(yuv_ref, ahy_ref, awy_ref, ahc_ref, awu_ref,
+                        awv_ref, out_ref, *, mat, low, mid, norm, shift,
+                        k_chunks, h):
+    def rowcol(rows, ah_ref, aw_ref, nchunks):
+        h_in = ah_ref.shape[1]
+        chunk = max(h_in // nchunks, 1)
+        acc = jnp.zeros((ah_ref.shape[0], rows.shape[1]), jnp.float32)
+        done = 0
+        while done < h_in:
+            c = min(chunk, h_in - done)
+            xc = rows[done:done + c, :].astype(jnp.int32).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                ah_ref[:, done:done + c], xc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            done += c
+        return jax.lax.dot_general(
+            acc.astype(jnp.bfloat16), aw_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    y_rows = yuv_ref[:h, :]       # (None, ...) BlockSpec squeezes batch dim
+    uv_rows = yuv_ref[h:, :]
+    yy = rowcol(y_rows, ahy_ref, awy_ref, k_chunks) - low
+    # one row-stage result shared by U and V; the column matrices split them
+    hc = ahc_ref.shape[1]
+    chunk = max(hc // max(k_chunks // 2, 1), 1)
+    acc = jnp.zeros((ahc_ref.shape[0], uv_rows.shape[1]), jnp.float32)
+    done = 0
+    while done < hc:
+        c = min(chunk, hc - done)
+        xc = uv_rows[done:done + c, :].astype(jnp.int32).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            ahc_ref[:, done:done + c], xc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        done += c
+    acc16 = acc.astype(jnp.bfloat16)
+    uu = jax.lax.dot_general(acc16, awu_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) - mid
+    vv = jax.lax.dot_general(acc16, awv_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) - mid
+    maxv = 2.0 * mid - 1.0
+    r = jnp.clip(mat[0, 0] * yy + mat[0, 1] * uu + mat[0, 2] * vv, 0., maxv)
+    g = jnp.clip(mat[1, 0] * yy + mat[1, 1] * uu + mat[1, 2] * vv, 0., maxv)
+    b = jnp.clip(mat[2, 0] * yy + mat[2, 1] * uu + mat[2, 2] * vv, 0., maxv)
+    out_ref[0, :, :] = (r - shift[0]) * (1.0 / norm)
+    out_ref[1, :, :] = (g - shift[1]) * (1.0 / norm)
+    out_ref[2, :, :] = (b - shift[2]) * (1.0 / norm)
+
+
+@lru_cache(maxsize=64)
+def _build_ladder_nv12(n, h, w, out_h, out_w, colorspace, method, norm,
+                       shift, interpret):
+    mat = yuv2rgb_matrix(colorspace)
+    low, mid = yuv_offsets(8)
+    ahy_np = resample_matrix(h, out_h, method)
+    awy_np = resample_matrix(w, out_w, method).T
+    ahc_np = resample_matrix(h // 2, out_h, method)
+    # interleaved-aware chroma column matrices: (W, out_w), U hits even
+    # input columns, V odd
+    awc = resample_matrix(w // 2, out_w, method)          # (out_w, W/2)
+    awu_np = np.zeros((w, out_w), np.float32)
+    awv_np = np.zeros((w, out_w), np.float32)
+    awu_np[0::2, :] = awc.T
+    awv_np[1::2, :] = awc.T
+
+    kernel = partial(_ladder_nv12_kernel, mat=mat, low=float(low),
+                     mid=float(mid), norm=float(norm), shift=shift,
+                     k_chunks=max(1, h // 512), h=h)
+    grid_spec = pl.GridSpec(
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((None, h * 3 // 2, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, out_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, h // 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, out_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, out_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 3, out_h, out_w),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 3, out_h, out_w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def fn(yuv):
+        ahy = jnp.asarray(ahy_np, jnp.bfloat16)
+        awy = jnp.asarray(awy_np, jnp.bfloat16)
+        ahc = jnp.asarray(ahc_np, jnp.bfloat16)
+        awu = jnp.asarray(awu_np, jnp.bfloat16)
+        awv = jnp.asarray(awv_np, jnp.bfloat16)
+        return call(yuv, ahy, awy, ahc, awu, awv)
+
+    return fn
+
+
+def fused_ladder_nv12(yuv: jax.Array, out_h: int, out_w: int,
+                      colorspace: str = "bt709", method: str = "bilinear",
+                      norm: float = 255.0, shift=(0.0, 0.0, 0.0),
+                      interpret: bool = False) -> jax.Array:
+    """Wire-format NV12 (N, H*3/2, W) u8 -> (N, 3, out_h, out_w) f32;
+    the UV deinterleave rides the chroma column matmul for free."""
+    n, h32, w = yuv.shape
+    h = h32 * 2 // 3
+    fn = _build_ladder_nv12(n, h, w, out_h, out_w, colorspace, method,
+                            float(norm), tuple(float(s) for s in shift),
+                            bool(interpret))
+    return fn(yuv)

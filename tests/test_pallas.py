@@ -42,3 +42,17 @@ def test_fused_ladder_colorspace_and_shift(rng):
                                             shift=(127.5, 127.5, 127.5)))
     assert (np.abs(got - want) * 255).max() <= 2.0
     assert got.min() < 0 < got.max()      # centered by shift
+
+
+def test_fused_ladder_nv12_matches_planar(rng):
+    from gmat_tpu.core.frame import pack_nv12
+    from gmat_tpu.ops.pallas_kernels import fused_ladder_nv12
+    y, u, v = _data(rng)
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p", y.shape[2],
+                    y.shape[1], "bt709")
+    nv12 = pack_nv12(fb)
+    got = np.asarray(fused_ladder_nv12(nv12, 32, 32, interpret=True))
+    want = np.asarray(fused_ladder(jnp.asarray(y), jnp.asarray(u),
+                                   jnp.asarray(v), 32, 32, interpret=True))
+    assert (np.abs(got - want) * 255).max() <= 1.0
