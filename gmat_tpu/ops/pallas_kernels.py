@@ -283,3 +283,114 @@ def fused_ladder_nv12(yuv: jax.Array, out_h: int, out_w: int,
                             float(norm), tuple(float(s) for s in shift),
                             bool(interpret))
     return fn(yuv)
+
+
+# ------------------------------------------------------ int8-MXU variant
+# The row matmul (the big contraction) runs on the int8 MXU path (~2x bf16
+# throughput on v5e) with the u8->centered-int8 conversion done as a
+# single XOR+bitcast instead of float converts:
+#     x' = bitcast(x ^ 0x80, i8) == x - 128      (exact)
+#     t  = round(A*127)_i8 @ x'                  (i32 accum, exact)
+#     plane = (t/127) @ Aw_bf16 + 128 * rowsum(A_q)/127
+# Weight quantization to 1/127 steps costs <=1 u8-LSB for bilinear taps.
+
+
+def _ladder_kernel_i8(y_ref, u_ref, v_ref, ahy_ref, awy_ref, ahc_ref,
+                      awc_ref, offy_ref, offc_ref, out_ref,
+                      *, mat, low, mid, norm, shift):
+    def rowcol(x_ref, ah_i8, aw_bf, off_ref):
+        x8 = pltpu.bitcast(x_ref[...] ^ jnp.uint8(0x80), jnp.int8)
+        t = jax.lax.dot_general(ah_i8[...], x8, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        tb = (t.astype(jnp.float32) * (1.0 / 127.0)).astype(jnp.bfloat16)
+        o = jax.lax.dot_general(tb, aw_bf[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return o + off_ref[...]
+
+    yy = rowcol(y_ref, ahy_ref, awy_ref, offy_ref) - low
+    uu = rowcol(u_ref, ahc_ref, awc_ref, offc_ref) - mid
+    vv = rowcol(v_ref, ahc_ref, awc_ref, offc_ref) - mid
+    maxv = 2.0 * mid - 1.0
+    r = jnp.clip(mat[0, 0] * yy + mat[0, 1] * uu + mat[0, 2] * vv, 0., maxv)
+    g = jnp.clip(mat[1, 0] * yy + mat[1, 1] * uu + mat[1, 2] * vv, 0., maxv)
+    b = jnp.clip(mat[2, 0] * yy + mat[2, 1] * uu + mat[2, 2] * vv, 0., maxv)
+    out_ref[0, :, :] = (r - shift[0]) * (1.0 / norm)
+    out_ref[1, :, :] = (g - shift[1]) * (1.0 / norm)
+    out_ref[2, :, :] = (b - shift[2]) * (1.0 / norm)
+
+
+@lru_cache(maxsize=64)
+def _build_ladder_i8(n, h, w, ch, cw, out_h, out_w, colorspace, method,
+                     norm, shift, interpret):
+    mat = yuv2rgb_matrix(colorspace)
+    low, mid = yuv_offsets(8)
+    ahy = resample_matrix(h, out_h, method)
+    ahc = resample_matrix(ch, out_h, method)
+    ahy_q = np.clip(np.round(ahy * 127.0), -127, 127).astype(np.int8)
+    ahc_q = np.clip(np.round(ahc * 127.0), -127, 127).astype(np.int8)
+    # broadcast row offsets: plane = t/127 @ Aw + 128 * rowsum(A_q)/127
+    offy = (128.0 * ahy_q.astype(np.float32).sum(1) / 127.0)[:, None]
+    offc = (128.0 * ahc_q.astype(np.float32).sum(1) / 127.0)[:, None]
+    awy_np = resample_matrix(w, out_w, method).T
+    awc_np = resample_matrix(cw, out_w, method).T
+
+    kernel = partial(_ladder_kernel_i8, mat=mat, low=float(low),
+                     mid=float(mid), norm=float(norm), shift=shift)
+    grid_spec = pl.GridSpec(
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((None, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, ch, cw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, ch, cw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, out_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, ch), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cw, out_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 3, out_h, out_w),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    call = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 3, out_h, out_w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def fn(y, u, v):
+        return call(y, u, v,
+                    jnp.asarray(ahy_q), jnp.asarray(awy_np, jnp.bfloat16),
+                    jnp.asarray(ahc_q), jnp.asarray(awc_np, jnp.bfloat16),
+                    jnp.asarray(offy, jnp.float32),
+                    jnp.asarray(offc, jnp.float32))
+
+    return fn
+
+
+def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
+                    out_h: int, out_w: int, colorspace: str = "bt709",
+                    method: str = "bilinear", norm: float = 255.0,
+                    shift=(0.0, 0.0, 0.0), interpret: bool = False):
+    """int8-MXU fused ladder (bilinear/nearest only; weights quantized to
+    1/127 steps, <=1 u8-LSB vs the bf16 kernel)."""
+    if method not in ("bilinear", "nearest"):
+        raise ValueError("int8 ladder supports bilinear/nearest")
+    n, h, w = y.shape
+    ch, cw = u.shape[1], u.shape[2]
+    fn = _build_ladder_i8(n, h, w, ch, cw, out_h, out_w, colorspace, method,
+                          float(norm), tuple(float(s) for s in shift),
+                          bool(interpret))
+    return fn(y, u, v)

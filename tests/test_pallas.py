@@ -56,3 +56,14 @@ def test_fused_ladder_nv12_matches_planar(rng):
     want = np.asarray(fused_ladder(jnp.asarray(y), jnp.asarray(u),
                                    jnp.asarray(v), 32, 32, interpret=True))
     assert (np.abs(got - want) * 255).max() <= 1.0
+
+
+def test_fused_ladder_i8_matches_bf16(rng):
+    from gmat_tpu.ops.pallas_kernels import fused_ladder_i8
+    y, u, v = _data(rng)
+    got = np.asarray(fused_ladder_i8(jnp.asarray(y), jnp.asarray(u),
+                                     jnp.asarray(v), 32, 32, interpret=True))
+    want = np.asarray(fused_ladder(jnp.asarray(y), jnp.asarray(u),
+                                   jnp.asarray(v), 32, 32, interpret=True))
+    # 1/127 weight quantization x CSC gain: ~2.5 LSB worst case on noise
+    assert (np.abs(got - want) * 255).max() <= 3.0
