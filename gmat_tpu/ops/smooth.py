@@ -11,7 +11,6 @@ pure VPU work that XLA fuses; windows are static shapes.
 """
 from __future__ import annotations
 
-from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -32,57 +31,39 @@ def gaussian_kernel1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-def _border_index(i: np.ndarray, n: int, border: str) -> np.ndarray:
-    if border == "replicate":
-        return np.clip(i, 0, n - 1)
-    if border == "reflect":        # fedcba|abcdefgh|hgfedcb
-        i = np.abs(i + 0.5) - 0.5
-        period = 2 * n
-        i = np.mod(i, period)
-        return np.where(i >= n, period - 1 - i, i).astype(int)
-    if border == "reflect101":     # gfedcb|abcdefgh|gfedcba
-        if n == 1:
-            return np.zeros_like(i)
-        period = 2 * (n - 1)
-        i = np.mod(np.abs(i), period)
-        return np.where(i >= n, period - i, i).astype(int)
-    if border == "wrap":
-        return np.mod(i, n)
-    raise ValueError(border)
+def _pad_mode(border: str):
+    return {"constant": "constant", "replicate": "edge",
+            "reflect": "symmetric", "reflect101": "reflect",
+            "wrap": "wrap"}[border]
 
 
-@lru_cache(maxsize=256)
-def _gaussian_matrix(n: int, ksize: int, sigma: float, border: str) -> np.ndarray:
-    """(n, n) banded operator with border policy baked in."""
-    k = gaussian_kernel1d(ksize, sigma).astype(np.float64)
-    A = np.zeros((n, n), np.float64)
+def _conv1d_axis(x: jax.Array, k: np.ndarray, axis: int, border: str):
+    """Separable 1-D convolution as K shifted adds (exact f32, VPU-bound;
+    the banded-matmul form would be O(H^2) at 1080p)."""
+    ksize = len(k)
     half = (ksize - 1) // 2
-    for o in range(n):
-        idx = np.arange(o - half, o - half + ksize)
-        if border == "constant":
-            m = (idx >= 0) & (idx < n)
-            np.add.at(A[o], idx[m], k[m])
-        else:
-            np.add.at(A[o], _border_index(idx, n, border), k)
-    return A.astype(np.float32)
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (half, ksize - 1 - half)
+    xp = jnp.pad(x, pad, mode=_pad_mode(border))
+    n = x.shape[axis]
+    out = None
+    for i in range(ksize):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(i, i + n)
+        term = xp[tuple(sl)] * float(k[i])
+        out = term if out is None else out + term
+    return out
 
 
 def gaussian_blur_plane(x: jax.Array, kw: int = 3, kh: int = 3,
                         sigma_x: float = 0.0, sigma_y: float = 0.0,
                         border: str = "reflect101") -> jax.Array:
-    """(N,H,W[,C]) float gaussian blur as two banded matmuls."""
-    h, w = x.shape[1], x.shape[2]
-    Ah = jnp.asarray(_gaussian_matrix(h, kh, float(sigma_y), border))
-    Aw = jnp.asarray(_gaussian_matrix(w, kw, float(sigma_x), border))
-    from .resize import PRECISION
+    """(N,H,W[,C]) float gaussian blur, separable shifted-add conv."""
+    kx = gaussian_kernel1d(kw, float(sigma_x))
+    ky = gaussian_kernel1d(kh, float(sigma_y))
     xf = x.astype(jnp.float32)
-    ein = partial(jnp.einsum, preferred_element_type=jnp.float32,
-                  precision=PRECISION)
-    if x.ndim == 3:
-        y = ein("oh,nhw->now", Ah, xf)
-        return ein("now,pw->nop", y, Aw)
-    y = ein("oh,nhwc->nowc", Ah, xf)
-    return ein("nowc,pw->nopc", y, Aw)
+    y = _conv1d_axis(xf, ky, 1, border)
+    return _conv1d_axis(y, kx, 2, border)
 
 
 def median_blur_plane(x: jax.Array, kw: int = 3, kh: int = 3) -> jax.Array:
