@@ -77,13 +77,37 @@ def preprocess(fb: FrameBatch, out_w: int, out_h: int,
     return out
 
 
+def _pallas_eligible(fb: FrameBatch, method: str, kw: dict) -> bool:
+    if kw:
+        return False
+    if fb.format not in ("yuv420p", "nv12") or method != "bilinear":
+        return False
+    try:
+        # default backend decides; callers lowering for a non-default
+        # device set (e.g. a forced-CPU mesh) pass use_pallas="never"
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 def preprocess_nchw(fb: FrameBatch, out_w: int, out_h: int, *,
                     method: str = "bilinear",
                     norm: float = 255.0,
                     shift: Sequence[float] = (0.0, 0.0, 0.0),
+                    use_pallas: str = "auto",
                     **kw) -> jax.Array:
     """Model-input convenience: fused ladder straight to NCHW fp32 (the
-    format_cuda=rgbpf32le -> tensorrt handoff, vf_format_cuda.c:198-206)."""
+    format_cuda=rgbpf32le -> tensorrt handoff, vf_format_cuda.c:198-206).
+
+    On a TPU the bilinear yuv420 path dispatches to the Pallas int8-MXU
+    kernel (~1.5x the XLA path, <=1.1 u8-LSB vs exact); pass
+    use_pallas="never" to force the XLA path or "bf16" for the bf16 kernel.
+    """
+    if use_pallas != "never" and _pallas_eligible(fb, method, kw):
+        from .pallas_kernels import fused_ladder, fused_ladder_i8
+        k = fused_ladder if use_pallas == "bf16" else fused_ladder_i8
+        return k(fb.planes["y"], fb.planes["u"], fb.planes["v"],
+                 out_h, out_w, fb.colorspace, method, norm, tuple(shift))
     out = preprocess(fb, out_w, out_h, "rgbpf32", method=method, norm=norm,
                      shift=shift, **kw)
     return csc.to_nchw(out)

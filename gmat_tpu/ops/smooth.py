@@ -4,10 +4,10 @@ TPU rebuild of smooth_nvcv (libavfilter/vf_smooth_nvcv.c:88-103 — options
 type/kw/kh/border_type/sigmaX/sigmaY backed by cvcudaGaussian /
 cvcudaMedianBlur).
 
-Gaussian is separable and linear, so it rides the same two-matmul machinery
-as resize (banded operator matrices on the MXU with border handling baked
-into the rows).  Median uses jax.lax reductions over the stacked window —
-pure VPU work that XLA fuses; windows are static shapes.
+Gaussian is separable: two shifted-add 1-D convolutions (exact f32, VPU
+work that XLA fuses; O(K·N), unlike a banded-matmul form which would be
+O(N^2) at 1080p).  Median uses sorted reductions over the stacked window;
+all windows are static shapes.
 """
 from __future__ import annotations
 
