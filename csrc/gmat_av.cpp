@@ -802,6 +802,11 @@ GAV_API void* gav_mux_open_av(const char* path, int w, int h, int fps_num,
         as->codecpar->codec_type = AVMEDIA_TYPE_AUDIO;
         as->codecpar->codec_id = (AVCodecID)acodec_id;
         as->codecpar->sample_rate = sample_rate;
+        // AAC/AC3/MP2 frame sizes so the mp4 muxer can compute durations
+        as->codecpar->frame_size =
+            acodec_id == AV_CODEC_ID_AAC ? 1024 :
+            acodec_id == AV_CODEC_ID_AC3 ? 1536 :
+            acodec_id == AV_CODEC_ID_MP2 ? 1152 : 0;
         av_channel_layout_default(&as->codecpar->ch_layout, channels);
         if (aextra_size > 0) {
             as->codecpar->extradata = (uint8_t*)av_mallocz(aextra_size + AV_INPUT_BUFFER_PADDING_SIZE);
