@@ -83,6 +83,41 @@ class FrameExtractor:
         self._fx.close()
 
 
+class ImageProvider:
+    """NvDecoderImageProvider analog (samples/NvDecoderImageProvider.h:
+    21-147): sequential decoded frames as packed BGRA/BGRA64/RGB images."""
+
+    def __init__(self, path: str, fmt: str = "bgra"):
+        from .av import toolkit as tk
+        self._dm = tk.Demuxer(path)
+        self._dec = tk.Decoder.from_demuxer(self._dm)
+        self._fmt = fmt
+        self._gen = self._frames()
+        self.width, self.height = self._dm.width, self._dm.height
+
+    def _frames(self):
+        for pkt in self._dm:
+            if pkt.stream == 0:
+                yield from self._dec.decode(pkt.data, pkt.pts)
+        yield from self._dec.decode(None)
+
+    def get_next(self):
+        """-> (H, W, C) numpy image in the requested format, or None."""
+        from .core.frame import from_numpy_yuv420
+        from .ops import csc
+        try:
+            y, u, v, _ = next(self._gen)
+        except StopIteration:
+            return None
+        fb = from_numpy_yuv420(y[None], u[None], v[None],
+                               colorspace=self._dm.colorspace)
+        return np.asarray(csc.convert(fb, self._fmt).planes["rgb"])[0]
+
+    def close(self):
+        self._dm.close()
+        self._dec.close()
+
+
 class HeifFormat:
     """python/heif_format.py analog (CHeif.cpp:20-133)."""
 

@@ -115,3 +115,23 @@ def test_bindings_facade(tmp_path):
     nv12 = np.random.default_rng(0).integers(0, 256, (72, 64)).astype(np.uint8)
     rgb = sw.nv12_to_rgbpf32(nv12.tobytes())
     assert rgb.shape == (3, 48, 64)
+
+
+def test_extract_app_and_image_provider(tmp_path, capsys):
+    from gmat_tpu.apps.extract import main
+    from gmat_tpu.bindings import ImageProvider
+    from .test_extractor import make_clip
+    clip = str(tmp_path / "e.mp4")
+    make_clip(clip)
+    out = str(tmp_path / "f_%d.jpg")
+    assert main(["-i", clip, "-interval", "20", "-o", out]) == 0
+    import os
+    assert os.path.exists(str(tmp_path / "f_0.jpg"))
+    assert os.path.exists(str(tmp_path / "f_2.jpg"))
+    # y4m sink
+    assert main(["-i", clip, "-interval", "20",
+                 "-o", str(tmp_path / "e.y4m")]) == 0
+    ip = ImageProvider(clip, "bgra64")
+    img = ip.get_next()
+    assert img.shape == (240, 320, 4) and img.dtype == np.uint16
+    ip.close()
