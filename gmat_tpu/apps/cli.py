@@ -75,9 +75,11 @@ def main(argv=None):
             rd = Y4MReader(args.input)
             src_fps = rd.fps[0] / max(rd.fps[1], 1)
             rd.close()
+        tb_sec = 1.0 / src_fps          # raw pts are frame indices
     else:
         dm_probe = tk.Demuxer(args.input)
         src_fps = dm_probe.fps or 30.0
+        tb_sec = dm_probe.time_base[0] / dm_probe.time_base[1]
         dm_probe.close()
     fps_tuple = (round(src_fps * 1000), 1000)
 
@@ -130,7 +132,7 @@ def main(argv=None):
         else:
             mux = tk.Muxer(args.output, w, h, fps, vcodec, enc.extradata())
 
-    def emit_yuv(fb_host, keep_idx, out_fb):
+    def emit_yuv(fb_host, keep_idx):
         nonlocal out_count
         for i in keep_idx:
             y, u, v = fb_host["y"][i], fb_host["u"][i], fb_host["v"][i]
@@ -163,9 +165,8 @@ def main(argv=None):
     for fb, pts, valid in decode_stream(args.input, batch=args.batch,
                                         threads=args.threads, seek=args.ss,
                                         width=raw_w, height=raw_h):
-        num, den = 1, int(round(src_fps)) or 30
-        times = pts * 0.0  # placeholder; pts-based time below
-        out_fb, keep = graph.process(fb, pts=pts, valid=valid)
+        times = pts * tb_sec
+        out_fb, keep = graph.process(fb, pts=pts, times=times, valid=valid)
         keep_idx = np.nonzero(keep)[0]
         if args.frames and done + len(keep_idx) > args.frames:
             keep_idx = keep_idx[: args.frames - done]
@@ -175,7 +176,7 @@ def main(argv=None):
             elif out_fb.format != "yuv420p":
                 out_fb = csc.convert(out_fb, "yuv420p")
             host = {k: np.asarray(v) for k, v in out_fb.planes.items()}
-            emit_yuv(host, keep_idx, out_fb)
+            emit_yuv(host, keep_idx)
         elif sink == "y4m":
             if out_fb.format != "yuv420p":
                 out_fb = csc.convert(out_fb, "yuv420p")

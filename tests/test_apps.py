@@ -119,3 +119,15 @@ def test_encparam_parse():
     assert "maxrate=2500000" in kw["opts"]
     with pytest.raises(ValueError):
         parse_enc_param("bogus_opt=1")
+
+
+def test_cli_select_time_var(clip, tmp_path):
+    """'t' expression variable: keep only frames in the first second."""
+    from gmat_tpu.apps.cli import main
+    out = str(tmp_path / "t_%d.jpg")
+    rc = main(["-i", clip, "-vf", "select=lt(t\\,0.5)", "-o", out,
+               "-batch", "16"])
+    assert rc == 0
+    import os
+    made = [f for f in os.listdir(tmp_path) if f.startswith("t_")]
+    assert len(made) == 15   # 0.5s @30fps
