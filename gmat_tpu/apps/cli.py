@@ -162,9 +162,9 @@ def main(argv=None):
             out_count += 1
 
     done = 0
-    for fb, pts, valid in decode_stream(args.input, batch=args.batch,
-                                        threads=args.threads, seek=args.ss,
-                                        width=raw_w, height=raw_h):
+    src = decode_stream(args.input, batch=args.batch, threads=args.threads,
+                        seek=args.ss, width=raw_w, height=raw_h)
+    for fb, pts, valid in src:
         times = pts * tb_sec
         out_fb, keep = graph.process(fb, pts=pts, times=times, valid=valid)
         keep_idx = np.nonzero(keep)[0]
@@ -193,6 +193,7 @@ def main(argv=None):
         done += len(keep_idx)
         meter.add(int(valid))
         if args.frames and done >= args.frames:
+            src.close()
             break
 
     if enc is not None:

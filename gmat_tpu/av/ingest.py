@@ -74,6 +74,7 @@ class PrefetchQueue:
         self.colorspace = colorspace
         self.width, self.height = width, height
         self.error: Optional[BaseException] = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._run, args=(batch_iter,), daemon=True)
         self._thread.start()
@@ -81,15 +82,42 @@ class PrefetchQueue:
     def _run(self, batch_iter):
         try:
             for (y, u, v, pts, valid) in batch_iter:
+                if self._stop.is_set():
+                    break
                 if self.to_device:
                     y = jax.device_put(y, self.device)
                     u = jax.device_put(u, self.device)
                     v = jax.device_put(v, self.device)
-                self.q.put((y, u, v, pts, valid))
+                # bounded put that also honors close() so an abandoned
+                # consumer (e.g. CLI -frames early exit) can't strand us
+                while not self._stop.is_set():
+                    try:
+                        self.q.put((y, u, v, pts, valid), timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as e:   # surface worker errors to the consumer
             self.error = e
         finally:
-            self.q.put(self._SENTINEL)
+            # the sentinel MUST reach the consumer (a dropped sentinel
+            # deadlocks q.get()); only close() may preempt delivery
+            while True:
+                try:
+                    self.q.put(self._SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    if self._stop.is_set():
+                        break
+
+    def close(self):
+        """Stop the producer and drain (safe after partial consumption)."""
+        self._stop.set()
+        while True:
+            try:
+                self.q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=5.0)
 
     def __iter__(self) -> Iterator[FrameBatch]:
         while True:

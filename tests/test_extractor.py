@@ -151,3 +151,16 @@ def test_decode_stream_batches(clip):
         valid_total += valid
     assert valid_total == NFRAMES
     assert total == 64  # 60 -> 4 batches of 16 (last padded)
+
+
+def test_prefetch_queue_close_early(clip):
+    """Abandoning the queue mid-stream must not strand the producer."""
+    import time
+    src = decode_stream(clip, batch=8, depth=1)
+    it = iter(src)
+    next(it)                       # consume one batch, abandon the rest
+    src.close()
+    t0 = time.time()
+    src._thread.join(timeout=3.0)
+    assert not src._thread.is_alive()
+    assert time.time() - t0 < 3.0
