@@ -296,7 +296,11 @@ GAV_API int gav_dec_receive(void* h, unsigned char* y, unsigned char* u,
     AVFrame* f = d->frame;
     *pts = f->pts != AV_NOPTS_VALUE ? f->pts : f->best_effort_timestamp;
     AVPixelFormat pf = (AVPixelFormat)f->format;
-    if (pf == AV_PIX_FMT_YUV420P || pf == AV_PIX_FMT_YUVJ420P) {
+    // fast path only when the decoded dims match the caller's buffers;
+    // any mismatch (mid-stream resolution change) rides the sws path,
+    // which rescales into the caller's geometry instead of over-reading
+    if ((pf == AV_PIX_FMT_YUV420P || pf == AV_PIX_FMT_YUVJ420P) &&
+        f->width == w && f->height == hgt) {
         for (int i = 0; i < hgt; i++)
             memcpy(y + (size_t)i * w, f->data[0] + (size_t)i * f->linesize[0], w);
         for (int i = 0; i < hgt / 2; i++) {
@@ -862,7 +866,7 @@ GAV_API int gav_dec_receive16(void* h, unsigned short* y, unsigned short* u,
     AVFrame* f = d->frame;
     *pts = f->pts != AV_NOPTS_VALUE ? f->pts : f->best_effort_timestamp;
     AVPixelFormat pf = (AVPixelFormat)f->format;
-    if (pf == AV_PIX_FMT_YUV420P10LE) {
+    if (pf == AV_PIX_FMT_YUV420P10LE && f->width == w && f->height == hgt) {
         for (int i = 0; i < hgt; i++)
             memcpy(y + (size_t)i * w, f->data[0] + (size_t)i * f->linesize[0], w * 2);
         for (int i = 0; i < hgt / 2; i++) {

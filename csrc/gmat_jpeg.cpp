@@ -129,6 +129,10 @@ static void encode_block(BitWriter& bw, const int16_t* blk, int& pred,
             run -= 16;
         }
         int v = z[i];
+        // baseline AC magnitude caps at 10 bits; clamp (reachable at
+        // quality ~100 where quantizers hit 1)
+        if (v > 1023) v = 1023;
+        if (v < -1023) v = -1023;
         int m = v < 0 ? -v : v;
         int s = bitlen(m);
         int sym = (run << 4) | s;

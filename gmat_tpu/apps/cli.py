@@ -171,9 +171,7 @@ def main(argv=None):
         if args.frames and done + len(keep_idx) > args.frames:
             keep_idx = keep_idx[: args.frames - done]
         if sink == "mux":
-            if out_fb.fmt.is_rgb:
-                out_fb = csc.convert(out_fb, "yuv420p")
-            elif out_fb.format != "yuv420p":
+            if out_fb.format != "yuv420p":
                 out_fb = csc.convert(out_fb, "yuv420p")
             host = {k: np.asarray(v) for k, v in out_fb.planes.items()}
             emit_yuv(host, keep_idx)
@@ -187,9 +185,11 @@ def main(argv=None):
                 out_fb, "rgb24")
             emit_jpeg(np.asarray(rgb_fb.planes["rgb"]), keep_idx)
         else:
-            # null sink: force materialization for honest timing
+            # null sink: host readback of one element per plane — the only
+            # reliable sync on this runtime (block_until_ready can return
+            # early through the RPC tunnel; see CLAUDE.md)
             for v_ in out_fb.planes.values():
-                v_.block_until_ready()
+                np.asarray(v_.ravel()[0])
         done += len(keep_idx)
         meter.add(int(valid))
         if args.frames and done >= args.frames:

@@ -166,9 +166,10 @@ def transcode_audio(opts: Options):
         dm.close()
         return None
     rate = opts.audio_sample_rate or info.sample_rate
-    dec = tk.AudioDecoder(info, sample_rate=rate)
-    enc = tk.AudioEncoder(opts.audio_codec, rate,
-                          min(info.channels, 2) or 2,
+    ch = min(info.channels, 2) or 2
+    # decoder downmixes to the encoder's channel count (>2ch sources)
+    dec = tk.AudioDecoder(info, sample_rate=rate, channels=ch)
+    enc = tk.AudioEncoder(opts.audio_codec, rate, ch,
                           opts.audio_bitrate or 128000)
     chunks = []
     for pkt in dm:
@@ -209,7 +210,7 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
 
     watch = StopWatch()
     src = decode_stream(opts.input_file, batch=batch)
-    src_fps = max(src.width and 30.0, 30.0)
+    src_fps = getattr(src, "fps", 0.0) or 30.0
 
     common_graph = (FilterGraph(opts.video_filter_desc, src_fps)
                     if opts.video_filter_desc else None)

@@ -62,13 +62,15 @@ class FrameExtractor:
         """Scan `interval` packets ahead; fast-forward main past the last
         keyframe found.  Returns number of packets skipped (not decoded)."""
         found = -1
-        for i in range(interval):
+        scanned = 0
+        while scanned < interval:
             p = self.dm_seek.read()
             if p is None:
                 break
-            self._seek_ahead += 1
-            if p.stream != 0:
+            if p.stream != 0:      # _seek_ahead counts VIDEO packets only
                 continue
+            self._seek_ahead += 1
+            scanned += 1
             if p.key:
                 found = self._seek_ahead
         if found <= 1:

@@ -106,6 +106,10 @@ class HeifWriter:
     def tobytes(self) -> bytes:
         if not self._items:
             raise ValueError("no images added")
+        if len(self._items) > 63:
+            # ipma property indices are 7-bit here (2 props per item)
+            raise ValueError("collection limited to 63 items; use "
+                             "HeifSequenceWriter for longer sequences")
         ftyp = _box(b"ftyp", b"heic" + struct.pack(">I", 0) + b"mif1heic")
         # two-pass: meta size depends only on item count, offsets on sizes
         probe = self._meta([0] * len(self._items))

@@ -157,9 +157,11 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
             finally:
                 rd.close()
         src = FrameBatchSource(frames(), batch, rd.width, rd.height, "bt709")
-        return PrefetchQueue(iter(src), depth=depth, device=device,
-                             colorspace="bt709", width=rd.width,
-                             height=rd.height)
+        q = PrefetchQueue(iter(src), depth=depth, device=device,
+                          colorspace="bt709", width=rd.width,
+                          height=rd.height)
+        q.fps = rd.fps[0] / max(rd.fps[1], 1)
+        return q
     if lower.endswith((".yuv", ".nv12", ".iyuv", ".raw")):
         if not (width and height):
             raise ValueError("raw input needs width/height")
@@ -173,8 +175,10 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
             finally:
                 rd.close()
         src = FrameBatchSource(frames(), batch, width, height, "bt709")
-        return PrefetchQueue(iter(src), depth=depth, device=device,
-                             colorspace="bt709", width=width, height=height)
+        q = PrefetchQueue(iter(src), depth=depth, device=device,
+                          colorspace="bt709", width=width, height=height)
+        q.fps = 30.0
+        return q
 
     dm = tk.Demuxer(path)
     dec = tk.Decoder.from_demuxer(dm, threads)
@@ -190,6 +194,8 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
         dm.close(); dec.close()
 
     src = FrameBatchSource(frames(), batch, dm.width, dm.height, dm.colorspace)
-    return PrefetchQueue(iter(src), depth=depth, device=device,
-                         colorspace=dm.colorspace, width=dm.width,
-                         height=dm.height)
+    q = PrefetchQueue(iter(src), depth=depth, device=device,
+                      colorspace=dm.colorspace, width=dm.width,
+                      height=dm.height)
+    q.fps = dm.fps or 30.0
+    return q

@@ -83,11 +83,11 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601") -> FrameBatc
     Entropy decode on host, dequant+IDCT batched on device."""
     lib = native.load("gmat_jpeg")
     p16 = ctypes.POINTER(ctypes.c_int16)
-    ycs, ucs, vcs = [], [], []
+    ycs, ucs, vcs, qys, qcs = [], [], [], [], []
     w = h = None
-    qy = np.empty(64, np.uint8)
-    qc = np.empty(64, np.uint8)
     for data in datas:
+        qy = np.empty(64, np.uint8)
+        qc = np.empty(64, np.uint8)
         buf = np.frombuffer(data, np.uint8)
         hnd = lib.gjpeg_parse(buf.ctypes.data_as(native.c_pu8), len(data))
         if not hnd:
@@ -106,6 +106,7 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601") -> FrameBatc
             raise ValueError("mixed dimensions in decode_batch")
         lib.gjpeg_qtable(hnd, 0, qy.ctypes.data_as(native.c_pu8))
         lib.gjpeg_qtable(hnd, 1, qc.ctypes.data_as(native.c_pu8))
+        qys.append(qy); qcs.append(qc)
         mcux, mcuy = (w + 15) // 16, (h + 15) // 16
         yc = np.zeros((mcuy * 2, mcux * 2, 8, 8), np.int16)
         uc = np.zeros((mcuy, mcux, 8, 8), np.int16)
@@ -118,11 +119,24 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601") -> FrameBatc
             raise IOError(f"jpeg scan: {lib.gjpeg_last_error().decode()}")
         ycs.append(yc); ucs.append(uc); vcs.append(vc)
 
-    qyf = np.zeros((8, 8), np.float32); qyf.flat[:] = qy
-    qcf = np.zeros((8, 8), np.float32); qcf.flat[:] = qc
-    y, u, v = _decode_planes_420(
-        jnp.asarray(np.stack(ycs)), jnp.asarray(np.stack(ucs)),
-        jnp.asarray(np.stack(vcs)), jnp.asarray(qyf), jnp.asarray(qcf))
+    same_tables = all((qys[i] == qys[0]).all() and (qcs[i] == qcs[0]).all()
+                      for i in range(len(qys)))
+    def dec(ycn, ucn, vcn, qy_, qc_):
+        qyf = np.zeros((8, 8), np.float32); qyf.flat[:] = qy_
+        qcf = np.zeros((8, 8), np.float32); qcf.flat[:] = qc_
+        return _decode_planes_420(jnp.asarray(ycn), jnp.asarray(ucn),
+                                  jnp.asarray(vcn), jnp.asarray(qyf),
+                                  jnp.asarray(qcf))
+    if same_tables:
+        y, u, v = dec(np.stack(ycs), np.stack(ucs), np.stack(vcs),
+                      qys[0], qcs[0])
+    else:
+        # mixed qualities: dequantize each image with its own tables
+        parts = [dec(ycs[i][None], ucs[i][None], vcs[i][None], qys[i], qcs[i])
+                 for i in range(len(ycs))]
+        y = jnp.concatenate([p[0] for p in parts])
+        u = jnp.concatenate([p[1] for p in parts])
+        v = jnp.concatenate([p[2] for p in parts])
     y = y[:, :h, :w]
     u = u[:, : (h + 1) // 2, : (w + 1) // 2]
     v = v[:, : (h + 1) // 2, : (w + 1) // 2]

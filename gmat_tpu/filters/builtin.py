@@ -62,14 +62,24 @@ def _f_vflip():
 
 
 def _f_transpose(dir=0):
-    # 0=cclock_flip, 1=clock, 2=cclock, 3=clock_flip (ffmpeg semantics)
+    """ffmpeg transpose: 0=cclock_flip (plain transpose), 1=clock,
+    2=cclock, 3=clock_flip (anti-diagonal).  Swaps W and H."""
     d = int(dir)
+    if d not in (0, 1, 2, 3):
+        raise FilterError("transpose dir must be 0..3")
 
     def run(fb):
-        rot = geometry.rotate(fb, 90.0 if d in (0, 2) else -90.0, center=True)
-        if d in (0, 3):
-            rot = geometry.flip(rot, 1)
-        return rot
+        planes = {}
+        for name, arr in fb.planes.items():
+            t = jnp.swapaxes(arr, 1, 2)
+            if d == 1:        # rotate 90 clockwise
+                t = t[:, :, ::-1]
+            elif d == 2:      # rotate 90 counterclockwise
+                t = t[:, ::-1, :]
+            elif d == 3:      # anti-diagonal
+                t = t[:, ::-1, ::-1]
+            planes[name] = t
+        return fb.with_planes(planes, width=fb.height, height=fb.width)
     return run
 
 

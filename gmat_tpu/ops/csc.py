@@ -68,12 +68,15 @@ def _pack_rgb(r, g, b, out_fmt: F.PixelFormat, src_maxv: float, exact: bool,
               norm: Optional[float], shift: Optional[Sequence[float]]):
     """Take float RGB in [0, src_maxv] and pack into the target format."""
     if out_fmt.is_float:
-        # libgpuscale RGBF32 keeps quantized-u8-valued floats
-        # (yuv2rgb_cuda.cu:104-126); format_cuda adds (x-shift)/norm
-        # (format_cuda_kernel.cu:247-261).
+        # Canonical float-RGB range is [0, 1] (what _rgb_to_float assumes
+        # on the way back).  Default = quantize-to-u8 then /src_maxv;
+        # format_cuda-style custom (x-shift)/norm is available (the caller
+        # owns the inverse then), and norm=1.0 reproduces libgpuscale's
+        # 0..255-valued RGBF32 (yuv2rgb_cuda.cu:104-126) for one-way
+        # handoffs.
         chans = {"r": r, "g": g, "b": b}
         sh = shift or (0.0, 0.0, 0.0)
-        nm = norm if norm is not None else 1.0
+        nm = norm if norm is not None else src_maxv
         out = [(jnp.clip(chans[c], 0, src_maxv) if exact else
                 jnp.clip(jnp.round(chans[c]), 0, src_maxv)) for c in "rgb"]
         out = [(o - s) / nm for o, s in zip(out, sh)]
@@ -177,16 +180,20 @@ def yuv_to_yuv(fb: FrameBatch, out_format: str) -> FrameBatch:
     """
     out_fmt = F.get(out_format)
     in_fmt = fb.fmt
-    src_bits = _container_bits(in_fmt)
-    dst_bits = _container_bits(out_fmt)
     dt = out_fmt.planes[0].dtype
+    # significant bits + in-container alignment (p010 stores 10-bit
+    # samples msb-aligned, i.e. << 6; yuv420p10 is lsb-aligned)
+    src_sig, dst_sig = in_fmt.bits, out_fmt.bits
+    src_sh = 6 if in_fmt.name == "p010" else 0
+    dst_sh = 6 if out_fmt.name == "p010" else 0
 
     def conv(p):
-        if dst_bits > src_bits:
-            return (p.astype(jnp.uint16) << (dst_bits - src_bits)).astype(dt)
-        if dst_bits < src_bits:
-            return (p >> (src_bits - dst_bits)).astype(dt)
-        return p.astype(dt)
+        v = p.astype(jnp.int32) >> src_sh
+        if dst_sig > src_sig:
+            v = v << (dst_sig - src_sig)
+        elif dst_sig < src_sig:
+            v = v >> (src_sig - dst_sig)
+        return (v << dst_sh).astype(dt)
 
     planes = {k: conv(v) for k, v in fb.planes.items()}
     in_sub = in_fmt.plane("u").sub_w if "u" in [p.name for p in in_fmt.planes] else 0

@@ -49,6 +49,8 @@ def preprocess(fb: FrameBatch, out_w: int, out_h: int,
         fb = crop_op(fb, *crop_box)
     if fb.fmt.is_rgb:
         out = resize_op(fb, out_w, out_h, method)
+        if flip_code is not None:
+            out = flip_op(out, flip_code)
         return csc.convert(out, out_format, norm=norm, shift=shift)
 
     if exact:

@@ -110,9 +110,9 @@ def test_demux_decode_audio_from_file(tmp_path):
     dm.close(); dec.close()
 
 
-def make_av_clip(path, nframes=30, w=160, h=128):
+def make_av_clip(path, nframes=30, w=160, h=128, gop=0):
     venc = tk.Encoder("libx264", w, h, fps=(30, 1), crf=25.0,
-                      preset="ultrafast")
+                      preset="ultrafast", gop=gop)
     vpkts = []
     for i in range(nframes):
         y = np.full((h, w), 60 + i * 4 % 150, np.uint8)

@@ -92,14 +92,46 @@ def test_rgba64_shift(rng):
 def test_float_norm_shift(rng):
     y, u, v = random_yuv420(rng, n=1)
     fb = from_numpy_yuv420(y, u, v)
-    raw = np.asarray(csc.yuv_to_rgb(fb, "rgbpf32", exact=True).planes["rgb"])
     ref = np.asarray(csc.yuv_to_rgb(fb, "rgb24", exact=True).planes["rgb"])
-    np.testing.assert_allclose(raw, ref.astype(np.float32), atol=1)
+    # canonical float range is [0, 1]
+    raw = np.asarray(csc.yuv_to_rgb(fb, "rgbpf32", exact=True).planes["rgb"])
+    np.testing.assert_allclose(raw, ref.astype(np.float32) / 255.0,
+                               atol=0.005)
+    # norm=1.0 reproduces libgpuscale's 0..255-valued RGBF32
+    lgs = np.asarray(csc.yuv_to_rgb(fb, "rgbpf32", exact=True,
+                                    norm=1.0).planes["rgb"])
+    np.testing.assert_allclose(lgs, ref.astype(np.float32), atol=1)
     normed = np.asarray(csc.yuv_to_rgb(
         fb, "rgbpf32", exact=True, norm=255.0,
         shift=(127.5, 127.5, 127.5)).planes["rgb"])
     np.testing.assert_allclose(
         normed, (ref.astype(np.float32) - 127.5) / 255.0, atol=0.005)
+
+
+def test_float_rgb_roundtrip(rng):
+    # regression: rgbpf32 -> yuv420p and -> rgb24 must invert cleanly
+    y = np.full((1, 16, 16), 128, np.uint8)
+    u = np.full((1, 8, 8), 128, np.uint8)
+    v = np.full((1, 8, 8), 128, np.uint8)
+    fb = from_numpy_yuv420(y, u, v)
+    f = csc.yuv_to_rgb(fb, "rgbpf32")
+    back = csc.rgb_to_yuv(f, "yuv420p")
+    assert abs(int(np.asarray(back.planes["y"])[0, 0, 0]) - 128) <= 1
+    r24 = csc.rgb_to_rgb(f, "rgb24")
+    assert abs(int(np.asarray(r24.planes["rgb"])[0, 0, 0, 0]) - 130) <= 1
+
+
+def test_yuv420p10_alignment(rng):
+    # regression: lsb-aligned 10-bit must shift by 2, p010 realigns by 6
+    y = np.full((1, 16, 16), 128, np.uint8)
+    u = np.full((1, 8, 8), 128, np.uint8)
+    fb = from_numpy_yuv420(y, u, u.copy())
+    p10 = csc.yuv_to_yuv(fb, "yuv420p10")
+    assert int(np.asarray(p10.planes["y"])[0, 0, 0]) == 512
+    rgb = csc.yuv_to_rgb(p10, "rgb24")
+    assert abs(int(np.asarray(rgb.planes["rgb"])[0, 0, 0, 0]) - 130) <= 1
+    pp = csc.yuv_to_yuv(csc.yuv_to_yuv(fb, "p010"), "yuv420p10")
+    assert int(np.asarray(pp.planes["y"])[0, 0, 0]) == 512
 
 
 def test_yuv_depth_conversions(rng):

@@ -164,3 +164,16 @@ def test_prefetch_queue_close_early(clip):
     src._thread.join(timeout=3.0)
     assert not src._thread.is_alive()
     assert time.time() - t0 < 3.0
+
+
+def test_extract_interval_with_audio(tmp_path):
+    """A/V packets must not corrupt the GOP-seek bookkeeping."""
+    from .test_audio import make_av_clip
+    clip = str(tmp_path / "av.mp4")
+    make_av_clip(clip, nframes=120, gop=15)
+    fx = FrameExtractor(clip, frame_interval=30)
+    got = sum(1 for _ in fx.frames())
+    assert got == 4                      # frames 0, 30, 60, 90
+    # smart skip still effective with audio interleaved
+    assert fx.n_decoded < 60, (fx.n_decoded, fx.n_skipped_seek)
+    fx.close()

@@ -180,3 +180,15 @@ def test_select_selected_n_vars(rng):
     # state persists: nothing more selected in the next batch
     _, keep = g.process(fb)
     assert keep.sum() == 0
+
+
+def test_transpose_swaps_dimensions(rng):
+    rgb = rng.integers(0, 256, (1, 16, 32, 3)).astype(np.uint8)
+    fb = from_numpy_rgb(rgb)
+    for d, want in ((0, np.swapaxes(rgb, 1, 2)),
+                    (1, np.rot90(rgb, -1, axes=(1, 2))),
+                    (2, np.rot90(rgb, 1, axes=(1, 2))),
+                    (3, np.swapaxes(rgb, 1, 2)[:, ::-1, ::-1])):
+        out, _ = FilterGraph(f"transpose={d}").process(fb)
+        assert out.width == 16 and out.height == 32
+        np.testing.assert_array_equal(np.asarray(out.planes["rgb"]), want)
