@@ -23,6 +23,7 @@ FrameExtractor's fused Nv12ToBgrFloatPlanar output (FrameExtractor.h:217-227).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -113,3 +114,76 @@ def preprocess_nchw(fb: FrameBatch, out_w: int, out_h: int, *,
     out = preprocess(fb, out_w, out_h, "rgbpf32", method=method, norm=norm,
                      shift=shift, **kw)
     return csc.to_nchw(out)
+
+
+# ------------------------------------------------- resolution bucketing
+# SURVEY §7 hard part: "dynamic shapes vs XLA recompilation — bucket
+# resolutions, pad-and-mask within buckets".  Frames are padded to a
+# bucket size (static shapes) and the interpolation taps/weights for the
+# *content* region travel as runtime arguments, so one compiled program
+# per (bucket, output) serves every content resolution inside it.
+
+BUCKETS = ((640, 360), (960, 540), (1280, 720), (1920, 1080),
+           (2560, 1440), (3840, 2160))
+
+
+def bucket_for(w: int, h: int):
+    """Smallest standard bucket covering (w, h); falls back to the next
+    multiple of 64."""
+    for bw, bh in BUCKETS:
+        if w <= bw and h <= bh:
+            return bw, bh
+    r = lambda x: (x + 63) // 64 * 64
+    return r(w), r(h)
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def _bucketed_ladder(y, u, v, ridx_y, rw_y, cidx_y, cw_y,
+                     ridx_c, rw_c, cidx_c, cw_c, mat, out_h, out_w):
+    """Gather-resize with runtime taps + CSC; shapes depend only on the
+    bucket and output size."""
+    def rs(x, ridx, rw, cidx, cw):
+        acc = None
+        for k in range(2):
+            g = jnp.take(x, jnp.clip(ridx + k, 0, x.shape[1] - 1),
+                         axis=1).astype(jnp.float32)
+            t = g * rw[:, k][None, :, None]
+            acc = t if acc is None else acc + t
+        out = None
+        for k in range(2):
+            g = jnp.take(acc, jnp.clip(cidx + k, 0, x.shape[2] - 1), axis=2)
+            t = g * cw[:, k][None, None, :]
+            out = t if out is None else out + t
+        return out
+
+    yy = rs(y, ridx_y, rw_y, cidx_y, cw_y) - 16.0
+    uu = rs(u, ridx_c, rw_c, cidx_c, cw_c) - 128.0
+    vv = rs(v, ridx_c, rw_c, cidx_c, cw_c) - 128.0
+    r = jnp.clip(mat[0, 0] * yy + mat[0, 1] * uu + mat[0, 2] * vv, 0., 255.)
+    g = jnp.clip(mat[1, 0] * yy + mat[1, 1] * uu + mat[1, 2] * vv, 0., 255.)
+    b = jnp.clip(mat[2, 0] * yy + mat[2, 1] * uu + mat[2, 2] * vv, 0., 255.)
+    return jnp.stack([r, g, b], 1) * (1.0 / 255.0)
+
+
+def preprocess_nchw_bucketed(fb: FrameBatch, content_w: int, content_h: int,
+                             out_w: int, out_h: int) -> jax.Array:
+    """Fused ladder over a bucket-padded YUV batch.
+
+    `fb` holds frames padded to a bucket (edge padding); only the
+    (content_w, content_h) region contributes.  Different content sizes
+    inside the same bucket reuse ONE compiled program (taps are runtime
+    args).  8-bit only.
+    """
+    import numpy as np
+    from .resize import _window_taps
+
+    ry, wy = _window_taps(content_h, out_h, "bilinear")
+    cy, wwy = _window_taps(content_w, out_w, "bilinear")
+    rc, wc = _window_taps(content_h // 2, out_h, "bilinear")
+    cc, wwc = _window_taps(content_w // 2, out_w, "bilinear")
+    mat = jnp.asarray(yuv2rgb_matrix(fb.colorspace))
+    return _bucketed_ladder(
+        fb.planes["y"], fb.planes["u"], fb.planes["v"],
+        jnp.asarray(ry), jnp.asarray(wy), jnp.asarray(cy), jnp.asarray(wwy),
+        jnp.asarray(rc), jnp.asarray(wc), jnp.asarray(cc), jnp.asarray(wwc),
+        mat, out_h, out_w)

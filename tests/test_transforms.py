@@ -182,3 +182,33 @@ def test_fused_crop_flip(rng):
     out = fused.preprocess(fb, 16, 16, "rgb24", crop_box=(32, 32, 8, 10),
                            flip_code=1)
     assert out.planes["rgb"].shape == (1, 16, 16, 3)
+
+
+def test_bucketed_ladder_no_recompile(rng):
+    """Different content sizes in one bucket share a compiled program and
+    match the direct (unpadded) ladder."""
+    from gmat_tpu.ops.fused import (_bucketed_ladder, bucket_for,
+                                    preprocess_nchw_bucketed)
+    assert bucket_for(1918, 1078) == (1920, 1080)
+    assert bucket_for(4000, 2100) == (4032, 2112)
+
+    bw, bh = 128, 96
+    before = _bucketed_ladder._cache_size()
+    outs = []
+    for (cw, ch) in ((128, 96), (120, 88), (100, 64)):
+        y = rng.integers(0, 256, (2, ch, cw)).astype(np.uint8)
+        u = rng.integers(0, 256, (2, ch // 2, cw // 2)).astype(np.uint8)
+        v = rng.integers(0, 256, (2, ch // 2, cw // 2)).astype(np.uint8)
+        yp = np.pad(y, ((0, 0), (0, bh - ch), (0, bw - cw)), mode="edge")
+        up = np.pad(u, ((0, 0), (0, bh // 2 - ch // 2), (0, bw // 2 - cw // 2)),
+                    mode="edge")
+        vp = np.pad(v, ((0, 0), (0, bh // 2 - ch // 2), (0, bw // 2 - cw // 2)),
+                    mode="edge")
+        fbp = from_numpy_yuv420(yp, up, vp)
+        got = np.asarray(preprocess_nchw_bucketed(fbp, cw, ch, 32, 32))
+        want = np.asarray(fused.preprocess_nchw(
+            from_numpy_yuv420(y, u, v), 32, 32, use_pallas="never"))
+        np.testing.assert_allclose(got, want, atol=2e-2)
+        outs.append(got)
+    # one compiled program served all three content sizes
+    assert _bucketed_ladder._cache_size() == before + 1
