@@ -45,33 +45,64 @@ def _decode_planes_420(yc, uc, vc, qy, qc):
             dct.decode_plane(vc, qc))
 
 
+@jax.jit
+def _encode_coefs_gray(y, qy):
+    return dct.encode_plane(y, qy)
+
+
+@jax.jit
+def _decode_plane_gray(yc, qy):
+    return dct.decode_plane(yc, qy)
+
+
 def encode_batch(fb: FrameBatch, quality: int = 90) -> List[bytes]:
-    """YUV420 FrameBatch -> list of JPEG byte strings (full batch DCT'd on
-    device in one program; per-frame entropy coding in native code)."""
-    if fb.format not in ("yuv420p", "nv12"):
-        raise ValueError("encode_batch expects a yuv420 FrameBatch")
+    """FrameBatch -> list of JPEG byte strings (full batch DCT'd on
+    device in one program; per-frame entropy coding in native code).
+
+    Supports yuv420p/nv12 (4:2:0), yuv444p, and gray8."""
     qy, qc = dct.quality_tables(quality)
     w, h = fb.width, fb.height
-    y = _pad_to(fb.planes["y"], 16, 16)
-    u = _pad_to(fb.planes["u"], 8, 8)
-    v = _pad_to(fb.planes["v"], 8, 8)
-    yc, uc, vc = _encode_coefs_420(y, u, v, jnp.asarray(qy, jnp.float32),
-                                   jnp.asarray(qc, jnp.float32))
-    yc = np.ascontiguousarray(np.asarray(yc), np.int16)
-    uc = np.ascontiguousarray(np.asarray(uc), np.int16)
-    vc = np.ascontiguousarray(np.asarray(vc), np.int16)
-
     lib = native.load("gmat_jpeg")
-    cap = w * h * 4 + (1 << 16)
+    p16 = ctypes.POINTER(ctypes.c_int16)
+    qyp = qy.ctypes.data_as(native.c_pu8)
+    qcp = qc.ctypes.data_as(native.c_pu8)
+
+    if fb.format in ("yuv420p", "nv12"):
+        subsamp = SUBSAMP_420
+        y = _pad_to(fb.planes["y"], 16, 16)
+        u = _pad_to(fb.planes["u"], 8, 8)
+        v = _pad_to(fb.planes["v"], 8, 8)
+        yc, uc, vc = _encode_coefs_420(y, u, v, jnp.asarray(qy, jnp.float32),
+                                       jnp.asarray(qc, jnp.float32))
+        planes = [np.ascontiguousarray(np.asarray(c), np.int16)
+                  for c in (yc, uc, vc)]
+    elif fb.format == "yuv444p":
+        subsamp = SUBSAMP_444
+        qf = jnp.asarray(qy, jnp.float32)
+        qcf = jnp.asarray(qc, jnp.float32)
+        yc = _encode_coefs_gray(_pad_to(fb.planes["y"], 8, 8), qf)
+        uc = _encode_coefs_gray(_pad_to(fb.planes["u"], 8, 8), qcf)
+        vc = _encode_coefs_gray(_pad_to(fb.planes["v"], 8, 8), qcf)
+        planes = [np.ascontiguousarray(np.asarray(c), np.int16)
+                  for c in (yc, uc, vc)]
+    elif fb.format == "gray8":
+        subsamp = SUBSAMP_GRAY
+        yc = _encode_coefs_gray(_pad_to(fb.planes["y"], 8, 8),
+                                jnp.asarray(qy, jnp.float32))
+        z = np.ascontiguousarray(np.asarray(yc), np.int16)
+        planes = [z, z, z]   # u/v pointers unused for grayscale
+    else:
+        raise ValueError("encode_batch expects yuv420p/nv12/yuv444p/gray8")
+
+    cap = w * h * 6 + (1 << 16)
     buf = np.empty(cap, np.uint8)
     out = []
-    p16 = ctypes.POINTER(ctypes.c_int16)
     for i in range(fb.batch):
         n = lib.gjpeg_encode(
-            yc[i].ctypes.data_as(p16), uc[i].ctypes.data_as(p16),
-            vc[i].ctypes.data_as(p16), w, h, SUBSAMP_420,
-            qy.ctypes.data_as(native.c_pu8), qc.ctypes.data_as(native.c_pu8),
-            buf.ctypes.data_as(native.c_pu8), cap)
+            planes[0][i].ctypes.data_as(p16),
+            planes[1][i].ctypes.data_as(p16),
+            planes[2][i].ctypes.data_as(p16), w, h, subsamp,
+            qyp, qcp, buf.ctypes.data_as(native.c_pu8), cap)
         if n < 0:
             raise IOError("jpeg encode overflow")
         out.append(buf[:n].tobytes())
@@ -85,6 +116,7 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601") -> FrameBatc
     p16 = ctypes.POINTER(ctypes.c_int16)
     ycs, ucs, vcs, qys, qcs = [], [], [], [], []
     w = h = None
+    subsamp = None
     for data in datas:
         qy = np.empty(64, np.uint8)
         qc = np.empty(64, np.uint8)
@@ -96,9 +128,11 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601") -> FrameBatc
         wi, hi, ss = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
         lib.gjpeg_info(hnd, ctypes.byref(wi), ctypes.byref(hi),
                        ctypes.byref(ss))
-        if ss.value != SUBSAMP_420:
+        if subsamp is None:
+            subsamp = ss.value
+        elif subsamp != ss.value:
             lib.gjpeg_free(hnd)
-            raise IOError("decode_batch currently handles 4:2:0 only")
+            raise ValueError("mixed subsampling in decode_batch")
         if w is None:
             w, h = wi.value, hi.value
         elif (w, h) != (wi.value, hi.value):
@@ -107,10 +141,14 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601") -> FrameBatc
         lib.gjpeg_qtable(hnd, 0, qy.ctypes.data_as(native.c_pu8))
         lib.gjpeg_qtable(hnd, 1, qc.ctypes.data_as(native.c_pu8))
         qys.append(qy); qcs.append(qc)
-        mcux, mcuy = (w + 15) // 16, (h + 15) // 16
-        yc = np.zeros((mcuy * 2, mcux * 2, 8, 8), np.int16)
-        uc = np.zeros((mcuy, mcux, 8, 8), np.int16)
-        vc = np.zeros((mcuy, mcux, 8, 8), np.int16)
+        if subsamp == SUBSAMP_420:
+            mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+            yb, cb = (mcuy * 2, mcux * 2), (mcuy, mcux)
+        else:
+            yb = cb = ((h + 7) // 8, (w + 7) // 8)
+        yc = np.zeros(yb + (8, 8), np.int16)
+        uc = np.zeros(cb + (8, 8), np.int16)
+        vc = np.zeros(cb + (8, 8), np.int16)
         r = lib.gjpeg_decode_coefs(hnd, yc.ctypes.data_as(p16),
                                    uc.ctypes.data_as(p16),
                                    vc.ctypes.data_as(p16))
@@ -121,9 +159,17 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601") -> FrameBatc
 
     same_tables = all((qys[i] == qys[0]).all() and (qcs[i] == qcs[0]).all()
                       for i in range(len(qys)))
+
     def dec(ycn, ucn, vcn, qy_, qc_):
         qyf = np.zeros((8, 8), np.float32); qyf.flat[:] = qy_
         qcf = np.zeros((8, 8), np.float32); qcf.flat[:] = qc_
+        if subsamp == SUBSAMP_GRAY:
+            return (_decode_plane_gray(jnp.asarray(ycn), jnp.asarray(qyf)),
+                    None, None)
+        if subsamp == SUBSAMP_444:
+            return (_decode_plane_gray(jnp.asarray(ycn), jnp.asarray(qyf)),
+                    _decode_plane_gray(jnp.asarray(ucn), jnp.asarray(qcf)),
+                    _decode_plane_gray(jnp.asarray(vcn), jnp.asarray(qcf)))
         return _decode_planes_420(jnp.asarray(ycn), jnp.asarray(ucn),
                                   jnp.asarray(vcn), jnp.asarray(qyf),
                                   jnp.asarray(qcf))
@@ -135,9 +181,16 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601") -> FrameBatc
         parts = [dec(ycs[i][None], ucs[i][None], vcs[i][None], qys[i], qcs[i])
                  for i in range(len(ycs))]
         y = jnp.concatenate([p[0] for p in parts])
-        u = jnp.concatenate([p[1] for p in parts])
-        v = jnp.concatenate([p[2] for p in parts])
+        u = (jnp.concatenate([p[1] for p in parts])
+             if parts[0][1] is not None else None)
+        v = (jnp.concatenate([p[2] for p in parts])
+             if parts[0][2] is not None else None)
     y = y[:, :h, :w]
+    if subsamp == SUBSAMP_GRAY:
+        return FrameBatch({"y": y}, "gray8", w, h, colorspace)
+    if subsamp == SUBSAMP_444:
+        return FrameBatch({"y": y, "u": u[:, :h, :w], "v": v[:, :h, :w]},
+                          "yuv444p", w, h, colorspace)
     u = u[:, : (h + 1) // 2, : (w + 1) // 2]
     v = v[:, : (h + 1) // 2, : (w + 1) // 2]
     return FrameBatch({"y": y, "u": u, "v": v}, "yuv420p", w, h, colorspace)

@@ -107,3 +107,46 @@ def test_odd_dimensions(rng):
     back = jpeg_tpu.decode_batch([data])
     assert back.planes["y"].shape == (1, 50, 70)
     assert back.planes["u"].shape == (1, 25, 35)
+
+
+def test_jpeg_gray_and_444(rng):
+    from gmat_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+    h, w = 48, 64
+    y = (np.add.outer(np.linspace(20, 230, h), np.linspace(0, 20, w))
+         ).astype(np.uint8)[None]
+    # grayscale
+    fb = FrameBatch({"y": jnp.asarray(y)}, "gray8", w, h)
+    data = jpeg_tpu.encode_batch(fb, 92)[0]
+    back = jpeg_tpu.decode_batch([data])
+    assert back.format == "gray8"
+    assert np.abs(np.asarray(back.planes["y"])[0].astype(int)
+                  - y[0].astype(int)).mean() < 3
+    # interop: avcodec can decode our grayscale jpeg
+    dec = tk.Decoder(tk.CODEC_MJPEG)
+    frames = list(dec.decode(data, 0)) + list(dec.decode(None))
+    dec.close()
+    assert frames and frames[0][0].shape == (h, w)
+    # 4:4:4
+    u = np.full((1, h, w), 90, np.uint8)
+    v = np.full((1, h, w), 160, np.uint8)
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv444p", w, h)
+    data = jpeg_tpu.encode_batch(fb, 92)[0]
+    back = jpeg_tpu.decode_batch([data])
+    assert back.format == "yuv444p"
+    assert np.abs(np.asarray(back.planes["u"])[0].astype(int) - 90).mean() < 3
+
+
+def test_jpeg_mixed_quality_batch(rng):
+    y, u, v = smooth_yuv(rng, n=1)
+    from gmat_tpu.core.frame import from_numpy_yuv420
+    fb = from_numpy_yuv420(y, u, v)
+    d90 = jpeg_tpu.encode_batch(fb, 90)[0]
+    d40 = jpeg_tpu.encode_batch(fb, 40)[0]
+    back = jpeg_tpu.decode_batch([d90, d40])
+    y0 = np.asarray(back.planes["y"])[0].astype(int)
+    y1 = np.asarray(back.planes["y"])[1].astype(int)
+    # both decode near the original (each with its own tables)
+    assert np.abs(y0 - y[0].astype(int)).mean() < 3
+    assert np.abs(y1 - y[0].astype(int)).mean() < 6
