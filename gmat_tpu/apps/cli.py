@@ -47,6 +47,8 @@ def build_parser():
                    help="stop after N frames")
     p.add_argument("-ss", type=float, default=0.0,
                    help="seek to position (seconds) before decoding")
+    p.add_argument("-t", type=float, default=0.0,
+                   help="stop after this many seconds of output")
     p.add_argument("-s", "--size", default="",
                    help="WxH for headerless raw input (.yuv/.nv12)")
     p.add_argument("-batch", type=int, default=32, help="TPU batch size")
@@ -167,6 +169,8 @@ def main(argv=None):
     for fb, pts, valid in src:
         times = pts * tb_sec
         out_fb, keep = graph.process(fb, pts=pts, times=times, valid=valid)
+        if args.t > 0:
+            keep &= times < (args.ss + args.t)
         keep_idx = np.nonzero(keep)[0]
         if args.frames and done + len(keep_idx) > args.frames:
             keep_idx = keep_idx[: args.frames - done]

@@ -37,7 +37,14 @@ class FrameBatchSource:
 
     def __iter__(self):
         ys, us, vs, pts = [], [], [], []
+        self.dropped_resize = 0
         for (y, u, v, p) in self.it:
+            if ys and y.shape != ys[0].shape:
+                # mid-stream resolution change: static batch shapes can't
+                # mix sizes — drop and count (NvDecLite recreates its pool
+                # here; a bucketed ingest path can absorb this instead)
+                self.dropped_resize += 1
+                continue
             ys.append(y); us.append(u); vs.append(v); pts.append(p)
             if len(ys) == self.batch:
                 yield self._pack(ys, us, vs, pts, self.batch)

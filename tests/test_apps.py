@@ -131,3 +131,16 @@ def test_cli_select_time_var(clip, tmp_path):
     import os
     made = [f for f in os.listdir(tmp_path) if f.startswith("t_")]
     assert len(made) == 15   # 0.5s @30fps
+
+
+def test_cli_duration_flag(clip, tmp_path):
+    from gmat_tpu.apps.cli import main
+    out = str(tmp_path / "dur.y4m")
+    rc = main(["-i", clip, "-vf", "null", "-o", out, "-t", "1.0",
+               "-batch", "16"])
+    assert rc == 0
+    from gmat_tpu.av.rawvideo import Y4MReader
+    r = Y4MReader(out)
+    n = sum(1 for _ in r.frames())
+    r.close()
+    assert n == 30   # 1 second @ 30 fps
