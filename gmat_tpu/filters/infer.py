@@ -53,6 +53,14 @@ class InferFilter:
             self.apply = sr.apply
             self.scale = scale
             self.kind = "image"
+        elif model == "denoise":
+            from ..models import denoise
+            params = denoise.init_params(jax.random.PRNGKey(0),
+                                         channels=channels)
+            self.params = _load_weights(params, weights)
+            self.apply = denoise.apply
+            self.scale = 1
+            self.kind = "image"
         elif model == "pose":
             from ..models import pose
             params = pose.init_params(jax.random.PRNGKey(0))
@@ -69,7 +77,7 @@ class InferFilter:
             self.kind = "image"
         else:
             raise ValueError(f"unknown infer model {model!r} "
-                             "(sr2x|sr3x|pose|module:function)")
+                             "(sr2x|sr3x|denoise|pose|module:function)")
 
     def _run(self, x):
         if self.params is None:

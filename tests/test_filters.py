@@ -192,3 +192,24 @@ def test_transpose_swaps_dimensions(rng):
         out, _ = FilterGraph(f"transpose={d}").process(fb)
         assert out.width == 16 and out.height == 32
         np.testing.assert_array_equal(np.asarray(out.planes["rgb"]), want)
+
+
+def test_infer_denoise_luma(rng):
+    """denoise model in the reference's luma-only IO mode: same dims,
+    chroma passthrough untouched."""
+    fb = yuv_batch(rng, n=2, h=32, w=32)
+    g = FilterGraph("infer=denoise:luma_only=1")
+    out, _ = g.process(fb)
+    assert out.format == "yuv420p"
+    assert out.planes["y"].shape == (2, 32, 32)
+    np.testing.assert_array_equal(np.asarray(out.planes["u"]),
+                                  np.asarray(fb.planes["u"]))
+
+
+def test_infer_denoise_rgb(rng):
+    fb = yuv_batch(rng, n=1, h=32, w=32)
+    g = FilterGraph("format=rgbpf32le,infer=denoise")
+    out, _ = g.process(fb)
+    assert out.planes["rgb"].shape == (1, 32, 32, 3)
+    vals = np.asarray(out.planes["rgb"])
+    assert 0.0 <= vals.min() and vals.max() <= 1.0
