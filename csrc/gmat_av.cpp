@@ -231,6 +231,7 @@ struct GavDecoder {
     SwsContext* sws = nullptr;         // only if decoder output isn't yuv420p
     int sws_w = 0, sws_h = 0;
     AVPixelFormat sws_fmt = AV_PIX_FMT_NONE;
+    AVPixelFormat sws_out = AV_PIX_FMT_NONE;  // 8- vs 10-bit receive paths
 };
 
 GAV_API void* gav_dec_create(int codec, const unsigned char* extradata,
@@ -309,12 +310,14 @@ GAV_API int gav_dec_receive(void* h, unsigned char* y, unsigned char* u,
         }
     } else {
         // convert anything else (yuv444, 10-bit, ...) to I420 via swscale
-        if (!d->sws || d->sws_w != f->width || d->sws_h != f->height || d->sws_fmt != pf) {
+        if (!d->sws || d->sws_w != f->width || d->sws_h != f->height ||
+            d->sws_fmt != pf || d->sws_out != AV_PIX_FMT_YUV420P) {
             if (d->sws) sws_freeContext(d->sws);
             d->sws = sws_getContext(f->width, f->height, pf, w, hgt,
                                     AV_PIX_FMT_YUV420P, SWS_BILINEAR,
                                     nullptr, nullptr, nullptr);
             d->sws_w = f->width; d->sws_h = f->height; d->sws_fmt = pf;
+            d->sws_out = AV_PIX_FMT_YUV420P;
         }
         uint8_t* dst[4] = {y, u, v, nullptr};
         int dstride[4] = {w, w / 2, w / 2, 0};
@@ -875,12 +878,13 @@ GAV_API int gav_dec_receive16(void* h, unsigned short* y, unsigned short* u,
         }
     } else {
         if (!d->sws || d->sws_w != f->width || d->sws_h != f->height ||
-            d->sws_fmt != pf) {
+            d->sws_fmt != pf || d->sws_out != AV_PIX_FMT_YUV420P10LE) {
             if (d->sws) sws_freeContext(d->sws);
             d->sws = sws_getContext(f->width, f->height, pf, w, hgt,
                                     AV_PIX_FMT_YUV420P10LE, SWS_BILINEAR,
                                     nullptr, nullptr, nullptr);
             d->sws_w = f->width; d->sws_h = f->height; d->sws_fmt = pf;
+            d->sws_out = AV_PIX_FMT_YUV420P10LE;
         }
         uint8_t* dst[4] = {(uint8_t*)y, (uint8_t*)u, (uint8_t*)v, nullptr};
         int dstride[4] = {w * 2, w, w, 0};

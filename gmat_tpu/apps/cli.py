@@ -199,6 +199,9 @@ def main(argv=None):
         if args.frames and done >= args.frames:
             src.close()
             break
+        if args.t > 0 and valid > 0 and times[valid - 1] >= args.ss + args.t:
+            src.close()
+            break
 
     if enc is not None:
         for pkt in enc.flush():

@@ -149,7 +149,14 @@ class EncoderWorker(threading.Thread):
             self.error = e
 
     def put(self, frame):
-        self.q.put(frame)
+        while True:
+            if self.error:
+                raise self.error
+            try:
+                self.q.put(frame, timeout=0.5)
+                return
+            except queue.Full:
+                continue
 
     def finish(self):
         self.q.put(None)
@@ -258,7 +265,7 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
                 w_.put((host["y"][i], host["u"][i], host["v"][i]))
         n_in += int(valid)
         meter.add(int(valid))
-        limiter.tick()
+        limiter.tick(int(valid))
         if frames_limit and n_in >= frames_limit:
             break
 

@@ -191,6 +191,10 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601") -> FrameBatc
     if subsamp == SUBSAMP_444:
         return FrameBatch({"y": y, "u": u[:, :h, :w], "v": v[:, :h, :w]},
                           "yuv444p", w, h, colorspace)
-    u = u[:, : (h + 1) // 2, : (w + 1) // 2]
-    v = v[:, : (h + 1) // 2, : (w + 1) // 2]
-    return FrameBatch({"y": y, "u": u, "v": v}, "yuv420p", w, h, colorspace)
+    # yuv420p planes must be consistent: odd JPEG dims crop to even
+    w2, h2 = w & ~1, h & ~1
+    y = y[:, :h2, :w2]
+    u = u[:, : h2 // 2, : w2 // 2]
+    v = v[:, : h2 // 2, : w2 // 2]
+    return FrameBatch({"y": y, "u": u, "v": v}, "yuv420p", w2, h2,
+                      colorspace)

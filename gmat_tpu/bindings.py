@@ -56,8 +56,8 @@ class FrameExtractor:
         h, w = y.shape
         out = np.empty((h * 3 // 2, w), np.uint8)
         out[:h] = y
-        out[h:h + h // 4] = u.reshape(h // 4, w)
-        out[h + h // 4:] = v.reshape(h // 4, w)
+        # chroma planes are contiguous after Y in I420 (h/2 rows of w total)
+        out[h:] = np.concatenate([u.ravel(), v.ravel()]).reshape(h // 2, w)
         return out
 
     def extract_to_device_buffer(self, size=None, bgr: bool = True):

@@ -262,24 +262,40 @@ class FpsFilter:
 
 class ThumbnailFilter:
     """thumbnail_cuda analog: pick the most representative frame of every
-    window of `n` frames (min histogram distance to the window mean)."""
+    window of `n` frames (min histogram distance to the window mean).
+
+    Windows span batch boundaries: histograms are buffered until a window
+    completes.  If the window's best frame fell in an already-emitted
+    batch, the best frame of the current batch's portion is kept instead
+    (batches can't retroactively keep dropped frames)."""
 
     batch_control = True
 
     def __init__(self, n=100):
         self.window = int(n)
+        self._hists = []          # (global_index, histogram) of open window
+        self._base = 0            # global index of the first frame ever seen
 
     def keep_mask(self, fb, pts=None, times=None, keys=None):
         y = np.asarray(fb.planes["y"] if "y" in fb.planes
                        else fb.planes["rgb"][..., 0])
         nb = y.shape[0]
-        hists = np.stack([np.bincount(f.reshape(-1) >> 2, minlength=64)
-                          for f in y]).astype(np.float64)
+        batch_start = self._base
+        self._base += nb
         keep = np.zeros(nb, bool)
-        for s in range(0, nb, self.window):
-            w = hists[s:s + self.window]
-            d = np.abs(w - w.mean(0)).sum(1)
-            keep[s + int(d.argmin())] = True
+        for i, f in enumerate(y):
+            h = np.bincount(f.reshape(-1) >> 2, minlength=64).astype(np.float64)
+            self._hists.append((batch_start + i, h))
+            if len(self._hists) == self.window:
+                hs = np.stack([hh for _, hh in self._hists])
+                d = np.abs(hs - hs.mean(0)).sum(1)
+                order = np.argsort(d)
+                for j in order:       # best frame still in this batch wins
+                    gidx = self._hists[j][0]
+                    if gidx >= batch_start:
+                        keep[gidx - batch_start] = True
+                        break
+                self._hists = []
         return keep
 
 

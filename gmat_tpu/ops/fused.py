@@ -52,7 +52,9 @@ def preprocess(fb: FrameBatch, out_w: int, out_h: int,
         out = resize_op(fb, out_w, out_h, method)
         if flip_code is not None:
             out = flip_op(out, flip_code)
-        return csc.convert(out, out_format, norm=norm, shift=shift)
+        kw = ({"norm": norm, "shift": shift}
+              if F.get(out_format).is_rgb else {})
+        return csc.convert(out, out_format, **kw)
 
     if exact:
         rgb = csc.yuv_to_rgb(fb, out_format, norm=norm, shift=shift)

@@ -37,7 +37,10 @@ def batch_sad(fb: FrameBatch, prev_last: Optional[dict] = None) -> jax.Array:
         else:
             prv = jnp.concatenate([a[:1], a[:-1]], axis=0)
         axes = tuple(range(1, a.ndim))
-        s = jnp.sum(jnp.abs(cur - prv), axis=axes)
+        # accumulate in f32: int32 overflows at 4K (3840*2160*255 > 2^31);
+        # |diff| <= 65535 is exact in f32 and the sum's rounding error is
+        # ~1e-7 relative, invisible in mafd
+        s = jnp.sum(jnp.abs(cur - prv).astype(jnp.float32), axis=axes)
         total = s if total is None else total + s
     if prev_last is None:
         total = total.at[0].set(0)

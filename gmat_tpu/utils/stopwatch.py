@@ -27,13 +27,16 @@ class FpsLimiter:
         self.interval = 1.0 / fps if fps > 0 else 0.0
         self._next = time.perf_counter()
 
-    def tick(self):
+    def tick(self, frames: int = 1):
+        """Account for `frames` released frames (batched pipelines must
+        pass their batch size or the limit is exceeded by that factor)."""
         if not self.interval:
             return
         now = time.perf_counter()
         if now < self._next:
             time.sleep(self._next - now)
-        self._next = max(self._next + self.interval, now)
+        self._next = max(self._next + self.interval * frames,
+                         now + self.interval * (frames - 1))
 
 
 class FpsMeter:

@@ -213,3 +213,13 @@ def test_infer_denoise_rgb(rng):
     assert out.planes["rgb"].shape == (1, 32, 32, 3)
     vals = np.asarray(out.planes["rgb"])
     assert 0.0 <= vals.min() and vals.max() <= 1.0
+
+
+def test_thumbnail_spans_batches(rng):
+    from gmat_tpu.filters.builtin import ThumbnailFilter
+    filt = ThumbnailFilter(n=10)
+    total = 0
+    for _ in range(5):                     # 5 batches of 4 = 20 frames
+        fb = yuv_batch(rng, n=4)
+        total += filt.keep_mask(fb).sum()
+    assert total == 2                      # 20 frames / window 10

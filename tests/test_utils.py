@@ -135,3 +135,14 @@ def test_extract_app_and_image_provider(tmp_path, capsys):
     img = ip.get_next()
     assert img.shape == (240, 320, 4) and img.dtype == np.uint16
     ip.close()
+
+
+def test_fps_limiter_batched():
+    import time
+    from gmat_tpu.utils.stopwatch import FpsLimiter
+    lim = FpsLimiter(fps=100.0)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        lim.tick(10)       # 30 frames at 100 fps -> >= ~0.2s
+    dt = time.perf_counter() - t0
+    assert dt >= 0.15
