@@ -780,15 +780,11 @@ GAV_API void* gav_mux_open_av(const char* path, int w, int h, int fps_num,
                               const unsigned char* vextra, int vextra_size,
                               int acodec_id, int sample_rate, int channels,
                               const unsigned char* aextra, int aextra_size) {
-    auto* m = (GavMuxer*)gav_mux_open(path, w, h, fps_num, fps_den, vcodec,
-                                      vextra, vextra_size);
-    if (!m) return nullptr;
-    if (acodec_id > 0) {
-        // header not yet written? gav_mux_open already wrote it — redo:
-        // simpler: create streams before header, so rebuild here.
-        // (We re-open from scratch to keep gav_mux_open simple.)
-        gav_mux_close(m);
-        m = new GavMuxer();
+    if (acodec_id <= 0)
+        return gav_mux_open(path, w, h, fps_num, fps_den, vcodec,
+                            vextra, vextra_size);
+    {
+        auto* m = new GavMuxer();
         int r = avformat_alloc_output_context2(&m->fmt, nullptr, nullptr, path);
         if (r < 0) { set_err("alloc_output", r); delete m; return nullptr; }
         AVStream* vs = avformat_new_stream(m->fmt, nullptr);
@@ -828,8 +824,8 @@ GAV_API void* gav_mux_open_av(const char* path, int w, int h, int fps_num,
         r = avformat_write_header(m->fmt, nullptr);
         if (r < 0) { set_err("write_header", r); avformat_free_context(m->fmt); delete m; return nullptr; }
         m->header_written = true;
+        return m;
     }
-    return m;
 }
 
 // stream: 0 = video (pts in 1/fps), 1 = audio (pts in 1/sample_rate)
