@@ -144,3 +144,22 @@ def test_cli_duration_flag(clip, tmp_path):
     n = sum(1 for _ in r.frames())
     r.close()
     assert n == 30   # 1 second @ 30 fps
+
+
+def test_cli_transcode_quality_gate(clip, tmp_path):
+    """End-to-end quality: identity transcode at high quality must keep
+    PSNR > 38 dB vs the source frames."""
+    import jax.numpy as jnp
+    from gmat_tpu.apps.cli import main
+    from gmat_tpu.ops.metrics import psnr
+    out = str(tmp_path / "q.mp4")
+    rc = main(["-i", clip, "-vf", "null", "-o", out, "-crf", "14",
+               "-preset", "veryfast", "-batch", "16"])
+    assert rc == 0
+    src = decode_all(clip)
+    dst = decode_all(out)
+    assert len(src) == len(dst)
+    ys = jnp.asarray(np.stack([f[0] for f in src]))
+    yd = jnp.asarray(np.stack([f[0] for f in dst]))
+    p = np.asarray(psnr(ys, yd))
+    assert p.mean() > 38.0, p.mean()

@@ -212,3 +212,18 @@ def test_bucketed_ladder_no_recompile(rng):
         outs.append(got)
     # one compiled program served all three content sizes
     assert _bucketed_ladder._cache_size() == before + 1
+
+
+def test_psnr_ssim(rng):
+    from gmat_tpu.ops.metrics import psnr, ssim
+    a = rng.integers(0, 256, (2, 64, 64)).astype(np.uint8)
+    same = np.asarray(psnr(jnp.asarray(a), jnp.asarray(a)))
+    assert (same > 80).all()
+    noisy = np.clip(a.astype(int) + rng.normal(0, 5, a.shape), 0, 255
+                    ).astype(np.uint8)
+    p = np.asarray(psnr(jnp.asarray(a), jnp.asarray(noisy)))
+    assert (25 < p).all() and (p < 45).all()
+    s_same = np.asarray(ssim(jnp.asarray(a), jnp.asarray(a)))
+    np.testing.assert_allclose(s_same, 1.0, atol=1e-4)
+    s_noisy = np.asarray(ssim(jnp.asarray(a), jnp.asarray(noisy)))
+    assert (s_noisy < 0.999).all() and (s_noisy > 0.5).all()
