@@ -92,6 +92,47 @@ def _bilinear_sample(img: jax.Array, sy: jax.Array, sx: jax.Array,
     return jnp.where(valid[None], out, fill)
 
 
+def _cubic_sample(img: jax.Array, sy: jax.Array, sx: jax.Array,
+                  fill: float = 0.0) -> jax.Array:
+    """Keys bicubic (a=-0.75, OpenCV/CV-CUDA INTER_CUBIC) 4x4 sampling."""
+    h, w = img.shape[1], img.shape[2]
+    eps = 1e-4
+    valid = ((sy >= -eps) & (sy <= h - 1 + eps) &
+             (sx >= -eps) & (sx <= w - 1 + eps))
+    sy = jnp.clip(sy, 0.0, h - 1.0)
+    sx = jnp.clip(sx, 0.0, w - 1.0)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    fy = sy - y0
+    fx = sx - x0
+    flat = img.reshape(img.shape[0], -1).astype(jnp.float32)
+
+    def wcub(f, k):
+        # _cubic_weight is numpy math on arrays; reimplement traced
+        x = jnp.abs(f - (k - 1))
+        a = -0.75
+        return jnp.where(
+            x <= 1.0, ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0,
+            jnp.where(x < 2.0,
+                      ((a * x - 5.0 * a) * x + 8.0 * a) * x - 4.0 * a, 0.0))
+
+    out = None
+    wsum = None
+    for ky in range(4):
+        yy = jnp.clip(y0 + (ky - 1), 0, h - 1)
+        wy = wcub(fy, ky)[None]
+        for kx in range(4):
+            xx = jnp.clip(x0 + (kx - 1), 0, w - 1)
+            wx = wcub(fx, kx)[None]
+            v = jnp.take(flat, (yy * w + xx).reshape(-1), axis=1).reshape(
+                img.shape[0], *sy.shape)
+            t = v * (wy * wx)
+            out = t if out is None else out + t
+            wsum = wy * wx if wsum is None else wsum + wy * wx
+    out = out / jnp.maximum(wsum, 1e-6)
+    return jnp.where(valid[None], out, fill)
+
+
 def _nearest_sample(img: jax.Array, sy: jax.Array, sx: jax.Array,
                     fill: float = 0.0) -> jax.Array:
     h, w = img.shape[1], img.shape[2]
@@ -146,7 +187,15 @@ def rotate(fb: FrameBatch, angle_deg: float, interp: str = "linear",
         if packed:
             n, hh, ww, c = arr.shape
             arr = jnp.transpose(arr, (0, 3, 1, 2)).reshape(n * c, hh, ww)
-        sample = _bilinear_sample if interp in ("linear", "bilinear") else _nearest_sample
+        if interp in ("linear", "bilinear"):
+            sample = _bilinear_sample
+        elif interp in ("cubic", "bicubic"):
+            sample = _cubic_sample
+        elif interp in ("nearest", "point"):
+            sample = _nearest_sample
+        else:
+            raise ValueError(f"rotate interp {interp!r} "
+                             "(linear|cubic|nearest)")
         out = sample(arr, sy, sx)
         if packed:
             out = jnp.transpose(out.reshape(n, c, ph, pw), (0, 2, 3, 1))

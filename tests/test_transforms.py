@@ -227,3 +227,34 @@ def test_psnr_ssim(rng):
     np.testing.assert_allclose(s_same, 1.0, atol=1e-4)
     s_noisy = np.asarray(ssim(jnp.asarray(a), jnp.asarray(noisy)))
     assert (s_noisy < 0.999).all() and (s_noisy > 0.5).all()
+
+
+def test_rotate_cubic_and_errors(rng):
+    img = rng.integers(0, 256, (1, 33, 33, 3)).astype(np.uint8)
+    fb = from_numpy_rgb(img)
+    out = geometry.rotate(fb, 90.0, interp="cubic", center=True)
+    want = np.rot90(img[0], k=1, axes=(0, 1))
+    got = np.asarray(out.planes["rgb"])[0]
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    # arbitrary angle, cubic is smooth and in-range
+    out2 = geometry.rotate(fb, 13.0, interp="cubic", center=True)
+    assert np.asarray(out2.planes["rgb"]).dtype == np.uint8
+    with pytest.raises(ValueError):
+        geometry.rotate(fb, 10.0, interp="nosuch")
+
+
+def test_bt2020_16bit_path(rng):
+    """BT.2020 uses the 10-in-16-bit studio constants (reference
+    get_constants, yuv2rgb_cuda.cu:808-812)."""
+    from .oracle import yuv420_to_rgb24
+    hi = (1 << 16) - 1
+    y = rng.integers(0, hi, (1, 16, 16)).astype(np.uint16)
+    u = rng.integers(0, hi, (1, 8, 8)).astype(np.uint16)
+    v = rng.integers(0, hi, (1, 8, 8)).astype(np.uint16)
+    from gmat_tpu.core.frame import FrameBatch
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "p016", 16, 16, "bt2020")
+    got = np.asarray(csc.yuv_to_rgb(fb, "rgb24", exact=True).planes["rgb"])
+    want = yuv420_to_rgb24(y[0], u[0], v[0], "bt2020", bits=16)
+    # oracle outputs 16-bit codes; ours shifts to 8-bit (>>8)
+    assert np.abs(got[0].astype(int) - (want >> 8).astype(int)).max() <= 1
