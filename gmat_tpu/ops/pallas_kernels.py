@@ -35,6 +35,19 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _cropped_matrix(n_in_full: int, crop_off: int, crop_len: int,
+                    n_out: int, method: str) -> np.ndarray:
+    """Resample matrix that reads only [crop_off, crop_off+crop_len) of a
+    full-length axis — crop fused into the interpolation weights, so the
+    kernel never materializes a cropped copy."""
+    A = resample_matrix(crop_len, n_out, method)
+    if crop_off == 0 and crop_len == n_in_full:
+        return A
+    full = np.zeros((n_out, n_in_full), np.float32)
+    full[:, crop_off:crop_off + crop_len] = A
+    return full
+
+
 def _ladder_kernel(y_ref, u_ref, v_ref, ahy_ref, awy_ref, ahc_ref, awc_ref,
                    out_ref, *, mat, low, mid, norm, shift, k_chunks):
     """One frame: planes -> (3, out_h, out_w) normalized RGB."""
@@ -321,18 +334,27 @@ def _ladder_kernel_i8(y_ref, u_ref, v_ref, ahy_ref, awy_ref, ahc_ref,
 
 @lru_cache(maxsize=64)
 def _build_ladder_i8(n, h, w, ch, cw, out_h, out_w, colorspace, method,
-                     norm, shift, interpret):
+                     norm, shift, interpret, crop=None):
     mat = yuv2rgb_matrix(colorspace)
     low, mid = yuv_offsets(8)
-    ahy = resample_matrix(h, out_h, method)
-    ahc = resample_matrix(ch, out_h, method)
+    if crop:
+        cx, cy, cw_box, ch_box = crop
+        ahy = _cropped_matrix(h, cy, ch_box, out_h, method)
+        ahc = _cropped_matrix(ch, cy // 2, ch_box // 2, out_h, method)
+    else:
+        ahy = resample_matrix(h, out_h, method)
+        ahc = resample_matrix(ch, out_h, method)
     ahy_q = np.clip(np.round(ahy * 127.0), -127, 127).astype(np.int8)
     ahc_q = np.clip(np.round(ahc * 127.0), -127, 127).astype(np.int8)
     # broadcast row offsets: plane = t/127 @ Aw + 128 * rowsum(A_q)/127
     offy = (128.0 * ahy_q.astype(np.float32).sum(1) / 127.0)[:, None]
     offc = (128.0 * ahc_q.astype(np.float32).sum(1) / 127.0)[:, None]
-    awy_np = resample_matrix(w, out_w, method).T
-    awc_np = resample_matrix(cw, out_w, method).T
+    if crop:
+        awy_np = _cropped_matrix(w, cx, cw_box, out_w, method).T
+        awc_np = _cropped_matrix(cw, cx // 2, cw_box // 2, out_w, method).T
+    else:
+        awy_np = resample_matrix(w, out_w, method).T
+        awc_np = resample_matrix(cw, out_w, method).T
 
     kernel = partial(_ladder_kernel_i8, mat=mat, low=float(low),
                      mid=float(mid), norm=float(norm), shift=shift)
@@ -383,14 +405,26 @@ def _build_ladder_i8(n, h, w, ch, cw, out_h, out_w, colorspace, method,
 def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
                     out_h: int, out_w: int, colorspace: str = "bt709",
                     method: str = "bilinear", norm: float = 255.0,
-                    shift=(0.0, 0.0, 0.0), interpret: bool = False):
+                    shift=(0.0, 0.0, 0.0), interpret: bool = False,
+                    crop_box=None):
     """int8-MXU fused ladder (bilinear/nearest only; weights quantized to
-    1/127 steps, <=1 u8-LSB vs the bf16 kernel)."""
+    1/127 steps, <=1 u8-LSB vs the bf16 kernel).
+
+    crop_box=(x, y, w, h) crops the source for free: the interpolation
+    matrices simply stop reading outside the box (even coords for 4:2:0).
+    """
     if method not in ("bilinear", "nearest"):
         raise ValueError("int8 ladder supports bilinear/nearest")
     n, h, w = y.shape
     ch, cw = u.shape[1], u.shape[2]
+    if crop_box is not None:
+        cx, cy, cwb, chb = (int(c) for c in crop_box)
+        if (cx | cy | cwb | chb) & 1:
+            raise ValueError("4:2:0 crop box must be even")
+        if cx + cwb > w or cy + chb > h:
+            raise ValueError("crop box outside the frame")
+        crop_box = (cx, cy, cwb, chb)
     fn = _build_ladder_i8(n, h, w, ch, cw, out_h, out_w, colorspace, method,
                           float(norm), tuple(float(s) for s in shift),
-                          bool(interpret))
+                          bool(interpret), crop_box)
     return fn(y, u, v)

@@ -67,3 +67,24 @@ def test_fused_ladder_i8_matches_bf16(rng):
                                    jnp.asarray(v), 32, 32, interpret=True))
     # 1/127 weight quantization x CSC gain: ~2.5 LSB worst case on noise
     assert (np.abs(got - want) * 255).max() <= 3.0
+
+
+def test_fused_ladder_i8_crop(rng):
+    from gmat_tpu.ops.pallas_kernels import fused_ladder_i8
+    y, u, v = _data(rng, n=1, h=64, w=128)
+    crop = (16, 8, 64, 48)
+    got = np.asarray(fused_ladder_i8(jnp.asarray(y), jnp.asarray(u),
+                                     jnp.asarray(v), 24, 32, crop_box=crop,
+                                     interpret=True))
+    # reference: slice then run without crop
+    cx, cy, cw, ch = crop
+    ys = y[:, cy:cy + ch, cx:cx + cw]
+    us = u[:, cy // 2:(cy + ch) // 2, cx // 2:(cx + cw) // 2]
+    vs = v[:, cy // 2:(cy + ch) // 2, cx // 2:(cx + cw) // 2]
+    want = np.asarray(fused_ladder_i8(jnp.asarray(ys), jnp.asarray(us),
+                                      jnp.asarray(vs), 24, 32,
+                                      interpret=True))
+    assert (np.abs(got - want) * 255).max() <= 1.0
+    with pytest.raises(ValueError):
+        fused_ladder_i8(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                        24, 32, crop_box=(1, 0, 64, 48), interpret=True)
