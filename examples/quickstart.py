@@ -1,0 +1,63 @@
+"""Quickstart: the three ways to use gmat_tpu.
+
+Run: python examples/quickstart.py  (generates its own test clip)
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def make_clip(path, n=90, w=640, h=360):
+    from gmat_tpu.av import toolkit as tk
+    enc = tk.Encoder("libx264", w, h, fps=(30, 1), gop=30, crf=22.0)
+    pkts = []
+    base = np.add.outer(np.linspace(16, 200, h), np.linspace(0, 35, w))
+    for i in range(n):
+        y = ((base + i * 3) % 210 + 16).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 100 + i % 40, np.uint8)
+        v = np.full((h // 2, w // 2), 150 - i % 30, np.uint8)
+        pkts += enc.encode(y, u, v, pts=i)
+    pkts += enc.flush()
+    mux = tk.Muxer(path, w, h, (30, 1), tk.CODEC_H264, enc.extradata())
+    for p in pkts:
+        mux.write(p)
+    mux.close(); enc.close()
+
+
+def main():
+    clip = "/tmp/gmat_quickstart.mp4"
+    make_clip(clip)
+
+    # 1. Library: stream batches through the fused preprocess ladder
+    from gmat_tpu.av.ingest import decode_stream
+    from gmat_tpu.ops import fused
+    total = 0
+    for fb, pts, valid in decode_stream(clip, batch=32):
+        x = fused.preprocess_nchw(fb, 224, 224)   # (N,3,224,224) fp32 [0,1]
+        total += int(valid)
+    print(f"1) preprocessed {total} frames -> model-ready tensors")
+
+    # 2. Smart extraction: every 30th frame with GOP seek + non-ref skip
+    from gmat_tpu.av.extractor import FrameExtractor
+    fx = FrameExtractor(clip, frame_interval=30)
+    frames = list(fx.frames())
+    print(f"2) smart-extracted {len(frames)} frames "
+          f"(decoded {fx.n_decoded}/{90}, skipped "
+          f"{fx.n_skipped_seek + fx.n_skipped_nonref})")
+    fx.close()
+
+    # 3. CLI, programmatically: filter graph + SR model + transcode
+    from gmat_tpu.apps.cli import main as gmat
+    rc = gmat(["-i", clip,
+               "-vf", "crop=320:240,format=rgbpf32le,tensorrt=sr2x,format=nv12",
+               "-o", "/tmp/gmat_quickstart_out.mp4", "-crf", "23",
+               "-frames", "30", "-batch", "16"])
+    print(f"3) CLI transcode with in-graph SR: rc={rc} -> "
+          f"/tmp/gmat_quickstart_out.mp4")
+
+
+if __name__ == "__main__":
+    main()
