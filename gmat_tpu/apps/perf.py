@@ -14,6 +14,9 @@
         <- nvjpeg-path analog: TPU DCT + native entropy codec
     python -m gmat_tpu.apps.perf ladder  [-frames N]
         <- the device transform ladder (bench.py's op) end-to-end
+    python -m gmat_tpu.apps.perf pipeline -i in.mp4
+        <- sustained decode->device->fused-ladder throughput (the
+           AppMeTrans-style live rate, host decode overlapped with TPU)
 
 Each prints a one-line JSON result.
 """
@@ -167,10 +170,29 @@ def perf_ladder(args):
             "note": "per-call incl dispatch; see bench.py for device rate"}
 
 
+def perf_pipeline(args):
+    import jax
+    import numpy as np_
+    from ..av.ingest import decode_stream
+    from ..ops import fused
+    t0 = time.perf_counter()
+    total = 0
+    last = None
+    for fb, pts, valid in decode_stream(args.input, batch=32):
+        last = fused.preprocess_nchw(fb, 224, 224)   # async dispatch
+        total += int(valid)
+    if last is not None:
+        float(np.asarray(last.ravel()[0]))           # sync
+    dt = time.perf_counter() - t0
+    return {"case": "pipeline", "frames": total,
+            "fps": round(total / dt, 1),
+            "note": "bounded by tunnel H2D (~30MB/s) in this dev env; decode-bound (~360 fps/core) on real hosts; ladder-only rate in bench.py"}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="gmat-perf")
     p.add_argument("case", choices=["decode", "encode", "extract", "heif",
-                                    "jpeg", "ladder"])
+                                    "jpeg", "ladder", "pipeline"])
     p.add_argument("-i", "--input", default="")
     p.add_argument("-codec", default="libx264")
     p.add_argument("-frames", type=int, default=100)
@@ -181,7 +203,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     fn = {"decode": perf_decode, "encode": perf_encode,
           "extract": perf_extract, "heif": perf_heif, "jpeg": perf_jpeg,
-          "ladder": perf_ladder}[args.case]
+          "ladder": perf_ladder, "pipeline": perf_pipeline}[args.case]
     print(json.dumps(fn(args)))
     return 0
 

@@ -151,7 +151,8 @@ def _build_ladder(n, h, w, ch, cw, out_h, out_w, colorspace, method,
         awc = jnp.asarray(awc_np, jnp.bfloat16)
         return call(y, u, v, ahy, awy, ahc, awc)
 
-    return fn
+    # jit so eager callers don't re-trace the pallas_call every frame batch
+    return jax.jit(fn)
 
 
 def fused_ladder(y: jax.Array, u: jax.Array, v: jax.Array,
@@ -281,7 +282,7 @@ def _build_ladder_nv12(n, h, w, out_h, out_w, colorspace, method, norm,
         awv = jnp.asarray(awv_np, jnp.bfloat16)
         return call(yuv, ahy, awy, ahc, awu, awv)
 
-    return fn
+    return jax.jit(fn)
 
 
 def fused_ladder_nv12(yuv: jax.Array, out_h: int, out_w: int,
@@ -399,7 +400,7 @@ def _build_ladder_i8(n, h, w, ch, cw, out_h, out_w, colorspace, method,
                     jnp.asarray(offy, jnp.float32),
                     jnp.asarray(offc, jnp.float32))
 
-    return fn
+    return jax.jit(fn)
 
 
 def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
