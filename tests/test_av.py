@@ -175,3 +175,34 @@ def test_encoder_reconfigure(tmp_path):
     assert pkts and pkts2
     assert pkts2[0].key    # reconfigure forces an IDR
     enc.close()
+
+
+def test_dynamic_resolution_change():
+    """M1 parity: NvDecLite handles mid-stream resolution changes
+    (NvDecLite.cpp:97-106); our decoder re-probes and emits native dims."""
+    def enc_frames(w, h, n, base):
+        e = tk.Encoder("libx264", w, h, fps=(30, 1), gop=5, crf=20.0)
+        pk = []
+        for i in range(n):
+            y = np.full((h, w), base + i * 5, np.uint8)
+            u = np.full((h // 2, w // 2), 110, np.uint8)
+            v = np.full((h // 2, w // 2), 140, np.uint8)
+            pk += e.encode(y, u, v, pts=i)
+        pk += e.flush()
+        data = [p.data for p in pk]
+        data[0] = e.extradata() + data[0]   # in-band SPS for the splice
+        e.close()
+        return data
+
+    d1 = enc_frames(320, 240, 6, 50)
+    d2 = enc_frames(160, 120, 6, 150)
+    dec = tk.Decoder(tk.CODEC_H264, width=320, height=240)
+    out = []
+    for d in d1 + d2:
+        out += list(dec.decode(d, -1))
+    out += list(dec.decode(None))
+    dec.close()
+    assert len(out) == 12
+    shapes = {f[0].shape for f in out}
+    assert shapes == {(240, 320), (120, 160)}
+    assert out[-1][0].mean() > 140      # second segment's content
