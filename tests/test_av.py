@@ -206,3 +206,23 @@ def test_dynamic_resolution_change():
     shapes = {f[0].shape for f in out}
     assert shapes == {(240, 320), (120, 160)}
     assert out[-1][0].mean() > 140      # second segment's content
+
+
+def test_mkv_container(tmp_path):
+    """Container coverage beyond mp4 (avformat guesses from extension)."""
+    w, h = 160, 128
+    frames = synth_frames(5, w, h)
+    enc = tk.Encoder("libx264", w, h, crf=22.0)
+    pkts = []
+    for i, (y, u, v) in enumerate(frames):
+        pkts += enc.encode(y, u, v, pts=i)
+    pkts += enc.flush()
+    path = str(tmp_path / "c.mkv")
+    mux = tk.Muxer(path, w, h, (30, 1), tk.CODEC_H264, enc.extradata())
+    for p in pkts:
+        mux.write(p)
+    mux.close(); enc.close()
+    dm = tk.Demuxer(path)
+    assert dm.codec_name == "h264"
+    assert sum(1 for p in dm if p.stream == 0) == 5
+    dm.close()
