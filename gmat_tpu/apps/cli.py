@@ -168,7 +168,9 @@ def main(argv=None):
                         seek=args.ss, width=raw_w, height=raw_h)
     for fb, pts, valid in src:
         times = pts * tb_sec
-        out_fb, keep = graph.process(fb, pts=pts, times=times, valid=valid)
+        out_fb, keep = graph.process(fb, pts=pts, times=times,
+                                     keys=getattr(src, "last_keys", None),
+                                     valid=valid)
         if args.t > 0:
             keep &= times < (args.ss + args.t)
         keep_idx = np.nonzero(keep)[0]

@@ -36,9 +36,11 @@ class FrameBatchSource:
         self.colorspace = colorspace
 
     def __iter__(self):
-        ys, us, vs, pts = [], [], [], []
+        ys, us, vs, pts, keys = [], [], [], [], []
         self.dropped_resize = 0
-        for (y, u, v, p) in self.it:
+        for item in self.it:
+            y, u, v, p = item[:4]
+            k = bool(item[4]) if len(item) > 4 else False
             if ys and y.shape != ys[0].shape:
                 # mid-stream resolution change: static batch shapes can't
                 # mix sizes — drop and count (NvDecLite recreates its pool
@@ -46,19 +48,20 @@ class FrameBatchSource:
                 self.dropped_resize += 1
                 continue
             ys.append(y); us.append(u); vs.append(v); pts.append(p)
+            keys.append(k)
             if len(ys) == self.batch:
-                yield self._pack(ys, us, vs, pts, self.batch)
-                ys, us, vs, pts = [], [], [], []
+                yield self._pack(ys, us, vs, pts, keys, self.batch)
+                ys, us, vs, pts, keys = [], [], [], [], []
         if ys:
             n = len(ys)
             while len(ys) < self.batch:   # pad to static shape
                 ys.append(ys[-1]); us.append(us[-1]); vs.append(vs[-1])
-                pts.append(pts[-1])
-            yield self._pack(ys, us, vs, pts, n)
+                pts.append(pts[-1]); keys.append(False)
+            yield self._pack(ys, us, vs, pts, keys, n)
 
-    def _pack(self, ys, us, vs, pts, valid):
+    def _pack(self, ys, us, vs, pts, keys, valid):
         return (np.stack(ys), np.stack(us), np.stack(vs),
-                np.asarray(pts, np.int64), valid)
+                np.asarray(pts, np.int64), np.asarray(keys, bool), valid)
 
 
 class PrefetchQueue:
@@ -88,7 +91,7 @@ class PrefetchQueue:
 
     def _run(self, batch_iter):
         try:
-            for (y, u, v, pts, valid) in batch_iter:
+            for (y, u, v, pts, keys, valid) in batch_iter:
                 if self._stop.is_set():
                     break
                 if self.to_device:
@@ -99,7 +102,7 @@ class PrefetchQueue:
                 # consumer (e.g. CLI -frames early exit) can't strand us
                 while not self._stop.is_set():
                     try:
-                        self.q.put((y, u, v, pts, valid), timeout=0.1)
+                        self.q.put((y, u, v, pts, keys, valid), timeout=0.1)
                         break
                     except queue.Full:
                         continue
@@ -133,12 +136,13 @@ class PrefetchQueue:
                 if self.error:
                     raise self.error
                 return
-            y, u, v, pts, valid = item
+            y, u, v, pts, keys, valid = item
             h = self.height or y.shape[1]
             w = self.width or y.shape[2]
             fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
                              "v": jnp.asarray(v)}, "yuv420p", w, h,
                             self.colorspace)
+            self.last_keys = keys
             yield fb, pts, valid
 
 
@@ -193,11 +197,20 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
         dm.seek(seek)
 
     def frames():
+        key_pts = set()
         for pkt in dm:
             if pkt.stream != 0:
                 continue
-            yield from dec.decode(pkt.data, pkt.pts)
-        yield from dec.decode(None)
+            if pkt.key:
+                key_pts.add(pkt.pts)
+            for (y, u, v, p) in dec.decode(pkt.data, pkt.pts):
+                is_key = p in key_pts
+                key_pts.discard(p)
+                yield y, u, v, p, is_key
+        for (y, u, v, p) in dec.decode(None):
+            is_key = p in key_pts
+            key_pts.discard(p)
+            yield y, u, v, p, is_key
         dm.close(); dec.close()
 
     src = FrameBatchSource(frames(), batch, dm.width, dm.height, dm.colorspace)

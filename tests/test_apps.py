@@ -163,3 +163,16 @@ def test_cli_transcode_quality_gate(clip, tmp_path):
     yd = jnp.asarray(np.stack([f[0] for f in dst]))
     p = np.asarray(psnr(ys, yd))
     assert p.mean() > 38.0, p.mean()
+
+
+def test_cli_select_keyframes(clip, tmp_path):
+    """select=key keeps only keyframes (gop 12 over 60 frames -> 5)."""
+    from gmat_tpu.apps.cli import main
+    out = str(tmp_path / "k.y4m")
+    rc = main(["-i", clip, "-vf", "select=key", "-o", out, "-batch", "16"])
+    assert rc == 0
+    from gmat_tpu.av.rawvideo import Y4MReader
+    r = Y4MReader(out)
+    n = sum(1 for _ in r.frames())
+    r.close()
+    assert n == 5
