@@ -49,15 +49,19 @@ def main(argv=None):
             if args.output.endswith(".y4m"):
                 if y4m is None:
                     from ..av.rawvideo import Y4MWriter
-                    y4m = Y4MWriter(args.output, y.shape[1], y.shape[0])
+                    fps = getattr(src.dm, "fps", 0.0) or 30.0
+                    y4m = Y4MWriter(args.output, y.shape[1], y.shape[0],
+                                    (round(fps * 1000), 1000))
                 y4m.write(y, u, v)
             else:
                 from ..av import jpeg_tpu
                 from ..core.frame import from_numpy_yuv420
-                fb = from_numpy_yuv420(y[None], u[None], v[None])
+                fb = from_numpy_yuv420(y[None], u[None], v[None],
+                                       colorspace=src.colorspace)
                 data = jpeg_tpu.encode_batch(fb, args.quality)[0]
-                with open(args.output % n if "%" in args.output
-                          else args.output, "wb") as f:
+                pattern = (args.output if "%" in args.output
+                           else args.output.replace(".jp", "_%d.jp"))
+                with open(pattern % n, "wb") as f:
                     f.write(data)
             n += 1
             if args.frames and n >= args.frames:

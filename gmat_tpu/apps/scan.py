@@ -20,11 +20,14 @@ import time
 
 def scan_one(path: str, fast: bool) -> dict:
     from ..av import toolkit as tk
+    dm = dec = None
     try:
         dm = tk.Demuxer(path)
+        dec = tk.Decoder.from_demuxer(dm)
     except IOError as e:
+        if dm is not None:
+            dm.close()
         return {"file": os.path.basename(path), "error": str(e)[:80]}
-    dec = tk.Decoder.from_demuxer(dm)
     frames = skipped = 0
     t0 = time.perf_counter()
     try:

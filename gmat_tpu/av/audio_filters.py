@@ -63,7 +63,11 @@ def atempo(samples: np.ndarray, rate: int, tempo: float = 1.0) -> np.ndarray:
         pos += hop_in
     if prev_tail is not None:
         out.append(prev_tail)
-    y = np.concatenate(out) if out else x
+    # flush the un-stretched tail the hop loop couldn't cover (~win+search
+    # samples) so the clip's ending isn't truncated
+    if pos < n:
+        out.append(x[pos + (win if prev_tail is not None else 0):])
+    y = np.concatenate([o for o in out if o.size]) if out else x
     return np.clip(y, -32768, 32767).astype(np.int16)
 
 

@@ -161,10 +161,13 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
     if lower.endswith(".y4m"):
         from .rawvideo import Y4MReader
         rd = Y4MReader(path)
+        skip_n = int(seek * rd.fps[0] / max(rd.fps[1], 1)) if seek > 0 else 0
 
         def frames():
             try:
-                yield from rd.frames()
+                for i, f in enumerate(rd.frames()):
+                    if i >= skip_n:
+                        yield f
             finally:
                 rd.close()
         src = FrameBatchSource(frames(), batch, rd.width, rd.height, "bt709")
@@ -179,10 +182,13 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
         from .rawvideo import RawYUVReader
         lay = "nv12" if lower.endswith(".nv12") else layout
         rd = RawYUVReader(path, width, height, lay)
+        skip_n = int(seek * 30.0) if seek > 0 else 0   # raw assumes 30 fps
 
         def frames():
             try:
-                yield from rd.frames()
+                for i, f in enumerate(rd.frames()):
+                    if i >= skip_n:
+                        yield f
             finally:
                 rd.close()
         src = FrameBatchSource(frames(), batch, width, height, "bt709")
@@ -198,20 +204,22 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
 
     def frames():
         key_pts = set()
-        for pkt in dm:
-            if pkt.stream != 0:
-                continue
-            if pkt.key:
-                key_pts.add(pkt.pts)
-            for (y, u, v, p) in dec.decode(pkt.data, pkt.pts):
+        try:
+            for pkt in dm:
+                if pkt.stream != 0:
+                    continue
+                if pkt.key:
+                    key_pts.add(pkt.pts)
+                for (y, u, v, p) in dec.decode(pkt.data, pkt.pts):
+                    is_key = p in key_pts
+                    key_pts.discard(p)
+                    yield y, u, v, p, is_key
+            for (y, u, v, p) in dec.decode(None):
                 is_key = p in key_pts
                 key_pts.discard(p)
                 yield y, u, v, p, is_key
-        for (y, u, v, p) in dec.decode(None):
-            is_key = p in key_pts
-            key_pts.discard(p)
-            yield y, u, v, p, is_key
-        dm.close(); dec.close()
+        finally:
+            dm.close(); dec.close()
 
     src = FrameBatchSource(frames(), batch, dm.width, dm.height, dm.colorspace)
     q = PrefetchQueue(iter(src), depth=depth, device=device,

@@ -32,7 +32,9 @@ class Y4MReader:
                 self.fps = (int(n), int(d))
             elif tok[0] == "C":
                 self.colorspace = tok[1:]
-        if not self.colorspace.startswith("420"):
+        if self.colorspace not in ("420", "420jpeg", "420mpeg2",
+                                   "420paldv"):
+            # rejects 10/12/16-bit variants (C420p10...) and 422/444
             raise IOError(f"unsupported Y4M chroma C{self.colorspace}")
         if not (self.width and self.height):
             raise IOError("Y4M missing dimensions")

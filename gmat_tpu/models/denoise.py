@@ -25,7 +25,7 @@ def init_params(key: jax.Array, channels: int = 1, hidden: int = 32,
         fan_in = cin * 9
         layers.append({
             "w": jax.random.normal(k, (cout, cin, 3, 3), dtype) *
-                 np.sqrt(2.0 / fan_in).astype(np.float32),
+                 jnp.asarray(np.sqrt(2.0 / fan_in), dtype),
             "b": jnp.zeros((cout,), dtype),
         })
         cin = cout

@@ -26,12 +26,12 @@ def init_params(key: jax.Array, widths=(16, 32, 64, 128),
         fan_in = cin * 9
         params["convs"].append({
             "w": jax.random.normal(k, (cout, cin, 3, 3), dtype) *
-                 np.sqrt(2.0 / fan_in).astype(np.float32),
+                 jnp.asarray(np.sqrt(2.0 / fan_in), dtype),
             "b": jnp.zeros((cout,), dtype),
         })
         cin = cout
     params["head_w"] = (jax.random.normal(keys[-1], (cin, N_PARAMS), dtype) *
-                        np.sqrt(1.0 / cin).astype(np.float32))
+                        jnp.asarray(np.sqrt(1.0 / cin), dtype))
     params["head_b"] = jnp.zeros((N_PARAMS,), dtype)
     return params
 

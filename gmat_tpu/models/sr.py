@@ -24,7 +24,7 @@ def init_params(key: jax.Array, scale: int = 2, channels: int = 3,
     def conv_init(k, shape):
         fan_in = shape[1] * shape[2] * shape[3]
         return (jax.random.normal(k, shape, dtype) *
-                np.sqrt(2.0 / fan_in).astype(np.float32))
+                jnp.asarray(np.sqrt(2.0 / fan_in), dtype))
 
     return {
         "w1": conv_init(k1, (hidden, channels, 5, 5)),

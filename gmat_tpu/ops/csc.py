@@ -226,9 +226,13 @@ def rgb_to_rgb(fb: FrameBatch, out_format: str, *, exact: bool = False,
 def convert(fb: FrameBatch, out_format: str, **kw) -> FrameBatch:
     """Format dispatcher — the TPU analog of sws 'unscaled' conversion
     (libswscale/swscale_unscaled.c:1992-2056 wrapper table)."""
-    if out_format == fb.format:
+    if out_format == fb.format and not kw:
         return fb
     in_rgb, out_rgb = fb.fmt.is_rgb, F.get(out_format).is_rgb
+    if out_format == fb.format and in_rgb:
+        return rgb_to_rgb(fb, out_format, **kw)
+    if out_format == fb.format:
+        return fb   # yuv same-format: no kwargs apply
     if in_rgb and out_rgb:
         return rgb_to_rgb(fb, out_format, **kw)
     if in_rgb:
