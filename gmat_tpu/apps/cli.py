@@ -60,6 +60,9 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()   # .trtcache analog: reuse XLA programs across runs
+
     from ..av import toolkit as tk
     from ..av.ingest import decode_stream
     from ..filters.graph import FilterGraph

@@ -18,6 +18,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     p = argparse.ArgumentParser(prog="gmat-extract")
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", default="frame_%d.jpg",

@@ -282,6 +282,8 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     p = argparse.ArgumentParser(prog="gmat-metrans",
                                 description="1->N ABR transcode ladder")
     p.add_argument("-c", "--config", help="options.xml (reference format)")

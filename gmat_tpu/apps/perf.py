@@ -190,6 +190,8 @@ def perf_pipeline(args):
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     p = argparse.ArgumentParser(prog="gmat-perf")
     p.add_argument("case", choices=["decode", "encode", "extract", "heif",
                                     "jpeg", "ladder", "pipeline"])
