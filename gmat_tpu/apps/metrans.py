@@ -159,7 +159,14 @@ class EncoderWorker(threading.Thread):
                 continue
 
     def finish(self):
-        self.q.put(None)
+        while True:
+            if not self.is_alive():
+                return          # worker already died (error set)
+            try:
+                self.q.put(None, timeout=0.5)
+                return
+            except queue.Full:
+                continue
 
 
 def transcode_audio(opts: Options):

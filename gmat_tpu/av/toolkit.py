@@ -275,6 +275,12 @@ class Encoder:
     def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                pts: int = -1, force_key: bool = False):
         """Encode one I420 (or 10-bit u16) frame; returns ready Packets."""
+        if y.shape != (self.height, self.width) or \
+                u.shape != (self.height // 2, self.width // 2) or \
+                v.shape != (self.height // 2, self.width // 2):
+            raise ValueError(
+                f"frame planes {y.shape}/{u.shape} don't match encoder "
+                f"{self.width}x{self.height}")
         if getattr(self, "_force_next_key", False):
             force_key, self._force_next_key = True, False
         if self.bits == 10:

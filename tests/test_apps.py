@@ -176,3 +176,18 @@ def test_cli_select_keyframes(clip, tmp_path):
     n = sum(1 for _ in r.frames())
     r.close()
     assert n == 5
+
+
+def test_encoder_worker_error_propagates(tmp_path):
+    """A dying encoder worker must raise in the producer, not deadlock."""
+    import numpy as np
+    from gmat_tpu.apps.metrans import EncoderWorker
+    w = EncoderWorker("bad", str(tmp_path / "x.mp4"), 64, 64, (30, 1),
+                      {"codec_name": "libx264", "preset": "ultrafast"},
+                      depth=1)
+    w.start()
+    bad = (np.zeros((32, 32), np.uint8),) * 3   # wrong dims -> encode error
+    with pytest.raises(Exception):
+        for _ in range(50):                     # bounded: must raise, not hang
+            w.put(bad)
+    w.finish()
