@@ -57,6 +57,9 @@ def _yuv_to_float(fb: FrameBatch):
     bits = _offset_bits(fmt)
     low, mid = yuv_offsets(bits)
     y = fb.planes["y"].astype(jnp.float32) - low
+    if "u" not in fb.planes:           # gray8: neutral chroma
+        z = jnp.zeros_like(y)
+        return y, z, z
     u = fb.planes["u"].astype(jnp.float32) - mid
     v = fb.planes["v"].astype(jnp.float32) - mid
     if fmt.plane("u").sub_w:   # 4:2:0 -> upsample to 4:4:4
@@ -196,8 +199,21 @@ def yuv_to_yuv(fb: FrameBatch, out_format: str) -> FrameBatch:
         return (v << dst_sh).astype(dt)
 
     planes = {k: conv(v) for k, v in fb.planes.items()}
-    in_sub = in_fmt.plane("u").sub_w if "u" in [p.name for p in in_fmt.planes] else 0
-    out_sub = out_fmt.plane("u").sub_w if "u" in [p.name for p in out_fmt.planes] else 0
+    in_has_c = any(p.name == "u" for p in in_fmt.planes)
+    out_has_c = any(p.name == "u" for p in out_fmt.planes)
+    if in_has_c and not out_has_c:       # -> gray8: drop chroma
+        planes = {"y": planes["y"]}
+        return fb.with_planes(planes, out_format)
+    if out_has_c and not in_has_c:       # gray8 -> yuv: neutral chroma
+        mid = 1 << (_offset_bits(out_fmt) - 1)
+        sub = out_fmt.plane("u").sub_w
+        cshape = (fb.batch, fb.height >> sub, fb.width >> sub)
+        neutral = jnp.full(cshape, mid, dt)
+        planes["u"] = neutral
+        planes["v"] = neutral
+        return fb.with_planes(planes, out_format)
+    in_sub = in_fmt.plane("u").sub_w if in_has_c else 0
+    out_sub = out_fmt.plane("u").sub_w if out_has_c else 0
     if in_sub and not out_sub:      # 420 -> 444
         planes["u"] = _upsample2x(planes["u"])
         planes["v"] = _upsample2x(planes["v"])

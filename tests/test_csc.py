@@ -170,3 +170,20 @@ def test_nchw_helpers(rng):
     assert x.shape == (2, 3, 16, 24) and x.dtype == jnp.float32
     back = csc.from_nchw(x, "rgbpf32")
     assert back.planes["rgb"].shape == (2, 16, 24, 3)
+
+
+def test_gray8_paths(rng):
+    from gmat_tpu.core.frame import FrameBatch
+    y = rng.integers(16, 236, (1, 16, 16)).astype(np.uint8)
+    g = FrameBatch({"y": jnp.asarray(y)}, "gray8", 16, 16)
+    rgb = csc.convert(g, "rgb24")
+    arr = np.asarray(rgb.planes["rgb"])
+    # neutral chroma -> R == G == B
+    np.testing.assert_array_equal(arr[..., 0], arr[..., 1])
+    np.testing.assert_array_equal(arr[..., 1], arr[..., 2])
+    # gray -> yuv420 -> gray round trip
+    yuv = csc.convert(g, "yuv420p")
+    assert yuv.planes["u"].shape == (1, 8, 8)
+    assert int(np.asarray(yuv.planes["u"])[0, 0, 0]) == 128
+    back = csc.convert(yuv, "gray8")
+    np.testing.assert_array_equal(np.asarray(back.planes["y"]), y)
