@@ -86,9 +86,10 @@ def main(argv=None):
         src_fps = dm_probe.fps or 30.0
         tb_sec = dm_probe.time_base[0] / dm_probe.time_base[1]
         dm_probe.close()
-    fps_tuple = (round(src_fps * 1000), 1000)
 
     graph = FilterGraph(args.vf, src_fps=src_fps)
+    # yadif send_field (mode&1) doubles the output frame rate
+    fps_tuple = (round(src_fps * graph.fps_mul * 1000), 1000)
     meter = FpsMeter("gmat", quiet=not args.stats)
     watch = StopWatch()
 
@@ -166,19 +167,7 @@ def main(argv=None):
             y4m_writer.write(y, fb_host["u"][i], fb_host["v"][i])
             out_count += 1
 
-    done = 0
-    src = decode_stream(args.input, batch=args.batch, threads=args.threads,
-                        seek=args.ss, width=raw_w, height=raw_h)
-    for fb, pts, valid in src:
-        times = pts * tb_sec
-        out_fb, keep = graph.process(fb, pts=pts, times=times,
-                                     keys=getattr(src, "last_keys", None),
-                                     valid=valid)
-        if args.t > 0:
-            keep &= times < (args.ss + args.t)
-        keep_idx = np.nonzero(keep)[0]
-        if args.frames and done + len(keep_idx) > args.frames:
-            keep_idx = keep_idx[: args.frames - done]
+    def emit_batch(out_fb, keep_idx):
         if sink == "mux":
             if out_fb.format != "yuv420p":
                 out_fb = csc.convert(out_fb, "yuv420p")
@@ -193,12 +182,27 @@ def main(argv=None):
             rgb_fb = out_fb if out_fb.format == "rgb24" else csc.convert(
                 out_fb, "rgb24")
             emit_jpeg(np.asarray(rgb_fb.planes["rgb"]), keep_idx)
-        else:
+        elif out_fb.batch:
             # null sink: host readback of one element per plane — the only
             # reliable sync on this runtime (block_until_ready can return
             # early through the RPC tunnel; see CLAUDE.md)
             for v_ in out_fb.planes.values():
                 np.asarray(v_.ravel()[0])
+
+    done = 0
+    src = decode_stream(args.input, batch=args.batch, threads=args.threads,
+                        seek=args.ss, width=raw_w, height=raw_h)
+    for fb, pts, valid in src:
+        times = pts * tb_sec
+        out_fb, keep = graph.process(fb, pts=pts, times=times,
+                                     keys=getattr(src, "last_keys", None),
+                                     valid=valid)
+        if args.t > 0 and graph.out_times is not None:
+            keep = keep & (graph.out_times < (args.ss + args.t))
+        keep_idx = np.nonzero(keep)[0]
+        if args.frames and done + len(keep_idx) > args.frames:
+            keep_idx = keep_idx[: args.frames - done]
+        emit_batch(out_fb, keep_idx)
         done += len(keep_idx)
         meter.add(int(valid))
         if args.frames and done >= args.frames:
@@ -207,6 +211,14 @@ def main(argv=None):
         if args.t > 0 and valid > 0 and times[valid - 1] >= args.ss + args.t:
             src.close()
             break
+
+    # drain stateful filters (yadif pending frame, thumbnail open window)
+    for out_fb, keep, _meta in graph.flush():
+        keep_idx = np.nonzero(keep)[0]
+        if args.frames and done + len(keep_idx) > args.frames:
+            keep_idx = keep_idx[: args.frames - done]
+        emit_batch(out_fb, keep_idx)
+        done += len(keep_idx)
 
     if enc is not None:
         for pkt in enc.flush():

@@ -252,29 +252,46 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
     limiter = FpsLimiter(opts.fps_limit)
     meter = FpsMeter(f"session{session_idx}", quiet=quiet)
     n_in = 0
+
+    def push_rung(g, w_, out, keep, pts):
+        rkeep = keep
+        if g is not None:
+            # fold the shared keep in so stream filters (yadif etc.) see
+            # the effective mask; rkeep then matches g's output batch
+            out, rkeep = g.process(out, pts=pts, keep=keep)
+        if out.fmt.is_rgb or out.format != "yuv420p":
+            out = csc.convert(out, "yuv420p")
+        host = {k: np.asarray(v) for k, v in out.planes.items()}
+        for i in np.nonzero(rkeep)[0]:
+            w_.put((host["y"][i], host["u"][i], host["v"][i]))
+
+    def push_ladder(fb, keep, pts):
+        # device: all rungs from the shared batch (one jitted program each)
+        for r, g, w_ in zip(opts.rungs, rung_graphs, workers):
+            push_rung(g, w_, rsz.resize(fb, r.width, r.height), keep, pts)
+
     for fb, pts, valid in src:
         if common_graph is not None:
             fb, keep = common_graph.process(fb, pts=pts, valid=valid)
         else:
             keep = np.ones(fb.batch, bool)
             keep[valid:] = False
-        # device: all rungs from the shared batch (one jitted program each)
-        for r, g, w_ in zip(opts.rungs, rung_graphs, workers):
-            out = rsz.resize(fb, r.width, r.height)
-            rkeep = keep
-            if g is not None:
-                out, k2 = g.process(out, pts=pts, valid=valid)
-                rkeep = keep & k2
-            if out.fmt.is_rgb or out.format != "yuv420p":
-                out = csc.convert(out, "yuv420p")
-            host = {k: np.asarray(v) for k, v in out.planes.items()}
-            for i in np.nonzero(rkeep)[0]:
-                w_.put((host["y"][i], host["u"][i], host["v"][i]))
+        push_ladder(fb, keep, pts)
         n_in += int(valid)
         meter.add(int(valid))
         limiter.tick(int(valid))
         if frames_limit and n_in >= frames_limit:
             break
+
+    # end-of-stream: drain stateful filters in the common + rung graphs
+    if common_graph is not None:
+        for fb, keep, meta in common_graph.flush():
+            push_ladder(fb, keep, meta.get("pts"))
+    for r, g, w_ in zip(opts.rungs, rung_graphs, workers):
+        if g is None:
+            continue
+        for out, rkeep, _meta in g.flush():
+            push_rung(None, w_, out, rkeep, None)
 
     for w_ in workers:
         w_.finish()

@@ -171,17 +171,141 @@ def _f_overlay(path="", x=0, y=0):
     return run
 
 
-def _f_yadif():
-    """Bob deinterlace (yadif_cuda analog, simple linear mode): average
-    each line pair — adequate for progressive-ized content tests."""
-    def run(fb):
-        planes = {}
-        for name, arr in fb.planes.items():
-            a = arr.astype(jnp.float32)
-            up = jnp.roll(a, 1, axis=1)
-            planes[name] = ((a + up) * 0.5).astype(arr.dtype)
-        return fb.with_planes(planes)
-    return run
+# ---- stream filters (stateful N->M batch transforms, run outside jit) ----
+
+def _meta_take(meta, idx_or_slice):
+    out = {}
+    for key, arr in meta.items():
+        out[key] = None if arr is None else arr[idx_or_slice]
+    return out
+
+
+def _meta_concat(a, b):
+    out = {}
+    for key in b:
+        x, y = a.get(key), b[key]
+        if x is None or y is None:
+            # inconsistent caller (array one batch, None the next):
+            # drop the track rather than emit misaligned metadata
+            out[key] = None
+        else:
+            out[key] = np.concatenate([np.asarray(x), np.asarray(y)])
+    return out
+
+
+def _empty_like(fb: FrameBatch) -> FrameBatch:
+    return fb.with_planes({k: v[:0] for k, v in fb.planes.items()})
+
+
+class YadifFilter:
+    """yadif deinterlacer (vf_yadif_cuda analog) — streaming, batched.
+
+    Options mirror ff_yadif_options (yadif_common.c:199+):
+      mode:   0 send_frame, 1 send_field (2x fps), 2/3 = nospatial variants
+      parity: 0 assume tff, 1 assume bff, -1 auto (no per-frame interlace
+              props in FrameBatch, so auto = tff like the reference's
+              non-interlaced default, yadif_common.c:34-36)
+      deint:  accepted for compatibility; FrameBatch carries no per-frame
+              interlaced flag, so all frames are deinterlaced (deint=0)
+
+    Temporal state: carries the last two frames across batches; outputs lag
+    one frame behind input (the reference's prev/cur/next shift register,
+    yadif_common.c:103-111); flush() drains the pending frame at EOF with a
+    synthetic next = clone(cur) (ff_yadif_request_frame).  pts in
+    send_field mode follow the reference's halved output timebase
+    (pts*2 / cur_pts+next_pts); send_frame mode keeps source pts unchanged
+    (we do not re-declare the timebase; wall-clock timing is identical).
+    """
+
+    stream_filter = True
+
+    def __init__(self, mode=0, parity=-1, deint=0):
+        self.mode, self.deint = int(mode), int(deint)
+        self.send_field = bool(self.mode & 1)
+        self.skip_spatial = bool(self.mode & 2)
+        self.fps_mul = 2 if self.send_field else 1
+        p = int(parity)
+        self.tff = 1 if p == -1 else (p ^ 1)
+        self._hist = None        # plane dict, last 2 frames (device arrays)
+        self._hist_meta = {}     # pts/times/keys/keep tails (np arrays)
+
+    def _outputs(self, fb, ext, ext_meta, count):
+        from ..ops.yadif import deint_batch
+        out_planes = deint_batch(ext, self.tff, self.skip_spatial,
+                                 self.send_field)
+        ofb = fb.with_planes(out_planes)
+        meta = _meta_take(ext_meta, slice(1, 1 + count))
+        if self.send_field:
+            pts = ext_meta.get("pts")
+            times = ext_meta.get("times")
+            out = {}
+            if pts is not None:
+                p_cur, p_nxt = pts[1:1 + count], pts[2:2 + count]
+                out["pts"] = np.stack([2 * p_cur, p_cur + p_nxt],
+                                      1).reshape(-1)
+            else:
+                out["pts"] = None
+            if times is not None:
+                t_cur, t_nxt = times[1:1 + count], times[2:2 + count]
+                out["times"] = np.stack([t_cur, (t_cur + t_nxt) * 0.5],
+                                        1).reshape(-1)
+            else:
+                out["times"] = None
+            for key in ("keys", "keep"):
+                arr = meta.get(key)
+                out[key] = None if arr is None else np.repeat(arr, 2)
+            meta = out
+        return ofb, meta
+
+    def process_batch(self, fb: FrameBatch, meta):
+        keep = meta["keep"]
+        nz = np.nonzero(keep)[0]
+        v = int(nz[-1]) + 1 if len(nz) else 0
+        if v < fb.batch:     # drop the padded tail (it is not real video)
+            fb = fb.with_planes({k: p[:v] for k, p in fb.planes.items()})
+            meta = _meta_take(meta, slice(0, v))
+        if v == 0:
+            return _empty_like(fb), meta
+        self._last_fb = fb     # format/dims shell for flush()
+        if self._hist is None:
+            # stream start: prev of the first frame is the frame itself
+            # (yadif_common.c:107-111 av_frame_clone)
+            ext = {k: jnp.concatenate([p[:1], p])
+                   for k, p in fb.planes.items()}
+            ext_meta = _meta_concat(_meta_take(meta, slice(0, 1)), meta)
+        else:
+            ext = {k: jnp.concatenate([self._hist[k], p])
+                   for k, p in fb.planes.items()}
+            ext_meta = _meta_concat(self._hist_meta, meta)
+        m = v + (1 if self._hist is None else 2)
+        count = m - 2
+        self._hist = {k: p[-2:] for k, p in ext.items()}
+        self._hist_meta = _meta_take(ext_meta, slice(m - 2, m))
+        if count <= 0:
+            return _empty_like(fb), _meta_take(meta, slice(0, 0))
+        return self._outputs(fb, ext, ext_meta, count)
+
+    def flush(self):
+        if self._hist is None:
+            return None
+        # EOF: next = clone(cur) with extrapolated pts
+        # (ff_yadif_request_frame, yadif_common.c:178-186)
+        ext = {k: jnp.concatenate([p, p[-1:]]) for k, p in self._hist.items()}
+        ext_meta = dict(self._hist_meta)
+        pts = ext_meta.get("pts")
+        if pts is not None and len(pts) == 2:
+            ext_meta["pts"] = np.concatenate(
+                [pts, [2 * pts[-1] - pts[-2]]])
+        times = ext_meta.get("times")
+        if times is not None and len(times) == 2:
+            ext_meta["times"] = np.concatenate(
+                [times, [2 * times[-1] - times[-2]]])
+        for key in ("keys", "keep"):
+            arr = ext_meta.get(key)
+            if arr is not None and len(arr) == 2:
+                ext_meta[key] = np.concatenate([arr, arr[-1:]])
+        self._hist = None
+        return self._outputs(self._last_fb, ext, ext_meta, 1)
 
 
 # ---- batch-control filters (select family) --------------------------------
@@ -264,39 +388,67 @@ class ThumbnailFilter:
     """thumbnail_cuda analog: pick the most representative frame of every
     window of `n` frames (min histogram distance to the window mean).
 
-    Windows span batch boundaries: histograms are buffered until a window
-    completes.  If the window's best frame fell in an already-emitted
-    batch, the best frame of the current batch's portion is kept instead
-    (batches can't retroactively keep dropped frames)."""
+    A stream filter: frames of the open window are buffered on host (like
+    ffmpeg's thumbnail, which holds n frame refs) so the true window-best
+    frame is emitted even when it fell in an earlier batch, and flush()
+    emits the best frame of the final partial window at EOF (ffmpeg's
+    request_frame flush)."""
 
-    batch_control = True
+    stream_filter = True
 
     def __init__(self, n=100):
         self.window = int(n)
-        self._hists = []          # (global_index, histogram) of open window
-        self._base = 0            # global index of the first frame ever seen
+        self._buf = []           # (hist, planes_dict, meta_dict) per frame
+        self._last_fb = None
 
-    def keep_mask(self, fb, pts=None, times=None, keys=None):
-        y = np.asarray(fb.planes["y"] if "y" in fb.planes
-                       else fb.planes["rgb"][..., 0])
-        nb = y.shape[0]
-        batch_start = self._base
-        self._base += nb
-        keep = np.zeros(nb, bool)
-        for i, f in enumerate(y):
-            h = np.bincount(f.reshape(-1) >> 2, minlength=64).astype(np.float64)
-            self._hists.append((batch_start + i, h))
-            if len(self._hists) == self.window:
-                hs = np.stack([hh for _, hh in self._hists])
-                d = np.abs(hs - hs.mean(0)).sum(1)
-                order = np.argsort(d)
-                for j in order:       # best frame still in this batch wins
-                    gidx = self._hists[j][0]
-                    if gidx >= batch_start:
-                        keep[gidx - batch_start] = True
-                        break
-                self._hists = []
-        return keep
+    @staticmethod
+    def _hist(planes, i):
+        y = planes["y"][i] if "y" in planes else planes["rgb"][i][..., 0]
+        vals = np.asarray(y, np.uint16).reshape(-1) >> 2
+        return np.bincount(np.minimum(vals, 63),
+                           minlength=64).astype(np.float64)
+
+    def _best(self):
+        hs = np.stack([h for h, _, _ in self._buf])
+        d = np.abs(hs - hs.mean(0)).sum(1)
+        _, planes, m = self._buf[int(np.argmin(d))]
+        self._buf = []
+        return planes, m
+
+    def _emit(self, picks):
+        fb = self._last_fb
+        meta = {"pts": None, "times": None, "keys": None,
+                "keep": np.ones(len(picks), bool)}
+        if not picks:
+            return _empty_like(fb), meta
+        planes = {k: jnp.asarray(np.stack([p[k] for p, _ in picks]))
+                  for k in picks[0][0]}
+        for key in ("pts", "times", "keys"):
+            vals = [m.get(key) for _, m in picks]
+            if all(v is not None for v in vals):
+                meta[key] = np.asarray(vals)
+        return fb.with_planes(planes), meta
+
+    def process_batch(self, fb: FrameBatch, meta):
+        host = {k: np.asarray(v) for k, v in fb.planes.items()}
+        self._last_fb = fb
+        keep = meta["keep"]
+        picks = []
+        for i in range(fb.batch):
+            if not keep[i]:
+                continue
+            fm = {key: (None if arr is None else arr[i])
+                  for key, arr in meta.items()}
+            self._buf.append((self._hist(host, i),
+                              {k: host[k][i] for k in host}, fm))
+            if len(self._buf) == self.window:
+                picks.append(self._best())
+        return self._emit(picks)
+
+    def flush(self):
+        if not self._buf or self._last_fb is None:
+            return None
+        return self._emit([self._best()])
 
 
 def _f_infer(model="sr2x", weights="", luma_only=0):
@@ -333,8 +485,8 @@ FILTERS: Dict[str, Callable] = {
     "chromakey_cuda": _f_chromakey,
     "overlay": _f_overlay,
     "overlay_cuda": _f_overlay,
-    "yadif": _f_yadif,
-    "yadif_cuda": _f_yadif,
+    "yadif": YadifFilter,
+    "yadif_cuda": YadifFilter,
     "select": SelectFilter,
     "select_cuda": SelectFilter,
     "select_gpu": SelectFilter,

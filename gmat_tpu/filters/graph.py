@@ -52,8 +52,8 @@ POSITIONAL = {
     "chromakey_cuda": ("color", "similarity", "blend"),
     "overlay": ("path", "x", "y"),
     "overlay_cuda": ("path", "x", "y"),
-    "yadif": (),
-    "yadif_cuda": (),
+    "yadif": ("mode", "parity", "deint"),
+    "yadif_cuda": ("mode", "parity", "deint"),
     "null": (),
     "hflip": (),
     "vflip": (),
@@ -119,11 +119,24 @@ def parse_graph(spec: str) -> List[Tuple[str, Dict[str, str]]]:
 
 
 class FilterGraph:
-    """Compiled filter chain over FrameBatches."""
+    """Compiled filter chain over FrameBatches.
+
+    Three segment kinds:
+      pure    — composed FrameBatch->FrameBatch fns, jitted as one program
+      control — keep-mask filters (select/fps), run between jitted segments
+      stream  — stateful N->M batch transforms (yadif, thumbnail) that may
+                change the batch size / carry temporal state; they run
+                outside jit (their hot core is jitted internally) and
+                thread the per-frame metadata (pts/times/keys/keep) along.
+
+    After each process() call, out_pts/out_times/out_keys hold the
+    metadata matching the *returned* batch (stream filters may delay,
+    drop, or double frames).  flush() drains stateful filters at EOF.
+    """
 
     def __init__(self, spec: str, src_fps: float = 30.0):
         self.spec = spec
-        self.segments: List = []   # alternating: list-of-pure-fns | control
+        self.segments: List = []
         chain = parse_graph(spec)
         pure: List = []
         for name, kwargs in chain:
@@ -132,15 +145,23 @@ class FilterGraph:
                 kwargs.setdefault("src_fps", src_fps)
             inst = factory(**kwargs)
             if getattr(inst, "batch_control", False):
-                if pure:
-                    self.segments.append(("pure", self._compose(pure)))
-                    pure = []
-                self.segments.append(("control", inst))
+                kind = "control"
+            elif getattr(inst, "stream_filter", False):
+                kind = "stream"
             else:
                 pure.append(inst)
+                continue
+            if pure:
+                self.segments.append(("pure", self._compose(pure)))
+                pure = []
+            self.segments.append((kind, inst))
         if pure:
             self.segments.append(("pure", self._compose(pure)))
         self._jitted = {}
+        self.fps_mul = 1
+        for kind, seg in self.segments:
+            self.fps_mul *= getattr(seg, "fps_mul", 1)
+        self.out_pts = self.out_times = self.out_keys = None
 
     @staticmethod
     def _compose(fns: Sequence):
@@ -155,34 +176,81 @@ class FilterGraph:
             self._jitted[idx] = jax.jit(fn)
         return self._jitted[idx]
 
+    def _run_segments(self, fb: FrameBatch, meta: Dict, start: int = 0):
+        for i in range(start, len(self.segments)):
+            if fb.batch == 0:
+                break
+            kind, seg = self.segments[i]
+            if kind == "pure":
+                fb = self._jit_pure(i, seg)(fb)
+            elif kind == "stream":
+                fb, meta = seg.process_batch(fb, meta)
+            else:
+                mask = seg.keep_mask(fb, pts=meta["pts"], times=meta["times"],
+                                     keys=meta["keys"])
+                meta["keep"] = meta["keep"] & mask
+        return fb, meta
+
     def process(self, fb: FrameBatch, pts: Optional[np.ndarray] = None,
                 times: Optional[np.ndarray] = None,
                 keys: Optional[np.ndarray] = None,
-                valid: Optional[int] = None):
+                valid: Optional[int] = None,
+                keep: Optional[np.ndarray] = None):
         """Run the chain on one batch.
 
-        Returns (FrameBatch, keep_mask).  keep_mask already excludes padded
-        tail frames when `valid` < batch.
+        Returns (FrameBatch, keep_mask); keep_mask matches the returned
+        batch and already excludes padded tail frames when `valid` < batch
+        (and anything masked out by an upstream `keep`).
         """
         n = fb.batch
-        keep = np.ones(n, bool)
+        k = np.ones(n, bool) if keep is None else np.asarray(keep).copy()
         if valid is not None:
-            keep[valid:] = False
+            k[valid:] = False
+        meta = {"pts": pts, "times": times, "keys": keys, "keep": k}
+        fb, meta = self._run_segments(fb, meta)
+        self.out_pts = meta.get("pts")
+        self.out_times = meta.get("times")
+        self.out_keys = meta.get("keys")
+        return fb, meta["keep"]
+
+    def flush(self):
+        """End-of-stream: drain every stateful filter, pushing its residual
+        frames through the rest of the chain (so e.g. a flushed thumbnail
+        still gets scaled downstream).  Returns a list of (FrameBatch,
+        keep_mask, meta) in emission order; meta carries the matching
+        pts/times/keys arrays (entries may be None)."""
+        outs = []
         for i, (kind, seg) in enumerate(self.segments):
-            if kind == "pure":
-                fb = self._jit_pure(i, seg)(fb)
-            else:
-                mask = seg.keep_mask(fb, pts=pts, times=times, keys=keys)
-                keep &= mask
-        return fb, keep
+            fl = getattr(seg, "flush", None)
+            if fl is None:
+                continue
+            res = fl()
+            if res is None:
+                continue
+            fb, meta = res
+            for key in ("pts", "times", "keys"):
+                meta.setdefault(key, None)
+            if meta.get("keep") is None:
+                meta["keep"] = np.ones(fb.batch, bool)
+            fb, meta = self._run_segments(fb, meta, i + 1)
+            if fb.batch:
+                outs.append((fb, meta["keep"], meta))
+        return outs
 
     def run_frames(self, batch_iter):
         """Iterate (FrameBatch, pts, valid) batches -> per-frame results.
 
-        Yields (frame_planes_dict, pts) for kept frames (host numpy).
+        Yields (frame_planes_dict, pts, FrameBatch) for kept frames (host
+        numpy), including end-of-stream flush output.
         """
-        for fb, pts, valid in batch_iter:
-            out, keep = self.process(fb, pts=pts, valid=valid)
+        def emit(out, keep, opts):
             host = {k: np.asarray(v) for k, v in out.planes.items()}
             for i in np.nonzero(keep)[0]:
-                yield {k: v[i] for k, v in host.items()}, int(pts[i]), out
+                p = int(opts[i]) if opts is not None else 0
+                yield {k: v[i] for k, v in host.items()}, p, out
+
+        for fb, pts, valid in batch_iter:
+            out, keep = self.process(fb, pts=pts, valid=valid)
+            yield from emit(out, keep, self.out_pts)
+        for out, keep, meta in self.flush():
+            yield from emit(out, keep, meta.get("pts"))

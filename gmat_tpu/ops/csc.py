@@ -150,6 +150,9 @@ def rgb_to_yuv(fb: FrameBatch, out_format: str = "yuv420p", *,
         return mat[0, 0] * r + mat[0, 1] * g + mat[0, 2] * b + low
 
     y = _quantize(to_y(r * scale, g * scale, b * scale), dst_maxv, exact)
+    if not any(p.name == "u" for p in out_fmt.planes):   # gray8: luma only
+        dt = out_fmt.planes[0].dtype
+        return fb.with_planes({"y": y.astype(dt)}, out_format)
     sub = out_fmt.plane("u").sub_w
     if sub:
         n, h, w = r.shape

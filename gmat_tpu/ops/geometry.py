@@ -196,7 +196,14 @@ def rotate(fb: FrameBatch, angle_deg: float, interp: str = "linear",
         else:
             raise ValueError(f"rotate interp {interp!r} "
                              "(linear|cubic|nearest)")
-        out = sample(arr, sy, sx)
+        # out-of-frame fill: black.  For YUV that means neutral chroma
+        # (mid = 1<<(bits-1)) on u/v — a 0 fill there renders green corners.
+        fill = 0.0
+        if fmt.is_yuv and p.name in ("u", "v"):
+            fill = float(1 << (fmt.bits - 1))
+            if fmt.name in ("p010", "p016", "yuv420p16"):
+                fill = float(1 << 15)
+        out = sample(arr, sy, sx, fill)
         if packed:
             out = jnp.transpose(out.reshape(n, c, ph, pw), (0, 2, 3, 1))
         if not fmt.is_float:

@@ -108,3 +108,71 @@ def bilinear_resize(img, oh, ow, align=False):
     row0 = img[r0][:, c0] * (1 - fc_) + img[r0][:, c1] * fc_
     row1 = img[r1][:, c0] * (1 - fc_) + img[r1][:, c1] * fc_
     return row0 * (1 - fr_) + row1 * fr_
+
+
+# ---- yadif (scalar port of vf_yadif_cuda.cu, written from the source) ----
+
+def _yadif_spatial(cc, y, x, h, w):
+    def at(yy, xx):
+        return int(cc[min(max(yy, 0), h - 1), min(max(xx, 0), w - 1)])
+    a, b, c = at(y - 1, x - 3), at(y - 1, x - 2), at(y - 1, x - 1)
+    d, e = at(y - 1, x), at(y - 1, x + 1)
+    f, g = at(y - 1, x + 2), at(y - 1, x + 3)
+    hh, i, j = at(y + 1, x - 3), at(y + 1, x - 2), at(y + 1, x - 1)
+    k, l = at(y + 1, x), at(y + 1, x + 1)
+    m, n = at(y + 1, x + 2), at(y + 1, x + 3)
+    pred = (d + k) // 2
+    score = abs(c - j) + abs(d - k) + abs(e - l)
+    s = abs(b - k) + abs(c - l) + abs(d - m)
+    if s < score:
+        pred, score = (c + l) // 2, s
+        s = abs(a - l) + abs(b - m) + abs(c - n)
+        if s < score:
+            pred, score = (b + m) // 2, s
+    s = abs(d - i) + abs(e - j) + abs(f - k)
+    if s < score:
+        pred, score = (e + j) // 2, s
+        s = abs(e - hh) + abs(f - i) + abs(g - j)
+        if s < score:
+            pred, score = (f + i) // 2, s
+    return pred
+
+
+def yadif_frame(prev, cur, next_, parity, tff, skip_spatial_check=False):
+    """One deinterlaced output frame (vf_yadif_cuda.cu yadif_single)."""
+    h, w = cur.shape
+    out = np.array(cur, copy=True)
+    is_second = (parity ^ tff) == 0
+    prev2, next2 = prev, next_
+    prev1 = cur if is_second else prev
+    next1 = next_ if is_second else cur
+
+    def at(img, yy, xx):
+        return int(img[min(max(yy, 0), h - 1), min(max(xx, 0), w - 1)])
+
+    for y in range(h):
+        if y % 2 == parity:
+            continue
+        for x in range(w):
+            pred = _yadif_spatial(cur, y, x, h, w)
+            A, B = at(prev2, y - 1, x), at(prev2, y + 1, x)
+            C, D, E = at(prev1, y - 2, x), at(prev1, y, x), at(prev1, y + 2, x)
+            F, G = at(cur, y - 1, x), at(cur, y + 1, x)
+            H, I = at(next1, y - 2, x), at(next1, y, x)
+            J = at(next1, y + 2, x)
+            K, L = at(next2, y - 1, x), at(next2, y + 1, x)
+            p0, p1, p2, p3, p4 = (C + H) // 2, F, (D + I) // 2, G, (E + J) // 2
+            tdiff0 = abs(D - I)
+            tdiff1 = (abs(A - F) + abs(B - G)) // 2
+            tdiff2 = (abs(K - F) + abs(G - L)) // 2
+            diff = max(tdiff0, tdiff1, tdiff2)
+            if not skip_spatial_check:
+                maxi = max(p2 - p3, p2 - p1, min(p0 - p1, p4 - p3))
+                mini = min(p2 - p3, p2 - p1, max(p0 - p1, p4 - p3))
+                diff = max(diff, mini, -maxi)
+            if pred > p2 + diff:
+                pred = p2 + diff
+            if pred < p2 - diff:
+                pred = p2 - diff
+            out[y, x] = pred
+    return out

@@ -187,3 +187,18 @@ def test_gray8_paths(rng):
     assert int(np.asarray(yuv.planes["u"])[0, 0, 0]) == 128
     back = csc.convert(yuv, "gray8")
     np.testing.assert_array_equal(np.asarray(back.planes["y"]), y)
+
+
+def test_rgb_to_gray8_roundtrip(rng):
+    """rgb24 -> gray8 (luma only, no chroma planes) and back."""
+    rgb = rng.integers(0, 256, (2, 16, 16, 3)).astype(np.uint8)
+    fb = from_numpy_rgb(rgb)
+    g = csc.convert(fb, "gray8")
+    assert set(g.planes) == {"y"} and g.format == "gray8"
+    # luma matches the full rgb->yuv conversion's Y plane
+    full = csc.convert(fb, "yuv444p")
+    np.testing.assert_array_equal(np.asarray(g.planes["y"]),
+                                  np.asarray(full.planes["y"]))
+    back = csc.convert(g, "rgb24")
+    arr = np.asarray(back.planes["rgb"])
+    np.testing.assert_array_equal(arr[..., 0], arr[..., 1])

@@ -221,5 +221,9 @@ def test_thumbnail_spans_batches(rng):
     total = 0
     for _ in range(5):                     # 5 batches of 4 = 20 frames
         fb = yuv_batch(rng, n=4)
-        total += filt.keep_mask(fb).sum()
+        out, meta = filt.process_batch(
+            fb, {"pts": None, "times": None, "keys": None,
+                 "keep": np.ones(4, bool)})
+        total += out.batch
     assert total == 2                      # 20 frames / window 10
+    assert filt.flush() is None            # no open window left

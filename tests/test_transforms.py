@@ -111,6 +111,20 @@ def test_rotate_zero_identity(rng):
     np.testing.assert_array_equal(np.asarray(out.planes["rgb"]), img)
 
 
+def test_rotate_yuv_fills_neutral_chroma(rng):
+    """Out-of-frame corners after a YUV rotate must be black (u=v=128),
+    not green (u=v=0)."""
+    y = rng.integers(16, 236, (1, 16, 16)).astype(np.uint8)
+    u = np.full((1, 8, 8), 90, np.uint8)
+    v = np.full((1, 8, 8), 190, np.uint8)
+    fb = from_numpy_yuv420(y, u, v)
+    out = geometry.rotate(fb, 45.0, center=True)
+    # the corner pixel is uncovered by the rotated frame
+    assert int(np.asarray(out.planes["y"])[0, 0, 0]) == 0
+    assert int(np.asarray(out.planes["u"])[0, 0, 0]) == 128
+    assert int(np.asarray(out.planes["v"])[0, 0, 0]) == 128
+
+
 def test_gaussian_constant_preserved():
     img = jnp.full((1, 32, 40), 9.0, jnp.float32)
     out = np.asarray(smooth.gaussian_blur_plane(img, 5, 5))

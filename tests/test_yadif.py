@@ -1,0 +1,194 @@
+"""yadif deinterlacer vs an independent scalar oracle + streaming protocol."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gmat_tpu.core.frame import FrameBatch, from_numpy_yuv420
+from gmat_tpu.filters.builtin import YadifFilter
+from gmat_tpu.filters.graph import FilterGraph
+from gmat_tpu.ops.yadif import yadif_plane
+
+from . import oracle
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def interlaced_seq(rng, n=6, h=16, w=20, dtype=np.uint8, maxv=255):
+    """Synthetic interlaced content: two source 'times' per frame (moving
+    gradient), fields woven from consecutive times."""
+    frames = []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for t in range(n):
+        f0 = ((yy * 5 + xx * 3 + 11 * (2 * t)) % (maxv + 1))
+        f1 = ((yy * 5 + xx * 3 + 11 * (2 * t + 1)) % (maxv + 1))
+        woven = np.where(yy % 2 == 0, f0, f1)
+        noise = rng.integers(0, 3, (h, w))
+        frames.append(np.clip(woven + noise, 0, maxv).astype(dtype))
+    return frames
+
+
+@pytest.mark.parametrize("parity,tff", [(0, 1), (1, 1), (0, 0), (1, 0)])
+def test_yadif_plane_matches_oracle(rng, parity, tff):
+    frames = interlaced_seq(rng, n=3)
+    prev, cur, nxt = frames
+    got = np.asarray(yadif_plane(jnp.asarray(prev[None]),
+                                 jnp.asarray(cur[None]),
+                                 jnp.asarray(nxt[None]), parity, tff))
+    want = oracle.yadif_frame(prev, cur, nxt, parity, tff)
+    np.testing.assert_array_equal(got[0], want)
+
+
+def test_yadif_plane_nospatial_and_u16(rng):
+    frames = interlaced_seq(rng, n=3, dtype=np.uint16, maxv=1023)
+    prev, cur, nxt = frames
+    got = np.asarray(yadif_plane(jnp.asarray(prev[None]),
+                                 jnp.asarray(cur[None]),
+                                 jnp.asarray(nxt[None]), 0, 1,
+                                 skip_spatial_check=True))
+    want = oracle.yadif_frame(prev, cur, nxt, 0, 1, skip_spatial_check=True)
+    np.testing.assert_array_equal(got[0], want)
+    assert got.dtype == np.uint16
+
+
+def yuv_frames(rng, n, h=16, w=20):
+    ys = interlaced_seq(rng, n=n, h=h, w=w)
+    us = interlaced_seq(rng, n=n, h=h // 2, w=w // 2)
+    vs = interlaced_seq(rng, n=n, h=h // 2, w=w // 2)
+    return ys, us, vs
+
+
+def run_stream(filt, ys, us, vs, batch):
+    """Push frames through a stream filter in `batch`-sized chunks + flush."""
+    outs, opts = [], []
+    n = len(ys)
+    for s in range(0, n, batch):
+        e = min(s + batch, n)
+        fb = from_numpy_yuv420(np.stack(ys[s:e]), np.stack(us[s:e]),
+                               np.stack(vs[s:e]))
+        meta = {"pts": np.arange(s, e) * 100, "times": None, "keys": None,
+                "keep": np.ones(e - s, bool)}
+        ofb, ometa = filt.process_batch(fb, meta)
+        for i in range(ofb.batch):
+            outs.append({k: np.asarray(v[i]) for k, v in ofb.planes.items()})
+            opts.append(int(ometa["pts"][i]))
+    res = filt.flush()
+    if res is not None:
+        ofb, ometa = res
+        for i in range(ofb.batch):
+            outs.append({k: np.asarray(v[i]) for k, v in ofb.planes.items()})
+            opts.append(int(ometa["pts"][i]))
+    return outs, opts
+
+
+def test_streaming_matches_oracle_and_batch_sizes(rng):
+    """N frames in any batching -> N outputs equal to the oracle sequence
+    (prev of first = first, next of last = last)."""
+    n = 7
+    ys, us, vs = yuv_frames(rng, n)
+    # oracle: send_frame mode, parity auto -> tff=1, field parity tff^1=0
+    want = [oracle.yadif_frame(ys[max(i - 1, 0)], ys[i], ys[min(i + 1, n - 1)],
+                               parity=0, tff=1) for i in range(n)]
+    ref_outs = None
+    for batch in (2, 3, 7):
+        outs, opts = run_stream(YadifFilter(), ys, us, vs, batch)
+        assert len(outs) == n
+        assert opts == [i * 100 for i in range(n)]
+        for i in range(n):
+            np.testing.assert_array_equal(outs[i]["y"], want[i])
+        if ref_outs is None:
+            ref_outs = outs
+        else:   # batching must not change any plane
+            for a, b in zip(ref_outs, outs):
+                for k in a:
+                    np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_send_field_mode(rng):
+    n = 5
+    ys, us, vs = yuv_frames(rng, n)
+    outs, opts = run_stream(YadifFilter(mode=1), ys, us, vs, batch=3)
+    assert len(outs) == 2 * n
+    # first field parity tff^1=0, second field parity tff=1
+    w0 = oracle.yadif_frame(ys[0], ys[1], ys[2], parity=0, tff=1)
+    w1 = oracle.yadif_frame(ys[0], ys[1], ys[2], parity=1, tff=1)
+    np.testing.assert_array_equal(outs[2]["y"], w0)
+    np.testing.assert_array_equal(outs[3]["y"], w1)
+    # pts: doubled timebase (yadif_common.c: pts*2 / cur+next)
+    assert opts[2] == 2 * 100 and opts[3] == 100 + 200
+    # EOF second field extrapolates next pts
+    assert opts[-2] == 2 * 400 and opts[-1] == 400 + 500
+
+
+def test_graph_level_yadif_flush(rng):
+    n = 6
+    ys, us, vs = yuv_frames(rng, n)
+    g = FilterGraph("yadif=1")   # send_field through the graph
+    assert g.fps_mul == 2
+    fb = from_numpy_yuv420(np.stack(ys), np.stack(us), np.stack(vs))
+    out, keep = g.process(fb, pts=np.arange(n, dtype=np.int64))
+    assert out.batch == 2 * (n - 1) and keep.all()
+    assert g.out_pts is not None and len(g.out_pts) == 2 * (n - 1)
+    flushed = g.flush()
+    assert len(flushed) == 1
+    ffb, fkeep, fmeta = flushed[0]
+    assert ffb.batch == 2 and fkeep.all()
+
+
+def test_yadif_padded_tail_excluded(rng):
+    """Padded (valid<batch) frames must not leak into temporal context."""
+    n = 4
+    ys, us, vs = yuv_frames(rng, n)
+    # garbage pad frame
+    ys2 = ys + [np.zeros_like(ys[0])]
+    us2 = us + [np.zeros_like(us[0])]
+    vs2 = vs + [np.zeros_like(vs[0])]
+    g1 = FilterGraph("yadif")
+    fb = from_numpy_yuv420(np.stack(ys2), np.stack(us2), np.stack(vs2))
+    o1, k1 = g1.process(fb, pts=np.arange(5, dtype=np.int64), valid=4)
+    f1 = g1.flush()
+    g2 = FilterGraph("yadif")
+    fb2 = from_numpy_yuv420(np.stack(ys), np.stack(us), np.stack(vs))
+    o2, k2 = g2.process(fb2, pts=np.arange(4, dtype=np.int64))
+    f2 = g2.flush()
+    np.testing.assert_array_equal(np.asarray(o1.planes["y"]),
+                                  np.asarray(o2.planes["y"]))
+    np.testing.assert_array_equal(np.asarray(f1[0][0].planes["y"]),
+                                  np.asarray(f2[0][0].planes["y"]))
+
+
+def test_thumbnail_flush_partial_window(rng):
+    """Thumbnail emits the true window-best and flushes the open window."""
+    from gmat_tpu.filters.builtin import ThumbnailFilter
+    n, win = 10, 4
+    ys = [rng.integers(0, 256, (8, 8)).astype(np.uint8) for _ in range(n)]
+    us = [rng.integers(0, 256, (4, 4)).astype(np.uint8) for _ in range(n)]
+    vs = [rng.integers(0, 256, (4, 4)).astype(np.uint8) for _ in range(n)]
+    g = FilterGraph("thumbnail=4")
+    picked = []
+    for s in range(0, n, 3):
+        e = min(s + 3, n)
+        fb = from_numpy_yuv420(np.stack(ys[s:e]), np.stack(us[s:e]),
+                               np.stack(vs[s:e]))
+        out, keep = g.process(fb, pts=np.arange(s, e, dtype=np.int64))
+        for i in np.nonzero(keep)[0]:
+            picked.append((int(g.out_pts[i]), np.asarray(out.planes["y"][i])))
+    for out, keep, meta in g.flush():
+        for i in np.nonzero(keep)[0]:
+            picked.append((int(meta["pts"][i]),
+                           np.asarray(out.planes["y"][i])))
+    assert len(picked) == 3   # two full windows + flushed partial window
+
+    def best(lo, hi):
+        hs = np.stack([np.bincount(y.reshape(-1) >> 2, minlength=64)
+                       for y in ys[lo:hi]]).astype(np.float64)
+        d = np.abs(hs - hs.mean(0)).sum(1)
+        return lo + int(np.argmin(d))
+
+    for (pts, yplane), (lo, hi) in zip(picked, [(0, 4), (4, 8), (8, 10)]):
+        idx = best(lo, hi)
+        assert pts == idx
+        np.testing.assert_array_equal(yplane, ys[idx])
