@@ -148,27 +148,205 @@ def _f_chromakey(color="00FF00", similarity=0.1, blend=0.0):
     return run
 
 
-def _f_overlay(path="", x=0, y=0):
-    """Overlay a still image (decoded with our own mjpeg path) at (x, y) —
-    overlay_cuda analog for the static-watermark use."""
-    if not path:
-        raise FilterError("overlay requires path=FILE (jpeg)")
-    from ..av.jpeg import decode_jpeg_to_rgb
-    img = decode_jpeg_to_rgb(path)      # (h, w, 3) uint8
-    x, y = int(x), int(y)
+class OverlayFilter:
+    """overlay / overlay_cuda analog with a real second input.
 
-    def run(fb):
-        if not fb.fmt.is_rgb:
-            fb = csc.convert(fb, "rgb24")
-        h, w = img.shape[:2]
-        base = fb.planes["rgb"]
-        over = jnp.asarray(img).astype(base.dtype)
-        if base.shape[-1] == 4:
-            over = jnp.concatenate(
-                [over, jnp.full(img.shape[:2] + (1,), 255, base.dtype)], -1)
-        patched = base.at[:, y:y + h, x:x + w, :].set(over[None])
-        return fb.with_planes({"rgb": patched})
-    return run
+    Mirrors vf_overlay_cuda.c's dual-input framesync design
+    (ff_framesync_dualinput_get, :226-245): the main stream flows through
+    the graph; the overlay source is either a second *video stream*
+    (``video=FILE``, decoded in lockstep, one overlay frame per main frame)
+    or a still image (``path=FILE`` jpeg).  Blend runs in the YUV domain on
+    4:2:0 planes exactly like the reference kernel (ops/overlay.py), or on
+    packed RGB when the main stream is RGB at that point in the chain.
+
+    Options:
+      x, y         position — numbers or per-frame expressions with vars
+                   n, t, main_w/mw, main_h/mh, overlay_w/ow, overlay_h/oh
+                   (vf_overlay_cuda.c:47-60 var_names); positions are
+                   traced, so animated x/y reuse one compiled program
+      eof_action   repeat (default) | pass | endall — framesync semantics
+                   when the overlay stream ends before the main stream
+      shortest=1   alias for eof_action=endall
+
+    Decoded overlay streams carry no alpha plane (the software decode path
+    normalizes to I420), matching the reference's NV12-overlay case
+    (opaque); ops/overlay.overlay_yuv420 implements the yuva420p alpha
+    path for direct API use.
+    """
+
+    stream_filter = True
+
+    def __init__(self, path="", video="", x="0", y="0",
+                 eof_action="repeat", shortest=0):
+        if bool(path) == bool(video):
+            raise FilterError("overlay requires exactly one of path=FILE "
+                              "(still) or video=FILE (second stream)")
+        self.video = video
+        self.eof_action = "endall" if int(shortest) else str(eof_action)
+        if self.eof_action not in ("repeat", "pass", "endall"):
+            raise FilterError(f"overlay eof_action {self.eof_action!r}")
+        self._x = self._pos_expr(x)
+        self._y = self._pos_expr(y)
+        self._still = None
+        if path:
+            from ..av.jpeg import decode_jpeg_to_rgb
+            img = decode_jpeg_to_rgb(path)          # (h, w, 3) uint8
+            # even dims so the 4:2:0 conversion is well-defined
+            img = img[: img.shape[0] & ~1, : img.shape[1] & ~1]
+            self._still = img
+        self._still_cache = {}
+        self._gen = None
+        self._last = None          # last overlay frame (np plane dict)
+        self._ended = False
+        self._n = 0                # frames seen (expr var n)
+
+    @staticmethod
+    def _pos_expr(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return compile_expr(str(v))
+
+    # -- overlay frame sourcing ---------------------------------------------
+    def _video_gen(self):
+        from ..av.ingest import decode_stream
+        src = decode_stream(self.video, batch=8)
+        try:
+            for ofb, _opts, ovalid in src:
+                host = {k: np.asarray(v) for k, v in ofb.planes.items()}
+                for i in range(int(ovalid)):
+                    yield {k: host[k][i] for k in host}
+        finally:
+            close = getattr(src, "close", None)
+            if close:
+                close()
+
+    def _next_overlay(self):
+        """One overlay frame dict, or None when exhausted (pre-eof_action)."""
+        if self._still is not None:
+            return {"rgb": self._still}
+        if self._gen is None:
+            self._gen = self._video_gen()
+        try:
+            frame = next(self._gen)
+            self._last = frame
+            return frame
+        except StopIteration:
+            return None
+
+    def _still_as(self, domain):
+        """Still image in 'rgb' or 'yuv' domain (converted once, cached)."""
+        if domain not in self._still_cache:
+            from ..core.frame import from_numpy_rgb
+            if domain == "rgb":
+                self._still_cache[domain] = {"rgb": self._still}
+            else:
+                fb = csc.convert(from_numpy_rgb(self._still), "yuv420p")
+                self._still_cache[domain] = {
+                    k: np.asarray(v)[0] for k, v in fb.planes.items()}
+        return self._still_cache[domain]
+
+    # -- stream protocol ------------------------------------------------------
+    def process_batch(self, fb: FrameBatch, meta):
+        from ..ops import overlay as ov
+        if self._ended:
+            return _empty_like(fb), _meta_take(meta, slice(0, 0))
+        nb = fb.batch
+        keep = np.asarray(meta["keep"]).copy()
+        rgb_main = fb.fmt.is_rgb
+        if not rgb_main and fb.format not in ("yuv420p", "nv12"):
+            raise FilterError(
+                f"overlay main format {fb.format} unsupported (yuv420p/"
+                "nv12/rgb like vf_overlay_cuda.c formats_match)")
+        domain = "rgb" if rgb_main else "yuv"
+
+        frames, blend_on = [], np.zeros(nb, bool)
+        cut = None
+        for i in range(nb):
+            if not keep[i]:
+                frames.append(None)
+                continue
+            if self._still is not None:
+                frames.append(self._still_as(domain))
+                blend_on[i] = True
+                continue
+            f = self._next_overlay()
+            if f is None:                      # overlay stream ended
+                if self.eof_action == "repeat" and self._last is not None:
+                    f = self._last
+                elif self.eof_action == "pass":
+                    frames.append(None)
+                    continue
+                else:                          # endall (or repeat w/o any)
+                    keep[i:] = False
+                    self._ended = True
+                    cut = i
+                    break
+            frames.append(f)
+            blend_on[i] = True
+        if cut is not None:
+            frames += [None] * (nb - len(frames))
+
+        meta = dict(meta)
+        meta["keep"] = keep
+        if not blend_on.any():
+            return fb, meta
+
+        # stack overlay frames; non-blended slots reuse any real frame and
+        # are pushed fully off-canvas (position = main size) instead
+        ref = next(f for f in frames if f is not None)
+        if domain == "yuv" and "rgb" in ref:
+            # (video overlay into yuv main is already i420; only stills
+            # need converting, handled in _still_as)
+            raise FilterError("internal: rgb overlay frame in yuv domain")
+        stack = {k: np.stack([(f or ref)[k] for f in frames])
+                 for k in ref}
+        if domain == "rgb" and "rgb" not in ref:
+            from ..core.frame import from_numpy_yuv420
+            tmp = from_numpy_yuv420(stack["y"], stack["u"], stack["v"])
+            stack = {"rgb": np.asarray(
+                csc.convert(tmp, "rgb24").planes["rgb"])}
+
+        ow = ref["rgb"].shape[1] if "rgb" in ref else ref["y"].shape[1]
+        oh = ref["rgb"].shape[0] if "rgb" in ref else ref["y"].shape[0]
+        times = meta.get("times")
+        xs, ys = np.empty(nb, np.int32), np.empty(nb, np.int32)
+        for i in range(nb):
+            if not blend_on[i]:
+                xs[i], ys[i] = fb.width, fb.height     # fully clipped
+                continue
+            env = {"n": float(self._n + i),
+                   "t": float(times[i]) if times is not None else 0.0,
+                   "main_w": float(fb.width), "mw": float(fb.width),
+                   "main_h": float(fb.height), "mh": float(fb.height),
+                   "overlay_w": float(ow), "ow": float(ow),
+                   "overlay_h": float(oh), "oh": float(oh)}
+            xs[i] = int(self._x if isinstance(self._x, float)
+                        else self._x(env))
+            ys[i] = int(self._y if isinstance(self._y, float)
+                        else self._y(env))
+        self._n += nb
+
+        xj, yj = jnp.asarray(xs), jnp.asarray(ys)
+        if domain == "rgb":
+            out = ov.overlay_rgb(fb.planes["rgb"],
+                                 jnp.asarray(stack["rgb"]), None, xj, yj)
+            return fb.with_planes({"rgb": out}), meta
+        planes = ov.overlay_yuv420(
+            fb.planes, {k: jnp.asarray(v) for k, v in stack.items()},
+            None, xj, yj)
+        return fb.with_planes(planes), meta
+
+    def flush(self):
+        if self._gen is not None:
+            self._gen.close()
+            self._gen = None
+        return None
+
+
+def _f_overlay(path="", x=0, y=0, video="", eof_action="repeat", shortest=0):
+    return OverlayFilter(path=path, video=video, x=x, y=y,
+                         eof_action=eof_action, shortest=shortest)
 
 
 # ---- stream filters (stateful N->M batch transforms, run outside jit) ----

@@ -1,0 +1,101 @@
+"""Dual-input overlay blend — TPU rebuild of vf_overlay_cuda.
+
+Reference: ffmpeg-gpu/libavfilter/vf_overlay_cuda.cu:23-53 (per-plane
+alpha blend, float math truncated to u8), vf_overlay_cuda.c:195-340
+(per-plane launches: luma at (x,y) with full-res alpha, chroma at
+(x/2, y/2) with alpha sampled at even coords; x normalized even via
+normalize_xy, y passed through).
+
+TPU-first formulation: the reference launches a bounds-checked kernel per
+plane per frame; here the overlay (and its alpha) are placed onto
+zero-initialized canvases with `lax.dynamic_update_slice` — positions are
+*traced* values, so per-frame x/y expressions reuse one compiled program —
+and the blend is a single fused elementwise pass over the batch.  Partial
+off-frame overlays are handled by compositing on a padded canvas and
+slicing out the visible window (the kernel's bounds check analog), so
+placement clips instead of sliding.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _place(over: jax.Array, x: jax.Array, y: jax.Array,
+           H: int, W: int) -> jax.Array:
+    """Place batched (N, oh, ow) patches at per-frame (x, y) on an (N, H, W)
+    zero canvas, clipping overhang on all four sides."""
+    n, oh, ow = over.shape
+
+    def one(o, xx, yy):
+        canvas = jnp.zeros((H + 2 * oh, W + 2 * ow), over.dtype)
+        yy = jnp.clip(yy, -oh, H) + oh
+        xx = jnp.clip(xx, -ow, W) + ow
+        canvas = jax.lax.dynamic_update_slice(canvas, o, (yy, xx))
+        return canvas[oh:oh + H, ow:ow + W]
+
+    return jax.vmap(one)(over, x, y)
+
+
+def _blend(main: jax.Array, over: jax.Array, alpha: jax.Array,
+           x: jax.Array, y: jax.Array) -> jax.Array:
+    """out = alpha*overlay + (1-alpha)*main, truncated like the reference's
+    implicit float->uchar cast (vf_overlay_cuda.cu:52)."""
+    H, W = main.shape[1], main.shape[2]
+    o = _place(over.astype(jnp.float32), x, y, H, W)
+    a = _place(alpha, x, y, H, W)
+    out = a * o + (1.0 - a) * main.astype(jnp.float32)
+    return jnp.floor(out).astype(main.dtype)
+
+
+@jax.jit
+def overlay_yuv420(main_planes: Dict[str, jax.Array],
+                   over_planes: Dict[str, jax.Array],
+                   alpha: Optional[jax.Array],
+                   x: jax.Array, y: jax.Array) -> Dict[str, jax.Array]:
+    """YUV-domain overlay on batched 4:2:0 planes.
+
+    main_planes/over_planes: {'y','u','v'} with (N,...) u8 arrays; alpha is
+    an optional (N, oh, ow) u8 full-resolution alpha plane (yuva420p's
+    data[3]); x/y: (N,) int32 per-frame positions.  Plane geometry matches
+    the reference launches (vf_overlay_cuda.c:289-327): x is normalized to
+    even, chroma goes to (x/2, y/2), chroma alpha samples the full-res
+    alpha at even coordinates (alpha_adj = 2).
+    """
+    x = jnp.asarray(x, jnp.int32) & ~1      # normalize_xy(x, chroma_sub=1)
+    y = jnp.asarray(y, jnp.int32)
+    oy = over_planes["y"]
+    if alpha is None:
+        a_full = jnp.ones(oy.shape, jnp.float32)
+    else:
+        a_full = alpha.astype(jnp.float32) / 255.0
+    out = {"y": _blend(main_planes["y"], oy, a_full, x, y)}
+    a_sub = a_full[:, ::2, ::2]
+    for c in ("u", "v"):
+        out[c] = _blend(main_planes[c], over_planes[c], a_sub,
+                        x // 2, y // 2)
+    return out
+
+
+@jax.jit
+def overlay_rgb(main: jax.Array, over: jax.Array,
+                alpha: Optional[jax.Array],
+                x: jax.Array, y: jax.Array) -> jax.Array:
+    """Packed-RGB overlay (N,H,W,C) — the still-watermark convenience path
+    (no RGB mode exists in the reference filter; blend math is the same)."""
+    n, h, w, c = main.shape
+    if alpha is None:
+        a = jnp.ones(over.shape[:3], jnp.float32)
+    else:
+        a = alpha.astype(jnp.float32) / 255.0
+    chans = []
+    for i in range(c):
+        if i == 3:   # preserve main alpha channel
+            chans.append(main[..., i])
+            continue
+        chans.append(_blend(main[..., i], over[..., min(i, over.shape[3] - 1)],
+                            a, x, y))
+    return jnp.stack(chans, axis=-1)

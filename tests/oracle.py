@@ -176,3 +176,31 @@ def yadif_frame(prev, cur, next_, parity, tff, skip_spatial_check=False):
                 pred = p2 - diff
             out[y, x] = pred
     return out
+
+
+# ---- overlay (scalar port of vf_overlay_cuda.cu Overlay_Cuda) ----
+
+def overlay_plane(main, over, x, y, alpha=None, adj=1):
+    """In-place-style blend of one plane; alpha is the full-res u8 alpha
+    plane or None (opaque); adj = alpha_adj (1 luma, 2 chroma)."""
+    out = np.array(main, copy=True)
+    h, w = main.shape
+    oh, ow = over.shape
+    for yy in range(h):
+        for xx in range(w):
+            if xx >= ow + x or yy >= oh + y or xx < x or yy < y:
+                continue
+            ox, oy = xx - x, yy - y
+            a = 1.0 if alpha is None else alpha[adj * oy, adj * ox] / np.float32(255.0)
+            out[yy, xx] = np.float32(a) * np.float32(over[oy, ox]) + \
+                (np.float32(1.0) - np.float32(a)) * np.float32(main[yy, xx])
+    return out
+
+
+def overlay_yuv420(main, over, x, y, alpha=None):
+    """Dict-of-planes blend matching vf_overlay_cuda.c:289-327 geometry."""
+    x = x & ~1
+    out = {"y": overlay_plane(main["y"], over["y"], x, y, alpha, 1)}
+    for c in ("u", "v"):
+        out[c] = overlay_plane(main[c], over[c], x // 2, y // 2, alpha, 2)
+    return out
