@@ -44,25 +44,68 @@ static void set_err(const char* where, int code) {
 GAV_API const char* gav_last_error() { return g_err; }
 
 // ---------------------------------------------------------------- demuxer
+struct GavBufIO {                      // memory-buffer input state
+    const uint8_t* data;
+    int64_t size;
+    int64_t pos;
+};
+
 struct GavDemuxer {
     AVFormatContext* fmt = nullptr;
     AVBSFContext* bsf = nullptr;       // annexb conversion for h264/hevc
     AVPacket* pkt = nullptr;
     AVPacket* out = nullptr;
+    AVIOContext* avio = nullptr;       // set for memory-buffer inputs
+    GavBufIO* bufio = nullptr;
     int vstream = -1;
     int astream = -1;
     bool eof = false;
 };
 
-GAV_API void* gav_demux_open(const char* path) {
-    auto* d = new GavDemuxer();
-    int r = avformat_open_input(&d->fmt, path, nullptr, nullptr);
-    if (r < 0) { set_err("avformat_open_input", r); delete d; return nullptr; }
-    r = avformat_find_stream_info(d->fmt, nullptr);
-    if (r < 0) { set_err("find_stream_info", r); avformat_close_input(&d->fmt); delete d; return nullptr; }
+// custom AVIO callbacks over a caller-owned buffer (zero-copy, like the
+// reference Demuxer(uint8_t* pBuffer, size_t) ctor, Demuxer.h:20-61)
+static int gav_bufio_read(void* opaque, uint8_t* buf, int buf_size) {
+    auto* b = (GavBufIO*)opaque;
+    int64_t left = b->size - b->pos;
+    if (left <= 0) return AVERROR_EOF;
+    int n = (int)(buf_size < left ? buf_size : left);
+    memcpy(buf, b->data + b->pos, n);
+    b->pos += n;
+    return n;
+}
+
+static int64_t gav_bufio_seek(void* opaque, int64_t offset, int whence) {
+    auto* b = (GavBufIO*)opaque;
+    whence &= ~AVSEEK_FORCE;
+    if (whence == AVSEEK_SIZE) return b->size;
+    int64_t base = whence == SEEK_SET ? 0 :
+                   whence == SEEK_CUR ? b->pos : b->size;
+    int64_t np = base + offset;
+    if (np < 0 || np > b->size) return AVERROR(EINVAL);
+    b->pos = np;
+    return np;
+}
+
+static void demux_free(GavDemuxer* d) {
+    av_packet_free(&d->pkt);
+    av_packet_free(&d->out);
+    if (d->bsf) av_bsf_free(&d->bsf);
+    avformat_close_input(&d->fmt);
+    if (d->avio) {
+        av_freep(&d->avio->buffer);
+        avio_context_free(&d->avio);
+    }
+    delete d->bufio;
+    delete d;
+}
+
+// shared tail of both open paths: stream probe + annexb BSF + packet alloc
+static void* demux_finish(GavDemuxer* d) {
+    int r = avformat_find_stream_info(d->fmt, nullptr);
+    if (r < 0) { set_err("find_stream_info", r); demux_free(d); return nullptr; }
     d->vstream = av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
     d->astream = av_find_best_stream(d->fmt, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0);
-    if (d->vstream < 0) { snprintf(g_err, sizeof g_err, "no video stream"); avformat_close_input(&d->fmt); delete d; return nullptr; }
+    if (d->vstream < 0) { snprintf(g_err, sizeof g_err, "no video stream"); demux_free(d); return nullptr; }
     AVCodecParameters* par = d->fmt->streams[d->vstream]->codecpar;
     const char* bsf_name = nullptr;
     if (par->codec_id == AV_CODEC_ID_H264) bsf_name = "h264_mp4toannexb";
@@ -80,14 +123,43 @@ GAV_API void* gav_demux_open(const char* path) {
     return d;
 }
 
+GAV_API void* gav_demux_open(const char* path) {
+    auto* d = new GavDemuxer();
+    int r = avformat_open_input(&d->fmt, path, nullptr, nullptr);
+    if (r < 0) { set_err("avformat_open_input", r); delete d; return nullptr; }
+    return demux_finish(d);
+}
+
+// Memory-buffer input (Demuxer(pBuffer, size) / FrameExtractor_InitFromBuffer
+// analog, metrans/app/CFrameExtractor.cpp).  The caller keeps `data` alive
+// for the demuxer's lifetime; nothing is copied.
+GAV_API void* gav_demux_open_buffer(const uint8_t* data, long long size) {
+    auto* d = new GavDemuxer();
+    d->bufio = new GavBufIO{data, (int64_t)size, 0};
+    const size_t iosz = 1 << 16;
+    uint8_t* iobuf = (uint8_t*)av_malloc(iosz);
+    d->avio = avio_alloc_context(iobuf, iosz, 0, d->bufio,
+                                 gav_bufio_read, nullptr, gav_bufio_seek);
+    if (!d->avio) { av_free(iobuf); snprintf(g_err, sizeof g_err, "avio_alloc_context failed"); delete d->bufio; delete d; return nullptr; }
+    d->fmt = avformat_alloc_context();
+    d->fmt->pb = d->avio;
+    int r = avformat_open_input(&d->fmt, nullptr, nullptr, nullptr);
+    if (r < 0) {
+        set_err("avformat_open_input(buffer)", r);
+        // open_input freed fmt on failure; avio is still ours
+        av_freep(&d->avio->buffer);
+        avio_context_free(&d->avio);
+        delete d->bufio;
+        delete d;
+        return nullptr;
+    }
+    return demux_finish(d);
+}
+
 GAV_API void gav_demux_close(void* h) {
     auto* d = (GavDemuxer*)h;
     if (!d) return;
-    av_packet_free(&d->pkt);
-    av_packet_free(&d->out);
-    if (d->bsf) av_bsf_free(&d->bsf);
-    avformat_close_input(&d->fmt);
-    delete d;
+    demux_free(d);
 }
 
 GAV_API int gav_demux_width(void* h)  { return ((GavDemuxer*)h)->fmt->streams[((GavDemuxer*)h)->vstream]->codecpar->width; }

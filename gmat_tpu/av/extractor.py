@@ -27,12 +27,17 @@ from . import toolkit as tk
 
 
 class FrameExtractor:
-    """Uniform-interval frame extraction with smart skipping."""
+    """Uniform-interval frame extraction with smart skipping.
 
-    def __init__(self, path: str, frame_interval: int = 0,
+    `src` is a path or an in-memory container (bytes), matching the
+    reference's FrameExtractor_InitFromBuffer C ABI
+    (metrans/app/CFrameExtractor.cpp) — both demuxers read the same pinned
+    buffer zero-copy, each with its own cursor."""
+
+    def __init__(self, src, frame_interval: int = 0,
                  time_interval: float = 0.0, threads: int = 0):
-        self.dm = tk.Demuxer(path)            # main demuxer
-        self.dm_seek = tk.Demuxer(path)       # look-ahead demuxer
+        self.dm = tk.Demuxer(src)             # main demuxer
+        self.dm_seek = tk.Demuxer(src)        # look-ahead demuxer
         self.dec = tk.Decoder.from_demuxer(self.dm, threads)
         self.frame_interval = frame_interval
         self.time_interval = time_interval
@@ -162,9 +167,9 @@ class FrameSelect:
     frame, score scene changes on device per batch, yield frames whose
     score exceeds the threshold (select_gpu='gt(scene,0.4)')."""
 
-    def __init__(self, path: str, threshold: float = 0.4,
+    def __init__(self, path, threshold: float = 0.4,
                  batch_size: int = 32, threads: int = 0):
-        self.dm = tk.Demuxer(path)
+        self.dm = tk.Demuxer(path)   # path or in-memory bytes
         self.dec = tk.Decoder.from_demuxer(self.dm, threads)
         self.threshold = threshold
         self.batch_size = batch_size

@@ -62,6 +62,8 @@ def _declare(name: str, lib: ctypes.CDLL):
         sigs = {
             "gav_last_error": (ctypes.c_char_p, []),
             "gav_demux_open": (ctypes.c_void_p, [ctypes.c_char_p]),
+            "gav_demux_open_buffer": (ctypes.c_void_p,
+                                      [ctypes.c_char_p, c_ll]),
             "gav_demux_close": (None, [ctypes.c_void_p]),
             "gav_demux_width": (ctypes.c_int, [ctypes.c_void_p]),
             "gav_demux_height": (ctypes.c_int, [ctypes.c_void_p]),

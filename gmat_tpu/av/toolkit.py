@@ -29,13 +29,25 @@ class Packet:
 
 
 class Demuxer:
-    """Video/audio packet source (metrans Demuxer.h:16-221 analog)."""
+    """Video/audio packet source (metrans Demuxer.h:16-221 analog).
 
-    def __init__(self, path: str):
+    Accepts a file path or an in-memory container (bytes/bytearray/
+    memoryview) — the memory path uses custom AVIO callbacks like the
+    reference's Demuxer(uint8_t* pBuffer, size_t) ctor (Demuxer.h:20-61),
+    zero-copy: the buffer is pinned for the demuxer's lifetime."""
+
+    def __init__(self, src):
         self._lib = native.load()
-        self._h = self._lib.gav_demux_open(path.encode())
+        self._buf = None
+        if isinstance(src, (bytes, bytearray, memoryview)):
+            self._buf = bytes(src)   # pin (no-copy when already bytes)
+            self._h = self._lib.gav_demux_open_buffer(self._buf,
+                                                      len(self._buf))
+            src = f"<memory:{len(self._buf)}B>"
+        else:
+            self._h = self._lib.gav_demux_open(src.encode())
         if not self._h:
-            raise IOError(f"demux open {path}: {native.last_error()}")
+            raise IOError(f"demux open {src}: {native.last_error()}")
         self.width = self._lib.gav_demux_width(self._h)
         self.height = self._lib.gav_demux_height(self._h)
         self.fps = self._lib.gav_demux_fps(self._h)

@@ -18,11 +18,14 @@ import numpy as np
 
 
 class FrameExtractor:
-    """python/frame_extractor.py analog (C ABI CFrameExtractor.cpp:6-51)."""
+    """python/frame_extractor.py analog (C ABI CFrameExtractor.cpp:6-51).
 
-    def __init__(self, path: str, gpu: int = 0):
+    `src` may be a path or an in-memory container (bytes) — the
+    FrameExtractor_InitFromBuffer analog."""
+
+    def __init__(self, src, gpu: int = 0):
         from .av.extractor import FrameExtractor as _FX
-        self._fx = _FX(path)
+        self._fx = _FX(src)
         self._it = None
         self.width, self.height = self._fx.width, self._fx.height
 

@@ -177,3 +177,37 @@ def test_extract_interval_with_audio(tmp_path):
     # smart skip still effective with audio interleaved
     assert fx.n_decoded < 60, (fx.n_decoded, fx.n_skipped_seek)
     fx.close()
+
+
+def test_extract_from_memory_buffer(clip):
+    """Demuxer(bytes) / FrameExtractor(bytes) — the memory-AVIO input path
+    (Demuxer.h:20-61, FrameExtractor_InitFromBuffer analog) must produce
+    exactly what the file path produces, including GOP seek."""
+    with open(clip, "rb") as f:
+        blob = f.read()
+    fx_file = FrameExtractor(clip, frame_interval=30)
+    fx_mem = FrameExtractor(blob, frame_interval=30)
+    got_f = list(fx_file.frames())
+    got_m = list(fx_mem.frames())
+    assert len(got_f) == len(got_m) > 0
+    for (yf, uf, vf, pf), (ym, um, vm, pm) in zip(got_f, got_m):
+        assert pf == pm
+        np.testing.assert_array_equal(yf, ym)
+        np.testing.assert_array_equal(uf, um)
+        np.testing.assert_array_equal(vf, vm)
+    # smart-skip stats identical (seek works through the custom AVIO)
+    assert fx_mem.n_skipped_seek == fx_file.n_skipped_seek
+    assert fx_mem.n_decoded == fx_file.n_decoded
+    fx_file.close(); fx_mem.close()
+
+
+def test_demuxer_memory_metadata(clip):
+    from gmat_tpu.av import toolkit as tk
+    blob = open(clip, "rb").read()
+    dm_f, dm_m = tk.Demuxer(clip), tk.Demuxer(blob)
+    assert (dm_m.width, dm_m.height, dm_m.codec) == \
+           (dm_f.width, dm_f.height, dm_f.codec)
+    assert dm_m.extradata() == dm_f.extradata()
+    pf, pm = dm_f.read(), dm_m.read()
+    assert pf.data == pm.data and pf.pts == pm.pts
+    dm_f.close(); dm_m.close()
