@@ -222,8 +222,8 @@ def parse_hvcc(rec: bytes) -> Tuple[List[bytes], int]:
 
 @dataclasses.dataclass
 class StRps:
-    s0_deltas: list          # delta_poc_s0_minus1 values (negative refs)
-    s1_deltas: list          # delta_poc_s1_minus1 values (positive refs)
+    s0_deltas: list          # abs(DeltaPocS0[i]) - 1 (negative refs)
+    s1_deltas: list          # DeltaPocS1[i] - 1 (positive refs)
     used0: list
     used1: list
 
@@ -232,11 +232,19 @@ class StRps:
         return len(self.s0_deltas) + len(self.s1_deltas)
 
 
-def _parse_st_rps(r: "BitReader", idx: int, rps_list: list) -> StRps:
-    """st_ref_pic_set(idx) per H.265 7.3.7 incl. inter-set prediction."""
+def _parse_st_rps(r: "BitReader", idx: int, rps_list: list,
+                  num_rps: Optional[int] = None) -> StRps:
+    """st_ref_pic_set(idx) per H.265 7.3.7 incl. inter-set prediction.
+
+    num_rps = num_short_term_ref_pic_sets from the SPS; delta_idx_minus1
+    is only present for the slice-header set (idx == num_rps, 7.3.7) —
+    never for SPS-level sets.
+    """
+    if num_rps is None:
+        num_rps = len(rps_list)          # slice-level call convention
     inter_pred = r.u(1) if idx != 0 else 0
     if inter_pred:
-        delta_idx = (r.ue() + 1) if idx == len(rps_list) else 1
+        delta_idx = (r.ue() + 1) if idx == num_rps else 1
         ref = rps_list[idx - delta_idx]
         sign = r.u(1)
         abs_delta = r.ue() + 1
@@ -282,11 +290,15 @@ def _parse_st_rps(r: "BitReader", idx: int, rps_list: list) -> StRps:
     n_neg = r.ue()
     n_pos = r.ue()
     s0, u0, s1, u1 = [], [], [], []
+    acc = 0
     for _ in range(n_neg):
-        s0.append(r.ue())
+        acc += r.ue() + 1                    # cumulative coding (7-67/7-69)
+        s0.append(acc - 1)                   # store abs(DeltaPoc)-1
         u0.append(r.u(1))
+    acc = 0
     for _ in range(n_pos):
-        s1.append(r.ue())
+        acc += r.ue() + 1
+        s1.append(acc - 1)
         u1.append(r.u(1))
     return StRps(s0, s1, u0, u1)
 
@@ -312,10 +324,16 @@ class SpsFull:
     log2_max_poc_lsb: int
     rps_list: list
     sps_id: int
+    separate_colour_plane: bool = False
+    pic_size_in_ctbs: int = 1          # PicSizeInCtbsY (slice addresses)
+    lt_present: bool = False           # long_term_ref_pics_present_flag
+    lt_poc_lsb_sps: tuple = ()         # lt_ref_pic_poc_lsb_sps[i]
 
 
 def parse_sps_full(nal: bytes) -> SpsFull:
-    """SPS parse continued far enough to get the RPS list (7.3.2.2)."""
+    """SPS parse continued far enough to get the RPS list, the CTB count
+    (slice_segment_address width) and the long-term ref sets (7.3.2.2 —
+    the HevcParserImpl.cpp SPS section)."""
     r = BitReader(nal)
     r.u(4)
     max_sub_layers = r.u(3) + 1
@@ -335,9 +353,8 @@ def parse_sps_full(nal: bytes) -> SpsFull:
                 r.u(8)
     sps_id = r.ue()
     chroma = r.ue()
-    if chroma == 3:
-        r.u(1)
-    w = r.ue(); h = r.ue()
+    sep_colour = bool(r.u(1)) if chroma == 3 else False
+    w = r.ue(); h = r.ue()                        # pre-crop pic sizes
     if r.u(1):
         r.ue(); r.ue(); r.ue(); r.ue()
     r.ue(); r.ue()                                # bit depths
@@ -346,7 +363,9 @@ def parse_sps_full(nal: bytes) -> SpsFull:
     n = max_sub_layers if sub_ordering else 1
     for _ in range(n):
         r.ue(); r.ue(); r.ue()
-    r.ue(); r.ue(); r.ue(); r.ue()                # coding block sizes
+    log2_min_cb = r.ue() + 3
+    log2_diff_cb = r.ue()
+    r.ue(); r.ue()                                # transform block sizes
     r.ue(); r.ue()                                # transform hierarchy
     if r.u(1):                                    # scaling_list_enabled
         if r.u(1):
@@ -357,9 +376,19 @@ def parse_sps_full(nal: bytes) -> SpsFull:
     num_rps = r.ue()
     rps_list = []
     for i in range(num_rps):
-        rps_list.append(_parse_st_rps(r, i, rps_list))
+        rps_list.append(_parse_st_rps(r, i, rps_list, num_rps))
+    lt_present = bool(r.u(1))
+    lt_lsb = []
+    if lt_present:
+        for _ in range(r.ue()):                   # num_long_term_ref_pics_sps
+            lt_lsb.append(r.u(log2_max_poc))
+            r.u(1)                                # used_by_curr_pic_lt_sps
+    ctb_log2 = log2_min_cb + log2_diff_cb
+    ctb = 1 << ctb_log2
+    pic_size_in_ctbs = ((w + ctb - 1) // ctb) * ((h + ctb - 1) // ctb)
     sps = parse_sps(nal)
-    return SpsFull(sps, log2_max_poc, rps_list, sps_id)
+    return SpsFull(sps, log2_max_poc, rps_list, sps_id, sep_colour,
+                   pic_size_in_ctbs, lt_present, tuple(lt_lsb))
 
 
 @dataclasses.dataclass
@@ -369,6 +398,26 @@ class Pps:
     dependent_slices: bool
     output_flag_present: bool
     num_extra_slice_header_bits: int
+    # remaining header fields (HevcParserImpl.cpp PPS section); parsed so
+    # non-default PPSes are fully decoded, though only the five above gate
+    # the slice-header subset we read
+    sign_data_hiding: bool = False
+    cabac_init_present: bool = False
+    num_ref_idx_l0_default: int = 1
+    num_ref_idx_l1_default: int = 1
+    init_qp: int = 26
+    constrained_intra_pred: bool = False
+    transform_skip: bool = False
+    cu_qp_delta_enabled: bool = False
+    cu_qp_delta_depth: int = 0
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    slice_chroma_qp_offsets_present: bool = False
+    weighted_pred: bool = False
+    weighted_bipred: bool = False
+    transquant_bypass: bool = False
+    tiles_enabled: bool = False
+    entropy_coding_sync: bool = False
 
 
 def parse_pps(nal: bytes) -> Pps:
@@ -378,7 +427,27 @@ def parse_pps(nal: bytes) -> Pps:
     dep = r.u(1)
     out = r.u(1)
     extra = r.u(3)
-    return Pps(pps_id, sps_id, bool(dep), bool(out), extra)
+    sign = r.u(1)
+    cabac = r.u(1)
+    nr0 = r.ue() + 1
+    nr1 = r.ue() + 1
+    init_qp = r.se() + 26
+    cip = r.u(1)
+    tskip = r.u(1)
+    cuqp = r.u(1)
+    cuqp_depth = r.ue() if cuqp else 0
+    cb_off = r.se()
+    cr_off = r.se()
+    sl_chroma = r.u(1)
+    wp = r.u(1)
+    wbp = r.u(1)
+    tqb = r.u(1)
+    tiles = r.u(1)
+    wpp = r.u(1)
+    return Pps(pps_id, sps_id, bool(dep), bool(out), extra, bool(sign),
+               bool(cabac), nr0, nr1, init_qp, bool(cip), bool(tskip),
+               bool(cuqp), cuqp_depth, cb_off, cr_off, bool(sl_chroma),
+               bool(wp), bool(wbp), bool(tqb), bool(tiles), bool(wpp))
 
 
 @dataclasses.dataclass
@@ -389,8 +458,16 @@ class SliceRps:
     nal_type_: int
 
 
-def parse_slice_rps(nal: bytes, spsf: SpsFull, pps: Pps) -> Optional[SliceRps]:
-    """Slice-segment header up to the short-term RPS (7.3.6.1)."""
+def parse_slice_rps(nal: bytes, spsf, pps) -> Optional[SliceRps]:
+    """Slice-segment header up to (and incl.) the reference picture sets
+    (7.3.6.1 — the HevcParserImpl.cpp slice-header section).
+
+    `spsf`/`pps` may be single parsed sets or {id: set} dicts; with dicts
+    the slice's own slice_pic_parameter_set_id selects the PPS and its
+    pps_seq_parameter_set_id selects the SPS (multi-parameter-set streams).
+    Returns None for dependent slice segments (they inherit the previous
+    independent segment's header and start no new picture).
+    """
     t = nal_type(nal)
     if not is_vcl(t):
         return None
@@ -398,16 +475,30 @@ def parse_slice_rps(nal: bytes, spsf: SpsFull, pps: Pps) -> Optional[SliceRps]:
     first = r.u(1)
     if is_irap(t):
         r.u(1)                                    # no_output_of_prior_pics
-    r.ue()                                        # slice_pic_parameter_set_id
-    if not first and pps.dependent_slices:
-        if r.u(1):
-            return None                           # dependent slice: no header
+    pps_id = r.ue()                               # slice_pic_parameter_set_id
+    if isinstance(pps, dict):
+        pps = pps.get(pps_id)
+        if pps is None:
+            return None
+    if isinstance(spsf, dict):
+        spsf = spsf.get(pps.sps_id)
+        if spsf is None:
+            return None
+    dependent = False
     if not first:
-        pass                                      # slice_segment_address (needs CTU count); assume 1 slice/pic
-    r.u(pps.num_extra_slice_header_bits)
+        if pps.dependent_slices:
+            dependent = bool(r.u(1))
+        # slice_segment_address: u(ceil(log2(PicSizeInCtbsY)))
+        nbits = max(1, (spsf.pic_size_in_ctbs - 1).bit_length())
+        r.u(nbits)
+    if dependent:
+        return None
+    r.u(pps.num_extra_slice_header_bits)          # slice_reserved_flag[i]
     r.ue()                                        # slice_type
     if pps.output_flag_present:
-        r.u(1)
+        r.u(1)                                    # pic_output_flag
+    if spsf.separate_colour_plane:
+        r.u(2)                                    # colour_plane_id
     if is_idr(t):
         return SliceRps(0, set(), True, t)
     poc_lsb = r.u(spsf.log2_max_poc_lsb)
@@ -421,14 +512,31 @@ def parse_slice_rps(nal: bytes, spsf: SpsFull, pps: Pps) -> Optional[SliceRps]:
         rps = _parse_st_rps(r, len(spsf.rps_list), spsf.rps_list)
     refs = set()
     if rps:
-        acc = poc_lsb
         for d in rps.s0_deltas:
-            acc = acc - (d + 1)
-            refs.add(acc)
-        acc = poc_lsb
+            refs.add(poc_lsb - (d + 1))
         for d in rps.s1_deltas:
-            acc = acc + (d + 1)
-            refs.add(acc)
+            refs.add(poc_lsb + (d + 1))
+    if getattr(spsf, "lt_present", False):
+        # long-term entries reference pictures by POC lsb directly; a frame
+        # held as LTR must not be marked skippable
+        num_lt_sps = 0
+        if len(spsf.lt_poc_lsb_sps) > 0:
+            num_lt_sps = r.ue()
+        num_lt_pics = r.ue()
+        for i in range(num_lt_sps + num_lt_pics):
+            if i < num_lt_sps:
+                if len(spsf.lt_poc_lsb_sps) > 1:
+                    nb = max(1, (len(spsf.lt_poc_lsb_sps) - 1).bit_length())
+                    idx = r.u(nb)
+                else:
+                    idx = 0
+                if idx < len(spsf.lt_poc_lsb_sps):
+                    refs.add(spsf.lt_poc_lsb_sps[idx])
+            else:
+                refs.add(r.u(spsf.log2_max_poc_lsb))
+                r.u(1)                            # used_by_curr_pic_lt_flag
+            if r.u(1):                            # delta_poc_msb_present
+                r.ue()                            # delta_poc_msb_cycle_lt
     return SliceRps(poc_lsb, refs, False, t)
 
 
@@ -440,19 +548,21 @@ def analyze_skippable(packets) -> list:
     packet i's POC (AppHevcParse.cpp:186-196).  The last frame is never
     marked skippable (nothing follows to prove it unused).
     """
-    spsf = None
-    pps = None
+    sps_map: dict = {}                 # sps_id -> SpsFull
+    pps_map: dict = {}                 # pps_id -> Pps
     slices = []
     for data in packets:
         sl = None
         for n in split_annexb(data):
             t = nal_type(n)
             if t == NAL_SPS:
-                spsf = parse_sps_full(n)
+                s = parse_sps_full(n)
+                sps_map[s.sps_id] = s
             elif t == NAL_PPS:
-                pps = parse_pps(n)
-            elif is_vcl(t) and sl is None and spsf and pps:
-                sl = parse_slice_rps(n, spsf, pps)
+                p = parse_pps(n)
+                pps_map[p.pps_id] = p
+            elif is_vcl(t) and sl is None and sps_map and pps_map:
+                sl = parse_slice_rps(n, sps_map, pps_map)
         if sl is not None:
             slices.append(sl)
     out = []

@@ -488,12 +488,26 @@ class YadifFilter:
 
 # ---- batch-control filters (select family) --------------------------------
 
+_PICT_CONSTS = {          # AV_PICTURE_TYPE_* values (vf_select var_names)
+    "I": 1.0, "P": 2.0, "B": 3.0, "S": 4.0, "SI": 5.0, "SP": 6.0, "BI": 7.0,
+    "PICT_TYPE_I": 1.0, "PICT_TYPE_P": 2.0, "PICT_TYPE_B": 3.0,
+    "PICT_TYPE_S": 4.0, "PICT_TYPE_SI": 5.0, "PICT_TYPE_SP": 6.0,
+    "PICT_TYPE_BI": 7.0,
+    "PROGRESSIVE": 0.0, "TOPFIRST": 1.0, "BOTTOMFIRST": 2.0,
+}
+
+
 class SelectFilter:
     """select/select_cuda analog: keep frames where expr evaluates nonzero.
 
-    Vars: n (frame index), t (seconds), pts, key, scene
-    (vf_select_cuda.c:53-100).  Scene scores are computed on device for the
-    whole batch (ops/scene.py); the expression runs per frame on host.
+    Vars (vf_select_cuda.c:53-100): n, t, pts, key, scene, selected_n,
+    prev_selected_{n,pts,t}, start_pts, start_t, prev_pts, prev_t,
+    pict_type (+ I/P/B/... constants — the software decode path exposes
+    keyframe-ness only, so pict_type is I for keyframes else P),
+    interlace_type (PROGRESSIVE — no per-frame interlace props), and pos
+    (NaN, like ffmpeg when the byte position is unknown).  Scene scores
+    are computed on device for the whole batch (ops/scene.py); the
+    expression runs per frame on host.
     """
 
     batch_control = True
@@ -508,6 +522,11 @@ class SelectFilter:
         self.selected_n = 0.0
         self.prev_selected_n = float("nan")
         self.prev_selected_t = float("nan")
+        self.prev_selected_pts = float("nan")
+        self.start_t = float("nan")
+        self.start_pts = float("nan")
+        self.prev_t = float("nan")
+        self.prev_pts = float("nan")
 
     def keep_mask(self, fb: FrameBatch, pts=None, times=None, keys=None):
         from ..ops.scene import scene_scores
@@ -522,21 +541,36 @@ class SelectFilter:
         keep = np.zeros(n, bool)
         for i in range(n):
             t = float(times[i]) if times is not None else 0.0
+            p = float(pts[i]) if pts is not None else 0.0
+            k = float(keys[i]) if keys is not None else 0.0
+            if np.isnan(self.start_t):
+                self.start_t, self.start_pts = t, p
             env = {
                 "n": float(self.n + i),
                 "t": t,
-                "pts": float(pts[i]) if pts is not None else 0.0,
-                "key": float(keys[i]) if keys is not None else 0.0,
+                "pts": p,
+                "key": k,
+                "pict_type": 1.0 if k else 2.0,
+                "interlace_type": 0.0,
+                "pos": float("nan"),
                 "scene": float(scores[i]),
+                "start_t": self.start_t,
+                "start_pts": self.start_pts,
+                "prev_t": self.prev_t,
+                "prev_pts": self.prev_pts,
                 "selected_n": self.selected_n,
                 "prev_selected_n": self.prev_selected_n,
                 "prev_selected_t": self.prev_selected_t,
+                "prev_selected_pts": self.prev_selected_pts,
+                **_PICT_CONSTS,
             }
             keep[i] = self.expr(env) != 0
             if keep[i]:
                 self.prev_selected_n = float(self.n + i)
                 self.prev_selected_t = t
+                self.prev_selected_pts = p
                 self.selected_n += 1.0
+            self.prev_t, self.prev_pts = t, p
         self.n += n
         return keep
 

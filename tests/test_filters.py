@@ -227,3 +227,27 @@ def test_thumbnail_spans_batches(rng):
         total += out.batch
     assert total == 2                      # 20 frames / window 10
     assert filt.flush() is None            # no open window left
+
+
+def test_select_extended_vars(rng):
+    """start_t / prev_t / pict_type / pos vars (vf_select_cuda.c:53-100)."""
+    fb = yuv_batch(rng, n=6)
+    pts = np.arange(100, 700, 100, np.int64)
+    times = pts / 1000.0
+    keys = np.array([1, 0, 0, 1, 0, 0], np.float64)
+    # keep frames more than 0.25s after the stream start
+    g = FilterGraph("select=gt(t-start_t\\,0.25)")
+    _, keep = g.process(fb, pts=pts, times=times, keys=keys)
+    assert keep.tolist() == [False, False, False, True, True, True]
+    # keyframes only, via pict_type constant
+    g = FilterGraph("select=eq(pict_type\\,I)")
+    _, keep = g.process(fb, pts=pts, times=times, keys=keys)
+    assert keep.tolist() == [True, False, False, True, False, False]
+    # prev_t: keep frames at least 0.15s after the previous frame
+    g = FilterGraph("select=if(isnan(prev_t)\\,1\\,gte(t-prev_t\\,0.05))")
+    _, keep = g.process(fb, pts=pts, times=times, keys=keys)
+    assert keep.all()
+    # pos is NaN (unknown byte position), like ffmpeg
+    g = FilterGraph("select=isnan(pos)")
+    _, keep = g.process(fb, pts=pts, times=times, keys=keys)
+    assert keep.all()
