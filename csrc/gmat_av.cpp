@@ -405,6 +405,7 @@ struct GavEncoder {
     AVFrame* frame = nullptr;
     AVPacket* pkt = nullptr;
     long long in_count = 0;
+    std::vector<int> roi;      // 6 ints per region: t,b,l,r,qnum,qden
 };
 
 // name: "libx264" | "libx265" | "mjpeg" (| any avcodec encoder name)
@@ -467,6 +468,16 @@ GAV_API int gav_enc_extradata(void* h, unsigned char** data) {
     return e->ctx->extradata_size;
 }
 
+// Per-frame QP-offset regions — the NV_ENC_PIC_PARAMS.qpDeltaMap analog
+// (AppNvEnc.cpp:92-102), expressed as AV_FRAME_DATA_REGIONS_OF_INTEREST
+// which libx264/libx265 translate to per-MB/CTU QP offsets.  `rois` is
+// n*6 ints (top, bottom, left, right, qoffset_num, qoffset_den); applied
+// to every subsequent frame until changed; n=0 clears.
+GAV_API void gav_enc_set_roi(void* h, const int* rois, int n) {
+    auto* e = (GavEncoder*)h;
+    e->roi.assign(rois, rois + (size_t)n * 6);
+}
+
 // send one I420 frame (y/u/v NULL = flush). Returns like gav_dec_send.
 GAV_API int gav_enc_send(void* h, const unsigned char* y, const unsigned char* u,
                          const unsigned char* v, long long pts, int force_key) {
@@ -476,6 +487,23 @@ GAV_API int gav_enc_send(void* h, const unsigned char* y, const unsigned char* u
         r = avcodec_send_frame(e->ctx, nullptr);
     } else {
         av_frame_make_writable(e->frame);
+        av_frame_remove_side_data(e->frame, AV_FRAME_DATA_REGIONS_OF_INTEREST);
+        if (!e->roi.empty()) {
+            int n = (int)(e->roi.size() / 6);
+            AVFrameSideData* sd = av_frame_new_side_data(
+                e->frame, AV_FRAME_DATA_REGIONS_OF_INTEREST,
+                (size_t)n * sizeof(AVRegionOfInterest));
+            if (sd) {
+                auto* regs = (AVRegionOfInterest*)sd->data;
+                for (int i = 0; i < n; i++) {
+                    const int* q = &e->roi[(size_t)i * 6];
+                    regs[i].self_size = sizeof(AVRegionOfInterest);
+                    regs[i].top = q[0]; regs[i].bottom = q[1];
+                    regs[i].left = q[2]; regs[i].right = q[3];
+                    regs[i].qoffset = {q[4], q[5]};
+                }
+            }
+        }
         int w = e->ctx->width, hh = e->ctx->height;
         for (int i = 0; i < hh; i++)
             memcpy(e->frame->data[0] + (size_t)i * e->frame->linesize[0], y + (size_t)i * w, w);

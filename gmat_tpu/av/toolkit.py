@@ -284,15 +284,39 @@ class Encoder:
             out.append(Packet(ctypes.string_at(data, n), pts.value, dts.value,
                               bool(key.value), False, 0))
 
+    def set_roi(self, regions) -> None:
+        """Per-frame QP-offset regions — the qpDeltaMap analog
+        (NV_ENC_PIC_PARAMS.qpDeltaMap, AppNvEnc.cpp:92-102) via
+        AV_FRAME_DATA_REGIONS_OF_INTEREST.
+
+        regions: iterable of (top, bottom, left, right, qoffset) with
+        pixel bounds and qoffset in [-1, +1] (negative = spend more bits /
+        better quality, like a negative QP delta).  Applies to every
+        subsequent frame until changed; None or [] clears.
+        """
+        regions = list(regions or [])
+        flat = []
+        for t, b, l, r_, q in regions:
+            qn = int(round(float(q) * 255))
+            qn = max(-255, min(255, qn))
+            flat += [int(t), int(b), int(l), int(r_), qn, 255]
+        arr = (ctypes.c_int * len(flat))(*flat)
+        self._lib.gav_enc_set_roi(self._h, arr, len(regions))
+
     def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
-               pts: int = -1, force_key: bool = False):
-        """Encode one I420 (or 10-bit u16) frame; returns ready Packets."""
+               pts: int = -1, force_key: bool = False, roi=None):
+        """Encode one I420 (or 10-bit u16) frame; returns ready Packets.
+
+        roi: optional region list for this and following frames (see
+        set_roi)."""
         if y.shape != (self.height, self.width) or \
                 u.shape != (self.height // 2, self.width // 2) or \
                 v.shape != (self.height // 2, self.width // 2):
             raise ValueError(
                 f"frame planes {y.shape}/{u.shape} don't match encoder "
                 f"{self.width}x{self.height}")
+        if roi is not None:
+            self.set_roi(roi)
         if getattr(self, "_force_next_key", False):
             force_key, self._force_next_key = True, False
         if self.bits == 10:

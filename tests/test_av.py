@@ -226,3 +226,64 @@ def test_mkv_container(tmp_path):
     assert dm.codec_name == "h264"
     assert sum(1 for p in dm if p.stream == 0) == 5
     dm.close()
+
+
+def test_roi_encode_improves_region_quality(tmp_path):
+    """ROI/QP-map lane (AppNvEnc qpDeltaMap analog): at equal bitrate the
+    ROI rect must come back measurably cleaner than the same rect without
+    ROI, and the non-ROI area must pay for it."""
+    import jax.numpy as jnp
+    from gmat_tpu.ops.metrics import psnr
+
+    rng = np.random.default_rng(3)
+    w, h = 320, 240
+    n = 60
+    # detailed content everywhere so rate control has something to trade
+    frames = []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n):
+        base = (yy * 3 + xx * 5 + i * 7) % 220
+        noise = rng.integers(0, 36, (h, w))
+        frames.append(np.clip(base + noise, 0, 255).astype(np.uint8))
+    u = np.full((h // 2, w // 2), 110, np.uint8)
+    v = np.full((h // 2, w // 2), 140, np.uint8)
+    t, b, l, r_ = 96, 160, 128, 192   # 64x64 ROI rect
+
+    def run(regions):
+        enc = tk.Encoder("libx264", w, h, fps=(30, 1), bitrate=150_000,
+                         gop=30, preset="veryfast",
+                         opts="maxrate=150000,bufsize=150000")
+        pkts = []
+        for i, y in enumerate(frames):
+            pkts += enc.encode(y, u, v, pts=i, roi=regions)
+        pkts += enc.flush()
+        extra = enc.extradata()
+        enc.close()
+        dec = tk.Decoder(tk.CODEC_H264, extra)
+        out = []
+        for p in pkts:
+            out += [f[0] for f in dec.decode(p.data)]
+        out += [f[0] for f in dec.decode(None)]
+        dec.close()
+        return np.stack(out[:n]), sum(len(p.data) for p in pkts)
+
+    plain, bytes_plain = run(None)
+    boosted, bytes_boost = run([(t, b, l, r_, -0.6)])
+    src = np.stack(frames)
+
+    inside = (slice(None), slice(t, b), slice(l, r_))
+    p_roi_plain = float(jnp.mean(psnr(jnp.asarray(src[inside]),
+                                      jnp.asarray(plain[inside]))))
+    p_roi_boost = float(jnp.mean(psnr(jnp.asarray(src[inside]),
+                                      jnp.asarray(boosted[inside]))))
+    outside = np.ones((h, w), bool)
+    outside[t:b, l:r_] = False
+    p_out_plain = float(jnp.mean(psnr(
+        jnp.asarray(src[:, outside]), jnp.asarray(plain[:, outside]))))
+    p_out_boost = float(jnp.mean(psnr(
+        jnp.asarray(src[:, outside]), jnp.asarray(boosted[:, outside]))))
+    # ROI rect gains at least 1.5 dB; the rest loses (bits reallocated);
+    # VBV holds the stream near the same size
+    assert p_roi_boost > p_roi_plain + 1.5, (p_roi_plain, p_roi_boost)
+    assert p_out_boost < p_out_plain, (p_out_plain, p_out_boost)
+    assert bytes_boost < bytes_plain * 1.35, (bytes_plain, bytes_boost)
