@@ -403,6 +403,143 @@ def _build_ladder_i8(n, h, w, ch, cw, out_h, out_w, colorspace, method,
     return jax.jit(fn)
 
 
+# ------------------------------------------------- W-chunked i8 variant
+# >4K frames don't fit VMEM whole (an 8K luma plane is 33 MB); the frame
+# is split into column chunks and the ladder becomes
+#     out = sum_k (Ah @ X[:, k]) @ Aw[k, :]
+# with f32 accumulators in VMEM scratch — interpolation windows straddling
+# a chunk boundary fall out naturally because the chunks partition Aw's
+# rows.  The row-stage +128 offset correction is applied once in the
+# epilogue (per-chunk Aw column sums are partial; only the total sums to 1).
+# Replaces the reference's size-agnostic texture path (Resize.cu:15-80 —
+# NVDEC handles 8K) for beyond-VMEM inputs.
+
+
+def _ladder_kernel_i8_chunked(y_ref, u_ref, v_ref, ahy_ref, awy_ref,
+                              ahc_ref, awc_ref, offy_ref, offc_ref, out_ref,
+                              acc_y, acc_u, acc_v,
+                              *, mat, low, mid, norm, shift, kw_chunks):
+    k = pl.program_id(1)
+
+    def partial_rowcol(x_ref, ah_i8, aw_bf):
+        x8 = pltpu.bitcast(x_ref[...] ^ jnp.uint8(0x80), jnp.int8)
+        t = jax.lax.dot_general(ah_i8[...], x8, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        tb = (t.astype(jnp.float32) * (1.0 / 127.0)).astype(jnp.bfloat16)
+        return jax.lax.dot_general(tb, aw_bf[...], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    py = partial_rowcol(y_ref, ahy_ref, awy_ref)
+    pu = partial_rowcol(u_ref, ahc_ref, awc_ref)
+    pv = partial_rowcol(v_ref, ahc_ref, awc_ref)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_y[...] = py
+        acc_u[...] = pu
+        acc_v[...] = pv
+
+    @pl.when(k > 0)
+    def _accum():
+        acc_y[...] = acc_y[...] + py
+        acc_u[...] = acc_u[...] + pu
+        acc_v[...] = acc_v[...] + pv
+
+    @pl.when(k == kw_chunks - 1)
+    def _epilogue():
+        yy = acc_y[...] + offy_ref[...] - low
+        uu = acc_u[...] + offc_ref[...] - mid
+        vv = acc_v[...] + offc_ref[...] - mid
+        maxv = 2.0 * mid - 1.0
+        r = jnp.clip(mat[0, 0] * yy + mat[0, 1] * uu + mat[0, 2] * vv,
+                     0., maxv)
+        g = jnp.clip(mat[1, 0] * yy + mat[1, 1] * uu + mat[1, 2] * vv,
+                     0., maxv)
+        b = jnp.clip(mat[2, 0] * yy + mat[2, 1] * uu + mat[2, 2] * vv,
+                     0., maxv)
+        out_ref[0, :, :] = (r - shift[0]) * (1.0 / norm)
+        out_ref[1, :, :] = (g - shift[1]) * (1.0 / norm)
+        out_ref[2, :, :] = (b - shift[2]) * (1.0 / norm)
+
+
+@lru_cache(maxsize=32)
+def _build_ladder_i8_chunked(n, h, w, ch, cw, out_h, out_w, colorspace,
+                             method, norm, shift, interpret, kw_chunks):
+    mat = yuv2rgb_matrix(colorspace)
+    low, mid = yuv_offsets(8)
+    ahy = resample_matrix(h, out_h, method)
+    ahc = resample_matrix(ch, out_h, method)
+    ahy_q = np.clip(np.round(ahy * 127.0), -127, 127).astype(np.int8)
+    ahc_q = np.clip(np.round(ahc * 127.0), -127, 127).astype(np.int8)
+    offy = (128.0 * ahy_q.astype(np.float32).sum(1) / 127.0)[:, None]
+    offc = (128.0 * ahc_q.astype(np.float32).sum(1) / 127.0)[:, None]
+    awy_np = resample_matrix(w, out_w, method).T
+    awc_np = resample_matrix(cw, out_w, method).T
+    wc, cwc = w // kw_chunks, cw // kw_chunks
+
+    kernel = partial(_ladder_kernel_i8_chunked, mat=mat, low=float(low),
+                     mid=float(mid), norm=float(norm), shift=shift,
+                     kw_chunks=kw_chunks)
+    grid_spec = pl.GridSpec(
+        grid=(n, kw_chunks),
+        in_specs=[
+            pl.BlockSpec((None, h, wc), lambda i, k: (i, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, ch, cwc), lambda i, k: (i, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, ch, cwc), lambda i, k: (i, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, h), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wc, out_w), lambda i, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, ch), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cwc, out_w), lambda i, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, 1), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, 1), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 3, out_h, out_w),
+                               lambda i, k: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((out_h, out_w), jnp.float32)
+                        for _ in range(3)],
+    )
+    call = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 3, out_h, out_w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )
+
+    def fn(y, u, v):
+        return call(y, u, v,
+                    jnp.asarray(ahy_q), jnp.asarray(awy_np, jnp.bfloat16),
+                    jnp.asarray(ahc_q), jnp.asarray(awc_np, jnp.bfloat16),
+                    jnp.asarray(offy, jnp.float32),
+                    jnp.asarray(offc, jnp.float32))
+
+    return jax.jit(fn)
+
+
+def _pick_w_chunks(h, w, ch, cw, budget_bytes=24 * 1024 * 1024) -> int:
+    """Smallest chunk count whose per-step input fits the VMEM budget and
+    whose luma/chroma chunk widths stay lane-aligned (multiples of 128)."""
+    per_frame = h * w + 2 * ch * cw
+    if per_frame <= budget_bytes:
+        return 1        # whole-frame blocks need no alignment constraint
+    for k in range(2, 65):
+        if (w % (k * 128) == 0 and cw % (k * 128) == 0
+                and per_frame // k <= budget_bytes):
+            return k
+    raise ValueError(f"no lane-aligned W-chunking for {w}x{h}")
+
+
 def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
                     out_h: int, out_w: int, colorspace: str = "bt709",
                     method: str = "bilinear", norm: float = 255.0,
@@ -413,6 +550,8 @@ def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
 
     crop_box=(x, y, w, h) crops the source for free: the interpolation
     matrices simply stop reading outside the box (even coords for 4:2:0).
+    Frames beyond ~4K are processed in column chunks (same math, f32
+    VMEM accumulators), so 8K inputs run on-chip too.
     """
     if method not in ("bilinear", "nearest"):
         raise ValueError("int8 ladder supports bilinear/nearest")
@@ -425,6 +564,16 @@ def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
         if cx + cwb > w or cy + chb > h:
             raise ValueError("crop box outside the frame")
         crop_box = (cx, cy, cwb, chb)
+    kw_chunks = _pick_w_chunks(h, w, ch, cw)
+    if kw_chunks > 1:
+        if crop_box is not None:
+            raise ValueError("crop_box with >4K chunked ladder not "
+                             "supported yet; crop on host or via "
+                             "geometry.crop first")
+        fn = _build_ladder_i8_chunked(
+            n, h, w, ch, cw, out_h, out_w, colorspace, method, float(norm),
+            tuple(float(s) for s in shift), bool(interpret), kw_chunks)
+        return fn(y, u, v)
     fn = _build_ladder_i8(n, h, w, ch, cw, out_h, out_w, colorspace, method,
                           float(norm), tuple(float(s) for s in shift),
                           bool(interpret), crop_box)

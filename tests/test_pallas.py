@@ -88,3 +88,50 @@ def test_fused_ladder_i8_crop(rng):
     with pytest.raises(ValueError):
         fused_ladder_i8(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                         24, 32, crop_box=(1, 0, 64, 48), interpret=True)
+
+
+def test_chunked_ladder_matches_unchunked(rng):
+    """W-chunked i8 ladder (>4K path) == unchunked i8 math on small dims."""
+    from gmat_tpu.ops.pallas_kernels import (_build_ladder_i8,
+                                             _build_ladder_i8_chunked)
+    n, h, w = 2, 64, 512
+    y, u, v = _data(rng, n=n, h=h, w=w)
+    args = (jnp.asarray(y), jnp.asarray(u), jnp.asarray(v))
+    un = _build_ladder_i8(n, h, w, h // 2, w // 2, 32, 32, "bt709",
+                          "bilinear", 255.0, (0.0, 0.0, 0.0), True, None)
+    ch2 = _build_ladder_i8_chunked(n, h, w, h // 2, w // 2, 32, 32, "bt709",
+                                   "bilinear", 255.0, (0.0, 0.0, 0.0),
+                                   True, 2)
+    got_un = np.asarray(un(*args))
+    got_c2 = np.asarray(ch2(*args))
+    # identical quantized math; only f32-vs-bf16 partial summation differs
+    assert (np.abs(got_c2 - got_un) * 255).max() <= 1.0
+
+
+def test_chunk_count_selection():
+    from gmat_tpu.ops.pallas_kernels import _pick_w_chunks
+    # 1080p / 4K fit whole
+    assert _pick_w_chunks(1080, 1920, 540, 960) == 1
+    assert _pick_w_chunks(2160, 3840, 1080, 1920) == 1
+    # 8K chunks into 2 lane-aligned columns (3840 / 1920 wide)
+    assert _pick_w_chunks(4320, 7680, 2160, 3840) == 2
+    # something odd-sized beyond budget still finds an aligned split
+    assert _pick_w_chunks(4320, 6144, 2160, 3072) in (2, 3)
+
+
+def test_ladder_8k_interpret(rng):
+    """Full 8K frame through the public entry point (chunked path)."""
+    from gmat_tpu.ops.pallas_kernels import fused_ladder_i8
+    h, w = 4320, 7680
+    yy = np.linspace(20, 230, w, dtype=np.float32)
+    y = np.tile(yy, (h, 1)).astype(np.uint8)[None]
+    u = np.full((1, h // 2, w // 2), 90, np.uint8)
+    v = np.full((1, h // 2, w // 2), 170, np.uint8)
+    got = np.asarray(fused_ladder_i8(jnp.asarray(y), jnp.asarray(u),
+                                     jnp.asarray(v), 64, 64,
+                                     interpret=True))
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p", w, h, "bt709")
+    want = np.asarray(fused.preprocess_nchw(fb, 64, 64, use_pallas="never"))
+    assert got.shape == (1, 3, 64, 64)
+    assert (np.abs(got - want) * 255).max() <= 2.0
