@@ -304,7 +304,19 @@ struct GavDecoder {
     int sws_w = 0, sws_h = 0;
     AVPixelFormat sws_fmt = AV_PIX_FMT_NONE;
     AVPixelFormat sws_out = AV_PIX_FMT_NONE;  // 8- vs 10-bit receive paths
+    int crop_x = 0, crop_y = 0, crop_w = 0, crop_h = 0;  // 0 = no crop
 };
+
+// Decoder-side crop window (NvDecLite pCropRect analog, NvDecLite.h:46,
+// 107-108).  Applied before the receive-side scale; resize comes from the
+// caller's buffer geometry (gav_dec_receive rescales into w x hgt) — the
+// early-downscale path that shrinks frames BEFORE the H2D transfer for
+// decode-bound workloads.  Coordinates must be even (4:2:0 siting).
+GAV_API void gav_dec_set_crop(void* h, int x, int y, int w, int hgt) {
+    auto* d = (GavDecoder*)h;
+    d->crop_x = x & ~1; d->crop_y = y & ~1;
+    d->crop_w = w & ~1; d->crop_h = hgt & ~1;
+}
 
 GAV_API void* gav_dec_create(int codec, const unsigned char* extradata,
                              int extradata_size, int threads) {
@@ -369,31 +381,48 @@ GAV_API int gav_dec_receive(void* h, unsigned char* y, unsigned char* u,
     AVFrame* f = d->frame;
     *pts = f->pts != AV_NOPTS_VALUE ? f->pts : f->best_effort_timestamp;
     AVPixelFormat pf = (AVPixelFormat)f->format;
-    // fast path only when the decoded dims match the caller's buffers;
-    // any mismatch (mid-stream resolution change) rides the sws path,
-    // which rescales into the caller's geometry instead of over-reading
+    // optional decoder-side crop: offset the source plane pointers
+    // (pCropRect analog); src dims become the crop window
+    const uint8_t* src[4] = {f->data[0], f->data[1], f->data[2], f->data[3]};
+    int src_w = f->width, src_h = f->height;
+    bool cropped = false;
+    if (d->crop_w > 0 && d->crop_h > 0 &&
+        d->crop_x + d->crop_w <= f->width &&
+        d->crop_y + d->crop_h <= f->height &&
+        (pf == AV_PIX_FMT_YUV420P || pf == AV_PIX_FMT_YUVJ420P)) {
+        src[0] = f->data[0] + (size_t)d->crop_y * f->linesize[0] + d->crop_x;
+        src[1] = f->data[1] + (size_t)(d->crop_y / 2) * f->linesize[1] + d->crop_x / 2;
+        src[2] = f->data[2] + (size_t)(d->crop_y / 2) * f->linesize[2] + d->crop_x / 2;
+        src_w = d->crop_w; src_h = d->crop_h;
+        cropped = true;
+    }
+    // fast path only when the (cropped) dims match the caller's buffers;
+    // any mismatch (mid-stream resolution change, early downscale) rides
+    // the sws path, which rescales into the caller's geometry
     if ((pf == AV_PIX_FMT_YUV420P || pf == AV_PIX_FMT_YUVJ420P) &&
-        f->width == w && f->height == hgt) {
+        src_w == w && src_h == hgt) {
         for (int i = 0; i < hgt; i++)
-            memcpy(y + (size_t)i * w, f->data[0] + (size_t)i * f->linesize[0], w);
+            memcpy(y + (size_t)i * w, src[0] + (size_t)i * f->linesize[0], w);
         for (int i = 0; i < hgt / 2; i++) {
-            memcpy(u + (size_t)i * (w / 2), f->data[1] + (size_t)i * f->linesize[1], w / 2);
-            memcpy(v + (size_t)i * (w / 2), f->data[2] + (size_t)i * f->linesize[2], w / 2);
+            memcpy(u + (size_t)i * (w / 2), src[1] + (size_t)i * f->linesize[1], w / 2);
+            memcpy(v + (size_t)i * (w / 2), src[2] + (size_t)i * f->linesize[2], w / 2);
         }
     } else {
-        // convert anything else (yuv444, 10-bit, ...) to I420 via swscale
-        if (!d->sws || d->sws_w != f->width || d->sws_h != f->height ||
+        // convert/scale anything else (yuv444, 10-bit, downscale target,
+        // mid-stream dim change) to caller-geometry I420 via swscale
+        if (!d->sws || d->sws_w != src_w || d->sws_h != src_h ||
             d->sws_fmt != pf || d->sws_out != AV_PIX_FMT_YUV420P) {
             if (d->sws) sws_freeContext(d->sws);
-            d->sws = sws_getContext(f->width, f->height, pf, w, hgt,
+            d->sws = sws_getContext(src_w, src_h, pf, w, hgt,
                                     AV_PIX_FMT_YUV420P, SWS_BILINEAR,
                                     nullptr, nullptr, nullptr);
-            d->sws_w = f->width; d->sws_h = f->height; d->sws_fmt = pf;
+            d->sws_w = src_w; d->sws_h = src_h; d->sws_fmt = pf;
             d->sws_out = AV_PIX_FMT_YUV420P;
         }
         uint8_t* dst[4] = {y, u, v, nullptr};
         int dstride[4] = {w, w / 2, w / 2, 0};
-        sws_scale(d->sws, f->data, f->linesize, 0, f->height, dst, dstride);
+        (void)cropped;   // src/src_w/src_h already fall back to full frame
+        sws_scale(d->sws, src, f->linesize, 0, src_h, dst, dstride);
     }
     av_frame_unref(f);
     return 1;

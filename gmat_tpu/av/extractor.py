@@ -35,13 +35,15 @@ class FrameExtractor:
     buffer zero-copy, each with its own cursor."""
 
     def __init__(self, src, frame_interval: int = 0,
-                 time_interval: float = 0.0, threads: int = 0):
+                 time_interval: float = 0.0, threads: int = 0,
+                 resize=None, crop=None):
         self.dm = tk.Demuxer(src)             # main demuxer
         self.dm_seek = tk.Demuxer(src)        # look-ahead demuxer
-        self.dec = tk.Decoder.from_demuxer(self.dm, threads)
+        self.dec = tk.Decoder.from_demuxer(self.dm, threads, resize=resize,
+                                           crop=crop)
         self.frame_interval = frame_interval
         self.time_interval = time_interval
-        self.width, self.height = self.dm.width, self.dm.height
+        self.width, self.height = self.dec.width, self.dec.height
         self.colorspace = self.dm.colorspace
         self._iframe = 0                      # index of next frame to demux
         self._frame_target = 0

@@ -148,12 +148,18 @@ class PrefetchQueue:
 
 def decode_stream(path: str, batch: int = 32, depth: int = 3,
                   device=None, threads: int = 0, seek: float = 0.0,
-                  width: int = 0, height: int = 0, layout: str = "i420"):
+                  width: int = 0, height: int = 0, layout: str = "i420",
+                  resize=None, crop=None):
     """Convenience: full-decode a file into prefetched device FrameBatches.
 
     Accepts compressed containers (mp4/mkv/...), .y4m, and headerless raw
     .yuv/.nv12/.iyuv (pass width/height/layout).  Yields
     (FrameBatch, pts_array, valid_count).
+
+    resize=(w, h) / crop=(x, y, w, h): decoder-side early downscale/crop
+    (compressed containers only) — frames shrink on the host before the
+    H2D transfer (NvDecLite pCropRect/pResizeDim analog), cutting
+    transfer 4-9x for decode-bound workloads.
     """
     from . import toolkit as tk
 
@@ -198,9 +204,10 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
         return q
 
     dm = tk.Demuxer(path)
-    dec = tk.Decoder.from_demuxer(dm, threads)
+    dec = tk.Decoder.from_demuxer(dm, threads, resize=resize, crop=crop)
     if seek > 0:
         dm.seek(seek)
+    out_w, out_h = dec.width, dec.height
 
     def frames():
         key_pts = set()
@@ -221,9 +228,9 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
         finally:
             dm.close(); dec.close()
 
-    src = FrameBatchSource(frames(), batch, dm.width, dm.height, dm.colorspace)
+    src = FrameBatchSource(frames(), batch, out_w, out_h, dm.colorspace)
     q = PrefetchQueue(iter(src), depth=depth, device=device,
-                      colorspace=dm.colorspace, width=dm.width,
-                      height=dm.height)
+                      colorspace=dm.colorspace, width=out_w,
+                      height=out_h)
     q.fps = dm.fps or 30.0
     return q

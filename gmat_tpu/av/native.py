@@ -65,6 +65,9 @@ def _declare(name: str, lib: ctypes.CDLL):
             "gav_demux_open_buffer": (ctypes.c_void_p,
                                       [ctypes.c_char_p, c_ll]),
             "gav_enc_set_roi": (None, [ctypes.c_void_p, c_pi, ctypes.c_int]),
+            "gav_dec_set_crop": (None, [ctypes.c_void_p, ctypes.c_int,
+                                        ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_int]),
             "gav_demux_close": (None, [ctypes.c_void_p]),
             "gav_demux_width": (ctypes.c_int, [ctypes.c_void_p]),
             "gav_demux_height": (ctypes.c_int, [ctypes.c_void_p]),

@@ -113,7 +113,13 @@ class Decoder:
     role, NvDecLite.cpp:350-398, via libavcodec)."""
 
     def __init__(self, codec: int, extradata: bytes = b"", threads: int = 0,
-                 width: int = 0, height: int = 0):
+                 width: int = 0, height: int = 0, resize=None, crop=None):
+        """resize=(w, h) / crop=(x, y, w, h): decoder-side crop + early
+        downscale (NvDecLite pCropRect/pResizeDim analog, NvDecLite.h:46,
+        107-108) — frames shrink on the host, BEFORE the H2D transfer,
+        cutting transfer bytes for decode-bound workloads.  Crop is
+        applied first (even 4:2:0 coords), then the crop window is scaled
+        to the resize target (or emitted 1:1 when resize is omitted)."""
         self._lib = native.load()
         ex = (ctypes.cast(ctypes.create_string_buffer(extradata, len(extradata)),
                           native.c_pu8) if extradata else None)
@@ -121,11 +127,23 @@ class Decoder:
         if not self._h:
             raise IOError(f"decoder create: {native.last_error()}")
         self.width, self.height = width, height
+        self._fixed = False
+        if crop is not None:
+            cx, cy, cw_, ch_ = (int(c) for c in crop)
+            self._lib.gav_dec_set_crop(self._h, cx, cy, cw_, ch_)
+            if resize is None:
+                resize = (cw_, ch_)
+        if resize is not None:
+            self.width = int(resize[0]) & ~1
+            self.height = int(resize[1]) & ~1
+            self._fixed = True
 
     @classmethod
-    def from_demuxer(cls, dm: Demuxer, threads: int = 0) -> "Decoder":
+    def from_demuxer(cls, dm: Demuxer, threads: int = 0, resize=None,
+                     crop=None) -> "Decoder":
         # annexb streams don't need extradata
-        return cls(dm.codec, b"", threads, dm.width, dm.height)
+        return cls(dm.codec, b"", threads, dm.width, dm.height,
+                   resize=resize, crop=crop)
 
     def send(self, data: Optional[bytes], pts: int = -1) -> None:
         if data is None:
@@ -154,9 +172,11 @@ class Decoder:
             u.ctypes.data_as(native.c_pu8), v.ctypes.data_as(native.c_pu8),
             w, h, ctypes.byref(pts))
         if r == 0:
-            # dimensions may only be known after the first send
+            # dimensions may only be known after the first send (skipped
+            # when resize/crop fixed the output geometry — the sws path
+            # rescales any source dims into it)
             rw = self._lib.gav_dec_width(self._h)
-            if rw and rw != w:
+            if rw and rw != w and not self._fixed:
                 self.width, self.height = rw, self._lib.gav_dec_height(self._h)
                 return self.receive()
             return None

@@ -287,3 +287,74 @@ def test_roi_encode_improves_region_quality(tmp_path):
     assert p_roi_boost > p_roi_plain + 1.5, (p_roi_plain, p_roi_boost)
     assert p_out_boost < p_out_plain, (p_out_plain, p_out_boost)
     assert bytes_boost < bytes_plain * 1.35, (bytes_plain, bytes_boost)
+
+
+def test_decoder_side_crop_and_resize(tmp_path):
+    """NvDecLite pCropRect/pResizeDim analog: crop + early downscale on the
+    host, before any H2D."""
+    w, h = 128, 96
+    enc = tk.Encoder("libx264", w, h, fps=(30, 1), gop=10, crf=10.0,
+                     preset="veryfast")
+    # quadrant luma pattern: TL=50, TR=100, BL=150, BR=200
+    y = np.zeros((h, w), np.uint8)
+    y[:h // 2, :w // 2] = 50
+    y[:h // 2, w // 2:] = 100
+    y[h // 2:, :w // 2] = 150
+    y[h // 2:, w // 2:] = 200
+    u = np.full((h // 2, w // 2), 128, np.uint8)
+    v = np.full((h // 2, w // 2), 128, np.uint8)
+    pkts = []
+    for i in range(5):
+        pkts += enc.encode(y, u, v, pts=i)
+    pkts += enc.flush()
+    extra = enc.extradata()
+    enc.close()
+
+    # crop the top-left quadrant, no resize -> 64x48 frames of ~50 luma
+    dec = tk.Decoder(tk.CODEC_H264, extra, crop=(0, 0, w // 2, h // 2))
+    frames = []
+    for p in pkts:
+        frames += list(dec.decode(p.data))
+    frames += list(dec.decode(None))
+    dec.close()
+    fy = frames[0][0]
+    assert fy.shape == (h // 2, w // 2)
+    assert abs(float(fy.mean()) - 50) < 4
+
+    # crop bottom-right + resize to 32x24
+    dec = tk.Decoder(tk.CODEC_H264, extra,
+                     crop=(w // 2, h // 2, w // 2, h // 2), resize=(32, 24))
+    frames = []
+    for p in pkts:
+        frames += list(dec.decode(p.data))
+    frames += list(dec.decode(None))
+    dec.close()
+    fy = frames[0][0]
+    assert fy.shape == (24, 32)
+    assert abs(float(fy.mean()) - 200) < 6
+
+    # resize-only early downscale: whole frame to quarter size
+    dec = tk.Decoder(tk.CODEC_H264, extra, resize=(w // 2, h // 2))
+    frames = []
+    for p in pkts:
+        frames += list(dec.decode(p.data))
+    frames += list(dec.decode(None))
+    dec.close()
+    fy = frames[0][0]
+    assert fy.shape == (h // 2, w // 2)
+    # all four quadrants survive at half scale
+    assert abs(float(fy[:h // 4, :w // 4].mean()) - 50) < 4
+    assert abs(float(fy[h // 4:, w // 4:].mean()) - 200) < 6
+
+
+def test_decode_stream_resize(tmp_path):
+    from gmat_tpu.av.ingest import decode_stream
+    from .test_extractor import make_clip
+    clip = str(tmp_path / "r.mp4")
+    make_clip(clip)
+    got = 0
+    for fb, pts, valid in decode_stream(clip, batch=16, resize=(160, 90)):
+        assert fb.width == 160 and fb.height == 90
+        assert fb.planes["y"].shape[1:] == (90, 160)
+        got += int(valid)
+    assert got == 60
