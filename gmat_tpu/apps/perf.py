@@ -267,13 +267,77 @@ def perf_sustained(args):
                     "real hosts"}
 
 
+def _ingest_worker(path, threads, conn):
+    """Child process: decode the whole clip, report (frames, seconds)."""
+    import time as _t
+    from ..av import toolkit as tk
+    t0 = _t.perf_counter()
+    dm = tk.Demuxer(path)
+    dec = tk.Decoder.from_demuxer(dm, threads)
+    count = 0
+    for pkt in dm:
+        if pkt.stream == 0:
+            count += sum(1 for _ in dec.decode(pkt.data))
+    count += sum(1 for _ in dec.decode(None))
+    dm.close(); dec.close()
+    conn.send((count, _t.perf_counter() - t0))
+    conn.close()
+
+
+def perf_ingest(args):
+    """Host decode fan-out scaling (the AppNvDecScan / AppNvDecPerf
+    N-thread census analog, AppNvDecPerf.cpp:155-171): M worker processes
+    each full-decode the clip; reports per-M aggregate fps.  On an M-core
+    host aggregate fps scales ~linearly until cores saturate (libav decode
+    is CPU-bound and each worker is its own process, so no GIL/alloc
+    contention); on this 1-core dev host the table shows flat aggregate =
+    zero fan-out overhead."""
+    import multiprocessing as mp
+
+    if not args.input:
+        raise SystemExit("ingest needs -i clip")
+    ctx = mp.get_context("spawn")
+    rows = []
+    for procs in (1, 2, 4):
+        if procs > args.procs:
+            break
+        conns, workers = [], []
+        t0 = time.perf_counter()
+        for _ in range(procs):
+            pa, ch = ctx.Pipe(False)
+            w_ = ctx.Process(target=_ingest_worker,
+                             args=(args.input, args.threads, ch))
+            w_.start()
+            conns.append(pa)
+            workers.append(w_)
+        results = [c.recv() for c in conns]
+        for w_ in workers:
+            w_.join()
+        wall = time.perf_counter() - t0
+        frames = sum(r[0] for r in results)
+        # decode-only aggregate excludes process spawn/import time, which
+        # dominates wall on short clips
+        decode_fps = sum(r[0] / max(r[1], 1e-9) for r in results)
+        rows.append({"procs": procs, "frames": frames,
+                     "wall_s": round(wall, 2),
+                     "aggregate_fps": round(frames / wall, 1),
+                     "aggregate_decode_fps": round(decode_fps, 1)})
+    base = rows[0]["aggregate_decode_fps"]
+    return {"case": "ingest", "host_cores": __import__("os").cpu_count(),
+            "rows": rows,
+            "scaling_vs_1proc": [round(r["aggregate_decode_fps"] / base, 2)
+                                 for r in rows],
+            "note": "expect ~procs x scaling up to core count; flat on a "
+                    "1-core host proves zero fan-out overhead"}
+
+
 def main(argv=None):
     from ..utils.compile_cache import enable as _enable_cache
     _enable_cache()
     p = argparse.ArgumentParser(prog="gmat-perf")
     p.add_argument("case", choices=["decode", "encode", "extract", "heif",
                                     "jpeg", "ladder", "pipeline",
-                                    "sustained"])
+                                    "sustained", "ingest"])
     p.add_argument("-i", "--input", default="")
     p.add_argument("-codec", default="libx264")
     p.add_argument("-frames", type=int, default=100)
@@ -281,11 +345,13 @@ def main(argv=None):
     p.add_argument("-threads", type=int, default=0)
     p.add_argument("-width", type=int, default=1920)
     p.add_argument("-height", type=int, default=1080)
+    p.add_argument("-procs", type=int, default=4,
+                   help="max worker processes for the ingest case")
     args = p.parse_args(argv)
     fn = {"decode": perf_decode, "encode": perf_encode,
           "extract": perf_extract, "heif": perf_heif, "jpeg": perf_jpeg,
           "ladder": perf_ladder, "pipeline": perf_pipeline,
-          "sustained": perf_sustained}[args.case]
+          "sustained": perf_sustained, "ingest": perf_ingest}[args.case]
     print(json.dumps(fn(args)))
     return 0
 
