@@ -183,31 +183,38 @@ def transcode_audio(opts: Options):
     ch = min(info.channels, 2) or 2
     # decoder downmixes to the encoder's channel count (>2ch sources)
     dec = tk.AudioDecoder(info, sample_rate=rate, channels=ch)
-    enc = tk.AudioEncoder(opts.audio_codec, rate, ch,
+    # streamed filter chain: decoded blocks flow through push()/flush()
+    # and into the encoder as they arrive — no whole-track buffering
+    # (the output rate is known from the chain spec up front)
+    filt = None
+    out_rate = rate
+    if opts.audio_filter_desc:
+        from ..av.audio_filters import AudioFilterStream
+        filt = AudioFilterStream(opts.audio_filter_desc, rate)
+        out_rate = filt.out_rate
+    enc = tk.AudioEncoder(opts.audio_codec, out_rate, ch,
                           opts.audio_bitrate or 128000)
-    chunks = []
+    pkts = []
+
+    def feed(chunk):
+        if filt is not None:
+            chunk = filt.push(chunk)
+        if chunk.size:
+            pkts.extend(enc.encode(chunk))
+
     for pkt in dm:
         if pkt.stream != 1:
             continue
         for (chunk, _pts) in dec.decode(pkt.data, pkt.pts):
-            chunks.append(chunk)
+            feed(chunk)
     for (chunk, _pts) in dec.decode(None):
-        chunks.append(chunk)
-    samples = (np.concatenate(chunks) if chunks
-               else np.zeros((0, 2), np.int16))
-    if opts.audio_filter_desc:
-        from ..av.audio_filters import apply_audio_filters
-        samples, new_rate = apply_audio_filters(samples, rate,
-                                                opts.audio_filter_desc)
-        if new_rate != rate:
-            enc.close()
-            rate = new_rate
-            enc = tk.AudioEncoder(opts.audio_codec, rate,
-                                  min(info.channels, 2) or 2,
-                                  opts.audio_bitrate or 128000)
-    pkts = enc.encode(samples) if samples.size else []
+        feed(chunk)
+    if filt is not None:
+        tail = filt.flush()
+        if tail.size:
+            pkts.extend(enc.encode(tail))
     pkts += enc.flush()
-    audio = (enc.codec_id, rate, enc.channels, enc.extradata(), pkts)
+    audio = (enc.codec_id, out_rate, enc.channels, enc.extradata(), pkts)
     dm.close(); dec.close(); enc.close()
     return audio
 

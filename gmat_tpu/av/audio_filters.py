@@ -13,62 +13,125 @@ from typing import Callable, Dict, List, Tuple
 import numpy as np
 
 
+class AtempoStream:
+    """Streaming WSOLA time-stretch: push int16 blocks, pull stretched
+    blocks, flush() at EOF — the libavfilter-style chunked behavior, so a
+    whole track never has to sit in memory.  State is a small carry
+    buffer (window + search lookahead); the one-shot `atempo()` below is
+    literally push+flush of this class, so both paths are identical."""
+
+    def __init__(self, rate: int, tempo: float = 1.0):
+        if not 0.5 <= tempo <= 2.0:
+            raise ValueError("atempo factor must be in [0.5, 2.0]")
+        self.tempo = float(tempo)
+        self.passthrough = abs(tempo - 1.0) < 1e-6
+        self.win = max(int(rate * 0.040), 32)           # 40 ms frames
+        self.hop_out = self.win // 2
+        self.hop_in = int(round(self.hop_out * tempo))
+        self.search = self.win // 4
+        self._hann = np.hanning(self.win * 2)[self.win:self.win * 2][:, None] \
+            .astype(np.float32)
+        self._fade_in = np.hanning(self.win * 2)[:self.win][:, None] \
+            .astype(np.float32)
+        self._buf = None          # f32 carry, buf[0] is absolute idx _base
+        self._base = 0
+        self._pos = 0             # absolute next-window position
+        self._prev_tail = None
+        self._done = False
+
+    def push(self, samples: np.ndarray) -> np.ndarray:
+        """Feed an (n, ch) int16 block; returns produced output (may be
+        empty while the lookahead fills)."""
+        if self.passthrough:
+            return samples
+        x = samples.astype(np.float32)
+        if self._buf is None:
+            self._buf = x
+        elif x.size:
+            self._buf = np.concatenate([self._buf, x])
+        return self._emit(self._drain())
+
+    def _drain(self) -> List[np.ndarray]:
+        out: List[np.ndarray] = []
+        if self._buf is None:
+            return out
+        n = self._base + len(self._buf)
+        win, hop_out, search = self.win, self.hop_out, self.search
+        while self._pos + win + search < n:
+            pos_r = self._pos - self._base
+            if self._prev_tail is None:
+                seg = self._buf[pos_r:pos_r + win]
+            else:
+                best_off, best_score = 0, -np.inf
+                ref = self._prev_tail[:, 0]
+                lo = max(pos_r - search, -self._base + 0)
+                lo = max(lo, 0)
+                hi = min(pos_r + search, len(self._buf) - win)
+                for off in range(lo, hi):
+                    cand = self._buf[off:off + len(ref), 0]
+                    score = float(np.dot(ref, cand))
+                    if score > best_score:
+                        best_score, best_off = score, off
+                seg = self._buf[best_off:best_off + win]
+            if self._prev_tail is not None:
+                out.append(seg[:hop_out] * self._fade_in[:hop_out] +
+                           self._prev_tail[:hop_out] * self._hann[:hop_out])
+            else:
+                out.append(seg[:hop_out])
+            self._prev_tail = seg[hop_out:].copy()
+            self._pos += self.hop_in
+        # trim consumed prefix, keeping the search lookbehind window —
+        # but never trim before the first processed window (short-input
+        # fallback at flush needs the whole signal)
+        if self._prev_tail is not None:
+            keep_from = max(self._pos - search - self._base, 0)
+            if keep_from > 0:
+                self._buf = self._buf[keep_from:]
+                self._base += keep_from
+        return out
+
+    @staticmethod
+    def _emit(chunks: List[np.ndarray]) -> np.ndarray:
+        chunks = [c for c in chunks if c.size]
+        if not chunks:
+            return np.zeros((0, 0), np.int16)
+        y = np.concatenate(chunks)
+        return np.clip(y, -32768, 32767).astype(np.int16)
+
+    def flush(self) -> np.ndarray:
+        """End of stream: emit the epilogue (pending tail + uncovered
+        end of the signal)."""
+        if self.passthrough or self._buf is None or self._done:
+            return np.zeros((0, 0), np.int16)
+        self._done = True
+        n = self._base + len(self._buf)
+        out = self._drain()
+        if self._prev_tail is None:
+            # whole stream was too short to stretch: nearest-resample
+            idx = np.clip((np.arange(int(n / self.tempo)) *
+                           self.tempo).astype(int), 0, max(n - 1, 0))
+            short = np.clip(self._buf, -32768, 32767).astype(np.int16)
+            return short[idx] if n else np.zeros((0, 0), np.int16)
+        out.append(self._prev_tail)
+        if self._pos < n:
+            out.append(self._buf[self._pos + self.win - self._base:])
+        return self._emit(out)
+
+
 def atempo(samples: np.ndarray, rate: int, tempo: float = 1.0) -> np.ndarray:
     """Time-stretch without pitch change. samples: (n, ch) int16.
 
     tempo > 1 speeds up (shorter output), < 1 slows down. Valid 0.5..2.0
     per ffmpeg's constraint (chain twice for more, like ffmpeg).
+    One-shot = push + flush of AtempoStream.
     """
-    if not 0.5 <= tempo <= 2.0:
-        raise ValueError("atempo factor must be in [0.5, 2.0]")
-    if abs(tempo - 1.0) < 1e-6 or samples.shape[0] == 0:
+    st = AtempoStream(rate, tempo)
+    if st.passthrough or samples.shape[0] == 0:
         return samples
-    x = samples.astype(np.float32)
-    n, ch = x.shape
-    win = min(int(rate * 0.040), max(n // 4, 32))      # 40 ms frames
-    if n <= 2 * win:
-        # too short to stretch meaningfully; resample-nearest instead
-        idx = np.clip((np.arange(int(n / tempo)) * tempo).astype(int), 0, n - 1)
-        return samples[idx]
-    hop_out = win // 2
-    hop_in = int(round(hop_out * tempo))
-    search = win // 4
-    hann = np.hanning(win * 2)[win:win * 2][:, None].astype(np.float32)
-    fade_in = np.hanning(win * 2)[:win][:, None].astype(np.float32)
-
-    out: List[np.ndarray] = []
-    prev_tail = None
-    pos = 0
-    while pos + win + search < n:
-        if prev_tail is None:
-            seg = x[pos:pos + win]
-        else:
-            # search the best-aligned window around pos (WSOLA)
-            best_off, best_score = 0, -np.inf
-            ref = prev_tail[:, 0]
-            lo = max(pos - search, 0)
-            for off in range(lo, min(pos + search, n - win)):
-                cand = x[off:off + len(ref), 0]
-                score = float(np.dot(ref, cand))
-                if score > best_score:
-                    best_score, best_off = score, off
-            seg = x[best_off:best_off + win]
-        if prev_tail is not None:
-            head = seg[:hop_out] * fade_in[:hop_out] + \
-                prev_tail[:hop_out] * hann[:hop_out]
-            out.append(head)
-        else:
-            out.append(seg[:hop_out])
-        prev_tail = seg[hop_out:]
-        pos += hop_in
-    if prev_tail is not None:
-        out.append(prev_tail)
-    # flush the un-stretched tail the hop loop couldn't cover (~win+search
-    # samples) so the clip's ending isn't truncated
-    if pos < n:
-        out.append(x[pos + (win if prev_tail is not None else 0):])
-    y = np.concatenate([o for o in out if o.size]) if out else x
-    return np.clip(y, -32768, 32767).astype(np.int16)
+    a = st.push(samples)
+    b = st.flush()
+    parts = [p for p in (a, b) if p.size]
+    return np.concatenate(parts) if parts else samples[:0]
 
 
 def volume(samples: np.ndarray, rate: int, volume: float = 1.0) -> np.ndarray:
@@ -109,6 +172,103 @@ def parse_audio_filters(desc: str) -> List[Tuple[str, Dict[str, float]]]:
         else:
             raise ValueError(f"audio filter needs a value: {part!r}")
     return chain
+
+
+class AresampleStream:
+    """Streaming linear-interp resampler: uniform output grid
+    t_k = k * rate / out_rate across chunk boundaries (1-sample carry)."""
+
+    def __init__(self, rate: int, out_rate: int):
+        self.rate, self.out_rate = int(rate), int(out_rate)
+        self.step = rate / float(out_rate)
+        self._t = 0.0             # absolute source index of next output
+        self._base = 0
+        self._buf = None
+
+    def push(self, samples: np.ndarray) -> np.ndarray:
+        if self.out_rate == self.rate:
+            return samples
+        x = samples.astype(np.float32)
+        if self._buf is None:
+            self._buf = x
+        elif x.size:
+            self._buf = np.concatenate([self._buf, x])
+        return self._produce(last=False)
+
+    def _produce(self, last: bool) -> np.ndarray:
+        if self._buf is None or len(self._buf) < 2:
+            return np.zeros((0, 0), np.int16)
+        n = self._base + len(self._buf)
+        limit = (n - 1) if not last else (n - 1) + 1e-9
+        k0 = self._t
+        count = int(np.floor((limit - k0) / self.step)) + 1 \
+            if limit >= k0 else 0
+        if count <= 0:
+            return np.zeros((0, 0), np.int16)
+        src = k0 + np.arange(count) * self.step
+        i0 = np.floor(src).astype(np.int64)
+        i1 = np.minimum(i0 + 1, n - 1)
+        f = (src - i0)[:, None].astype(np.float32)
+        r0 = self._buf[i0 - self._base]
+        r1 = self._buf[i1 - self._base]
+        y = r0 * (1 - f) + r1 * f
+        self._t = k0 + count * self.step
+        keep = max(int(np.floor(self._t)) - self._base, 0)
+        if keep > 0:
+            self._buf = self._buf[keep:]
+            self._base += keep
+        return np.clip(y, -32768, 32767).astype(np.int16)
+
+    def flush(self) -> np.ndarray:
+        if self.out_rate == self.rate:
+            return np.zeros((0, 0), np.int16)
+        return self._produce(last=True)
+
+
+class AudioFilterStream:
+    """Chunked audio filter chain (the streaming analog of
+    apply_audio_filters): push decoded blocks as they arrive, pull
+    filtered blocks, flush() at EOF.  `out_rate` reports the chain's
+    output sample rate (aresample changes it)."""
+
+    def __init__(self, desc: str, rate: int):
+        self.stages = []
+        self.out_rate = int(rate)
+        for name, kw in parse_audio_filters(desc):
+            if name == "aresample":
+                st = AresampleStream(self.out_rate, int(kw["out_rate"]))
+                self.out_rate = st.out_rate
+                self.stages.append(st)
+            elif name == "atempo":
+                self.stages.append(AtempoStream(self.out_rate, kw["tempo"]))
+            elif name == "volume":
+                vol = float(kw["volume"])
+                self.stages.append(("volume", vol))
+
+    def _through(self, block: np.ndarray, start: int) -> np.ndarray:
+        for st in self.stages[start:]:
+            if block.size == 0:
+                break
+            if isinstance(st, tuple):
+                block = volume(block, 0, st[1])
+            else:
+                block = st.push(block)
+        return block
+
+    def push(self, block: np.ndarray) -> np.ndarray:
+        return self._through(block, 0)
+
+    def flush(self) -> np.ndarray:
+        outs = []
+        for i, st in enumerate(self.stages):
+            if isinstance(st, tuple):
+                continue
+            tail = st.flush()
+            if tail.size:
+                tail = self._through(tail, i + 1)
+                if tail.size:
+                    outs.append(tail)
+        return np.concatenate(outs) if outs else np.zeros((0, 0), np.int16)
 
 
 def apply_audio_filters(samples: np.ndarray, rate: int, desc: str):

@@ -198,3 +198,85 @@ def test_metrans_audio_filter(tmp_path):
     dm = tk.Demuxer(str(tmp_path / "af_0.mp4"))
     assert tk.AudioInfo(dm).present
     dm.close()
+
+
+def test_atempo_stream_equals_oneshot():
+    """Chunked AtempoStream must produce exactly the one-shot result."""
+    from gmat_tpu.av.audio_filters import AtempoStream, atempo
+    rng = np.random.default_rng(5)
+    rate = 16000
+    t = np.arange(rate * 2) / rate
+    sig = (np.sin(2 * np.pi * 440 * t) * 8000 +
+           rng.normal(0, 300, len(t))).astype(np.int16)
+    x = np.stack([sig, sig // 2], axis=1)
+    want = atempo(x, rate, 1.3)
+    for chunk in (777, 4096, len(x)):
+        st = AtempoStream(rate, 1.3)
+        outs = []
+        for s in range(0, len(x), chunk):
+            o = st.push(x[s:s + chunk])
+            if o.size:
+                outs.append(o)
+        o = st.flush()
+        if o.size:
+            outs.append(o)
+        got = np.concatenate(outs)
+        np.testing.assert_array_equal(got, want, err_msg=f"chunk={chunk}")
+
+
+def test_aresample_stream_matches_oneshot():
+    from gmat_tpu.av.audio_filters import AresampleStream, aresample
+    rng = np.random.default_rng(6)
+    rate, out_rate = 48000, 44100
+    x = rng.integers(-2000, 2000, (48000, 2)).astype(np.int16)
+    want_len, _ = aresample(x, rate, out_rate)
+    st = AresampleStream(rate, out_rate)
+    outs = []
+    for s in range(0, len(x), 1000):
+        o = st.push(x[s:s + 1000])
+        if o.size:
+            outs.append(o)
+    o = st.flush()
+    if o.size:
+        outs.append(o)
+    got = np.concatenate(outs)
+    # ~same output length as the one-shot (different but equivalent
+    # uniform grids: k*rate/out vs linspace(0, n-1))
+    assert abs(len(got) - len(want_len)) <= 2
+    # exact check against direct interpolation on the stream's own grid
+    src = np.arange(len(got)) * (rate / out_rate)
+    i0 = np.floor(src).astype(int)
+    i1 = np.minimum(i0 + 1, len(x) - 1)
+    f = (src - i0)[:, None].astype(np.float32)
+    want = np.clip(x[i0].astype(np.float32) * (1 - f) +
+                   x[i1].astype(np.float32) * f, -32768, 32767).astype(np.int16)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_audio_filter_stream_chain():
+    """Full chunked chain (volume+atempo+aresample) ~ one-shot chain."""
+    from gmat_tpu.av.audio_filters import (AudioFilterStream,
+                                           apply_audio_filters)
+    rng = np.random.default_rng(7)
+    rate = 32000
+    t = np.arange(rate) / rate
+    sig = (np.sin(2 * np.pi * 220 * t) * 9000).astype(np.int16)
+    x = np.stack([sig, sig], axis=1)
+    desc = "volume=0.5,atempo=0.8,aresample=16000"
+    want, wrate = apply_audio_filters(x, rate, desc)
+    st = AudioFilterStream(desc, rate)
+    assert st.out_rate == wrate == 16000
+    outs = []
+    for s in range(0, len(x), 3000):
+        o = st.push(x[s:s + 3000])
+        if o.size:
+            outs.append(o)
+    o = st.flush()
+    if o.size:
+        outs.append(o)
+    got = np.concatenate(outs)
+    assert abs(len(got) - len(want)) <= 4
+    # energy within 5% (WSOLA alignment differs at resample boundary)
+    e_got = float(np.mean(got.astype(np.float64) ** 2))
+    e_want = float(np.mean(want.astype(np.float64) ** 2))
+    assert abs(e_got - e_want) / e_want < 0.05
