@@ -82,10 +82,13 @@ def preprocess(fb: FrameBatch, out_w: int, out_h: int,
     return out
 
 
+_PALLAS_METHODS = ("bilinear", "nearest", "bicubic", "area", "lanczos3")
+
+
 def _pallas_eligible(fb: FrameBatch, method: str, kw: dict) -> bool:
     if kw:
         return False
-    if fb.format not in ("yuv420p", "nv12") or method != "bilinear":
+    if fb.format not in ("yuv420p", "nv12") or method not in _PALLAS_METHODS:
         return False
     try:
         # default backend decides; callers lowering for a non-default

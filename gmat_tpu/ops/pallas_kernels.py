@@ -311,19 +311,20 @@ def fused_ladder_nv12(yuv: jax.Array, out_h: int, out_w: int,
 
 def _ladder_kernel_i8(y_ref, u_ref, v_ref, ahy_ref, awy_ref, ahc_ref,
                       awc_ref, offy_ref, offc_ref, out_ref,
-                      *, mat, low, mid, norm, shift):
-    def rowcol(x_ref, ah_i8, aw_bf, off_ref):
+                      *, mat, low, mid, norm, shift,
+                      inv_sy=1.0 / 127.0, inv_sc=1.0 / 127.0):
+    def rowcol(x_ref, ah_i8, aw_bf, off_ref, inv_s):
         x8 = pltpu.bitcast(x_ref[...] ^ jnp.uint8(0x80), jnp.int8)
         t = jax.lax.dot_general(ah_i8[...], x8, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-        tb = (t.astype(jnp.float32) * (1.0 / 127.0)).astype(jnp.bfloat16)
+        tb = (t.astype(jnp.float32) * inv_s).astype(jnp.bfloat16)
         o = jax.lax.dot_general(tb, aw_bf[...], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         return o + off_ref[...]
 
-    yy = rowcol(y_ref, ahy_ref, awy_ref, offy_ref) - low
-    uu = rowcol(u_ref, ahc_ref, awc_ref, offc_ref) - mid
-    vv = rowcol(v_ref, ahc_ref, awc_ref, offc_ref) - mid
+    yy = rowcol(y_ref, ahy_ref, awy_ref, offy_ref, inv_sy) - low
+    uu = rowcol(u_ref, ahc_ref, awc_ref, offc_ref, inv_sc) - mid
+    vv = rowcol(v_ref, ahc_ref, awc_ref, offc_ref, inv_sc) - mid
     maxv = 2.0 * mid - 1.0
     r = jnp.clip(mat[0, 0] * yy + mat[0, 1] * uu + mat[0, 2] * vv, 0., maxv)
     g = jnp.clip(mat[1, 0] * yy + mat[1, 1] * uu + mat[1, 2] * vv, 0., maxv)
@@ -331,6 +332,23 @@ def _ladder_kernel_i8(y_ref, u_ref, v_ref, ahy_ref, awy_ref, ahc_ref,
     out_ref[0, :, :] = (r - shift[0]) * (1.0 / norm)
     out_ref[1, :, :] = (g - shift[1]) * (1.0 / norm)
     out_ref[2, :, :] = (b - shift[2]) * (1.0 / norm)
+
+
+def _quant_rows(A):
+    """Quantize a resample matrix to int8 with a per-matrix scale so
+    methods with taps beyond +-1 (bicubic overshoot, lanczos lobes) stay
+    exact-ish: q = round(A*s), s = 127/max(1, max|A|)."""
+    s = 127.0 / max(1.0, float(np.abs(A).max()))
+    q = np.clip(np.round(A * s), -127, 127).astype(np.int8)
+    return q, s
+
+
+def _i8_quant_error_lsb(A) -> float:
+    """Worst-case u8-LSB error of int8 weight quantization for one row of
+    the resample matrix (drives the i8-vs-bf16 kernel dispatch: wide
+    antialiased taps accumulate too much 1/127-step error for int8)."""
+    q, s = _quant_rows(A)
+    return float(np.abs(q.astype(np.float32) / s - A).sum(axis=1).max()) * 255.0
 
 
 @lru_cache(maxsize=64)
@@ -345,11 +363,11 @@ def _build_ladder_i8(n, h, w, ch, cw, out_h, out_w, colorspace, method,
     else:
         ahy = resample_matrix(h, out_h, method)
         ahc = resample_matrix(ch, out_h, method)
-    ahy_q = np.clip(np.round(ahy * 127.0), -127, 127).astype(np.int8)
-    ahc_q = np.clip(np.round(ahc * 127.0), -127, 127).astype(np.int8)
-    # broadcast row offsets: plane = t/127 @ Aw + 128 * rowsum(A_q)/127
-    offy = (128.0 * ahy_q.astype(np.float32).sum(1) / 127.0)[:, None]
-    offc = (128.0 * ahc_q.astype(np.float32).sum(1) / 127.0)[:, None]
+    ahy_q, sy = _quant_rows(ahy)
+    ahc_q, sc = _quant_rows(ahc)
+    # broadcast row offsets: plane = t/s @ Aw + 128 * rowsum(A_q)/s
+    offy = (128.0 * ahy_q.astype(np.float32).sum(1) / sy)[:, None]
+    offc = (128.0 * ahc_q.astype(np.float32).sum(1) / sc)[:, None]
     if crop:
         awy_np = _cropped_matrix(w, cx, cw_box, out_w, method).T
         awc_np = _cropped_matrix(cw, cx // 2, cw_box // 2, out_w, method).T
@@ -358,7 +376,8 @@ def _build_ladder_i8(n, h, w, ch, cw, out_h, out_w, colorspace, method,
         awc_np = resample_matrix(cw, out_w, method).T
 
     kernel = partial(_ladder_kernel_i8, mat=mat, low=float(low),
-                     mid=float(mid), norm=float(norm), shift=shift)
+                     mid=float(mid), norm=float(norm), shift=shift,
+                     inv_sy=1.0 / sy, inv_sc=1.0 / sc)
     grid_spec = pl.GridSpec(
         grid=(n,),
         in_specs=[
@@ -418,20 +437,21 @@ def _build_ladder_i8(n, h, w, ch, cw, out_h, out_w, colorspace, method,
 def _ladder_kernel_i8_chunked(y_ref, u_ref, v_ref, ahy_ref, awy_ref,
                               ahc_ref, awc_ref, offy_ref, offc_ref, out_ref,
                               acc_y, acc_u, acc_v,
-                              *, mat, low, mid, norm, shift, kw_chunks):
+                              *, mat, low, mid, norm, shift, kw_chunks,
+                              inv_sy=1.0 / 127.0, inv_sc=1.0 / 127.0):
     k = pl.program_id(1)
 
-    def partial_rowcol(x_ref, ah_i8, aw_bf):
+    def partial_rowcol(x_ref, ah_i8, aw_bf, inv_s):
         x8 = pltpu.bitcast(x_ref[...] ^ jnp.uint8(0x80), jnp.int8)
         t = jax.lax.dot_general(ah_i8[...], x8, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-        tb = (t.astype(jnp.float32) * (1.0 / 127.0)).astype(jnp.bfloat16)
+        tb = (t.astype(jnp.float32) * inv_s).astype(jnp.bfloat16)
         return jax.lax.dot_general(tb, aw_bf[...], (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    py = partial_rowcol(y_ref, ahy_ref, awy_ref)
-    pu = partial_rowcol(u_ref, ahc_ref, awc_ref)
-    pv = partial_rowcol(v_ref, ahc_ref, awc_ref)
+    py = partial_rowcol(y_ref, ahy_ref, awy_ref, inv_sy)
+    pu = partial_rowcol(u_ref, ahc_ref, awc_ref, inv_sc)
+    pv = partial_rowcol(v_ref, ahc_ref, awc_ref, inv_sc)
 
     @pl.when(k == 0)
     def _init():
@@ -469,17 +489,17 @@ def _build_ladder_i8_chunked(n, h, w, ch, cw, out_h, out_w, colorspace,
     low, mid = yuv_offsets(8)
     ahy = resample_matrix(h, out_h, method)
     ahc = resample_matrix(ch, out_h, method)
-    ahy_q = np.clip(np.round(ahy * 127.0), -127, 127).astype(np.int8)
-    ahc_q = np.clip(np.round(ahc * 127.0), -127, 127).astype(np.int8)
-    offy = (128.0 * ahy_q.astype(np.float32).sum(1) / 127.0)[:, None]
-    offc = (128.0 * ahc_q.astype(np.float32).sum(1) / 127.0)[:, None]
+    ahy_q, sy = _quant_rows(ahy)
+    ahc_q, sc = _quant_rows(ahc)
+    offy = (128.0 * ahy_q.astype(np.float32).sum(1) / sy)[:, None]
+    offc = (128.0 * ahc_q.astype(np.float32).sum(1) / sc)[:, None]
     awy_np = resample_matrix(w, out_w, method).T
     awc_np = resample_matrix(cw, out_w, method).T
     wc, cwc = w // kw_chunks, cw // kw_chunks
 
     kernel = partial(_ladder_kernel_i8_chunked, mat=mat, low=float(low),
                      mid=float(mid), norm=float(norm), shift=shift,
-                     kw_chunks=kw_chunks)
+                     kw_chunks=kw_chunks, inv_sy=1.0 / sy, inv_sc=1.0 / sc)
     grid_spec = pl.GridSpec(
         grid=(n, kw_chunks),
         in_specs=[
@@ -553,10 +573,22 @@ def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
     Frames beyond ~4K are processed in column chunks (same math, f32
     VMEM accumulators), so 8K inputs run on-chip too.
     """
-    if method not in ("bilinear", "nearest"):
-        raise ValueError("int8 ladder supports bilinear/nearest")
+    if method not in ("bilinear", "nearest", "bicubic", "area", "lanczos3"):
+        raise ValueError(f"int8 ladder: unknown method {method!r}")
     n, h, w = y.shape
     ch, cw = u.shape[1], u.shape[2]
+    if method not in ("bilinear", "nearest"):
+        # wide/antialiased tap sets accumulate 1/127-step quantization
+        # error; fall back to the bf16 kernel when the bound exceeds 2 LSB
+        err = max(_i8_quant_error_lsb(resample_matrix(h, out_h, method)),
+                  _i8_quant_error_lsb(resample_matrix(ch, out_h, method)))
+        if err > 2.0:
+            if crop_box is not None:
+                raise ValueError(f"{method} at this scale needs the bf16 "
+                                 "kernel, which has no fused crop; crop "
+                                 "via geometry.crop first")
+            return fused_ladder(y, u, v, out_h, out_w, colorspace, method,
+                                norm, shift, interpret)
     if crop_box is not None:
         cx, cy, cwb, chb = (int(c) for c in crop_box)
         if (cx | cy | cwb | chb) & 1:

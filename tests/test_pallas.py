@@ -135,3 +135,25 @@ def test_ladder_8k_interpret(rng):
     want = np.asarray(fused.preprocess_nchw(fb, 64, 64, use_pallas="never"))
     assert got.shape == (1, 3, 64, 64)
     assert (np.abs(got - want) * 255).max() <= 2.0
+
+
+@pytest.mark.parametrize("method", ["bicubic", "area", "lanczos3"])
+def test_i8_ladder_extended_methods(rng, method):
+    """int8 ladder with per-matrix quantization scale handles methods with
+    taps beyond +-1 (bicubic overshoot, lanczos lobes) — parity with the
+    XLA path (M5's Resize_bicubic.cu analog)."""
+    from gmat_tpu.ops.pallas_kernels import fused_ladder_i8
+    y, u, v = _data(rng, n=2, h=96, w=160)
+    got = np.asarray(fused_ladder_i8(jnp.asarray(y), jnp.asarray(u),
+                                     jnp.asarray(v), 32, 48,
+                                     method=method, interpret=True))
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p", y.shape[2],
+                    y.shape[1], "bt709")
+    want = np.asarray(fused.preprocess_nchw(fb, 48, 32, method=method,
+                                            use_pallas="never"))
+    assert got.shape == want.shape
+    # methods with wide fractional tap sets route to the bf16 kernel when
+    # the int8 bound exceeds 2 LSB; bf16 weights carry ~0.4% relative
+    # error per tap, so allow ~4.5 LSB worst-case on noise
+    assert (np.abs(got - want) * 255).max() <= 4.5, method
