@@ -241,7 +241,8 @@ static bool packet_is_nonref(const uint8_t* p, int n, int codec) {
 
 // returns packet size (>0), 0 on EOF, -1 error. stream_out: 0 video 1 audio.
 GAV_API int gav_demux_read(void* h, unsigned char** data, long long* pts,
-                           long long* dts, int* key, int* nonref, int* stream_out) {
+                           long long* dts, int* key, int* nonref,
+                           int* stream_out, long long* pos) {
     auto* d = (GavDemuxer*)h;
     for (;;) {
         // drain bsf first
@@ -252,6 +253,7 @@ GAV_API int gav_demux_read(void* h, unsigned char** data, long long* pts,
                 *key = (d->out->flags & AV_PKT_FLAG_KEY) ? 1 : 0;
                 *nonref = packet_is_nonref(d->out->data, d->out->size, gav_demux_codec(h));
                 *stream_out = 0;
+                if (pos) *pos = d->out->pos;
                 int sz = d->out->size;
                 av_packet_unref(d->pkt);
                 return sz;
@@ -275,11 +277,13 @@ GAV_API int gav_demux_read(void* h, unsigned char** data, long long* pts,
             *key = (d->pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0;
             *nonref = packet_is_nonref(d->pkt->data, d->pkt->size, gav_demux_codec(h));
             *stream_out = 0;
+            if (pos) *pos = d->pkt->pos;
             return d->pkt->size;
         }
         if (d->pkt->stream_index == d->astream && d->astream >= 0) {
             *data = d->pkt->data; *pts = d->pkt->pts; *dts = d->pkt->dts;
             *key = 1; *nonref = 0; *stream_out = 1;
+            if (pos) *pos = d->pkt->pos;
             return d->pkt->size;
         }
         av_packet_unref(d->pkt);

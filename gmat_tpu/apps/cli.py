@@ -196,6 +196,7 @@ def main(argv=None):
         times = pts * tb_sec
         out_fb, keep = graph.process(fb, pts=pts, times=times,
                                      keys=getattr(src, "last_keys", None),
+                                     pos=getattr(src, "last_pos", None),
                                      valid=valid)
         if args.t > 0 and graph.out_times is not None:
             keep = keep & (graph.out_times < (args.ss + args.t))

@@ -251,9 +251,14 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
         if r.enc_suffix:
             kw = parse_enc_param(r.enc_suffix, kw)
         path = r.out_file.replace("#", str(session_idx))
+        fps = kw.get("fps", (30, 1))
+        # stream filters that change the frame rate (yadif send_field)
+        mul = getattr(common_graph, "fps_mul", 1) * \
+            getattr(rung_graphs[i], "fps_mul", 1)
+        if mul != 1:
+            fps = (fps[0] * mul, fps[1])
         workers.append(EncoderWorker(f"enc{i}", path, r.width, r.height,
-                                     kw.get("fps", (30, 1)), kw,
-                                     audio=audio))
+                                     fps, kw, audio=audio))
         workers[-1].start()
 
     limiter = FpsLimiter(opts.fps_limit)

@@ -36,11 +36,12 @@ class FrameBatchSource:
         self.colorspace = colorspace
 
     def __iter__(self):
-        ys, us, vs, pts, keys = [], [], [], [], []
+        ys, us, vs, pts, keys, poss = [], [], [], [], [], []
         self.dropped_resize = 0
         for item in self.it:
             y, u, v, p = item[:4]
             k = bool(item[4]) if len(item) > 4 else False
+            po = int(item[5]) if len(item) > 5 else -1
             if ys and y.shape != ys[0].shape:
                 # mid-stream resolution change: static batch shapes can't
                 # mix sizes — drop and count (NvDecLite recreates its pool
@@ -48,20 +49,21 @@ class FrameBatchSource:
                 self.dropped_resize += 1
                 continue
             ys.append(y); us.append(u); vs.append(v); pts.append(p)
-            keys.append(k)
+            keys.append(k); poss.append(po)
             if len(ys) == self.batch:
-                yield self._pack(ys, us, vs, pts, keys, self.batch)
-                ys, us, vs, pts, keys = [], [], [], [], []
+                yield self._pack(ys, us, vs, pts, keys, poss, self.batch)
+                ys, us, vs, pts, keys, poss = [], [], [], [], [], []
         if ys:
             n = len(ys)
             while len(ys) < self.batch:   # pad to static shape
                 ys.append(ys[-1]); us.append(us[-1]); vs.append(vs[-1])
-                pts.append(pts[-1]); keys.append(False)
-            yield self._pack(ys, us, vs, pts, keys, n)
+                pts.append(pts[-1]); keys.append(False); poss.append(-1)
+            yield self._pack(ys, us, vs, pts, keys, poss, n)
 
-    def _pack(self, ys, us, vs, pts, keys, valid):
+    def _pack(self, ys, us, vs, pts, keys, poss, valid):
         return (np.stack(ys), np.stack(us), np.stack(vs),
-                np.asarray(pts, np.int64), np.asarray(keys, bool), valid)
+                np.asarray(pts, np.int64), np.asarray(keys, bool),
+                np.asarray(poss, np.int64), valid)
 
 
 class PrefetchQueue:
@@ -91,7 +93,7 @@ class PrefetchQueue:
 
     def _run(self, batch_iter):
         try:
-            for (y, u, v, pts, keys, valid) in batch_iter:
+            for (y, u, v, pts, keys, poss, valid) in batch_iter:
                 if self._stop.is_set():
                     break
                 if self.to_device:
@@ -102,7 +104,8 @@ class PrefetchQueue:
                 # consumer (e.g. CLI -frames early exit) can't strand us
                 while not self._stop.is_set():
                     try:
-                        self.q.put((y, u, v, pts, keys, valid), timeout=0.1)
+                        self.q.put((y, u, v, pts, keys, poss, valid),
+                                   timeout=0.1)
                         break
                     except queue.Full:
                         continue
@@ -136,13 +139,14 @@ class PrefetchQueue:
                 if self.error:
                     raise self.error
                 return
-            y, u, v, pts, keys, valid = item
+            y, u, v, pts, keys, poss, valid = item
             h = self.height or y.shape[1]
             w = self.width or y.shape[2]
             fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
                              "v": jnp.asarray(v)}, "yuv420p", w, h,
                             self.colorspace)
             self.last_keys = keys
+            self.last_pos = poss
             yield fb, pts, valid
 
 
@@ -211,20 +215,22 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
 
     def frames():
         key_pts = set()
+        pos_by_pts = {}            # packet byte offsets, matched by pts
         try:
             for pkt in dm:
                 if pkt.stream != 0:
                     continue
                 if pkt.key:
                     key_pts.add(pkt.pts)
+                pos_by_pts[pkt.pts] = pkt.pos
                 for (y, u, v, p) in dec.decode(pkt.data, pkt.pts):
                     is_key = p in key_pts
                     key_pts.discard(p)
-                    yield y, u, v, p, is_key
+                    yield y, u, v, p, is_key, pos_by_pts.pop(p, -1)
             for (y, u, v, p) in dec.decode(None):
                 is_key = p in key_pts
                 key_pts.discard(p)
-                yield y, u, v, p, is_key
+                yield y, u, v, p, is_key, pos_by_pts.pop(p, -1)
         finally:
             dm.close(); dec.close()
 

@@ -79,7 +79,8 @@ def _declare(name: str, lib: ctypes.CDLL):
             "gav_demux_colorspace": (ctypes.c_int, [ctypes.c_void_p]),
             "gav_demux_extradata": (ctypes.c_int, [ctypes.c_void_p, c_ppu8]),
             "gav_demux_read": (ctypes.c_int, [ctypes.c_void_p, c_ppu8, c_pll,
-                                              c_pll, c_pi, c_pi, c_pi]),
+                                              c_pll, c_pi, c_pi, c_pi,
+                                              c_pll]),
             "gav_demux_seek": (ctypes.c_int, [ctypes.c_void_p, c_ll]),
             "gav_dec_create": (ctypes.c_void_p, [ctypes.c_int, c_pu8,
                                                  ctypes.c_int, ctypes.c_int]),

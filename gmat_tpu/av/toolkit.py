@@ -26,6 +26,7 @@ class Packet:
     key: bool
     nonref: bool      # skippable non-reference frame (smart decode)
     stream: int       # 0 video, 1 audio
+    pos: int = -1     # byte offset in the container (-1 = unknown)
 
 
 class Demuxer:
@@ -69,17 +70,19 @@ class Demuxer:
 
     def read(self) -> Optional[Packet]:
         data = native.c_pu8()
-        pts, dts = native.c_ll(), native.c_ll()
+        pts, dts, pos = native.c_ll(), native.c_ll(), native.c_ll()
         key, nonref, stream = (ctypes.c_int(), ctypes.c_int(), ctypes.c_int())
         n = self._lib.gav_demux_read(
             self._h, ctypes.byref(data), ctypes.byref(pts), ctypes.byref(dts),
-            ctypes.byref(key), ctypes.byref(nonref), ctypes.byref(stream))
+            ctypes.byref(key), ctypes.byref(nonref), ctypes.byref(stream),
+            ctypes.byref(pos))
         if n == 0:
             return None
         if n < 0:
             raise IOError(f"demux read: {native.last_error()}")
         return Packet(ctypes.string_at(data, n), pts.value, dts.value,
-                      bool(key.value), bool(nonref.value), stream.value)
+                      bool(key.value), bool(nonref.value), stream.value,
+                      pos.value)
 
     def seek(self, seconds: float) -> None:
         num, den = self.time_base

@@ -94,9 +94,13 @@ def _f_smooth(type="gaussian", kw=3, kh=3, border_type="constant",
 
 
 def _f_scale(w=0, h=0, interp="bilinear", antialias=0):
+    """scale=W:H with ffmpeg's aspect-preserving placeholders: -1 keeps
+    the source aspect ratio, -2 keeps it rounded to even (what the 4:2:0
+    encoders need)."""
     w, h = int(w), int(h)
-    if w <= 0 or h <= 0:
-        raise FilterError("scale requires w and h (scale=W:H)")
+    if w == 0 or h == 0 or (w < 0 and h < 0):
+        raise FilterError("scale requires W:H (one may be -1/-2 to "
+                          "preserve aspect)")
     interp_map = {"bilinear": "bilinear", "linear": "bilinear",
                   "bicubic": "bicubic", "cubic": "bicubic", "area": "area",
                   "nearest": "nearest", "point": "nearest",
@@ -104,7 +108,21 @@ def _f_scale(w=0, h=0, interp="bilinear", antialias=0):
     m = interp_map.get(interp)
     if m is None:
         raise FilterError(f"unknown scale interp {interp!r}")
-    return lambda fb: resize.resize(fb, w, h, m, antialias=bool(int(antialias)))
+
+    def dims(fb):
+        ww, hh = w, h
+        if ww < 0:
+            ww = max(round(hh * fb.width / fb.height), 1)
+            ww = (ww + 1) & ~1 if w == -2 or fb.fmt.is_yuv else ww
+        elif hh < 0:
+            hh = max(round(ww * fb.height / fb.width), 1)
+            hh = (hh + 1) & ~1 if h == -2 or fb.fmt.is_yuv else hh
+        return ww, hh
+
+    def run(fb):
+        ww, hh = dims(fb)
+        return resize.resize(fb, ww, hh, m, antialias=bool(int(antialias)))
+    return run
 
 
 def _f_format(pix_fmt="rgbpf32", norm=0.0, shift=0.0):
@@ -429,7 +447,7 @@ class YadifFilter:
                                         1).reshape(-1)
             else:
                 out["times"] = None
-            for key in ("keys", "keep"):
+            for key in ("keys", "pos", "keep"):
                 arr = meta.get(key)
                 out[key] = None if arr is None else np.repeat(arr, 2)
             meta = out
@@ -478,7 +496,7 @@ class YadifFilter:
         if times is not None and len(times) == 2:
             ext_meta["times"] = np.concatenate(
                 [times, [2 * times[-1] - times[-2]]])
-        for key in ("keys", "keep"):
+        for key in ("keys", "pos", "keep"):
             arr = ext_meta.get(key)
             if arr is not None and len(arr) == 2:
                 ext_meta[key] = np.concatenate([arr, arr[-1:]])
@@ -528,7 +546,8 @@ class SelectFilter:
         self.prev_t = float("nan")
         self.prev_pts = float("nan")
 
-    def keep_mask(self, fb: FrameBatch, pts=None, times=None, keys=None):
+    def keep_mask(self, fb: FrameBatch, pts=None, times=None, keys=None,
+                  pos=None):
         from ..ops.scene import scene_scores
         n = fb.batch
         if self.needs_scene:
@@ -552,7 +571,8 @@ class SelectFilter:
                 "key": k,
                 "pict_type": 1.0 if k else 2.0,
                 "interlace_type": 0.0,
-                "pos": float("nan"),
+                "pos": (float(pos[i]) if pos is not None and pos[i] >= 0
+                        else float("nan")),
                 "scene": float(scores[i]),
                 "start_t": self.start_t,
                 "start_pts": self.start_pts,
@@ -585,7 +605,7 @@ class FpsFilter:
         self.n = 0
         self.next_emit = 0.0
 
-    def keep_mask(self, fb, pts=None, times=None, keys=None):
+    def keep_mask(self, fb, pts=None, times=None, keys=None, pos=None):
         n = fb.batch
         keep = np.zeros(n, bool)
         for i in range(n):
@@ -629,13 +649,13 @@ class ThumbnailFilter:
 
     def _emit(self, picks):
         fb = self._last_fb
-        meta = {"pts": None, "times": None, "keys": None,
+        meta = {"pts": None, "times": None, "keys": None, "pos": None,
                 "keep": np.ones(len(picks), bool)}
         if not picks:
             return _empty_like(fb), meta
         planes = {k: jnp.asarray(np.stack([p[k] for p, _ in picks]))
                   for k in picks[0][0]}
-        for key in ("pts", "times", "keys"):
+        for key in ("pts", "times", "keys", "pos"):
             vals = [m.get(key) for _, m in picks]
             if all(v is not None for v in vals):
                 meta[key] = np.asarray(vals)

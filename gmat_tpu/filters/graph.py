@@ -187,7 +187,8 @@ class FilterGraph:
                 fb, meta = seg.process_batch(fb, meta)
             else:
                 mask = seg.keep_mask(fb, pts=meta["pts"], times=meta["times"],
-                                     keys=meta["keys"])
+                                     keys=meta["keys"],
+                                     pos=meta.get("pos"))
                 meta["keep"] = meta["keep"] & mask
         return fb, meta
 
@@ -195,7 +196,8 @@ class FilterGraph:
                 times: Optional[np.ndarray] = None,
                 keys: Optional[np.ndarray] = None,
                 valid: Optional[int] = None,
-                keep: Optional[np.ndarray] = None):
+                keep: Optional[np.ndarray] = None,
+                pos: Optional[np.ndarray] = None):
         """Run the chain on one batch.
 
         Returns (FrameBatch, keep_mask); keep_mask matches the returned
@@ -206,7 +208,8 @@ class FilterGraph:
         k = np.ones(n, bool) if keep is None else np.asarray(keep).copy()
         if valid is not None:
             k[valid:] = False
-        meta = {"pts": pts, "times": times, "keys": keys, "keep": k}
+        meta = {"pts": pts, "times": times, "keys": keys, "pos": pos,
+                "keep": k}
         fb, meta = self._run_segments(fb, meta)
         self.out_pts = meta.get("pts")
         self.out_times = meta.get("times")
@@ -228,7 +231,7 @@ class FilterGraph:
             if res is None:
                 continue
             fb, meta = res
-            for key in ("pts", "times", "keys"):
+            for key in ("pts", "times", "keys", "pos"):
                 meta.setdefault(key, None)
             if meta.get("keep") is None:
                 meta["keep"] = np.ones(fb.batch, bool)

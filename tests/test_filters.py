@@ -251,3 +251,44 @@ def test_select_extended_vars(rng):
     g = FilterGraph("select=isnan(pos)")
     _, keep = g.process(fb, pts=pts, times=times, keys=keys)
     assert keep.all()
+
+
+def test_select_pos_variable_real(rng, tmp_path):
+    """pos carries real packet byte offsets end-to-end (demux -> ingest
+    -> graph -> select expr)."""
+    from gmat_tpu.av import toolkit as tk
+    from gmat_tpu.av.ingest import decode_stream
+    from .test_extractor import make_clip
+    clip = str(tmp_path / "p.mp4")
+    make_clip(clip)
+    # ground truth: pts -> byte offset from the demuxer
+    dm = tk.Demuxer(clip)
+    pos_by_pts = {p.pts: p.pos for p in dm if p.stream == 0}
+    dm.close()
+    assert all(v >= 0 for v in pos_by_pts.values())
+    g = FilterGraph("select=not(isnan(pos))")
+    src = decode_stream(clip, batch=16)
+    seen = 0
+    for fb, pts, valid in src:
+        poss = src.last_pos
+        _, keep = g.process(fb, pts=pts, valid=valid, pos=poss)
+        assert keep[:valid].all()          # every real frame has a pos
+        for i in range(valid):
+            assert poss[i] == pos_by_pts[int(pts[i])]
+        seen += int(valid)
+    assert seen == 60
+
+
+def test_scale_aspect_preserving(rng):
+    """ffmpeg's scale=-1:H / W:-2 placeholders."""
+    fb = yuv_batch(rng, n=1, h=64, w=96)        # 3:2 aspect
+    out, _ = FilterGraph("scale=-1:32").process(fb)
+    assert (out.width, out.height) == (48, 32)
+    out, _ = FilterGraph("scale=48:-2").process(fb)
+    assert (out.width, out.height) == (48, 32)
+    # odd ideal width rounds to even for yuv
+    fb2 = yuv_batch(rng, n=1, h=50, w=70)        # 1.4 aspect
+    out, _ = FilterGraph("scale=-2:32").process(fb2)
+    assert out.height == 32 and out.width % 2 == 0
+    with pytest.raises(FilterError):
+        FilterGraph("scale=-1:-1")
