@@ -422,6 +422,123 @@ def _build_ladder_i8(n, h, w, ch, cw, out_h, out_w, colorspace, method,
     return jax.jit(fn)
 
 
+# --------------------------------------------------- NV12 int8 variant
+# Wire-format NV12 input on the int8 MXU path: the luma and (shared) UV
+# row contractions run in int8, the interleave-aware chroma column
+# matrices split U/V like the bf16 NV12 kernel.
+
+
+def _ladder_nv12_kernel_i8(yuv_ref, ahy_ref, awy_ref, ahc_ref, awu_ref,
+                           awv_ref, offy_ref, offc_ref, out_ref,
+                           *, mat, low, mid, norm, shift, h,
+                           inv_sy, inv_sc):
+    x8 = pltpu.bitcast(yuv_ref[...] ^ jnp.uint8(0x80), jnp.int8)
+
+    def row(ah_i8, rows):
+        return jax.lax.dot_general(ah_i8[...], rows,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    def col(t, aw_bf, inv_s):
+        tb = (t.astype(jnp.float32) * inv_s).astype(jnp.bfloat16)
+        return jax.lax.dot_general(tb, aw_bf[...], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    ty = row(ahy_ref, x8[:h, :])
+    yy = col(ty, awy_ref, inv_sy) + offy_ref[...] - low
+    tc = row(ahc_ref, x8[h:, :])          # one row stage shared by U and V
+    uu = col(tc, awu_ref, inv_sc) + offc_ref[...] - mid
+    vv = col(tc, awv_ref, inv_sc) + offc_ref[...] - mid
+    maxv = 2.0 * mid - 1.0
+    r = jnp.clip(mat[0, 0] * yy + mat[0, 1] * uu + mat[0, 2] * vv, 0., maxv)
+    g = jnp.clip(mat[1, 0] * yy + mat[1, 1] * uu + mat[1, 2] * vv, 0., maxv)
+    b = jnp.clip(mat[2, 0] * yy + mat[2, 1] * uu + mat[2, 2] * vv, 0., maxv)
+    out_ref[0, :, :] = (r - shift[0]) * (1.0 / norm)
+    out_ref[1, :, :] = (g - shift[1]) * (1.0 / norm)
+    out_ref[2, :, :] = (b - shift[2]) * (1.0 / norm)
+
+
+@lru_cache(maxsize=32)
+def _build_ladder_nv12_i8(n, h, w, out_h, out_w, colorspace, method, norm,
+                          shift, interpret):
+    mat = yuv2rgb_matrix(colorspace)
+    low, mid = yuv_offsets(8)
+    ahy_q, sy = _quant_rows(resample_matrix(h, out_h, method))
+    ahc_q, sc = _quant_rows(resample_matrix(h // 2, out_h, method))
+    offy = (128.0 * ahy_q.astype(np.float32).sum(1) / sy)[:, None]
+    offc = (128.0 * ahc_q.astype(np.float32).sum(1) / sc)[:, None]
+    awy_np = resample_matrix(w, out_w, method).T
+    awc = resample_matrix(w // 2, out_w, method)      # (out_w, W/2)
+    awu_np = np.zeros((w, out_w), np.float32)
+    awv_np = np.zeros((w, out_w), np.float32)
+    awu_np[0::2, :] = awc.T                           # U = even columns
+    awv_np[1::2, :] = awc.T                           # V = odd columns
+
+    kernel = partial(_ladder_nv12_kernel_i8, mat=mat, low=float(low),
+                     mid=float(mid), norm=float(norm), shift=shift, h=h,
+                     inv_sy=1.0 / sy, inv_sc=1.0 / sc)
+    grid_spec = pl.GridSpec(
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((None, h * 3 // 2, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, out_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, h // 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, out_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, out_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 3, out_h, out_w),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    call = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 3, out_h, out_w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def fn(yuv):
+        return call(yuv,
+                    jnp.asarray(ahy_q), jnp.asarray(awy_np, jnp.bfloat16),
+                    jnp.asarray(ahc_q), jnp.asarray(awu_np, jnp.bfloat16),
+                    jnp.asarray(awv_np, jnp.bfloat16),
+                    jnp.asarray(offy, jnp.float32),
+                    jnp.asarray(offc, jnp.float32))
+
+    return jax.jit(fn)
+
+
+def fused_ladder_nv12_i8(yuv: jax.Array, out_h: int, out_w: int,
+                         colorspace: str = "bt709",
+                         method: str = "bilinear", norm: float = 255.0,
+                         shift=(0.0, 0.0, 0.0), interpret: bool = False):
+    """Wire-format NV12 (N, H*3/2, W) u8 -> (N, 3, out_h, out_w) f32 on
+    the int8 MXU path; the UV deinterleave rides the chroma column
+    matmuls for free (fused_ladder_nv12's layout trick at int8 speed)."""
+    if method not in ("bilinear", "nearest"):
+        return fused_ladder_nv12(yuv, out_h, out_w, colorspace, method,
+                                 norm, shift, interpret)
+    n, h32, w = yuv.shape
+    h = h32 * 2 // 3
+    fn = _build_ladder_nv12_i8(n, h, w, out_h, out_w, colorspace, method,
+                               float(norm),
+                               tuple(float(s) for s in shift),
+                               bool(interpret))
+    return fn(yuv)
+
+
 # ------------------------------------------------- W-chunked i8 variant
 # >4K frames don't fit VMEM whole (an 8K luma plane is 33 MB); the frame
 # is split into column chunks and the ladder becomes

@@ -157,3 +157,20 @@ def test_i8_ladder_extended_methods(rng, method):
     # the int8 bound exceeds 2 LSB; bf16 weights carry ~0.4% relative
     # error per tap, so allow ~4.5 LSB worst-case on noise
     assert (np.abs(got - want) * 255).max() <= 4.5, method
+
+
+def test_fused_ladder_nv12_i8(rng):
+    """int8 NV12 wire-format ladder == planar int8 ladder."""
+    from gmat_tpu.core.frame import pack_nv12
+    from gmat_tpu.ops.pallas_kernels import (fused_ladder_i8,
+                                             fused_ladder_nv12_i8)
+    y, u, v = _data(rng)
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p", y.shape[2],
+                    y.shape[1], "bt709")
+    nv12 = pack_nv12(fb)
+    got = np.asarray(fused_ladder_nv12_i8(nv12, 32, 32, interpret=True))
+    want = np.asarray(fused_ladder_i8(jnp.asarray(y), jnp.asarray(u),
+                                      jnp.asarray(v), 32, 32,
+                                      interpret=True))
+    assert (np.abs(got - want) * 255).max() <= 1.0
