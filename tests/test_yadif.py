@@ -192,3 +192,34 @@ def test_thumbnail_flush_partial_window(rng):
         idx = best(lo, hi)
         assert pts == idx
         np.testing.assert_array_equal(yplane, ys[idx])
+
+
+def test_combined_stream_control_chain(rng, tmp_path):
+    """yadif (stream) + overlay video (stream) + select (control) + scale
+    (pure) composed in one graph: counts, dims, and flush all line up."""
+    from gmat_tpu.av.rawvideo import Y4MWriter
+    over_p = str(tmp_path / "wm.y4m")
+    wr = Y4MWriter(over_p, 8, 8, (30, 1))
+    for _ in range(20):
+        wr.write(np.full((8, 8), 210, np.uint8),
+                 np.full((4, 4), 128, np.uint8),
+                 np.full((4, 4), 128, np.uint8))
+    wr.close()
+    n = 9
+    ys, us, vs = yuv_frames(rng, n, h=32, w=48)
+    g = FilterGraph(f"yadif,overlay=video={over_p}:x=4:y=4,"
+                    "select=not(mod(n\\,2)),scale=24:16")
+    total = 0
+    for s in range(0, n, 4):
+        e = min(s + 4, n)
+        fb = from_numpy_yuv420(np.stack(ys[s:e]), np.stack(us[s:e]),
+                               np.stack(vs[s:e]))
+        out, keep = g.process(fb, pts=np.arange(s, e, dtype=np.int64))
+        assert out.width == 24 and out.height == 16
+        total += int(keep.sum())
+    for out, keep, _meta in g.flush():
+        assert out.width == 24 and out.height == 16
+        total += int(keep.sum())
+    # 9 frames in -> 9 deinterlaced (delay+flush) -> select keeps even n:
+    # the select filter sees frames n=0..8, keeps 0,2,4,6,8 = 5
+    assert total == 5
