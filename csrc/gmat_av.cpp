@@ -322,6 +322,44 @@ GAV_API void gav_dec_set_crop(void* h, int x, int y, int w, int hgt) {
     d->crop_w = w & ~1; d->crop_h = hgt & ~1;
 }
 
+// Offset src plane pointers into the crop window for ANY planar/packed
+// format the software decoders emit (8/10/16-bit, 4:2:0/4:2:2/4:4:4,
+// interleaved-UV), using the pixel-format descriptor for per-plane
+// chroma shifts and byte steps.  Fails loudly (rather than silently
+// scaling the whole frame) for unsupported layouts or out-of-bounds rects.
+static int dec_apply_crop(GavDecoder* d, const AVFrame* f,
+                          const uint8_t* src[4], int* src_w, int* src_h) {
+    if (d->crop_w <= 0 || d->crop_h <= 0) return 0;
+    const AVPixFmtDescriptor* desc =
+        av_pix_fmt_desc_get((AVPixelFormat)f->format);
+    if (!desc || (desc->flags & (AV_PIX_FMT_FLAG_BITSTREAM |
+                                 AV_PIX_FMT_FLAG_HWACCEL |
+                                 AV_PIX_FMT_FLAG_PAL))) {
+        snprintf(g_err, sizeof g_err, "decoder crop unsupported for pixel "
+                 "format %s", desc ? desc->name : "?");
+        return -1;
+    }
+    if (d->crop_x + d->crop_w > f->width ||
+        d->crop_y + d->crop_h > f->height) {
+        snprintf(g_err, sizeof g_err, "crop rect %dx%d+%d+%d outside "
+                 "%dx%d frame", d->crop_w, d->crop_h, d->crop_x, d->crop_y,
+                 f->width, f->height);
+        return -1;
+    }
+    for (int p = 0; p < 4 && f->data[p]; p++) {
+        int xs = (p == 1 || p == 2) ? desc->log2_chroma_w : 0;
+        int ys = (p == 1 || p == 2) ? desc->log2_chroma_h : 0;
+        int step = 1;
+        for (int c = 0; c < desc->nb_components; c++)
+            if (desc->comp[c].plane == p) step = desc->comp[c].step;
+        src[p] = f->data[p] + (size_t)(d->crop_y >> ys) * f->linesize[p]
+                 + (size_t)(d->crop_x >> xs) * step;
+    }
+    *src_w = d->crop_w;
+    *src_h = d->crop_h;
+    return 0;
+}
+
 GAV_API void* gav_dec_create(int codec, const unsigned char* extradata,
                              int extradata_size, int threads) {
     AVCodecID id = codec == 0 ? AV_CODEC_ID_H264 :
@@ -389,16 +427,9 @@ GAV_API int gav_dec_receive(void* h, unsigned char* y, unsigned char* u,
     // (pCropRect analog); src dims become the crop window
     const uint8_t* src[4] = {f->data[0], f->data[1], f->data[2], f->data[3]};
     int src_w = f->width, src_h = f->height;
-    bool cropped = false;
-    if (d->crop_w > 0 && d->crop_h > 0 &&
-        d->crop_x + d->crop_w <= f->width &&
-        d->crop_y + d->crop_h <= f->height &&
-        (pf == AV_PIX_FMT_YUV420P || pf == AV_PIX_FMT_YUVJ420P)) {
-        src[0] = f->data[0] + (size_t)d->crop_y * f->linesize[0] + d->crop_x;
-        src[1] = f->data[1] + (size_t)(d->crop_y / 2) * f->linesize[1] + d->crop_x / 2;
-        src[2] = f->data[2] + (size_t)(d->crop_y / 2) * f->linesize[2] + d->crop_x / 2;
-        src_w = d->crop_w; src_h = d->crop_h;
-        cropped = true;
+    if (dec_apply_crop(d, f, src, &src_w, &src_h) < 0) {
+        av_frame_unref(f);
+        return -1;
     }
     // fast path only when the (cropped) dims match the caller's buffers;
     // any mismatch (mid-stream resolution change, early downscale) rides
@@ -425,7 +456,6 @@ GAV_API int gav_dec_receive(void* h, unsigned char* y, unsigned char* u,
         }
         uint8_t* dst[4] = {y, u, v, nullptr};
         int dstride[4] = {w, w / 2, w / 2, 0};
-        (void)cropped;   // src/src_w/src_h already fall back to full frame
         sws_scale(d->sws, src, f->linesize, 0, src_h, dst, dstride);
     }
     av_frame_unref(f);
@@ -998,26 +1028,32 @@ GAV_API int gav_dec_receive16(void* h, unsigned short* y, unsigned short* u,
     AVFrame* f = d->frame;
     *pts = f->pts != AV_NOPTS_VALUE ? f->pts : f->best_effort_timestamp;
     AVPixelFormat pf = (AVPixelFormat)f->format;
-    if (pf == AV_PIX_FMT_YUV420P10LE && f->width == w && f->height == hgt) {
+    const uint8_t* src[4] = {f->data[0], f->data[1], f->data[2], f->data[3]};
+    int src_w = f->width, src_h = f->height;
+    if (dec_apply_crop(d, f, src, &src_w, &src_h) < 0) {
+        av_frame_unref(f);
+        return -1;
+    }
+    if (pf == AV_PIX_FMT_YUV420P10LE && src_w == w && src_h == hgt) {
         for (int i = 0; i < hgt; i++)
-            memcpy(y + (size_t)i * w, f->data[0] + (size_t)i * f->linesize[0], w * 2);
+            memcpy(y + (size_t)i * w, src[0] + (size_t)i * f->linesize[0], w * 2);
         for (int i = 0; i < hgt / 2; i++) {
-            memcpy(u + (size_t)i * (w / 2), f->data[1] + (size_t)i * f->linesize[1], w);
-            memcpy(v + (size_t)i * (w / 2), f->data[2] + (size_t)i * f->linesize[2], w);
+            memcpy(u + (size_t)i * (w / 2), src[1] + (size_t)i * f->linesize[1], w);
+            memcpy(v + (size_t)i * (w / 2), src[2] + (size_t)i * f->linesize[2], w);
         }
     } else {
-        if (!d->sws || d->sws_w != f->width || d->sws_h != f->height ||
+        if (!d->sws || d->sws_w != src_w || d->sws_h != src_h ||
             d->sws_fmt != pf || d->sws_out != AV_PIX_FMT_YUV420P10LE) {
             if (d->sws) sws_freeContext(d->sws);
-            d->sws = sws_getContext(f->width, f->height, pf, w, hgt,
+            d->sws = sws_getContext(src_w, src_h, pf, w, hgt,
                                     AV_PIX_FMT_YUV420P10LE, SWS_BILINEAR,
                                     nullptr, nullptr, nullptr);
-            d->sws_w = f->width; d->sws_h = f->height; d->sws_fmt = pf;
+            d->sws_w = src_w; d->sws_h = src_h; d->sws_fmt = pf;
             d->sws_out = AV_PIX_FMT_YUV420P10LE;
         }
         uint8_t* dst[4] = {(uint8_t*)y, (uint8_t*)u, (uint8_t*)v, nullptr};
         int dstride[4] = {w * 2, w, w, 0};
-        sws_scale(d->sws, f->data, f->linesize, 0, f->height, dst, dstride);
+        sws_scale(d->sws, src, f->linesize, 0, src_h, dst, dstride);
     }
     av_frame_unref(f);
     return 1;

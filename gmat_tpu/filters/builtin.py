@@ -271,6 +271,9 @@ class OverlayFilter:
             return _empty_like(fb), _meta_take(meta, slice(0, 0))
         nb = fb.batch
         keep = np.asarray(meta["keep"]).copy()
+        # expression var n counts frames that reach the filter (ffmpeg
+        # inlink frame_count): masked/padded frames never arrive
+        n_base = self._n
         rgb_main = fb.fmt.is_rgb
         if not rgb_main and fb.format not in ("yuv420p", "nv12"):
             raise FilterError(
@@ -307,6 +310,8 @@ class OverlayFilter:
 
         meta = dict(meta)
         meta["keep"] = keep
+        kept_idx = np.cumsum(keep) - 1          # per-frame kept ordinal
+        self._n += int(keep.sum())
         if not blend_on.any():
             return fb, meta
 
@@ -333,7 +338,7 @@ class OverlayFilter:
             if not blend_on[i]:
                 xs[i], ys[i] = fb.width, fb.height     # fully clipped
                 continue
-            env = {"n": float(self._n + i),
+            env = {"n": float(n_base + kept_idx[i]),
                    "t": float(times[i]) if times is not None else 0.0,
                    "main_w": float(fb.width), "mw": float(fb.width),
                    "main_h": float(fb.height), "mh": float(fb.height),
@@ -343,7 +348,6 @@ class OverlayFilter:
                         else self._x(env))
             ys[i] = int(self._y if isinstance(self._y, float)
                         else self._y(env))
-        self._n += nb
 
         xj, yj = jnp.asarray(xs), jnp.asarray(ys)
         if domain == "rgb":
@@ -447,16 +451,23 @@ class YadifFilter:
                                         1).reshape(-1)
             else:
                 out["times"] = None
-            for key in ("keys", "pos", "keep"):
+            for key in ("keys", "pos", "keep", "pad"):
                 arr = meta.get(key)
                 out[key] = None if arr is None else np.repeat(arr, 2)
             meta = out
         return ofb, meta
 
     def process_batch(self, fb: FrameBatch, meta):
-        keep = meta["keep"]
-        nz = np.nonzero(keep)[0]
-        v = int(nz[-1]) + 1 if len(nz) else 0
+        # trim only the PADDED tail (valid<batch repeats of the last real
+        # frame): padding is not real video.  Frames merely masked out by
+        # an upstream select (keep=False, pad=False) stay in the temporal
+        # context so output is invariant to batching.
+        pad = meta.get("pad")
+        if pad is not None:
+            real = np.nonzero(~np.asarray(pad))[0]
+        else:   # legacy callers without a pad track
+            real = np.nonzero(np.asarray(meta["keep"]))[0]
+        v = int(real[-1]) + 1 if len(real) else 0
         if v < fb.batch:     # drop the padded tail (it is not real video)
             fb = fb.with_planes({k: p[:v] for k, p in fb.planes.items()})
             meta = _meta_take(meta, slice(0, v))
@@ -496,7 +507,7 @@ class YadifFilter:
         if times is not None and len(times) == 2:
             ext_meta["times"] = np.concatenate(
                 [times, [2 * times[-1] - times[-2]]])
-        for key in ("keys", "pos", "keep"):
+        for key in ("keys", "pos", "keep", "pad"):
             arr = ext_meta.get(key)
             if arr is not None and len(arr) == 2:
                 ext_meta[key] = np.concatenate([arr, arr[-1:]])
@@ -523,7 +534,8 @@ class SelectFilter:
     pict_type (+ I/P/B/... constants — the software decode path exposes
     keyframe-ness only, so pict_type is I for keyframes else P),
     interlace_type (PROGRESSIVE — no per-frame interlace props), and pos
-    (NaN, like ffmpeg when the byte position is unknown).  Scene scores
+    (the packet's byte offset when the ingest pipeline provides it, NaN
+    otherwise — ffmpeg pkt_pos semantics).  Scene scores
     are computed on device for the whole batch (ops/scene.py); the
     expression runs per frame on host.
     """

@@ -208,8 +208,11 @@ class FilterGraph:
         k = np.ones(n, bool) if keep is None else np.asarray(keep).copy()
         if valid is not None:
             k[valid:] = False
+        padmask = np.zeros(n, bool)
+        if valid is not None:
+            padmask[valid:] = True
         meta = {"pts": pts, "times": times, "keys": keys, "pos": pos,
-                "keep": k}
+                "keep": k, "pad": padmask}
         fb, meta = self._run_segments(fb, meta)
         self.out_pts = meta.get("pts")
         self.out_times = meta.get("times")

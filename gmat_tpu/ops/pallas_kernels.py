@@ -351,6 +351,18 @@ def _i8_quant_error_lsb(A) -> float:
     return float(np.abs(q.astype(np.float32) / s - A).sum(axis=1).max()) * 255.0
 
 
+@lru_cache(maxsize=256)
+def _i8_ok(h: int, ch: int, out_h: int, method: str) -> bool:
+    """Cached dispatch gate: can the int8 path hold <=2 LSB for these
+    resample matrices? (The matrices depend only on dims + method, so the
+    per-batch hot path never recomputes the numpy bound.)"""
+    if method in ("bilinear", "nearest"):
+        return True
+    err = max(_i8_quant_error_lsb(resample_matrix(h, out_h, method)),
+              _i8_quant_error_lsb(resample_matrix(ch, out_h, method)))
+    return err <= 2.0
+
+
 @lru_cache(maxsize=64)
 def _build_ladder_i8(n, h, w, ch, cw, out_h, out_w, colorspace, method,
                      norm, shift, interpret, crop=None):
@@ -694,18 +706,27 @@ def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
         raise ValueError(f"int8 ladder: unknown method {method!r}")
     n, h, w = y.shape
     ch, cw = u.shape[1], u.shape[2]
-    if method not in ("bilinear", "nearest"):
+    kw_chunks = _pick_w_chunks(h, w, ch, cw)
+    if not _i8_ok(h, ch, out_h, method):
         # wide/antialiased tap sets accumulate 1/127-step quantization
-        # error; fall back to the bf16 kernel when the bound exceeds 2 LSB
-        err = max(_i8_quant_error_lsb(resample_matrix(h, out_h, method)),
-                  _i8_quant_error_lsb(resample_matrix(ch, out_h, method)))
-        if err > 2.0:
-            if crop_box is not None:
-                raise ValueError(f"{method} at this scale needs the bf16 "
-                                 "kernel, which has no fused crop; crop "
-                                 "via geometry.crop first")
-            return fused_ladder(y, u, v, out_h, out_w, colorspace, method,
-                                norm, shift, interpret)
+        # error beyond 2 LSB: leave the int8 path
+        if crop_box is not None:
+            raise ValueError(f"{method} at this scale needs the bf16 "
+                             "kernel, which has no fused crop; crop "
+                             "via geometry.crop first")
+        if kw_chunks > 1:
+            # >VMEM frame AND a method int8 can't hold: the bf16 kernel
+            # has no chunked form, so take the exact XLA path
+            from ..core.frame import FrameBatch
+            from . import fused as _fused
+            fb = FrameBatch({"y": y, "u": u, "v": v}, "yuv420p",
+                            w, h, colorspace)
+            return _fused.preprocess_nchw(fb, out_w, out_h, method=method,
+                                          norm=float(norm),
+                                          shift=tuple(shift),
+                                          use_pallas="never")
+        return fused_ladder(y, u, v, out_h, out_w, colorspace, method,
+                            norm, shift, interpret)
     if crop_box is not None:
         cx, cy, cwb, chb = (int(c) for c in crop_box)
         if (cx | cy | cwb | chb) & 1:
@@ -713,7 +734,6 @@ def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
         if cx + cwb > w or cy + chb > h:
             raise ValueError("crop box outside the frame")
         crop_box = (cx, cy, cwb, chb)
-    kw_chunks = _pick_w_chunks(h, w, ch, cw)
     if kw_chunks > 1:
         if crop_box is not None:
             raise ValueError("crop_box with >4K chunked ladder not "

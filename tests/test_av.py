@@ -358,3 +358,36 @@ def test_decode_stream_resize(tmp_path):
         assert fb.planes["y"].shape[1:] == (90, 160)
         got += int(valid)
     assert got == 60
+
+
+def test_decoder_crop_10bit_and_unsupported(tmp_path):
+    """Crop must work on 10-bit planar frames and fail loudly (not
+    silently scale the whole frame) when the rect is out of bounds."""
+    w, h = 128, 96
+    y = np.zeros((h, w), np.uint16)
+    y[:h // 2, :w // 2] = 200
+    y[h // 2:, w // 2:] = 800
+    u = np.full((h // 2, w // 2), 512, np.uint16)
+    v = np.full((h // 2, w // 2), 512, np.uint16)
+    enc = tk.Encoder("libx265", w, h, crf=8.0, still_image=True, bits=10,
+                     opts="x265-params=log-level=0")
+    pkts = enc.encode(y, u, v, pts=0) + enc.flush()
+    extra = enc.extradata()
+    enc.close()
+    dec = tk.Decoder(tk.CODEC_HEVC, extra, crop=(0, 0, w // 2, h // 2))
+    frames = []
+    for p in pkts:
+        frames += list(dec.decode16(p.data))
+    frames += list(dec.decode16(None))
+    dec.close()
+    fy = frames[0][0]
+    assert fy.shape == (h // 2, w // 2)
+    assert abs(float(fy.mean()) - 200) < 20     # top-left quadrant only
+
+    # out-of-bounds crop: loud IOError, not silent whole-frame scale
+    dec = tk.Decoder(tk.CODEC_HEVC, extra, crop=(100, 0, 64, 48))
+    with pytest.raises(IOError):
+        for p in pkts:
+            list(dec.decode16(p.data))
+        list(dec.decode16(None))
+    dec.close()

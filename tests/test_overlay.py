@@ -147,3 +147,23 @@ def test_overlay_still_rgb_and_errors(rng, tmp_path):
         OverlayFilter(path="a", video="b")
     with pytest.raises(FilterError):
         OverlayFilter(video="x", eof_action="bogus")
+
+
+def test_overlay_n_counts_kept_frames_only(rng, tmp_path):
+    """The expression var n counts frames that reach the filter (ffmpeg
+    inlink frame_count): a fully-masked batch must not advance it."""
+    over_p = str(tmp_path / "n.y4m")
+    _mkclip(over_p, 12, 4, 4, fill=240)
+    g = FilterGraph(f"overlay=video={over_p}:x=n*4:y=0")
+    main = yuv(rng, 3, 16, 16)
+    fb = from_numpy_yuv420(main["y"], main["u"], main["v"])
+    # batch 1: fully masked (e.g. an upstream drop) -> n unchanged
+    _, _ = g.process(fb, pts=np.arange(3, dtype=np.int64),
+                     keep=np.zeros(3, bool))
+    # batch 2: kept; first frame must render at x = 0*4 = 0, not 3*4
+    out, keep = g.process(fb, pts=np.arange(3, dtype=np.int64))
+    assert keep.all()
+    oy = np.asarray(out.planes["y"])
+    np.testing.assert_array_equal(oy[0, 0:4, 0:4], np.full((4, 4), 240))
+    # frame 1: n=1 -> x=4, second overlay frame (fill 241)
+    np.testing.assert_array_equal(oy[1, 0:4, 4:8], np.full((4, 4), 241))

@@ -174,3 +174,16 @@ def test_fused_ladder_nv12_i8(rng):
                                       jnp.asarray(v), 32, 32,
                                       interpret=True))
     assert (np.abs(got - want) * 255).max() <= 1.0
+
+
+def test_8k_extended_method_falls_back_to_xla(rng):
+    """>VMEM frame + a method int8 can't hold: exact XLA path, right shape."""
+    from gmat_tpu.ops.pallas_kernels import fused_ladder_i8, _i8_ok
+    h, w = 4320, 7680
+    assert not _i8_ok(h, h // 2, 64, "lanczos3")
+    y = jnp.asarray(np.full((1, h, w), 128, np.uint8))
+    u = jnp.asarray(np.full((1, h // 2, w // 2), 90, np.uint8))
+    v = jnp.asarray(np.full((1, h // 2, w // 2), 170, np.uint8))
+    out = np.asarray(fused_ladder_i8(y, u, v, 64, 64, method="lanczos3"))
+    assert out.shape == (1, 3, 64, 64)
+    assert np.isfinite(out).all()

@@ -223,3 +223,36 @@ def test_combined_stream_control_chain(rng, tmp_path):
     # 9 frames in -> 9 deinterlaced (delay+flush) -> select keeps even n:
     # the select filter sees frames n=0..8, keeps 0,2,4,6,8 = 5
     assert total == 5
+
+
+def test_yadif_select_dropped_frames_stay_in_context(rng):
+    """select-dropped (keep=False, pad=False) frames still feed the
+    temporal context, so output is invariant to where batch edges fall."""
+    n = 8
+    ys, us, vs = yuv_frames(rng, n)
+    fb_all = from_numpy_yuv420(np.stack(ys), np.stack(us), np.stack(vs))
+
+    def run(batches):
+        g = FilterGraph("select=lt(n\\,6),yadif")
+        outs = []
+        start = 0
+        for b in batches:
+            fb = from_numpy_yuv420(np.stack(ys[start:start + b]),
+                                   np.stack(us[start:start + b]),
+                                   np.stack(vs[start:start + b]))
+            out, keep = g.process(fb,
+                                  pts=np.arange(start, start + b,
+                                                dtype=np.int64))
+            host = np.asarray(out.planes["y"])
+            outs += [host[i] for i in np.nonzero(keep)[0]]
+            start += b
+        for out, keep, _m in g.flush():
+            host = np.asarray(out.planes["y"])
+            outs += [host[i] for i in np.nonzero(keep)[0]]
+        return outs
+
+    a = run([8])          # frames 6,7 dropped mid-stream in one batch
+    b = run([6, 2])       # batch edge right where the drop begins
+    assert len(a) == len(b) == 6
+    for x, y_ in zip(a, b):
+        np.testing.assert_array_equal(x, y_)
