@@ -54,10 +54,52 @@ def build_parser():
     p.add_argument("-batch", type=int, default=32, help="TPU batch size")
     p.add_argument("-stats", action="store_true", help="print fps meter")
     p.add_argument("-threads", type=int, default=0, help="decoder threads")
+    p.add_argument("-resize", default="",
+                   help="decoder-side downscale WxH before upload (the "
+                        "cuvid -resize analog; containers only)")
+    p.add_argument("-crop", default="",
+                   help="decoder-side crop TOPxBOTTOMxLEFTxRIGHT (the "
+                        "cuvid -crop analog; containers only)")
+    p.add_argument("-list-filters", action="store_true",
+                   help="print available filters and their options "
+                        "(ffmpeg -h filter=NAME analog)")
     return p
 
 
+def list_filters():
+    """ffmpeg `-h filter=NAME` analog: one line per filter with its
+    option names (factory signature / positional order)."""
+    import inspect
+
+    from ..filters.builtin import FILTERS
+    from ..filters.graph import POSITIONAL
+    seen = {}
+    for name in sorted(FILTERS):
+        f = FILTERS[name]
+        if id(f) in seen:
+            print(f"{name:16s} alias of {seen[id(f)]}")
+            continue
+        seen[id(f)] = name
+        try:
+            params = [p for p in inspect.signature(f).parameters.values()
+                      if p.name != "self"]
+            opts = ", ".join(
+                p.name if p.default is inspect.Parameter.empty
+                else f"{p.name}={p.default!r}" for p in params)
+        except (TypeError, ValueError):
+            opts = ""
+        posn = POSITIONAL.get(name)
+        extra = f"   positional: {':'.join(posn)}" if posn else ""
+        print(f"{name:16s} {opts}{extra}")
+
+
 def main(argv=None):
+    import sys as _sys
+    if argv is None:
+        argv = _sys.argv[1:]
+    if "-list-filters" in argv:
+        list_filters()
+        return 0
     args = build_parser().parse_args(argv)
 
     from ..utils.compile_cache import enable as _enable_cache
@@ -73,6 +115,16 @@ def main(argv=None):
     raw_w = raw_h = 0
     if args.size:
         raw_w, raw_h = (int(x) for x in args.size.lower().split("x"))
+    dec_resize = dec_crop = None
+    if args.resize:
+        rw, rh = (int(x) for x in args.resize.lower().split("x"))
+        dec_resize = (rw, rh)
+    is_raw_input = args.input.lower().endswith(
+        (".y4m", ".yuv", ".nv12", ".iyuv", ".raw"))
+    if (args.resize or args.crop) and is_raw_input:
+        print("gmat: -resize/-crop apply to compressed containers only; "
+              "ignored for raw input", file=sys.stderr)
+        dec_resize = dec_crop = None
     if args.input.lower().endswith((".y4m", ".yuv", ".nv12", ".iyuv", ".raw")):
         src_fps = 30.0
         if args.input.lower().endswith(".y4m"):
@@ -85,6 +137,11 @@ def main(argv=None):
         dm_probe = tk.Demuxer(args.input)
         src_fps = dm_probe.fps or 30.0
         tb_sec = dm_probe.time_base[0] / dm_probe.time_base[1]
+        if args.crop:
+            # cuvid-style TOPxBOTTOMxLEFTxRIGHT -> (x, y, w, h)
+            t_, b_, l_, r_ = (int(x) for x in args.crop.lower().split("x"))
+            dec_crop = (l_, t_, dm_probe.width - l_ - r_,
+                        dm_probe.height - t_ - b_)
         dm_probe.close()
 
     graph = FilterGraph(args.vf, src_fps=src_fps)
@@ -123,7 +180,25 @@ def main(argv=None):
         enc = tk.Encoder(name, w, h, fps=fps, **enc_kwargs)
         vcodec = tk.CODEC_FOR_ENCODER.get(name, tk.CODEC_H264)
         audio = None
-        if args.acodec:
+        if args.acodec == "copy":
+            # ffmpeg -c:a copy: pass source audio packets through verbatim
+            dm_a = tk.Demuxer(args.input)
+            info = tk.AudioInfo(dm_a)
+            if info.present:
+                tn, td = info.time_base
+                sr = info.sample_rate
+                pkts = []
+                for p_ in dm_a:
+                    if p_.stream == 1:
+                        # rescale source-tb pts to the muxer's 1/sample_rate
+                        pts = p_.pts * tn * sr // td
+                        dts = p_.dts * tn * sr // td
+                        pkts.append(tk.Packet(p_.data, pts, dts, p_.key,
+                                              False, 1))
+                audio = (info.codec_id, sr, info.channels, info.extradata,
+                         pkts)
+            dm_a.close()
+        elif args.acodec:
             from .metrans import Options, transcode_audio
             o = Options(input_file=args.input, audio_codec=args.acodec,
                         audio_bitrate=_size(args.abitrate))
@@ -191,7 +266,8 @@ def main(argv=None):
 
     done = 0
     src = decode_stream(args.input, batch=args.batch, threads=args.threads,
-                        seek=args.ss, width=raw_w, height=raw_h)
+                        seek=args.ss, width=raw_w, height=raw_h,
+                        resize=dec_resize, crop=dec_crop)
     for fb, pts, valid in src:
         times = pts * tb_sec
         out_fb, keep = graph.process(fb, pts=pts, times=times,

@@ -191,3 +191,56 @@ def test_encoder_worker_error_propagates(tmp_path):
         for _ in range(50):                     # bounded: must raise, not hang
             w.put(bad)
     w.finish()
+
+
+def test_cli_decoder_resize_and_crop_flags(tmp_path, capsys):
+    """cuvid-style -resize / -crop decoder flags (FFmpeg_GPU_Acceleration
+    doc: `ffmpeg -hwaccel cuda -resize 1280x720 -i ...`)."""
+    from gmat_tpu.apps.cli import main
+    from .test_extractor import make_clip
+    clip = str(tmp_path / "rc.mp4")
+    make_clip(clip)                      # 320x240, y=20+3*i
+    out = str(tmp_path / "rc_out.y4m")
+    assert main(["-i", clip, "-resize", "160x120", "-o", out,
+                 "-batch", "16"]) == 0
+    from gmat_tpu.av.rawvideo import Y4MReader
+    rd = Y4MReader(out)
+    assert (rd.width, rd.height) == (160, 120)
+    rd.close()
+    out2 = str(tmp_path / "rc_out2.y4m")
+    # crop TOPxBOTTOMxLEFTxRIGHT = 40x40x80x80 -> 160x160 window
+    assert main(["-i", clip, "-crop", "40x40x80x80", "-o", out2,
+                 "-batch", "16"]) == 0
+    rd = Y4MReader(out2)
+    assert (rd.width, rd.height) == (160, 160)
+    rd.close()
+
+
+def test_cli_audio_copy(tmp_path):
+    """-c:a copy passes source audio packets through without re-encode."""
+    from gmat_tpu.apps.cli import main
+    from gmat_tpu.av import toolkit as tk
+    from .test_audio import make_av_clip
+    clip = str(tmp_path / "avc.mp4")
+    make_av_clip(clip, nframes=30)
+    out = str(tmp_path / "avc_out.mp4")
+    assert main(["-i", clip, "-o", out, "-c:a", "copy",
+                 "-batch", "16"]) == 0
+    dm = tk.Demuxer(out)
+    info = tk.AudioInfo(dm)
+    assert info.present
+    src_dm = tk.Demuxer(clip)
+    src_info = tk.AudioInfo(src_dm)
+    assert info.codec_id == src_info.codec_id
+    assert info.sample_rate == src_info.sample_rate
+    n_a = sum(1 for p in dm if p.stream == 1)
+    n_src = sum(1 for p in src_dm if p.stream == 1)
+    assert n_a == n_src > 0
+    dm.close(); src_dm.close()
+
+
+def test_cli_list_filters(capsys):
+    from gmat_tpu.apps.cli import main
+    assert main(["-list-filters"]) == 0
+    out = capsys.readouterr().out
+    assert "yadif" in out and "overlay" in out and "positional" in out
