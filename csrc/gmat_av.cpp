@@ -138,10 +138,18 @@ GAV_API void* gav_demux_open_buffer(const uint8_t* data, long long size) {
     d->bufio = new GavBufIO{data, (int64_t)size, 0};
     const size_t iosz = 1 << 16;
     uint8_t* iobuf = (uint8_t*)av_malloc(iosz);
+    if (!iobuf) { snprintf(g_err, sizeof g_err, "av_malloc failed"); delete d->bufio; delete d; return nullptr; }
     d->avio = avio_alloc_context(iobuf, iosz, 0, d->bufio,
                                  gav_bufio_read, nullptr, gav_bufio_seek);
     if (!d->avio) { av_free(iobuf); snprintf(g_err, sizeof g_err, "avio_alloc_context failed"); delete d->bufio; delete d; return nullptr; }
     d->fmt = avformat_alloc_context();
+    if (!d->fmt) {
+        snprintf(g_err, sizeof g_err, "avformat_alloc_context failed");
+        av_freep(&d->avio->buffer);
+        avio_context_free(&d->avio);
+        delete d->bufio; delete d;
+        return nullptr;
+    }
     d->fmt->pb = d->avio;
     int r = avformat_open_input(&d->fmt, nullptr, nullptr, nullptr);
     if (r < 0) {

@@ -64,8 +64,7 @@ class AtempoStream:
             else:
                 best_off, best_score = 0, -np.inf
                 ref = self._prev_tail[:, 0]
-                lo = max(pos_r - search, -self._base + 0)
-                lo = max(lo, 0)
+                lo = max(pos_r - search, 0)
                 hi = min(pos_r + search, len(self._buf) - win)
                 for off in range(lo, hi):
                     cand = self._buf[off:off + len(ref), 0]
@@ -140,19 +139,18 @@ def volume(samples: np.ndarray, rate: int, volume: float = 1.0) -> np.ndarray:
 
 
 def aresample(samples: np.ndarray, rate: int, out_rate: int) -> Tuple[np.ndarray, int]:
-    """Linear-interp resample; returns (samples, new_rate)."""
+    """Linear-interp resample; returns (samples, new_rate).
+
+    One-shot = push + flush of AresampleStream, so the offline and
+    streamed chains produce identical output for the same description
+    (the same invariant atempo() keeps)."""
     out_rate = int(out_rate)
     if out_rate == rate or samples.shape[0] < 2:
         return samples, out_rate
-    n, ch = samples.shape
-    m = int(round(n * out_rate / rate))
-    src = np.linspace(0, n - 1, m)
-    i0 = np.floor(src).astype(int)
-    i1 = np.minimum(i0 + 1, n - 1)
-    f = (src - i0)[:, None].astype(np.float32)
-    y = samples[i0].astype(np.float32) * (1 - f) + \
-        samples[i1].astype(np.float32) * f
-    return np.clip(y, -32768, 32767).astype(np.int16), out_rate
+    st = AresampleStream(rate, out_rate)
+    parts = [p for p in (st.push(samples), st.flush()) if p.size]
+    y = np.concatenate(parts) if parts else samples[:0]
+    return y, out_rate
 
 
 def parse_audio_filters(desc: str) -> List[Tuple[str, Dict[str, float]]]:

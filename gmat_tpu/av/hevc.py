@@ -511,11 +511,15 @@ def parse_slice_rps(nal: bytes, spsf, pps) -> Optional[SliceRps]:
     else:
         rps = _parse_st_rps(r, len(spsf.rps_list), spsf.rps_list)
     refs = set()
+    max_poc = 1 << spsf.log2_max_poc_lsb
     if rps:
+        # POC-lsb arithmetic wraps modulo 2^log2_max_poc_lsb (8.3.1) —
+        # without the wrap, references across a wraparound boundary are
+        # missed and referenced frames get marked skippable
         for d in rps.s0_deltas:
-            refs.add(poc_lsb - (d + 1))
+            refs.add((poc_lsb - (d + 1)) % max_poc)
         for d in rps.s1_deltas:
-            refs.add(poc_lsb + (d + 1))
+            refs.add((poc_lsb + (d + 1)) % max_poc)
     if getattr(spsf, "lt_present", False):
         # long-term entries reference pictures by POC lsb directly; a frame
         # held as LTR must not be marked skippable

@@ -223,6 +223,13 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
                 if pkt.key:
                     key_pts.add(pkt.pts)
                 pos_by_pts[pkt.pts] = pkt.pos
+                # bound both maps: orphaned entries (packets whose pts
+                # never emerges as a frame) must not accumulate forever
+                # in a 24/7 ingest; 512 packets >> any decoder reorder
+                while len(pos_by_pts) > 512:
+                    pos_by_pts.pop(next(iter(pos_by_pts)))
+                while len(key_pts) > 512:
+                    key_pts.pop()
                 for (y, u, v, p) in dec.decode(pkt.data, pkt.pts):
                     is_key = p in key_pts
                     key_pts.discard(p)

@@ -220,7 +220,7 @@ class Decoder:
             v.ctypes.data_as(pu16), w, h, ctypes.byref(pts))
         if r == 0:
             rw = self._lib.gav_dec_width(self._h)
-            if rw and rw != w:
+            if rw and rw != w and not self._fixed:
                 self.width, self.height = rw, self._lib.gav_dec_height(self._h)
                 return self.receive16()
             return None

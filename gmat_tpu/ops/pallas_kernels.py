@@ -686,7 +686,7 @@ def _pick_w_chunks(h, w, ch, cw, budget_bytes=24 * 1024 * 1024) -> int:
         if (w % (k * 128) == 0 and cw % (k * 128) == 0
                 and per_frame // k <= budget_bytes):
             return k
-    raise ValueError(f"no lane-aligned W-chunking for {w}x{h}")
+    return 0            # no lane-aligned chunking: caller falls back
 
 
 def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
@@ -707,16 +707,19 @@ def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
     n, h, w = y.shape
     ch, cw = u.shape[1], u.shape[2]
     kw_chunks = _pick_w_chunks(h, w, ch, cw)
-    if not _i8_ok(h, ch, out_h, method):
-        # wide/antialiased tap sets accumulate 1/127-step quantization
-        # error beyond 2 LSB: leave the int8 path
+    # the quantization gate must look at the matrices actually used:
+    # with a crop box they are built from the crop window dims
+    gate_h, gate_ch = (crop_box[3], crop_box[3] // 2) if crop_box else (h, ch)
+    if kw_chunks == 0 or not _i8_ok(gate_h, gate_ch, out_h, method):
+        # int8 can't hold (wide antialiased taps) or the frame exceeds
+        # VMEM with no lane-aligned chunking: leave the int8 path
         if crop_box is not None:
             raise ValueError(f"{method} at this scale needs the bf16 "
                              "kernel, which has no fused crop; crop "
                              "via geometry.crop first")
-        if kw_chunks > 1:
-            # >VMEM frame AND a method int8 can't hold: the bf16 kernel
-            # has no chunked form, so take the exact XLA path
+        if kw_chunks != 1:
+            # >VMEM frame: the bf16 kernel has no chunked form, so take
+            # the exact XLA path
             from ..core.frame import FrameBatch
             from . import fused as _fused
             fb = FrameBatch({"y": y, "u": u, "v": v}, "yuv420p",

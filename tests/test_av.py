@@ -391,3 +391,25 @@ def test_decoder_crop_10bit_and_unsupported(tmp_path):
             list(dec.decode16(p.data))
         list(dec.decode16(None))
     dec.close()
+
+
+def test_decoder_resize_10bit(tmp_path):
+    """receive16 must honor fixed resize geometry (no silent re-probe)."""
+    w, h = 128, 96
+    y = (np.add.outer(np.linspace(64, 900, h), np.linspace(0, 80, w))
+         ).astype(np.uint16)
+    u = np.full((h // 2, w // 2), 400, np.uint16)
+    v = np.full((h // 2, w // 2), 620, np.uint16)
+    enc = tk.Encoder("libx265", w, h, crf=12.0, still_image=True, bits=10,
+                     opts="x265-params=log-level=0")
+    pkts = enc.encode(y, u, v, pts=0) + enc.flush()
+    extra = enc.extradata()
+    enc.close()
+    dec = tk.Decoder(tk.CODEC_HEVC, extra, resize=(64, 48))
+    frames = []
+    for p in pkts:
+        frames += list(dec.decode16(p.data))
+    frames += list(dec.decode16(None))
+    dec.close()
+    assert frames and frames[0][0].shape == (48, 64)
+    assert frames[0][0].dtype == np.uint16

@@ -255,3 +255,16 @@ def test_analyze_skippable_synthetic_dependent_slices():
                 frame(4, 0)]     # refs {3} -> poc 2 unused by next
     res3 = hevc.analyze_skippable(packets3)
     assert res3[1][1] is True    # poc 2 skippable
+
+
+def test_poc_lsb_wraparound_refs():
+    """POC-lsb arithmetic wraps mod 2^log2_max_poc_lsb (8.3.1): a frame at
+    poc 255 referenced by poc 0's set {delta -1} must not be skippable."""
+    sps_nal = make_sps(sps_id=0, log2_max_poc=8)
+    pps_nal = make_pps(pps_id=0, sps_id=0, dep=False, extra=0)
+    spsf = hevc.parse_sps_full(sps_nal)
+    pps = hevc.parse_pps(pps_nal)
+    sl = hevc.parse_slice_rps(
+        make_slice(0, spsf, poc_lsb=0, rps_idx=0, extra=0),
+        {0: spsf}, {0: pps})
+    assert 255 in sl.ref_pocs                 # (0 - 1) mod 256

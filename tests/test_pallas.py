@@ -187,3 +187,27 @@ def test_8k_extended_method_falls_back_to_xla(rng):
     out = np.asarray(fused_ladder_i8(y, u, v, 64, 64, method="lanczos3"))
     assert out.shape == (1, 3, 64, 64)
     assert np.isfinite(out).all()
+
+
+def test_unchunkable_over_vmem_falls_back(rng):
+    """Frames over the VMEM budget with no lane-aligned split must take
+    the exact XLA path, not raise."""
+    from gmat_tpu.ops.pallas_kernels import _pick_w_chunks, fused_ladder_i8
+    assert _pick_w_chunks(3240, 5760, 1620, 2880) == 0   # 2880 % 256 != 0
+    y = jnp.asarray(np.full((1, 3240, 5760), 100, np.uint8))
+    u = jnp.asarray(np.full((1, 1620, 2880), 90, np.uint8))
+    v = jnp.asarray(np.full((1, 1620, 2880), 170, np.uint8))
+    out = np.asarray(fused_ladder_i8(y, u, v, 32, 32))
+    assert out.shape == (1, 3, 32, 32) and np.isfinite(out).all()
+
+
+def test_i8_gate_uses_crop_window_dims(rng):
+    """crop + wide-tap upscale: the gate must judge the crop-window
+    matrices (which quantize fine), not the full-frame downscale."""
+    from gmat_tpu.ops.pallas_kernels import fused_ladder_i8
+    y, u, v = _data(rng, n=1, h=512, w=640)
+    # full-frame 512->224 lanczos3 would be rejected; 128->224 upscale is OK
+    out = np.asarray(fused_ladder_i8(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), 224, 224,
+        method="bilinear", crop_box=(0, 0, 128, 128), interpret=True))
+    assert out.shape == (1, 3, 224, 224)
