@@ -94,9 +94,8 @@ def list_filters():
 
 
 def main(argv=None):
-    import sys as _sys
     if argv is None:
-        argv = _sys.argv[1:]
+        argv = sys.argv[1:]
     if "-list-filters" in argv:
         list_filters()
         return 0

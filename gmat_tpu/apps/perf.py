@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -323,7 +324,7 @@ def perf_ingest(args):
                      "aggregate_fps": round(frames / wall, 1),
                      "aggregate_decode_fps": round(decode_fps, 1)})
     base = rows[0]["aggregate_decode_fps"]
-    return {"case": "ingest", "host_cores": __import__("os").cpu_count(),
+    return {"case": "ingest", "host_cores": os.cpu_count(),
             "rows": rows,
             "scaling_vs_1proc": [round(r["aggregate_decode_fps"] / base, 2)
                                  for r in rows],

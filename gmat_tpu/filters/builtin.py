@@ -333,21 +333,24 @@ class OverlayFilter:
         ow = ref["rgb"].shape[1] if "rgb" in ref else ref["y"].shape[1]
         oh = ref["rgb"].shape[0] if "rgb" in ref else ref["y"].shape[0]
         times = meta.get("times")
-        xs, ys = np.empty(nb, np.int32), np.empty(nb, np.int32)
-        for i in range(nb):
-            if not blend_on[i]:
-                xs[i], ys[i] = fb.width, fb.height     # fully clipped
-                continue
-            env = {"n": float(n_base + kept_idx[i]),
-                   "t": float(times[i]) if times is not None else 0.0,
-                   "main_w": float(fb.width), "mw": float(fb.width),
+        xs = np.full(nb, fb.width, np.int32)       # off-canvas default
+        ys = np.full(nb, fb.height, np.int32)
+        static = isinstance(self._x, float) and isinstance(self._y, float)
+        if static:
+            xs[blend_on] = int(self._x)
+            ys[blend_on] = int(self._y)
+        else:
+            env = {"main_w": float(fb.width), "mw": float(fb.width),
                    "main_h": float(fb.height), "mh": float(fb.height),
                    "overlay_w": float(ow), "ow": float(ow),
                    "overlay_h": float(oh), "oh": float(oh)}
-            xs[i] = int(self._x if isinstance(self._x, float)
-                        else self._x(env))
-            ys[i] = int(self._y if isinstance(self._y, float)
-                        else self._y(env))
+            for i in np.nonzero(blend_on)[0]:
+                env["n"] = float(n_base + kept_idx[i])
+                env["t"] = float(times[i]) if times is not None else 0.0
+                xs[i] = int(self._x if isinstance(self._x, float)
+                            else self._x(env))
+                ys[i] = int(self._y if isinstance(self._y, float)
+                            else self._y(env))
 
         xj, yj = jnp.asarray(xs), jnp.asarray(ys)
         if domain == "rgb":
@@ -570,32 +573,26 @@ class SelectFilter:
         else:
             scores = np.zeros(n)
         keep = np.zeros(n, bool)
+        env = dict(_PICT_CONSTS)         # constants built once per batch
+        env["interlace_type"] = 0.0
         for i in range(n):
             t = float(times[i]) if times is not None else 0.0
             p = float(pts[i]) if pts is not None else 0.0
             k = float(keys[i]) if keys is not None else 0.0
             if np.isnan(self.start_t):
                 self.start_t, self.start_pts = t, p
-            env = {
-                "n": float(self.n + i),
-                "t": t,
-                "pts": p,
-                "key": k,
-                "pict_type": 1.0 if k else 2.0,
-                "interlace_type": 0.0,
-                "pos": (float(pos[i]) if pos is not None and pos[i] >= 0
-                        else float("nan")),
-                "scene": float(scores[i]),
-                "start_t": self.start_t,
-                "start_pts": self.start_pts,
-                "prev_t": self.prev_t,
-                "prev_pts": self.prev_pts,
-                "selected_n": self.selected_n,
-                "prev_selected_n": self.prev_selected_n,
-                "prev_selected_t": self.prev_selected_t,
-                "prev_selected_pts": self.prev_selected_pts,
-                **_PICT_CONSTS,
-            }
+            env.update(
+                n=float(self.n + i), t=t, pts=p, key=k,
+                pict_type=1.0 if k else 2.0,
+                pos=(float(pos[i]) if pos is not None and pos[i] >= 0
+                     else float("nan")),
+                scene=float(scores[i]),
+                start_t=self.start_t, start_pts=self.start_pts,
+                prev_t=self.prev_t, prev_pts=self.prev_pts,
+                selected_n=self.selected_n,
+                prev_selected_n=self.prev_selected_n,
+                prev_selected_t=self.prev_selected_t,
+                prev_selected_pts=self.prev_selected_pts)
             keep[i] = self.expr(env) != 0
             if keep[i]:
                 self.prev_selected_n = float(self.n + i)
