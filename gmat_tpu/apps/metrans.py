@@ -257,6 +257,7 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
             getattr(rung_graphs[i], "fps_mul", 1)
         if mul != 1:
             fps = (fps[0] * mul, fps[1])
+        kw["fps"] = fps       # EncoderWorker prefers kw['fps'] when present
         workers.append(EncoderWorker(f"enc{i}", path, r.width, r.height,
                                      fps, kw, audio=audio))
         workers[-1].start()

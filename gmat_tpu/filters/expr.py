@@ -39,7 +39,27 @@ _FUNCS = {
     "mod": lambda a, b: math.fmod(a, b),
     "between": lambda x, lo, hi: 1.0 if lo <= x <= hi else 0.0,
     "isnan": lambda a: 1.0 if math.isnan(a) else 0.0,
+    # av_expr math set (animated overlay positions etc.)
+    "sin": math.sin,
+    "cos": math.cos,
+    "tan": math.tan,
+    "atan": math.atan,
+    "atan2": math.atan2,
+    "asin": math.asin,
+    "acos": math.acos,
+    "exp": math.exp,
+    "log": lambda a: math.log(a) if a > 0 else float("-inf"),
+    "sqrt": lambda a: math.sqrt(a) if a >= 0 else float("nan"),
+    "pow": math.pow,
+    "trunc": math.trunc,
+    "sgn": lambda a: (a > 0) - (a < 0),
+    "clip": lambda x, lo, hi: min(max(x, lo), hi),
+    "hypot": math.hypot,
+    "gauss": lambda x: math.exp(-x * x / 2.0) / math.sqrt(2.0 * math.pi),
 }
+
+# av_expr named constants (eval-time fallback: env vars shadow them)
+_CONSTS = {"PI": math.pi, "E": math.e, "PHI": (1.0 + math.sqrt(5.0)) / 2.0}
 
 
 class Expr:
@@ -125,7 +145,8 @@ class Expr:
                 f = _FUNCS[val]
                 return lambda env, f=f, args=args: float(f(*[a(env) for a in args]))
             name = val
-            return lambda env, n=name: float(env[n])
+            return lambda env, n=name: float(
+                env[n] if n in env else _CONSTS[n])
         if kind == "sym" and val == "(":
             node = self._parse_add()
             self._expect(")")

@@ -244,3 +244,20 @@ def test_cli_list_filters(capsys):
     assert main(["-list-filters"]) == 0
     out = capsys.readouterr().out
     assert "yadif" in out and "overlay" in out and "positional" in out
+
+
+def test_metrans_yadif_rung(clip, tmp_path):
+    """A rung running yadif=1 (send_field) muxes at 2x fps and emits ~2x
+    frames (incl. the EOF flush)."""
+    from gmat_tpu.apps.metrans import Options, Rung, run_session
+    opts = Options(input_file=clip, rungs=[
+        Rung(160, 120, filter_desc="yadif=1",
+             out_file=str(tmp_path / "yd_#.mp4")),
+    ], video_enc_param="codec=h264:preset=p1:constqp=25")
+    res = run_session(0, opts, batch=16)
+    assert res["frames_in"] == NFRAMES
+    frames = decode_all(str(tmp_path / "yd_0.mp4"))
+    assert len(frames) == 2 * NFRAMES
+    dm = tk.Demuxer(str(tmp_path / "yd_0.mp4"))
+    assert abs(dm.fps - 60.0) < 0.5          # doubled from 30
+    dm.close()

@@ -292,3 +292,25 @@ def test_scale_aspect_preserving(rng):
     assert out.height == 32 and out.width % 2 == 0
     with pytest.raises(FilterError):
         FilterGraph("scale=-1:-1")
+
+
+def test_expr_math_functions():
+    """av_expr math set: sin/cos/pow/sqrt/clip/... + PI/E constants."""
+    import math
+    e = compile_expr("sin(PI/2)+cos(0)")
+    assert abs(e({}) - 2.0) < 1e-9
+    e = compile_expr("pow(2,10)+sqrt(16)")
+    assert e({}) == 1028.0
+    e = compile_expr("clip(n,0,10)")
+    assert e({"n": 42}) == 10.0 and e({"n": -3}) == 0.0
+    e = compile_expr("sgn(-5)+trunc(3.9)")
+    assert e({}) == 2.0
+    # env vars shadow constants; unknown names still KeyError
+    e = compile_expr("PI")
+    assert e({"PI": 3.0}) == 3.0
+    with pytest.raises(KeyError):
+        compile_expr("NOPE")({})
+    # the reference-doc style animated position works
+    e = compile_expr("mw/2+mw/4*sin(n/10*PI)")
+    v = e({"mw": 1920.0, "n": 5.0})
+    assert 960 < v <= 1440
