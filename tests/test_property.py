@@ -65,3 +65,49 @@ def test_csc_roundtrip_identity_bound(w, h):
     back = csc.rgb_to_yuv(csc.yuv_to_rgb(fb, "rgb24"), "yuv420p")
     assert abs(int(np.asarray(back.planes["y"])[0, 0, 0]) - 120) <= 1
     assert abs(int(np.asarray(back.planes["u"])[0, 0, 0]) - 100) <= 2
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(8, 24), st.integers(128, 256), st.integers(0, 1),
+       st.integers(0, 1), st.integers(0, 2**31 - 1))
+def test_yadif_preserves_primary_field(h2, w, parity, tff, seed):
+    """yadif never modifies lines of the primary field (y%2 == parity)."""
+    import jax.numpy as jnp
+    from gmat_tpu.ops.yadif import yadif_plane
+    h = h2 * 2
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, (3, 1, h, w)).astype(np.uint8)
+    out = np.asarray(yadif_plane(jnp.asarray(frames[0]),
+                                 jnp.asarray(frames[1]),
+                                 jnp.asarray(frames[2]), parity, tff))
+    np.testing.assert_array_equal(out[0, parity::2, :],
+                                  frames[1][0, parity::2, :])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(-16, 40), st.integers(-16, 40), st.integers(0, 2**31 - 1))
+def test_overlay_untouched_outside_region(x, y, seed):
+    """Pixels outside the (clipped) overlay rect are bit-identical."""
+    import jax.numpy as jnp
+    from gmat_tpu.ops.overlay import overlay_yuv420
+    rng = np.random.default_rng(seed)
+    H, W, oh, ow = 32, 48, 8, 12
+    main = {"y": rng.integers(0, 256, (1, H, W)).astype(np.uint8),
+            "u": rng.integers(0, 256, (1, H // 2, W // 2)).astype(np.uint8),
+            "v": rng.integers(0, 256, (1, H // 2, W // 2)).astype(np.uint8)}
+    over = {"y": rng.integers(0, 256, (1, oh, ow)).astype(np.uint8),
+            "u": rng.integers(0, 256, (1, oh // 2, ow // 2)).astype(np.uint8),
+            "v": rng.integers(0, 256, (1, oh // 2, ow // 2)).astype(np.uint8)}
+    got = overlay_yuv420({k: jnp.asarray(v) for k, v in main.items()},
+                         {k: jnp.asarray(v) for k, v in over.items()},
+                         None, jnp.asarray([x]), jnp.asarray([y]))
+    xe = x & ~1
+    mask = np.ones((H, W), bool)
+    mask[max(y, 0):y + oh, max(xe, 0):xe + ow] = False
+    np.testing.assert_array_equal(np.asarray(got["y"])[0][mask],
+                                  main["y"][0][mask])
+    cmask = np.ones((H // 2, W // 2), bool)
+    cmask[max(y // 2, 0):y // 2 + oh // 2,
+          max(xe // 2, 0):xe // 2 + ow // 2] = False
+    np.testing.assert_array_equal(np.asarray(got["u"])[0][cmask],
+                                  main["u"][0][cmask])
