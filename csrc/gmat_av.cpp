@@ -317,7 +317,16 @@ struct GavDecoder {
     AVPixelFormat sws_fmt = AV_PIX_FMT_NONE;
     AVPixelFormat sws_out = AV_PIX_FMT_NONE;  // 8- vs 10-bit receive paths
     int crop_x = 0, crop_y = 0, crop_w = 0, crop_h = 0;  // 0 = no crop
+    int last_interlaced = 0, last_tff = 0;    // props of the last frame
 };
+
+// Interlace props of the most recently received frame (AVFrame
+// interlaced_frame/top_field_first) — drives yadif's deint/auto-parity.
+GAV_API void gav_dec_last_frame_info(void* h, int* interlaced, int* tff) {
+    auto* d = (GavDecoder*)h;
+    *interlaced = d->last_interlaced;
+    *tff = d->last_tff;
+}
 
 // Decoder-side crop window (NvDecLite pCropRect analog, NvDecLite.h:46,
 // 107-108).  Applied before the receive-side scale; resize comes from the
@@ -430,6 +439,8 @@ GAV_API int gav_dec_receive(void* h, unsigned char* y, unsigned char* u,
     if (r < 0) { set_err("receive_frame", r); return -1; }
     AVFrame* f = d->frame;
     *pts = f->pts != AV_NOPTS_VALUE ? f->pts : f->best_effort_timestamp;
+    d->last_interlaced = f->interlaced_frame ? 1 : 0;
+    d->last_tff = f->top_field_first ? 1 : 0;
     AVPixelFormat pf = (AVPixelFormat)f->format;
     // optional decoder-side crop: offset the source plane pointers
     // (pCropRect analog); src dims become the crop window
@@ -1035,6 +1046,8 @@ GAV_API int gav_dec_receive16(void* h, unsigned short* y, unsigned short* u,
     if (r < 0) { set_err("receive_frame", r); return -1; }
     AVFrame* f = d->frame;
     *pts = f->pts != AV_NOPTS_VALUE ? f->pts : f->best_effort_timestamp;
+    d->last_interlaced = f->interlaced_frame ? 1 : 0;
+    d->last_tff = f->top_field_first ? 1 : 0;
     AVPixelFormat pf = (AVPixelFormat)f->format;
     const uint8_t* src[4] = {f->data[0], f->data[1], f->data[2], f->data[3]};
     int src_w = f->width, src_h = f->height;

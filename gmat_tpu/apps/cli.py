@@ -269,10 +269,12 @@ def main(argv=None):
                         resize=dec_resize, crop=dec_crop)
     for fb, pts, valid in src:
         times = pts * tb_sec
-        out_fb, keep = graph.process(fb, pts=pts, times=times,
-                                     keys=getattr(src, "last_keys", None),
-                                     pos=getattr(src, "last_pos", None),
-                                     valid=valid)
+        out_fb, keep = graph.process(
+            fb, pts=pts, times=times,
+            keys=getattr(src, "last_keys", None),
+            pos=getattr(src, "last_pos", None),
+            interlaced=getattr(src, "last_interlaced", None),
+            valid=valid)
         if args.t > 0 and graph.out_times is not None:
             keep = keep & (graph.out_times < (args.ss + args.t))
         keep_idx = np.nonzero(keep)[0]

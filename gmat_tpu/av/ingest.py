@@ -36,12 +36,13 @@ class FrameBatchSource:
         self.colorspace = colorspace
 
     def __iter__(self):
-        ys, us, vs, pts, keys, poss = [], [], [], [], [], []
+        ys, us, vs, pts, keys, poss, ilace = [], [], [], [], [], [], []
         self.dropped_resize = 0
         for item in self.it:
             y, u, v, p = item[:4]
             k = bool(item[4]) if len(item) > 4 else False
             po = int(item[5]) if len(item) > 5 else -1
+            il = int(item[6]) if len(item) > 6 else 0
             if ys and y.shape != ys[0].shape:
                 # mid-stream resolution change: static batch shapes can't
                 # mix sizes — drop and count (NvDecLite recreates its pool
@@ -49,21 +50,24 @@ class FrameBatchSource:
                 self.dropped_resize += 1
                 continue
             ys.append(y); us.append(u); vs.append(v); pts.append(p)
-            keys.append(k); poss.append(po)
+            keys.append(k); poss.append(po); ilace.append(il)
             if len(ys) == self.batch:
-                yield self._pack(ys, us, vs, pts, keys, poss, self.batch)
-                ys, us, vs, pts, keys, poss = [], [], [], [], [], []
+                yield self._pack(ys, us, vs, pts, keys, poss, ilace,
+                                 self.batch)
+                ys, us, vs, pts, keys, poss, ilace =                     [], [], [], [], [], [], []
         if ys:
             n = len(ys)
             while len(ys) < self.batch:   # pad to static shape
                 ys.append(ys[-1]); us.append(us[-1]); vs.append(vs[-1])
                 pts.append(pts[-1]); keys.append(False); poss.append(-1)
-            yield self._pack(ys, us, vs, pts, keys, poss, n)
+                ilace.append(0)
+            yield self._pack(ys, us, vs, pts, keys, poss, ilace, n)
 
-    def _pack(self, ys, us, vs, pts, keys, poss, valid):
+    def _pack(self, ys, us, vs, pts, keys, poss, ilace, valid):
         return (np.stack(ys), np.stack(us), np.stack(vs),
                 np.asarray(pts, np.int64), np.asarray(keys, bool),
-                np.asarray(poss, np.int64), valid)
+                np.asarray(poss, np.int64), np.asarray(ilace, np.int8),
+                valid)
 
 
 class PrefetchQueue:
@@ -93,7 +97,7 @@ class PrefetchQueue:
 
     def _run(self, batch_iter):
         try:
-            for (y, u, v, pts, keys, poss, valid) in batch_iter:
+            for (y, u, v, pts, keys, poss, ilace, valid) in batch_iter:
                 if self._stop.is_set():
                     break
                 if self.to_device:
@@ -104,8 +108,8 @@ class PrefetchQueue:
                 # consumer (e.g. CLI -frames early exit) can't strand us
                 while not self._stop.is_set():
                     try:
-                        self.q.put((y, u, v, pts, keys, poss, valid),
-                                   timeout=0.1)
+                        self.q.put((y, u, v, pts, keys, poss, ilace,
+                                    valid), timeout=0.1)
                         break
                     except queue.Full:
                         continue
@@ -139,7 +143,7 @@ class PrefetchQueue:
                 if self.error:
                     raise self.error
                 return
-            y, u, v, pts, keys, poss, valid = item
+            y, u, v, pts, keys, poss, ilace, valid = item
             h = self.height or y.shape[1]
             w = self.width or y.shape[2]
             fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
@@ -147,6 +151,7 @@ class PrefetchQueue:
                             self.colorspace)
             self.last_keys = keys
             self.last_pos = poss
+            self.last_interlaced = ilace
             yield fb, pts, valid
 
 
@@ -233,11 +238,16 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
                 for (y, u, v, p) in dec.decode(pkt.data, pkt.pts):
                     is_key = p in key_pts
                     key_pts.discard(p)
-                    yield y, u, v, p, is_key, pos_by_pts.pop(p, -1)
+                    # interlaced flag: bit 0; tff: bit 1 (AVFrame props)
+                    il = (int(getattr(dec, "last_interlaced", 0)) |
+                          (int(getattr(dec, "last_tff", 0)) << 1))
+                    yield y, u, v, p, is_key, pos_by_pts.pop(p, -1), il
             for (y, u, v, p) in dec.decode(None):
                 is_key = p in key_pts
                 key_pts.discard(p)
-                yield y, u, v, p, is_key, pos_by_pts.pop(p, -1)
+                il = (int(getattr(dec, "last_interlaced", 0)) |
+                      (int(getattr(dec, "last_tff", 0)) << 1))
+                yield y, u, v, p, is_key, pos_by_pts.pop(p, -1), il
         finally:
             dm.close(); dec.close()
 

@@ -68,6 +68,7 @@ def _declare(name: str, lib: ctypes.CDLL):
             "gav_dec_set_crop": (None, [ctypes.c_void_p, ctypes.c_int,
                                         ctypes.c_int, ctypes.c_int,
                                         ctypes.c_int]),
+            "gav_dec_last_frame_info": (None, [ctypes.c_void_p, c_pi, c_pi]),
             "gav_demux_close": (None, [ctypes.c_void_p]),
             "gav_demux_width": (ctypes.c_int, [ctypes.c_void_p]),
             "gav_demux_height": (ctypes.c_int, [ctypes.c_void_p]),

@@ -187,6 +187,11 @@ class Decoder:
             raise StopIteration
         if r < 0:
             raise IOError(f"dec receive: {native.last_error()}")
+        il, tf = ctypes.c_int(), ctypes.c_int()
+        self._lib.gav_dec_last_frame_info(self._h, ctypes.byref(il),
+                                          ctypes.byref(tf))
+        self.last_interlaced = bool(il.value)
+        self.last_tff = bool(tf.value)
         return y, u, v, pts.value
 
     def decode(self, data: Optional[bytes], pts: int = -1):

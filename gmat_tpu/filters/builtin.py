@@ -405,11 +405,16 @@ class YadifFilter:
 
     Options mirror ff_yadif_options (yadif_common.c:199+):
       mode:   0 send_frame, 1 send_field (2x fps), 2/3 = nospatial variants
-      parity: 0 assume tff, 1 assume bff, -1 auto (no per-frame interlace
-              props in FrameBatch, so auto = tff like the reference's
-              non-interlaced default, yadif_common.c:34-36)
-      deint:  accepted for compatibility; FrameBatch carries no per-frame
-              interlaced flag, so all frames are deinterlaced (deint=0)
+      parity: 0 assume tff, 1 assume bff, -1 auto — when the ingest
+              pipeline provides per-frame interlace props (the
+              'interlaced' metadata track, bit0=interlaced bit1=tff from
+              AVFrame), auto locks onto the first interlaced frame's
+              field order; otherwise tff, like the reference's
+              non-interlaced default (yadif_common.c:34-36)
+      deint:  0 deinterlace all frames (default); 1 only frames flagged
+              interlaced — progressive frames pass through unchanged
+              (honored in send_frame mode; send_field always processes,
+              since passthrough would change the output frame count)
 
     Temporal state: carries the last two frames across batches; outputs lag
     one frame behind input (the reference's prev/cur/next shift register,
@@ -428,6 +433,7 @@ class YadifFilter:
         self.skip_spatial = bool(self.mode & 2)
         self.fps_mul = 2 if self.send_field else 1
         p = int(parity)
+        self._auto_parity = p == -1
         self.tff = 1 if p == -1 else (p ^ 1)
         self._hist = None        # plane dict, last 2 frames (device arrays)
         self._hist_meta = {}     # pts/times/keys/keep tails (np arrays)
@@ -436,6 +442,17 @@ class YadifFilter:
         from ..ops.yadif import deint_batch
         out_planes = deint_batch(ext, self.tff, self.skip_spatial,
                                  self.send_field)
+        ilace = ext_meta.get("interlaced")
+        if (self.deint and not self.send_field and ilace is not None):
+            # deint=1: progressive frames pass through untouched
+            prog = (np.asarray(ilace[1:1 + count]) & 1) == 0
+            if prog.any():
+                sel = jnp.asarray(prog)
+                cur = {k: v[1:1 + count] for k, v in ext.items()}
+                out_planes = {
+                    k: jnp.where(sel.reshape((-1,) + (1,) * (v.ndim - 1)),
+                                 cur[k], v)
+                    for k, v in out_planes.items()}
         ofb = fb.with_planes(out_planes)
         meta = _meta_take(ext_meta, slice(1, 1 + count))
         if self.send_field:
@@ -476,6 +493,15 @@ class YadifFilter:
             meta = _meta_take(meta, slice(0, v))
         if v == 0:
             return _empty_like(fb), meta
+        if self._auto_parity:
+            # parity=-1: lock field order onto the first interlaced frame
+            ilace = meta.get("interlaced")
+            if ilace is not None:
+                flags = np.asarray(ilace)
+                hit = np.nonzero(flags & 1)[0]
+                if len(hit):
+                    self.tff = int((flags[hit[0]] >> 1) & 1)
+                    self._auto_parity = False
         self._last_fb = fb     # format/dims shell for flush()
         if self._hist is None:
             # stream start: prev of the first frame is the frame itself

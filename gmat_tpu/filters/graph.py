@@ -197,7 +197,8 @@ class FilterGraph:
                 keys: Optional[np.ndarray] = None,
                 valid: Optional[int] = None,
                 keep: Optional[np.ndarray] = None,
-                pos: Optional[np.ndarray] = None):
+                pos: Optional[np.ndarray] = None,
+                interlaced: Optional[np.ndarray] = None):
         """Run the chain on one batch.
 
         Returns (FrameBatch, keep_mask); keep_mask matches the returned
@@ -212,7 +213,7 @@ class FilterGraph:
         if valid is not None:
             padmask[valid:] = True
         meta = {"pts": pts, "times": times, "keys": keys, "pos": pos,
-                "keep": k, "pad": padmask}
+                "interlaced": interlaced, "keep": k, "pad": padmask}
         fb, meta = self._run_segments(fb, meta)
         self.out_pts = meta.get("pts")
         self.out_times = meta.get("times")

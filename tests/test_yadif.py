@@ -256,3 +256,28 @@ def test_yadif_select_dropped_frames_stay_in_context(rng):
     assert len(a) == len(b) == 6
     for x, y_ in zip(a, b):
         np.testing.assert_array_equal(x, y_)
+
+
+def test_yadif_deint_and_auto_parity(rng):
+    """deint=1 passes progressive frames through; parity=-1 locks onto the
+    first interlaced frame's field order (per-frame AVFrame props flow via
+    the 'interlaced' metadata track)."""
+    n = 5
+    ys, us, vs = yuv_frames(rng, n)
+    fb = from_numpy_yuv420(np.stack(ys), np.stack(us), np.stack(vs))
+    pts = np.arange(n, dtype=np.int64)
+    # frames 0,2,4 interlaced (bff: bit0=1, bit1=0); 1,3 progressive
+    ilace = np.array([1, 0, 1, 0, 1], np.int8)
+
+    g = FilterGraph("yadif=0:-1:1")         # mode 0, auto parity, deint 1
+    out, keep = g.process(fb, pts=pts, interlaced=ilace)
+    oy = np.asarray(out.planes["y"])
+    assert out.batch == n - 1
+    # auto parity locked to bff (tff=0) => kernel parity = tff^1 = 1
+    want0 = oracle.yadif_frame(ys[0], ys[0], ys[1], parity=1, tff=0)
+    np.testing.assert_array_equal(oy[0], want0)
+    # frame 1 is progressive: passed through untouched
+    np.testing.assert_array_equal(oy[1], ys[1])
+    # frame 2 interlaced: deinterlaced
+    want2 = oracle.yadif_frame(ys[1], ys[2], ys[3], parity=1, tff=0)
+    np.testing.assert_array_equal(oy[2], want2)
