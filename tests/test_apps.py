@@ -261,3 +261,24 @@ def test_metrans_yadif_rung(clip, tmp_path):
     dm = tk.Demuxer(str(tmp_path / "yd_0.mp4"))
     assert abs(dm.fps - 60.0) < 0.5          # doubled from 30
     dm.close()
+
+
+def test_perf_sustained_smoke(capsys):
+    """perf sustained runs on CPU and reports the overlap fields."""
+    import json as _json
+    from gmat_tpu.apps.perf import main
+    assert main(["sustained", "-width", "320", "-height", "240"]) == 0
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for k in ("h2d_ms_per_batch", "ladder_ms_per_batch",
+              "pipelined_ms_per_batch", "overlap_efficiency",
+              "sustained_fps"):
+        assert k in rec
+
+
+def test_perf_ingest_smoke(clip, capsys):
+    import json as _json
+    from gmat_tpu.apps.perf import main
+    assert main(["ingest", "-i", clip, "-procs", "2"]) == 0
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["rows"][0]["frames"] > 0
+    assert len(rec["rows"]) == 2 and rec["scaling_vs_1proc"][0] == 1.0
