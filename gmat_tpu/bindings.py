@@ -20,11 +20,15 @@ import numpy as np
 class FrameExtractor:
     """python/frame_extractor.py analog (C ABI CFrameExtractor.cpp:6-51).
 
-    `src` may be a path or an in-memory container (bytes) — the
-    FrameExtractor_InitFromBuffer analog."""
+    Drop-in signatures: positional `src` OR the reference's
+    `FrameExtractor(file_path=...)` / `FrameExtractor(buffer=...)`
+    keywords (FrameExtractor_InitFromFile / _InitFromBuffer)."""
 
-    def __init__(self, src, gpu: int = 0):
+    def __init__(self, src=None, gpu: int = 0, file_path=None, buffer=None):
         from .av.extractor import FrameExtractor as _FX
+        src = src if src is not None else (file_path or buffer)
+        if src is None:
+            raise ValueError("file_path or buffer is needed")
         self._fx = _FX(src)
         self._it = None
         self.width, self.height = self._fx.width, self._fx.height
@@ -36,6 +40,17 @@ class FrameExtractor:
     def set_time_interval(self, seconds: float):
         self._fx.set_interval(seconds=seconds)
         self._it = None
+
+    # reference getter verbs (frame_extractor.py:41-46)
+    def get_width(self) -> int:
+        return self.width
+
+    def get_height(self) -> int:
+        return self.height
+
+    def get_frame_size(self) -> int:
+        """Bytes of one I420/NV12 frame (FrameExtractor.h:207-209)."""
+        return self.width * self.height * 3 // 2
 
     def _iter(self):
         if self._it is None:
@@ -135,6 +150,88 @@ class HeifFormat:
     def decode(self, data):
         from .av import heif
         return heif.decode_still(data)
+
+
+class NvEncLite:
+    """Reference heif_format.py NvEncLite (still HEVC encoder behind the
+    HEIF writer, CHeif.cpp:31-43).  encode() takes I420 planes and
+    returns the HEVC still packet bytes the writer consumes."""
+
+    def __init__(self, width: int, height: int,
+                 init_param: str = "-codec hevc -preset p1 -bitrate 4M"):
+        if width == 0 or height == 0:
+            raise ValueError("width and height cannot be 0")
+        from .av import toolkit as tk
+        self.w, self.h = width, height
+        self._enc = tk.Encoder("libx265", width, height, still_image=True,
+                               crf=20.0, opts="x265-params=log-level=0")
+
+    def encode_frame(self, y, u, v) -> bytes:
+        pkts = self._enc.encode(y, u, v, pts=0) + self._enc.flush()
+        return self._enc.extradata() + b"".join(p.data for p in pkts)
+
+    # the reference's device-frame verb: NV12 wire format in
+    def encode_device_frame(self, nv12, vpkt=None) -> bytes:
+        arr = np.asarray(nv12, np.uint8).reshape(self.h * 3 // 2, self.w)
+        y = arr[:self.h]
+        uv = arr[self.h:].reshape(self.h // 2, self.w // 2, 2)
+        return self.encode_frame(y, np.ascontiguousarray(uv[..., 0]),
+                                 np.ascontiguousarray(uv[..., 1]))
+
+    def close(self):
+        self._enc.close()
+
+
+class NvDecLite:
+    """Reference heif_format.py NvDecLite: still HEVC decode
+    (CHeif.cpp:117-130)."""
+
+    def __init__(self):
+        self._dec = None
+
+    def decode_still(self, pkt_data, pkt_size=None):
+        from .av import toolkit as tk
+        data = bytes(pkt_data[:pkt_size] if pkt_size else pkt_data)
+        dec = tk.Decoder(tk.CODEC_HEVC)
+        frames = list(dec.decode(data)) + list(dec.decode(None))
+        dec.close()
+        if not frames:
+            return None
+        y, u, v, _ = frames[0]
+        return y, u, v
+
+    def close(self):
+        pass
+
+
+class NvHeifWriter:
+    """Reference heif_format.py NvHeifWriter: HEVC still packet -> HEIF
+    container bytes (NvHeifWriter.cpp writeStillImage)."""
+
+    def write_stillimage(self, pkt: bytes):
+        from .av import heif
+        wtr = heif.HeifWriter()
+        wtr.add_image(bytes(pkt))
+        blob = wtr.tobytes()
+        img_np = np.frombuffer(blob, np.uint8).copy()
+        return img_np, len(blob)
+
+
+class NvHeifReader:
+    """Reference heif_format.py NvHeifReader: HEIF bytes -> HEVC still
+    packet (NvHeifReader.cpp readImage)."""
+
+    def __init__(self, img, size=None):
+        if img is None:
+            raise ValueError("input buffer cannot be empty")
+        data = np.asarray(img, np.uint8).tobytes()
+        self._blob = data[:size] if size else data
+
+    def read_image(self):
+        from .av import heif
+        rdr = heif.HeifReader(self._blob)
+        pkt = rdr.read_image().to_annexb()
+        return pkt, len(pkt)
 
 
 class Swscale:

@@ -282,3 +282,36 @@ def test_perf_ingest_smoke(clip, capsys):
     rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["rows"][0]["frames"] > 0
     assert len(rec["rows"]) == 2 and rec["scaling_vs_1proc"][0] == 1.0
+
+
+def test_bindings_reference_surface(clip, tmp_path):
+    """Drop-in parity with the reference python bindings' class/verb
+    surface (metrans/python/frame_extractor.py + heif_format.py)."""
+    import numpy as np
+    from gmat_tpu.bindings import (FrameExtractor, NvEncLite, NvDecLite,
+                                   NvHeifWriter, NvHeifReader)
+    # FrameExtractor(file_path=/buffer=) + getter verbs
+    fx = FrameExtractor(file_path=clip)
+    assert fx.get_width() == 320 and fx.get_height() == 240
+    assert fx.get_frame_size() == 320 * 240 * 3 // 2
+    fx.close()
+    blob = open(clip, "rb").read()
+    fx = FrameExtractor(buffer=blob)
+    fx.set_frame_interval(30)
+    assert fx.extract() is not None
+    fx.close()
+    # NvEncLite -> NvHeifWriter -> NvHeifReader -> NvDecLite loop
+    w, h = 128, 96
+    y = np.full((h, w), 140, np.uint8)
+    u = np.full((h // 2, w // 2), 100, np.uint8)
+    v = np.full((h // 2, w // 2), 160, np.uint8)
+    enc = NvEncLite(w, h)
+    pkt = enc.encode_frame(y, u, v)
+    enc.close()
+    img_np, size = NvHeifWriter().write_stillimage(pkt)
+    assert size > 0 and img_np.nbytes == size
+    pkt2, n = NvHeifReader(img_np, size).read_image()
+    assert n > 0
+    yd, ud, vd = NvDecLite().decode_still(pkt2)
+    assert yd.shape == (h, w)
+    assert abs(float(yd.mean()) - 140) < 3
