@@ -64,18 +64,22 @@ class FrameExtractor:
         except StopIteration:
             return None
 
-    def extract_to_buffer(self) -> Optional[np.ndarray]:
+    def extract_to_buffer(self, out=None, stream=0) -> Optional[np.ndarray]:
         """-> contiguous I420 bytes as (H*3/2, W) numpy, like the
-        reference's host-buffer path."""
+        reference's host-buffer path.  Pass `out` (any writable buffer of
+        get_frame_size() bytes, e.g. a torch tensor's numpy view) to fill
+        in place like the reference's pointer-filling verb."""
         f = self.extract()
         if f is None:
             return None
         y, u, v, _ = f
         h, w = y.shape
-        out = np.empty((h * 3 // 2, w), np.uint8)
-        out[:h] = y
+        if out is None:
+            out = np.empty((h * 3 // 2, w), np.uint8)
+        tgt = np.asarray(out).reshape(h * 3 // 2, w)
+        tgt[:h] = y
         # chroma planes are contiguous after Y in I420 (h/2 rows of w total)
-        out[h:] = np.concatenate([u.ravel(), v.ravel()]).reshape(h // 2, w)
+        tgt[h:] = np.concatenate([u.ravel(), v.ravel()]).reshape(h // 2, w)
         return out
 
     def extract_to_device_buffer(self, size=None, bgr: bool = True):
@@ -252,3 +256,7 @@ class Swscale:
                          self.colorspace)
         out = csc.yuv_to_rgb(fb, "rgbpf32", norm=norm)
         return csc.to_nchw(out)[0]
+
+
+# reference demo scripts import the CUDA-suffixed name (swscale.py:12)
+SwscaleCuda = Swscale
