@@ -68,6 +68,13 @@ class InferFilter:
             self.apply = pose.apply
             self.scale = 1
             self.kind = "vector"
+        elif model == "classify":
+            from ..models import classify
+            params = classify.init_params(jax.random.PRNGKey(0))
+            self.params = _load_weights(params, weights)
+            self.apply = classify.apply
+            self.scale = 1
+            self.kind = "vector"
         elif ":" in model:
             mod, fn = model.split(":", 1)
             m = importlib.import_module(mod)
@@ -77,7 +84,8 @@ class InferFilter:
             self.kind = "image"
         else:
             raise ValueError(f"unknown infer model {model!r} "
-                             "(sr2x|sr3x|denoise|pose|module:function)")
+                             "(sr2x|sr3x|denoise|pose|classify|"
+                             "module:function)")
 
     def _run(self, x):
         if self.params is None:

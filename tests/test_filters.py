@@ -314,3 +314,19 @@ def test_expr_math_functions():
     e = compile_expr("mw/2+mw/4*sin(n/10*PI)")
     v = e({"mw": 1920.0, "n": 5.0})
     assert 960 < v <= 1440
+
+
+def test_infer_classify(rng):
+    """classify model: the canonical ladder->model content-tagging chain
+    (224x224 NCHW in, logits out, frames pass through)."""
+    fb = yuv_batch(rng, n=2, h=224, w=224)
+    g = FilterGraph("scale=224:224,format=rgbpf32le,infer=classify")
+    out, keep = g.process(fb)
+    assert keep.all()
+    filt = [s for k, s in g.segments if k == "pure"]
+    # logits live on the filter instance (vector model, like pose)
+    from gmat_tpu.filters.builtin import FILTERS
+    inst = FILTERS["infer"](model="classify")
+    x = inst(g.process(fb)[0])          # passthrough
+    assert inst.last_output.shape == (2, 1000)
+    assert np.isfinite(np.asarray(inst.last_output)).all()
