@@ -180,6 +180,12 @@ GAV_API int gav_demux_codec(void* h) {
         default: return 99;
     }
 }
+GAV_API int gav_demux_codec_id(void* h) {
+    // raw AVCodecID for codecs beyond the h264/hevc/mjpeg enum — the
+    // NvDecLite codec-map analog (NvDecLite.h:112-126 supports mpeg1/2/4,
+    // vc1, vp8/9, av1...; libavcodec decodes all of them in software)
+    return (int)((GavDemuxer*)h)->fmt->streams[((GavDemuxer*)h)->vstream]->codecpar->codec_id;
+}
 GAV_API double gav_demux_fps(void* h) {
     auto* d = (GavDemuxer*)h;
     AVRational r = d->fmt->streams[d->vstream]->avg_frame_rate;
@@ -377,13 +383,28 @@ static int dec_apply_crop(GavDecoder* d, const AVFrame* f,
     return 0;
 }
 
+static void* dec_create_avid(AVCodecID id, const unsigned char* extradata,
+                             int extradata_size, int threads);
+
 GAV_API void* gav_dec_create(int codec, const unsigned char* extradata,
                              int extradata_size, int threads) {
     AVCodecID id = codec == 0 ? AV_CODEC_ID_H264 :
                    codec == 1 ? AV_CODEC_ID_HEVC :
                    codec == 2 ? AV_CODEC_ID_MJPEG : AV_CODEC_ID_NONE;
+    return dec_create_avid(id, extradata, extradata_size, threads);
+}
+
+// create a decoder for ANY libavcodec id (vp8/vp9/av1/mpeg2/prores/png...)
+GAV_API void* gav_dec_create_id(int codec_id, const unsigned char* extradata,
+                                int extradata_size, int threads) {
+    return dec_create_avid((AVCodecID)codec_id, extradata, extradata_size,
+                           threads);
+}
+
+static void* dec_create_avid(AVCodecID id, const unsigned char* extradata,
+                             int extradata_size, int threads) {
     const AVCodec* c = avcodec_find_decoder(id);
-    if (!c) { snprintf(g_err, sizeof g_err, "no decoder for codec %d", codec); return nullptr; }
+    if (!c) { snprintf(g_err, sizeof g_err, "no decoder for codec id %d", (int)id); return nullptr; }
     auto* dec = new GavDecoder();
     dec->ctx = avcodec_alloc_context3(c);
     dec->ctx->thread_count = threads > 0 ? threads : 1;
@@ -479,6 +500,61 @@ GAV_API int gav_dec_receive(void* h, unsigned char* y, unsigned char* u,
     }
     av_frame_unref(f);
     return 1;
+}
+
+// Like gav_dec_receive but also emits a full-resolution alpha plane
+// (YUVA420P target).  Sources without alpha get a=255 (opaque).  Unlocks
+// alpha-carrying codecs (png/qtrle/prores4444/vp9-alpha) for the overlay
+// second-input lane.
+GAV_API int gav_dec_receive_a(void* h, unsigned char* y, unsigned char* u,
+                              unsigned char* v, unsigned char* a,
+                              int w, int hgt, long long* pts) {
+    auto* d = (GavDecoder*)h;
+    int r = avcodec_receive_frame(d->ctx, d->frame);
+    if (r == AVERROR(EAGAIN)) return 0;
+    if (r == AVERROR_EOF) return -2;
+    if (r < 0) { set_err("receive_frame", r); return -1; }
+    AVFrame* f = d->frame;
+    *pts = f->pts != AV_NOPTS_VALUE ? f->pts : f->best_effort_timestamp;
+    d->last_interlaced = f->interlaced_frame ? 1 : 0;
+    d->last_tff = f->top_field_first ? 1 : 0;
+    AVPixelFormat pf = (AVPixelFormat)f->format;
+    const uint8_t* src[4] = {f->data[0], f->data[1], f->data[2], f->data[3]};
+    int src_w = f->width, src_h = f->height;
+    if (dec_apply_crop(d, f, src, &src_w, &src_h) < 0) {
+        av_frame_unref(f);
+        return -1;
+    }
+    if (!d->sws || d->sws_w != src_w || d->sws_h != src_h ||
+        d->sws_fmt != pf || d->sws_out != AV_PIX_FMT_YUVA420P) {
+        if (d->sws) sws_freeContext(d->sws);
+        d->sws = sws_getContext(src_w, src_h, pf, w, hgt,
+                                AV_PIX_FMT_YUVA420P, SWS_BILINEAR,
+                                nullptr, nullptr, nullptr);
+        d->sws_w = src_w; d->sws_h = src_h; d->sws_fmt = pf;
+        d->sws_out = AV_PIX_FMT_YUVA420P;
+    }
+    if (!d->sws) {
+        snprintf(g_err, sizeof g_err, "no alpha conversion from pixel "
+                 "format %d", (int)pf);
+        av_frame_unref(f);
+        return -1;
+    }
+    uint8_t* dst[4] = {y, u, v, a};
+    int dstride[4] = {w, w / 2, w / 2, w};
+    sws_scale(d->sws, src, f->linesize, 0, src_h, dst, dstride);
+    av_frame_unref(f);
+    return 1;
+}
+
+// 1 if the decoder's current pixel format carries an alpha component.
+GAV_API int gav_dec_has_alpha(void* h) {
+    auto* d = (GavDecoder*)h;
+    const AVPixFmtDescriptor* desc =
+        av_pix_fmt_desc_get(d->ctx->pix_fmt != AV_PIX_FMT_NONE
+                            ? d->ctx->pix_fmt
+                            : (AVPixelFormat)d->frame->format);
+    return desc && (desc->flags & AV_PIX_FMT_FLAG_ALPHA) ? 1 : 0;
 }
 
 // ---------------------------------------------------------------- encoder
@@ -686,6 +762,12 @@ GAV_API int gav_mux_close(void* h) {
 }
 
 // ------------------------------------------------------- version / caps
+// resolve a codec name ("png", "vp9", ...) to its AVCodecID (0 = none)
+GAV_API int gav_codec_id_by_name(const char* name) {
+    const AVCodecDescriptor* d = avcodec_descriptor_get_by_name(name);
+    return d ? (int)d->id : 0;
+}
+
 GAV_API int gav_has_encoder(const char* name) {
     return avcodec_find_encoder_by_name(name) != nullptr;
 }

@@ -69,6 +69,16 @@ def _declare(name: str, lib: ctypes.CDLL):
                                         ctypes.c_int, ctypes.c_int,
                                         ctypes.c_int]),
             "gav_dec_last_frame_info": (None, [ctypes.c_void_p, c_pi, c_pi]),
+            "gav_demux_codec_id": (ctypes.c_int, [ctypes.c_void_p]),
+            "gav_dec_create_id": (ctypes.c_void_p, [ctypes.c_int, c_pu8,
+                                                    ctypes.c_int,
+                                                    ctypes.c_int]),
+            "gav_dec_receive_a": (ctypes.c_int, [ctypes.c_void_p, c_pu8,
+                                                 c_pu8, c_pu8, c_pu8,
+                                                 ctypes.c_int, ctypes.c_int,
+                                                 c_pll]),
+            "gav_dec_has_alpha": (ctypes.c_int, [ctypes.c_void_p]),
+            "gav_codec_id_by_name": (ctypes.c_int, [ctypes.c_char_p]),
             "gav_demux_close": (None, [ctypes.c_void_p]),
             "gav_demux_width": (ctypes.c_int, [ctypes.c_void_p]),
             "gav_demux_height": (ctypes.c_int, [ctypes.c_void_p]),

@@ -18,6 +18,15 @@ CODEC_H264, CODEC_HEVC, CODEC_MJPEG = 0, 1, 2
 _CODEC_NAMES = {0: "h264", 1: "hevc", 2: "mjpeg", 99: "other"}
 
 
+def codec_id(name: str) -> int:
+    """Resolve any codec name ("vp9", "png", "prores", ...) to its raw
+    AVCodecID for Decoder(codec_id=...)."""
+    cid = native.load().gav_codec_id_by_name(name.encode())
+    if not cid:
+        raise ValueError(f"unknown codec {name!r}")
+    return cid
+
+
 @dataclasses.dataclass
 class Packet:
     data: bytes
@@ -55,6 +64,7 @@ class Demuxer:
         self.duration = self._lib.gav_demux_duration(self._h)
         self.nb_frames = self._lib.gav_demux_nb_frames(self._h)
         self.codec = self._lib.gav_demux_codec(self._h)
+        self.codec_id = self._lib.gav_demux_codec_id(self._h)  # raw AVCodecID
         self.codec_name = _CODEC_NAMES.get(self.codec, "other")
         self.colorspace = ("bt601", "bt709", "bt2020")[
             self._lib.gav_demux_colorspace(self._h)]
@@ -115,8 +125,9 @@ class Decoder:
     """Software video decoder -> planar I420 numpy frames (NvDecLite's
     role, NvDecLite.cpp:350-398, via libavcodec)."""
 
-    def __init__(self, codec: int, extradata: bytes = b"", threads: int = 0,
-                 width: int = 0, height: int = 0, resize=None, crop=None):
+    def __init__(self, codec: int = 0, extradata: bytes = b"",
+                 threads: int = 0, width: int = 0, height: int = 0,
+                 resize=None, crop=None, codec_id: int = 0):
         """resize=(w, h) / crop=(x, y, w, h): decoder-side crop + early
         downscale (NvDecLite pCropRect/pResizeDim analog, NvDecLite.h:46,
         107-108) — frames shrink on the host, BEFORE the H2D transfer,
@@ -126,7 +137,14 @@ class Decoder:
         self._lib = native.load()
         ex = (ctypes.cast(ctypes.create_string_buffer(extradata, len(extradata)),
                           native.c_pu8) if extradata else None)
-        self._h = self._lib.gav_dec_create(codec, ex, len(extradata), threads)
+        if codec_id:
+            # raw AVCodecID: any libavcodec decoder (the NvDecLite codec
+            # map analog — vp8/vp9/av1/mpeg1/2/4/vc1/prores/png/...)
+            self._h = self._lib.gav_dec_create_id(int(codec_id), ex,
+                                                  len(extradata), threads)
+        else:
+            self._h = self._lib.gav_dec_create(codec, ex, len(extradata),
+                                               threads)
         if not self._h:
             raise IOError(f"decoder create: {native.last_error()}")
         self.width, self.height = width, height
@@ -144,6 +162,9 @@ class Decoder:
     @classmethod
     def from_demuxer(cls, dm: Demuxer, threads: int = 0, resize=None,
                      crop=None) -> "Decoder":
+        if dm.codec == 99:     # beyond the fast enum: raw AVCodecID path
+            return cls(0, dm.extradata(), threads, dm.width, dm.height,
+                       resize=resize, crop=crop, codec_id=dm.codec_id)
         # annexb streams don't need extradata
         return cls(dm.codec, b"", threads, dm.width, dm.height,
                    resize=resize, crop=crop)
@@ -193,6 +214,53 @@ class Decoder:
         self.last_interlaced = bool(il.value)
         self.last_tff = bool(tf.value)
         return y, u, v, pts.value
+
+    def receive_alpha(self):
+        """Like receive() but -> (y, u, v, a, pts): full-res alpha plane
+        (255 = opaque for alpha-less sources).  For alpha-carrying codecs
+        (png/qtrle/prores4444) feeding the overlay second input."""
+        if not self.width:
+            self.width = self._lib.gav_dec_width(self._h)
+            self.height = self._lib.gav_dec_height(self._h)
+        w, h = self.width, self.height
+        if not w:
+            return None
+        y = np.empty((h, w), np.uint8)
+        u = np.empty((h // 2, w // 2), np.uint8)
+        v = np.empty((h // 2, w // 2), np.uint8)
+        a = np.empty((h, w), np.uint8)
+        pts = native.c_ll()
+        r = self._lib.gav_dec_receive_a(
+            self._h, y.ctypes.data_as(native.c_pu8),
+            u.ctypes.data_as(native.c_pu8), v.ctypes.data_as(native.c_pu8),
+            a.ctypes.data_as(native.c_pu8), w, h, ctypes.byref(pts))
+        if r == 0:
+            rw = self._lib.gav_dec_width(self._h)
+            if rw and rw != w and not self._fixed:
+                self.width = rw
+                self.height = self._lib.gav_dec_height(self._h)
+                return self.receive_alpha()
+            return None
+        if r == -2:
+            raise StopIteration
+        if r < 0:
+            raise IOError(f"dec receive_a: {native.last_error()}")
+        return y, u, v, a, pts.value
+
+    def has_alpha(self) -> bool:
+        return bool(self._lib.gav_dec_has_alpha(self._h))
+
+    def decode_alpha(self, data: Optional[bytes], pts: int = -1):
+        """send + drain: yields (y, u, v, a, pts) tuples."""
+        self.send(data, pts)
+        while True:
+            try:
+                f = self.receive_alpha()
+            except StopIteration:
+                return
+            if f is None:
+                return
+            yield f
 
     def decode(self, data: Optional[bytes], pts: int = -1):
         """send + drain: yields (y, u, v, pts) tuples."""

@@ -206,11 +206,34 @@ class OverlayFilter:
         self._x = self._pos_expr(x)
         self._y = self._pos_expr(y)
         self._still = None
+        self._still_alpha = None
         if path:
-            from ..av.jpeg import decode_jpeg_to_rgb
-            img = decode_jpeg_to_rgb(path)          # (h, w, 3) uint8
-            # even dims so the 4:2:0 conversion is well-defined
-            img = img[: img.shape[0] & ~1, : img.shape[1] & ~1]
+            if str(path).lower().endswith(".png"):
+                # PNG watermark with a real alpha channel (the yuva420p
+                # overlay case, vf_overlay_cuda.c formats_match)
+                from ..av import toolkit as tk
+                from ..core.frame import from_numpy_yuv420
+                dec = tk.Decoder(codec_id=tk.codec_id("png"))
+                frames = (list(dec.decode_alpha(open(path, "rb").read())) +
+                          list(dec.decode_alpha(None)))
+                dec.close()
+                if not frames:
+                    raise FilterError(f"could not decode png {path!r}")
+                yy, uu, vv, aa, _ = frames[0]
+                h2, w2 = yy.shape[0] & ~1, yy.shape[1] & ~1
+                # swscale converted RGBA->YUVA with unspecified-colorspace
+                # defaults (BT.601); invert with the same matrix
+                fb = from_numpy_yuv420(yy[None, :h2, :w2],
+                                       uu[None, :h2 // 2, :w2 // 2],
+                                       vv[None, :h2 // 2, :w2 // 2],
+                                       colorspace="bt601")
+                img = np.asarray(csc.convert(fb, "rgb24").planes["rgb"])[0]
+                self._still_alpha = aa[:h2, :w2]
+            else:
+                from ..av.jpeg import decode_jpeg_to_rgb
+                img = decode_jpeg_to_rgb(path)      # (h, w, 3) uint8
+                # even dims so the 4:2:0 conversion is well-defined
+                img = img[: img.shape[0] & ~1, : img.shape[1] & ~1]
             self._still = img
         self._still_cache = {}
         self._gen = None
@@ -227,17 +250,35 @@ class OverlayFilter:
 
     # -- overlay frame sourcing ---------------------------------------------
     def _video_gen(self):
-        from ..av.ingest import decode_stream
-        src = decode_stream(self.video, batch=8)
+        if self.video.lower().endswith((".y4m", ".yuv", ".nv12", ".iyuv",
+                                        ".raw")):
+            # raw readers have no alpha; ride the standard ingest path
+            from ..av.ingest import decode_stream
+            src = decode_stream(self.video, batch=8)
+            try:
+                for ofb, _opts, ovalid in src:
+                    host = {k: np.asarray(v) for k, v in ofb.planes.items()}
+                    for i in range(int(ovalid)):
+                        yield {k: host[k][i] for k in host}
+            finally:
+                src.close()
+            return
+        # containers: alpha-aware decode (yuva420p target) so overlays
+        # from alpha-carrying codecs (png/qtrle/prores4444) blend properly
+        from ..av import toolkit as tk
+        dm = tk.Demuxer(self.video)
+        dec = tk.Decoder.from_demuxer(dm)
         try:
-            for ofb, _opts, ovalid in src:
-                host = {k: np.asarray(v) for k, v in ofb.planes.items()}
-                for i in range(int(ovalid)):
-                    yield {k: host[k][i] for k in host}
+            def frames():
+                for pkt in dm:
+                    if pkt.stream == 0:
+                        yield from dec.decode_alpha(pkt.data, pkt.pts)
+                yield from dec.decode_alpha(None)
+            for (y, u, v, a, _p) in frames():
+                yield {"y": y, "u": u, "v": v, "a": a}
         finally:
-            close = getattr(src, "close", None)
-            if close:
-                close()
+            dm.close()
+            dec.close()
 
     def _next_overlay(self):
         """One overlay frame dict, or None when exhausted (pre-eof_action)."""
@@ -257,11 +298,13 @@ class OverlayFilter:
         if domain not in self._still_cache:
             from ..core.frame import from_numpy_rgb
             if domain == "rgb":
-                self._still_cache[domain] = {"rgb": self._still}
+                d = {"rgb": self._still}
             else:
                 fb = csc.convert(from_numpy_rgb(self._still), "yuv420p")
-                self._still_cache[domain] = {
-                    k: np.asarray(v)[0] for k, v in fb.planes.items()}
+                d = {k: np.asarray(v)[0] for k, v in fb.planes.items()}
+            if self._still_alpha is not None:
+                d = dict(d, a=self._still_alpha)
+            self._still_cache[domain] = d
         return self._still_cache[domain]
 
     # -- stream protocol ------------------------------------------------------
@@ -324,6 +367,9 @@ class OverlayFilter:
             raise FilterError("internal: rgb overlay frame in yuv domain")
         stack = {k: np.stack([(f or ref)[k] for f in frames])
                  for k in ref}
+        alpha = stack.pop("a", None)
+        if alpha is not None and int(alpha.min()) == 255:
+            alpha = None            # fully opaque: skip the alpha math
         if domain == "rgb" and "rgb" not in ref:
             from ..core.frame import from_numpy_yuv420
             tmp = from_numpy_yuv420(stack["y"], stack["u"], stack["v"])
@@ -353,13 +399,14 @@ class OverlayFilter:
                             else self._y(env))
 
         xj, yj = jnp.asarray(xs), jnp.asarray(ys)
+        aj = None if alpha is None else jnp.asarray(alpha)
         if domain == "rgb":
             out = ov.overlay_rgb(fb.planes["rgb"],
-                                 jnp.asarray(stack["rgb"]), None, xj, yj)
+                                 jnp.asarray(stack["rgb"]), aj, xj, yj)
             return fb.with_planes({"rgb": out}), meta
         planes = ov.overlay_yuv420(
             fb.planes, {k: jnp.asarray(v) for k, v in stack.items()},
-            None, xj, yj)
+            aj, xj, yj)
         return fb.with_planes(planes), meta
 
     def flush(self):

@@ -413,3 +413,65 @@ def test_decoder_resize_10bit(tmp_path):
     dec.close()
     assert frames and frames[0][0].shape == (48, 64)
     assert frames[0][0].dtype == np.uint16
+
+
+def _write_rgba_png(path, rgba):
+    """Minimal RGBA PNG writer (pure python; test fixture only)."""
+    import struct
+    import zlib
+    h, w = rgba.shape[:2]
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + \
+            struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
+
+    raw = b"".join(b"\x00" + rgba[r].tobytes() for r in range(h))
+    png = (b"\x89PNG\r\n\x1a\n" +
+           chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)) +
+           chunk(b"IDAT", zlib.compress(raw)) +
+           chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def test_wide_codec_decode_mpeg2():
+    """Any-libavcodec decode via raw AVCodecID (the NvDecLite codec-map
+    analog: mpeg1/2/4, vc1, vp8/9, av1...)."""
+    w, h = 160, 128
+    frames = synth_frames(6, w, h)
+    enc = tk.Encoder("mpeg2video", w, h, fps=(25, 1), bitrate=800_000)
+    pkts = []
+    for i, (y, u, v) in enumerate(frames):
+        pkts += enc.encode(y, u, v, pts=i)
+    pkts += enc.flush()
+    enc.close()
+    assert pkts
+    dec = tk.Decoder(codec_id=tk.codec_id("mpeg2video"), width=w, height=h)
+    got = []
+    for p in pkts:
+        got += list(dec.decode(p.data))
+    got += list(dec.decode(None))
+    dec.close()
+    assert len(got) == len(frames)
+    assert np.abs(got[0][0].astype(int) -
+                  frames[0][0].astype(int)).mean() < 8.0
+
+
+def test_decode_alpha_png_and_opaque(tmp_path):
+    """decode_alpha: real alpha from PNG; opaque (255) for alpha-less."""
+    rng = np.random.default_rng(2)
+    w, h = 64, 48
+    rgba = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+    rgba[:, : w // 2, 3] = 255          # left opaque
+    rgba[:, w // 2:, 3] = 0             # right transparent
+    p = str(tmp_path / "a.png")
+    _write_rgba_png(p, rgba)
+    dec = tk.Decoder(codec_id=tk.codec_id("png"))
+    frames = list(dec.decode_alpha(open(p, "rb").read())) + \
+        list(dec.decode_alpha(None))
+    dec.close()
+    assert len(frames) == 1
+    y, u, v, a, _ = frames[0]
+    assert a.shape == (h, w)
+    assert (a[:, : w // 4] > 250).all() and (a[:, 3 * w // 4:] < 5).all()

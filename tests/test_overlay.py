@@ -167,3 +167,28 @@ def test_overlay_n_counts_kept_frames_only(rng, tmp_path):
     np.testing.assert_array_equal(oy[0, 0:4, 0:4], np.full((4, 4), 240))
     # frame 1: n=1 -> x=4, second overlay frame (fill 241)
     np.testing.assert_array_equal(oy[1, 0:4, 4:8], np.full((4, 4), 241))
+
+
+def test_overlay_png_alpha_watermark(rng, tmp_path):
+    """PNG watermark with a real alpha channel: transparent half leaves
+    the main frame untouched, opaque half replaces it."""
+    from .test_av import _write_rgba_png
+    oh, ow = 8, 16
+    rgba = np.zeros((oh, ow, 4), np.uint8)
+    rgba[:, : ow // 2] = [200, 40, 40, 255]    # opaque red-ish
+    rgba[:, ow // 2:] = [0, 255, 0, 0]         # fully transparent
+    p = str(tmp_path / "wm.png")
+    _write_rgba_png(p, rgba)
+    g = FilterGraph(f"format=rgb24,overlay=path={p}:x=4:y=4")
+    main = yuv(rng, 2, 24, 32)
+    fb = from_numpy_yuv420(main["y"], main["u"], main["v"])
+    out, _ = g.process(fb, pts=np.arange(2, dtype=np.int64))
+    rgb = np.asarray(out.planes["rgb"])
+    base = np.asarray(FilterGraph("format=rgb24").process(
+        from_numpy_yuv420(main["y"], main["u"], main["v"]))[0].planes["rgb"])
+    # opaque half: red-ish watermark (PNG went through a 4:2:0 round
+    # trip, so allow conversion loss)
+    assert abs(float(rgb[0, 4:12, 4:12, 0].mean()) - 200) < 12
+    assert abs(float(rgb[0, 4:12, 4:12, 1].mean()) - 40) < 12
+    # transparent half: untouched main pixels
+    np.testing.assert_array_equal(rgb[0, 4:12, 12:20], base[0, 4:12, 12:20])
