@@ -703,16 +703,38 @@ struct GavMuxer {
     bool header_written = false;
 };
 
+static void* mux_open_avid(const char* path, int w, int h, int fps_num,
+                           int fps_den, AVCodecID id,
+                           const unsigned char* extradata, int extradata_size);
+
 GAV_API void* gav_mux_open(const char* path, int w, int h, int fps_num,
                            int fps_den, int codec /*0 h264,1 hevc,2 mjpeg*/,
+                           const unsigned char* extradata, int extradata_size) {
+    AVCodecID id = codec == 0 ? AV_CODEC_ID_H264 :
+                   codec == 1 ? AV_CODEC_ID_HEVC : AV_CODEC_ID_MJPEG;
+    return mux_open_avid(path, w, h, fps_num, fps_den, id,
+                         extradata, extradata_size);
+}
+
+// mux ANY libavcodec video codec id (the reference Muxer takes generic
+// AVCodecParameters, Muxer.h:51-90)
+GAV_API void* gav_mux_open_id(const char* path, int w, int h, int fps_num,
+                              int fps_den, int codec_id,
+                              const unsigned char* extradata,
+                              int extradata_size) {
+    return mux_open_avid(path, w, h, fps_num, fps_den, (AVCodecID)codec_id,
+                         extradata, extradata_size);
+}
+
+static void* mux_open_avid(const char* path, int w, int h, int fps_num,
+                           int fps_den, AVCodecID id,
                            const unsigned char* extradata, int extradata_size) {
     auto* m = new GavMuxer();
     int r = avformat_alloc_output_context2(&m->fmt, nullptr, nullptr, path);
     if (r < 0 || !m->fmt) { set_err("alloc_output_context", r); delete m; return nullptr; }
     AVStream* st = avformat_new_stream(m->fmt, nullptr);
     st->codecpar->codec_type = AVMEDIA_TYPE_VIDEO;
-    st->codecpar->codec_id = codec == 0 ? AV_CODEC_ID_H264 :
-                             codec == 1 ? AV_CODEC_ID_HEVC : AV_CODEC_ID_MJPEG;
+    st->codecpar->codec_id = id;
     st->codecpar->width = w; st->codecpar->height = h;
     if (extradata_size > 0) {
         st->codecpar->extradata = (uint8_t*)av_mallocz(extradata_size + AV_INPUT_BUFFER_PADDING_SIZE);

@@ -79,6 +79,11 @@ def _declare(name: str, lib: ctypes.CDLL):
                                                  c_pll]),
             "gav_dec_has_alpha": (ctypes.c_int, [ctypes.c_void_p]),
             "gav_codec_id_by_name": (ctypes.c_int, [ctypes.c_char_p]),
+            "gav_mux_open_id": (ctypes.c_void_p, [ctypes.c_char_p,
+                                                  ctypes.c_int, ctypes.c_int,
+                                                  ctypes.c_int, ctypes.c_int,
+                                                  ctypes.c_int, c_pu8,
+                                                  ctypes.c_int]),
             "gav_demux_close": (None, [ctypes.c_void_p]),
             "gav_demux_width": (ctypes.c_int, [ctypes.c_void_p]),
             "gav_demux_height": (ctypes.c_int, [ctypes.c_void_p]),

@@ -455,13 +455,22 @@ class Muxer:
     """Single-video-stream muxer (LazyMuxer analog, Muxer.h:51-229)."""
 
     def __init__(self, path: str, width: int, height: int,
-                 fps: Tuple[int, int], codec: int, extradata: bytes = b""):
+                 fps: Tuple[int, int], codec: int = 0,
+                 extradata: bytes = b"", codec_id: int = 0):
+        """codec: the h264/hevc/mjpeg enum — or pass codec_id for any raw
+        AVCodecID (tk.codec_id("vp9") etc.), like the reference Muxer's
+        generic AVCodecParameters (Muxer.h:51-90)."""
         self._lib = native.load()
         ex = ((ctypes.c_ubyte * len(extradata)).from_buffer_copy(extradata)
               if extradata else None)
-        self._h = self._lib.gav_mux_open(path.encode(), width, height,
-                                         fps[0], fps[1], codec, ex,
-                                         len(extradata))
+        if codec_id:
+            self._h = self._lib.gav_mux_open_id(path.encode(), width, height,
+                                                fps[0], fps[1], int(codec_id),
+                                                ex, len(extradata))
+        else:
+            self._h = self._lib.gav_mux_open(path.encode(), width, height,
+                                             fps[0], fps[1], codec, ex,
+                                             len(extradata))
         if not self._h:
             raise IOError(f"mux open: {native.last_error()}")
 

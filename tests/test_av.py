@@ -475,3 +475,34 @@ def test_decode_alpha_png_and_opaque(tmp_path):
     y, u, v, a, _ = frames[0]
     assert a.shape == (h, w)
     assert (a[:, : w // 4] > 250).all() and (a[:, 3 * w // 4:] < 5).all()
+
+
+def test_beyond_enum_mux_demux_decode_roundtrip(tmp_path):
+    """Full pipeline for a codec outside the h264/hevc/mjpeg enum:
+    mpeg2video encode -> Muxer(codec_id=...) .ts -> decode_stream."""
+    from gmat_tpu.av.ingest import decode_stream
+    w, h = 160, 128
+    frames = synth_frames(10, w, h)
+    enc = tk.Encoder("mpeg2video", w, h, fps=(25, 1), bitrate=1_000_000,
+                     gop=5)
+    pkts = []
+    for i, (y, u, v) in enumerate(frames):
+        pkts += enc.encode(y, u, v, pts=i)
+    pkts += enc.flush()
+    path = str(tmp_path / "m2.ts")
+    mux = tk.Muxer(path, w, h, (25, 1),
+                   codec_id=tk.codec_id("mpeg2video"),
+                   extradata=enc.extradata())
+    for p in pkts:
+        mux.write(p)
+    mux.close()
+    enc.close()
+    dm = tk.Demuxer(path)
+    assert dm.codec_name == "other"
+    assert dm.codec_id == tk.codec_id("mpeg2video")
+    dm.close()
+    got = 0
+    for fb, pts, valid in decode_stream(path, batch=8):
+        assert fb.width == w and fb.height == h
+        got += int(valid)
+    assert got == len(frames)
