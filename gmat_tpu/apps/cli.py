@@ -177,7 +177,7 @@ def main(argv=None):
         name = enc_kwargs.pop("codec_name")
         fps = enc_kwargs.pop("fps")
         enc = tk.Encoder(name, w, h, fps=fps, **enc_kwargs)
-        vcodec = tk.CODEC_FOR_ENCODER.get(name, tk.CODEC_H264)
+        mux_kw = tk.mux_kwargs_for_encoder(name)
         audio = None
         if args.acodec == "copy":
             # ffmpeg -c:a copy: pass source audio packets through verbatim
@@ -203,6 +203,7 @@ def main(argv=None):
                         audio_bitrate=_size(args.abitrate))
             audio = transcode_audio(o)
         if audio:
+            vcodec = mux_kw.get("codec", 0)   # AvMuxer: enum codecs only
             mux = tk.AvMuxer(args.output, w, h, fps, vcodec,
                              enc.extradata(), audio[0], audio[1], audio[2],
                              audio[3])
@@ -210,7 +211,8 @@ def main(argv=None):
                 mux.write_audio(p)
             mux.write = mux.write_video
         else:
-            mux = tk.Muxer(args.output, w, h, fps, vcodec, enc.extradata())
+            mux = tk.Muxer(args.output, w, h, fps,
+                           extradata=enc.extradata(), **mux_kw)
 
     def emit_yuv(fb_host, keep_idx):
         nonlocal out_count

@@ -106,7 +106,8 @@ class EncoderWorker(threading.Thread):
         codec_name = kw.pop("codec_name", "libx264")
         fps_t = kw.pop("fps", fps)
         self.enc = tk.Encoder(codec_name, w, h, fps=fps_t, **kw)
-        vcodec = tk.CODEC_FOR_ENCODER.get(codec_name, 0)
+        mux_kw = tk.mux_kwargs_for_encoder(codec_name)
+        vcodec = mux_kw.get("codec", 0)
         self.audio_pkts = []
         if audio:
             acid, arate, ach, aextra, apkts = audio
@@ -115,8 +116,8 @@ class EncoderWorker(threading.Thread):
                                   aextra)
             self.audio_pkts = apkts
         else:
-            self.mux = tk.Muxer(path, w, h, fps_t, vcodec,
-                                self.enc.extradata())
+            self.mux = tk.Muxer(path, w, h, fps_t,
+                                extradata=self.enc.extradata(), **mux_kw)
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self.count = 0
         self.error: Optional[BaseException] = None

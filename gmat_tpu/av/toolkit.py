@@ -495,6 +495,22 @@ CODEC_FOR_ENCODER = {"libx264": CODEC_H264, "libx265": CODEC_HEVC,
                      "mjpeg": CODEC_MJPEG}
 
 
+def mux_kwargs_for_encoder(name: str) -> dict:
+    """Muxer codec kwargs for any encoder name: the enum for the common
+    three, a raw AVCodecID for everything else (mpeg2video, libvpx-vp9,
+    ...).  Encoder names that prefix a codec name (libx264 -> h264) are
+    resolved via the codec descriptor table."""
+    if name in CODEC_FOR_ENCODER:
+        return {"codec": CODEC_FOR_ENCODER[name]}
+    for cand in (name, name.replace("lib", "", 1),
+                 name.replace("libvpx-", "", 1)):
+        try:
+            return {"codec_id": codec_id(cand)}
+        except ValueError:
+            continue
+    raise ValueError(f"cannot derive a mux codec for encoder {name!r}")
+
+
 # --------------------------------------------------------------- audio
 class AudioInfo:
     def __init__(self, dm: "Demuxer"):

@@ -315,3 +315,16 @@ def test_bindings_reference_surface(clip, tmp_path):
     yd, ud, vd = NvDecLite().decode_still(pkt2)
     assert yd.shape == (h, w)
     assert abs(float(yd.mean()) - 140) < 3
+
+
+def test_cli_beyond_enum_encoder(clip, tmp_path):
+    """-c:v mpeg2video: the CLI muxes non-enum encoders with the right
+    codec id instead of mislabeling the stream h264."""
+    from gmat_tpu.apps.cli import main
+    out = str(tmp_path / "m2.ts")
+    assert main(["-i", clip, "-vf", "scale=160:128", "-o", out,
+                 "-c:v", "mpeg2video", "-b:v", "1M", "-frames", "8",
+                 "-batch", "8"]) == 0
+    dm = tk.Demuxer(out)
+    assert dm.codec_id == tk.codec_id("mpeg2video")
+    dm.close()
