@@ -506,3 +506,30 @@ def test_beyond_enum_mux_demux_decode_roundtrip(tmp_path):
         assert fb.width == w and fb.height == h
         got += int(valid)
     assert got == len(frames)
+
+
+def test_vp9_webm_roundtrip(tmp_path):
+    """VP9 end-to-end (the NVDEC codec map includes VP9): libvpx encode ->
+    .webm -> demux (raw id) -> decode_stream."""
+    from gmat_tpu.av.ingest import decode_stream
+    w, h = 160, 128
+    frames = synth_frames(8, w, h)
+    enc = tk.Encoder("libvpx-vp9", w, h, fps=(30, 1), bitrate=500_000,
+                     opts="deadline=realtime,cpu-used=8")
+    pkts = []
+    for i, (y, u, v) in enumerate(frames):
+        pkts += enc.encode(y, u, v, pts=i)
+    pkts += enc.flush()
+    path = str(tmp_path / "v.webm")
+    mux = tk.Muxer(path, w, h, (30, 1), codec_id=tk.codec_id("vp9"))
+    for p in pkts:
+        mux.write(p)
+    mux.close()
+    enc.close()
+    got = []
+    for fb, pts, valid in decode_stream(path, batch=8):
+        ys = np.asarray(fb.planes["y"])
+        got += [ys[i] for i in range(valid)]
+    assert len(got) == len(frames)
+    assert np.abs(got[0].astype(int) -
+                  frames[0][0].astype(int)).mean() < 6.0
