@@ -1075,8 +1075,12 @@ GAV_API void* gav_mux_open_av(const char* path, int w, int h, int fps_num,
         if (r < 0) { set_err("alloc_output", r); delete m; return nullptr; }
         AVStream* vs = avformat_new_stream(m->fmt, nullptr);
         vs->codecpar->codec_type = AVMEDIA_TYPE_VIDEO;
+        // 0/1/2 = the legacy enum; negative = -(raw AVCodecID), so raw
+        // ids 1/2 (mpeg1/mpeg2) cannot collide with the enum values
         vs->codecpar->codec_id = vcodec == 0 ? AV_CODEC_ID_H264 :
-                                 vcodec == 1 ? AV_CODEC_ID_HEVC : AV_CODEC_ID_MJPEG;
+                                 vcodec == 1 ? AV_CODEC_ID_HEVC :
+                                 vcodec == 2 ? AV_CODEC_ID_MJPEG :
+                                 (AVCodecID)(-vcodec);
         vs->codecpar->width = w; vs->codecpar->height = h;
         if (vextra_size > 0) {
             vs->codecpar->extradata = (uint8_t*)av_mallocz(vextra_size + AV_INPUT_BUFFER_PADDING_SIZE);

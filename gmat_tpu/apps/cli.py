@@ -203,7 +203,11 @@ def main(argv=None):
                         audio_bitrate=_size(args.abitrate))
             audio = transcode_audio(o)
         if audio:
-            vcodec = mux_kw.get("codec", 0)   # AvMuxer: enum codecs only
+            # AvMuxer: the enum directly, or a raw AVCodecID negated
+            # (enum values 0-2 collide with AVCodecID 1/2 = mpeg1/mpeg2)
+            vcodec = mux_kw.get("codec")
+            if vcodec is None:
+                vcodec = -mux_kw["codec_id"]
             mux = tk.AvMuxer(args.output, w, h, fps, vcodec,
                              enc.extradata(), audio[0], audio[1], audio[2],
                              audio[3])

@@ -107,7 +107,11 @@ class EncoderWorker(threading.Thread):
         fps_t = kw.pop("fps", fps)
         self.enc = tk.Encoder(codec_name, w, h, fps=fps_t, **kw)
         mux_kw = tk.mux_kwargs_for_encoder(codec_name)
-        vcodec = mux_kw.get("codec", 0)
+        # AvMuxer: the enum directly, or a raw AVCodecID negated
+        # (enum values 0-2 collide with AVCodecID 1/2 = mpeg1/mpeg2)
+        vcodec = mux_kw.get("codec")
+        if vcodec is None:
+            vcodec = -mux_kw["codec_id"]
         self.audio_pkts = []
         if audio:
             acid, arate, ach, aextra, apkts = audio

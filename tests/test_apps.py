@@ -328,3 +328,20 @@ def test_cli_beyond_enum_encoder(clip, tmp_path):
     dm = tk.Demuxer(out)
     assert dm.codec_id == tk.codec_id("mpeg2video")
     dm.close()
+
+
+def test_cli_beyond_enum_encoder_with_audio(tmp_path):
+    """Non-enum video codec + audio lane: the AvMuxer raw-id path must
+    not collide with the 0/1/2 enum (AVCodecID 2 == mpeg2video)."""
+    from gmat_tpu.apps.cli import main
+    from .test_audio import make_av_clip
+    clip = str(tmp_path / "a.mp4")
+    make_av_clip(clip, nframes=20)
+    out = str(tmp_path / "m2a.ts")
+    assert main(["-i", clip, "-o", out, "-c:v", "mpeg2video", "-b:v", "1M",
+                 "-c:a", "copy", "-batch", "8"]) == 0
+    dm = tk.Demuxer(out)
+    assert dm.codec_id == tk.codec_id("mpeg2video")
+    info = tk.AudioInfo(dm)
+    assert info.present
+    dm.close()
