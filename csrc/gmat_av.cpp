@@ -105,11 +105,13 @@ static void* demux_finish(GavDemuxer* d) {
     if (r < 0) { set_err("find_stream_info", r); demux_free(d); return nullptr; }
     d->vstream = av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
     d->astream = av_find_best_stream(d->fmt, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0);
-    if (d->vstream < 0) { snprintf(g_err, sizeof g_err, "no video stream"); demux_free(d); return nullptr; }
-    AVCodecParameters* par = d->fmt->streams[d->vstream]->codecpar;
+    // audio-only containers are valid sources (the reference Demuxer's
+    // (path, bVideo=false, bAudio=true) form, Demuxer.h:16-61)
+    if (d->vstream < 0 && d->astream < 0) { snprintf(g_err, sizeof g_err, "no video or audio stream"); demux_free(d); return nullptr; }
+    AVCodecParameters* par = d->vstream >= 0 ? d->fmt->streams[d->vstream]->codecpar : nullptr;
     const char* bsf_name = nullptr;
-    if (par->codec_id == AV_CODEC_ID_H264) bsf_name = "h264_mp4toannexb";
-    else if (par->codec_id == AV_CODEC_ID_HEVC) bsf_name = "hevc_mp4toannexb";
+    if (par && par->codec_id == AV_CODEC_ID_H264) bsf_name = "h264_mp4toannexb";
+    else if (par && par->codec_id == AV_CODEC_ID_HEVC) bsf_name = "hevc_mp4toannexb";
     if (bsf_name) {
         const AVBitStreamFilter* f = av_bsf_get_by_name(bsf_name);
         if (f && av_bsf_alloc(f, &d->bsf) == 0) {
@@ -170,9 +172,11 @@ GAV_API void gav_demux_close(void* h) {
     demux_free(d);
 }
 
-GAV_API int gav_demux_width(void* h)  { return ((GavDemuxer*)h)->fmt->streams[((GavDemuxer*)h)->vstream]->codecpar->width; }
-GAV_API int gav_demux_height(void* h) { return ((GavDemuxer*)h)->fmt->streams[((GavDemuxer*)h)->vstream]->codecpar->height; }
+GAV_API int gav_demux_has_video(void* h) { return ((GavDemuxer*)h)->vstream >= 0; }
+GAV_API int gav_demux_width(void* h)  { auto* d = (GavDemuxer*)h; return d->vstream < 0 ? 0 : d->fmt->streams[d->vstream]->codecpar->width; }
+GAV_API int gav_demux_height(void* h) { auto* d = (GavDemuxer*)h; return d->vstream < 0 ? 0 : d->fmt->streams[d->vstream]->codecpar->height; }
 GAV_API int gav_demux_codec(void* h) {
+    if (((GavDemuxer*)h)->vstream < 0) return 99;
     switch (((GavDemuxer*)h)->fmt->streams[((GavDemuxer*)h)->vstream]->codecpar->codec_id) {
         case AV_CODEC_ID_H264: return 0;
         case AV_CODEC_ID_HEVC: return 1;
@@ -184,10 +188,12 @@ GAV_API int gav_demux_codec_id(void* h) {
     // raw AVCodecID for codecs beyond the h264/hevc/mjpeg enum — the
     // NvDecLite codec-map analog (NvDecLite.h:112-126 supports mpeg1/2/4,
     // vc1, vp8/9, av1...; libavcodec decodes all of them in software)
-    return (int)((GavDemuxer*)h)->fmt->streams[((GavDemuxer*)h)->vstream]->codecpar->codec_id;
+    auto* d = (GavDemuxer*)h;
+    return d->vstream < 0 ? 0 : (int)d->fmt->streams[d->vstream]->codecpar->codec_id;
 }
 GAV_API double gav_demux_fps(void* h) {
     auto* d = (GavDemuxer*)h;
+    if (d->vstream < 0) return 0.0;
     AVRational r = d->fmt->streams[d->vstream]->avg_frame_rate;
     return r.den ? av_q2d(r) : 0.0;
 }
@@ -198,15 +204,18 @@ GAV_API double gav_demux_duration(void* h) {
 }
 GAV_API long long gav_demux_nb_frames(void* h) {
     auto* d = (GavDemuxer*)h;
-    return d->fmt->streams[d->vstream]->nb_frames;
+    return d->vstream < 0 ? 0 : d->fmt->streams[d->vstream]->nb_frames;
 }
 GAV_API void gav_demux_timebase(void* h, int* num, int* den) {
     auto* d = (GavDemuxer*)h;
-    AVRational tb = d->fmt->streams[d->vstream]->time_base;
+    // audio-only sources report the audio stream timebase so seeks work
+    int si = d->vstream >= 0 ? d->vstream : d->astream;
+    AVRational tb = d->fmt->streams[si]->time_base;
     *num = tb.num; *den = tb.den;
 }
 GAV_API int gav_demux_colorspace(void* h) {
     // 0=bt601-ish default, 1=bt709, 2=bt2020
+    if (((GavDemuxer*)h)->vstream < 0) return 0;
     switch (((GavDemuxer*)h)->fmt->streams[((GavDemuxer*)h)->vstream]->codecpar->color_space) {
         case AVCOL_SPC_BT709: return 1;
         case AVCOL_SPC_BT2020_NCL: case AVCOL_SPC_BT2020_CL: return 2;
@@ -215,6 +224,7 @@ GAV_API int gav_demux_colorspace(void* h) {
 }
 GAV_API int gav_demux_extradata(void* h, unsigned char** data) {
     auto* d = (GavDemuxer*)h;
+    if (d->vstream < 0) return 0;
     AVCodecParameters* par = d->fmt->streams[d->vstream]->codecpar;
     *data = par->extradata;
     return par->extradata_size;
@@ -307,7 +317,8 @@ GAV_API int gav_demux_read(void* h, unsigned char** data, long long* pts,
 // Seek to keyframe at/before ts (stream timebase units).
 GAV_API int gav_demux_seek(void* h, long long ts) {
     auto* d = (GavDemuxer*)h;
-    int r = av_seek_frame(d->fmt, d->vstream, ts, AVSEEK_FLAG_BACKWARD);
+    int r = av_seek_frame(d->fmt, d->vstream >= 0 ? d->vstream : d->astream,
+                          ts, AVSEEK_FLAG_BACKWARD);
     if (r < 0) { set_err("av_seek_frame", r); return -1; }
     d->eof = false;
     if (d->bsf) { av_bsf_flush(d->bsf); }
@@ -1118,20 +1129,59 @@ GAV_API void* gav_mux_open_av(const char* path, int w, int h, int fps_num,
     }
 }
 
+// audio-only muxer (the reference Muxer accepts a NULL video side and
+// writes bare audio containers, Muxer.h:51-90 / AppMux DemuxAV -> .aac)
+GAV_API void* gav_mux_open_audio(const char* path, int acodec_id,
+                                 int sample_rate, int channels,
+                                 const unsigned char* aextra,
+                                 int aextra_size) {
+    auto* m = new GavMuxer();
+    int r = avformat_alloc_output_context2(&m->fmt, nullptr, nullptr, path);
+    if (r < 0 || !m->fmt) { set_err("alloc_output", r); delete m; return nullptr; }
+    AVStream* as = avformat_new_stream(m->fmt, nullptr);
+    as->codecpar->codec_type = AVMEDIA_TYPE_AUDIO;
+    as->codecpar->codec_id = (AVCodecID)acodec_id;
+    as->codecpar->sample_rate = sample_rate;
+    as->codecpar->frame_size =
+        acodec_id == AV_CODEC_ID_AAC ? 1024 :
+        acodec_id == AV_CODEC_ID_AC3 ? 1536 :
+        acodec_id == AV_CODEC_ID_MP2 ? 1152 : 0;
+    av_channel_layout_default(&as->codecpar->ch_layout, channels);
+    if (aextra_size > 0) {
+        as->codecpar->extradata = (uint8_t*)av_mallocz(aextra_size + AV_INPUT_BUFFER_PADDING_SIZE);
+        memcpy(as->codecpar->extradata, aextra, aextra_size);
+        as->codecpar->extradata_size = aextra_size;
+    }
+    as->time_base = {1, sample_rate};
+    m->vstream = -1;
+    if (!(m->fmt->oformat->flags & AVFMT_NOFILE)) {
+        r = avio_open(&m->fmt->pb, path, AVIO_FLAG_WRITE);
+        if (r < 0) { set_err("avio_open", r); avformat_free_context(m->fmt); delete m; return nullptr; }
+    }
+    r = avformat_write_header(m->fmt, nullptr);
+    if (r < 0) { set_err("write_header", r); avformat_free_context(m->fmt); delete m; return nullptr; }
+    m->header_written = true;
+    return m;
+}
+
 // stream: 0 = video (pts in 1/fps), 1 = audio (pts in 1/sample_rate)
 GAV_API int gav_mux_write_stream(void* h, int stream, const unsigned char* data,
                                  int size, long long pts, long long dts, int key) {
     auto* m = (GavMuxer*)h;
-    if (stream == 0)
+    if (stream == 0) {
+        if (m->vstream < 0) { snprintf(g_err, sizeof g_err, "audio-only muxer has no video stream"); return -1; }
         return gav_mux_write(h, data, size, pts, dts, key);
+    }
     AVPacket* pkt = av_packet_alloc();
     av_new_packet(pkt, size);
     memcpy(pkt->data, data, size);
-    AVStream* st = m->fmt->streams[1];
+    // the audio stream is the last one (index 1 in A/V muxers, 0 in
+    // audio-only muxers)
+    AVStream* st = m->fmt->streams[m->fmt->nb_streams - 1];
     AVRational atb = {1, st->codecpar->sample_rate};
     pkt->pts = av_rescale_q(pts, atb, st->time_base);
     pkt->dts = av_rescale_q(dts, atb, st->time_base);
-    pkt->stream_index = 1;
+    pkt->stream_index = st->index;
     pkt->flags |= AV_PKT_FLAG_KEY;
     int r = av_interleaved_write_frame(m->fmt, pkt);
     av_packet_free(&pkt);

@@ -34,6 +34,9 @@ def build_parser():
                    help="libx264|libx265|mjpeg")
     p.add_argument("-c:a", "--acodec", dest="acodec", default="",
                    help="audio codec (aac|ac3|mp2); empty drops audio")
+    p.add_argument("-af", dest="af", default="",
+                   help="audio filter chain (atempo/volume/aresample), "
+                        "requires -c:a")
     p.add_argument("-b:a", dest="abitrate", default="128K")
     p.add_argument("-b:v", "--bitrate", dest="bitrate", default="0")
     p.add_argument("-crf", type=float, default=-1.0)
@@ -200,7 +203,8 @@ def main(argv=None):
         elif args.acodec:
             from .metrans import Options, transcode_audio
             o = Options(input_file=args.input, audio_codec=args.acodec,
-                        audio_bitrate=_size(args.abitrate))
+                        audio_bitrate=_size(args.abitrate),
+                        audio_filter_desc=args.af)
             audio = transcode_audio(o)
         if audio:
             # AvMuxer: the enum directly, or a raw AVCodecID negated

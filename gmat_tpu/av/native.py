@@ -133,6 +133,7 @@ def _declare(name: str, lib: ctypes.CDLL):
             "gav_avcodec_version": (ctypes.c_uint, []),
             # audio
             "gav_demux_has_audio": (ctypes.c_int, [ctypes.c_void_p]),
+            "gav_demux_has_video": (ctypes.c_int, [ctypes.c_void_p]),
             "gav_demux_audio_info": (None, [ctypes.c_void_p, c_pi, c_pi,
                                             c_pi, c_pi, c_pi]),
             "gav_demux_audio_extradata": (ctypes.c_int, [ctypes.c_void_p,
@@ -171,6 +172,11 @@ def _declare(name: str, lib: ctypes.CDLL):
                                                     ctypes.c_int, c_pu8,
                                                     ctypes.c_int, c_ll, c_ll,
                                                     ctypes.c_int]),
+            "gav_mux_open_audio": (ctypes.c_void_p, [ctypes.c_char_p,
+                                                     ctypes.c_int,
+                                                     ctypes.c_int,
+                                                     ctypes.c_int, c_pu8,
+                                                     ctypes.c_int]),
             # 10-bit lane
             "gav_dec_receive16": (ctypes.c_int, [ctypes.c_void_p,
                                                  ctypes.POINTER(ctypes.c_ushort),

@@ -58,6 +58,8 @@ class Demuxer:
             self._h = self._lib.gav_demux_open(src.encode())
         if not self._h:
             raise IOError(f"demux open {src}: {native.last_error()}")
+        self.has_video = bool(self._lib.gav_demux_has_video(self._h))
+        self.has_audio = bool(self._lib.gav_demux_has_audio(self._h))
         self.width = self._lib.gav_demux_width(self._h)
         self.height = self._lib.gav_demux_height(self._h)
         self.fps = self._lib.gav_demux_fps(self._h)
@@ -642,6 +644,39 @@ class AudioEncoder:
             self._h = None
 
     __del__ = close
+
+
+class AudioMuxer:
+    """Audio-only muxer (the reference Muxer's NULL-video form,
+    Muxer.h:51-90; AppMux DemuxAV writes a bare .aac this way).
+    pts/dts are in samples (1/sample_rate)."""
+
+    def __init__(self, path: str, acodec_id: int, sample_rate: int,
+                 channels: int, extradata: bytes = b""):
+        self._lib = native.load()
+        ex = ((ctypes.c_ubyte * len(extradata)).from_buffer_copy(extradata)
+              if extradata else None)
+        self._h = self._lib.gav_mux_open_audio(path.encode(), acodec_id,
+                                               sample_rate, channels, ex,
+                                               len(extradata))
+        if not self._h:
+            raise IOError(f"audio mux open: {native.last_error()}")
+
+    def write(self, pkt: Packet) -> None:
+        buf = (ctypes.c_ubyte * len(pkt.data)).from_buffer_copy(pkt.data)
+        dts = pkt.dts if pkt.dts is not None else pkt.pts
+        if self._lib.gav_mux_write_stream(self._h, 1, buf, len(pkt.data),
+                                          pkt.pts, dts, int(pkt.key)) < 0:
+            raise IOError(f"audio mux write: {native.last_error()}")
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.gav_mux_close(self._h)
+            self._h = None
+
+    __del__ = close
+    def __enter__(self): return self
+    def __exit__(self, *a): self.close()
 
 
 class AvMuxer:
