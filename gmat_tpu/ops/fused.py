@@ -88,7 +88,8 @@ _PALLAS_METHODS = ("bilinear", "nearest", "bicubic", "area", "lanczos3")
 def _pallas_eligible(fb: FrameBatch, method: str, kw: dict) -> bool:
     if kw:
         return False
-    if fb.format not in ("yuv420p", "nv12") or method not in _PALLAS_METHODS:
+    if (fb.format not in ("yuv420p", "nv12", "yuv420p10")
+            or method not in _PALLAS_METHODS):
         return False
     try:
         # default backend decides; callers lowering for a non-default
@@ -112,7 +113,15 @@ def preprocess_nchw(fb: FrameBatch, out_w: int, out_h: int, *,
     use_pallas="never" to force the XLA path or "bf16" for the bf16 kernel.
     """
     if use_pallas != "never" and _pallas_eligible(fb, method, kw):
-        from .pallas_kernels import fused_ladder, fused_ladder_i8
+        from .pallas_kernels import (fused_ladder, fused_ladder_i8,
+                                     fused_ladder_u16)
+        if fb.format == "yuv420p10":
+            # 10-bit lane rides the bf16 kernel (ScaleP016/P016ToBgr*
+            # analog); norm semantics identical to the XLA path
+            return fused_ladder_u16(fb.planes["y"], fb.planes["u"],
+                                    fb.planes["v"], out_h, out_w, 10,
+                                    fb.colorspace, method, norm,
+                                    tuple(shift))
         k = fused_ladder if use_pallas == "bf16" else fused_ladder_i8
         return k(fb.planes["y"], fb.planes["u"], fb.planes["v"],
                  out_h, out_w, fb.colorspace, method, norm, tuple(shift))

@@ -91,10 +91,17 @@ def _ladder_kernel(y_ref, u_ref, v_ref, ahy_ref, awy_ref, ahc_ref, awc_ref,
 
 @lru_cache(maxsize=64)
 def _build_ladder(n, h, w, ch, cw, out_h, out_w, colorspace, method,
-                  norm, shift, interpret):
-    """Compile-time closure for a fixed shape set."""
+                  norm, shift, interpret, bits=8):
+    """Compile-time closure for a fixed shape set.
+
+    bits > 8 builds the 10/12/16-bit variant: same kernel, u16 inputs
+    (lsb-aligned samples, the decode16/"yuv420p10" layout) and the
+    offsets/clip range of that depth — the ScaleP016/P016ToBgr* lane of
+    the reference (NvCodec/Resize.cu:77-82, ColorSpace.cu:219-293).
+    Samples wider than 8 bits round to bf16 on the MXU feed (<=2 LSB at
+    10 bits, ~0.5 u8-LSB at output scale)."""
     mat = yuv2rgb_matrix(colorspace)
-    low, mid = yuv_offsets(8)
+    low, mid = yuv_offsets(bits)
     # keep numpy here; convert inside fn so per-trace constants are fresh
     # (caching jnp arrays created inside a jit trace leaks tracers)
     ahy_np = resample_matrix(h, out_h, method)
@@ -168,6 +175,29 @@ def fused_ladder(y: jax.Array, u: jax.Array, v: jax.Array,
     fn = _build_ladder(n, h, w, ch, cw, out_h, out_w, colorspace, method,
                        float(norm), tuple(float(s) for s in shift),
                        bool(interpret))
+    return fn(y, u, v)
+
+
+def fused_ladder_u16(y: jax.Array, u: jax.Array, v: jax.Array,
+                     out_h: int, out_w: int, bits: int = 10,
+                     colorspace: str = "bt709", method: str = "bilinear",
+                     norm: float = 0.0, shift=(0.0, 0.0, 0.0),
+                     interpret: bool = False) -> jax.Array:
+    """High-bit-depth fused ladder: u16 YUV420 planes (lsb-aligned
+    `bits`-bit samples) -> (N, 3, out_h, out_w) f32 in one Pallas pass.
+
+    The 10/16-bit lane of the reference (ScaleP016, P016ToBgr*,
+    NvCodec/Resize.cu:77-82 / ColorSpace.cu:219-293), fused like the
+    8-bit kernel.  norm=0 defaults to full scale ((1<<bits)-1) so the
+    output lands in [0,1] like the 8-bit path's norm=255.
+    """
+    n, h, w = y.shape
+    ch, cw = u.shape[1], u.shape[2]
+    if not norm:
+        norm = float((1 << bits) - 1)
+    fn = _build_ladder(n, h, w, ch, cw, out_h, out_w, colorspace, method,
+                       float(norm), tuple(float(s) for s in shift),
+                       bool(interpret), bits=int(bits))
     return fn(y, u, v)
 
 

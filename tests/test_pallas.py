@@ -44,6 +44,50 @@ def test_fused_ladder_colorspace_and_shift(rng):
     assert got.min() < 0 < got.max()      # centered by shift
 
 
+def test_fused_ladder_u16_matches_xla(rng):
+    """10-bit lane (ScaleP016/P016ToBgr* analog): Pallas u16 kernel vs the
+    exact XLA path on lsb-aligned 10-bit planes."""
+    from gmat_tpu.ops.pallas_kernels import fused_ladder_u16
+    n, h, w = 2, 64, 128
+    y = rng.integers(0, 1024, (n, h, w)).astype(np.uint16)
+    u = rng.integers(0, 1024, (n, h // 2, w // 2)).astype(np.uint16)
+    v = rng.integers(0, 1024, (n, h // 2, w // 2)).astype(np.uint16)
+    got = np.asarray(fused_ladder_u16(jnp.asarray(y), jnp.asarray(u),
+                                      jnp.asarray(v), 32, 32, bits=10,
+                                      interpret=True))
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p10", w, h, "bt709")
+    want = np.asarray(fused.preprocess_nchw(fb, 32, 32, norm=1023.0,
+                                            use_pallas="never"))
+    assert got.shape == want.shape == (n, 3, 32, 32)
+    # bf16 MXU feed rounds 10-bit samples to <=2 of 1023 (~0.5 u8-LSB);
+    # weights add ~1.5 u8-LSB like the 8-bit bf16 kernel
+    assert (np.abs(got - want) * 255).max() <= 2.0
+
+
+def test_preprocess_nchw_dispatches_u16(rng, monkeypatch):
+    """preprocess_nchw routes yuv420p10 to the u16 kernel when Pallas is
+    eligible, with XLA-identical norm semantics."""
+    from gmat_tpu.ops import fused as fused_mod
+    n, h, w = 1, 32, 64
+    y = rng.integers(0, 1024, (n, h, w)).astype(np.uint16)
+    u = rng.integers(0, 1024, (n, h // 2, w // 2)).astype(np.uint16)
+    v = rng.integers(0, 1024, (n, h // 2, w // 2)).astype(np.uint16)
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p10", w, h, "bt709")
+    monkeypatch.setattr(fused_mod, "_pallas_eligible",
+                        lambda *a, **k: True)
+    import gmat_tpu.ops.pallas_kernels as pk
+    orig = pk.fused_ladder_u16
+    # interpret mode: no TPU on CI
+    monkeypatch.setattr(pk, "fused_ladder_u16",
+                        lambda *a, **k: orig(*a, **k, interpret=True))
+    got = np.asarray(fused_mod.preprocess_nchw(fb, 16, 16, norm=1023.0))
+    want = np.asarray(fused_mod.preprocess_nchw(fb, 16, 16, norm=1023.0,
+                                                use_pallas="never"))
+    assert (np.abs(got - want) * 255).max() <= 2.0
+
+
 def test_fused_ladder_nv12_matches_planar(rng):
     from gmat_tpu.core.frame import pack_nv12
     from gmat_tpu.ops.pallas_kernels import fused_ladder_nv12
