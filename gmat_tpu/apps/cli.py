@@ -69,6 +69,37 @@ def build_parser():
     return p
 
 
+def filter_help(name: str) -> int:
+    """ffmpeg `-h filter=NAME`: the one filter's options + docstring."""
+    import inspect
+
+    from ..filters.builtin import FILTERS
+    from ..filters.graph import POSITIONAL
+    f = FILTERS.get(name)
+    if f is None:
+        print(f"unknown filter {name!r} (see -list-filters)")
+        return 1
+    print(f"Filter {name}")
+    doc = inspect.getdoc(f)
+    if doc:
+        print("  " + "\n  ".join(doc.splitlines()))
+    try:
+        params = [p for p in inspect.signature(f).parameters.values()
+                  if p.name != "self"]
+    except (TypeError, ValueError):
+        params = []
+    if params:
+        print("  options:")
+        for p in params:
+            d = ("" if p.default is inspect.Parameter.empty
+                 else f" (default {p.default!r})")
+            print(f"    {p.name}{d}")
+    posn = POSITIONAL.get(name)
+    if posn:
+        print(f"  positional order: {':'.join(posn)}")
+    return 0
+
+
 def list_filters():
     """ffmpeg `-h filter=NAME` analog: one line per filter with its
     option names (factory signature / positional order)."""
@@ -102,6 +133,11 @@ def main(argv=None):
     if "-list-filters" in argv:
         list_filters()
         return 0
+    if "-h" in argv:
+        # ffmpeg -h filter=NAME (FFMPEG-GPU_User_Guide.md:24-26)
+        i = argv.index("-h")
+        if i + 1 < len(argv) and argv[i + 1].startswith("filter="):
+            return filter_help(argv[i + 1].split("=", 1)[1])
     args = build_parser().parse_args(argv)
 
     from ..utils.compile_cache import enable as _enable_cache

@@ -81,7 +81,13 @@ def parse_enc_param(s: str, defaults: Dict = None) -> Dict:
         elif k in ("tune", "tuning"):
             if v.lower() in ("lowlatency", "ull", "lowdelay"):
                 x264_extra.append(("tune", "zerolatency"))
-        elif k in ("lookahead", "temporalaq", "aq", "profile"):
+        elif k == "profile":
+            # NVENC GUID names -> libx264/x265 -profile strings
+            x264_extra.append(("profile", {
+                "baseline": "baseline", "main": "main", "high": "high",
+                "high444": "high444", "main10": "main10",
+            }.get(v.lower(), v.lower())))
+        elif k in ("lookahead", "temporalaq", "aq"):
             pass   # quality knobs without a 1:1 libx264 flag; accepted
         else:
             raise ValueError(f"unknown encoder option {k!r} in {s!r}")
@@ -92,7 +98,7 @@ def parse_enc_param(s: str, defaults: Dict = None) -> Dict:
             extras.append(f"maxrate={v}")
         elif k == "vbvbufsize":
             extras.append(f"bufsize={v}")
-        elif k in ("qmin", "qmax", "tune"):
+        elif k in ("qmin", "qmax", "tune", "profile"):
             extras.append(f"{k}={v}")
     if extras:
         out["opts"] = ",".join(extras)

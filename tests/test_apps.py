@@ -246,6 +246,41 @@ def test_cli_list_filters(capsys):
     assert "yadif" in out and "overlay" in out and "positional" in out
 
 
+def test_cli_filter_help(capsys):
+    """ffmpeg `-h filter=NAME` form (FFMPEG-GPU_User_Guide.md:24-26)."""
+    from gmat_tpu.apps.cli import main
+    assert main(["-h", "filter=smooth"]) == 0
+    out = capsys.readouterr().out
+    assert "sigmaX" in out and "positional order" in out
+    assert main(["-h", "filter=doesnotexist"]) == 1
+
+
+def test_encparam_profile():
+    """-profile maps to a real libx264 profile and lands in the SPS."""
+    from gmat_tpu.av import toolkit as tk
+    from gmat_tpu.utils.encparam import parse_enc_param
+
+    kw = parse_enc_param("codec=h264:profile=high:bitrate=1M")
+    assert "profile=high" in kw["opts"]
+
+    def profile_idc(opts):
+        import numpy as np
+        enc = tk.Encoder("libx264", 96, 64, fps=(30, 1), crf=30.0,
+                         opts=opts)
+        ex = enc.extradata()
+        enc.close()
+        i = ex.find(b"\x00\x00\x01")
+        while i >= 0:
+            nal = ex[i + 3:]
+            if nal and (nal[0] & 0x1F) == 7:      # SPS
+                return nal[1]
+            i = ex.find(b"\x00\x00\x01", i + 3)
+        return None
+
+    assert profile_idc("profile=baseline") == 66
+    assert profile_idc("profile=high") == 100
+
+
 def test_metrans_yadif_rung(clip, tmp_path):
     """A rung running yadif=1 (send_field) muxes at 2x fps and emits ~2x
     frames (incl. the EOF flush)."""
