@@ -100,7 +100,9 @@ static void demux_free(GavDemuxer* d) {
 }
 
 // shared tail of both open paths: stream probe + annexb BSF + packet alloc
-static void* demux_finish(GavDemuxer* d) {
+// keep_avcc skips the mp4toannexb BSF (the reference Demuxer's bKeepAvcc,
+// Demuxer.h:58 — required for stream-copy remux into mp4/mov)
+static void* demux_finish(GavDemuxer* d, int keep_avcc) {
     int r = avformat_find_stream_info(d->fmt, nullptr);
     if (r < 0) { set_err("find_stream_info", r); demux_free(d); return nullptr; }
     d->vstream = av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
@@ -110,8 +112,8 @@ static void* demux_finish(GavDemuxer* d) {
     if (d->vstream < 0 && d->astream < 0) { snprintf(g_err, sizeof g_err, "no video or audio stream"); demux_free(d); return nullptr; }
     AVCodecParameters* par = d->vstream >= 0 ? d->fmt->streams[d->vstream]->codecpar : nullptr;
     const char* bsf_name = nullptr;
-    if (par && par->codec_id == AV_CODEC_ID_H264) bsf_name = "h264_mp4toannexb";
-    else if (par && par->codec_id == AV_CODEC_ID_HEVC) bsf_name = "hevc_mp4toannexb";
+    if (!keep_avcc && par && par->codec_id == AV_CODEC_ID_H264) bsf_name = "h264_mp4toannexb";
+    else if (!keep_avcc && par && par->codec_id == AV_CODEC_ID_HEVC) bsf_name = "hevc_mp4toannexb";
     if (bsf_name) {
         const AVBitStreamFilter* f = av_bsf_get_by_name(bsf_name);
         if (f && av_bsf_alloc(f, &d->bsf) == 0) {
@@ -125,17 +127,17 @@ static void* demux_finish(GavDemuxer* d) {
     return d;
 }
 
-GAV_API void* gav_demux_open(const char* path) {
+GAV_API void* gav_demux_open(const char* path, int keep_avcc) {
     auto* d = new GavDemuxer();
     int r = avformat_open_input(&d->fmt, path, nullptr, nullptr);
     if (r < 0) { set_err("avformat_open_input", r); delete d; return nullptr; }
-    return demux_finish(d);
+    return demux_finish(d, keep_avcc);
 }
 
 // Memory-buffer input (Demuxer(pBuffer, size) / FrameExtractor_InitFromBuffer
 // analog, metrans/app/CFrameExtractor.cpp).  The caller keeps `data` alive
 // for the demuxer's lifetime; nothing is copied.
-GAV_API void* gav_demux_open_buffer(const uint8_t* data, long long size) {
+GAV_API void* gav_demux_open_buffer(const uint8_t* data, long long size, int keep_avcc) {
     auto* d = new GavDemuxer();
     d->bufio = new GavBufIO{data, (int64_t)size, 0};
     const size_t iosz = 1 << 16;
@@ -163,7 +165,7 @@ GAV_API void* gav_demux_open_buffer(const uint8_t* data, long long size) {
         delete d;
         return nullptr;
     }
-    return demux_finish(d);
+    return demux_finish(d, keep_avcc);
 }
 
 GAV_API void gav_demux_close(void* h) {

@@ -102,9 +102,12 @@ def demo_mux(wd):
                 if p.stream == 1:
                     am.write(p)
 
-    # Remux: stream-copy both lanes into another container (.ts)
-    ts = os.path.join(wd, "remux.ts")
-    with tk.Demuxer(src) as dm:
+    # Remux: stream-copy both lanes into another container.  Like the
+    # reference ("We have to keep AVCC format here", AppMux.cpp Remux()),
+    # mp4-family targets need keep_avcc=True so packets stay in container
+    # format; annexb targets (.ts) take the default.
+    ts = os.path.join(wd, "remux.mp4")
+    with tk.Demuxer(src, keep_avcc=True) as dm:
         ai = tk.AudioInfo(dm)
         tbn, tbd = dm.time_base
         # AvMuxer video pts are in frame units (1/fps); pass the source
@@ -146,7 +149,7 @@ def demo_mux(wd):
         with tk.Demuxer(f) as dm:
             assert dm.has_video == want_v and dm.has_audio == want_a, f
     print(f"mux: wrote {os.path.basename(h264)}, {os.path.basename(aac)}, "
-          f"remux.ts, mux.ts")
+          f"remux.mp4, mux.ts")
 
 
 def demo_vid_dec(wd):

@@ -61,9 +61,11 @@ def _declare(name: str, lib: ctypes.CDLL):
     if name == "gmat_av":
         sigs = {
             "gav_last_error": (ctypes.c_char_p, []),
-            "gav_demux_open": (ctypes.c_void_p, [ctypes.c_char_p]),
+            "gav_demux_open": (ctypes.c_void_p, [ctypes.c_char_p,
+                                                 ctypes.c_int]),
             "gav_demux_open_buffer": (ctypes.c_void_p,
-                                      [ctypes.c_char_p, c_ll]),
+                                      [ctypes.c_char_p, c_ll,
+                                       ctypes.c_int]),
             "gav_enc_set_roi": (None, [ctypes.c_void_p, c_pi, ctypes.c_int]),
             "gav_dec_set_crop": (None, [ctypes.c_void_p, ctypes.c_int,
                                         ctypes.c_int, ctypes.c_int,

@@ -46,16 +46,21 @@ class Demuxer:
     reference's Demuxer(uint8_t* pBuffer, size_t) ctor (Demuxer.h:20-61),
     zero-copy: the buffer is pinned for the demuxer's lifetime."""
 
-    def __init__(self, src):
+    def __init__(self, src, keep_avcc: bool = False):
+        """keep_avcc=True skips the mp4->annexb BSF (the reference's
+        bKeepAvcc, Demuxer.h:58) so packets stay in container format —
+        required when stream-copying back into mp4/mov."""
         self._lib = native.load()
         self._buf = None
         if isinstance(src, (bytes, bytearray, memoryview)):
             self._buf = bytes(src)   # pin (no-copy when already bytes)
             self._h = self._lib.gav_demux_open_buffer(self._buf,
-                                                      len(self._buf))
+                                                      len(self._buf),
+                                                      int(keep_avcc))
             src = f"<memory:{len(self._buf)}B>"
         else:
-            self._h = self._lib.gav_demux_open(src.encode())
+            self._h = self._lib.gav_demux_open(src.encode(),
+                                               int(keep_avcc))
         if not self._h:
             raise IOError(f"demux open {src}: {native.last_error()}")
         self.has_video = bool(self._lib.gav_demux_has_video(self._h))

@@ -533,3 +533,41 @@ def test_vp9_webm_roundtrip(tmp_path):
     assert len(got) == len(frames)
     assert np.abs(got[0].astype(int) -
                   frames[0][0].astype(int)).mean() < 6.0
+
+
+def test_keep_avcc_remux_roundtrip(clip, tmp_path):
+    """bKeepAvcc parity (Demuxer.h:58): with keep_avcc the packets stay in
+    container format (no annexb start codes), and a stream-copy remux into
+    mp4 produces a decodable file with the same frame count (AppMux.cpp
+    Remux(): 'We have to keep AVCC format here')."""
+    path, frames = clip
+
+    with tk.Demuxer(path) as dm_bsf, tk.Demuxer(path, keep_avcc=True) as dm:
+        p_annexb = next(p for p in dm_bsf if p.stream == 0)
+        p_avcc = next(p for p in dm if p.stream == 0)
+        assert p_annexb.data[:4] in (b"\x00\x00\x00\x01", b"\x00\x00\x01")
+        # avcc packets are length-prefixed, not start-code-prefixed
+        assert p_avcc.data[:4] not in (b"\x00\x00\x00\x01",)
+        assert p_avcc.data[:3] != b"\x00\x00\x01"
+
+    out = str(tmp_path / "remux.mp4")
+    with tk.Demuxer(path, keep_avcc=True) as dm:
+        tbn, tbd = dm.time_base
+        mx = tk.Muxer(out, dm.width, dm.height, (tbd, tbn), tk.CODEC_H264,
+                      dm.extradata())
+        n_in = 0
+        for p in dm:
+            if p.stream == 0:
+                mx.write(p)
+                n_in += 1
+        mx.close()
+
+    with tk.Demuxer(out) as dm2:
+        dec = tk.Decoder.from_demuxer(dm2)
+        n_out = 0
+        for p in dm2:
+            if p.stream == 0:
+                n_out += sum(1 for _ in dec.decode(p.data, p.pts))
+        n_out += sum(1 for _ in dec.decode(None))
+        dec.close()
+    assert n_in == len(frames) and n_out == len(frames)
