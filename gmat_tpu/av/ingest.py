@@ -83,10 +83,11 @@ class PrefetchQueue:
 
     def __init__(self, batch_iter, depth: int = 3, device=None,
                  to_device: bool = True, colorspace: str = "bt709",
-                 width: int = 0, height: int = 0):
+                 width: int = 0, height: int = 0, fmt: str = "yuv420p"):
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self.device = device or jax.devices()[0]
         self.to_device = to_device
+        self.fmt = fmt
         self.colorspace = colorspace
         self.width, self.height = width, height
         self.error: Optional[BaseException] = None
@@ -147,7 +148,7 @@ class PrefetchQueue:
             h = self.height or y.shape[1]
             w = self.width or y.shape[2]
             fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
-                             "v": jnp.asarray(v)}, "yuv420p", w, h,
+                             "v": jnp.asarray(v)}, self.fmt, w, h,
                             self.colorspace)
             self.last_keys = keys
             self.last_pos = poss
@@ -158,7 +159,7 @@ class PrefetchQueue:
 def decode_stream(path: str, batch: int = 32, depth: int = 3,
                   device=None, threads: int = 0, seek: float = 0.0,
                   width: int = 0, height: int = 0, layout: str = "i420",
-                  resize=None, crop=None):
+                  resize=None, crop=None, bits: int = 8):
     """Convenience: full-decode a file into prefetched device FrameBatches.
 
     Accepts compressed containers (mp4/mkv/...), .y4m, and headerless raw
@@ -169,6 +170,11 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
     (compressed containers only) — frames shrink on the host before the
     H2D transfer (NvDecLite pCropRect/pResizeDim analog), cutting
     transfer 4-9x for decode-bound workloads.
+
+    bits=10 decodes through the 10-bit lane (decode16: any source depth
+    normalized to lsb-aligned u16) and yields 'yuv420p10' batches, which
+    preprocess_nchw routes to the u16 Pallas ladder on TPU — the
+    reference's P016 pipeline (NvDecLite 10-bit output -> ScaleP016).
     """
     from . import toolkit as tk
 
@@ -212,11 +218,14 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
         q.fps = 30.0
         return q
 
+    if bits not in (8, 10):
+        raise ValueError(f"bits must be 8 or 10, got {bits}")
     dm = tk.Demuxer(path)
     dec = tk.Decoder.from_demuxer(dm, threads, resize=resize, crop=crop)
     if seek > 0:
         dm.seek(seek)
     out_w, out_h = dec.width, dec.height
+    dec_frames = dec.decode16 if bits == 10 else dec.decode
 
     def frames():
         key_pts = set()
@@ -235,14 +244,14 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
                     pos_by_pts.pop(next(iter(pos_by_pts)))
                 while len(key_pts) > 512:
                     key_pts.pop()
-                for (y, u, v, p) in dec.decode(pkt.data, pkt.pts):
+                for (y, u, v, p) in dec_frames(pkt.data, pkt.pts):
                     is_key = p in key_pts
                     key_pts.discard(p)
                     # interlaced flag: bit 0; tff: bit 1 (AVFrame props)
                     il = (int(getattr(dec, "last_interlaced", 0)) |
                           (int(getattr(dec, "last_tff", 0)) << 1))
                     yield y, u, v, p, is_key, pos_by_pts.pop(p, -1), il
-            for (y, u, v, p) in dec.decode(None):
+            for (y, u, v, p) in dec_frames(None):
                 is_key = p in key_pts
                 key_pts.discard(p)
                 il = (int(getattr(dec, "last_interlaced", 0)) |
@@ -254,6 +263,7 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
     src = FrameBatchSource(frames(), batch, out_w, out_h, dm.colorspace)
     q = PrefetchQueue(iter(src), depth=depth, device=device,
                       colorspace=dm.colorspace, width=out_w,
-                      height=out_h)
+                      height=out_h,
+                      fmt="yuv420p10" if bits == 10 else "yuv420p")
     q.fps = dm.fps or 30.0
     return q

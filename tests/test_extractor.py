@@ -211,3 +211,23 @@ def test_demuxer_memory_metadata(clip):
     pf, pm = dm_f.read(), dm_m.read()
     assert pf.data == pm.data and pf.pts == pm.pts
     dm_f.close(); dm_m.close()
+
+
+def test_decode_stream_10bit(clip):
+    """bits=10 ingest: yuv420p10 u16 batches through the whole prefetch
+    pipeline (NvDecLite 10-bit output -> ScaleP016 lane)."""
+    import numpy as np
+    from gmat_tpu.av.ingest import decode_stream
+    from gmat_tpu.ops import fused
+
+    path = clip if isinstance(clip, str) else clip[0]
+    tot = 0
+    for fb, pts, valid in decode_stream(path, batch=16, bits=10):
+        assert fb.format == "yuv420p10"
+        assert fb.planes["y"].dtype == np.uint16
+        assert int(fb.planes["y"].max()) > 255
+        x = np.asarray(fused.preprocess_nchw(fb, 32, 32, norm=1023.0,
+                                             use_pallas="never"))
+        assert np.isfinite(x).all() and x.max() <= 1.0
+        tot += int(valid)
+    assert tot > 0
