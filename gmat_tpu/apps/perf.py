@@ -171,6 +171,43 @@ def perf_ladder(args):
             "note": "per-call incl dispatch; see bench.py for device rate"}
 
 
+def perf_ladder10(args):
+    """10-bit (P010) fused ladder rate — the ScaleP016/P016ToBgr* lane."""
+    import jax
+    import jax.numpy as jnp
+    from ..core.frame import FrameBatch
+    from ..ops import fused
+    from ..ops.pallas_kernels import fused_ladder_u16
+    dev = jax.devices()[0]
+    n, h, w = 32, args.height, args.width
+    rng = np.random.default_rng(0)
+    y = jax.device_put(rng.integers(0, 1024, (n, h, w))
+                       .astype(np.uint16), dev)
+    u = jax.device_put(rng.integers(0, 1024, (n, h // 2, w // 2))
+                       .astype(np.uint16), dev)
+    v = jax.device_put(rng.integers(0, 1024, (n, h // 2, w // 2))
+                       .astype(np.uint16), dev)
+    if dev.platform == "tpu":
+        fn = jax.jit(lambda y, u, v: jnp.sum(
+            fused_ladder_u16(y, u, v, 224, 224, 10)))
+    else:
+        fn = jax.jit(lambda y, u, v: jnp.sum(fused.preprocess_nchw(
+            FrameBatch({"y": y, "u": u, "v": v}, "yuv420p10", w, h,
+                       "bt709"), 224, 224, norm=1023.0,
+            use_pallas="never")))
+    float(np.asarray(fn(y, u, v)))
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(y, u, v)
+    float(np.asarray(r))
+    dt = time.perf_counter() - t0
+    return {"case": "ladder10", "platform": dev.platform,
+            "fps": round(n * iters / dt, 1),
+            "note": "per-call incl dispatch; see BENCHMARKS.md for the "
+                    "marginal device rate"}
+
+
 def perf_pipeline(args):
     import jax
     import numpy as np_
@@ -337,8 +374,8 @@ def main(argv=None):
     _enable_cache()
     p = argparse.ArgumentParser(prog="gmat-perf")
     p.add_argument("case", choices=["decode", "encode", "extract", "heif",
-                                    "jpeg", "ladder", "pipeline",
-                                    "sustained", "ingest"])
+                                    "jpeg", "ladder", "ladder10",
+                                    "pipeline", "sustained", "ingest"])
     p.add_argument("-i", "--input", default="")
     p.add_argument("-codec", default="libx264")
     p.add_argument("-frames", type=int, default=100)
@@ -351,7 +388,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     fn = {"decode": perf_decode, "encode": perf_encode,
           "extract": perf_extract, "heif": perf_heif, "jpeg": perf_jpeg,
-          "ladder": perf_ladder, "pipeline": perf_pipeline,
+          "ladder": perf_ladder, "ladder10": perf_ladder10,
+          "pipeline": perf_pipeline,
           "sustained": perf_sustained, "ingest": perf_ingest}[args.case]
     print(json.dumps(fn(args)))
     return 0
