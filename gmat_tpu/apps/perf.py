@@ -208,6 +208,45 @@ def perf_ladder10(args):
                     "marginal device rate"}
 
 
+def perf_infer(args):
+    """In-graph inference rate (BASELINE config #4): the fused ladder
+    feeding the bundled ESPCN SR model inside ONE jitted program — the
+    tensorrt-filter pipeline (scale_npp + format_cuda + tensorrt) as a
+    single XLA program."""
+    import jax
+    import jax.numpy as jnp
+    from ..core.frame import FrameBatch
+    from ..filters.infer import InferFilter
+    from ..ops import fused
+    dev = jax.devices()[0]
+    n, h, w = (32 if dev.platform == "tpu" else 4), args.height, args.width
+    rng = np.random.default_rng(0)
+    y = jax.device_put(rng.integers(0, 256, (n, h, w)).astype(np.uint8), dev)
+    u = jax.device_put(rng.integers(0, 256, (n, h // 2, w // 2))
+                       .astype(np.uint8), dev)
+    v = jax.device_put(rng.integers(0, 256, (n, h // 2, w // 2))
+                       .astype(np.uint8), dev)
+    filt = InferFilter(model="sr2x")
+
+    @jax.jit
+    def prog(y, u, v):
+        x = fused.preprocess_nchw(
+            FrameBatch({"y": y, "u": u, "v": v}, "yuv420p", w, h, "bt709"),
+            224, 224)
+        return jnp.sum(filt._run(x))
+
+    float(np.asarray(prog(y, u, v)))
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = prog(y, u, v)
+    float(np.asarray(r))
+    dt = time.perf_counter() - t0
+    return {"case": "infer", "platform": dev.platform, "model": "sr2x",
+            "in": f"{w}x{h}", "net_input": "224x224",
+            "fps": round(n * iters / dt, 1)}
+
+
 def perf_pipeline(args):
     import jax
     import numpy as np_
@@ -374,7 +413,7 @@ def main(argv=None):
     _enable_cache()
     p = argparse.ArgumentParser(prog="gmat-perf")
     p.add_argument("case", choices=["decode", "encode", "extract", "heif",
-                                    "jpeg", "ladder", "ladder10",
+                                    "jpeg", "ladder", "ladder10", "infer",
                                     "pipeline", "sustained", "ingest"])
     p.add_argument("-i", "--input", default="")
     p.add_argument("-codec", default="libx264")
@@ -389,7 +428,7 @@ def main(argv=None):
     fn = {"decode": perf_decode, "encode": perf_encode,
           "extract": perf_extract, "heif": perf_heif, "jpeg": perf_jpeg,
           "ladder": perf_ladder, "ladder10": perf_ladder10,
-          "pipeline": perf_pipeline,
+          "infer": perf_infer, "pipeline": perf_pipeline,
           "sustained": perf_sustained, "ingest": perf_ingest}[args.case]
     print(json.dumps(fn(args)))
     return 0
