@@ -107,6 +107,8 @@ P016 = _register(_yuv420("p016", "uint16", 16))
 YUV420P10 = _register(_yuv420("yuv420p10", "uint16", 10))  # lsb-aligned
 YUV420P16 = _register(_yuv420("yuv420p16", "uint16", 16))
 YUV444P = _register(_yuv444("yuv444p", "uint8", 8))
+YUV444P10 = _register(_yuv444("yuv444p10", "uint16", 10))  # lsb-aligned
+YUV444P16 = _register(_yuv444("yuv444p16", "uint16", 16))
 GRAY8 = _register(PixelFormat("gray8", (PlaneDesc("y", 0, 0, 1, "uint8"),),
                               8, is_rgb=False))
 

@@ -202,3 +202,31 @@ def test_rgb_to_gray8_roundtrip(rng):
     back = csc.convert(g, "rgb24")
     arr = np.asarray(back.planes["rgb"])
     np.testing.assert_array_equal(arr[..., 0], arr[..., 1])
+
+
+def test_yuv444_high_depth_formats(rng):
+    """yuv444p10/yuv444p16 (user-guide yuv<->yuv list,
+    FFMPEG-GPU_User_Guide.md): depth/chroma conversions + RGB both ways."""
+    y = rng.integers(0, 65536, (1, 16, 32)).astype(np.uint16)
+    u = rng.integers(0, 65536, (1, 16, 32)).astype(np.uint16)
+    v = rng.integers(0, 65536, (1, 16, 32)).astype(np.uint16)
+    fb16 = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                       "v": jnp.asarray(v)}, "yuv444p16", 32, 16, "bt709")
+
+    # 16 -> 10 is a shift (msb preserved)
+    fb10 = csc.convert(fb16, "yuv444p10")
+    assert fb10.planes["y"].dtype == jnp.uint16
+    assert np.array_equal(np.asarray(fb10.planes["y"]),
+                          (y >> 6).astype(np.uint16))
+
+    # 444p16 -> 420p10: chroma downsample + depth shift
+    p420 = csc.convert(fb16, "yuv420p10")
+    assert p420.planes["u"].shape == (1, 8, 16)
+    assert int(np.asarray(p420.planes["y"]).max()) <= 1023
+
+    # RGB both ways at 10-bit 4:4:4
+    rgb = csc.yuv_to_rgb(fb10, "rgb24")
+    assert np.asarray(rgb.planes["rgb"]).shape == (1, 16, 32, 3)
+    back = csc.rgb_to_yuv(rgb, "yuv444p10")
+    assert back.planes["y"].dtype == jnp.uint16
+    assert int(np.asarray(back.planes["y"]).max()) <= 1023
