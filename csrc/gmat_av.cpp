@@ -719,6 +719,11 @@ struct GavMuxer {
 static void* mux_open_avid(const char* path, int w, int h, int fps_num,
                            int fps_den, AVCodecID id,
                            const unsigned char* extradata, int extradata_size);
+static AVStream* mux_add_audio_stream(AVFormatContext* fmt, int acodec_id,
+                                      int sample_rate, int channels,
+                                      const unsigned char* aextra,
+                                      int aextra_size);
+static void* mux_finish_open(GavMuxer* m, const char* path);
 
 GAV_API void* gav_mux_open(const char* path, int w, int h, int fps_num,
                            int fps_den, int codec /*0 h264,1 hevc,2 mjpeg*/,
@@ -758,14 +763,7 @@ static void* mux_open_avid(const char* path, int w, int h, int fps_num,
     st->avg_frame_rate = {fps_num, fps_den};
     m->enc_tb = {fps_den, fps_num};
     m->vstream = st->index;
-    if (!(m->fmt->oformat->flags & AVFMT_NOFILE)) {
-        r = avio_open(&m->fmt->pb, path, AVIO_FLAG_WRITE);
-        if (r < 0) { set_err("avio_open", r); avformat_free_context(m->fmt); delete m; return nullptr; }
-    }
-    r = avformat_write_header(m->fmt, nullptr);
-    if (r < 0) { set_err("write_header", r); avformat_free_context(m->fmt); delete m; return nullptr; }
-    m->header_written = true;
-    return m;
+    return mux_finish_open(m, path);
 }
 
 GAV_API int gav_mux_write(void* h, const unsigned char* data, int size,
@@ -1074,6 +1072,52 @@ GAV_API int gav_aenc_receive(void* h, unsigned char** data, long long* pts,
 
 // ---- muxer with optional audio stream --------------------------------
 // (two-stream variant of gav_mux_open; audio timebase = 1/sample_rate)
+
+// shared mux helpers: audio-stream setup + avio/write_header tail (with
+// full cleanup on failure — avio_closep before freeing the context)
+static AVStream* mux_add_audio_stream(AVFormatContext* fmt, int acodec_id,
+                                      int sample_rate, int channels,
+                                      const unsigned char* aextra,
+                                      int aextra_size) {
+    AVStream* as = avformat_new_stream(fmt, nullptr);
+    if (!as) return nullptr;
+    as->codecpar->codec_type = AVMEDIA_TYPE_AUDIO;
+    as->codecpar->codec_id = (AVCodecID)acodec_id;
+    as->codecpar->sample_rate = sample_rate;
+    // AAC/AC3/MP2 frame sizes so the mp4 muxer can compute durations
+    as->codecpar->frame_size =
+        acodec_id == AV_CODEC_ID_AAC ? 1024 :
+        acodec_id == AV_CODEC_ID_AC3 ? 1536 :
+        acodec_id == AV_CODEC_ID_MP2 ? 1152 : 0;
+    av_channel_layout_default(&as->codecpar->ch_layout, channels);
+    if (aextra_size > 0) {
+        as->codecpar->extradata = (uint8_t*)av_mallocz(aextra_size + AV_INPUT_BUFFER_PADDING_SIZE);
+        memcpy(as->codecpar->extradata, aextra, aextra_size);
+        as->codecpar->extradata_size = aextra_size;
+    }
+    as->time_base = {1, sample_rate};
+    return as;
+}
+
+static void* mux_finish_open(GavMuxer* m, const char* path) {
+    int r;
+    if (!(m->fmt->oformat->flags & AVFMT_NOFILE)) {
+        r = avio_open(&m->fmt->pb, path, AVIO_FLAG_WRITE);
+        if (r < 0) { set_err("avio_open", r); avformat_free_context(m->fmt); delete m; return nullptr; }
+    }
+    r = avformat_write_header(m->fmt, nullptr);
+    if (r < 0) {
+        set_err("write_header", r);
+        if (!(m->fmt->oformat->flags & AVFMT_NOFILE) && m->fmt->pb)
+            avio_closep(&m->fmt->pb);
+        avformat_free_context(m->fmt);
+        delete m;
+        return nullptr;
+    }
+    m->header_written = true;
+    return m;
+}
+
 GAV_API void* gav_mux_open_av(const char* path, int w, int h, int fps_num,
                               int fps_den, int vcodec,
                               const unsigned char* vextra, int vextra_size,
@@ -1104,30 +1148,12 @@ GAV_API void* gav_mux_open_av(const char* path, int w, int h, int fps_num,
         vs->avg_frame_rate = {fps_num, fps_den};
         m->vstream = vs->index;
         m->enc_tb = {fps_den, fps_num};
-        AVStream* as = avformat_new_stream(m->fmt, nullptr);
-        as->codecpar->codec_type = AVMEDIA_TYPE_AUDIO;
-        as->codecpar->codec_id = (AVCodecID)acodec_id;
-        as->codecpar->sample_rate = sample_rate;
-        // AAC/AC3/MP2 frame sizes so the mp4 muxer can compute durations
-        as->codecpar->frame_size =
-            acodec_id == AV_CODEC_ID_AAC ? 1024 :
-            acodec_id == AV_CODEC_ID_AC3 ? 1536 :
-            acodec_id == AV_CODEC_ID_MP2 ? 1152 : 0;
-        av_channel_layout_default(&as->codecpar->ch_layout, channels);
-        if (aextra_size > 0) {
-            as->codecpar->extradata = (uint8_t*)av_mallocz(aextra_size + AV_INPUT_BUFFER_PADDING_SIZE);
-            memcpy(as->codecpar->extradata, aextra, aextra_size);
-            as->codecpar->extradata_size = aextra_size;
+        if (!mux_add_audio_stream(m->fmt, acodec_id, sample_rate, channels,
+                                  aextra, aextra_size)) {
+            snprintf(g_err, sizeof g_err, "avformat_new_stream failed");
+            avformat_free_context(m->fmt); delete m; return nullptr;
         }
-        as->time_base = {1, sample_rate};
-        if (!(m->fmt->oformat->flags & AVFMT_NOFILE)) {
-            r = avio_open(&m->fmt->pb, path, AVIO_FLAG_WRITE);
-            if (r < 0) { set_err("avio_open", r); avformat_free_context(m->fmt); delete m; return nullptr; }
-        }
-        r = avformat_write_header(m->fmt, nullptr);
-        if (r < 0) { set_err("write_header", r); avformat_free_context(m->fmt); delete m; return nullptr; }
-        m->header_written = true;
-        return m;
+        return mux_finish_open(m, path);
     }
 }
 
@@ -1140,30 +1166,13 @@ GAV_API void* gav_mux_open_audio(const char* path, int acodec_id,
     auto* m = new GavMuxer();
     int r = avformat_alloc_output_context2(&m->fmt, nullptr, nullptr, path);
     if (r < 0 || !m->fmt) { set_err("alloc_output", r); delete m; return nullptr; }
-    AVStream* as = avformat_new_stream(m->fmt, nullptr);
-    as->codecpar->codec_type = AVMEDIA_TYPE_AUDIO;
-    as->codecpar->codec_id = (AVCodecID)acodec_id;
-    as->codecpar->sample_rate = sample_rate;
-    as->codecpar->frame_size =
-        acodec_id == AV_CODEC_ID_AAC ? 1024 :
-        acodec_id == AV_CODEC_ID_AC3 ? 1536 :
-        acodec_id == AV_CODEC_ID_MP2 ? 1152 : 0;
-    av_channel_layout_default(&as->codecpar->ch_layout, channels);
-    if (aextra_size > 0) {
-        as->codecpar->extradata = (uint8_t*)av_mallocz(aextra_size + AV_INPUT_BUFFER_PADDING_SIZE);
-        memcpy(as->codecpar->extradata, aextra, aextra_size);
-        as->codecpar->extradata_size = aextra_size;
+    if (!mux_add_audio_stream(m->fmt, acodec_id, sample_rate, channels,
+                              aextra, aextra_size)) {
+        snprintf(g_err, sizeof g_err, "avformat_new_stream failed");
+        avformat_free_context(m->fmt); delete m; return nullptr;
     }
-    as->time_base = {1, sample_rate};
     m->vstream = -1;
-    if (!(m->fmt->oformat->flags & AVFMT_NOFILE)) {
-        r = avio_open(&m->fmt->pb, path, AVIO_FLAG_WRITE);
-        if (r < 0) { set_err("avio_open", r); avformat_free_context(m->fmt); delete m; return nullptr; }
-    }
-    r = avformat_write_header(m->fmt, nullptr);
-    if (r < 0) { set_err("write_header", r); avformat_free_context(m->fmt); delete m; return nullptr; }
-    m->header_written = true;
-    return m;
+    return mux_finish_open(m, path);
 }
 
 // stream: 0 = video (pts in 1/fps), 1 = audio (pts in 1/sample_rate)
@@ -1178,8 +1187,13 @@ GAV_API int gav_mux_write_stream(void* h, int stream, const unsigned char* data,
     av_new_packet(pkt, size);
     memcpy(pkt->data, data, size);
     // the audio stream is the last one (index 1 in A/V muxers, 0 in
-    // audio-only muxers)
+    // audio-only muxers); a video-only muxer has none
     AVStream* st = m->fmt->streams[m->fmt->nb_streams - 1];
+    if (st->codecpar->codec_type != AVMEDIA_TYPE_AUDIO) {
+        av_packet_free(&pkt);
+        snprintf(g_err, sizeof g_err, "muxer has no audio stream");
+        return -1;
+    }
     AVRational atb = {1, st->codecpar->sample_rate};
     pkt->pts = av_rescale_q(pts, atb, st->time_base);
     pkt->dts = av_rescale_q(dts, atb, st->time_base);

@@ -56,11 +56,8 @@ def make_av_clip(path):
         vpkts += enc.encode(y, u, v, pts=i)
     vpkts += enc.flush()
     aenc = tk.AudioEncoder("aac", RATE, CH, 96000)
-    samples = _pcm(NFRAMES / FPS)
-    apkts, fs = [], aenc.frame_size or 1024
-    for off in range(0, len(samples) - fs + 1, fs):
-        apkts += aenc.encode(samples[off:off + fs])
-    apkts += aenc.flush()
+    # the encoder's internal FIFO handles frame-size chunking
+    apkts = aenc.encode(_pcm(NFRAMES / FPS)) + aenc.flush()
     mux = tk.AvMuxer(path, W, H, (FPS, 1), tk.CODEC_H264, enc.extradata(),
                      aenc.codec_id, RATE, CH, aenc.extradata())
     for p in vpkts:
@@ -273,11 +270,7 @@ def demo_aud_enc(wd):
     """AppAudEnc.cpp: PCM -> bare .aac."""
     out = os.path.join(wd, "ae_out.aac")
     aenc = tk.AudioEncoder("aac", RATE, CH, 96000)
-    samples = _pcm(1.0)
-    pkts, fs = [], aenc.frame_size or 1024
-    for off in range(0, len(samples) - fs + 1, fs):
-        pkts += aenc.encode(samples[off:off + fs])
-    pkts += aenc.flush()
+    pkts = aenc.encode(_pcm(1.0)) + aenc.flush()
     with tk.AudioMuxer(out, aenc.codec_id, RATE, CH,
                        aenc.extradata()) as am:
         for p in pkts:
@@ -314,31 +307,21 @@ def demo_aud_trans(wd):
         adec = tk.AudioDecoder(info, sample_rate=rate, channels=ch)
         stream = AudioFilterStream("volume=0.8", rate)
         aenc = tk.AudioEncoder("aac", rate, ch, 96000)
-        fs = aenc.frame_size or 1024
-        pend = np.empty((0, ch), np.int16)
         pkts = []
 
-        def _drain(final=False):
-            nonlocal pend, pkts
-            while len(pend) >= fs:
-                pkts += aenc.encode(pend[:fs])
-                pend = pend[fs:]
-            if final and len(pend):
-                pkts += aenc.encode(pend)
-                pend = pend[:0]
+        def feed(chunk):
+            if len(chunk):
+                # the encoder's internal FIFO handles frame-size chunking
+                pkts.extend(aenc.encode(chunk))
 
         for p in dm:
             if p.stream != 1:
                 continue
             for s, _ in adec.decode(p.data, p.pts):
-                pend = np.concatenate([pend, stream.push(s)])
-                _drain()
+                feed(stream.push(s))
         for s, _ in adec.decode(None):
-            pend = np.concatenate([pend, stream.push(s)])
-        tail = stream.flush()
-        if len(tail):
-            pend = np.concatenate([pend, tail])
-        _drain(final=True)
+            feed(stream.push(s))
+        feed(stream.flush())
         pkts += aenc.flush()
         with tk.AudioMuxer(out, aenc.codec_id, aenc.sample_rate,
                            aenc.channels, aenc.extradata()) as am:

@@ -139,6 +139,11 @@ def main(argv=None):
         if i + 1 < len(argv) and argv[i + 1].startswith("filter="):
             return filter_help(argv[i + 1].split("=", 1)[1])
     args = build_parser().parse_args(argv)
+    if args.af and (not args.acodec or args.acodec == "copy"):
+        # ffmpeg: "Filtering and streamcopy cannot be used together"
+        print("gmat: -af requires a transcoding -c:a (aac|ac3|mp2), "
+              "not copy/absent", file=sys.stderr)
+        return 2
 
     from ..utils.compile_cache import enable as _enable_cache
     _enable_cache()   # .trtcache analog: reuse XLA programs across runs

@@ -178,7 +178,13 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
     """
     from . import toolkit as tk
 
+    if bits not in (8, 10):
+        raise ValueError(f"bits must be 8 or 10, got {bits}")
     lower = path.lower()
+    if bits == 10 and (lower.endswith(".y4m") or lower.endswith(
+            (".yuv", ".nv12", ".iyuv", ".raw"))):
+        raise ValueError("bits=10 is only supported for compressed "
+                         "containers (raw/y4m readers are 8-bit)")
     if lower.endswith(".y4m"):
         from .rawvideo import Y4MReader
         rd = Y4MReader(path)
@@ -218,8 +224,6 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
         q.fps = 30.0
         return q
 
-    if bits not in (8, 10):
-        raise ValueError(f"bits must be 8 or 10, got {bits}")
     dm = tk.Demuxer(path)
     dec = tk.Decoder.from_demuxer(dm, threads, resize=resize, crop=crop)
     if seek > 0:

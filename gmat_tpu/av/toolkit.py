@@ -169,6 +169,9 @@ class Decoder:
     @classmethod
     def from_demuxer(cls, dm: Demuxer, threads: int = 0, resize=None,
                      crop=None) -> "Decoder":
+        if not dm.has_video:
+            raise ValueError("source has no video stream (audio-only "
+                             "input: use AudioDecoder)")
         if dm.codec == 99:     # beyond the fast enum: raw AVCodecID path
             return cls(0, dm.extradata(), threads, dm.width, dm.height,
                        resize=resize, crop=crop, codec_id=dm.codec_id)

@@ -101,17 +101,24 @@ def _pallas_eligible(fb: FrameBatch, method: str, kw: dict) -> bool:
 
 def preprocess_nchw(fb: FrameBatch, out_w: int, out_h: int, *,
                     method: str = "bilinear",
-                    norm: float = 255.0,
+                    norm: Optional[float] = None,
                     shift: Sequence[float] = (0.0, 0.0, 0.0),
                     use_pallas: str = "auto",
                     **kw) -> jax.Array:
     """Model-input convenience: fused ladder straight to NCHW fp32 (the
     format_cuda=rgbpf32le -> tensorrt handoff, vf_format_cuda.c:198-206).
 
+    norm defaults to the input's full scale (255 for 8-bit, 1023 for
+    yuv420p10) so the output is [0,1] for any depth; pass it explicitly
+    for format_cuda-style (x-shift)/norm handoffs.
+
     On a TPU the bilinear yuv420 path dispatches to the Pallas int8-MXU
     kernel (~1.5x the XLA path, <=1.1 u8-LSB vs exact); pass
     use_pallas="never" to force the XLA path or "bf16" for the bf16 kernel.
     """
+    if norm is None:
+        norm = (255.0 if fb.fmt.is_float
+                else float((1 << csc._offset_bits(fb.fmt)) - 1))
     if use_pallas != "never" and _pallas_eligible(fb, method, kw):
         from .pallas_kernels import (fused_ladder, fused_ladder_i8,
                                      fused_ladder_u16)

@@ -82,11 +82,9 @@ def parse_enc_param(s: str, defaults: Dict = None) -> Dict:
             if v.lower() in ("lowlatency", "ull", "lowdelay"):
                 x264_extra.append(("tune", "zerolatency"))
         elif k == "profile":
-            # NVENC GUID names -> libx264/x265 -profile strings
-            x264_extra.append(("profile", {
-                "baseline": "baseline", "main": "main", "high": "high",
-                "high444": "high444", "main10": "main10",
-            }.get(v.lower(), v.lower())))
+            # NVENC profile GUID names (baseline/main/high/high444/main10)
+            # are already the libx264/x265 -profile strings
+            x264_extra.append(("profile", v.lower()))
         elif k in ("lookahead", "temporalaq", "aq"):
             pass   # quality knobs without a 1:1 libx264 flag; accepted
         else:

@@ -26,10 +26,7 @@ def test_audio_only_mux_roundtrip(tmp_path):
     t = np.arange(48000) / 48000.0
     sig = (np.sin(2 * np.pi * 330 * t) * 9000).astype(np.int16)
     samples = np.stack([sig, sig], 1)
-    pkts, fs = [], aenc.frame_size or 1024
-    for off in range(0, len(samples) - fs + 1, fs):
-        pkts += aenc.encode(samples[off:off + fs])
-    pkts += aenc.flush()
+    pkts = aenc.encode(samples) + aenc.flush()
     with tk.AudioMuxer(out, aenc.codec_id, 48000, 2,
                        aenc.extradata()) as am:
         for p in pkts:
@@ -65,3 +62,76 @@ def test_audio_only_muxer_rejects_video_write(tmp_path):
     assert lib.gav_mux_write_stream(am._h, 0, buf, 4, 0, 0, 1) < 0
     am.close()
     aenc.close()
+
+
+def test_write_audio_on_video_only_muxer_errors(tmp_path):
+    """A video-only AvMuxer (acodec_id=0 falls back to single-stream) must
+    reject write_audio with a clean error, not crash in av_rescale_q."""
+    from gmat_tpu.av import toolkit as tk
+
+    mx = tk.AvMuxer(str(tmp_path / "v.mp4"), 64, 64, (30, 1),
+                    tk.CODEC_H264, b"")
+    with pytest.raises(IOError, match="no audio stream"):
+        mx.write_audio(tk.Packet(b"\x00\x00\x00\x01\x09", 0, 0, True,
+                                 False, 1))
+    mx.close()
+
+
+def test_audio_only_source_clear_video_error(tmp_path):
+    """Decoder.from_demuxer on an audio-only source raises a clear error
+    (not an obscure decoder-create failure)."""
+    import numpy as np
+    from gmat_tpu.av import toolkit as tk
+
+    out = str(tmp_path / "a.m4a")
+    aenc = tk.AudioEncoder("aac", 48000, 2)
+    t = np.arange(24000) / 48000.0
+    sig = (np.sin(2 * np.pi * 220 * t) * 9000).astype(np.int16)
+    pkts = aenc.encode(np.stack([sig, sig], 1)) + aenc.flush()
+    with tk.AudioMuxer(out, aenc.codec_id, 48000, 2,
+                       aenc.extradata()) as am:
+        for p in pkts:
+            am.write(p)
+    aenc.close()
+
+    with tk.Demuxer(out) as dm:
+        with pytest.raises(ValueError, match="no video stream"):
+            tk.Decoder.from_demuxer(dm)
+
+    from gmat_tpu.av.ingest import decode_stream
+    with pytest.raises(ValueError, match="no video stream"):
+        list(decode_stream(out, batch=4))
+
+
+def test_decode_stream_bits_validation(tmp_path):
+    from gmat_tpu.av.ingest import decode_stream
+    with pytest.raises(ValueError, match="bits"):
+        decode_stream("x.mp4", bits=12)
+    with pytest.raises(ValueError, match="compressed"):
+        decode_stream("x.y4m", bits=10)
+
+
+def test_cli_af_requires_transcode_acodec(tmp_path, capsys):
+    from gmat_tpu.apps.cli import main
+    assert main(["-i", "x.mp4", "-af", "volume=0.5", "-o",
+                 str(tmp_path / "o.mp4")]) == 2
+    assert main(["-i", "x.mp4", "-c:a", "copy", "-af", "volume=0.5",
+                 "-o", str(tmp_path / "o.mp4")]) == 2
+
+
+def test_preprocess_nchw_depth_aware_default_norm(tmp_path):
+    """Default norm follows the input depth: 10-bit batches land in [0,1]
+    without the caller passing norm=1023."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gmat_tpu.core.frame import FrameBatch
+    from gmat_tpu.ops import fused
+
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 1024, (1, 32, 64)).astype(np.uint16)
+    u = rng.integers(0, 1024, (1, 16, 32)).astype(np.uint16)
+    v = rng.integers(0, 1024, (1, 16, 32)).astype(np.uint16)
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p10", 64, 32, "bt709")
+    x = np.asarray(fused.preprocess_nchw(fb, 16, 16, use_pallas="never"))
+    assert 0.0 <= x.min() and x.max() <= 1.0
