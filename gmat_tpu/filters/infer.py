@@ -39,7 +39,14 @@ class InferFilter:
     """Callable FrameBatch filter wrapping a JAX model."""
 
     def __init__(self, model: str = "sr2x", weights: str = "",
-                 luma_only: bool = False):
+                 luma_only: bool = False, precision: str = "bf16"):
+        """precision="bf16" (default) runs the convs on the bf16 MXU path
+        with f32 accumulation — the reference builds its TensorRT engines
+        with the FP16 flag by default (tensorrt.cpp:198-222); "fp32"
+        keeps full precision."""
+        if precision not in ("bf16", "fp32"):
+            raise ValueError(f"precision must be bf16|fp32, got {precision!r}")
+        self.precision = precision
         self.name = model
         self.luma_only = luma_only
         self.last_output = None          # for non-image models (pose)
@@ -90,6 +97,15 @@ class InferFilter:
     def _run(self, x):
         if self.params is None:
             return self.apply(x)
+        if self.precision == "bf16":
+            # cast at the model boundary: convs hit the bf16 MXU path
+            # (accumulation stays f32 via preferred_element_type)
+            p16 = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                self.params)
+            out = self.apply(p16, x.astype(jnp.bfloat16))
+            return out.astype(jnp.float32)
         return self.apply(self.params, x)
 
     def __call__(self, fb: FrameBatch) -> FrameBatch:

@@ -38,9 +38,9 @@ def apply(params: Dict, x: jax.Array) -> jax.Array:
     n_layers = len(params["layers"])
     for i, layer in enumerate(params["layers"]):
         h = jax.lax.conv_general_dilated(
-            h, layer["w"], window_strides=(1, 1), padding="SAME",
+            h.astype(layer["w"].dtype), layer["w"], window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=layer["w"].dtype)
         h = h + layer["b"][None, :, None, None]
         if i < n_layers - 1:
             h = jax.nn.relu(h)

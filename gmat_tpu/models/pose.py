@@ -41,9 +41,9 @@ def apply(params: Dict, x: jax.Array) -> jax.Array:
     h = x
     for layer in params["convs"]:
         h = jax.lax.conv_general_dilated(
-            h, layer["w"], window_strides=(2, 2), padding="SAME",
+            h.astype(layer["w"].dtype), layer["w"], window_strides=(2, 2), padding="SAME",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=layer["w"].dtype)
         h = jax.nn.relu(h + layer["b"][None, :, None, None])
     h = jnp.mean(h, axis=(2, 3))          # global average pool
     return h @ params["head_w"] + params["head_b"]

@@ -37,10 +37,15 @@ def init_params(key: jax.Array, scale: int = 2, channels: int = 3,
 
 
 def _conv(x, w, b, pad):
+    # follow the weight dtype: bf16 inference stores activations in bf16
+    # (the MXU still accumulates in f32 internally), halving the HBM
+    # traffic of the inter-layer tensors — the measured cost of this
+    # model is bandwidth on those, not FLOPs
+    x = x.astype(w.dtype)
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=w.dtype)
     return out + b[None, :, None, None]
 
 
