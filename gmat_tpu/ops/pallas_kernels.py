@@ -581,6 +581,113 @@ def fused_ladder_nv12_i8(yuv: jax.Array, out_h: int, out_w: int,
     return fn(yuv)
 
 
+# ----------------------------------------------- multi-rung ABR kernel
+# The ABR ladder's device work (AppMeTrans: ScaleNv12 once per rung per
+# frame, Resize.cu:77 / RoundQueue consumers) as ONE fused pass: the
+# source planes are DMA'd into VMEM once and every rung's YUV planes are
+# resampled and written from there.  yuv->yuv, per-plane, int8 MXU row
+# matmuls (exact i32), bf16 column matmuls, round-to-u8 outputs.
+
+
+def _rungs_kernel(y_ref, u_ref, v_ref, *refs, n_rungs):
+    """refs = [ahy_0, awy_0, ahc_0, awc_0, ...rung1..., y0_out, u0_out,
+    v0_out, y1_out, ...].  bf16 weights (u8 samples are exact in bf16;
+    only the taps round — <=1 u8-LSB on the rounded outputs)."""
+    w_refs = refs[:4 * n_rungs]
+    o_refs = refs[4 * n_rungs:]
+
+    # lift the u8 planes to bf16 once, shared by every rung
+    # (Mosaic lacks a direct u8->bf16 cast; hop via int32)
+    yb = y_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+    ub = u_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+    vb = v_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+
+    def plane(xb, ah_bf, aw_bf):
+        t = jax.lax.dot_general(ah_bf[...], xb, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o = jax.lax.dot_general(t.astype(jnp.bfloat16), aw_bf[...],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o = jnp.clip(jnp.round(o), 0.0, 255.0)
+        # f32 -> u8 store via the i32 hop (Mosaic has no direct cast)
+        return o.astype(jnp.int32).astype(jnp.uint8)
+
+    for r in range(n_rungs):
+        ahy, awy, ahc, awc = w_refs[4 * r:4 * r + 4]
+        yo, uo, vo = o_refs[3 * r:3 * r + 3]
+        yo[...] = plane(yb, ahy, awy)
+        uo[...] = plane(ub, ahc, awc)
+        vo[...] = plane(vb, ahc, awc)
+
+
+@lru_cache(maxsize=32)
+def _build_rungs(n, h, w, ch, cw, sizes, method, interpret):
+    in_specs = [
+        pl.BlockSpec((None, h, w), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, ch, cw), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, ch, cw), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs, out_shapes = [], []
+    const_args = []
+    for (ow, oh) in sizes:
+        const_args += [resample_matrix(h, oh, method),
+                       resample_matrix(w, ow, method).T,
+                       resample_matrix(ch, oh // 2, method),
+                       resample_matrix(cw, ow // 2, method).T]
+        for shp in ((oh, ow), (oh // 2, ow // 2), (oh // 2, ow // 2)):
+            out_shapes.append(jax.ShapeDtypeStruct((n, *shp), jnp.uint8))
+            out_specs.append(pl.BlockSpec((None, *shp),
+                                          lambda i: (i, 0, 0),
+                                          memory_space=pltpu.VMEM))
+        for a in const_args[-4:]:
+            in_specs.append(pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+
+    kernel = partial(_rungs_kernel, n_rungs=len(sizes))
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pl.GridSpec(grid=(n,), in_specs=in_specs,
+                              out_specs=out_specs),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def fn(y, u, v):
+        args = [jnp.asarray(a, jnp.bfloat16) for a in const_args]
+        outs = call(y, u, v, *args)
+        return [tuple(outs[3 * r:3 * r + 3]) for r in range(len(sizes))]
+
+    return jax.jit(fn)
+
+
+def fused_rungs(y: jax.Array, u: jax.Array, v: jax.Array, sizes,
+                method: str = "bilinear", interpret: bool = False):
+    """One fused pass: YUV420 batch -> every ABR rung's YUV420 planes.
+
+    sizes: sequence of (out_w, out_h), all even.  Returns a list of
+    (y, u, v) u8 tuples, one per rung.  The source planes are read from
+    HBM once for all rungs (the reference re-reads them per rung:
+    AppMeTrans EncodeVideoProc -> ScaleNv12, Resize.cu:77).
+    bf16 taps (<=1 u8-LSB on the rounded outputs), bilinear/nearest.
+    """
+    if method not in ("bilinear", "nearest"):
+        raise ValueError(f"fused_rungs: method must be bilinear|nearest, "
+                         f"got {method!r}")
+    sizes = tuple((int(ow), int(oh)) for ow, oh in sizes)
+    for ow, oh in sizes:
+        if (ow | oh) & 1:
+            raise ValueError(f"rung size {ow}x{oh} must be even (4:2:0)")
+    n, h, w = y.shape
+    ch, cw = u.shape[1], u.shape[2]
+    fn = _build_rungs(n, h, w, ch, cw, sizes, method, bool(interpret))
+    return fn(y, u, v)
+
+
 # ------------------------------------------------- W-chunked i8 variant
 # >4K frames don't fit VMEM whole (an 8K luma plane is 33 MB); the frame
 # is split into column chunks and the ladder becomes

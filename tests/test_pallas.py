@@ -255,3 +255,39 @@ def test_i8_gate_uses_crop_window_dims(rng):
         jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), 224, 224,
         method="bilinear", crop_box=(0, 0, 128, 128), interpret=True))
     assert out.shape == (1, 3, 224, 224)
+
+
+def test_fused_rungs_matches_resize_plane(rng):
+    """Multi-rung ABR kernel: one pass -> every rung's YUV planes,
+    <=1 u8-LSB vs the exact per-plane resize (AppMeTrans ScaleNv12-per-
+    rung collapsed into one source read)."""
+    from gmat_tpu.ops.pallas_kernels import fused_rungs
+    from gmat_tpu.ops.resize import resize_plane
+
+    n, h, w = 2, 64, 128
+    y, u, v = _data(rng, n, h, w)
+    sizes = [(96, 48), (64, 32), (32, 16)]
+    outs = fused_rungs(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                       sizes, interpret=True)
+    assert len(outs) == 3
+    for (ow, oh), (yy, uu, vv) in zip(sizes, outs):
+        assert yy.shape == (n, oh, ow) and yy.dtype == jnp.uint8
+        assert uu.shape == (n, oh // 2, ow // 2)
+        for got, src, (th, tw) in ((yy, y, (oh, ow)),
+                                   (uu, u, (oh // 2, ow // 2)),
+                                   (vv, v, (oh // 2, ow // 2))):
+            ref = np.clip(np.round(np.asarray(resize_plane(
+                jnp.asarray(src), th, tw, "bilinear"))), 0, 255)
+            d = np.abs(np.asarray(got).astype(int) - ref.astype(int)).max()
+            assert d <= 1, d
+
+
+def test_fused_rungs_validation(rng):
+    from gmat_tpu.ops.pallas_kernels import fused_rungs
+    y, u, v = _data(rng, 1, 32, 64)
+    with pytest.raises(ValueError, match="even"):
+        fused_rungs(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                    [(33, 16)], interpret=True)
+    with pytest.raises(ValueError, match="method"):
+        fused_rungs(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                    [(32, 16)], method="lanczos3", interpret=True)
