@@ -181,13 +181,19 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
     if bits not in (8, 10):
         raise ValueError(f"bits must be 8 or 10, got {bits}")
     lower = path.lower()
-    if bits == 10 and (lower.endswith(".y4m") or lower.endswith(
-            (".yuv", ".nv12", ".iyuv", ".raw"))):
+    if bits == 10 and lower.endswith((".yuv", ".nv12", ".iyuv", ".raw")):
         raise ValueError("bits=10 is only supported for compressed "
-                         "containers (raw/y4m readers are 8-bit)")
+                         "containers and 10-bit .y4m (raw readers are "
+                         "8-bit)")
     if lower.endswith(".y4m"):
         from .rawvideo import Y4MReader
         rd = Y4MReader(path)
+        # the Y4M header states the depth; require the caller to agree so
+        # batch dtypes never change silently
+        if rd.bits != bits:
+            rd.close()
+            raise ValueError(f"{path} is {rd.bits}-bit (C{rd.colorspace}); "
+                             f"pass bits={rd.bits}")
         skip_n = int(seek * rd.fps[0] / max(rd.fps[1], 1)) if seek > 0 else 0
 
         def frames():
@@ -200,7 +206,8 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
         src = FrameBatchSource(frames(), batch, rd.width, rd.height, "bt709")
         q = PrefetchQueue(iter(src), depth=depth, device=device,
                           colorspace="bt709", width=rd.width,
-                          height=rd.height)
+                          height=rd.height,
+                          fmt="yuv420p10" if bits == 10 else "yuv420p")
         q.fps = rd.fps[0] / max(rd.fps[1], 1)
         return q
     if lower.endswith((".yuv", ".nv12", ".iyuv", ".raw")):

@@ -32,16 +32,26 @@ class Y4MReader:
                 self.fps = (int(n), int(d))
             elif tok[0] == "C":
                 self.colorspace = tok[1:]
-        if self.colorspace not in ("420", "420jpeg", "420mpeg2",
-                                   "420paldv"):
-            # rejects 10/12/16-bit variants (C420p10...) and 422/444
+        self.bits = 8
+        base = self.colorspace
+        for depth in (10, 12, 16):
+            suffix = f"p{depth}"
+            if base.endswith(suffix):
+                self.bits = depth
+                base = base[:-len(suffix)]
+                break
+        if base not in ("420", "420jpeg", "420mpeg2", "420paldv"):
+            # 422/444 not supported (nothing downstream consumes them)
             raise IOError(f"unsupported Y4M chroma C{self.colorspace}")
         if not (self.width and self.height):
             raise IOError("Y4M missing dimensions")
 
     def frames(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
         w, h = self.width, self.height
+        dt = np.uint8 if self.bits == 8 else np.uint16   # y4m is LE = native
+        bpp = dt().itemsize
         ysz, csz = w * h, (w // 2) * (h // 2)
+        nbytes = (ysz + 2 * csz) * bpp
         i = 0
         while True:
             line = self.f.readline()
@@ -49,13 +59,13 @@ class Y4MReader:
                 return
             if not line.startswith(b"FRAME"):
                 raise IOError(f"bad Y4M frame marker: {line[:20]!r}")
-            buf = self.f.read(ysz + 2 * csz)
-            if len(buf) < ysz + 2 * csz:
+            buf = self.f.read(nbytes)
+            if len(buf) < nbytes:
                 return
-            y = np.frombuffer(buf, np.uint8, ysz).reshape(h, w)
-            u = np.frombuffer(buf, np.uint8, csz, ysz).reshape(h // 2, w // 2)
-            v = np.frombuffer(buf, np.uint8, csz, ysz + csz).reshape(h // 2,
-                                                                     w // 2)
+            y = np.frombuffer(buf, dt, ysz).reshape(h, w)
+            u = np.frombuffer(buf, dt, csz, ysz * bpp).reshape(h // 2, w // 2)
+            v = np.frombuffer(buf, dt, csz,
+                              (ysz + csz) * bpp).reshape(h // 2, w // 2)
             yield y, u, v, i
             i += 1
 

@@ -107,8 +107,8 @@ def test_decode_stream_bits_validation(tmp_path):
     from gmat_tpu.av.ingest import decode_stream
     with pytest.raises(ValueError, match="bits"):
         decode_stream("x.mp4", bits=12)
-    with pytest.raises(ValueError, match="compressed"):
-        decode_stream("x.y4m", bits=10)
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_stream("x.nv12", bits=10, width=64, height=32)
 
 
 def test_cli_af_requires_transcode_acodec(tmp_path, capsys):

@@ -84,3 +84,43 @@ def test_cli_seek(tmp_path):
     got = list(r.frames())
     r.close()
     assert 20 <= len(got) <= 40   # seeked to keyframe at/before 1s
+
+
+def test_y4m_10bit_roundtrip(tmp_path):
+    """C420p10 Y4M files decode as lsb-aligned u16 and flow through
+    decode_stream(bits=10) as yuv420p10 batches; an 8-bit default errors
+    instead of silently changing dtype."""
+    import numpy as np
+    import pytest
+    from gmat_tpu.av.ingest import decode_stream
+    from gmat_tpu.av.rawvideo import Y4MReader
+
+    path = str(tmp_path / "t10.y4m")
+    w, h, n = 64, 32, 5
+    rng = np.random.default_rng(0)
+    frames = []
+    with open(path, "wb") as f:
+        f.write(b"YUV4MPEG2 W64 H32 F30:1 Ip A1:1 C420p10\n")
+        for _ in range(n):
+            y = rng.integers(0, 1024, (h, w)).astype("<u2")
+            u = rng.integers(0, 1024, (h // 2, w // 2)).astype("<u2")
+            v = rng.integers(0, 1024, (h // 2, w // 2)).astype("<u2")
+            frames.append((y, u, v))
+            f.write(b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes())
+
+    rd = Y4MReader(path)
+    assert rd.bits == 10
+    got = list(rd.frames())
+    rd.close()
+    assert len(got) == n
+    assert np.array_equal(got[0][0], frames[0][0])
+    assert got[0][0].dtype == np.uint16
+
+    tot = 0
+    for fb, pts, valid in decode_stream(path, batch=4, bits=10):
+        assert fb.format == "yuv420p10"
+        tot += int(valid)
+    assert tot == n
+
+    with pytest.raises(ValueError, match="pass bits=10"):
+        decode_stream(path, batch=4)
