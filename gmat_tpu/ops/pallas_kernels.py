@@ -581,6 +581,115 @@ def fused_ladder_nv12_i8(yuv: jax.Array, out_h: int, out_w: int,
     return fn(yuv)
 
 
+# ------------------------------------------------ P010 wire-format lane
+# P010 as hardware decoders emit it: u16 luma plane stacked on u16
+# interleaved UV rows, samples in the HIGH bits (<<6 for 10-bit).  Like
+# fused_ladder_nv12, the deinterleave rides the chroma column matmuls
+# (U = even columns, V = odd); the msb alignment folds into the
+# normalization scale (x>>6 == x * 2^-6 exactly on integers, and the
+# bf16 MXU feed rounds identically either way).
+
+
+def _ladder_p010_kernel(yuv_ref, ahy_ref, awy_ref, ahc_ref, awu_ref,
+                        awv_ref, out_ref, *, mat, low, mid, norm, shift, h):
+    def row(ah_bf, rows):
+        xb = rows.astype(jnp.int32).astype(jnp.bfloat16)
+        return jax.lax.dot_general(ah_bf[...], xb, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def col(t, aw_bf):
+        return jax.lax.dot_general(t.astype(jnp.bfloat16), aw_bf[...],
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    inv64 = 1.0 / 64.0                    # msb (<<6) -> 10-bit scale
+    yy = col(row(ahy_ref, yuv_ref[:h, :]), awy_ref) * inv64 - low
+    tc = row(ahc_ref, yuv_ref[h:, :])     # one row stage shared by U and V
+    uu = col(tc, awu_ref) * inv64 - mid
+    vv = col(tc, awv_ref) * inv64 - mid
+    maxv = 2.0 * mid - 1.0
+    r = jnp.clip(mat[0, 0] * yy + mat[0, 1] * uu + mat[0, 2] * vv, 0., maxv)
+    g = jnp.clip(mat[1, 0] * yy + mat[1, 1] * uu + mat[1, 2] * vv, 0., maxv)
+    b = jnp.clip(mat[2, 0] * yy + mat[2, 1] * uu + mat[2, 2] * vv, 0., maxv)
+    out_ref[0, :, :] = (r - shift[0]) * (1.0 / norm)
+    out_ref[1, :, :] = (g - shift[1]) * (1.0 / norm)
+    out_ref[2, :, :] = (b - shift[2]) * (1.0 / norm)
+
+
+@lru_cache(maxsize=32)
+def _build_ladder_p010(n, h, w, out_h, out_w, colorspace, method, norm,
+                       shift, interpret):
+    mat = yuv2rgb_matrix(colorspace)
+    low, mid = yuv_offsets(10)
+    ahy_np = resample_matrix(h, out_h, method)
+    ahc_np = resample_matrix(h // 2, out_h, method)
+    awy_np = resample_matrix(w, out_w, method).T
+    awc = resample_matrix(w // 2, out_w, method)      # (out_w, W/2)
+    awu_np = np.zeros((w, out_w), np.float32)
+    awv_np = np.zeros((w, out_w), np.float32)
+    awu_np[0::2, :] = awc.T                           # U = even columns
+    awv_np[1::2, :] = awc.T                           # V = odd columns
+
+    kernel = partial(_ladder_p010_kernel, mat=mat, low=float(low),
+                     mid=float(mid), norm=float(norm), shift=shift, h=h)
+    grid_spec = pl.GridSpec(
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((None, h * 3 // 2, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, out_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, h // 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, out_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, out_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 3, out_h, out_w),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    call = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 3, out_h, out_w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def fn(yuv):
+        return call(yuv,
+                    jnp.asarray(ahy_np, jnp.bfloat16),
+                    jnp.asarray(awy_np, jnp.bfloat16),
+                    jnp.asarray(ahc_np, jnp.bfloat16),
+                    jnp.asarray(awu_np, jnp.bfloat16),
+                    jnp.asarray(awv_np, jnp.bfloat16))
+
+    return jax.jit(fn)
+
+
+def fused_ladder_p010(yuv: jax.Array, out_h: int, out_w: int,
+                      colorspace: str = "bt709", method: str = "bilinear",
+                      norm: float = 0.0, shift=(0.0, 0.0, 0.0),
+                      interpret: bool = False) -> jax.Array:
+    """P010 wire format (N, H*3/2, W) u16 (msb-aligned samples, UV rows
+    interleaved) -> (N, 3, out_h, out_w) f32 in one Pallas pass — the
+    layout hardware decoders emit (NvDecLite 10-bit surfaces,
+    NvDecLite.cpp:177-242; ColorSpace.cu P016ToBgr*).  norm=0 defaults
+    to 1023 (unit-range output)."""
+    n, h32, w = yuv.shape
+    h = h32 * 2 // 3
+    if not norm:
+        norm = 1023.0
+    fn = _build_ladder_p010(n, h, w, out_h, out_w, colorspace, method,
+                            float(norm), tuple(float(s) for s in shift),
+                            bool(interpret))
+    return fn(yuv)
+
+
 # ----------------------------------------------- multi-rung ABR kernel
 # The ABR ladder's device work (AppMeTrans: ScaleNv12 once per rung per
 # frame, Resize.cu:77 / RoundQueue consumers) as ONE fused pass: the

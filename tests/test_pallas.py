@@ -291,3 +291,25 @@ def test_fused_rungs_validation(rng):
     with pytest.raises(ValueError, match="method"):
         fused_rungs(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                     [(32, 16)], method="lanczos3", interpret=True)
+
+
+def test_fused_ladder_p010_matches_u16(rng):
+    """P010 wire format (msb-aligned u16, interleaved UV) == the planar
+    lsb-aligned u16 ladder on the same samples."""
+    from gmat_tpu.ops.pallas_kernels import fused_ladder_p010, fused_ladder_u16
+    n, h, w = 2, 64, 128
+    y = rng.integers(0, 1024, (n, h, w)).astype(np.uint16)
+    u = rng.integers(0, 1024, (n, h // 2, w // 2)).astype(np.uint16)
+    v = rng.integers(0, 1024, (n, h // 2, w // 2)).astype(np.uint16)
+    # wire: y<<6 stacked on interleaved (u<<6, v<<6) rows
+    wire = np.zeros((n, h * 3 // 2, w), np.uint16)
+    wire[:, :h] = y << 6
+    wire[:, h:, 0::2] = u << 6
+    wire[:, h:, 1::2] = v << 6
+    got = np.asarray(fused_ladder_p010(jnp.asarray(wire), 32, 32,
+                                       interpret=True))
+    want = np.asarray(fused_ladder_u16(jnp.asarray(y), jnp.asarray(u),
+                                       jnp.asarray(v), 32, 32, bits=10,
+                                       interpret=True))
+    # both paths round samples to bf16 (in different scales): <=1 u8-LSB
+    assert (np.abs(got - want) * 255).max() <= 1.0
