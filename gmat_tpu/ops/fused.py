@@ -88,7 +88,7 @@ _PALLAS_METHODS = ("bilinear", "nearest", "bicubic", "area", "lanczos3")
 def _pallas_eligible(fb: FrameBatch, method: str, kw: dict) -> bool:
     if kw:
         return False
-    if (fb.format not in ("yuv420p", "nv12", "yuv420p10")
+    if (fb.format not in ("yuv420p", "nv12", "yuv420p10", "yuv444p")
             or method not in _PALLAS_METHODS):
         return False
     try:
@@ -129,7 +129,13 @@ def preprocess_nchw(fb: FrameBatch, out_w: int, out_h: int, *,
                                     fb.planes["v"], out_h, out_w, 10,
                                     fb.colorspace, method, norm,
                                     tuple(shift))
-        k = fused_ladder if use_pallas == "bf16" else fused_ladder_i8
+        if fb.format == "yuv444p":
+            # 4:4:4 chroma resampling is a real downscale (not the 4:2:0
+            # near-identity), so int8 tap quantization × CSC gain blows
+            # past tolerance — take the bf16 kernel (<=2 u8-LSB)
+            k = fused_ladder
+        else:
+            k = fused_ladder if use_pallas == "bf16" else fused_ladder_i8
         return k(fb.planes["y"], fb.planes["u"], fb.planes["v"],
                  out_h, out_w, fb.colorspace, method, norm, tuple(shift))
     out = preprocess(fb, out_w, out_h, "rgbpf32", method=method, norm=norm,

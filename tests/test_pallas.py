@@ -313,3 +313,29 @@ def test_fused_ladder_p010_matches_u16(rng):
                                        interpret=True))
     # both paths round samples to bf16 (in different scales): <=1 u8-LSB
     assert (np.abs(got - want) * 255).max() <= 1.0
+
+
+def test_preprocess_nchw_444_dispatch(rng, monkeypatch):
+    """yuv444p batches ride the bf16 Pallas kernel (the i8 tap
+    quantization doesn't hold tolerance on real chroma downscales)."""
+    from gmat_tpu.ops import fused as fused_mod
+    import gmat_tpu.ops.pallas_kernels as pk
+    n, h, w = 1, 32, 64
+    y = rng.integers(0, 256, (n, h, w)).astype(np.uint8)
+    u = rng.integers(0, 256, (n, h, w)).astype(np.uint8)
+    v = rng.integers(0, 256, (n, h, w)).astype(np.uint8)
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv444p", w, h, "bt709")
+    monkeypatch.setattr(fused_mod, "_pallas_eligible", lambda *a, **k: True)
+    called = {}
+    orig = pk.fused_ladder
+
+    def spy(*a, **k):
+        called["bf16"] = True
+        return orig(*a, **k, interpret=True)
+    monkeypatch.setattr(pk, "fused_ladder", spy)
+    got = np.asarray(fused_mod.preprocess_nchw(fb, 16, 16))
+    want = np.asarray(fused_mod.preprocess_nchw(fb, 16, 16,
+                                                use_pallas="never"))
+    assert called.get("bf16")
+    assert (np.abs(got - want) * 255).max() <= 2.0
