@@ -288,20 +288,24 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
                 and all((ow | oh) % 2 == 0 for ow, oh in rung_sizes))
 
     def push_ladder(fb, keep, pts):
-        if fused_ok and fb.format == "yuv420p" and not fb.fmt.is_rgb:
+        nonlocal fused_ok
+        if fused_ok and fb.format == "yuv420p":
             # ONE Pallas pass: the source planes are read once and every
             # rung's YUV planes come out (vs ScaleNv12 per rung in the
             # reference's EncodeVideoProc consumers)
             from ..core.frame import FrameBatch
-            from ..ops.pallas_kernels import fused_rungs
-            outs = fused_rungs(fb.planes["y"], fb.planes["u"],
-                               fb.planes["v"], rung_sizes)
-            for r, g, w_, (yy, uu, vv) in zip(opts.rungs, rung_graphs,
-                                              workers, outs):
-                rb = FrameBatch({"y": yy, "u": uu, "v": vv}, "yuv420p",
-                                r.width, r.height, fb.colorspace)
-                push_rung(g, w_, rb, keep, pts)
-            return
+            from ..ops.pallas_kernels import fused_rungs, rungs_fit_vmem
+            if not rungs_fit_vmem(fb.height, fb.width, rung_sizes):
+                fused_ok = False     # 4K+ sources: per-rung path below
+            else:
+                outs = fused_rungs(fb.planes["y"], fb.planes["u"],
+                                   fb.planes["v"], rung_sizes)
+                for r, g, w_, (yy, uu, vv) in zip(opts.rungs, rung_graphs,
+                                                  workers, outs):
+                    rb = FrameBatch({"y": yy, "u": uu, "v": vv}, "yuv420p",
+                                    r.width, r.height, fb.colorspace)
+                    push_rung(g, w_, rb, keep, pts)
+                return
         # device: all rungs from the shared batch (one jitted program each)
         for r, g, w_ in zip(opts.rungs, rung_graphs, workers):
             push_rung(g, w_, rsz.resize(fb, r.width, r.height), keep, pts)

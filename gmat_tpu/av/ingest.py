@@ -191,9 +191,13 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
         # the Y4M header states the depth; require the caller to agree so
         # batch dtypes never change silently
         if rd.bits != bits:
+            fbits = rd.bits
             rd.close()
-            raise ValueError(f"{path} is {rd.bits}-bit (C{rd.colorspace}); "
-                             f"pass bits={rd.bits}")
+            if fbits in (8, 10):
+                raise ValueError(f"{path} is {fbits}-bit "
+                                 f"(C{rd.colorspace}); pass bits={fbits}")
+            raise ValueError(f"{path} is {fbits}-bit (C{rd.colorspace}); "
+                             "only 8- and 10-bit Y4M ingest is supported")
         skip_n = int(seek * rd.fps[0] / max(rd.fps[1], 1)) if seek > 0 else 0
 
         def frames():

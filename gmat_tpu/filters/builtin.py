@@ -765,7 +765,7 @@ class ThumbnailFilter:
         return self._emit([self._best()])
 
 
-def _f_infer(model="sr2x", weights="", luma_only=0):
+def _f_infer(model="sr2x", weights="", luma_only=0, precision="bf16"):
     """tensorrt-filter analog: run a JAX model in-graph.
 
     model: 'sr2x' | 'sr3x' | 'pose' or 'module:function' for user models.
@@ -774,7 +774,8 @@ def _f_infer(model="sr2x", weights="", luma_only=0):
     (copy_UV_plane, tensorrt.cpp:562-584).
     """
     from .infer import InferFilter
-    return InferFilter(model, weights, luma_only=bool(int(luma_only)))
+    return InferFilter(model, weights, luma_only=bool(int(luma_only)),
+                       precision=precision)
 
 
 FILTERS: Dict[str, Callable] = {
@@ -795,6 +796,12 @@ FILTERS: Dict[str, Callable] = {
     "format": _f_format,
     "format_cuda": _f_format,
     "null": _f_null,
+    # hwupload/hwdownload are no-ops here: batches live in HBM for the
+    # whole graph (doc pipelines with hwupload_cuda run unmodified,
+    # FFmpeg_GPU_Acceleration.md:55-104)
+    "hwupload": _f_null,
+    "hwupload_cuda": _f_null,
+    "hwdownload": _f_null,
     "chromakey": _f_chromakey,
     "chromakey_cuda": _f_chromakey,
     "overlay": _f_overlay,

@@ -47,6 +47,7 @@ class InferFilter:
         if precision not in ("bf16", "fp32"):
             raise ValueError(f"precision must be bf16|fp32, got {precision!r}")
         self.precision = precision
+        self._params_cast = None
         self.name = model
         self.luma_only = luma_only
         self.last_output = None          # for non-image models (pose)
@@ -93,18 +94,24 @@ class InferFilter:
             raise ValueError(f"unknown infer model {model!r} "
                              "(sr2x|sr3x|denoise|pose|classify|"
                              "module:function)")
+        if self.params is not None and self.precision == "bf16":
+            # build the cast tree HERE, where params are concrete arrays —
+            # _run executes under FilterGraph's jit, and caching arrays
+            # created during a trace would leak tracers across traces
+            self._params_cast = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                self.params)
 
     def _run(self, x):
         if self.params is None:
             return self.apply(x)
         if self.precision == "bf16":
-            # cast at the model boundary: convs hit the bf16 MXU path
-            # (accumulation stays f32 via preferred_element_type)
-            p16 = jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16)
-                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
-                self.params)
-            out = self.apply(p16, x.astype(jnp.bfloat16))
+            # cast at the model boundary: convs + inter-layer activations
+            # run in bf16 (on TPU the MXU still accumulates products in
+            # f32 internally; other backends may accumulate in bf16 —
+            # precision="fp32" is the exact path)
+            out = self.apply(self._params_cast, x.astype(jnp.bfloat16))
             return out.astype(jnp.float32)
         return self.apply(self.params, x)
 

@@ -46,9 +46,13 @@ def apply(params: Dict, x: jax.Array) -> jax.Array:
     """x: (N, 3, H, W) fp32 in [0,1] -> (N, num_classes) logits."""
     h = x
     for layer in params["layers"]:
+        # f32 accumulation, weight-dtype (bf16) inter-layer storage
         h = jax.lax.conv_general_dilated(
             h.astype(layer["w"].dtype), layer["w"], window_strides=(2, 2), padding="SAME",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
-        h = jax.nn.relu(h + layer["b"][None, :, None, None])
-    h = jnp.mean(h, axis=(2, 3))                      # global average pool
-    return h @ params["head"]["w"] + params["head"]["b"]
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32)
+        h = jax.nn.relu(h + layer["b"].astype(jnp.float32)[None, :, None, None]
+                        ).astype(layer["w"].dtype)
+    h = jnp.mean(h.astype(jnp.float32), axis=(2, 3))  # global average pool
+    return h @ params["head"]["w"].astype(jnp.float32) + \
+        params["head"]["b"].astype(jnp.float32)

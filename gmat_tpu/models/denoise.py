@@ -37,11 +37,13 @@ def apply(params: Dict, x: jax.Array) -> jax.Array:
     h = x
     n_layers = len(params["layers"])
     for i, layer in enumerate(params["layers"]):
+        # f32 accumulation, weight-dtype (bf16) inter-layer storage
         h = jax.lax.conv_general_dilated(
             h.astype(layer["w"].dtype), layer["w"], window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=layer["w"].dtype)
-        h = h + layer["b"][None, :, None, None]
+            preferred_element_type=jnp.float32)
+        h = (h + layer["b"].astype(jnp.float32)[None, :, None, None]
+             ).astype(layer["w"].dtype)
         if i < n_layers - 1:
             h = jax.nn.relu(h)
     return jnp.clip(x - h, 0.0, 1.0)     # residual learning

@@ -37,16 +37,16 @@ def init_params(key: jax.Array, scale: int = 2, channels: int = 3,
 
 
 def _conv(x, w, b, pad):
-    # follow the weight dtype: bf16 inference stores activations in bf16
-    # (the MXU still accumulates in f32 internally), halving the HBM
-    # traffic of the inter-layer tensors — the measured cost of this
-    # model is bandwidth on those, not FLOPs
+    # activations ride in the weight dtype (bf16 inference halves the HBM
+    # traffic of the inter-layer tensors) but dot-products ACCUMULATE in
+    # f32: bf16 accumulation over the 576-term fan-ins compounds to
+    # whole-picture error (measured ~46 LSB mean on random init)
     x = x.astype(w.dtype)
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=w.dtype)
-    return out + b[None, :, None, None]
+        preferred_element_type=jnp.float32)
+    return (out + b.astype(jnp.float32)[None, :, None, None]).astype(w.dtype)
 
 
 def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:

@@ -681,6 +681,9 @@ def fused_ladder_p010(yuv: jax.Array, out_h: int, out_w: int,
     NvDecLite.cpp:177-242; ColorSpace.cu P016ToBgr*).  norm=0 defaults
     to 1023 (unit-range output)."""
     n, h32, w = yuv.shape
+    if h32 % 3 or w % 2 or (h32 * 2 // 3) % 2:
+        raise ValueError(f"not a P010 wire shape: ({h32}, {w}) "
+                         "(rows must be H*3/2 with even H, width even)")
     h = h32 * 2 // 3
     if not norm:
         norm = 1023.0
@@ -694,8 +697,8 @@ def fused_ladder_p010(yuv: jax.Array, out_h: int, out_w: int,
 # The ABR ladder's device work (AppMeTrans: ScaleNv12 once per rung per
 # frame, Resize.cu:77 / RoundQueue consumers) as ONE fused pass: the
 # source planes are DMA'd into VMEM once and every rung's YUV planes are
-# resampled and written from there.  yuv->yuv, per-plane, int8 MXU row
-# matmuls (exact i32), bf16 column matmuls, round-to-u8 outputs.
+# resampled and written from there.  yuv->yuv, per-plane, bf16 matmuls
+# (u8 samples exact in bf16; only taps round), round-to-u8 outputs.
 
 
 def _rungs_kernel(y_ref, u_ref, v_ref, *refs, n_rungs):
@@ -774,6 +777,25 @@ def _build_rungs(n, h, w, ch, cw, sizes, method, interpret):
     return jax.jit(fn)
 
 
+def rungs_fit_vmem(h: int, w: int, sizes,
+                   budget_bytes: int = 70 * 1024 * 1024) -> bool:
+    """Conservative VMEM estimate for fused_rungs: whole-frame input
+    blocks (double-buffered) + their bf16 lift + all rung weights +
+    the largest row-stage intermediate + u8 outputs.  4K sources with a
+    3-rung ladder blow the budget — callers fall back to per-rung
+    resizes (metrans does this automatically)."""
+    ch, cw = h // 2, w // 2
+    inp = (h * w + 2 * ch * cw) * 2            # u8 blocks, double-buffered
+    acts = (h * w + 2 * ch * cw) * 2           # bf16 lift of the planes
+    weights = inter = outs = 0
+    for ow, oh in sizes:
+        weights += (oh * h + w * ow + (oh // 2) * ch
+                    + cw * (ow // 2)) * 2      # bf16
+        inter = max(inter, oh * w * 6)         # t f32 + bf16 copy
+        outs += (oh * ow + 2 * (oh // 2) * (ow // 2)) * 2
+    return inp + acts + weights + inter + outs <= budget_bytes
+
+
 def fused_rungs(y: jax.Array, u: jax.Array, v: jax.Array, sizes,
                 method: str = "bilinear", interpret: bool = False):
     """One fused pass: YUV420 batch -> every ABR rung's YUV420 planes.
@@ -793,6 +815,10 @@ def fused_rungs(y: jax.Array, u: jax.Array, v: jax.Array, sizes,
             raise ValueError(f"rung size {ow}x{oh} must be even (4:2:0)")
     n, h, w = y.shape
     ch, cw = u.shape[1], u.shape[2]
+    if not rungs_fit_vmem(h, w, sizes):
+        raise ValueError(f"fused_rungs: {w}x{h} with {len(sizes)} rungs "
+                         "exceeds the VMEM budget; resize per rung "
+                         "instead (ops.resize.resize)")
     fn = _build_rungs(n, h, w, ch, cw, sizes, method, bool(interpret))
     return fn(y, u, v)
 

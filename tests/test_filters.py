@@ -122,6 +122,28 @@ def test_infer_luma_only(rng):
     assert out.planes["u"].shape == (2, 32, 32)
 
 
+def test_infer_retrace_two_batch_sizes(rng):
+    # the infer segment runs under FilterGraph's jit; a second batch size
+    # forces a retrace — the bf16 param-cast tree must be concrete
+    # (built in __init__), not tracers cached from the first trace
+    g = FilterGraph("infer=sr2x:luma_only=1")
+    for n in (2, 3):
+        out, _ = g.process(yuv_batch(rng, n=n, h=32, w=32))
+        assert out.planes["y"].shape == (n, 64, 64)
+
+
+def test_infer_bf16_matches_fp32(rng):
+    # bf16 stores activations half-size but must ACCUMULATE in f32
+    # (preferred_element_type) — bf16 accumulation over the conv fan-ins
+    # compounds to double-digit LSB error
+    fb = yuv_batch(rng, n=2, h=32, w=32)
+    o32, _ = FilterGraph("infer=sr2x:luma_only=1:precision=fp32").process(fb)
+    o16, _ = FilterGraph("infer=sr2x:luma_only=1").process(fb)
+    d = np.abs(np.asarray(o32.planes["y"]).astype(int)
+               - np.asarray(o16.planes["y"]).astype(int))
+    assert d.max() <= 8 and d.mean() <= 1.0
+
+
 def test_infer_pose_passthrough(rng):
     from gmat_tpu.filters.builtin import FILTERS
     fb = yuv_batch(rng, n=2, h=120, w=120)

@@ -34,11 +34,9 @@ def test_truncated_container_decodes_prefix(tmp_path):
     """A container cut mid-file still demuxes/decodes the intact prefix
     and stops cleanly (no crash, no exception from the read loop)."""
     src = _clip(tmp_path)
-    data = open(src, "rb").read()
-    cut = str(tmp_path / "cut.mp4")
-    # keep the moov-less front 60% — mp4 written by libavformat places
-    # moov at the end, so chop from a remuxed fragmented-ish .ts instead
-    ts = str(tmp_path / "cut.ts")
+    # mp4 written by libavformat places moov at the end (truncation kills
+    # the index entirely), so truncate a remuxed .ts instead
+    ts = str(tmp_path / "full.ts")
     with tk.Demuxer(src) as dm:
         mx = tk.Muxer(ts, dm.width, dm.height, (30, 1), tk.CODEC_H264,
                       dm.extradata())
@@ -50,8 +48,7 @@ def test_truncated_container_decodes_prefix(tmp_path):
                 mx.write(p)
         mx.close()
     tsdata = open(ts, "rb").read()
-    open(cut, "wb").close()
-    cut_ts = str(tmp_path / "cut2.ts")
+    cut_ts = str(tmp_path / "cut.ts")
     open(cut_ts, "wb").write(tsdata[: len(tsdata) * 6 // 10])
 
     with tk.Demuxer(cut_ts) as dm:
