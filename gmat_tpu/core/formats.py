@@ -119,6 +119,11 @@ RGBA = _register(_packed_rgb("rgba", "rgba", "uint8", 8))
 BGRA = _register(_packed_rgb("bgra", "bgra", "uint8", 8))
 RGBA64 = _register(_packed_rgb("rgba64", "rgba", "uint16", 16))
 BGRA64 = _register(_packed_rgb("bgra64", "bgra", "uint16", 16))
+# rgb48/bgr48: the alpha-less 16-bit pair the user guide names for the
+# 10-bit lane ("p010/yuv420p10 <-> rgb48/rgba64",
+# doc/FFMPEG-GPU_User_Guide.md:52)
+RGB48 = _register(_packed_rgb("rgb48", "rgb", "uint16", 16))
+BGR48 = _register(_packed_rgb("bgr48", "bgr", "uint16", 16))
 
 # GMAT-added float planar formats (libavutil/pixfmt.h:315-316): NCHW fp32.
 RGBPF32 = _register(PixelFormat(

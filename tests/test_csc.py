@@ -230,3 +230,66 @@ def test_yuv444_high_depth_formats(rng):
     back = csc.rgb_to_yuv(rgb, "yuv444p10")
     assert back.planes["y"].dtype == jnp.uint16
     assert int(np.asarray(back.planes["y"]).max()) <= 1023
+
+
+def test_conversion_matrix_totality():
+    """Every (src, dst) pair across the user guide's format inventory
+    converts without error and lands with the target format's dtype and
+    plane shapes (doc/FFMPEG-GPU_User_Guide.md:47-67: yuv<->yuv any pair,
+    yuv<->rgb incl. rgb48/rgba64 at 10-bit, rgb<->rgb)."""
+    from gmat_tpu.core import formats as F
+
+    rng = np.random.default_rng(7)
+
+    def make(fmt, h=8, w=8, n=1):
+        f = F.FORMATS[fmt]
+        planes = {}
+        for p in f.planes:
+            sh = (n,) + f.plane_shape(p.name, h, w)
+            if np.dtype(p.dtype).kind == "u":
+                planes[p.name] = rng.integers(
+                    0, 1 << f.bits, sh).astype(p.dtype)
+            else:
+                planes[p.name] = rng.random(sh, dtype=np.float32)
+        return FrameBatch(planes, fmt, w, h, "bt709")
+
+    yuvs = ["nv12", "p010", "p016", "yuv420p", "yuv420p10", "yuv420p16",
+            "yuv444p", "yuv444p10", "yuv444p16"]
+    rgbs = ["rgb24", "bgr24", "rgba", "bgra", "rgba64", "bgra64",
+            "rgb48", "bgr48", "rgbpf32", "rgbapf32", "bgrpf32"]
+    pairs = [(a, b) for a in yuvs for b in yuvs if a != b]
+    pairs += [(a, b) for a in yuvs for b in rgbs]
+    pairs += [(b, a) for a in yuvs for b in rgbs]
+    pairs += [(a, b) for a in rgbs for b in rgbs if a != b]
+
+    for src, dst in pairs:
+        out = csc.convert(make(src), dst)
+        f = F.FORMATS[dst]
+        assert out.format == dst, (src, dst)
+        for p in f.planes:
+            got = out.planes[p.name]
+            assert got.dtype == np.dtype(p.dtype), (src, dst, p.name)
+            assert got.shape[1:] == f.plane_shape(p.name, 8, 8), \
+                (src, dst, p.name)
+
+
+def test_rgb48_matches_rgba64_channels():
+    """rgb48 is rgba64 minus alpha (the guide's 10-bit pair:
+    p010/yuv420p10 <-> rgb48/rgba64)."""
+    rng = np.random.default_rng(3)
+    fb = FrameBatch(
+        {"y": (rng.integers(0, 1024, (2, 8, 8)) << 6).astype(np.uint16),
+         "u": (rng.integers(0, 1024, (2, 4, 4)) << 6).astype(np.uint16),
+         "v": (rng.integers(0, 1024, (2, 4, 4)) << 6).astype(np.uint16)},
+        "p010", 8, 8, "bt709")
+    r48 = np.asarray(csc.convert(fb, "rgb48").planes["rgb"])
+    r64 = np.asarray(csc.convert(fb, "rgba64").planes["rgb"])
+    assert np.array_equal(r48, r64[..., :3])
+    # in-gamut round trip (4:4:4 so no chroma subsample loss): rgb48 ->
+    # yuv444p10 -> rgb48 holds to a couple of 10-bit steps
+    src = FrameBatch(
+        {"rgb": (rng.integers(0, 1024, (2, 8, 8, 3)) << 6).astype(np.uint16)},
+        "rgb48", 8, 8, "bt709")
+    rt = csc.convert(csc.convert(src, "yuv444p10"), "rgb48")
+    d = np.abs(rt.planes["rgb"].astype(int) - src.planes["rgb"].astype(int))
+    assert d.max() <= (3 << 6)
