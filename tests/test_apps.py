@@ -380,3 +380,34 @@ def test_cli_beyond_enum_encoder_with_audio(tmp_path):
     info = tk.AudioInfo(dm)
     assert info.present
     dm.close()
+
+
+def test_cli_user_guide_pipeline(clip, tmp_path):
+    """The user guide's nvcv pipeline runs unmodified filter-for-filter
+    (FFMPEG-GPU_User_Guide.md:19: format=rgb24,hwupload_cuda,
+    crop_nvcv=640:480,flip_nvcv=0,smooth_nvcv=gaussian -> hevc)."""
+    from gmat_tpu.apps.cli import main
+    out = str(tmp_path / "guide.mp4")
+    rc = main(["-i", clip, "-vf",
+               "format=rgb24,hwupload_cuda,crop_nvcv=160:96,"
+               "flip_nvcv=0,smooth_nvcv=gaussian",
+               "-c:v", "libx265", "-o", out, "-frames", "12",
+               "-batch", "8"])
+    assert rc == 0 and os.path.getsize(out) > 500
+    frames = decode_all(out)
+    assert frames[0][0].shape == (96, 160)
+
+
+def test_cli_tensorrt_doc_pipeline(clip, tmp_path):
+    """The tensorrt-filter doc pipeline (Tensorrt_Filter.md:26):
+    scale_npp -> format_cuda=rgbpf32le -> tensorrt -> format_cuda back."""
+    from gmat_tpu.apps.cli import main
+    out = str(tmp_path / "trt.mp4")
+    rc = main(["-i", clip, "-vf",
+               "scale_npp=96:64,format_cuda=rgbpf32le:255,"
+               "tensorrt=sr2x,format_cuda=yuv420p",
+               "-c:v", "libx264", "-o", out, "-frames", "8",
+               "-batch", "8"])
+    assert rc == 0 and os.path.getsize(out) > 500
+    frames = decode_all(out)
+    assert frames[0][0].shape == (128, 192)     # sr2x doubled
