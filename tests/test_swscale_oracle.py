@@ -28,7 +28,10 @@ AV_PIX_FMT_YUV420P10LE = 62
 
 # colorspace table indices for sws_setColorspaceDetails
 SWS_CS_ITU709 = 1
+SWS_CS_FCC = 4
 SWS_CS_ITU601 = 5
+SWS_CS_SMPTE240M = 7
+SWS_CS_BT2020 = 9
 
 
 @pytest.fixture(scope="module")
@@ -90,7 +93,10 @@ def _smooth_yuv(w, h, seed=0):
 
 
 @pytest.mark.parametrize("cs,cs_idx", [("bt601", SWS_CS_ITU601),
-                                       ("bt709", SWS_CS_ITU709)])
+                                       ("bt709", SWS_CS_ITU709),
+                                       ("fcc", SWS_CS_FCC),
+                                       ("smpte240m", SWS_CS_SMPTE240M),
+                                       ("bt2020", SWS_CS_BT2020)])
 def test_yuv420_to_rgb24_vs_real_swscale(sws, cs, cs_idx):
     w, h = 128, 96
     y, u, v = _smooth_yuv(w, h)
@@ -147,3 +153,33 @@ def test_yuv420p10_to_rgb_vs_real_swscale(sws):
     diff = np.abs(ours.astype(int) - rgb_sws.astype(int))
     assert diff.max() <= 8, diff.max()
     assert diff.mean() <= 2.0, diff.mean()
+
+
+@pytest.mark.parametrize("cs,cs_idx", [("bt601", SWS_CS_ITU601),
+                                       ("bt709", SWS_CS_ITU709),
+                                       ("bt2020", SWS_CS_BT2020)])
+def test_rgb24_to_yuv420_vs_real_swscale(sws, cs, cs_idx):
+    """Reverse direction (rgb2yuv_cuda analog) vs real swscale."""
+    w, h = 128, 96
+    rng = np.random.default_rng(1)
+    base = np.add.outer(np.linspace(20, 230, h), np.linspace(0, 25, w))
+    rgb = np.stack([
+        (base + rng.normal(0, 1.5, (h, w))).clip(0, 255),
+        (base[::-1] + rng.normal(0, 1.5, (h, w))).clip(0, 255),
+        np.tile(np.linspace(40, 210, w), (h, 1)),
+    ], axis=-1).astype(np.uint8)
+    oy = np.zeros((h, w), np.uint8)
+    ou = np.zeros((h // 2, w // 2), np.uint8)
+    ov = np.zeros((h // 2, w // 2), np.uint8)
+    _sws_run(sws, [np.ascontiguousarray(rgb)], [w * 3, 0, 0, 0], w, h,
+             AV_PIX_FMT_RGB24, [oy, ou, ov], [w, w // 2, w // 2, 0],
+             w, h, AV_PIX_FMT_YUV420P, cs_idx)
+
+    fb = FrameBatch({"rgb": jnp.asarray(rgb[None])}, "rgb24", w, h, cs)
+    out = csc.rgb_to_yuv(fb, "yuv420p")
+    dy = np.abs(np.asarray(out.planes["y"][0]).astype(int) - oy.astype(int))
+    du = np.abs(np.asarray(out.planes["u"][0]).astype(int) - ou.astype(int))
+    assert dy.max() <= 8 and dy.mean() <= 2.0, (dy.max(), dy.mean())
+    # chroma siting differs (we average the 2x2 block; swscale filters);
+    # smooth content keeps it within the same tolerance
+    assert du.max() <= 8 and du.mean() <= 2.0, (du.max(), du.mean())
