@@ -732,6 +732,98 @@ def _rungs_kernel(y_ref, u_ref, v_ref, *refs, n_rungs):
         vo[...] = plane(vb, ahc, awc)
 
 
+def _rungs_kernel_i8(y_ref, u_ref, v_ref, *refs, n_rungs, inv_scales):
+    """int8 row-stage variant: refs = [ahy_q, awy, ahc_q, awc, offy, offc]
+    per rung, then outputs.  The row matmuls (~half the kernel's FLOPs)
+    ride the int8 MXU path (2x bf16 throughput on v5e) with the exact
+    xor-128 bitcast input; off = 128*rowsum(Ah_q)/s re-adds the mean
+    after the column matmul (Aw's columns sum to 1)."""
+    w_refs = refs[:6 * n_rungs]
+    o_refs = refs[6 * n_rungs:]
+
+    y8 = pltpu.bitcast(y_ref[...] ^ jnp.uint8(0x80), jnp.int8)
+    u8 = pltpu.bitcast(u_ref[...] ^ jnp.uint8(0x80), jnp.int8)
+    v8 = pltpu.bitcast(v_ref[...] ^ jnp.uint8(0x80), jnp.int8)
+
+    def plane(x8, ah_i8, aw_bf, off, inv_s):
+        t = jax.lax.dot_general(ah_i8[...], x8, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        tb = (t.astype(jnp.float32) * inv_s).astype(jnp.bfloat16)
+        o = jax.lax.dot_general(tb, aw_bf[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o = jnp.clip(jnp.round(o + off[...]), 0.0, 255.0)
+        return o.astype(jnp.int32).astype(jnp.uint8)
+
+    for r in range(n_rungs):
+        ahy, awy, ahc, awc, offy, offc = w_refs[6 * r:6 * r + 6]
+        yo, uo, vo = o_refs[3 * r:3 * r + 3]
+        inv_sy, inv_sc = inv_scales[r]
+        yo[...] = plane(y8, ahy, awy, offy, inv_sy)
+        uo[...] = plane(u8, ahc, awc, offc, inv_sc)
+        vo[...] = plane(v8, ahc, awc, offc, inv_sc)
+
+
+@lru_cache(maxsize=32)
+def _build_rungs_i8(n, h, w, ch, cw, sizes, method, interpret):
+    in_specs = [
+        pl.BlockSpec((None, h, w), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, ch, cw), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, ch, cw), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs, out_shapes = [], []
+    const_args, inv_scales = [], []
+    for (ow, oh) in sizes:
+        ahy_q, sy = _quant_rows(resample_matrix(h, oh, method))
+        ahc_q, sc = _quant_rows(resample_matrix(ch, oh // 2, method))
+        offy = (128.0 * ahy_q.astype(np.float32).sum(1) / sy)[:, None]
+        offc = (128.0 * ahc_q.astype(np.float32).sum(1) / sc)[:, None]
+        const_args += [
+            ahy_q,
+            resample_matrix(w, ow, method).T.astype(np.float32),
+            ahc_q,
+            resample_matrix(cw, ow // 2, method).T.astype(np.float32),
+            offy, offc,
+        ]
+        inv_scales.append((1.0 / sy, 1.0 / sc))
+        for shp in ((oh, ow), (oh // 2, ow // 2), (oh // 2, ow // 2)):
+            out_shapes.append(jax.ShapeDtypeStruct((n, *shp), jnp.uint8))
+            out_specs.append(pl.BlockSpec((None, *shp),
+                                          lambda i: (i, 0, 0),
+                                          memory_space=pltpu.VMEM))
+        for a in const_args[-6:]:
+            in_specs.append(pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+
+    kernel = partial(_rungs_kernel_i8, n_rungs=len(sizes),
+                     inv_scales=tuple(inv_scales))
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pl.GridSpec(grid=(n,), in_specs=in_specs,
+                              out_specs=out_specs),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def fn(y, u, v):
+        args = []
+        for i, a in enumerate(const_args):
+            if a.dtype == np.int8:
+                args.append(jnp.asarray(a))
+            elif i % 6 in (4, 5):           # offsets stay f32
+                args.append(jnp.asarray(a, jnp.float32))
+            else:
+                args.append(jnp.asarray(a, jnp.bfloat16))
+        outs = call(y, u, v, *args)
+        return [tuple(outs[3 * r:3 * r + 3]) for r in range(len(sizes))]
+
+    return jax.jit(fn)
+
+
 @lru_cache(maxsize=32)
 def _build_rungs(n, h, w, ch, cw, sizes, method, interpret):
     in_specs = [
@@ -797,18 +889,26 @@ def rungs_fit_vmem(h: int, w: int, sizes,
 
 
 def fused_rungs(y: jax.Array, u: jax.Array, v: jax.Array, sizes,
-                method: str = "bilinear", interpret: bool = False):
+                method: str = "bilinear", interpret: bool = False,
+                quant: str = "auto"):
     """One fused pass: YUV420 batch -> every ABR rung's YUV420 planes.
 
     sizes: sequence of (out_w, out_h), all even.  Returns a list of
     (y, u, v) u8 tuples, one per rung.  The source planes are read from
     HBM once for all rungs (the reference re-reads them per rung:
     AppMeTrans EncodeVideoProc -> ScaleNv12, Resize.cu:77).
-    bf16 taps (<=1 u8-LSB on the rounded outputs), bilinear/nearest.
+
+    quant: "auto"/"i8" rides the int8 MXU for the row matmuls (2x bf16
+    throughput; this kernel is MXU-bound unlike the 224-ladder); "bf16"
+    forces the bf16 row path.  Both hold <=2 u8-LSB vs the exact
+    per-plane resize (bilinear taps quantize to 1/127 steps).
     """
     if method not in ("bilinear", "nearest"):
         raise ValueError(f"fused_rungs: method must be bilinear|nearest, "
                          f"got {method!r}")
+    if quant not in ("auto", "i8", "bf16"):
+        raise ValueError(f"fused_rungs: quant must be auto|i8|bf16, "
+                         f"got {quant!r}")
     sizes = tuple((int(ow), int(oh)) for ow, oh in sizes)
     for ow, oh in sizes:
         if (ow | oh) & 1:
@@ -819,7 +919,8 @@ def fused_rungs(y: jax.Array, u: jax.Array, v: jax.Array, sizes,
         raise ValueError(f"fused_rungs: {w}x{h} with {len(sizes)} rungs "
                          "exceeds the VMEM budget; resize per rung "
                          "instead (ops.resize.resize)")
-    fn = _build_rungs(n, h, w, ch, cw, sizes, method, bool(interpret))
+    build = _build_rungs if quant == "bf16" else _build_rungs_i8
+    fn = build(n, h, w, ch, cw, sizes, method, bool(interpret))
     return fn(y, u, v)
 
 

@@ -257,10 +257,14 @@ def test_i8_gate_uses_crop_window_dims(rng):
     assert out.shape == (1, 3, 224, 224)
 
 
-def test_fused_rungs_matches_resize_plane(rng):
+@pytest.mark.parametrize("quant,bound", [("i8", 3), ("bf16", 1)])
+def test_fused_rungs_matches_resize_plane(rng, quant, bound):
     """Multi-rung ABR kernel: one pass -> every rung's YUV planes,
-    <=1 u8-LSB vs the exact per-plane resize (AppMeTrans ScaleNv12-per-
-    rung collapsed into one source read)."""
+    bounded vs the exact per-plane resize (AppMeTrans ScaleNv12-per-rung
+    collapsed into one source read).  The default int8 row path holds
+    <=3 u8-LSB on pure noise (1/127 tap steps — the same precision class
+    as the reference's texture-unit bilinear, which interpolates with
+    9-bit fixed-point fractions); bf16 holds <=1."""
     from gmat_tpu.ops.pallas_kernels import fused_rungs
     from gmat_tpu.ops.resize import resize_plane
 
@@ -268,7 +272,7 @@ def test_fused_rungs_matches_resize_plane(rng):
     y, u, v = _data(rng, n, h, w)
     sizes = [(96, 48), (64, 32), (32, 16)]
     outs = fused_rungs(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-                       sizes, interpret=True)
+                       sizes, interpret=True, quant=quant)
     assert len(outs) == 3
     for (ow, oh), (yy, uu, vv) in zip(sizes, outs):
         assert yy.shape == (n, oh, ow) and yy.dtype == jnp.uint8
@@ -279,7 +283,7 @@ def test_fused_rungs_matches_resize_plane(rng):
             ref = np.clip(np.round(np.asarray(resize_plane(
                 jnp.asarray(src), th, tw, "bilinear"))), 0, 255)
             d = np.abs(np.asarray(got).astype(int) - ref.astype(int)).max()
-            assert d <= 1, d
+            assert d <= bound, (quant, d)
 
 
 def test_fused_rungs_validation(rng):
