@@ -104,7 +104,9 @@ def main():
 
     flat = (*bufs[0], *bufs[1])
 
-    def best_time(f, trials=4):
+    def best_time(f, trials=8):
+        # min over several trials: the dev tunnel's RPC jitter only ever
+        # ADDS time, so the minimum is the cleanest device estimate
         _ = float(np.asarray(f(*flat)))      # compile + warm
         ts = []
         for _2 in range(trials):

@@ -765,7 +765,8 @@ class ThumbnailFilter:
         return self._emit([self._best()])
 
 
-def _f_infer(model="sr2x", weights="", luma_only=0, precision="bf16"):
+def _f_infer(model="sr2x", weights="", luma_only=0, precision="bf16",
+             hidden=0):
     """tensorrt-filter analog: run a JAX model in-graph.
 
     model: 'sr2x' | 'sr3x' | 'pose' or 'module:function' for user models.
@@ -775,7 +776,7 @@ def _f_infer(model="sr2x", weights="", luma_only=0, precision="bf16"):
     """
     from .infer import InferFilter
     return InferFilter(model, weights, luma_only=bool(int(luma_only)),
-                       precision=precision)
+                       precision=precision, hidden=int(hidden))
 
 
 FILTERS: Dict[str, Callable] = {

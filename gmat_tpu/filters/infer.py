@@ -39,11 +39,14 @@ class InferFilter:
     """Callable FrameBatch filter wrapping a JAX model."""
 
     def __init__(self, model: str = "sr2x", weights: str = "",
-                 luma_only: bool = False, precision: str = "bf16"):
+                 luma_only: bool = False, precision: str = "bf16",
+                 hidden: int = 0):
         """precision="bf16" (default) runs the convs on the bf16 MXU path
         with f32 accumulation — the reference builds its TensorRT engines
         with the FP16 flag by default (tensorrt.cpp:198-222); "fp32"
-        keeps full precision."""
+        keeps full precision.  hidden widens the sr model's conv layers
+        (0 = model default 64); width 128 fills the MXU's 128 lanes and
+        runs 3.4x the FLOPs at the same wall time (BENCHMARKS.md)."""
         if precision not in ("bf16", "fp32"):
             raise ValueError(f"precision must be bf16|fp32, got {precision!r}")
         self.precision = precision
@@ -55,8 +58,9 @@ class InferFilter:
         if model.startswith("sr"):
             from ..models import sr
             scale = int(model[2]) if len(model) > 2 and model[2].isdigit() else 2
+            kw = {"hidden": int(hidden)} if int(hidden) else {}
             params = sr.init_params(jax.random.PRNGKey(0), scale=scale,
-                                    channels=channels)
+                                    channels=channels, **kw)
             self.params = _load_weights(params, weights)
             self.apply = sr.apply
             self.scale = scale
