@@ -31,7 +31,15 @@ def _load_weights(params, path: str):
     loaded = dict(np.load(path))
     out = {}
     for k, v in params.items():
-        out[k] = jnp.asarray(loaded[k]) if k in loaded else v
+        if k in loaded:
+            if hasattr(v, "shape") and loaded[k].shape != v.shape:
+                raise ValueError(
+                    f"weights[{k!r}] shape {loaded[k].shape} does not "
+                    f"match the model's {tuple(v.shape)} — was the "
+                    "checkpoint trained at a different hidden width?")
+            out[k] = jnp.asarray(loaded[k])
+        else:
+            out[k] = v
     return out
 
 
@@ -55,6 +63,8 @@ class InferFilter:
         self.luma_only = luma_only
         self.last_output = None          # for non-image models (pose)
         channels = 1 if luma_only else 3
+        if int(hidden) and not model.startswith("sr"):
+            raise ValueError("hidden= only applies to the sr models")
         if model.startswith("sr"):
             from ..models import sr
             scale = int(model[2]) if len(model) > 2 and model[2].isdigit() else 2

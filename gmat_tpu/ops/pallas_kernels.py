@@ -764,7 +764,11 @@ def _rungs_kernel_i8(y_ref, u_ref, v_ref, *refs, n_rungs, inv_scales):
 
 
 @lru_cache(maxsize=32)
-def _build_rungs_i8(n, h, w, ch, cw, sizes, method, interpret):
+def _build_rungs(n, h, w, ch, cw, sizes, method, interpret, quant="bf16"):
+    """Shared scaffolding for both rung kernels; quant picks the row
+    stage: "i8" = int8 MXU rows (per-rung [ahy_q, awy, ahc_q, awc, offy,
+    offc] consts), "bf16" = bf16 rows ([ahy, awy, ahc, awc])."""
+    i8 = quant == "i8"
     in_specs = [
         pl.BlockSpec((None, h, w), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -774,31 +778,41 @@ def _build_rungs_i8(n, h, w, ch, cw, sizes, method, interpret):
                      memory_space=pltpu.VMEM),
     ]
     out_specs, out_shapes = [], []
-    const_args, inv_scales = [], []
+    args, inv_scales = [], []
     for (ow, oh) in sizes:
-        ahy_q, sy = _quant_rows(resample_matrix(h, oh, method))
-        ahc_q, sc = _quant_rows(resample_matrix(ch, oh // 2, method))
-        offy = (128.0 * ahy_q.astype(np.float32).sum(1) / sy)[:, None]
-        offc = (128.0 * ahc_q.astype(np.float32).sum(1) / sc)[:, None]
-        const_args += [
-            ahy_q,
-            resample_matrix(w, ow, method).T.astype(np.float32),
-            ahc_q,
-            resample_matrix(cw, ow // 2, method).T.astype(np.float32),
-            offy, offc,
-        ]
-        inv_scales.append((1.0 / sy, 1.0 / sc))
+        ahy = resample_matrix(h, oh, method)
+        ahc = resample_matrix(ch, oh // 2, method)
+        awy = resample_matrix(w, ow, method).T
+        awc = resample_matrix(cw, ow // 2, method).T
+        if i8:
+            ahy_q, sy = _quant_rows(ahy)
+            ahc_q, sc = _quant_rows(ahc)
+            offy = (128.0 * ahy_q.astype(np.float32).sum(1) / sy)[:, None]
+            offc = (128.0 * ahc_q.astype(np.float32).sum(1) / sc)[:, None]
+            inv_scales.append((1.0 / sy, 1.0 / sc))
+            args += [jnp.asarray(ahy_q),
+                     jnp.asarray(awy, jnp.bfloat16),
+                     jnp.asarray(ahc_q),
+                     jnp.asarray(awc, jnp.bfloat16),
+                     jnp.asarray(offy, jnp.float32),
+                     jnp.asarray(offc, jnp.float32)]
+        else:
+            args += [jnp.asarray(a, jnp.bfloat16)
+                     for a in (ahy, awy, ahc, awc)]
         for shp in ((oh, ow), (oh // 2, ow // 2), (oh // 2, ow // 2)):
             out_shapes.append(jax.ShapeDtypeStruct((n, *shp), jnp.uint8))
             out_specs.append(pl.BlockSpec((None, *shp),
                                           lambda i: (i, 0, 0),
                                           memory_space=pltpu.VMEM))
-        for a in const_args[-6:]:
+        for a in args[-(6 if i8 else 4):]:
             in_specs.append(pl.BlockSpec(a.shape, lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
 
-    kernel = partial(_rungs_kernel_i8, n_rungs=len(sizes),
-                     inv_scales=tuple(inv_scales))
+    if i8:
+        kernel = partial(_rungs_kernel_i8, n_rungs=len(sizes),
+                         inv_scales=tuple(inv_scales))
+    else:
+        kernel = partial(_rungs_kernel, n_rungs=len(sizes))
     call = pl.pallas_call(
         kernel,
         grid_spec=pl.GridSpec(grid=(n,), in_specs=in_specs,
@@ -810,59 +824,6 @@ def _build_rungs_i8(n, h, w, ch, cw, sizes, method, interpret):
     )
 
     def fn(y, u, v):
-        args = []
-        for i, a in enumerate(const_args):
-            if a.dtype == np.int8:
-                args.append(jnp.asarray(a))
-            elif i % 6 in (4, 5):           # offsets stay f32
-                args.append(jnp.asarray(a, jnp.float32))
-            else:
-                args.append(jnp.asarray(a, jnp.bfloat16))
-        outs = call(y, u, v, *args)
-        return [tuple(outs[3 * r:3 * r + 3]) for r in range(len(sizes))]
-
-    return jax.jit(fn)
-
-
-@lru_cache(maxsize=32)
-def _build_rungs(n, h, w, ch, cw, sizes, method, interpret):
-    in_specs = [
-        pl.BlockSpec((None, h, w), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, ch, cw), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, ch, cw), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    out_specs, out_shapes = [], []
-    const_args = []
-    for (ow, oh) in sizes:
-        const_args += [resample_matrix(h, oh, method),
-                       resample_matrix(w, ow, method).T,
-                       resample_matrix(ch, oh // 2, method),
-                       resample_matrix(cw, ow // 2, method).T]
-        for shp in ((oh, ow), (oh // 2, ow // 2), (oh // 2, ow // 2)):
-            out_shapes.append(jax.ShapeDtypeStruct((n, *shp), jnp.uint8))
-            out_specs.append(pl.BlockSpec((None, *shp),
-                                          lambda i: (i, 0, 0),
-                                          memory_space=pltpu.VMEM))
-        for a in const_args[-4:]:
-            in_specs.append(pl.BlockSpec(a.shape, lambda i: (0, 0),
-                                         memory_space=pltpu.VMEM))
-
-    kernel = partial(_rungs_kernel, n_rungs=len(sizes))
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=pl.GridSpec(grid=(n,), in_specs=in_specs,
-                              out_specs=out_specs),
-        out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )
-
-    def fn(y, u, v):
-        args = [jnp.asarray(a, jnp.bfloat16) for a in const_args]
         outs = call(y, u, v, *args)
         return [tuple(outs[3 * r:3 * r + 3]) for r in range(len(sizes))]
 
@@ -898,10 +859,12 @@ def fused_rungs(y: jax.Array, u: jax.Array, v: jax.Array, sizes,
     HBM once for all rungs (the reference re-reads them per rung:
     AppMeTrans EncodeVideoProc -> ScaleNv12, Resize.cu:77).
 
-    quant: "auto"/"i8" rides the int8 MXU for the row matmuls (2x bf16
-    throughput; this kernel is MXU-bound unlike the 224-ladder); "bf16"
-    forces the bf16 row path.  Both hold <=2 u8-LSB vs the exact
-    per-plane resize (bilinear taps quantize to 1/127 steps).
+    quant: "auto" rides the int8 MXU for the row matmuls when the tap
+    quantization holds tolerance (2x MXU throughput; this kernel is
+    MXU-bound unlike the 224-ladder — measured 1.32x); "i8"/"bf16"
+    force a path.  int8 rows hold <=3 u8-LSB on pure noise / <=2
+    typical (1/127 tap steps — the precision class of the reference's
+    texture-unit bilinear, 9-bit fixed-point fractions); bf16 <=1.
     """
     if method not in ("bilinear", "nearest"):
         raise ValueError(f"fused_rungs: method must be bilinear|nearest, "
@@ -919,8 +882,14 @@ def fused_rungs(y: jax.Array, u: jax.Array, v: jax.Array, sizes,
         raise ValueError(f"fused_rungs: {w}x{h} with {len(sizes)} rungs "
                          "exceeds the VMEM budget; resize per rung "
                          "instead (ops.resize.resize)")
-    build = _build_rungs if quant == "bf16" else _build_rungs_i8
-    fn = build(n, h, w, ch, cw, sizes, method, bool(interpret))
+    if quant == "auto":
+        # same gate as the 224-ladder dispatch: int8 only while the tap
+        # quantization error stays within tolerance for every rung matrix
+        quant = "i8" if all(
+            _i8_ok(h, ch, oh, method) and _i8_ok(w, cw, ow, method)
+            for ow, oh in sizes) else "bf16"
+    fn = _build_rungs(n, h, w, ch, cw, sizes, method, bool(interpret),
+                      quant)
     return fn(y, u, v)
 
 

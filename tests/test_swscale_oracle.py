@@ -179,7 +179,9 @@ def test_rgb24_to_yuv420_vs_real_swscale(sws, cs, cs_idx):
     out = csc.rgb_to_yuv(fb, "yuv420p")
     dy = np.abs(np.asarray(out.planes["y"][0]).astype(int) - oy.astype(int))
     du = np.abs(np.asarray(out.planes["u"][0]).astype(int) - ou.astype(int))
+    dv = np.abs(np.asarray(out.planes["v"][0]).astype(int) - ov.astype(int))
     assert dy.max() <= 8 and dy.mean() <= 2.0, (dy.max(), dy.mean())
     # chroma siting differs (we average the 2x2 block; swscale filters);
     # smooth content keeps it within the same tolerance
     assert du.max() <= 8 and du.mean() <= 2.0, (du.max(), du.mean())
+    assert dv.max() <= 8 and dv.mean() <= 2.0, (dv.max(), dv.mean())
