@@ -208,6 +208,54 @@ def perf_ladder10(args):
                     "marginal device rate"}
 
 
+def perf_rungs(args):
+    """Multi-rung ABR kernel rate (AppMeTrans ScaleNv12-per-rung lane):
+    all 3 rungs' YUV planes from one fused pass, i8 vs bf16 rows."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.pallas_kernels import fused_rungs
+    from ..ops import resize as rsz
+    from ..core.frame import FrameBatch
+    dev = jax.devices()[0]
+    n, h, w = 32, args.height, args.width
+    sizes = ((1280, 720), (960, 540), (640, 360)) if w >= 1920 else \
+            ((w // 2, h // 2), (w // 4, h // 4))
+    rng = np.random.default_rng(0)
+    y = jax.device_put(rng.integers(0, 256, (n, h, w)).astype(np.uint8), dev)
+    u = jax.device_put(rng.integers(0, 256, (n, h // 2, w // 2))
+                       .astype(np.uint8), dev)
+    v = jax.device_put(rng.integers(0, 256, (n, h // 2, w // 2))
+                       .astype(np.uint8), dev)
+    out = {"case": "rungs", "platform": dev.platform,
+           "rungs": ["%dx%d" % s for s in sizes]}
+
+    def time_fn(fn):
+        float(np.asarray(fn(y, u, v)))
+        iters = 20
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn(y, u, v)
+        float(np.asarray(r))
+        return round(n * iters / (time.perf_counter() - t0), 1)
+
+    if dev.platform == "tpu":
+        for q in ("i8", "bf16"):
+            fn = jax.jit(lambda y, u, v, q=q: sum(
+                jnp.sum(o.astype(jnp.float32))
+                for t in fused_rungs(y, u, v, sizes, quant=q) for o in t))
+            out["fps_" + q] = time_fn(fn)
+    else:
+        def xla(y, u, v):
+            fb = FrameBatch({"y": y, "u": u, "v": v}, "yuv420p", w, h,
+                            "bt709")
+            return sum(jnp.sum(p.astype(jnp.float32))
+                       for ow, oh in sizes
+                       for p in rsz.resize(fb, ow, oh).planes.values())
+        out["fps_xla"] = time_fn(jax.jit(xla))
+    out["note"] = "per-call incl dispatch; BENCHMARKS.md has marginal rates"
+    return out
+
+
 def perf_infer(args):
     """In-graph inference rate (BASELINE config #4): the fused ladder
     feeding the bundled ESPCN SR model inside ONE jitted program — the
@@ -413,8 +461,9 @@ def main(argv=None):
     _enable_cache()
     p = argparse.ArgumentParser(prog="gmat-perf")
     p.add_argument("case", choices=["decode", "encode", "extract", "heif",
-                                    "jpeg", "ladder", "ladder10", "infer",
-                                    "pipeline", "sustained", "ingest"])
+                                    "jpeg", "ladder", "ladder10", "rungs",
+                                    "infer", "pipeline", "sustained",
+                                    "ingest"])
     p.add_argument("-i", "--input", default="")
     p.add_argument("-codec", default="libx264")
     p.add_argument("-frames", type=int, default=100)
@@ -428,7 +477,8 @@ def main(argv=None):
     fn = {"decode": perf_decode, "encode": perf_encode,
           "extract": perf_extract, "heif": perf_heif, "jpeg": perf_jpeg,
           "ladder": perf_ladder, "ladder10": perf_ladder10,
-          "infer": perf_infer, "pipeline": perf_pipeline,
+          "rungs": perf_rungs, "infer": perf_infer,
+          "pipeline": perf_pipeline,
           "sustained": perf_sustained, "ingest": perf_ingest}[args.case]
     print(json.dumps(fn(args)))
     return 0

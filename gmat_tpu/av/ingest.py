@@ -178,13 +178,17 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
     """
     from . import toolkit as tk
 
-    if bits not in (8, 10):
-        raise ValueError(f"bits must be 8 or 10, got {bits}")
+    if bits not in (8, 10, 16):
+        raise ValueError(f"bits must be 8, 10 or 16, got {bits}")
     lower = path.lower()
-    if bits == 10 and lower.endswith((".yuv", ".nv12", ".iyuv", ".raw")):
-        raise ValueError("bits=10 is only supported for compressed "
-                         "containers and 10-bit .y4m (raw readers are "
-                         "8-bit)")
+    if bits != 8 and lower.endswith((".yuv", ".nv12", ".iyuv", ".raw")):
+        raise ValueError(f"bits={bits} is only supported for compressed "
+                         "containers and high-depth .y4m (raw readers "
+                         "are 8-bit)")
+    if bits == 16 and not lower.endswith(".y4m"):
+        raise ValueError("bits=16 ingest is Y4M-only (C420p16); the "
+                         "compressed lane normalizes to the 10-bit path "
+                         "(decode16), pass bits=10")
     if lower.endswith(".y4m"):
         from .rawvideo import Y4MReader
         rd = Y4MReader(path)
@@ -193,11 +197,12 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
         if rd.bits != bits:
             fbits = rd.bits
             rd.close()
-            if fbits in (8, 10):
+            if fbits in (8, 10, 16):
                 raise ValueError(f"{path} is {fbits}-bit "
                                  f"(C{rd.colorspace}); pass bits={fbits}")
             raise ValueError(f"{path} is {fbits}-bit (C{rd.colorspace}); "
-                             "only 8- and 10-bit Y4M ingest is supported")
+                             "only 8-, 10- and 16-bit Y4M ingest is "
+                             "supported")
         skip_n = int(seek * rd.fps[0] / max(rd.fps[1], 1)) if seek > 0 else 0
 
         def frames():
@@ -211,7 +216,8 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
         q = PrefetchQueue(iter(src), depth=depth, device=device,
                           colorspace="bt709", width=rd.width,
                           height=rd.height,
-                          fmt="yuv420p10" if bits == 10 else "yuv420p")
+                          fmt={8: "yuv420p", 10: "yuv420p10",
+                               16: "yuv420p16"}[bits])
         q.fps = rd.fps[0] / max(rd.fps[1], 1)
         return q
     if lower.endswith((".yuv", ".nv12", ".iyuv", ".raw")):

@@ -75,16 +75,21 @@ class Y4MReader:
 
 class Y4MWriter:
     def __init__(self, path: str, width: int, height: int,
-                 fps: Tuple[int, int] = (30, 1)):
+                 fps: Tuple[int, int] = (30, 1), bits: int = 8):
+        if bits not in (8, 10, 12, 16):
+            raise ValueError(f"y4m depth must be 8/10/12/16, got {bits}")
+        self.bits = bits
+        cs = "C420jpeg" if bits == 8 else f"C420p{bits}"
         self.f = open(path, "wb")
         self.f.write(f"YUV4MPEG2 W{width} H{height} "
-                     f"F{fps[0]}:{fps[1]} Ip A1:1 C420jpeg\n".encode())
+                     f"F{fps[0]}:{fps[1]} Ip A1:1 {cs}\n".encode())
 
     def write(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        dt = np.uint8 if self.bits == 8 else np.uint16  # y4m LE = native
         self.f.write(b"FRAME\n")
-        self.f.write(np.ascontiguousarray(y, np.uint8).tobytes())
-        self.f.write(np.ascontiguousarray(u, np.uint8).tobytes())
-        self.f.write(np.ascontiguousarray(v, np.uint8).tobytes())
+        self.f.write(np.ascontiguousarray(y, dt).tobytes())
+        self.f.write(np.ascontiguousarray(u, dt).tobytes())
+        self.f.write(np.ascontiguousarray(v, dt).tobytes())
 
     def close(self):
         self.f.close()

@@ -411,3 +411,12 @@ def test_cli_tensorrt_doc_pipeline(clip, tmp_path):
     assert rc == 0 and os.path.getsize(out) > 500
     frames = decode_all(out)
     assert frames[0][0].shape == (128, 192)     # sr2x doubled
+
+
+def test_perf_rungs_smoke(capsys):
+    """perf rungs runs on CPU (XLA per-rung path) and reports a rate."""
+    import json
+    from gmat_tpu.apps.perf import main
+    assert main(["rungs", "-width", "256", "-height", "128"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["case"] == "rungs" and out["fps_xla"] > 0

@@ -124,3 +124,34 @@ def test_y4m_10bit_roundtrip(tmp_path):
 
     with pytest.raises(ValueError, match="pass bits=10"):
         decode_stream(path, batch=4)
+
+
+def test_y4m_16bit_round_trip(tmp_path):
+    """C420p16 write -> decode_stream(bits=16) yields yuv420p16 batches
+    with the exact written samples (the P016-depth Y4M lane)."""
+    import numpy as np
+    from gmat_tpu.av.rawvideo import Y4MWriter
+    from gmat_tpu.av.ingest import decode_stream
+
+    p = str(tmp_path / "deep.y4m")
+    rng = np.random.default_rng(0)
+    w, h, n = 64, 32, 5
+    frames = [(rng.integers(0, 65536, (h, w)).astype(np.uint16),
+               rng.integers(0, 65536, (h // 2, w // 2)).astype(np.uint16),
+               rng.integers(0, 65536, (h // 2, w // 2)).astype(np.uint16))
+              for _ in range(n)]
+    wr = Y4MWriter(p, w, h, bits=16)
+    for y, u, v in frames:
+        wr.write(y, u, v)
+    wr.close()
+
+    got = []
+    for fb, pts, valid in decode_stream(p, batch=4, bits=16):
+        assert fb.format == "yuv420p16"
+        ys = np.asarray(fb.planes["y"])
+        for i in range(valid):
+            got.append(ys[i])
+    assert len(got) == n
+    for g, (y, _, _) in zip(got, frames):
+        assert g.dtype == np.uint16
+        np.testing.assert_array_equal(g, y)
