@@ -235,6 +235,11 @@ class HeifReader:
                                 idx += 1
                             assoc[iid] = plist
         for iid, extents in sorted(locs.items()):
+            for o, ln in extents:
+                if o + ln > len(d):
+                    raise IOError(
+                        f"item {iid} extent [{o}:{o + ln}] is beyond the "
+                        f"{len(d)}-byte buffer — truncated HEIF?")
             data = b"".join(d[o:o + ln] for o, ln in extents)
             hvcc = b""
             w = h = 0
@@ -466,6 +471,9 @@ class HeifSequenceReader:
         self.frames: List[bytes] = []
         off = chunk_off
         for sz in sizes:
+            if off + sz > len(d):
+                raise IOError(f"sample [{off}:{off + sz}] is beyond the "
+                              f"{len(d)}-byte buffer — truncated sequence?")
             self.frames.append(d[off:off + sz])
             off += sz
 

@@ -120,3 +120,18 @@ def test_heif_sequence_reader_metadata():
     assert (rdr.width, rdr.height) == (80, 64)
     assert len(rdr.frames) == 4
     assert rdr.hvcc[:1] == b"\x01"
+
+
+def test_heif_truncation_fails_cleanly():
+    """A HEIF blob cut at any fraction raises a clean error (IOError /
+    ValueError / struct.error surface as exceptions, never a crash,
+    hang, or silent garbage image)."""
+    y, u, v = synth(64, 64)
+    blob = heif.encode_still(y, u, v, crf=16.0)
+    for frac in (0.05, 0.3, 0.6, 0.9, 0.99):
+        cut = blob[: int(len(blob) * frac)]
+        try:
+            heif.decode_still(cut)
+        except Exception:
+            continue
+        assert False, f"truncation at {frac} decoded without error"
