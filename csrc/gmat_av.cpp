@@ -53,6 +53,7 @@ struct GavBufIO {                      // memory-buffer input state
 struct GavDemuxer {
     AVFormatContext* fmt = nullptr;
     AVBSFContext* bsf = nullptr;       // annexb conversion for h264/hevc
+    bool avcc = false;                 // keep_avcc on an avcC/hvcC stream
     AVPacket* pkt = nullptr;
     AVPacket* out = nullptr;
     AVIOContext* avio = nullptr;       // set for memory-buffer inputs
@@ -114,6 +115,12 @@ static void* demux_finish(GavDemuxer* d, int keep_avcc) {
     const char* bsf_name = nullptr;
     if (!keep_avcc && par && par->codec_id == AV_CODEC_ID_H264) bsf_name = "h264_mp4toannexb";
     else if (!keep_avcc && par && par->codec_id == AV_CODEC_ID_HEVC) bsf_name = "hevc_mp4toannexb";
+    // keep_avcc on an avcC/hvcC-configured stream: packets stay
+    // length-prefixed (first extradata byte 1 = configurationVersion)
+    d->avcc = keep_avcc && par &&
+              (par->codec_id == AV_CODEC_ID_H264 ||
+               par->codec_id == AV_CODEC_ID_HEVC) &&
+              par->extradata_size > 0 && par->extradata[0] == 1;
     if (bsf_name) {
         const AVBitStreamFilter* f = av_bsf_get_by_name(bsf_name);
         if (f && av_bsf_alloc(f, &d->bsf) == 0) {
@@ -271,8 +278,10 @@ GAV_API int gav_demux_read(void* h, unsigned char** data, long long* pts,
                            int* stream_out, long long* pos) {
     auto* d = (GavDemuxer*)h;
     for (;;) {
-        // drain bsf first
+        // drain bsf first (unref the previous output we handed the
+        // caller; av_bsf_receive_packet expects a clean packet)
         if (d->bsf) {
+            av_packet_unref(d->out);
             int r = av_bsf_receive_packet(d->bsf, d->out);
             if (r == 0) {
                 *data = d->out->data; *pts = d->out->pts; *dts = d->out->dts;
@@ -280,13 +289,15 @@ GAV_API int gav_demux_read(void* h, unsigned char** data, long long* pts,
                 *nonref = packet_is_nonref(d->out->data, d->out->size, gav_demux_codec(h));
                 *stream_out = 0;
                 if (pos) *pos = d->out->pos;
-                int sz = d->out->size;
-                av_packet_unref(d->pkt);
-                return sz;
+                return d->out->size;
             }
         }
         if (d->eof) return 0;
+        // the previous call may have returned d->pkt's data directly
+        // (non-bsf video, audio): release it before the next read —
+        // av_read_frame must not receive a packet holding data
         av_packet_unref(d->out);
+        av_packet_unref(d->pkt);
         int r = av_read_frame(d->fmt, d->pkt);
         if (r == AVERROR_EOF || r == AVERROR(EIO)) {
             d->eof = true;
@@ -301,7 +312,10 @@ GAV_API int gav_demux_read(void* h, unsigned char** data, long long* pts,
             }
             *data = d->pkt->data; *pts = d->pkt->pts; *dts = d->pkt->dts;
             *key = (d->pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0;
-            *nonref = packet_is_nonref(d->pkt->data, d->pkt->size, gav_demux_codec(h));
+            // AVCC payloads have no start codes; the annexb NAL scan
+            // would misread length prefixes — stay conservative
+            *nonref = d->avcc ? 0 :
+                packet_is_nonref(d->pkt->data, d->pkt->size, gav_demux_codec(h));
             *stream_out = 0;
             if (pos) *pos = d->pkt->pos;
             return d->pkt->size;
@@ -507,8 +521,17 @@ GAV_API int gav_dec_receive(void* h, unsigned char* y, unsigned char* u,
             d->sws_w = src_w; d->sws_h = src_h; d->sws_fmt = pf;
             d->sws_out = AV_PIX_FMT_YUV420P;
         }
+        if (!d->sws) {
+            snprintf(g_err, sizeof g_err, "no conversion from pixel "
+                     "format %d", (int)pf);
+            av_frame_unref(f);
+            return -1;
+        }
+        // chroma strides use the I420 ceil convention: for odd targets
+        // sws writes ceil(w/2) bytes per row (caller allocates ceil)
         uint8_t* dst[4] = {y, u, v, nullptr};
-        int dstride[4] = {w, w / 2, w / 2, 0};
+        int cs = (w + 1) / 2;
+        int dstride[4] = {w, cs, cs, 0};
         sws_scale(d->sws, src, f->linesize, 0, src_h, dst, dstride);
     }
     av_frame_unref(f);
@@ -554,7 +577,8 @@ GAV_API int gav_dec_receive_a(void* h, unsigned char* y, unsigned char* u,
         return -1;
     }
     uint8_t* dst[4] = {y, u, v, a};
-    int dstride[4] = {w, w / 2, w / 2, w};
+    int cs = (w + 1) / 2;     // I420 ceil convention for odd targets
+    int dstride[4] = {w, cs, cs, w};
     sws_scale(d->sws, src, f->linesize, 0, src_h, dst, dstride);
     av_frame_unref(f);
     return 1;
@@ -649,6 +673,26 @@ GAV_API void gav_enc_set_roi(void* h, const int* rois, int n) {
     e->roi.assign(rois, rois + (size_t)n * 6);
 }
 
+// attach the current ROI set as frame side data (shared by the 8-bit
+// and 10-bit send paths)
+static void enc_attach_roi(GavEncoder* e) {
+    av_frame_remove_side_data(e->frame, AV_FRAME_DATA_REGIONS_OF_INTEREST);
+    if (e->roi.empty()) return;
+    int n = (int)(e->roi.size() / 6);
+    AVFrameSideData* sd = av_frame_new_side_data(
+        e->frame, AV_FRAME_DATA_REGIONS_OF_INTEREST,
+        (size_t)n * sizeof(AVRegionOfInterest));
+    if (!sd) return;
+    auto* regs = (AVRegionOfInterest*)sd->data;
+    for (int i = 0; i < n; i++) {
+        const int* q = &e->roi[(size_t)i * 6];
+        regs[i].self_size = sizeof(AVRegionOfInterest);
+        regs[i].top = q[0]; regs[i].bottom = q[1];
+        regs[i].left = q[2]; regs[i].right = q[3];
+        regs[i].qoffset = {q[4], q[5]};
+    }
+}
+
 // send one I420 frame (y/u/v NULL = flush). Returns like gav_dec_send.
 GAV_API int gav_enc_send(void* h, const unsigned char* y, const unsigned char* u,
                          const unsigned char* v, long long pts, int force_key) {
@@ -658,23 +702,7 @@ GAV_API int gav_enc_send(void* h, const unsigned char* y, const unsigned char* u
         r = avcodec_send_frame(e->ctx, nullptr);
     } else {
         av_frame_make_writable(e->frame);
-        av_frame_remove_side_data(e->frame, AV_FRAME_DATA_REGIONS_OF_INTEREST);
-        if (!e->roi.empty()) {
-            int n = (int)(e->roi.size() / 6);
-            AVFrameSideData* sd = av_frame_new_side_data(
-                e->frame, AV_FRAME_DATA_REGIONS_OF_INTEREST,
-                (size_t)n * sizeof(AVRegionOfInterest));
-            if (sd) {
-                auto* regs = (AVRegionOfInterest*)sd->data;
-                for (int i = 0; i < n; i++) {
-                    const int* q = &e->roi[(size_t)i * 6];
-                    regs[i].self_size = sizeof(AVRegionOfInterest);
-                    regs[i].top = q[0]; regs[i].bottom = q[1];
-                    regs[i].left = q[2]; regs[i].right = q[3];
-                    regs[i].qoffset = {q[4], q[5]};
-                }
-            }
-        }
+        enc_attach_roi(e);
         int w = e->ctx->width, hh = e->ctx->height;
         for (int i = 0; i < hh; i++)
             memcpy(e->frame->data[0] + (size_t)i * e->frame->linesize[0], y + (size_t)i * w, w);
@@ -772,8 +800,13 @@ GAV_API int gav_mux_write(void* h, const unsigned char* data, int size,
     AVPacket* pkt = av_packet_alloc();
     av_new_packet(pkt, size);
     memcpy(pkt->data, data, size);
-    pkt->pts = av_rescale_q(pts, m->enc_tb, m->fmt->streams[m->vstream]->time_base);
-    pkt->dts = av_rescale_q(dts, m->enc_tb, m->fmt->streams[m->vstream]->time_base);
+    // AV_NOPTS_VALUE must propagate, not be rescaled into garbage
+    // (elementary-stream inputs hand out NOPTS pts on B-frame streams)
+    AVRational tb = m->fmt->streams[m->vstream]->time_base;
+    pkt->pts = pts == AV_NOPTS_VALUE ? AV_NOPTS_VALUE
+                                     : av_rescale_q(pts, m->enc_tb, tb);
+    pkt->dts = dts == AV_NOPTS_VALUE ? AV_NOPTS_VALUE
+                                     : av_rescale_q(dts, m->enc_tb, tb);
     pkt->stream_index = m->vstream;
     if (key) pkt->flags |= AV_PKT_FLAG_KEY;
     int r = av_interleaved_write_frame(m->fmt, pkt);
@@ -861,6 +894,11 @@ GAV_API void* gav_adec_create(int codec_id, const unsigned char* extradata,
         a->ctx->extradata_size = extradata_size;
     }
     if (sample_rate) a->ctx->sample_rate = sample_rate;
+    // propagate a caller-known channel count so codecs that need it
+    // before the first packet (pcm_*) can open; bitstream-described
+    // layouts (mp3/aac) overwrite it at the first decoded frame
+    if (channels > 0)
+        av_channel_layout_default(&a->ctx->ch_layout, channels);
     int r = avcodec_open2(a->ctx, c, nullptr);
     if (r < 0) { set_err("adec open", r); avcodec_free_context(&a->ctx); delete a; return nullptr; }
     a->frame = av_frame_alloc();
@@ -903,16 +941,34 @@ GAV_API int gav_adec_channels(void* h) {
     return a->out_ch ? a->out_ch : a->ctx->ch_layout.nb_channels;
 }
 
-// -> samples written (interleaved s16, max_samples per channel capacity),
-// 0 = need more, -2 = EOF, -1 = error.
-GAV_API int gav_adec_receive(void* h, short* out, int max_samples, long long* pts) {
+// -> samples written per channel (interleaved s16; max_shorts is the
+// TOTAL buffer capacity in shorts; *ch_out reports the interleave
+// width actually used), 0 = need more, -2 = EOF (after draining the
+// resampler tail), -1 = error.
+GAV_API int gav_adec_receive(void* h, short* out, int max_shorts,
+                             long long* pts, int* ch_out) {
     auto* a = (GavAudioDec*)h;
     int r = avcodec_receive_frame(a->ctx, a->frame);
+    if (r == AVERROR_EOF) {
+        // drain the resampler's internal delay (lost tail otherwise
+        // whenever out_rate != stream rate)
+        if (a->swr && a->out_ch) {
+            uint8_t* outp[1] = {(uint8_t*)out};
+            int n = swr_convert(a->swr, outp, max_shorts / a->out_ch,
+                                nullptr, 0);
+            if (n > 0) {
+                *pts = AV_NOPTS_VALUE;
+                if (ch_out) *ch_out = a->out_ch;
+                return n;
+            }
+        }
+        return -2;
+    }
     if (r == AVERROR(EAGAIN)) return 0;
-    if (r == AVERROR_EOF) return -2;
     if (r < 0) { set_err("adec recv", r); return -1; }
     AVFrame* f = a->frame;
     int och = a->out_ch ? a->out_ch : f->ch_layout.nb_channels;
+    if (och <= 0) och = 1;
     int orate = a->out_rate ? a->out_rate : f->sample_rate;
     if (!a->swr) {
         AVChannelLayout ol;
@@ -921,11 +977,14 @@ GAV_API int gav_adec_receive(void* h, short* out, int max_samples, long long* pt
                             &f->ch_layout, (AVSampleFormat)f->format,
                             f->sample_rate, 0, nullptr);
         swr_init(a->swr);
+        a->out_ch = och;       // freeze: swr converts to this interleave
+        a->out_rate = orate;
     }
     uint8_t* outp[1] = {(uint8_t*)out};
-    int n = swr_convert(a->swr, outp, max_samples,
+    int n = swr_convert(a->swr, outp, max_shorts / a->out_ch,
                         (const uint8_t**)f->extended_data, f->nb_samples);
     *pts = f->pts;
+    if (ch_out) *ch_out = a->out_ch;
     av_frame_unref(f);
     if (n < 0) { set_err("swr_convert", n); return -1; }
     return n;
@@ -1123,9 +1182,16 @@ GAV_API void* gav_mux_open_av(const char* path, int w, int h, int fps_num,
                               const unsigned char* vextra, int vextra_size,
                               int acodec_id, int sample_rate, int channels,
                               const unsigned char* aextra, int aextra_size) {
-    if (acodec_id <= 0)
-        return gav_mux_open(path, w, h, fps_num, fps_den, vcodec,
-                            vextra, vextra_size);
+    if (acodec_id <= 0) {
+        // same enum-or-negated-raw-id mapping as the A/V branch below —
+        // gav_mux_open's 0/1/2 ternary would turn raw ids into MJPEG
+        AVCodecID id = vcodec == 0 ? AV_CODEC_ID_H264 :
+                       vcodec == 1 ? AV_CODEC_ID_HEVC :
+                       vcodec == 2 ? AV_CODEC_ID_MJPEG :
+                       (AVCodecID)(-vcodec);
+        return mux_open_avid(path, w, h, fps_num, fps_den, id,
+                             vextra, vextra_size);
+    }
     {
         auto* m = new GavMuxer();
         int r = avformat_alloc_output_context2(&m->fmt, nullptr, nullptr, path);
@@ -1246,8 +1312,15 @@ GAV_API int gav_dec_receive16(void* h, unsigned short* y, unsigned short* u,
             d->sws_w = src_w; d->sws_h = src_h; d->sws_fmt = pf;
             d->sws_out = AV_PIX_FMT_YUV420P10LE;
         }
+        if (!d->sws) {
+            snprintf(g_err, sizeof g_err, "no conversion from pixel "
+                     "format %d", (int)pf);
+            av_frame_unref(f);
+            return -1;
+        }
         uint8_t* dst[4] = {(uint8_t*)y, (uint8_t*)u, (uint8_t*)v, nullptr};
-        int dstride[4] = {w * 2, w, w, 0};
+        int cs2 = ((w + 1) / 2) * 2;   // ceil chroma width in bytes
+        int dstride[4] = {w * 2, cs2, cs2, 0};
         sws_scale(d->sws, src, f->linesize, 0, src_h, dst, dstride);
     }
     av_frame_unref(f);
@@ -1296,6 +1369,7 @@ GAV_API int gav_enc_send16(void* h, const unsigned short* y,
         r = avcodec_send_frame(e->ctx, nullptr);
     } else {
         av_frame_make_writable(e->frame);
+        enc_attach_roi(e);     // ROI applies to the 10-bit lane too
         int w = e->ctx->width, hh = e->ctx->height;
         for (int i = 0; i < hh; i++)
             memcpy(e->frame->data[0] + (size_t)i * e->frame->linesize[0],

@@ -148,7 +148,8 @@ def _declare(name: str, lib: ctypes.CDLL):
                                              ctypes.c_int, c_ll]),
             "gav_adec_receive": (ctypes.c_int, [ctypes.c_void_p,
                                                 ctypes.POINTER(ctypes.c_short),
-                                                ctypes.c_int, c_pll]),
+                                                ctypes.c_int, c_pll,
+                                                ctypes.POINTER(ctypes.c_int)]),
             "gav_adec_rate": (ctypes.c_int, [ctypes.c_void_p]),
             "gav_adec_channels": (ctypes.c_int, [ctypes.c_void_p]),
             "gav_aenc_create": (ctypes.c_void_p, [ctypes.c_char_p,

@@ -63,6 +63,7 @@ class Demuxer:
                                                int(keep_avcc))
         if not self._h:
             raise IOError(f"demux open {src}: {native.last_error()}")
+        self.keep_avcc = bool(keep_avcc)
         self.has_video = bool(self._lib.gav_demux_has_video(self._h))
         self.has_audio = bool(self._lib.gav_demux_has_audio(self._h))
         self.width = self._lib.gav_demux_width(self._h)
@@ -175,8 +176,10 @@ class Decoder:
         if dm.codec == 99:     # beyond the fast enum: raw AVCodecID path
             return cls(0, dm.extradata(), threads, dm.width, dm.height,
                        resize=resize, crop=crop, codec_id=dm.codec_id)
-        # annexb streams don't need extradata
-        return cls(dm.codec, b"", threads, dm.width, dm.height,
+        # annexb streams don't need extradata; keep_avcc packets stay
+        # length-prefixed, so the decoder needs the avcC/hvcC config
+        extra = dm.extradata() if getattr(dm, "keep_avcc", False) else b""
+        return cls(dm.codec, extra, threads, dm.width, dm.height,
                    resize=resize, crop=crop)
 
     def send(self, data: Optional[bytes], pts: int = -1) -> None:
@@ -197,9 +200,12 @@ class Decoder:
         w, h = self.width, self.height
         if not w:
             return None
+        # chroma buffers use the I420 ceil convention (the C sws path
+        # writes ceil(h/2) rows / ceil(w/2) cols for odd targets); the
+        # returned planes are floor-sliced to the framework's h>>1 shape
         y = np.empty((h, w), np.uint8)
-        u = np.empty((h // 2, w // 2), np.uint8)
-        v = np.empty((h // 2, w // 2), np.uint8)
+        u = np.empty(((h + 1) // 2, (w + 1) // 2), np.uint8)
+        v = np.empty(((h + 1) // 2, (w + 1) // 2), np.uint8)
         pts = native.c_ll()
         r = self._lib.gav_dec_receive(
             self._h, y.ctypes.data_as(native.c_pu8),
@@ -223,7 +229,7 @@ class Decoder:
                                           ctypes.byref(tf))
         self.last_interlaced = bool(il.value)
         self.last_tff = bool(tf.value)
-        return y, u, v, pts.value
+        return y, u[:h // 2, :w // 2], v[:h // 2, :w // 2], pts.value
 
     def receive_alpha(self):
         """Like receive() but -> (y, u, v, a, pts): full-res alpha plane
@@ -236,8 +242,8 @@ class Decoder:
         if not w:
             return None
         y = np.empty((h, w), np.uint8)
-        u = np.empty((h // 2, w // 2), np.uint8)
-        v = np.empty((h // 2, w // 2), np.uint8)
+        u = np.empty(((h + 1) // 2, (w + 1) // 2), np.uint8)
+        v = np.empty(((h + 1) // 2, (w + 1) // 2), np.uint8)
         a = np.empty((h, w), np.uint8)
         pts = native.c_ll()
         r = self._lib.gav_dec_receive_a(
@@ -255,7 +261,7 @@ class Decoder:
             raise StopIteration
         if r < 0:
             raise IOError(f"dec receive_a: {native.last_error()}")
-        return y, u, v, a, pts.value
+        return y, u[:h // 2, :w // 2], v[:h // 2, :w // 2], a, pts.value
 
     def has_alpha(self) -> bool:
         return bool(self._lib.gav_dec_has_alpha(self._h))
@@ -294,8 +300,8 @@ class Decoder:
         if not w:
             return None
         y = np.empty((h, w), np.uint16)
-        u = np.empty((h // 2, w // 2), np.uint16)
-        v = np.empty((h // 2, w // 2), np.uint16)
+        u = np.empty(((h + 1) // 2, (w + 1) // 2), np.uint16)
+        v = np.empty(((h + 1) // 2, (w + 1) // 2), np.uint16)
         pts = native.c_ll()
         pu16 = ctypes.POINTER(ctypes.c_ushort)
         r = self._lib.gav_dec_receive16(
@@ -311,7 +317,7 @@ class Decoder:
             raise StopIteration
         if r < 0:
             raise IOError(f"dec receive16: {native.last_error()}")
-        return y, u, v, pts.value
+        return y, u[:h // 2, :w // 2], v[:h // 2, :w // 2], pts.value
 
     def decode16(self, data: Optional[bytes], pts: int = -1):
         self.send(data, pts)
@@ -364,9 +370,11 @@ class Encoder:
         encoders can't live-reconfig, so the encoder is recreated and the
         next frame is forced IDR; drain pending packets before calling."""
         kw = dict(self._kwargs, **changes)
-        self._lib.gav_enc_close(self._h)
-        self._h = None
+        # create the replacement FIRST: if the new params are invalid the
+        # exception leaves the current encoder intact (closing first
+        # would leave _h = None and the next encode would pass NULL to C)
         new = Encoder(self.name, self.width, self.height, **kw)
+        self._lib.gav_enc_close(self._h)
         self._h, new._h = new._h, None
         self._kwargs = kw
         self.bits = kw["bits"]
@@ -573,17 +581,18 @@ class AudioDecoder:
         if r < 0:
             raise IOError(f"adec: {native.last_error()}")
         while True:
-            cap = 65536
-            ch = max(self.channels, 1)
-            out = np.empty(cap * ch, np.int16)
+            cap = 65536 * 8      # total shorts; C bounds by capacity/ch
+            out = np.empty(cap, np.int16)
             p = native.c_ll()
+            ch_out = ctypes.c_int(0)
             n = self._lib.gav_adec_receive(
                 self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
-                cap, ctypes.byref(p))
+                cap, ctypes.byref(p), ctypes.byref(ch_out))
             if n == 0 or n == -2:
                 return
             if n < 0:
                 raise IOError(f"adec recv: {native.last_error()}")
+            ch = max(ch_out.value, 1)
             yield out[: n * ch].reshape(n, ch), p.value
 
     def close(self):

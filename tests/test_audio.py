@@ -280,3 +280,28 @@ def test_audio_filter_stream_chain():
     e_got = float(np.mean(got.astype(np.float64) ** 2))
     e_want = float(np.mean(want.astype(np.float64) ** 2))
     assert abs(e_got - e_want) / e_want < 0.05
+
+
+def test_audio_decode_resampled_drains_tail():
+    """Decoding at a different rate must drain the resampler's internal
+    delay at EOF (the tail was silently truncated otherwise)."""
+    samples = sine()
+    enc = tk.AudioEncoder("aac", 48000, 2, 128000)
+    pkts = enc.encode(samples) + enc.flush()
+    extra, codec_id = enc.extradata(), enc.codec_id
+    enc.close()
+
+    class FakeInfo:
+        pass
+    info = FakeInfo()
+    info.codec_id, info.extradata = codec_id, extra
+    dec = tk.AudioDecoder(info, sample_rate=44100)
+    out = []
+    for p in pkts:
+        out += [c for c, _ in dec.decode(p.data, p.pts)]
+    out += [c for c, _ in dec.decode(None)]
+    dec.close()
+    got = np.concatenate(out)
+    want = samples.shape[0] * 44100 / 48000
+    assert got.shape[1] == 2
+    assert abs(got.shape[0] - want) < 0.1 * want, (got.shape[0], want)

@@ -571,3 +571,22 @@ def test_keep_avcc_remux_roundtrip(clip, tmp_path):
         n_out += sum(1 for _ in dec.decode(None))
         dec.close()
     assert n_in == len(frames) and n_out == len(frames)
+
+
+def test_keep_avcc_direct_decode(clip):
+    """A Decoder built from a keep_avcc demuxer decodes the AVCC
+    length-prefixed packets directly (the decoder is handed the avcC
+    config instead of assuming annexb)."""
+    path, frames = clip
+    with tk.Demuxer(path, keep_avcc=True) as dm:
+        dec = tk.Decoder.from_demuxer(dm)
+        n = 0
+        for p in dm:
+            if p.stream == 0:
+                # nonref analysis is undefined on AVCC payloads: must be
+                # conservative (never claims skippable)
+                assert not p.nonref
+                n += sum(1 for _ in dec.decode(p.data, p.pts))
+        n += sum(1 for _ in dec.decode(None))
+        dec.close()
+    assert n == len(frames)
