@@ -25,6 +25,8 @@ import numpy as np
 
 from . import toolkit as tk
 
+AV_NOPTS = -(1 << 63)    # AV_NOPTS_VALUE passes through the C ABI raw
+
 
 class FrameExtractor:
     """Uniform-interval frame extraction with smart skipping.
@@ -62,7 +64,11 @@ class FrameExtractor:
         self.frame_interval, self.time_interval = frames, seconds
 
     def _pkt_time(self, pkt: tk.Packet) -> float:
-        ts = pkt.pts if pkt.pts is not None else pkt.dts
+        ts = pkt.pts if pkt.pts != AV_NOPTS else pkt.dts
+        if ts == AV_NOPTS:
+            # timestamp-less elementary streams: synthesize from demux
+            # order at the container rate
+            return self.n_demuxed / max(self.dm.fps, 1.0)
         return ts * self._tb
 
     def _seek_keyframe_frames(self, interval: int) -> int:
@@ -95,11 +101,14 @@ class FrameExtractor:
         return skipped
 
     def frames(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
-        """Yield (y, u, v, pts) for each extracted frame."""
-        interval_f, interval_t = self.frame_interval, self.time_interval
-        pending: list = []
+        """Yield (y, u, v, pts) for each extracted frame.  Reads the
+        interval attributes every packet so set_interval() takes effect
+        between extract_batch calls (SetInterval semantics,
+        FrameExtractor.h:183-190)."""
+        self._emit_nopts = 0
         eof = False
         while not eof:
+            interval_f, interval_t = self.frame_interval, self.time_interval
             pkt = self.dm.read()
             if pkt is None:
                 eof = True
@@ -127,7 +136,12 @@ class FrameExtractor:
                     self.n_skipped_nonref += 1
                     continue
                 if reached:
-                    self._emit_pts.add(pkt.pts)
+                    if pkt.pts != AV_NOPTS:
+                        self._emit_pts.add(pkt.pts)
+                    else:
+                        # no packet pts to match against: emit the next
+                        # timestamp-less decoded frame instead
+                        self._emit_nopts += 1
                 frames = list(self.dec.decode(pkt.data, pkt.pts))
                 if reached and (interval_f or interval_t):
                     if interval_f:
@@ -143,6 +157,9 @@ class FrameExtractor:
                 self.n_decoded += 1
                 if pts in self._emit_pts:
                     self._emit_pts.discard(pts)
+                    yield y, u, v, pts
+                elif pts == AV_NOPTS and self._emit_nopts > 0:
+                    self._emit_nopts -= 1
                     yield y, u, v, pts
 
     def extract_batch(self, max_frames: int) -> Optional[Tuple[np.ndarray, ...]]:
@@ -214,7 +231,13 @@ class FrameSelect:
                         yield y, u, v, pts, float(s)
                 buf = []
         if buf:
-            scores, _, _ = flush(buf, prev_last, prev_mafd)
+            # pad the tail to the full batch shape (repeating the last
+            # frame): a distinct partial-batch shape would trigger a
+            # fresh 15-60 s remote compile just to score the leftovers;
+            # padded duplicates score 0 (sad == 0) and zip() stops at
+            # len(buf) anyway
+            padded = buf + [buf[-1]] * (self.batch_size - len(buf))
+            scores, _, _ = flush(padded, prev_last, prev_mafd)
             for (y, u, v, pts), s in zip(buf, scores):
                 if s > self.threshold:
                     yield y, u, v, pts, float(s)

@@ -38,12 +38,15 @@ class FrameBatchSource:
     def __iter__(self):
         ys, us, vs, pts, keys, poss, ilace = [], [], [], [], [], [], []
         self.dropped_resize = 0
-        for item in self.it:
-            y, u, v, p = item[:4]
-            k = bool(item[4]) if len(item) > 4 else False
+        ref_shape = None      # vs the FIRST frame ever, not the current
+        for item in self.it:  # partial batch (a change landing exactly on
+            y, u, v, p = item[:4]          # a batch boundary must not
+            k = bool(item[4]) if len(item) > 4 else False   # be packed)
             po = int(item[5]) if len(item) > 5 else -1
             il = int(item[6]) if len(item) > 6 else 0
-            if ys and y.shape != ys[0].shape:
+            if ref_shape is None:
+                ref_shape = y.shape
+            if y.shape != ref_shape:
                 # mid-stream resolution change: static batch shapes can't
                 # mix sizes — drop and count (NvDecLite recreates its pool
                 # here; a bucketed ingest path can absorb this instead)
@@ -203,13 +206,12 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
             raise ValueError(f"{path} is {fbits}-bit (C{rd.colorspace}); "
                              "only 8-, 10- and 16-bit Y4M ingest is "
                              "supported")
-        skip_n = int(seek * rd.fps[0] / max(rd.fps[1], 1)) if seek > 0 else 0
+        if seek > 0:   # O(1)-per-frame seek (marker + fseek, no reads)
+            rd.skip(int(seek * rd.fps[0] / max(rd.fps[1], 1)))
 
         def frames():
             try:
-                for i, f in enumerate(rd.frames()):
-                    if i >= skip_n:
-                        yield f
+                yield from rd.frames()
             finally:
                 rd.close()
         src = FrameBatchSource(frames(), batch, rd.width, rd.height, "bt709")
@@ -226,13 +228,12 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
         from .rawvideo import RawYUVReader
         lay = "nv12" if lower.endswith(".nv12") else layout
         rd = RawYUVReader(path, width, height, lay)
-        skip_n = int(seek * 30.0) if seek > 0 else 0   # raw assumes 30 fps
+        if seek > 0:                 # raw assumes 30 fps; single fseek
+            rd.skip(int(seek * 30.0))
 
         def frames():
             try:
-                for i, f in enumerate(rd.frames()):
-                    if i >= skip_n:
-                        yield f
+                yield from rd.frames()
             finally:
                 rd.close()
         src = FrameBatchSource(frames(), batch, width, height, "bt709")
@@ -248,15 +249,23 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
     out_w, out_h = dec.width, dec.height
     dec_frames = dec.decode16 if bits == 10 else dec.decode
 
+    # the backward keyframe seek lands up to a GOP before the target —
+    # drop decoded frames whose time is still before `seek` (the y4m/raw
+    # lanes skip to the exact frame; the compressed lane must match)
+    AV_NOPTS = -(1 << 63)
+    tbn, tbd = dm.time_base
+    tb = tbn / max(tbd, 1)
+    min_t = seek - 1e-9 if seek > 0 else None
+
     def frames():
-        key_pts = set()
-        pos_by_pts = {}            # packet byte offsets, matched by pts
+        key_pts = {}               # insertion-ordered set (oldest-first
+        pos_by_pts = {}            # eviction); packet byte offsets by pts
         try:
             for pkt in dm:
                 if pkt.stream != 0:
                     continue
                 if pkt.key:
-                    key_pts.add(pkt.pts)
+                    key_pts[pkt.pts] = None
                 pos_by_pts[pkt.pts] = pkt.pos
                 # bound both maps: orphaned entries (packets whose pts
                 # never emerges as a frame) must not accumulate forever
@@ -264,17 +273,19 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
                 while len(pos_by_pts) > 512:
                     pos_by_pts.pop(next(iter(pos_by_pts)))
                 while len(key_pts) > 512:
-                    key_pts.pop()
+                    key_pts.pop(next(iter(key_pts)))
                 for (y, u, v, p) in dec_frames(pkt.data, pkt.pts):
-                    is_key = p in key_pts
-                    key_pts.discard(p)
+                    is_key = key_pts.pop(p, False) is None
+                    if min_t is not None and p != AV_NOPTS and p * tb < min_t:
+                        continue        # pre-roll from the keyframe seek
                     # interlaced flag: bit 0; tff: bit 1 (AVFrame props)
                     il = (int(getattr(dec, "last_interlaced", 0)) |
                           (int(getattr(dec, "last_tff", 0)) << 1))
                     yield y, u, v, p, is_key, pos_by_pts.pop(p, -1), il
             for (y, u, v, p) in dec_frames(None):
-                is_key = p in key_pts
-                key_pts.discard(p)
+                is_key = key_pts.pop(p, False) is None
+                if min_t is not None and p != AV_NOPTS and p * tb < min_t:
+                    continue
                 il = (int(getattr(dec, "last_interlaced", 0)) |
                       (int(getattr(dec, "last_tff", 0)) << 1))
                 yield y, u, v, p, is_key, pos_by_pts.pop(p, -1), il

@@ -46,13 +46,33 @@ class Y4MReader:
         if not (self.width and self.height):
             raise IOError("Y4M missing dimensions")
 
+    def _frame_bytes(self) -> int:
+        bpp = 1 if self.bits == 8 else 2
+        return (self.width * self.height * 3 // 2) * bpp
+
+    def skip(self, n: int) -> int:
+        """Skip n frames in O(1) per frame (marker line + one seek each;
+        no payload reads).  Returns the number actually skipped."""
+        nbytes = self._frame_bytes()
+        done = 0
+        while done < n:
+            line = self.f.readline()
+            if not line:
+                break
+            if not line.startswith(b"FRAME"):
+                raise IOError(f"bad Y4M frame marker: {line[:20]!r}")
+            self.f.seek(nbytes, 1)
+            done += 1
+        self._idx = getattr(self, "_idx", 0) + done
+        return done
+
     def frames(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
         w, h = self.width, self.height
         dt = np.uint8 if self.bits == 8 else np.uint16   # y4m is LE = native
         bpp = dt().itemsize
         ysz, csz = w * h, (w // 2) * (h // 2)
         nbytes = (ysz + 2 * csz) * bpp
-        i = 0
+        i = getattr(self, "_idx", 0)
         while True:
             line = self.f.readline()
             if not line:
@@ -106,9 +126,18 @@ class RawYUVReader:
         self.width, self.height, self.layout = width, height, layout
         self.frame_size = width * height * 3 // 2
 
+    def skip(self, n: int) -> int:
+        """Skip n frames with a single seek (fixed frame size)."""
+        end = os.fstat(self.f.fileno()).st_size
+        here = self.f.tell()
+        n = max(0, min(n, (end - here) // self.frame_size))
+        self.f.seek(n * self.frame_size, 1)
+        self._idx = getattr(self, "_idx", 0) + n
+        return n
+
     def frames(self):
         w, h = self.width, self.height
-        i = 0
+        i = getattr(self, "_idx", 0)
         while True:
             buf = self.f.read(self.frame_size)
             if len(buf) < self.frame_size:

@@ -231,3 +231,31 @@ def test_decode_stream_10bit(clip):
         assert np.isfinite(x).all() and x.max() <= 1.0
         tot += int(valid)
     assert tot > 0
+
+
+def test_set_interval_between_batches(clip):
+    """SetInterval takes effect between Extract calls
+    (FrameExtractor.h:183-190): the cadence changes mid-stream."""
+    fx = FrameExtractor(clip, frame_interval=5)
+    first = fx.extract_batch(3)
+    assert [frame_index_of(y) for y in first[0]] == [0, 5, 10]
+    fx.set_interval(frames=15)
+    second = fx.extract_batch(2)
+    got = [frame_index_of(y) for y in second[0]]
+    # next targets continue from the last reached target at the new step
+    assert got[1] - got[0] == 15
+    fx.close()
+
+
+def test_decode_stream_seek_drops_preroll(clip):
+    """decode_stream(seek=) on a compressed container starts at the
+    requested time, not at the preceding keyframe (the GOP pre-roll is
+    decoded but dropped)."""
+    from gmat_tpu.av.ingest import decode_stream
+    got = []
+    for fb, pts, valid in decode_stream(clip, batch=8, seek=1.0):
+        ys = np.asarray(fb.planes["y"])
+        got += [frame_index_of(ys[i]) for i in range(valid)]
+    # 30 fps: t=1.0s is frame 30 (a mid-GOP frame: gop=12 -> keyframe 24)
+    assert got[0] == 30, got[:4]
+    assert got == list(range(30, NFRAMES))
