@@ -473,6 +473,12 @@ GAV_API int gav_dec_send(void* h, const unsigned char* data, int size, long long
     return r == AVERROR(EAGAIN) ? 1 : 0;
 }
 
+// re-arm after a drain: avcodec_flush_buffers exits the draining state,
+// so one decoder instance can decode many independent stills
+GAV_API void gav_dec_reset(void* h) {
+    avcodec_flush_buffers(((GavDecoder*)h)->ctx);
+}
+
 GAV_API int gav_dec_width(void* h)  { return ((GavDecoder*)h)->ctx->width; }
 GAV_API int gav_dec_height(void* h) { return ((GavDecoder*)h)->ctx->height; }
 

@@ -136,11 +136,17 @@ def _iter_boxes(data: bytes, start: int = 0, end: Optional[int] = None):
         size = struct.unpack(">I", data[i:i + 4])[0]
         typ = data[i + 4:i + 8]
         if size == 1:
+            if i + 16 > end:
+                raise IOError("truncated 64-bit box header")
             size = struct.unpack(">Q", data[i + 8:i + 16])[0]
+            if size < 16:    # a zero/short largesize would loop forever
+                raise IOError(f"malformed 64-bit box size {size}")
             yield typ, i + 16, i + size
         else:
             if size == 0:
                 size = end - i
+            elif size < 8:
+                raise IOError(f"malformed box size {size}")
             yield typ, i + 8, i + size
         i += size
 
@@ -190,10 +196,12 @@ class HeifReader:
         assoc = {}
         for typ, s, e in _iter_boxes(d, *meta_span):
             if typ == b"pitm":
-                self.primary = struct.unpack(">H", d[s + 4:s + 6])[0]
+                if d[s] == 0:        # version 0: 16-bit item id
+                    self.primary = struct.unpack(">H", d[s + 4:s + 6])[0]
+                else:
+                    self.primary = struct.unpack(">I", d[s + 4:s + 8])[0]
             elif typ == b"iloc":
-                v = d[s] >> 4 & 0  # version in full box header
-                version = d[s - 4] if False else struct.unpack(">I", d[s:s + 4])[0] >> 24
+                version = d[s]       # full box: version(8) + flags(24)
                 body = d[s + 4:e]
                 off_sz = body[0] >> 4
                 len_sz = body[0] & 15
@@ -204,7 +212,10 @@ class HeifReader:
                 else:
                     count = struct.unpack(">I", body[idx:idx + 4])[0]; idx += 4
                 for _ in range(count):
-                    iid = struct.unpack(">H", body[idx:idx + 2])[0]; idx += 2
+                    if version < 2:  # v2: 32-bit item ids
+                        iid = struct.unpack(">H", body[idx:idx + 2])[0]; idx += 2
+                    else:
+                        iid = struct.unpack(">I", body[idx:idx + 4])[0]; idx += 4
                     if version in (1, 2):
                         idx += 2       # construction_method
                     idx += 2           # data_reference_index
@@ -222,17 +233,30 @@ class HeifReader:
                         for t3, s3, e3 in _iter_boxes(d, s2, e2):
                             props.append((t3, d[s3:e3]))
                     elif t2 == b"ipma":
+                        ver, wide = d[s2], d[s2 + 3] & 1
                         body = d[s2 + 4:e2]
                         count = struct.unpack(">I", body[0:4])[0]
                         idx = 4
                         for _ in range(count):
-                            iid = struct.unpack(">H", body[idx:idx + 2])[0]
-                            nass = body[idx + 2]
-                            idx += 3
+                            if ver < 1:      # v1+: 32-bit item ids
+                                iid = struct.unpack(
+                                    ">H", body[idx:idx + 2])[0]
+                                idx += 2
+                            else:
+                                iid = struct.unpack(
+                                    ">I", body[idx:idx + 4])[0]
+                                idx += 4
+                            nass = body[idx]
+                            idx += 1
                             plist = []
                             for _ in range(nass):
-                                plist.append(body[idx] & 0x7F)
-                                idx += 1
+                                if wide:     # flags&1: 15-bit indices
+                                    plist.append(struct.unpack(
+                                        ">H", body[idx:idx + 2])[0] & 0x7FFF)
+                                    idx += 2
+                                else:
+                                    plist.append(body[idx] & 0x7F)
+                                    idx += 1
                             assoc[iid] = plist
         for iid, extents in sorted(locs.items()):
             for o, ln in extents:
@@ -310,10 +334,29 @@ def decode_still(data, index: Optional[int] = None):
 
 
 def decode_all(data):
+    """Decode every item, parsing the container ONCE and reusing one
+    decoder across same-geometry items (a 63-item burst would otherwise
+    re-parse the blob and build a decoder per item)."""
     rdr = HeifReader(data)
     out = []
-    for i in range(len(rdr.items)):
-        out.append(decode_still(data, i))
+    dec = None
+    dims = None
+    for item in rdr.items:
+        if dec is None or (item.width, item.height) != dims:
+            if dec is not None:
+                dec.close()
+            dec = tk.Decoder(tk.CODEC_HEVC, width=item.width,
+                             height=item.height)
+            dims = (item.width, item.height)
+        frames = (list(dec.decode(item.to_annexb(), 0)) +
+                  list(dec.decode(None)))
+        dec.reset()      # exit draining so the next item can decode
+        if not frames:
+            raise IOError("HEVC still decode produced no frame")
+        y, u, v, _ = frames[0]
+        out.append((y, u, v))
+    if dec is not None:
+        dec.close()
     return out
 
 
@@ -355,12 +398,16 @@ class HeifSequenceWriter:
         nals = hevc.split_annexb(annexb)
         ps = {hevc.nal_type(n): n for n in nals
               if hevc.nal_type(n) in (32, 33, 34)}
-        media = [n for n in nals if hevc.is_vcl(hevc.nal_type(n))]
+        # keep VCL + SEI (prefix 39 / suffix 40 — HDR metadata, recovery
+        # points) in the sample, like the still writer does
+        media = [n for n in nals
+                 if hevc.is_vcl(hevc.nal_type(n))
+                 or hevc.nal_type(n) in (39, 40)]
         if not self.hvcc and len(ps) == 3:
             self.hvcc = hevc.build_hvcc(ps[32], ps[33], ps[34])
             s = hevc.parse_sps(ps[33])
             self.width, self.height = s.width, s.height
-        if not media:
+        if not any(hevc.is_vcl(hevc.nal_type(n)) for n in media):
             return
         if any(hevc.is_irap(hevc.nal_type(n)) for n in media):
             self.sync.append(len(self.samples) + 1)    # 1-based

@@ -32,12 +32,13 @@ def split_annexb(data: bytes) -> List[bytes]:
                 end = i
                 if end > start and data[end - 1] == 0:
                     end -= 1     # 4-byte start code of the next NAL
-                out.append(data[start:end])
+                if end > start:  # never emit empty payloads (truncated
+                    out.append(data[start:end])    # or doubled codes)
             i += 3
             start = i
         else:
             i += 1
-    if start >= 0:
+    if start >= 0 and n > start:
         out.append(data[start:n])
     return out
 
@@ -201,6 +202,8 @@ def build_hvcc(vps: bytes, sps_nal: bytes, pps: bytes,
 
 def parse_hvcc(rec: bytes) -> Tuple[List[bytes], int]:
     """hvcC record -> (parameter set NALs, nal length size)."""
+    if len(rec) < 23:
+        raise ValueError(f"hvcC record too short ({len(rec)} bytes)")
     length_size = (rec[21] & 3) + 1
     n_arrays = rec[22]
     nals = []
@@ -210,6 +213,8 @@ def parse_hvcc(rec: bytes) -> Tuple[List[bytes], int]:
         count = int.from_bytes(rec[i:i + 2], "big"); i += 2
         for _ in range(count):
             ln = int.from_bytes(rec[i:i + 2], "big"); i += 2
+            if i + ln > len(rec):
+                raise ValueError("hvcC record truncated mid-NAL")
             nals.append(rec[i:i + ln]); i += ln
     return nals, length_size
 
@@ -245,6 +250,9 @@ def _parse_st_rps(r: "BitReader", idx: int, rps_list: list,
     inter_pred = r.u(1) if idx != 0 else 0
     if inter_pred:
         delta_idx = (r.ue() + 1) if idx == num_rps else 1
+        if delta_idx > idx:      # spec: RefRpsIdx must be >= 0; Python
+            raise ValueError(    # negative indexing would silently wrap
+                f"st_ref_pic_set delta_idx {delta_idx} > stRpsIdx {idx}")
         ref = rps_list[idx - delta_idx]
         sign = r.u(1)
         abs_delta = r.ue() + 1
@@ -252,7 +260,6 @@ def _parse_st_rps(r: "BitReader", idx: int, rps_list: list,
         # build DeltaPoc lists of the reference set
         ref_deltas = ([-(d + 1) for d in ref.s0_deltas] +
                       [(d + 1) for d in ref.s1_deltas])
-        ref_used = ref.used0 + ref.used1
         use, used_by = [], []
         for j in range(ref.num_delta_pocs + 1):
             u = r.u(1)
@@ -304,9 +311,11 @@ def _parse_st_rps(r: "BitReader", idx: int, rps_list: list,
 
 
 def _skip_scaling_list(r: "BitReader"):
+    # 7.3.4: matrixId steps by 3 for sizeId 3 but still runs to 6
+    # (iterations 0 and 3 — TWO 32x32 lists, not one)
     for size_id in range(4):
         m = 0
-        while m < (6 if size_id != 3 else 2):
+        while m < 6:
             if not r.u(1):                       # pred_mode_flag
                 r.ue()                           # pred_matrix_id_delta
             else:

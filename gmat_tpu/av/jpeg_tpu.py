@@ -112,6 +112,8 @@ def encode_batch(fb: FrameBatch, quality: int = 90) -> List[bytes]:
 def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601") -> FrameBatch:
     """JPEG byte strings (same dims/subsampling) -> YUV420 FrameBatch.
     Entropy decode on host, dequant+IDCT batched on device."""
+    if not datas:
+        raise ValueError("decode_batch: no JPEGs given")
     lib = native.load("gmat_jpeg")
     p16 = ctypes.POINTER(ctypes.c_int16)
     ycs, ucs, vcs, qys, qcs = [], [], [], [], []

@@ -103,6 +103,7 @@ def _declare(name: str, lib: ctypes.CDLL):
             "gav_dec_create": (ctypes.c_void_p, [ctypes.c_int, c_pu8,
                                                  ctypes.c_int, ctypes.c_int]),
             "gav_dec_close": (None, [ctypes.c_void_p]),
+            "gav_dec_reset": (None, [ctypes.c_void_p]),
             "gav_dec_send": (ctypes.c_int, [ctypes.c_void_p, c_pu8,
                                             ctypes.c_int, c_ll]),
             "gav_dec_receive": (ctypes.c_int, [ctypes.c_void_p, c_pu8, c_pu8,

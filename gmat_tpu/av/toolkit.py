@@ -182,6 +182,11 @@ class Decoder:
         return cls(dm.codec, extra, threads, dm.width, dm.height,
                    resize=resize, crop=crop)
 
+    def reset(self) -> None:
+        """Re-arm after a drain (decode(None)) so the same decoder can
+        take a fresh independent stream (avcodec_flush_buffers)."""
+        self._lib.gav_dec_reset(self._h)
+
     def send(self, data: Optional[bytes], pts: int = -1) -> None:
         if data is None:
             r = self._lib.gav_dec_send(self._h, None, 0, 0)

@@ -135,3 +135,23 @@ def test_heif_truncation_fails_cleanly():
         except Exception:
             continue
         assert False, f"truncation at {frac} decoded without error"
+
+
+def test_malformed_box_sizes_raise_not_hang():
+    """A 64-bit box header with largesize 0 (or a short 32-bit size)
+    must raise, not loop forever."""
+    crafted = b"\x00\x00\x00\x01meta" + b"\x00" * 8
+    with pytest.raises(IOError):
+        heif.HeifReader(crafted)
+    crafted2 = b"\x00\x00\x00\x04meta" + b"\x00" * 16
+    with pytest.raises(IOError):
+        heif.HeifReader(crafted2)
+
+
+def test_decode_all_reuses_decoder():
+    frames = [synth(64, 64, seed=i) for i in range(4)]
+    blob = heif.encode_collection(frames, crf=16.0)
+    decoded = heif.decode_all(blob)
+    assert len(decoded) == 4
+    for (yd, _, _), (y, _, _) in zip(decoded, frames):
+        assert np.abs(yd.astype(int) - y.astype(int)).mean() < 3.0

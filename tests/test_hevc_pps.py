@@ -268,3 +268,38 @@ def test_poc_lsb_wraparound_refs():
         make_slice(0, spsf, poc_lsb=0, rps_idx=0, extra=0),
         {0: spsf}, {0: pps})
     assert 255 in sl.ref_pocs                 # (0 - 1) mod 256
+
+
+def test_skip_scaling_list_consumes_all_matrices():
+    """7.3.4: sizeId 3 iterates matrixId 0 AND 3 (two 32x32 lists) —
+    under-consuming desyncs every SPS field after scaling_list_data."""
+    w = BitWriter()
+    for _ in range(6 + 6 + 6 + 2):       # sizeIds 0-2: 6 each; 3: TWO
+        w.u(1, 0)                        # pred_mode_flag = 0
+        w.ue(0)                          # pred_matrix_id_delta
+    w.u(16, 0xA5A5)                      # sentinel after the list
+    bits = list(w.bits)
+    while len(bits) % 8:
+        bits.append(0)
+    raw = bytearray()
+    for i in range(0, len(bits), 8):
+        raw.append(int("".join(map(str, bits[i:i + 8])), 2))
+    r = hevc.BitReader(bytes(raw), skip_header=0)
+    hevc._skip_scaling_list(r)
+    assert r.u(16) == 0xA5A5
+
+
+def test_split_annexb_never_emits_empty_nals():
+    for data in (b"\x00\x00\x01\x40\x01\x00\x00\x01",      # trailing code
+                 b"\x00\x00\x01\x00\x00\x01\x40\x01",      # doubled code
+                 b"\x00\x00\x00\x01"):                     # only a code
+        for n in hevc.split_annexb(data):
+            assert len(n) > 0
+            hevc.nal_type(n)             # must not IndexError
+
+
+def test_parse_hvcc_rejects_truncated():
+    with pytest.raises(ValueError):
+        hevc.parse_hvcc(b"")
+    with pytest.raises(ValueError):
+        hevc.parse_hvcc(bytes(22))
