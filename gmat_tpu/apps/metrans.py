@@ -313,6 +313,11 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
     for fb, pts, valid in src:
         if common_graph is not None:
             fb, keep = common_graph.process(fb, pts=pts, valid=valid)
+            if common_graph.out_pts is not None:
+                # stream filters (yadif send_field, thumbnail) re-time /
+                # re-size the batch: the rungs must see the graph's
+                # output pts, not the input array
+                pts = common_graph.out_pts
         else:
             keep = np.ones(fb.batch, bool)
             keep[valid:] = False

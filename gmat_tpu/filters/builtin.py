@@ -635,7 +635,11 @@ class SelectFilter:
         self.prev_pts = float("nan")
 
     def keep_mask(self, fb: FrameBatch, pts=None, times=None, keys=None,
-                  pos=None):
+                  pos=None, keep=None):
+        """keep: frames already dropped upstream (an earlier select/fps
+        in the chain, or batch padding) — they are invisible to this
+        filter, exactly like ffmpeg's per-frame chain: n/selected_n/
+        prev_* only advance over frames that actually reach it."""
         from ..ops.scene import scene_scores
         n = fb.batch
         if self.needs_scene:
@@ -645,17 +649,20 @@ class SelectFilter:
             self.prev_last = {k: v[-1] for k, v in fb.planes.items()}
         else:
             scores = np.zeros(n)
-        keep = np.zeros(n, bool)
+        out = np.zeros(n, bool)
         env = dict(_PICT_CONSTS)         # constants built once per batch
         env["interlace_type"] = 0.0
+        seen = 0
         for i in range(n):
+            if keep is not None and not keep[i]:
+                continue
             t = float(times[i]) if times is not None else 0.0
             p = float(pts[i]) if pts is not None else 0.0
             k = float(keys[i]) if keys is not None else 0.0
             if np.isnan(self.start_t):
                 self.start_t, self.start_pts = t, p
             env.update(
-                n=float(self.n + i), t=t, pts=p, key=k,
+                n=float(self.n + seen), t=t, pts=p, key=k,
                 pict_type=1.0 if k else 2.0,
                 pos=(float(pos[i]) if pos is not None and pos[i] >= 0
                      else float("nan")),
@@ -666,36 +673,43 @@ class SelectFilter:
                 prev_selected_n=self.prev_selected_n,
                 prev_selected_t=self.prev_selected_t,
                 prev_selected_pts=self.prev_selected_pts)
-            keep[i] = self.expr(env) != 0
-            if keep[i]:
-                self.prev_selected_n = float(self.n + i)
+            out[i] = self.expr(env) != 0
+            if out[i]:
+                self.prev_selected_n = float(self.n + seen)
                 self.prev_selected_t = t
                 self.prev_selected_pts = p
                 self.selected_n += 1.0
             self.prev_t, self.prev_pts = t, p
-        self.n += n
-        return keep
+            seen += 1
+        self.n += seen
+        return out
 
 
 class FpsFilter:
-    """fps=N decimation (keep every round(src_fps/N)-th frame)."""
+    """fps=N decimation (keep every round(src_fps/N)-th frame).
+    fps_mul reports the rate change so the CLI/muxer timestamps the
+    output at the decimated rate, not the source rate."""
 
     batch_control = True
 
     def __init__(self, fps=30.0, src_fps=30.0):
         self.step = max(float(src_fps) / float(fps), 1.0)
+        self.fps_mul = 1.0 / self.step
         self.n = 0
         self.next_emit = 0.0
 
-    def keep_mask(self, fb, pts=None, times=None, keys=None, pos=None):
+    def keep_mask(self, fb, pts=None, times=None, keys=None, pos=None,
+                  keep=None):
         n = fb.batch
-        keep = np.zeros(n, bool)
+        out = np.zeros(n, bool)
         for i in range(n):
-            if self.n + i >= self.next_emit - 1e-9:
-                keep[i] = True
+            if keep is not None and not keep[i]:
+                continue      # dropped upstream: invisible to this filter
+            if self.n >= self.next_emit - 1e-9:
+                out[i] = True
                 self.next_emit += self.step
-        self.n += n
-        return keep
+            self.n += 1
+        return out
 
 
 class ThumbnailFilter:

@@ -19,6 +19,37 @@ Env = Dict[str, float]
 
 _TOKEN = re.compile(r"\s*(?:(\d+\.\d*|\.\d+|\d+)|([A-Za-z_]\w*)|(.))")
 
+_NAN = float("nan")
+_INF = float("inf")
+
+
+def _div(a: float, b: float) -> float:
+    # av_expr: d2 ? d/d2 : d*INFINITY (eval.c:320) — no exception, and
+    # 0/0 becomes nan exactly like C
+    return a / b if b else a * _INF
+
+
+def _mod(a: float, b: float) -> float:
+    # av_expr mod is floor-mod with the divisor's sign (eval.c:309:
+    # d - floor(d/d2)*d2); mod(x, 0) is nan like C
+    if b == 0 or math.isnan(a) or math.isnan(b) or math.isinf(a):
+        return _NAN
+    if math.isinf(b):
+        return a if (a >= 0) == (b > 0) else _NAN
+    return a - math.floor(a / b) * b
+
+
+def _domain(f):
+    """C math never raises: out-of-domain becomes nan (asin(2), pow of a
+    negative base to a fractional power, log of a negative, ...)."""
+    def g(*a):
+        try:
+            return f(*a)
+        except (ValueError, OverflowError, ZeroDivisionError):
+            return _NAN
+    return g
+
+
 _FUNCS = {
     "gt": lambda a, b: 1.0 if a > b else 0.0,
     "gte": lambda a, b: 1.0 if a >= b else 0.0,
@@ -27,16 +58,18 @@ _FUNCS = {
     "eq": lambda a, b: 1.0 if a == b else 0.0,
     "ne": lambda a, b: 1.0 if a != b else 0.0,
     "not": lambda a: 1.0 if a == 0 else 0.0,
-    "and": lambda a, b: 1.0 if (a != 0 and b != 0) else 0.0,
-    "or": lambda a, b: 1.0 if (a != 0 or b != 0) else 0.0,
-    "if": lambda c, a, b=0.0: a if c != 0 else b,
+    # NOTE: if/ifnot/and/or are handled as LAZY special forms in
+    # _parse_atom (av_expr e_if semantics: the untaken branch is never
+    # evaluated); entries here only serve arity-0 lookups
     "min": min,
     "max": max,
     "abs": abs,
     "floor": math.floor,
     "ceil": math.ceil,
-    "round": round,
-    "mod": lambda a, b: math.fmod(a, b),
+    # av_expr round is C round(): half AWAY from zero, not banker's
+    "round": lambda a: (math.floor(a + 0.5) if a >= 0
+                        else math.ceil(a - 0.5)),
+    "mod": _mod,
     "between": lambda x, lo, hi: 1.0 if lo <= x <= hi else 0.0,
     "isnan": lambda a: 1.0 if math.isnan(a) else 0.0,
     # av_expr math set (animated overlay positions etc.)
@@ -45,18 +78,20 @@ _FUNCS = {
     "tan": math.tan,
     "atan": math.atan,
     "atan2": math.atan2,
-    "asin": math.asin,
-    "acos": math.acos,
-    "exp": math.exp,
-    "log": lambda a: math.log(a) if a > 0 else float("-inf"),
-    "sqrt": lambda a: math.sqrt(a) if a >= 0 else float("nan"),
-    "pow": math.pow,
+    "asin": _domain(math.asin),
+    "acos": _domain(math.acos),
+    "exp": _domain(math.exp),
+    "log": lambda a: math.log(a) if a > 0 else (-_INF if a == 0 else _NAN),
+    "sqrt": lambda a: math.sqrt(a) if a >= 0 else _NAN,
+    "pow": _domain(math.pow),
     "trunc": math.trunc,
     "sgn": lambda a: (a > 0) - (a < 0),
     "clip": lambda x, lo, hi: min(max(x, lo), hi),
     "hypot": math.hypot,
     "gauss": lambda x: math.exp(-x * x / 2.0) / math.sqrt(2.0 * math.pi),
 }
+
+_LAZY = {"if", "ifnot", "and", "or"}
 
 # av_expr named constants (eval-time fallback: env vars shadow them)
 _CONSTS = {"PI": math.pi, "E": math.e, "PHI": (1.0 + math.sqrt(5.0)) / 2.0}
@@ -113,7 +148,7 @@ class Expr:
             _, op = self._next()
             rhs = self._parse_unary()
             node = (lambda l, r, o=op: (lambda env: l(env) * r(env) if o == "*"
-                                        else l(env) / r(env)))(node, rhs)
+                                        else _div(l(env), r(env))))(node, rhs)
         return node
 
     def _parse_unary(self):
@@ -140,18 +175,50 @@ class Expr:
                         self._next()
                         args.append(self._parse_add())
                 self._expect(")")
+                if val in _LAZY:       # av_expr e_if: lazy branches
+                    return self._lazy_form(val, args)
                 if val not in _FUNCS:
                     raise ValueError(f"unknown function {val!r} in {self.text!r}")
                 f = _FUNCS[val]
                 return lambda env, f=f, args=args: float(f(*[a(env) for a in args]))
             name = val
-            return lambda env, n=name: float(
-                env[n] if n in env else _CONSTS[n])
+
+            def var(env, n=name, text=self.text):
+                if n in env:
+                    return float(env[n])
+                if n in _CONSTS:
+                    return _CONSTS[n]
+                raise ValueError(f"unknown variable {n!r} in expression "
+                                 f"{text!r}")
+            return var
         if kind == "sym" and val == "(":
             node = self._parse_add()
             self._expect(")")
             return node
         raise ValueError(f"unexpected token {val!r} in {self.text!r}")
+
+    def _lazy_form(self, name, args):
+        """if/ifnot/and/or with av_expr's lazy evaluation: the untaken
+        branch never runs (so `if(gt(t,0), 1/t, 0)` is safe at t==0)."""
+        if name in ("if", "ifnot"):
+            if not 2 <= len(args) <= 3:
+                raise ValueError(f"{name}() takes 2-3 args in {self.text!r}")
+            c, a = args[0], args[1]
+            b = args[2] if len(args) == 3 else None
+            inv = name == "ifnot"
+
+            def f(env, c=c, a=a, b=b, inv=inv):
+                taken = (c(env) == 0) if inv else (c(env) != 0)
+                if taken:
+                    return float(a(env))
+                return float(b(env)) if b is not None else 0.0
+            return f
+        if len(args) != 2:
+            raise ValueError(f"{name}() takes 2 args in {self.text!r}")
+        l, r = args
+        if name == "and":
+            return lambda env: 1.0 if (l(env) != 0 and r(env) != 0) else 0.0
+        return lambda env: 1.0 if (l(env) != 0 or r(env) != 0) else 0.0
 
     def __call__(self, env: Env) -> float:
         return self._ast(env)

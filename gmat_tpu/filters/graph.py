@@ -103,13 +103,19 @@ def parse_graph(spec: str) -> List[Tuple[str, Dict[str, str]]]:
         kwargs: Dict[str, str] = {}
         pos = POSITIONAL.get(name, ())
         if argstr:
+            named_seen = False
             for i, tok in enumerate(_split(argstr, ":")):
                 if "=" in tok and not tok.startswith("gt(") and \
                         tok.split("=", 1)[0].replace("_", "").isalnum() and \
                         not tok.split("=", 1)[0][0].isdigit():
                     k, v = tok.split("=", 1)
                     kwargs[k.strip()] = v
+                    named_seen = True
                 else:
+                    if named_seen:     # ffmpeg rejects this too — binding
+                        raise FilterError(   # by token index would be wrong
+                            f"positional value {tok!r} after named options "
+                            f"in {name}; use key=value")
                     if i >= len(pos):
                         raise FilterError(
                             f"too many positional args for {name}: {tok!r}")
@@ -186,9 +192,13 @@ class FilterGraph:
             elif kind == "stream":
                 fb, meta = seg.process_batch(fb, meta)
             else:
+                # the filter sees only frames still alive (ffmpeg chain
+                # semantics: its n/selected_n counters skip frames an
+                # upstream select/fps already dropped, and the padded tail)
                 mask = seg.keep_mask(fb, pts=meta["pts"], times=meta["times"],
                                      keys=meta["keys"],
-                                     pos=meta.get("pos"))
+                                     pos=meta.get("pos"),
+                                     keep=meta["keep"])
                 meta["keep"] = meta["keep"] & mask
         return fb, meta
 

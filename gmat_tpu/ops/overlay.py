@@ -74,9 +74,15 @@ def overlay_yuv420(main_planes: Dict[str, jax.Array],
         a_full = alpha.astype(jnp.float32) / 255.0
     out = {"y": _blend(main_planes["y"], oy, a_full, x, y)}
     a_sub = a_full[:, ::2, ::2]
+    # C truncating division like the reference (vf_overlay_cuda.c:303
+    # "y_position / 2"): for a negative odd slide-in position -3/2 is -1,
+    # not floor's -2 — chroma must track luma by exactly half
+    cx = jnp.trunc(x / 2).astype(x.dtype) if hasattr(x, "dtype") else \
+        int(x / 2) if x < 0 else x // 2
+    cy = jnp.trunc(y / 2).astype(y.dtype) if hasattr(y, "dtype") else \
+        int(y / 2) if y < 0 else y // 2
     for c in ("u", "v"):
-        out[c] = _blend(main_planes[c], over_planes[c], a_sub,
-                        x // 2, y // 2)
+        out[c] = _blend(main_planes[c], over_planes[c], a_sub, cx, cy)
     return out
 
 

@@ -41,7 +41,7 @@ def test_expr_errors():
     with pytest.raises(ValueError):
         compile_expr("1+")
     e = compile_expr("undefined_var")
-    with pytest.raises(KeyError):
+    with pytest.raises(ValueError, match="unknown variable"):
         e({})
 
 
@@ -330,7 +330,7 @@ def test_expr_math_functions():
     # env vars shadow constants; unknown names still KeyError
     e = compile_expr("PI")
     assert e({"PI": 3.0}) == 3.0
-    with pytest.raises(KeyError):
+    with pytest.raises(ValueError, match="unknown variable"):
         compile_expr("NOPE")({})
     # the reference-doc style animated position works
     e = compile_expr("mw/2+mw/4*sin(n/10*PI)")
@@ -352,3 +352,44 @@ def test_infer_classify(rng):
     x = inst(g.process(fb)[0])          # passthrough
     assert inst.last_output.shape == (2, 1000)
     assert np.isfinite(np.asarray(inst.last_output)).all()
+
+
+def test_chained_selects_renumber(rng):
+    """ffmpeg chain semantics: the second select sees only survivors,
+    renumbered — two halvings keep every 4th source frame."""
+    fb = yuv_batch(rng, n=8)
+    g = FilterGraph("select=not(mod(n\\,2)),select=not(mod(n\\,2))")
+    _, keep = g.process(fb)
+    assert keep.tolist() == [True, False, False, False] * 2
+
+
+def test_fps_then_select_counts_survivors(rng):
+    fb = yuv_batch(rng, n=8)
+    g = FilterGraph("fps=15,select=lt(n\\,2)", src_fps=30.0)
+    _, keep = g.process(fb)
+    # fps keeps 0,2,4,6; select keeps the first TWO of those
+    assert keep.tolist() == [True, False, True, False] + [False] * 4
+
+
+def test_fps_filter_reports_rate_change(rng):
+    g = FilterGraph("fps=15", src_fps=30.0)
+    assert abs(g.fps_mul - 0.5) < 1e-9
+    g2 = FilterGraph("yadif=1", src_fps=30.0)
+    assert g2.fps_mul == 2
+
+
+def test_positional_after_named_rejected():
+    with pytest.raises(FilterError, match="positional"):
+        parse_graph("crop=x=10:640:480")
+
+
+def test_expr_av_semantics():
+    # av_expr never raises: div-by-zero -> inf, lazy if, floor-mod,
+    # C round (half away from zero)
+    assert compile_expr("100/t")({"t": 0.0}) == float("inf")
+    assert compile_expr("if(gt(t,0),1/t,7)")({"t": 0.0}) == 7.0
+    assert compile_expr("mod(0-100,1920)")({}) == 1820.0
+    assert compile_expr("round(2.5)")({}) == 3.0
+    assert compile_expr("round(0-2.5)")({}) == -3.0
+    import math
+    assert math.isnan(compile_expr("asin(2)")({}))
