@@ -168,7 +168,7 @@ def main(argv=None):
         print("gmat: -resize/-crop apply to compressed containers only; "
               "ignored for raw input", file=sys.stderr)
         dec_resize = dec_crop = None
-    if args.input.lower().endswith((".y4m", ".yuv", ".nv12", ".iyuv", ".raw")):
+    if is_raw_input:
         src_fps = 30.0
         if args.input.lower().endswith(".y4m"):
             from ..av.rawvideo import Y4MReader
@@ -204,8 +204,14 @@ def main(argv=None):
         sink = "y4m"
     elif "%d" in args.output or args.output.endswith((".jpg", ".jpeg")):
         sink = "jpeg"
-        jpeg_pattern = (args.output if "%d" in args.output
-                        else args.output.replace(".jp", "_%d.jp"))
+        if "%d" in args.output:
+            jpeg_pattern = args.output
+        else:
+            # insert _%d before the final extension only, escaping any
+            # literal % so the later pattern % count can't misfire
+            base, dot, ext = args.output.rpartition(".")
+            jpeg_pattern = (base.replace("%", "%%") + "_%d" + dot
+                            + ext.replace("%", "%%"))
     else:
         sink = "mux"
         enc_kwargs = dict(codec_name=args.vcodec, preset=args.preset,
@@ -342,7 +348,11 @@ def main(argv=None):
             break
 
     # drain stateful filters (yadif pending frame, thumbnail open window)
-    for out_fb, keep, _meta in graph.flush():
+    for out_fb, keep, meta in graph.flush():
+        if args.t > 0 and meta.get("times") is not None:
+            # the -t cutoff applies to flushed frames too (a yadif
+            # pending frame past the limit must not sneak out)
+            keep = keep & (np.asarray(meta["times"]) < (args.ss + args.t))
         keep_idx = np.nonzero(keep)[0]
         if args.frames and done + len(keep_idx) > args.frames:
             keep_idx = keep_idx[: args.frames - done]

@@ -50,8 +50,10 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_sr_params(params: dict, mesh: Mesh) -> dict:
-    """Tensor-parallel layout for the SR model: hidden channels split on
-    the model axis (w1 out-channels / w2 in+out / w3 in), biases likewise.
+    """Tensor-parallel layout for the SR model: the hidden dimension is
+    split on the model axis where it appears ONCE per tensor — w1/b1 on
+    their out-channel axis, w2 on its in-channel axis; w3 and the later
+    biases are replicated (w2's out channels are the narrow hidden//2).
     XLA inserts the all-reduces where contractions cross the sharded dim.
     """
     def ns(*spec):

@@ -15,7 +15,7 @@ from typing import Callable, Optional
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..core.frame import FrameBatch
 from . import mesh as pm
@@ -45,9 +45,7 @@ class ShardedPipeline:
                                                    axis=0)])
                       for k, v in fb.planes.items()}
             fb = fb.with_planes(planes)
-        sh = NamedSharding(self.mesh, P(pm.DATA_AXIS))
-        return fb.with_planes({k: jax.device_put(v, sh)
-                               for k, v in fb.planes.items()})
+        return pm.shard_batch(fb, self.mesh)
 
     def __call__(self, fb: FrameBatch):
         with self.mesh:

@@ -60,7 +60,11 @@ def parse_enc_param(s: str, defaults: Dict = None) -> Dict:
                 num, den = v.split("/")
                 out["fps"] = (int(num), int(den))
             else:
-                out["fps"] = (int(float(v)), 1)
+                f = float(v)
+                if f == int(f):
+                    out["fps"] = (int(f), 1)
+                else:   # 29.97 must not truncate to 29 (3.3% drift)
+                    out["fps"] = (round(f * 1000), 1000)
         elif k == "gop":
             out["gop"] = int(v)
         elif k == "bf":
@@ -76,8 +80,11 @@ def parse_enc_param(s: str, defaults: Dict = None) -> Dict:
         elif k == "qmax":
             x264_extra.append(("qmax", int(v.split(",")[0])))
         elif k == "rc":
-            if v.lower() == "constqp" and "crf" not in out:
-                out.setdefault("crf", 23.0)
+            # callers seed defaults with crf=-1.0 (the "unset" CLI
+            # placeholder) — treat any negative crf as absent, or
+            # rc=constqp silently falls back to the encoder default
+            if v.lower() == "constqp" and out.get("crf", -1.0) < 0:
+                out["crf"] = 23.0
         elif k in ("tune", "tuning"):
             if v.lower() in ("lowlatency", "ull", "lowdelay"):
                 x264_extra.append(("tune", "zerolatency"))
@@ -96,6 +103,9 @@ def parse_enc_param(s: str, defaults: Dict = None) -> Dict:
             extras.append(f"maxrate={v}")
         elif k == "vbvbufsize":
             extras.append(f"bufsize={v}")
+        elif k == "vbvinit":
+            # NVENC vbvInitialDelay -> libavcodec rc_initial_buffer_occupancy
+            extras.append(f"rc_init_occupancy={v}")
         elif k in ("qmin", "qmax", "tune", "profile"):
             extras.append(f"{k}={v}")
     if extras:

@@ -22,7 +22,8 @@ logging.addLevelName(TRACE, "TRACE")
 
 _logger = logging.getLogger("gmat")
 _logger.setLevel(INFO)
-_configured = False
+_logger.propagate = False     # we own our handlers: records must not
+_configured = False           # duplicate through a configured root logger
 
 
 class _UdpSink(logging.Handler):
@@ -39,6 +40,12 @@ class _UdpSink(logging.Handler):
         except OSError:
             pass
 
+    def close(self):
+        try:
+            self.sock.close()
+        finally:
+            super().close()
+
 
 _FMT = logging.Formatter(
     "[%(levelname)s][%(asctime)s] %(message)s", "%H:%M:%S")
@@ -50,6 +57,7 @@ def setup(level: int = INFO, console: bool = True, file: str = "",
     global _configured
     for h in list(_logger.handlers):
         _logger.removeHandler(h)
+        h.close()      # release file descriptors / UDP sockets
     _logger.setLevel(level)
     if console:
         h = logging.StreamHandler(sys.stderr)

@@ -146,3 +146,22 @@ def test_fps_limiter_batched():
         lim.tick(10)       # 30 frames at 100 fps -> >= ~0.2s
     dt = time.perf_counter() - t0
     assert dt >= 0.15
+
+
+def test_encparam_constqp_with_cli_placeholder():
+    """rc=constqp must not be neutralized by the CLI's crf=-1.0 'unset'
+    placeholder in defaults."""
+    from gmat_tpu.utils.encparam import parse_enc_param
+    out = parse_enc_param("codec=hevc:rc=constqp", {"crf": -1.0})
+    assert out["crf"] == 23.0
+    # explicit constqp value wins
+    out = parse_enc_param("codec=hevc:constqp=30:rc=constqp", {"crf": -1.0})
+    assert out["crf"] == 30.0
+
+
+def test_encparam_fractional_fps_and_vbvinit():
+    from gmat_tpu.utils.encparam import parse_enc_param
+    out = parse_enc_param("fps=29.97")
+    assert out["fps"] == (29970, 1000)
+    out = parse_enc_param("bitrate=2M:maxbitrate=2M:vbvbufsize=4M:vbvinit=2M")
+    assert "rc_init_occupancy=2000000" in out["opts"]
