@@ -150,3 +150,16 @@ def max_value(fmt: PixelFormat) -> int:
         return 1
     container_bits = np.dtype(fmt.planes[0].dtype).itemsize * 8
     return (1 << container_bits) - 1
+
+
+def clip_value(fmt: PixelFormat) -> int:
+    """Max legal sample for clipping after resampling: lsb-aligned
+    formats clip at their TRUE bit depth (bicubic/lanczos overshoot on a
+    yuv420p10 plane must not leave samples above 1023 that wrap when
+    shifted into p010); the msb-aligned wire formats (p010/p016) use the
+    full container like the reference's texture kernels."""
+    if fmt.is_float:
+        return 1
+    if fmt.name in ("p010", "p016"):
+        return max_value(fmt)
+    return (1 << fmt.bits) - 1

@@ -142,6 +142,12 @@ def rgb_to_yuv(fb: FrameBatch, out_format: str = "yuv420p", *,
     mat = rgb2yuv_matrix(fb.colorspace)
     r, g, b, src_maxv = _rgb_to_float(fb)
     dst_bits = _offset_bits(out_fmt)
+    if out_fmt.name == "p010":
+        # WRITE the clean <<6 wire convention: quantize at the true
+        # 10-bit depth then shift into the container msb (yuv_to_yuv's
+        # >>6 and packed-P010 consumers rely on clean low bits; reading
+        # keeps container-scale offsets like the reference kernels)
+        dst_bits = 10
     low, mid = yuv_offsets(dst_bits)
     dst_maxv = float((1 << dst_bits) - 1)
     scale = dst_maxv / src_maxv

@@ -68,8 +68,11 @@ def preprocess(fb: FrameBatch, out_w: int, out_h: int,
     low, mid = yuv_offsets(bits)
     maxv = float((1 << bits) - 1)
     y = resize_plane(fb.planes["y"], out_h, out_w, method) - low
-    u = resize_plane(fb.planes["u"], out_h, out_w, method) - mid
-    v = resize_plane(fb.planes["v"], out_h, out_w, method) - mid
+    if "u" in fb.planes:
+        u = resize_plane(fb.planes["u"], out_h, out_w, method) - mid
+        v = resize_plane(fb.planes["v"], out_h, out_w, method) - mid
+    else:                      # gray8: neutral chroma, like the exact path
+        u = v = jnp.zeros_like(y)
     m = yuv2rgb_matrix(fb.colorspace)
     r = jnp.clip(m[0, 0] * y + m[0, 1] * u + m[0, 2] * v, 0.0, maxv)
     g = jnp.clip(m[1, 0] * y + m[1, 1] * u + m[1, 2] * v, 0.0, maxv)
@@ -201,7 +204,6 @@ def preprocess_nchw_bucketed(fb: FrameBatch, content_w: int, content_h: int,
     inside the same bucket reuse ONE compiled program (taps are runtime
     args).  8-bit only.
     """
-    import numpy as np
     from .resize import _window_taps
 
     ry, wy = _window_taps(content_h, out_h, "bilinear")

@@ -29,6 +29,8 @@ from ..core.frame import FrameBatch
 def crop(fb: FrameBatch, w: int, h: int, x: int = -1, y: int = -1) -> FrameBatch:
     """Crop to (w, h) with top-left (x, y); -1 centers (vf_crop_nvcv.c
     config_props default)."""
+    if w <= 0 or h <= 0:
+        raise ValueError(f"crop size must be positive, got {w}x{h}")
     if x < 0:
         x = (fb.width - w) // 2
     if y < 0:
@@ -137,8 +139,11 @@ def _nearest_sample(img: jax.Array, sy: jax.Array, sx: jax.Array,
                     fill: float = 0.0) -> jax.Array:
     h, w = img.shape[1], img.shape[2]
     valid = (sy >= -0.5) & (sy < h - 0.5) & (sx >= -0.5) & (sx < w - 0.5)
-    y = jnp.clip(jnp.round(sy), 0, h - 1).astype(jnp.int32)
-    x = jnp.clip(jnp.round(sx), 0, w - 1).astype(jnp.int32)
+    # floor(x+0.5), not jnp.round: banker's rounding at half-integer
+    # coordinates would duplicate even / drop odd pixels (comb artifact);
+    # matches resample_matrix's nearest convention (resize.py:81)
+    y = jnp.clip(jnp.floor(sy + 0.5), 0, h - 1).astype(jnp.int32)
+    x = jnp.clip(jnp.floor(sx + 0.5), 0, w - 1).astype(jnp.int32)
     flat = img.reshape(img.shape[0], -1).astype(jnp.float32)
     out = jnp.take(flat, (y * w + x).reshape(-1), axis=1).reshape(
         img.shape[0], *sy.shape)
@@ -207,6 +212,6 @@ def rotate(fb: FrameBatch, angle_deg: float, interp: str = "linear",
         if packed:
             out = jnp.transpose(out.reshape(n, c, ph, pw), (0, 2, 3, 1))
         if not fmt.is_float:
-            out = jnp.clip(jnp.round(out), 0, F.max_value(fmt))
+            out = jnp.clip(jnp.round(out), 0, F.clip_value(fmt))
         planes[p.name] = out.astype(fmt.planes[0].dtype)
     return fb.with_planes(planes)

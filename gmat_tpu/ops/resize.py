@@ -199,7 +199,6 @@ def resize(fb: FrameBatch, out_w: int, out_h: int, method: str = "bilinear",
         ph, pw = out_h >> p.sub_h, out_w >> p.sub_w
         y = resize_plane(fb.planes[p.name], ph, pw, method, antialias)
         if not fmt.is_float:
-            maxv = F.max_value(fmt)
-            y = jnp.clip(jnp.round(y), 0, maxv)
+            y = jnp.clip(jnp.round(y), 0, F.clip_value(fmt))
         planes[p.name] = y.astype(_quant_dtype(fmt))
     return fb.with_planes(planes, width=out_w, height=out_h)

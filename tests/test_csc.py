@@ -293,3 +293,18 @@ def test_rgb48_matches_rgba64_channels():
     rt = csc.convert(csc.convert(src, "yuv444p10"), "rgb48")
     d = np.abs(rt.planes["rgb"].astype(int) - src.planes["rgb"].astype(int))
     assert d.max() <= (3 << 6)
+
+
+def test_rgb_to_p010_writes_clean_msb_alignment():
+    """rgb->p010 quantizes at 10-bit and shifts <<6: low bits are clean
+    and the value equals the lsb-aligned 10-bit conversion shifted."""
+    rng = np.random.default_rng(5)
+    rgb = FrameBatch({"rgb": rng.integers(0, 256, (1, 8, 8, 3))
+                      .astype(np.uint8)}, "rgb24", 8, 8, "bt709")
+    p = csc.convert(rgb, "p010")
+    q10 = csc.convert(rgb, "yuv420p10")
+    for k in ("y", "u", "v"):
+        vp = np.asarray(p.planes[k]).astype(np.uint32)
+        assert (vp & 63).max() == 0, f"{k} has dirty low bits"
+        np.testing.assert_array_equal(
+            vp >> 6, np.asarray(q10.planes[k]).astype(np.uint32))

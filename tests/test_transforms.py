@@ -272,3 +272,17 @@ def test_bt2020_16bit_path(rng):
     want = yuv420_to_rgb24(y[0], u[0], v[0], "bt2020", bits=16)
     # oracle outputs 16-bit codes; ours shifts to 8-bit (>>8)
     assert np.abs(got[0].astype(int) - (want >> 8).astype(int)).max() <= 1
+
+
+def test_resize_10bit_overshoot_clips_at_depth():
+    """bicubic overshoot on a 10-bit edge must clip at 1023, not the
+    u16 container (values >1023 wrap when shifted into p010)."""
+    from gmat_tpu.core.frame import FrameBatch
+    from gmat_tpu.ops.resize import resize
+    y = np.zeros((1, 16, 32), np.uint16)
+    y[:, :, 16:] = 1023
+    u = np.full((1, 8, 16), 512, np.uint16)
+    v = np.full((1, 8, 16), 512, np.uint16)
+    fb = FrameBatch({"y": y, "u": u, "v": v}, "yuv420p10", 32, 16, "bt709")
+    out = resize(fb, 64, 32, "bicubic")
+    assert int(np.asarray(out.planes["y"]).max()) <= 1023
