@@ -356,6 +356,14 @@ GJ_API void* gjpeg_parse(const uint8_t* buf, long long size) {
         if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) { i += 2; continue; }
         if (m == 0xD9) break;
         int len = (p[i + 2] << 8) | p[i + 3];
+        // every segment handler below indexes seg[0..len-3]: the length
+        // field comes from the file and MUST fit the buffer
+        if (len < 2 || i + 2 + len > n) {
+            snprintf(gj_err, sizeof gj_err,
+                     "truncated segment 0x%02X (len %d at %lld/%lld)",
+                     m, len, i, n);
+            delete f; return nullptr;
+        }
         const uint8_t* seg = p + i + 4;
         int seglen = len - 2;
         if (m == 0xDB) {
@@ -363,13 +371,27 @@ GJ_API void* gjpeg_parse(const uint8_t* buf, long long size) {
             while (off < seglen) {
                 int pq = seg[off] >> 4, tq = seg[off] & 15;
                 off++;
+                if (pq) {    // 16-bit tables would truncate silently
+                    snprintf(gj_err, sizeof gj_err,
+                             "16-bit quant tables not supported");
+                    delete f; return nullptr;
+                }
+                if (tq >= 4 || off + 64 > seglen) {
+                    snprintf(gj_err, sizeof gj_err,
+                             "bad DQT (tq=%d, %d bytes left)", tq,
+                             seglen - off);
+                    delete f; return nullptr;
+                }
                 for (int k = 0; k < 64; k++) {
-                    int v = pq ? (seg[off] << 8 | seg[off + 1]) : seg[off];
-                    off += pq ? 2 : 1;
-                    f->qt[tq][ZIGZAG[k]] = (uint8_t)v;
+                    f->qt[tq][ZIGZAG[k]] = seg[off];
+                    off++;
                 }
             }
         } else if (m == 0xC0 || m == 0xC1) {
+            if (seglen < 6 || seglen < 6 + 3 * (seg[5] & 0xFF)) {
+                snprintf(gj_err, sizeof gj_err, "truncated SOF");
+                delete f; return nullptr;
+            }
             f->height = (seg[1] << 8) | seg[2];
             f->width = (seg[3] << 8) | seg[4];
             f->ncomp = seg[5];
@@ -377,6 +399,11 @@ GJ_API void* gjpeg_parse(const uint8_t* buf, long long size) {
                 f->comp_h[c] = seg[6 + c * 3 + 1] >> 4;
                 f->comp_v[c] = seg[6 + c * 3 + 1] & 15;
                 f->comp_qt[c] = seg[6 + c * 3 + 2];
+                if (f->comp_qt[c] >= 4) {
+                    snprintf(gj_err, sizeof gj_err,
+                             "bad quant table id %d", f->comp_qt[c]);
+                    delete f; return nullptr;
+                }
             }
             if (f->ncomp == 1) f->subsamp = 2;
             else if (f->comp_h[0] == 2 && f->comp_v[0] == 2) f->subsamp = 0;
@@ -394,22 +421,45 @@ GJ_API void* gjpeg_parse(const uint8_t* buf, long long size) {
             while (off < seglen) {
                 int cls = seg[off] >> 4, id = seg[off] & 15;
                 off++;
+                if (cls > 1 || id >= 4 || off + 16 > seglen) {
+                    snprintf(gj_err, sizeof gj_err,
+                             "bad DHT (class=%d id=%d)", cls, id);
+                    delete f; return nullptr;
+                }
                 uint8_t bits[17] = {0};
                 int nv = 0;
                 for (int l = 1; l <= 16; l++) { bits[l] = seg[off + l - 1]; nv += bits[l]; }
                 off += 16;
+                if (nv > 256 || off + nv > seglen) {
+                    snprintf(gj_err, sizeof gj_err,
+                             "bad DHT value count %d", nv);
+                    delete f; return nullptr;
+                }
                 if (cls == 0) build_dec(bits, seg + off, nv, f->dc[id]);
                 else build_dec(bits, seg + off, nv, f->ac[id]);
                 f->has_dht[cls * 4 + id] = true;
                 off += nv;
             }
         } else if (m == 0xDD) {
+            if (seglen < 2) {
+                snprintf(gj_err, sizeof gj_err, "truncated DRI");
+                delete f; return nullptr;
+            }
             f->restart = (seg[0] << 8) | seg[1];
         } else if (m == 0xDA) {
-            int ns = seg[0];
+            int ns = seglen > 0 ? seg[0] : 0;
+            if (ns < 1 || ns > 3 || seglen < 1 + ns * 2 + 3) {
+                snprintf(gj_err, sizeof gj_err, "bad SOS (%d comps)", ns);
+                delete f; return nullptr;
+            }
             for (int c = 0; c < ns && c < 3; c++) {
                 f->comp_dc[c] = seg[1 + c * 2 + 1] >> 4;
                 f->comp_ac[c] = seg[1 + c * 2 + 1] & 15;
+                if (f->comp_dc[c] >= 4 || f->comp_ac[c] >= 4) {
+                    snprintf(gj_err, sizeof gj_err,
+                             "bad SOS table selector");
+                    delete f; return nullptr;
+                }
             }
             f->scan = seg + 1 + ns * 2 + 3;
             f->scan_size = n - (f->scan - p);

@@ -61,8 +61,16 @@ def main(argv=None):
                 fb = from_numpy_yuv420(y[None], u[None], v[None],
                                        colorspace=src.colorspace)
                 data = jpeg_tpu.encode_batch(fb, args.quality)[0]
-                pattern = (args.output if "%" in args.output
-                           else args.output.replace(".jp", "_%d.jp"))
+                if "%" in args.output:
+                    pattern = args.output
+                elif args.output.lower().endswith((".jpg", ".jpeg")):
+                    base, dot, ext = args.output.rpartition(".")
+                    pattern = base + "_%d" + dot + ext
+                else:
+                    raise SystemExit(
+                        f"gmat-extract: unsupported output "
+                        f"{args.output!r} (use .y4m, .jpg, or a %d "
+                        "pattern)")
                 with open(pattern % n, "wb") as f:
                     f.write(data)
             n += 1

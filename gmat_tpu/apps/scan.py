@@ -24,7 +24,7 @@ def scan_one(path: str, fast: bool) -> dict:
     try:
         dm = tk.Demuxer(path)
         dec = tk.Decoder.from_demuxer(dm)
-    except IOError as e:
+    except (IOError, ValueError) as e:   # ValueError: audio-only inputs
         if dm is not None:
             dm.close()
         return {"file": os.path.basename(path), "error": str(e)[:80]}

@@ -52,10 +52,19 @@ def extract_to_torch(path: str, frame_interval: int = 0,
             if b is None:
                 return
             ys, us, vs, pts = b
+            valid = ys.shape[0]
+            if valid < batch:
+                # pad the tail to the steady-state batch shape: a
+                # distinct leading dim would trigger a fresh remote
+                # compile just for the leftovers
+                pad = batch - valid
+                ys = np.concatenate([ys, np.repeat(ys[-1:], pad, 0)])
+                us = np.concatenate([us, np.repeat(us[-1:], pad, 0)])
+                vs = np.concatenate([vs, np.repeat(vs[-1:], pad, 0)])
             fb = FrameBatch({"y": jnp.asarray(ys), "u": jnp.asarray(us),
                              "v": jnp.asarray(vs)}, "yuv420p", w, h,
                             fx.colorspace)
             x = fused.preprocess_nchw(fb, out_w, out_h)
-            yield jax_to_torch(x), pts
+            yield jax_to_torch(x[:valid]), pts
     finally:
         fx.close()

@@ -113,7 +113,8 @@ class ImageProvider:
         from .av import toolkit as tk
         self._dm = tk.Demuxer(path)
         self._dec = tk.Decoder.from_demuxer(self._dm)
-        self._fmt = fmt
+        # the reference's short names map onto the format registry
+        self._fmt = {"rgb": "rgb24", "bgr": "bgr24"}.get(fmt, fmt)
         self._gen = self._frames()
         self.width, self.height = self._dm.width, self._dm.height
 
@@ -167,12 +168,21 @@ class NvEncLite:
             raise ValueError("width and height cannot be 0")
         from .av import toolkit as tk
         self.w, self.h = width, height
-        self._enc = tk.Encoder("libx265", width, height, still_image=True,
-                               crf=20.0, opts="x265-params=log-level=0")
+        self._tk = tk
+        self._enc = None
 
     def encode_frame(self, y, u, v) -> bytes:
-        pkts = self._enc.encode(y, u, v, pts=0) + self._enc.flush()
-        return self._enc.extradata() + b"".join(p.data for p in pkts)
+        # each still is an independent GOP-1 session: flushing drains a
+        # libavcodec encoder for good, so a fresh instance per frame
+        # keeps repeated encode_frame calls valid (the reference's NVENC
+        # still sessions behave the same way, CHeif.cpp:31-43)
+        enc = self._tk.Encoder("libx265", self.w, self.h, still_image=True,
+                               crf=20.0, opts="x265-params=log-level=0")
+        try:
+            pkts = enc.encode(y, u, v, pts=0) + enc.flush()
+            return enc.extradata() + b"".join(p.data for p in pkts)
+        finally:
+            enc.close()
 
     # the reference's device-frame verb: NV12 wire format in
     def encode_device_frame(self, nv12, vpkt=None) -> bytes:
@@ -183,7 +193,7 @@ class NvEncLite:
                                  np.ascontiguousarray(uv[..., 1]))
 
     def close(self):
-        self._enc.close()
+        pass      # per-frame sessions close themselves in encode_frame
 
 
 class NvDecLite:
@@ -228,7 +238,10 @@ class NvHeifReader:
     def __init__(self, img, size=None):
         if img is None:
             raise ValueError("input buffer cannot be empty")
-        data = np.asarray(img, np.uint8).tobytes()
+        if isinstance(img, (bytes, bytearray, memoryview)):
+            data = bytes(img)
+        else:
+            data = np.asarray(img, np.uint8).tobytes()
         self._blob = data[:size] if size else data
 
     def read_image(self):

@@ -150,3 +150,30 @@ def test_jpeg_mixed_quality_batch(rng):
     # both decode near the original (each with its own tables)
     assert np.abs(y0 - y[0].astype(int)).mean() < 3
     assert np.abs(y1 - y[0].astype(int)).mean() < 6
+
+
+def test_jpeg_parser_survives_mutations():
+    """Truncations and byte flips of a valid JPEG either decode or raise
+    a clean error — never crash (parser bounds-checks every segment)."""
+    from gmat_tpu.av import jpeg_tpu
+    from gmat_tpu.core.frame import from_numpy_yuv420
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 256, (1, 32, 48)).astype(np.uint8)
+    u = rng.integers(0, 256, (1, 16, 24)).astype(np.uint8)
+    v = rng.integers(0, 256, (1, 16, 24)).astype(np.uint8)
+    blob = jpeg_tpu.encode_batch(from_numpy_yuv420(y, u, v), 85)[0]
+    for frac in (0.02, 0.1, 0.3, 0.7, 0.95):
+        cut = blob[: int(len(blob) * frac)]
+        try:
+            jpeg_tpu.decode_batch([cut])
+        except Exception:
+            pass
+    for seed in range(20):
+        r = np.random.default_rng(seed)
+        mut = bytearray(blob)
+        for _ in range(6):
+            mut[r.integers(2, len(mut))] = r.integers(0, 256)
+        try:
+            jpeg_tpu.decode_batch([bytes(mut)])
+        except Exception:
+            pass
