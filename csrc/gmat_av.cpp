@@ -533,6 +533,19 @@ GAV_API int gav_dec_receive(void* h, unsigned char* y, unsigned char* u,
             av_frame_unref(f);
             return -1;
         }
+        {
+            // full-range sources (mjpeg yuvj444/422/gray8) must STAY
+            // full-range in the I420 output — sws deduces srcRange=1
+            // from those pixel formats but defaults the YUV420P
+            // destination to limited, silently compressing blacks/
+            // whites to 16..235; propagate the source range instead
+            int *inv_table, *table, sr, dr, br, ct, sat;
+            if (sws_getColorspaceDetails(d->sws, &inv_table, &sr, &table,
+                                         &dr, &br, &ct, &sat) >= 0
+                && sr && !dr)
+                sws_setColorspaceDetails(d->sws, inv_table, sr, table, sr,
+                                         br, ct, sat);
+        }
         // chroma strides use the I420 ceil convention: for odd targets
         // sws writes ceil(w/2) bytes per row (caller allocates ceil)
         uint8_t* dst[4] = {y, u, v, nullptr};

@@ -31,9 +31,21 @@ def _rgb_to_yuvj420(rgb: np.ndarray):
 
 
 def _yuvj420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray):
+    h, w = y.shape
+
+    def up(c):
+        # odd luma dims: floor-sliced chroma doubles one row/col short —
+        # edge-replicate to the luma geometry
+        c2 = np.repeat(np.repeat(c, 2, 0), 2, 1)
+        while c2.shape[0] < h:
+            c2 = np.concatenate([c2, c2[-1:]], 0)
+        while c2.shape[1] < w:
+            c2 = np.concatenate([c2, c2[:, -1:]], 1)
+        return c2[:h, :w]
+
     yf = y.astype(np.float32)
-    uf = np.repeat(np.repeat(u, 2, 0), 2, 1).astype(np.float32) - 128.0
-    vf = np.repeat(np.repeat(v, 2, 0), 2, 1).astype(np.float32) - 128.0
+    uf = up(u).astype(np.float32) - 128.0
+    vf = up(v).astype(np.float32) - 128.0
     r = yf + 1.402 * vf
     g = yf - 0.344136 * uf - 0.714136 * vf
     b = yf + 1.772 * uf

@@ -195,11 +195,14 @@ class OverlayFilter:
     stream_filter = True
 
     def __init__(self, path="", video="", x="0", y="0",
-                 eof_action="repeat", shortest=0):
+                 eof_action="repeat", shortest=0, vw=0, vh=0):
         if bool(path) == bool(video):
             raise FilterError("overlay requires exactly one of path=FILE "
                               "(still) or video=FILE (second stream)")
         self.video = video
+        # headerless raw overlay inputs (.yuv/.nv12/...) need their
+        # geometry from the caller (vw=W:vh=H)
+        self.vw, self.vh = int(vw), int(vh)
         self.eof_action = "endall" if int(shortest) else str(eof_action)
         if self.eof_action not in ("repeat", "pass", "endall"):
             raise FilterError(f"overlay eof_action {self.eof_action!r}")
@@ -254,7 +257,13 @@ class OverlayFilter:
                                         ".raw")):
             # raw readers have no alpha; ride the standard ingest path
             from ..av.ingest import decode_stream
-            src = decode_stream(self.video, batch=8)
+            if (not self.video.lower().endswith(".y4m")
+                    and not (self.vw and self.vh)):
+                raise FilterError(
+                    "headerless raw overlay video needs vw=W:vh=H "
+                    "(overlay=video=bg.yuv:vw=640:vh=360)")
+            src = decode_stream(self.video, batch=8,
+                                width=self.vw, height=self.vh)
             try:
                 for ofb, _opts, ovalid in src:
                     host = {k: np.asarray(v) for k, v in ofb.planes.items()}
@@ -293,19 +302,24 @@ class OverlayFilter:
         except StopIteration:
             return None
 
-    def _still_as(self, domain):
-        """Still image in 'rgb' or 'yuv' domain (converted once, cached)."""
-        if domain not in self._still_cache:
+    def _still_as(self, domain, colorspace="bt709"):
+        """Still image in 'rgb' or 'yuv' domain (converted once, cached).
+        colorspace: the MAIN stream's matrix — blending into a bt601 main
+        must encode the still with bt601, or the blend skews color."""
+        key = (domain, colorspace)
+        if key not in self._still_cache:
             from ..core.frame import from_numpy_rgb
             if domain == "rgb":
                 d = {"rgb": self._still}
             else:
-                fb = csc.convert(from_numpy_rgb(self._still), "yuv420p")
+                fb = csc.convert(
+                    from_numpy_rgb(self._still, colorspace=colorspace),
+                    "yuv420p")
                 d = {k: np.asarray(v)[0] for k, v in fb.planes.items()}
             if self._still_alpha is not None:
                 d = dict(d, a=self._still_alpha)
-            self._still_cache[domain] = d
-        return self._still_cache[domain]
+            self._still_cache[key] = d
+        return self._still_cache[key]
 
     # -- stream protocol ------------------------------------------------------
     def process_batch(self, fb: FrameBatch, meta):
@@ -331,7 +345,7 @@ class OverlayFilter:
                 frames.append(None)
                 continue
             if self._still is not None:
-                frames.append(self._still_as(domain))
+                frames.append(self._still_as(domain, fb.colorspace))
                 blend_on[i] = True
                 continue
             f = self._next_overlay()
@@ -372,7 +386,8 @@ class OverlayFilter:
             alpha = None            # fully opaque: skip the alpha math
         if domain == "rgb" and "rgb" not in ref:
             from ..core.frame import from_numpy_yuv420
-            tmp = from_numpy_yuv420(stack["y"], stack["u"], stack["v"])
+            tmp = from_numpy_yuv420(stack["y"], stack["u"], stack["v"],
+                                    colorspace=fb.colorspace)
             stack = {"rgb": np.asarray(
                 csc.convert(tmp, "rgb24").planes["rgb"])}
 
@@ -640,13 +655,39 @@ class SelectFilter:
         in the chain, or batch padding) — they are invisible to this
         filter, exactly like ffmpeg's per-frame chain: n/selected_n/
         prev_* only advance over frames that actually reach it."""
-        from ..ops.scene import scene_scores
+        from ..ops.scene import scene_scores_mafd
         n = fb.batch
         if self.needs_scene:
-            scores, self.prev_mafd = scene_scores(fb, self.prev_last,
-                                                  self.prev_mafd)
-            scores = np.asarray(scores)
-            self.prev_last = {k: v[-1] for k, v in fb.planes.items()}
+            bits = fb.fmt.bits      # 10-bit streams normalize /4
+            kp = None if keep is None else np.asarray(keep)
+            scores = np.zeros(n)
+            if kp is not None and not kp.all():
+                # ffmpeg chain semantics: scene diffs run between
+                # consecutive frames that REACH this filter.  Gather the
+                # alive frames (padded to the batch shape so one program
+                # serves every mask) and scatter scores back.
+                alive = np.nonzero(kp)[0]
+                if alive.size:
+                    import jax.numpy as jnp
+                    idx = np.concatenate(
+                        [alive, np.full(n - alive.size, alive[-1], int)])
+                    sub = fb.with_planes(
+                        {k: jnp.take(v, jnp.asarray(idx), axis=0)
+                         for k, v in fb.planes.items()})
+                    s, mafd = scene_scores_mafd(sub, self.prev_last,
+                                                self.prev_mafd, bits)
+                    s, mafd = np.asarray(s), np.asarray(mafd)
+                    scores[alive] = s[:alive.size]
+                    self.prev_mafd = float(mafd[alive.size - 1])
+                    subp = {k: np.asarray(v) for k, v in sub.planes.items()}
+                    self.prev_last = {k: v[alive.size - 1]
+                                      for k, v in subp.items()}
+            else:
+                s, mafd = scene_scores_mafd(fb, self.prev_last,
+                                            self.prev_mafd, bits)
+                scores = np.asarray(s)
+                self.prev_mafd = float(np.asarray(mafd)[-1])
+                self.prev_last = {k: v[-1] for k, v in fb.planes.items()}
         else:
             scores = np.zeros(n)
         out = np.zeros(n, bool)
@@ -730,9 +771,16 @@ class ThumbnailFilter:
         self._last_fb = None
 
     @staticmethod
-    def _hist(planes, i):
+    def _hist(planes, i, shift=2):
+        """64-bin luma histogram; shift maps the sample depth onto the
+        bins (8-bit: >>2; 10-bit lsb: >>4; p010/p016 msb: >>10; floats
+        scale 0..1 into the bins)."""
         y = planes["y"][i] if "y" in planes else planes["rgb"][i][..., 0]
-        vals = np.asarray(y, np.uint16).reshape(-1) >> 2
+        arr = np.asarray(y)
+        if arr.dtype.kind == "f":
+            vals = np.clip(arr * 63.0, 0, 63).astype(np.int64).reshape(-1)
+        else:
+            vals = arr.astype(np.int64).reshape(-1) >> shift
         return np.bincount(np.minimum(vals, 63),
                            minlength=64).astype(np.float64)
 
@@ -761,13 +809,16 @@ class ThumbnailFilter:
         host = {k: np.asarray(v) for k, v in fb.planes.items()}
         self._last_fb = fb
         keep = meta["keep"]
+        fmt = fb.fmt
+        shift = (10 if fmt.name in ("p010", "p016")
+                 else max(fmt.bits - 6, 0))
         picks = []
         for i in range(fb.batch):
             if not keep[i]:
                 continue
             fm = {key: (None if arr is None else arr[i])
                   for key, arr in meta.items()}
-            self._buf.append((self._hist(host, i),
+            self._buf.append((self._hist(host, i, shift),
                               {k: host[k][i] for k in host}, fm))
             if len(self._buf) == self.window:
                 picks.append(self._best())

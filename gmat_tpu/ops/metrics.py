@@ -27,6 +27,9 @@ def ssim(a: jax.Array, b: jax.Array, max_val: float = 255.0,
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
     n, h, w = a.shape
+    if h < win or w < win:
+        raise ValueError(f"ssim needs planes of at least {win}x{win}, "
+                         f"got {h}x{w} (pass a smaller win=)")
     hh, ww = h // win * win, w // win * win
 
     def blocks(x):

@@ -68,3 +68,25 @@ def scene_scores(fb: FrameBatch, prev_last: Optional[dict] = None,
         # reference (prev_picref == NULL -> ret 0)
         score = score.at[0].set(0.0)
     return score, mafd[-1]
+
+
+def scene_scores_mafd(fb: FrameBatch, prev_last: Optional[dict] = None,
+                      prev_mafd: float | jax.Array = 0.0,
+                      bitdepth: int = 8):
+    """Like scene_scores but also returns the full per-frame mafd array —
+    callers scoring a padded batch need the carry at the last REAL frame,
+    not at the padded tail (a duplicate frame's mafd is 0)."""
+    sad = batch_sad(fb, prev_last).astype(jnp.float64
+                                          if jax.config.jax_enable_x64
+                                          else jnp.float32)
+    count = 0
+    for p in fb.fmt.planes:
+        sh = fb.fmt.plane_shape(p.name, fb.height, fb.width)
+        count += sh[0] * sh[1] * (sh[2] if len(sh) > 2 else 1)
+    mafd = sad / count / (1 << (bitdepth - 8))
+    prev = jnp.concatenate([jnp.asarray([prev_mafd], mafd.dtype), mafd[:-1]])
+    diff = jnp.abs(mafd - prev)
+    score = jnp.clip(jnp.minimum(mafd, diff) / 100.0, 0.0, 1.0)
+    if prev_last is None:
+        score = score.at[0].set(0.0)
+    return score, mafd

@@ -22,8 +22,22 @@ from ..core.frame import FrameBatch
 BORDERS = ("constant", "replicate", "reflect", "wrap", "reflect101")
 
 
+# OpenCV getGaussianKernel's fixed small-kernel table (used when
+# sigma<=0 and ksize<=7): binomial coefficients, not the formula
+_CV_FIXED = {
+    1: np.array([1.0]),
+    3: np.array([0.25, 0.5, 0.25]),
+    5: np.array([0.0625, 0.25, 0.375, 0.25, 0.0625]),
+    7: np.array([0.03125, 0.109375, 0.21875, 0.28125,
+                 0.21875, 0.109375, 0.03125]),
+}
+
+
 def gaussian_kernel1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
-    """OpenCV getGaussianKernel semantics: sigma<=0 derives it from ksize."""
+    """OpenCV getGaussianKernel semantics: sigma<=0 uses the fixed
+    binomial table for ksize<=7, else derives sigma from ksize."""
+    if sigma <= 0 and ksize in _CV_FIXED:
+        return _CV_FIXED[ksize].astype(np.float32)
     if sigma <= 0:
         sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
     x = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2.0
@@ -100,6 +114,7 @@ def smooth(fb: FrameBatch, type: str = "gaussian", kw: int = 3, kh: int = 3,
         else:
             raise ValueError(f"smooth type {type!r} (gaussian|median)")
         if not fmt.is_float:
-            y = jnp.clip(jnp.round(y.astype(jnp.float32)), 0, F.max_value(fmt))
+            y = jnp.clip(jnp.round(y.astype(jnp.float32)), 0,
+                         F.clip_value(fmt))
         planes[p.name] = y.astype(fmt.planes[0].dtype)
     return fb.with_planes(planes)

@@ -393,3 +393,36 @@ def test_expr_av_semantics():
     assert compile_expr("round(0-2.5)")({}) == -3.0
     import math
     assert math.isnan(compile_expr("asin(2)")({}))
+
+
+def test_chained_select_scene_sees_survivors_only(rng):
+    """After an upstream select drops the alternating frames, the scene
+    select must diff consecutive SURVIVORS (identical -> no cuts), not
+    raw batch neighbors (alternating -> huge mafd)."""
+    a = np.full((32, 48), 40, np.uint8)
+    b = np.full((32, 48), 220, np.uint8)
+    ys = np.stack([a if i % 2 == 0 else b for i in range(8)])
+    us = np.full((8, 16, 24), 128, np.uint8)
+    fb = from_numpy_yuv420(ys, us, us.copy())
+    g = FilterGraph("select=not(mod(n\\,2)),select=lt(scene\\,0.1)")
+    _, keep = g.process(fb)
+    # all surviving (identical) frames pass the low-scene gate
+    assert keep.tolist() == [True, False] * 4
+
+
+def test_select_scene_10bit_normalized(rng):
+    """scene on a 10-bit stream uses the /4 depth normalization — the
+    same content at 8- and 10-bit scores within rounding of each other."""
+    from gmat_tpu.filters.builtin import SelectFilter
+    y8 = np.concatenate([np.full((4, 32, 48), 40, np.uint8),
+                         np.full((4, 32, 48), 200, np.uint8)])
+    u8 = np.full((8, 16, 24), 128, np.uint8)
+    fb8 = from_numpy_yuv420(y8, u8, u8.copy())
+    fb10 = FrameBatch(
+        {"y": (y8.astype(np.uint16) << 2), "u": (u8.astype(np.uint16) << 2),
+         "v": (u8.astype(np.uint16) << 2)}, "yuv420p10", 48, 32, "bt709")
+    s8 = SelectFilter("gt(scene,0.4)")
+    s10 = SelectFilter("gt(scene,0.4)")
+    k8 = s8.keep_mask(fb8)
+    k10 = s10.keep_mask(fb10)
+    assert k8.tolist() == k10.tolist()

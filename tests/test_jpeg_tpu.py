@@ -177,3 +177,15 @@ def test_jpeg_parser_survives_mutations():
             jpeg_tpu.decode_batch([bytes(mut)])
         except Exception:
             pass
+
+
+def test_full_range_survives_sws_decode_path():
+    """Grayscale/4:4:4 JPEGs decode through libswscale (no I420 fast
+    path); the full JFIF range must not compress to 16..235."""
+    from gmat_tpu.av import jpeg
+    from gmat_tpu.core.frame import FrameBatch
+    y = np.tile(np.linspace(0, 255, 64, dtype=np.uint8), (64, 1))
+    fb = FrameBatch({"y": y[None]}, "gray8", 64, 64, "bt709")
+    blob = jpeg_tpu.encode_batch(fb, 95)[0]
+    yd, _, _ = jpeg.decode_jpeg_bytes(blob)
+    assert yd.min() <= 8 and yd.max() >= 247, (yd.min(), yd.max())
