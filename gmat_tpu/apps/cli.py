@@ -57,6 +57,9 @@ def build_parser():
     p.add_argument("-batch", type=int, default=32, help="TPU batch size")
     p.add_argument("-stats", action="store_true", help="print fps meter")
     p.add_argument("-threads", type=int, default=0, help="decoder threads")
+    p.add_argument("-bits", type=int, default=8, choices=(8, 10, 16),
+                   help="ingest depth: 10 = P010 lane (compressed or "
+                        "C420p10 y4m), 16 = C420p16 y4m")
     p.add_argument("-resize", default="",
                    help="decoder-side downscale WxH before upload (the "
                         "cuvid -resize analog; containers only)")
@@ -287,28 +290,35 @@ def main(argv=None):
                 f.write(encode_rgb_to_jpeg(rgb_host[i]))
             out_count += 1
 
-    def emit_y4m(fb_host, keep_idx):
+    def emit_y4m(fb_host, keep_idx, bits=8):
         nonlocal out_count, y4m_writer
         from ..av.rawvideo import Y4MWriter
         for i in keep_idx:
             y = fb_host["y"][i]
             if y4m_writer is None:
                 y4m_writer = Y4MWriter(args.output, y.shape[1], y.shape[0],
-                                       fps_tuple)
+                                       fps_tuple, bits=bits)
             y4m_writer.write(y, fb_host["u"][i], fb_host["v"][i])
             out_count += 1
 
     def emit_batch(out_fb, keep_idx):
         if sink == "mux":
-            if out_fb.format != "yuv420p":
+            # 10-bit pipelines encode main10 when the codec supports it
+            # (the NvEncLite 10-bit lane); everything else lands on 8-bit
+            want10 = (out_fb.format == "yuv420p10"
+                      and args.vcodec == "libx265")
+            if want10:
+                enc_kwargs.setdefault("bits", 10)
+            elif out_fb.format != "yuv420p":
                 out_fb = csc.convert(out_fb, "yuv420p")
             host = {k: np.asarray(v) for k, v in out_fb.planes.items()}
             emit_yuv(host, keep_idx)
         elif sink == "y4m":
-            if out_fb.format != "yuv420p":
+            # keep high-depth pipelines high-depth on disk (C420p10/16)
+            if out_fb.format not in ("yuv420p", "yuv420p10", "yuv420p16"):
                 out_fb = csc.convert(out_fb, "yuv420p")
             host = {k: np.asarray(v) for k, v in out_fb.planes.items()}
-            emit_y4m(host, keep_idx)
+            emit_y4m(host, keep_idx, bits=out_fb.fmt.bits)
         elif sink == "jpeg":
             rgb_fb = out_fb if out_fb.format == "rgb24" else csc.convert(
                 out_fb, "rgb24")
@@ -323,7 +333,7 @@ def main(argv=None):
     done = 0
     src = decode_stream(args.input, batch=args.batch, threads=args.threads,
                         seek=args.ss, width=raw_w, height=raw_h,
-                        resize=dec_resize, crop=dec_crop)
+                        resize=dec_resize, crop=dec_crop, bits=args.bits)
     for fb, pts, valid in src:
         times = pts * tb_sec
         out_fb, keep = graph.process(

@@ -155,3 +155,46 @@ def test_y4m_16bit_round_trip(tmp_path):
     for g, (y, _, _) in zip(got, frames):
         assert g.dtype == np.uint16
         np.testing.assert_array_equal(g, y)
+
+
+def test_cli_10bit_lane_end_to_end(tmp_path):
+    """-bits 10: C420p10 y4m in -> main10 x265 mp4 out, and -o .y4m
+    stays 10-bit on disk."""
+    import numpy as np
+    from gmat_tpu.av.rawvideo import Y4MWriter, Y4MReader
+    from gmat_tpu.apps.cli import main
+
+    src = str(tmp_path / "in10.y4m")
+    rng = np.random.default_rng(0)
+    w, h = 64, 48
+    wr = Y4MWriter(src, w, h, bits=10)
+    for i in range(6):
+        wr.write((rng.integers(0, 1024, (h, w))).astype(np.uint16),
+                 np.full((h // 2, w // 2), 512, np.uint16),
+                 np.full((h // 2, w // 2), 512, np.uint16))
+    wr.close()
+
+    out = str(tmp_path / "out10.y4m")
+    rc = main(["-i", src, "-bits", "10", "-vf", "scale=32:24",
+               "-o", out, "-batch", "4"])
+    assert rc == 0
+    rd = Y4MReader(out)
+    assert rd.bits == 10 and rd.width == 32
+    n = sum(1 for _ in rd.frames())
+    rd.close()
+    assert n == 6
+
+    mp4 = str(tmp_path / "out10.mp4")
+    rc = main(["-i", src, "-bits", "10", "-vf", "null", "-o", mp4,
+               "-c:v", "libx265", "-crf", "25", "-batch", "4"])
+    assert rc == 0
+    from gmat_tpu.av import toolkit as tk
+    with tk.Demuxer(mp4) as dm:
+        dec = tk.Decoder.from_demuxer(dm)
+        n = 0
+        for p in dm:
+            if p.stream == 0:
+                n += sum(1 for _ in dec.decode16(p.data, p.pts))
+        n += sum(1 for _ in dec.decode16(None))
+        dec.close()
+    assert n == 6
