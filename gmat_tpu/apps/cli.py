@@ -130,9 +130,33 @@ def list_filters():
         print(f"{name:16s} {opts}{extra}")
 
 
+# ffmpeg flags that are no-ops here (accepted so reference doc command
+# lines paste in unmodified): hw plumbing is automatic, -y has no
+# interactive prompt to skip, A/V sync is pts-driven
+_FFMPEG_NOOP_VALUED = {"-hwaccel", "-hwaccel_output_format", "-vsync",
+                       "-fps_mode", "-loglevel", "-pix_fmt"}
+_FFMPEG_NOOP_FLAGS = {"-y", "-n", "-hide_banner", "-nostdin", "-an", "-sn"}
+
+
+def _strip_ffmpeg_noops(argv):
+    out, i = [], 0
+    while i < len(argv):
+        a = argv[i]
+        if a in _FFMPEG_NOOP_VALUED and i + 1 < len(argv):
+            i += 2
+            continue
+        if a in _FFMPEG_NOOP_FLAGS:
+            i += 1
+            continue
+        out.append(a)
+        i += 1
+    return out
+
+
 def main(argv=None):
     if argv is None:
         argv = sys.argv[1:]
+    argv = _strip_ffmpeg_noops(list(argv))
     if "-list-filters" in argv:
         list_filters()
         return 0

@@ -420,3 +420,17 @@ def test_perf_rungs_smoke(capsys):
     assert main(["rungs", "-width", "256", "-height", "128"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["case"] == "rungs" and out["fps_xla"] > 0
+
+
+def test_cli_accepts_ffmpeg_noop_flags(clip, tmp_path):
+    """Reference doc command lines paste in unmodified: the hwaccel/
+    vsync/-y plumbing flags are accepted as no-ops
+    (FFmpeg_GPU_Acceleration.md transcode examples)."""
+    from gmat_tpu.apps.cli import main
+    out = str(tmp_path / "ff.mp4")
+    rc = main(["-y", "-vsync", "0", "-hwaccel", "cuda",
+               "-hwaccel_output_format", "cuda", "-i", clip,
+               "-vf", "scale_cuda=160:120", "-c:a", "copy",
+               "-c:v", "libx264", "-b:v", "1M", "-o", out,
+               "-frames", "8", "-batch", "8"])
+    assert rc == 0 and os.path.getsize(out) > 500
