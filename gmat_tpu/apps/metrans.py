@@ -112,7 +112,6 @@ class EncoderWorker(threading.Thread):
         vcodec = mux_kw.get("codec")
         if vcodec is None:
             vcodec = -mux_kw["codec_id"]
-        self.audio_pkts = []
         if audio:
             acid, arate, ach, aextra, apkts = audio
             self.mux = tk.AvMuxer(path, w, h, fps_t, vcodec,
@@ -120,6 +119,7 @@ class EncoderWorker(threading.Thread):
                                   aextra)
             self.audio_pkts = apkts
         else:
+            self.audio_pkts = None    # makes _write_video's guard real
             self.mux = tk.Muxer(path, w, h, fps_t,
                                 extradata=self.enc.extradata(), **mux_kw)
         self.q: queue.Queue = queue.Queue(maxsize=depth)
@@ -134,7 +134,7 @@ class EncoderWorker(threading.Thread):
 
     def run(self):
         try:
-            for p in self.audio_pkts:
+            for p in (self.audio_pkts or ()):
                 self.mux.write_audio(p)
             n = 0
             while True:
@@ -187,41 +187,47 @@ def transcode_audio(opts: Options):
     rate = opts.audio_sample_rate or info.sample_rate
     ch = min(info.channels, 2) or 2
     # decoder downmixes to the encoder's channel count (>2ch sources)
-    dec = tk.AudioDecoder(info, sample_rate=rate, channels=ch)
+    dec = enc = None
+    try:
+        dec = tk.AudioDecoder(info, sample_rate=rate, channels=ch)
     # streamed filter chain: decoded blocks flow through push()/flush()
     # and into the encoder as they arrive — no whole-track buffering
     # (the output rate is known from the chain spec up front)
-    filt = None
-    out_rate = rate
-    if opts.audio_filter_desc:
-        from ..av.audio_filters import AudioFilterStream
-        filt = AudioFilterStream(opts.audio_filter_desc, rate)
-        out_rate = filt.out_rate
-    enc = tk.AudioEncoder(opts.audio_codec, out_rate, ch,
-                          opts.audio_bitrate or 128000)
-    pkts = []
+        filt = None
+        out_rate = rate
+        if opts.audio_filter_desc:
+            from ..av.audio_filters import AudioFilterStream
+            filt = AudioFilterStream(opts.audio_filter_desc, rate)
+            out_rate = filt.out_rate
+        enc = tk.AudioEncoder(opts.audio_codec, out_rate, ch,
+                              opts.audio_bitrate or 128000)
+        pkts = []
 
-    def feed(chunk):
-        if filt is not None:
-            chunk = filt.push(chunk)
-        if chunk.size:
-            pkts.extend(enc.encode(chunk))
+        def feed(chunk):
+            if filt is not None:
+                chunk = filt.push(chunk)
+            if chunk.size:
+                pkts.extend(enc.encode(chunk))
 
-    for pkt in dm:
-        if pkt.stream != 1:
-            continue
-        for (chunk, _pts) in dec.decode(pkt.data, pkt.pts):
+        for pkt in dm:
+            if pkt.stream != 1:
+                continue
+            for (chunk, _pts) in dec.decode(pkt.data, pkt.pts):
+                feed(chunk)
+        for (chunk, _pts) in dec.decode(None):
             feed(chunk)
-    for (chunk, _pts) in dec.decode(None):
-        feed(chunk)
-    if filt is not None:
-        tail = filt.flush()
-        if tail.size:
-            pkts.extend(enc.encode(tail))
-    pkts += enc.flush()
-    audio = (enc.codec_id, out_rate, enc.channels, enc.extradata(), pkts)
-    dm.close(); dec.close(); enc.close()
-    return audio
+        if filt is not None:
+            tail = filt.flush()
+            if tail.size:
+                pkts.extend(enc.encode(tail))
+        pkts += enc.flush()
+        return (enc.codec_id, out_rate, enc.channels, enc.extradata(), pkts)
+    finally:   # native handles must not leak on a bad filter/codec/stream
+        dm.close()
+        if dec is not None:
+            dec.close()
+        if enc is not None:
+            enc.close()
 
 
 def run_session(session_idx: int, opts: Options, batch: int = 16,
@@ -246,7 +252,9 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
     base_kwargs = parse_enc_param(opts.video_enc_param) if opts.video_enc_param else {
         "codec_name": "libx264"}
     base_kwargs.setdefault("preset", "ultrafast")
-    base_kwargs.setdefault("fps", (30, 1))
+    # default to the SOURCE rate (a 60fps input stamped 30fps would play
+    # half speed and desync from the audio lane); explicit fps= wins
+    base_kwargs.setdefault("fps", (round(src_fps * 1000), 1000))
 
     audio = transcode_audio(opts) if opts.audio_codec else None
 
@@ -256,6 +264,11 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
         if r.enc_suffix:
             kw = parse_enc_param(r.enc_suffix, kw)
         path = r.out_file.replace("#", str(session_idx))
+        if opts.sessions > 1 and "#" not in r.out_file:
+            raise ValueError(
+                f"rung output {r.out_file!r} has no '#' placeholder: "
+                f"{opts.sessions} sessions would write the same file "
+                "concurrently")
         fps = kw.get("fps", (30, 1))
         # stream filters that change the frame rate (yadif send_field)
         mul = getattr(common_graph, "fps_mul", 1) * \
@@ -277,6 +290,8 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
             # fold the shared keep in so stream filters (yadif etc.) see
             # the effective mask; rkeep then matches g's output batch
             out, rkeep = g.process(out, pts=pts, keep=keep)
+        if not rkeep.any():
+            return      # skip the D2H transfer when nothing survived
         if out.fmt.is_rgb or out.format != "yuv420p":
             out = csc.convert(out, "yuv420p")
         host = {k: np.asarray(v) for k, v in out.planes.items()}
@@ -310,23 +325,28 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
         for r, g, w_ in zip(opts.rungs, rung_graphs, workers):
             push_rung(g, w_, rsz.resize(fb, r.width, r.height), keep, pts)
 
-    for fb, pts, valid in src:
-        if common_graph is not None:
-            fb, keep = common_graph.process(fb, pts=pts, valid=valid)
-            if common_graph.out_pts is not None:
-                # stream filters (yadif send_field, thumbnail) re-time /
-                # re-size the batch: the rungs must see the graph's
-                # output pts, not the input array
-                pts = common_graph.out_pts
-        else:
-            keep = np.ones(fb.batch, bool)
-            keep[valid:] = False
-        push_ladder(fb, keep, pts)
-        n_in += int(valid)
-        meter.add(int(valid))
-        limiter.tick(int(valid))
-        if frames_limit and n_in >= frames_limit:
-            break
+    try:
+        for fb, pts, valid in src:
+            if common_graph is not None:
+                fb, keep = common_graph.process(fb, pts=pts, valid=valid)
+                if common_graph.out_pts is not None:
+                    # stream filters (yadif send_field, thumbnail)
+                    # re-time / re-size the batch: the rungs must see the
+                    # graph's output pts, not the input array
+                    pts = common_graph.out_pts
+            else:
+                keep = np.ones(fb.batch, bool)
+                keep[valid:] = False
+            push_ladder(fb, keep, pts)
+            n_in += int(valid)
+            meter.add(int(valid))
+            limiter.tick(int(valid))
+            if frames_limit and n_in >= frames_limit:
+                break
+    finally:
+        # the -frames early break (and any error) must stop the prefetch
+        # producer thread and release the demuxer/decoder handles
+        src.close()
 
     # end-of-stream: drain stateful filters in the common + rung graphs
     if common_graph is not None:
@@ -388,20 +408,29 @@ def main(argv=None):
         p.error("no input")
 
     results = []
+    errors = []
     threads = []
-    for s in range(opts.sessions):
-        if opts.sessions == 1:
+
+    def run_one(s):
+        try:
             results.append(run_session(s, opts, args.batch, args.frames,
                                        quiet=not args.stats))
+        except Exception as e:   # surfaced after join: no silent rc=0
+            errors.append((s, e))
+
+    for s in range(opts.sessions):
+        if opts.sessions == 1:
+            run_one(s)
         else:
-            t = threading.Thread(
-                target=lambda s=s: results.append(
-                    run_session(s, opts, args.batch, args.frames,
-                                quiet=not args.stats)))
+            t = threading.Thread(target=run_one, args=(s,))
             t.start()
             threads.append(t)
     for t in threads:
         t.join()
+    for s, e in errors:
+        print(f"session {s} FAILED: {e}", file=sys.stderr)
+    if errors:
+        return 1
     for r in sorted(results, key=lambda r: r["session"]):
         print(f"session {r['session']}: {r['frames_in']} frames -> "
               f"{r['frames_out']} encoded in {r['seconds']:.2f}s "

@@ -211,7 +211,12 @@ class AresampleStream:
         r1 = self._buf[i1 - self._base]
         y = r0 * (1 - f) + r1 * f
         self._t = k0 + count * self.step
-        keep = max(int(np.floor(self._t)) - self._base, 0)
+        # cap at the buffer length: for step >= 2 the next read position
+        # can land past the last buffered sample, and trimming beyond the
+        # buffer would silently advance _base past the true consumed
+        # count, misregistering every later chunk
+        keep = min(max(int(np.floor(self._t)) - self._base, 0),
+                   len(self._buf))
         if keep > 0:
             self._buf = self._buf[keep:]
             self._base += keep

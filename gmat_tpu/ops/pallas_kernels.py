@@ -31,10 +31,6 @@ from ..core.color import yuv2rgb_matrix, yuv_offsets
 from .resize import resample_matrix
 
 
-def _round_up(x, m):
-    return (x + m - 1) // m * m
-
-
 def _cropped_matrix(n_in_full: int, crop_off: int, crop_len: int,
                     n_out: int, method: str) -> np.ndarray:
     """Resample matrix that reads only [crop_off, crop_off+crop_len) of a
@@ -322,6 +318,9 @@ def fused_ladder_nv12(yuv: jax.Array, out_h: int, out_w: int,
     """Wire-format NV12 (N, H*3/2, W) u8 -> (N, 3, out_h, out_w) f32;
     the UV deinterleave rides the chroma column matmul for free."""
     n, h32, w = yuv.shape
+    if h32 % 3 or w % 2 or (h32 * 2 // 3) % 2:
+        raise ValueError(f"not an NV12 wire shape: ({h32}, {w}) "
+                         "(rows must be H*3/2 with even H, width even)")
     h = h32 * 2 // 3
     fn = _build_ladder_nv12(n, h, w, out_h, out_w, colorspace, method,
                             float(norm), tuple(float(s) for s in shift),
@@ -573,6 +572,9 @@ def fused_ladder_nv12_i8(yuv: jax.Array, out_h: int, out_w: int,
         return fused_ladder_nv12(yuv, out_h, out_w, colorspace, method,
                                  norm, shift, interpret)
     n, h32, w = yuv.shape
+    if h32 % 3 or w % 2 or (h32 * 2 // 3) % 2:
+        raise ValueError(f"not an NV12 wire shape: ({h32}, {w}) "
+                         "(rows must be H*3/2 with even H, width even)")
     h = h32 * 2 // 3
     fn = _build_ladder_nv12_i8(n, h, w, out_h, out_w, colorspace, method,
                                float(norm),
@@ -778,7 +780,11 @@ def _build_rungs(n, h, w, ch, cw, sizes, method, interpret, quant="bf16"):
                      memory_space=pltpu.VMEM),
     ]
     out_specs, out_shapes = [], []
-    args, inv_scales = [], []
+    # cache NUMPY weights and convert inside fn: jnp arrays created here
+    # would be tracers when the (lru_cached) builder first runs under an
+    # outer jit trace, and dead tracers poison every later call
+    # (CLAUDE.md convention; perf.py jits fused_rungs, metrans is eager)
+    consts, inv_scales = [], []
     for (ow, oh) in sizes:
         ahy = resample_matrix(h, oh, method)
         ahc = resample_matrix(ch, oh // 2, method)
@@ -790,21 +796,17 @@ def _build_rungs(n, h, w, ch, cw, sizes, method, interpret, quant="bf16"):
             offy = (128.0 * ahy_q.astype(np.float32).sum(1) / sy)[:, None]
             offc = (128.0 * ahc_q.astype(np.float32).sum(1) / sc)[:, None]
             inv_scales.append((1.0 / sy, 1.0 / sc))
-            args += [jnp.asarray(ahy_q),
-                     jnp.asarray(awy, jnp.bfloat16),
-                     jnp.asarray(ahc_q),
-                     jnp.asarray(awc, jnp.bfloat16),
-                     jnp.asarray(offy, jnp.float32),
-                     jnp.asarray(offc, jnp.float32)]
+            consts += [(ahy_q, None), (awy, jnp.bfloat16),
+                       (ahc_q, None), (awc, jnp.bfloat16),
+                       (offy, jnp.float32), (offc, jnp.float32)]
         else:
-            args += [jnp.asarray(a, jnp.bfloat16)
-                     for a in (ahy, awy, ahc, awc)]
+            consts += [(a, jnp.bfloat16) for a in (ahy, awy, ahc, awc)]
         for shp in ((oh, ow), (oh // 2, ow // 2), (oh // 2, ow // 2)):
             out_shapes.append(jax.ShapeDtypeStruct((n, *shp), jnp.uint8))
             out_specs.append(pl.BlockSpec((None, *shp),
                                           lambda i: (i, 0, 0),
                                           memory_space=pltpu.VMEM))
-        for a in args[-(6 if i8 else 4):]:
+        for a, _dt in consts[-(6 if i8 else 4):]:
             in_specs.append(pl.BlockSpec(a.shape, lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
 
@@ -824,6 +826,8 @@ def _build_rungs(n, h, w, ch, cw, sizes, method, interpret, quant="bf16"):
     )
 
     def fn(y, u, v):
+        args = [jnp.asarray(a) if dt is None else jnp.asarray(a, dt)
+                for a, dt in consts]
         outs = call(y, u, v, *args)
         return [tuple(outs[3 * r:3 * r + 3]) for r in range(len(sizes))]
 
@@ -883,11 +887,17 @@ def fused_rungs(y: jax.Array, u: jax.Array, v: jax.Array, sizes,
                          "exceeds the VMEM budget; resize per rung "
                          "instead (ops.resize.resize)")
     if quant == "auto":
-        # same gate as the 224-ladder dispatch: int8 only while the tap
-        # quantization error stays within tolerance for every rung matrix
-        quant = "i8" if all(
-            _i8_ok(h, ch, oh, method) and _i8_ok(w, cw, ow, method)
-            for ow, oh in sizes) else "bf16"
+        # int8 only while tap quantization holds tolerance on the
+        # matrices that are actually quantized: the ROW matrices, luma
+        # (h -> oh) and chroma (ch -> oh//2); columns stay bf16
+        def _rung_ok(oh):
+            if method in ("bilinear", "nearest"):
+                return True
+            return (_i8_quant_error_lsb(
+                        resample_matrix(h, oh, method)) <= 2.0 and
+                    _i8_quant_error_lsb(
+                        resample_matrix(ch, oh // 2, method)) <= 2.0)
+        quant = "i8" if all(_rung_ok(oh) for _ow, oh in sizes) else "bf16"
     fn = _build_rungs(n, h, w, ch, cw, sizes, method, bool(interpret),
                       quant)
     return fn(y, u, v)
@@ -1048,6 +1058,15 @@ def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
         raise ValueError(f"int8 ladder: unknown method {method!r}")
     n, h, w = y.shape
     ch, cw = u.shape[1], u.shape[2]
+    if crop_box is not None:
+        # normalize/validate BEFORE the dispatch gate uses the box dims
+        # (float CLI geometry would reach resample_matrix otherwise)
+        cx, cy, cwb, chb = (int(c) for c in crop_box)
+        if (cx | cy | cwb | chb) & 1:
+            raise ValueError("4:2:0 crop box must be even")
+        if cx + cwb > w or cy + chb > h:
+            raise ValueError("crop box outside the frame")
+        crop_box = (cx, cy, cwb, chb)
     kw_chunks = _pick_w_chunks(h, w, ch, cw)
     # the quantization gate must look at the matrices actually used:
     # with a crop box they are built from the crop window dims
@@ -1072,13 +1091,6 @@ def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
                                           use_pallas="never")
         return fused_ladder(y, u, v, out_h, out_w, colorspace, method,
                             norm, shift, interpret)
-    if crop_box is not None:
-        cx, cy, cwb, chb = (int(c) for c in crop_box)
-        if (cx | cy | cwb | chb) & 1:
-            raise ValueError("4:2:0 crop box must be even")
-        if cx + cwb > w or cy + chb > h:
-            raise ValueError("crop box outside the frame")
-        crop_box = (cx, cy, cwb, chb)
     if kw_chunks > 1:
         if crop_box is not None:
             raise ValueError("crop_box with >4K chunked ladder not "

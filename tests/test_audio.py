@@ -305,3 +305,31 @@ def test_audio_decode_resampled_drains_tail():
     want = samples.shape[0] * 44100 / 48000
     assert got.shape[1] == 2
     assert abs(got.shape[0] - want) < 0.1 * want, (got.shape[0], want)
+
+
+def test_aresample_stream_heavy_downsample():
+    """step >= 2 (48k -> 8k): the carry-buffer trim must cap at the
+    buffer length or every later chunk misregisters (was 17k-LSB sample
+    corruption after the first chunk)."""
+    from gmat_tpu.av.audio_filters import AresampleStream
+    rng = np.random.default_rng(7)
+    rate, out_rate = 48000, 8000
+    x = rng.integers(-2000, 2000, (48000, 2)).astype(np.int16)
+    st = AresampleStream(rate, out_rate)
+    outs = []
+    for s in range(0, len(x), 1024):
+        o = st.push(x[s:s + 1024])
+        if o.size:
+            outs.append(o)
+    o = st.flush()
+    if o.size:
+        outs.append(o)
+    got = np.concatenate(outs)
+    assert abs(len(got) - 8000) <= 2
+    src = np.arange(len(got)) * (rate / out_rate)
+    i0 = np.floor(src).astype(int)
+    i1 = np.minimum(i0 + 1, len(x) - 1)
+    f = (src - i0)[:, None].astype(np.float32)
+    want = np.clip(x[i0].astype(np.float32) * (1 - f) +
+                   x[i1].astype(np.float32) * f, -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(got, want[: len(got)])

@@ -343,3 +343,19 @@ def test_preprocess_nchw_444_dispatch(rng, monkeypatch):
                                                 use_pallas="never"))
     assert called.get("bf16")
     assert (np.abs(got - want) * 255).max() <= 2.0
+
+
+def test_fused_rungs_jit_then_eager(rng):
+    """The lru_cached builder must keep NUMPY consts: a first call under
+    an outer jit would otherwise cache tracers that poison later eager
+    calls with the same cache key (UnexpectedTracerError)."""
+    import jax
+    from gmat_tpu.ops.pallas_kernels import fused_rungs
+    y, u, v = _data(rng, 1, 32, 64)
+    sizes = ((32, 16),)
+    f = jax.jit(lambda a, b, c: fused_rungs(a, b, c, sizes,
+                                            interpret=True)[0][0])
+    first = np.asarray(f(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)))
+    outs = fused_rungs(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                       sizes, interpret=True)
+    np.testing.assert_array_equal(np.asarray(outs[0][0]), first)
