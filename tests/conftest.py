@@ -6,10 +6,14 @@ XLA's forced host platform devices.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+import re
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# FORCE 8 devices even if a pre-existing XLA_FLAGS set another count —
+# the mesh tests assert exactly 8
+flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 

@@ -77,7 +77,7 @@ def rgb24_to_yuv420(rgb, cspace="bt709", bits=8):
     return cast(y), cast(uu), cast(vv)
 
 
-def bilinear_resize(img, oh, ow, align=False):
+def bilinear_resize(img, oh, ow):
     """Separable bilinear resize oracle for (H,W) or (H,W,C) float/uint.
 
     Uses the half-pixel (pixel-center) convention:
@@ -88,10 +88,7 @@ def bilinear_resize(img, oh, ow, align=False):
     ih, iw = img.shape[:2]
 
     def axis_weights(n_in, n_out):
-        if align and n_out > 1:
-            src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
-        else:
-            src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
         src = np.clip(src, 0, n_in - 1)
         i0 = np.floor(src).astype(int)
         i1 = np.minimum(i0 + 1, n_in - 1)
@@ -100,7 +97,6 @@ def bilinear_resize(img, oh, ow, align=False):
 
     r0, r1, fr = axis_weights(ih, oh)
     c0, c1, fc = axis_weights(iw, ow)
-    top = img[r0][:, c0] * (1 - fc)[None, :, None] if img.ndim == 3 else img[r0][:, c0] * (1 - fc)
     if img.ndim == 3:
         fr_ = fr[:, None, None]; fc_ = fc[None, :, None]
     else:
@@ -201,6 +197,9 @@ def overlay_yuv420(main, over, x, y, alpha=None):
     """Dict-of-planes blend matching vf_overlay_cuda.c:289-327 geometry."""
     x = x & ~1
     out = {"y": overlay_plane(main["y"], over["y"], x, y, alpha, 1)}
+    # C truncating division (vf_overlay_cuda.c:303 "y_position / 2"):
+    # floor would shift chroma a row for negative odd y
+    cy = y // 2 if y >= 0 else -((-y) // 2)
     for c in ("u", "v"):
-        out[c] = overlay_plane(main[c], over[c], x // 2, y // 2, alpha, 2)
+        out[c] = overlay_plane(main[c], over[c], x // 2, cy, alpha, 2)
     return out
