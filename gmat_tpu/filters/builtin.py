@@ -86,6 +86,11 @@ def _f_transpose(dir=0):
 def _f_smooth(type="gaussian", kw=3, kh=3, border_type="constant",
               sigmaX=0.0, sigmaY=0.0):
     kw, kh = int(kw), int(kh)
+    if kw <= 0 or kh <= 0 or kw % 2 == 0 or kh % 2 == 0:
+        # OpenCV/CV-CUDA reject even/non-positive kernels too; failing
+        # here beats an opaque error deep inside the jit trace
+        raise FilterError(f"smooth kernel must be odd and positive, "
+                          f"got {kw}x{kh}")
     borders = {"0": "constant", "1": "replicate", "2": "reflect",
                "3": "wrap", "4": "reflect101"}
     border = borders.get(str(border_type), str(border_type))
@@ -113,10 +118,13 @@ def _f_scale(w=0, h=0, interp="bilinear", antialias=0):
         ww, hh = w, h
         if ww < 0:
             ww = max(round(hh * fb.width / fb.height), 1)
-            ww = (ww + 1) & ~1 if w == -2 or fb.fmt.is_yuv else ww
+            # ffmpeg: -n means proportional AND divisible by n
+            div = max(-w, 2 if fb.fmt.is_yuv else 1)
+            ww = max(round(ww / div), 1) * div
         elif hh < 0:
             hh = max(round(ww * fb.height / fb.width), 1)
-            hh = (hh + 1) & ~1 if h == -2 or fb.fmt.is_yuv else hh
+            div = max(-h, 2 if fb.fmt.is_yuv else 1)
+            hh = max(round(hh / div), 1) * div
         return ww, hh
 
     def run(fb):
@@ -131,10 +139,15 @@ def _f_format(pix_fmt="rgbpf32", norm=0.0, shift=0.0):
     name_map = {"rgbpf32le": "rgbpf32", "rgbapf32le": "rgbapf32",
                 "bgrpf32le": "bgrpf32"}
     fmt = name_map.get(pix_fmt, pix_fmt)
-    F.get(fmt)
+    target = F.get(fmt)
     kw = {}
-    if float(norm):
-        kw["norm"] = float(norm)
+    if float(norm) or float(shift):
+        if not target.is_rgb:
+            raise FilterError(
+                "format norm/shift apply to float-RGB targets only "
+                "(the nv12_to_rgbpf32_shift variant)")
+        if float(norm):
+            kw["norm"] = float(norm)
         kw["shift"] = (float(shift),) * 3
     return lambda fb: csc.convert(fb, fmt, **kw)
 
@@ -143,20 +156,52 @@ def _f_null():
     return lambda fb: fb
 
 
-def _f_chromakey(color="00FF00", similarity=0.1, blend=0.0):
-    """RGBA output with alpha keyed out near `color` (chromakey_cuda
-    analog).  similarity/blend in [0,1] like the upstream filter."""
+# the common av_parse_color names reference command lines actually use
+_COLOR_NAMES = {
+    "green": (0, 128, 0), "lime": (0, 255, 0), "blue": (0, 0, 255),
+    "red": (255, 0, 0), "black": (0, 0, 0), "white": (255, 255, 255),
+    "magenta": (255, 0, 255), "cyan": (0, 255, 255),
+    "yellow": (255, 255, 0), "gray": (128, 128, 128),
+}
+
+
+def _parse_color(color: str):
     c = color[1:] if color.startswith("#") else color
     if c.lower().startswith("0x"):
         c = c[2:]
-    key = np.array([int(c[0:2], 16), int(c[2:4], 16), int(c[4:6], 16)],
-                   np.float32)
+    if c.lower() in _COLOR_NAMES:
+        return np.array(_COLOR_NAMES[c.lower()], np.float32)
+    if len(c) == 3:          # #RGB short hex
+        c = "".join(ch * 2 for ch in c)
+    if len(c) != 6 or any(ch not in "0123456789abcdefABCDEF" for ch in c):
+        raise FilterError(f"bad color {color!r} (use RRGGBB, #RGB, or a "
+                          f"name: {sorted(_COLOR_NAMES)})")
+    return np.array([int(c[0:2], 16), int(c[2:4], 16), int(c[4:6], 16)],
+                    np.float32)
+
+
+def _f_chromakey(color="00FF00", similarity=0.01, blend=0.0):
+    """RGBA output with alpha keyed on CHROMA (U/V) distance like the
+    reference (vf_chromakey_cuda: diff = sqrt((du^2+dv^2)/(2*255^2)),
+    default similarity 0.01) — luma variations of the keyed color stay
+    keyed, unlike an RGB-distance key."""
+    key_rgb = _parse_color(str(color))
+    # key color -> U/V via the bt601 matrix (ffmpeg RGB_TO_U/V macros)
+    from ..core.color import rgb2yuv_matrix
+    m = rgb2yuv_matrix("bt601")
+    key_u = float(m[1] @ key_rgb + 128.0)
+    key_v = float(m[2] @ key_rgb + 128.0)
     sim, bl = float(similarity), float(blend)
 
     def run(fb):
         rgb_fb = csc.convert(fb, "rgba") if fb.format != "rgba" else fb
         arr = rgb_fb.planes["rgb"].astype(jnp.float32)
-        dist = jnp.sqrt(jnp.sum((arr[..., :3] - key) ** 2, -1)) / (255.0 * np.sqrt(3.0))
+        mj = jnp.asarray(m)
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        uu = mj[1, 0] * r + mj[1, 1] * g + mj[1, 2] * b + 128.0
+        vv = mj[2, 0] * r + mj[2, 1] * g + mj[2, 2] * b + 128.0
+        dist = jnp.sqrt(((uu - key_u) ** 2 + (vv - key_v) ** 2)
+                        / (255.0 * 255.0 * 2.0))
         if bl > 0:
             alpha = jnp.clip((dist - sim) / bl, 0.0, 1.0) * 255.0
         else:
@@ -540,19 +585,23 @@ class YadifFilter:
         return ofb, meta
 
     def process_batch(self, fb: FrameBatch, meta):
-        # trim only the PADDED tail (valid<batch repeats of the last real
-        # frame): padding is not real video.  Frames merely masked out by
-        # an upstream select (keep=False, pad=False) stay in the temporal
-        # context so output is invariant to batching.
+        # ffmpeg chain semantics: only frames that REACH this filter
+        # enter the prev/cur/next register — upstream-dropped frames and
+        # batch padding are compacted away (the survivor sequence is the
+        # same regardless of batch boundaries, so output is
+        # batching-invariant; and yadif never spends compute on frames
+        # that were already dropped)
+        alive = np.asarray(meta["keep"]).copy()
         pad = meta.get("pad")
         if pad is not None:
-            real = np.nonzero(~np.asarray(pad))[0]
-        else:   # legacy callers without a pad track
-            real = np.nonzero(np.asarray(meta["keep"]))[0]
-        v = int(real[-1]) + 1 if len(real) else 0
-        if v < fb.batch:     # drop the padded tail (it is not real video)
-            fb = fb.with_planes({k: p[:v] for k, p in fb.planes.items()})
-            meta = _meta_take(meta, slice(0, v))
+            alive &= ~np.asarray(pad)
+        idx = np.nonzero(alive)[0]
+        v = len(idx)
+        if v < fb.batch:
+            sel = jnp.asarray(idx)
+            fb = fb.with_planes({k: jnp.take(p, sel, axis=0)
+                                 for k, p in fb.planes.items()})
+            meta = _meta_take(meta, idx)
         if v == 0:
             return _empty_like(fb), meta
         if self._auto_parity:
@@ -564,7 +613,9 @@ class YadifFilter:
                 if len(hit):
                     self.tff = int((flags[hit[0]] >> 1) & 1)
                     self._auto_parity = False
-        self._last_fb = fb     # format/dims shell for flush()
+        # format/dims shell for flush() — keep only an empty view, not a
+        # reference pinning the whole batch's device planes
+        self._last_fb = _empty_like(fb)
         if self._hist is None:
             # stream start: prev of the first frame is the frame itself
             # (yadif_common.c:107-111 av_frame_clone)
@@ -807,7 +858,7 @@ class ThumbnailFilter:
 
     def process_batch(self, fb: FrameBatch, meta):
         host = {k: np.asarray(v) for k, v in fb.planes.items()}
-        self._last_fb = fb
+        self._last_fb = _empty_like(fb)   # shape shell; don't pin planes
         keep = meta["keep"]
         fmt = fb.fmt
         shift = (10 if fmt.name in ("p010", "p016")

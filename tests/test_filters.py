@@ -426,3 +426,48 @@ def test_select_scene_10bit_normalized(rng):
     k8 = s8.keep_mask(fb8)
     k10 = s10.keep_mask(fb10)
     assert k8.tolist() == k10.tolist()
+
+
+def test_chromakey_uv_keying_luma_invariant(rng):
+    """Reference semantics: keying runs on U/V chroma distance, so dark
+    and bright versions of the key color are BOTH keyed out."""
+    rgb = np.zeros((1, 8, 8, 3), np.uint8)
+    rgb[0, :2] = [0, 255, 0]       # bright green
+    rgb[0, 2:4] = [0, 90, 0]       # dark green (RGB distance is large)
+    rgb[0, 4:] = [200, 20, 30]     # red
+    fb = from_numpy_rgb(rgb)
+    g = FilterGraph("chromakey=lime:0.25")
+    out, _ = g.process(fb)
+    a = np.asarray(out.planes["rgb"])[0, :, :, 3]
+    assert (a[:4] == 0).all()      # both greens keyed
+    assert (a[4:] == 255).all()
+
+
+def test_scale_negative_divisible(rng):
+    fb = yuv_batch(rng, n=1, h=100, w=362)
+    out, _ = FilterGraph("scale=-4:50").process(fb)
+    assert out.height == 50 and out.width % 4 == 0
+
+
+def test_yadif_sees_survivors_only(rng):
+    """ffmpeg chain: select-dropped frames never reach yadif's temporal
+    register — output is the same whether the drop happened in this
+    batch or the frames never existed."""
+    fb = yuv_batch(rng, n=6, h=16, w=32)
+    keep = np.array([True, True, False, True, True, True])
+    g = FilterGraph("yadif")
+    out, k = g.process(fb, keep=keep.copy())
+    outs = [np.asarray(out.planes["y"])]
+    for o, kk, _m in g.flush():
+        outs.append(np.asarray(o.planes["y"]))
+    got = np.concatenate([o for o in outs if o.size], axis=0)
+
+    sub = fb.with_planes({kx: v[jnp.asarray(np.nonzero(keep)[0])]
+                          for kx, v in fb.planes.items()})
+    g2 = FilterGraph("yadif")
+    out2, _ = g2.process(sub)
+    outs2 = [np.asarray(out2.planes["y"])]
+    for o, kk, _m in g2.flush():
+        outs2.append(np.asarray(o.planes["y"]))
+    want = np.concatenate([o for o in outs2 if o.size], axis=0)
+    np.testing.assert_array_equal(got, want)
