@@ -1,10 +1,17 @@
 """TPU JPEG codec: MXU DCT/quant tiles + native Huffman entropy coding.
 
-The nvjpeg replacement (BASELINE config #5): a whole batch of frames is
-transformed on device in one jitted program (ops/dct.py), then each frame's
-quantized coefficients are entropy-coded to standards-compliant JFIF bytes
-by csrc/gmat_jpeg.cpp (and vice versa for decode).  libavcodec's mjpeg
-codec doubles as the interop oracle in tests.
+The nvjpeg replacement (BASELINE config #5; reference use:
+metrans/samples/AppNvjpegDec.cpp:24-67 nvjpegDecode into device BGR):
+a whole batch of frames is transformed on device in one jitted program
+(ops/dct.py), then each frame's quantized coefficients are entropy-coded
+to standards-compliant JFIF bytes by csrc/gmat_jpeg.cpp (and vice versa
+for decode).  libavcodec's mjpeg codec doubles as the interop oracle in
+tests.
+
+Colorspace note: JFIF implies BT.601.  encode_batch writes the samples
+as-is (like most encoders); callers holding bt709 content should either
+convert first or pass the matching colorspace to decode_batch for a
+faithful self-round-trip.
 """
 from __future__ import annotations
 
@@ -30,6 +37,15 @@ def _pad_to(x: np.ndarray | jax.Array, mult_h: int, mult_w: int):
     if ph or pw:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, ph), (0, pw)],
                     mode="edge")
+    return x
+
+
+def _pad_to_size(x: np.ndarray | jax.Array, th: int, tw: int):
+    """Edge-pad up to an exact (th, tw) target."""
+    h, w = x.shape[-2], x.shape[-1]
+    if h < th or w < tw:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 2)
+                    + [(0, th - h), (0, tw - w)], mode="edge")
     return x
 
 
@@ -70,19 +86,25 @@ def encode_batch(fb: FrameBatch, quality: int = 90) -> List[bytes]:
     if fb.format in ("yuv420p", "nv12"):
         subsamp = SUBSAMP_420
         y = _pad_to(fb.planes["y"], 16, 16)
-        u = _pad_to(fb.planes["u"], 8, 8)
-        v = _pad_to(fb.planes["v"], 8, 8)
+        # chroma must cover the MCU grid implied by the 16-padded luma
+        # (ceil(h/16) x ceil(w/16) blocks of 8): for h or w == 1 mod 16
+        # a bare pad-to-8 is one block row/col short and the entropy
+        # coder would read past the coefficient buffers
+        th, tw = y.shape[-2] // 2, y.shape[-1] // 2
+        u = _pad_to_size(fb.planes["u"], th, tw)
+        v = _pad_to_size(fb.planes["v"], th, tw)
         yc, uc, vc = _encode_coefs_420(y, u, v, jnp.asarray(qy, jnp.float32),
                                        jnp.asarray(qc, jnp.float32))
         planes = [np.ascontiguousarray(np.asarray(c), np.int16)
                   for c in (yc, uc, vc)]
     elif fb.format == "yuv444p":
         subsamp = SUBSAMP_444
-        qf = jnp.asarray(qy, jnp.float32)
-        qcf = jnp.asarray(qc, jnp.float32)
-        yc = _encode_coefs_gray(_pad_to(fb.planes["y"], 8, 8), qf)
-        uc = _encode_coefs_gray(_pad_to(fb.planes["u"], 8, 8), qcf)
-        vc = _encode_coefs_gray(_pad_to(fb.planes["v"], 8, 8), qcf)
+        # same per-plane math as 4:2:0 (planes arrive pre-subsampled), so
+        # one fused program instead of three dispatches over the tunnel
+        yc, uc, vc = _encode_coefs_420(
+            _pad_to(fb.planes["y"], 8, 8), _pad_to(fb.planes["u"], 8, 8),
+            _pad_to(fb.planes["v"], 8, 8), jnp.asarray(qy, jnp.float32),
+            jnp.asarray(qc, jnp.float32))
         planes = [np.ascontiguousarray(np.asarray(c), np.int16)
                   for c in (yc, uc, vc)]
     elif fb.format == "gray8":
@@ -146,6 +168,9 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601") -> FrameBatc
         if subsamp == SUBSAMP_420:
             mcux, mcuy = (w + 15) // 16, (h + 15) // 16
             yb, cb = (mcuy * 2, mcux * 2), (mcuy, mcux)
+        elif subsamp == SUBSAMP_GRAY:
+            yb = ((h + 7) // 8, (w + 7) // 8)
+            cb = (1, 1)     # native gray path never touches u/v
         else:
             yb = cb = ((h + 7) // 8, (w + 7) // 8)
         yc = np.zeros(yb + (8, 8), np.int16)
@@ -159,34 +184,27 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601") -> FrameBatc
             raise IOError(f"jpeg scan: {lib.gjpeg_last_error().decode()}")
         ycs.append(yc); ucs.append(uc); vcs.append(vc)
 
-    same_tables = all((qys[i] == qys[0]).all() and (qcs[i] == qcs[0]).all()
-                      for i in range(len(qys)))
+    # per-image quant tables broadcast as (N,1,1,8,8) through
+    # decode_plane's coefs * q, so mixed-quality batches ride the SAME
+    # single jitted program as uniform ones (one program shape total)
+    def _q88s(qs):
+        out = np.zeros((len(qs), 1, 1, 8, 8), np.float32)
+        for i, q in enumerate(qs):
+            out[i, 0, 0].flat[:] = q
+        return jnp.asarray(out)
 
-    def dec(ycn, ucn, vcn, qy_, qc_):
-        qyf = np.zeros((8, 8), np.float32); qyf.flat[:] = qy_
-        qcf = np.zeros((8, 8), np.float32); qcf.flat[:] = qc_
-        if subsamp == SUBSAMP_GRAY:
-            return (_decode_plane_gray(jnp.asarray(ycn), jnp.asarray(qyf)),
-                    None, None)
-        if subsamp == SUBSAMP_444:
-            return (_decode_plane_gray(jnp.asarray(ycn), jnp.asarray(qyf)),
-                    _decode_plane_gray(jnp.asarray(ucn), jnp.asarray(qcf)),
-                    _decode_plane_gray(jnp.asarray(vcn), jnp.asarray(qcf)))
-        return _decode_planes_420(jnp.asarray(ycn), jnp.asarray(ucn),
-                                  jnp.asarray(vcn), jnp.asarray(qyf),
-                                  jnp.asarray(qcf))
-    if same_tables:
-        y, u, v = dec(np.stack(ycs), np.stack(ucs), np.stack(vcs),
-                      qys[0], qcs[0])
+    qyf, qcf = _q88s(qys), _q88s(qcs)
+    if subsamp == SUBSAMP_GRAY:
+        y = _decode_plane_gray(jnp.asarray(np.stack(ycs)), qyf)
+        u = v = None
+    elif subsamp == SUBSAMP_444:
+        y = _decode_plane_gray(jnp.asarray(np.stack(ycs)), qyf)
+        u = _decode_plane_gray(jnp.asarray(np.stack(ucs)), qcf)
+        v = _decode_plane_gray(jnp.asarray(np.stack(vcs)), qcf)
     else:
-        # mixed qualities: dequantize each image with its own tables
-        parts = [dec(ycs[i][None], ucs[i][None], vcs[i][None], qys[i], qcs[i])
-                 for i in range(len(ycs))]
-        y = jnp.concatenate([p[0] for p in parts])
-        u = (jnp.concatenate([p[1] for p in parts])
-             if parts[0][1] is not None else None)
-        v = (jnp.concatenate([p[2] for p in parts])
-             if parts[0][2] is not None else None)
+        y, u, v = _decode_planes_420(jnp.asarray(np.stack(ycs)),
+                                     jnp.asarray(np.stack(ucs)),
+                                     jnp.asarray(np.stack(vcs)), qyf, qcf)
     y = y[:, :h, :w]
     if subsamp == SUBSAMP_GRAY:
         return FrameBatch({"y": y}, "gray8", w, h, colorspace)

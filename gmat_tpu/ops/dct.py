@@ -1,7 +1,7 @@
 """8x8 DCT / quantization tiles — the TPU half of the JPEG/HEIF still codec.
 
-Replaces the nvjpeg fixed-function path (metrans samples AppNvjpegDec.cpp)
-with MXU math: a frame is blockified to (..., 8, 8) tiles and the whole
+Replaces the nvjpeg fixed-function path (metrans/samples/
+AppNvjpegDec.cpp:24-67, nvjpegDecode + Nv12ToBgr handoff) with MXU math: a frame is blockified to (..., 8, 8) tiles and the whole
 batch is transformed as two batched matmuls  C = D @ X @ D^T  (DCT-II,
 orthonormal).  Quantization is elementwise.  Entropy coding happens on the
 host in C++ (csrc/gmat_jpeg.cpp) — the TPU analog of the reference's

@@ -189,3 +189,25 @@ def test_full_range_survives_sws_decode_path():
     blob = jpeg_tpu.encode_batch(fb, 95)[0]
     yd, _, _ = jpeg.decode_jpeg_bytes(blob)
     assert yd.min() <= 8 and yd.max() >= 247, (yd.min(), yd.max())
+
+
+def test_420_mcu_boundary_dims():
+    """h or w == 1 mod 16: the chroma coefficient grid must cover the
+    MCU grid of the 16-padded luma (was an out-of-bounds read leaking
+    the NEXT frame's data into the bottom MCU row)."""
+    rng = np.random.default_rng(0)
+    for (h, w) in ((17, 32), (32, 17), (33, 49)):
+        y = np.stack([np.full((h, w), 60, np.uint8),
+                      np.full((h, w), 190, np.uint8)])
+        u = np.stack([np.full((h // 2, w // 2), 50, np.uint8),
+                      np.full((h // 2, w // 2), 200, np.uint8)])
+        v = np.stack([np.full((h // 2, w // 2), 120, np.uint8),
+                      np.full((h // 2, w // 2), 130, np.uint8)])
+        fb = from_numpy_yuv420(y, u, v)
+        blobs = jpeg_tpu.encode_batch(fb, 95)
+        out = jpeg_tpu.decode_batch(blobs)
+        du = np.asarray(out.planes["u"])
+        # frame 0's chroma must be frame 0's value everywhere — no
+        # cross-frame leak in the final MCU row
+        assert abs(int(du[0].astype(int).mean()) - 50) <= 3, (h, w)
+        assert abs(int(du[1].astype(int).mean()) - 200) <= 3, (h, w)
