@@ -122,11 +122,24 @@ static void* demux_finish(GavDemuxer* d, int keep_avcc) {
                par->codec_id == AV_CODEC_ID_HEVC) &&
               par->extradata_size > 0 && par->extradata[0] == 1;
     if (bsf_name) {
+        // a BSF failure must be LOUD: silently dropping it would hand
+        // out AVCC packets labeled annexb and corrupt the nonref scan
         const AVBitStreamFilter* f = av_bsf_get_by_name(bsf_name);
-        if (f && av_bsf_alloc(f, &d->bsf) == 0) {
+        bool ok = f && av_bsf_alloc(f, &d->bsf) == 0;
+        if (ok) {
             avcodec_parameters_copy(d->bsf->par_in, par);
             d->bsf->time_base_in = d->fmt->streams[d->vstream]->time_base;
-            if (av_bsf_init(d->bsf) < 0) { av_bsf_free(&d->bsf); d->bsf = nullptr; }
+            if (av_bsf_init(d->bsf) < 0) {
+                av_bsf_free(&d->bsf); d->bsf = nullptr; ok = false;
+            }
+        }
+        if (!ok && par->extradata_size > 0 && par->extradata[0] == 1) {
+            // only fatal for true avcC/hvcC inputs; annexb sources simply
+            // pass through the (absent) filter unchanged
+            snprintf(g_err, sizeof g_err, "%s init failed on an "
+                     "avcC/hvcC stream (malformed extradata?)", bsf_name);
+            demux_free(d);
+            return nullptr;
         }
     }
     d->pkt = av_packet_alloc();
@@ -798,6 +811,10 @@ static void* mux_open_avid(const char* path, int w, int h, int fps_num,
     int r = avformat_alloc_output_context2(&m->fmt, nullptr, nullptr, path);
     if (r < 0 || !m->fmt) { set_err("alloc_output_context", r); delete m; return nullptr; }
     AVStream* st = avformat_new_stream(m->fmt, nullptr);
+    if (!st) {
+        snprintf(g_err, sizeof g_err, "avformat_new_stream failed");
+        avformat_free_context(m->fmt); delete m; return nullptr;
+    }
     st->codecpar->codec_type = AVMEDIA_TYPE_VIDEO;
     st->codecpar->codec_id = id;
     st->codecpar->width = w; st->codecpar->height = h;
@@ -838,7 +855,10 @@ GAV_API int gav_mux_close(void* h) {
     auto* m = (GavMuxer*)h;
     if (!m) return 0;
     int r = 0;
-    if (m->header_written) r = av_write_trailer(m->fmt);
+    if (m->header_written) {
+        r = av_write_trailer(m->fmt);
+        if (r < 0) set_err("write_trailer", r);   // e.g. disk full
+    }
     if (m->fmt && !(m->fmt->oformat->flags & AVFMT_NOFILE) && m->fmt->pb)
         avio_closep(&m->fmt->pb);
     avformat_free_context(m->fmt);
@@ -1015,6 +1035,8 @@ struct GavAudioEnc {
     AVAudioFifo* fifo = nullptr;
     AVFrame* frame = nullptr;
     AVPacket* pkt = nullptr;
+    uint8_t** conv = nullptr;      // cached conversion buffer
+    int conv_cap = 0;              // capacity in samples
     long long next_pts = 0;
     int in_rate = 0, in_ch = 0;
     // drained packets waiting for gav_aenc_receive (send pumps the codec
@@ -1024,10 +1046,11 @@ struct GavAudioEnc {
     size_t qhead = 0;
 };
 
-static void aenc_drain(GavAudioEnc* e) {
+static int aenc_drain(GavAudioEnc* e) {
     for (;;) {
         int r = avcodec_receive_packet(e->ctx, e->pkt);
-        if (r != 0) break;
+        if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return 0;
+        if (r < 0) { set_err("aenc receive", r); return -1; }
         GavAudioEnc::QPkt qp;
         qp.data.assign(e->pkt->data, e->pkt->data + e->pkt->size);
         qp.pts = e->pkt->pts; qp.dts = e->pkt->dts;
@@ -1035,6 +1058,8 @@ static void aenc_drain(GavAudioEnc* e) {
         av_packet_unref(e->pkt);
     }
 }
+
+GAV_API void gav_aenc_close(void* h);
 
 GAV_API void* gav_aenc_create(const char* name, int sample_rate, int channels,
                               long long bitrate) {
@@ -1055,10 +1080,26 @@ GAV_API void* gav_aenc_create(const char* name, int sample_rate, int channels,
     swr_alloc_set_opts2(&e->swr, &e->ctx->ch_layout, e->ctx->sample_fmt,
                         sample_rate, &il, AV_SAMPLE_FMT_S16, sample_rate,
                         0, nullptr);
-    swr_init(e->swr);
     e->fifo = av_audio_fifo_alloc(e->ctx->sample_fmt, channels, 1);
     e->frame = av_frame_alloc();
     e->pkt = av_packet_alloc();
+    if (!e->swr || swr_init(e->swr) < 0 || !e->fifo || !e->frame || !e->pkt) {
+        snprintf(g_err, sizeof g_err, "audio encoder setup failed "
+                 "(swr/fifo/frame alloc)");
+        gav_aenc_close(e);
+        return nullptr;
+    }
+    // the frame buffer is allocated ONCE at full frame_size capacity;
+    // per-chunk encode shrinks nb_samples into it (no per-chunk allocs)
+    e->frame->nb_samples = e->ctx->frame_size ? e->ctx->frame_size : 1024;
+    e->frame->format = e->ctx->sample_fmt;
+    av_channel_layout_copy(&e->frame->ch_layout, &e->ctx->ch_layout);
+    e->frame->sample_rate = sample_rate;
+    if (av_frame_get_buffer(e->frame, 0) < 0) {
+        snprintf(g_err, sizeof g_err, "audio frame alloc failed");
+        gav_aenc_close(e);
+        return nullptr;
+    }
     e->in_rate = sample_rate; e->in_ch = channels;
     return e;
 }
@@ -1070,6 +1111,7 @@ GAV_API void gav_aenc_close(void* h) {
     av_packet_free(&e->pkt);
     if (e->fifo) av_audio_fifo_free(e->fifo);
     if (e->swr) swr_free(&e->swr);
+    if (e->conv) { av_freep(&e->conv[0]); av_freep(&e->conv); }
     avcodec_free_context(&e->ctx);
     delete e;
 }
@@ -1090,42 +1132,62 @@ GAV_API int gav_aenc_codec_id(void* h) {
 // feed interleaved s16; NULL = flush.  Use gav_aenc_receive to drain.
 GAV_API int gav_aenc_send(void* h, const short* samples, int nsamples) {
     auto* e = (GavAudioEnc*)h;
+    int full_fs = e->frame->nb_samples;   // capacity allocated at create
     if (samples && nsamples > 0) {
-        // convert to encoder fmt into temp buffers, push into fifo
-        uint8_t** conv = nullptr;
-        int lines;
-        av_samples_alloc_array_and_samples(&conv, &lines,
-                                           e->ctx->ch_layout.nb_channels,
-                                           nsamples, e->ctx->sample_fmt, 0);
+        // convert to encoder fmt into the cached buffer, push into fifo
+        if (nsamples > e->conv_cap) {
+            if (e->conv) { av_freep(&e->conv[0]); av_freep(&e->conv); }
+            int lines;
+            if (av_samples_alloc_array_and_samples(
+                    &e->conv, &lines, e->ctx->ch_layout.nb_channels,
+                    nsamples, e->ctx->sample_fmt, 0) < 0) {
+                e->conv = nullptr; e->conv_cap = 0;
+                snprintf(g_err, sizeof g_err, "aenc conv alloc failed");
+                return -1;
+            }
+            e->conv_cap = nsamples;
+        }
         const uint8_t* inp[1] = {(const uint8_t*)samples};
-        int n = swr_convert(e->swr, conv, nsamples, inp, nsamples);
-        if (n > 0) av_audio_fifo_write(e->fifo, (void**)conv, n);
-        if (conv) { av_freep(&conv[0]); av_freep(&conv); }
+        int n = swr_convert(e->swr, e->conv, nsamples, inp, nsamples);
+        if (n < 0) { set_err("aenc swr_convert", n); return -1; }
+        if (n > 0 && av_audio_fifo_write(e->fifo, (void**)e->conv, n) < n) {
+            snprintf(g_err, sizeof g_err, "aenc fifo write failed");
+            return -1;
+        }
     }
     int fs = gav_aenc_frame_size(h);
     bool flush = (samples == nullptr);
     while (av_audio_fifo_size(e->fifo) >= fs ||
            (flush && av_audio_fifo_size(e->fifo) > 0)) {
         int n = av_audio_fifo_size(e->fifo) < fs ? av_audio_fifo_size(e->fifo) : fs;
-        e->frame->nb_samples = n;
-        e->frame->format = e->ctx->sample_fmt;
-        av_channel_layout_copy(&e->frame->ch_layout, &e->ctx->ch_layout);
-        e->frame->sample_rate = e->ctx->sample_rate;
-        av_frame_get_buffer(e->frame, 0);
+        if (av_frame_make_writable(e->frame) < 0) {
+            snprintf(g_err, sizeof g_err, "aenc frame not writable");
+            return -1;
+        }
+        e->frame->nb_samples = n;     // shrink into the full-size buffer
         av_audio_fifo_read(e->fifo, (void**)e->frame->data, n);
         e->frame->pts = e->next_pts;
-        e->next_pts += n;
         int r = avcodec_send_frame(e->ctx, e->frame);
         if (r == AVERROR(EAGAIN)) {
             aenc_drain(e);
             r = avcodec_send_frame(e->ctx, e->frame);
         }
-        av_frame_unref(e->frame);
-        if (r < 0 && r != AVERROR(EAGAIN)) { set_err("aenc send", r); return -1; }
-        aenc_drain(e);
+        e->frame->nb_samples = full_fs;
+        if (r < 0) {
+            // EAGAIN even after a drain means the chunk was NOT taken:
+            // losing it silently would leave an audible gap
+            set_err("aenc send", r);
+            return -1;
+        }
+        e->next_pts += n;
+        if (aenc_drain(e) < 0) return -1;
         if (av_audio_fifo_size(e->fifo) == 0) break;
     }
-    if (flush) { avcodec_send_frame(e->ctx, nullptr); aenc_drain(e); }
+    if (flush) {
+        int r = avcodec_send_frame(e->ctx, nullptr);
+        if (r < 0 && r != AVERROR_EOF) { set_err("aenc flush", r); return -1; }
+        if (aenc_drain(e) < 0) return -1;
+    }
     return 0;
 }
 
@@ -1216,6 +1278,10 @@ GAV_API void* gav_mux_open_av(const char* path, int w, int h, int fps_num,
         int r = avformat_alloc_output_context2(&m->fmt, nullptr, nullptr, path);
         if (r < 0) { set_err("alloc_output", r); delete m; return nullptr; }
         AVStream* vs = avformat_new_stream(m->fmt, nullptr);
+        if (!vs) {
+            snprintf(g_err, sizeof g_err, "avformat_new_stream failed");
+            avformat_free_context(m->fmt); delete m; return nullptr;
+        }
         vs->codecpar->codec_type = AVMEDIA_TYPE_VIDEO;
         // 0/1/2 = the legacy enum; negative = -(raw AVCodecID), so raw
         // ids 1/2 (mpeg1/mpeg2) cannot collide with the enum values
@@ -1280,8 +1346,12 @@ GAV_API int gav_mux_write_stream(void* h, int stream, const unsigned char* data,
         return -1;
     }
     AVRational atb = {1, st->codecpar->sample_rate};
-    pkt->pts = av_rescale_q(pts, atb, st->time_base);
-    pkt->dts = av_rescale_q(dts, atb, st->time_base);
+    // AV_NOPTS_VALUE must propagate unscaled, like the video lane above
+    // (TS audio PES without per-packet PTS hands out the sentinel)
+    pkt->pts = pts == AV_NOPTS_VALUE ? AV_NOPTS_VALUE
+                                     : av_rescale_q(pts, atb, st->time_base);
+    pkt->dts = dts == AV_NOPTS_VALUE ? AV_NOPTS_VALUE
+                                     : av_rescale_q(dts, atb, st->time_base);
     pkt->stream_index = st->index;
     pkt->flags |= AV_PKT_FLAG_KEY;
     int r = av_interleaved_write_frame(m->fmt, pkt);
