@@ -112,8 +112,17 @@ def demo_mux(wd):
         mx = tk.AvMuxer(ts, dm.width, dm.height, (tbd, tbn), tk.CODEC_H264,
                         dm.extradata(), ai.codec_id, ai.sample_rate,
                         ai.channels, ai.extradata)
+        atbn, atbd = ai.time_base
         for p in dm:
-            (mx.write_video if p.stream == 0 else mx.write_audio)(p)
+            if p.stream == 0:
+                mx.write_video(p)
+            else:
+                # the muxer's audio pts are SAMPLES (1/sample_rate):
+                # rescale from the source audio timebase (works for any
+                # container, not just mp4's 1/rate coincidence)
+                pts = p.pts * atbn * ai.sample_rate // atbd
+                dts = p.dts * atbn * ai.sample_rate // atbd
+                mx.write_audio(tk.Packet(p.data, pts, dts, p.key, False, 1))
         mx.close()
 
     # Mux: elementary .h264 + .aac back into one file, synthesizing video

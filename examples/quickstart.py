@@ -37,7 +37,8 @@ def main():
     total = 0
     for fb, pts, valid in decode_stream(clip, batch=32):
         x = fused.preprocess_nchw(fb, 224, 224)   # (N,3,224,224) fp32 [0,1]
-        total += int(valid)
+        x = x[:int(valid)]   # the tail batch pads by repeating the last
+        total += int(valid)  # frame — slice before feeding a model
     print(f"1) preprocessed {total} frames -> model-ready tensors")
 
     # 2. Smart extraction: every 30th frame with GOP seek + non-ref skip

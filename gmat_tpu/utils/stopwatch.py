@@ -54,14 +54,17 @@ class FpsMeter:
         self._lock = threading.Lock()
 
     def add(self, n: int = 1):
+        msg = None
         with self._lock:
             self.count += n
             now = time.perf_counter()
             if not self.quiet and now - self._last_report >= self.report_every:
                 rate = (self.count - self._last_count) / (now - self._last_report)
-                print(f"[{self.label}] {rate:.1f} fps "
-                      f"({self.count} frames)", flush=True)
+                msg = (f"[{self.label}] {rate:.1f} fps "
+                       f"({self.count} frames)")
                 self._last_report, self._last_count = now, self.count
+        if msg is not None:   # console IO OUTSIDE the lock: a slow pipe
+            print(msg, flush=True)   # must not stall other counters
 
     @property
     def fps(self) -> float:

@@ -12,8 +12,9 @@ API maps onto jax.profiler TraceAnnotations and xprof traces:
 from __future__ import annotations
 
 import contextlib
+import functools
 import time
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 
@@ -28,6 +29,7 @@ def trace_range(name: str) -> Iterator[None]:
 def annotate_fn(name: str):
     """Decorator version for hot functions."""
     def deco(fn):
+        @functools.wraps(fn)
         def wrapped(*a, **kw):
             with jax.profiler.TraceAnnotation(name):
                 return fn(*a, **kw)
@@ -53,16 +55,28 @@ def stop_trace() -> None:
 
 @contextlib.contextmanager
 def device_timer(label: str = "", sync=None):
-    """Wall-clock a device region (block_until_ready on exit).
+    """Wall-clock a device region — the StopWatch analog (NvCommon.h:209)
+    with a RELIABLE device sync.
 
-    Yields a dict that gets 'seconds' filled in on exit — the StopWatch
-    analog (NvCommon.h:209) with a device sync.
+    Pass the region's output via `sync` (a value or a zero-arg callable);
+    the timer synchronizes by reading ONE scalar back to host, which is
+    the only dependable barrier on the tunneled runtime
+    (block_until_ready can return early there; see CLAUDE.md).  Without
+    `sync` there is nothing to wait on and 'seconds' measures dispatch
+    time only — 'sync_missing' is set so callers can't misread it.
     """
+    import numpy as np
+
     out = {"label": label, "seconds": None}
     t0 = time.perf_counter()
     try:
         yield out
     finally:
         if sync is not None:
-            jax.block_until_ready(sync() if callable(sync) else sync)
+            val = sync() if callable(sync) else sync
+            leaf = jax.tree_util.tree_leaves(val)
+            if leaf:
+                float(np.asarray(leaf[0]).ravel()[0])  # real host barrier
+        else:
+            out["sync_missing"] = True
         out["seconds"] = time.perf_counter() - t0
