@@ -309,8 +309,8 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
             # rung's YUV planes come out (vs ScaleNv12 per rung in the
             # reference's EncodeVideoProc consumers)
             from ..core.frame import FrameBatch
-            from ..ops.pallas_kernels import fused_rungs, rungs_fit_vmem
-            if not rungs_fit_vmem(fb.height, fb.width, rung_sizes):
+            from ..ops.pallas_kernels import fused_rungs, fused_rungs_fits
+            if not fused_rungs_fits(fb.height, fb.width, rung_sizes):
                 fused_ok = False     # 4K+ sources: per-rung path below
             else:
                 outs = fused_rungs(fb.planes["y"], fb.planes["u"],

@@ -765,6 +765,164 @@ def _rungs_kernel_i8(y_ref, u_ref, v_ref, *refs, n_rungs, inv_scales):
         vo[...] = plane(v8, ahc, awc, offc, inv_sc)
 
 
+def _rungs_kernel_i8_chunked(y_ref, u_ref, v_ref, *refs, n_rungs,
+                             kw_chunks, inv_scales):
+    """W-chunked int8 rungs (4K+ sources): per grid step one column
+    chunk of the source is loaded and every rung accumulates its partial
+    column contribution (out = sum_k (Ah @ X[:,k]) @ Aw[k,:]) into f32
+    scratch; the last chunk rounds and stores u8 (same scheme as
+    _ladder_kernel_i8_chunked)."""
+    w_refs = refs[:6 * n_rungs]
+    o_refs = refs[6 * n_rungs:9 * n_rungs]
+    s_refs = refs[9 * n_rungs:]
+    k = pl.program_id(1)
+
+    y8 = pltpu.bitcast(y_ref[...] ^ jnp.uint8(0x80), jnp.int8)
+    u8 = pltpu.bitcast(u_ref[...] ^ jnp.uint8(0x80), jnp.int8)
+    v8 = pltpu.bitcast(v_ref[...] ^ jnp.uint8(0x80), jnp.int8)
+
+    def partial_rowcol(x8, ah_i8, aw_bf, inv_s):
+        t = jax.lax.dot_general(ah_i8[...], x8, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        tb = (t.astype(jnp.float32) * inv_s).astype(jnp.bfloat16)
+        return jax.lax.dot_general(tb, aw_bf[...], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    for r in range(n_rungs):
+        ahy, awy, ahc, awc, offy, offc = w_refs[6 * r:6 * r + 6]
+        yo, uo, vo = o_refs[3 * r:3 * r + 3]
+        ay, au, av = s_refs[3 * r:3 * r + 3]
+        inv_sy, inv_sc = inv_scales[r]
+        py = partial_rowcol(y8, ahy, awy, inv_sy)
+        pu = partial_rowcol(u8, ahc, awc, inv_sc)
+        pv = partial_rowcol(v8, ahc, awc, inv_sc)
+
+        @pl.when(k == 0)
+        def _init(ay=ay, au=au, av=av, py=py, pu=pu, pv=pv):
+            ay[...] = py
+            au[...] = pu
+            av[...] = pv
+
+        @pl.when(k > 0)
+        def _accum(ay=ay, au=au, av=av, py=py, pu=pu, pv=pv):
+            ay[...] = ay[...] + py
+            au[...] = au[...] + pu
+            av[...] = av[...] + pv
+
+        @pl.when(k == kw_chunks - 1)
+        def _store(ay=ay, au=au, av=av, yo=yo, uo=uo, vo=vo,
+                   offy=offy, offc=offc):
+            def q(acc, off):
+                o = jnp.clip(jnp.round(acc[...] + off[...]), 0.0, 255.0)
+                return o.astype(jnp.int32).astype(jnp.uint8)
+            yo[...] = q(ay, offy)
+            uo[...] = q(au, offc)
+            vo[...] = q(av, offc)
+
+
+@lru_cache(maxsize=16)
+def _build_rungs_i8_chunked(n, h, w, ch, cw, sizes, method, interpret,
+                            kw_chunks):
+    wc, cwc = w // kw_chunks, cw // kw_chunks
+    in_specs = [
+        pl.BlockSpec((None, h, wc), lambda i, k: (i, 0, k),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, ch, cwc), lambda i, k: (i, 0, k),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, ch, cwc), lambda i, k: (i, 0, k),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs, out_shapes, scratch = [], [], []
+    consts, inv_scales = [], []
+    for (ow, oh) in sizes:
+        ahy_q, sy = _quant_rows(resample_matrix(h, oh, method))
+        ahc_q, sc = _quant_rows(resample_matrix(ch, oh // 2, method))
+        offy = (128.0 * ahy_q.astype(np.float32).sum(1) / sy)[:, None]
+        offc = (128.0 * ahc_q.astype(np.float32).sum(1) / sc)[:, None]
+        inv_scales.append((1.0 / sy, 1.0 / sc))
+        awy = resample_matrix(w, ow, method).T
+        awc = resample_matrix(cw, ow // 2, method).T
+        consts += [(ahy_q, None), (awy, jnp.bfloat16),
+                   (ahc_q, None), (awc, jnp.bfloat16),
+                   (offy, jnp.float32), (offc, jnp.float32)]
+        in_specs += [
+            pl.BlockSpec(ahy_q.shape, lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wc, ow), lambda i, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(ahc_q.shape, lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cwc, ow // 2), lambda i, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(offy.shape, lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(offc.shape, lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        for shp in ((oh, ow), (oh // 2, ow // 2), (oh // 2, ow // 2)):
+            out_shapes.append(jax.ShapeDtypeStruct((n, *shp), jnp.uint8))
+            out_specs.append(pl.BlockSpec((None, *shp),
+                                          lambda i, k: (i, 0, 0),
+                                          memory_space=pltpu.VMEM))
+            scratch.append(pltpu.VMEM(shp, jnp.float32))
+
+    kernel = partial(_rungs_kernel_i8_chunked, n_rungs=len(sizes),
+                     kw_chunks=kw_chunks, inv_scales=tuple(inv_scales))
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pl.GridSpec(grid=(n, kw_chunks), in_specs=in_specs,
+                              out_specs=out_specs,
+                              scratch_shapes=scratch),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )
+
+    def fn(y, u, v):
+        args = [jnp.asarray(a) if dt is None else jnp.asarray(a, dt)
+                for a, dt in consts]
+        outs = call(y, u, v, *args)
+        return [tuple(outs[3 * r:3 * r + 3]) for r in range(len(sizes))]
+
+    return jax.jit(fn)
+
+
+def _pick_rungs_chunks(h, w, ch, cw, sizes,
+                       budget_bytes=100 * 1024 * 1024):
+    """Smallest lane-aligned chunk count whose per-step working set
+    (input chunk + all rung weights + f32 accumulators + outputs) fits
+    VMEM; 0 = not chunkable."""
+    weights = acc = outs = 0
+    for ow, oh in sizes:
+        weights += oh * h + ch * (oh // 2)            # i8 row matrices
+        acc += (oh * ow + 2 * (oh // 2) * (ow // 2)) * 4
+        outs += oh * ow + 2 * (oh // 2) * (ow // 2)
+    for k in range(1, 17):
+        if w % (k * 128) or cw % (k * 128):
+            continue
+        wc, cwc = w // k, cw // k
+        inp = (h * wc + 2 * ch * cwc) * 2             # double-buffered u8
+        wts = weights
+        inter = 0
+        for ow, oh in sizes:
+            wts += (wc * ow + cwc * (ow // 2)) * 2    # bf16 col chunks
+            inter = max(inter, oh * wc * 6)           # t i32 + bf16 copy
+        if inp * 2 + wts + acc + outs + inter <= budget_bytes:
+            return k
+    return 0
+
+
+def fused_rungs_fits(h: int, w: int, sizes) -> bool:
+    """Can fused_rungs handle this geometry on-chip (whole-frame or
+    W-chunked)?  metrans uses this to pick fused vs per-rung resizes."""
+    ch, cw = h // 2, w // 2
+    return (rungs_fit_vmem(h, w, sizes)
+            or _pick_rungs_chunks(h, w, ch, cw, tuple(
+                (int(ow), int(oh)) for ow, oh in sizes)) > 1)
+
+
 @lru_cache(maxsize=32)
 def _build_rungs(n, h, w, ch, cw, sizes, method, interpret, quant="bf16"):
     """Shared scaffolding for both rung kernels; quant picks the row
@@ -883,6 +1041,14 @@ def fused_rungs(y: jax.Array, u: jax.Array, v: jax.Array, sizes,
     n, h, w = y.shape
     ch, cw = u.shape[1], u.shape[2]
     if not rungs_fit_vmem(h, w, sizes):
+        # 4K+ sources: column-chunked accumulation keeps the ladder
+        # fused (int8 path only — the bf16 kernel has no chunked form)
+        kc = (_pick_rungs_chunks(h, w, ch, cw, sizes)
+              if quant in ("auto", "i8") else 0)
+        if kc > 1:
+            fn = _build_rungs_i8_chunked(n, h, w, ch, cw, sizes, method,
+                                         bool(interpret), kc)
+            return fn(y, u, v)
         raise ValueError(f"fused_rungs: {w}x{h} with {len(sizes)} rungs "
                          "exceeds the VMEM budget; resize per rung "
                          "instead (ops.resize.resize)")

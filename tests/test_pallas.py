@@ -359,3 +359,28 @@ def test_fused_rungs_jit_then_eager(rng):
     outs = fused_rungs(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                        sizes, interpret=True)
     np.testing.assert_array_equal(np.asarray(outs[0][0]), first)
+
+
+def test_fused_rungs_chunked_matches_unchunked(rng):
+    """W-chunked rungs (4K+ path) == the whole-frame i8 kernel."""
+    from gmat_tpu.ops.pallas_kernels import (_build_rungs_i8_chunked,
+                                             fused_rungs)
+    n, h, w = 2, 64, 512
+    y, u, v = _data(rng, n=n, h=h, w=w)
+    sizes = ((256, 32), (128, 16))
+    un = fused_rungs(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                     sizes, quant="i8", interpret=True)
+    fn = _build_rungs_i8_chunked(n, h, w, h // 2, w // 2, sizes,
+                                 "bilinear", True, 2)
+    chk = fn(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v))
+    for r in range(len(sizes)):
+        for p in range(3):
+            np.testing.assert_array_equal(np.asarray(un[r][p]),
+                                          np.asarray(chk[r][p]))
+
+
+def test_fused_rungs_fits_geometry():
+    from gmat_tpu.ops.pallas_kernels import fused_rungs_fits
+    rungs = ((1920, 1080), (1280, 720), (960, 540))
+    assert fused_rungs_fits(1080, 1920, ((1280, 720), (960, 540)))
+    assert fused_rungs_fits(2160, 3840, rungs)      # 4K via k=3 chunks
