@@ -194,7 +194,11 @@ class HeifReader:
         locs = {}
         props: List[Tuple[bytes, bytes]] = []
         assoc = {}
+        methods = {}          # item id -> iloc construction_method
+        idat_span = None      # meta-level item data box
         for typ, s, e in _iter_boxes(d, *meta_span):
+            if typ == b"idat":
+                idat_span = (s, e)
             if typ == b"pitm":
                 if d[s] == 0:        # version 0: 16-bit item id
                     self.primary = struct.unpack(">H", d[s + 4:s + 6])[0]
@@ -217,7 +221,11 @@ class HeifReader:
                     else:
                         iid = struct.unpack(">I", body[idx:idx + 4])[0]; idx += 4
                     if version in (1, 2):
-                        idx += 2       # construction_method
+                        # construction_method: 0 file offsets, 1 idat-
+                        # relative offsets (2 = item refs, unsupported)
+                        methods[iid] = struct.unpack(
+                            ">H", body[idx:idx + 2])[0] & 0xF
+                        idx += 2
                     idx += 2           # data_reference_index
                     base = int.from_bytes(body[idx:idx + base_sz], "big"); idx += base_sz
                     n_ext = struct.unpack(">H", body[idx:idx + 2])[0]; idx += 2
@@ -259,12 +267,26 @@ class HeifReader:
                                     idx += 1
                             assoc[iid] = plist
         for iid, extents in sorted(locs.items()):
+            method = methods.get(iid, 0)
+            if method == 1:
+                # idat-stored payload: offsets are relative to the meta
+                # box's item-data box
+                if idat_span is None:
+                    raise IOError(f"item {iid} uses idat storage but the "
+                                  "meta box has no idat")
+                base0, limit = idat_span
+            elif method != 0:
+                raise IOError(f"item {iid} construction_method {method} "
+                              "not supported (file/idat only)")
+            else:
+                base0, limit = 0, len(d)
             for o, ln in extents:
-                if o + ln > len(d):
+                if base0 + o + ln > limit:
                     raise IOError(
                         f"item {iid} extent [{o}:{o + ln}] is beyond the "
-                        f"{len(d)}-byte buffer — truncated HEIF?")
-            data = b"".join(d[o:o + ln] for o, ln in extents)
+                        f"{limit - base0}-byte data region — truncated?")
+            data = b"".join(d[base0 + o:base0 + o + ln]
+                            for o, ln in extents)
             hvcc = b""
             w = h = 0
             for pi in assoc.get(iid, []):

@@ -155,3 +155,37 @@ def test_decode_all_reuses_decoder():
     assert len(decoded) == 4
     for (yd, _, _), (y, _, _) in zip(decoded, frames):
         assert np.abs(yd.astype(int) - y.astype(int)).mean() < 3.0
+
+
+def test_heif_idat_storage():
+    """iloc construction_method=1: payload stored in the meta box's idat
+    (some still writers use this instead of mdat)."""
+    import struct
+    from gmat_tpu.av.heif import _box, _full, _u32
+
+    y, u, v = synth(64, 64)
+    blob = heif.encode_still(y, u, v, crf=16.0)
+    it = heif.HeifReader(blob).read_image()
+    payload, hvcc = it.data, it.hvcc
+
+    pitm = _full(b"pitm", 0, 0, struct.pack(">H", 1))
+    iloc_body = bytes([0x44, 0x00]) + struct.pack(">H", 1)
+    iloc_body += struct.pack(">H", 1)          # item id
+    iloc_body += struct.pack(">H", 1)          # construction_method=idat
+    iloc_body += struct.pack(">H", 0)          # data_reference_index
+    iloc_body += struct.pack(">H", 1)          # extent count
+    iloc_body += struct.pack(">II", 0, len(payload))
+    iloc = _full(b"iloc", 1, 0, iloc_body)
+    ispe = _full(b"ispe", 0, 0, struct.pack(">II", it.width, it.height))
+    ipco = _box(b"ipco", _box(b"hvcC", hvcc) + ispe)
+    ipma = _full(b"ipma", 0, 0, struct.pack(">I", 1)
+                 + struct.pack(">H", 1) + bytes([2, 0x81, 0x82]))
+    iprp = _box(b"iprp", ipco + ipma)
+    idat = _box(b"idat", payload)
+    meta = _box(b"meta", b"\0\0\0\0" + pitm + iloc + iprp + idat)
+    crafted = _box(b"ftyp", b"heic" + _u32(0) + b"heicmif1") + meta
+
+    it2 = heif.HeifReader(crafted).read_image()
+    assert it2.data == payload and (it2.width, it2.height) == (64, 64)
+    yd, ud, vd = heif.decode_still(crafted)
+    assert np.abs(yd.astype(int) - y.astype(int)).mean() < 3.0
