@@ -87,7 +87,7 @@ def _ladder_kernel(y_ref, u_ref, v_ref, ahy_ref, awy_ref, ahc_ref, awc_ref,
 
 @lru_cache(maxsize=64)
 def _build_ladder(n, h, w, ch, cw, out_h, out_w, colorspace, method,
-                  norm, shift, interpret, bits=8):
+                  norm, shift, interpret, bits=8, crop=None):
     """Compile-time closure for a fixed shape set.
 
     bits > 8 builds the 10/12/16-bit variant: same kernel, u16 inputs
@@ -95,15 +95,25 @@ def _build_ladder(n, h, w, ch, cw, out_h, out_w, colorspace, method,
     offsets/clip range of that depth — the ScaleP016/P016ToBgr* lane of
     the reference (NvCodec/Resize.cu:77-82, ColorSpace.cu:219-293).
     Samples wider than 8 bits round to bf16 on the MXU feed (<=2 LSB at
-    10 bits, ~0.5 u8-LSB at output scale)."""
+    10 bits, ~0.5 u8-LSB at output scale).
+
+    crop=(x, y, w, h) embeds the crop window in the interpolation
+    matrices (zero cost), like the int8 builder."""
     mat = yuv2rgb_matrix(colorspace)
     low, mid = yuv_offsets(bits)
     # keep numpy here; convert inside fn so per-trace constants are fresh
     # (caching jnp arrays created inside a jit trace leaks tracers)
-    ahy_np = resample_matrix(h, out_h, method)
-    awy_np = resample_matrix(w, out_w, method).T
-    ahc_np = resample_matrix(ch, out_h, method)
-    awc_np = resample_matrix(cw, out_w, method).T
+    if crop:
+        cx, cy, cw_box, ch_box = crop
+        ahy_np = _cropped_matrix(h, cy, ch_box, out_h, method)
+        ahc_np = _cropped_matrix(ch, cy // 2, ch_box // 2, out_h, method)
+        awy_np = _cropped_matrix(w, cx, cw_box, out_w, method).T
+        awc_np = _cropped_matrix(cw, cx // 2, cw_box // 2, out_w, method).T
+    else:
+        ahy_np = resample_matrix(h, out_h, method)
+        awy_np = resample_matrix(w, out_w, method).T
+        ahc_np = resample_matrix(ch, out_h, method)
+        awc_np = resample_matrix(cw, out_w, method).T
 
     kernel = partial(_ladder_kernel, mat=mat, low=float(low), mid=float(mid),
                      norm=float(norm), shift=shift,
@@ -161,16 +171,26 @@ def _build_ladder(n, h, w, ch, cw, out_h, out_w, colorspace, method,
 def fused_ladder(y: jax.Array, u: jax.Array, v: jax.Array,
                  out_h: int, out_w: int, colorspace: str = "bt709",
                  method: str = "bilinear", norm: float = 255.0,
-                 shift=(0.0, 0.0, 0.0), interpret: bool = False) -> jax.Array:
+                 shift=(0.0, 0.0, 0.0), interpret: bool = False,
+                 crop_box=None) -> jax.Array:
     """Batched YUV420 planes -> (N, 3, out_h, out_w) f32 in one Pallas pass.
 
     y: (N, H, W) uint8; u, v: (N, H/2, W/2) uint8.
+    crop_box=(x, y, w, h): fused crop via the interpolation matrices
+    (even coords for 4:2:0), like the int8 kernel.
     """
     n, h, w = y.shape
     ch, cw = u.shape[1], u.shape[2]
+    if crop_box is not None:
+        cx, cy, cwb, chb = (int(c) for c in crop_box)
+        if (cx | cy | cwb | chb) & 1:
+            raise ValueError("4:2:0 crop box must be even")
+        if cx + cwb > w or cy + chb > h:
+            raise ValueError("crop box outside the frame")
+        crop_box = (cx, cy, cwb, chb)
     fn = _build_ladder(n, h, w, ch, cw, out_h, out_w, colorspace, method,
                        float(norm), tuple(float(s) for s in shift),
-                       bool(interpret))
+                       bool(interpret), crop=crop_box)
     return fn(y, u, v)
 
 
@@ -1240,10 +1260,15 @@ def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
     if kw_chunks == 0 or not _i8_ok(gate_h, gate_ch, out_h, method):
         # int8 can't hold (wide antialiased taps) or the frame exceeds
         # VMEM with no lane-aligned chunking: leave the int8 path
+        if crop_box is not None and kw_chunks == 1:
+            # tap quantization can't hold: the bf16 kernel carries the
+            # fused crop instead
+            return fused_ladder(y, u, v, out_h, out_w, colorspace,
+                                method, norm, shift, interpret,
+                                crop_box=crop_box)
         if crop_box is not None:
-            raise ValueError(f"{method} at this scale needs the bf16 "
-                             "kernel, which has no fused crop; crop "
-                             "via geometry.crop first")
+            raise ValueError(f"{method} crop at >VMEM scale is not "
+                             "fused; crop via geometry.crop first")
         if kw_chunks != 1:
             # >VMEM frame: the bf16 kernel has no chunked form, so take
             # the exact XLA path

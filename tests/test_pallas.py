@@ -384,3 +384,27 @@ def test_fused_rungs_fits_geometry():
     rungs = ((1920, 1080), (1280, 720), (960, 540))
     assert fused_rungs_fits(1080, 1920, ((1280, 720), (960, 540)))
     assert fused_rungs_fits(2160, 3840, rungs)      # 4K via k=3 chunks
+
+
+def test_fused_ladder_bf16_crop(rng):
+    """The bf16 kernel carries the fused crop too (the int8 path falls
+    back to it for wide-tap methods + crop)."""
+    from gmat_tpu.ops.pallas_kernels import fused_ladder, fused_ladder_i8
+    y, u, v = _data(rng, n=1, h=64, w=128)
+    crop = (16, 8, 64, 48)
+    got = np.asarray(fused_ladder(jnp.asarray(y), jnp.asarray(u),
+                                  jnp.asarray(v), 24, 32, crop_box=crop,
+                                  interpret=True))
+    cx, cy, cw, ch = crop
+    ys = y[:, cy:cy + ch, cx:cx + cw]
+    us = u[:, cy // 2:(cy + ch) // 2, cx // 2:(cx + cw) // 2]
+    vs = v[:, cy // 2:(cy + ch) // 2, cx // 2:(cx + cw) // 2]
+    want = np.asarray(fused_ladder(jnp.asarray(ys), jnp.asarray(us),
+                                   jnp.asarray(vs), 24, 32, interpret=True))
+    assert (np.abs(got - want) * 255).max() <= 1.0
+    # i8 dispatcher routes bicubic+crop here instead of raising
+    out = np.asarray(fused_ladder_i8(jnp.asarray(y), jnp.asarray(u),
+                                     jnp.asarray(v), 24, 32,
+                                     method="lanczos3", crop_box=crop,
+                                     interpret=True))
+    assert out.shape == (1, 3, 24, 32)
