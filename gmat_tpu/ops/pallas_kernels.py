@@ -198,7 +198,7 @@ def fused_ladder_u16(y: jax.Array, u: jax.Array, v: jax.Array,
                      out_h: int, out_w: int, bits: int = 10,
                      colorspace: str = "bt709", method: str = "bilinear",
                      norm: float = 0.0, shift=(0.0, 0.0, 0.0),
-                     interpret: bool = False) -> jax.Array:
+                     interpret: bool = False, crop_box=None) -> jax.Array:
     """High-bit-depth fused ladder: u16 YUV420 planes (lsb-aligned
     `bits`-bit samples) -> (N, 3, out_h, out_w) f32 in one Pallas pass.
 
@@ -206,14 +206,22 @@ def fused_ladder_u16(y: jax.Array, u: jax.Array, v: jax.Array,
     NvCodec/Resize.cu:77-82 / ColorSpace.cu:219-293), fused like the
     8-bit kernel.  norm=0 defaults to full scale ((1<<bits)-1) so the
     output lands in [0,1] like the 8-bit path's norm=255.
+    crop_box=(x, y, w, h): fused crop (even coords for 4:2:0).
     """
     n, h, w = y.shape
     ch, cw = u.shape[1], u.shape[2]
     if not norm:
         norm = float((1 << bits) - 1)
+    if crop_box is not None:
+        cx, cy, cwb, chb = (int(c) for c in crop_box)
+        if (cx | cy | cwb | chb) & 1:
+            raise ValueError("4:2:0 crop box must be even")
+        if cx + cwb > w or cy + chb > h:
+            raise ValueError("crop box outside the frame")
+        crop_box = (cx, cy, cwb, chb)
     fn = _build_ladder(n, h, w, ch, cw, out_h, out_w, colorspace, method,
                        float(norm), tuple(float(s) for s in shift),
-                       bool(interpret), bits=int(bits))
+                       bool(interpret), bits=int(bits), crop=crop_box)
     return fn(y, u, v)
 
 

@@ -408,3 +408,23 @@ def test_fused_ladder_bf16_crop(rng):
                                      method="lanczos3", crop_box=crop,
                                      interpret=True))
     assert out.shape == (1, 3, 24, 32)
+
+
+def test_fused_ladder_u16_crop(rng):
+    from gmat_tpu.ops.pallas_kernels import fused_ladder_u16
+    n, h, w = 1, 64, 128
+    y = rng.integers(0, 1024, (n, h, w)).astype(np.uint16)
+    u = rng.integers(0, 1024, (n, h // 2, w // 2)).astype(np.uint16)
+    v = rng.integers(0, 1024, (n, h // 2, w // 2)).astype(np.uint16)
+    crop = (16, 8, 64, 48)
+    got = np.asarray(fused_ladder_u16(jnp.asarray(y), jnp.asarray(u),
+                                      jnp.asarray(v), 24, 32, bits=10,
+                                      crop_box=crop, interpret=True))
+    cx, cy, cw, ch = crop
+    ys = y[:, cy:cy + ch, cx:cx + cw]
+    us = u[:, cy // 2:(cy + ch) // 2, cx // 2:(cx + cw) // 2]
+    vs = v[:, cy // 2:(cy + ch) // 2, cx // 2:(cx + cw) // 2]
+    want = np.asarray(fused_ladder_u16(jnp.asarray(ys), jnp.asarray(us),
+                                       jnp.asarray(vs), 24, 32, bits=10,
+                                       interpret=True))
+    assert (np.abs(got - want) * 255).max() <= 1.0
