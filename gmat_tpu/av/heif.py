@@ -270,14 +270,16 @@ class HeifReader:
             method = methods.get(iid, 0)
             if method == 1:
                 # idat-stored payload: offsets are relative to the meta
-                # box's item-data box
+                # box's item-data box (end clamped to the buffer — a
+                # truncated idat must raise, not read short)
                 if idat_span is None:
                     raise IOError(f"item {iid} uses idat storage but the "
                                   "meta box has no idat")
-                base0, limit = idat_span
+                base0, limit = idat_span[0], min(idat_span[1], len(d))
             elif method != 0:
-                raise IOError(f"item {iid} construction_method {method} "
-                              "not supported (file/idat only)")
+                # item-reference construction (2): skip this ITEM only —
+                # a method-0 primary must stay readable
+                continue
             else:
                 base0, limit = 0, len(d)
             for o, ln in extents:

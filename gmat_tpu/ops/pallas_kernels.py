@@ -31,6 +31,21 @@ from ..core.color import yuv2rgb_matrix, yuv_offsets
 from .resize import resample_matrix
 
 
+def _validate_crop_box(crop_box, w, h):
+    """Normalize a (x, y, w, h) crop to ints and validate: positive even
+    dims inside the frame, non-negative origin (a negative origin would
+    silently wrap to the opposite edge via Python slicing)."""
+    cx, cy, cwb, chb = (int(c) for c in crop_box)
+    if cx < 0 or cy < 0 or cwb <= 0 or chb <= 0:
+        raise ValueError(f"crop box {crop_box} must have non-negative "
+                         "origin and positive size")
+    if (cx | cy | cwb | chb) & 1:
+        raise ValueError("4:2:0 crop box must be even")
+    if cx + cwb > w or cy + chb > h:
+        raise ValueError("crop box outside the frame")
+    return (cx, cy, cwb, chb)
+
+
 def _cropped_matrix(n_in_full: int, crop_off: int, crop_len: int,
                     n_out: int, method: str) -> np.ndarray:
     """Resample matrix that reads only [crop_off, crop_off+crop_len) of a
@@ -182,12 +197,7 @@ def fused_ladder(y: jax.Array, u: jax.Array, v: jax.Array,
     n, h, w = y.shape
     ch, cw = u.shape[1], u.shape[2]
     if crop_box is not None:
-        cx, cy, cwb, chb = (int(c) for c in crop_box)
-        if (cx | cy | cwb | chb) & 1:
-            raise ValueError("4:2:0 crop box must be even")
-        if cx + cwb > w or cy + chb > h:
-            raise ValueError("crop box outside the frame")
-        crop_box = (cx, cy, cwb, chb)
+        crop_box = _validate_crop_box(crop_box, w, h)
     fn = _build_ladder(n, h, w, ch, cw, out_h, out_w, colorspace, method,
                        float(norm), tuple(float(s) for s in shift),
                        bool(interpret), crop=crop_box)
@@ -213,12 +223,7 @@ def fused_ladder_u16(y: jax.Array, u: jax.Array, v: jax.Array,
     if not norm:
         norm = float((1 << bits) - 1)
     if crop_box is not None:
-        cx, cy, cwb, chb = (int(c) for c in crop_box)
-        if (cx | cy | cwb | chb) & 1:
-            raise ValueError("4:2:0 crop box must be even")
-        if cx + cwb > w or cy + chb > h:
-            raise ValueError("crop box outside the frame")
-        crop_box = (cx, cy, cwb, chb)
+        crop_box = _validate_crop_box(crop_box, w, h)
     fn = _build_ladder(n, h, w, ch, cw, out_h, out_w, colorspace, method,
                        float(norm), tuple(float(s) for s in shift),
                        bool(interpret), bits=int(bits), crop=crop_box)
@@ -948,7 +953,7 @@ def fused_rungs_fits(h: int, w: int, sizes) -> bool:
     ch, cw = h // 2, w // 2
     return (rungs_fit_vmem(h, w, sizes)
             or _pick_rungs_chunks(h, w, ch, cw, tuple(
-                (int(ow), int(oh)) for ow, oh in sizes)) > 1)
+                (int(ow), int(oh)) for ow, oh in sizes)) >= 1)
 
 
 @lru_cache(maxsize=32)
@@ -1073,7 +1078,7 @@ def fused_rungs(y: jax.Array, u: jax.Array, v: jax.Array, sizes,
         # fused (int8 path only — the bf16 kernel has no chunked form)
         kc = (_pick_rungs_chunks(h, w, ch, cw, sizes)
               if quant in ("auto", "i8") else 0)
-        if kc > 1:
+        if kc >= 1:   # k=1 = whole frame fits the (larger) i8 budget
             fn = _build_rungs_i8_chunked(n, h, w, ch, cw, sizes, method,
                                          bool(interpret), kc)
             return fn(y, u, v)
@@ -1255,12 +1260,7 @@ def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
     if crop_box is not None:
         # normalize/validate BEFORE the dispatch gate uses the box dims
         # (float CLI geometry would reach resample_matrix otherwise)
-        cx, cy, cwb, chb = (int(c) for c in crop_box)
-        if (cx | cy | cwb | chb) & 1:
-            raise ValueError("4:2:0 crop box must be even")
-        if cx + cwb > w or cy + chb > h:
-            raise ValueError("crop box outside the frame")
-        crop_box = (cx, cy, cwb, chb)
+        crop_box = _validate_crop_box(crop_box, w, h)
     kw_chunks = _pick_w_chunks(h, w, ch, cw)
     # the quantization gate must look at the matrices actually used:
     # with a crop box they are built from the crop window dims
