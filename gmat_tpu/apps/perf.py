@@ -296,22 +296,35 @@ def perf_infer(args):
 
 
 def perf_pipeline(args):
-    import jax
-    import numpy as np_
-    from ..av.ingest import decode_stream
+    """Sustained decode -> device -> fused-ladder throughput.
+
+    -procs 1 (default): single-process decode (the round-2 shape).
+    -procs N: N decode worker processes ship I420 planes over
+    shared-memory rings into ONE consumer that batches + device_puts +
+    runs the ladder — the RoundQueue fan-in at process scale
+    (av/shm_ring.py; reference RoundQueue.h:5-63, AppMeTrans.cpp:165-226).
+    Aggregate decode scales ~procs x up to the host core count."""
     from ..ops import fused
     t0 = time.perf_counter()
     total = 0
     last = None
-    for fb, pts, valid in decode_stream(args.input, batch=32):
+    procs = max(args.procs, 1)
+    if procs > 1:
+        from ..av.shm_ring import decode_stream_multiproc
+        q = decode_stream_multiproc(args.input, procs=procs,
+                                    batch=32, threads=args.threads or 1)
+    else:
+        from ..av.ingest import decode_stream
+        q = decode_stream(args.input, batch=32)
+    for fb, pts, valid in q:
         last = fused.preprocess_nchw(fb, 224, 224)   # async dispatch
         total += int(valid)
     if last is not None:
         float(np.asarray(last.ravel()[0]))           # sync
     dt = time.perf_counter() - t0
-    return {"case": "pipeline", "frames": total,
+    return {"case": "pipeline", "procs": procs, "frames": total,
             "fps": round(total / dt, 1),
-            "note": "bounded by tunnel H2D (~30MB/s) in this dev env; decode-bound (~360 fps/core) on real hosts; ladder-only rate in bench.py"}
+            "note": "bounded by tunnel H2D (~30MB/s) in this dev env; decode-bound (~360 fps/core/proc) on real hosts; ladder-only rate in bench.py"}
 
 
 def perf_sustained(args):
@@ -423,8 +436,9 @@ def perf_ingest(args):
         raise SystemExit("ingest needs -i clip")
     ctx = mp.get_context("spawn")
     rows = []
+    max_procs = args.procs or 4
     for procs in (1, 2, 4):
-        if procs > args.procs:
+        if procs > max_procs:
             break
         conns, workers = [], []
         t0 = time.perf_counter()
@@ -471,8 +485,9 @@ def main(argv=None):
     p.add_argument("-threads", type=int, default=0)
     p.add_argument("-width", type=int, default=1920)
     p.add_argument("-height", type=int, default=1080)
-    p.add_argument("-procs", type=int, default=4,
-                   help="max worker processes for the ingest case")
+    p.add_argument("-procs", type=int, default=0,
+                   help="worker processes: ingest fan-out cap (default 4) "
+                        "/ pipeline shm-ring decode workers (default 1)")
     args = p.parse_args(argv)
     fn = {"decode": perf_decode, "encode": perf_encode,
           "extract": perf_extract, "heif": perf_heif, "jpeg": perf_jpeg,

@@ -1,0 +1,177 @@
+"""Shared-memory decode fan-in tests (the RoundQueue-at-process-scale
+analog, RoundQueue.h:5-63 / AppMeTrans.cpp:165-226): ring ordering,
+backpressure, error + worker-death propagation, and the full
+multi-process decode -> batch -> ladder chain."""
+import os
+import signal
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from gmat_tpu.av import toolkit as tk
+from gmat_tpu.av.shm_ring import (MultiProcDecodeSource, ShmRing,
+                                  decode_stream_multiproc)
+
+W, H, NFRAMES = 320, 240, 40
+
+
+def make_clip(path, nframes=NFRAMES):
+    enc = tk.Encoder("libx264", W, H, fps=(30, 1), gop=12,
+                     preset="veryfast", crf=14.0)
+    pkts = []
+    for i in range(nframes):
+        y = np.full((H, W), 20 + 3 * i, np.uint8)
+        u = np.full((H // 2, W // 2), 110, np.uint8)
+        v = np.full((H // 2, W // 2), 140, np.uint8)
+        pkts += enc.encode(y, u, v, pts=i)
+    pkts += enc.flush()
+    mux = tk.Muxer(path, W, H, (30, 1), tk.CODEC_H264, enc.extradata())
+    for p in pkts:
+        mux.write(p)
+    mux.close(); enc.close()
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("shmring") / "clip.mp4")
+    make_clip(p)
+    return p
+
+
+def fidx(y):
+    return int(round((float(np.median(y)) - 20) / 3))
+
+
+# --- raw ring ------------------------------------------------------------
+
+def test_ring_fifo_roundtrip():
+    ring = ShmRing(64, 48, slots=4)
+    try:
+        for i in range(3):
+            y = np.full((48, 64), i * 10, np.uint8)
+            u = np.full((24, 32), 100 + i, np.uint8)
+            v = np.full((24, 32), 200 - i, np.uint8)
+            assert ring.put(y, u, v, pts=i * 1000, pos=i * 7,
+                            key=(i == 0), interlaced=i)
+        for i in range(3):
+            y, u, v, pts, key, pos, il = ring.get_nowait()
+            assert y[0, 0] == i * 10 and u[0, 0] == 100 + i
+            assert v[0, 0] == 200 - i
+            assert pts == i * 1000 and pos == i * 7
+            assert key == (i == 0) and il == i
+        assert ring.get_nowait() is None
+    finally:
+        ring.close(unlink=True)
+
+
+def test_ring_backpressure_blocks_then_drains():
+    ring = ShmRing(32, 16, slots=2)
+    stop = threading.Event()
+    sent = []
+
+    def producer():
+        for i in range(10):
+            ok = ring.put(np.full((16, 32), i, np.uint8),
+                          np.zeros((8, 16), np.uint8),
+                          np.zeros((8, 16), np.uint8), pts=i, stop=stop)
+            if not ok:
+                return
+            sent.append(i)
+        ring.set_eof()
+
+    t = threading.Thread(target=producer, daemon=True)
+    try:
+        t.start()
+        time.sleep(0.1)
+        # ring holds only 2 slots: producer must be blocked
+        assert len(sent) <= 3 and ring.head - ring.tail <= 2
+        got = []
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            item = ring.get_nowait()
+            if item is not None:
+                got.append(item[3])
+            elif ring.eof and ring.empty():
+                break
+            else:
+                time.sleep(0.001)
+        assert got == list(range(10))       # FIFO, nothing lost
+        t.join(timeout=5)
+    finally:
+        stop.set()
+        ring.close(unlink=True)
+
+
+def test_ring_attach_cross_handle():
+    ring = ShmRing(32, 16, slots=4)
+    try:
+        other = ShmRing(32, 16, slots=4, name=ring.name, create=False)
+        other.put(np.full((16, 32), 7, np.uint8),
+                  np.zeros((8, 16), np.uint8), np.zeros((8, 16), np.uint8),
+                  pts=42)
+        other.set_eof()
+        other.close()
+        y, _, _, pts, *_ = ring.get_nowait()
+        assert y[0, 0] == 7 and pts == 42 and ring.eof
+    finally:
+        ring.close(unlink=True)
+
+
+# --- multi-process fan-in ------------------------------------------------
+
+def test_multiproc_all_frames_in_order(clip):
+    with MultiProcDecodeSource(clip, procs=2, slots=4) as src:
+        per_worker = {}
+        for (y, u, v, pts, key, pos, il) in src:
+            # frames from the same worker must arrive in decode order;
+            # tag by (pts monotonicity per interleave position)
+            per_worker.setdefault(fidx(y), 0)
+            per_worker[fidx(y)] += 1
+        # 2 workers x 40 frames: every frame index seen exactly twice
+        assert sorted(per_worker) == list(range(NFRAMES))
+        assert all(c == 2 for c in per_worker.values())
+
+
+def test_multiproc_per_ring_fifo(clip):
+    with MultiProcDecodeSource(clip, procs=1, slots=4) as src:
+        got = [fidx(y) for (y, *_rest) in src]
+    assert got == list(range(NFRAMES))
+
+
+def test_multiproc_error_propagates(tmp_path):
+    bogus = str(tmp_path / "nope.mp4")
+    with open(bogus, "wb") as f:
+        f.write(b"not a video")
+    with MultiProcDecodeSource(bogus, procs=1, width=W, height=H) as src:
+        with pytest.raises(RuntimeError, match="decode worker 0"):
+            list(src)
+
+
+def test_multiproc_worker_death_detected(clip):
+    src = MultiProcDecodeSource(clip, procs=1, slots=2)
+    try:
+        # SIGKILL the worker: no EOF, no error record — liveness must trip
+        os.kill(src.procs[0].pid, signal.SIGKILL)
+        src.procs[0].join(timeout=5)
+        with pytest.raises(RuntimeError, match="died"):
+            for _ in src:
+                pass
+    finally:
+        src.close()
+
+
+def test_decode_stream_multiproc_batches(clip):
+    q = decode_stream_multiproc(clip, procs=2, batch=16, slots=4)
+    total, idxs = 0, set()
+    try:
+        for fb, pts, valid in q:
+            total += int(valid)
+            y = np.asarray(fb.planes["y"])[:valid]
+            idxs.update(fidx(f) for f in y)
+            assert fb.width == W and fb.height == H
+    finally:
+        q.close()
+    assert total == 2 * NFRAMES
+    assert idxs == set(range(NFRAMES))
