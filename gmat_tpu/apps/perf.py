@@ -97,23 +97,23 @@ def perf_extract(args):
 
 
 def perf_heif(args):
+    """HEIF still encode/decode fps (AppHeifEnc.cpp:69-95 analog).
+    -workers N fans images out across host threads (one x265/HEVC
+    session per worker — scales ~linearly with cores)."""
     from ..av import heif
     w, h = args.width, args.height
     ys, us, vs = _synth(1, w, h)
-    y, u, v = ys[0], us[0], vs[0]
+    frames = [(ys[0], us[0], vs[0])] * args.frames
     t0 = time.perf_counter()
-    blob = None
-    for _ in range(args.frames):
-        blob = heif.encode_still(y, u, v, crf=22.0)
+    blobs = heif.encode_stills(frames, crf=22.0, workers=args.workers)
     enc_dt = time.perf_counter() - t0
     t0 = time.perf_counter()
-    for _ in range(args.frames):
-        heif.decode_still(blob)
+    heif.decode_stills(blobs, workers=args.workers)
     dec_dt = time.perf_counter() - t0
-    return {"case": "heif", "reps": args.frames,
+    return {"case": "heif", "reps": args.frames, "workers": args.workers,
             "encode_fps": round(args.frames / enc_dt, 1),
             "decode_fps": round(args.frames / dec_dt, 1),
-            "bytes": len(blob)}
+            "bytes": len(blobs[0])}
 
 
 def perf_jpeg(args):
@@ -123,18 +123,19 @@ def perf_jpeg(args):
     n = min(args.frames, 32)
     ys, us, vs = _synth(n, w, h)
     fb = from_numpy_yuv420(np.stack(ys), np.stack(us), np.stack(vs))
-    datas = jpeg_tpu.encode_batch(fb, 90)     # warm/compile
+    wk = args.workers
+    datas = jpeg_tpu.encode_batch(fb, 90, workers=wk)     # warm/compile
     t0 = time.perf_counter()
     reps = max(args.frames // n, 1)
     for _ in range(reps):
-        datas = jpeg_tpu.encode_batch(fb, 90)
+        datas = jpeg_tpu.encode_batch(fb, 90, workers=wk)
     enc_dt = time.perf_counter() - t0
-    jpeg_tpu.decode_batch(datas)
+    jpeg_tpu.decode_batch(datas, workers=wk)
     t0 = time.perf_counter()
     for _ in range(reps):
-        jpeg_tpu.decode_batch(datas)
+        jpeg_tpu.decode_batch(datas, workers=wk)
     dec_dt = time.perf_counter() - t0
-    return {"case": "jpeg", "images": n * reps,
+    return {"case": "jpeg", "images": n * reps, "workers": wk,
             "encode_fps": round(n * reps / enc_dt, 1),
             "decode_fps": round(n * reps / dec_dt, 1)}
 
@@ -485,6 +486,9 @@ def main(argv=None):
     p.add_argument("-threads", type=int, default=0)
     p.add_argument("-width", type=int, default=1920)
     p.add_argument("-height", type=int, default=1080)
+    p.add_argument("-workers", type=int, default=0,
+                   help="still-image entropy/codec fan-out threads "
+                        "(0 = host core count) for jpeg/heif cases")
     p.add_argument("-procs", type=int, default=0,
                    help="worker processes: ingest fan-out cap (default 4) "
                         "/ pipeline shm-ring decode workers (default 1)")

@@ -19,7 +19,9 @@ from __future__ import annotations
 
 import dataclasses
 import io
+import os
 import struct
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -315,33 +317,78 @@ def encode_still(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                  crf: float = 20.0, lossless: bool = False) -> bytes:
     """One I420 frame -> .heic bytes (libx265 stillImage mode; the NVENC
     stillImage config analog, NvEncLiteUnbuffered.cpp:75-77)."""
+    wtr = HeifWriter()
+    wtr.add_image(_encode_one_annexb(y, u, v, crf, lossless))
+    return wtr.tobytes()
+
+
+def _encode_one_annexb(y, u, v, crf: float, lossless: bool = False) -> bytes:
     h, w = y.shape
     opts = "x265-params=log-level=0" + (":lossless=1" if lossless else "")
     enc = tk.Encoder("libx265", w, h, fps=(25, 1), crf=crf,
                      still_image=True, opts=opts)
     pkts = enc.encode(y, u, v, pts=0) + enc.flush()
-    extra = enc.extradata()
+    annexb = enc.extradata() + b"".join(p.data for p in pkts)
     enc.close()
-    annexb = extra + b"".join(p.data for p in pkts)
+    return annexb
+
+
+def _still_workers(workers: int, n: int) -> int:
+    if workers <= 0:
+        workers = os.cpu_count() or 1
+    return max(1, min(workers, n))
+
+
+def encode_collection(frames, crf: float = 20.0,
+                      workers: int = 0) -> bytes:
+    """[(y,u,v), ...] -> multi-item .heic (burst/collection).
+
+    Items are independent HEVC stills, so they encode in parallel across
+    `workers` host threads (one x265 session per item; libav calls
+    release the GIL) — the host-side analog of the reference's
+    fixed-function NVENC still throughput (AppHeifEnc.cpp:69-95).
+    Item order in the container is preserved."""
+    frames = list(frames)
     wtr = HeifWriter()
-    wtr.add_image(annexb)
+    nw = _still_workers(workers, len(frames))
+    if nw <= 1:
+        for (y, u, v) in frames:
+            wtr.add_image(_encode_one_annexb(y, u, v, crf))
+    else:
+        with ThreadPoolExecutor(nw) as pool:
+            for annexb in pool.map(
+                    lambda f: _encode_one_annexb(*f, crf), frames):
+                wtr.add_image(annexb)
     return wtr.tobytes()
 
 
-def encode_collection(frames, crf: float = 20.0) -> bytes:
-    """[(y,u,v), ...] -> multi-item .heic (burst/collection)."""
-    wtr = HeifWriter()
-    enc = None
-    for (y, u, v) in frames:
-        h, w = y.shape
-        enc = tk.Encoder("libx265", w, h, fps=(25, 1), crf=crf,
-                         still_image=True,
-                         opts="x265-params=log-level=0")
-        pkts = enc.encode(y, u, v, pts=0) + enc.flush()
-        annexb = enc.extradata() + b"".join(p.data for p in pkts)
-        enc.close()
-        wtr.add_image(annexb)
-    return wtr.tobytes()
+def encode_stills(frames, crf: float = 20.0, lossless: bool = False,
+                  workers: int = 0) -> List[bytes]:
+    """[(y,u,v), ...] -> one single-image .heic blob per frame, encoded
+    in parallel (per-image x265 session per worker thread)."""
+    frames = list(frames)
+    nw = _still_workers(workers, len(frames))
+
+    def one(f):
+        wtr = HeifWriter()
+        wtr.add_image(_encode_one_annexb(*f, crf, lossless))
+        return wtr.tobytes()
+
+    if nw <= 1:
+        return [one(f) for f in frames]
+    with ThreadPoolExecutor(nw) as pool:
+        return list(pool.map(one, frames))
+
+
+def decode_stills(blobs, workers: int = 0) -> List[tuple]:
+    """[.heic bytes, ...] -> [(y,u,v), ...], one decoder per worker
+    thread (parallel across images; HEVC decode releases the GIL)."""
+    blobs = list(blobs)
+    nw = _still_workers(workers, len(blobs))
+    if nw <= 1:
+        return [decode_still(b) for b in blobs]
+    with ThreadPoolExecutor(nw) as pool:
+        return list(pool.map(decode_still, blobs))
 
 
 def decode_still(data, index: Optional[int] = None):

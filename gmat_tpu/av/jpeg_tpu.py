@@ -16,6 +16,8 @@ faithful self-round-trip.
 from __future__ import annotations
 
 import ctypes
+import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -28,6 +30,17 @@ from ..ops import dct
 from . import native
 
 SUBSAMP_420, SUBSAMP_444, SUBSAMP_GRAY = 0, 1, 2
+
+
+def _n_workers(workers: int, n_items: int) -> int:
+    """Per-image fan-out width: the C entropy codec is GIL-free (ctypes
+    CDLL) and keeps no mutable globals, so images entropy-code in
+    parallel across host cores — the easy parallelism the reference gets
+    from nvjpeg's fixed-function engine (AppNvjpegDec.cpp:24-67).
+    workers=0 sizes to the host; 1 forces the serial path."""
+    if workers <= 0:
+        workers = os.cpu_count() or 1
+    return max(1, min(workers, n_items))
 
 
 def _pad_to(x: np.ndarray | jax.Array, mult_h: int, mult_w: int):
@@ -71,9 +84,11 @@ def _decode_plane_gray(yc, qy):
     return dct.decode_plane(yc, qy)
 
 
-def encode_batch(fb: FrameBatch, quality: int = 90) -> List[bytes]:
+def encode_batch(fb: FrameBatch, quality: int = 90,
+                 workers: int = 0) -> List[bytes]:
     """FrameBatch -> list of JPEG byte strings (full batch DCT'd on
-    device in one program; per-frame entropy coding in native code).
+    device in one program; per-frame entropy coding in native code,
+    fanned out over `workers` host threads — see _n_workers).
 
     Supports yuv420p/nv12 (4:2:0), yuv444p, and gray8."""
     qy, qc = dct.quality_tables(quality)
@@ -117,9 +132,8 @@ def encode_batch(fb: FrameBatch, quality: int = 90) -> List[bytes]:
         raise ValueError("encode_batch expects yuv420p/nv12/yuv444p/gray8")
 
     cap = w * h * 6 + (1 << 16)
-    buf = np.empty(cap, np.uint8)
-    out = []
-    for i in range(fb.batch):
+
+    def encode_one(i, buf):
         n = lib.gjpeg_encode(
             planes[0][i].ctypes.data_as(p16),
             planes[1][i].ctypes.data_as(p16),
@@ -127,21 +141,33 @@ def encode_batch(fb: FrameBatch, quality: int = 90) -> List[bytes]:
             qyp, qcp, buf.ctypes.data_as(native.c_pu8), cap)
         if n < 0:
             raise IOError("jpeg encode overflow")
-        out.append(buf[:n].tobytes())
+        return buf[:n].tobytes()
+
+    nw = _n_workers(workers, fb.batch)
+    if nw == 1:
+        buf = np.empty(cap, np.uint8)
+        return [encode_one(i, buf) for i in range(fb.batch)]
+    bufs = [np.empty(cap, np.uint8) for _ in range(nw)]
+    out: List[bytes] = [b""] * fb.batch
+    with ThreadPoolExecutor(nw) as pool:
+        def run(k):
+            for i in range(k, fb.batch, nw):
+                out[i] = encode_one(i, bufs[k])
+        list(pool.map(run, range(nw)))    # list() re-raises worker errors
     return out
 
 
-def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601") -> FrameBatch:
+def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601",
+                 workers: int = 0) -> FrameBatch:
     """JPEG byte strings (same dims/subsampling) -> YUV420 FrameBatch.
-    Entropy decode on host, dequant+IDCT batched on device."""
+    Entropy decode on host (fanned out over `workers` threads — see
+    _n_workers), dequant+IDCT batched on device."""
     if not datas:
         raise ValueError("decode_batch: no JPEGs given")
     lib = native.load("gmat_jpeg")
     p16 = ctypes.POINTER(ctypes.c_int16)
-    ycs, ucs, vcs, qys, qcs = [], [], [], [], []
-    w = h = None
-    subsamp = None
-    for data in datas:
+
+    def decode_one(data: bytes):
         qy = np.empty(64, np.uint8)
         qc = np.empty(64, np.uint8)
         buf = np.frombuffer(data, np.uint8)
@@ -152,19 +178,9 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601") -> FrameBatc
         wi, hi, ss = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
         lib.gjpeg_info(hnd, ctypes.byref(wi), ctypes.byref(hi),
                        ctypes.byref(ss))
-        if subsamp is None:
-            subsamp = ss.value
-        elif subsamp != ss.value:
-            lib.gjpeg_free(hnd)
-            raise ValueError("mixed subsampling in decode_batch")
-        if w is None:
-            w, h = wi.value, hi.value
-        elif (w, h) != (wi.value, hi.value):
-            lib.gjpeg_free(hnd)
-            raise ValueError("mixed dimensions in decode_batch")
+        w, h, subsamp = wi.value, hi.value, ss.value
         lib.gjpeg_qtable(hnd, 0, qy.ctypes.data_as(native.c_pu8))
         lib.gjpeg_qtable(hnd, 1, qc.ctypes.data_as(native.c_pu8))
-        qys.append(qy); qcs.append(qc)
         if subsamp == SUBSAMP_420:
             mcux, mcuy = (w + 15) // 16, (h + 15) // 16
             yb, cb = (mcuy * 2, mcux * 2), (mcuy, mcux)
@@ -182,7 +198,26 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601") -> FrameBatc
         lib.gjpeg_free(hnd)
         if r < 0:
             raise IOError(f"jpeg scan: {lib.gjpeg_last_error().decode()}")
-        ycs.append(yc); ucs.append(uc); vcs.append(vc)
+        return w, h, subsamp, qy, qc, yc, uc, vc
+
+    nw = _n_workers(workers, len(datas))
+    if nw == 1:
+        results = [decode_one(d) for d in datas]
+    else:
+        with ThreadPoolExecutor(nw) as pool:
+            results = list(pool.map(decode_one, datas))
+
+    w, h, subsamp = results[0][:3]
+    for r in results[1:]:
+        if r[2] != subsamp:
+            raise ValueError("mixed subsampling in decode_batch")
+        if r[:2] != (w, h):
+            raise ValueError("mixed dimensions in decode_batch")
+    qys = [r[3] for r in results]
+    qcs = [r[4] for r in results]
+    ycs = [r[5] for r in results]
+    ucs = [r[6] for r in results]
+    vcs = [r[7] for r in results]
 
     # per-image quant tables broadcast as (N,1,1,8,8) through
     # decode_plane's coefs * q, so mixed-quality batches ride the SAME

@@ -189,3 +189,23 @@ def test_heif_idat_storage():
     assert it2.data == payload and (it2.width, it2.height) == (64, 64)
     yd, ud, vd = heif.decode_still(crafted)
     assert np.abs(yd.astype(int) - y.astype(int)).mean() < 3.0
+
+
+def test_heif_parallel_stills_match_serial():
+    frames = [synth(64, 64, seed=i) for i in range(4)]
+    ser = heif.encode_stills(frames, crf=18.0, workers=1)
+    par = heif.encode_stills(frames, crf=18.0, workers=4)
+    # x265 is deterministic per session config: parallel == serial bytes
+    assert par == ser
+    dec_s = heif.decode_stills(ser, workers=1)
+    dec_p = heif.decode_stills(ser, workers=4)
+    for (a, b) in zip(dec_s, dec_p):
+        for pa, pb in zip(a, b):
+            np.testing.assert_array_equal(pa, pb)
+
+
+def test_heif_collection_parallel_matches_serial():
+    frames = [synth(64, 64, seed=i) for i in range(4)]
+    ser = heif.encode_collection(frames, crf=18.0, workers=1)
+    par = heif.encode_collection(frames, crf=18.0, workers=3)
+    assert par == ser

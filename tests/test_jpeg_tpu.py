@@ -211,3 +211,27 @@ def test_420_mcu_boundary_dims():
         # cross-frame leak in the final MCU row
         assert abs(int(du[0].astype(int).mean()) - 50) <= 3, (h, w)
         assert abs(int(du[1].astype(int).mean()) - 200) <= 3, (h, w)
+
+
+def test_jpeg_parallel_workers_match_serial(rng):
+    # per-image entropy fan-out (workers>1) must be byte-identical to
+    # the serial path, in order (VERDICT r2 #3: nvjpeg-class fan-out)
+    yy, u, v = smooth_yuv(rng, n=6, h=48, w=64)
+    fb = from_numpy_yuv420(yy, u, v)
+    serial = jpeg_tpu.encode_batch(fb, 85, workers=1)
+    par = jpeg_tpu.encode_batch(fb, 85, workers=4)
+    assert par == serial
+    fs = jpeg_tpu.decode_batch(serial, workers=1)
+    fp = jpeg_tpu.decode_batch(serial, workers=4)
+    for k in ("y", "u", "v"):
+        np.testing.assert_array_equal(np.asarray(fs.planes[k]),
+                                      np.asarray(fp.planes[k]))
+
+
+def test_jpeg_parallel_error_propagates(rng):
+    yy, u, v = smooth_yuv(rng, n=3, h=48, w=64)
+    fb = from_numpy_yuv420(yy, u, v)
+    datas = jpeg_tpu.encode_batch(fb, 85)
+    bad = [datas[0], b"\xff\xd8garbage", datas[2]]
+    with pytest.raises(IOError):
+        jpeg_tpu.decode_batch(bad, workers=3)
