@@ -462,10 +462,13 @@ class HeifSequenceWriter:
         self.fps = fps
         self.samples: List[bytes] = []
         self.sync: List[int] = []
+        self.pts: List[Optional[int]] = []   # composition time (ticks)
+        self.dts: List[Optional[int]] = []   # decode time (ticks)
         self.hvcc = b""
         self.width = self.height = 0
 
-    def add_frame(self, annexb: bytes) -> None:
+    def add_frame(self, annexb: bytes, pts: Optional[int] = None,
+                  dts: Optional[int] = None) -> None:
         nals = hevc.split_annexb(annexb)
         ps = {hevc.nal_type(n): n for n in nals
               if hevc.nal_type(n) in (32, 33, 34)}
@@ -483,13 +486,51 @@ class HeifSequenceWriter:
         if any(hevc.is_irap(hevc.nal_type(n)) for n in media):
             self.sync.append(len(self.samples) + 1)    # 1-based
         self.samples.append(_annexb_to_length_prefixed(media))
+        self.pts.append(pts)
+        self.dts.append(dts if dts is not None else pts)
+
+    def _timing(self):
+        """Per-sample (durations, composition offsets, total duration).
+
+        Samples arrive in DECODE order (the encoder's output order).
+        With pts/dts given, stts durations come from dts deltas and ctts
+        offsets are pts - dts — the display-order metadata a B-frame
+        stream needs (reference: NvHeifWriter.cpp:272-469 writes real
+        sequence timing via Nokia heif).  Without timestamps every
+        sample lasts 1 tick and no ctts is emitted (the bf=0 fast path).
+        """
+        n = len(self.samples)
+        if not any(p is not None for p in self.pts):
+            return [1] * n, None, n
+        if any(p is None for p in self.pts):
+            raise ValueError("mixed timed/untimed samples")
+        dts = list(self.dts)
+        if any(b <= a for a, b in zip(dts, dts[1:])):
+            raise ValueError("samples must be added in decode (dts) order")
+        durs = [b - a for a, b in zip(dts, dts[1:])]
+        durs.append(durs[-1] if durs else 1)
+        offs = [p - d for p, d in zip(self.pts, dts)]
+        if all(o == offs[0] for o in offs) and offs[0] == 0:
+            offs = None           # no reordering: ctts is pure noise
+        return durs, offs, sum(durs)
+
+    @staticmethod
+    def _runlen(values):
+        """ISO-BMFF (count, value) run-length pairs."""
+        runs = []
+        for v in values:
+            if runs and runs[-1][1] == v:
+                runs[-1][0] += 1
+            else:
+                runs.append([1, v])
+        return runs
 
     def tobytes(self) -> bytes:
         if not self.samples or not self.hvcc:
             raise ValueError("no frames / missing parameter sets")
         n = len(self.samples)
         timescale = self.fps
-        dur = n
+        durs, offs, dur = self._timing()
         ftyp = _box(b"ftyp", b"msf1" + _u32(0) + b"msf1hevciso8")
         mvhd = _full(b"mvhd", 0, 0,
                      _u32(0) * 2 + _u32(timescale) + _u32(dur) +
@@ -512,7 +553,18 @@ class HeifSequenceWriter:
         stsd = _full(b"stsd", 0, 0,
                      _u32(1) + _hvc1_sample_entry(self.width, self.height,
                                                   self.hvcc))
-        stts = _full(b"stts", 0, 0, _u32(1) + _u32(n) + _u32(1))
+        sruns = self._runlen(durs)
+        stts = _full(b"stts", 0, 0, _u32(len(sruns)) +
+                     b"".join(_u32(c) + _u32(v) for c, v in sruns))
+        ctts = b""
+        if offs is not None:
+            cruns = self._runlen(offs)
+            # version 1 carries signed offsets; all-non-negative streams
+            # (the conformant case) get version 0 for maximum readers
+            ver = 1 if any(o < 0 for o in offs) else 0
+            pack = (lambda v: struct.pack(">i", v)) if ver else _u32
+            ctts = _full(b"ctts", ver, 0, _u32(len(cruns)) +
+                         b"".join(_u32(c) + pack(v) for c, v in cruns))
         stsc = _full(b"stsc", 0, 0, _u32(1) + _u32(1) + _u32(n) + _u32(1))
         stsz = _full(b"stsz", 0, 0, _u32(0) + _u32(n) +
                      b"".join(_u32(len(s)) for s in self.samples))
@@ -524,7 +576,8 @@ class HeifSequenceWriter:
         # stco needs the mdat offset: two-pass like the still writer
         def build(stco_off):
             stco = _full(b"stco", 0, 0, _u32(1) + _u32(stco_off))
-            stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+            stbl = _box(b"stbl",
+                        stsd + stts + ctts + stsc + stsz + stco + stss)
             minf = _box(b"minf", vmhd + dinf + stbl)
             mdia = _box(b"mdia", mdhd + hdlr + minf)
             trak = _box(b"trak", tkhd + mdia)
@@ -554,6 +607,7 @@ class HeifSequenceReader:
         self.hvcc = b""
         self.width = self.height = 0
         sizes, chunk_off = [], 0
+        stts_runs, ctts_runs = [], []
         moov_span = None
         for typ, s, e in _iter_boxes(d):
             if typ == b"moov":
@@ -583,6 +637,20 @@ class HeifSequenceReader:
                              for i in range(cnt)]
                 elif typ == b"stco":
                     chunk_off = struct.unpack(">I", d[s2 + 8:s2 + 12])[0]
+                elif typ == b"stts":
+                    cnt = struct.unpack(">I", d[s2 + 4:s2 + 8])[0]
+                    for i in range(cnt):
+                        c, v = struct.unpack(
+                            ">II", d[s2 + 8 + 8 * i:s2 + 16 + 8 * i])
+                        stts_runs.append((c, v))
+                elif typ == b"ctts":
+                    ver = d[s2]
+                    cnt = struct.unpack(">I", d[s2 + 4:s2 + 8])[0]
+                    fmt = ">Ii" if ver == 1 else ">II"
+                    for i in range(cnt):
+                        c, v = struct.unpack(
+                            fmt, d[s2 + 8 + 8 * i:s2 + 16 + 8 * i])
+                        ctts_runs.append((c, v))
         walk(*moov_span)
         if not sizes or not self.hvcc:
             raise IOError("missing sample table / hvcC")
@@ -594,6 +662,27 @@ class HeifSequenceReader:
                               f"{len(d)}-byte buffer — truncated sequence?")
             self.frames.append(d[off:off + sz])
             off += sz
+        # per-sample timing: dts from stts run-lengths, composition
+        # (display) time = dts + ctts offset; without ctts pts == dts
+        n = len(self.frames)
+        durs: List[int] = []
+        for c, v in stts_runs:
+            durs += [v] * c
+        durs = (durs + [1] * n)[:n]
+        self.sample_dts = [0] * n
+        for i in range(1, n):
+            self.sample_dts[i] = self.sample_dts[i - 1] + durs[i - 1]
+        offs: List[int] = []
+        for c, v in ctts_runs:
+            offs += [v] * c
+        offs = (offs + [0] * n)[:n]
+        self.sample_pts = [d_ + o for d_, o in zip(self.sample_dts, offs)]
+
+    def display_order(self) -> List[int]:
+        """Sample indices sorted by composition time — the order a
+        compliant player presents them (decode-order list + ctts)."""
+        return sorted(range(len(self.frames)),
+                      key=lambda i: self.sample_pts[i])
 
     def frame_annexb(self, i: int) -> bytes:
         nals, lsz = hevc.parse_hvcc(self.hvcc)
@@ -610,14 +699,19 @@ class HeifSequenceReader:
 
 
 def encode_sequence(frames, fps: int = 30, crf: float = 22.0,
-                    gop: int = 30) -> bytes:
-    """[(y,u,v), ...] -> inter-coded HEIF image sequence bytes."""
+                    gop: int = 30, bf: int = 0) -> bytes:
+    """[(y,u,v), ...] -> inter-coded HEIF image sequence bytes.
+
+    bf>0 enables B-frames: samples land in the container in decode
+    order with real stts/ctts timing (composition offsets from the
+    encoder's pts/dts), so compliant players present display order —
+    the NvHeifWriter sequence-timing behavior (NvHeifWriter.cpp:272-469).
+    """
     first = frames[0][0]
     h, w = first.shape
     enc = tk.Encoder("libx265", w, h, fps=(fps, 1), gop=gop, crf=crf,
-                     opts="x265-params=log-level=0")
+                     bf=bf, opts="x265-params=log-level=0")
     wtr = HeifSequenceWriter(fps)
-    extra = None
     pending = []
     for i, (y, u, v) in enumerate(frames):
         pending += enc.encode(y, u, v, pts=i)
@@ -625,18 +719,25 @@ def encode_sequence(frames, fps: int = 30, crf: float = 22.0,
     extra = enc.extradata()
     enc.close()
     for i, p in enumerate(pending):
-        wtr.add_frame((extra if i == 0 else b"") + p.data)
+        wtr.add_frame((extra if i == 0 else b"") + p.data,
+                      pts=p.pts, dts=p.dts)
     return wtr.tobytes()
 
 
-def decode_sequence(data) -> list:
-    """HEIF sequence bytes/path -> [(y, u, v), ...] in decode order."""
+def decode_sequence(data, display_order: bool = True) -> list:
+    """HEIF sequence bytes/path -> [(y, u, v), ...].
+
+    display_order=True (default) presents frames by composition time
+    (ctts applied on read); False returns raw decoder output order.
+    """
     rdr = HeifSequenceReader(data)
     dec = tk.Decoder(tk.CODEC_HEVC, width=rdr.width, height=rdr.height)
     out = []
     for i in range(len(rdr.frames)):
-        out += [(y, u, v) for (y, u, v, _) in
-                dec.decode(rdr.frame_annexb(i), i)]
-    out += [(y, u, v) for (y, u, v, _) in dec.decode(None)]
+        out += [(y, u, v, p) for (y, u, v, p) in
+                dec.decode(rdr.frame_annexb(i), rdr.sample_pts[i])]
+    out += [(y, u, v, p) for (y, u, v, p) in dec.decode(None)]
     dec.close()
-    return out
+    if display_order:
+        out.sort(key=lambda t: t[3])
+    return [(y, u, v) for (y, u, v, _) in out]

@@ -209,3 +209,67 @@ def test_heif_collection_parallel_matches_serial():
     ser = heif.encode_collection(frames, crf=18.0, workers=1)
     par = heif.encode_collection(frames, crf=18.0, workers=3)
     assert par == ser
+
+
+def _indexed_frames(n=12, h=64, w=96):
+    """Flat-luma frames whose display index is recoverable from Y."""
+    out = []
+    for i in range(n):
+        y = np.full((h, w), 20 + 12 * i, np.uint8)
+        u = np.full((h // 2, w // 2), 110, np.uint8)
+        v = np.full((h // 2, w // 2), 140, np.uint8)
+        out.append((y, u, v))
+    return out
+
+
+def _fidx(y):
+    return int(round((float(np.median(y)) - 20) / 12))
+
+
+def test_heif_sequence_bframes_ctts_roundtrip():
+    # VERDICT r2 #4: decode-order samples + ctts -> display order exact
+    frames = _indexed_frames(12)
+    blob = heif.encode_sequence(frames, fps=30, crf=12.0, gop=12, bf=2)
+    rdr = heif.HeifSequenceReader(blob)
+    assert len(rdr.frames) == 12
+    # B-frames reorder: composition times differ from decode times
+    assert rdr.sample_pts != rdr.sample_dts
+    assert b"ctts" in blob
+    # display_order() must be the identity permutation applied to pts
+    order = rdr.display_order()
+    assert sorted(rdr.sample_pts) == [rdr.sample_pts[i] for i in order]
+    decoded = heif.decode_sequence(blob)
+    assert [_fidx(y) for (y, _, _) in decoded] == list(range(12))
+
+
+def test_heif_sequence_bf0_has_no_ctts():
+    frames = _indexed_frames(6)
+    blob = heif.encode_sequence(frames, fps=30, crf=12.0, gop=6, bf=0)
+    assert b"ctts" not in blob
+    decoded = heif.decode_sequence(blob)
+    assert [_fidx(y) for (y, _, _) in decoded] == list(range(6))
+
+
+def test_heif_sequence_libavformat_crosscheck():
+    # libavformat must demux our msf1 container and agree on timing:
+    # packet pts (mov reads stts+ctts) == our reader's sample_pts
+    frames = _indexed_frames(12)
+    blob = heif.encode_sequence(frames, fps=30, crf=12.0, gop=12, bf=2)
+    rdr = heif.HeifSequenceReader(blob)
+    dm = tk.Demuxer(bytes(blob))
+    pkts = [p for p in dm if p.stream == 0]
+    assert len(pkts) == 12
+    # mov demux rescales to the stream time base; our track timescale is
+    # fps so ticks map 1:1 through a (1, fps) time base
+    tbn, tbd = dm.time_base
+    scale = (tbd * 1.0 / tbn) / 30.0 if tbn else 1.0
+    demux_pts = [int(round(p.pts / scale)) for p in pkts]
+    assert demux_pts == rdr.sample_pts
+    dec = tk.Decoder.from_demuxer(dm)
+    got = []
+    for p in pkts:
+        got += [(y, pp) for (y, u, v, pp) in dec.decode(p.data, p.pts)]
+    got += [(y, pp) for (y, u, v, pp) in dec.decode(None)]
+    dm.close(); dec.close()
+    got.sort(key=lambda t: t[1])
+    assert [_fidx(y) for (y, _) in got] == list(range(12))
