@@ -134,8 +134,15 @@ def list_filters():
 # lines paste in unmodified): hw plumbing is automatic, -y has no
 # interactive prompt to skip, A/V sync is pts-driven
 _FFMPEG_NOOP_VALUED = {"-hwaccel", "-hwaccel_output_format", "-vsync",
-                       "-fps_mode", "-loglevel", "-pix_fmt"}
+                       "-fps_mode", "-loglevel"}
 _FFMPEG_NOOP_FLAGS = {"-y", "-n", "-hide_banner", "-nostdin", "-an", "-sn"}
+
+# -pix_fmt is SEMANTIC in ffmpeg (unlike the plumbing flags above): map
+# the depths we speak onto the -bits lane, warn loudly about the rest
+# instead of silently emitting a different format than the user asked for
+_PIX_FMT_BITS = {"yuv420p": 8, "nv12": 8,
+                 "yuv420p10le": 10, "yuv420p10": 10, "p010le": 10,
+                 "yuv420p16le": 16, "yuv420p16": 16, "p016le": 16}
 
 
 def _strip_ffmpeg_noops(argv):
@@ -143,6 +150,19 @@ def _strip_ffmpeg_noops(argv):
     while i < len(argv):
         a = argv[i]
         if a in _FFMPEG_NOOP_VALUED and i + 1 < len(argv):
+            i += 2
+            continue
+        if a == "-pix_fmt" and i + 1 < len(argv):
+            fmt = argv[i + 1]
+            bits = _PIX_FMT_BITS.get(fmt)
+            if bits is None:
+                print(f"warning: -pix_fmt {fmt} is not supported on the "
+                      "CLI output lane; emitting the default format "
+                      "(supported: "
+                      f"{', '.join(sorted(_PIX_FMT_BITS))})",
+                      file=sys.stderr)
+            elif bits != 8 and "-bits" not in argv and "-bits" not in out:
+                out += ["-bits", str(bits)]   # explicit -bits wins
             i += 2
             continue
         if a in _FFMPEG_NOOP_FLAGS:

@@ -35,6 +35,14 @@ from ..core.frame import FrameBatch
 from . import csc
 from .geometry import crop as crop_op, flip as flip_op
 from .resize import resize as resize_op, resize_plane
+from .smooth import smooth as smooth_op
+
+
+def _apply_smooth(fb: FrameBatch, smooth) -> FrameBatch:
+    """(kw, kh, sigmaX, sigmaY, border) gaussian at the current res."""
+    kw_s, kh_s, sx, sy, border = smooth
+    return smooth_op(fb, "gaussian", int(kw_s), int(kh_s), str(border),
+                     float(sx), float(sy))
 
 
 def preprocess(fb: FrameBatch, out_w: int, out_h: int,
@@ -42,14 +50,21 @@ def preprocess(fb: FrameBatch, out_w: int, out_h: int,
                method: str = "bilinear",
                crop_box: Optional[Tuple[int, int, int, int]] = None,
                flip_code: Optional[int] = None,
+               smooth: Optional[Tuple] = None,
                norm: Optional[float] = None,
                shift: Optional[Sequence[float]] = None,
                exact: bool = False) -> FrameBatch:
-    """YUV FrameBatch -> cropped/flipped/resized RGB batch, single pass."""
+    """YUV FrameBatch -> cropped/smoothed/flipped/resized RGB batch.
+
+    Op order: crop -> resize -> gaussian smooth (output res) -> flip —
+    the same composition the Pallas ladder folds into its matrices
+    (smooth=(kw, kh, sigmaX, sigmaY, border))."""
     if crop_box is not None:
         fb = crop_op(fb, *crop_box)
     if fb.fmt.is_rgb:
         out = resize_op(fb, out_w, out_h, method)
+        if smooth is not None:
+            out = _apply_smooth(out, smooth)
         if flip_code is not None:
             out = flip_op(out, flip_code)
         kw = ({"norm": norm, "shift": shift}
@@ -59,6 +74,8 @@ def preprocess(fb: FrameBatch, out_w: int, out_h: int,
     if exact:
         rgb = csc.yuv_to_rgb(fb, out_format, norm=norm, shift=shift)
         out = resize_op(rgb, out_w, out_h, method)
+        if smooth is not None:
+            out = _apply_smooth(out, smooth)
         if flip_code is not None:
             out = flip_op(out, flip_code)
         return out
@@ -80,6 +97,8 @@ def preprocess(fb: FrameBatch, out_w: int, out_h: int,
     out_fmt = F.get(out_format)
     rgb = csc._pack_rgb(r, g, b, out_fmt, maxv, False, norm, shift)
     out = FrameBatch({"rgb": rgb}, out_format, out_w, out_h, fb.colorspace)
+    if smooth is not None:
+        out = _apply_smooth(out, smooth)
     if flip_code is not None:
         out = flip_op(out, flip_code)
     return out
@@ -102,10 +121,40 @@ def _pallas_eligible(fb: FrameBatch, method: str, kw: dict) -> bool:
         return False
 
 
+def _fusable_crop(fb: FrameBatch, crop_box) -> bool:
+    """Crop boxes the Pallas builders fold into the matrices: 4:2:0
+    formats, integer even coords inside the frame."""
+    if crop_box is None:
+        return True
+    if fb.format not in ("yuv420p", "nv12", "yuv420p10"):
+        return False
+    try:
+        c = tuple(int(x) for x in crop_box)
+    except (TypeError, ValueError):
+        return False
+    if any(float(a) != float(b) for a, b in zip(c, crop_box)):
+        return False
+    cx, cy, cw_b, ch_b = c
+    return (cx >= 0 and cy >= 0 and cw_b > 0 and ch_b > 0
+            and not ((cx | cy | cw_b | ch_b) & 1)
+            and cx + cw_b <= fb.width and cy + ch_b <= fb.height)
+
+
+def _fusable_smooth(smooth) -> bool:
+    """Gaussians the ladder folds: odd taps, sum-preserving border."""
+    if smooth is None:
+        return True
+    kw_s, kh_s = int(smooth[0]), int(smooth[1])
+    return (kw_s >= 1 and kh_s >= 1 and bool(kw_s & 1) and bool(kh_s & 1)
+            and smooth[4] != "constant")
+
+
 def preprocess_nchw(fb: FrameBatch, out_w: int, out_h: int, *,
                     method: str = "bilinear",
                     norm: Optional[float] = None,
                     shift: Sequence[float] = (0.0, 0.0, 0.0),
+                    crop_box=None, flip_code: Optional[int] = None,
+                    smooth: Optional[Tuple] = None,
                     use_pallas: str = "auto",
                     **kw) -> jax.Array:
     """Model-input convenience: fused ladder straight to NCHW fp32 (the
@@ -117,21 +166,33 @@ def preprocess_nchw(fb: FrameBatch, out_w: int, out_h: int, *,
 
     On a TPU the bilinear yuv420 path dispatches to the Pallas int8-MXU
     kernel (~1.5x the XLA path, <=1.1 u8-LSB vs exact); pass
-    use_pallas="never" to force the XLA path or "bf16" for the bf16 kernel.
+    use_pallas="never" to force the XLA path or "bf16" for the bf16
+    kernel.  crop_box / smooth=(kw, kh, sigmaX, sigmaY, border) /
+    flip_code ride the kernel's interpolation matrices at zero cost
+    (BASELINE config #2's single-pass chain); ineligible combinations
+    (odd crops, constant-border smooth, non-420 crops) fall back to the
+    separate-op XLA path automatically.
     """
     if norm is None:
         norm = (255.0 if fb.fmt.is_float
                 else float((1 << csc._offset_bits(fb.fmt)) - 1))
-    if use_pallas != "never" and _pallas_eligible(fb, method, kw):
+    fusable = (_fusable_crop(fb, crop_box) and _fusable_smooth(smooth)
+               and flip_code in (None, -1, 0, 1))
+    if (use_pallas != "never" and fusable
+            and _pallas_eligible(fb, method, kw)):
         from .pallas_kernels import (fused_ladder, fused_ladder_i8,
                                      fused_ladder_u16)
+        cb = (tuple(int(x) for x in crop_box)
+              if crop_box is not None else None)
+        sm = tuple(smooth) if smooth is not None else None
         if fb.format == "yuv420p10":
             # 10-bit lane rides the bf16 kernel (ScaleP016/P016ToBgr*
             # analog); norm semantics identical to the XLA path
             return fused_ladder_u16(fb.planes["y"], fb.planes["u"],
                                     fb.planes["v"], out_h, out_w, 10,
                                     fb.colorspace, method, norm,
-                                    tuple(shift))
+                                    tuple(shift), crop_box=cb,
+                                    smooth=sm, flip=flip_code)
         if fb.format == "yuv444p":
             # 4:4:4 chroma resampling is a real downscale (not the 4:2:0
             # near-identity), so int8 tap quantization × CSC gain blows
@@ -140,9 +201,11 @@ def preprocess_nchw(fb: FrameBatch, out_w: int, out_h: int, *,
         else:
             k = fused_ladder if use_pallas == "bf16" else fused_ladder_i8
         return k(fb.planes["y"], fb.planes["u"], fb.planes["v"],
-                 out_h, out_w, fb.colorspace, method, norm, tuple(shift))
+                 out_h, out_w, fb.colorspace, method, norm, tuple(shift),
+                 crop_box=cb, smooth=sm, flip=flip_code)
     out = preprocess(fb, out_w, out_h, "rgbpf32", method=method, norm=norm,
-                     shift=shift, **kw)
+                     shift=shift, crop_box=crop_box, flip_code=flip_code,
+                     smooth=smooth, **kw)
     return csc.to_nchw(out)
 
 

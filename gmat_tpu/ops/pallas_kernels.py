@@ -46,6 +46,57 @@ def _validate_crop_box(crop_box, w, h):
     return (cx, cy, cwb, chb)
 
 
+def _validate_smooth(smooth):
+    """Normalize a (kw, kh, sigmaX, sigmaY, border) gaussian spec for the
+    fused ladder.  Only sum-preserving borders fuse: a 'constant' border
+    scales the affine CSC offsets at the edges (G rows sum < 1), which
+    the pre-CSC matrix composition cannot express."""
+    kw_s, kh_s, sx, sy, border = smooth
+    kw_s, kh_s = int(kw_s), int(kh_s)
+    if kw_s < 1 or kh_s < 1 or not (kw_s & 1) or not (kh_s & 1):
+        raise ValueError(f"gaussian kernel sizes must be odd and >=1, "
+                         f"got {kw_s}x{kh_s}")
+    if border == "constant":
+        raise ValueError("constant-border smooth cannot fuse into the "
+                         "ladder matrices (edge rows break the CSC "
+                         "offsets); use the separate smooth op")
+    return (kw_s, kh_s, float(sx), float(sy), str(border))
+
+
+def _apply_post(ahy, ahc, awy, awc, out_h, out_w, smooth, flip):
+    """Fold output-resolution gaussian smoothing and flip into the four
+    resample matrices (VERDICT r2 #5; reference chain
+    doc/FFMPEG-GPU_User_Guide.md:19 runs crop/rotate/flip/smooth as
+    separate CV-CUDA launches).  Both are linear in the samples, so
+    out = Flip(G_h @ (A_h X A_w^T) @ G_w^T) collapses to a one-time
+    numpy precomposition — zero added work per frame.
+
+    ahy/ahc are (out_h, in) row matrices; awy/awc are the TRANSPOSED
+    (in, out_w) column matrices the kernels consume.
+    """
+    if smooth is not None:
+        from .smooth import smooth_matrix
+        kw_s, kh_s, sx, sy, border = smooth
+        if kh_s > 1:
+            gh = smooth_matrix(out_h, kh_s, sy, border)
+            ahy = gh @ ahy
+            ahc = gh @ ahc
+        if kw_s > 1:
+            gw = smooth_matrix(out_w, kw_s, sx, border)
+            awy = awy @ gw.T
+            awc = awc @ gw.T
+    if flip in (0, -1):      # vertical: reverse output rows
+        ahy = ahy[::-1]
+        ahc = ahc[::-1]
+    if flip in (1, -1):      # horizontal: reverse output columns
+        awy = awy[:, ::-1]
+        awc = awc[:, ::-1]
+    return (np.ascontiguousarray(ahy, np.float32),
+            np.ascontiguousarray(ahc, np.float32),
+            np.ascontiguousarray(awy, np.float32),
+            np.ascontiguousarray(awc, np.float32))
+
+
 def _cropped_matrix(n_in_full: int, crop_off: int, crop_len: int,
                     n_out: int, method: str) -> np.ndarray:
     """Resample matrix that reads only [crop_off, crop_off+crop_len) of a
@@ -102,7 +153,8 @@ def _ladder_kernel(y_ref, u_ref, v_ref, ahy_ref, awy_ref, ahc_ref, awc_ref,
 
 @lru_cache(maxsize=64)
 def _build_ladder(n, h, w, ch, cw, out_h, out_w, colorspace, method,
-                  norm, shift, interpret, bits=8, crop=None):
+                  norm, shift, interpret, bits=8, crop=None,
+                  smooth=None, flip=None):
     """Compile-time closure for a fixed shape set.
 
     bits > 8 builds the 10/12/16-bit variant: same kernel, u16 inputs
@@ -129,6 +181,9 @@ def _build_ladder(n, h, w, ch, cw, out_h, out_w, colorspace, method,
         awy_np = resample_matrix(w, out_w, method).T
         ahc_np = resample_matrix(ch, out_h, method)
         awc_np = resample_matrix(cw, out_w, method).T
+    if smooth is not None or flip is not None:
+        ahy_np, ahc_np, awy_np, awc_np = _apply_post(
+            ahy_np, ahc_np, awy_np, awc_np, out_h, out_w, smooth, flip)
 
     kernel = partial(_ladder_kernel, mat=mat, low=float(low), mid=float(mid),
                      norm=float(norm), shift=shift,
@@ -187,20 +242,26 @@ def fused_ladder(y: jax.Array, u: jax.Array, v: jax.Array,
                  out_h: int, out_w: int, colorspace: str = "bt709",
                  method: str = "bilinear", norm: float = 255.0,
                  shift=(0.0, 0.0, 0.0), interpret: bool = False,
-                 crop_box=None) -> jax.Array:
+                 crop_box=None, smooth=None, flip=None) -> jax.Array:
     """Batched YUV420 planes -> (N, 3, out_h, out_w) f32 in one Pallas pass.
 
     y: (N, H, W) uint8; u, v: (N, H/2, W/2) uint8.
     crop_box=(x, y, w, h): fused crop via the interpolation matrices
     (even coords for 4:2:0), like the int8 kernel.
+    smooth=(kw, kh, sigmaX, sigmaY, border): output-res gaussian folded
+    into the matrices (sum-preserving borders only); flip in {0, 1, -1}:
+    output flip folded likewise — both zero-cost (_apply_post).
     """
     n, h, w = y.shape
     ch, cw = u.shape[1], u.shape[2]
     if crop_box is not None:
         crop_box = _validate_crop_box(crop_box, w, h)
+    if smooth is not None:
+        smooth = _validate_smooth(smooth)
     fn = _build_ladder(n, h, w, ch, cw, out_h, out_w, colorspace, method,
                        float(norm), tuple(float(s) for s in shift),
-                       bool(interpret), crop=crop_box)
+                       bool(interpret), crop=crop_box, smooth=smooth,
+                       flip=flip)
     return fn(y, u, v)
 
 
@@ -208,7 +269,8 @@ def fused_ladder_u16(y: jax.Array, u: jax.Array, v: jax.Array,
                      out_h: int, out_w: int, bits: int = 10,
                      colorspace: str = "bt709", method: str = "bilinear",
                      norm: float = 0.0, shift=(0.0, 0.0, 0.0),
-                     interpret: bool = False, crop_box=None) -> jax.Array:
+                     interpret: bool = False, crop_box=None,
+                     smooth=None, flip=None) -> jax.Array:
     """High-bit-depth fused ladder: u16 YUV420 planes (lsb-aligned
     `bits`-bit samples) -> (N, 3, out_h, out_w) f32 in one Pallas pass.
 
@@ -224,9 +286,12 @@ def fused_ladder_u16(y: jax.Array, u: jax.Array, v: jax.Array,
         norm = float((1 << bits) - 1)
     if crop_box is not None:
         crop_box = _validate_crop_box(crop_box, w, h)
+    if smooth is not None:
+        smooth = _validate_smooth(smooth)
     fn = _build_ladder(n, h, w, ch, cw, out_h, out_w, colorspace, method,
                        float(norm), tuple(float(s) for s in shift),
-                       bool(interpret), bits=int(bits), crop=crop_box)
+                       bool(interpret), bits=int(bits), crop=crop_box,
+                       smooth=smooth, flip=flip)
     return fn(y, u, v)
 
 
@@ -417,7 +482,11 @@ def _i8_quant_error_lsb(A) -> float:
 def _i8_ok(h: int, ch: int, out_h: int, method: str) -> bool:
     """Cached dispatch gate: can the int8 path hold <=2 LSB for these
     resample matrices? (The matrices depend only on dims + method, so the
-    per-batch hot path never recomputes the numpy bound.)"""
+    per-batch hot path never recomputes the numpy bound.)
+
+    bilinear/nearest rows have <=2 taps whose worst 1/127-step error is
+    ~0.5 u8-LSB, hence the shortcut; wide antialiased taps must measure.
+    """
     if method in ("bilinear", "nearest"):
         return True
     err = max(_i8_quant_error_lsb(resample_matrix(h, out_h, method)),
@@ -425,29 +494,62 @@ def _i8_ok(h: int, ch: int, out_h: int, method: str) -> bool:
     return err <= 2.0
 
 
-@lru_cache(maxsize=64)
-def _build_ladder_i8(n, h, w, ch, cw, out_h, out_w, colorspace, method,
-                     norm, shift, interpret, crop=None):
-    mat = yuv2rgb_matrix(colorspace)
-    low, mid = yuv_offsets(8)
+@lru_cache(maxsize=256)
+def _rung_i8_ok(h: int, ch: int, oh: int, method: str) -> bool:
+    """fused_rungs auto gate: measured quantization error of the actual
+    row matrices (luma h->oh, chroma ch->oh//2) — no method shortcut."""
+    return (_i8_quant_error_lsb(resample_matrix(h, oh, method)) <= 2.0
+            and _i8_quant_error_lsb(
+                resample_matrix(ch, oh // 2, method)) <= 2.0)
+
+
+@lru_cache(maxsize=256)
+def _i8_ok_composed(h, w, ch, cw, out_h, out_w, method, crop, smooth,
+                    flip) -> bool:
+    """Dispatch gate on the ACTUAL (crop/smooth/flip-composed) row
+    matrices the int8 builder would quantize.  A fused gaussian spreads
+    row weights, so the bilinear shortcut only holds without smooth."""
+    if method in ("bilinear", "nearest") and smooth is None:
+        return True
+    ahy, ahc, _, _ = _i8_matrices(h, w, ch, cw, out_h, out_w, method,
+                                  crop, smooth, flip)
+    return max(_i8_quant_error_lsb(ahy), _i8_quant_error_lsb(ahc)) <= 2.0
+
+
+def _i8_matrices(h, w, ch, cw, out_h, out_w, method, crop, smooth, flip):
+    """The four (possibly crop/smooth/flip-composed) resample matrices
+    the int8 ladder will actually quantize — shared by the builder and
+    the dispatch gate so the gate judges the real weights."""
     if crop:
         cx, cy, cw_box, ch_box = crop
         ahy = _cropped_matrix(h, cy, ch_box, out_h, method)
         ahc = _cropped_matrix(ch, cy // 2, ch_box // 2, out_h, method)
+        awy = _cropped_matrix(w, cx, cw_box, out_w, method).T
+        awc = _cropped_matrix(cw, cx // 2, cw_box // 2, out_w, method).T
     else:
         ahy = resample_matrix(h, out_h, method)
         ahc = resample_matrix(ch, out_h, method)
+        awy = resample_matrix(w, out_w, method).T
+        awc = resample_matrix(cw, out_w, method).T
+    if smooth is not None or flip is not None:
+        ahy, ahc, awy, awc = _apply_post(ahy, ahc, awy, awc, out_h, out_w,
+                                         smooth, flip)
+    return ahy, ahc, awy, awc
+
+
+@lru_cache(maxsize=64)
+def _build_ladder_i8(n, h, w, ch, cw, out_h, out_w, colorspace, method,
+                     norm, shift, interpret, crop=None, smooth=None,
+                     flip=None):
+    mat = yuv2rgb_matrix(colorspace)
+    low, mid = yuv_offsets(8)
+    ahy, ahc, awy_np, awc_np = _i8_matrices(
+        h, w, ch, cw, out_h, out_w, method, crop, smooth, flip)
     ahy_q, sy = _quant_rows(ahy)
     ahc_q, sc = _quant_rows(ahc)
     # broadcast row offsets: plane = t/s @ Aw + 128 * rowsum(A_q)/s
     offy = (128.0 * ahy_q.astype(np.float32).sum(1) / sy)[:, None]
     offc = (128.0 * ahc_q.astype(np.float32).sum(1) / sc)[:, None]
-    if crop:
-        awy_np = _cropped_matrix(w, cx, cw_box, out_w, method).T
-        awc_np = _cropped_matrix(cw, cx // 2, cw_box // 2, out_w, method).T
-    else:
-        awy_np = resample_matrix(w, out_w, method).T
-        awc_np = resample_matrix(cw, out_w, method).T
 
     kernel = partial(_ladder_kernel_i8, mat=mat, low=float(low),
                      mid=float(mid), norm=float(norm), shift=shift,
@@ -1088,15 +1190,13 @@ def fused_rungs(y: jax.Array, u: jax.Array, v: jax.Array, sizes,
     if quant == "auto":
         # int8 only while tap quantization holds tolerance on the
         # matrices that are actually quantized: the ROW matrices, luma
-        # (h -> oh) and chroma (ch -> oh//2); columns stay bf16
-        def _rung_ok(oh):
-            if method in ("bilinear", "nearest"):
-                return True
-            return (_i8_quant_error_lsb(
-                        resample_matrix(h, oh, method)) <= 2.0 and
-                    _i8_quant_error_lsb(
-                        resample_matrix(ch, oh // 2, method)) <= 2.0)
-        quant = "i8" if all(_rung_ok(oh) for _ow, oh in sizes) else "bf16"
+        # (h -> oh) and chroma (ch -> oh//2); columns stay bf16.  The
+        # check runs on the real matrices (no method short-circuit), so
+        # widening the method whitelist above cannot silently push a
+        # wide-tap method past tolerance; lru-cached per geometry so the
+        # per-batch hot path never recomputes the numpy bound.
+        quant = ("i8" if all(_rung_i8_ok(h, ch, oh, method)
+                             for _ow, oh in sizes) else "bf16")
     fn = _build_rungs(n, h, w, ch, cw, sizes, method, bool(interpret),
                       quant)
     return fn(y, u, v)
@@ -1244,12 +1344,15 @@ def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
                     out_h: int, out_w: int, colorspace: str = "bt709",
                     method: str = "bilinear", norm: float = 255.0,
                     shift=(0.0, 0.0, 0.0), interpret: bool = False,
-                    crop_box=None):
+                    crop_box=None, smooth=None, flip=None):
     """int8-MXU fused ladder (bilinear/nearest only; weights quantized to
     1/127 steps, <=1 u8-LSB vs the bf16 kernel).
 
     crop_box=(x, y, w, h) crops the source for free: the interpolation
     matrices simply stop reading outside the box (even coords for 4:2:0).
+    smooth=(kw, kh, sigmaX, sigmaY, border) / flip in {0, 1, -1} fold
+    into the matrices the same way (quant-gated: a wide fused gaussian
+    that int8 can't hold falls back to the bf16 kernel).
     Frames beyond ~4K are processed in column chunks (same math, f32
     VMEM accumulators), so 8K inputs run on-chip too.
     """
@@ -1261,22 +1364,27 @@ def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
         # normalize/validate BEFORE the dispatch gate uses the box dims
         # (float CLI geometry would reach resample_matrix otherwise)
         crop_box = _validate_crop_box(crop_box, w, h)
+    if smooth is not None:
+        smooth = _validate_smooth(smooth)
     kw_chunks = _pick_w_chunks(h, w, ch, cw)
-    # the quantization gate must look at the matrices actually used:
-    # with a crop box they are built from the crop window dims
-    gate_h, gate_ch = (crop_box[3], crop_box[3] // 2) if crop_box else (h, ch)
-    if kw_chunks == 0 or not _i8_ok(gate_h, gate_ch, out_h, method):
-        # int8 can't hold (wide antialiased taps) or the frame exceeds
-        # VMEM with no lane-aligned chunking: leave the int8 path
-        if crop_box is not None and kw_chunks == 1:
+    fusions = crop_box is not None or smooth is not None or flip is not None
+    # the quantization gate judges the matrices actually quantized —
+    # crop windows, fused gaussians and flips included (_i8_matrices)
+    if kw_chunks == 0 or not _i8_ok_composed(h, w, ch, cw, out_h, out_w,
+                                             method, crop_box, smooth,
+                                             flip):
+        # int8 can't hold (wide antialiased taps / fused gaussian) or the
+        # frame exceeds VMEM with no lane-aligned chunking
+        if fusions and kw_chunks == 1:
             # tap quantization can't hold: the bf16 kernel carries the
-            # fused crop instead
+            # fused crop/smooth/flip instead
             return fused_ladder(y, u, v, out_h, out_w, colorspace,
                                 method, norm, shift, interpret,
-                                crop_box=crop_box)
-        if crop_box is not None:
-            raise ValueError(f"{method} crop at >VMEM scale is not "
-                             "fused; crop via geometry.crop first")
+                                crop_box=crop_box, smooth=smooth,
+                                flip=flip)
+        if fusions:
+            raise ValueError(f"{method} crop/smooth/flip at >VMEM scale "
+                             "is not fused; apply the separate ops")
         if kw_chunks != 1:
             # >VMEM frame: the bf16 kernel has no chunked form, so take
             # the exact XLA path
@@ -1291,15 +1399,15 @@ def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
         return fused_ladder(y, u, v, out_h, out_w, colorspace, method,
                             norm, shift, interpret)
     if kw_chunks > 1:
-        if crop_box is not None:
-            raise ValueError("crop_box with >4K chunked ladder not "
-                             "supported yet; crop on host or via "
-                             "geometry.crop first")
+        if fusions:
+            raise ValueError("crop/smooth/flip with the >4K chunked "
+                             "ladder not supported yet; apply the "
+                             "separate ops first")
         fn = _build_ladder_i8_chunked(
             n, h, w, ch, cw, out_h, out_w, colorspace, method, float(norm),
             tuple(float(s) for s in shift), bool(interpret), kw_chunks)
         return fn(y, u, v)
     fn = _build_ladder_i8(n, h, w, ch, cw, out_h, out_w, colorspace, method,
                           float(norm), tuple(float(s) for s in shift),
-                          bool(interpret), crop_box)
+                          bool(interpret), crop_box, smooth, flip)
     return fn(y, u, v)

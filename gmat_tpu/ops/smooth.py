@@ -69,6 +69,24 @@ def _conv1d_axis(x: jax.Array, k: np.ndarray, axis: int, border: str):
     return out
 
 
+def smooth_matrix(n: int, ksize: int, sigma: float = 0.0,
+                  border: str = "reflect101") -> np.ndarray:
+    """Dense (n, n) matrix form of the 1-D gaussian: G @ x ==
+    _conv1d_axis(x, kernel, border) exactly (built from the padded
+    identity, so border handling is bit-identical).  Used to precompose
+    smoothing into the fused-ladder resample matrices
+    (A' = G @ A — zero runtime cost; pallas_kernels._apply_post)."""
+    k = gaussian_kernel1d(ksize, float(sigma)).astype(np.float32)
+    half = (ksize - 1) // 2
+    eye = np.eye(n, dtype=np.float32)
+    pad = ((half, ksize - 1 - half), (0, 0))
+    P = np.pad(eye, pad, mode=_pad_mode(border))
+    G = np.zeros((n, n), np.float32)
+    for i in range(ksize):
+        G += float(k[i]) * P[i:i + n]
+    return G
+
+
 def gaussian_blur_plane(x: jax.Array, kw: int = 3, kh: int = 3,
                         sigma_x: float = 0.0, sigma_y: float = 0.0,
                         border: str = "reflect101") -> jax.Array:

@@ -434,3 +434,20 @@ def test_cli_accepts_ffmpeg_noop_flags(clip, tmp_path):
                "-c:v", "libx264", "-b:v", "1M", "-o", out,
                "-frames", "8", "-batch", "8"])
     assert rc == 0 and os.path.getsize(out) > 500
+
+
+def test_cli_pix_fmt_mapping(capsys):
+    """-pix_fmt is semantic: depths we speak map onto -bits, everything
+    else warns on stderr instead of silently changing the output format
+    (ADVICE r2)."""
+    from gmat_tpu.apps.cli import _strip_ffmpeg_noops
+    assert _strip_ffmpeg_noops(["-pix_fmt", "yuv420p10le", "-i", "x"]) == \
+        ["-bits", "10", "-i", "x"]
+    assert _strip_ffmpeg_noops(["-pix_fmt", "p010le"])[:2] == ["-bits", "10"]
+    assert _strip_ffmpeg_noops(["-pix_fmt", "yuv420p"]) == []
+    # explicit -bits wins over -pix_fmt
+    assert _strip_ffmpeg_noops(["-pix_fmt", "yuv420p10le", "-bits", "8"]) \
+        == ["-bits", "8"]
+    capsys.readouterr()
+    assert _strip_ffmpeg_noops(["-pix_fmt", "yuv444p"]) == []
+    assert "yuv444p" in capsys.readouterr().err

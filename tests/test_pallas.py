@@ -428,3 +428,141 @@ def test_fused_ladder_u16_crop(rng):
                                        jnp.asarray(vs), 24, 32, bits=10,
                                        interpret=True))
     assert (np.abs(got - want) * 255).max() <= 1.0
+
+
+# ------------------------- flip + gaussian smooth fused into the matrices
+
+def _ingamut(rng, n=2, h=64, w=128):
+    """YUV that stays in RGB gamut so clip-order differences vanish."""
+    y = rng.integers(60, 180, (n, h, w)).astype(np.uint8)
+    u = rng.integers(118, 138, (n, h // 2, w // 2)).astype(np.uint8)
+    v = rng.integers(118, 138, (n, h // 2, w // 2)).astype(np.uint8)
+    return y, u, v
+
+
+def test_smooth_matrix_matches_conv():
+    from gmat_tpu.ops.smooth import (gaussian_blur_plane, smooth_matrix,
+                                     BORDERS)
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 255, (1, 40, 1)).astype(np.float32)
+    for border in BORDERS:
+        for k, s in ((3, 0.0), (5, 1.3), (7, 0.0), (9, 2.0)):
+            g = smooth_matrix(40, k, s, border)
+            want = np.asarray(gaussian_blur_plane(
+                jnp.asarray(x), 1, k, 0.0, s, border))
+            got = (g @ x[0, :, 0])[None, :, None]
+            np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.parametrize("code,axis", [(0, 1), (1, 2), (-1, None)])
+def test_fused_ladder_flip_exact(rng, code, axis):
+    y, u, v = _data(rng)
+    base = np.asarray(fused_ladder(jnp.asarray(y), jnp.asarray(u),
+                                   jnp.asarray(v), 32, 48, interpret=True))
+    got = np.asarray(fused_ladder(jnp.asarray(y), jnp.asarray(u),
+                                  jnp.asarray(v), 32, 48, flip=code,
+                                  interpret=True))
+    want = (np.flip(base, axis + 1) if axis is not None
+            else base[:, :, ::-1, ::-1])
+    # flip is a pure permutation of the matrix rows/cols: bit-exact
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_ladder_smooth_matches_xla(rng):
+    y, u, v = _ingamut(rng)
+    sm = (5, 3, 1.1, 0.0, "reflect101")
+    got = np.asarray(fused_ladder(jnp.asarray(y), jnp.asarray(u),
+                                  jnp.asarray(v), 32, 48, smooth=sm,
+                                  interpret=True))
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p", y.shape[2],
+                    y.shape[1], "bt709")
+    want = np.asarray(fused.preprocess_nchw(fb, 48, 32, smooth=sm,
+                                            use_pallas="never"))
+    assert (np.abs(got - want) * 255).max() <= 2.0
+
+
+def test_fused_ladder_smooth_then_flip_order(rng):
+    # composition order is resize -> smooth -> flip (flip of smoothed)
+    y, u, v = _ingamut(rng, n=1)
+    sm = (3, 3, 0.0, 0.0, "replicate")
+    both = np.asarray(fused_ladder(jnp.asarray(y), jnp.asarray(u),
+                                   jnp.asarray(v), 32, 32, smooth=sm,
+                                   flip=1, interpret=True))
+    sm_only = np.asarray(fused_ladder(jnp.asarray(y), jnp.asarray(u),
+                                      jnp.asarray(v), 32, 32, smooth=sm,
+                                      interpret=True))
+    np.testing.assert_array_equal(both, sm_only[:, :, :, ::-1])
+
+
+def test_fused_ladder_i8_smooth_flip(rng):
+    from gmat_tpu.ops.pallas_kernels import fused_ladder_i8
+    y, u, v = _ingamut(rng)
+    sm = (3, 5, 0.0, 1.2, "reflect")
+    got = np.asarray(fused_ladder_i8(jnp.asarray(y), jnp.asarray(u),
+                                     jnp.asarray(v), 32, 48, smooth=sm,
+                                     flip=-1, interpret=True))
+    want = np.asarray(fused_ladder(jnp.asarray(y), jnp.asarray(u),
+                                   jnp.asarray(v), 32, 48, smooth=sm,
+                                   flip=-1, interpret=True))
+    assert (np.abs(got - want) * 255).max() <= 3.0
+
+
+def test_fused_ladder_u16_smooth_flip(rng):
+    from gmat_tpu.ops.pallas_kernels import fused_ladder_u16
+    y = rng.integers(240, 720, (1, 64, 96)).astype(np.uint16)
+    u = rng.integers(472, 552, (1, 32, 48)).astype(np.uint16)
+    v = rng.integers(472, 552, (1, 32, 48)).astype(np.uint16)
+    sm = (5, 5, 0.0, 0.0, "replicate")
+    got = np.asarray(fused_ladder_u16(jnp.asarray(y), jnp.asarray(u),
+                                      jnp.asarray(v), 32, 32, 10,
+                                      smooth=sm, flip=0, interpret=True))
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p10", 96, 64, "bt709")
+    want = np.asarray(fused.preprocess_nchw(fb, 32, 32, smooth=sm,
+                                            flip_code=0,
+                                            use_pallas="never"))
+    assert (np.abs(got - want) * 1023).max() <= 8.0     # bf16 @ 10 bits
+
+
+def test_fused_smooth_validation(rng):
+    y, u, v = _data(rng, n=1)
+    with pytest.raises(ValueError, match="constant"):
+        fused_ladder(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                     32, 32, smooth=(3, 3, 0.0, 0.0, "constant"),
+                     interpret=True)
+    with pytest.raises(ValueError, match="odd"):
+        fused_ladder(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                     32, 32, smooth=(4, 3, 0.0, 0.0, "replicate"),
+                     interpret=True)
+
+
+def test_preprocess_nchw_fusable_gates():
+    from gmat_tpu.core.frame import FrameBatch as FB
+    import numpy as _np
+    fb = FB({"y": _np.zeros((1, 64, 64), _np.uint8),
+             "u": _np.zeros((1, 32, 32), _np.uint8),
+             "v": _np.zeros((1, 32, 32), _np.uint8)},
+            "yuv420p", 64, 64, "bt709")
+    assert fused._fusable_crop(fb, (2, 2, 32, 32))
+    assert not fused._fusable_crop(fb, (1, 2, 32, 32))      # odd origin
+    assert not fused._fusable_crop(fb, (2, 2, 32, 64))      # out of frame
+    assert not fused._fusable_crop(fb, (2.5, 2, 32, 32))    # fractional
+    assert fused._fusable_smooth((3, 3, 0.0, 0.0, "replicate"))
+    assert not fused._fusable_smooth((3, 3, 0.0, 0.0, "constant"))
+    assert not fused._fusable_smooth((2, 3, 0.0, 0.0, "replicate"))
+
+
+def test_i8_gate_judges_composed_matrices():
+    from gmat_tpu.ops.pallas_kernels import _i8_ok_composed
+    # bilinear without smooth: shortcut true; flip alone can't change
+    # quantization error (pure permutation)
+    assert _i8_ok_composed(64, 128, 32, 64, 32, 32, "bilinear",
+                           None, None, None)
+    assert _i8_ok_composed(64, 128, 32, 64, 32, 32, "bilinear",
+                           None, None, -1)
+    # a fused gaussian spreads row weights past what 1/127 steps hold
+    # (measured 2.008 LSB at 2:1): the gate must measure and say no —
+    # fused_ladder_i8 then hands the fused smooth to the bf16 kernel
+    assert not _i8_ok_composed(64, 128, 32, 64, 32, 32, "bilinear", None,
+                               (3, 3, 0.0, 0.0, "replicate"), None)
