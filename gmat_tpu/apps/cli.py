@@ -249,8 +249,12 @@ def main(argv=None):
         sink = "null"
     elif args.output.endswith(".y4m"):
         sink = "y4m"
-    elif "%d" in args.output or args.output.endswith((".jpg", ".jpeg")):
-        sink = "jpeg"
+    elif "%d" in args.output or args.output.endswith(
+            (".jpg", ".jpeg", ".png")):
+        # .png is the depth-faithful still sink: 16-bit samples for
+        # high-depth/float RGB graph outputs (ffmpeg png/rgb48be analog);
+        # .jpg stays the 8-bit lane
+        sink = "png" if args.output.endswith(".png") else "jpeg"
         if "%d" in args.output:
             jpeg_pattern = args.output
         else:
@@ -334,6 +338,14 @@ def main(argv=None):
                 f.write(encode_rgb_to_jpeg(rgb_host[i]))
             out_count += 1
 
+    def emit_png(rgb_host, keep_idx):
+        nonlocal out_count
+        from ..utils.png import write_png
+        for i in keep_idx:
+            path = jpeg_pattern % out_count
+            write_png(path, rgb_host[i])
+            out_count += 1
+
     def emit_y4m(fb_host, keep_idx, bits=8):
         nonlocal out_count, y4m_writer
         from ..av.rawvideo import Y4MWriter
@@ -367,6 +379,14 @@ def main(argv=None):
             rgb_fb = out_fb if out_fb.format == "rgb24" else csc.convert(
                 out_fb, "rgb24")
             emit_jpeg(np.asarray(rgb_fb.planes["rgb"]), keep_idx)
+        elif sink == "png":
+            # depth-faithful: >8-bit and float pipelines land as 16-bit
+            # PNG samples instead of quantizing to 8
+            deep = out_fb.fmt.bits > 8 or out_fb.fmt.is_float
+            target = "rgb48" if deep else "rgb24"
+            rgb_fb = out_fb if out_fb.format == target else csc.convert(
+                out_fb, target)
+            emit_png(np.asarray(rgb_fb.planes["rgb"]), keep_idx)
         elif out_fb.batch:
             # null sink: host readback of one element per plane — the only
             # reliable sync on this runtime (block_until_ready can return

@@ -706,10 +706,12 @@ class SelectFilter:
         in the chain, or batch padding) — they are invisible to this
         filter, exactly like ffmpeg's per-frame chain: n/selected_n/
         prev_* only advance over frames that actually reach it."""
-        from ..ops.scene import scene_scores_mafd
+        from ..ops.scene import scene_scores_mafd, score_depth
         n = fb.batch
         if self.needs_scene:
-            bits = fb.fmt.bits      # 10-bit streams normalize /4
+            # 10-bit streams normalize /4; RGB batches score true BT.601
+            # luma at 8-bit scale (scene.py _score_view)
+            bits = score_depth(fb.fmt)
             kp = None if keep is None else np.asarray(keep)
             scores = np.zeros(n)
             if kp is not None and not kp.all():
@@ -822,12 +824,27 @@ class ThumbnailFilter:
         self._last_fb = None
 
     @staticmethod
-    def _hist(planes, i, shift=2):
+    def _hist(planes, i, shift=2, fmt=None):
         """64-bin luma histogram; shift maps the sample depth onto the
         bins (8-bit: >>2; 10-bit lsb: >>4; p010/p016 msb: >>10; floats
-        scale 0..1 into the bins)."""
-        y = planes["y"][i] if "y" in planes else planes["rgb"][i][..., 0]
-        arr = np.asarray(y)
+        scale 0..1 into the bins).  RGB frames bin true BT.601 luma
+        (scene_sad_cuda operates on real luma — not a channel proxy)."""
+        if "y" in planes:
+            arr = np.asarray(planes["y"][i])
+        else:
+            rgb = np.asarray(planes["rgb"][i]).astype(np.float32)
+            ax = 0 if (fmt is not None and fmt.planar_rgb) else -1
+            order = fmt.channel_order if fmt is not None else "rgb"
+            idx = {c: k for k, c in enumerate(order)}
+            r = np.take(rgb, idx["r"], axis=ax)
+            g = np.take(rgb, idx["g"], axis=ax)
+            b = np.take(rgb, idx["b"], axis=ax)
+            y601 = 0.299 * r + 0.587 * g + 0.114 * b
+            if fmt is not None and not fmt.is_float:
+                y601 = y601 / float((1 << fmt.bits) - 1)
+            vals = np.clip(y601 * 63.0, 0, 63).astype(np.int64).reshape(-1)
+            return np.bincount(np.minimum(vals, 63),
+                               minlength=64).astype(np.float64)
         if arr.dtype.kind == "f":
             vals = np.clip(arr * 63.0, 0, 63).astype(np.int64).reshape(-1)
         else:
@@ -869,7 +886,7 @@ class ThumbnailFilter:
                 continue
             fm = {key: (None if arr is None else arr[i])
                   for key, arr in meta.items()}
-            self._buf.append((self._hist(host, i, shift),
+            self._buf.append((self._hist(host, i, shift, fmt),
                               {k: host[k][i] for k in host}, fm))
             if len(self._buf) == self.window:
                 picks.append(self._best())
