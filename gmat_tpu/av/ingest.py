@@ -37,34 +37,46 @@ class FrameBatchSource:
 
     def __iter__(self):
         ys, us, vs, pts, keys, poss, ilace = [], [], [], [], [], [], []
-        self.dropped_resize = 0
-        ref_shape = None      # vs the FIRST frame ever, not the current
-        for item in self.it:  # partial batch (a change landing exactly on
-            y, u, v, p = item[:4]          # a batch boundary must not
-            k = bool(item[4]) if len(item) > 4 else False   # be packed)
+        self.dropped_resize = 0       # kept for compat; always 0 now
+        self.resolution_changes = 0
+        ref_shape = None
+
+        def flush(n_valid):
+            while len(ys) < self.batch:   # pad to static shape
+                ys.append(ys[-1]); us.append(us[-1]); vs.append(vs[-1])
+                pts.append(pts[-1]); keys.append(False); poss.append(-1)
+                ilace.append(0)
+            return self._pack(ys, us, vs, pts, keys, poss, ilace, n_valid)
+
+        for item in self.it:
+            y, u, v, p = item[:4]
+            k = bool(item[4]) if len(item) > 4 else False
             po = int(item[5]) if len(item) > 5 else -1
             il = int(item[6]) if len(item) > 6 else 0
             if ref_shape is None:
                 ref_shape = y.shape
             if y.shape != ref_shape:
-                # mid-stream resolution change: static batch shapes can't
-                # mix sizes — drop and count (NvDecLite recreates its pool
-                # here; a bucketed ingest path can absorb this instead)
-                self.dropped_resize += 1
-                continue
+                # mid-stream resolution change (NvDecLite recreates its
+                # frame pool here, NvDecLite.cpp:97-106): flush the
+                # partial batch of the OLD geometry, then continue at the
+                # new one — every frame is delivered; batches carry their
+                # own dims so downstream recompiles (or rides the
+                # bucketed ladder, ops/fused.preprocess_nchw_bucketed)
+                self.resolution_changes += 1
+                if ys:
+                    yield flush(len(ys))
+                    ys, us, vs, pts, keys, poss, ilace = \
+                        [], [], [], [], [], [], []
+                ref_shape = y.shape
             ys.append(y); us.append(u); vs.append(v); pts.append(p)
             keys.append(k); poss.append(po); ilace.append(il)
             if len(ys) == self.batch:
                 yield self._pack(ys, us, vs, pts, keys, poss, ilace,
                                  self.batch)
-                ys, us, vs, pts, keys, poss, ilace =                     [], [], [], [], [], [], []
+                ys, us, vs, pts, keys, poss, ilace = \
+                    [], [], [], [], [], [], []
         if ys:
-            n = len(ys)
-            while len(ys) < self.batch:   # pad to static shape
-                ys.append(ys[-1]); us.append(us[-1]); vs.append(vs[-1])
-                pts.append(pts[-1]); keys.append(False); poss.append(-1)
-                ilace.append(0)
-            yield self._pack(ys, us, vs, pts, keys, poss, ilace, n)
+            yield flush(len(ys))
 
     def _pack(self, ys, us, vs, pts, keys, poss, ilace, valid):
         return (np.stack(ys), np.stack(us), np.stack(vs),
@@ -148,8 +160,9 @@ class PrefetchQueue:
                     raise self.error
                 return
             y, u, v, pts, keys, poss, ilace, valid = item
-            h = self.height or y.shape[1]
-            w = self.width or y.shape[2]
+            # per-batch dims: a mid-stream resolution change makes the
+            # configured width/height stale for later batches
+            h, w = y.shape[1], y.shape[2]
             fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
                              "v": jnp.asarray(v)}, self.fmt, w, h,
                             self.colorspace)

@@ -259,3 +259,73 @@ def test_decode_stream_seek_drops_preroll(clip):
     # 30 fps: t=1.0s is frame 30 (a mid-GOP frame: gop=12 -> keyframe 24)
     assert got[0] == 30, got[:4]
     assert got == list(range(30, NFRAMES))
+
+
+def test_batch_source_mixed_resolution_yields_every_frame(rng):
+    """VERDICT r2 #10: a mid-stream resolution change must not drop
+    frames — the partial batch flushes and batching continues at the new
+    geometry (NvDecLite pool-recreate analog, NvDecLite.cpp:97-106)."""
+    from gmat_tpu.av.ingest import FrameBatchSource
+
+    def frames():
+        for i in range(5):                     # 320x240
+            yield (np.full((240, 320), i, np.uint8),
+                   np.full((120, 160), 110, np.uint8),
+                   np.full((120, 160), 140, np.uint8), i)
+        for i in range(7):                     # switch to 160x120
+            yield (np.full((120, 160), 100 + i, np.uint8),
+                   np.full((60, 80), 110, np.uint8),
+                   np.full((60, 80), 140, np.uint8), 5 + i)
+
+    src = FrameBatchSource(frames(), batch=4, width=320, height=240)
+    got = []
+    shapes = []
+    for (y, u, v, pts, keys, poss, il, valid) in src:
+        shapes.append(y.shape[1:])
+        got += [int(y[i].flat[0]) for i in range(valid)]
+    assert src.dropped_resize == 0
+    assert src.resolution_changes == 1
+    # 5 frames @ old dims (4 + flushed 1), then 7 @ new (4 + 3)
+    assert got == [0, 1, 2, 3, 4, 100, 101, 102, 103, 104, 105, 106]
+    assert shapes == [(240, 320), (240, 320), (120, 160), (120, 160)]
+
+
+def test_decode_stream_mixed_resolution(tmp_path):
+    """End-to-end: splice two H.264 segments of different dims into one
+    raw stream; decode_stream must deliver all frames with per-batch
+    dims."""
+    from gmat_tpu.av.ingest import FrameBatchSource, PrefetchQueue
+
+    def enc_frames(w, h, n, base):
+        e = tk.Encoder("libx264", w, h, fps=(30, 1), gop=5, crf=16.0)
+        pk = []
+        for i in range(n):
+            y = np.full((h, w), base + i * 5, np.uint8)
+            u = np.full((h // 2, w // 2), 110, np.uint8)
+            v = np.full((h // 2, w // 2), 140, np.uint8)
+            pk += e.encode(y, u, v, pts=i)
+        pk += e.flush()
+        data = [p.data for p in pk]
+        data[0] = e.extradata() + data[0]
+        e.close()
+        return data
+
+    d1 = enc_frames(320, 240, 5, 40)
+    d2 = enc_frames(160, 120, 5, 150)
+    dec = tk.Decoder(tk.CODEC_H264, width=320, height=240)
+
+    def frames():
+        for d in d1 + d2:
+            yield from ((y, u, v, p) for (y, u, v, p) in dec.decode(d, -1))
+        yield from ((y, u, v, p) for (y, u, v, p) in dec.decode(None))
+
+    src = FrameBatchSource(frames(), batch=4, width=320, height=240)
+    q = PrefetchQueue(iter(src), depth=2, to_device=False)
+    total = 0
+    sizes = set()
+    for fb, pts, valid in q:
+        total += int(valid)
+        sizes.add((fb.width, fb.height))
+    dec.close()
+    assert total == 10
+    assert sizes == {(320, 240), (160, 120)}
