@@ -85,10 +85,34 @@ def hevc_rps(args) -> int:
         return 1
     packets = [p.data for p in dm if p.stream == 0]
     dm.close()
+    slices = hevc.parse_stream_slices(packets)
+    pocs = hevc.derive_pocs(slices)
     res = hevc.analyze_skippable(packets)
     nskip = sum(1 for _, s in res if s)
-    for poc, s in res:
-        print(("Skip " if s else "Decode ") + str(poc))
+    # display_index: rank of each decode-order picture by full POC
+    # (8.3.1) — correct across open-GOP boundaries and poc_lsb wrap,
+    # where the raw lsb the old report printed misorders.  POC resets at
+    # each IDR/BLA, so ranking runs per coded video sequence.
+    disp = [0] * len(pocs)
+    seg = []
+    base = 0
+
+    def flush_seg():
+        nonlocal base
+        for rank, i in enumerate(sorted(seg, key=lambda i: (pocs[i], i))):
+            disp[i] = base + rank
+        base += len(seg)
+
+    for i, sl in enumerate(slices):
+        if seg and (sl.is_idr or sl.nal_type_ in hevc._NAL_BLA):
+            flush_seg()
+            seg = []
+        seg.append(i)
+    if seg:
+        flush_seg()
+    for i, (_lsb, s) in enumerate(res):
+        print(("Skip " if s else "Decode ") + str(pocs[i])
+              + f"  display_index={disp[i]}")
     print(json.dumps({"total": len(res), "skippable": nskip,
                       "ratio": round(nskip / max(len(res), 1), 3)}))
     return 0

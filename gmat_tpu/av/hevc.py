@@ -460,11 +460,83 @@ def parse_pps(nal: bytes) -> Pps:
 
 
 @dataclasses.dataclass
+class Vps:
+    """Video parameter set (7.3.2.1) — the HevcParserImpl.cpp VPS
+    section.  Carries the stream-level PTL and DPB sizing the SPS may
+    inherit; timing info yields the container-independent frame rate."""
+    vps_id: int
+    max_layers: int
+    max_sub_layers: int
+    temporal_id_nesting: bool
+    general_profile_idc: int
+    general_tier_flag: int
+    general_level_idc: int
+    max_dec_pic_buffering: tuple     # per sub-layer, minus1 NOT applied
+    num_reorder_pics: tuple
+    max_latency_increase: tuple
+    fps: float = 0.0                 # 0 = no vps timing info
+
+
+def parse_vps(nal: bytes) -> Vps:
+    r = BitReader(nal)
+    vps_id = r.u(4)
+    r.u(2)                                        # base_layer internal/avail
+    max_layers = r.u(6) + 1
+    max_sub_layers = r.u(3) + 1
+    nesting = bool(r.u(1))
+    r.u(16)                                       # reserved 0xffff
+    # profile_tier_level(1, max_sub_layers - 1)
+    r.u(2)                                        # profile_space
+    tier = r.u(1)
+    profile_idc = r.u(5)
+    r.u(32)                                       # compat flags
+    r.u(48)                                       # constraint bits
+    level_idc = r.u(8)
+    sub_present = [(r.u(1), r.u(1)) for _ in range(max_sub_layers - 1)]
+    if max_sub_layers > 1:
+        for _ in range(max_sub_layers - 1, 8):
+            r.u(2)
+        for pp, lp in sub_present:
+            if pp:
+                r.u(88)
+            if lp:
+                r.u(8)
+    sub_ordering = r.u(1)
+    start = 0 if sub_ordering else max_sub_layers - 1
+    dpb, reorder, latency = [], [], []
+    for _ in range(start, max_sub_layers):
+        dpb.append(r.ue() + 1)
+        reorder.append(r.ue())
+        latency.append(r.ue())
+    if not sub_ordering:                          # replicate to all layers
+        dpb *= max_sub_layers
+        reorder *= max_sub_layers
+        latency *= max_sub_layers
+    max_layer_id = r.u(6)
+    num_layer_sets = r.ue() + 1
+    for _ in range(1, num_layer_sets):
+        for _ in range(max_layer_id + 1):
+            r.u(1)                                # layer_id_included_flag
+    fps = 0.0
+    if r.u(1):                                    # vps_timing_info_present
+        num_units = r.u(32)
+        time_scale = r.u(32)
+        if num_units:
+            fps = time_scale / num_units
+    return Vps(vps_id, max_layers, max_sub_layers, nesting, profile_idc,
+               tier, level_idc, tuple(dpb[:max_sub_layers]),
+               tuple(reorder[:max_sub_layers]),
+               tuple(latency[:max_sub_layers]), fps)
+
+
+@dataclasses.dataclass
 class SliceRps:
     poc_lsb: int
     ref_pocs: set            # POCs (lsb arithmetic) this slice references
     is_idr: bool
     nal_type_: int
+    temporal_id: int = 0
+    log2_max_poc_lsb: int = 8    # from the slice's SPS (POC derivation)
 
 
 def parse_slice_rps(nal: bytes, spsf, pps) -> Optional[SliceRps]:
@@ -508,8 +580,9 @@ def parse_slice_rps(nal: bytes, spsf, pps) -> Optional[SliceRps]:
         r.u(1)                                    # pic_output_flag
     if spsf.separate_colour_plane:
         r.u(2)                                    # colour_plane_id
+    tid = (nal[1] & 0x07) - 1
     if is_idr(t):
-        return SliceRps(0, set(), True, t)
+        return SliceRps(0, set(), True, t, tid, spsf.log2_max_poc_lsb)
     poc_lsb = r.u(spsf.log2_max_poc_lsb)
     rps = None
     if r.u(1):                                    # short_term_ref_pic_set_sps_flag
@@ -550,17 +623,12 @@ def parse_slice_rps(nal: bytes, spsf, pps) -> Optional[SliceRps]:
                 r.u(1)                            # used_by_curr_pic_lt_flag
             if r.u(1):                            # delta_poc_msb_present
                 r.ue()                            # delta_poc_msb_cycle_lt
-    return SliceRps(poc_lsb, refs, False, t)
+    return SliceRps(poc_lsb, refs, False, t, tid, spsf.log2_max_poc_lsb)
 
 
-def analyze_skippable(packets) -> list:
-    """AppHevcParse's analysis over annexb HEVC packets.
-
-    Returns [(poc_lsb, skippable_bool), ...] in decode order: packet i is
-    skippable when packet i+1's reference picture set does not contain
-    packet i's POC (AppHevcParse.cpp:186-196).  The last frame is never
-    marked skippable (nothing follows to prove it unused).
-    """
+def parse_stream_slices(packets) -> list:
+    """[SliceRps, ...] in decode order — one per picture (dependent
+    segments skipped), parameter sets tracked by id across the stream."""
     sps_map: dict = {}                 # sps_id -> SpsFull
     pps_map: dict = {}                 # pps_id -> Pps
     slices = []
@@ -578,6 +646,66 @@ def analyze_skippable(packets) -> list:
                 sl = parse_slice_rps(n, sps_map, pps_map)
         if sl is not None:
             slices.append(sl)
+    return slices
+
+
+_NAL_BLA = (16, 17, 18)                # BLA_W_LP, BLA_W_RADL, BLA_N_LP
+_NAL_RASL_RADL = (6, 7, 8, 9)          # RADL_N/R, RASL_N/R
+
+
+def derive_pocs(slices) -> list:
+    """Full PicOrderCntVal per picture, decode order (8.3.1 — the
+    HevcParserImpl.cpp POC derivation the slice-RPS subset lacked).
+
+    MSB extension tracks prevTid0Pic (TemporalId 0, not RASL/RADL/
+    sub-layer-non-ref); IDR resets to 0, BLA and stream-initial CRA
+    reset the MSB.  Sorting decode-order pictures by the returned POC
+    yields display order across open-GOP boundaries.
+    """
+    pocs = []
+    prev_tid0_poc = 0
+    first = True
+    for sl in slices:
+        max_lsb = 1 << sl.log2_max_poc_lsb
+        t = sl.nal_type_
+        if sl.is_idr:
+            poc = 0
+        elif t in _NAL_BLA or (t == NAL_CRA and first):
+            poc = sl.poc_lsb           # NoRaslOutputFlag: msb = 0
+        else:
+            prev_lsb = prev_tid0_poc % max_lsb
+            prev_msb = prev_tid0_poc - prev_lsb
+            if (sl.poc_lsb < prev_lsb
+                    and prev_lsb - sl.poc_lsb >= max_lsb // 2):
+                msb = prev_msb + max_lsb
+            elif (sl.poc_lsb > prev_lsb
+                    and sl.poc_lsb - prev_lsb > max_lsb // 2):
+                msb = prev_msb - max_lsb
+            else:
+                msb = prev_msb
+            poc = msb + sl.poc_lsb
+        pocs.append(poc)
+        if (sl.temporal_id == 0 and t not in _NAL_RASL_RADL
+                and not is_sublayer_nonref(t)):
+            prev_tid0_poc = poc
+        first = False
+    return pocs
+
+
+def compute_pocs(packets) -> list:
+    """Annexb packets -> full POC per picture, decode order."""
+    return derive_pocs(parse_stream_slices(packets))
+
+
+def analyze_skippable(packets) -> list:
+    """AppHevcParse's analysis over annexb HEVC packets.
+
+    Returns [(poc_lsb, skippable_bool), ...] in decode order: packet i is
+    skippable when packet i+1's reference picture set does not contain
+    packet i's POC (AppHevcParse.cpp:186-196).  The last frame is never
+    marked skippable (nothing follows to prove it unused).
+    """
+    slices = parse_stream_slices(packets)
     out = []
     for i, sl in enumerate(slices):
         if i + 1 < len(slices):

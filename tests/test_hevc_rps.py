@@ -83,3 +83,85 @@ def test_scan_census_app(tmp_path, capsys):
     recs = [json.loads(l) for l in lines[:-1]]
     a = next(r for r in recs if r["file"] == "a.mp4")
     assert a["skipped"] > 0 and a["frames"] < 60
+
+
+@pytest.fixture(scope="module")
+def hevc_stream_pts():
+    """Like hevc_stream but keeps each packet's pts (decode order)."""
+    w, h = 160, 128
+    enc = tk.Encoder("libx265", w, h, fps=(30, 1), gop=30, bf=3, crf=22.0,
+                     opts="x265-params=log-level=0")
+    pkts = []
+    for i in range(40):
+        y = ((np.add.outer(np.arange(h), np.arange(w)) * 0.4 + i * 6) % 200
+             + 20).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 100 + (i % 30), np.uint8)
+        v = np.full((h // 2, w // 2), 150 - (i % 20), np.uint8)
+        pkts += enc.encode(y, u, v, pts=i)
+    pkts += enc.flush()
+    extra = enc.extradata()
+    enc.close()
+    datas = [extra + pkts[0].data] + [p.data for p in pkts[1:]]
+    return datas, [p.pts for p in pkts], (w, h)
+
+
+def test_vps_parse(hevc_stream_pts):
+    datas, _, _ = hevc_stream_pts
+    nals = {hevc.nal_type(n): n for n in hevc.split_annexb(datas[0])}
+    vps = hevc.parse_vps(nals[hevc.NAL_VPS])
+    spsf = hevc.parse_sps_full(nals[hevc.NAL_SPS])
+    assert vps.max_sub_layers == spsf.sps.max_sub_layers
+    assert vps.general_profile_idc == spsf.sps.general_profile_idc
+    assert vps.general_level_idc == spsf.sps.general_level_idc
+    assert vps.max_layers == 1
+    assert len(vps.num_reorder_pics) == vps.max_sub_layers
+    # bf=3 stream must allow reordering in the DPB
+    assert vps.num_reorder_pics[-1] >= 1
+    if vps.fps:                     # x265 writes vps timing info
+        assert abs(vps.fps - 30.0) < 1e-6
+
+
+def test_poc_matches_libavcodec_display_order(hevc_stream_pts):
+    """VERDICT r2 #9: full 8.3.1 POC derivation.  Ranking decode-order
+    packets by derived POC must reproduce libavcodec's actual output
+    (display) order, B-frames included."""
+    datas, pts, (w, h) = hevc_stream_pts
+    slices = hevc.parse_stream_slices(datas)
+    pocs = hevc.derive_pocs(slices)
+    assert len(pocs) == len(datas) == len(pts)
+    # libavcodec ground truth: display-order pts sequence
+    dec = tk.Decoder(tk.CODEC_HEVC, width=w, height=h)
+    disp_pts = []
+    for d, p in zip(datas, pts):
+        disp_pts += [pp for (_y, _u, _v, pp) in dec.decode(d, p)]
+    disp_pts += [pp for (_y, _u, _v, pp) in dec.decode(None)]
+    dec.close()
+    assert len(disp_pts) == len(datas)
+    # our prediction: stable-sort decode order by (coded video sequence,
+    # POC) — POC resets at IDR/BLA
+    seg_id, seg = [], -1
+    for sl in slices:
+        if sl.is_idr or sl.nal_type_ in hevc._NAL_BLA:
+            seg += 1
+        seg_id.append(seg)
+    order = sorted(range(len(pocs)), key=lambda i: (seg_id[i], pocs[i], i))
+    assert [pts[i] for i in order] == disp_pts
+    # sanity: with bf=3 decode order must differ from display order
+    assert pts != disp_pts
+
+
+def test_scan_hevc_display_index(hevc_stream_pts, tmp_path, capsys):
+    datas, pts, _ = hevc_stream_pts
+    from gmat_tpu.apps.scan import main as scan_main
+    import struct
+    raw = str(tmp_path / "s.hevc")
+    with open(raw, "wb") as f:
+        for d in datas:
+            f.write(d)
+    rc = scan_main(["hevc", raw])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [l for l in out.splitlines() if "display_index=" in l]
+    assert len(lines) == len(datas)
+    idxs = sorted(int(l.split("display_index=")[1]) for l in lines)
+    assert idxs == list(range(len(datas)))
