@@ -59,6 +59,27 @@ def main():
     print(f"3) CLI transcode with in-graph SR: rc={rc} -> "
           f"/tmp/gmat_quickstart_out.mp4")
 
+    # 4. Bundled pretrained ESPCN x2: save a visibly upscaled frame
+    import jax
+    import jax.numpy as jnp
+    from gmat_tpu.filters.infer import InferFilter
+    from gmat_tpu.models import sr
+    from gmat_tpu.utils.png import write_png
+    for fb, pts, valid in decode_stream(clip, batch=1):
+        lr = fused.preprocess_nchw(fb, 320, 180)      # (1,3,180,320)
+        break
+    filt = InferFilter(model="sr2x", precision="fp32")
+    hr = jax.jit(sr.apply)(filt.params, lr)           # (1,3,360,640)
+
+    def to_png(path, x):
+        img = (np.clip(np.asarray(x[0]), 0, 1) * 255).astype(np.uint8)
+        write_png(path, img.transpose(1, 2, 0))
+
+    to_png("/tmp/gmat_quickstart_lr.png", lr)
+    to_png("/tmp/gmat_quickstart_sr2x.png", hr)
+    print("4) pretrained SR x2: /tmp/gmat_quickstart_lr.png -> "
+          "/tmp/gmat_quickstart_sr2x.png")
+
 
 if __name__ == "__main__":
     main()

@@ -25,8 +25,25 @@ from ..core.frame import FrameBatch
 from ..ops import csc, resize
 
 
+def _bundled_weights(model: str, channels: int, hidden: int) -> str:
+    """Path of a shipped pretrained checkpoint for this config, or ''.
+
+    sr2x at the default width ships models/weights/espcn_x2.npz (trained
+    by tools/train_sr.py) so `infer=sr2x` does real super-resolution out
+    of the box — the reference's demo engines are user-supplied
+    (doc/Tensorrt_Filter.md:26), ours is batteries-included."""
+    import os
+    if model == "sr2x" and channels == 3 and hidden in (0, 64):
+        p = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "models", "weights",
+            "espcn_x2.npz")
+        if os.path.exists(p):
+            return p
+    return ""
+
+
 def _load_weights(params, path: str):
-    if not path:
+    if not path or path == "random":   # "random" skips the bundled npz
         return params
     loaded = dict(np.load(path))
     out = {}
@@ -71,6 +88,8 @@ class InferFilter:
             kw = {"hidden": int(hidden)} if int(hidden) else {}
             params = sr.init_params(jax.random.PRNGKey(0), scale=scale,
                                     channels=channels, **kw)
+            if not weights:
+                weights = _bundled_weights(model, channels, int(hidden))
             self.params = _load_weights(params, weights)
             self.apply = sr.apply
             self.scale = scale
