@@ -53,6 +53,10 @@ class Options:
     audio_bitrate: int = 0
     audio_sample_rate: int = 0
     audio_filter_desc: str = ""    # e.g. "atempo=0.7143,volume=0.8"
+    proc_decode: bool = False      # decode in a worker PROCESS per
+    # session (shm ring, av/shm_ring.py) so libav decode overlaps the
+    # session thread's device work without sharing its core — the
+    # RoundQueue producer as its own process
     rungs: List[Rung] = dataclasses.field(default_factory=list)
 
     @classmethod
@@ -73,6 +77,7 @@ class Options:
             audio_bitrate=int(get("AudioBitRate", "0") or 0),
             audio_sample_rate=int(get("AudioSampleRate", "0") or 0),
             audio_filter_desc=get("AudioFilterDesc"),
+            proc_decode=get("ProcDecode", "0").strip() in ("1", "true"),
         )
         res = root.find("Resolutions")
         if res is not None:
@@ -241,7 +246,12 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
     from ..utils.stopwatch import FpsLimiter, FpsMeter, StopWatch
 
     watch = StopWatch()
-    src = decode_stream(opts.input_file, batch=batch)
+    if opts.proc_decode:
+        from ..av.shm_ring import decode_stream_multiproc
+        src = decode_stream_multiproc(opts.input_file, procs=1,
+                                      batch=batch)
+    else:
+        src = decode_stream(opts.input_file, batch=batch)
     src_fps = getattr(src, "fps", 0.0) or 30.0
 
     common_graph = (FilterGraph(opts.video_filter_desc, src_fps)
@@ -381,6 +391,9 @@ def main(argv=None):
                    help="WxH[:out.mp4][:encsuffix] (repeatable)")
     p.add_argument("-enc-param", default="")
     p.add_argument("-sessions", type=int, default=0)
+    p.add_argument("-proc-decode", action="store_true",
+                   help="decode in a worker process per session "
+                        "(shm-ring fan-in; XML tag <ProcDecode>1)")
     p.add_argument("-frames", type=int, default=0)
     p.add_argument("-batch", type=int, default=16)
     p.add_argument("-stats", action="store_true")
@@ -393,6 +406,8 @@ def main(argv=None):
         opts.video_enc_param = args.enc_param
     if args.sessions:
         opts.sessions = args.sessions
+    if args.proc_decode:
+        opts.proc_decode = True
     for spec in args.rung:
         parts = spec.split(":")
         w, h = parts[0].lower().split("x")

@@ -44,7 +44,8 @@ class ShmRing:
     """One SPSC ring of fixed-size frame slots in shared memory."""
 
     def __init__(self, width: int, height: int, slots: int = 8,
-                 name: Optional[str] = None, create: bool = True):
+                 name: Optional[str] = None, create: bool = True,
+                 bits: int = 8):
         if height % 2 or width % 2:
             # I420 chroma is ceil(w/2) x ceil(h/2); keep slots rectangular
             cw, ch = (width + 1) // 2, (height + 1) // 2
@@ -52,8 +53,13 @@ class ShmRing:
             cw, ch = width // 2, height // 2
         self.width, self.height = width, height
         self.cw, self.ch = cw, ch
-        self.ybytes = width * height
-        self.cbytes = cw * ch
+        self.bits = bits
+        self.dtype = np.uint16 if bits > 8 else np.uint8
+        isz = 2 if bits > 8 else 1
+        self.yelems = width * height
+        self.celems = cw * ch
+        self.ybytes = self.yelems * isz
+        self.cbytes = self.celems * isz
         self.slot_bytes = _META_SIZE + self.ybytes + 2 * self.cbytes
         self.slots = slots
         total = _HDR_SIZE + _ERR_SIZE + slots * self.slot_bytes
@@ -94,14 +100,15 @@ class ShmRing:
         struct.pack_into(_META_FMT, self.buf, off, int(pts), int(pos),
                          1 if key else 0, int(interlaced) & 0xFF)
         o = off + _META_SIZE
-        yv = np.frombuffer(self.buf, np.uint8, self.ybytes, o)
-        yv[:] = np.ascontiguousarray(y, np.uint8).reshape(-1)
+        dt = self.dtype
+        yv = np.frombuffer(self.buf, dt, self.yelems, o)
+        yv[:] = np.ascontiguousarray(y, dt).reshape(-1)
         o += self.ybytes
-        uv = np.frombuffer(self.buf, np.uint8, self.cbytes, o)
-        uv[:] = np.ascontiguousarray(u, np.uint8).reshape(-1)
+        uv = np.frombuffer(self.buf, dt, self.celems, o)
+        uv[:] = np.ascontiguousarray(u, dt).reshape(-1)
         o += self.cbytes
-        vv = np.frombuffer(self.buf, np.uint8, self.cbytes, o)
-        vv[:] = np.ascontiguousarray(v, np.uint8).reshape(-1)
+        vv = np.frombuffer(self.buf, dt, self.celems, o)
+        vv[:] = np.ascontiguousarray(v, dt).reshape(-1)
         # publish AFTER the payload write (CPython/x86: the buffer stores
         # above complete before this struct.pack_into's store is visible)
         struct.pack_into("<Q", self.buf, 0, head + 1)
@@ -140,13 +147,14 @@ class ShmRing:
         off = self._slot_off(tail)
         pts, pos, key, ilace = struct.unpack_from(_META_FMT, self.buf, off)
         o = off + _META_SIZE
-        y = np.frombuffer(self.buf, np.uint8, self.ybytes, o) \
+        dt = self.dtype
+        y = np.frombuffer(self.buf, dt, self.yelems, o) \
             .reshape(self.height, self.width).copy()
         o += self.ybytes
-        u = np.frombuffer(self.buf, np.uint8, self.cbytes, o) \
+        u = np.frombuffer(self.buf, dt, self.celems, o) \
             .reshape(self.ch, self.cw).copy()
         o += self.cbytes
-        v = np.frombuffer(self.buf, np.uint8, self.cbytes, o) \
+        v = np.frombuffer(self.buf, dt, self.celems, o) \
             .reshape(self.ch, self.cw).copy()
         struct.pack_into("<Q", self.buf, 8, tail + 1)     # release slot
         return y, u, v, pts, bool(key), pos, ilace
@@ -163,9 +171,12 @@ class ShmRing:
 
 
 def _decode_worker(path: str, ring_name: str, width: int, height: int,
-                   slots: int, threads: int, max_frames: int):
-    """Child process: decode `path`, ship I420 planes into the ring."""
-    ring = ShmRing(width, height, slots, name=ring_name, create=False)
+                   slots: int, threads: int, max_frames: int,
+                   bits: int = 8):
+    """Child process: decode `path`, ship I420 planes into the ring
+    (bits=10: the decode16 lane, u16 lsb-aligned samples)."""
+    ring = ShmRing(width, height, slots, name=ring_name, create=False,
+                   bits=bits)
     try:
         from . import toolkit as tk
         dm = tk.Demuxer(path)
@@ -174,6 +185,7 @@ def _decode_worker(path: str, ring_name: str, width: int, height: int,
             raise RuntimeError(
                 f"decoder is {dec.width}x{dec.height}, ring expects "
                 f"{width}x{height}")
+        decode = dec.decode16 if bits == 10 else dec.decode
         sent = 0
 
         def ship(frames, pkt_key=False, pkt_pos=-1):
@@ -190,10 +202,10 @@ def _decode_worker(path: str, ring_name: str, width: int, height: int,
         for pkt in dm:
             if pkt.stream != 0:
                 continue
-            if not ship(dec.decode(pkt.data, pkt.pts), pkt.key, pkt.pos):
+            if not ship(decode(pkt.data, pkt.pts), pkt.key, pkt.pos):
                 break
         else:
-            ship(dec.decode(None))
+            ship(decode(None))
         dm.close(); dec.close()
         ring.set_eof()
     except BaseException as e:       # propagate into the consumer
@@ -218,17 +230,22 @@ class MultiProcDecodeSource:
 
     def __init__(self, paths, procs: int = 0, width: int = 0,
                  height: int = 0, slots: int = 8, threads: int = 1,
-                 max_frames_per_worker: int = 0):
+                 max_frames_per_worker: int = 0, bits: int = 8):
         if isinstance(paths, str):
             paths = [paths] * max(procs, 1)
         self.paths: Sequence[str] = list(paths)
         if procs and len(self.paths) != procs:
             raise ValueError("paths/procs mismatch")
+        if bits not in (8, 10):
+            raise ValueError(f"bits must be 8 or 10, got {bits}")
+        self.bits = bits
+        self.fps = 0.0
         if not (width and height):
             from . import toolkit as tk
             dm = tk.Demuxer(self.paths[0])
             dec = tk.Decoder.from_demuxer(dm, 0)
             width, height = dec.width, dec.height
+            self.fps = dm.fps or 0.0
             dm.close(); dec.close()
         self.width, self.height = width, height
         ctx = get_context("spawn")
@@ -236,11 +253,12 @@ class MultiProcDecodeSource:
         self.procs = []
         try:
             for p in self.paths:
-                ring = ShmRing(width, height, slots)
+                ring = ShmRing(width, height, slots, bits=bits)
                 self.rings.append(ring)
                 w = ctx.Process(target=_decode_worker,
                                 args=(p, ring.name, width, height, slots,
-                                      threads, max_frames_per_worker),
+                                      threads, max_frames_per_worker,
+                                      bits),
                                 daemon=True)
                 w.start()
                 self.procs.append(w)
@@ -292,18 +310,21 @@ class MultiProcDecodeSource:
 
 def decode_stream_multiproc(paths, procs: int = 4, batch: int = 32,
                             depth: int = 3, device=None, slots: int = 8,
-                            threads: int = 1, colorspace: str = "bt709"):
+                            threads: int = 1, colorspace: str = "bt709",
+                            bits: int = 8):
     """Multi-process decode fan-in -> prefetched device FrameBatches.
 
     The full multi-core ingest path: N worker processes decode, the ring
     consumer groups frames into batches (FrameBatchSource) and a producer
     thread device_puts them (PrefetchQueue) while the chip computes —
     RoundQueue + TransDataConverter, at process scale.  Yields
-    (FrameBatch, pts, valid) like decode_stream.
+    (FrameBatch, pts, valid) like decode_stream.  bits=10 ships u16
+    lsb-aligned planes ('yuv420p10' batches, the decode16 lane).
     """
     from .ingest import FrameBatchSource, PrefetchQueue
 
-    src = MultiProcDecodeSource(paths, procs, slots=slots, threads=threads)
+    src = MultiProcDecodeSource(paths, procs, slots=slots, threads=threads,
+                                bits=bits)
 
     def frames():
         try:
@@ -315,6 +336,7 @@ def decode_stream_multiproc(paths, procs: int = 4, batch: int = 32,
                            colorspace)
     q = PrefetchQueue(iter(fbs), depth=depth, device=device,
                       colorspace=colorspace, width=src.width,
-                      height=src.height)
-    q.fps = 0.0
+                      height=src.height,
+                      fmt="yuv420p10" if bits == 10 else "yuv420p")
+    q.fps = src.fps
     return q

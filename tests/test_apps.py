@@ -451,3 +451,18 @@ def test_cli_pix_fmt_mapping(capsys):
     capsys.readouterr()
     assert _strip_ffmpeg_noops(["-pix_fmt", "yuv444p"]) == []
     assert "yuv444p" in capsys.readouterr().err
+
+
+def test_metrans_proc_decode(clip, tmp_path):
+    """<ProcDecode>1: the session's libav decode runs in a worker
+    PROCESS feeding the shm ring (av/shm_ring.py) — same outputs as the
+    in-process decode path."""
+    from gmat_tpu.apps.metrans import Options, Rung, run_session
+    opts = Options(input_file=clip, proc_decode=True, rungs=[
+        Rung(160, 120, out_file=str(tmp_path / "p0_#.mp4")),
+    ], video_enc_param="codec=h264:preset=p1:constqp=25")
+    res = run_session(0, opts, batch=16)
+    assert res["frames_in"] == NFRAMES
+    assert res["frames_out"] == NFRAMES
+    f0 = decode_all(str(tmp_path / "p0_0.mp4"))
+    assert len(f0) == NFRAMES and f0[0][0].shape == (120, 160)

@@ -175,3 +175,60 @@ def test_decode_stream_multiproc_batches(clip):
         q.close()
     assert total == 2 * NFRAMES
     assert idxs == set(range(NFRAMES))
+
+
+def test_ring_10bit_roundtrip():
+    ring = ShmRing(64, 48, slots=3, bits=10)
+    try:
+        y = np.arange(48 * 64, dtype=np.uint16).reshape(48, 64) % 1024
+        u = np.full((24, 32), 512, np.uint16)
+        v = np.full((24, 32), 700, np.uint16)
+        assert ring.put(y, u, v, pts=7)
+        yo, uo, vo, pts, *_ = ring.get_nowait()
+        np.testing.assert_array_equal(yo, y)
+        np.testing.assert_array_equal(uo, u)
+        np.testing.assert_array_equal(vo, v)
+        assert yo.dtype == np.uint16 and pts == 7
+    finally:
+        ring.close(unlink=True)
+
+
+def test_decode_stream_multiproc_10bit(tmp_path):
+    """bits=10 lane: x265 main10 clip -> u16 planes over the ring ->
+    'yuv420p10' batches, samples matching the single-process decode16
+    path."""
+    from gmat_tpu.av.ingest import decode_stream
+    w, h, n = 192, 128, 12
+    clip = str(tmp_path / "m10.mp4")
+    enc = tk.Encoder("libx265", w, h, fps=(30, 1), gop=6, crf=10.0,
+                     bits=10, opts="x265-params=log-level=0")
+    pkts = []
+    for i in range(n):
+        y = np.full((h, w), 100 + 60 * i, np.uint16)
+        u = np.full((h // 2, w // 2), 512, np.uint16)
+        v = np.full((h // 2, w // 2), 512, np.uint16)
+        pkts += enc.encode(y, u, v, pts=i)
+    pkts += enc.flush()
+    mux = tk.Muxer(clip, w, h, (30, 1), tk.CODEC_HEVC, enc.extradata())
+    for p in pkts:
+        mux.write(p)
+    mux.close(); enc.close()
+
+    ref = {}
+    q0 = decode_stream(clip, batch=4, bits=10)
+    for fb, pts, valid in q0:
+        arr = np.asarray(fb.planes["y"])
+        for i in range(valid):
+            ref[int(pts[i])] = arr[i]
+    got = {}
+    q = decode_stream_multiproc(clip, procs=1, batch=4, bits=10)
+    fmt_seen = None
+    for fb, pts, valid in q:
+        fmt_seen = fb.format
+        arr = np.asarray(fb.planes["y"])
+        for i in range(valid):
+            got[int(pts[i])] = arr[i]
+    assert fmt_seen == "yuv420p10"
+    assert set(got) == set(ref) and len(got) == n
+    for k in ref:
+        np.testing.assert_array_equal(got[k], ref[k])
