@@ -1264,17 +1264,20 @@ def _ladder_kernel_i8_chunked(y_ref, u_ref, v_ref, ahy_ref, awy_ref,
 
 @lru_cache(maxsize=32)
 def _build_ladder_i8_chunked(n, h, w, ch, cw, out_h, out_w, colorspace,
-                             method, norm, shift, interpret, kw_chunks):
+                             method, norm, shift, interpret, kw_chunks,
+                             crop=None, smooth=None, flip=None):
     mat = yuv2rgb_matrix(colorspace)
     low, mid = yuv_offsets(8)
-    ahy = resample_matrix(h, out_h, method)
-    ahc = resample_matrix(ch, out_h, method)
+    # crop/smooth/flip compose into the same full-width matrices the
+    # chunks slice: crop zeros live outside their chunk, output-side
+    # smoothing/flips touch only the un-chunked output axes, and the
+    # epilogue's offset correction is applied once (colsum still 1)
+    ahy, ahc, awy_np, awc_np = _i8_matrices(
+        h, w, ch, cw, out_h, out_w, method, crop, smooth, flip)
     ahy_q, sy = _quant_rows(ahy)
     ahc_q, sc = _quant_rows(ahc)
     offy = (128.0 * ahy_q.astype(np.float32).sum(1) / sy)[:, None]
     offc = (128.0 * ahc_q.astype(np.float32).sum(1) / sc)[:, None]
-    awy_np = resample_matrix(w, out_w, method).T
-    awc_np = resample_matrix(cw, out_w, method).T
     wc, cwc = w // kw_chunks, cw // kw_chunks
 
     kernel = partial(_ladder_kernel_i8_chunked, mat=mat, low=float(low),
@@ -1399,13 +1402,10 @@ def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
         return fused_ladder(y, u, v, out_h, out_w, colorspace, method,
                             norm, shift, interpret)
     if kw_chunks > 1:
-        if fusions:
-            raise ValueError("crop/smooth/flip with the >4K chunked "
-                             "ladder not supported yet; apply the "
-                             "separate ops first")
         fn = _build_ladder_i8_chunked(
             n, h, w, ch, cw, out_h, out_w, colorspace, method, float(norm),
-            tuple(float(s) for s in shift), bool(interpret), kw_chunks)
+            tuple(float(s) for s in shift), bool(interpret), kw_chunks,
+            crop_box, smooth, flip)
         return fn(y, u, v)
     fn = _build_ladder_i8(n, h, w, ch, cw, out_h, out_w, colorspace, method,
                           float(norm), tuple(float(s) for s in shift),

@@ -566,3 +566,22 @@ def test_i8_gate_judges_composed_matrices():
     # fused_ladder_i8 then hands the fused smooth to the bf16 kernel
     assert not _i8_ok_composed(64, 128, 32, 64, 32, 32, "bilinear", None,
                                (3, 3, 0.0, 0.0, "replicate"), None)
+
+
+def test_chunked_ladder_fused_crop_smooth_flip(rng):
+    """>4K W-chunked int8 path carries the fused crop/smooth/flip too:
+    crop zeros land inside their chunks, output-side smooth/flip touch
+    only un-chunked axes, offsets applied once in the epilogue."""
+    from gmat_tpu.ops.pallas_kernels import (_build_ladder_i8,
+                                             _build_ladder_i8_chunked)
+    y, u, v = _ingamut(rng, n=1, h=64, w=256)
+    crop = (32, 8, 192, 48)
+    sm = (3, 3, 0.0, 0.0, "replicate")
+    args = (1, 64, 256, 32, 128, 24, 32, "bt709", "bilinear", 255.0,
+            (0.0, 0.0, 0.0), True)
+    want = np.asarray(_build_ladder_i8(*args, crop, sm, -1)(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)))
+    got = np.asarray(_build_ladder_i8_chunked(*args, 2, crop, sm, -1)(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)))
+    # identical math, different accumulation grouping: tiny f32 drift
+    assert (np.abs(got - want) * 255).max() <= 0.51
