@@ -570,6 +570,16 @@ class HeifSequenceWriter:
                      b"".join(_u32(len(s)) for s in self.samples))
         stss = _full(b"stss", 0, 0, _u32(len(self.sync)) +
                      b"".join(_u32(i) for i in self.sync))
+        # B-frame reordering delays the first composition time past 0; a
+        # compliant writer shifts presentation back with an edit list so
+        # playback starts at t=0 (what libavformat/players expect)
+        edts = b""
+        if offs is not None:
+            cts0 = min(sum(durs[:i]) + offs[i] for i in range(n))
+            if cts0 > 0:
+                edts = _box(b"edts", _full(
+                    b"elst", 0, 0,
+                    _u32(1) + _u32(dur) + _u32(cts0) + _u16(1) + _u16(0)))
         vmhd = _full(b"vmhd", 0, 1, _u16(0) + _u16(0) * 3)
         dinf = _box(b"dinf", _full(b"dref", 0, 0,
                                    _u32(1) + _full(b"url ", 0, 1, b"")))
@@ -580,7 +590,7 @@ class HeifSequenceWriter:
                         stsd + stts + ctts + stsc + stsz + stco + stss)
             minf = _box(b"minf", vmhd + dinf + stbl)
             mdia = _box(b"mdia", mdhd + hdlr + minf)
-            trak = _box(b"trak", tkhd + mdia)
+            trak = _box(b"trak", tkhd + edts + mdia)
             return _box(b"moov", mvhd + trak)
         probe = build(0)
         mdat_payload = b"".join(self.samples)
@@ -608,6 +618,7 @@ class HeifSequenceReader:
         self.width = self.height = 0
         sizes, chunk_off = [], 0
         stts_runs, ctts_runs = [], []
+        elst_media_time = 0
         moov_span = None
         for typ, s, e in _iter_boxes(d):
             if typ == b"moov":
@@ -617,9 +628,22 @@ class HeifSequenceReader:
 
         def walk(s, e):
             nonlocal sizes, chunk_off
+            nonlocal elst_media_time
             for typ, s2, e2 in _iter_boxes(d, s, e):
-                if typ in (b"trak", b"mdia", b"minf", b"stbl"):
+                if typ in (b"trak", b"mdia", b"minf", b"stbl", b"edts"):
                     walk(s2, e2)
+                elif typ == b"elst":
+                    ver = d[s2]
+                    cnt = struct.unpack(">I", d[s2 + 4:s2 + 8])[0]
+                    if cnt >= 1:
+                        if ver == 1:
+                            mt = struct.unpack(
+                                ">q", d[s2 + 16:s2 + 24])[0]
+                        else:
+                            mt = struct.unpack(
+                                ">i", d[s2 + 12:s2 + 16])[0]
+                        if mt > 0:        # -1 = empty edit; ignore
+                            elst_media_time = mt
                 elif typ == b"stsd":
                     entry = d[s2 + 8:e2]
                     if entry[4:8] == b"hvc1":
@@ -676,7 +700,10 @@ class HeifSequenceReader:
         for c, v in ctts_runs:
             offs += [v] * c
         offs = (offs + [0] * n)[:n]
-        self.sample_pts = [d_ + o for d_, o in zip(self.sample_dts, offs)]
+        # edit list shifts presentation so the first displayed sample
+        # lands at t=0 (the writer emits one when B-delay pushes CT(0)>0)
+        self.sample_pts = [d_ + o - elst_media_time
+                           for d_, o in zip(self.sample_dts, offs)]
 
     def display_order(self) -> List[int]:
         """Sample indices sorted by composition time — the order a

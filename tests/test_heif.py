@@ -273,3 +273,20 @@ def test_heif_sequence_libavformat_crosscheck():
     dm.close(); dec.close()
     got.sort(key=lambda t: t[1])
     assert [_fidx(y) for (y, _) in got] == list(range(12))
+
+
+def test_heif_sequence_edit_list_zero_start():
+    # B-frame delay pushes the first composition time past 0; the writer
+    # must emit an elst so presentation starts at t=0, and the reader
+    # must apply it (first displayed sample_pts == 0)
+    frames = _indexed_frames(12)
+    blob = heif.encode_sequence(frames, fps=30, crf=12.0, gop=12, bf=2)
+    assert b"elst" in blob
+    rdr = heif.HeifSequenceReader(blob)
+    assert min(rdr.sample_pts) == 0
+    # display order still exact
+    decoded = heif.decode_sequence(blob)
+    assert [_fidx(y) for (y, _, _) in decoded] == list(range(12))
+    # bf=0 sequences need no edit list
+    blob0 = heif.encode_sequence(frames[:6], fps=30, crf=12.0, gop=6, bf=0)
+    assert b"elst" not in blob0
