@@ -364,7 +364,20 @@ struct GavDecoder {
     AVPixelFormat sws_out = AV_PIX_FMT_NONE;  // 8- vs 10-bit receive paths
     int crop_x = 0, crop_y = 0, crop_w = 0, crop_h = 0;  // 0 = no crop
     int last_interlaced = 0, last_tff = 0;    // props of the last frame
+    int pending = 0;   // a received-but-unconsumed frame sits in `frame`
 };
+
+// Pull the next frame into d->frame (idempotent while unconsumed):
+// 1 = frame held, 0 = need input, -2 = EOF, -1 = error.
+static int dec_acquire(GavDecoder* d) {
+    if (d->pending) return 1;
+    int r = avcodec_receive_frame(d->ctx, d->frame);
+    if (r == AVERROR(EAGAIN)) return 0;
+    if (r == AVERROR_EOF) return -2;
+    if (r < 0) { set_err("receive_frame", r); return -1; }
+    d->pending = 1;
+    return 1;
+}
 
 // Interlace props of the most recently received frame (AVFrame
 // interlaced_frame/top_field_first) — drives yadif's deint/auto-parity.
@@ -489,21 +502,42 @@ GAV_API int gav_dec_send(void* h, const unsigned char* data, int size, long long
 // re-arm after a drain: avcodec_flush_buffers exits the draining state,
 // so one decoder instance can decode many independent stills
 GAV_API void gav_dec_reset(void* h) {
-    avcodec_flush_buffers(((GavDecoder*)h)->ctx);
+    auto* d = (GavDecoder*)h;
+    if (d->pending) { av_frame_unref(d->frame); d->pending = 0; }
+    avcodec_flush_buffers(d->ctx);
 }
 
 GAV_API int gav_dec_width(void* h)  { return ((GavDecoder*)h)->ctx->width; }
 GAV_API int gav_dec_height(void* h) { return ((GavDecoder*)h)->ctx->height; }
+
+// Peek the NEXT frame's output dimensions (post-crop) without consuming
+// it, so callers size their buffers to the actual frame — otherwise a
+// mid-stream resolution change rescales the transition frame into the
+// stale geometry (the receive path converts into caller buffers).
+// Returns 1 = dims written (frame held until the next receive),
+// 0 = need more input, -2 = EOF, -1 = error.
+GAV_API int gav_dec_peek_dims(void* h, int* w, int* hgt) {
+    auto* d = (GavDecoder*)h;
+    int r = dec_acquire(d);
+    if (r != 1) return r;
+    if (d->crop_w > 0 && d->crop_h > 0 &&
+        d->crop_x + d->crop_w <= d->frame->width &&
+        d->crop_y + d->crop_h <= d->frame->height) {
+        *w = d->crop_w; *hgt = d->crop_h;
+    } else {
+        *w = d->frame->width; *hgt = d->frame->height;
+    }
+    return 1;
+}
 
 // Receive one frame as planar I420 into caller buffers.
 // Returns 1 = frame written, 0 = need more input, -2 = EOF, -1 = error.
 GAV_API int gav_dec_receive(void* h, unsigned char* y, unsigned char* u,
                             unsigned char* v, int w, int hgt, long long* pts) {
     auto* d = (GavDecoder*)h;
-    int r = avcodec_receive_frame(d->ctx, d->frame);
-    if (r == AVERROR(EAGAIN)) return 0;
-    if (r == AVERROR_EOF) return -2;
-    if (r < 0) { set_err("receive_frame", r); return -1; }
+    int r = dec_acquire(d);
+    if (r != 1) return r;
+    d->pending = 0;
     AVFrame* f = d->frame;
     *pts = f->pts != AV_NOPTS_VALUE ? f->pts : f->best_effort_timestamp;
     d->last_interlaced = f->interlaced_frame ? 1 : 0;
@@ -578,10 +612,9 @@ GAV_API int gav_dec_receive_a(void* h, unsigned char* y, unsigned char* u,
                               unsigned char* v, unsigned char* a,
                               int w, int hgt, long long* pts) {
     auto* d = (GavDecoder*)h;
-    int r = avcodec_receive_frame(d->ctx, d->frame);
-    if (r == AVERROR(EAGAIN)) return 0;
-    if (r == AVERROR_EOF) return -2;
-    if (r < 0) { set_err("receive_frame", r); return -1; }
+    int r = dec_acquire(d);
+    if (r != 1) return r;
+    d->pending = 0;
     AVFrame* f = d->frame;
     *pts = f->pts != AV_NOPTS_VALUE ? f->pts : f->best_effort_timestamp;
     d->last_interlaced = f->interlaced_frame ? 1 : 0;
@@ -1369,10 +1402,9 @@ GAV_API int gav_dec_receive16(void* h, unsigned short* y, unsigned short* u,
                               unsigned short* v, int w, int hgt,
                               long long* pts) {
     auto* d = (GavDecoder*)h;
-    int r = avcodec_receive_frame(d->ctx, d->frame);
-    if (r == AVERROR(EAGAIN)) return 0;
-    if (r == AVERROR_EOF) return -2;
-    if (r < 0) { set_err("receive_frame", r); return -1; }
+    int r = dec_acquire(d);
+    if (r != 1) return r;
+    d->pending = 0;
     AVFrame* f = d->frame;
     *pts = f->pts != AV_NOPTS_VALUE ? f->pts : f->best_effort_timestamp;
     d->last_interlaced = f->interlaced_frame ? 1 : 0;

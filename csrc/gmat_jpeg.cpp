@@ -337,7 +337,10 @@ struct GjpegFile {
     std::vector<uint8_t> data;
 };
 
-static char gj_err[256];
+// thread_local: encode/decode fan out across host threads
+// (jpeg_tpu workers=); each caller reads its own error, never a
+// concurrent worker's
+static thread_local char gj_err[256];
 GJ_API const char* gjpeg_last_error() { return gj_err; }
 
 GJ_API void* gjpeg_parse(const uint8_t* buf, long long size) {

@@ -357,7 +357,30 @@ def main(argv=None):
             y4m_writer.write(y, fb_host["u"][i], fb_host["v"][i])
             out_count += 1
 
+    sink_dims = [None]     # (w, h) the mux/y4m sink locked on first emit
+
+    def conform_dims(out_fb, keep_idx):
+        """mux/y4m sinks have a fixed geometry: a mid-stream resolution
+        change (ingest now forwards them instead of dropping) is scaled
+        back to the established output size, like ffmpeg's auto-inserted
+        scaler — every frame survives, the file stays valid."""
+        if not len(keep_idx):
+            return out_fb
+        if sink_dims[0] is None:
+            sink_dims[0] = (out_fb.width, out_fb.height)
+            return out_fb
+        w0, h0 = sink_dims[0]
+        if (out_fb.width, out_fb.height) != (w0, h0):
+            from ..ops.resize import resize as resize_fb
+            print(f"warning: mid-stream resolution change "
+                  f"{out_fb.width}x{out_fb.height} -> conforming to the "
+                  f"established output {w0}x{h0}", file=sys.stderr)
+            out_fb = resize_fb(out_fb, w0, h0)
+        return out_fb
+
     def emit_batch(out_fb, keep_idx):
+        if sink in ("mux", "y4m"):
+            out_fb = conform_dims(out_fb, keep_idx)
         if sink == "mux":
             # 10-bit pipelines encode main10 when the codec supports it
             # (the NvEncLite 10-bit lane); everything else lands on 8-bit

@@ -87,7 +87,7 @@ def hevc_rps(args) -> int:
     dm.close()
     slices = hevc.parse_stream_slices(packets)
     pocs = hevc.derive_pocs(slices)
-    res = hevc.analyze_skippable(packets)
+    res = hevc.analyze_skippable(packets, slices=slices)
     nskip = sum(1 for _, s in res if s)
     # display_index: rank of each decode-order picture by full POC
     # (8.3.1) — correct across open-GOP boundaries and poc_lsb wrap,

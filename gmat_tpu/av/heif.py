@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import dataclasses
 import io
-import os
 import struct
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Tuple
@@ -333,10 +332,7 @@ def _encode_one_annexb(y, u, v, crf: float, lossless: bool = False) -> bytes:
     return annexb
 
 
-def _still_workers(workers: int, n: int) -> int:
-    if workers <= 0:
-        workers = os.cpu_count() or 1
-    return max(1, min(workers, n))
+from ..utils.hostpool import n_workers as _still_workers  # noqa: E402
 
 
 def encode_collection(frames, crf: float = 20.0,

@@ -697,15 +697,20 @@ def compute_pocs(packets) -> list:
     return derive_pocs(parse_stream_slices(packets))
 
 
-def analyze_skippable(packets) -> list:
+def analyze_skippable(packets, slices=None) -> list:
     """AppHevcParse's analysis over annexb HEVC packets.
 
     Returns [(poc_lsb, skippable_bool), ...] in decode order: packet i is
     skippable when packet i+1's reference picture set does not contain
     packet i's POC (AppHevcParse.cpp:186-196).  The last frame is never
     marked skippable (nothing follows to prove it unused).
+
+    slices: pre-parsed parse_stream_slices(packets) result, so callers
+    that already hold it (scan.py derives POCs too) skip the second
+    full-bitstream parse.
     """
-    slices = parse_stream_slices(packets)
+    if slices is None:
+        slices = parse_stream_slices(packets)
     out = []
     for i, sl in enumerate(slices):
         if i + 1 < len(slices):

@@ -16,7 +16,6 @@ faithful self-round-trip.
 from __future__ import annotations
 
 import ctypes
-import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Sequence, Tuple
 
@@ -32,15 +31,7 @@ from . import native
 SUBSAMP_420, SUBSAMP_444, SUBSAMP_GRAY = 0, 1, 2
 
 
-def _n_workers(workers: int, n_items: int) -> int:
-    """Per-image fan-out width: the C entropy codec is GIL-free (ctypes
-    CDLL) and keeps no mutable globals, so images entropy-code in
-    parallel across host cores — the easy parallelism the reference gets
-    from nvjpeg's fixed-function engine (AppNvjpegDec.cpp:24-67).
-    workers=0 sizes to the host; 1 forces the serial path."""
-    if workers <= 0:
-        workers = os.cpu_count() or 1
-    return max(1, min(workers, n_items))
+from ..utils.hostpool import n_workers as _n_workers  # noqa: E402
 
 
 def _pad_to(x: np.ndarray | jax.Array, mult_h: int, mult_w: int):

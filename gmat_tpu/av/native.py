@@ -111,6 +111,8 @@ def _declare(name: str, lib: ctypes.CDLL):
                                                ctypes.c_int, c_pll]),
             "gav_dec_width": (ctypes.c_int, [ctypes.c_void_p]),
             "gav_dec_height": (ctypes.c_int, [ctypes.c_void_p]),
+            "gav_dec_peek_dims": (ctypes.c_int, [ctypes.c_void_p, c_pi,
+                                                 c_pi]),
             "gav_enc_create": (ctypes.c_void_p, [ctypes.c_char_p, ctypes.c_int,
                                                  ctypes.c_int, ctypes.c_int,
                                                  ctypes.c_int, c_ll,

@@ -222,10 +222,12 @@ class MultiProcDecodeSource:
     census shape, AppNvDecPerf.cpp:155-171) or one path per worker.  All
     inputs must decode to the same resolution (one ring geometry).
 
-    Iteration order is strict round-robin over live rings, FIFO within
-    each ring — deterministic for equal-length inputs.  Worker errors
-    re-raise here; a worker that dies without reporting (SIGKILL/OOM)
-    raises RuntimeError via liveness detection.
+    Ordering guarantee: strict FIFO within each ring (per-stream decode
+    order is preserved).  ACROSS rings the consumer polls round-robin
+    but skips momentarily-empty rings, so the interleave is
+    timing-dependent — do not rely on a deterministic cross-stream
+    order.  Worker errors re-raise here; a worker that dies without
+    reporting (SIGKILL/OOM) raises RuntimeError via liveness detection.
     """
 
     def __init__(self, paths, procs: int = 0, width: int = 0,

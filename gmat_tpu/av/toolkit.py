@@ -196,9 +196,25 @@ class Decoder:
         if r < 0:
             raise IOError(f"dec send: {native.last_error()}")
 
+    def _sync_dims(self):
+        """Peek the NEXT frame's output dims (gav_dec_peek_dims holds the
+        frame until the matching receive) so a mid-stream resolution
+        change never rescales the transition frame into stale geometry.
+        Fixed-geometry decoders (resize=/explicit dims) skip this —
+        rescaling into the caller geometry is the feature there."""
+        if self._fixed:
+            return
+        pw, ph = ctypes.c_int(), ctypes.c_int()
+        if self._lib.gav_dec_peek_dims(self._h, ctypes.byref(pw),
+                                       ctypes.byref(ph)) == 1:
+            if pw.value and (pw.value, ph.value) != (self.width,
+                                                     self.height):
+                self.width, self.height = pw.value, ph.value
+
     def receive(self) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
         """-> (y, u, v, pts) or None (need more input). Raises StopIteration
         at EOF."""
+        self._sync_dims()
         if not self.width:
             self.width = self._lib.gav_dec_width(self._h)
             self.height = self._lib.gav_dec_height(self._h)
@@ -240,6 +256,7 @@ class Decoder:
         """Like receive() but -> (y, u, v, a, pts): full-res alpha plane
         (255 = opaque for alpha-less sources).  For alpha-carrying codecs
         (png/qtrle/prores4444) feeding the overlay second input."""
+        self._sync_dims()
         if not self.width:
             self.width = self._lib.gav_dec_width(self._h)
             self.height = self._lib.gav_dec_height(self._h)
@@ -298,6 +315,7 @@ class Decoder:
     def receive16(self):
         """Like receive() but 10-bit: lsb-aligned uint16 planes
         ('yuv420p10'); any source depth is normalized to 10-bit."""
+        self._sync_dims()
         if not self.width:
             self.width = self._lib.gav_dec_width(self._h)
             self.height = self._lib.gav_dec_height(self._h)

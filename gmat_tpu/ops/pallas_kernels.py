@@ -479,22 +479,6 @@ def _i8_quant_error_lsb(A) -> float:
 
 
 @lru_cache(maxsize=256)
-def _i8_ok(h: int, ch: int, out_h: int, method: str) -> bool:
-    """Cached dispatch gate: can the int8 path hold <=2 LSB for these
-    resample matrices? (The matrices depend only on dims + method, so the
-    per-batch hot path never recomputes the numpy bound.)
-
-    bilinear/nearest rows have <=2 taps whose worst 1/127-step error is
-    ~0.5 u8-LSB, hence the shortcut; wide antialiased taps must measure.
-    """
-    if method in ("bilinear", "nearest"):
-        return True
-    err = max(_i8_quant_error_lsb(resample_matrix(h, out_h, method)),
-              _i8_quant_error_lsb(resample_matrix(ch, out_h, method)))
-    return err <= 2.0
-
-
-@lru_cache(maxsize=256)
 def _rung_i8_ok(h: int, ch: int, oh: int, method: str) -> bool:
     """fused_rungs auto gate: measured quantization error of the actual
     row matrices (luma h->oh, chroma ch->oh//2) — no method shortcut."""
@@ -1385,20 +1369,19 @@ def fused_ladder_i8(y: jax.Array, u: jax.Array, v: jax.Array,
                                 method, norm, shift, interpret,
                                 crop_box=crop_box, smooth=smooth,
                                 flip=flip)
-        if fusions:
-            raise ValueError(f"{method} crop/smooth/flip at >VMEM scale "
-                             "is not fused; apply the separate ops")
         if kw_chunks != 1:
-            # >VMEM frame: the bf16 kernel has no chunked form, so take
-            # the exact XLA path
+            # >VMEM frame where int8 can't carry it (no lane-aligned
+            # chunking, or the chunked gate failed with fusions — the
+            # bf16 kernel has no chunked form): take the exact XLA path,
+            # fused ops included, as preprocess_nchw documents
             from ..core.frame import FrameBatch
             from . import fused as _fused
             fb = FrameBatch({"y": y, "u": u, "v": v}, "yuv420p",
                             w, h, colorspace)
-            return _fused.preprocess_nchw(fb, out_w, out_h, method=method,
-                                          norm=float(norm),
-                                          shift=tuple(shift),
-                                          use_pallas="never")
+            return _fused.preprocess_nchw(
+                fb, out_w, out_h, method=method, norm=float(norm),
+                shift=tuple(shift), crop_box=crop_box, flip_code=flip,
+                smooth=smooth, use_pallas="never")
         return fused_ladder(y, u, v, out_h, out_w, colorspace, method,
                             norm, shift, interpret)
     if kw_chunks > 1:

@@ -466,3 +466,42 @@ def test_metrans_proc_decode(clip, tmp_path):
     assert res["frames_out"] == NFRAMES
     f0 = decode_all(str(tmp_path / "p0_0.mp4"))
     assert len(f0) == NFRAMES and f0[0][0].shape == (120, 160)
+
+
+def test_cli_conforms_mid_stream_resolution_change(tmp_path, capsys):
+    """Mixed-resolution ingest now forwards dim changes; fixed-geometry
+    sinks (y4m/mux) must conform later frames to the established output
+    size instead of writing corrupt files."""
+    from gmat_tpu.apps.cli import main
+    from gmat_tpu.av import toolkit as tk
+    from gmat_tpu.av.rawvideo import Y4MReader
+
+    def enc_frames(w, h, n, base):
+        e = tk.Encoder("libx264", w, h, fps=(30, 1), gop=5, crf=16.0)
+        pk = []
+        for i in range(n):
+            y = np.full((h, w), base + i * 5, np.uint8)
+            u = np.full((h // 2, w // 2), 110, np.uint8)
+            v = np.full((h // 2, w // 2), 140, np.uint8)
+            pk += e.encode(y, u, v, pts=i)
+        pk += e.flush()
+        data = [p.data for p in pk]
+        data[0] = e.extradata() + data[0]
+        e.close()
+        return data
+
+    raw = str(tmp_path / "spliced.h264")
+    with open(raw, "wb") as f:
+        for d in enc_frames(320, 240, 5, 40) + enc_frames(160, 120, 5, 150):
+            f.write(d)
+    out = str(tmp_path / "conf.y4m")
+    rc = main(["-i", raw, "-o", out, "-batch", "4"])
+    assert rc == 0
+    assert "conforming" in capsys.readouterr().err
+    rd = Y4MReader(out)
+    frames = list(rd.frames())
+    rd.close()
+    assert len(frames) == 10
+    assert all(y.shape == (240, 320) for (y, u, v, *_r) in frames)
+    # the conformed tail really is the second segment's content
+    assert float(np.median(frames[-1][0])) > 120

@@ -590,3 +590,37 @@ def test_keep_avcc_direct_decode(clip):
         n += sum(1 for _ in dec.decode(None))
         dec.close()
     assert n == len(frames)
+
+
+def test_dynamic_resolution_no_transition_rescale():
+    """Every frame must come out at ITS OWN native dims — the transition
+    frame after a mid-stream SPS change used to be silently sws-rescaled
+    into the stale geometry (fixed via gav_dec_peek_dims)."""
+    def enc_frames(w, h, n, base):
+        e = tk.Encoder("libx264", w, h, fps=(30, 1), gop=5, crf=16.0)
+        pk = []
+        for i in range(n):
+            y = np.full((h, w), base + i * 5, np.uint8)
+            u = np.full((h // 2, w // 2), 110, np.uint8)
+            v = np.full((h // 2, w // 2), 140, np.uint8)
+            pk += e.encode(y, u, v, pts=i)
+        pk += e.flush()
+        data = [p.data for p in pk]
+        data[0] = e.extradata() + data[0]
+        e.close()
+        return data
+
+    d1 = enc_frames(320, 240, 5, 40)
+    d2 = enc_frames(160, 120, 5, 150)
+    dec = tk.Decoder(tk.CODEC_H264, width=320, height=240)
+    out = []
+    for d in d1 + d2:
+        out += list(dec.decode(d, -1))
+    out += list(dec.decode(None))
+    dec.close()
+    assert len(out) == 10
+    for (y, u, v, _p) in out:
+        base = float(np.median(y))
+        want = (240, 320) if base < 100 else (120, 160)
+        assert y.shape == want, (base, y.shape)
+        assert u.shape == (want[0] // 2, want[1] // 2)

@@ -222,9 +222,10 @@ def test_fused_ladder_nv12_i8(rng):
 
 def test_8k_extended_method_falls_back_to_xla(rng):
     """>VMEM frame + a method int8 can't hold: exact XLA path, right shape."""
-    from gmat_tpu.ops.pallas_kernels import fused_ladder_i8, _i8_ok
+    from gmat_tpu.ops.pallas_kernels import fused_ladder_i8, _i8_ok_composed
     h, w = 4320, 7680
-    assert not _i8_ok(h, h // 2, 64, "lanczos3")
+    assert not _i8_ok_composed(h, w, h // 2, w // 2, 64, 64, "lanczos3",
+                               None, None, None)
     y = jnp.asarray(np.full((1, h, w), 128, np.uint8))
     u = jnp.asarray(np.full((1, h // 2, w // 2), 90, np.uint8))
     v = jnp.asarray(np.full((1, h // 2, w // 2), 170, np.uint8))
@@ -243,6 +244,13 @@ def test_unchunkable_over_vmem_falls_back(rng):
     v = jnp.asarray(np.full((1, 1620, 2880), 170, np.uint8))
     out = np.asarray(fused_ladder_i8(y, u, v, 32, 32))
     assert out.shape == (1, 3, 32, 32) and np.isfinite(out).all()
+    # fused smooth/flip on an unchunkable frame must ALSO fall back to
+    # the XLA path (carrying the ops), not raise — preprocess_nchw
+    # documents the automatic fallback
+    out2 = np.asarray(fused_ladder_i8(
+        y, u, v, 32, 32, smooth=(3, 3, 0.0, 0.0, "replicate"), flip=1))
+    assert out2.shape == (1, 3, 32, 32) and np.isfinite(out2).all()
+    np.testing.assert_allclose(out2[:, :, :, ::-1], out, atol=2.5 / 255)
 
 
 def test_i8_gate_uses_crop_window_dims(rng):
