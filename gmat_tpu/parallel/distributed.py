@@ -145,6 +145,8 @@ def shard_batch_global(fb, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 def _selftest_worker(args) -> int:
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     init_distributed(coordinator_address=args.coordinator,
                      num_processes=args.num_processes,
                      process_id=args.process_id,

@@ -232,3 +232,29 @@ def test_decode_stream_multiproc_10bit(tmp_path):
     assert set(got) == set(ref) and len(got) == n
     for k in ref:
         np.testing.assert_array_equal(got[k], ref[k])
+
+
+def test_ring_wraparound_many_cycles():
+    """Counters are monotonic u64 with modular slot indexing: hundreds of
+    wrap cycles over a tiny ring must preserve every frame in order."""
+    ring = ShmRing(16, 8, slots=3)
+    rng = np.random.default_rng(9)
+    try:
+        total = 400
+        sent = 0
+        got = []
+        while len(got) < total:
+            while sent < total and ring.head - ring.tail < ring.slots:
+                y = np.full((8, 16), sent % 251, np.uint8)
+                u = rng.integers(0, 256, (4, 8)).astype(np.uint8)
+                ring.put(y, u, u, pts=sent)
+                sent += 1
+            item = ring.get_nowait()
+            if item is not None:
+                y, _u, _v, pts, *_ = item
+                assert pts == len(got)
+                assert y[0, 0] == len(got) % 251
+                got.append(pts)
+        assert got == list(range(total))
+    finally:
+        ring.close(unlink=True)
