@@ -33,28 +33,45 @@ def _bundled_weights(model: str, channels: int, hidden: int) -> str:
     of the box — the reference's demo engines are user-supplied
     (doc/Tensorrt_Filter.md:26), ours is batteries-included."""
     import os
+    name = None
     if model == "sr2x" and channels == 3 and hidden in (0, 64):
+        name = "espcn_x2.npz"
+    elif model == "denoise" and channels == 3:
+        name = "dncnn.npz"
+    if name:
         p = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "models", "weights",
-            "espcn_x2.npz")
+            os.path.abspath(__file__))), "models", "weights", name)
         if os.path.exists(p):
             return p
     return ""
 
 
+def _load_one(name, v, loaded):
+    if hasattr(v, "shape") and loaded[name].shape != v.shape:
+        raise ValueError(
+            f"weights[{name!r}] shape {loaded[name].shape} does not "
+            f"match the model's {tuple(v.shape)} — was the "
+            "checkpoint trained at a different hidden width?")
+    return jnp.asarray(loaded[name])
+
+
 def _load_weights(params, path: str):
+    """Map a flat .npz onto the model's param pytree.  Flat dicts match
+    by key; lists of layer dicts use the `layers.{i}.{name}` convention
+    (the denoise trainer's save format)."""
     if not path or path == "random":   # "random" skips the bundled npz
         return params
     loaded = dict(np.load(path))
     out = {}
     for k, v in params.items():
         if k in loaded:
-            if hasattr(v, "shape") and loaded[k].shape != v.shape:
-                raise ValueError(
-                    f"weights[{k!r}] shape {loaded[k].shape} does not "
-                    f"match the model's {tuple(v.shape)} — was the "
-                    "checkpoint trained at a different hidden width?")
-            out[k] = jnp.asarray(loaded[k])
+            out[k] = _load_one(k, v, loaded)
+        elif isinstance(v, list):
+            out[k] = [
+                {n: (_load_one(f"{k}.{i}.{n}", a, loaded)
+                     if f"{k}.{i}.{n}" in loaded else a)
+                 for n, a in layer.items()}
+                for i, layer in enumerate(v)]
         else:
             out[k] = v
     return out
@@ -98,6 +115,8 @@ class InferFilter:
             from ..models import denoise
             params = denoise.init_params(jax.random.PRNGKey(0),
                                          channels=channels)
+            if not weights:
+                weights = _bundled_weights(model, channels, 0)
             self.params = _load_weights(params, weights)
             self.apply = denoise.apply
             self.scale = 1

@@ -63,3 +63,31 @@ def test_checkpoint_exists_and_small():
     # comfortably under a MB
     assert os.path.exists(NPZ), "espcn_x2.npz must ship with the repo"
     assert os.path.getsize(NPZ) < 1 << 20
+
+
+DNCNN = os.path.join(REPO, "gmat_tpu", "models", "weights", "dncnn.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(DNCNN), reason="checkpoint not built")
+def test_bundled_denoise_removes_noise():
+    from gmat_tpu.filters.infer import InferFilter
+    from gmat_tpu.models import denoise
+    t = _trainer()
+    clean = t.make_dataset(6, 64, seed=987654)    # held-out seed
+    rng = np.random.default_rng(11)
+    noisy = np.clip(clean + rng.normal(0, 25.0 / 255, clean.shape)
+                    .astype(np.float32), 0, 1)
+    filt = InferFilter(model="denoise", precision="fp32")
+    pred = np.asarray(jax.jit(denoise.apply)(filt.params,
+                                             jnp.asarray(noisy)))
+
+    def psnr(a, b):
+        return -10 * np.log10(max(float(np.mean((a - b) ** 2)), 1e-12))
+
+    p_noisy, p_model = psnr(noisy, clean), psnr(pred, clean)
+    assert p_model > p_noisy + 3.0, (p_noisy, p_model)
+
+
+def test_denoise_checkpoint_exists_and_small():
+    assert os.path.exists(DNCNN), "dncnn.npz must ship with the repo"
+    assert os.path.getsize(DNCNN) < 1 << 20
