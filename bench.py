@@ -35,6 +35,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent XLA cache: the driver's bench run must not pay the
+    # remote tunnel's first-compile (observed: minutes when contended)
+    from gmat_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     from gmat_tpu.core.frame import FrameBatch
     from gmat_tpu.ops import fused
     from gmat_tpu.ops.pallas_kernels import fused_ladder, fused_ladder_i8
