@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 from gmat_tpu.utils.png import read_png, write_png
+from struct import error as struct_error
 
 
 @pytest.mark.parametrize("dtype,chans", [
@@ -82,3 +83,25 @@ def test_cli_png_sink_8bit(tmp_path):
     assert rc == 0
     img = read_png(str(tmp_path / "s_0.png"))
     assert img.dtype == np.uint8 and img.shape == (h, w, 3)
+
+
+def test_png_reader_survives_mutations(rng):
+    """Parser robustness parity with the JPEG/HEIF/HEVC parsers: random
+    mutations must raise clean errors (or decode), never crash/hang."""
+    import zlib
+    base = None
+    a = rng.integers(0, 256, (24, 20, 3)).astype(np.uint8)
+    import io
+    buf = io.BytesIO()
+    write_png(buf, a)
+    base = bytearray(buf.getvalue())
+    mrng = np.random.default_rng(5)
+    for _ in range(300):
+        m = bytearray(base)
+        for _ in range(mrng.integers(1, 6)):
+            m[mrng.integers(0, len(m))] = mrng.integers(0, 256)
+        try:
+            read_png(bytes(m))
+        except (IOError, zlib.error, ValueError, struct_error, EOFError):
+            pass
+
