@@ -144,6 +144,54 @@ def shard_batch_global(fb, mesh: Mesh):
 # __graft_entry__._dryrun_body).  Driven by dryrun_multihost / tests.
 # ---------------------------------------------------------------------------
 
+def _ladder_workload(args) -> dict:
+    """The PRODUCTION shape, multi-host: each host 'decodes' its own
+    frames, feeds them to its local chips, one SPMD ladder runs over the
+    global batch — then every host verifies its addressable output
+    shards bitwise against a locally-recomputed reference (proof that
+    per-host ingest + global jit == per-host local compute for the
+    embarrassingly-parallel frame axis)."""
+    import jax.numpy as jnp
+
+    from ..core.frame import FrameBatch
+    from ..ops import fused
+
+    mesh = global_mesh(n_model=1)
+    n_total = mesh.shape[DATA_AXIS] * 2
+    n_local = process_batch_size(mesh, n_total)
+    h, w = 64, 96
+    rng = np.random.default_rng(1000 + args.process_id)
+    ly = rng.integers(0, 256, (n_local, h, w)).astype(np.uint8)
+    lu = rng.integers(0, 256, (n_local, h // 2, w // 2)).astype(np.uint8)
+    lv = rng.integers(0, 256, (n_local, h // 2, w // 2)).astype(np.uint8)
+    y = feed_process_local(mesh, ly)
+    u = feed_process_local(mesh, lu)
+    v = feed_process_local(mesh, lv)
+
+    def ladder(y, u, v):
+        fb = FrameBatch({"y": y, "u": u, "v": v}, "yuv420p", w, h, "bt709")
+        return fused.preprocess_nchw(fb, 32, 32, use_pallas="never")
+
+    with mesh:
+        out = jax.jit(ladder)(y, u, v)
+        out.block_until_ready()
+    # local single-device reference for THIS host's frames
+    ref = np.asarray(jax.jit(ladder, backend="cpu")(
+        jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv)))
+    start = args.process_id * n_local
+    checked = 0
+    for shard in out.addressable_shards:
+        lo = shard.index[0].start or 0
+        block = np.asarray(shard.data)
+        np.testing.assert_allclose(
+            block, ref[lo - start:lo - start + block.shape[0]],
+            atol=1e-5)
+        checked += block.shape[0]
+    assert checked == n_local, (checked, n_local)
+    return {"workload": "ladder", "frames_checked": checked,
+            "global_batch": n_total}
+
+
 def _selftest_worker(args) -> int:
     from ..utils.compile_cache import enable as _enable_cache
     _enable_cache()
@@ -152,6 +200,16 @@ def _selftest_worker(args) -> int:
                      process_id=args.process_id,
                      local_device_count=args.devices_per_host,
                      platform="cpu")
+    if args.workload == "ladder":
+        rec = _ladder_workload(args)
+        rec.update(process=args.process_id,
+                   processes=jax.process_count(),
+                   global_devices=len(jax.devices()),
+                   local_devices=len(jax.local_devices()),
+                   loss=0.0)
+        print(json.dumps(rec), flush=True)
+        jax.distributed.shutdown()
+        return 0
     import jax.numpy as jnp
     import optax
 
@@ -230,6 +288,8 @@ def main(argv=None) -> int:
     p.add_argument("--num-processes", type=int, required=True)
     p.add_argument("--process-id", type=int, required=True)
     p.add_argument("--devices-per-host", type=int, default=4)
+    p.add_argument("--workload", choices=("train", "ladder"),
+                   default="train")
     return _selftest_worker(p.parse_args(argv))
 
 

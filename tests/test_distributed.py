@@ -79,3 +79,10 @@ def test_shard_batch_global_roundtrip():
     for k in ("y", "u", "v"):
         np.testing.assert_array_equal(np.asarray(out.planes[k]),
                                       np.asarray(fb.planes[k]))
+
+
+def test_multihost_ladder_workload_2x4():
+    """Production shape across 2 host processes: per-host frame feeding
+    into ONE global ladder; each host verifies its addressable output
+    shards against a local single-device recompute."""
+    _graft().dryrun_multihost(2, 4, timeout=240.0, workload="ladder")
