@@ -80,14 +80,14 @@ static void build_enc(const uint8_t* bits, const uint8_t* vals, int nvals,
 }
 
 // ---------------------------------------------------------------- writer
+// 64-bit accumulator: symbols (<=26 bits for code+magnitude) append
+// without per-byte work; bytes drain in batches with JPEG 0xFF stuffing.
 struct BitWriter {
     std::vector<uint8_t>& out;
-    uint32_t acc = 0;
+    uint64_t acc = 0;
     int nbits = 0;
     explicit BitWriter(std::vector<uint8_t>& o) : out(o) {}
-    void put(uint32_t bits, int n) {
-        acc = (acc << n) | (bits & ((1u << n) - 1));
-        nbits += n;
+    inline void drain() {
         while (nbits >= 8) {
             uint8_t b = (uint8_t)(acc >> (nbits - 8));
             out.push_back(b);
@@ -95,9 +95,16 @@ struct BitWriter {
             nbits -= 8;
         }
     }
+    inline void put(uint32_t bits, int n) {
+        acc = (acc << n) | (uint64_t)(bits & ((1u << n) - 1));
+        nbits += n;
+        if (nbits >= 32) drain();
+    }
     void flush() {
+        drain();
         if (nbits > 0) {
-            uint8_t b = (uint8_t)((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1));
+            uint8_t b = (uint8_t)((acc << (8 - nbits)) |
+                                  ((1 << (8 - nbits)) - 1));
             out.push_back(b);
             if (b == 0xFF) out.push_back(0x00);
             nbits = 0;
@@ -106,24 +113,33 @@ struct BitWriter {
 };
 
 static inline int bitlen(int v) {
-    int n = 0;
-    while (v) { n++; v >>= 1; }
-    return n;
+    return v ? 32 - __builtin_clz((unsigned)v) : 0;
 }
 
 static void encode_block(BitWriter& bw, const int16_t* blk, int& pred,
                          const HuffEnc& dc, const HuffEnc& ac) {
     int16_t z[64];
-    for (int i = 0; i < 64; i++) z[i] = blk[ZIGZAG[i]];
+    uint64_t mask = 0;     // bit i set = zigzag coefficient i nonzero
+    for (int i = 0; i < 64; i++) {
+        int16_t c = blk[ZIGZAG[i]];
+        z[i] = c;
+        mask |= (uint64_t)(c != 0) << i;
+    }
     int diff = z[0] - pred;
     pred = z[0];
-    int mag = diff < 0 ? -diff : diff;
-    int n = bitlen(mag);
+    int n = bitlen(diff < 0 ? -diff : diff);
     bw.put(dc.code[n], dc.len[n]);
     if (n) bw.put(diff < 0 ? diff - 1 : diff, n);
-    int run = 0;
-    for (int i = 1; i < 64; i++) {
-        if (z[i] == 0) { run++; continue; }
+    // visit only the nonzero ACs via ctz over the mask (runs fall out
+    // of index deltas) — at typical 10-20% density this skips the
+    // zero-branch entirely for ~85% of coefficients
+    mask &= ~1ull;         // drop DC
+    int last = 0;
+    while (mask) {
+        int i = __builtin_ctzll(mask);
+        mask &= mask - 1;
+        int run = i - last - 1;
+        last = i;
         while (run > 15) {
             bw.put(ac.code[0xF0], ac.len[0xF0]);   // ZRL
             run -= 16;
@@ -133,14 +149,11 @@ static void encode_block(BitWriter& bw, const int16_t* blk, int& pred,
         // quality ~100 where quantizers hit 1)
         if (v > 1023) v = 1023;
         if (v < -1023) v = -1023;
-        int m = v < 0 ? -v : v;
-        int s = bitlen(m);
-        int sym = (run << 4) | s;
-        bw.put(ac.code[sym], ac.len[sym]);
+        int s = bitlen(v < 0 ? -v : v);
+        bw.put(ac.code[(run << 4) | s], ac.len[(run << 4) | s]);
         bw.put(v < 0 ? v - 1 : v, s);
-        run = 0;
     }
-    if (run) bw.put(ac.code[0x00], ac.len[0x00]);  // EOB
+    if (last != 63) bw.put(ac.code[0x00], ac.len[0x00]);  // EOB
 }
 
 static void put_marker(std::vector<uint8_t>& o, uint8_t m) {
@@ -165,7 +178,9 @@ GJ_API int gjpeg_encode(const int16_t* yc, const int16_t* uc, const int16_t* vc,
                         const uint8_t* qluma, const uint8_t* qchroma,
                         uint8_t* outbuf, long long capacity) {
     std::vector<uint8_t> o;
-    o.reserve(1 << 16);
+    // typical 1080p output is ~0.5-1.5 MB: one upfront reservation keeps
+    // the per-byte push_back on the no-grow fast path
+    o.reserve((size_t)width * height / 2 + (1 << 16));
     put_marker(o, 0xD8);                                // SOI
     // APP0 JFIF
     put_marker(o, 0xE0); put_u16(o, 16);
@@ -258,17 +273,29 @@ struct HuffDec {
     // canonical decode: mincode/maxcode/valptr per length
     int32_t mincode[17], maxcode[17], valptr[17];
     uint8_t vals[256];
+    // fast path: next-8-bits lookup for codes <= 8 bits (covers the
+    // default tables' hottest symbols); lut_len 0 = take the slow path
+    uint8_t lut_sym[256], lut_len[256];
 };
 
 static void build_dec(const uint8_t* bits, const uint8_t* vals, int nvals,
                       HuffDec& h) {
     memcpy(h.vals, vals, nvals);
+    memset(h.lut_len, 0, sizeof h.lut_len);
     int code = 0, k = 0;
     for (int l = 1; l <= 16; l++) {
         h.valptr[l] = k;
         h.mincode[l] = code;
-        code += bits[l];
-        k += bits[l];
+        for (int i = 0; i < bits[l]; i++, k++, code++) {
+            if (l <= 8 && k < nvals) {
+                int shift = 8 - l;
+                int base = code << shift;
+                for (int s = 0; s < (1 << shift); s++) {
+                    h.lut_sym[base + s] = vals[k];
+                    h.lut_len[base + s] = (uint8_t)l;
+                }
+            }
+        }
         h.maxcode[l] = code - 1;
         code <<= 1;
         if (!bits[l]) h.maxcode[l] = -1;
@@ -278,25 +305,53 @@ static void build_dec(const uint8_t* bits, const uint8_t* vals, int nvals,
 struct BitReader {
     const uint8_t* p;
     long long n, pos = 0;
-    uint32_t acc = 0;
+    uint64_t acc = 0;      // valid bits live at positions nbits-1..0
     int nbits = 0;
     bool marker_hit = false;
-    BitReader(const uint8_t* d, long long sz) : p(d), n(sz) {}
-    int bit() {
+    bool stalled_marker = false;   // refill stopped at a real marker
+    bool buffered;         // multi-byte refill (only safe without DRI:
+                           // restart alignment pokes pos/nbits directly)
+    BitReader(const uint8_t* d, long long sz, bool bulk = false)
+        : p(d), n(sz), buffered(bulk) {}
+    // buffer one stuffing-decoded byte; false = input ended / marker
+    inline bool fill1() {
+        if (pos >= n) return false;
+        uint8_t b = p[pos++];
+        if (b == 0xFF) {
+            if (pos < n && p[pos] == 0x00) pos++;
+            else { stalled_marker = true; return false; }
+        }
+        acc = (acc << 8) | b;
+        nbits += 8;
+        return true;
+    }
+    inline void fill() {
+        if (buffered) {
+            while (nbits <= 56 && !stalled_marker && pos < n)
+                if (!fill1()) break;
+        } else if (nbits == 0) {
+            fill1();
+        }
+    }
+    inline int bit() {
         if (nbits == 0) {
-            if (pos >= n) return -1;
-            uint8_t b = p[pos++];
-            if (b == 0xFF) {
-                if (pos < n && p[pos] == 0x00) pos++;
-                else { marker_hit = true; return -1; }
+            fill();
+            if (nbits == 0) {
+                if (stalled_marker) marker_hit = true;
+                return -1;
             }
-            acc = b; nbits = 8;
         }
         nbits--;
-        return (acc >> nbits) & 1;
+        return (int)(acc >> nbits) & 1;
     }
-    int bits(int cnt) {
-        int v = 0;
+    inline int bits(int cnt) {
+        if (cnt == 0) return 0;
+        if (nbits < cnt) fill();
+        if (nbits >= cnt) {
+            nbits -= cnt;
+            return (int)(acc >> nbits) & ((1 << cnt) - 1);
+        }
+        int v = 0;                       // tail: bit-by-bit to the end
         for (int i = 0; i < cnt; i++) {
             int b = bit();
             if (b < 0) return -1;
@@ -306,7 +361,7 @@ struct BitReader {
     }
 };
 
-static int huff_decode(BitReader& br, const HuffDec& h) {
+static int huff_decode_slow(BitReader& br, const HuffDec& h) {
     int code = br.bit();
     if (code < 0) return -1;
     for (int l = 1; l <= 16; l++) {
@@ -317,6 +372,16 @@ static int huff_decode(BitReader& br, const HuffDec& h) {
         code = (code << 1) | b;
     }
     return -1;
+}
+
+static inline int huff_decode(BitReader& br, const HuffDec& h) {
+    if (br.nbits < 8) br.fill();
+    if (br.nbits >= 8) {
+        int idx = (int)(br.acc >> (br.nbits - 8)) & 0xFF;
+        int l = h.lut_len[idx];
+        if (l) { br.nbits -= l; return h.lut_sym[idx]; }
+    }
+    return huff_decode_slow(br, h);
 }
 
 static inline int extend(int v, int s) {
@@ -523,7 +588,9 @@ static bool decode_block_d(BitReader& br, const HuffDec& dc, const HuffDec& ac,
 // layout identical to the encoder's).  Returns 0 ok, -1 error.
 GJ_API int gjpeg_decode_coefs(void* h, int16_t* yc, int16_t* uc, int16_t* vc) {
     auto* f = (GjpegFile*)h;
-    BitReader br(f->scan, f->scan_size);
+    // bulk refill only without restart intervals: restart alignment
+    // manipulates pos/nbits with single-byte-buffer assumptions
+    BitReader br(f->scan, f->scan_size, f->restart == 0);
     int pred[3] = {0, 0, 0};
     int mcu_count = 0;
 
@@ -536,6 +603,7 @@ GJ_API int gjpeg_decode_coefs(void* h, int16_t* yc, int16_t* uc, int16_t* vc) {
                 br.p[br.pos + 1] >= 0xD0 && br.p[br.pos + 1] <= 0xD7)
                 br.pos += 2;
             br.marker_hit = false;
+            br.stalled_marker = false;
             pred[0] = pred[1] = pred[2] = 0;
         }
     };

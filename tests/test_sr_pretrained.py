@@ -91,3 +91,26 @@ def test_bundled_denoise_removes_noise():
 def test_denoise_checkpoint_exists_and_small():
     assert os.path.exists(DNCNN), "dncnn.npz must ship with the repo"
     assert os.path.getsize(DNCNN) < 1 << 20
+
+
+H128 = os.path.join(REPO, "gmat_tpu", "models", "weights",
+                    "espcn_x2_h128.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(H128), reason="checkpoint not built")
+def test_bundled_sr2x_h128_beats_h64():
+    """hidden=128 runs at the same MXU wall time as 64 (BENCHMARKS) and
+    must land strictly better held-out PSNR — quality for free."""
+    from gmat_tpu.filters.infer import InferFilter
+    from gmat_tpu.models import sr
+    t = _trainer()
+    hr = t.make_dataset(8, 96, seed=123456)
+    lr = t.area_down2(hr)
+
+    def psnr_of(hidden):
+        filt = InferFilter(model="sr2x", precision="fp32", hidden=hidden)
+        pred = np.asarray(jax.jit(sr.apply)(filt.params, jnp.asarray(lr)))
+        return -10 * np.log10(max(float(np.mean((pred - hr) ** 2)), 1e-12))
+
+    p64, p128 = psnr_of(0), psnr_of(128)
+    assert p128 > p64, (p64, p128)

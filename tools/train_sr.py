@@ -113,6 +113,7 @@ def main(argv=None):
     p.add_argument("--hr", type=int, default=96)
     p.add_argument("--patches", type=int, default=4096)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--hidden", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default="")
     p.add_argument("--out", default=os.path.join(
@@ -133,7 +134,8 @@ def main(argv=None):
     lrs = area_down2(hrs)
     print(f"  {time.time() - t0:.1f}s", flush=True)
 
-    params = sr.init_params(jax.random.PRNGKey(args.seed), scale=2)
+    params = sr.init_params(jax.random.PRNGKey(args.seed), scale=2,
+                            hidden=args.hidden)
     # cosine decay to ~0: the last-mile mse on smooth regions is what
     # decides PSNR vs bicubic on this dataset
     sched = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.01)
