@@ -173,10 +173,15 @@ static void put_dht(std::vector<uint8_t>& o, int cls, int id,
 }
 
 // subsamp: 0 = 4:2:0, 1 = 4:4:4, 2 = grayscale
-GJ_API int gjpeg_encode(const int16_t* yc, const int16_t* uc, const int16_t* vc,
-                        int width, int height, int subsamp,
-                        const uint8_t* qluma, const uint8_t* qchroma,
-                        uint8_t* outbuf, long long capacity) {
+// restart: MCUs per restart interval (0 = no DRI/RSTn, the default
+// wire shape; >0 writes a DRI segment and byte-aligned RSTn markers —
+// independently decodable segments, the nvjpeg-style parallel unit)
+GJ_API int gjpeg_encode_r(const int16_t* yc, const int16_t* uc,
+                          const int16_t* vc,
+                          int width, int height, int subsamp,
+                          const uint8_t* qluma, const uint8_t* qchroma,
+                          uint8_t* outbuf, long long capacity,
+                          int restart) {
     std::vector<uint8_t> o;
     // typical 1080p output is ~0.5-1.5 MB: one upfront reservation keeps
     // the per-byte push_back on the no-grow fast path
@@ -214,6 +219,11 @@ GJ_API int gjpeg_encode(const int16_t* yc, const int16_t* uc, const int16_t* vc,
         put_dht(o, 0, 1, DC_C_BITS, DC_C_VALS, 12);
         put_dht(o, 1, 1, AC_C_BITS, AC_C_VALS, 162);
     }
+    // DRI
+    if (restart > 0) {
+        put_marker(o, 0xDD); put_u16(o, 4);
+        put_u16(o, (uint16_t)restart);
+    }
     // SOS
     put_marker(o, 0xDA); put_u16(o, (uint16_t)(6 + 2 * ncomp));
     o.push_back((uint8_t)ncomp);
@@ -232,6 +242,25 @@ GJ_API int gjpeg_encode(const int16_t* yc, const int16_t* uc, const int16_t* vc,
 
     BitWriter bw(o);
     int predY = 0, predU = 0, predV = 0;
+    int mcu_count = 0, rst = 0;
+    long long total_mcus;
+    if (subsamp == 0)
+        total_mcus = (long long)((width + 15) / 16) * ((height + 15) / 16);
+    else
+        total_mcus = (long long)((width + 7) / 8) * ((height + 7) / 8);
+    long long mcus_done = 0;
+    auto restart_emit = [&](void) {
+        // byte-align (1-padding), emit RSTn, reset DC predictors —
+        // F.1.2.3: each interval decodes independently
+        mcus_done++;
+        if (restart > 0 && ++mcu_count == restart
+            && mcus_done < total_mcus) {
+            mcu_count = 0;
+            bw.flush();
+            put_marker(o, (uint8_t)(0xD0 + (rst++ & 7)));
+            predY = predU = predV = 0;
+        }
+    };
     if (subsamp == 0) {
         int mcux = (width + 15) / 16, mcuy = (height + 15) / 16;
         int ybw = mcux * 2;                 // luma blocks per row (padded)
@@ -245,6 +274,7 @@ GJ_API int gjpeg_encode(const int16_t* yc, const int16_t* uc, const int16_t* vc,
                     }
                 encode_block(bw, uc + ((long long)my * cbw + mx) * 64, predU, dcc, acc_);
                 encode_block(bw, vc + ((long long)my * cbw + mx) * 64, predV, dcc, acc_);
+                restart_emit();
             }
         }
     } else if (subsamp == 1) {
@@ -255,17 +285,29 @@ GJ_API int gjpeg_encode(const int16_t* yc, const int16_t* uc, const int16_t* vc,
                 encode_block(bw, yc + idx * 64, predY, dcl, acl);
                 encode_block(bw, uc + idx * 64, predU, dcc, acc_);
                 encode_block(bw, vc + idx * 64, predV, dcc, acc_);
+                restart_emit();
             }
     } else {
         int bwid = (width + 7) / 8, bhei = (height + 7) / 8;
-        for (long long i = 0; i < (long long)bwid * bhei; i++)
+        for (long long i = 0; i < (long long)bwid * bhei; i++) {
             encode_block(bw, yc + i * 64, predY, dcl, acl);
+            restart_emit();
+        }
     }
     bw.flush();
     put_marker(o, 0xD9);                                 // EOI
     if ((long long)o.size() > capacity) return -1;
     memcpy(outbuf, o.data(), o.size());
     return (int)o.size();
+}
+
+GJ_API int gjpeg_encode(const int16_t* yc, const int16_t* uc,
+                        const int16_t* vc,
+                        int width, int height, int subsamp,
+                        const uint8_t* qluma, const uint8_t* qchroma,
+                        uint8_t* outbuf, long long capacity) {
+    return gjpeg_encode_r(yc, uc, vc, width, height, subsamp, qluma,
+                          qchroma, outbuf, capacity, 0);
 }
 
 // ---------------------------------------------------------------- reader

@@ -76,10 +76,14 @@ def _decode_plane_gray(yc, qy):
 
 
 def encode_batch(fb: FrameBatch, quality: int = 90,
-                 workers: int = 0) -> List[bytes]:
+                 workers: int = 0, restart_mcus: int = 0) -> List[bytes]:
     """FrameBatch -> list of JPEG byte strings (full batch DCT'd on
     device in one program; per-frame entropy coding in native code,
     fanned out over `workers` host threads — see _n_workers).
+
+    restart_mcus > 0 writes DRI + RSTn markers every that many MCUs —
+    independently decodable segments (the nvjpeg-style parallel unit;
+    costs a few bytes per segment).
 
     Supports yuv420p/nv12 (4:2:0), yuv444p, and gray8."""
     qy, qc = dct.quality_tables(quality)
@@ -125,11 +129,12 @@ def encode_batch(fb: FrameBatch, quality: int = 90,
     cap = w * h * 6 + (1 << 16)
 
     def encode_one(i, buf):
-        n = lib.gjpeg_encode(
+        n = lib.gjpeg_encode_r(
             planes[0][i].ctypes.data_as(p16),
             planes[1][i].ctypes.data_as(p16),
             planes[2][i].ctypes.data_as(p16), w, h, subsamp,
-            qyp, qcp, buf.ctypes.data_as(native.c_pu8), cap)
+            qyp, qcp, buf.ctypes.data_as(native.c_pu8), cap,
+            int(restart_mcus))
         if n < 0:
             raise IOError("jpeg encode overflow")
         return buf[:n].tobytes()

@@ -213,6 +213,10 @@ def _declare(name: str, lib: ctypes.CDLL):
                                             ctypes.c_int, ctypes.c_int,
                                             ctypes.c_int, c_pu8, c_pu8,
                                             c_pu8, c_ll]),
+            "gjpeg_encode_r": (ctypes.c_int, [c_pi16, c_pi16, c_pi16,
+                                              ctypes.c_int, ctypes.c_int,
+                                              ctypes.c_int, c_pu8, c_pu8,
+                                              c_pu8, c_ll, ctypes.c_int]),
             "gjpeg_parse": (ctypes.c_void_p, [c_pu8, c_ll]),
             "gjpeg_info": (None, [ctypes.c_void_p, c_pi, c_pi, c_pi]),
             "gjpeg_qtable": (None, [ctypes.c_void_p, ctypes.c_int, c_pu8]),

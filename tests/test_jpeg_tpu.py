@@ -235,3 +235,36 @@ def test_jpeg_parallel_error_propagates(rng):
     bad = [datas[0], b"\xff\xd8garbage", datas[2]]
     with pytest.raises(IOError):
         jpeg_tpu.decode_batch(bad, workers=3)
+
+
+@pytest.mark.parametrize("subfmt", ["420", "444", "gray"])
+def test_jpeg_restart_markers_roundtrip(rng, subfmt):
+    """restart_mcus writes DRI+RSTn segments; our decoder's restart lane
+    and libavcodec must both reconstruct identical pixels."""
+    yy, u, v = smooth_yuv(rng, n=2, h=48, w=80)
+    if subfmt == "420":
+        fb = from_numpy_yuv420(yy, u, v)
+    elif subfmt == "444":
+        from gmat_tpu.core.frame import FrameBatch
+        u4 = np.repeat(np.repeat(u, 2, 1), 2, 2)
+        v4 = np.repeat(np.repeat(v, 2, 1), 2, 2)
+        fb = FrameBatch({"y": yy, "u": u4, "v": v4}, "yuv444p",
+                        yy.shape[2], yy.shape[1], "bt601")
+    else:
+        from gmat_tpu.core.frame import FrameBatch
+        fb = FrameBatch({"y": yy}, "gray8", yy.shape[2], yy.shape[1],
+                        "bt601")
+    plain = jpeg_tpu.encode_batch(fb, 88)
+    rst = jpeg_tpu.encode_batch(fb, 88, restart_mcus=3)
+    assert all(b"\xff\xdd" in d for d in rst)       # DRI present
+    assert all(b"\xff\xdd" not in d for d in plain)
+    f_plain = jpeg_tpu.decode_batch(plain)
+    f_rst = jpeg_tpu.decode_batch(rst)
+    for k in f_plain.planes:
+        np.testing.assert_array_equal(np.asarray(f_plain.planes[k]),
+                                      np.asarray(f_rst.planes[k]))
+    # avcodec cross-check on the restart stream
+    dec = tk.Decoder(tk.CODEC_MJPEG, width=fb.width, height=fb.height)
+    frames = list(dec.decode(rst[0], 0)) + list(dec.decode(None))
+    dec.close()
+    assert len(frames) == 1
