@@ -9,9 +9,13 @@
 // 64 int16 per block in *natural* (row-major) order; zigzag happens here.
 // Planes are padded to whole MCUs by the caller; SOF carries true dims.
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
 #include <vector>
 
 #define GJ_API extern "C" __attribute__((visibility("default")))
@@ -628,6 +632,68 @@ static bool decode_block_d(BitReader& br, const HuffDec& dc, const HuffDec& ac,
 
 // Decode quantized coefficients into caller buffers (padded raster block
 // layout identical to the encoder's).  Returns 0 ok, -1 error.
+static long long gj_total_mcus(const GjpegFile* f) {
+    if (f->subsamp == 0)
+        return (long long)((f->width + 15) / 16) * ((f->height + 15) / 16);
+    return (long long)((f->width + 7) / 8) * ((f->height + 7) / 8);
+}
+
+// Decode MCUs [m0, m1) with `br` positioned at their first bit; DC
+// predictors start fresh (exactly a restart segment's state).  No
+// restart handling inside — segment readers stop at the next marker.
+static bool decode_mcu_range(const GjpegFile* f, BitReader& br,
+                             long long m0, long long m1, int16_t* yc,
+                             int16_t* uc, int16_t* vc) {
+    int pred[3] = {0, 0, 0};
+    if (f->subsamp == 0) {
+        int mcux = (f->width + 15) / 16;
+        int ybw = mcux * 2;
+        for (long long m = m0; m < m1; m++) {
+            int my = (int)(m / mcux), mx = (int)(m % mcux);
+            for (int by = 0; by < 2; by++)
+                for (int bx = 0; bx < 2; bx++) {
+                    long long idx = (long long)(my * 2 + by) * ybw
+                                    + (mx * 2 + bx);
+                    if (!decode_block_d(br, f->dc[f->comp_dc[0]],
+                                        f->ac[f->comp_ac[0]], pred[0],
+                                        yc + idx * 64)) return false;
+                }
+            long long ci = (long long)my * mcux + mx;
+            if (!decode_block_d(br, f->dc[f->comp_dc[1]],
+                                f->ac[f->comp_ac[1]], pred[1],
+                                uc + ci * 64)) return false;
+            if (!decode_block_d(br, f->dc[f->comp_dc[2]],
+                                f->ac[f->comp_ac[2]], pred[2],
+                                vc + ci * 64)) return false;
+        }
+    } else if (f->subsamp == 1) {
+        for (long long i = m0; i < m1; i++) {
+            if (!decode_block_d(br, f->dc[f->comp_dc[0]],
+                                f->ac[f->comp_ac[0]], pred[0],
+                                yc + i * 64)) return false;
+            if (!decode_block_d(br, f->dc[f->comp_dc[1]],
+                                f->ac[f->comp_ac[1]], pred[1],
+                                uc + i * 64)) return false;
+            if (!decode_block_d(br, f->dc[f->comp_dc[2]],
+                                f->ac[f->comp_ac[2]], pred[2],
+                                vc + i * 64)) return false;
+        }
+    } else {
+        for (long long i = m0; i < m1; i++)
+            if (!decode_block_d(br, f->dc[f->comp_dc[0]],
+                                f->ac[f->comp_ac[0]], pred[0],
+                                yc + i * 64)) return false;
+    }
+    return true;
+}
+
+// Parallel decode over restart segments (the nvjpeg-style unit): each
+// DRI interval is independently decodable, so segments fan out across
+// threads.  Requires a well-formed RSTn layout; anything else falls
+// back to the tolerant sequential decoder.
+GJ_API int gjpeg_decode_coefs_mt(void* h, int16_t* yc, int16_t* uc,
+                                 int16_t* vc, int nthreads);
+
 GJ_API int gjpeg_decode_coefs(void* h, int16_t* yc, int16_t* uc, int16_t* vc) {
     auto* f = (GjpegFile*)h;
     // bulk refill only without restart intervals: restart alignment
@@ -690,6 +756,58 @@ GJ_API int gjpeg_decode_coefs(void* h, int16_t* yc, int16_t* uc, int16_t* vc) {
                                 pred[0], yc + i * 64)) return -1;
             restart_check();
         }
+    }
+    return 0;
+}
+
+GJ_API int gjpeg_decode_coefs_mt(void* h, int16_t* yc, int16_t* uc,
+                                 int16_t* vc, int nthreads) {
+    auto* f = (GjpegFile*)h;
+    long long total = gj_total_mcus(f);
+    if (f->restart <= 0 || nthreads <= 1 || total <= f->restart)
+        return gjpeg_decode_coefs(h, yc, uc, vc);
+    // segment k starts right after the k-th RSTn (segment 0 at offset 0)
+    std::vector<long long> seg_off{0};
+    const uint8_t* p = f->scan;
+    for (long long i = 0; i + 1 < f->scan_size; i++) {
+        if (p[i] == 0xFF) {
+            uint8_t b = p[i + 1];
+            if (b >= 0xD0 && b <= 0xD7) { seg_off.push_back(i + 2); i++; }
+            else if (b == 0x00) i++;               // stuffing
+        }
+    }
+    long long nseg = (total + f->restart - 1) / f->restart;
+    if ((long long)seg_off.size() != nseg)
+        return gjpeg_decode_coefs(h, yc, uc, vc); // malformed layout
+    std::atomic<bool> ok{true};
+    std::mutex emu;
+    std::string emsg;
+    int nt = nthreads < (int)nseg ? nthreads : (int)nseg;
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nt; t++) {
+        ts.emplace_back([&, t]() {
+            for (long long s = t; s < nseg && ok.load(); s += nt) {
+                long long m0 = s * f->restart;
+                long long m1 = m0 + f->restart;
+                if (m1 > total) m1 = total;
+                // segments hold no restart boundaries: bulk refill is
+                // safe and stops at the NEXT marker by construction
+                BitReader br(f->scan + seg_off[s],
+                             f->scan_size - seg_off[s], true);
+                if (!decode_mcu_range(f, br, m0, m1, yc, uc, vc)) {
+                    std::lock_guard<std::mutex> g(emu);
+                    emsg = "scan error in restart segment "
+                           + std::to_string((long long)s);
+                    ok.store(false);
+                }
+            }
+        });
+    }
+    for (auto& th : ts) th.join();
+    if (!ok.load()) {
+        std::lock_guard<std::mutex> g(emu);
+        snprintf(gj_err, sizeof gj_err, "%s", emsg.c_str());
+        return -1;
     }
     return 0;
 }

@@ -154,10 +154,15 @@ def encode_batch(fb: FrameBatch, quality: int = 90,
 
 
 def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601",
-                 workers: int = 0) -> FrameBatch:
+                 workers: int = 0, segment_threads: int = 0) -> FrameBatch:
     """JPEG byte strings (same dims/subsampling) -> YUV420 FrameBatch.
     Entropy decode on host (fanned out over `workers` threads — see
-    _n_workers), dequant+IDCT batched on device."""
+    _n_workers), dequant+IDCT batched on device.
+
+    segment_threads > 0 additionally parallelizes WITHIN each image
+    across restart intervals (streams carrying DRI/RSTn — e.g. our
+    encode_batch(restart_mcus=) output or camera JPEGs); streams
+    without restarts decode sequentially as before."""
     if not datas:
         raise ValueError("decode_batch: no JPEGs given")
     lib = native.load("gmat_jpeg")
@@ -188,9 +193,15 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601",
         yc = np.zeros(yb + (8, 8), np.int16)
         uc = np.zeros(cb + (8, 8), np.int16)
         vc = np.zeros(cb + (8, 8), np.int16)
-        r = lib.gjpeg_decode_coefs(hnd, yc.ctypes.data_as(p16),
-                                   uc.ctypes.data_as(p16),
-                                   vc.ctypes.data_as(p16))
+        if segment_threads > 0:
+            r = lib.gjpeg_decode_coefs_mt(hnd, yc.ctypes.data_as(p16),
+                                          uc.ctypes.data_as(p16),
+                                          vc.ctypes.data_as(p16),
+                                          int(segment_threads))
+        else:
+            r = lib.gjpeg_decode_coefs(hnd, yc.ctypes.data_as(p16),
+                                       uc.ctypes.data_as(p16),
+                                       vc.ctypes.data_as(p16))
         lib.gjpeg_free(hnd)
         if r < 0:
             raise IOError(f"jpeg scan: {lib.gjpeg_last_error().decode()}")

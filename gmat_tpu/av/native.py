@@ -32,7 +32,8 @@ def _build(name: str) -> Path:
         return out
     _LIBDIR.mkdir(exist_ok=True)
     cmd = ["g++", "-O2", "-fPIC", "-shared", "-fvisibility=hidden",
-           "-std=c++17", "-Wall", "-o", str(out)] + [str(p) for p in src_paths] + libs
+           "-std=c++17", "-Wall", "-pthread",
+           "-o", str(out)] + [str(p) for p in src_paths] + libs
     r = subprocess.run(cmd, capture_output=True, text=True)
     if r.returncode != 0:
         raise RuntimeError(f"building {name} failed:\n{r.stderr}")
@@ -218,6 +219,9 @@ def _declare(name: str, lib: ctypes.CDLL):
                                               ctypes.c_int, c_pu8, c_pu8,
                                               c_pu8, c_ll, ctypes.c_int]),
             "gjpeg_parse": (ctypes.c_void_p, [c_pu8, c_ll]),
+            "gjpeg_decode_coefs_mt": (ctypes.c_int,
+                                      [ctypes.c_void_p, c_pi16, c_pi16,
+                                       c_pi16, ctypes.c_int]),
             "gjpeg_info": (None, [ctypes.c_void_p, c_pi, c_pi, c_pi]),
             "gjpeg_qtable": (None, [ctypes.c_void_p, ctypes.c_int, c_pu8]),
             "gjpeg_decode_coefs": (ctypes.c_int, [ctypes.c_void_p, c_pi16,

@@ -268,3 +268,34 @@ def test_jpeg_restart_markers_roundtrip(rng, subfmt):
     frames = list(dec.decode(rst[0], 0)) + list(dec.decode(None))
     dec.close()
     assert len(frames) == 1
+
+
+def test_jpeg_segment_parallel_decode(rng):
+    """segment_threads fans intra-image decode across restart intervals:
+    identical coefficients to the sequential path, both for restart
+    streams and (fallback) plain ones."""
+    yy, u, v = smooth_yuv(rng, n=2, h=64, w=96)
+    fb = from_numpy_yuv420(yy, u, v)
+    rst = jpeg_tpu.encode_batch(fb, 88, restart_mcus=2)
+    seq = jpeg_tpu.decode_batch(rst)
+    par = jpeg_tpu.decode_batch(rst, segment_threads=4)
+    for k in seq.planes:
+        np.testing.assert_array_equal(np.asarray(seq.planes[k]),
+                                      np.asarray(par.planes[k]))
+    # plain stream: mt entry falls back to sequential, same result
+    plain = jpeg_tpu.encode_batch(fb, 88)
+    a = jpeg_tpu.decode_batch(plain)
+    b = jpeg_tpu.decode_batch(plain, segment_threads=4)
+    for k in a.planes:
+        np.testing.assert_array_equal(np.asarray(a.planes[k]),
+                                      np.asarray(b.planes[k]))
+
+
+def test_jpeg_segment_parallel_corrupt_segment_errors(rng):
+    yy, u, v = smooth_yuv(rng, n=1, h=64, w=96)
+    fb = from_numpy_yuv420(yy, u, v)
+    blob = bytearray(jpeg_tpu.encode_batch(fb, 88, restart_mcus=2)[0])
+    # truncate the scan hard: every path must error, not crash
+    with pytest.raises(IOError):
+        jpeg_tpu.decode_batch([bytes(blob[: len(blob) // 2])],
+                              segment_threads=4)
