@@ -223,7 +223,8 @@ GJ_API int gjpeg_encode_r(const int16_t* yc, const int16_t* uc,
         put_dht(o, 0, 1, DC_C_BITS, DC_C_VALS, 12);
         put_dht(o, 1, 1, AC_C_BITS, AC_C_VALS, 162);
     }
-    // DRI
+    // DRI (the field is 16-bit; clamp so markers and header agree)
+    if (restart > 65535) restart = 65535;
     if (restart > 0) {
         put_marker(o, 0xDD); put_u16(o, 4);
         put_u16(o, (uint16_t)restart);
@@ -335,11 +336,16 @@ static void build_dec(const uint8_t* bits, const uint8_t* vals, int nvals,
         for (int i = 0; i < bits[l]; i++, k++, code++) {
             if (l <= 8 && k < nvals) {
                 int shift = 8 - l;
-                int base = code << shift;
-                for (int s = 0; s < (1 << shift); s++) {
-                    h.lut_sym[base + s] = vals[k];
-                    h.lut_len[base + s] = (uint8_t)l;
-                }
+                long long base = (long long)code << shift;
+                // bound: a malformed DHT whose counts exceed the prefix
+                // space would index past the 256-entry LUT (untrusted
+                // input -> heap corruption); such codes can never match
+                // anyway, so skip them
+                if (base + (1 << shift) <= 256)
+                    for (int s = 0; s < (1 << shift); s++) {
+                        h.lut_sym[base + s] = vals[k];
+                        h.lut_len[base + s] = (uint8_t)l;
+                    }
             }
         }
         h.maxcode[l] = code - 1;

@@ -86,6 +86,9 @@ def encode_batch(fb: FrameBatch, quality: int = 90,
     costs a few bytes per segment).
 
     Supports yuv420p/nv12 (4:2:0), yuv444p, and gray8."""
+    if not 0 <= int(restart_mcus) <= 65535:
+        raise ValueError("restart_mcus must be 0..65535 (16-bit DRI "
+                         f"field), got {restart_mcus}")
     qy, qc = dct.quality_tables(quality)
     w, h = fb.width, fb.height
     lib = native.load("gmat_jpeg")

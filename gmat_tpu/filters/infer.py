@@ -71,6 +71,18 @@ def _load_weights(params, path: str):
         if k in loaded:
             out[k] = _load_one(k, v, loaded)
         elif isinstance(v, list):
+            # a checkpoint carrying ANY layers.* keys must carry them
+            # all: a depth-mismatched npz half-loading would silently
+            # mix trained and random weights
+            has_any = any(key.startswith(f"{k}.") for key in loaded)
+            missing = [f"{k}.{i}.{n}"
+                       for i, layer in enumerate(v)
+                       for n in layer
+                       if f"{k}.{i}.{n}" not in loaded]
+            if has_any and missing:
+                raise ValueError(
+                    f"checkpoint {path!r} is missing {missing[:3]}... — "
+                    "was it trained at a different depth?")
             out[k] = [
                 {n: (_load_one(f"{k}.{i}.{n}", a, loaded)
                      if f"{k}.{i}.{n}" in loaded else a)

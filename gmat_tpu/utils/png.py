@@ -110,9 +110,17 @@ def read_png(path_or_bytes) -> np.ndarray:
     chans = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
     if chans is None or depth not in (8, 16):
         raise IOError(f"png: unsupported color/depth {color}/{depth}")
+    if not (0 < w <= 1 << 24 and 0 < h <= 1 << 24):
+        raise IOError(f"png: implausible dimensions {w}x{h}")
     raw = zlib.decompress(idat)
     bpp = max(1, chans * depth // 8)
     stride = w * chans * (depth // 8)
+    # header-declared dims must match the decompressed payload: a
+    # corrupted IHDR would otherwise index past `raw` (or allocate
+    # multi-GB rows) — untrusted input gets a clean error instead
+    if len(raw) < h * (stride + 1):
+        raise IOError(f"png: IDAT holds {len(raw)} bytes, {w}x{h} needs "
+                      f"{h * (stride + 1)} — truncated or corrupt header")
     out = bytearray()
     prev = bytes(stride)
     for y in range(h):

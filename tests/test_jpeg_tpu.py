@@ -299,3 +299,44 @@ def test_jpeg_segment_parallel_corrupt_segment_errors(rng):
     with pytest.raises(IOError):
         jpeg_tpu.decode_batch([bytes(blob[: len(blob) // 2])],
                               segment_threads=4)
+
+
+def test_malformed_dht_no_crash(rng):
+    """A DHT whose code counts exceed the prefix-code space must not
+    corrupt memory (the 8-bit LUT build is bounds-checked): clean error
+    or tolerant decode, never a crash."""
+    yy, u, v = smooth_yuv(rng, n=1, h=32, w=48)
+    fb = from_numpy_yuv420(yy, u, v)
+    blob = bytearray(jpeg_tpu.encode_batch(fb, 85)[0])
+    i = blob.find(b"\xff\xc4")          # first DHT
+    assert i > 0
+    # counts start at i+5 (marker+len+class byte): declare way too many
+    # 1- and 2-bit codes
+    blob[i + 5] = 255
+    blob[i + 6] = 255
+    try:
+        jpeg_tpu.decode_batch([bytes(blob)])
+    except (IOError, ValueError):
+        pass
+
+
+def test_restart_mcus_range_validated(rng):
+    yy, u, v = smooth_yuv(rng, n=1, h=32, w=48)
+    fb = from_numpy_yuv420(yy, u, v)
+    with pytest.raises(ValueError, match="restart_mcus"):
+        jpeg_tpu.encode_batch(fb, 85, restart_mcus=70000)
+
+
+def test_depth_mismatched_checkpoint_rejected(tmp_path):
+    import jax
+    from gmat_tpu.filters.infer import InferFilter
+    from gmat_tpu.models import denoise
+    small = denoise.init_params(jax.random.PRNGKey(0), channels=3, depth=3)
+    flat = {}
+    for i, layer in enumerate(small["layers"]):
+        flat[f"layers.{i}.w"] = np.asarray(layer["w"])
+        flat[f"layers.{i}.b"] = np.asarray(layer["b"])
+    p = str(tmp_path / "shallow.npz")
+    np.savez(p, **flat)
+    with pytest.raises(ValueError, match="different depth"):
+        InferFilter(model="denoise", weights=p)    # model depth is 5

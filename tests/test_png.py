@@ -105,3 +105,17 @@ def test_png_reader_survives_mutations(rng):
         except (IOError, zlib.error, ValueError, struct_error, EOFError):
             pass
 
+
+
+def test_png_corrupt_ihdr_dims_clean_error(rng):
+    import io
+    a = rng.integers(0, 256, (24, 20, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    write_png(buf, a)
+    base = bytearray(buf.getvalue())
+    # IHDR payload starts at offset 16: width u32, height u32
+    for off in (16, 17, 20, 21):
+        m = bytearray(base)
+        m[off] ^= 0x40
+        with pytest.raises(IOError):
+            read_png(bytes(m))
