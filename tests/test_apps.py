@@ -505,3 +505,44 @@ def test_cli_conforms_mid_stream_resolution_change(tmp_path, capsys):
     assert all(y.shape == (240, 320) for (y, u, v, *_r) in frames)
     # the conformed tail really is the second segment's content
     assert float(np.median(frames[-1][0])) > 120
+
+
+def test_cli_conforms_mid_stream_resolution_change_mux(tmp_path, capsys):
+    """Same conformance through the encoder/mux sink: the fixed-geometry
+    encoder must never be fed mismatched planes."""
+    from gmat_tpu.apps.cli import main
+    from gmat_tpu.av import toolkit as tk
+
+    def enc_frames(w, h, n, base):
+        e = tk.Encoder("libx264", w, h, fps=(30, 1), gop=5, crf=16.0)
+        pk = []
+        for i in range(n):
+            pk += e.encode(np.full((h, w), base + i * 5, np.uint8),
+                           np.full((h // 2, w // 2), 110, np.uint8),
+                           np.full((h // 2, w // 2), 140, np.uint8), pts=i)
+        pk += e.flush()
+        d = [p.data for p in pk]
+        d[0] = e.extradata() + d[0]
+        e.close()
+        return d
+
+    raw = str(tmp_path / "spliced2.h264")
+    with open(raw, "wb") as f:
+        for d in enc_frames(160, 120, 5, 40) + enc_frames(320, 240, 5, 150):
+            f.write(d)
+    out = str(tmp_path / "conf.mp4")
+    rc = main(["-i", raw, "-o", out, "-batch", "4", "-crf", "18"])
+    assert rc == 0
+    assert "conforming" in capsys.readouterr().err
+    # decode back: 10 frames, all at the established 160x120
+    dm = tk.Demuxer(out)
+    dec = tk.Decoder.from_demuxer(dm)
+    frames = []
+    for p in dm:
+        if p.stream == 0:
+            frames += list(dec.decode(p.data, p.pts))
+    frames += list(dec.decode(None))
+    dm.close(); dec.close()
+    assert len(frames) == 10
+    assert all(f[0].shape == (120, 160) for f in frames)
+    assert float(np.median(frames[-1][0])) > 120   # upscaled 2nd segment
