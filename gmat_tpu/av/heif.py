@@ -182,6 +182,8 @@ class HeifReader:
                 self.data = f.read()
         self.items: List[HeifItem] = []
         self.primary = 1
+        self.item_types = {}       # item id -> 4cc (b'hvc1', b'grid', ...)
+        self.dimg = {}             # derived item id -> [source item ids]
         self._parse()
 
     def _parse(self):
@@ -236,6 +238,40 @@ class HeifReader:
                         ln = int.from_bytes(body[idx:idx + len_sz], "big"); idx += len_sz
                         extents.append((base + off, ln))
                     locs[iid] = extents
+            elif typ == b"iinf":
+                ver = d[s]
+                idx = s + 4
+                if ver == 0:
+                    idx += 2
+                else:
+                    idx += 4
+                for t2, s2, e2 in _iter_boxes(d, idx, e):
+                    if t2 != b"infe":
+                        continue
+                    iver = d[s2]
+                    if iver >= 2:
+                        iid = struct.unpack(">H", d[s2 + 4:s2 + 6])[0] \
+                            if iver == 2 else struct.unpack(
+                                ">I", d[s2 + 4:s2 + 8])[0]
+                        toff = s2 + (8 if iver == 2 else 10)
+                        self.item_types[iid] = d[toff:toff + 4]
+            elif typ == b"iref":
+                ver = d[s]
+                idsz = 2 if ver == 0 else 4
+                fmt = ">H" if ver == 0 else ">I"
+                for t2, s2, e2 in _iter_boxes(d, s + 4, e):
+                    if t2 != b"dimg":
+                        continue
+                    from_id = struct.unpack(fmt, d[s2:s2 + idsz])[0]
+                    cnt = struct.unpack(">H",
+                                        d[s2 + idsz:s2 + idsz + 2])[0]
+                    refs = []
+                    off = s2 + idsz + 2
+                    for _ in range(cnt):
+                        refs.append(struct.unpack(
+                            fmt, d[off:off + idsz])[0])
+                        off += idsz
+                    self.dimg[from_id] = refs
             elif typ == b"iprp":
                 for t2, s2, e2 in _iter_boxes(d, s, e):
                     if t2 == b"ipco":
@@ -388,9 +424,15 @@ def decode_stills(blobs, workers: int = 0) -> List[tuple]:
 
 
 def decode_still(data, index: Optional[int] = None):
-    """.heic bytes/path -> (y, u, v) I420 planes."""
+    """.heic bytes/path -> (y, u, v) I420 planes.
+
+    Handles plain hvc1 items AND 'grid' derived items (tiled large
+    stills — the layout phone HEICs use for >4K images): tiles decode
+    individually and assemble onto the output canvas."""
     rdr = HeifReader(data)
     item = rdr.read_image(index)
+    if rdr.item_types.get(item.item_id) == b"grid":
+        return _decode_grid(rdr, item)
     dec = tk.Decoder(tk.CODEC_HEVC, width=item.width, height=item.height)
     frames = list(dec.decode(item.to_annexb(), 0)) + list(dec.decode(None))
     dec.close()
@@ -398,6 +440,191 @@ def decode_still(data, index: Optional[int] = None):
         raise IOError("HEVC still decode produced no frame")
     y, u, v, _ = frames[0]
     return y, u, v
+
+
+def _parse_grid_payload(payload: bytes):
+    """ImageGrid (ISO 23008-12 6.6.2.3.2): rows/cols and output dims."""
+    if len(payload) < 8:
+        raise IOError("grid item payload too short")
+    flags = payload[1]
+    rows = payload[2] + 1
+    cols = payload[3] + 1
+    if flags & 1:
+        if len(payload) < 12:
+            raise IOError("grid item payload too short (32-bit dims)")
+        w, h = struct.unpack(">II", payload[4:12])
+    else:
+        w, h = struct.unpack(">HH", payload[4:8])
+    return rows, cols, w, h
+
+
+def _decode_grid(rdr: "HeifReader", grid: HeifItem):
+    rows, cols, out_w, out_h = _parse_grid_payload(grid.data)
+    tile_ids = rdr.dimg.get(grid.item_id)
+    if not tile_ids or len(tile_ids) != rows * cols:
+        raise IOError(f"grid {grid.item_id}: expected {rows * cols} dimg "
+                      f"tile refs, found {tile_ids}")
+    by_id = {it.item_id: it for it in rdr.items}
+    dec = None
+    dims = None
+    ty = tu = tv = None
+    canvas = None
+    for k, tid in enumerate(tile_ids):
+        t = by_id.get(tid)
+        if t is None:
+            raise IOError(f"grid tile {tid} missing")
+        if dec is None or (t.width, t.height) != dims:
+            if dec is not None:
+                dec.close()
+            dec = tk.Decoder(tk.CODEC_HEVC, width=t.width, height=t.height)
+            dims = (t.width, t.height)
+        frames = list(dec.decode(t.to_annexb(), 0)) + list(dec.decode(None))
+        dec.reset()
+        if not frames:
+            raise IOError(f"grid tile {tid} decoded no frame")
+        ty, tu, tv, _ = frames[0]
+        th, tw = ty.shape
+        if canvas is None:
+            canvas = (np.zeros((rows * th, cols * tw), np.uint8),
+                      np.zeros((rows * th // 2, cols * tw // 2), np.uint8),
+                      np.zeros((rows * th // 2, cols * tw // 2), np.uint8))
+        r, c = divmod(k, cols)
+        canvas[0][r * th:(r + 1) * th, c * tw:(c + 1) * tw] = ty
+        canvas[1][r * th // 2:(r * th + th) // 2,
+                  c * tw // 2:(c * tw + tw) // 2] = tu
+        canvas[2][r * th // 2:(r * th + th) // 2,
+                  c * tw // 2:(c * tw + tw) // 2] = tv
+    if dec is not None:
+        dec.close()
+    # spec: the reconstructed image is the canvas cropped to the grid's
+    # declared output size (top-left anchored)
+    return (canvas[0][:out_h, :out_w],
+            canvas[1][:out_h // 2, :out_w // 2],
+            canvas[2][:out_h // 2, :out_w // 2])
+
+
+def write_grid(tile_annexbs: List[bytes], rows: int, cols: int,
+               out_w: int, out_h: int) -> bytes:
+    """Tile HEVC stills (row-major, uniform coded size) -> one .heic
+    whose primary item is a 'grid' derived image (ISO 23008-12 6.6.2.3;
+    the layout real-world phone HEICs use for large images)."""
+    if len(tile_annexbs) != rows * cols:
+        raise ValueError(f"need {rows * cols} tiles, got "
+                         f"{len(tile_annexbs)}")
+    if len(tile_annexbs) > 62:
+        raise ValueError("grid limited to 62 tiles (7-bit ipma indices)")
+    tiles = []                           # (hvcc, lp_data, w, h)
+    w = HeifWriter()
+    for ab in tile_annexbs:
+        w.add_image(ab)
+    tiles = w._items
+    n = len(tiles)
+    gid = n + 1
+    big = out_w > 0xFFFF or out_h > 0xFFFF
+    grid_payload = bytes([0, 1 if big else 0, rows - 1, cols - 1]) + (
+        struct.pack(">II", out_w, out_h) if big
+        else struct.pack(">HH", out_w, out_h))
+
+    hdlr = _full(b"hdlr", 0, 0,
+                 b"\0\0\0\0" + b"pict" + b"\0" * 12 + b"gmat\0")
+    pitm = _full(b"pitm", 0, 0, struct.pack(">H", gid))
+    infes = b""
+    for i in range(1, n + 1):
+        # flags bit0 = hidden: tiles are not standalone presentations
+        infes += _full(b"infe", 2, 1,
+                       struct.pack(">HH", i, 0) + b"hvc1" + b"\0")
+    infes += _full(b"infe", 2, 0,
+                   struct.pack(">HH", gid, 0) + b"grid" + b"\0")
+    iinf = _full(b"iinf", 0, 0, struct.pack(">H", n + 1) + infes)
+    iref = _full(b"iref", 0, 0, _box(
+        b"dimg", struct.pack(">HH", gid, n)
+        + b"".join(struct.pack(">H", i) for i in range(1, n + 1))))
+    props = b""
+    assoc = b""
+    for i, (rec, data, tw, th) in enumerate(tiles, start=1):
+        props += _box(b"hvcC", rec)
+        props += _full(b"ispe", 0, 0, struct.pack(">II", tw, th))
+        assoc += struct.pack(">HB", i, 2)
+        assoc += bytes([0x80 | (2 * i - 1), 2 * i])
+    props += _full(b"ispe", 0, 0, struct.pack(">II", out_w, out_h))
+    assoc += struct.pack(">HB", gid, 1) + bytes([2 * n + 1])
+    ipco = _box(b"ipco", props)
+    ipma = _full(b"ipma", 0, 0, struct.pack(">I", n + 1) + assoc)
+    iprp = _box(b"iprp", ipco + ipma)
+    payloads = [d for (_, d, _, _) in tiles] + [grid_payload]
+
+    def meta(offsets):
+        iloc_items = b""
+        for iid, (off, d_) in enumerate(zip(offsets, payloads), start=1):
+            iloc_items += struct.pack(">HHH", iid, 0, 1)
+            iloc_items += struct.pack(">II", off, len(d_))
+        iloc = _full(b"iloc", 0, 0,
+                     struct.pack(">BBH", 0x44, 0x00, n + 1) + iloc_items)
+        return _box(b"meta",
+                    b"\0\0\0\0" + hdlr + pitm + iloc + iinf + iref + iprp)
+
+    ftyp = _box(b"ftyp", b"heic" + struct.pack(">I", 0) + b"mif1heic")
+    probe = meta([0] * (n + 1))
+    base = len(ftyp) + len(probe) + 8
+    offsets = []
+    off = base
+    for d_ in payloads:
+        offsets.append(off)
+        off += len(d_)
+    out = meta(offsets)
+    assert len(out) == len(probe)
+    return ftyp + out + _box(b"mdat", b"".join(payloads))
+
+
+def encode_still_grid(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                      tile: int = 512, crf: float = 20.0,
+                      workers: int = 0) -> bytes:
+    """Large I420 still -> tiled 'grid' .heic: edge tiles are padded to
+    the uniform coded tile size (the declared output dims crop them
+    back), tiles encode in parallel across host threads."""
+    h, w = y.shape
+    tile = int(tile) & ~1
+    if tile < 64:
+        raise ValueError("tile must be >= 64 (and even)")
+    rows = (h + tile - 1) // tile
+    cols = (w + tile - 1) // tile
+    if rows * cols > 62:
+        raise ValueError(f"{rows}x{cols} tiles exceed the 62-tile grid "
+                         "limit; use a larger tile size")
+
+    def tile_planes(r, c):
+        y0, x0 = r * tile, c * tile
+        ty = np.zeros((tile, tile), np.uint8)
+        tu = np.full((tile // 2, tile // 2), 128, np.uint8)
+        tv = np.full((tile // 2, tile // 2), 128, np.uint8)
+        sy = y[y0:y0 + tile, x0:x0 + tile]
+        ty[: sy.shape[0], : sy.shape[1]] = sy
+        su = u[y0 // 2:(y0 + tile) // 2, x0 // 2:(x0 + tile) // 2]
+        sv = v[y0 // 2:(y0 + tile) // 2, x0 // 2:(x0 + tile) // 2]
+        tu[: su.shape[0], : su.shape[1]] = su
+        tv[: sv.shape[0], : sv.shape[1]] = sv
+        # edge-pad the remainder so tile borders don't ring
+        if sy.shape[0] < tile:
+            ty[sy.shape[0]:] = ty[sy.shape[0] - 1]
+            tu[su.shape[0]:] = tu[max(su.shape[0] - 1, 0)]
+            tv[sv.shape[0]:] = tv[max(sv.shape[0] - 1, 0)]
+        if sy.shape[1] < tile:
+            ty[:, sy.shape[1]:] = ty[:, sy.shape[1] - 1:sy.shape[1]]
+            tu[:, su.shape[1]:] = tu[:, max(su.shape[1] - 1, 0):][:, :1]
+            tv[:, sv.shape[1]:] = tv[:, max(sv.shape[1] - 1, 0):][:, :1]
+        return ty, tu, tv
+
+    coords = [(r, c) for r in range(rows) for c in range(cols)]
+    nw = _still_workers(workers, len(coords))
+    if nw <= 1:
+        abs_ = [_encode_one_annexb(*tile_planes(r, c), crf)
+                for (r, c) in coords]
+    else:
+        with ThreadPoolExecutor(nw) as pool:
+            abs_ = list(pool.map(
+                lambda rc: _encode_one_annexb(*tile_planes(*rc), crf),
+                coords))
+    return write_grid(abs_, rows, cols, w, h)
 
 
 def decode_all(data):
@@ -409,6 +636,8 @@ def decode_all(data):
     dec = None
     dims = None
     for item in rdr.items:
+        if rdr.item_types.get(item.item_id, b"hvc1") != b"hvc1":
+            continue               # grid descriptors etc. are not AUs
         if dec is None or (item.width, item.height) != dims:
             if dec is not None:
                 dec.close()

@@ -290,3 +290,46 @@ def test_heif_sequence_edit_list_zero_start():
     # bf=0 sequences need no edit list
     blob0 = heif.encode_sequence(frames[:6], fps=30, crf=12.0, gop=6, bf=0)
     assert b"elst" not in blob0
+
+
+def test_heif_grid_roundtrip():
+    """'grid' derived items (tiled large stills, the phone-HEIC layout):
+    encode a non-tile-aligned image as a 2x2-ish grid, decode via the
+    grid assembly path — exact dims, content within codec tolerance."""
+    h, w = 150, 200                      # not multiples of the tile
+    rng = np.random.default_rng(3)
+    base = np.add.outer(np.linspace(30, 200, h), np.linspace(0, 40, w))
+    y = (base + rng.normal(0, 2, (h, w))).clip(0, 255).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 108, np.uint8)
+    v = np.full((h // 2, w // 2), 146, np.uint8)
+    blob = heif.encode_still_grid(y, u, v, tile=128, crf=14.0)
+    rdr = heif.HeifReader(blob)
+    assert rdr.item_types[rdr.primary] == b"grid"
+    assert len(rdr.dimg[rdr.primary]) == 4          # 2x2 tiles
+    yd, ud, vd = heif.decode_still(blob)
+    assert yd.shape == (h, w)
+    assert ud.shape == (h // 2, w // 2)
+    assert np.abs(yd.astype(int) - y.astype(int)).mean() < 3.0
+    assert np.abs(ud.astype(int) - u.astype(int)).mean() < 3.0
+
+
+def test_heif_grid_parallel_matches_serial():
+    h, w = 130, 260
+    rng = np.random.default_rng(5)
+    y = rng.integers(40, 200, (h, w)).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    v = np.full((h // 2, w // 2), 130, np.uint8)
+    a = heif.encode_still_grid(y, u, v, tile=128, crf=18.0, workers=1)
+    b = heif.encode_still_grid(y, u, v, tile=128, crf=18.0, workers=4)
+    assert a == b                        # deterministic tile encodes
+    ya, _, _ = heif.decode_still(a)
+    assert ya.shape == (h, w)
+
+
+def test_heif_grid_validation():
+    with pytest.raises(ValueError, match="62-tile"):
+        y = np.zeros((4096, 4096), np.uint8)
+        u = np.zeros((2048, 2048), np.uint8)
+        heif.encode_still_grid(y, u, u, tile=128)
+    with pytest.raises(ValueError, match="tiles"):
+        heif.write_grid([b""] * 3, 2, 2, 100, 100)
