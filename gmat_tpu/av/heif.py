@@ -683,8 +683,12 @@ class HeifSequenceWriter:
     """HEVC access units -> 'msf1' HEIF image sequence (one video track,
     handler 'pict')."""
 
-    def __init__(self, fps: int = 30):
+    def __init__(self, fps: int = 30, presentation_delay: int = 0):
         self.fps = fps
+        # >0 delays the whole presentation by that many media ticks via a
+        # leading empty edit (elst media_time == -1), the multi-entry form
+        # players use for A/V start-offset alignment
+        self.presentation_delay = int(presentation_delay)
         self.samples: List[bytes] = []
         self.sync: List[int] = []
         self.pts: List[Optional[int]] = []   # composition time (ticks)
@@ -797,14 +801,23 @@ class HeifSequenceWriter:
                      b"".join(_u32(i) for i in self.sync))
         # B-frame reordering delays the first composition time past 0; a
         # compliant writer shifts presentation back with an edit list so
-        # playback starts at t=0 (what libavformat/players expect)
+        # playback starts at t=0 (what libavformat/players expect).  A
+        # requested presentation_delay additionally prepends an empty edit
+        # (media_time == -1) — the standard multi-entry elst form.  Movie
+        # and media timescales are identical here (both self.fps), so
+        # empty-edit durations need no rescale.
         edts = b""
+        cts0 = 0
         if offs is not None:
             cts0 = min(sum(durs[:i]) + offs[i] for i in range(n))
-            if cts0 > 0:
-                edts = _box(b"edts", _full(
-                    b"elst", 0, 0,
-                    _u32(1) + _u32(dur) + _u32(cts0) + _u16(1) + _u16(0)))
+        if cts0 > 0 or self.presentation_delay > 0:
+            entries = []
+            if self.presentation_delay > 0:
+                entries.append(_u32(self.presentation_delay) +
+                               struct.pack(">i", -1) + _u16(1) + _u16(0))
+            entries.append(_u32(dur) + _u32(cts0) + _u16(1) + _u16(0))
+            edts = _box(b"edts", _full(
+                b"elst", 0, 0, _u32(len(entries)) + b"".join(entries)))
         vmhd = _full(b"vmhd", 0, 1, _u16(0) + _u16(0) * 3)
         dinf = _box(b"dinf", _full(b"dref", 0, 0,
                                    _u32(1) + _full(b"url ", 0, 1, b"")))
@@ -843,7 +856,10 @@ class HeifSequenceReader:
         self.width = self.height = 0
         sizes, chunk_off = [], 0
         stts_runs, ctts_runs = [], []
-        elst_media_time = 0
+        # (segment_duration[movie ts], media_time[media ts], rate) per
+        # elst entry, in file order
+        self.edits: List[tuple] = []
+        movie_timescale = media_timescale = 0
         moov_span = None
         for typ, s, e in _iter_boxes(d):
             if typ == b"moov":
@@ -853,22 +869,34 @@ class HeifSequenceReader:
 
         def walk(s, e):
             nonlocal sizes, chunk_off
-            nonlocal elst_media_time
+            nonlocal movie_timescale, media_timescale
             for typ, s2, e2 in _iter_boxes(d, s, e):
                 if typ in (b"trak", b"mdia", b"minf", b"stbl", b"edts"):
                     walk(s2, e2)
+                elif typ == b"mvhd":
+                    ver = d[s2]
+                    off = s2 + (4 + 16 if ver == 1 else 4 + 8)
+                    movie_timescale = struct.unpack(
+                        ">I", d[off:off + 4])[0]
+                elif typ == b"mdhd":
+                    ver = d[s2]
+                    off = s2 + (4 + 16 if ver == 1 else 4 + 8)
+                    media_timescale = struct.unpack(
+                        ">I", d[off:off + 4])[0]
                 elif typ == b"elst":
                     ver = d[s2]
                     cnt = struct.unpack(">I", d[s2 + 4:s2 + 8])[0]
-                    if cnt >= 1:
+                    esz = 20 if ver == 1 else 12
+                    p = s2 + 8
+                    for _ in range(min(cnt, max(0, (e2 - p) // esz))):
                         if ver == 1:
-                            mt = struct.unpack(
-                                ">q", d[s2 + 16:s2 + 24])[0]
+                            sd, mt = struct.unpack(">Qq", d[p:p + 16])
+                            ri, rf = struct.unpack(">hH", d[p + 16:p + 20])
                         else:
-                            mt = struct.unpack(
-                                ">i", d[s2 + 12:s2 + 16])[0]
-                        if mt > 0:        # -1 = empty edit; ignore
-                            elst_media_time = mt
+                            sd, mt = struct.unpack(">Ii", d[p:p + 8])
+                            ri, rf = struct.unpack(">hH", d[p + 8:p + 12])
+                        self.edits.append((sd, mt, ri + rf / 65536.0))
+                        p += esz
                 elif typ == b"stsd":
                     entry = d[s2 + 8:e2]
                     if entry[4:8] == b"hvc1":
@@ -925,9 +953,25 @@ class HeifSequenceReader:
         for c, v in ctts_runs:
             offs += [v] * c
         offs = (offs + [0] * n)[:n]
-        # edit list shifts presentation so the first displayed sample
-        # lands at t=0 (the writer emits one when B-delay pushes CT(0)>0)
-        self.sample_pts = [d_ + o - elst_media_time
+        # Edit list -> presentation shift (ISO 14496-12 8.6.6): leading
+        # empty edits (media_time == -1, duration in MOVIE timescale)
+        # delay the presentation; the first media edit's media_time is
+        # where playback enters the track.  shift = empty_delay - entry
+        # point, applied uniformly.  Rate-changing entries past the entry
+        # point are exposed via self.edits for callers but don't remap
+        # the per-sample grid (players dwell/skip; sample times don't
+        # move).
+        shift = 0
+        for sd, mt, _rate in self.edits:
+            if mt < 0:                    # empty edit: movie-ts ticks
+                if movie_timescale and media_timescale:
+                    shift += round(sd * media_timescale / movie_timescale)
+                else:
+                    shift += sd
+            else:
+                shift -= mt
+                break
+        self.sample_pts = [d_ + o + shift
                            for d_, o in zip(self.sample_dts, offs)]
 
     def display_order(self) -> List[int]:
@@ -951,19 +995,22 @@ class HeifSequenceReader:
 
 
 def encode_sequence(frames, fps: int = 30, crf: float = 22.0,
-                    gop: int = 30, bf: int = 0) -> bytes:
+                    gop: int = 30, bf: int = 0,
+                    presentation_delay: int = 0) -> bytes:
     """[(y,u,v), ...] -> inter-coded HEIF image sequence bytes.
 
     bf>0 enables B-frames: samples land in the container in decode
     order with real stts/ctts timing (composition offsets from the
     encoder's pts/dts), so compliant players present display order —
     the NvHeifWriter sequence-timing behavior (NvHeifWriter.cpp:272-469).
+    presentation_delay>0 (media ticks) prepends an empty edit-list
+    entry delaying playback — the multi-entry elst form.
     """
     first = frames[0][0]
     h, w = first.shape
     enc = tk.Encoder("libx265", w, h, fps=(fps, 1), gop=gop, crf=crf,
                      bf=bf, opts="x265-params=log-level=0")
-    wtr = HeifSequenceWriter(fps)
+    wtr = HeifSequenceWriter(fps, presentation_delay=presentation_delay)
     pending = []
     for i, (y, u, v) in enumerate(frames):
         pending += enc.encode(y, u, v, pts=i)

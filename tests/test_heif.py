@@ -292,6 +292,68 @@ def test_heif_sequence_edit_list_zero_start():
     assert b"elst" not in blob0
 
 
+def test_heif_sequence_multientry_elst():
+    # multi-entry edit list: empty edit (presentation delay) + media
+    # edit (B-delay entry point).  Reader applies both: every pts shifts
+    # by the delay, presentation starts at t=delay.
+    frames = _indexed_frames(12)
+    base = heif.encode_sequence(frames, fps=30, crf=12.0, gop=12, bf=2)
+    delayed = heif.encode_sequence(frames, fps=30, crf=12.0, gop=12,
+                                   bf=2, presentation_delay=9)
+    r0 = heif.HeifSequenceReader(base)
+    r1 = heif.HeifSequenceReader(delayed)
+    assert len(r1.edits) == 2
+    assert r1.edits[0][1] == -1            # empty edit first
+    assert r1.edits[0][0] == 9
+    assert r1.sample_pts == [p + 9 for p in r0.sample_pts]
+    assert min(r1.sample_pts) == 9
+    # decode order/content unaffected by the uniform shift
+    decoded = heif.decode_sequence(delayed)
+    assert [_fidx(y) for (y, _, _) in decoded] == list(range(12))
+    # libavformat still demuxes the container (edit lists are mov-core)
+    dm = tk.Demuxer(bytes(delayed))
+    assert len([p for p in dm if p.stream == 0]) == 12
+    dm.close()
+    # delay on a bf=0 sequence: the elst appears even without ctts
+    d0 = heif.encode_sequence(frames[:6], fps=30, crf=12.0, gop=6,
+                              bf=0, presentation_delay=4)
+    rr = heif.HeifSequenceReader(d0)
+    assert b"elst" in d0 and min(rr.sample_pts) == 4
+
+
+def test_heif_sequence_rate_entry_tolerated():
+    # a rate-changing entry past the entry point must not disturb the
+    # per-sample grid; it is recorded in .edits for callers
+    import struct as _s
+    frames = _indexed_frames(8)
+    blob = heif.encode_sequence(frames, fps=30, crf=12.0, gop=8, bf=2)
+    r0 = heif.HeifSequenceReader(blob)
+    i = blob.find(b"elst")                 # type offset; size at i-4
+    assert i > 0
+    # writer emits one v0 entry: box = 4 size + 4 type + 4 verflags +
+    # 4 count + 12 entry = 28 bytes, spanning [i-4, i+24)
+    assert _s.unpack(">I", blob[i - 4:i])[0] == 28
+    assert _s.unpack(">I", blob[i + 8:i + 12])[0] == 1
+    entry = blob[i + 12:i + 24]
+    tail = entry[:8] + _s.pack(">hH", 2, 0)      # same span, rate 2.0
+    new_box = (_s.pack(">I", 40) + b"elst" + blob[i + 4:i + 8] +
+               _s.pack(">I", 2) + entry + tail)
+    out = bytearray(blob[:i - 4] + new_box + blob[i + 24:])
+    # grow the ancestor box sizes (moov > trak > edts) by 12
+    for anc in (b"moov", b"trak", b"edts"):
+        j = out.find(anc)
+        sz = _s.unpack(">I", out[j - 4:j])[0]
+        out[j - 4:j] = _s.pack(">I", sz + 12)
+    # stco offsets shifted by 12 too: fix the single chunk offset
+    k = out.find(b"stco")
+    off = _s.unpack(">I", out[k + 12:k + 16])[0]
+    out[k + 12:k + 16] = _s.pack(">I", off + 12)
+    r1 = heif.HeifSequenceReader(bytes(out))
+    assert len(r1.edits) == 2 and r1.edits[1][2] == 2.0
+    assert r1.sample_pts == r0.sample_pts
+    assert r1.frames == r0.frames
+
+
 def test_heif_grid_roundtrip():
     """'grid' derived items (tiled large stills, the phone-HEIC layout):
     encode a non-tile-aligned image as a 2x2-ish grid, decode via the
