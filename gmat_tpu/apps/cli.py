@@ -31,7 +31,12 @@ def build_parser():
     p.add_argument("-o", "--output", default="null",
                    help="output file (.mp4/.mkv), 'null', or pattern%%d.jpg")
     p.add_argument("-c:v", "--vcodec", dest="vcodec", default="libx264",
-                   help="libx264|libx265|mjpeg")
+                   help="libx264|libx265|mjpeg|mjpeg_tpu (mjpeg_tpu: "
+                        "batched DCT/quant on the TPU MXU, host entropy "
+                        "coding — the NVENC-analog device-assisted lane)")
+    p.add_argument("-q:v", "--qscale", dest="qv", type=float, default=0,
+                   help="mjpeg_tpu quality: 1-31 = ffmpeg qscale "
+                        "(lower better), 32-100 = JPEG quality directly")
     p.add_argument("-c:a", "--acodec", dest="acodec", default="",
                    help="audio codec (aac|ac3|mp2); empty drops audio")
     p.add_argument("-af", dest="af", default="",
@@ -329,6 +334,47 @@ def main(argv=None):
                 mux.write(pkt)
             out_count += 1
 
+    def emit_mjpeg_tpu(out_fb, keep_idx):
+        """-c:v mjpeg_tpu: the device-assisted video encoder — the whole
+        batch's DCT/quant runs on the TPU MXU in one jitted program
+        (limited->full JFIF range expansion fused in), the native entropy
+        coder emits standards-compliant MJPEG packets straight into the
+        muxer.  The NVENC-analog lane: device does the transform math,
+        host does the bitstream."""
+        nonlocal out_count, mux
+        from ..av import jpeg_tpu
+        from ..core.frame import FrameBatch
+        if not len(keep_idx):
+            return
+        if out_fb.format not in ("yuv420p", "yuv444p", "gray8"):
+            out_fb = csc.convert(out_fb, "yuv420p")
+        if mux is None:
+            if args.acodec:
+                raise SystemExit("mjpeg_tpu is a video-only lane "
+                                 "(drop -c:a)")
+            mux = tk.Muxer(args.output, out_fb.width, out_fb.height,
+                           fps_tuple, **tk.mux_kwargs_for_encoder("mjpeg"))
+        planes = out_fb.planes
+        if len(keep_idx) != out_fb.batch:
+            idx = np.asarray(keep_idx)
+            planes = {k: v[idx] for k, v in planes.items()}
+        sub = FrameBatch(planes, out_fb.format, out_fb.width,
+                         out_fb.height, out_fb.colorspace)
+        qv = args.qv
+        if qv <= 0:
+            q = 90
+        elif qv <= 31:
+            # ffmpeg mjpeg qscale -> IJG scale percent -> JPEG quality
+            s = 6.25 * qv
+            q = int(round((200 - s) / 2 if s <= 100 else 5000.0 / s))
+        else:
+            q = int(round(min(qv, 100)))
+        for d_ in jpeg_tpu.encode_batch(sub, quality=max(1, q),
+                                        workers=args.threads,
+                                        expand_range=True):
+            mux.write(tk.Packet(d_, out_count, out_count, True, False, 0))
+            out_count += 1
+
     def emit_jpeg(rgb_host, keep_idx):
         nonlocal out_count
         from ..av.jpeg import encode_rgb_to_jpeg
@@ -381,7 +427,9 @@ def main(argv=None):
     def emit_batch(out_fb, keep_idx):
         if sink in ("mux", "y4m"):
             out_fb = conform_dims(out_fb, keep_idx)
-        if sink == "mux":
+        if sink == "mux" and args.vcodec == "mjpeg_tpu":
+            emit_mjpeg_tpu(out_fb, keep_idx)
+        elif sink == "mux":
             # 10-bit pipelines encode main10 when the codec supports it
             # (the NvEncLite 10-bit lane); everything else lands on 8-bit
             want10 = (out_fb.format == "yuv420p10"
@@ -461,6 +509,8 @@ def main(argv=None):
             mux.write(pkt)
         mux.close()
         enc.close()
+    elif mux is not None:          # mjpeg_tpu lane: no host encoder
+        mux.close()
     if y4m_writer is not None:
         y4m_writer.close()
     dt = watch.stop()

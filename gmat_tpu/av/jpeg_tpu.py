@@ -53,8 +53,25 @@ def _pad_to_size(x: np.ndarray | jax.Array, th: int, tw: int):
     return x
 
 
-@jax.jit
-def _encode_coefs_420(y, u, v, qy, qc):
+def _expand_full(x, luma: bool):
+    """Limited (MPEG) -> full (JFIF) range, fused into the coef program.
+    Y: (y-16)*255/219; C: (c-128)*255/224 + 128."""
+    x = x.astype(jnp.float32)
+    if luma:
+        x = (x - 16.0) * (255.0 / 219.0)
+    else:
+        x = (x - 128.0) * (255.0 / 224.0) + 128.0
+    return jnp.clip(x, 0.0, 255.0)
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnums=(5,))
+def _encode_coefs_420(y, u, v, qy, qc, expand=False):
+    if expand:
+        y, u, v = (_expand_full(y, True), _expand_full(u, False),
+                   _expand_full(v, False))
     return (dct.encode_plane(y, qy), dct.encode_plane(u, qc),
             dct.encode_plane(v, qc))
 
@@ -65,8 +82,10 @@ def _decode_planes_420(yc, uc, vc, qy, qc):
             dct.decode_plane(vc, qc))
 
 
-@jax.jit
-def _encode_coefs_gray(y, qy):
+@_partial(jax.jit, static_argnums=(2,))
+def _encode_coefs_gray(y, qy, expand=False):
+    if expand:
+        y = _expand_full(y, True)
     return dct.encode_plane(y, qy)
 
 
@@ -76,7 +95,8 @@ def _decode_plane_gray(yc, qy):
 
 
 def encode_batch(fb: FrameBatch, quality: int = 90,
-                 workers: int = 0, restart_mcus: int = 0) -> List[bytes]:
+                 workers: int = 0, restart_mcus: int = 0,
+                 expand_range: bool = False) -> List[bytes]:
     """FrameBatch -> list of JPEG byte strings (full batch DCT'd on
     device in one program; per-frame entropy coding in native code,
     fanned out over `workers` host threads — see _n_workers).
@@ -84,6 +104,10 @@ def encode_batch(fb: FrameBatch, quality: int = 90,
     restart_mcus > 0 writes DRI + RSTn markers every that many MCUs —
     independently decodable segments (the nvjpeg-style parallel unit;
     costs a few bytes per segment).
+
+    expand_range=True scales limited (MPEG) range samples to JFIF full
+    range inside the same jitted program (what ffmpeg's auto-inserted
+    yuv420p -> yuvj420p scaler does for its mjpeg encoder).
 
     Supports yuv420p/nv12 (4:2:0), yuv444p, and gray8."""
     if not 0 <= int(restart_mcus) <= 65535:
@@ -107,7 +131,8 @@ def encode_batch(fb: FrameBatch, quality: int = 90,
         u = _pad_to_size(fb.planes["u"], th, tw)
         v = _pad_to_size(fb.planes["v"], th, tw)
         yc, uc, vc = _encode_coefs_420(y, u, v, jnp.asarray(qy, jnp.float32),
-                                       jnp.asarray(qc, jnp.float32))
+                                       jnp.asarray(qc, jnp.float32),
+                                       bool(expand_range))
         planes = [np.ascontiguousarray(np.asarray(c), np.int16)
                   for c in (yc, uc, vc)]
     elif fb.format == "yuv444p":
@@ -117,13 +142,14 @@ def encode_batch(fb: FrameBatch, quality: int = 90,
         yc, uc, vc = _encode_coefs_420(
             _pad_to(fb.planes["y"], 8, 8), _pad_to(fb.planes["u"], 8, 8),
             _pad_to(fb.planes["v"], 8, 8), jnp.asarray(qy, jnp.float32),
-            jnp.asarray(qc, jnp.float32))
+            jnp.asarray(qc, jnp.float32), bool(expand_range))
         planes = [np.ascontiguousarray(np.asarray(c), np.int16)
                   for c in (yc, uc, vc)]
     elif fb.format == "gray8":
         subsamp = SUBSAMP_GRAY
         yc = _encode_coefs_gray(_pad_to(fb.planes["y"], 8, 8),
-                                jnp.asarray(qy, jnp.float32))
+                                jnp.asarray(qy, jnp.float32),
+                                bool(expand_range))
         z = np.ascontiguousarray(np.asarray(yc), np.int16)
         planes = [z, z, z]   # u/v pointers unused for grayscale
     else:

@@ -546,3 +546,42 @@ def test_cli_conforms_mid_stream_resolution_change_mux(tmp_path, capsys):
     assert len(frames) == 10
     assert all(f[0].shape == (120, 160) for f in frames)
     assert float(np.median(frames[-1][0])) > 120   # upscaled 2nd segment
+
+
+def test_cli_mjpeg_tpu_lane(clip, tmp_path):
+    # -c:v mjpeg_tpu: batched DCT/quant on device, native entropy coding,
+    # packets muxed as a real MJPEG video track (the device-assisted
+    # encoder lane; reference analog = NVENC fixed-function encode)
+    from gmat_tpu.apps.cli import main
+    from gmat_tpu.av.jpeg import decode_jpeg_bytes
+    out = str(tmp_path / "out_mjpeg.mov")
+    rc = main(["-i", clip, "-vf", "scale=160:120", "-o", out,
+               "-c:v", "mjpeg_tpu", "-q:v", "90", "-frames", "12",
+               "-batch", "8"])
+    assert rc == 0
+    dm = tk.Demuxer(out)
+    assert dm.codec_name == "mjpeg"
+    pkts = [p for p in dm if p.stream == 0]
+    dm.close()
+    assert len(pkts) == 12 and all(p.key for p in pkts)
+    # each packet is standalone JFIF; frame 5's flat source luma 35
+    # (limited) must land at (35-16)*255/219 after the fused expansion
+    y5, _, _ = decode_jpeg_bytes(pkts[5].data)
+    assert y5.shape == (120, 160)
+    assert abs(float(np.median(y5)) - (35 - 16) * 255.0 / 219.0) < 3
+    # libavcodec plays the whole track
+    frames = decode_all(out)
+    assert len(frames) == 12
+
+
+def test_cli_mjpeg_tpu_qscale_mapping(clip, tmp_path):
+    # ffmpeg-style -q:v 2 (high quality) must beat -q:v 31 (low) in size
+    from gmat_tpu.apps.cli import main
+    hi = str(tmp_path / "hi.mov")
+    lo = str(tmp_path / "lo.mov")
+    for q, path in (("2", hi), ("31", lo)):
+        rc = main(["-i", clip, "-vf", "scale=160:120", "-o", path,
+                   "-c:v", "mjpeg_tpu", "-q:v", q, "-frames", "4",
+                   "-batch", "4"])
+        assert rc == 0
+    assert os.path.getsize(hi) > os.path.getsize(lo)

@@ -340,3 +340,21 @@ def test_depth_mismatched_checkpoint_rejected(tmp_path):
     np.savez(p, **flat)
     with pytest.raises(ValueError, match="different depth"):
         InferFilter(model="denoise", weights=p)    # model depth is 5
+
+
+def test_encode_expand_range():
+    # expand_range=True: limited (MPEG) samples scale to JFIF full range
+    # inside the jitted coef program (the mjpeg_tpu video-encoder lane)
+    from gmat_tpu.av.jpeg import decode_jpeg_bytes
+    n, h, w = 1, 32, 48
+    for lim, full in ((16, 0), (235, 255), (126, 128)):
+        y = np.full((n, h, w), lim, np.uint8)
+        u = np.full((n, h // 2, w // 2), 128, np.uint8)
+        v = np.full((n, h // 2, w // 2), 128, np.uint8)
+        fb = from_numpy_yuv420(y, u, v)
+        data = jpeg_tpu.encode_batch(fb, 95, expand_range=True)[0]
+        yy, uu, vv = decode_jpeg_bytes(data)
+        assert abs(float(np.median(yy)) - ((lim - 16) * 255.0 / 219.0)) < 3
+        assert abs(float(np.median(yy)) - full) < 3
+        # neutral chroma is a fixed point of the chroma expansion
+        assert abs(float(np.median(uu)) - 128) < 3
