@@ -485,9 +485,16 @@ def _decode_grid(rdr: "HeifReader", grid: HeifItem):
         ty, tu, tv, _ = frames[0]
         th, tw = ty.shape
         if canvas is None:
+            if rows * th * cols * tw > (1 << 31):
+                raise IOError(f"grid canvas {rows * th}x{cols * tw} "
+                              "implausibly large")
             canvas = (np.zeros((rows * th, cols * tw), np.uint8),
                       np.zeros((rows * th // 2, cols * tw // 2), np.uint8),
                       np.zeros((rows * th // 2, cols * tw // 2), np.uint8))
+        elif (th, tw) != (canvas[0].shape[0] // rows,
+                          canvas[0].shape[1] // cols):
+            raise IOError(f"grid tile {tid}: decoded {tw}x{th} does not "
+                          "match the grid's uniform tile size")
         r, c = divmod(k, cols)
         canvas[0][r * th:(r + 1) * th, c * tw:(c + 1) * tw] = ty
         canvas[1][r * th // 2:(r * th + th) // 2,
@@ -496,11 +503,15 @@ def _decode_grid(rdr: "HeifReader", grid: HeifItem):
                   c * tw // 2:(c * tw + tw) // 2] = tv
     if dec is not None:
         dec.close()
+    if out_h > canvas[0].shape[0] or out_w > canvas[0].shape[1]:
+        raise IOError(f"grid declares {out_w}x{out_h} but tiles only "
+                      f"cover {canvas[0].shape[1]}x{canvas[0].shape[0]}")
     # spec: the reconstructed image is the canvas cropped to the grid's
-    # declared output size (top-left anchored)
+    # declared output size (top-left anchored); chroma keeps the I420
+    # ceil convention for odd output dims
     return (canvas[0][:out_h, :out_w],
-            canvas[1][:out_h // 2, :out_w // 2],
-            canvas[2][:out_h // 2, :out_w // 2])
+            canvas[1][:(out_h + 1) // 2, :(out_w + 1) // 2],
+            canvas[2][:(out_h + 1) // 2, :(out_w + 1) // 2])
 
 
 def write_grid(tile_annexbs: List[bytes], rows: int, cols: int,

@@ -395,3 +395,48 @@ def test_heif_grid_validation():
         heif.encode_still_grid(y, u, u, tile=128)
     with pytest.raises(ValueError, match="tiles"):
         heif.write_grid([b""] * 3, 2, 2, 100, 100)
+
+
+def test_heif_grid_mutation_fuzz():
+    """Grid metadata mutations (iinf/iref/grid payload/iloc) raise clean
+    errors or decode — never crash or hang (parser robustness parity
+    with the PNG/JPEG/HEVC fuzz tests)."""
+    import struct as _s
+    h, w = 80, 112
+    rng = np.random.default_rng(7)
+    y = rng.integers(30, 220, (h, w)).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 108, np.uint8)
+    v = np.full((h // 2, w // 2), 146, np.uint8)
+    base = bytearray(heif.encode_still_grid(y, u, v, tile=64, crf=22.0))
+    # mutate only the meta region (the mdat is codec payload — the HEVC
+    # decoder's own robustness is covered elsewhere)
+    meta_at = bytes(base).find(b"meta")
+    meta_end = bytes(base).find(b"mdat")
+    mrng = np.random.default_rng(11)
+    for _ in range(250):
+        m = bytearray(base)
+        for _ in range(int(mrng.integers(1, 6))):
+            m[int(mrng.integers(meta_at, meta_end))] = int(
+                mrng.integers(0, 256))
+        try:
+            heif.decode_still(bytes(m))
+        except Exception:
+            pass                      # clean exception = pass
+
+
+def test_heif_grid_declared_dims_beyond_tiles():
+    """A grid whose declared output exceeds the tile canvas raises a
+    clean IOError instead of returning short arrays."""
+    import struct as _s
+    h, w = 80, 112
+    y = np.full((h, w), 90, np.uint8)
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    blob = bytearray(heif.encode_still_grid(y, u, u, tile=64, crf=22.0))
+    # grid payload: [ver, flags, rows-1, cols-1, u16 w, u16 h] — last
+    # item payload in mdat; find it by its exact bytes
+    pat = bytes([0, 0, 1, 1]) + _s.pack(">HH", w, h)
+    i = bytes(blob).rfind(pat)
+    assert i > 0
+    blob[i + 4:i + 6] = _s.pack(">H", 4096)     # declared w >> canvas
+    with pytest.raises(IOError, match="tiles only cover"):
+        heif.decode_still(bytes(blob))
