@@ -912,6 +912,203 @@ def _f_infer(model="sr2x", weights="", luma_only=0, precision="bf16",
                        precision=precision, hidden=int(hidden))
 
 
+class MetricFilter:
+    """psnr / ssim reference-comparison filters (libavfilter vf_psnr.c /
+    vf_ssim.c analogs — the upstream quality filters the reference tree
+    ships, ffmpeg-gpu/libavfilter/psnr.h).  Frames pass through
+    unchanged; every kept frame is scored against the matching frame of
+    a reference stream (``video=FILE``) with batched device reductions
+    (ops/metrics.py) — the whole batch's per-plane MSE/SSIM is one
+    jitted program, scored at constant shape so tail batches don't
+    recompile.
+
+    Options:
+      video=FILE      the reference (pristine) stream, frame-locked 1:1
+      stats_file=F    per-frame lines (``n:1 psnr_y:.. ssim_all:..``)
+      win=8           ssim window (non-overlapping blocks — the fast
+                      monitoring variant; ffmpeg slides 8x8 per pixel)
+
+    Summary prints to stderr at EOF like ffmpeg's av_log summary."""
+
+    stream_filter = True
+
+    def __init__(self, kind, video="", stats_file="", vw=0, vh=0, win=8):
+        if not video:
+            raise FilterError(f"{kind} needs video=FILE (the reference "
+                              f"stream: {kind}=video=ref.mp4)")
+        self.kind = kind
+        self.video = str(video)
+        self.vw, self.vh = int(vw), int(vh)
+        self.win = int(win)
+        self._stats_path = str(stats_file)
+        self._stats = None
+        self._gen = None
+        self._n = 0
+        self._sums = {}            # plane -> running metric sum
+        self._mse_sums = {}        # plane -> running mse sum (psnr avg)
+        self._ref_ended = False
+        self._jit = None
+
+    def _video_gen(self):
+        from ..av.ingest import decode_stream
+        if (self.video.lower().endswith((".yuv", ".nv12", ".iyuv", ".raw"))
+                and not (self.vw and self.vh)):
+            raise FilterError("headerless raw reference needs vw=W:vh=H")
+        src = decode_stream(self.video, batch=8,
+                            width=self.vw, height=self.vh)
+        try:
+            for rfb, _rpts, rvalid in src:
+                host = {k: np.asarray(v) for k, v in rfb.planes.items()}
+                for i in range(int(rvalid)):
+                    yield {k: host[k][i] for k in host}
+        finally:
+            src.close()
+
+    def _next_ref(self):
+        if self._gen is None:
+            self._gen = self._video_gen()
+        try:
+            return next(self._gen)
+        except StopIteration:
+            return None
+
+    def _device_fn(self):
+        if self._jit is None:
+            import jax
+
+            from ..ops import metrics as M
+            win = self.win
+
+            if self.kind == "psnr":
+                def fn(mains, refs):
+                    return {k: jnp.mean(
+                        (mains[k].astype(jnp.float32)
+                         - refs[k].astype(jnp.float32)) ** 2,
+                        axis=tuple(range(1, mains[k].ndim)))
+                        for k in mains}
+            else:
+                def fn(mains, refs):
+                    return {k: M.ssim(mains[k], refs[k], win=win)
+                            for k in mains}
+            self._jit = jax.jit(fn)
+        return self._jit
+
+    def process_batch(self, fb: FrameBatch, meta):
+        keep = np.asarray(meta["keep"])
+        if fb.format not in ("yuv420p", "yuv444p", "gray8"):
+            raise FilterError(
+                f"{self.kind} main format {fb.format} unsupported — "
+                "insert format=yuv420p upstream (vf_psnr YUV semantics)")
+        idx = np.nonzero(keep)[0]
+        if not len(idx) or self._ref_ended:
+            return fb, meta
+        planes = [p for p in ("y", "u", "v") if p in fb.planes]
+        refs = {p: [] for p in planes}
+        scored = []
+        for i in idx:
+            r = self._next_ref()
+            if r is None:
+                if not self._ref_ended:
+                    import sys as _sys
+                    print(f"warning: {self.kind} reference stream ended "
+                          f"after {self._n + len(scored)} frames; later "
+                          "frames are unscored", file=_sys.stderr)
+                self._ref_ended = True
+                break
+            for p in planes:
+                if (p not in r
+                        or r[p].shape != tuple(fb.planes[p].shape[1:])):
+                    raise FilterError(
+                        f"{self.kind} reference plane {p!r} "
+                        f"{r.get(p) is not None and r[p].shape} != main "
+                        f"{tuple(fb.planes[p].shape[1:])} — match the "
+                        "reference's size and subsampling")
+            scored.append(i)
+            for p in planes:
+                refs[p].append(r[p])
+        if not scored:
+            return fb, meta
+        # constant-shape device call: full batch of refs (unscored slots
+        # filled with the main frame itself -> exact-zero mse, masked on
+        # host), so every batch reuses one compiled program
+        host_main = {p: np.asarray(fb.planes[p]) for p in planes}
+        full = {p: np.stack(
+            [refs[p][scored.index(i)] if i in scored else host_main[p][i]
+             for i in range(fb.batch)]) for p in planes}
+        out = {k: np.asarray(v) for k, v in
+               self._device_fn()({p: fb.planes[p] for p in planes},
+                                 full).items()}
+        mv = (1 << fb.fmt.bits) - 1
+        self._mv = float(mv)
+        for j, i in enumerate(scored):
+            n = self._n + 1
+            vals = {}
+            for p in planes:
+                if self.kind == "psnr":
+                    mse = float(out[p][i])
+                    vals[f"mse_{p}"] = mse
+                    vals[f"psnr_{p}"] = (10.0 * np.log10(
+                        (mv * mv) / max(mse, 1e-10)))
+                    self._mse_sums[p] = self._mse_sums.get(p, 0.0) + mse
+                else:
+                    vals[f"ssim_{p}"] = float(out[p][i])
+                    self._sums[p] = self._sums.get(p, 0.0) + float(out[p][i])
+            if self._stats_path:
+                if self._stats is None:
+                    self._stats = open(self._stats_path, "w")
+                self._stats.write(
+                    f"n:{n} " + " ".join(f"{k}:{v:.4f}"
+                                         for k, v in vals.items()) + "\n")
+            self._n = n
+        return fb, meta
+
+    def _weights(self, planes):
+        # 4:2:0 chroma planes are 1/4 the samples; 444 equal; gray y-only
+        return {p: (4.0 if p == "y" else 1.0) for p in planes}
+
+    def flush(self):
+        import sys as _sys
+        if self._stats is not None:
+            self._stats.close()
+            self._stats = None
+        if not self._n:
+            return None
+        planes = sorted(set(list(self._mse_sums) + list(self._sums)),
+                        key="yuv".index)
+        w = self._weights(planes)
+        tw = sum(w.values())
+        if self.kind == "psnr":
+            mv = getattr(self, "_mv", 255.0)
+            parts, wmse = [], 0.0
+            for p in planes:
+                mse = self._mse_sums[p] / self._n
+                parts.append(f"{p}:{10.0 * np.log10(mv * mv / max(mse, 1e-10)):.2f}")
+                wmse += w[p] * mse
+            avg = 10.0 * np.log10(mv * mv / max(wmse / tw, 1e-10))
+            print(f"PSNR {' '.join(parts)} average:{avg:.2f} "
+                  f"frames:{self._n}", file=_sys.stderr)
+        else:
+            parts = []
+            alls = 0.0
+            for p in planes:
+                m = self._sums[p] / self._n
+                parts.append(f"{p}:{m:.4f}")
+                alls += w[p] * m
+            print(f"SSIM {' '.join(parts)} All:{alls / tw:.4f} "
+                  f"frames:{self._n}", file=_sys.stderr)
+        return None
+
+
+def _f_psnr(video="", stats_file="", vw=0, vh=0):
+    return MetricFilter("psnr", video=video, stats_file=stats_file,
+                        vw=vw, vh=vh)
+
+
+def _f_ssim(video="", stats_file="", vw=0, vh=0, win=8):
+    return MetricFilter("ssim", video=video, stats_file=stats_file,
+                        vw=vw, vh=vh, win=win)
+
+
 FILTERS: Dict[str, Callable] = {
     "crop": _f_crop,
     "crop_nvcv": _f_crop,
@@ -950,4 +1147,6 @@ FILTERS: Dict[str, Callable] = {
     "thumbnail_cuda": ThumbnailFilter,
     "tensorrt": _f_infer,
     "infer": _f_infer,
+    "psnr": _f_psnr,
+    "ssim": _f_ssim,
 }

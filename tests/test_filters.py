@@ -524,3 +524,106 @@ def test_thumbnail_rgb_hist_is_luma(rng):
     rgb = np.stack([flat_r, g, b], -1)[None]
     hist = ThumbnailFilter._hist({"rgb": rgb}, 0, fmt=F.get("rgb24"))
     assert (hist > 0).sum() >= 2          # two distinct luma populations
+
+
+# ---- psnr / ssim reference-comparison filters -------------------------------
+
+def _write_ref_y4m(path, y, u, v):
+    from gmat_tpu.av.rawvideo import Y4MWriter
+    wtr = Y4MWriter(path, y.shape[2], y.shape[1], (30, 1))
+    for i in range(y.shape[0]):
+        wtr.write(y[i], u[i], v[i])
+    wtr.close()
+
+
+def test_psnr_filter_oracle(rng, tmp_path):
+    n, h, w = 6, 64, 96
+    y = rng.integers(0, 256, (n, h, w)).astype(np.uint8)
+    u = rng.integers(0, 256, (n, h // 2, w // 2)).astype(np.uint8)
+    v = rng.integers(0, 256, (n, h // 2, w // 2)).astype(np.uint8)
+    ref = str(tmp_path / "ref.y4m")
+    _write_ref_y4m(ref, y, u, v)
+    # identity: mse==0 floors at 1e-10 -> huge dB, frames pass through
+    stats = str(tmp_path / "ident.log")
+    g = FilterGraph(f"psnr=video={ref}:stats_file={stats}")
+    fb = from_numpy_yuv420(y, u, v)
+    out, keep = g.process(fb, pts=np.arange(n),
+                          times=np.arange(n) / 30.0, valid=n)
+    g.flush()
+    np.testing.assert_array_equal(np.asarray(out.planes["y"]), y)
+    lines = open(stats).read().strip().splitlines()
+    assert len(lines) == n
+    assert float(lines[0].split("psnr_y:")[1].split()[0]) > 100
+    # degraded main vs the numpy oracle, exact formula match
+    noisy = np.clip(y.astype(int)
+                    + rng.integers(-6, 7, y.shape), 0, 255).astype(np.uint8)
+    stats2 = str(tmp_path / "noisy.log")
+    g2 = FilterGraph(f"psnr=video={ref}:stats_file={stats2}")
+    g2.process(from_numpy_yuv420(noisy, u, v), pts=np.arange(n),
+               times=np.arange(n) / 30.0, valid=n)
+    g2.flush()
+    got = [float(l.split("psnr_y:")[1].split()[0])
+           for l in open(stats2).read().strip().splitlines()]
+    want = [10 * np.log10(255.0 ** 2 / ((noisy[i].astype(np.float64)
+                                         - y[i]) ** 2).mean())
+            for i in range(n)]
+    np.testing.assert_allclose(got, want, atol=0.05)
+
+
+def test_ssim_filter(rng, tmp_path):
+    n, h, w = 4, 64, 96
+    base = np.add.outer(np.linspace(30, 200, h), np.linspace(0, 40, w))
+    y = np.stack([(base + 5 * i).clip(0, 255) for i in range(n)]
+                 ).astype(np.uint8)
+    u = np.full((n, h // 2, w // 2), 110, np.uint8)
+    v = np.full((n, h // 2, w // 2), 140, np.uint8)
+    ref = str(tmp_path / "ref.y4m")
+    _write_ref_y4m(ref, y, u, v)
+    stats = str(tmp_path / "ssim.log")
+    g = FilterGraph(f"ssim=video={ref}:stats_file={stats}")
+    g.process(from_numpy_yuv420(y, u, v), pts=np.arange(n),
+              times=np.arange(n) / 30.0, valid=n)
+    g.flush()
+    lines = open(stats).read().strip().splitlines()
+    assert len(lines) == n
+    for l in lines:
+        assert float(l.split("ssim_y:")[1].split()[0]) > 0.999
+    noisy = np.clip(y.astype(int)
+                    + rng.integers(-20, 21, y.shape), 0, 255).astype(np.uint8)
+    stats2 = str(tmp_path / "ssim2.log")
+    g2 = FilterGraph(f"ssim=video={ref}:stats_file={stats2}")
+    g2.process(from_numpy_yuv420(noisy, u, v), pts=np.arange(n),
+               times=np.arange(n) / 30.0, valid=n)
+    g2.flush()
+    vals = [float(l.split("ssim_y:")[1].split()[0])
+            for l in open(stats2).read().strip().splitlines()]
+    assert all(0.0 < s < 0.99 for s in vals)
+
+
+def test_psnr_filter_short_reference(rng, tmp_path, capsys):
+    n, h, w = 6, 64, 96
+    y = rng.integers(0, 256, (n, h, w)).astype(np.uint8)
+    u = np.full((n, h // 2, w // 2), 110, np.uint8)
+    v = np.full((n, h // 2, w // 2), 140, np.uint8)
+    ref = str(tmp_path / "short.y4m")
+    _write_ref_y4m(ref, y[:3], u[:3], v[:3])     # 3-frame reference
+    stats = str(tmp_path / "short.log")
+    g = FilterGraph(f"psnr=video={ref}:stats_file={stats}")
+    out, keep = g.process(from_numpy_yuv420(y, u, v), pts=np.arange(n),
+                          times=np.arange(n) / 30.0, valid=n)
+    g.flush()
+    # unscored frames still pass through; only 3 stats lines
+    assert int(keep.sum()) == n
+    assert len(open(stats).read().strip().splitlines()) == 3
+
+
+def test_psnr_filter_dim_mismatch(rng, tmp_path):
+    y = rng.integers(0, 256, (2, 64, 96)).astype(np.uint8)
+    u = np.full((2, 32, 48), 110, np.uint8)
+    v = np.full((2, 32, 48), 140, np.uint8)
+    ref = str(tmp_path / "ref.y4m")
+    _write_ref_y4m(ref, y[:, :32, :48], u[:, :16, :24], v[:, :16, :24])
+    g = FilterGraph(f"psnr=video={ref}")
+    with pytest.raises(FilterError, match="match the reference"):
+        g.process(from_numpy_yuv420(y, u, v), pts=np.arange(2),
+                  times=np.arange(2) / 30.0, valid=2)
