@@ -1040,6 +1040,10 @@ class MetricFilter:
                                  full).items()}
         mv = (1 << fb.fmt.bits) - 1
         self._mv = float(mv)
+        # summary weights = per-plane sample counts (ffmpeg's average
+        # PSNR weighs MSE by samples: 4:1:1 for 420, equal for 444)
+        self._wts = {p: float(np.prod(fb.planes[p].shape[1:]))
+                     for p in planes}
         for j, i in enumerate(scored):
             n = self._n + 1
             vals = {}
@@ -1062,20 +1066,19 @@ class MetricFilter:
             self._n = n
         return fb, meta
 
-    def _weights(self, planes):
-        # 4:2:0 chroma planes are 1/4 the samples; 444 equal; gray y-only
-        return {p: (4.0 if p == "y" else 1.0) for p in planes}
-
     def flush(self):
         import sys as _sys
         if self._stats is not None:
             self._stats.close()
             self._stats = None
+        if self._gen is not None:
+            self._gen.close()          # release the reference decoder
+            self._gen = None
         if not self._n:
             return None
         planes = sorted(set(list(self._mse_sums) + list(self._sums)),
                         key="yuv".index)
-        w = self._weights(planes)
+        w = getattr(self, "_wts", {p: 1.0 for p in planes})
         tw = sum(w.values())
         if self.kind == "psnr":
             mv = getattr(self, "_mv", 255.0)
