@@ -1103,11 +1103,17 @@ class MetricFilter:
 
 
 def _f_psnr(video="", stats_file="", vw=0, vh=0):
+    """Per-frame PSNR against a reference stream (vf_psnr analog):
+    psnr=video=ref.mp4[:stats_file=f.log].  Batched device scoring;
+    summary (y/u/v + sample-weighted average dB) prints at EOF."""
     return MetricFilter("psnr", video=video, stats_file=stats_file,
                         vw=vw, vh=vh)
 
 
 def _f_ssim(video="", stats_file="", vw=0, vh=0, win=8):
+    """Per-frame SSIM against a reference stream (vf_ssim analog):
+    ssim=video=ref.mp4[:stats_file=f.log][:win=8].  Non-overlapping
+    win x win blocks (fast monitoring variant); summary at EOF."""
     return MetricFilter("ssim", video=video, stats_file=stats_file,
                         vw=vw, vh=vh, win=win)
 

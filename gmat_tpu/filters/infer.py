@@ -40,6 +40,8 @@ def _bundled_weights(model: str, channels: int, hidden: int) -> str:
         # the MXU runs the 128-wide model at the same wall time as 64
         # (BENCHMARKS "in-graph inference"); +0.4 dB held-out over h64
         name = "espcn_x2_h128.npz"
+    elif model == "sr3x" and channels == 3 and hidden in (0, 64):
+        name = "espcn_x3.npz"
     elif model == "denoise" and channels == 3:
         name = "dncnn.npz"
     if name:

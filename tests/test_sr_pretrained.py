@@ -29,7 +29,7 @@ def test_bundled_sr2x_beats_bicubic():
     from gmat_tpu.ops.resize import resize_plane
     t = _trainer()
     hr = t.make_dataset(8, 96, seed=123456)       # held-out seed
-    lr = t.area_down2(hr)
+    lr = t.area_down(hr, 2)
     filt = InferFilter(model="sr2x", precision="fp32")
     # auto-loaded bundled weights, not random init
     rnd = sr.init_params(jax.random.PRNGKey(0), scale=2)
@@ -105,7 +105,7 @@ def test_bundled_sr2x_h128_beats_h64():
     from gmat_tpu.models import sr
     t = _trainer()
     hr = t.make_dataset(8, 96, seed=123456)
-    lr = t.area_down2(hr)
+    lr = t.area_down(hr, 2)
 
     def psnr_of(hidden):
         filt = InferFilter(model="sr2x", precision="fp32", hidden=hidden)
@@ -114,3 +114,38 @@ def test_bundled_sr2x_h128_beats_h64():
 
     p64, p128 = psnr_of(0), psnr_of(128)
     assert p128 > p64, (p64, p128)
+
+
+X3 = os.path.join(REPO, "gmat_tpu", "models", "weights", "espcn_x3.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(X3), reason="checkpoint not built")
+def test_bundled_sr3x_beats_bicubic():
+    from gmat_tpu.filters.infer import InferFilter
+    from gmat_tpu.models import sr
+    from gmat_tpu.ops.resize import resize_plane
+    t = _trainer()
+    hr = t.make_dataset(8, 96, seed=123456)       # held-out seed
+    lr = t.area_down(hr, 3)
+    filt = InferFilter(model="sr3x", precision="fp32")
+    rnd = sr.init_params(jax.random.PRNGKey(0), scale=3)
+    assert not np.allclose(np.asarray(filt.params["w1"]),
+                           np.asarray(rnd["w1"]))
+    assert filt.scale == 3
+    pred = np.asarray(jax.jit(sr.apply)(filt.params, jnp.asarray(lr)))
+    assert pred.shape == hr.shape
+    flat = lr.reshape(-1, lr.shape[2], lr.shape[3])
+    bic = np.asarray(resize_plane(jnp.asarray(flat) * 255.0, 96, 96,
+                                  "bicubic")) / 255.0
+    bic = np.clip(bic.reshape(hr.shape), 0, 1)
+
+    def psnr(a, b):
+        return -10 * np.log10(max(float(np.mean((a - b) ** 2)), 1e-12))
+
+    p_model, p_bic = psnr(pred, hr), psnr(bic, hr)
+    assert p_model > p_bic, (p_model, p_bic)
+
+
+def test_sr3x_checkpoint_exists_and_small():
+    assert os.path.exists(X3), "espcn_x3.npz must ship with the repo"
+    assert os.path.getsize(X3) < 1 << 20

@@ -1,4 +1,4 @@
-"""Train the bundled ESPCN x2 checkpoint (models/weights/espcn_x2.npz).
+"""Train the bundled ESPCN checkpoints (models/weights/espcn_x{2,3}.npz).
 
 The reference ships its SR demo as a TensorRT engine the user brings
 (doc/Tensorrt_Filter.md:26); our `infer=sr2x` filter previously ran
@@ -9,9 +9,9 @@ holds out) and writes the ~110 KB .npz the InferFilter auto-loads.
 
     python tools/train_sr.py [--steps 3000] [--out models/weights/...]
 
-Degradation model: HR -> 2x2 box average (area downsample), the same
-`area` kernel ops/resize implements, so the filter chain
-`scale=area,infer=sr2x` is self-consistent.
+Degradation model: HR -> kxk box average (area downsample, k=--scale),
+the same `area` kernel ops/resize implements, so the filter chain
+`scale=area,infer=sr2x` (or sr3x) is self-consistent.
 """
 from __future__ import annotations
 
@@ -98,10 +98,10 @@ def make_dataset(n_patches: int, hr: int, seed: int):
     return np.clip(out, 0, 1).transpose(0, 3, 1, 2).astype(np.float32)
 
 
-def area_down2(x):
-    """(N, C, H, W) -> (N, C, H/2, W/2) 2x2 box average."""
+def area_down(x, k=2):
+    """(N, C, H, W) -> (N, C, H/k, W/k) kxk box average."""
     n, c, h, w = x.shape
-    return x.reshape(n, c, h // 2, 2, w // 2, 2).mean((3, 5))
+    return x.reshape(n, c, h // k, k, w // k, k).mean((3, 5))
 
 
 # ------------------------------------------------------------ training
@@ -114,12 +114,17 @@ def main(argv=None):
     p.add_argument("--patches", type=int, default=4096)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--hidden", type=int, default=64)
+    p.add_argument("--scale", type=int, default=2, choices=(2, 3))
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default="")
-    p.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "gmat_tpu", "models", "weights", "espcn_x2.npz"))
+    p.add_argument("--out", default="")
     args = p.parse_args(argv)
+    if not args.out:
+        args.out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "gmat_tpu", "models", "weights", f"espcn_x{args.scale}.npz")
+    if args.hr % args.scale:
+        raise SystemExit(f"--hr must be divisible by --scale")
 
     import jax
     if args.platform:
@@ -131,11 +136,11 @@ def main(argv=None):
     print(f"generating {args.patches} HR patches ...", flush=True)
     t0 = time.time()
     hrs = make_dataset(args.patches, args.hr, args.seed)
-    lrs = area_down2(hrs)
+    lrs = area_down(hrs, args.scale)
     print(f"  {time.time() - t0:.1f}s", flush=True)
 
-    params = sr.init_params(jax.random.PRNGKey(args.seed), scale=2,
-                            hidden=args.hidden)
+    params = sr.init_params(jax.random.PRNGKey(args.seed),
+                            scale=args.scale, hidden=args.hidden)
     # cosine decay to ~0: the last-mile mse on smooth regions is what
     # decides PSNR vs bicubic on this dataset
     sched = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.01)
@@ -182,7 +187,7 @@ def main(argv=None):
     # held-out eval: model vs bicubic upsample
     from gmat_tpu.ops.resize import resize_plane
     test = make_dataset(16, args.hr, args.seed + 999)
-    test_lr = area_down2(test)
+    test_lr = area_down(test, args.scale)
     pred = np.asarray(jax.jit(sr.apply)(params, jnp.asarray(test_lr)))
     flat = test_lr.reshape(-1, test_lr.shape[2], test_lr.shape[3])
     bic = np.asarray(resize_plane(jnp.asarray(flat) * 255.0, args.hr,
