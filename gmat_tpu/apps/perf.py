@@ -140,6 +140,36 @@ def perf_jpeg(args):
             "decode_fps": round(n * reps / dec_dt, 1)}
 
 
+def perf_mjpeg(args):
+    """-c:v mjpeg_tpu video lane: device DCT/quant + range expansion,
+    host entropy coding, packets into a real MJPEG container."""
+    import tempfile
+
+    from ..av import jpeg_tpu, toolkit as tk
+    from ..core.frame import from_numpy_yuv420
+    w, h = args.width, args.height
+    n = min(args.frames, 32)
+    ys, us, vs = _synth(n, w, h)
+    fb = from_numpy_yuv420(np.stack(ys), np.stack(us), np.stack(vs))
+    wk = args.workers
+    jpeg_tpu.encode_batch(fb, 90, workers=wk, expand_range=True)  # warm
+    reps = max(args.frames // n, 1)
+    with tempfile.TemporaryDirectory() as td:
+        mux = tk.Muxer(td + "/out.mov", w, h, (30, 1),
+                       **tk.mux_kwargs_for_encoder("mjpeg"))
+        t0 = time.perf_counter()
+        k = 0
+        for _ in range(reps):
+            for d in jpeg_tpu.encode_batch(fb, 90, workers=wk,
+                                           expand_range=True):
+                mux.write(tk.Packet(d, k, k, True, False, 0))
+                k += 1
+        dt = time.perf_counter() - t0
+        mux.close()
+    return {"case": "mjpeg", "frames": k, "workers": wk,
+            "encode_fps": round(k / dt, 1)}
+
+
 def perf_ladder(args):
     import jax
     import jax.numpy as jnp
@@ -476,9 +506,9 @@ def main(argv=None):
     _enable_cache()
     p = argparse.ArgumentParser(prog="gmat-perf")
     p.add_argument("case", choices=["decode", "encode", "extract", "heif",
-                                    "jpeg", "ladder", "ladder10", "rungs",
-                                    "infer", "pipeline", "sustained",
-                                    "ingest"])
+                                    "jpeg", "mjpeg", "ladder", "ladder10",
+                                    "rungs", "infer", "pipeline",
+                                    "sustained", "ingest"])
     p.add_argument("-i", "--input", default="")
     p.add_argument("-codec", default="libx264")
     p.add_argument("-frames", type=int, default=100)
@@ -495,6 +525,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     fn = {"decode": perf_decode, "encode": perf_encode,
           "extract": perf_extract, "heif": perf_heif, "jpeg": perf_jpeg,
+          "mjpeg": perf_mjpeg,
           "ladder": perf_ladder, "ladder10": perf_ladder10,
           "rungs": perf_rungs, "infer": perf_infer,
           "pipeline": perf_pipeline,
