@@ -176,7 +176,7 @@ static void put_dht(std::vector<uint8_t>& o, int cls, int id,
     o.insert(o.end(), vals, vals + nvals);
 }
 
-// subsamp: 0 = 4:2:0, 1 = 4:4:4, 2 = grayscale
+// subsamp: 0 = 4:2:0, 1 = 4:4:4, 2 = grayscale, 3 = 4:2:2
 // restart: MCUs per restart interval (0 = no DRI/RSTn, the default
 // wire shape; >0 writes a DRI segment and byte-aligned RSTn markers —
 // independently decodable segments, the nvjpeg-style parallel unit)
@@ -210,7 +210,8 @@ GJ_API int gjpeg_encode_r(const int16_t* yc, const int16_t* uc,
     put_marker(o, 0xC0); put_u16(o, (uint16_t)(8 + 3 * ncomp));
     o.push_back(8); put_u16(o, (uint16_t)height); put_u16(o, (uint16_t)width);
     o.push_back((uint8_t)ncomp);
-    int hs = subsamp == 0 ? 2 : 1, vs = subsamp == 0 ? 2 : 1;
+    int hs = (subsamp == 0 || subsamp == 3) ? 2 : 1;
+    int vs = subsamp == 0 ? 2 : 1;
     o.push_back(1); o.push_back((uint8_t)((hs << 4) | vs)); o.push_back(0);
     if (ncomp == 3) {
         o.push_back(2); o.push_back(0x11); o.push_back(1);
@@ -251,6 +252,8 @@ GJ_API int gjpeg_encode_r(const int16_t* yc, const int16_t* uc,
     long long total_mcus;
     if (subsamp == 0)
         total_mcus = (long long)((width + 15) / 16) * ((height + 15) / 16);
+    else if (subsamp == 3)
+        total_mcus = (long long)((width + 15) / 16) * ((height + 7) / 8);
     else
         total_mcus = (long long)((width + 7) / 8) * ((height + 7) / 8);
     long long mcus_done = 0;
@@ -282,6 +285,21 @@ GJ_API int gjpeg_encode_r(const int16_t* yc, const int16_t* uc,
                 restart_emit();
             }
         }
+    } else if (subsamp == 3) {
+        // 4:2:2 MCU = 2 horizontal luma blocks + 1 Cb + 1 Cr
+        int mcux = (width + 15) / 16, mcuy = (height + 7) / 8;
+        int ybw = mcux * 2, cbw = mcux;
+        for (int my = 0; my < mcuy; my++)
+            for (int mx = 0; mx < mcux; mx++) {
+                for (int bx = 0; bx < 2; bx++) {
+                    long long idx = (long long)my * ybw + (mx * 2 + bx);
+                    encode_block(bw, yc + idx * 64, predY, dcl, acl);
+                }
+                long long ci = (long long)my * cbw + mx;
+                encode_block(bw, uc + ci * 64, predU, dcc, acc_);
+                encode_block(bw, vc + ci * 64, predV, dcc, acc_);
+                restart_emit();
+            }
     } else if (subsamp == 1) {
         int bwid = (width + 7) / 8, bhei = (height + 7) / 8;
         for (int by = 0; by < bhei; by++)
@@ -528,6 +546,7 @@ GJ_API void* gjpeg_parse(const uint8_t* buf, long long size) {
             if (f->ncomp == 1) f->subsamp = 2;
             else if (f->comp_h[0] == 2 && f->comp_v[0] == 2) f->subsamp = 0;
             else if (f->comp_h[0] == 1 && f->comp_v[0] == 1) f->subsamp = 1;
+            else if (f->comp_h[0] == 2 && f->comp_v[0] == 1) f->subsamp = 3;
             else {
                 snprintf(gj_err, sizeof gj_err,
                          "unsupported sampling %dx%d", f->comp_h[0], f->comp_v[0]);
@@ -641,6 +660,8 @@ static bool decode_block_d(BitReader& br, const HuffDec& dc, const HuffDec& ac,
 static long long gj_total_mcus(const GjpegFile* f) {
     if (f->subsamp == 0)
         return (long long)((f->width + 15) / 16) * ((f->height + 15) / 16);
+    if (f->subsamp == 3)
+        return (long long)((f->width + 15) / 16) * ((f->height + 7) / 8);
     return (long long)((f->width + 7) / 8) * ((f->height + 7) / 8);
 }
 
@@ -665,6 +686,25 @@ static bool decode_mcu_range(const GjpegFile* f, BitReader& br,
                                         yc + idx * 64)) return false;
                 }
             long long ci = (long long)my * mcux + mx;
+            if (!decode_block_d(br, f->dc[f->comp_dc[1]],
+                                f->ac[f->comp_ac[1]], pred[1],
+                                uc + ci * 64)) return false;
+            if (!decode_block_d(br, f->dc[f->comp_dc[2]],
+                                f->ac[f->comp_ac[2]], pred[2],
+                                vc + ci * 64)) return false;
+        }
+    } else if (f->subsamp == 3) {
+        int mcux = (f->width + 15) / 16;
+        int ybw = mcux * 2;
+        for (long long m = m0; m < m1; m++) {
+            long long my = m / mcux, mx = m % mcux;
+            for (int bx = 0; bx < 2; bx++) {
+                long long idx = my * ybw + (mx * 2 + bx);
+                if (!decode_block_d(br, f->dc[f->comp_dc[0]],
+                                    f->ac[f->comp_ac[0]], pred[0],
+                                    yc + idx * 64)) return false;
+            }
+            long long ci = my * mcux + mx;
             if (!decode_block_d(br, f->dc[f->comp_dc[1]],
                                 f->ac[f->comp_ac[1]], pred[1],
                                 uc + ci * 64)) return false;
@@ -742,6 +782,30 @@ GJ_API int gjpeg_decode_coefs(void* h, int16_t* yc, int16_t* uc, int16_t* vc) {
                                     pred[1], uc + ci * 64)) return -1;
                 if (!decode_block_d(br, f->dc[f->comp_dc[2]], f->ac[f->comp_ac[2]],
                                     pred[2], vc + ci * 64)) return -1;
+                restart_check();
+            }
+    } else if (f->subsamp == 3) {
+        int mcux = (f->width + 15) / 16, mcuy = (f->height + 7) / 8;
+        int ybw = mcux * 2;
+        for (int my = 0; my < mcuy; my++)
+            for (int mx = 0; mx < mcux; mx++) {
+                for (int bx = 0; bx < 2; bx++) {
+                    long long idx = (long long)my * ybw + (mx * 2 + bx);
+                    if (!decode_block_d(br, f->dc[f->comp_dc[0]],
+                                        f->ac[f->comp_ac[0]], pred[0],
+                                        yc + idx * 64)) {
+                        snprintf(gj_err, sizeof gj_err,
+                                 "scan error mcu %d,%d", my, mx);
+                        return -1;
+                    }
+                }
+                long long ci = (long long)my * mcux + mx;
+                if (!decode_block_d(br, f->dc[f->comp_dc[1]],
+                                    f->ac[f->comp_ac[1]], pred[1],
+                                    uc + ci * 64)) return -1;
+                if (!decode_block_d(br, f->dc[f->comp_dc[2]],
+                                    f->ac[f->comp_ac[2]], pred[2],
+                                    vc + ci * 64)) return -1;
                 restart_check();
             }
     } else if (f->subsamp == 1) {

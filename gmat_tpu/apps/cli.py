@@ -346,7 +346,7 @@ def main(argv=None):
         from ..core.frame import FrameBatch
         if not len(keep_idx):
             return
-        if out_fb.format not in ("yuv420p", "yuv444p", "gray8"):
+        if out_fb.format not in ("yuv420p", "yuv422p", "yuv444p", "gray8"):
             out_fb = csc.convert(out_fb, "yuv420p")
         if mux is None:
             if args.acodec:

@@ -28,7 +28,7 @@ from ..core.frame import FrameBatch
 from ..ops import dct
 from . import native
 
-SUBSAMP_420, SUBSAMP_444, SUBSAMP_GRAY = 0, 1, 2
+SUBSAMP_420, SUBSAMP_444, SUBSAMP_GRAY, SUBSAMP_422 = 0, 1, 2, 3
 
 
 from ..utils.hostpool import n_workers as _n_workers  # noqa: E402
@@ -109,7 +109,7 @@ def encode_batch(fb: FrameBatch, quality: int = 90,
     range inside the same jitted program (what ffmpeg's auto-inserted
     yuv420p -> yuvj420p scaler does for its mjpeg encoder).
 
-    Supports yuv420p/nv12 (4:2:0), yuv444p, and gray8."""
+    Supports yuv420p/nv12 (4:2:0), yuv422p, yuv444p, and gray8."""
     if not 0 <= int(restart_mcus) <= 65535:
         raise ValueError("restart_mcus must be 0..65535 (16-bit DRI "
                          f"field), got {restart_mcus}")
@@ -135,6 +135,17 @@ def encode_batch(fb: FrameBatch, quality: int = 90,
                                        bool(expand_range))
         planes = [np.ascontiguousarray(np.asarray(c), np.int16)
                   for c in (yc, uc, vc)]
+    elif fb.format == "yuv422p":
+        subsamp = SUBSAMP_422
+        y = _pad_to(fb.planes["y"], 8, 16)
+        th, tw = y.shape[-2], y.shape[-1] // 2
+        u = _pad_to_size(fb.planes["u"], th, tw)
+        v = _pad_to_size(fb.planes["v"], th, tw)
+        yc, uc, vc = _encode_coefs_420(y, u, v, jnp.asarray(qy, jnp.float32),
+                                       jnp.asarray(qc, jnp.float32),
+                                       bool(expand_range))
+        planes = [np.ascontiguousarray(np.asarray(c), np.int16)
+                  for c in (yc, uc, vc)]
     elif fb.format == "yuv444p":
         subsamp = SUBSAMP_444
         # same per-plane math as 4:2:0 (planes arrive pre-subsampled), so
@@ -153,7 +164,8 @@ def encode_batch(fb: FrameBatch, quality: int = 90,
         z = np.ascontiguousarray(np.asarray(yc), np.int16)
         planes = [z, z, z]   # u/v pointers unused for grayscale
     else:
-        raise ValueError("encode_batch expects yuv420p/nv12/yuv444p/gray8")
+        raise ValueError(
+            "encode_batch expects yuv420p/nv12/yuv422p/yuv444p/gray8")
 
     cap = w * h * 6 + (1 << 16)
 
@@ -214,6 +226,9 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601",
         if subsamp == SUBSAMP_420:
             mcux, mcuy = (w + 15) // 16, (h + 15) // 16
             yb, cb = (mcuy * 2, mcux * 2), (mcuy, mcux)
+        elif subsamp == SUBSAMP_422:
+            mcux, mcuy = (w + 15) // 16, (h + 7) // 8
+            yb, cb = (mcuy, mcux * 2), (mcuy, mcux)
         elif subsamp == SUBSAMP_GRAY:
             yb = ((h + 7) // 8, (w + 7) // 8)
             cb = (1, 1)     # native gray path never touches u/v
@@ -268,7 +283,9 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601",
     if subsamp == SUBSAMP_GRAY:
         y = _decode_plane_gray(jnp.asarray(np.stack(ycs)), qyf)
         u = v = None
-    elif subsamp == SUBSAMP_444:
+    elif subsamp in (SUBSAMP_444, SUBSAMP_422):
+        # per-plane dequant+IDCT is subsampling-agnostic: 4:2:2 chroma is
+        # just a half-width block grid riding the same program
         y = _decode_plane_gray(jnp.asarray(np.stack(ycs)), qyf)
         u = _decode_plane_gray(jnp.asarray(np.stack(ucs)), qcf)
         v = _decode_plane_gray(jnp.asarray(np.stack(vcs)), qcf)
@@ -282,6 +299,13 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601",
     if subsamp == SUBSAMP_444:
         return FrameBatch({"y": y, "u": u[:, :h, :w], "v": v[:, :h, :w]},
                           "yuv444p", w, h, colorspace)
+    if subsamp == SUBSAMP_422:
+        # odd JPEG widths crop to even so the half-width chroma plane is
+        # consistent with the luma plane
+        w2 = w & ~1
+        return FrameBatch({"y": y[:, :, :w2], "u": u[:, :h, : w2 // 2],
+                           "v": v[:, :h, : w2 // 2]},
+                          "yuv422p", w2, h, colorspace)
     # yuv420p planes must be consistent: odd JPEG dims crop to even
     w2, h2 = w & ~1, h & ~1
     y = y[:, :h2, :w2]

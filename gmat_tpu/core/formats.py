@@ -68,6 +68,19 @@ def _yuv420(name, dtype, bits):
     )
 
 
+def _yuv422(name, dtype, bits):
+    return PixelFormat(
+        name=name,
+        planes=(
+            PlaneDesc("y", 0, 0, 1, dtype),
+            PlaneDesc("u", 1, 0, 1, dtype),
+            PlaneDesc("v", 1, 0, 1, dtype),
+        ),
+        bits=bits,
+        is_rgb=False,
+    )
+
+
 def _yuv444(name, dtype, bits):
     return PixelFormat(
         name=name,
@@ -106,6 +119,7 @@ P010 = _register(_yuv420("p010", "uint16", 10))    # samples stored << 6
 P016 = _register(_yuv420("p016", "uint16", 16))
 YUV420P10 = _register(_yuv420("yuv420p10", "uint16", 10))  # lsb-aligned
 YUV420P16 = _register(_yuv420("yuv420p16", "uint16", 16))
+YUV422P = _register(_yuv422("yuv422p", "uint8", 8))  # camera/JPEG 4:2:2
 YUV444P = _register(_yuv444("yuv444p", "uint8", 8))
 YUV444P10 = _register(_yuv444("yuv444p10", "uint16", 10))  # lsb-aligned
 YUV444P16 = _register(_yuv444("yuv444p16", "uint16", 16))

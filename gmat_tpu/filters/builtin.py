@@ -995,7 +995,7 @@ class MetricFilter:
 
     def process_batch(self, fb: FrameBatch, meta):
         keep = np.asarray(meta["keep"])
-        if fb.format not in ("yuv420p", "yuv444p", "gray8"):
+        if fb.format not in ("yuv420p", "yuv422p", "yuv444p", "gray8"):
             raise FilterError(
                 f"{self.kind} main format {fb.format} unsupported — "
                 "insert format=yuv420p upstream (vf_psnr YUV semantics)")

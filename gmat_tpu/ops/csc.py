@@ -51,6 +51,30 @@ def _upsample2x(c: jax.Array) -> jax.Array:
     return jnp.repeat(jnp.repeat(c, 2, axis=1), 2, axis=2)
 
 
+def _chroma_up(c: jax.Array, sub_h: int, sub_w: int) -> jax.Array:
+    """Nearest chroma upsample to luma resolution for any per-axis
+    subsampling (4:2:0 = 1,1; 4:2:2 = 0,1)."""
+    if sub_h:
+        c = jnp.repeat(c, 1 << sub_h, axis=1)
+    if sub_w:
+        c = jnp.repeat(c, 1 << sub_w, axis=2)
+    return c
+
+
+def _chroma_box(c: jax.Array, sub_h: int, sub_w: int,
+                exact: bool = False) -> jax.Array:
+    """Box-mean downsample from luma resolution by per-axis factors."""
+    if not (sub_h or sub_w):
+        return c
+    n, h, w = c.shape
+    fh, fw = 1 << sub_h, 1 << sub_w
+    c = c.reshape(n, h // fh, fh, w // fw, fw)
+    if exact:
+        # integer //(fh*fw) of the block sum, like the reference (:684-687)
+        return jnp.floor(c.sum(axis=(2, 4)) / float(fh * fw))
+    return c.mean(axis=(2, 4))
+
+
 def _yuv_to_float(fb: FrameBatch):
     """Return (y, u, v) as f32 at luma resolution, offsets removed."""
     fmt = fb.fmt
@@ -62,8 +86,10 @@ def _yuv_to_float(fb: FrameBatch):
         return y, z, z
     u = fb.planes["u"].astype(jnp.float32) - mid
     v = fb.planes["v"].astype(jnp.float32) - mid
-    if fmt.plane("u").sub_w:   # 4:2:0 -> upsample to 4:4:4
-        u, v = _upsample2x(u), _upsample2x(v)
+    pu = fmt.plane("u")
+    if pu.sub_w or pu.sub_h:   # 4:2:0 / 4:2:2 -> upsample to 4:4:4
+        u = _chroma_up(u, pu.sub_h, pu.sub_w)
+        v = _chroma_up(v, pu.sub_h, pu.sub_w)
     return y, u, v
 
 
@@ -159,16 +185,12 @@ def rgb_to_yuv(fb: FrameBatch, out_format: str = "yuv420p", *,
     if not any(p.name == "u" for p in out_fmt.planes):   # gray8: luma only
         dt = out_fmt.planes[0].dtype
         return fb.with_planes({"y": y.astype(dt)}, out_format)
-    sub = out_fmt.plane("u").sub_w
-    if sub:
-        n, h, w = r.shape
-        def avg(c):
-            c = c.reshape(n, h // 2, 2, w // 2, 2)
-            if exact and not fb.fmt.is_float:
-                # integer //4 of the 2x2 sum, like the reference (:684-687)
-                return jnp.floor(c.sum(axis=(2, 4)) / 4.0)
-            return c.mean(axis=(2, 4))
-        r, g, b = avg(r), avg(g), avg(b)
+    pu = out_fmt.plane("u")
+    if pu.sub_w or pu.sub_h:
+        ex = exact and not fb.fmt.is_float
+        r = _chroma_box(r, pu.sub_h, pu.sub_w, ex)
+        g = _chroma_box(g, pu.sub_h, pu.sub_w, ex)
+        b = _chroma_box(b, pu.sub_h, pu.sub_w, ex)
     r, g, b = r * scale, g * scale, b * scale
     u = _quantize(mat[1, 0] * r + mat[1, 1] * g + mat[1, 2] * b + mid,
                   dst_maxv, exact)
@@ -221,17 +243,17 @@ def yuv_to_yuv(fb: FrameBatch, out_format: str) -> FrameBatch:
         planes["u"] = neutral
         planes["v"] = neutral
         return fb.with_planes(planes, out_format)
-    in_sub = in_fmt.plane("u").sub_w if in_has_c else 0
-    out_sub = out_fmt.plane("u").sub_w if out_has_c else 0
-    if in_sub and not out_sub:      # 420 -> 444
-        planes["u"] = _upsample2x(planes["u"])
-        planes["v"] = _upsample2x(planes["v"])
-    elif out_sub and not in_sub:    # 444 -> 420 (2x2 mean)
+    ipu = in_fmt.plane("u") if in_has_c else None
+    opu = out_fmt.plane("u") if out_has_c else None
+    if (ipu.sub_w, ipu.sub_h) != (opu.sub_w, opu.sub_h):
+        # generic per-axis relayout (420<->444, 422<->444, 420<->422):
+        # nearest-upsample to 4:4:4 then box-mean down to the target
         for k in ("u", "v"):
-            c = planes[k].astype(jnp.float32)
-            n, h, w = c.shape
-            c = c.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
-            planes[k] = jnp.round(c).astype(dt)
+            c = _chroma_up(planes[k], ipu.sub_h, ipu.sub_w)
+            if opu.sub_w or opu.sub_h:
+                c = _chroma_box(c.astype(jnp.float32), opu.sub_h, opu.sub_w)
+                c = jnp.round(c)
+            planes[k] = c.astype(dt)
     return fb.with_planes(planes, out_format)
 
 

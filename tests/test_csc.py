@@ -308,3 +308,52 @@ def test_rgb_to_p010_writes_clean_msb_alignment():
         assert (vp & 63).max() == 0, f"{k} has dirty low bits"
         np.testing.assert_array_equal(
             vp >> 6, np.asarray(q10.planes[k]).astype(np.uint32))
+
+
+def test_yuv422p_conversions():
+    """4:2:2 (camera/JPEG chroma layout): per-axis chroma resampling.
+    Reference analog: libswscale's yuv422p support in the scaled path
+    (swscale_cuda.c:372-476 handles any planar layout per-plane)."""
+    from gmat_tpu.core.frame import from_numpy_yuv420, from_numpy_rgb
+    rng = np.random.default_rng(3)
+    n, h, w = 2, 16, 24
+    y = rng.integers(16, 235, (n, h, w), np.uint8)
+    u = rng.integers(16, 240, (n, h, w // 2), np.uint8)
+    v = rng.integers(16, 240, (n, h, w // 2), np.uint8)
+    fb = from_numpy_yuv420(y, u, v, fmt="yuv422p")
+    # 422->rgb == horizontally-nearest-upsampled 444->rgb, exactly
+    rgb = csc.yuv_to_rgb(fb, "rgb24")
+    fb444 = from_numpy_yuv420(y, np.repeat(u, 2, 2), np.repeat(v, 2, 2),
+                              fmt="yuv444p")
+    np.testing.assert_array_equal(np.asarray(rgb.planes["rgb"]),
+                                  np.asarray(csc.yuv_to_rgb(fb444, "rgb24")
+                                             .planes["rgb"]))
+    # relayouts: 422->444 repeats, 444->422 pair-means, 420<->422 shapes
+    f444 = csc.yuv_to_yuv(fb, "yuv444p")
+    np.testing.assert_array_equal(np.asarray(f444.planes["u"]),
+                                  np.repeat(u, 2, 2))
+    f422b = csc.yuv_to_yuv(f444, "yuv422p")
+    want = np.round(np.repeat(u, 2, 2).astype(np.float64)
+                    .reshape(n, h, w // 2, 2).mean(-1))
+    np.testing.assert_array_equal(
+        np.asarray(f422b.planes["u"]).astype(float), want)
+    f420 = csc.yuv_to_yuv(fb, "yuv420p")
+    assert f420.planes["u"].shape == (n, h // 2, w // 2)
+    assert csc.yuv_to_yuv(f420, "yuv422p").planes["u"].shape == (n, h, w // 2)
+    # rgb->yuv422p->rgb: exact (<=2 codes) on constant-chroma content
+    rgbc = np.tile(rng.integers(30, 220, (n, 1, 1, 3)),
+                   (1, h, w, 1)).astype(np.uint8)
+    f = csc.rgb_to_yuv(from_numpy_rgb(rgbc), "yuv422p")
+    assert f.planes["u"].shape == (n, h, w // 2)
+    b = csc.yuv_to_rgb(f, "rgb24")
+    assert np.abs(np.asarray(b.planes["rgb"]).astype(int)
+                  - rgbc.astype(int)).max() <= 2
+    # subsampling loss ordering on noise content: 444 < 422 < 420
+    noise = rng.integers(30, 220, (n, h, w, 3)).astype(np.uint8)
+    errs = []
+    for fmt in ("yuv444p", "yuv422p", "yuv420p"):
+        rt = csc.yuv_to_rgb(csc.rgb_to_yuv(from_numpy_rgb(noise), fmt),
+                            "rgb24")
+        errs.append(np.abs(np.asarray(rt.planes["rgb"]).astype(int)
+                           - noise.astype(int)).mean())
+    assert errs[0] < errs[1] < errs[2], errs

@@ -358,3 +358,48 @@ def test_encode_expand_range():
         assert abs(float(np.median(yy)) - full) < 3
         # neutral chroma is a fixed point of the chroma expansion
         assert abs(float(np.median(uu)) - 128) < 3
+
+
+def test_jpeg_422(rng):
+    """4:2:2 lane (nvjpeg envelope: NVJPEG_CSS_422 camera streams):
+    self round-trip, PIL interop both directions, restart segments."""
+    import io
+
+    from PIL import Image
+    n, h, w = 2, 48, 64
+    yy, _, _ = smooth_yuv(rng, n=n, h=h, w=w)
+    u = np.full((n, h, w // 2), 110, np.uint8)
+    v = np.full((n, h, w // 2), 145, np.uint8)
+    fb = from_numpy_yuv420(yy, u, v, fmt="yuv422p")
+    datas = jpeg_tpu.encode_batch(fb, 92)
+    back = jpeg_tpu.decode_batch(datas)
+    assert back.format == "yuv422p"
+    assert np.abs(np.asarray(back.planes["y"]).astype(int)
+                  - yy.astype(int)).mean() < 3
+    assert np.abs(np.asarray(back.planes["u"]).astype(int)
+                  - u.astype(int)).mean() < 3
+    # PIL (libjpeg) decodes our 4:2:2 bytes
+    im = Image.open(io.BytesIO(datas[0]))
+    im.load()
+    assert im.size == (w, h)
+    # PIL-encoded 4:2:2 (subsampling=1) decodes with us
+    ycc = np.dstack([yy[0], np.full((h, w), 110, np.uint8),
+                     np.full((h, w), 145, np.uint8)])
+    buf = io.BytesIO()
+    Image.fromarray(ycc, "YCbCr").save(buf, "JPEG", quality=92,
+                                       subsampling=1)
+    ours = jpeg_tpu.decode_batch([buf.getvalue()])
+    assert ours.format == "yuv422p"
+    assert np.abs(np.asarray(ours.planes["y"])[0].astype(int)
+                  - yy[0].astype(int)).mean() < 4
+    # restart markers + intra-image parallel segment decode
+    rst = jpeg_tpu.encode_batch(fb, 88, restart_mcus=3)
+    assert all(b"\xff\xdd" in d for d in rst)
+    f1 = jpeg_tpu.decode_batch(rst)
+    f2 = jpeg_tpu.decode_batch(rst, segment_threads=4)
+    plain = jpeg_tpu.decode_batch(jpeg_tpu.encode_batch(fb, 88))
+    for k in f1.planes:
+        np.testing.assert_array_equal(np.asarray(f1.planes[k]),
+                                      np.asarray(f2.planes[k]))
+        np.testing.assert_array_equal(np.asarray(f1.planes[k]),
+                                      np.asarray(plain.planes[k]))
