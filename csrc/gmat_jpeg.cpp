@@ -462,6 +462,7 @@ struct GjpegFile {
     int width = 0, height = 0, subsamp = -1, ncomp = 0;
     uint8_t qt[4][64];          // natural order
     int comp_qt[3] = {0, 0, 0};
+    int comp_id[3] = {1, 2, 3};
     int comp_dc[3] = {0, 0, 0}, comp_ac[3] = {0, 0, 0};
     int comp_h[3] = {1, 1, 1}, comp_v[3] = {1, 1, 1};
     HuffDec dc[4], ac[4];
@@ -469,6 +470,8 @@ struct GjpegFile {
     const uint8_t* scan = nullptr;
     long long scan_size = 0;
     int restart = 0;
+    bool progressive = false;
+    long long sos_off = 0;      // offset of the first SOS marker (0xFF)
     std::vector<uint8_t> data;
 };
 
@@ -477,6 +480,35 @@ struct GjpegFile {
 // concurrent worker's
 static thread_local char gj_err[256];
 GJ_API const char* gjpeg_last_error() { return gj_err; }
+
+// Parse one DHT segment body (may hold several tables).  Shared by the
+// header parser and the progressive decoder's between-scan walk (T.81
+// allows redefining tables between scans).
+static bool parse_dht_segment(GjpegFile* f, const uint8_t* seg, int seglen) {
+    int off = 0;
+    while (off < seglen) {
+        int cls = seg[off] >> 4, id = seg[off] & 15;
+        off++;
+        if (cls > 1 || id >= 4 || off + 16 > seglen) {
+            snprintf(gj_err, sizeof gj_err,
+                     "bad DHT (class=%d id=%d)", cls, id);
+            return false;
+        }
+        uint8_t bits[17] = {0};
+        int nv = 0;
+        for (int l = 1; l <= 16; l++) { bits[l] = seg[off + l - 1]; nv += bits[l]; }
+        off += 16;
+        if (nv > 256 || off + nv > seglen) {
+            snprintf(gj_err, sizeof gj_err, "bad DHT value count %d", nv);
+            return false;
+        }
+        if (cls == 0) build_dec(bits, seg + off, nv, f->dc[id]);
+        else build_dec(bits, seg + off, nv, f->ac[id]);
+        f->has_dht[cls * 4 + id] = true;
+        off += nv;
+    }
+    return true;
+}
 
 GJ_API void* gjpeg_parse(const uint8_t* buf, long long size) {
     auto* f = new GjpegFile();
@@ -504,6 +536,16 @@ GJ_API void* gjpeg_parse(const uint8_t* buf, long long size) {
         }
         const uint8_t* seg = p + i + 4;
         int seglen = len - 2;
+        if (m == 0xC2) {
+            // progressive DCT: same SOF layout; multi-scan entropy data
+            f->progressive = true;
+            m = 0xC0;       // fall into the SOF handler below
+        } else if ((m >= 0xC3 && m <= 0xCF) && m != 0xC4 && m != 0xC8 &&
+                   m != 0xCC) {
+            // lossless / arithmetic / hierarchical SOFs would mis-decode
+            snprintf(gj_err, sizeof gj_err, "unsupported SOF 0x%02X", m);
+            delete f; return nullptr;
+        }
         if (m == 0xDB) {
             int off = 0;
             while (off < seglen) {
@@ -534,6 +576,7 @@ GJ_API void* gjpeg_parse(const uint8_t* buf, long long size) {
             f->width = (seg[3] << 8) | seg[4];
             f->ncomp = seg[5];
             for (int c = 0; c < f->ncomp && c < 3; c++) {
+                f->comp_id[c] = seg[6 + c * 3];
                 f->comp_h[c] = seg[6 + c * 3 + 1] >> 4;
                 f->comp_v[c] = seg[6 + c * 3 + 1] & 15;
                 f->comp_qt[c] = seg[6 + c * 3 + 2];
@@ -542,6 +585,17 @@ GJ_API void* gjpeg_parse(const uint8_t* buf, long long size) {
                              "bad quant table id %d", f->comp_qt[c]);
                     delete f; return nullptr;
                 }
+            }
+            if (f->ncomp == 3 &&
+                (f->comp_h[1] != 1 || f->comp_v[1] != 1 ||
+                 f->comp_h[2] != 1 || f->comp_v[2] != 1)) {
+                // caller buffers assume 1x1 chroma; geometry derived from
+                // declared sampling must never exceed them
+                snprintf(gj_err, sizeof gj_err,
+                         "unsupported chroma sampling %dx%d/%dx%d",
+                         f->comp_h[1], f->comp_v[1], f->comp_h[2],
+                         f->comp_v[2]);
+                delete f; return nullptr;
             }
             if (f->ncomp == 1) f->subsamp = 2;
             else if (f->comp_h[0] == 2 && f->comp_v[0] == 2) f->subsamp = 0;
@@ -552,33 +606,8 @@ GJ_API void* gjpeg_parse(const uint8_t* buf, long long size) {
                          "unsupported sampling %dx%d", f->comp_h[0], f->comp_v[0]);
                 delete f; return nullptr;
             }
-        } else if (m == 0xC2) {
-            snprintf(gj_err, sizeof gj_err, "progressive JPEG not supported");
-            delete f; return nullptr;
         } else if (m == 0xC4) {
-            int off = 0;
-            while (off < seglen) {
-                int cls = seg[off] >> 4, id = seg[off] & 15;
-                off++;
-                if (cls > 1 || id >= 4 || off + 16 > seglen) {
-                    snprintf(gj_err, sizeof gj_err,
-                             "bad DHT (class=%d id=%d)", cls, id);
-                    delete f; return nullptr;
-                }
-                uint8_t bits[17] = {0};
-                int nv = 0;
-                for (int l = 1; l <= 16; l++) { bits[l] = seg[off + l - 1]; nv += bits[l]; }
-                off += 16;
-                if (nv > 256 || off + nv > seglen) {
-                    snprintf(gj_err, sizeof gj_err,
-                             "bad DHT value count %d", nv);
-                    delete f; return nullptr;
-                }
-                if (cls == 0) build_dec(bits, seg + off, nv, f->dc[id]);
-                else build_dec(bits, seg + off, nv, f->ac[id]);
-                f->has_dht[cls * 4 + id] = true;
-                off += nv;
-            }
+            if (!parse_dht_segment(f, seg, seglen)) { delete f; return nullptr; }
         } else if (m == 0xDD) {
             if (seglen < 2) {
                 snprintf(gj_err, sizeof gj_err, "truncated DRI");
@@ -586,6 +615,12 @@ GJ_API void* gjpeg_parse(const uint8_t* buf, long long size) {
             }
             f->restart = (seg[0] << 8) | seg[1];
         } else if (m == 0xDA) {
+            if (f->progressive) {
+                // scans are re-parsed by the progressive decoder; here
+                // just record where they start
+                f->sos_off = i;
+                return f;
+            }
             int ns = seglen > 0 ? seg[0] : 0;
             if (ns < 1 || ns > 3 || seglen < 1 + ns * 2 + 3) {
                 snprintf(gj_err, sizeof gj_err, "bad SOS (%d comps)", ns);
@@ -733,6 +768,339 @@ static bool decode_mcu_range(const GjpegFile* f, BitReader& br,
     return true;
 }
 
+// ------------------------------------------------- progressive decode
+// T.81 Annex G: multiple scans refine the coefficient array — DC and AC
+// bands arrive separately (spectral selection) and in bit slices
+// (successive approximation).  Entropy decode stays on host; the
+// refined coefficients feed the same device dequant+IDCT program as
+// baseline (jpeg_tpu.decode_batch), so progressive rides the MXU too.
+// Replaces the reference's nvjpeg progressive support
+// (metrans/samples/AppNvjpegDec.cpp:24-67 accepts any libjpeg stream).
+
+struct ProgScan {
+    int ncomp = 0;
+    int ci[3] = {0, 0, 0};      // component indices in f->comp_*
+    int dct[3] = {0, 0, 0}, act[3] = {0, 0, 0};
+    int ss = 0, se = 0, ah = 0, al = 0;
+};
+
+static bool parse_prog_scan_header(GjpegFile* f, const uint8_t* seg,
+                                   int seglen, ProgScan& sc) {
+    int ns = seglen > 0 ? seg[0] : 0;
+    if (ns < 1 || ns > 3 || seglen < 1 + ns * 2 + 3) {
+        snprintf(gj_err, sizeof gj_err, "bad progressive SOS (%d comps)", ns);
+        return false;
+    }
+    sc.ncomp = ns;
+    for (int k = 0; k < ns; k++) {
+        int id = seg[1 + k * 2], ci = -1;
+        for (int c = 0; c < f->ncomp && c < 3; c++)
+            if (f->comp_id[c] == id) ci = c;
+        if (ci < 0) {
+            snprintf(gj_err, sizeof gj_err, "SOS names unknown component %d", id);
+            return false;
+        }
+        sc.ci[k] = ci;
+        sc.dct[k] = seg[1 + k * 2 + 1] >> 4;
+        sc.act[k] = seg[1 + k * 2 + 1] & 15;
+        if (sc.dct[k] >= 4 || sc.act[k] >= 4) {
+            snprintf(gj_err, sizeof gj_err, "bad SOS table selector");
+            return false;
+        }
+    }
+    sc.ss = seg[1 + ns * 2];
+    sc.se = seg[1 + ns * 2 + 1];
+    sc.ah = seg[1 + ns * 2 + 2] >> 4;
+    sc.al = seg[1 + ns * 2 + 2] & 15;
+    if (sc.ss > 63 || sc.se > 63 || sc.se < sc.ss || sc.al > 13 ||
+        sc.ah > 13) {
+        snprintf(gj_err, sizeof gj_err, "bad spectral selection %d..%d/%d.%d",
+                 sc.ss, sc.se, sc.ah, sc.al);
+        return false;
+    }
+    if (sc.ss == 0 && sc.se != 0) {
+        snprintf(gj_err, sizeof gj_err, "DC scan with Se=%d", sc.se);
+        return false;
+    }
+    if (sc.ss > 0 && ns != 1) {
+        snprintf(gj_err, sizeof gj_err, "interleaved AC scan");
+        return false;
+    }
+    return true;
+}
+
+static bool prog_dc_first_block(BitReader& br, const HuffDec& dc, int& pred,
+                                int al, int16_t* out) {
+    int s = huff_decode(br, dc);
+    if (s < 0 || s > 15) return false;
+    int diff = 0;
+    if (s) {
+        int v = br.bits(s);
+        if (v < 0) return false;
+        diff = extend(v, s);
+    }
+    pred += diff;
+    out[0] = (int16_t)(pred << al);
+    return true;
+}
+
+static bool prog_dc_refine_block(BitReader& br, int al, int16_t* out) {
+    int b = br.bit();
+    if (b < 0) return false;
+    if (b) out[0] = (int16_t)(out[0] | (1 << al));
+    return true;
+}
+
+static bool prog_ac_first_block(BitReader& br, const HuffDec& ac, int ss,
+                                int se, int al, unsigned& eobrun,
+                                int16_t* out) {
+    if (eobrun > 0) { eobrun--; return true; }
+    int k = ss;
+    while (k <= se) {
+        int rs = huff_decode(br, ac);
+        if (rs < 0) return false;
+        int r = rs >> 4, s = rs & 15;
+        if (s == 0) {
+            if (r != 15) {      // EOBn: this block ends, 2^r-1+appended more
+                eobrun = (1u << r) - 1;
+                if (r) {
+                    int v = br.bits(r);
+                    if (v < 0) return false;
+                    eobrun += (unsigned)v;
+                }
+                break;
+            }
+            k += 16;            // ZRL
+            continue;
+        }
+        k += r;
+        if (k > se) return false;
+        int v = br.bits(s);
+        if (v < 0) return false;
+        out[ZIGZAG[k]] = (int16_t)(extend(v, s) << al);
+        k++;
+    }
+    return true;
+}
+
+static bool prog_ac_refine_block(BitReader& br, const HuffDec& ac, int ss,
+                                 int se, int al, unsigned& eobrun,
+                                 int16_t* out) {
+    const int p1 = 1 << al, m1 = -(1 << al);
+    int k = ss;
+    if (eobrun == 0) {
+        while (k <= se) {
+            int rs = huff_decode(br, ac);
+            if (rs < 0) return false;
+            int r = rs >> 4, s = rs & 15;
+            int newval = 0;
+            if (s == 0) {
+                if (r != 15) {  // EOBn: current block's tail still takes
+                    eobrun = (1u << r);   // correction bits below
+                    if (r) {
+                        int v = br.bits(r);
+                        if (v < 0) return false;
+                        eobrun += (unsigned)v;
+                    }
+                    break;
+                }
+                // r == 15: run of 16 zero-history coefficients
+            } else {
+                if (s != 1) return false;   // refinement magnitude is 1 bit
+                int b = br.bit();
+                if (b < 0) return false;
+                newval = b ? p1 : m1;
+            }
+            // advance over the band: nonzero-history coefficients eat a
+            // correction bit each; zero-history ones count down the run
+            while (k <= se) {
+                int16_t* cp = out + ZIGZAG[k];
+                if (*cp != 0) {
+                    int b = br.bit();
+                    if (b < 0) return false;
+                    if (b && (*cp & p1) == 0)
+                        *cp = (int16_t)(*cp + (*cp >= 0 ? p1 : m1));
+                } else {
+                    if (r == 0) {
+                        if (newval) *cp = (int16_t)newval;
+                        k++;
+                        break;
+                    }
+                    r--;
+                }
+                k++;
+            }
+        }
+    }
+    if (eobrun > 0) {
+        // inside an EOB run every nonzero-history coefficient in the
+        // band still receives its correction bit
+        while (k <= se) {
+            int16_t* cp = out + ZIGZAG[k];
+            if (*cp != 0) {
+                int b = br.bit();
+                if (b < 0) return false;
+                if (b && (*cp & p1) == 0)
+                    *cp = (int16_t)(*cp + (*cp >= 0 ? p1 : m1));
+            }
+            k++;
+        }
+        eobrun--;
+    }
+    return true;
+}
+
+// Decode one scan's entropy data.  Returns bytes consumed (up to the
+// terminating marker) or -1.
+static long long decode_prog_scan_data(GjpegFile* f, const ProgScan& sc,
+                                       const uint8_t* data, long long size,
+                                       int16_t* const* bufs,
+                                       const int* bufw, const int* bufh,
+                                       const int* cw, const int* ch,
+                                       int mcux, int mcuy) {
+    // scan ends at the first marker that is neither stuffing nor RSTn
+    long long end = size;
+    for (long long j = 0; j + 1 < size; j++) {
+        if (data[j] == 0xFF) {
+            uint8_t b = data[j + 1];
+            if (b == 0x00 || (b >= 0xD0 && b <= 0xD7)) { j++; continue; }
+            end = j;
+            break;
+        }
+    }
+    BitReader br(data, end, f->restart == 0);
+    int pred[3] = {0, 0, 0};
+    unsigned eobrun = 0;
+    int rst_count = 0;
+    auto restart_check = [&](void) {
+        if (f->restart && ++rst_count == f->restart) {
+            rst_count = 0;
+            br.nbits = 0;
+            if (br.pos + 1 < br.n && br.p[br.pos] == 0xFF &&
+                br.p[br.pos + 1] >= 0xD0 && br.p[br.pos + 1] <= 0xD7)
+                br.pos += 2;
+            br.marker_hit = false;
+            br.stalled_marker = false;
+            pred[0] = pred[1] = pred[2] = 0;
+            eobrun = 0;
+        }
+    };
+    bool ok = true;
+    if (sc.ss == 0 && sc.ncomp > 1) {
+        // interleaved DC scan: MCU order, comp_h x comp_v blocks each
+        for (int my = 0; my < mcuy && ok; my++)
+            for (int mx = 0; mx < mcux && ok; mx++) {
+                for (int k = 0; k < sc.ncomp && ok; k++) {
+                    int c = sc.ci[k];
+                    for (int v = 0; v < f->comp_v[c] && ok; v++)
+                        for (int u = 0; u < f->comp_h[c] && ok; u++) {
+                            long long brow = (long long)my * f->comp_v[c] + v;
+                            long long bcol = (long long)mx * f->comp_h[c] + u;
+                            int16_t* out = bufs[c]
+                                + (brow * bufw[c] + bcol) * 64;
+                            ok = sc.ah == 0
+                                ? prog_dc_first_block(br, f->dc[sc.dct[k]],
+                                                      pred[k], sc.al, out)
+                                : prog_dc_refine_block(br, sc.al, out);
+                        }
+                }
+                if (ok) restart_check();
+            }
+    } else {
+        // non-interleaved: one component, its own block raster; restart
+        // interval counts single blocks
+        int c = sc.ci[0];
+        for (long long by = 0; by < ch[c] && ok; by++)
+            for (long long bx = 0; bx < cw[c] && ok; bx++) {
+                int16_t* out = bufs[c] + (by * bufw[c] + bx) * 64;
+                if (sc.ss == 0)
+                    ok = sc.ah == 0
+                        ? prog_dc_first_block(br, f->dc[sc.dct[0]], pred[0],
+                                              sc.al, out)
+                        : prog_dc_refine_block(br, sc.al, out);
+                else
+                    ok = sc.ah == 0
+                        ? prog_ac_first_block(br, f->ac[sc.act[0]], sc.ss,
+                                              sc.se, sc.al, eobrun, out)
+                        : prog_ac_refine_block(br, f->ac[sc.act[0]], sc.ss,
+                                               sc.se, sc.al, eobrun, out);
+                if (ok) restart_check();
+            }
+    }
+    if (!ok) {
+        snprintf(gj_err, sizeof gj_err, "progressive scan error "
+                 "(Ss=%d Se=%d Ah=%d Al=%d)", sc.ss, sc.se, sc.ah, sc.al);
+        return -1;
+    }
+    return end;
+}
+
+static int decode_progressive(GjpegFile* f, int16_t* yc, int16_t* uc,
+                              int16_t* vc) {
+    int hmax = 1, vmax = 1;
+    for (int c = 0; c < f->ncomp && c < 3; c++) {
+        if (f->comp_h[c] > hmax) hmax = f->comp_h[c];
+        if (f->comp_v[c] > vmax) vmax = f->comp_v[c];
+    }
+    int mcux = (f->width + 8 * hmax - 1) / (8 * hmax);
+    int mcuy = (f->height + 8 * vmax - 1) / (8 * vmax);
+    int16_t* bufs[3] = {yc, uc, vc};
+    int bufw[3] = {1, 1, 1}, bufh[3] = {1, 1, 1};
+    int cw[3] = {0, 0, 0}, ch[3] = {0, 0, 0};
+    for (int c = 0; c < f->ncomp && c < 3; c++) {
+        // caller buffers are MCU-grid padded (jpeg_tpu.decode_batch)
+        bufw[c] = mcux * f->comp_h[c];
+        bufh[c] = mcuy * f->comp_v[c];
+        int compw = (f->width * f->comp_h[c] + hmax - 1) / hmax;
+        int comph = (f->height * f->comp_v[c] + vmax - 1) / vmax;
+        cw[c] = (compw + 7) / 8;
+        ch[c] = (comph + 7) / 8;
+    }
+    const uint8_t* p = f->data.data();
+    long long n = (long long)f->data.size();
+    long long i = f->sos_off;
+    while (i + 2 <= n) {
+        if (p[i] != 0xFF) {
+            snprintf(gj_err, sizeof gj_err, "garbage between scans");
+            return -1;
+        }
+        uint8_t m = p[i + 1];
+        if (m == 0xD9) return 0;                         // EOI
+        if (m == 0xFF) { i++; continue; }                // fill byte
+        if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) { i += 2; continue; }
+        if (i + 4 > n) break;
+        int len = (p[i + 2] << 8) | p[i + 3];
+        if (len < 2 || i + 2 + len > n) {
+            snprintf(gj_err, sizeof gj_err,
+                     "truncated segment 0x%02X between scans", m);
+            return -1;
+        }
+        const uint8_t* seg = p + i + 4;
+        int seglen = len - 2;
+        if (m == 0xC4) {
+            if (!parse_dht_segment(f, seg, seglen)) return -1;
+        } else if (m == 0xDD) {
+            if (seglen < 2) {
+                snprintf(gj_err, sizeof gj_err, "truncated DRI");
+                return -1;
+            }
+            f->restart = (seg[0] << 8) | seg[1];
+        } else if (m == 0xDA) {
+            ProgScan sc;
+            if (!parse_prog_scan_header(f, seg, seglen, sc)) return -1;
+            long long off = i + 2 + len;
+            long long used = decode_prog_scan_data(
+                f, sc, p + off, n - off, bufs, bufw, bufh, cw, ch,
+                mcux, mcuy);
+            if (used < 0) return -1;
+            i = off + used;
+            continue;
+        }
+        i += 2 + len;
+    }
+    return 0;   // data ended without EOI: keep what was refined so far
+}
+
 // Parallel decode over restart segments (the nvjpeg-style unit): each
 // DRI interval is independently decodable, so segments fan out across
 // threads.  Requires a well-formed RSTn layout; anything else falls
@@ -742,6 +1110,7 @@ GJ_API int gjpeg_decode_coefs_mt(void* h, int16_t* yc, int16_t* uc,
 
 GJ_API int gjpeg_decode_coefs(void* h, int16_t* yc, int16_t* uc, int16_t* vc) {
     auto* f = (GjpegFile*)h;
+    if (f->progressive) return decode_progressive(f, yc, uc, vc);
     // bulk refill only without restart intervals: restart alignment
     // manipulates pos/nbits with single-byte-buffer assumptions
     BitReader br(f->scan, f->scan_size, f->restart == 0);
@@ -834,7 +1203,8 @@ GJ_API int gjpeg_decode_coefs_mt(void* h, int16_t* yc, int16_t* uc,
                                  int16_t* vc, int nthreads) {
     auto* f = (GjpegFile*)h;
     long long total = gj_total_mcus(f);
-    if (f->restart <= 0 || nthreads <= 1 || total <= f->restart)
+    if (f->progressive || f->restart <= 0 || nthreads <= 1
+        || total <= f->restart)
         return gjpeg_decode_coefs(h, yc, uc, vc);
     // segment k starts right after the k-th RSTn (segment 0 at offset 0)
     std::vector<long long> seg_off{0};

@@ -403,3 +403,103 @@ def test_jpeg_422(rng):
                                       np.asarray(f2.planes[k]))
         np.testing.assert_array_equal(np.asarray(f1.planes[k]),
                                       np.asarray(plain.planes[k]))
+
+
+def test_progressive_decode(rng):
+    """Progressive (SOF2) decode: spectral selection + successive
+    approximation scans refine the coefficient array on host, then ride
+    the same device dequant+IDCT program.  nvjpeg-envelope parity
+    (AppNvjpegDec.cpp:24-67 accepts any libjpeg stream).  Oracle: PIL
+    (libjpeg) pixels; plus the sharper invariant that progressive and
+    baseline encodes of one image decode bit-exactly the same."""
+    import io
+
+    from PIL import Image
+    h, w = 64, 80
+    yv = (rng.integers(0, 256, (h, w)) * 0.5 +
+          np.add.outer(np.linspace(0, 255, h), np.zeros(w)) * 0.5
+          ).astype(np.uint8)
+    ycc = np.dstack([yv, rng.integers(60, 200, (h, w)).astype(np.uint8),
+                     rng.integers(60, 200, (h, w)).astype(np.uint8)])
+    for q, sub in ((30, 2), (85, 2), (85, 1), (85, 0), (95, 0)):
+        blobs = {}
+        for prog in (False, True):
+            buf = io.BytesIO()
+            Image.fromarray(ycc, "YCbCr").save(
+                buf, "JPEG", quality=q, progressive=prog, subsampling=sub)
+            blobs[prog] = buf.getvalue()
+        assert b"\xff\xc2" in blobs[True][:200]
+        fa = jpeg_tpu.decode_batch([blobs[False]])
+        fp = jpeg_tpu.decode_batch([blobs[True]])
+        for k in fa.planes:
+            np.testing.assert_array_equal(np.asarray(fa.planes[k]),
+                                          np.asarray(fp.planes[k]))
+        # pixel sanity vs PIL's own decode (loose: PIL's output passes
+        # through its RGB<->YCbCr fixed-point matrices and an integer
+        # IDCT; the sharp check is the bit-exact baseline parity above)
+        pil = np.asarray(Image.open(io.BytesIO(blobs[True]))
+                         .convert("YCbCr"))
+        d = np.abs(np.asarray(fp.planes["y"])[0].astype(int)
+                   - pil[..., 0].astype(int))
+        assert d.mean() < 2.5, (q, sub, d.mean())
+    # grayscale progressive
+    buf = io.BytesIO()
+    Image.fromarray(yv, "L").save(buf, "JPEG", quality=90, progressive=True)
+    fb = jpeg_tpu.decode_batch([buf.getvalue()])
+    assert fb.format == "gray8"
+    assert np.abs(np.asarray(fb.planes["y"])[0].astype(int)
+                  - yv.astype(int)).mean() < 4
+
+
+def test_progressive_restart_intervals(rng):
+    """DRI inside progressive scans: per-interval DC/EOBRUN reset."""
+    import io
+
+    from PIL import Image
+    h, w = 64, 80
+    ycc = np.dstack([rng.integers(0, 256, (h, w)).astype(np.uint8),
+                     rng.integers(60, 200, (h, w)).astype(np.uint8),
+                     rng.integers(60, 200, (h, w)).astype(np.uint8)])
+    bufs = {}
+    for rst in (0, 4):
+        buf = io.BytesIO()
+        kw = {"restart_marker_blocks": rst} if rst else {}
+        Image.fromarray(ycc, "YCbCr").save(buf, "JPEG", quality=85,
+                                           progressive=True, **kw)
+        bufs[rst] = buf.getvalue()
+    if b"\xff\xdd" not in bufs[4]:
+        import pytest
+        pytest.skip("PIL build lacks restart_marker_blocks")
+    fa = jpeg_tpu.decode_batch([bufs[0]])
+    fb = jpeg_tpu.decode_batch([bufs[4]])
+    for k in fa.planes:
+        np.testing.assert_array_equal(np.asarray(fa.planes[k]),
+                                      np.asarray(fb.planes[k]))
+
+
+def test_progressive_mutation_fuzz(rng):
+    import io
+
+    from PIL import Image
+    h, w = 48, 64
+    ycc = np.dstack([rng.integers(0, 256, (h, w)).astype(np.uint8),
+                     rng.integers(60, 200, (h, w)).astype(np.uint8),
+                     rng.integers(60, 200, (h, w)).astype(np.uint8)])
+    buf = io.BytesIO()
+    Image.fromarray(ycc, "YCbCr").save(buf, "JPEG", quality=85,
+                                       progressive=True)
+    blob = buf.getvalue()
+    for frac in (0.05, 0.3, 0.7, 0.97):
+        try:
+            jpeg_tpu.decode_batch([blob[: int(len(blob) * frac)]])
+        except Exception:
+            pass
+    for seed in range(25):
+        r = np.random.default_rng(seed)
+        mut = bytearray(blob)
+        for _ in range(8):
+            mut[r.integers(2, len(mut))] = r.integers(0, 256)
+        try:
+            jpeg_tpu.decode_batch([bytes(mut)])
+        except Exception:
+            pass
