@@ -658,20 +658,49 @@ GJ_API void gjpeg_qtable(void* h, int comp, uint8_t* out64) {
 
 GJ_API void gjpeg_free(void* h) { delete (GjpegFile*)h; }
 
+// NOTE: writes only the nonzero coefficients (natural order via ZIGZAG)
+// — callers pass zero-initialized buffers (jpeg_tpu allocates np.zeros)
+// and each block is decoded exactly once.
 static bool decode_block_d(BitReader& br, const HuffDec& dc, const HuffDec& ac,
                            int& pred, int16_t* out) {
-    int16_t z[64] = {0};
     int s = huff_decode(br, dc);
     if (s < 0) return false;
-    int diff = 0;
     if (s) {
         int v = br.bits(s);
         if (v < 0) return false;
-        diff = extend(v, s);
+        pred += extend(v, s);
     }
-    pred += diff;
-    z[0] = (int16_t)pred;
+    out[0] = (int16_t)pred;
     int k = 1;
+    if (br.buffered) {
+        // fast loop: with >=26 valid bits, symbol (<=16) + magnitude
+        // (<=10) decode from one accumulator peek — a single bound
+        // check per coefficient instead of one per primitive
+        while (k < 64) {
+            if (br.nbits < 26) {
+                br.fill();
+                if (br.nbits < 26) break;        // tail: careful path
+            }
+            int idx = (int)(br.acc >> (br.nbits - 8)) & 0xFF;
+            int l = ac.lut_len[idx], rs;
+            if (l) { br.nbits -= l; rs = ac.lut_sym[idx]; }
+            else {
+                rs = huff_decode_slow(br, ac);   // consumes <=16 bits
+                if (rs < 0) return false;
+            }
+            int r = rs >> 4, sz = rs & 15;
+            if (sz == 0) {
+                if (r == 15) { k += 16; continue; }
+                return true;                     // EOB
+            }
+            k += r;
+            if (k > 63) return false;
+            br.nbits -= sz;
+            int v = (int)(br.acc >> br.nbits) & ((1 << sz) - 1);
+            out[ZIGZAG[k++]] = (int16_t)extend(v, sz);
+        }
+        if (k >= 64) return true;
+    }
     while (k < 64) {
         int rs = huff_decode(br, ac);
         if (rs < 0) return false;
@@ -684,9 +713,8 @@ static bool decode_block_d(BitReader& br, const HuffDec& dc, const HuffDec& ac,
         if (k > 63) return false;
         int v = br.bits(sz);
         if (v < 0) return false;
-        z[k++] = (int16_t)extend(v, sz);
+        out[ZIGZAG[k++]] = (int16_t)extend(v, sz);
     }
-    for (int i = 0; i < 64; i++) out[ZIGZAG[i]] = z[i];
     return true;
 }
 
