@@ -6,8 +6,11 @@
 // Huffman coding stays on host in native code.
 //
 // Coefficient layout at the ABI: per plane, blocks in raster order,
-// 64 int16 per block in *natural* (row-major) order; zigzag happens here.
-// Planes are padded to whole MCUs by the caller; SOF carries true dims.
+// 64 int16 per block in *zigzag scan* order — the device program does
+// the (free) permutation (ops/dct.to_zigzag/from_zigzag), so encode
+// reads and decode writes are purely sequential here.  Quant tables
+// stay natural-order at the ABI.  Planes are padded to whole MCUs by
+// the caller; SOF carries true dims.
 
 #include <atomic>
 #include <cstdint>
@@ -120,15 +123,13 @@ static inline int bitlen(int v) {
     return v ? 32 - __builtin_clz((unsigned)v) : 0;
 }
 
-static void encode_block(BitWriter& bw, const int16_t* blk, int& pred,
+static void encode_block(BitWriter& bw, const int16_t* z, int& pred,
                          const HuffEnc& dc, const HuffEnc& ac) {
-    int16_t z[64];
+    // z is already in zigzag scan order (device-side permutation):
+    // sequential reads; the nonzero mask build vectorizes
     uint64_t mask = 0;     // bit i set = zigzag coefficient i nonzero
-    for (int i = 0; i < 64; i++) {
-        int16_t c = blk[ZIGZAG[i]];
-        z[i] = c;
-        mask |= (uint64_t)(c != 0) << i;
-    }
+    for (int i = 0; i < 64; i++)
+        mask |= (uint64_t)(z[i] != 0) << i;
     int diff = z[0] - pred;
     pred = z[0];
     int n = bitlen(diff < 0 ? -diff : diff);
@@ -697,7 +698,7 @@ static bool decode_block_d(BitReader& br, const HuffDec& dc, const HuffDec& ac,
             if (k > 63) return false;
             br.nbits -= sz;
             int v = (int)(br.acc >> br.nbits) & ((1 << sz) - 1);
-            out[ZIGZAG[k++]] = (int16_t)extend(v, sz);
+            out[k++] = (int16_t)extend(v, sz);
         }
         if (k >= 64) return true;
     }
@@ -713,7 +714,7 @@ static bool decode_block_d(BitReader& br, const HuffDec& dc, const HuffDec& ac,
         if (k > 63) return false;
         int v = br.bits(sz);
         if (v < 0) return false;
-        out[ZIGZAG[k++]] = (int16_t)extend(v, sz);
+        out[k++] = (int16_t)extend(v, sz);
     }
     return true;
 }
@@ -905,7 +906,7 @@ static bool prog_ac_first_block(BitReader& br, const HuffDec& ac, int ss,
         if (k > se) return false;
         int v = br.bits(s);
         if (v < 0) return false;
-        out[ZIGZAG[k]] = (int16_t)(extend(v, s) << al);
+        out[k] = (int16_t)(extend(v, s) << al);
         k++;
     }
     return true;
@@ -942,7 +943,7 @@ static bool prog_ac_refine_block(BitReader& br, const HuffDec& ac, int ss,
             // advance over the band: nonzero-history coefficients eat a
             // correction bit each; zero-history ones count down the run
             while (k <= se) {
-                int16_t* cp = out + ZIGZAG[k];
+                int16_t* cp = out + k;
                 if (*cp != 0) {
                     int b = br.bit();
                     if (b < 0) return false;
@@ -964,7 +965,7 @@ static bool prog_ac_refine_block(BitReader& br, const HuffDec& ac, int ss,
         // inside an EOB run every nonzero-history coefficient in the
         // band still receives its correction bit
         while (k <= se) {
-            int16_t* cp = out + ZIGZAG[k];
+            int16_t* cp = out + k;
             if (*cp != 0) {
                 int b = br.bit();
                 if (b < 0) return false;

@@ -67,31 +67,36 @@ def _expand_full(x, luma: bool):
 from functools import partial as _partial  # noqa: E402
 
 
+# coefficient wire layout: (N, bh, bw, 64) int16 in ZIGZAG scan order —
+# the permutation rides the device program (free), so the host entropy
+# coder touches purely sequential memory (csrc/gmat_jpeg.cpp ABI)
 @_partial(jax.jit, static_argnums=(5,))
 def _encode_coefs_420(y, u, v, qy, qc, expand=False):
     if expand:
         y, u, v = (_expand_full(y, True), _expand_full(u, False),
                    _expand_full(v, False))
-    return (dct.encode_plane(y, qy), dct.encode_plane(u, qc),
-            dct.encode_plane(v, qc))
+    return (dct.to_zigzag(dct.encode_plane(y, qy)),
+            dct.to_zigzag(dct.encode_plane(u, qc)),
+            dct.to_zigzag(dct.encode_plane(v, qc)))
 
 
 @jax.jit
 def _decode_planes_420(yc, uc, vc, qy, qc):
-    return (dct.decode_plane(yc, qy), dct.decode_plane(uc, qc),
-            dct.decode_plane(vc, qc))
+    return (dct.decode_plane(dct.from_zigzag(yc), qy),
+            dct.decode_plane(dct.from_zigzag(uc), qc),
+            dct.decode_plane(dct.from_zigzag(vc), qc))
 
 
 @_partial(jax.jit, static_argnums=(2,))
 def _encode_coefs_gray(y, qy, expand=False):
     if expand:
         y = _expand_full(y, True)
-    return dct.encode_plane(y, qy)
+    return dct.to_zigzag(dct.encode_plane(y, qy))
 
 
 @jax.jit
 def _decode_plane_gray(yc, qy):
-    return dct.decode_plane(yc, qy)
+    return dct.decode_plane(dct.from_zigzag(yc), qy)
 
 
 def encode_batch(fb: FrameBatch, quality: int = 90,
@@ -234,9 +239,9 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601",
             cb = (1, 1)     # native gray path never touches u/v
         else:
             yb = cb = ((h + 7) // 8, (w + 7) // 8)
-        yc = np.zeros(yb + (8, 8), np.int16)
-        uc = np.zeros(cb + (8, 8), np.int16)
-        vc = np.zeros(cb + (8, 8), np.int16)
+        yc = np.zeros(yb + (64,), np.int16)
+        uc = np.zeros(cb + (64,), np.int16)
+        vc = np.zeros(cb + (64,), np.int16)
         if segment_threads > 0:
             r = lib.gjpeg_decode_coefs_mt(hnd, yc.ctypes.data_as(p16),
                                           uc.ctypes.data_as(p16),

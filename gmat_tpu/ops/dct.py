@@ -57,6 +57,33 @@ def dct_matrix() -> np.ndarray:
     return (D * 0.5).astype(np.float32)
 
 
+# T.81 zigzag scan: ZIGZAG[i] = natural (row-major) index of scan pos i
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], np.int32)
+ZIGZAG_INV = np.argsort(ZIGZAG).astype(np.int32)
+
+
+def to_zigzag(coefs: jax.Array) -> jax.Array:
+    """(..., 8, 8) natural-order blocks -> (..., 64) zigzag scan order.
+    Runs inside the jitted coef program: the permutation is free on
+    device, so the host entropy coder reads purely sequential memory."""
+    flat = coefs.reshape(coefs.shape[:-2] + (64,))
+    return flat[..., jnp.asarray(ZIGZAG)]
+
+
+def from_zigzag(z: jax.Array) -> jax.Array:
+    """(..., 64) zigzag order -> (..., 8, 8) natural-order blocks."""
+    flat = z[..., jnp.asarray(ZIGZAG_INV)]
+    return flat.reshape(z.shape[:-1] + (8, 8))
+
+
 def blockify(x: jax.Array) -> jax.Array:
     """(N, H, W) -> (N, H//8, W//8, 8, 8)."""
     n, h, w = x.shape
