@@ -177,16 +177,168 @@ static void put_dht(std::vector<uint8_t>& o, int cls, int id,
     o.insert(o.end(), vals, vals + nvals);
 }
 
+// Walk every block in MCU scan order: block(comp, ptr64) with comp
+// 0=Y 1=U 2=V; boundary() fires at restart-interval edges (not after
+// the final MCU).  Shared by the encode pass and the optimize-mode
+// symbol-counting pass so both see identical structure.
+template <class BF, class RF>
+static void walk_blocks(const int16_t* yc, const int16_t* uc,
+                        const int16_t* vc, int width, int height,
+                        int subsamp, int restart, BF&& block,
+                        RF&& boundary) {
+    long long total_mcus, mcus_done = 0;
+    int mcu_count = 0;
+    if (subsamp == 0)
+        total_mcus = (long long)((width + 15) / 16) * ((height + 15) / 16);
+    else if (subsamp == 3)
+        total_mcus = (long long)((width + 15) / 16) * ((height + 7) / 8);
+    else
+        total_mcus = (long long)((width + 7) / 8) * ((height + 7) / 8);
+    auto mcu_end = [&](void) {
+        mcus_done++;
+        if (restart > 0 && ++mcu_count == restart
+            && mcus_done < total_mcus) {
+            mcu_count = 0;
+            boundary();
+        }
+    };
+    if (subsamp == 0) {
+        int mcux = (width + 15) / 16, mcuy = (height + 15) / 16;
+        int ybw = mcux * 2, cbw = mcux;
+        for (int my = 0; my < mcuy; my++)
+            for (int mx = 0; mx < mcux; mx++) {
+                for (int by = 0; by < 2; by++)
+                    for (int bx = 0; bx < 2; bx++)
+                        block(0, yc + ((long long)(my * 2 + by) * ybw
+                                       + (mx * 2 + bx)) * 64);
+                block(1, uc + ((long long)my * cbw + mx) * 64);
+                block(2, vc + ((long long)my * cbw + mx) * 64);
+                mcu_end();
+            }
+    } else if (subsamp == 3) {
+        // 4:2:2 MCU = 2 horizontal luma blocks + 1 Cb + 1 Cr
+        int mcux = (width + 15) / 16, mcuy = (height + 7) / 8;
+        int ybw = mcux * 2, cbw = mcux;
+        for (int my = 0; my < mcuy; my++)
+            for (int mx = 0; mx < mcux; mx++) {
+                for (int bx = 0; bx < 2; bx++)
+                    block(0, yc + ((long long)my * ybw + (mx * 2 + bx)) * 64);
+                block(1, uc + ((long long)my * cbw + mx) * 64);
+                block(2, vc + ((long long)my * cbw + mx) * 64);
+                mcu_end();
+            }
+    } else if (subsamp == 1) {
+        int bwid = (width + 7) / 8, bhei = (height + 7) / 8;
+        for (int by = 0; by < bhei; by++)
+            for (int bx = 0; bx < bwid; bx++) {
+                long long idx = (long long)by * bwid + bx;
+                block(0, yc + idx * 64);
+                block(1, uc + idx * 64);
+                block(2, vc + idx * 64);
+                mcu_end();
+            }
+    } else {
+        int bwid = (width + 7) / 8, bhei = (height + 7) / 8;
+        for (long long i = 0; i < (long long)bwid * bhei; i++) {
+            block(0, yc + i * 64);
+            mcu_end();
+        }
+    }
+}
+
+// Count the (run,size) / magnitude-class symbols one block would emit —
+// must mirror encode_block exactly (incl. the 1023 clamp).
+static void count_block(const int16_t* z, int& pred, uint32_t* dcf,
+                        uint32_t* acf) {
+    uint64_t mask = 0;
+    for (int i = 0; i < 64; i++)
+        mask |= (uint64_t)(z[i] != 0) << i;
+    int diff = z[0] - pred;
+    pred = z[0];
+    dcf[bitlen(diff < 0 ? -diff : diff)]++;
+    mask &= ~1ull;
+    int last = 0;
+    while (mask) {
+        int i = __builtin_ctzll(mask);
+        mask &= mask - 1;
+        int run = i - last - 1;
+        last = i;
+        while (run > 15) { acf[0xF0]++; run -= 16; }
+        int v = z[i];
+        if (v > 1023) v = 1023;
+        if (v < -1023) v = -1023;
+        int s = bitlen(v < 0 ? -v : v);
+        acf[(run << 4) | s]++;
+    }
+    if (last != 63) acf[0x00]++;
+}
+
+// Optimal JPEG-legal Huffman table from symbol frequencies (T.81 Annex
+// K.2/K.3): pairwise frequency merge -> code lengths, 16-bit limit
+// adjustment, reserved symbol 256 guarantees no all-ones code.
+static void build_opt_table(uint32_t freq[257], uint8_t bits_out[17],
+                            uint8_t vals_out[256], int& nvals) {
+    int codesize[257] = {0};
+    int others[257];
+    for (int i = 0; i < 257; i++) others[i] = -1;
+    freq[256] = 1;
+    for (;;) {
+        int c1 = -1;
+        uint32_t v = UINT32_MAX;
+        for (int i = 0; i <= 256; i++)
+            if (freq[i] && freq[i] <= v) { v = freq[i]; c1 = i; }
+        int c2 = -1;
+        v = UINT32_MAX;
+        for (int i = 0; i <= 256; i++)
+            if (freq[i] && freq[i] <= v && i != c1) { v = freq[i]; c2 = i; }
+        if (c2 < 0) break;
+        freq[c1] += freq[c2];
+        freq[c2] = 0;
+        codesize[c1]++;
+        while (others[c1] >= 0) { c1 = others[c1]; codesize[c1]++; }
+        others[c1] = c2;
+        codesize[c2]++;
+        while (others[c2] >= 0) { c2 = others[c2]; codesize[c2]++; }
+    }
+    uint8_t bitsN[33] = {0};
+    for (int i = 0; i <= 256; i++)
+        if (codesize[i]) bitsN[codesize[i] > 32 ? 32 : codesize[i]]++;
+    for (int l = 32; l > 16; l--)
+        while (bitsN[l] > 0) {      // demote pairs into shorter prefixes
+            int j = l - 2;
+            while (j > 0 && bitsN[j] == 0) j--;
+            bitsN[l] -= 2;
+            bitsN[l - 1]++;
+            bitsN[j + 1] += 2;
+            bitsN[j]--;
+        }
+    int l = 16;
+    while (l > 0 && bitsN[l] == 0) l--;
+    if (l > 0) bitsN[l]--;          // drop the reserved symbol's code
+    bits_out[0] = 0;
+    for (int i = 1; i <= 16; i++) bits_out[i] = bitsN[i];
+    // canonical symbol order: original code length, ties by value
+    nvals = 0;
+    for (int len = 1; len <= 32; len++)
+        for (int i = 0; i < 256; i++)
+            if (codesize[i] == len) vals_out[nvals++] = (uint8_t)i;
+}
+
 // subsamp: 0 = 4:2:0, 1 = 4:4:4, 2 = grayscale, 3 = 4:2:2
 // restart: MCUs per restart interval (0 = no DRI/RSTn, the default
 // wire shape; >0 writes a DRI segment and byte-aligned RSTn markers —
 // independently decodable segments, the nvjpeg-style parallel unit)
-GJ_API int gjpeg_encode_r(const int16_t* yc, const int16_t* uc,
-                          const int16_t* vc,
-                          int width, int height, int subsamp,
-                          const uint8_t* qluma, const uint8_t* qchroma,
-                          uint8_t* outbuf, long long capacity,
-                          int restart) {
+// optimize: 2-pass encode with per-image optimal Huffman tables
+// (libjpeg optimize_coding analog; ~5-15% smaller, any decoder reads it)
+GJ_API int gjpeg_encode_ro(const int16_t* yc, const int16_t* uc,
+                           const int16_t* vc,
+                           int width, int height, int subsamp,
+                           const uint8_t* qluma, const uint8_t* qchroma,
+                           uint8_t* outbuf, long long capacity,
+                           int restart, int optimize) {
+    // the DRI field is 16-bit; clamp BEFORE any pass so the counting
+    // walk, the encode walk, and the header all agree
+    if (restart > 65535) restart = 65535;
     std::vector<uint8_t> o;
     // typical 1080p output is ~0.5-1.5 MB: one upfront reservation keeps
     // the per-byte push_back on the no-grow fast path
@@ -218,15 +370,49 @@ GJ_API int gjpeg_encode_r(const int16_t* yc, const int16_t* uc,
         o.push_back(2); o.push_back(0x11); o.push_back(1);
         o.push_back(3); o.push_back(0x11); o.push_back(1);
     }
-    // DHT
-    put_dht(o, 0, 0, DC_L_BITS, DC_L_VALS, 12);
-    put_dht(o, 1, 0, AC_L_BITS, AC_L_VALS, 162);
-    if (ncomp == 3) {
-        put_dht(o, 0, 1, DC_C_BITS, DC_C_VALS, 12);
-        put_dht(o, 1, 1, AC_C_BITS, AC_C_VALS, 162);
+    // DHT: defaults, or per-image optimal tables from a counting pass
+    HuffEnc dcl, acl, dcc, acc_;
+    if (optimize) {
+        static thread_local uint32_t fq[4][257];
+        memset(fq, 0, sizeof fq);
+        int pred[3] = {0, 0, 0};
+        walk_blocks(yc, uc, vc, width, height, subsamp, restart,
+                    [&](int comp, const int16_t* z) {
+                        int cls = comp == 0 ? 0 : 1;
+                        count_block(z, pred[comp], fq[cls * 2],
+                                    fq[cls * 2 + 1]);
+                    },
+                    [&](void) { pred[0] = pred[1] = pred[2] = 0; });
+        static thread_local uint8_t bits[4][17], vals[4][256];
+        int nv[4] = {0, 0, 0, 0};
+        int ntab = ncomp == 3 ? 4 : 2;
+        for (int t = 0; t < ntab; t++)
+            build_opt_table(fq[t], bits[t], vals[t], nv[t]);
+        put_dht(o, 0, 0, bits[0], vals[0], nv[0]);
+        put_dht(o, 1, 0, bits[1], vals[1], nv[1]);
+        if (ncomp == 3) {
+            put_dht(o, 0, 1, bits[2], vals[2], nv[2]);
+            put_dht(o, 1, 1, bits[3], vals[3], nv[3]);
+        }
+        build_enc(bits[0], vals[0], nv[0], dcl);
+        build_enc(bits[1], vals[1], nv[1], acl);
+        if (ncomp == 3) {
+            build_enc(bits[2], vals[2], nv[2], dcc);
+            build_enc(bits[3], vals[3], nv[3], acc_);
+        }
+    } else {
+        put_dht(o, 0, 0, DC_L_BITS, DC_L_VALS, 12);
+        put_dht(o, 1, 0, AC_L_BITS, AC_L_VALS, 162);
+        if (ncomp == 3) {
+            put_dht(o, 0, 1, DC_C_BITS, DC_C_VALS, 12);
+            put_dht(o, 1, 1, AC_C_BITS, AC_C_VALS, 162);
+        }
+        build_enc(DC_L_BITS, DC_L_VALS, 12, dcl);
+        build_enc(AC_L_BITS, AC_L_VALS, 162, acl);
+        build_enc(DC_C_BITS, DC_C_VALS, 12, dcc);
+        build_enc(AC_C_BITS, AC_C_VALS, 162, acc_);
     }
-    // DRI (the field is 16-bit; clamp so markers and header agree)
-    if (restart > 65535) restart = 65535;
+    // DRI
     if (restart > 0) {
         put_marker(o, 0xDD); put_u16(o, 4);
         put_u16(o, (uint16_t)restart);
@@ -241,83 +427,22 @@ GJ_API int gjpeg_encode_r(const int16_t* yc, const int16_t* uc,
     }
     o.push_back(0); o.push_back(63); o.push_back(0);
 
-    HuffEnc dcl, acl, dcc, acc_;
-    build_enc(DC_L_BITS, DC_L_VALS, 12, dcl);
-    build_enc(AC_L_BITS, AC_L_VALS, 162, acl);
-    build_enc(DC_C_BITS, DC_C_VALS, 12, dcc);
-    build_enc(AC_C_BITS, AC_C_VALS, 162, acc_);
-
     BitWriter bw(o);
-    int predY = 0, predU = 0, predV = 0;
-    int mcu_count = 0, rst = 0;
-    long long total_mcus;
-    if (subsamp == 0)
-        total_mcus = (long long)((width + 15) / 16) * ((height + 15) / 16);
-    else if (subsamp == 3)
-        total_mcus = (long long)((width + 15) / 16) * ((height + 7) / 8);
-    else
-        total_mcus = (long long)((width + 7) / 8) * ((height + 7) / 8);
-    long long mcus_done = 0;
-    auto restart_emit = [&](void) {
-        // byte-align (1-padding), emit RSTn, reset DC predictors —
-        // F.1.2.3: each interval decodes independently
-        mcus_done++;
-        if (restart > 0 && ++mcu_count == restart
-            && mcus_done < total_mcus) {
-            mcu_count = 0;
-            bw.flush();
-            put_marker(o, (uint8_t)(0xD0 + (rst++ & 7)));
-            predY = predU = predV = 0;
-        }
-    };
-    if (subsamp == 0) {
-        int mcux = (width + 15) / 16, mcuy = (height + 15) / 16;
-        int ybw = mcux * 2;                 // luma blocks per row (padded)
-        int cbw = mcux;
-        for (int my = 0; my < mcuy; my++) {
-            for (int mx = 0; mx < mcux; mx++) {
-                for (int by = 0; by < 2; by++)
-                    for (int bx = 0; bx < 2; bx++) {
-                        long long idx = (long long)(my * 2 + by) * ybw + (mx * 2 + bx);
-                        encode_block(bw, yc + idx * 64, predY, dcl, acl);
-                    }
-                encode_block(bw, uc + ((long long)my * cbw + mx) * 64, predU, dcc, acc_);
-                encode_block(bw, vc + ((long long)my * cbw + mx) * 64, predV, dcc, acc_);
-                restart_emit();
-            }
-        }
-    } else if (subsamp == 3) {
-        // 4:2:2 MCU = 2 horizontal luma blocks + 1 Cb + 1 Cr
-        int mcux = (width + 15) / 16, mcuy = (height + 7) / 8;
-        int ybw = mcux * 2, cbw = mcux;
-        for (int my = 0; my < mcuy; my++)
-            for (int mx = 0; mx < mcux; mx++) {
-                for (int bx = 0; bx < 2; bx++) {
-                    long long idx = (long long)my * ybw + (mx * 2 + bx);
-                    encode_block(bw, yc + idx * 64, predY, dcl, acl);
-                }
-                long long ci = (long long)my * cbw + mx;
-                encode_block(bw, uc + ci * 64, predU, dcc, acc_);
-                encode_block(bw, vc + ci * 64, predV, dcc, acc_);
-                restart_emit();
-            }
-    } else if (subsamp == 1) {
-        int bwid = (width + 7) / 8, bhei = (height + 7) / 8;
-        for (int by = 0; by < bhei; by++)
-            for (int bx = 0; bx < bwid; bx++) {
-                long long idx = (long long)by * bwid + bx;
-                encode_block(bw, yc + idx * 64, predY, dcl, acl);
-                encode_block(bw, uc + idx * 64, predU, dcc, acc_);
-                encode_block(bw, vc + idx * 64, predV, dcc, acc_);
-                restart_emit();
-            }
-    } else {
-        int bwid = (width + 7) / 8, bhei = (height + 7) / 8;
-        for (long long i = 0; i < (long long)bwid * bhei; i++) {
-            encode_block(bw, yc + i * 64, predY, dcl, acl);
-            restart_emit();
-        }
-    }
+    int pred[3] = {0, 0, 0};
+    int rst = 0;
+    walk_blocks(yc, uc, vc, width, height, subsamp, restart,
+                [&](int comp, const int16_t* z) {
+                    encode_block(bw, z, pred[comp],
+                                 comp == 0 ? dcl : dcc,
+                                 comp == 0 ? acl : acc_);
+                },
+                [&](void) {
+                    // byte-align (1-padding), emit RSTn, reset DC
+                    // predictors — F.1.2.3: intervals decode independently
+                    bw.flush();
+                    put_marker(o, (uint8_t)(0xD0 + (rst++ & 7)));
+                    pred[0] = pred[1] = pred[2] = 0;
+                });
     bw.flush();
     put_marker(o, 0xD9);                                 // EOI
     if ((long long)o.size() > capacity) return -1;
@@ -325,13 +450,23 @@ GJ_API int gjpeg_encode_r(const int16_t* yc, const int16_t* uc,
     return (int)o.size();
 }
 
+GJ_API int gjpeg_encode_r(const int16_t* yc, const int16_t* uc,
+                          const int16_t* vc,
+                          int width, int height, int subsamp,
+                          const uint8_t* qluma, const uint8_t* qchroma,
+                          uint8_t* outbuf, long long capacity,
+                          int restart) {
+    return gjpeg_encode_ro(yc, uc, vc, width, height, subsamp, qluma,
+                           qchroma, outbuf, capacity, restart, 0);
+}
+
 GJ_API int gjpeg_encode(const int16_t* yc, const int16_t* uc,
                         const int16_t* vc,
                         int width, int height, int subsamp,
                         const uint8_t* qluma, const uint8_t* qchroma,
                         uint8_t* outbuf, long long capacity) {
-    return gjpeg_encode_r(yc, uc, vc, width, height, subsamp, qluma,
-                          qchroma, outbuf, capacity, 0);
+    return gjpeg_encode_ro(yc, uc, vc, width, height, subsamp, qluma,
+                           qchroma, outbuf, capacity, 0, 0);
 }
 
 // ---------------------------------------------------------------- reader

@@ -101,7 +101,8 @@ def _decode_plane_gray(yc, qy):
 
 def encode_batch(fb: FrameBatch, quality: int = 90,
                  workers: int = 0, restart_mcus: int = 0,
-                 expand_range: bool = False) -> List[bytes]:
+                 expand_range: bool = False,
+                 optimize: bool = False) -> List[bytes]:
     """FrameBatch -> list of JPEG byte strings (full batch DCT'd on
     device in one program; per-frame entropy coding in native code,
     fanned out over `workers` host threads — see _n_workers).
@@ -113,6 +114,10 @@ def encode_batch(fb: FrameBatch, quality: int = 90,
     expand_range=True scales limited (MPEG) range samples to JFIF full
     range inside the same jitted program (what ffmpeg's auto-inserted
     yuv420p -> yuvj420p scaler does for its mjpeg encoder).
+
+    optimize=True runs a 2-pass encode with per-image optimal Huffman
+    tables (libjpeg optimize_coding analog, beyond nvjpeg's fixed
+    tables): typically 4-12% smaller files, decodable everywhere.
 
     Supports yuv420p/nv12 (4:2:0), yuv422p, yuv444p, and gray8."""
     if not 0 <= int(restart_mcus) <= 65535:
@@ -175,12 +180,12 @@ def encode_batch(fb: FrameBatch, quality: int = 90,
     cap = w * h * 6 + (1 << 16)
 
     def encode_one(i, buf):
-        n = lib.gjpeg_encode_r(
+        n = lib.gjpeg_encode_ro(
             planes[0][i].ctypes.data_as(p16),
             planes[1][i].ctypes.data_as(p16),
             planes[2][i].ctypes.data_as(p16), w, h, subsamp,
             qyp, qcp, buf.ctypes.data_as(native.c_pu8), cap,
-            int(restart_mcus))
+            int(restart_mcus), int(bool(optimize)))
         if n < 0:
             raise IOError("jpeg encode overflow")
         return buf[:n].tobytes()

@@ -503,3 +503,39 @@ def test_progressive_mutation_fuzz(rng):
             jpeg_tpu.decode_batch([bytes(mut)])
         except Exception:
             pass
+
+
+def test_jpeg_optimized_huffman(rng):
+    """optimize=True: per-image optimal Huffman tables (2-pass, libjpeg
+    optimize_coding analog — BEYOND nvjpeg, whose encoder is fixed-table).
+    Smaller bytes, bit-identical pixels, decodable by PIL and avcodec,
+    composes with restart intervals and the mt-segment decoder."""
+    import io
+
+    from PIL import Image
+    yy, u, v = smooth_yuv(rng, n=2, h=64, w=96)
+    fb = from_numpy_yuv420(yy, u, v)
+    plain = jpeg_tpu.encode_batch(fb, 88)
+    opt = jpeg_tpu.encode_batch(fb, 88, optimize=True)
+    assert sum(map(len, opt)) < sum(map(len, plain))
+    fa = jpeg_tpu.decode_batch(plain)
+    fo = jpeg_tpu.decode_batch(opt)
+    for k in fa.planes:
+        np.testing.assert_array_equal(np.asarray(fa.planes[k]),
+                                      np.asarray(fo.planes[k]))
+    im = Image.open(io.BytesIO(opt[0]))
+    im.load()
+    assert im.size == (96, 64)
+    dec = tk.Decoder(tk.CODEC_MJPEG)
+    frames = list(dec.decode(opt[0], 0)) + list(dec.decode(None))
+    dec.close()
+    assert len(frames) == 1
+    # restart + optimize + segment-parallel decode: all bit-exact
+    ro = jpeg_tpu.encode_batch(fb, 88, restart_mcus=3, optimize=True)
+    f1 = jpeg_tpu.decode_batch(ro)
+    f2 = jpeg_tpu.decode_batch(ro, segment_threads=4)
+    for k in f1.planes:
+        np.testing.assert_array_equal(np.asarray(f1.planes[k]),
+                                      np.asarray(f2.planes[k]))
+        np.testing.assert_array_equal(np.asarray(f1.planes[k]),
+                                      np.asarray(fa.planes[k]))
