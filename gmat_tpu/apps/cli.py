@@ -17,6 +17,7 @@ pattern with %d -> JPEG still sequence.
 from __future__ import annotations
 
 import argparse
+import re
 import sys
 
 import numpy as np
@@ -273,7 +274,9 @@ def main(argv=None):
         enc_kwargs = dict(codec_name=args.vcodec, preset=args.preset,
                           crf=args.crf, gop=args.gop, bf=args.bf,
                           bitrate=_size(args.bitrate), fps=fps_tuple)
-        if args.enc_param:
+        if args.enc_param and args.vcodec != "mjpeg_tpu":
+            # mjpeg_tpu reads its own knobs (optimize=) from the raw
+            # string; host-encoder options don't apply to that lane
             enc_kwargs = parse_enc_param(args.enc_param, enc_kwargs)
 
     def ensure_encoder(w, h):
@@ -369,9 +372,13 @@ def main(argv=None):
             q = int(round((200 - s) / 2 if s <= 100 else 5000.0 / s))
         else:
             q = int(round(min(qv, 100)))
+        # "-enc-param optimize=1": per-image optimal Huffman tables
+        # (2-pass; ~5-15% smaller packets, any decoder reads them)
+        m = re.search(r"optimize[=\s]*(\d+)?", args.enc_param or "")
+        opt = bool(m) and m.group(1) != "0"
         for d_ in jpeg_tpu.encode_batch(sub, quality=max(1, q),
                                         workers=args.threads,
-                                        expand_range=True):
+                                        expand_range=True, optimize=opt):
             mux.write(tk.Packet(d_, out_count, out_count, True, False, 0))
             out_count += 1
 

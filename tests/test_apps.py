@@ -585,3 +585,18 @@ def test_cli_mjpeg_tpu_qscale_mapping(clip, tmp_path):
                    "-batch", "4"])
         assert rc == 0
     assert os.path.getsize(hi) > os.path.getsize(lo)
+
+
+def test_cli_mjpeg_tpu_optimize(clip, tmp_path):
+    # -enc-param optimize=1: per-image optimal Huffman tables on the
+    # device-assisted lane — smaller track, still a decodable MJPEG
+    from gmat_tpu.apps.cli import main
+    plain = str(tmp_path / "plain.mov")
+    opt = str(tmp_path / "opt.mov")
+    for path, extra in ((plain, []), (opt, ["-enc-param", "optimize=1"])):
+        rc = main(["-i", clip, "-vf", "scale=160:120", "-o", path,
+                   "-c:v", "mjpeg_tpu", "-q:v", "90", "-frames", "6",
+                   "-batch", "6"] + extra)
+        assert rc == 0
+    assert os.path.getsize(opt) < os.path.getsize(plain)
+    assert len(decode_all(opt)) == 6
