@@ -41,37 +41,131 @@ def _annexb_to_length_prefixed(nals: List[bytes]) -> bytes:
     return b"".join(struct.pack(">I", len(n)) + n for n in nals)
 
 
+@dataclasses.dataclass
+class _WItem:
+    """One item being written: coded payload + metadata boxes."""
+    item_type: bytes                    # b"hvc1", b"Exif", ...
+    data: bytes
+    props: List[Tuple[bytes, bytes, bool]]   # (4cc, payload, essential)
+    hvcc: bytes = b""
+    width: int = 0
+    height: int = 0
+    hidden: bool = False
+    refs: List[Tuple[bytes, List[int]]] = dataclasses.field(
+        default_factory=list)           # (reftype, [to_item_ids])
+
+
+# ISO 23008-12 transformative properties; the MIAF application order is
+# clap -> irot -> imir, and that is the order the writer associates them
+ALPHA_AUX_TYPE = b"urn:mpeg:hevc:2015:auxid:1"
+
+
+def _transform_props(rotation: int, mirror: Optional[int],
+                     clean_aperture) -> List[Tuple[bytes, bytes, bool]]:
+    props: List[Tuple[bytes, bytes, bool]] = []
+    if clean_aperture is not None:
+        ca = tuple(int(v) for v in clean_aperture)
+        if len(ca) == 4:                 # (w, h, x_off, y_off) shorthand
+            ca = (ca[0], 1, ca[1], 1, ca[2], 1, ca[3], 1)
+        if len(ca) != 8:
+            raise ValueError("clean_aperture: (w,h,x,y) or 8 num/den ints")
+        props.append((b"clap", struct.pack(">8i", *ca), True))
+    if rotation % 360:
+        if rotation % 90:
+            raise ValueError("rotation must be a multiple of 90 (CCW)")
+        props.append((b"irot", bytes([(rotation // 90) & 3]), True))
+    if mirror is not None:
+        if mirror not in (0, 1):
+            raise ValueError("mirror: 0 = vertical axis (left-right), "
+                             "1 = horizontal axis (top-bottom)")
+        props.append((b"imir", bytes([mirror & 1]), True))
+    return props
+
+
+def _parse_still_annexb(annexb: bytes):
+    """annexb IDR access unit -> (hvcC record, lp media, w, h); the NAL
+    scan mirrors NvHeifWriter.cpp:81-155."""
+    nals = hevc.split_annexb(annexb)
+    vps = sps = pps = None
+    media = []
+    for n in nals:
+        t = hevc.nal_type(n)
+        if t == hevc.NAL_VPS:
+            vps = n
+        elif t == hevc.NAL_SPS:
+            sps = n
+        elif t == hevc.NAL_PPS:
+            pps = n
+        elif hevc.is_vcl(t) or t == 39:    # slices + prefix SEI
+            media.append(n)
+    if not (vps and sps and pps and media):
+        raise ValueError("still image needs VPS/SPS/PPS/IDR NALs "
+                         "(encode with still_image=True)")
+    s = hevc.parse_sps(sps)
+    rec = hevc.build_hvcc(vps, sps, pps)
+    return rec, _annexb_to_length_prefixed(media), s.width, s.height
+
+
 class HeifWriter:
-    """Write HEVC still images into .heic files (in memory or to disk)."""
+    """Write HEVC still images into .heic files (in memory or to disk).
+
+    Beyond the reference's plain-item writer, items can carry the
+    ISO 23008-12 transformative properties (irot/imir/clap), Exif
+    metadata items (cdsc-linked) and alpha auxiliary images
+    (auxC + auxl) — the boxes real phone HEICs use."""
 
     def __init__(self):
-        self._items: List[Tuple[bytes, bytes, int, int]] = []
-        # (hvcC, item_data, width, height)
+        self._items: List[_WItem] = []
 
-    def add_image(self, annexb: bytes) -> None:
-        """Add one still image from an annexb HEVC IDR access unit
-        (the NvEncLite stillImage output; NAL scan mirrors
-        NvHeifWriter.cpp:81-155)."""
-        nals = hevc.split_annexb(annexb)
-        vps = sps = pps = None
-        media = []
-        for n in nals:
-            t = hevc.nal_type(n)
-            if t == hevc.NAL_VPS:
-                vps = n
-            elif t == hevc.NAL_SPS:
-                sps = n
-            elif t == hevc.NAL_PPS:
-                pps = n
-            elif hevc.is_vcl(t) or t == 39:    # slices + prefix SEI
-                media.append(n)
-        if not (vps and sps and pps and media):
-            raise ValueError("still image needs VPS/SPS/PPS/IDR NALs "
-                             "(encode with still_image=True)")
-        s = hevc.parse_sps(sps)
-        rec = hevc.build_hvcc(vps, sps, pps)
-        self._items.append((rec, _annexb_to_length_prefixed(media),
-                            s.width, s.height))
+    def add_image(self, annexb: bytes, rotation: int = 0,
+                  mirror: Optional[int] = None,
+                  clean_aperture=None) -> int:
+        """Add one still image from an annexb HEVC IDR access unit.
+        rotation (CCW degrees, multiple of 90), mirror (0 = left-right,
+        1 = top-bottom) and clean_aperture ((w,h,x,y) or the full 8
+        num/den ints) attach transformative properties.  Returns the
+        1-based item id."""
+        rec, data, w, h = _parse_still_annexb(annexb)
+        base = [(b"hvcC", rec, True),
+                (b"ispe", struct.pack(">III", 0, w, h), False)]
+        self._items.append(_WItem(
+            b"hvc1", data, base + _transform_props(rotation, mirror,
+                                                   clean_aperture),
+            hvcc=rec, width=w, height=h))
+        return len(self._items)
+
+    def add_exif(self, exif: bytes, to_item: Optional[int] = None) -> int:
+        """Attach an Exif metadata item (ExifDataBlock with tiff-header
+        offset 0) describing `to_item` (default: the last image)."""
+        if to_item is None:
+            to_item = self._last_image_id()
+        self._items.append(_WItem(
+            b"Exif", struct.pack(">I", 0) + bytes(exif), [],
+            refs=[(b"cdsc", [to_item])]))
+        return len(self._items)
+
+    def add_alpha(self, annexb: bytes, to_item: Optional[int] = None) -> int:
+        """Attach an alpha-plane auxiliary image (HEVC-coded; the alpha
+        samples ride the luma plane) for `to_item`: auxC essential
+        property + an auxl reference, infe hidden."""
+        if to_item is None:
+            to_item = self._last_image_id()
+        rec, data, w, h = _parse_still_annexb(annexb)
+        props = [(b"hvcC", rec, True),
+                 (b"ispe", struct.pack(">III", 0, w, h), False),
+                 (b"auxC", struct.pack(">I", 0) + ALPHA_AUX_TYPE + b"\0",
+                  True)]
+        self._items.append(_WItem(
+            b"hvc1", data, props, hvcc=rec, width=w, height=h,
+            hidden=True, refs=[(b"auxl", [to_item])]))
+        return len(self._items)
+
+    def _last_image_id(self) -> int:
+        for i in range(len(self._items), 0, -1):
+            it = self._items[i - 1]
+            if it.item_type == b"hvc1" and not it.hidden:
+                return i
+        raise ValueError("no image item to attach to")
 
     # -- serialization -------------------------------------------------------
     def _meta(self, mdat_offsets: List[int]) -> bytes:
@@ -80,49 +174,63 @@ class HeifWriter:
                      b"\0\0\0\0" + b"pict" + b"\0" * 12 + b"gmat\0")
         pitm = _full(b"pitm", 0, 0, struct.pack(">H", 1))
         iloc_items = b""
-        for i, ((rec, data, w, h), off) in enumerate(
-                zip(self._items, mdat_offsets), start=1):
+        for i, (it, off) in enumerate(zip(self._items, mdat_offsets),
+                                      start=1):
             iloc_items += struct.pack(">HHH", i, 0, 1)
-            iloc_items += struct.pack(">II", off, len(data))
+            iloc_items += struct.pack(">II", off, len(it.data))
         iloc = _full(b"iloc", 0, 0,
                      struct.pack(">BBH", 0x44, 0x00, n) + iloc_items)
         infes = b""
-        for i in range(1, n + 1):
-            infes += _full(b"infe", 2, 0,
-                           struct.pack(">HH", i, 0) + b"hvc1" + b"\0")
+        for i, it in enumerate(self._items, start=1):
+            infes += _full(b"infe", 2, 1 if it.hidden else 0,
+                           struct.pack(">HH", i, 0) + it.item_type + b"\0")
         iinf = _full(b"iinf", 0, 0, struct.pack(">H", n) + infes)
+        refs = b""
+        for i, it in enumerate(self._items, start=1):
+            for (rtyp, to_ids) in it.refs:
+                refs += _box(rtyp, struct.pack(">HH", i, len(to_ids)) +
+                             b"".join(struct.pack(">H", t) for t in to_ids))
+        iref = _full(b"iref", 0, 0, refs) if refs else b""
         props = b""
         assoc_entries = b""
-        # one hvcC+ispe pair per item (indices 2i-1, 2i)
-        for i, (rec, data, w, h) in enumerate(self._items, start=1):
-            props += _box(b"hvcC", rec)
-            props += _full(b"ispe", 0, 0, struct.pack(">II", w, h))
-            assoc_entries += struct.pack(">HB", i, 2)
-            assoc_entries += bytes([0x80 | (2 * i - 1), 2 * i])
+        pidx = 0
+        for i, it in enumerate(self._items, start=1):
+            if not it.props:
+                continue
+            assoc_entries += struct.pack(">HB", i, len(it.props))
+            for (t, payload, essential) in it.props:
+                # FullBox properties (ispe/auxC) carry their 4-byte
+                # version+flags prefix inside the stored payload
+                props += _box(t, payload)
+                pidx += 1
+                assoc_entries += bytes([(0x80 if essential else 0) | pidx])
         ipco = _box(b"ipco", props)
-        ipma = _full(b"ipma", 0, 0, struct.pack(">I", n) + assoc_entries)
+        ipma = _full(b"ipma", 0, 0,
+                     struct.pack(">I", sum(1 for it in self._items
+                                           if it.props)) + assoc_entries)
         iprp = _box(b"iprp", ipco + ipma)
-        return _box(b"meta", b"\0\0\0\0" + hdlr + pitm + iloc + iinf + iprp)
+        return _box(b"meta", b"\0\0\0\0" + hdlr + pitm + iloc + iinf
+                    + iref + iprp)
 
     def tobytes(self) -> bytes:
         if not self._items:
             raise ValueError("no images added")
-        if len(self._items) > 63:
-            # ipma property indices are 7-bit here (2 props per item)
-            raise ValueError("collection limited to 63 items; use "
-                             "HeifSequenceWriter for longer sequences")
+        if sum(len(it.props) for it in self._items) > 127:
+            # ipma property indices are 7-bit here
+            raise ValueError("too many property associations (127 max); "
+                             "use HeifSequenceWriter for long sequences")
         ftyp = _box(b"ftyp", b"heic" + struct.pack(">I", 0) + b"mif1heic")
         # two-pass: meta size depends only on item count, offsets on sizes
         probe = self._meta([0] * len(self._items))
         base = len(ftyp) + len(probe) + 8     # + mdat header
         offsets = []
         off = base
-        for (_, data, _, _) in self._items:
+        for it in self._items:
             offsets.append(off)
-            off += len(data)
+            off += len(it.data)
         meta = self._meta(offsets)
         assert len(meta) == len(probe)
-        mdat = _box(b"mdat", b"".join(d for (_, d, _, _) in self._items))
+        mdat = _box(b"mdat", b"".join(it.data for it in self._items))
         return ftyp + meta + mdat
 
     def save(self, path: str) -> None:
@@ -159,6 +267,10 @@ class HeifItem:
     height: int
     hvcc: bytes
     data: bytes
+    # transformative properties in association (application) order:
+    # ("clap", (8 num/den ints)) / ("irot", ccw_quarter_turns) /
+    # ("imir", axis: 0 left-right, 1 top-bottom)
+    transforms: List[tuple] = dataclasses.field(default_factory=list)
 
     def to_annexb(self) -> bytes:
         nals, lsz = hevc.parse_hvcc(self.hvcc)
@@ -183,8 +295,14 @@ class HeifReader:
         self.items: List[HeifItem] = []
         self.primary = 1
         self.item_types = {}       # item id -> 4cc (b'hvc1', b'grid', ...)
-        self.dimg = {}             # derived item id -> [source item ids]
+        self.refs = {}             # reftype 4cc -> {from id: [to ids]}
+        self.item_props = {}       # item id -> [(4cc, payload, essential)]
         self._parse()
+
+    @property
+    def dimg(self):
+        """derived item id -> [source item ids] (grid tiles etc.)."""
+        return self.refs.get(b"dimg", {})
 
     def _parse(self):
         d = self.data
@@ -260,18 +378,18 @@ class HeifReader:
                 idsz = 2 if ver == 0 else 4
                 fmt = ">H" if ver == 0 else ">I"
                 for t2, s2, e2 in _iter_boxes(d, s + 4, e):
-                    if t2 != b"dimg":
+                    if s2 + idsz + 2 > e2:
                         continue
                     from_id = struct.unpack(fmt, d[s2:s2 + idsz])[0]
                     cnt = struct.unpack(">H",
                                         d[s2 + idsz:s2 + idsz + 2])[0]
                     refs = []
                     off = s2 + idsz + 2
-                    for _ in range(cnt):
+                    for _ in range(min(cnt, max(0, (e2 - off) // idsz))):
                         refs.append(struct.unpack(
                             fmt, d[off:off + idsz])[0])
                         off += idsz
-                    self.dimg[from_id] = refs
+                    self.refs.setdefault(t2, {})[from_id] = refs
             elif typ == b"iprp":
                 for t2, s2, e2 in _iter_boxes(d, s, e):
                     if t2 == b"ipco":
@@ -296,11 +414,14 @@ class HeifReader:
                             plist = []
                             for _ in range(nass):
                                 if wide:     # flags&1: 15-bit indices
-                                    plist.append(struct.unpack(
-                                        ">H", body[idx:idx + 2])[0] & 0x7FFF)
+                                    raw = struct.unpack(
+                                        ">H", body[idx:idx + 2])[0]
+                                    plist.append((raw & 0x7FFF,
+                                                  bool(raw & 0x8000)))
                                     idx += 2
                                 else:
-                                    plist.append(body[idx] & 0x7F)
+                                    plist.append((body[idx] & 0x7F,
+                                                  bool(body[idx] & 0x80)))
                                     idx += 1
                             assoc[iid] = plist
         for iid, extents in sorted(locs.items()):
@@ -328,14 +449,27 @@ class HeifReader:
                             for o, ln in extents)
             hvcc = b""
             w = h = 0
-            for pi in assoc.get(iid, []):
-                if 1 <= pi <= len(props):
-                    t, payload = props[pi - 1]
-                    if t == b"hvcC":
-                        hvcc = payload
-                    elif t == b"ispe":
-                        w, h = struct.unpack(">II", payload[4:12])
-            self.items.append(HeifItem(iid, w, h, hvcc, data))
+            plist = []
+            transforms = []
+            for pi, ess in assoc.get(iid, []):
+                if not 1 <= pi <= len(props):
+                    continue
+                t, payload = props[pi - 1]
+                plist.append((t, payload, ess))
+                if t == b"hvcC":
+                    hvcc = payload
+                elif t == b"ispe":
+                    w, h = struct.unpack(">II", payload[4:12])
+                elif t == b"irot" and payload:
+                    transforms.append(("irot", payload[-1] & 3))
+                elif t == b"imir" and payload:
+                    transforms.append(("imir", payload[-1] & 1))
+                elif t == b"clap" and len(payload) >= 32:
+                    transforms.append(
+                        ("clap", struct.unpack(">8i", payload[:32])))
+            self.item_props[iid] = plist
+            self.items.append(HeifItem(iid, w, h, hvcc, data,
+                                       transforms=transforms))
 
     def read_image(self, index: Optional[int] = None) -> HeifItem:
         if index is None:
@@ -345,15 +479,116 @@ class HeifReader:
             index = 0
         return self.items[index]
 
+    def exif(self, item_id: Optional[int] = None) -> Optional[bytes]:
+        """TIFF-stream Exif payload of the Exif item describing
+        `item_id` (default: the primary image), or None."""
+        if item_id is None:
+            item_id = self.primary
+        for it in self.items:
+            if (self.item_types.get(it.item_id) == b"Exif"
+                    and item_id in self.refs.get(b"cdsc", {})
+                    .get(it.item_id, [])):
+                if len(it.data) < 4:
+                    raise IOError("Exif item payload too short")
+                off = struct.unpack(">I", it.data[:4])[0]
+                if 4 + off > len(it.data):
+                    raise IOError(f"Exif tiff-header offset {off} beyond "
+                                  f"the {len(it.data)}-byte payload")
+                return it.data[4 + off:]
+        return None
+
+    def alpha_item(self, item_id: Optional[int] = None) \
+            -> Optional[HeifItem]:
+        """The alpha auxiliary image (auxC alpha urn + auxl ref) for
+        `item_id` (default: primary), or None."""
+        if item_id is None:
+            item_id = self.primary
+        for it in self.items:
+            if item_id not in self.refs.get(b"auxl", {}) \
+                    .get(it.item_id, []):
+                continue
+            for (t, payload, _e) in self.item_props.get(it.item_id, []):
+                if t == b"auxC":
+                    urn = payload[4:].split(b"\0")[0]
+                    if urn == ALPHA_AUX_TYPE or b"alpha" in urn:
+                        return it
+        return None
+
+    def aux_item_ids(self):
+        """Item ids that are auxiliary images (auxl sources) — hidden
+        planes, not standalone presentations."""
+        return set(self.refs.get(b"auxl", {}).keys())
+
+
+def apply_transforms(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     transforms) -> tuple:
+    """Apply HEIF transformative properties to I420 planes in the given
+    (association) order — MIAF order is clap -> irot -> imir.
+
+    clap offsets are the clean-aperture center relative to the image
+    center (ISOBMFF 12.1.4); fractional values round to the nearest
+    luma sample and chroma crops keep the I420 ceil convention."""
+    for (kind, arg) in transforms:
+        if kind == "irot":
+            k = arg & 3                    # CCW quarter turns
+            if k:
+                y = np.rot90(y, k)
+                u = np.rot90(u, k)
+                v = np.rot90(v, k)
+        elif kind == "imir":
+            ax = 1 if arg == 0 else 0      # 0: vertical axis = left-right
+            y, u, v = (np.flip(y, ax), np.flip(u, ax), np.flip(v, ax))
+        elif kind == "clap":
+            wn, wd, hn, hd, hon, hod, von, vod = arg
+            if min(wd, hd, hod, vod) <= 0:
+                raise IOError("clap: non-positive denominator")
+            H, W = y.shape
+            cw = int(round(wn / wd))
+            ch = int(round(hn / hd))
+            # horiz_off = clean-aperture center minus image center
+            x0 = int(round(hon / hod + (W - cw) / 2))
+            y0 = int(round(von / vod + (H - ch) / 2))
+            if not (0 <= x0 and 0 <= y0 and x0 + cw <= W
+                    and y0 + ch <= H and cw > 0 and ch > 0):
+                raise IOError(f"clap region {cw}x{ch}+{x0}+{y0} outside "
+                              f"the {W}x{H} image")
+            y = y[y0:y0 + ch, x0:x0 + cw]
+            u = u[y0 // 2:(y0 + ch + 1) // 2, x0 // 2:(x0 + cw + 1) // 2]
+            v = v[y0 // 2:(y0 + ch + 1) // 2, x0 // 2:(x0 + cw + 1) // 2]
+    return np.ascontiguousarray(y), np.ascontiguousarray(u), \
+        np.ascontiguousarray(v)
+
 
 # ---- high-level codec API (CHeif.cpp:20-133 analog) ------------------------
 
 def encode_still(y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                 crf: float = 20.0, lossless: bool = False) -> bytes:
+                 crf: float = 20.0, lossless: bool = False,
+                 rotation: int = 0, mirror: Optional[int] = None,
+                 clean_aperture=None, exif: Optional[bytes] = None,
+                 alpha: Optional[np.ndarray] = None) -> bytes:
     """One I420 frame -> .heic bytes (libx265 stillImage mode; the NVENC
-    stillImage config analog, NvEncLiteUnbuffered.cpp:75-77)."""
+    stillImage config analog, NvEncLiteUnbuffered.cpp:75-77).
+
+    rotation/mirror/clean_aperture write irot/imir/clap transformative
+    properties (applied by readers at display); exif attaches an Exif
+    metadata item; alpha (HxW u8 plane) attaches an HEVC-coded alpha
+    auxiliary image — the property/metadata boxes the reference's Nokia
+    heif backend provides around NvHeifWriter."""
     wtr = HeifWriter()
-    wtr.add_image(_encode_one_annexb(y, u, v, crf, lossless))
+    iid = wtr.add_image(_encode_one_annexb(y, u, v, crf, lossless),
+                        rotation=rotation, mirror=mirror,
+                        clean_aperture=clean_aperture)
+    if exif is not None:
+        wtr.add_exif(exif, iid)
+    if alpha is not None:
+        if alpha.shape != y.shape:
+            raise ValueError(f"alpha plane {alpha.shape} must match the "
+                             f"luma plane {y.shape}")
+        neutral = np.full(((y.shape[0] + 1) // 2, (y.shape[1] + 1) // 2),
+                          128, np.uint8)
+        wtr.add_alpha(_encode_one_annexb(np.ascontiguousarray(alpha),
+                                         neutral, neutral, crf, lossless),
+                      iid)
     return wtr.tobytes()
 
 
@@ -423,16 +658,7 @@ def decode_stills(blobs, workers: int = 0) -> List[tuple]:
         return list(pool.map(decode_still, blobs))
 
 
-def decode_still(data, index: Optional[int] = None):
-    """.heic bytes/path -> (y, u, v) I420 planes.
-
-    Handles plain hvc1 items AND 'grid' derived items (tiled large
-    stills — the layout phone HEICs use for >4K images): tiles decode
-    individually and assemble onto the output canvas."""
-    rdr = HeifReader(data)
-    item = rdr.read_image(index)
-    if rdr.item_types.get(item.item_id) == b"grid":
-        return _decode_grid(rdr, item)
+def _decode_hvc1(item: HeifItem):
     dec = tk.Decoder(tk.CODEC_HEVC, width=item.width, height=item.height)
     frames = list(dec.decode(item.to_annexb(), 0)) + list(dec.decode(None))
     dec.close()
@@ -440,6 +666,42 @@ def decode_still(data, index: Optional[int] = None):
         raise IOError("HEVC still decode produced no frame")
     y, u, v, _ = frames[0]
     return y, u, v
+
+
+def decode_still(data, index: Optional[int] = None, apply: bool = True,
+                 with_alpha: bool = False):
+    """.heic bytes/path -> (y, u, v) I420 planes.
+
+    Handles plain hvc1 items AND 'grid' derived items (tiled large
+    stills — the layout phone HEICs use for >4K images): tiles decode
+    individually and assemble onto the output canvas.
+
+    apply=True applies the item's transformative properties
+    (clap/irot/imir) the way a compliant viewer displays it; False
+    returns the coded geometry.  with_alpha=True returns (y, u, v,
+    alpha-or-None), decoding the alpha auxiliary image if present
+    (same transforms applied)."""
+    rdr = HeifReader(data)
+    item = rdr.read_image(index)
+    if rdr.item_types.get(item.item_id) == b"grid":
+        yuv = _decode_grid(rdr, item)
+    else:
+        yuv = _decode_hvc1(item)
+    if apply and item.transforms:
+        yuv = apply_transforms(*yuv, item.transforms)
+    if not with_alpha:
+        return yuv
+    a_item = rdr.alpha_item(item.item_id)
+    alpha = None
+    if a_item is not None:
+        a = _decode_hvc1(a_item)
+        # the alpha plane follows its own transforms when authored with
+        # any, else tracks the master image's
+        tr = a_item.transforms or item.transforms
+        if apply and tr:
+            a = apply_transforms(*a, tr)
+        alpha = a[0]
+    return (*yuv, alpha)
 
 
 def _parse_grid_payload(payload: bytes):
@@ -524,11 +786,8 @@ def write_grid(tile_annexbs: List[bytes], rows: int, cols: int,
                          f"{len(tile_annexbs)}")
     if len(tile_annexbs) > 62:
         raise ValueError("grid limited to 62 tiles (7-bit ipma indices)")
-    tiles = []                           # (hvcc, lp_data, w, h)
-    w = HeifWriter()
-    for ab in tile_annexbs:
-        w.add_image(ab)
-    tiles = w._items
+    # (hvcc, lp_data, w, h) per tile
+    tiles = [_parse_still_annexb(ab) for ab in tile_annexbs]
     n = len(tiles)
     gid = n + 1
     big = out_w > 0xFFFF or out_h > 0xFFFF
@@ -646,9 +905,12 @@ def decode_all(data):
     out = []
     dec = None
     dims = None
+    aux_ids = rdr.aux_item_ids()
     for item in rdr.items:
         if rdr.item_types.get(item.item_id, b"hvc1") != b"hvc1":
             continue               # grid descriptors etc. are not AUs
+        if item.item_id in aux_ids:
+            continue               # alpha/aux planes are not presentations
         if dec is None or (item.width, item.height) != dims:
             if dec is not None:
                 dec.close()

@@ -440,3 +440,74 @@ def test_heif_grid_declared_dims_beyond_tiles():
     blob[i + 4:i + 6] = _s.pack(">H", 4096)     # declared w >> canvas
     with pytest.raises(IOError, match="tiles only cover"):
         heif.decode_still(bytes(blob))
+
+
+def test_heif_transform_properties_roundtrip():
+    # clap -> irot -> imir (MIAF order), lossless so the oracle is exact
+    h, w = 96, 128
+    rng = np.random.default_rng(7)
+    y = rng.integers(16, 236, (h, w), dtype=np.uint8)
+    u = np.full((h // 2, w // 2), 100, np.uint8); u[:10, :10] = 50
+    v = np.full((h // 2, w // 2), 160, np.uint8); v[5:20, 5:30] = 200
+    blob = heif.encode_still(y, u, v, lossless=True, rotation=90,
+                             mirror=0, clean_aperture=(120, 88, 0, 0))
+    item = heif.HeifReader(blob).read_image()
+    assert item.transforms == [("clap", (120, 1, 88, 1, 0, 1, 0, 1)),
+                               ("irot", 1), ("imir", 0)]
+    # apply=False returns the coded geometry untouched
+    yd, ud, vd = heif.decode_still(blob, apply=False)
+    np.testing.assert_array_equal(yd, y)
+    # viewer geometry: centered crop, CCW rot, left-right mirror
+    x0, y0 = (w - 120) // 2, (h - 88) // 2
+    oy = np.rot90(y[y0:y0 + 88, x0:x0 + 120])[:, ::-1]
+    ou = np.rot90(u[y0 // 2:(y0 + 88 + 1) // 2,
+                    x0 // 2:(x0 + 120 + 1) // 2])[:, ::-1]
+    dy, du, dv = heif.decode_still(blob)
+    np.testing.assert_array_equal(dy, oy)
+    np.testing.assert_array_equal(du, ou)
+
+
+def test_heif_exif_item():
+    y, u, v = synth(64, 64)
+    exif = b"II*\x00\x08\x00\x00\x00" + bytes(range(32))
+    blob = heif.encode_still(y, u, v, crf=18.0, exif=exif)
+    rdr = heif.HeifReader(blob)
+    assert rdr.exif() == exif
+    # Exif items don't surface as decodable presentations
+    assert len(heif.decode_all(blob)) == 1
+    # files without exif report None
+    assert heif.HeifReader(
+        heif.encode_still(y, u, v, crf=18.0)).exif() is None
+
+
+def test_heif_alpha_auxiliary():
+    h, w = 64, 96
+    y, u, v = synth(h, w, seed=3)
+    alpha = np.zeros((h, w), np.uint8)
+    alpha[10:50, 20:80] = 255
+    blob = heif.encode_still(y, u, v, lossless=True, alpha=alpha)
+    rdr = heif.HeifReader(blob)
+    ai = rdr.alpha_item()
+    assert ai is not None and rdr.item_types[ai.item_id] == b"hvc1"
+    dy, du, dv, da = heif.decode_still(blob, with_alpha=True)
+    np.testing.assert_array_equal(da, alpha)
+    np.testing.assert_array_equal(dy, y)
+    # the aux plane is hidden from decode_all / plain decode
+    assert len(heif.decode_all(blob)) == 1
+    assert heif.decode_still(blob, with_alpha=True)[3] is not None
+    plain = heif.encode_still(y, u, v, lossless=True)
+    assert heif.decode_still(plain, with_alpha=True)[3] is None
+
+
+def test_heif_transform_validation():
+    y, u, v = synth(64, 64)
+    with pytest.raises(ValueError):
+        heif.encode_still(y, u, v, rotation=45)
+    with pytest.raises(ValueError):
+        heif.encode_still(y, u, v, mirror=2)
+    with pytest.raises(ValueError):
+        heif.encode_still(y, u, v, clean_aperture=(10, 10, 0))
+    # clap region outside the image fails at decode, not silently
+    blob = heif.encode_still(y, u, v, clean_aperture=(100, 100, 0, 0))
+    with pytest.raises(IOError):
+        heif.decode_still(blob)
