@@ -469,6 +469,302 @@ GJ_API int gjpeg_encode(const int16_t* yc, const int16_t* uc,
                            qchroma, outbuf, capacity, 0, 0);
 }
 
+// ------------------------------------------------ progressive encode
+// T.81 Annex G encoder: spectral-selection + successive-approximation
+// scans (the libjpeg simple-progression script) with per-scan optimal
+// Huffman tables (2-pass: count symbols, build Annex K tables, emit).
+// The coefficient ABI is identical to baseline — zigzag scan order,
+// MCU-padded raster blocks from the device DCT program — so the same
+// jitted transform feeds either wire format.  Mirrors the progressive
+// decoder below; beyond nvjpeg (baseline-only encoder).
+
+struct ProgScanDef {
+    int ncomp;          // components in this scan (interleaved DC or 1)
+    int ci[3];          // component indices
+    int ss, se, ah, al;
+};
+
+struct PCompGeom { int bufw, cw, ch, h, v; };
+
+// per-component block geometry; must mirror decode_progressive's math
+static void prog_geom(int width, int height, int subsamp, PCompGeom g[3],
+                      int& ncomp, int& mcux, int& mcuy) {
+    int ch0 = (subsamp == 0 || subsamp == 3) ? 2 : 1;
+    int cv0 = subsamp == 0 ? 2 : 1;
+    ncomp = subsamp == 2 ? 1 : 3;
+    mcux = (width + 8 * ch0 - 1) / (8 * ch0);
+    mcuy = (height + 8 * cv0 - 1) / (8 * cv0);
+    for (int c = 0; c < ncomp; c++) {
+        int h = c == 0 ? ch0 : 1, v = c == 0 ? cv0 : 1;
+        g[c].h = h; g[c].v = v;
+        g[c].bufw = mcux * h;
+        int compw = (width * h + ch0 - 1) / ch0;
+        int comph = (height * v + cv0 - 1) / cv0;
+        g[c].cw = (compw + 7) / 8;
+        g[c].ch = (comph + 7) / 8;
+    }
+}
+
+struct PCountSink {
+    uint32_t* fq[2];
+    inline void sym(int t, int s) { fq[t][s]++; }
+    inline void put(uint32_t, int) {}
+};
+
+struct PEmitSink {
+    BitWriter& bw;
+    const HuffEnc* tab[2];
+    inline void sym(int t, int s) { bw.put(tab[t]->code[s], tab[t]->len[s]); }
+    inline void put(uint32_t v, int n) { if (n) bw.put(v, n); }
+};
+
+// EOB-run flush: symbol (nbits<<4), the run's low bits, then every
+// correction bit buffered while the run was open (jcphuff emit_eobrun)
+template <class S>
+static inline void prog_emit_eobrun(S& s, unsigned& eobrun,
+                                    std::vector<uint8_t>& be) {
+    if (!eobrun) return;
+    int nb = bitlen((int)eobrun) - 1;
+    s.sym(1, nb << 4);
+    s.put(eobrun & ((1u << nb) - 1), nb);
+    for (uint8_t b : be) s.put(b, 1);
+    be.clear();
+    eobrun = 0;
+}
+
+template <class S>
+static void prog_dc_first(S& s, const int16_t* z, int tbl, int& pred,
+                          int al) {
+    int t = (int)z[0] >> al;        // DC point transform: arithmetic shift
+    int diff = t - pred;
+    pred = t;
+    int nb = bitlen(diff < 0 ? -diff : diff);
+    s.sym(tbl, nb);
+    s.put((uint32_t)(diff < 0 ? diff - 1 : diff), nb);
+}
+
+template <class S>
+static void prog_ac_first(S& s, const int16_t* z, int ss, int se, int al,
+                          unsigned& eobrun, std::vector<uint8_t>& be) {
+    int r = 0;
+    for (int k = ss; k <= se; k++) {
+        int temp = z[k], temp2;
+        if (temp < 0) { temp = (-temp) >> al; temp2 = ~temp; }
+        else { temp >>= al; temp2 = temp; }
+        if (temp == 0) { r++; continue; }
+        prog_emit_eobrun(s, eobrun, be);
+        while (r > 15) { s.sym(1, 0xF0); r -= 16; }
+        int nb = bitlen(temp);
+        s.sym(1, (r << 4) | nb);
+        s.put((uint32_t)temp2, nb);
+        r = 0;
+    }
+    if (r > 0 && ++eobrun == 0x7FFF) prog_emit_eobrun(s, eobrun, be);
+}
+
+template <class S>
+static void prog_ac_refine(S& s, const int16_t* z, int ss, int se, int al,
+                           unsigned& eobrun, std::vector<uint8_t>& be) {
+    int absval[64];
+    int eob = ss - 1;
+    for (int k = ss; k <= se; k++) {
+        int t = z[k] < 0 ? -z[k] : z[k];
+        absval[k] = t >> al;
+        if (absval[k] == 1) eob = k;   // last newly-significant coef
+    }
+    int r = 0;
+    uint8_t brb[64];                    // correction bits since last sym
+    int brn = 0;
+    for (int k = ss; k <= se; k++) {
+        int temp = absval[k];
+        if (temp == 0) { r++; continue; }
+        while (r > 15 && k <= eob) {
+            prog_emit_eobrun(s, eobrun, be);
+            s.sym(1, 0xF0);
+            r -= 16;
+            for (int i = 0; i < brn; i++) s.put(brb[i], 1);
+            brn = 0;
+        }
+        if (temp > 1) {                 // already significant: LSB only
+            brb[brn++] = (uint8_t)(temp & 1);
+            continue;
+        }
+        prog_emit_eobrun(s, eobrun, be);
+        s.sym(1, (r << 4) | 1);
+        s.put(z[k] < 0 ? 0u : 1u, 1);
+        for (int i = 0; i < brn; i++) s.put(brb[i], 1);
+        brn = 0;
+        r = 0;
+    }
+    if (r > 0 || brn > 0) {             // block tail joins an EOB run
+        eobrun++;
+        be.insert(be.end(), brb, brb + brn);
+        if (eobrun == 0x7FFF || be.size() > 930)
+            prog_emit_eobrun(s, eobrun, be);
+    }
+}
+
+// Run one scan over the image through sink S (identical walk for the
+// counting and emitting passes).
+template <class S>
+static void prog_run_scan(S& s, const ProgScanDef& sc,
+                          const int16_t* const* bufs, const PCompGeom* g,
+                          int mcux, int mcuy) {
+    int pred[3] = {0, 0, 0};
+    unsigned eobrun = 0;
+    std::vector<uint8_t> be;
+    if (sc.ss == 0 && sc.ncomp > 1) {
+        for (int my = 0; my < mcuy; my++)
+            for (int mx = 0; mx < mcux; mx++)
+                for (int k = 0; k < sc.ncomp; k++) {
+                    int c = sc.ci[k];
+                    for (int v = 0; v < g[c].v; v++)
+                        for (int u = 0; u < g[c].h; u++) {
+                            long long brow = (long long)my * g[c].v + v;
+                            long long bcol = (long long)mx * g[c].h + u;
+                            const int16_t* z = bufs[c]
+                                + (brow * g[c].bufw + bcol) * 64;
+                            if (sc.ah == 0)
+                                prog_dc_first(s, z, c == 0 ? 0 : 1,
+                                              pred[k], sc.al);
+                            else
+                                s.put((uint32_t)(z[0] >> sc.al) & 1, 1);
+                        }
+                }
+    } else {
+        int c = sc.ci[0];
+        for (long long by = 0; by < g[c].ch; by++)
+            for (long long bx = 0; bx < g[c].cw; bx++) {
+                const int16_t* z = bufs[c] + (by * g[c].bufw + bx) * 64;
+                if (sc.ss == 0) {
+                    if (sc.ah == 0)
+                        prog_dc_first(s, z, 0, pred[0], sc.al);
+                    else
+                        s.put((uint32_t)(z[0] >> sc.al) & 1, 1);
+                } else if (sc.ah == 0) {
+                    prog_ac_first(s, z, sc.ss, sc.se, sc.al, eobrun, be);
+                } else {
+                    prog_ac_refine(s, z, sc.ss, sc.se, sc.al, eobrun, be);
+                }
+            }
+    }
+    prog_emit_eobrun(s, eobrun, be);
+}
+
+GJ_API int gjpeg_encode_progressive(const int16_t* yc, const int16_t* uc,
+                                    const int16_t* vc, int width,
+                                    int height, int subsamp,
+                                    const uint8_t* qluma,
+                                    const uint8_t* qchroma,
+                                    uint8_t* outbuf, long long capacity) {
+    PCompGeom g[3];
+    int ncomp, mcux, mcuy;
+    prog_geom(width, height, subsamp, g, ncomp, mcux, mcuy);
+    const int16_t* bufs[3] = {yc, uc, vc};
+
+    std::vector<uint8_t> o;
+    o.reserve((size_t)width * height / 2 + (1 << 16));
+    put_marker(o, 0xD8);
+    put_marker(o, 0xE0); put_u16(o, 16);
+    const char jfif[] = "JFIF";
+    o.insert(o.end(), jfif, jfif + 5);
+    o.push_back(1); o.push_back(1); o.push_back(0);
+    put_u16(o, 1); put_u16(o, 1); o.push_back(0); o.push_back(0);
+    put_marker(o, 0xDB);
+    put_u16(o, (uint16_t)(2 + 65 * (ncomp == 1 ? 1 : 2)));
+    o.push_back(0x00);
+    for (int i = 0; i < 64; i++) o.push_back(qluma[ZIGZAG[i]]);
+    if (ncomp == 3) {
+        o.push_back(0x01);
+        for (int i = 0; i < 64; i++) o.push_back(qchroma[ZIGZAG[i]]);
+    }
+    put_marker(o, 0xC2);                     // SOF2: progressive DCT
+    put_u16(o, (uint16_t)(8 + 3 * ncomp));
+    o.push_back(8); put_u16(o, (uint16_t)height);
+    put_u16(o, (uint16_t)width);
+    o.push_back((uint8_t)ncomp);
+    o.push_back(1);
+    o.push_back((uint8_t)((g[0].h << 4) | g[0].v));
+    o.push_back(0);
+    if (ncomp == 3) {
+        o.push_back(2); o.push_back(0x11); o.push_back(1);
+        o.push_back(3); o.push_back(0x11); o.push_back(1);
+    }
+
+    // the libjpeg simple-progression script (jcparam.c)
+    std::vector<ProgScanDef> script;
+    if (ncomp == 3) {
+        script = {
+            {3, {0, 1, 2}, 0, 0, 0, 1},
+            {1, {0}, 1, 5, 0, 2},
+            {1, {2}, 1, 63, 0, 1},
+            {1, {1}, 1, 63, 0, 1},
+            {1, {0}, 6, 63, 0, 2},
+            {1, {0}, 1, 63, 2, 1},
+            {3, {0, 1, 2}, 0, 0, 1, 0},
+            {1, {2}, 1, 63, 1, 0},
+            {1, {1}, 1, 63, 1, 0},
+            {1, {0}, 1, 63, 1, 0},
+        };
+    } else {
+        script = {
+            {1, {0}, 0, 0, 0, 1},
+            {1, {0}, 1, 5, 0, 2},
+            {1, {0}, 6, 63, 0, 2},
+            {1, {0}, 1, 63, 2, 1},
+            {1, {0}, 0, 0, 1, 0},
+            {1, {0}, 1, 63, 1, 0},
+        };
+    }
+
+    for (const auto& sc : script) {
+        bool dc_refine = sc.ss == 0 && sc.ah > 0;
+        HuffEnc enc0, enc1;
+        if (!dc_refine) {
+            // pass 1: count this scan's symbols, build optimal tables
+            static thread_local uint32_t fq[2][257];
+            memset(fq, 0, sizeof fq);
+            PCountSink cs{{fq[0], fq[1]}};
+            prog_run_scan(cs, sc, bufs, g, mcux, mcuy);
+            uint8_t bits0[17], vals0[256], bits1[17], vals1[256];
+            int nv0 = 0, nv1 = 0;
+            if (sc.ss == 0) {           // DC first: one table per class
+                build_opt_table(fq[0], bits0, vals0, nv0);
+                put_dht(o, 0, 0, bits0, vals0, nv0);
+                build_enc(bits0, vals0, nv0, enc0);
+                if (sc.ncomp > 1) {
+                    build_opt_table(fq[1], bits1, vals1, nv1);
+                    put_dht(o, 0, 1, bits1, vals1, nv1);
+                    build_enc(bits1, vals1, nv1, enc1);
+                }
+            } else {                    // AC scan: table id 0, redefined
+                build_opt_table(fq[1], bits1, vals1, nv1);
+                put_dht(o, 1, 0, bits1, vals1, nv1);
+                build_enc(bits1, vals1, nv1, enc1);
+            }
+        }
+        put_marker(o, 0xDA);
+        put_u16(o, (uint16_t)(6 + 2 * sc.ncomp));
+        o.push_back((uint8_t)sc.ncomp);
+        for (int k = 0; k < sc.ncomp; k++) {
+            o.push_back((uint8_t)(sc.ci[k] + 1));
+            int td = sc.ss == 0 && sc.ah == 0 && sc.ci[k] > 0 ? 1 : 0;
+            o.push_back((uint8_t)((td << 4) | 0));
+        }
+        o.push_back((uint8_t)sc.ss);
+        o.push_back((uint8_t)sc.se);
+        o.push_back((uint8_t)((sc.ah << 4) | sc.al));
+        BitWriter bw(o);
+        PEmitSink es{bw, {&enc0, &enc1}};
+        prog_run_scan(es, sc, bufs, g, mcux, mcuy);
+        bw.flush();
+    }
+    put_marker(o, 0xD9);
+    if ((long long)o.size() > capacity) return -1;
+    memcpy(outbuf, o.data(), o.size());
+    return (int)o.size();
+}
+
 // ---------------------------------------------------------------- reader
 struct HuffDec {
     // canonical decode: mincode/maxcode/valptr per length

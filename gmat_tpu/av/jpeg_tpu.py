@@ -102,7 +102,8 @@ def _decode_plane_gray(yc, qy):
 def encode_batch(fb: FrameBatch, quality: int = 90,
                  workers: int = 0, restart_mcus: int = 0,
                  expand_range: bool = False,
-                 optimize: bool = False) -> List[bytes]:
+                 optimize: bool = False,
+                 progressive: bool = False) -> List[bytes]:
     """FrameBatch -> list of JPEG byte strings (full batch DCT'd on
     device in one program; per-frame entropy coding in native code,
     fanned out over `workers` host threads — see _n_workers).
@@ -119,10 +120,19 @@ def encode_batch(fb: FrameBatch, quality: int = 90,
     tables (libjpeg optimize_coding analog, beyond nvjpeg's fixed
     tables): typically 4-12% smaller files, decodable everywhere.
 
+    progressive=True writes SOF2 multi-scan streams (T.81 Annex G
+    spectral selection + successive approximation, the libjpeg
+    simple-progression script) with per-scan optimal Huffman tables —
+    typically the smallest files; decodable by libjpeg/PIL/avcodec and
+    our own progressive decoder.  Beyond nvjpeg (baseline-only encode).
+
     Supports yuv420p/nv12 (4:2:0), yuv422p, yuv444p, and gray8."""
     if not 0 <= int(restart_mcus) <= 65535:
         raise ValueError("restart_mcus must be 0..65535 (16-bit DRI "
                          f"field), got {restart_mcus}")
+    if progressive and restart_mcus:
+        raise ValueError("progressive encode does not support restart "
+                         "intervals (use one or the other)")
     qy, qc = dct.quality_tables(quality)
     w, h = fb.width, fb.height
     lib = native.load("gmat_jpeg")
@@ -180,12 +190,19 @@ def encode_batch(fb: FrameBatch, quality: int = 90,
     cap = w * h * 6 + (1 << 16)
 
     def encode_one(i, buf):
-        n = lib.gjpeg_encode_ro(
-            planes[0][i].ctypes.data_as(p16),
-            planes[1][i].ctypes.data_as(p16),
-            planes[2][i].ctypes.data_as(p16), w, h, subsamp,
-            qyp, qcp, buf.ctypes.data_as(native.c_pu8), cap,
-            int(restart_mcus), int(bool(optimize)))
+        if progressive:
+            n = lib.gjpeg_encode_progressive(
+                planes[0][i].ctypes.data_as(p16),
+                planes[1][i].ctypes.data_as(p16),
+                planes[2][i].ctypes.data_as(p16), w, h, subsamp,
+                qyp, qcp, buf.ctypes.data_as(native.c_pu8), cap)
+        else:
+            n = lib.gjpeg_encode_ro(
+                planes[0][i].ctypes.data_as(p16),
+                planes[1][i].ctypes.data_as(p16),
+                planes[2][i].ctypes.data_as(p16), w, h, subsamp,
+                qyp, qcp, buf.ctypes.data_as(native.c_pu8), cap,
+                int(restart_mcus), int(bool(optimize)))
         if n < 0:
             raise IOError("jpeg encode overflow")
         return buf[:n].tobytes()

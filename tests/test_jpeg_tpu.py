@@ -539,3 +539,68 @@ def test_jpeg_optimized_huffman(rng):
                                       np.asarray(f2.planes[k]))
         np.testing.assert_array_equal(np.asarray(f1.planes[k]),
                                       np.asarray(fa.planes[k]))
+
+
+@pytest.mark.parametrize("fmt", ["yuv420p", "yuv422p", "yuv444p", "gray8"])
+def test_progressive_encode_roundtrip(rng, fmt):
+    """SOF2 encode: our progressive decoder reconstructs EXACTLY the
+    pixels of the baseline encode of the same coefficients (same device
+    DCT program, different wire format)."""
+    from gmat_tpu.core.frame import FrameBatch
+    h, w = 56, 104
+    y = (np.add.outer(np.linspace(20, 230, h), np.linspace(0, 25, w))
+         + rng.normal(0, 4, (h, w))).clip(0, 255).astype(np.uint8)[None]
+    if fmt == "yuv420p":
+        planes = {"y": y, "u": np.full((1, h // 2, w // 2), 90, np.uint8),
+                  "v": (y[:, ::2, ::2] // 2 + 60)}
+    elif fmt == "yuv422p":
+        planes = {"y": y, "u": (y[:, :, ::2] // 3 + 70),
+                  "v": np.full((1, h, w // 2), 150, np.uint8)}
+    elif fmt == "yuv444p":
+        planes = {"y": y, "u": (y // 2 + 30), "v": (y // 3 + 90)}
+    else:
+        planes = {"y": y}
+    fb = FrameBatch(planes, fmt, w, h)
+    base = jpeg_tpu.encode_batch(fb, quality=87)
+    prog = jpeg_tpu.encode_batch(fb, quality=87, progressive=True)
+    assert b"\xff\xc2" in prog[0][:700]          # SOF2 marker
+    assert len(prog[0]) < len(base[0])           # per-scan optimal tables
+    db, dp = jpeg_tpu.decode_batch(base), jpeg_tpu.decode_batch(prog)
+    for k in db.planes:
+        np.testing.assert_array_equal(np.asarray(db.planes[k]),
+                                      np.asarray(dp.planes[k]))
+
+
+def test_progressive_encode_pil_oracle(rng):
+    """libjpeg (PIL) decodes our SOF2 stream to exactly the pixels of
+    our baseline stream — cross-decoder bit-exactness."""
+    import io
+    from PIL import Image
+    y, u, v = smooth_yuv(rng, n=1, h=72, w=120)
+    fb = from_numpy_yuv420(y, u, v)
+    base = jpeg_tpu.encode_batch(fb, quality=90)
+    prog = jpeg_tpu.encode_batch(fb, quality=90, progressive=True)
+    a = np.asarray(Image.open(io.BytesIO(base[0])).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(prog[0])).convert("RGB"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_progressive_encode_odd_dims(rng):
+    # non-MCU-aligned dims: padding blocks get DC-only coverage in
+    # non-interleaved AC scans; visible pixels must still match exactly
+    y, u, v = smooth_yuv(rng, n=1, h=33, w=49)
+    y, u, v = y[:, :33, :49], u[:, :17, :25], v[:, :17, :25]
+    fb = from_numpy_yuv420(y, u, v)
+    db = jpeg_tpu.decode_batch(jpeg_tpu.encode_batch(fb, quality=85))
+    dp = jpeg_tpu.decode_batch(
+        jpeg_tpu.encode_batch(fb, quality=85, progressive=True))
+    for k in db.planes:
+        np.testing.assert_array_equal(np.asarray(db.planes[k]),
+                                      np.asarray(dp.planes[k]))
+
+
+def test_progressive_encode_rejects_restart(rng):
+    y, u, v = smooth_yuv(rng, n=1)
+    fb = from_numpy_yuv420(y, u, v)
+    with pytest.raises(ValueError):
+        jpeg_tpu.encode_batch(fb, progressive=True, restart_mcus=4)
