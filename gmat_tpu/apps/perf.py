@@ -170,6 +170,70 @@ def perf_mjpeg(args):
             "encode_fps": round(k / dt, 1)}
 
 
+def perf_mjpegdec(args):
+    """MJPEG decode lanes head-to-head: libavcodec software decode vs
+    the TPU device lane (host entropy fan-out + one jitted batch
+    dequant/IDCT on the MXU — the NVDEC-analog decode path)."""
+    import tempfile
+
+    import numpy as _np
+
+    from ..av import jpeg_tpu, toolkit as tk
+    from ..av.ingest import decode_stream
+    from ..core.frame import from_numpy_yuv420
+    w, h = args.width, args.height
+    n = min(args.frames, 32)
+    ys, us, vs = _synth(n, w, h)
+    fb = from_numpy_yuv420(np.stack(ys), np.stack(us), np.stack(vs))
+    wk = args.workers
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/in.mov"
+        mux = tk.Muxer(path, w, h, (30, 1),
+                       **tk.mux_kwargs_for_encoder("mjpeg"))
+        k = 0
+        reps = max(args.frames // n, 1)
+        for _ in range(reps):
+            for d in jpeg_tpu.encode_batch(fb, 90, workers=wk):
+                mux.write(tk.Packet(d, k, k, True, False, 0))
+                k += 1
+        mux.close()
+
+        def drain_tpu():
+            st = jpeg_tpu.decode_stream_tpu(path, batch=min(16, n),
+                                            workers=wk)
+            cnt = 0
+            last = None
+            for (b, pts, valid) in st:
+                cnt += valid
+                last = b
+            # sync: read a scalar back (block_until_ready is unreliable
+            # through the tunnel)
+            float(_np.asarray(last.planes["y"][0, 0, 0]))
+            return cnt
+
+        def drain_sw():
+            q = decode_stream(path, batch=min(16, n), threads=args.threads)
+            cnt = 0
+            last = None
+            for (b, pts, valid) in q:
+                cnt += valid
+                last = b
+            float(_np.asarray(last.planes["y"][0, 0, 0]))
+            return cnt
+
+        drain_tpu()                                  # warm the program
+        t0 = time.perf_counter()
+        n_tpu = drain_tpu()
+        dt_tpu = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_sw = drain_sw()
+        dt_sw = time.perf_counter() - t0
+    return {"case": "mjpegdec", "frames": n_tpu, "workers": wk,
+            "tpu_lane_fps": round(n_tpu / dt_tpu, 1),
+            "avcodec_fps": round(n_sw / dt_sw, 1),
+            "speedup": round(dt_sw / dt_tpu, 2)}
+
+
 def perf_ladder(args):
     import jax
     import jax.numpy as jnp
@@ -506,7 +570,7 @@ def main(argv=None):
     _enable_cache()
     p = argparse.ArgumentParser(prog="gmat-perf")
     p.add_argument("case", choices=["decode", "encode", "extract", "heif",
-                                    "jpeg", "mjpeg", "ladder", "ladder10",
+                                    "jpeg", "mjpeg", "mjpegdec", "ladder", "ladder10",
                                     "rungs", "infer", "pipeline",
                                     "sustained", "ingest"])
     p.add_argument("-i", "--input", default="")
@@ -525,7 +589,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     fn = {"decode": perf_decode, "encode": perf_encode,
           "extract": perf_extract, "heif": perf_heif, "jpeg": perf_jpeg,
-          "mjpeg": perf_mjpeg,
+          "mjpeg": perf_mjpeg, "mjpegdec": perf_mjpegdec,
           "ladder": perf_ladder, "ladder10": perf_ladder10,
           "rungs": perf_rungs, "infer": perf_infer,
           "pipeline": perf_pipeline,

@@ -340,3 +340,123 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601",
     v = v[:, : h2 // 2, : w2 // 2]
     return FrameBatch({"y": y, "u": u, "v": v}, "yuv420p", w2, h2,
                       colorspace)
+
+
+class MjpegTpuStream:
+    """MJPEG video track -> device FrameBatches via the TPU JPEG lane.
+
+    The decode counterpart of the `-c:v mjpeg_tpu` encoder and the
+    NVDEC-analog decode path (reference: cuvid MJPEG decode,
+    NvDecLite.h:112-126 codec map): packets demux on host, each batch's
+    entropy data fans out over `workers` threads into the GIL-free
+    native decoder, and ONE jitted dequant+IDCT program reconstructs
+    the whole batch on the MXU — output lands device-resident, no
+    separate upload step.
+
+    A producer thread keeps `depth` decoded batches ahead (entropy
+    decode overlaps device compute).  Iterating yields
+    (FrameBatch, pts int64 array, valid_count); the tail batch is
+    padded by repeating its last packet so every batch runs the same
+    program shape (valid marks the real frames).
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, path_or_bytes, batch: int = 16, depth: int = 2,
+                 workers: int = 0, segment_threads: int = 0,
+                 colorspace: str = "bt601", seek: float = 0.0):
+        import queue as _queue
+        import threading
+
+        from . import toolkit as tk
+        dm = tk.Demuxer(path_or_bytes)
+        if dm.codec_id != tk.codec_id("mjpeg"):
+            dm.close()
+            raise ValueError("MjpegTpuStream needs an MJPEG video track "
+                             f"(codec id {dm.codec_id}); use "
+                             "ingest.decode_stream for other codecs")
+        if seek > 0:
+            dm.seek(seek)
+        self.fps = dm.fps or 30.0
+        self.width, self.height = dm.width, dm.height
+        self.batch = batch
+        self.error = None
+        self._q: "_queue.Queue" = _queue.Queue(maxsize=max(depth, 1))
+        self._stop = threading.Event()
+
+        def produce():
+            try:
+                datas, pts = [], []
+
+                def flush():
+                    valid = len(datas)
+                    while len(datas) < batch:      # static program shape
+                        datas.append(datas[-1])
+                        pts.append(pts[-1])
+                    fb = decode_batch(datas, colorspace=colorspace,
+                                      workers=workers,
+                                      segment_threads=segment_threads)
+                    item = (fb, np.asarray(pts, np.int64), valid)
+                    datas.clear()
+                    pts.clear()
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.1)
+                            return
+                        except _queue.Full:
+                            continue
+
+                for pkt in dm:
+                    if self._stop.is_set():
+                        return
+                    if pkt.stream != 0:
+                        continue
+                    datas.append(pkt.data)
+                    pts.append(pkt.pts)
+                    if len(datas) == batch:
+                        flush()
+                if datas and not self._stop.is_set():
+                    flush()
+            except BaseException as e:
+                self.error = e
+            finally:
+                dm.close()
+                while True:
+                    try:
+                        self._q.put(self._SENTINEL, timeout=0.1)
+                        break
+                    except _queue.Full:
+                        if self._stop.is_set():
+                            break
+
+        self._thread = threading.Thread(target=produce, daemon=True)
+        self._thread.start()
+
+    def close(self):
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except Exception:
+                break
+        self._thread.join(timeout=5.0)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._SENTINEL:
+                if self.error:
+                    raise self.error
+                return
+            yield item
+
+
+def decode_stream_tpu(path_or_bytes, batch: int = 16, depth: int = 2,
+                      workers: int = 0, segment_threads: int = 0,
+                      colorspace: str = "bt601",
+                      seek: float = 0.0) -> MjpegTpuStream:
+    """Convenience ctor for MjpegTpuStream (mirrors ingest.decode_stream's
+    shape: iterate (FrameBatch, pts, valid); .fps/.width/.height attrs)."""
+    return MjpegTpuStream(path_or_bytes, batch=batch, depth=depth,
+                          workers=workers, segment_threads=segment_threads,
+                          colorspace=colorspace, seek=seek)

@@ -604,3 +604,74 @@ def test_progressive_encode_rejects_restart(rng):
     fb = from_numpy_yuv420(y, u, v)
     with pytest.raises(ValueError):
         jpeg_tpu.encode_batch(fb, progressive=True, restart_mcus=4)
+
+
+def test_mjpeg_tpu_decode_stream(rng, tmp_path):
+    """decode_stream_tpu: MJPEG track -> device FrameBatches, exactly
+    the pixels decode_batch gives for the same packets; pts in order;
+    tail batch padded with a correct valid count."""
+    y, u, v = smooth_yuv(rng, n=11, h=48, w=64)
+    fb = from_numpy_yuv420(y, u, v)
+    datas = jpeg_tpu.encode_batch(fb, quality=88)
+    path = str(tmp_path / "in.mov")
+    mux = tk.Muxer(path, 64, 48, (30, 1),
+                   **tk.mux_kwargs_for_encoder("mjpeg"))
+    for i, d in enumerate(datas):
+        mux.write(tk.Packet(d, i, i, True, False, 0))
+    mux.close()
+
+    st = jpeg_tpu.decode_stream_tpu(path, batch=4)
+    assert (st.width, st.height) == (64, 48)
+    got, ptss = [], []
+    for (b, pts, valid) in st:
+        assert b.batch == 4 and b.format == "yuv420p"
+        arr = np.asarray(b.planes["y"])
+        got.extend(arr[i] for i in range(valid))
+        ptss.extend(int(p) for p in pts[:valid])
+    assert len(got) == 11 and ptss == sorted(ptss)
+    ref = np.asarray(jpeg_tpu.decode_batch(datas).planes["y"])
+    for i in range(11):
+        np.testing.assert_array_equal(got[i], ref[i])
+
+
+def test_mjpeg_tpu_decode_stream_avcodec_crosscheck(rng, tmp_path):
+    # independent decoders (float vs integer IDCT): within 2 LSB
+    y, u, v = smooth_yuv(rng, n=4, h=48, w=64)
+    fb = from_numpy_yuv420(y, u, v)
+    path = str(tmp_path / "in.mov")
+    mux = tk.Muxer(path, 64, 48, (30, 1),
+                   **tk.mux_kwargs_for_encoder("mjpeg"))
+    for i, d in enumerate(jpeg_tpu.encode_batch(fb, quality=90)):
+        mux.write(tk.Packet(d, i, i, True, False, 0))
+    mux.close()
+    ours = []
+    for (b, pts, valid) in jpeg_tpu.decode_stream_tpu(path, batch=4):
+        ours.extend(np.asarray(b.planes["y"])[i] for i in range(valid))
+    dm = tk.Demuxer(path)
+    dec = tk.Decoder.from_demuxer(dm)
+    sw = []
+    for p in dm:
+        if p.stream == 0:
+            sw.extend(yy for (yy, _, _, _) in dec.decode(p.data, p.pts))
+    sw.extend(yy for (yy, _, _, _) in dec.decode(None))
+    dm.close(); dec.close()
+    assert len(sw) == len(ours) == 4
+    for a, b in zip(ours, sw):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+
+
+def test_mjpeg_tpu_decode_stream_rejects_other_codecs(rng, tmp_path):
+    y, u, v = smooth_yuv(rng, n=3, h=48, w=64)
+    enc = tk.Encoder("libx264", 64, 48, fps=(30, 1), crf=30.0,
+                     preset="ultrafast")
+    path = str(tmp_path / "h264.mp4")
+    mux = tk.Muxer(path, 64, 48, (30, 1), tk.CODEC_H264,
+                   enc.extradata())
+    for i in range(3):
+        for p in enc.encode(y[i], u[i], v[i], pts=i):
+            mux.write(p)
+    for p in enc.flush():
+        mux.write(p)
+    enc.close(); mux.close()
+    with pytest.raises(ValueError):
+        jpeg_tpu.decode_stream_tpu(path)
