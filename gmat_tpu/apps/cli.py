@@ -75,6 +75,12 @@ def build_parser():
     p.add_argument("-list-filters", action="store_true",
                    help="print available filters and their options "
                         "(ffmpeg -h filter=NAME analog)")
+    p.add_argument("-hwaccel", default="",
+                   help="'tpu' routes MJPEG input decode through the "
+                        "device JPEG lane (batched entropy fan-out + one "
+                        "jitted MXU dequant/IDCT — the NVDEC analog); "
+                        "other values (cuda/auto/...) are accepted as "
+                        "no-ops for reference command-line parity")
     return p
 
 
@@ -138,8 +144,11 @@ def list_filters():
 
 # ffmpeg flags that are no-ops here (accepted so reference doc command
 # lines paste in unmodified): hw plumbing is automatic, -y has no
-# interactive prompt to skip, A/V sync is pts-driven
-_FFMPEG_NOOP_VALUED = {"-hwaccel", "-hwaccel_output_format", "-vsync",
+# interactive prompt to skip, A/V sync is pts-driven.  -hwaccel is NOT
+# in this set anymore: `-hwaccel tpu` explicitly engages the device
+# JPEG decode lane for MJPEG inputs (other values stay no-ops so
+# reference command lines keep their behavior)
+_FFMPEG_NOOP_VALUED = {"-hwaccel_output_format", "-vsync",
                        "-fps_mode", "-loglevel"}
 _FFMPEG_NOOP_FLAGS = {"-y", "-n", "-hide_banner", "-nostdin", "-an", "-sn"}
 
@@ -229,10 +238,12 @@ def main(argv=None):
             src_fps = rd.fps[0] / max(rd.fps[1], 1)
             rd.close()
         tb_sec = 1.0 / src_fps          # raw pts are frame indices
-    else:
+    probe_codec = -1
+    if not is_raw_input:
         dm_probe = tk.Demuxer(args.input)
         src_fps = dm_probe.fps or 30.0
         tb_sec = dm_probe.time_base[0] / dm_probe.time_base[1]
+        probe_codec = dm_probe.codec_id
         if args.crop:
             # cuvid-style TOPxBOTTOMxLEFTxRIGHT -> (x, y, w, h)
             t_, b_, l_, r_ = (int(x) for x in args.crop.lower().split("x"))
@@ -473,9 +484,31 @@ def main(argv=None):
                 np.asarray(v_.ravel()[0])
 
     done = 0
-    src = decode_stream(args.input, batch=args.batch, threads=args.threads,
-                        seek=args.ss, width=raw_w, height=raw_h,
-                        resize=dec_resize, crop=dec_crop, bits=args.bits)
+    src = None
+    if args.hwaccel.lower() in ("tpu", "mjpeg_tpu"):
+        # explicit device decode: batched entropy fan-out + one jitted
+        # MXU dequant/IDCT (the NVDEC-analog lane; MJPEG only)
+        from ..av import jpeg_tpu
+        if probe_codec == tk.codec_id("mjpeg") and args.bits == 8:
+            if dec_resize or dec_crop:
+                print("gmat: -resize/-crop don't apply to the device "
+                      "decode lane; ignored", file=sys.stderr)
+            src = jpeg_tpu.decode_stream_tpu(
+                args.input, batch=args.batch, workers=args.threads,
+                seek=args.ss)
+        else:
+            print("gmat: -hwaccel tpu supports 8-bit MJPEG inputs only; "
+                  "falling back to software decode", file=sys.stderr)
+    elif args.hwaccel and args.hwaccel.lower() not in ("none", "cuda",
+                                                       "auto", "nvdec",
+                                                       "cuvid"):
+        print(f"gmat: unknown -hwaccel {args.hwaccel!r} ignored",
+              file=sys.stderr)
+    if src is None:
+        src = decode_stream(args.input, batch=args.batch,
+                            threads=args.threads, seek=args.ss,
+                            width=raw_w, height=raw_h, resize=dec_resize,
+                            crop=dec_crop, bits=args.bits)
     for fb, pts, valid in src:
         times = pts * tb_sec
         out_fb, keep = graph.process(

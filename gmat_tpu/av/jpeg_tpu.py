@@ -386,19 +386,25 @@ class MjpegTpuStream:
 
         def produce():
             try:
-                datas, pts = [], []
+                datas, pts, keys, poss = [], [], [], []
 
                 def flush():
                     valid = len(datas)
                     while len(datas) < batch:      # static program shape
                         datas.append(datas[-1])
                         pts.append(pts[-1])
+                        keys.append(False)
+                        poss.append(-1)
                     fb = decode_batch(datas, colorspace=colorspace,
                                       workers=workers,
                                       segment_threads=segment_threads)
-                    item = (fb, np.asarray(pts, np.int64), valid)
+                    item = (fb, np.asarray(pts, np.int64), valid,
+                            np.asarray(keys, bool),
+                            np.asarray(poss, np.int64))
                     datas.clear()
                     pts.clear()
+                    keys.clear()
+                    poss.clear()
                     while not self._stop.is_set():
                         try:
                             self._q.put(item, timeout=0.1)
@@ -413,6 +419,8 @@ class MjpegTpuStream:
                         continue
                     datas.append(pkt.data)
                     pts.append(pkt.pts)
+                    keys.append(bool(pkt.key))
+                    poss.append(int(getattr(pkt, "pos", -1)))
                     if len(datas) == batch:
                         flush()
                 if datas and not self._stop.is_set():
@@ -448,7 +456,13 @@ class MjpegTpuStream:
                 if self.error:
                     raise self.error
                 return
-            yield item
+            fb, pts, valid, keys, poss = item
+            # the ingest metadata protocol (PrefetchQueue-compatible):
+            # select expressions read key/pos; MJPEG is all-intra
+            self.last_keys = keys
+            self.last_pos = poss
+            self.last_interlaced = np.zeros(len(keys), np.int8)
+            yield fb, pts, valid
 
 
 def decode_stream_tpu(path_or_bytes, batch: int = 16, depth: int = 2,

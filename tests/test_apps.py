@@ -600,3 +600,28 @@ def test_cli_mjpeg_tpu_optimize(clip, tmp_path):
         assert rc == 0
     assert os.path.getsize(opt) < os.path.getsize(plain)
     assert len(decode_all(opt)) == 6
+
+
+def test_cli_hwaccel_tpu_mjpeg_decode(clip, tmp_path):
+    # -hwaccel tpu: MJPEG input decodes through the device JPEG lane
+    # (batched entropy + jitted MXU IDCT); output within 2 LSB of the
+    # software-decode path (independent IDCTs), -hwaccel cuda stays the
+    # software no-op for pasted reference command lines
+    import numpy as np
+    from gmat_tpu.apps.cli import main
+    from gmat_tpu.av.rawvideo import Y4MReader
+    mj = str(tmp_path / "in.mov")
+    rc = main(["-i", clip, "-o", mj, "-c:v", "mjpeg_tpu", "-q:v", "90",
+               "-frames", "6", "-batch", "6"])
+    assert rc == 0
+    hw, sw = str(tmp_path / "hw.y4m"), str(tmp_path / "sw.y4m")
+    assert main(["-hwaccel", "tpu", "-i", mj, "-vf", "scale=80:60",
+                 "-o", hw, "-batch", "3"]) == 0
+    assert main(["-hwaccel", "cuda", "-i", mj, "-vf", "scale=80:60",
+                 "-o", sw, "-batch", "3"]) == 0
+    ra, rb = Y4MReader(hw), Y4MReader(sw)
+    fa, fb_ = list(ra.frames()), list(rb.frames())
+    ra.close(); rb.close()
+    assert len(fa) == len(fb_) == 6
+    for x, y in zip(fa, fb_):
+        assert np.abs(x[0].astype(int) - y[0].astype(int)).max() <= 2
