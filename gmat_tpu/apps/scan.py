@@ -113,8 +113,24 @@ def hevc_rps(args) -> int:
     for i, (_lsb, s) in enumerate(res):
         print(("Skip " if s else "Decode ") + str(pocs[i])
               + f"  display_index={disp[i]}")
-    print(json.dumps({"total": len(res), "skippable": nskip,
-                      "ratio": round(nskip / max(len(res), 1), 3)}))
+    summary = {"total": len(res), "skippable": nskip,
+               "ratio": round(nskip / max(len(res), 1), 3)}
+    # static HDR metadata riding SEI NALs (mastering display colour
+    # volume + content light level — HevcParser SEI sections analog)
+    hdr = hevc.stream_hdr_metadata(packets)
+    md = hdr.get("mastering_display")
+    if md is not None:
+        summary["mastering_display"] = {
+            "primaries_gbr": [list(p) for p in md.primaries],
+            "white_point": list(md.white_point),
+            "max_nits": md.max_nits, "min_nits": md.min_nits}
+    cll = hdr.get("content_light_level")
+    if cll is not None:
+        summary["content_light_level"] = {"max_cll": cll.max_cll,
+                                          "max_fall": cll.max_fall}
+    if hdr["recovery_points"]:
+        summary["recovery_points"] = hdr["recovery_points"]
+    print(json.dumps(summary))
     return 0
 
 

@@ -720,3 +720,161 @@ def analyze_skippable(packets, slices=None) -> list:
             skippable = False
         out.append((sl.poc_lsb, skippable))
     return out
+
+
+# ------------------------------------------------------------------ SEI
+# D.2/D.3 supplemental enhancement information — the subset carrying HDR
+# static metadata and recovery points (the reference parser's Hevc.h SEI
+# structs; HevcParserImpl.cpp SEI sections).  pic_timing needs HRD
+# context from VPS/SPS and is out of scope (tracked in PARITY).
+
+NAL_SEI_PREFIX, NAL_SEI_SUFFIX = 39, 40
+
+SEI_RECOVERY_POINT = 6
+SEI_MASTERING_DISPLAY = 137
+SEI_CONTENT_LIGHT_LEVEL = 144
+
+
+@dataclasses.dataclass
+class SeiMessage:
+    payload_type: int
+    payload: bytes          # raw payload bytes (emulation removed)
+
+
+def parse_sei(nal: bytes) -> List[SeiMessage]:
+    """One SEI NAL -> its messages (ff-escaped type/size coding)."""
+    d = BitReader(nal).data          # RBSP (emulation bytes stripped)
+    out: List[SeiMessage] = []
+    i = 0
+    while i < len(d):
+        if d[i] == 0x80:             # rbsp_stop_one_bit byte
+            break
+        pt = 0
+        while i < len(d) and d[i] == 0xFF:
+            pt += 255
+            i += 1
+        if i >= len(d):
+            break
+        pt += d[i]
+        i += 1
+        sz = 0
+        while i < len(d) and d[i] == 0xFF:
+            sz += 255
+            i += 1
+        if i >= len(d):
+            break
+        sz += d[i]
+        i += 1
+        if i + sz > len(d):
+            break                    # truncated message: keep what parsed
+        out.append(SeiMessage(pt, d[i:i + sz]))
+        i += sz
+    return out
+
+
+@dataclasses.dataclass
+class MasteringDisplay:
+    """D.3.28 mastering display colour volume (HDR10 static metadata).
+    Primaries are GBR-ordered (x, y) in 0.00002 units; luminance in
+    0.0001 cd/m^2 units — the `nits` properties convert."""
+    primaries: Tuple[Tuple[int, int], ...]   # ((gx,gy),(bx,by),(rx,ry))
+    white_point: Tuple[int, int]
+    max_luminance: int
+    min_luminance: int
+
+    @property
+    def max_nits(self) -> float:
+        return self.max_luminance / 10000.0
+
+    @property
+    def min_nits(self) -> float:
+        return self.min_luminance / 10000.0
+
+
+def parse_mastering_display(payload: bytes) -> MasteringDisplay:
+    if len(payload) < 24:
+        raise ValueError(f"mastering-display SEI needs 24 bytes, got "
+                         f"{len(payload)}")
+    import struct as _s
+    vals = _s.unpack(">6H2H2I", payload[:24])
+    return MasteringDisplay(
+        primaries=((vals[0], vals[1]), (vals[2], vals[3]),
+                   (vals[4], vals[5])),
+        white_point=(vals[6], vals[7]),
+        max_luminance=vals[8], min_luminance=vals[9])
+
+
+@dataclasses.dataclass
+class ContentLightLevel:
+    """D.3.35 content light level info: MaxCLL / MaxFALL in cd/m^2."""
+    max_cll: int
+    max_fall: int
+
+
+def parse_content_light_level(payload: bytes) -> ContentLightLevel:
+    if len(payload) < 4:
+        raise ValueError("content-light-level SEI needs 4 bytes")
+    return ContentLightLevel((payload[0] << 8) | payload[1],
+                             (payload[2] << 8) | payload[3])
+
+
+@dataclasses.dataclass
+class RecoveryPoint:
+    """D.3.8: gradual-refresh entry point for mid-stream tune-in."""
+    recovery_poc_cnt: int
+    exact_match: bool
+    broken_link: bool
+
+
+def parse_recovery_point(payload: bytes) -> RecoveryPoint:
+    # payload bytes are already RBSP (emulation removed by parse_sei):
+    # read bits raw — BitReader would re-strip 00 00 03 sequences
+    pos = 0
+
+    def u(n):
+        nonlocal pos
+        v = 0
+        for _ in range(n):
+            if pos >> 3 >= len(payload):
+                raise ValueError("truncated recovery-point SEI")
+            v = (v << 1) | ((payload[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        return v
+
+    def se():
+        zeros = 0
+        while u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("bad exp-golomb")
+        k = (1 << zeros) - 1 + (u(zeros) if zeros else 0)
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    return RecoveryPoint(se(), bool(u(1)), bool(u(1)))
+
+
+def stream_hdr_metadata(packets) -> dict:
+    """Annexb packets -> {'mastering_display': MasteringDisplay,
+    'content_light_level': ContentLightLevel, 'recovery_points': int}
+    for whatever static HDR metadata the stream carries (first
+    occurrence wins, like players apply it)."""
+    out: dict = {"recovery_points": 0}
+    for pkt in packets:
+        for nal in split_annexb(pkt):
+            if nal_type(nal) not in (NAL_SEI_PREFIX, NAL_SEI_SUFFIX):
+                continue
+            for m in parse_sei(nal):
+                try:
+                    if (m.payload_type == SEI_MASTERING_DISPLAY
+                            and "mastering_display" not in out):
+                        out["mastering_display"] = \
+                            parse_mastering_display(m.payload)
+                    elif (m.payload_type == SEI_CONTENT_LIGHT_LEVEL
+                            and "content_light_level" not in out):
+                        out["content_light_level"] = \
+                            parse_content_light_level(m.payload)
+                    elif m.payload_type == SEI_RECOVERY_POINT:
+                        out["recovery_points"] += 1
+                except ValueError:
+                    continue             # malformed message: skip it
+    return out

@@ -165,3 +165,81 @@ def test_scan_hevc_display_index(hevc_stream_pts, tmp_path, capsys):
     assert len(lines) == len(datas)
     idxs = sorted(int(l.split("display_index=")[1]) for l in lines)
     assert idxs == list(range(len(datas)))
+
+
+def _hdr_stream(n=4):
+    w, h = 96, 64
+    md = ("G(13250\\,34500)B(7500\\,3000)R(34000\\,16000)"
+          "WP(15635\\,16450)L(10000000\\,1)")
+    enc = tk.Encoder("libx265", w, h, fps=(30, 1), crf=24.0,
+                     opts="x265-params=log-level=0:master-display=" + md
+                          + ":max-cll=1000\\,400")
+    y = ((np.add.outer(np.arange(h), np.arange(w)) * 0.7) % 220
+         + 16).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 110, np.uint8)
+    v = np.full((h // 2, w // 2), 130, np.uint8)
+    pkts = []
+    for i in range(n):
+        pkts += enc.encode(y, u, v, pts=i)
+    pkts += enc.flush()
+    out = [enc.extradata() + pkts[0].data] + [p.data for p in pkts[1:]]
+    enc.close()
+    return out
+
+
+def test_sei_hdr_metadata_from_x265():
+    """x265-authored mastering-display + max-cll SEI parse back to the
+    exact values given on the encoder command line (real-encoder
+    oracle, like the RPS tests)."""
+    hdr = hevc.stream_hdr_metadata(_hdr_stream())
+    m = hdr["mastering_display"]
+    assert m.primaries == ((13250, 34500), (7500, 3000), (34000, 16000))
+    assert m.white_point == (15635, 16450)
+    assert (m.max_luminance, m.min_luminance) == (10000000, 1)
+    assert m.max_nits == 1000.0
+    c = hdr["content_light_level"]
+    assert (c.max_cll, c.max_fall) == (1000, 400)
+
+
+def test_sei_message_parsing_synthetic():
+    # ff-escaped payload type (256 = FF 01) and two messages in one NAL
+    pl1 = bytes(range(8))
+    pl2 = b"\x03\xe8\x01\x90"                      # CLL 1000/400
+    body = (b"\xff\x01" + bytes([len(pl1)]) + pl1
+            + bytes([144, len(pl2)]) + pl2 + b"\x80")
+    nal = bytes([39 << 1, 1]) + body
+    msgs = hevc.parse_sei(nal)
+    assert [(m.payload_type, m.payload) for m in msgs] == \
+        [(256, pl1), (144, pl2)]
+    cll = hevc.parse_content_light_level(msgs[1].payload)
+    assert (cll.max_cll, cll.max_fall) == (1000, 400)
+    # truncated message: parser keeps the complete prefix, no raise
+    assert hevc.parse_sei(nal[:-3])[0].payload_type == 256
+
+
+def test_sei_recovery_point():
+    # recovery_poc_cnt=2 (se codeNum 3: 00100), exact_match=1,
+    # broken_link=0, stop bit -> 0010 0101 = 0x25
+    nal = bytes([39 << 1, 1]) + bytes([6, 1, 0x25])
+    msgs = hevc.parse_sei(nal)
+    rp = hevc.parse_recovery_point(msgs[0].payload)
+    assert (rp.recovery_poc_cnt, rp.exact_match, rp.broken_link) == \
+        (2, True, False)
+    with pytest.raises(ValueError):
+        hevc.parse_recovery_point(b"")
+
+
+def test_scan_hevc_reports_hdr(tmp_path, capsys):
+    from gmat_tpu.apps import scan
+    pkts = _hdr_stream()
+    path = str(tmp_path / "hdr.hevc")
+    mux = tk.Muxer(path, 96, 64, (30, 1), tk.CODEC_HEVC, b"")
+    for i, d in enumerate(pkts):
+        mux.write(tk.Packet(d, i, i, i == 0, False, 0))
+    mux.close()
+    assert scan.main(["hevc", path]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(out[-1])
+    assert summary["content_light_level"] == {"max_cll": 1000,
+                                              "max_fall": 400}
+    assert summary["mastering_display"]["max_nits"] == 1000.0
