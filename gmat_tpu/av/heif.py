@@ -59,6 +59,44 @@ class _WItem:
 # clap -> irot -> imir, and that is the order the writer associates them
 ALPHA_AUX_TYPE = b"urn:mpeg:hevc:2015:auxid:1"
 
+# CICP (primaries, transfer, matrix, full_range) presets for 'colr' nclx
+COLR_PRESETS = {
+    "bt709": (1, 1, 1, 0),
+    "bt601": (6, 6, 6, 0),
+    "bt2020": (9, 14, 9, 0),
+    "pq": (9, 16, 9, 0),        # BT.2100 PQ (HDR10)
+    "hlg": (9, 18, 9, 0),       # BT.2100 HLG
+    "srgb": (1, 13, 0, 1),
+}
+
+
+def _color_props(colr, mastering_display,
+                 content_light) -> List[Tuple[bytes, bytes, bool]]:
+    """'colr' (nclx) / 'mdcv' / 'clli' property payloads — the colour +
+    static-HDR boxes (SMPTE ST 2086 / CTA-861.3 layouts, byte-identical
+    to the matching HEVC SEI bodies)."""
+    props: List[Tuple[bytes, bytes, bool]] = []
+    if colr is not None:
+        if isinstance(colr, str):
+            try:
+                colr = COLR_PRESETS[colr]
+            except KeyError:
+                raise ValueError(f"unknown colr preset {colr!r} "
+                                 f"(known: {sorted(COLR_PRESETS)})")
+        p, t, m, fr = (int(v) for v in colr)
+        props.append((b"colr", b"nclx" + struct.pack(
+            ">HHHB", p, t, m, 0x80 if fr else 0), False))
+    if mastering_display is not None:
+        (gx, gy), (bx, by), (rx, ry), (wx, wy), mx, mn = mastering_display
+        props.append((b"mdcv", struct.pack(
+            ">6H2H2I", gx, gy, bx, by, rx, ry, wx, wy, int(mx), int(mn)),
+            False))
+    if content_light is not None:
+        cll, fall = content_light
+        props.append((b"clli", struct.pack(">HH", int(cll), int(fall)),
+                      False))
+    return props
+
 
 def _transform_props(rotation: int, mirror: Optional[int],
                      clean_aperture) -> List[Tuple[bytes, bytes, bool]]:
@@ -119,15 +157,25 @@ class HeifWriter:
 
     def add_image(self, annexb: bytes, rotation: int = 0,
                   mirror: Optional[int] = None,
-                  clean_aperture=None) -> int:
+                  clean_aperture=None, colr=None,
+                  mastering_display=None, content_light=None) -> int:
         """Add one still image from an annexb HEVC IDR access unit.
         rotation (CCW degrees, multiple of 90), mirror (0 = left-right,
         1 = top-bottom) and clean_aperture ((w,h,x,y) or the full 8
-        num/den ints) attach transformative properties.  Returns the
-        1-based item id."""
+        num/den ints) attach transformative properties.
+
+        colr: (primaries, transfer, matrix, full_range) CICP ints or a
+        preset name ('bt709'/'bt601'/'bt2020'/'pq'/'hlg') -> 'colr'
+        nclx; mastering_display: 24-byte SEI-layout tuple
+        ((gx,gy),(bx,by),(rx,ry),(wx,wy),max_lum,min_lum) -> 'mdcv';
+        content_light: (max_cll, max_fall) -> 'clli' — the HDR static
+        metadata boxes phone HEICs / MIAF carry.  A 'pixi' (8,8,8) is
+        always written (MIAF requirement).  Returns the 1-based id."""
         rec, data, w, h = _parse_still_annexb(annexb)
         base = [(b"hvcC", rec, True),
-                (b"ispe", struct.pack(">III", 0, w, h), False)]
+                (b"ispe", struct.pack(">III", 0, w, h), False),
+                (b"pixi", struct.pack(">IB3B", 0, 3, 8, 8, 8), False)]
+        base += _color_props(colr, mastering_display, content_light)
         self._items.append(_WItem(
             b"hvc1", data, base + _transform_props(rotation, mirror,
                                                    clean_aperture),
@@ -519,6 +567,34 @@ class HeifReader:
         planes, not standalone presentations."""
         return set(self.refs.get(b"auxl", {}).keys())
 
+    def color_info(self, item_id: Optional[int] = None) -> dict:
+        """Colour / HDR properties of an item: any of 'colr' (CICP
+        tuple or ('prof', icc_bytes)), 'pixi' (bits per channel),
+        'mastering_display' (hevc.MasteringDisplay), and
+        'content_light_level' (hevc.ContentLightLevel)."""
+        if item_id is None:
+            item_id = self.primary
+        out: dict = {}
+        for (t, payload, _e) in self.item_props.get(item_id, []):
+            if t == b"colr" and len(payload) >= 4:
+                kind = payload[:4]
+                if kind == b"nclx" and len(payload) >= 11:
+                    p, tr, m = struct.unpack(">HHH", payload[4:10])
+                    out["colr"] = (p, tr, m, 1 if payload[10] & 0x80
+                                   else 0)
+                elif kind in (b"prof", b"rICC"):
+                    out["colr"] = ("prof", payload[4:])
+            elif t == b"pixi" and len(payload) >= 5:
+                n = payload[4]
+                out["pixi"] = tuple(payload[5:5 + n])
+            elif t == b"mdcv" and len(payload) >= 24:
+                out["mastering_display"] = \
+                    hevc.parse_mastering_display(payload)
+            elif t == b"clli" and len(payload) >= 4:
+                out["content_light_level"] = \
+                    hevc.parse_content_light_level(payload)
+        return out
+
 
 def apply_transforms(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      transforms) -> tuple:
@@ -565,7 +641,8 @@ def encode_still(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                  crf: float = 20.0, lossless: bool = False,
                  rotation: int = 0, mirror: Optional[int] = None,
                  clean_aperture=None, exif: Optional[bytes] = None,
-                 alpha: Optional[np.ndarray] = None) -> bytes:
+                 alpha: Optional[np.ndarray] = None, colr=None,
+                 mastering_display=None, content_light=None) -> bytes:
     """One I420 frame -> .heic bytes (libx265 stillImage mode; the NVENC
     stillImage config analog, NvEncLiteUnbuffered.cpp:75-77).
 
@@ -577,7 +654,9 @@ def encode_still(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     wtr = HeifWriter()
     iid = wtr.add_image(_encode_one_annexb(y, u, v, crf, lossless),
                         rotation=rotation, mirror=mirror,
-                        clean_aperture=clean_aperture)
+                        clean_aperture=clean_aperture, colr=colr,
+                        mastering_display=mastering_display,
+                        content_light=content_light)
     if exif is not None:
         wtr.add_exif(exif, iid)
     if alpha is not None:

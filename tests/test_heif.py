@@ -511,3 +511,30 @@ def test_heif_transform_validation():
     blob = heif.encode_still(y, u, v, clean_aperture=(100, 100, 0, 0))
     with pytest.raises(IOError):
         heif.decode_still(blob)
+
+
+def test_heif_color_and_hdr_properties():
+    """pixi (MIAF-required, always written), colr nclx presets, and the
+    mdcv/clli static-HDR boxes roundtrip through writer and reader."""
+    y, u, v = synth(64, 64)
+    md = ((13250, 34500), (7500, 3000), (34000, 16000), (15635, 16450),
+          10000000, 1)
+    blob = heif.encode_still(y, u, v, crf=18.0, colr="pq",
+                             mastering_display=md,
+                             content_light=(1000, 400))
+    info = heif.HeifReader(blob).color_info()
+    assert info["pixi"] == (8, 8, 8)
+    assert info["colr"] == heif.COLR_PRESETS["pq"]
+    m = info["mastering_display"]
+    assert m.primaries == ((13250, 34500), (7500, 3000), (34000, 16000))
+    assert m.max_nits == 1000.0 and m.min_luminance == 1
+    c = info["content_light_level"]
+    assert (c.max_cll, c.max_fall) == (1000, 400)
+    # explicit CICP tuple + default: pixi only
+    blob2 = heif.encode_still(y, u, v, crf=18.0, colr=(9, 16, 9, 1))
+    assert heif.HeifReader(blob2).color_info()["colr"] == (9, 16, 9, 1)
+    plain = heif.HeifReader(heif.encode_still(y, u, v, crf=18.0))
+    info3 = plain.color_info()
+    assert info3 == {"pixi": (8, 8, 8)}
+    with pytest.raises(ValueError):
+        heif.encode_still(y, u, v, colr="bt2077")
