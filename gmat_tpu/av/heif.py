@@ -1305,26 +1305,48 @@ class HeifSequenceReader:
         for c, v in ctts_runs:
             offs += [v] * c
         offs = (offs + [0] * n)[:n]
-        # Edit list -> presentation shift (ISO 14496-12 8.6.6): leading
-        # empty edits (media_time == -1, duration in MOVIE timescale)
-        # delay the presentation; the first media edit's media_time is
-        # where playback enters the track.  shift = empty_delay - entry
-        # point, applied uniformly.  Rate-changing entries past the entry
-        # point are exposed via self.edits for callers but don't remap
-        # the per-sample grid (players dwell/skip; sample times don't
-        # move).
-        shift = 0
-        for sd, mt, _rate in self.edits:
-            if mt < 0:                    # empty edit: movie-ts ticks
-                if movie_timescale and media_timescale:
-                    shift += round(sd * media_timescale / movie_timescale)
-                else:
-                    shift += sd
-            else:
-                shift -= mt
-                break
-        self.sample_pts = [d_ + o + shift
-                           for d_, o in zip(self.sample_dts, offs)]
+        # Edit list -> presentation mapping (ISO 14496-12 8.6.6).
+        # Leading empty edits (media_time == -1, duration in MOVIE
+        # timescale) delay the presentation.  Each media edit presents
+        # the media span starting at its media_time, with `rate` media
+        # units elapsing per presentation unit — so a sample at media
+        # composition time m presents at
+        #   pres_start + (m - media_time) / rate
+        # through the FIRST edit whose media span contains m (rate 0 =
+        # dwell: the span pins to pres_start).  Samples before the
+        # first entry point or past the last span extrapolate from the
+        # nearest edit, which reduces to the classic uniform shift for
+        # the common single-media-edit form.
+        mts = media_timescale or 1
+        mvs = movie_timescale or mts
+        raw_pts = [d_ + o for d_, o in zip(self.sample_dts, offs)]
+        segs = []          # (media_start, media_end|None, rate, pres0)
+        pres = 0
+        for sd, mt, rate in self.edits:
+            sd_media = round(sd * mts / mvs)
+            if mt < 0:                    # empty edit
+                pres += sd_media
+                continue
+            end = mt + round(sd_media * rate) if sd else None
+            segs.append((mt, end, rate, pres))
+            pres += sd_media
+        if not segs:
+            self.sample_pts = raw_pts
+        else:
+            def present(m):
+                seg = None
+                for s in segs:
+                    if m >= s[0] and (s[1] is None or m < s[1]):
+                        seg = s
+                        break
+                if seg is None:
+                    before = [s for s in segs if m >= s[0]]
+                    seg = before[-1] if before else segs[0]
+                ms, _me, rate, p0 = seg
+                if rate == 0:
+                    return p0             # dwell
+                return p0 + round((m - ms) / rate)
+            self.sample_pts = [present(m) for m in raw_pts]
 
     def display_order(self) -> List[int]:
         """Sample indices sorted by composition time — the order a

@@ -538,3 +538,29 @@ def test_heif_color_and_hdr_properties():
     assert info3 == {"pixi": (8, 8, 8)}
     with pytest.raises(ValueError):
         heif.encode_still(y, u, v, colr="bt2077")
+
+
+def test_heif_sequence_rate_entry_remaps_pts():
+    """A media edit with rate r presents media r-times faster: sample
+    pts map through pres = (m - media_time) / rate (ISO 14496-12
+    8.6.6).  rate 0 dwells (every sample pinned to the edit start)."""
+    import struct as _s
+    frames = _indexed_frames(8)
+    blob = heif.encode_sequence(frames, fps=30, crf=12.0, gop=8, bf=2)
+    r0 = heif.HeifSequenceReader(blob)
+    i = blob.find(b"elst")
+    assert i > 0 and _s.unpack(">I", blob[i + 8:i + 12])[0] == 1
+    # entry = sd(4) mt(4) rate(2.2) at i+12; overwrite rate in place
+    for rate_i, expect in [
+            (2, [round(p / 2) for p in r0.sample_pts]),
+            (0, [0] * len(r0.sample_pts))]:
+        out = bytearray(blob)
+        out[i + 20:i + 24] = _s.pack(">hH", rate_i, 0)
+        r1 = heif.HeifSequenceReader(bytes(out))
+        assert r1.edits[0][2] == float(rate_i)
+        assert r1.sample_pts == expect, (rate_i, r1.sample_pts, expect)
+    # display order survives a uniform speed change
+    out = bytearray(blob)
+    out[i + 20:i + 24] = _s.pack(">hH", 2, 0)
+    decoded = heif.decode_sequence(bytes(out))
+    assert [_fidx(y) for (y, _, _) in decoded] == list(range(8))
