@@ -208,6 +208,21 @@ class HeifWriter:
             hidden=True, refs=[(b"auxl", [to_item])]))
         return len(self._items)
 
+    def add_thumbnail(self, annexb: bytes,
+                      to_item: Optional[int] = None) -> int:
+        """Attach a thumbnail image (its own HEVC still + a 'thmb'
+        reference to the master — the phone-HEIC layout)."""
+        if to_item is None:
+            to_item = self._last_image_id()
+        rec, data, w, h = _parse_still_annexb(annexb)
+        props = [(b"hvcC", rec, True),
+                 (b"ispe", struct.pack(">III", 0, w, h), False),
+                 (b"pixi", struct.pack(">IB3B", 0, 3, 8, 8, 8), False)]
+        self._items.append(_WItem(
+            b"hvc1", data, props, hvcc=rec, width=w, height=h,
+            refs=[(b"thmb", [to_item])]))
+        return len(self._items)
+
     def _last_image_id(self) -> int:
         for i in range(len(self._items), 0, -1):
             it = self._items[i - 1]
@@ -567,6 +582,17 @@ class HeifReader:
         planes, not standalone presentations."""
         return set(self.refs.get(b"auxl", {}).keys())
 
+    def thumbnail_item(self, item_id: Optional[int] = None) \
+            -> Optional[HeifItem]:
+        """The thumbnail image ('thmb' reference) for `item_id`
+        (default: primary), or None."""
+        if item_id is None:
+            item_id = self.primary
+        for it in self.items:
+            if item_id in self.refs.get(b"thmb", {}).get(it.item_id, []):
+                return it
+        return None
+
     def color_info(self, item_id: Optional[int] = None) -> dict:
         """Colour / HDR properties of an item: any of 'colr' (CICP
         tuple or ('prof', icc_bytes)), 'pixi' (bits per channel),
@@ -642,21 +668,36 @@ def encode_still(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                  rotation: int = 0, mirror: Optional[int] = None,
                  clean_aperture=None, exif: Optional[bytes] = None,
                  alpha: Optional[np.ndarray] = None, colr=None,
-                 mastering_display=None, content_light=None) -> bytes:
+                 mastering_display=None, content_light=None,
+                 thumbnail=None) -> bytes:
     """One I420 frame -> .heic bytes (libx265 stillImage mode; the NVENC
     stillImage config analog, NvEncLiteUnbuffered.cpp:75-77).
 
     rotation/mirror/clean_aperture write irot/imir/clap transformative
     properties (applied by readers at display); exif attaches an Exif
     metadata item; alpha (HxW u8 plane) attaches an HEVC-coded alpha
-    auxiliary image — the property/metadata boxes the reference's Nokia
-    heif backend provides around NvHeifWriter."""
+    auxiliary image; thumbnail=True (longest edge 256) or (w, h)
+    attaches a 'thmb'-linked thumbnail item — the property/metadata
+    boxes the reference's Nokia heif backend provides around
+    NvHeifWriter."""
     wtr = HeifWriter()
     iid = wtr.add_image(_encode_one_annexb(y, u, v, crf, lossless),
                         rotation=rotation, mirror=mirror,
                         clean_aperture=clean_aperture, colr=colr,
                         mastering_display=mastering_display,
                         content_light=content_light)
+    if thumbnail:
+        if thumbnail is True:
+            # longest edge 256, aspect kept, even dims (420 thumbnail)
+            s = 256 / max(y.shape)
+            tw = max(2, int(y.shape[1] * min(s, 1.0)) & ~1)
+            th = max(2, int(y.shape[0] * min(s, 1.0)) & ~1)
+        else:
+            tw, th = (int(thumbnail[0]) & ~1, int(thumbnail[1]) & ~1)
+        ty, tu, tv = (_nearest_scale(p, th_, tw_) for p, th_, tw_ in
+                      ((y, th, tw), (u, (th + 1) // 2, (tw + 1) // 2),
+                       (v, (th + 1) // 2, (tw + 1) // 2)))
+        wtr.add_thumbnail(_encode_one_annexb(ty, tu, tv, crf), iid)
     if exif is not None:
         wtr.add_exif(exif, iid)
     if alpha is not None:
@@ -735,6 +776,30 @@ def decode_stills(blobs, workers: int = 0) -> List[tuple]:
         return [decode_still(b) for b in blobs]
     with ThreadPoolExecutor(nw) as pool:
         return list(pool.map(decode_still, blobs))
+
+
+def _nearest_scale(p: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Host-side nearest-sample downscale for thumbnail generation
+    (quality is uncritical at thumbnail sizes; keeps heif.py jax-free —
+    callers wanting filtered scaling pass their own planes through
+    ops.resize first)."""
+    h, w = p.shape
+    ri = np.minimum((np.arange(th) * h) // th, h - 1)
+    ci = np.minimum((np.arange(tw) * w) // tw, w - 1)
+    return np.ascontiguousarray(p[np.ix_(ri, ci)])
+
+
+def decode_thumbnail(data, index: Optional[int] = None):
+    """.heic bytes/path -> the thumbnail's (y, u, v) planes, or None if
+    the file carries no 'thmb' item for that image."""
+    rdr = HeifReader(data)
+    item = rdr.read_image(index)
+    t = rdr.thumbnail_item(item.item_id)
+    if t is None:
+        return None
+    yuv = _decode_hvc1(t)
+    tr = t.transforms or item.transforms
+    return apply_transforms(*yuv, tr) if tr else yuv
 
 
 def _decode_hvc1(item: HeifItem):
@@ -984,12 +1049,12 @@ def decode_all(data):
     out = []
     dec = None
     dims = None
-    aux_ids = rdr.aux_item_ids()
+    skip_ids = rdr.aux_item_ids() | set(rdr.refs.get(b"thmb", {}))
     for item in rdr.items:
         if rdr.item_types.get(item.item_id, b"hvc1") != b"hvc1":
             continue               # grid descriptors etc. are not AUs
-        if item.item_id in aux_ids:
-            continue               # alpha/aux planes are not presentations
+        if item.item_id in skip_ids:
+            continue       # alpha/thumbnail items are not presentations
         if dec is None or (item.width, item.height) != dims:
             if dec is not None:
                 dec.close()

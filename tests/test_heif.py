@@ -564,3 +564,29 @@ def test_heif_sequence_rate_entry_remaps_pts():
     out[i + 20:i + 24] = _s.pack(">hH", 2, 0)
     decoded = heif.decode_sequence(bytes(out))
     assert [_fidx(y) for (y, _, _) in decoded] == list(range(8))
+
+
+def test_heif_thumbnail_item():
+    h, w = 128, 192
+    y, u, v = synth(h, w, seed=5)
+    blob = heif.encode_still(y, u, v, crf=18.0, thumbnail=True)
+    rdr = heif.HeifReader(blob)
+    t = rdr.thumbnail_item()
+    assert t is not None
+    # longest edge 256 -> no upscale: thumbnail keeps source dims here;
+    # explicit size requested next
+    thumb = heif.decode_thumbnail(blob)
+    assert thumb is not None and thumb[0].shape == (t.height, t.width)
+    blob2 = heif.encode_still(y, u, v, crf=18.0, thumbnail=(96, 64))
+    t2 = heif.HeifReader(blob2).thumbnail_item()
+    assert (t2.width, t2.height) == (96, 64)
+    ty, tu, tv = heif.decode_thumbnail(blob2)
+    assert ty.shape == (64, 96) and tu.shape == (32, 48)
+    # content tracks the master (nearest downscale + lossy encode)
+    ref = y[:: h // 64, :: w // 96][:64, :96]
+    assert np.abs(ty.astype(int) - ref.astype(int)).mean() < 8.0
+    # thumbnails stay out of decode_all / plain decode
+    assert len(heif.decode_all(blob2)) == 1
+    assert heif.decode_still(blob2)[0].shape == (h, w)
+    assert heif.decode_thumbnail(
+        heif.encode_still(y, u, v, crf=18.0)) is None
