@@ -80,6 +80,27 @@ def main():
     print("4) pretrained SR x2: /tmp/gmat_quickstart_lr.png -> "
           "/tmp/gmat_quickstart_sr2x.png")
 
+    # 5. HEIF with the phone-HEIC surface: rotation applied on decode,
+    # Exif + alpha + thumbnail items, HDR static metadata
+    from gmat_tpu.av import heif
+    y8 = (np.clip(np.asarray(lr[0, 0]) * 255, 0, 255)).astype(np.uint8)
+    h2, w2 = y8.shape
+    u8 = np.full(((h2 + 1) // 2, (w2 + 1) // 2), 110, np.uint8)
+    v8 = np.full_like(u8, 140)
+    alpha = np.zeros_like(y8)
+    alpha[h2 // 4: 3 * h2 // 4, w2 // 4: 3 * w2 // 4] = 255
+    blob = heif.encode_still(
+        y8, u8, v8, crf=20.0, rotation=90, exif=b"II*\x00\x08\0\0\0",
+        alpha=alpha, thumbnail=True, colr="bt709",
+        content_light=(1000, 400))
+    yd, ud, vd, ad = heif.decode_still(blob, with_alpha=True)
+    info = heif.HeifReader(blob).color_info()
+    open("/tmp/gmat_quickstart.heic", "wb").write(blob)
+    print(f"5) HEIC {w2}x{h2} -> displayed {yd.shape[1]}x{yd.shape[0]} "
+          f"(irot applied), alpha={ad is not None}, "
+          f"thumb={heif.decode_thumbnail(blob) is not None}, "
+          f"colr={info.get('colr')} -> /tmp/gmat_quickstart.heic")
+
 
 if __name__ == "__main__":
     main()
