@@ -267,11 +267,13 @@ def main(argv=None):
     elif args.output.endswith(".y4m"):
         sink = "y4m"
     elif "%d" in args.output or args.output.endswith(
-            (".jpg", ".jpeg", ".png")):
+            (".jpg", ".jpeg", ".png", ".heic")):
         # .png is the depth-faithful still sink: 16-bit samples for
         # high-depth/float RGB graph outputs (ffmpeg png/rgb48be analog);
-        # .jpg stays the 8-bit lane
-        sink = "png" if args.output.endswith(".png") else "jpeg"
+        # .jpg stays the 8-bit lane; .heic writes HEVC stills (the
+        # NvHeifWriter app lane — crf from -crf, default 22)
+        sink = ("png" if args.output.endswith(".png")
+                else "heic" if args.output.endswith(".heic") else "jpeg")
         if "%d" in args.output:
             jpeg_pattern = args.output
         else:
@@ -410,6 +412,18 @@ def main(argv=None):
             write_png(path, rgb_host[i])
             out_count += 1
 
+    def emit_heic(fb_host, keep_idx):
+        nonlocal out_count
+        from ..av import heif
+        crf = args.crf if args.crf >= 0 else 22.0
+        for i in keep_idx:
+            path = jpeg_pattern % out_count
+            blob = heif.encode_still(fb_host["y"][i], fb_host["u"][i],
+                                     fb_host["v"][i], crf=crf)
+            with open(path, "wb") as f:
+                f.write(blob)
+            out_count += 1
+
     def emit_y4m(fb_host, keep_idx, bits=8):
         nonlocal out_count, y4m_writer
         from ..av.rawvideo import Y4MWriter
@@ -468,6 +482,11 @@ def main(argv=None):
             rgb_fb = out_fb if out_fb.format == "rgb24" else csc.convert(
                 out_fb, "rgb24")
             emit_jpeg(np.asarray(rgb_fb.planes["rgb"]), keep_idx)
+        elif sink == "heic":
+            if out_fb.format != "yuv420p":
+                out_fb = csc.convert(out_fb, "yuv420p")
+            emit_heic({k: np.asarray(v)
+                       for k, v in out_fb.planes.items()}, keep_idx)
         elif sink == "png":
             # depth-faithful: >8-bit and float pipelines land as 16-bit
             # PNG samples instead of quantizing to 8

@@ -625,3 +625,19 @@ def test_cli_hwaccel_tpu_mjpeg_decode(clip, tmp_path):
     assert len(fa) == len(fb_) == 6
     for x, y in zip(fa, fb_):
         assert np.abs(x[0].astype(int) - y[0].astype(int)).max() <= 2
+
+
+def test_cli_heic_still_sink(clip, tmp_path):
+    # .heic output: graph frames -> HEVC stills (NvHeifWriter app lane)
+    import numpy as np
+    from gmat_tpu.apps.cli import main
+    from gmat_tpu.av import heif
+    pat = str(tmp_path / "out_%d.heic")
+    rc = main(["-i", clip, "-vf", "scale=96:64", "-o", pat,
+               "-frames", "3", "-batch", "3", "-crf", "18"])
+    assert rc == 0
+    import os
+    for i in range(3):
+        y, u, v = heif.decode_still(pat % i)
+        assert y.shape == (64, 96) and u.shape == (32, 48)
+    assert not os.path.exists(pat % 3)
