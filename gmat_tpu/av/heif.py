@@ -83,9 +83,13 @@ def _color_props(colr, mastering_display,
             except KeyError:
                 raise ValueError(f"unknown colr preset {colr!r} "
                                  f"(known: {sorted(COLR_PRESETS)})")
-        p, t, m, fr = (int(v) for v in colr)
-        props.append((b"colr", b"nclx" + struct.pack(
-            ">HHHB", p, t, m, 0x80 if fr else 0), False))
+        if len(colr) == 2 and colr[0] == "prof":
+            # restricted ICC profile form
+            props.append((b"colr", b"prof" + bytes(colr[1]), False))
+        else:
+            p, t, m, fr = (int(v) for v in colr)
+            props.append((b"colr", b"nclx" + struct.pack(
+                ">HHHB", p, t, m, 0x80 if fr else 0), False))
     if mastering_display is not None:
         (gx, gy), (bx, by), (rx, ry), (wx, wy), mx, mn = mastering_display
         props.append((b"mdcv", struct.pack(
@@ -921,13 +925,24 @@ def _decode_grid(rdr: "HeifReader", grid: HeifItem):
 
 
 def write_grid(tile_annexbs: List[bytes], rows: int, cols: int,
-               out_w: int, out_h: int) -> bytes:
+               out_w: int, out_h: int, rotation: int = 0,
+               mirror: Optional[int] = None, clean_aperture=None,
+               colr=None, mastering_display=None,
+               content_light=None) -> bytes:
     """Tile HEVC stills (row-major, uniform coded size) -> one .heic
     whose primary item is a 'grid' derived image (ISO 23008-12 6.6.2.3;
-    the layout real-world phone HEICs use for large images)."""
+    the layout real-world phone HEICs use for large images).
+
+    rotation/mirror/clean_aperture and the colour/HDR properties attach
+    to the GRID item (applied to the assembled canvas on decode)."""
     if len(tile_annexbs) != rows * cols:
         raise ValueError(f"need {rows * cols} tiles, got "
                          f"{len(tile_annexbs)}")
+    grid_extra = (_transform_props(rotation, mirror, clean_aperture)
+                  + _color_props(colr, mastering_display, content_light))
+    if 2 * len(tile_annexbs) + 1 + len(grid_extra) > 127:
+        raise ValueError("grid property associations exceed the 7-bit "
+                         "ipma index space; use fewer tiles")
     if len(tile_annexbs) > 62:
         raise ValueError("grid limited to 62 tiles (7-bit ipma indices)")
     # (hvcc, lp_data, w, h) per tile
@@ -961,7 +976,11 @@ def write_grid(tile_annexbs: List[bytes], rows: int, cols: int,
         assoc += struct.pack(">HB", i, 2)
         assoc += bytes([0x80 | (2 * i - 1), 2 * i])
     props += _full(b"ispe", 0, 0, struct.pack(">II", out_w, out_h))
-    assoc += struct.pack(">HB", gid, 1) + bytes([2 * n + 1])
+    gidx = [2 * n + 1]
+    for (t, payload, ess) in grid_extra:
+        props += _box(t, payload)
+        gidx.append((0x80 if ess else 0) | (2 * n + 1 + len(gidx)))
+    assoc += struct.pack(">HB", gid, len(gidx)) + bytes(gidx)
     ipco = _box(b"ipco", props)
     ipma = _full(b"ipma", 0, 0, struct.pack(">I", n + 1) + assoc)
     iprp = _box(b"iprp", ipco + ipma)
@@ -992,7 +1011,7 @@ def write_grid(tile_annexbs: List[bytes], rows: int, cols: int,
 
 def encode_still_grid(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                       tile: int = 512, crf: float = 20.0,
-                      workers: int = 0) -> bytes:
+                      workers: int = 0, **grid_props) -> bytes:
     """Large I420 still -> tiled 'grid' .heic: edge tiles are padded to
     the uniform coded tile size (the declared output dims crop them
     back), tiles encode in parallel across host threads."""
@@ -1038,7 +1057,7 @@ def encode_still_grid(y: np.ndarray, u: np.ndarray, v: np.ndarray,
             abs_ = list(pool.map(
                 lambda rc: _encode_one_annexb(*tile_planes(*rc), crf),
                 coords))
-    return write_grid(abs_, rows, cols, w, h)
+    return write_grid(abs_, rows, cols, w, h, **grid_props)
 
 
 def decode_all(data):

@@ -590,3 +590,66 @@ def test_heif_thumbnail_item():
     assert heif.decode_still(blob2)[0].shape == (h, w)
     assert heif.decode_thumbnail(
         heif.encode_still(y, u, v, crf=18.0)) is None
+
+
+def test_heif_grid_transforms_and_props():
+    """Transform + colour properties on the GRID item apply to the
+    assembled canvas (decode_still runs them after tiling)."""
+    h, w = 96, 160
+    rng = np.random.default_rng(11)
+    y = rng.integers(16, 236, (h, w), dtype=np.uint8)
+    u = np.full((h // 2, w // 2), 100, np.uint8)
+    v = np.full((h // 2, w // 2), 150, np.uint8)
+    blob = heif.encode_still_grid(y, u, v, tile=64, crf=16.0,
+                                  rotation=180, colr="bt709",
+                                  content_light=(600, 200))
+    rdr = heif.HeifReader(blob)
+    gitem = rdr.read_image()
+    assert rdr.item_types[gitem.item_id] == b"grid"
+    assert gitem.transforms == [("irot", 2)]
+    info = rdr.color_info(gitem.item_id)
+    assert info["colr"] == heif.COLR_PRESETS["bt709"]
+    assert info["content_light_level"].max_cll == 600
+    yd, ud, vd = heif.decode_still(blob)
+    y0, u0, v0 = heif.decode_still(blob, apply=False)
+    np.testing.assert_array_equal(yd, np.rot90(y0, 2))
+    np.testing.assert_array_equal(ud, np.rot90(u0, 2))
+
+
+def test_heif_icc_profile_colr():
+    y, u, v = synth(64, 64)
+    icc = b"\x00\x00\x02\x00fakeICCprofiledata" * 4
+    blob = heif.encode_still(y, u, v, crf=18.0, colr=("prof", icc))
+    info = heif.HeifReader(blob).color_info()
+    assert info["colr"] == ("prof", icc)
+
+
+def test_heif_property_rich_mutation_fuzz():
+    # byte mutations over a property-rich file must never hang or
+    # crash the parser — clean errors or tolerated parses only
+    import random
+    import struct
+    y, u, v = synth(48, 48)
+    alpha = np.full((48, 48), 200, np.uint8)
+    blob = heif.encode_still(y, u, v, crf=22.0, rotation=90, mirror=1,
+                             exif=b"II*\x00" + bytes(12), alpha=alpha,
+                             thumbnail=(24, 24), colr="pq",
+                             mastering_display=((1, 2), (3, 4), (5, 6),
+                                                (7, 8), 1000, 1),
+                             content_light=(10, 5))
+    rng = random.Random(0)
+    meta_end = blob.find(b"mdat")
+    for _ in range(300):
+        b = bytearray(blob)
+        for _k in range(rng.randint(1, 4)):
+            b[rng.randrange(8, meta_end)] = rng.randrange(256)
+        try:
+            r = heif.HeifReader(bytes(b))
+            r.color_info()
+            r.exif()
+            r.alpha_item()
+            r.thumbnail_item()
+            for it in r.items[:2]:
+                it.to_annexb()
+        except (IOError, ValueError, struct.error, IndexError):
+            pass
