@@ -239,7 +239,9 @@ class HeifWriter:
         n = len(self._items)
         hdlr = _full(b"hdlr", 0, 0,
                      b"\0\0\0\0" + b"pict" + b"\0" * 12 + b"gmat\0")
-        pitm = _full(b"pitm", 0, 0, struct.pack(">H", 1))
+        primary = next((i for i, it in enumerate(self._items, start=1)
+                        if it.item_type == b"hvc1" and not it.hidden), 1)
+        pitm = _full(b"pitm", 0, 0, struct.pack(">H", primary))
         iloc_items = b""
         for i, (it, off) in enumerate(zip(self._items, mdat_offsets),
                                       start=1):
