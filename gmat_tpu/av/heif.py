@@ -608,24 +608,28 @@ class HeifReader:
             item_id = self.primary
         out: dict = {}
         for (t, payload, _e) in self.item_props.get(item_id, []):
-            if t == b"colr" and len(payload) >= 4:
-                kind = payload[:4]
-                if kind == b"nclx" and len(payload) >= 11:
-                    p, tr, m = struct.unpack(">HHH", payload[4:10])
-                    out["colr"] = (p, tr, m, 1 if payload[10] & 0x80
-                                   else 0)
-                elif kind in (b"prof", b"rICC"):
-                    out["colr"] = ("prof", payload[4:])
-            elif t == b"pixi" and len(payload) >= 5:
-                n = payload[4]
-                out["pixi"] = tuple(payload[5:5 + n])
-            elif t == b"mdcv" and len(payload) >= 24:
-                out["mastering_display"] = \
-                    hevc.parse_mastering_display(payload)
-            elif t == b"clli" and len(payload) >= 4:
-                out["content_light_level"] = \
-                    hevc.parse_content_light_level(payload)
+            _collect_color_box(t, payload, out)
         return out
+
+
+def _collect_color_box(t: bytes, payload: bytes, out: dict) -> None:
+    """Accumulate one colr/pixi/mdcv/clli box into `out` (shared by the
+    still-item property walk and the sequence sample-entry walk)."""
+    if t == b"colr" and len(payload) >= 4:
+        kind = payload[:4]
+        if kind == b"nclx" and len(payload) >= 11:
+            p, tr, m = struct.unpack(">HHH", payload[4:10])
+            out["colr"] = (p, tr, m, 1 if payload[10] & 0x80 else 0)
+        elif kind in (b"prof", b"rICC"):
+            out["colr"] = ("prof", payload[4:])
+    elif t == b"pixi" and len(payload) >= 5:
+        n = payload[4]
+        out["pixi"] = tuple(payload[5:5 + n])
+    elif t == b"mdcv" and len(payload) >= 24:
+        out["mastering_display"] = hevc.parse_mastering_display(payload)
+    elif t == b"clli" and len(payload) >= 4:
+        out["content_light_level"] = \
+            hevc.parse_content_light_level(payload)
 
 
 def apply_transforms(y: np.ndarray, u: np.ndarray, v: np.ndarray,
@@ -1103,7 +1107,8 @@ def _u32(v): return struct.pack(">I", v)
 def _u16(v): return struct.pack(">H", v)
 
 
-def _hvc1_sample_entry(w: int, h: int, hvcc: bytes) -> bytes:
+def _hvc1_sample_entry(w: int, h: int, hvcc: bytes,
+                       extra_boxes: bytes = b"") -> bytes:
     e = bytearray()
     e += b"\0" * 6 + _u16(1)                  # reserved + data_ref_index
     e += b"\0" * 16                           # predefined/reserved
@@ -1114,6 +1119,7 @@ def _hvc1_sample_entry(w: int, h: int, hvcc: bytes) -> bytes:
     e += b"\0" * 32                           # compressor name
     e += _u16(0x18) + struct.pack(">h", -1)
     e += _box(b"hvcC", hvcc)
+    e += extra_boxes                          # colr/mdcv/clli children
     return _box(b"hvc1", bytes(e))
 
 
@@ -1121,12 +1127,18 @@ class HeifSequenceWriter:
     """HEVC access units -> 'msf1' HEIF image sequence (one video track,
     handler 'pict')."""
 
-    def __init__(self, fps: int = 30, presentation_delay: int = 0):
+    def __init__(self, fps: int = 30, presentation_delay: int = 0,
+                 colr=None, mastering_display=None, content_light=None):
         self.fps = fps
         # >0 delays the whole presentation by that many media ticks via a
         # leading empty edit (elst media_time == -1), the multi-entry form
         # players use for A/V start-offset alignment
         self.presentation_delay = int(presentation_delay)
+        # colour + static-HDR boxes ride the hvc1 sample entry (the mov
+        # convention; same payloads as the still writer's properties)
+        self.color_boxes = b"".join(
+            _box(t, payload) for (t, payload, _e) in
+            _color_props(colr, mastering_display, content_light))
         self.samples: List[bytes] = []
         self.sync: List[int] = []
         self.pts: List[Optional[int]] = []   # composition time (ticks)
@@ -1219,7 +1231,8 @@ class HeifSequenceWriter:
                      b"\0\0\0\0" + b"pict" + b"\0" * 12 + b"gmat seq\0")
         stsd = _full(b"stsd", 0, 0,
                      _u32(1) + _hvc1_sample_entry(self.width, self.height,
-                                                  self.hvcc))
+                                                  self.hvcc,
+                                                  self.color_boxes))
         sruns = self._runlen(durs)
         stts = _full(b"stts", 0, 0, _u32(len(sruns)) +
                      b"".join(_u32(c) + _u32(v) for c, v in sruns))
@@ -1292,6 +1305,7 @@ class HeifSequenceReader:
         self.data = d
         self.hvcc = b""
         self.width = self.height = 0
+        self.color_info = {}       # colr/mdcv/clli from the sample entry
         sizes, chunk_off = [], 0
         stts_runs, ctts_runs = [], []
         # (segment_duration[movie ts], media_time[media ts], rate) per
@@ -1345,6 +1359,9 @@ class HeifSequenceReader:
                         for t3, s3, e3 in _iter_boxes(d, s2 + 8 + 8 + 78, e2):
                             if t3 == b"hvcC":
                                 self.hvcc = d[s3:e3]
+                            else:
+                                _collect_color_box(t3, d[s3:e3],
+                                                   self.color_info)
                 elif typ == b"stsz":
                     body = d[s2 + 4:e2]
                     cnt = struct.unpack(">I", body[4:8])[0]

@@ -653,3 +653,34 @@ def test_heif_property_rich_mutation_fuzz():
                 it.to_annexb()
         except (IOError, ValueError, struct.error, IndexError):
             pass
+
+
+def test_heif_sequence_hdr_sample_entry():
+    frames = [synth(64, 64, seed=i) for i in range(4)]
+    enc = tk.Encoder("libx265", 64, 64, fps=(30, 1), gop=4, crf=20.0,
+                     opts="x265-params=log-level=0")
+    wtr = heif.HeifSequenceWriter(
+        30, colr="pq", content_light=(1000, 300),
+        mastering_display=((1, 2), (3, 4), (5, 6), (7, 8), 5000000, 50))
+    pend = []
+    for i, (y, u, v) in enumerate(frames):
+        pend += enc.encode(y, u, v, pts=i)
+    pend += enc.flush()
+    extra = enc.extradata()
+    enc.close()
+    for i, p in enumerate(pend):
+        wtr.add_frame((extra if i == 0 else b"") + p.data, pts=p.pts,
+                      dts=p.dts)
+    blob = wtr.tobytes()
+    rdr = heif.HeifSequenceReader(blob)
+    assert rdr.color_info["colr"] == heif.COLR_PRESETS["pq"]
+    assert rdr.color_info["content_light_level"].max_cll == 1000
+    assert rdr.color_info["mastering_display"].max_luminance == 5000000
+    assert len(rdr.frames) == 4
+    # libavformat still demuxes the container with the extra boxes
+    dm = tk.Demuxer(bytes(blob))
+    assert len([p for p in dm if p.stream == 0]) == 4
+    dm.close()
+    # default writer: no color info
+    assert heif.HeifSequenceReader(
+        heif.encode_sequence(frames, fps=30, crf=20.0)).color_info == {}

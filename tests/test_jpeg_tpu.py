@@ -675,3 +675,35 @@ def test_mjpeg_tpu_decode_stream_rejects_other_codecs(rng, tmp_path):
     enc.close(); mux.close()
     with pytest.raises(ValueError):
         jpeg_tpu.decode_stream_tpu(path)
+
+
+def test_progressive_encode_stress_dense(rng):
+    """Noise content at quality 97: dense coefficients exercise ZRL
+    chains, long EOB runs (the 0x7FFF cap), and the buffered
+    correction-bit flush in AC refinement; PIL (libjpeg) must agree
+    with our decoder bit-exactly against the baseline stream."""
+    import io
+    from PIL import Image
+    h, w = 256, 320
+    y = rng.integers(0, 256, (h, w)).astype(np.uint8)[None]
+    u = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)[None]
+    v = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)[None]
+    fb = from_numpy_yuv420(y, u, v)
+    for q in (97, 30):
+        base = jpeg_tpu.encode_batch(fb, quality=q)
+        prog = jpeg_tpu.encode_batch(fb, quality=q, progressive=True)
+        db, dp = jpeg_tpu.decode_batch(base), jpeg_tpu.decode_batch(prog)
+        for k in db.planes:
+            np.testing.assert_array_equal(np.asarray(db.planes[k]),
+                                          np.asarray(dp.planes[k]))
+        a = np.asarray(Image.open(io.BytesIO(base[0])).convert("RGB"))
+        b = np.asarray(Image.open(io.BytesIO(prog[0])).convert("RGB"))
+        np.testing.assert_array_equal(a, b)
+    # flat content: long EOB runs across whole scans
+    flat = from_numpy_yuv420(np.full((1, 128, 128), 128, np.uint8),
+                             np.full((1, 64, 64), 128, np.uint8),
+                             np.full((1, 64, 64), 128, np.uint8))
+    pb = jpeg_tpu.encode_batch(flat, quality=90, progressive=True)
+    dd = jpeg_tpu.decode_batch(pb)
+    assert int(np.asarray(dd.planes["y"]).max()) - \
+        int(np.asarray(dd.planes["y"]).min()) == 0
