@@ -1473,7 +1473,7 @@ class HeifSequenceReader:
 
 def encode_sequence(frames, fps: int = 30, crf: float = 22.0,
                     gop: int = 30, bf: int = 0,
-                    presentation_delay: int = 0) -> bytes:
+                    presentation_delay: int = 0, **color_kwargs) -> bytes:
     """[(y,u,v), ...] -> inter-coded HEIF image sequence bytes.
 
     bf>0 enables B-frames: samples land in the container in decode
@@ -1487,7 +1487,8 @@ def encode_sequence(frames, fps: int = 30, crf: float = 22.0,
     h, w = first.shape
     enc = tk.Encoder("libx265", w, h, fps=(fps, 1), gop=gop, crf=crf,
                      bf=bf, opts="x265-params=log-level=0")
-    wtr = HeifSequenceWriter(fps, presentation_delay=presentation_delay)
+    wtr = HeifSequenceWriter(fps, presentation_delay=presentation_delay,
+                             **color_kwargs)
     pending = []
     for i, (y, u, v) in enumerate(frames):
         pending += enc.encode(y, u, v, pts=i)

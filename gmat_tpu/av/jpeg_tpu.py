@@ -16,8 +16,9 @@ faithful self-round-trip.
 from __future__ import annotations
 
 import ctypes
+import struct
 from concurrent.futures import ThreadPoolExecutor
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -342,6 +343,39 @@ def decode_batch(datas: Sequence[bytes], colorspace: str = "bt601",
     v = v[:, : h2 // 2, : w2 // 2]
     return FrameBatch({"y": y, "u": u, "v": v}, "yuv420p", w2, h2,
                       colorspace)
+
+
+def insert_exif(jpeg: bytes, exif: bytes) -> bytes:
+    """Splice an Exif APP1 segment (\"Exif\\0\\0\" + TIFF stream) right
+    after SOI/APP0 of a JPEG produced by encode_batch.  Decoders skip
+    unknown APPn segments, so the image payload is untouched."""
+    seg = b"Exif\x00\x00" + bytes(exif)
+    if len(seg) + 2 > 0xFFFF:
+        raise ValueError("Exif payload exceeds the 64KB APP1 segment")
+    app1 = b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg
+    # SOI(2) + our APP0 JFIF(2+16) = 20 bytes; fall back to after SOI
+    at = 20 if jpeg[2:4] == b"\xff\xe0" else 2
+    return jpeg[:at] + app1 + jpeg[at:]
+
+
+def exif_from_jpeg(jpeg: bytes) -> Optional[bytes]:
+    """The TIFF stream of the first Exif APP1 segment, or None."""
+    i = 2
+    n = len(jpeg)
+    while i + 4 <= n and jpeg[i] == 0xFF:
+        m = jpeg[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m in (0xDA, 0xD9):
+            break                     # entropy data / end: no more APPn
+        ln = struct.unpack(">H", jpeg[i + 2:i + 4])[0]
+        if ln < 2 or i + 2 + ln > n:
+            break
+        if m == 0xE1 and jpeg[i + 4:i + 10] == b"Exif\x00\x00":
+            return jpeg[i + 10:i + 2 + ln]
+        i += 2 + ln
+    return None
 
 
 class MjpegTpuStream:

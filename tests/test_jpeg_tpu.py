@@ -707,3 +707,30 @@ def test_progressive_encode_stress_dense(rng):
     dd = jpeg_tpu.decode_batch(pb)
     assert int(np.asarray(dd.planes["y"]).max()) - \
         int(np.asarray(dd.planes["y"]).min()) == 0
+
+
+def test_jpeg_exif_insert_and_read(rng):
+    """insert_exif splices an APP1 after SOI/APP0; exif_from_jpeg reads
+    it back; PIL sees the same Exif; pixels stay bit-identical."""
+    import io
+    from PIL import Image
+    y, u, v = smooth_yuv(rng, n=1)
+    fb = from_numpy_yuv420(y, u, v)
+    plain = jpeg_tpu.encode_batch(fb, quality=90)[0]
+    # minimal valid TIFF-LE header + one IFD with 0 entries
+    exif = (b"II*\x00\x08\x00\x00\x00" + b"\x00\x00"
+            + b"\x00\x00\x00\x00")
+    tagged = jpeg_tpu.insert_exif(plain, exif)
+    assert jpeg_tpu.exif_from_jpeg(tagged) == exif
+    assert jpeg_tpu.exif_from_jpeg(plain) is None
+    a = jpeg_tpu.decode_batch([plain])
+    b = jpeg_tpu.decode_batch([tagged])
+    for k in a.planes:
+        np.testing.assert_array_equal(np.asarray(a.planes[k]),
+                                      np.asarray(b.planes[k]))
+    pa = np.asarray(Image.open(io.BytesIO(tagged)).convert("RGB"))
+    pb = np.asarray(Image.open(io.BytesIO(plain)).convert("RGB"))
+    np.testing.assert_array_equal(pa, pb)
+    assert Image.open(io.BytesIO(tagged)).info.get("exif") is not None
+    with pytest.raises(ValueError):
+        jpeg_tpu.insert_exif(plain, b"x" * 70000)
