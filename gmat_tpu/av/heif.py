@@ -158,6 +158,7 @@ class HeifWriter:
 
     def __init__(self):
         self._items: List[_WItem] = []
+        self.primary_override: Optional[int] = None
 
     def add_image(self, annexb: bytes, rotation: int = 0,
                   mirror: Optional[int] = None,
@@ -212,6 +213,47 @@ class HeifWriter:
             hidden=True, refs=[(b"auxl", [to_item])]))
         return len(self._items)
 
+    def add_grid(self, tile_annexbs: List[bytes], rows: int, cols: int,
+                 out_w: int, out_h: int, rotation: int = 0,
+                 mirror: Optional[int] = None, clean_aperture=None,
+                 colr=None, mastering_display=None,
+                 content_light=None) -> int:
+        """Tile HEVC stills (row-major, uniform coded size) into a
+        'grid' derived image (ISO 23008-12 6.6.2.3 — the phone-HEIC
+        large-still layout): tiles become hidden items, the grid item
+        carries the descriptor + dimg references and becomes the
+        primary.  Transform/colour properties attach to the GRID item
+        (applied to the assembled canvas on decode)."""
+        if len(tile_annexbs) != rows * cols:
+            raise ValueError(f"need {rows * cols} tiles, got "
+                             f"{len(tile_annexbs)}")
+        if len(tile_annexbs) > 62:
+            raise ValueError("grid limited to 62 tiles (7-bit ipma "
+                             "indices)")
+        tile_ids = []
+        for ab in tile_annexbs:
+            rec, data, tw, th = _parse_still_annexb(ab)
+            self._items.append(_WItem(
+                b"hvc1", data,
+                [(b"hvcC", rec, True),
+                 (b"ispe", struct.pack(">III", 0, tw, th), False)],
+                hvcc=rec, width=tw, height=th, hidden=True))
+            tile_ids.append(len(self._items))
+        big = out_w > 0xFFFF or out_h > 0xFFFF
+        payload = bytes([0, 1 if big else 0, rows - 1, cols - 1]) + (
+            struct.pack(">II", out_w, out_h) if big
+            else struct.pack(">HH", out_w, out_h))
+        props = ([(b"ispe", struct.pack(">III", 0, out_w, out_h), False)]
+                 + _transform_props(rotation, mirror, clean_aperture)
+                 + _color_props(colr, mastering_display, content_light))
+        self._items.append(_WItem(b"grid", payload, props, width=out_w,
+                                  height=out_h,
+                                  refs=[(b"dimg", tile_ids)]))
+        gid = len(self._items)
+        if self.primary_override is None:
+            self.primary_override = gid
+        return gid
+
     def add_thumbnail(self, annexb: bytes,
                       to_item: Optional[int] = None) -> int:
         """Attach a thumbnail image (its own HEVC still + a 'thmb'
@@ -239,8 +281,9 @@ class HeifWriter:
         n = len(self._items)
         hdlr = _full(b"hdlr", 0, 0,
                      b"\0\0\0\0" + b"pict" + b"\0" * 12 + b"gmat\0")
-        primary = next((i for i, it in enumerate(self._items, start=1)
-                        if it.item_type == b"hvc1" and not it.hidden), 1)
+        primary = self.primary_override or next(
+            (i for i, it in enumerate(self._items, start=1)
+             if it.item_type == b"hvc1" and not it.hidden), 1)
         pitm = _full(b"pitm", 0, 0, struct.pack(">H", primary))
         iloc_items = b""
         for i, (it, off) in enumerate(zip(self._items, mdat_offsets),
@@ -931,88 +974,13 @@ def _decode_grid(rdr: "HeifReader", grid: HeifItem):
 
 
 def write_grid(tile_annexbs: List[bytes], rows: int, cols: int,
-               out_w: int, out_h: int, rotation: int = 0,
-               mirror: Optional[int] = None, clean_aperture=None,
-               colr=None, mastering_display=None,
-               content_light=None) -> bytes:
-    """Tile HEVC stills (row-major, uniform coded size) -> one .heic
-    whose primary item is a 'grid' derived image (ISO 23008-12 6.6.2.3;
-    the layout real-world phone HEICs use for large images).
-
-    rotation/mirror/clean_aperture and the colour/HDR properties attach
-    to the GRID item (applied to the assembled canvas on decode)."""
-    if len(tile_annexbs) != rows * cols:
-        raise ValueError(f"need {rows * cols} tiles, got "
-                         f"{len(tile_annexbs)}")
-    grid_extra = (_transform_props(rotation, mirror, clean_aperture)
-                  + _color_props(colr, mastering_display, content_light))
-    if 2 * len(tile_annexbs) + 1 + len(grid_extra) > 127:
-        raise ValueError("grid property associations exceed the 7-bit "
-                         "ipma index space; use fewer tiles")
-    if len(tile_annexbs) > 62:
-        raise ValueError("grid limited to 62 tiles (7-bit ipma indices)")
-    # (hvcc, lp_data, w, h) per tile
-    tiles = [_parse_still_annexb(ab) for ab in tile_annexbs]
-    n = len(tiles)
-    gid = n + 1
-    big = out_w > 0xFFFF or out_h > 0xFFFF
-    grid_payload = bytes([0, 1 if big else 0, rows - 1, cols - 1]) + (
-        struct.pack(">II", out_w, out_h) if big
-        else struct.pack(">HH", out_w, out_h))
-
-    hdlr = _full(b"hdlr", 0, 0,
-                 b"\0\0\0\0" + b"pict" + b"\0" * 12 + b"gmat\0")
-    pitm = _full(b"pitm", 0, 0, struct.pack(">H", gid))
-    infes = b""
-    for i in range(1, n + 1):
-        # flags bit0 = hidden: tiles are not standalone presentations
-        infes += _full(b"infe", 2, 1,
-                       struct.pack(">HH", i, 0) + b"hvc1" + b"\0")
-    infes += _full(b"infe", 2, 0,
-                   struct.pack(">HH", gid, 0) + b"grid" + b"\0")
-    iinf = _full(b"iinf", 0, 0, struct.pack(">H", n + 1) + infes)
-    iref = _full(b"iref", 0, 0, _box(
-        b"dimg", struct.pack(">HH", gid, n)
-        + b"".join(struct.pack(">H", i) for i in range(1, n + 1))))
-    props = b""
-    assoc = b""
-    for i, (rec, data, tw, th) in enumerate(tiles, start=1):
-        props += _box(b"hvcC", rec)
-        props += _full(b"ispe", 0, 0, struct.pack(">II", tw, th))
-        assoc += struct.pack(">HB", i, 2)
-        assoc += bytes([0x80 | (2 * i - 1), 2 * i])
-    props += _full(b"ispe", 0, 0, struct.pack(">II", out_w, out_h))
-    gidx = [2 * n + 1]
-    for (t, payload, ess) in grid_extra:
-        props += _box(t, payload)
-        gidx.append((0x80 if ess else 0) | (2 * n + 1 + len(gidx)))
-    assoc += struct.pack(">HB", gid, len(gidx)) + bytes(gidx)
-    ipco = _box(b"ipco", props)
-    ipma = _full(b"ipma", 0, 0, struct.pack(">I", n + 1) + assoc)
-    iprp = _box(b"iprp", ipco + ipma)
-    payloads = [d for (_, d, _, _) in tiles] + [grid_payload]
-
-    def meta(offsets):
-        iloc_items = b""
-        for iid, (off, d_) in enumerate(zip(offsets, payloads), start=1):
-            iloc_items += struct.pack(">HHH", iid, 0, 1)
-            iloc_items += struct.pack(">II", off, len(d_))
-        iloc = _full(b"iloc", 0, 0,
-                     struct.pack(">BBH", 0x44, 0x00, n + 1) + iloc_items)
-        return _box(b"meta",
-                    b"\0\0\0\0" + hdlr + pitm + iloc + iinf + iref + iprp)
-
-    ftyp = _box(b"ftyp", b"heic" + struct.pack(">I", 0) + b"mif1heic")
-    probe = meta([0] * (n + 1))
-    base = len(ftyp) + len(probe) + 8
-    offsets = []
-    off = base
-    for d_ in payloads:
-        offsets.append(off)
-        off += len(d_)
-    out = meta(offsets)
-    assert len(out) == len(probe)
-    return ftyp + out + _box(b"mdat", b"".join(payloads))
+               out_w: int, out_h: int, **grid_props) -> bytes:
+    """One-shot grid file: HeifWriter.add_grid + serialize (kept for
+    API compatibility; compose grids with exif/alpha/thumbnail items
+    through HeifWriter directly)."""
+    w = HeifWriter()
+    w.add_grid(tile_annexbs, rows, cols, out_w, out_h, **grid_props)
+    return w.tobytes()
 
 
 def encode_still_grid(y: np.ndarray, u: np.ndarray, v: np.ndarray,
@@ -1075,11 +1043,17 @@ def decode_all(data):
     dec = None
     dims = None
     skip_ids = rdr.aux_item_ids() | set(rdr.refs.get(b"thmb", {}))
+    for tiles in rdr.refs.get(b"dimg", {}).values():
+        skip_ids |= set(tiles)         # grid tiles: parts, not pictures
     for item in rdr.items:
-        if rdr.item_types.get(item.item_id, b"hvc1") != b"hvc1":
-            continue               # grid descriptors etc. are not AUs
+        ityp = rdr.item_types.get(item.item_id, b"hvc1")
+        if ityp == b"grid":
+            out.append(_decode_grid(rdr, item))   # assembled canvas
+            continue
+        if ityp != b"hvc1":
+            continue               # metadata items are not AUs
         if item.item_id in skip_ids:
-            continue       # alpha/thumbnail items are not presentations
+            continue   # alpha/thumbnail/tile items are not presentations
         if dec is None or (item.width, item.height) != dims:
             if dec is not None:
                 dec.close()

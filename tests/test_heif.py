@@ -684,3 +684,44 @@ def test_heif_sequence_hdr_sample_entry():
     # default writer: no color info
     assert heif.HeifSequenceReader(
         heif.encode_sequence(frames, fps=30, crf=20.0)).color_info == {}
+
+
+def test_heif_grid_composes_with_metadata_items():
+    """The generic writer path: a grid primary PLUS exif, alpha and a
+    thumbnail in one file (the full phone-HEIC item graph)."""
+    h, w = 96, 128
+    rng = np.random.default_rng(3)
+    y = rng.integers(16, 236, (h, w), dtype=np.uint8)
+    u = np.full((h // 2, w // 2), 100, np.uint8)
+    v = np.full((h // 2, w // 2), 150, np.uint8)
+    wtr = heif.HeifWriter()
+    tiles = []
+    for r in range(2):
+        for c in range(2):
+            ty = np.ascontiguousarray(y[r * 48:(r + 1) * 48,
+                                        c * 64:(c + 1) * 64])
+            tu = np.ascontiguousarray(u[r * 24:(r + 1) * 24,
+                                        c * 32:(c + 1) * 32])
+            tv = np.ascontiguousarray(v[r * 24:(r + 1) * 24,
+                                        c * 32:(c + 1) * 32])
+            tiles.append(heif._encode_one_annexb(ty, tu, tv, 16.0, True))
+    gid = wtr.add_grid(tiles, 2, 2, w, h, colr="bt709")
+    exif = b"II*\x00" + bytes(8)
+    wtr.add_exif(exif, gid)
+    thumb = heif._encode_one_annexb(y[::2, ::2].copy(),
+                                    u[::2, ::2].copy(),
+                                    v[::2, ::2].copy(), 20.0)
+    wtr.add_thumbnail(thumb, gid)
+    blob = wtr.tobytes()
+    rdr = heif.HeifReader(blob)
+    assert rdr.item_types[rdr.primary] == b"grid"
+    assert rdr.exif(rdr.primary) == exif
+    assert rdr.thumbnail_item(rdr.primary) is not None
+    yd, ud, vd = heif.decode_still(blob)
+    np.testing.assert_array_equal(yd, y)       # lossless tiles
+    # decode_all presents the assembled canvas; tiles/thumbnail skipped
+    allp = heif.decode_all(blob)
+    assert len(allp) == 1
+    np.testing.assert_array_equal(allp[0][0], y)
+    ty2 = heif.decode_thumbnail(blob)
+    assert ty2 is not None and ty2[0].shape == (48, 64)
