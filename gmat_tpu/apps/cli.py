@@ -17,7 +17,6 @@ pattern with %d -> JPEG still sequence.
 from __future__ import annotations
 
 import argparse
-import re
 import sys
 
 import numpy as np
@@ -386,9 +385,12 @@ def main(argv=None):
         else:
             q = int(round(min(qv, 100)))
         # "-enc-param optimize=1": per-image optimal Huffman tables
-        # (2-pass; ~5-15% smaller packets, any decoder reads them)
-        m = re.search(r"optimize[=\s]*(\d+)?", args.enc_param or "")
-        opt = bool(m) and m.group(1) != "0"
+        # (2-pass; ~5-15% smaller packets, any decoder reads them).
+        # Proper key=value parsing — a substring match would trip on
+        # any future knob containing 'optimize'
+        kvs = dict(kv.split("=", 1) if "=" in kv else (kv, "1")
+                   for kv in (args.enc_param or "").split(":") if kv)
+        opt = kvs.get("optimize", "0").lower() not in ("0", "", "false")
         for d_ in jpeg_tpu.encode_batch(sub, quality=max(1, q),
                                         workers=args.threads,
                                         expand_range=True, optimize=opt):

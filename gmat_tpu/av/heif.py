@@ -708,8 +708,13 @@ def apply_transforms(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                 raise IOError(f"clap region {cw}x{ch}+{x0}+{y0} outside "
                               f"the {W}x{H} image")
             y = y[y0:y0 + ch, x0:x0 + cw]
-            u = u[y0 // 2:(y0 + ch + 1) // 2, x0 // 2:(x0 + cw + 1) // 2]
-            v = v[y0 // 2:(y0 + ch + 1) // 2, x0 // 2:(x0 + cw + 1) // 2]
+            # chroma keeps the I420 ceil-size convention for the CROPPED
+            # dims: exactly ceil(ch/2) x ceil(cw/2) samples from the
+            # floored origin (an odd offset's floor-start/ceil-end slice
+            # would span one extra row/col)
+            cy0, cx0 = y0 // 2, x0 // 2
+            u = u[cy0:cy0 + (ch + 1) // 2, cx0:cx0 + (cw + 1) // 2]
+            v = v[cy0:cy0 + (ch + 1) // 2, cx0:cx0 + (cw + 1) // 2]
     return np.ascontiguousarray(y), np.ascontiguousarray(u), \
         np.ascontiguousarray(v)
 
@@ -851,7 +856,11 @@ def decode_thumbnail(data, index: Optional[int] = None):
     if t is None:
         return None
     yuv = _decode_hvc1(t)
-    tr = t.transforms or item.transforms
+    # a thumbnail with no properties of its own inherits only the
+    # master's scale-invariant transforms — clap geometry is in
+    # master-pixel coordinates and cannot apply to the smaller plane
+    tr = t.transforms or [tf for tf in item.transforms
+                          if tf[0] != "clap"]
     return apply_transforms(*yuv, tr) if tr else yuv
 
 
@@ -1408,7 +1417,8 @@ class HeifSequenceReader:
             segs.append((mt, end, rate, pres))
             pres += sd_media
         if not segs:
-            self.sample_pts = raw_pts
+            # empty-edit-only list: the accumulated delay still applies
+            self.sample_pts = [p + pres for p in raw_pts]
         else:
             def present(m):
                 seg = None

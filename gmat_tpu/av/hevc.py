@@ -747,7 +747,10 @@ def parse_sei(nal: bytes) -> List[SeiMessage]:
     out: List[SeiMessage] = []
     i = 0
     while i < len(d):
-        if d[i] == 0x80:             # rbsp_stop_one_bit byte
+        # rbsp trailing: a 0x80 stop-bit byte with nothing but zero
+        # padding after it.  0x80 is ALSO SEI payload type 128
+        # (structure_of_pictures_info), so only the true tail stops
+        if d[i] == 0x80 and not any(d[i + 1:]):
             break
         pt = 0
         while i < len(d) and d[i] == 0xFF:

@@ -353,8 +353,13 @@ def insert_exif(jpeg: bytes, exif: bytes) -> bytes:
     if len(seg) + 2 > 0xFFFF:
         raise ValueError("Exif payload exceeds the 64KB APP1 segment")
     app1 = b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg
-    # SOI(2) + our APP0 JFIF(2+16) = 20 bytes; fall back to after SOI
-    at = 20 if jpeg[2:4] == b"\xff\xe0" else 2
+    # after the APP0 segment when present (read its real length —
+    # JFIF thumbnails / JFXX make it longer than 16), else after SOI
+    at = 2
+    if jpeg[2:4] == b"\xff\xe0" and len(jpeg) >= 6:
+        at = 4 + struct.unpack(">H", jpeg[4:6])[0]
+        if at > len(jpeg):
+            raise ValueError("truncated APP0 segment")
     return jpeg[:at] + app1 + jpeg[at:]
 
 
@@ -417,6 +422,7 @@ class MjpegTpuStream:
         self.width, self.height = dm.width, dm.height
         self.batch = batch
         self.error = None
+        self._finished = False
         self._q: "_queue.Queue" = _queue.Queue(maxsize=max(depth, 1))
         self._stop = threading.Event()
 
@@ -478,6 +484,7 @@ class MjpegTpuStream:
 
     def close(self):
         self._stop.set()
+        self._finished = True
         while True:
             try:
                 self._q.get_nowait()
@@ -487,8 +494,15 @@ class MjpegTpuStream:
 
     def __iter__(self):
         while True:
+            if self._finished and self._q.empty():
+                # the one sentinel was already consumed (prior full
+                # iteration or close()): end cleanly, don't block
+                if self.error:
+                    raise self.error
+                return
             item = self._q.get()
             if item is self._SENTINEL:
+                self._finished = True
                 if self.error:
                     raise self.error
                 return

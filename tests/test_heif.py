@@ -725,3 +725,47 @@ def test_heif_grid_composes_with_metadata_items():
     np.testing.assert_array_equal(allp[0][0], y)
     ty2 = heif.decode_thumbnail(blob)
     assert ty2 is not None and ty2[0].shape == (48, 64)
+
+
+def test_heif_review_fix_regressions():
+    """Round-3 review fixes: thumbnail must not inherit a master clap;
+    empty-edit-only elst still delays; odd clap offsets keep I420
+    chroma sizes consistent."""
+    import struct as _s
+    h, w = 96, 128
+    y, u, v = synth(h, w, seed=9)
+    # 1. clap on master + thumbnail: thumb decodes without the crop
+    blob = heif.encode_still(y, u, v, crf=18.0, thumbnail=(64, 48),
+                             clean_aperture=(120, 88, 0, 0), rotation=90)
+    ty, tu, tv = heif.decode_thumbnail(blob)
+    assert ty.shape == (64, 48)          # rot90 applied, clap skipped
+    # 2. odd clap offsets: chroma exactly ceil(cropped/2)
+    blob2 = heif.encode_still(y, u, v, lossless=True,
+                              clean_aperture=(100, 80, 1, 1))
+    dy, du, dv = heif.decode_still(blob2)
+    assert dy.shape == (80, 100) and du.shape == (40, 50)
+    from gmat_tpu.core.frame import from_numpy_yuv420
+    from_numpy_yuv420(dy[None], du[None], dv[None])   # shapes re-encode
+    # 3. empty-edit-only elst: presentation delay preserved
+    frames = [synth(64, 64, seed=i) for i in range(4)]
+    seq = heif.encode_sequence(frames, fps=30, crf=20.0,
+                               presentation_delay=5)
+    i = seq.find(b"elst")
+    cnt = _s.unpack(">I", seq[i + 8:i + 12])[0]
+    # drop the media entry, keep only the empty edit (count 2 -> 1)
+    assert cnt == 2
+    trimmed = bytearray(seq)
+    trimmed[i + 8:i + 12] = _s.pack(">I", 1)
+    # shrink elst/edts/trak/moov sizes by 12 and fix stco
+    trimmed[i - 4:i] = _s.pack(
+        ">I", _s.unpack(">I", seq[i - 4:i])[0] - 12)
+    del trimmed[i + 24:i + 36]
+    for anc in (b"moov", b"trak", b"edts"):
+        j = trimmed.find(anc)
+        trimmed[j - 4:j] = _s.pack(
+            ">I", _s.unpack(">I", bytes(trimmed[j - 4:j]))[0] - 12)
+    k = trimmed.find(b"stco")
+    off = _s.unpack(">I", bytes(trimmed[k + 12:k + 16]))[0]
+    trimmed[k + 12:k + 16] = _s.pack(">I", off - 12)
+    rr = heif.HeifSequenceReader(bytes(trimmed))
+    assert min(rr.sample_pts) == 5

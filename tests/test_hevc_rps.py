@@ -243,3 +243,17 @@ def test_scan_hevc_reports_hdr(tmp_path, capsys):
     assert summary["content_light_level"] == {"max_cll": 1000,
                                               "max_fall": 400}
     assert summary["mastering_display"]["max_nits"] == 1000.0
+
+
+def test_sei_type_128_before_hdr_messages():
+    # payload type 0x80 (structure_of_pictures_info) must not be read
+    # as the rbsp stop bit — messages after it still parse
+    pl128 = bytes(4)
+    pl_cll = b"\x03\xe8\x01\x90"
+    body = (bytes([0x80, len(pl128)]) + pl128
+            + bytes([144, len(pl_cll)]) + pl_cll + b"\x80")
+    nal = bytes([39 << 1, 1]) + body
+    msgs = hevc.parse_sei(nal)
+    assert [m.payload_type for m in msgs] == [128, 144]
+    hdr = hevc.stream_hdr_metadata([b"\x00\x00\x00\x01" + nal])
+    assert hdr["content_light_level"].max_cll == 1000

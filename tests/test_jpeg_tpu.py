@@ -734,3 +734,40 @@ def test_jpeg_exif_insert_and_read(rng):
     assert Image.open(io.BytesIO(tagged)).info.get("exif") is not None
     with pytest.raises(ValueError):
         jpeg_tpu.insert_exif(plain, b"x" * 70000)
+
+
+def test_mjpeg_tpu_stream_repeat_iteration_ends(rng, tmp_path):
+    # a drained or closed stream must StopIteration, not hang
+    y, u, v = smooth_yuv(rng, n=3, h=48, w=64)
+    fb = from_numpy_yuv420(y, u, v)
+    path = str(tmp_path / "in.mov")
+    mux = tk.Muxer(path, 64, 48, (30, 1),
+                   **tk.mux_kwargs_for_encoder("mjpeg"))
+    for i, d in enumerate(jpeg_tpu.encode_batch(fb, quality=88)):
+        mux.write(tk.Packet(d, i, i, True, False, 0))
+    mux.close()
+    st = jpeg_tpu.decode_stream_tpu(path, batch=3)
+    assert len(list(st)) == 1
+    assert list(st) == []                     # second pass: clean end
+    st2 = jpeg_tpu.decode_stream_tpu(path, batch=3)
+    st2.close()
+    assert list(st2) == []
+
+
+def test_insert_exif_long_app0(rng):
+    # APP0 longer than the bare JFIF 16 bytes (e.g. embedded thumbnail):
+    # the APP1 must land AFTER the whole segment
+    import struct as _s
+    y, u, v = smooth_yuv(rng, n=1, h=48, w=64)
+    plain = jpeg_tpu.encode_batch(from_numpy_yuv420(y, u, v), 90)[0]
+    # graft 12 extra bytes into APP0 (grow its declared length)
+    app0_len = _s.unpack(">H", plain[4:6])[0]
+    longer = (plain[:4] + _s.pack(">H", app0_len + 12)
+              + plain[6:4 + app0_len] + bytes(12) + plain[4 + app0_len:])
+    exif = b"II*\x00\x08\x00\x00\x00" + bytes(8)
+    tagged = jpeg_tpu.insert_exif(longer, exif)
+    assert jpeg_tpu.exif_from_jpeg(tagged) == exif
+    a = jpeg_tpu.decode_batch([longer])
+    b = jpeg_tpu.decode_batch([tagged])
+    np.testing.assert_array_equal(np.asarray(a.planes["y"]),
+                                  np.asarray(b.planes["y"]))
