@@ -30,8 +30,13 @@ def split_annexb(data: bytes) -> List[bytes]:
         if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
             if start >= 0:
                 end = i
-                if end > start and data[end - 1] == 0:
-                    end -= 1     # 4-byte start code of the next NAL
+                # strip ALL trailing zeros: the 4-byte start code's
+                # leading zero plus any trailing_zero_8bits padding (a
+                # real payload never ends in raw 0x00 — rbsp stops with
+                # the 0x80.. stop-bit byte and cabac_zero_words are
+                # emulation-escaped)
+                while end > start and data[end - 1] == 0:
+                    end -= 1
                 if end > start:  # never emit empty payloads (truncated
                     out.append(data[start:end])    # or doubled codes)
             i += 3
@@ -39,7 +44,10 @@ def split_annexb(data: bytes) -> List[bytes]:
         else:
             i += 1
     if start >= 0 and n > start:
-        out.append(data[start:n])
+        end = n
+        while end > start + 2 and data[end - 1] == 0:
+            end -= 1             # tail padding after the last NAL
+        out.append(data[start:end])
     return out
 
 
@@ -81,6 +89,11 @@ class BitReader:
         self.pos = 0
 
     def u(self, n: int) -> int:
+        if (self.pos + n + 7) >> 3 > len(self.data):
+            # diagnosable error for truncated NALs (a bare IndexError
+            # would escape the parser's ValueError conventions)
+            raise ValueError(f"truncated NAL: need {n} bits at "
+                             f"{self.pos}/{len(self.data) * 8}")
         v = 0
         for _ in range(n):
             byte = self.data[self.pos >> 3]
@@ -636,14 +649,19 @@ def parse_stream_slices(packets) -> list:
         sl = None
         for n in split_annexb(data):
             t = nal_type(n)
-            if t == NAL_SPS:
-                s = parse_sps_full(n)
-                sps_map[s.sps_id] = s
-            elif t == NAL_PPS:
-                p = parse_pps(n)
-                pps_map[p.pps_id] = p
-            elif is_vcl(t) and sl is None and sps_map and pps_map:
-                sl = parse_slice_rps(n, sps_map, pps_map)
+            try:
+                if t == NAL_SPS:
+                    s = parse_sps_full(n)
+                    sps_map[s.sps_id] = s
+                elif t == NAL_PPS:
+                    p = parse_pps(n)
+                    pps_map[p.pps_id] = p
+                elif is_vcl(t) and sl is None and sps_map and pps_map:
+                    sl = parse_slice_rps(n, sps_map, pps_map)
+            except ValueError:
+                # truncated/garbage NAL (file cut mid-GOP): skip it —
+                # it produces no decodable picture either
+                continue
         if sl is not None:
             slices.append(sl)
     return slices
@@ -714,8 +732,11 @@ def analyze_skippable(packets, slices=None) -> list:
     out = []
     for i, sl in enumerate(slices):
         if i + 1 < len(slices):
+            # an IDR successor has an empty RPS, so the predecessor is
+            # skippable — exactly the reference's GetRefPicSet(...)
+            # .find() == end() behavior at closed-GOP boundaries
             nxt = slices[i + 1]
-            skippable = (not nxt.is_idr) and (sl.poc_lsb not in nxt.ref_pocs)
+            skippable = sl.poc_lsb not in nxt.ref_pocs
         else:
             skippable = False
         out.append((sl.poc_lsb, skippable))

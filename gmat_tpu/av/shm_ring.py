@@ -46,11 +46,8 @@ class ShmRing:
     def __init__(self, width: int, height: int, slots: int = 8,
                  name: Optional[str] = None, create: bool = True,
                  bits: int = 8):
-        if height % 2 or width % 2:
-            # I420 chroma is ceil(w/2) x ceil(h/2); keep slots rectangular
-            cw, ch = (width + 1) // 2, (height + 1) // 2
-        else:
-            cw, ch = width // 2, height // 2
+        # I420 chroma is ceil(w/2) x ceil(h/2) (covers odd dims too)
+        cw, ch = (width + 1) // 2, (height + 1) // 2
         self.width, self.height = width, height
         self.cw, self.ch = cw, ch
         self.bits = bits
@@ -71,9 +68,6 @@ class ShmRing:
         self.name = self.shm.name
 
     # -- header accessors (each counter has exactly one writer) ------------
-    def _rd_hdr(self) -> Tuple[int, int, int, int]:
-        return struct.unpack_from(_HDR_FMT, self.buf, 0)
-
     @property
     def head(self) -> int:
         return struct.unpack_from("<Q", self.buf, 0)[0]
@@ -187,22 +181,36 @@ def _decode_worker(path: str, ring_name: str, width: int, height: int,
                 f"{width}x{height}")
         decode = dec.decode16 if bits == 10 else dec.decode
         sent = 0
+        # key/pos attributed by pts, NOT by the packet currently being
+        # fed: with decoder reorder delay (B-frames, frame threads) the
+        # frames a decode() call emits belong to EARLIER packets — the
+        # same mapping the single-process path uses (ingest.py frames())
+        key_pts: dict = {}
+        pos_by_pts: dict = {}
 
-        def ship(frames, pkt_key=False, pkt_pos=-1):
+        def ship(frames):
             nonlocal sent
             for (y, u, v, p) in frames:
                 if max_frames and sent >= max_frames:
                     return False
                 il = (int(getattr(dec, "last_interlaced", 0)) |
                       (int(getattr(dec, "last_tff", 0)) << 1))
-                ring.put(y, u, v, p, pkt_pos, pkt_key, il)
+                is_key = key_pts.pop(p, False) is None
+                ring.put(y, u, v, p, pos_by_pts.pop(p, -1), is_key, il)
                 sent += 1
             return not (max_frames and sent >= max_frames)
 
         for pkt in dm:
             if pkt.stream != 0:
                 continue
-            if not ship(decode(pkt.data, pkt.pts), pkt.key, pkt.pos):
+            if pkt.key:
+                key_pts[pkt.pts] = None
+            pos_by_pts[pkt.pts] = pkt.pos
+            while len(pos_by_pts) > 512:     # bound orphaned entries
+                pos_by_pts.pop(next(iter(pos_by_pts)))
+            while len(key_pts) > 512:
+                key_pts.pop(next(iter(key_pts)))
+            if not ship(decode(pkt.data, pkt.pts)):
                 break
         else:
             ship(decode(None))
@@ -334,11 +342,17 @@ def decode_stream_multiproc(paths, procs: int = 4, batch: int = 32,
         finally:
             src.close()
 
-    fbs = FrameBatchSource(frames(), batch, src.width, src.height,
-                           colorspace)
-    q = PrefetchQueue(iter(fbs), depth=depth, device=device,
-                      colorspace=colorspace, width=src.width,
-                      height=src.height,
-                      fmt="yuv420p10" if bits == 10 else "yuv420p")
+    try:
+        fbs = FrameBatchSource(frames(), batch, src.width, src.height,
+                               colorspace)
+        q = PrefetchQueue(iter(fbs), depth=depth, device=device,
+                          colorspace=colorspace, width=src.width,
+                          height=src.height,
+                          fmt="yuv420p10" if bits == 10 else "yuv420p")
+    except BaseException:
+        # the generator's finally never runs if construction fails —
+        # stop the worker processes and unlink the shm segments here
+        src.close()
+        raise
     q.fps = src.fps
     return q

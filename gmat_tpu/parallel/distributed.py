@@ -75,6 +75,14 @@ def init_distributed(coordinator_address: Optional[str] = None,
         jax.config.update("jax_num_cpu_devices", local_device_count)
     kwargs = {}
     if coordinator_address is not None:
+        # explicit clusters need the full triple — forwarding Nones into
+        # jax.distributed.initialize fails deep inside JAX (or hangs on
+        # a bogus topology) instead of at this boundary
+        if num_processes is None or process_id is None:
+            raise ValueError(
+                "coordinator_address given without num_processes/"
+                "process_id — explicit (non-TPU-pod) clusters must pass "
+                "all three")
         kwargs = dict(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
     jax.distributed.initialize(**kwargs)
@@ -90,15 +98,22 @@ def global_mesh(n_model: int = 1,
     carries no steady-state traffic (frames are embarrassingly parallel).
     """
     devices = list(devices if devices is not None else jax.devices())
-    n_local = len(jax.local_devices())
-    if n_model > 1 and n_local % n_model != 0:
-        raise ValueError(
-            f"model axis {n_model} must divide the per-process device "
-            f"count {n_local} to stay host-local")
     if len(devices) % n_model:
         raise ValueError(f"{len(devices)} devices not divisible by "
                          f"n_model={n_model}")
     devs = np.asarray(devices).reshape(len(devices) // n_model, n_model)
+    if n_model > 1:
+        # validate the ACTUAL layout, not jax.local_devices() globally:
+        # an explicit subset/reorder must still keep every model-axis
+        # row inside one process or TP collectives ride DCN
+        for row in devs:
+            pids = {getattr(d, "process_index", 0) for d in row}
+            if len(pids) > 1:
+                raise ValueError(
+                    "model-axis group spans processes "
+                    f"{sorted(pids)} — reorder `devices` so each "
+                    f"consecutive group of {n_model} is host-local "
+                    "(TP collectives must ride ICI, not DCN)")
     return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
 
 

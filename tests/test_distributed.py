@@ -10,6 +10,8 @@ import importlib.util
 import os
 import sys
 
+import pytest
+
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -86,3 +88,21 @@ def test_multihost_ladder_workload_2x4():
     into ONE global ladder; each host verifies its addressable output
     shards against a local single-device recompute."""
     _graft().dryrun_multihost(2, 4, timeout=240.0, workload="ladder")
+
+
+def test_init_distributed_validates_partial_cluster_args():
+    from gmat_tpu.parallel.distributed import init_distributed
+    with pytest.raises(ValueError):
+        init_distributed(coordinator_address="localhost:9999")
+
+
+def test_global_mesh_validates_actual_device_list():
+    # subset layouts validate against the DEVICES GIVEN, not the global
+    # local-device count: 6-of-8 with n_model=3 is host-local and legal
+    import jax
+    from gmat_tpu.parallel.distributed import global_mesh
+    devs = jax.devices()[:6]
+    m = global_mesh(n_model=3, devices=devs)
+    assert m.devices.shape == (2, 3)
+    with pytest.raises(ValueError):
+        global_mesh(n_model=3, devices=jax.devices()[:8])

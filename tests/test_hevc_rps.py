@@ -257,3 +257,56 @@ def test_sei_type_128_before_hdr_messages():
     assert [m.payload_type for m in msgs] == [128, 144]
     hdr = hevc.stream_hdr_metadata([b"\x00\x00\x00\x01" + nal])
     assert hdr["content_light_level"].max_cll == 1000
+
+
+def test_split_annexb_trailing_zero_padding():
+    # trailing_zero_8bits between NALs (and tail padding) are stripped;
+    # a 4-byte start code alone still yields clean payloads
+    a, b = bytes([hevc.NAL_SPS << 1, 1, 0x42, 0x80]), \
+        bytes([hevc.NAL_PPS << 1, 1, 0x10, 0x80])
+    stream = (b"\x00\x00\x00\x01" + a + b"\x00\x00"      # 2 pad zeros
+              + b"\x00\x00\x00\x01" + b + b"\x00\x00\x00")
+    assert hevc.split_annexb(stream) == [a, b]
+
+
+def test_truncated_nal_raises_valueerror_not_indexerror():
+    # a slice header cut mid-RPS must surface ValueError (and the
+    # stream walk must skip it, not crash)
+    stream = _hdr_stream()
+    nals = hevc.split_annexb(stream[0])
+    vcl = next(n for n in nals if hevc.is_vcl(hevc.nal_type(n)))
+    cut = vcl[:6]
+    with pytest.raises(ValueError):
+        hevc.BitReader(cut).u(200)
+    # full stream with a truncated final packet: slices parse for the
+    # intact pictures, no exception
+    packets = stream[:-1] + [stream[-1][:6]]
+    slices = hevc.parse_stream_slices(packets)
+    assert len(slices) == len(stream) - 1
+
+
+def test_skippable_at_idr_boundary():
+    # closed-GOP stream (forced IDRs): the frame BEFORE each IDR is
+    # unreferenced (empty IDR RPS) and must be flagged skippable — the
+    # reference's GetRefPicSet().find()==end() behavior
+    w, h = 96, 64
+    enc = tk.Encoder("libx265", w, h, fps=(30, 1), gop=8, bf=0, crf=24.0,
+                     opts="x265-params=log-level=0:no-open-gop=1"
+                          ":keyint=8:min-keyint=8:scenecut=0")
+    y = ((np.add.outer(np.arange(h), np.arange(w)) * 0.5) % 200
+         + 20).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 110, np.uint8)
+    v = np.full((h // 2, w // 2), 130, np.uint8)
+    pkts = []
+    for i in range(24):
+        pkts += enc.encode(y + i, u, v, pts=i)
+    pkts += enc.flush()
+    datas = [enc.extradata() + pkts[0].data] + [p.data for p in pkts[1:]]
+    enc.close()
+    slices = hevc.parse_stream_slices(datas)
+    idr_idx = [i for i, sl in enumerate(slices) if sl.is_idr]
+    assert len(idr_idx) >= 2          # forced closed GOPs
+    res = hevc.analyze_skippable(datas)
+    for i in idr_idx:
+        if i > 0:
+            assert res[i - 1][1], f"frame before IDR {i} not skippable"

@@ -258,3 +258,41 @@ def test_ring_wraparound_many_cycles():
         assert got == list(range(total))
     finally:
         ring.close(unlink=True)
+
+
+def test_multiproc_bframe_key_pos_match_single_proc(tmp_path):
+    """Review fix: with decoder reorder delay (B-frames) the worker must
+    attribute key/pos by pts like ingest.py's single-process path —
+    tagging frames with the CURRENT packet's metadata marks the wrong
+    frames as keyframes."""
+    path = str(tmp_path / "bf.mp4")
+    enc = tk.Encoder("libx264", W, H, fps=(30, 1), gop=10, bf=2,
+                     preset="veryfast", crf=16.0)
+    pkts = []
+    for i in range(30):
+        y = np.full((H, W), 20 + 3 * i, np.uint8)
+        u = np.full((H // 2, W // 2), 110, np.uint8)
+        v = np.full((H // 2, W // 2), 140, np.uint8)
+        pkts += enc.encode(y, u, v, pts=i)
+    pkts += enc.flush()
+    mux = tk.Muxer(path, W, H, (30, 1), tk.CODEC_H264, enc.extradata())
+    for p in pkts:
+        mux.write(p)
+    mux.close(); enc.close()
+
+    # single-process reference: the ingest frames() mapping
+    from gmat_tpu.av.ingest import decode_stream
+    q = decode_stream(path, batch=30)
+    ref = []
+    for fb, pts, valid in q:
+        for i in range(valid):
+            ref.append((int(pts[i]), bool(q.last_keys[i]),
+                        int(q.last_pos[i])))
+    with MultiProcDecodeSource(path, procs=1) as src:
+        got = [(int(p), bool(k), int(pos))
+               for (_y, _u, _v, p, k, pos, _il) in src]
+    assert got == ref
+    # keyframes land exactly on the IDR pts (gop=10 -> pts 0,10,20)
+    keys = sorted(p for (p, k, _pos) in got if k)
+    assert keys == [p for (p, k, _) in ref if k]
+    assert len(keys) >= 3
