@@ -23,6 +23,11 @@
 
 #define GJ_API extern "C" __attribute__((visibility("default")))
 
+// thread_local: encode/decode fan out across host threads
+// (jpeg_tpu workers=); each caller reads its own error, never a
+// concurrent worker's
+static thread_local char gj_err[256];
+
 // ---------------------------------------------------------------- tables
 static const uint8_t ZIGZAG[64] = {
      0,  1,  8, 16,  9,  2,  3, 10,
@@ -77,10 +82,10 @@ static void build_enc(const uint8_t* bits, const uint8_t* vals, int nvals,
     int k = 0;
     for (int l = 1; l <= 16; l++) {
         for (int i = 0; i < bits[l]; i++) {
-            h.code[vals[k]] = code++;
+            if (k >= nvals) return;   // bits[] claiming more codes than
+            h.code[vals[k]] = code++; // vals must not read past the end
             h.len[vals[k]] = (uint8_t)l;
             k++;
-            if (k > nvals) return;
         }
         code <<= 1;
     }
@@ -336,6 +341,15 @@ GJ_API int gjpeg_encode_ro(const int16_t* yc, const int16_t* uc,
                            const uint8_t* qluma, const uint8_t* qchroma,
                            uint8_t* outbuf, long long capacity,
                            int restart, int optimize) {
+    // SOF dimension fields are 16-bit and subsamp selects the MCU walk:
+    // out-of-range values would silently emit a corrupt bitstream
+    if (width <= 0 || height <= 0 || width > 65535 || height > 65535 ||
+        subsamp < 0 || subsamp > 3) {
+        snprintf(gj_err, sizeof gj_err,
+                 "encode: bad dims %dx%d / subsamp %d", width, height,
+                 subsamp);
+        return -1;
+    }
     // the DRI field is 16-bit; clamp BEFORE any pass so the counting
     // walk, the encode walk, and the header all agree
     if (restart > 65535) restart = 65535;
@@ -657,6 +671,13 @@ GJ_API int gjpeg_encode_progressive(const int16_t* yc, const int16_t* uc,
                                     const uint8_t* qluma,
                                     const uint8_t* qchroma,
                                     uint8_t* outbuf, long long capacity) {
+    if (width <= 0 || height <= 0 || width > 65535 || height > 65535 ||
+        subsamp < 0 || subsamp > 3) {
+        snprintf(gj_err, sizeof gj_err,
+                 "encode: bad dims %dx%d / subsamp %d", width, height,
+                 subsamp);
+        return -1;
+    }
     PCompGeom g[3];
     int ncomp, mcux, mcuy;
     prog_geom(width, height, subsamp, g, ncomp, mcux, mcuy);
@@ -907,10 +928,6 @@ struct GjpegFile {
     std::vector<uint8_t> data;
 };
 
-// thread_local: encode/decode fan out across host threads
-// (jpeg_tpu workers=); each caller reads its own error, never a
-// concurrent worker's
-static thread_local char gj_err[256];
 GJ_API const char* gjpeg_last_error() { return gj_err; }
 
 // Parse one DHT segment body (may hold several tables).  Shared by the
@@ -955,7 +972,9 @@ GJ_API void* gjpeg_parse(const uint8_t* buf, long long size) {
     while (i + 4 <= n) {
         if (p[i] != 0xFF) { i++; continue; }
         uint8_t m = p[i + 1];
-        if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) { i += 2; continue; }
+        if (m == 0xFF) { i++; continue; }     // fill byte (B.1.1.2)
+        if (m == 0xD8 || m == 0x01 ||         // TEM: length-less marker
+            (m >= 0xD0 && m <= 0xD7)) { i += 2; continue; }
         if (m == 0xD9) break;
         int len = (p[i + 2] << 8) | p[i + 3];
         // every segment handler below indexes seg[0..len-3]: the length
@@ -1007,6 +1026,13 @@ GJ_API void* gjpeg_parse(const uint8_t* buf, long long size) {
             f->height = (seg[1] << 8) | seg[2];
             f->width = (seg[3] << 8) | seg[4];
             f->ncomp = seg[5];
+            if (f->ncomp != 1 && f->ncomp != 3) {
+                // caller buffers model exactly gray / 3-component YCbCr;
+                // Nf=2/4 would walk geometry the buffers don't cover
+                snprintf(gj_err, sizeof gj_err,
+                         "unsupported component count %d", f->ncomp);
+                delete f; return nullptr;
+            }
             for (int c = 0; c < f->ncomp && c < 3; c++) {
                 f->comp_id[c] = seg[6 + c * 3];
                 f->comp_h[c] = seg[6 + c * 3 + 1] >> 4;
@@ -1058,12 +1084,30 @@ GJ_API void* gjpeg_parse(const uint8_t* buf, long long size) {
                 snprintf(gj_err, sizeof gj_err, "bad SOS (%d comps)", ns);
                 delete f; return nullptr;
             }
+            if (ns != f->ncomp) {
+                // spec-legal non-interleaved multi-scan baseline: the
+                // single-scan walk below would mis-decode it — reject
+                // with a clear diagnostic instead
+                snprintf(gj_err, sizeof gj_err,
+                         "unsupported baseline SOS: %d of %d components "
+                         "(non-interleaved multi-scan)", ns, f->ncomp);
+                delete f; return nullptr;
+            }
             for (int c = 0; c < ns && c < 3; c++) {
+                if (seg[1 + c * 2] != f->comp_id[c]) {
+                    snprintf(gj_err, sizeof gj_err,
+                             "SOS component order differs from SOF");
+                    delete f; return nullptr;
+                }
                 f->comp_dc[c] = seg[1 + c * 2 + 1] >> 4;
                 f->comp_ac[c] = seg[1 + c * 2 + 1] & 15;
-                if (f->comp_dc[c] >= 4 || f->comp_ac[c] >= 4) {
+                if (f->comp_dc[c] >= 4 || f->comp_ac[c] >= 4 ||
+                    !f->has_dht[f->comp_dc[c]] ||
+                    !f->has_dht[4 + f->comp_ac[c]]) {
+                    // undefined tables would "decode" against zeroed
+                    // HuffDecs into silent garbage
                     snprintf(gj_err, sizeof gj_err,
-                             "bad SOS table selector");
+                             "bad SOS table selector (undefined DHT)");
                     delete f; return nullptr;
                 }
             }
@@ -1097,6 +1141,9 @@ static bool decode_block_d(BitReader& br, const HuffDec& dc, const HuffDec& ac,
                            int& pred, int16_t* out) {
     int s = huff_decode(br, dc);
     if (s < 0) return false;
+    if (s > 15) return false;   // DC size caps at 11 (12-bit: 15); a
+                                // malicious DHT value byte would drive
+                                // bits()/extend() into shift UB
     if (s) {
         int v = br.bits(s);
         if (v < 0) return false;
@@ -1127,6 +1174,15 @@ static bool decode_block_d(BitReader& br, const HuffDec& dc, const HuffDec& ac,
             }
             k += r;
             if (k > 63) return false;
+            if (br.nbits < sz) {
+                // a 16-bit slow-path code leaves only 10 guaranteed
+                // bits; a malicious DHT size 11..15 would drive nbits
+                // negative (negative-count shift UB) — careful path
+                int v = br.bits(sz);
+                if (v < 0) return false;
+                out[k++] = (int16_t)extend(v, sz);
+                continue;
+            }
             br.nbits -= sz;
             int v = (int)(br.acc >> br.nbits) & ((1 << sz) - 1);
             out[k++] = (int16_t)extend(v, sz);
@@ -1415,7 +1471,7 @@ static bool prog_ac_refine_block(BitReader& br, const HuffDec& ac, int ss,
 static long long decode_prog_scan_data(GjpegFile* f, const ProgScan& sc,
                                        const uint8_t* data, long long size,
                                        int16_t* const* bufs,
-                                       const int* bufw, const int* bufh,
+                                       const int* bufw,
                                        const int* cw, const int* ch,
                                        int mcux, int mcuy) {
     // scan ends at the first marker that is neither stuffing nor RSTn
@@ -1505,12 +1561,11 @@ static int decode_progressive(GjpegFile* f, int16_t* yc, int16_t* uc,
     int mcux = (f->width + 8 * hmax - 1) / (8 * hmax);
     int mcuy = (f->height + 8 * vmax - 1) / (8 * vmax);
     int16_t* bufs[3] = {yc, uc, vc};
-    int bufw[3] = {1, 1, 1}, bufh[3] = {1, 1, 1};
+    int bufw[3] = {1, 1, 1};
     int cw[3] = {0, 0, 0}, ch[3] = {0, 0, 0};
     for (int c = 0; c < f->ncomp && c < 3; c++) {
         // caller buffers are MCU-grid padded (jpeg_tpu.decode_batch)
         bufw[c] = mcux * f->comp_h[c];
-        bufh[c] = mcuy * f->comp_v[c];
         int compw = (f->width * f->comp_h[c] + hmax - 1) / hmax;
         int comph = (f->height * f->comp_v[c] + vmax - 1) / vmax;
         cw[c] = (compw + 7) / 8;
@@ -1548,9 +1603,21 @@ static int decode_progressive(GjpegFile* f, int16_t* yc, int16_t* uc,
         } else if (m == 0xDA) {
             ProgScan sc;
             if (!parse_prog_scan_header(f, seg, seglen, sc)) return -1;
+            for (int k = 0; k < sc.ncomp; k++) {
+                // refinement-only scans use no DC table; every other
+                // scan's tables must have been defined by now
+                bool need_dc = sc.ss == 0 && sc.ah == 0;
+                bool need_ac = sc.ss > 0;
+                if ((need_dc && !f->has_dht[sc.dct[k]]) ||
+                    (need_ac && !f->has_dht[4 + sc.act[k]])) {
+                    snprintf(gj_err, sizeof gj_err,
+                             "scan references undefined Huffman table");
+                    return -1;
+                }
+            }
             long long off = i + 2 + len;
             long long used = decode_prog_scan_data(
-                f, sc, p + off, n - off, bufs, bufw, bufh, cw, ch,
+                f, sc, p + off, n - off, bufs, bufw, cw, ch,
                 mcux, mcuy);
             if (used < 0) return -1;
             i = off + used;
@@ -1571,90 +1638,39 @@ GJ_API int gjpeg_decode_coefs_mt(void* h, int16_t* yc, int16_t* uc,
 GJ_API int gjpeg_decode_coefs(void* h, int16_t* yc, int16_t* uc, int16_t* vc) {
     auto* f = (GjpegFile*)h;
     if (f->progressive) return decode_progressive(f, yc, uc, vc);
+    long long total = gj_total_mcus(f);
     // bulk refill only without restart intervals: restart alignment
     // manipulates pos/nbits with single-byte-buffer assumptions
     BitReader br(f->scan, f->scan_size, f->restart == 0);
-    int pred[3] = {0, 0, 0};
-    int mcu_count = 0;
-
-    auto restart_check = [&](void) {
-        if (f->restart && ++mcu_count == f->restart) {
-            mcu_count = 0;
-            // align to byte, expect RSTn marker
-            br.nbits = 0;
+    if (f->restart <= 0) {
+        if (!decode_mcu_range(f, br, 0, total, yc, uc, vc)) {
+            snprintf(gj_err, sizeof gj_err, "scan error");
+            return -1;
+        }
+        return 0;
+    }
+    // restart intervals: decode each as an independent range (fresh DC
+    // predictors), realigning to the byte/RSTn boundary in between —
+    // tolerant of malformed layouts (marker missing = just continue),
+    // which is why the parallel path falls back here
+    long long m0 = 0;
+    while (m0 < total) {
+        long long m1 = m0 + f->restart;
+        if (m1 > total) m1 = total;
+        if (!decode_mcu_range(f, br, m0, m1, yc, uc, vc)) {
+            snprintf(gj_err, sizeof gj_err,
+                     "scan error in mcus %lld..%lld", m0, m1);
+            return -1;
+        }
+        if (m1 < total) {
+            br.nbits = 0;                  // byte-align, expect RSTn
             if (br.pos + 1 < br.n && br.p[br.pos] == 0xFF &&
                 br.p[br.pos + 1] >= 0xD0 && br.p[br.pos + 1] <= 0xD7)
                 br.pos += 2;
             br.marker_hit = false;
             br.stalled_marker = false;
-            pred[0] = pred[1] = pred[2] = 0;
         }
-    };
-
-    if (f->subsamp == 0) {
-        int mcux = (f->width + 15) / 16, mcuy = (f->height + 15) / 16;
-        int ybw = mcux * 2;
-        for (int my = 0; my < mcuy; my++)
-            for (int mx = 0; mx < mcux; mx++) {
-                for (int by = 0; by < 2; by++)
-                    for (int bx = 0; bx < 2; bx++) {
-                        long long idx = (long long)(my * 2 + by) * ybw + (mx * 2 + bx);
-                        if (!decode_block_d(br, f->dc[f->comp_dc[0]],
-                                            f->ac[f->comp_ac[0]], pred[0],
-                                            yc + idx * 64)) {
-                            snprintf(gj_err, sizeof gj_err, "scan error mcu %d,%d", my, mx);
-                            return -1;
-                        }
-                    }
-                long long ci = (long long)my * mcux + mx;
-                if (!decode_block_d(br, f->dc[f->comp_dc[1]], f->ac[f->comp_ac[1]],
-                                    pred[1], uc + ci * 64)) return -1;
-                if (!decode_block_d(br, f->dc[f->comp_dc[2]], f->ac[f->comp_ac[2]],
-                                    pred[2], vc + ci * 64)) return -1;
-                restart_check();
-            }
-    } else if (f->subsamp == 3) {
-        int mcux = (f->width + 15) / 16, mcuy = (f->height + 7) / 8;
-        int ybw = mcux * 2;
-        for (int my = 0; my < mcuy; my++)
-            for (int mx = 0; mx < mcux; mx++) {
-                for (int bx = 0; bx < 2; bx++) {
-                    long long idx = (long long)my * ybw + (mx * 2 + bx);
-                    if (!decode_block_d(br, f->dc[f->comp_dc[0]],
-                                        f->ac[f->comp_ac[0]], pred[0],
-                                        yc + idx * 64)) {
-                        snprintf(gj_err, sizeof gj_err,
-                                 "scan error mcu %d,%d", my, mx);
-                        return -1;
-                    }
-                }
-                long long ci = (long long)my * mcux + mx;
-                if (!decode_block_d(br, f->dc[f->comp_dc[1]],
-                                    f->ac[f->comp_ac[1]], pred[1],
-                                    uc + ci * 64)) return -1;
-                if (!decode_block_d(br, f->dc[f->comp_dc[2]],
-                                    f->ac[f->comp_ac[2]], pred[2],
-                                    vc + ci * 64)) return -1;
-                restart_check();
-            }
-    } else if (f->subsamp == 1) {
-        int bwid = (f->width + 7) / 8, bhei = (f->height + 7) / 8;
-        for (long long i = 0; i < (long long)bwid * bhei; i++) {
-            if (!decode_block_d(br, f->dc[f->comp_dc[0]], f->ac[f->comp_ac[0]],
-                                pred[0], yc + i * 64)) return -1;
-            if (!decode_block_d(br, f->dc[f->comp_dc[1]], f->ac[f->comp_ac[1]],
-                                pred[1], uc + i * 64)) return -1;
-            if (!decode_block_d(br, f->dc[f->comp_dc[2]], f->ac[f->comp_ac[2]],
-                                pred[2], vc + i * 64)) return -1;
-            restart_check();
-        }
-    } else {
-        int bwid = (f->width + 7) / 8, bhei = (f->height + 7) / 8;
-        for (long long i = 0; i < (long long)bwid * bhei; i++) {
-            if (!decode_block_d(br, f->dc[f->comp_dc[0]], f->ac[f->comp_ac[0]],
-                                pred[0], yc + i * 64)) return -1;
-            restart_check();
-        }
+        m0 = m1;
     }
     return 0;
 }

@@ -771,3 +771,52 @@ def test_insert_exif_long_app0(rng):
     b = jpeg_tpu.decode_batch([tagged])
     np.testing.assert_array_equal(np.asarray(a.planes["y"]),
                                   np.asarray(b.planes["y"]))
+
+
+def _find_marker(b, m):
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] == 0xFF and b[i + 1] == m:
+            return i
+        if b[i] == 0xFF and b[i + 1] not in (0x01, 0xD8, 0xD9) \
+                and not 0xD0 <= b[i + 1] <= 0xD7:
+            ln = (b[i + 2] << 8) | b[i + 3]
+            i += 2 + ln
+        else:
+            i += 1
+    return -1
+
+
+def test_jpeg_parser_hardening(rng):
+    """Review fixes: Nf=2 rejected (heap-overflow vector), undefined
+    Huffman tables rejected (silent-garbage vector), fill bytes before
+    markers tolerated (valid files previously rejected)."""
+    y, u, v = smooth_yuv(rng, n=1, h=48, w=64)
+    blob = jpeg_tpu.encode_batch(from_numpy_yuv420(y, u, v), 85)[0]
+    # 1. Nf=2 in the SOF must be rejected cleanly
+    sof = _find_marker(blob, 0xC0)
+    bad = bytearray(blob)
+    bad[sof + 9] = 2
+    with pytest.raises(IOError):
+        jpeg_tpu.decode_batch([bytes(bad)])
+    # also as SOF2 (the progressive geometry is the overflow vector)
+    bad[sof + 1] = 0xC2
+    with pytest.raises(IOError):
+        jpeg_tpu.decode_batch([bytes(bad)])
+    # 2. removing every DHT: clean error, not silent garbage
+    stripped = bytearray(blob)
+    while True:
+        d = _find_marker(bytes(stripped), 0xC4)
+        if d < 0:
+            break
+        ln = (stripped[d + 2] << 8) | stripped[d + 3]
+        del stripped[d:d + 2 + ln]
+    with pytest.raises(IOError):
+        jpeg_tpu.decode_batch([bytes(stripped)])
+    # 3. a fill byte before a marker is legal padding (B.1.1.2)
+    sof = _find_marker(blob, 0xC0)
+    padded = blob[:sof] + b"\xff" + blob[sof:]
+    out = jpeg_tpu.decode_batch([padded])
+    np.testing.assert_array_equal(
+        np.asarray(out.planes["y"]),
+        np.asarray(jpeg_tpu.decode_batch([blob]).planes["y"]))
