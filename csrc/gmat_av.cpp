@@ -35,7 +35,10 @@ extern "C" {
 
 #define GAV_API extern "C" __attribute__((visibility("default")))
 
-static char g_err[1024];
+// thread_local: decoder/encoder sessions run on worker threads (metrans
+// EncoderWorker, ingest prefetch, shm workers) with the GIL released —
+// a shared buffer would race and report another session's error
+static thread_local char g_err[1024];
 static void set_err(const char* where, int code) {
     char buf[256];
     av_strerror(code, buf, sizeof buf);
@@ -320,7 +323,12 @@ GAV_API int gav_demux_read(void* h, unsigned char** data, long long* pts,
         if (r < 0) { set_err("av_read_frame", r); return -1; }
         if (d->pkt->stream_index == d->vstream) {
             if (d->bsf) {
-                av_bsf_send_packet(d->bsf, d->pkt);
+                int br_ = av_bsf_send_packet(d->bsf, d->pkt);
+                if (br_ < 0) {           // a BSF failure must be LOUD
+                    av_packet_unref(d->pkt);
+                    set_err("bsf send", br_);
+                    return -1;
+                }
                 continue;
             }
             *data = d->pkt->data; *pts = d->pkt->pts; *dts = d->pkt->dts;
@@ -360,12 +368,44 @@ struct GavDecoder {
     AVFrame* frame = nullptr;
     SwsContext* sws = nullptr;         // only if decoder output isn't yuv420p
     int sws_w = 0, sws_h = 0;
+    int sws_dw = 0, sws_dh = 0;               // destination geometry
     AVPixelFormat sws_fmt = AV_PIX_FMT_NONE;
     AVPixelFormat sws_out = AV_PIX_FMT_NONE;  // 8- vs 10-bit receive paths
     int crop_x = 0, crop_y = 0, crop_w = 0, crop_h = 0;  // 0 = no crop
     int last_interlaced = 0, last_tff = 0;    // props of the last frame
     int pending = 0;   // a received-but-unconsumed frame sits in `frame`
 };
+
+
+// Cached per-decoder scaler keyed on the FULL conversion (source dims/
+// format AND destination dims/format — a key missing the target
+// geometry would reuse a stale context and write past smaller caller
+// buffers).  Full-range sources (mjpeg yuvj*/gray8) keep their range:
+// sws deduces srcRange=1 but defaults the destination to limited,
+// silently compressing blacks/whites — propagate the source range on
+// EVERY receive path (8-bit, alpha, 10-bit).
+static SwsContext* dec_get_sws(GavDecoder* d, int src_w, int src_h,
+                               AVPixelFormat pf, int w, int hgt,
+                               AVPixelFormat out) {
+    if (!d->sws || d->sws_w != src_w || d->sws_h != src_h ||
+        d->sws_fmt != pf || d->sws_out != out ||
+        d->sws_dw != w || d->sws_dh != hgt) {
+        if (d->sws) sws_freeContext(d->sws);
+        d->sws = sws_getContext(src_w, src_h, pf, w, hgt, out,
+                                SWS_BILINEAR, nullptr, nullptr, nullptr);
+        d->sws_w = src_w; d->sws_h = src_h; d->sws_fmt = pf;
+        d->sws_out = out; d->sws_dw = w; d->sws_dh = hgt;
+        if (d->sws) {
+            int *inv_table, *table, sr, dr, br, ct, sat;
+            if (sws_getColorspaceDetails(d->sws, &inv_table, &sr, &table,
+                                         &dr, &br, &ct, &sat) >= 0
+                && sr && !dr)
+                sws_setColorspaceDetails(d->sws, inv_table, sr, table, sr,
+                                         br, ct, sat);
+        }
+    }
+    return d->sws;
+}
 
 // Pull the next frame into d->frame (idempotent while unconsumed):
 // 1 = frame held, 0 = need input, -2 = EOF, -1 = error.
@@ -556,42 +596,25 @@ GAV_API int gav_dec_receive(void* h, unsigned char* y, unsigned char* u,
     // the sws path, which rescales into the caller's geometry
     if ((pf == AV_PIX_FMT_YUV420P || pf == AV_PIX_FMT_YUVJ420P) &&
         src_w == w && src_h == hgt) {
+        // chroma rows/strides use the I420 CEIL convention for odd dims
+        // (matches both libav's plane layout and the caller's buffers;
+        // a floor stride would shear every chroma row after the first)
+        int cs = (w + 1) / 2, ch = (hgt + 1) / 2;
         for (int i = 0; i < hgt; i++)
             memcpy(y + (size_t)i * w, src[0] + (size_t)i * f->linesize[0], w);
-        for (int i = 0; i < hgt / 2; i++) {
-            memcpy(u + (size_t)i * (w / 2), src[1] + (size_t)i * f->linesize[1], w / 2);
-            memcpy(v + (size_t)i * (w / 2), src[2] + (size_t)i * f->linesize[2], w / 2);
+        for (int i = 0; i < ch; i++) {
+            memcpy(u + (size_t)i * cs, src[1] + (size_t)i * f->linesize[1], cs);
+            memcpy(v + (size_t)i * cs, src[2] + (size_t)i * f->linesize[2], cs);
         }
     } else {
         // convert/scale anything else (yuv444, 10-bit, downscale target,
         // mid-stream dim change) to caller-geometry I420 via swscale
-        if (!d->sws || d->sws_w != src_w || d->sws_h != src_h ||
-            d->sws_fmt != pf || d->sws_out != AV_PIX_FMT_YUV420P) {
-            if (d->sws) sws_freeContext(d->sws);
-            d->sws = sws_getContext(src_w, src_h, pf, w, hgt,
-                                    AV_PIX_FMT_YUV420P, SWS_BILINEAR,
-                                    nullptr, nullptr, nullptr);
-            d->sws_w = src_w; d->sws_h = src_h; d->sws_fmt = pf;
-            d->sws_out = AV_PIX_FMT_YUV420P;
-        }
-        if (!d->sws) {
+        if (!dec_get_sws(d, src_w, src_h, pf, w, hgt,
+                         AV_PIX_FMT_YUV420P)) {
             snprintf(g_err, sizeof g_err, "no conversion from pixel "
                      "format %d", (int)pf);
             av_frame_unref(f);
             return -1;
-        }
-        {
-            // full-range sources (mjpeg yuvj444/422/gray8) must STAY
-            // full-range in the I420 output — sws deduces srcRange=1
-            // from those pixel formats but defaults the YUV420P
-            // destination to limited, silently compressing blacks/
-            // whites to 16..235; propagate the source range instead
-            int *inv_table, *table, sr, dr, br, ct, sat;
-            if (sws_getColorspaceDetails(d->sws, &inv_table, &sr, &table,
-                                         &dr, &br, &ct, &sat) >= 0
-                && sr && !dr)
-                sws_setColorspaceDetails(d->sws, inv_table, sr, table, sr,
-                                         br, ct, sat);
         }
         // chroma strides use the I420 ceil convention: for odd targets
         // sws writes ceil(w/2) bytes per row (caller allocates ceil)
@@ -626,16 +649,8 @@ GAV_API int gav_dec_receive_a(void* h, unsigned char* y, unsigned char* u,
         av_frame_unref(f);
         return -1;
     }
-    if (!d->sws || d->sws_w != src_w || d->sws_h != src_h ||
-        d->sws_fmt != pf || d->sws_out != AV_PIX_FMT_YUVA420P) {
-        if (d->sws) sws_freeContext(d->sws);
-        d->sws = sws_getContext(src_w, src_h, pf, w, hgt,
-                                AV_PIX_FMT_YUVA420P, SWS_BILINEAR,
-                                nullptr, nullptr, nullptr);
-        d->sws_w = src_w; d->sws_h = src_h; d->sws_fmt = pf;
-        d->sws_out = AV_PIX_FMT_YUVA420P;
-    }
-    if (!d->sws) {
+    if (!dec_get_sws(d, src_w, src_h, pf, w, hgt,
+                     AV_PIX_FMT_YUVA420P)) {
         snprintf(g_err, sizeof g_err, "no alpha conversion from pixel "
                  "format %d", (int)pf);
         av_frame_unref(f);
@@ -779,8 +794,10 @@ GAV_API int gav_enc_send(void* h, const unsigned char* y, const unsigned char* u
         e->frame->pict_type = force_key ? AV_PICTURE_TYPE_I : AV_PICTURE_TYPE_NONE;
         if (e->ctx->flags & AV_CODEC_FLAG_QSCALE)
             e->frame->quality = e->ctx->global_quality;
-        e->in_count++;
         r = avcodec_send_frame(e->ctx, e->frame);
+        // count only ACCEPTED frames: an EAGAIN retry after draining
+        // must not skew the auto-generated pts sequence
+        if (r == 0) e->in_count++;
     }
     if (r < 0 && r != AVERROR(EAGAIN) && r != AVERROR_EOF) { set_err("send_frame", r); return -1; }
     return r == AVERROR(EAGAIN) ? 1 : 0;
@@ -1386,7 +1403,9 @@ GAV_API int gav_mux_write_stream(void* h, int stream, const unsigned char* data,
     pkt->dts = dts == AV_NOPTS_VALUE ? AV_NOPTS_VALUE
                                      : av_rescale_q(dts, atb, st->time_base);
     pkt->stream_index = st->index;
-    pkt->flags |= AV_PKT_FLAG_KEY;
+    // honor the caller's sync flag: not every audio codec's packets are
+    // seek points (TrueHD major sync etc.)
+    if (key) pkt->flags |= AV_PKT_FLAG_KEY;
     int r = av_interleaved_write_frame(m->fmt, pkt);
     av_packet_free(&pkt);
     if (r < 0) { set_err("mux audio", r); return -1; }
@@ -1417,23 +1436,18 @@ GAV_API int gav_dec_receive16(void* h, unsigned short* y, unsigned short* u,
         return -1;
     }
     if (pf == AV_PIX_FMT_YUV420P10LE && src_w == w && src_h == hgt) {
+        // I420 ceil chroma convention (odd dims): ceil(w/2) u16 samples
+        // per row at the caller's ceil stride
+        int cs = (w + 1) / 2, ch = (hgt + 1) / 2;
         for (int i = 0; i < hgt; i++)
             memcpy(y + (size_t)i * w, src[0] + (size_t)i * f->linesize[0], w * 2);
-        for (int i = 0; i < hgt / 2; i++) {
-            memcpy(u + (size_t)i * (w / 2), src[1] + (size_t)i * f->linesize[1], w);
-            memcpy(v + (size_t)i * (w / 2), src[2] + (size_t)i * f->linesize[2], w);
+        for (int i = 0; i < ch; i++) {
+            memcpy(u + (size_t)i * cs, src[1] + (size_t)i * f->linesize[1], cs * 2);
+            memcpy(v + (size_t)i * cs, src[2] + (size_t)i * f->linesize[2], cs * 2);
         }
     } else {
-        if (!d->sws || d->sws_w != src_w || d->sws_h != src_h ||
-            d->sws_fmt != pf || d->sws_out != AV_PIX_FMT_YUV420P10LE) {
-            if (d->sws) sws_freeContext(d->sws);
-            d->sws = sws_getContext(src_w, src_h, pf, w, hgt,
-                                    AV_PIX_FMT_YUV420P10LE, SWS_BILINEAR,
-                                    nullptr, nullptr, nullptr);
-            d->sws_w = src_w; d->sws_h = src_h; d->sws_fmt = pf;
-            d->sws_out = AV_PIX_FMT_YUV420P10LE;
-        }
-        if (!d->sws) {
+        if (!dec_get_sws(d, src_w, src_h, pf, w, hgt,
+                         AV_PIX_FMT_YUV420P10LE)) {
             snprintf(g_err, sizeof g_err, "no conversion from pixel "
                      "format %d", (int)pf);
             av_frame_unref(f);
@@ -1503,8 +1517,8 @@ GAV_API int gav_enc_send16(void* h, const unsigned short* y,
         }
         e->frame->pts = pts >= 0 ? pts : e->in_count;
         e->frame->pict_type = force_key ? AV_PICTURE_TYPE_I : AV_PICTURE_TYPE_NONE;
-        e->in_count++;
         r = avcodec_send_frame(e->ctx, e->frame);
+        if (r == 0) e->in_count++;   // count only accepted frames
     }
     if (r < 0 && r != AVERROR(EAGAIN) && r != AVERROR_EOF) { set_err("send16", r); return -1; }
     return r == AVERROR(EAGAIN) ? 1 : 0;

@@ -187,7 +187,9 @@ class Decoder:
         take a fresh independent stream (avcodec_flush_buffers)."""
         self._lib.gav_dec_reset(self._h)
 
-    def send(self, data: Optional[bytes], pts: int = -1) -> None:
+    def send(self, data: Optional[bytes], pts: int = -1) -> int:
+        """Feed one packet.  Returns 0 (consumed) or 1 (decoder is full
+        — EAGAIN: drain frames with receive() and resend)."""
         if data is None:
             r = self._lib.gav_dec_send(self._h, None, 0, 0)
         else:
@@ -195,6 +197,7 @@ class Decoder:
             r = self._lib.gav_dec_send(self._h, buf, len(data), pts)
         if r < 0:
             raise IOError(f"dec send: {native.last_error()}")
+        return r
 
     def _sync_dims(self):
         """Peek the NEXT frame's output dims (gav_dec_peek_dims holds the
@@ -290,25 +293,37 @@ class Decoder:
 
     def decode_alpha(self, data: Optional[bytes], pts: int = -1):
         """send + drain: yields (y, u, v, a, pts) tuples."""
-        self.send(data, pts)
+        r = self.send(data, pts)
         while True:
             try:
                 f = self.receive_alpha()
             except StopIteration:
-                return
+                f = None
             if f is None:
+                if r == 1:             # EAGAIN: resend after draining
+                    r = self.send(data, pts)
+                    if r == 1:
+                        raise IOError("decoder EAGAIN after drain")
+                    continue
                 return
             yield f
 
     def decode(self, data: Optional[bytes], pts: int = -1):
-        """send + drain: yields (y, u, v, pts) tuples."""
-        self.send(data, pts)
+        """send + drain: yields (y, u, v, pts) tuples.  An EAGAIN send
+        (decoder full, e.g. frame-threaded with several packets queued)
+        drains first and resends — the packet is never silently lost."""
+        r = self.send(data, pts)
         while True:
             try:
                 f = self.receive()
             except StopIteration:
-                return
+                f = None
             if f is None:
+                if r == 1:             # input not consumed yet: resend
+                    r = self.send(data, pts)
+                    if r == 1:
+                        raise IOError("decoder EAGAIN after drain")
+                    continue
                 return
             yield f
 
@@ -343,13 +358,18 @@ class Decoder:
         return y, u[:h // 2, :w // 2], v[:h // 2, :w // 2], pts.value
 
     def decode16(self, data: Optional[bytes], pts: int = -1):
-        self.send(data, pts)
+        r = self.send(data, pts)
         while True:
             try:
                 f = self.receive16()
             except StopIteration:
-                return
+                f = None
             if f is None:
+                if r == 1:             # EAGAIN: resend after draining
+                    r = self.send(data, pts)
+                    if r == 1:
+                        raise IOError("decoder EAGAIN after drain")
+                    continue
                 return
             yield f
 
@@ -401,6 +421,11 @@ class Encoder:
         self._h, new._h = new._h, None
         self._kwargs = kw
         self.bits = kw["bits"]
+        # public attrs must track the new config (a Muxer built from
+        # enc.fps after reconfigure(fps=...) would get a stale timebase)
+        for k_ in ("fps", "gop", "bf", "preset", "crf"):
+            if k_ in kw and hasattr(self, k_):
+                setattr(self, k_, kw[k_])
         self._force_next_key = True
 
     def extradata(self) -> bytes:
@@ -474,14 +499,21 @@ class Encoder:
                 v.ctypes.data_as(native.c_pu8), pts, int(force_key))
         if r < 0:
             raise IOError(f"enc send: {native.last_error()}")
-        pkts, _ = self._recv_all()
+        pkts, n = self._recv_all()
+        if n == -1:
+            raise IOError(f"enc receive: {native.last_error()}")
+        if r == 1:                      # EAGAIN: resend after draining
+            more = self.encode(y, u, v, pts, force_key)
+            return pkts + more
         return pkts
 
     def flush(self):
         r = self._lib.gav_enc_send(self._h, None, None, None, 0, 0)
         if r < 0:
             raise IOError(f"enc flush: {native.last_error()}")
-        pkts, _ = self._recv_all()
+        pkts, n = self._recv_all()
+        if n == -1:
+            raise IOError(f"enc receive: {native.last_error()}")
         return pkts
 
     def close(self):
@@ -659,6 +691,8 @@ class AudioEncoder:
             n = self._lib.gav_aenc_receive(self._h, ctypes.byref(data),
                                            ctypes.byref(pts),
                                            ctypes.byref(dts))
+            if n == -1:
+                raise IOError(f"aenc receive: {native.last_error()}")
             if n <= 0:
                 return pkts
             pkts.append(Packet(ctypes.string_at(data, n), pts.value,

@@ -624,3 +624,49 @@ def test_dynamic_resolution_no_transition_rescale():
         want = (240, 320) if base < 100 else (120, 160)
         assert y.shape == want, (base, y.shape)
         assert u.shape == (want[0] // 2, want[1] // 2)
+
+
+def test_decoder_fast_path_odd_width_chroma():
+    """Review fix: the I420 fast path must use the ceil chroma stride
+    for odd dims — a floor stride shears every chroma row (caller
+    buffers follow the documented ceil convention)."""
+    import numpy as np
+    from gmat_tpu.av import jpeg_tpu
+    from gmat_tpu.core.frame import from_numpy_yuv420
+    h, w = 75, 99
+    rng = np.random.default_rng(2)
+    y = rng.integers(16, 236, (1, h, w)).astype(np.uint8)
+    u = np.tile(np.arange(49, dtype=np.uint8)[None, None, :] * 5,
+                (1, 37, 1))
+    v = 255 - u
+    blob = jpeg_tpu.encode_batch(from_numpy_yuv420(y, u, v), 95)[0]
+    dec = tk.Decoder(tk.CODEC_MJPEG)
+    frames = list(dec.decode(blob, 0)) + list(dec.decode(None))
+    dec.close()
+    yd, ud, vd, _ = frames[0]
+    assert ud.shape == (37, 49)    # floor view over ceil-stride buffers
+    # independent decoders agree within a few code values EVERYWHERE —
+    # a sheared chroma plane diverges by >100 on this gradient
+    ours = jpeg_tpu.decode_batch([blob])
+    du = np.abs(ud.astype(int)
+                - np.asarray(ours.planes["u"])[0].astype(int))
+    assert du.max() <= 8, du.max()
+
+
+def test_decode16_preserves_full_range():
+    """Review fix: the 10-bit receive path propagates full-range
+    sources (was only fixed for the 8-bit path) — a full-range mjpeg
+    ramp must span ~0..1020 after decode16, not compress to 64..940."""
+    import numpy as np
+    from gmat_tpu.av import jpeg_tpu
+    from gmat_tpu.core.frame import FrameBatch
+    y = np.tile(np.linspace(0, 255, 64, dtype=np.uint8), (64, 1))
+    blob = jpeg_tpu.encode_batch(
+        FrameBatch({"y": y[None]}, "gray8", 64, 64, "bt601"), 95)[0]
+    dec = tk.Decoder(tk.CODEC_MJPEG, width=64, height=64)
+    frames = list(dec.decode16(blob, 0)) + list(dec.decode16(None))
+    dec.close()
+    y16 = frames[0][0]
+    assert y16.dtype == np.uint16
+    assert int(y16.min()) <= 32 and int(y16.max()) >= 988, \
+        (int(y16.min()), int(y16.max()))
