@@ -386,7 +386,7 @@ struct GavDecoder {
 // EVERY receive path (8-bit, alpha, 10-bit).
 static SwsContext* dec_get_sws(GavDecoder* d, int src_w, int src_h,
                                AVPixelFormat pf, int w, int hgt,
-                               AVPixelFormat out) {
+                               AVPixelFormat out, int keep_range = 1) {
     if (!d->sws || d->sws_w != src_w || d->sws_h != src_h ||
         d->sws_fmt != pf || d->sws_out != out ||
         d->sws_dw != w || d->sws_dh != hgt) {
@@ -395,7 +395,7 @@ static SwsContext* dec_get_sws(GavDecoder* d, int src_w, int src_h,
                                 SWS_BILINEAR, nullptr, nullptr, nullptr);
         d->sws_w = src_w; d->sws_h = src_h; d->sws_fmt = pf;
         d->sws_out = out; d->sws_dw = w; d->sws_dh = hgt;
-        if (d->sws) {
+        if (d->sws && keep_range) {
             int *inv_table, *table, sr, dr, br, ct, sat;
             if (sws_getColorspaceDetails(d->sws, &inv_table, &sr, &table,
                                          &dr, &br, &ct, &sat) >= 0
@@ -649,8 +649,11 @@ GAV_API int gav_dec_receive_a(void* h, unsigned char* y, unsigned char* u,
         av_frame_unref(f);
         return -1;
     }
+    // keep_range=0: the alpha lane feeds the overlay's LIMITED-range
+    // YUV blend (ffmpeg converts PNG RGB to limited yuva420p the same
+    // way); the alpha plane itself stays full-range regardless
     if (!dec_get_sws(d, src_w, src_h, pf, w, hgt,
-                     AV_PIX_FMT_YUVA420P)) {
+                     AV_PIX_FMT_YUVA420P, 0)) {
         snprintf(g_err, sizeof g_err, "no alpha conversion from pixel "
                  "format %d", (int)pf);
         av_frame_unref(f);
