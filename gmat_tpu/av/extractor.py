@@ -66,9 +66,13 @@ class FrameExtractor:
     def _pkt_time(self, pkt: tk.Packet) -> float:
         ts = pkt.pts if pkt.pts != AV_NOPTS else pkt.dts
         if ts == AV_NOPTS:
-            # timestamp-less elementary streams: synthesize from demux
-            # order at the container rate
-            return self.n_demuxed / max(self.dm.fps, 1.0)
+            # timestamp-less elementary streams: synthesize from the
+            # frame INDEX at the container rate.  _iframe ticks for
+            # seek-skipped packets too (n_demuxed does not), so the
+            # clock can't fall behind and stretch the extraction
+            # cadence; at call time the current packet's index is
+            # _iframe - 1 (incremented just before).
+            return (self._iframe - 1) / max(self.dm.fps, 1.0)
         return ts * self._tb
 
     def _seek_keyframe_frames(self, interval: int) -> int:

@@ -105,7 +105,7 @@ def parse_graph(spec: str) -> List[Tuple[str, Dict[str, str]]]:
         if argstr:
             named_seen = False
             for i, tok in enumerate(_split(argstr, ":")):
-                if "=" in tok and not tok.startswith("gt(") and \
+                if "=" in tok and \
                         tok.split("=", 1)[0].replace("_", "").isalnum() and \
                         not tok.split("=", 1)[0][0].isdigit():
                     k, v = tok.split("=", 1)
@@ -261,10 +261,24 @@ class FilterGraph:
         numpy), including end-of-stream flush output.
         """
         def emit(out, keep, opts):
-            host = {k: np.asarray(v) for k, v in out.planes.items()}
-            for i in np.nonzero(keep)[0]:
+            idx = np.nonzero(keep)[0]
+            if len(idx) == 0:
+                return
+            if len(idx) < out.batch:
+                # gather the kept frames ON DEVICE before the host
+                # transfer: a sparse select (thumbnails, scene cuts)
+                # would otherwise ship the whole batch over the tunnel
+                # only to discard most of it.  Distinct gather shapes
+                # are bounded by the batch size (tiny programs).
+                import jax.numpy as jnp
+                sel = jnp.asarray(idx)
+                host = {k: np.asarray(jnp.take(v, sel, axis=0))
+                        for k, v in out.planes.items()}
+            else:
+                host = {k: np.asarray(v) for k, v in out.planes.items()}
+            for j, i in enumerate(idx):
                 p = int(opts[i]) if opts is not None else 0
-                yield {k: v[i] for k, v in host.items()}, p, out
+                yield {k: v[j] for k, v in host.items()}, p, out
 
         for fb, pts, valid in batch_iter:
             out, keep = self.process(fb, pts=pts, valid=valid)

@@ -60,7 +60,11 @@ def preprocess(fb: FrameBatch, out_w: int, out_h: int,
     the same composition the Pallas ladder folds into its matrices
     (smooth=(kw, kh, sigmaX, sigmaY, border))."""
     if crop_box is not None:
-        fb = crop_op(fb, *crop_box)
+        # crop_box is (x, y, w, h) — the Pallas ladder's convention —
+        # while geometry.crop's signature is (w, h, x, y); reorder so
+        # the XLA fallback crops the SAME region the kernel would
+        bx, by, bw, bh = crop_box
+        fb = crop_op(fb, bw, bh, bx, by)
     if fb.fmt.is_rgb:
         out = resize_op(fb, out_w, out_h, method)
         if smooth is not None:

@@ -627,3 +627,45 @@ def test_psnr_filter_dim_mismatch(rng, tmp_path):
     with pytest.raises(FilterError, match="match the reference"):
         g.process(from_numpy_yuv420(y, u, v), pts=np.arange(2),
                   times=np.arange(2) / 30.0, valid=2)
+
+
+def test_crop_box_fallback_matches_pallas_convention():
+    """Review fix: crop_box is (x, y, w, h) everywhere — the XLA
+    fallback must crop the same region the Pallas ladder would (the
+    argument order previously hit geometry.crop's (w, h, x, y))."""
+    import numpy as np
+    from gmat_tpu.core.frame import from_numpy_yuv420
+    from gmat_tpu.ops import fused
+    rng = np.random.default_rng(0)
+    h, w = 64, 96
+    y = rng.integers(0, 256, (1, h, w)).astype(np.uint8)
+    u = rng.integers(0, 256, (1, h // 2, w // 2)).astype(np.uint8)
+    v = rng.integers(0, 256, (1, h // 2, w // 2)).astype(np.uint8)
+    fb = from_numpy_yuv420(y, u, v)
+    out = fused.preprocess_nchw(fb, 32, 32, crop_box=(8, 4, 48, 40),
+                                use_pallas="never")
+    ref = fused.preprocess_nchw(
+        from_numpy_yuv420(np.ascontiguousarray(y[:, 4:44, 8:56]),
+                          np.ascontiguousarray(u[:, 2:22, 4:28]),
+                          np.ascontiguousarray(v[:, 2:22, 4:28])),
+        32, 32, use_pallas="never")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_run_frames_sparse_keep_gathers_on_device():
+    # behavior check for the device-side gather: a sparse select yields
+    # exactly the kept frames with their pts
+    import numpy as np
+    from gmat_tpu.core.frame import from_numpy_yuv420
+    from gmat_tpu.filters.graph import FilterGraph
+    n, h, w = 8, 32, 32
+    y = np.stack([np.full((h, w), 10 + 20 * i, np.uint8)
+                  for i in range(n)])
+    u = np.full((n, h // 2, w // 2), 110, np.uint8)
+    v = np.full((n, h // 2, w // 2), 140, np.uint8)
+    g = FilterGraph("select=eq(mod(n\\,4)\\,0)")
+    got = list(g.run_frames([(from_numpy_yuv420(y, u, v),
+                              np.arange(n, dtype=np.int64), n)]))
+    assert [p for (_pl, p, _fb) in got] == [0, 4]
+    assert int(got[1][0]["y"][0, 0]) == 10 + 20 * 4
