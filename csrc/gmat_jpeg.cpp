@@ -523,6 +523,7 @@ struct PCountSink {
     uint32_t* fq[2];
     inline void sym(int t, int s) { fq[t][s]++; }
     inline void put(uint32_t, int) {}
+    inline void restart(int) {}
 };
 
 struct PEmitSink {
@@ -530,6 +531,11 @@ struct PEmitSink {
     const HuffEnc* tab[2];
     inline void sym(int t, int s) { bw.put(tab[t]->code[s], tab[t]->len[s]); }
     inline void put(uint32_t v, int n) { if (n) bw.put(v, n); }
+    inline void restart(int n) {        // byte-align + RSTn marker
+        bw.flush();
+        bw.out.push_back(0xFF);
+        bw.out.push_back((uint8_t)(0xD0 + (n & 7)));
+    }
 };
 
 // EOB-run flush: symbol (nbits<<4), the run's low bits, then every
@@ -623,13 +629,29 @@ static void prog_ac_refine(S& s, const int16_t* z, int ss, int se, int al,
 template <class S>
 static void prog_run_scan(S& s, const ProgScanDef& sc,
                           const int16_t* const* bufs, const PCompGeom* g,
-                          int mcux, int mcuy) {
+                          int mcux, int mcuy, int restart = 0) {
     int pred[3] = {0, 0, 0};
     unsigned eobrun = 0;
     std::vector<uint8_t> be;
+    // restart intervals count MCUs in interleaved scans and BLOCKS in
+    // non-interleaved ones (T.81: the MCU of a non-interleaved scan is
+    // one block) — the same convention the progressive decoder's
+    // restart_check applies.  Fires between units, never after the last.
+    long long unit = 0, total_units = (sc.ss == 0 && sc.ncomp > 1)
+        ? (long long)mcux * mcuy
+        : (long long)g[sc.ci[0]].cw * g[sc.ci[0]].ch;
+    int rst = 0;
+    auto boundary = [&](void) {
+        ++unit;
+        if (restart > 0 && unit % restart == 0 && unit < total_units) {
+            prog_emit_eobrun(s, eobrun, be);
+            s.restart(rst++ & 7);
+            pred[0] = pred[1] = pred[2] = 0;
+        }
+    };
     if (sc.ss == 0 && sc.ncomp > 1) {
         for (int my = 0; my < mcuy; my++)
-            for (int mx = 0; mx < mcux; mx++)
+            for (int mx = 0; mx < mcux; mx++) {
                 for (int k = 0; k < sc.ncomp; k++) {
                     int c = sc.ci[k];
                     for (int v = 0; v < g[c].v; v++)
@@ -645,6 +667,8 @@ static void prog_run_scan(S& s, const ProgScanDef& sc,
                                 s.put((uint32_t)(z[0] >> sc.al) & 1, 1);
                         }
                 }
+                boundary();
+            }
     } else {
         int c = sc.ci[0];
         for (long long by = 0; by < g[c].ch; by++)
@@ -660,17 +684,20 @@ static void prog_run_scan(S& s, const ProgScanDef& sc,
                 } else {
                     prog_ac_refine(s, z, sc.ss, sc.se, sc.al, eobrun, be);
                 }
+                boundary();
             }
     }
     prog_emit_eobrun(s, eobrun, be);
 }
 
-GJ_API int gjpeg_encode_progressive(const int16_t* yc, const int16_t* uc,
-                                    const int16_t* vc, int width,
-                                    int height, int subsamp,
-                                    const uint8_t* qluma,
-                                    const uint8_t* qchroma,
-                                    uint8_t* outbuf, long long capacity) {
+GJ_API int gjpeg_encode_progressive_r(const int16_t* yc,
+                                      const int16_t* uc,
+                                      const int16_t* vc, int width,
+                                      int height, int subsamp,
+                                      const uint8_t* qluma,
+                                      const uint8_t* qchroma,
+                                      uint8_t* outbuf,
+                                      long long capacity, int restart) {
     if (width <= 0 || height <= 0 || width > 65535 || height > 65535 ||
         subsamp < 0 || subsamp > 3) {
         snprintf(gj_err, sizeof gj_err,
@@ -699,6 +726,8 @@ GJ_API int gjpeg_encode_progressive(const int16_t* yc, const int16_t* uc,
         o.push_back(0x01);
         for (int i = 0; i < 64; i++) o.push_back(qchroma[ZIGZAG[i]]);
     }
+    if (restart > 65535) restart = 65535;
+    if (restart < 0) restart = 0;
     put_marker(o, 0xC2);                     // SOF2: progressive DCT
     put_u16(o, (uint16_t)(8 + 3 * ncomp));
     o.push_back(8); put_u16(o, (uint16_t)height);
@@ -710,6 +739,11 @@ GJ_API int gjpeg_encode_progressive(const int16_t* yc, const int16_t* uc,
     if (ncomp == 3) {
         o.push_back(2); o.push_back(0x11); o.push_back(1);
         o.push_back(3); o.push_back(0x11); o.push_back(1);
+    }
+
+    if (restart > 0) {
+        put_marker(o, 0xDD); put_u16(o, 4);
+        put_u16(o, (uint16_t)restart);
     }
 
     // the libjpeg simple-progression script (jcparam.c)
@@ -746,7 +780,7 @@ GJ_API int gjpeg_encode_progressive(const int16_t* yc, const int16_t* uc,
             static thread_local uint32_t fq[2][257];
             memset(fq, 0, sizeof fq);
             PCountSink cs{{fq[0], fq[1]}};
-            prog_run_scan(cs, sc, bufs, g, mcux, mcuy);
+            prog_run_scan(cs, sc, bufs, g, mcux, mcuy, restart);
             uint8_t bits0[17], vals0[256], bits1[17], vals1[256];
             int nv0 = 0, nv1 = 0;
             if (sc.ss == 0) {           // DC first: one table per class
@@ -777,7 +811,7 @@ GJ_API int gjpeg_encode_progressive(const int16_t* yc, const int16_t* uc,
         o.push_back((uint8_t)((sc.ah << 4) | sc.al));
         BitWriter bw(o);
         PEmitSink es{bw, {&enc0, &enc1}};
-        prog_run_scan(es, sc, bufs, g, mcux, mcuy);
+        prog_run_scan(es, sc, bufs, g, mcux, mcuy, restart);
         bw.flush();
     }
     put_marker(o, 0xD9);
@@ -1726,4 +1760,14 @@ GJ_API int gjpeg_decode_coefs_mt(void* h, int16_t* yc, int16_t* uc,
         return -1;
     }
     return 0;
+}
+
+GJ_API int gjpeg_encode_progressive(const int16_t* yc, const int16_t* uc,
+                                    const int16_t* vc, int width,
+                                    int height, int subsamp,
+                                    const uint8_t* qluma,
+                                    const uint8_t* qchroma,
+                                    uint8_t* outbuf, long long capacity) {
+    return gjpeg_encode_progressive_r(yc, uc, vc, width, height, subsamp,
+                                      qluma, qchroma, outbuf, capacity, 0);
 }

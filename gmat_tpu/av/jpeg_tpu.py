@@ -125,15 +125,15 @@ def encode_batch(fb: FrameBatch, quality: int = 90,
     spectral selection + successive approximation, the libjpeg
     simple-progression script) with per-scan optimal Huffman tables —
     typically the smallest files; decodable by libjpeg/PIL/avcodec and
-    our own progressive decoder.  Beyond nvjpeg (baseline-only encode).
+    our own progressive decoder.  Composes with restart_mcus (per-scan
+    DRI/RSTn — intervals count MCUs in the interleaved DC scan and
+    blocks in non-interleaved scans, the T.81 convention).  Beyond
+    nvjpeg (baseline-only encode).
 
     Supports yuv420p/nv12 (4:2:0), yuv422p, yuv444p, and gray8."""
     if not 0 <= int(restart_mcus) <= 65535:
         raise ValueError("restart_mcus must be 0..65535 (16-bit DRI "
                          f"field), got {restart_mcus}")
-    if progressive and restart_mcus:
-        raise ValueError("progressive encode does not support restart "
-                         "intervals (use one or the other)")
     qy, qc = dct.quality_tables(quality)
     w, h = fb.width, fb.height
     lib = native.load("gmat_jpeg")
@@ -192,11 +192,12 @@ def encode_batch(fb: FrameBatch, quality: int = 90,
 
     def encode_one(i, buf):
         if progressive:
-            n = lib.gjpeg_encode_progressive(
+            n = lib.gjpeg_encode_progressive_r(
                 planes[0][i].ctypes.data_as(p16),
                 planes[1][i].ctypes.data_as(p16),
                 planes[2][i].ctypes.data_as(p16), w, h, subsamp,
-                qyp, qcp, buf.ctypes.data_as(native.c_pu8), cap)
+                qyp, qcp, buf.ctypes.data_as(native.c_pu8), cap,
+                int(restart_mcus))
         else:
             n = lib.gjpeg_encode_ro(
                 planes[0][i].ctypes.data_as(p16),

@@ -228,6 +228,11 @@ def _declare(name: str, lib: ctypes.CDLL):
                                           ctypes.c_int, ctypes.c_int,
                                           ctypes.c_int, c_pu8, c_pu8,
                                           c_pu8, c_ll]),
+            "gjpeg_encode_progressive_r": (ctypes.c_int,
+                                           [c_pi16, c_pi16, c_pi16,
+                                            ctypes.c_int, ctypes.c_int,
+                                            ctypes.c_int, c_pu8, c_pu8,
+                                            c_pu8, c_ll, ctypes.c_int]),
             "gjpeg_parse": (ctypes.c_void_p, [c_pu8, c_ll]),
             "gjpeg_decode_coefs_mt": (ctypes.c_int,
                                       [ctypes.c_void_p, c_pi16, c_pi16,

@@ -599,11 +599,13 @@ def test_progressive_encode_odd_dims(rng):
                                       np.asarray(dp.planes[k]))
 
 
-def test_progressive_encode_rejects_restart(rng):
+def test_progressive_encode_accepts_restart(rng):
+    # progressive + restart now compose (see the dedicated DRI test);
+    # the out-of-range DRI check still applies
     y, u, v = smooth_yuv(rng, n=1)
     fb = from_numpy_yuv420(y, u, v)
     with pytest.raises(ValueError):
-        jpeg_tpu.encode_batch(fb, progressive=True, restart_mcus=4)
+        jpeg_tpu.encode_batch(fb, progressive=True, restart_mcus=70000)
 
 
 def test_mjpeg_tpu_decode_stream(rng, tmp_path):
@@ -820,3 +822,34 @@ def test_jpeg_parser_hardening(rng):
     np.testing.assert_array_equal(
         np.asarray(out.planes["y"]),
         np.asarray(jpeg_tpu.decode_batch([blob]).planes["y"]))
+
+
+@pytest.mark.parametrize("fmt", ["yuv420p", "gray8"])
+def test_progressive_encode_with_restart_intervals(rng, fmt):
+    """progressive + DRI compose: per-scan RSTn markers (MCU-counted in
+    the interleaved DC scan, block-counted in non-interleaved scans),
+    bit-exact through our decoder and PIL."""
+    import io
+    from PIL import Image
+    from gmat_tpu.core.frame import FrameBatch
+    h, w = 96, 144
+    y = (np.add.outer(np.linspace(10, 240, h), np.linspace(0, 25, w))
+         + rng.normal(0, 6, (h, w))).clip(0, 255).astype(np.uint8)[None]
+    if fmt == "yuv420p":
+        planes = {"y": y, "u": (y[:, ::2, ::2] // 2 + 40),
+                  "v": np.full((1, h // 2, w // 2), 150, np.uint8)}
+    else:
+        planes = {"y": y}
+    fb = FrameBatch(planes, fmt, w, h)
+    base = jpeg_tpu.encode_batch(fb, quality=86)
+    pr = jpeg_tpu.encode_batch(fb, quality=86, progressive=True,
+                               restart_mcus=4)
+    assert b"\xff\xdd" in pr[0][:700]        # DRI present
+    assert any(bytes([0xFF, 0xD0 + k]) in pr[0] for k in range(8))
+    db, dp = jpeg_tpu.decode_batch(base), jpeg_tpu.decode_batch(pr)
+    for k in db.planes:
+        np.testing.assert_array_equal(np.asarray(db.planes[k]),
+                                      np.asarray(dp.planes[k]))
+    a = np.asarray(Image.open(io.BytesIO(base[0])).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(pr[0])).convert("RGB"))
+    np.testing.assert_array_equal(a, b)
