@@ -875,7 +875,7 @@ def _decode_hvc1(item: HeifItem):
 
 
 def decode_still(data, index: Optional[int] = None, apply: bool = True,
-                 with_alpha: bool = False):
+                 with_alpha: bool = False, workers: int = 0):
     """.heic bytes/path -> (y, u, v) I420 planes.
 
     Handles plain hvc1 items AND 'grid' derived items (tiled large
@@ -890,7 +890,7 @@ def decode_still(data, index: Optional[int] = None, apply: bool = True,
     rdr = HeifReader(data)
     item = rdr.read_image(index)
     if rdr.item_types.get(item.item_id) == b"grid":
-        yuv = _decode_grid(rdr, item)
+        yuv = _decode_grid(rdr, item, workers=workers)
     else:
         yuv = _decode_hvc1(item)
     if apply and item.transforms:
@@ -926,31 +926,56 @@ def _parse_grid_payload(payload: bytes):
     return rows, cols, w, h
 
 
-def _decode_grid(rdr: "HeifReader", grid: HeifItem):
+def _decode_grid(rdr: "HeifReader", grid: HeifItem, workers: int = 0):
     rows, cols, out_w, out_h = _parse_grid_payload(grid.data)
     tile_ids = rdr.dimg.get(grid.item_id)
     if not tile_ids or len(tile_ids) != rows * cols:
         raise IOError(f"grid {grid.item_id}: expected {rows * cols} dimg "
                       f"tile refs, found {tile_ids}")
     by_id = {it.item_id: it for it in rdr.items}
-    dec = None
-    dims = None
-    ty = tu = tv = None
-    canvas = None
-    for k, tid in enumerate(tile_ids):
+    tiles = []
+    for tid in tile_ids:
         t = by_id.get(tid)
         if t is None:
             raise IOError(f"grid tile {tid} missing")
-        if dec is None or (t.width, t.height) != dims:
-            if dec is not None:
-                dec.close()
+        tiles.append(t)
+    nw = _still_workers(workers, len(tiles))
+    if nw <= 1:
+        # sequential: reuse ONE decoder across same-geometry tiles
+        dec = None
+        dims = None
+        decoded = []
+        for t in tiles:
+            if dec is None or (t.width, t.height) != dims:
+                if dec is not None:
+                    dec.close()
+                dec = tk.Decoder(tk.CODEC_HEVC, width=t.width,
+                                 height=t.height)
+                dims = (t.width, t.height)
+            frames = (list(dec.decode(t.to_annexb(), 0))
+                      + list(dec.decode(None)))
+            dec.reset()
+            if not frames:
+                raise IOError(f"grid tile {t.item_id} decoded no frame")
+            decoded.append(frames[0][:3])
+        if dec is not None:
+            dec.close()
+    else:
+        # parallel: one HEVC session per worker thread (decode releases
+        # the GIL) — the big-still analog of encode_still_grid(workers=)
+        def one(t):
             dec = tk.Decoder(tk.CODEC_HEVC, width=t.width, height=t.height)
-            dims = (t.width, t.height)
-        frames = list(dec.decode(t.to_annexb(), 0)) + list(dec.decode(None))
-        dec.reset()
-        if not frames:
-            raise IOError(f"grid tile {tid} decoded no frame")
-        ty, tu, tv, _ = frames[0]
+            frames = (list(dec.decode(t.to_annexb(), 0))
+                      + list(dec.decode(None)))
+            dec.close()
+            if not frames:
+                raise IOError(f"grid tile {t.item_id} decoded no frame")
+            return frames[0][:3]
+
+        with ThreadPoolExecutor(nw) as pool:
+            decoded = list(pool.map(one, tiles))
+    canvas = None
+    for k, (ty, tu, tv) in enumerate(decoded):
         th, tw = ty.shape
         if canvas is None:
             if rows * th * cols * tw > (1 << 31):
@@ -961,22 +986,21 @@ def _decode_grid(rdr: "HeifReader", grid: HeifItem):
                       np.zeros((rows * th // 2, cols * tw // 2), np.uint8))
         elif (th, tw) != (canvas[0].shape[0] // rows,
                           canvas[0].shape[1] // cols):
-            raise IOError(f"grid tile {tid}: decoded {tw}x{th} does not "
-                          "match the grid's uniform tile size")
+            raise IOError(f"grid tile {tiles[k].item_id}: decoded "
+                          f"{tw}x{th} does not match the grid's uniform "
+                          "tile size")
         r, c = divmod(k, cols)
         canvas[0][r * th:(r + 1) * th, c * tw:(c + 1) * tw] = ty
         canvas[1][r * th // 2:(r * th + th) // 2,
                   c * tw // 2:(c * tw + tw) // 2] = tu
         canvas[2][r * th // 2:(r * th + th) // 2,
                   c * tw // 2:(c * tw + tw) // 2] = tv
-    if dec is not None:
-        dec.close()
     if out_h > canvas[0].shape[0] or out_w > canvas[0].shape[1]:
         raise IOError(f"grid declares {out_w}x{out_h} but tiles only "
                       f"cover {canvas[0].shape[1]}x{canvas[0].shape[0]}")
     # spec: the reconstructed image is the canvas cropped to the grid's
     # declared output size (top-left anchored); chroma keeps the I420
-    # ceil convention for odd output dims
+    # ceil convention for odd outputs
     return (canvas[0][:out_h, :out_w],
             canvas[1][:(out_h + 1) // 2, :(out_w + 1) // 2],
             canvas[2][:(out_h + 1) // 2, :(out_w + 1) // 2])

@@ -769,3 +769,16 @@ def test_heif_review_fix_regressions():
     trimmed[k + 12:k + 16] = _s.pack(">I", off - 12)
     rr = heif.HeifSequenceReader(bytes(trimmed))
     assert min(rr.sample_pts) == 5
+
+
+def test_heif_grid_parallel_decode_matches_serial():
+    h, w = 128, 192
+    rng = np.random.default_rng(21)
+    y = rng.integers(16, 236, (h, w), dtype=np.uint8)
+    u = np.full((h // 2, w // 2), 100, np.uint8)
+    v = np.full((h // 2, w // 2), 150, np.uint8)
+    blob = heif.encode_still_grid(y, u, v, tile=64, crf=16.0)
+    a = heif.decode_still(blob, workers=1)
+    b = heif.decode_still(blob, workers=4)
+    for pa, pb in zip(a, b):
+        np.testing.assert_array_equal(pa, pb)
