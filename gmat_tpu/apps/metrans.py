@@ -123,6 +123,8 @@ class EncoderWorker(threading.Thread):
                                   self.enc.extradata(), acid, arate, ach,
                                   aextra)
             self.audio_pkts = apkts
+            self.audio_rate = arate
+            self.fps_t = fps_t
         else:
             self.audio_pkts = None    # makes _write_video's guard real
             self.mux = tk.Muxer(path, w, h, fps_t,
@@ -139,20 +141,37 @@ class EncoderWorker(threading.Thread):
 
     def run(self):
         try:
-            for p in (self.audio_pkts or ()):
-                self.mux.write_audio(p)
+            # audio is PACED by video time instead of written up front:
+            # dumping the whole track first bloats the muxer's
+            # interleave queue (hours of audio held in memory) and
+            # produces an all-audio-first file layout
+            apkts = self.audio_pkts or []
+            ai = 0
+
+            def pump_audio(upto_sec):
+                nonlocal ai
+                rate = max(getattr(self, "audio_rate", 1), 1)
+                while ai < len(apkts) and \
+                        apkts[ai].pts / rate <= upto_sec:
+                    self.mux.write_audio(apkts[ai])
+                    ai += 1
+
             n = 0
             while True:
                 item = self.q.get()
                 if item is None:
                     break
                 y, u, v = item
+                if apkts:
+                    fn, fd = self.fps_t
+                    pump_audio((n + 1) * fd / max(fn, 1))
                 for pkt in self.enc.encode(y, u, v, pts=n):
                     self._write_video(pkt)
                 n += 1
                 self.count = n
             for pkt in self.enc.flush():
                 self._write_video(pkt)
+            pump_audio(float("inf"))      # tail past the video duration
             self.mux.close()
             self.enc.close()
         except BaseException as e:
@@ -253,6 +272,15 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
     else:
         src = decode_stream(opts.input_file, batch=batch)
     src_fps = getattr(src, "fps", 0.0) or 30.0
+    # pts timebase in seconds: container inputs use the stream timebase,
+    # raw inputs stamp frame indices (1/fps) — same rule as the CLI
+    tb_sec = 1.0 / src_fps
+    if not opts.input_file.lower().endswith(
+            (".y4m", ".yuv", ".nv12", ".iyuv", ".raw")):
+        from ..av import toolkit as tk
+        _dmp = tk.Demuxer(opts.input_file)
+        tb_sec = _dmp.time_base[0] / max(_dmp.time_base[1], 1)
+        _dmp.close()
 
     common_graph = (FilterGraph(opts.video_filter_desc, src_fps)
                     if opts.video_filter_desc else None)
@@ -268,23 +296,30 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
 
     audio = transcode_audio(opts) if opts.audio_codec else None
 
+    # validate EVERY rung's output before starting any worker: raising
+    # mid-loop would leak already-started workers blocked on q.get()
+    if opts.sessions > 1:
+        for r in opts.rungs:
+            if "#" not in r.out_file:
+                raise ValueError(
+                    f"rung output {r.out_file!r} has no '#' placeholder: "
+                    f"{opts.sessions} sessions would write the same file "
+                    "concurrently")
     workers = []
     for i, r in enumerate(opts.rungs):
         kw = dict(base_kwargs)
         if r.enc_suffix:
             kw = parse_enc_param(r.enc_suffix, kw)
         path = r.out_file.replace("#", str(session_idx))
-        if opts.sessions > 1 and "#" not in r.out_file:
-            raise ValueError(
-                f"rung output {r.out_file!r} has no '#' placeholder: "
-                f"{opts.sessions} sessions would write the same file "
-                "concurrently")
         fps = kw.get("fps", (30, 1))
         # stream filters that change the frame rate (yadif send_field)
         mul = getattr(common_graph, "fps_mul", 1) * \
             getattr(rung_graphs[i], "fps_mul", 1)
         if mul != 1:
-            fps = (fps[0] * mul, fps[1])
+            # keep the rate RATIONAL: fps filters produce float
+            # multipliers (1/step) and the native encoder takes ints —
+            # scale by 1000 like the CLI does (cli.py fps_tuple)
+            fps = (int(round(fps[0] * mul * 1000)), int(fps[1] * 1000))
         kw["fps"] = fps       # EncoderWorker prefers kw['fps'] when present
         workers.append(EncoderWorker(f"enc{i}", path, r.width, r.height,
                                      fps, kw, audio=audio))
@@ -294,25 +329,39 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
     meter = FpsMeter(f"session{session_idx}", quiet=quiet)
     n_in = 0
 
-    def push_rung(g, w_, out, keep, pts):
+    def push_rung(g, w_, out, keep, pts, meta=None):
         rkeep = keep
         if g is not None:
             # fold the shared keep in so stream filters (yadif etc.) see
-            # the effective mask; rkeep then matches g's output batch
-            out, rkeep = g.process(out, pts=pts, keep=keep)
-        if not rkeep.any():
+            # the effective mask; rkeep then matches g's output batch.
+            # Per-frame metadata (times/keys/pos/interlaced) feeds
+            # time/key selects and yadif auto-parity like the CLI does.
+            out, rkeep = g.process(out, pts=pts, keep=keep,
+                                   **(meta or {}))
+        idx = np.nonzero(rkeep)[0]
+        if len(idx) == 0:
             return      # skip the D2H transfer when nothing survived
         if out.fmt.is_rgb or out.format != "yuv420p":
             out = csc.convert(out, "yuv420p")
-        host = {k: np.asarray(v) for k, v in out.planes.items()}
-        for i in np.nonzero(rkeep)[0]:
-            w_.put((host["y"][i], host["u"][i], host["v"][i]))
+        if len(idx) < out.batch:
+            # sparse keep: gather kept frames ON DEVICE first (a full
+            # batch is ~48MB of tunnel per rung otherwise)
+            import jax.numpy as jnp
+            sel = jnp.asarray(idx)
+            host = {k: np.asarray(jnp.take(v, sel, axis=0))
+                    for k, v in out.planes.items()}
+            for j in range(len(idx)):
+                w_.put((host["y"][j], host["u"][j], host["v"][j]))
+        else:
+            host = {k: np.asarray(v) for k, v in out.planes.items()}
+            for i in idx:
+                w_.put((host["y"][i], host["u"][i], host["v"][i]))
 
     rung_sizes = tuple((r.width, r.height) for r in opts.rungs)
     fused_ok = (jax.default_backend() == "tpu" and len(opts.rungs) > 1
                 and all((ow | oh) % 2 == 0 for ow, oh in rung_sizes))
 
-    def push_ladder(fb, keep, pts):
+    def push_ladder(fb, keep, pts, meta=None):
         nonlocal fused_ok
         if fused_ok and fb.format == "yuv420p":
             # ONE Pallas pass: the source planes are read once and every
@@ -329,25 +378,36 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
                                                   workers, outs):
                     rb = FrameBatch({"y": yy, "u": uu, "v": vv}, "yuv420p",
                                     r.width, r.height, fb.colorspace)
-                    push_rung(g, w_, rb, keep, pts)
+                    push_rung(g, w_, rb, keep, pts, meta)
                 return
         # device: all rungs from the shared batch (one jitted program each)
         for r, g, w_ in zip(opts.rungs, rung_graphs, workers):
-            push_rung(g, w_, rsz.resize(fb, r.width, r.height), keep, pts)
+            push_rung(g, w_, rsz.resize(fb, r.width, r.height), keep, pts,
+                      meta)
 
     try:
         for fb, pts, valid in src:
+            src_meta = dict(times=pts * tb_sec,
+                            keys=getattr(src, "last_keys", None),
+                            pos=getattr(src, "last_pos", None),
+                            interlaced=getattr(src, "last_interlaced",
+                                               None))
             if common_graph is not None:
-                fb, keep = common_graph.process(fb, pts=pts, valid=valid)
+                fb, keep = common_graph.process(fb, pts=pts, valid=valid,
+                                                **src_meta)
                 if common_graph.out_pts is not None:
                     # stream filters (yadif send_field, thumbnail)
                     # re-time / re-size the batch: the rungs must see the
                     # graph's output pts, not the input array
                     pts = common_graph.out_pts
+                # a common graph may drop/renumber frames: only the
+                # recomputed times stay aligned for the rung graphs
+                rmeta = {"times": pts * tb_sec}
             else:
                 keep = np.ones(fb.batch, bool)
                 keep[valid:] = False
-            push_ladder(fb, keep, pts)
+                rmeta = src_meta
+            push_ladder(fb, keep, pts, rmeta)
             n_in += int(valid)
             meter.add(int(valid))
             limiter.tick(int(valid))
@@ -361,7 +421,10 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
     # end-of-stream: drain stateful filters in the common + rung graphs
     if common_graph is not None:
         for fb, keep, meta in common_graph.flush():
-            push_ladder(fb, keep, meta.get("pts"))
+            fpts = meta.get("pts")
+            push_ladder(fb, keep, fpts,
+                        {"times": fpts * tb_sec} if fpts is not None
+                        else None)
     for r, g, w_ in zip(opts.rungs, rung_graphs, workers):
         if g is None:
             continue

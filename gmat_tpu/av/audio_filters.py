@@ -45,10 +45,11 @@ class AtempoStream:
         if self.passthrough:
             return samples
         x = samples.astype(np.float32)
-        if self._buf is None:
-            self._buf = x
-        elif x.size:
-            self._buf = np.concatenate([self._buf, x])
+        # an empty (0, 0)-shaped first block must not seed _buf: the
+        # next concatenate would fail on the channel-axis mismatch
+        if x.size:
+            self._buf = x if self._buf is None \
+                else np.concatenate([self._buf, x])
         return self._emit(self._drain())
 
     def _drain(self) -> List[np.ndarray]:
@@ -187,10 +188,11 @@ class AresampleStream:
         if self.out_rate == self.rate:
             return samples
         x = samples.astype(np.float32)
-        if self._buf is None:
-            self._buf = x
-        elif x.size:
-            self._buf = np.concatenate([self._buf, x])
+        # an empty (0, 0)-shaped first block must not seed _buf: the
+        # next concatenate would fail on the channel-axis mismatch
+        if x.size:
+            self._buf = x if self._buf is None \
+                else np.concatenate([self._buf, x])
         return self._produce(last=False)
 
     def _produce(self, last: bool) -> np.ndarray:

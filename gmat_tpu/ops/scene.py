@@ -101,18 +101,7 @@ def scene_scores(fb: FrameBatch, prev_last: Optional[dict] = None,
                  bitdepth: int = 8) -> Tuple[jax.Array, jax.Array]:
     """Per-frame scene score (N,) plus the final mafd (carry for the next
     batch).  Exact select_cuda math."""
-    sad = batch_sad(fb, prev_last).astype(jnp.float64
-                                          if jax.config.jax_enable_x64
-                                          else jnp.float32)
-    count = _score_count(fb.fmt, fb.height, fb.width)
-    mafd = sad / count / (1 << (bitdepth - 8))
-    prev = jnp.concatenate([jnp.asarray([prev_mafd], mafd.dtype), mafd[:-1]])
-    diff = jnp.abs(mafd - prev)
-    score = jnp.clip(jnp.minimum(mafd, diff) / 100.0, 0.0, 1.0)
-    if prev_last is None:
-        # first frame of the stream has no predecessor: score 0 like the
-        # reference (prev_picref == NULL -> ret 0)
-        score = score.at[0].set(0.0)
+    score, mafd = scene_scores_mafd(fb, prev_last, prev_mafd, bitdepth)
     return score, mafd[-1]
 
 

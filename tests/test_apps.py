@@ -641,3 +641,40 @@ def test_cli_heic_still_sink(clip, tmp_path):
         y, u, v = heif.decode_still(pat % i)
         assert y.shape == (64, 96) and u.shape == (32, 48)
     assert not os.path.exists(pat % 3)
+
+
+def test_metrans_fps_filter_and_key_select(clip, tmp_path):
+    """Review fixes: an fps-decimating filter yields a RATIONAL encoder
+    rate (float numerators crashed gav_enc_create), and key/time-based
+    selects get real metadata (keys arrived as None -> zero output)."""
+    from gmat_tpu.apps.metrans import Options, Rung, run_session
+    opts = Options(input_file=clip, rungs=[
+        Rung(96, 64, filter_desc="fps=15",
+             out_file=str(tmp_path / "half_#.mp4")),
+        Rung(96, 64, filter_desc="select=eq(key\\,1)",
+             out_file=str(tmp_path / "keys_#.mp4")),
+    ], video_enc_param="codec=h264:preset=p1:constqp=25")
+    res = run_session(0, opts, batch=16)
+    assert res["frames_in"] == NFRAMES
+    half = decode_all(str(tmp_path / "half_0.mp4"))
+    keys = decode_all(str(tmp_path / "keys_0.mp4"))
+    assert len(half) == NFRAMES // 2
+    # the clip's GOP structure yields >=1 keyframe and far fewer than all
+    assert 1 <= len(keys) < NFRAMES // 2
+
+
+def test_audio_stream_empty_first_push():
+    # review fix: an empty first block must not poison the buffer
+    import numpy as np
+    from gmat_tpu.av.audio_filters import AresampleStream, AtempoStream
+    at = AtempoStream(48000, 2.0)
+    empty = np.zeros((0, 0), np.int16)
+    out = at.push(empty)
+    assert out.size == 0
+    x = (np.random.default_rng(0).integers(-3000, 3000, (4096, 2))
+         .astype(np.int16))
+    at.push(x)
+    rs = AresampleStream(48000, 44100)
+    rs.push(empty)
+    y = rs.push(x)
+    assert y.shape[1] == 2 and len(y) > 0
