@@ -284,7 +284,10 @@ def run_session(session_idx: int, opts: Options, batch: int = 16,
 
     common_graph = (FilterGraph(opts.video_filter_desc, src_fps)
                     if opts.video_filter_desc else None)
-    rung_graphs = [FilterGraph(r.filter_desc, src_fps) if r.filter_desc
+    # rung graphs consume the COMMON graph's output rate (a common
+    # yadif=1 doubles it; a rung fps=N must decimate against that)
+    rung_fps = src_fps * getattr(common_graph, "fps_mul", 1)
+    rung_graphs = [FilterGraph(r.filter_desc, rung_fps) if r.filter_desc
                    else None for r in opts.rungs]
 
     base_kwargs = parse_enc_param(opts.video_enc_param) if opts.video_enc_param else {
