@@ -69,6 +69,14 @@ def _f_transpose(dir=0):
         raise FilterError("transpose dir must be 0..3")
 
     def run(fb):
+        if fb.format == "yuv422p":
+            # transposing horizontal-only chroma yields 4:4:0, a layout
+            # we don't carry — ffmpeg's transpose outputs yuv440p here
+            raise FilterError("transpose on yuv422p is unsupported; "
+                              "insert format=yuv444p (or yuv420p) first")
+        # every FrameBatch layout keeps H, W at axes 1, 2 (packed RGB is
+        # NHWC; planar NCHW exists only past csc.to_nchw, outside
+        # FrameBatches), so one swap covers all formats but 4:2:2
         planes = {}
         for name, arr in fb.planes.items():
             t = jnp.swapaxes(arr, 1, 2)
@@ -377,6 +385,12 @@ class OverlayFilter:
         # inlink frame_count): masked/padded frames never arrive
         n_base = self._n
         rgb_main = fb.fmt.is_rgb
+        if rgb_main and fb.format not in ("rgb24", "rgba"):
+            # the RGB blend assumes packed 8-bit (N,H,W,C); planar/float
+            # /bgr mains would blend garbage channels
+            raise FilterError(
+                f"overlay on RGB mains supports rgb24/rgba (got "
+                f"{fb.format}); insert format=rgb24 first")
         if not rgb_main and fb.format not in ("yuv420p", "nv12"):
             raise FilterError(
                 f"overlay main format {fb.format} unsupported (yuv420p/"
@@ -684,7 +698,16 @@ class SelectFilter:
 
     batch_control = True
 
-    def __init__(self, expr="1", threshold=None):
+    def __init__(self, expr=None, threshold=None):
+        if threshold is not None:
+            # FrameSelect/AppSelect-style scene threshold (default 0.4
+            # in the reference apps): sugar for gt(scene,T)
+            if expr is not None:
+                raise FilterError("select: give expr OR threshold, "
+                                  "not both")
+            expr = f"gt(scene,{float(threshold)})"
+        if expr is None:
+            expr = "1"
         self.expr = compile_expr(str(expr))
         self.needs_scene = "scene" in str(expr)
         self.n = 0
@@ -732,9 +755,11 @@ class SelectFilter:
                     s, mafd = np.asarray(s), np.asarray(mafd)
                     scores[alive] = s[:alive.size]
                     self.prev_mafd = float(mafd[alive.size - 1])
-                    subp = {k: np.asarray(v) for k, v in sub.planes.items()}
+                    # device slice, like the all-kept branch below — a
+                    # full-batch host transfer here would dominate wall
+                    # time on sparse selects (tunnel-bound)
                     self.prev_last = {k: v[alive.size - 1]
-                                      for k, v in subp.items()}
+                                      for k, v in sub.planes.items()}
             else:
                 s, mafd = scene_scores_mafd(fb, self.prev_last,
                                             self.prev_mafd, bits)

@@ -17,7 +17,39 @@ from typing import Callable, Dict
 Num = float
 Env = Dict[str, float]
 
-_TOKEN = re.compile(r"\s*(?:(\d+\.\d*|\.\d+|\d+)|([A-Za-z_]\w*)|(.))")
+# numbers: decimals with optional exponent, then an optional av_strtod
+# unit suffix (k/M/G/T..., 'i' = binary, trailing 'B' = bytes -> x8)
+_TOKEN = re.compile(
+    r"\s*(?:((?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?"
+    r"(?:[yzafpnumcdhkKMGTPEZY]i?B?|B)?)|([A-Za-z_]\w*)|(.))")
+
+_SUFFIX = {"y": 1e-24, "z": 1e-21, "a": 1e-18, "f": 1e-15, "p": 1e-12,
+           "n": 1e-9, "u": 1e-6, "m": 1e-3, "c": 1e-2, "d": 1e-1,
+           "h": 1e2, "k": 1e3, "K": 1e3, "M": 1e6, "G": 1e9, "T": 1e12,
+           "P": 1e15, "E": 1e18, "Z": 1e21, "Y": 1e24}
+_SUFFIX_I = {"k": 2.0 ** 10, "K": 2.0 ** 10, "M": 2.0 ** 20,
+             "G": 2.0 ** 30, "T": 2.0 ** 40, "P": 2.0 ** 50,
+             "E": 2.0 ** 60, "Z": 2.0 ** 70, "Y": 2.0 ** 80}
+
+
+def _parse_number(tok: str) -> float:
+    """av_strtod semantics: value, optional SI suffix, optional 'i'
+    (binary prefix), optional 'B' (bytes: x8)."""
+    mult = 1.0
+    if tok.endswith("B"):
+        tok = tok[:-1]
+        mult *= 8.0
+    if tok.endswith("i"):
+        suf = tok[-2] if len(tok) >= 2 else ""
+        if suf in _SUFFIX_I:
+            mult *= _SUFFIX_I[suf]
+            tok = tok[:-2]
+        else:
+            raise ValueError(f"bad binary suffix in number {tok!r}")
+    elif tok and tok[-1] in _SUFFIX and not tok[-1].isdigit():
+        mult *= _SUFFIX[tok[-1]]
+        tok = tok[:-1]
+    return float(tok) * mult
 
 _NAN = float("nan")
 _INF = float("inf")
@@ -64,11 +96,14 @@ _FUNCS = {
     "min": min,
     "max": max,
     "abs": abs,
-    "floor": math.floor,
-    "ceil": math.ceil,
+    # C floor/ceil/round pass nan/inf through; math.floor raises — wrap
+    "floor": lambda a: a if math.isnan(a) or math.isinf(a) \
+        else float(math.floor(a)),
+    "ceil": lambda a: a if math.isnan(a) or math.isinf(a) \
+        else float(math.ceil(a)),
     # av_expr round is C round(): half AWAY from zero, not banker's
-    "round": lambda a: (math.floor(a + 0.5) if a >= 0
-                        else math.ceil(a - 0.5)),
+    "round": lambda a: a if math.isnan(a) or math.isinf(a) \
+        else float(math.floor(a + 0.5) if a >= 0 else math.ceil(a - 0.5)),
     "mod": _mod,
     "between": lambda x, lo, hi: 1.0 if lo <= x <= hi else 0.0,
     "isnan": lambda a: 1.0 if math.isnan(a) else 0.0,
@@ -84,7 +119,8 @@ _FUNCS = {
     "log": lambda a: math.log(a) if a > 0 else (-_INF if a == 0 else _NAN),
     "sqrt": lambda a: math.sqrt(a) if a >= 0 else _NAN,
     "pow": _domain(math.pow),
-    "trunc": math.trunc,
+    "trunc": lambda a: a if math.isnan(a) or math.isinf(a) \
+        else float(math.trunc(a)),
     "sgn": lambda a: (a > 0) - (a < 0),
     "clip": lambda x, lo, hi: min(max(x, lo), hi),
     "hypot": math.hypot,
@@ -113,7 +149,7 @@ class Expr:
         for m in _TOKEN.finditer(text):
             num, name, sym = m.groups()
             if num is not None:
-                out.append(("num", float(num)))
+                out.append(("num", _parse_number(num)))
             elif name is not None:
                 out.append(("name", name))
             elif sym and not sym.isspace():

@@ -143,6 +143,9 @@ class FilterGraph:
     def __init__(self, spec: str, src_fps: float = 30.0):
         self.spec = spec
         self.segments: List = []
+        self.filters: List = []     # every instance, chain order — the
+        # public handle for reading per-filter state (infer logits,
+        # select counters) after processing
         chain = parse_graph(spec)
         pure: List = []
         for name, kwargs in chain:
@@ -150,6 +153,7 @@ class FilterGraph:
             if name in ("fps",):
                 kwargs.setdefault("src_fps", src_fps)
             inst = factory(**kwargs)
+            self.filters.append(inst)
             if getattr(inst, "batch_control", False):
                 kind = "control"
             elif getattr(inst, "stream_filter", False):

@@ -68,10 +68,12 @@ def _load_weights(params, path: str):
     if not path or path == "random":   # "random" skips the bundled npz
         return params
     loaded = dict(np.load(path))
+    used = set()
     out = {}
     for k, v in params.items():
         if k in loaded:
             out[k] = _load_one(k, v, loaded)
+            used.add(k)
         elif isinstance(v, list):
             # a checkpoint carrying ANY layers.* keys must carry them
             # all: a depth-mismatched npz half-loading would silently
@@ -90,8 +92,17 @@ def _load_weights(params, path: str):
                      if f"{k}.{i}.{n}" in loaded else a)
                  for n, a in layer.items()}
                 for i, layer in enumerate(v)]
+            used.update(key for key in loaded
+                        if key.startswith(f"{k}."))
         else:
             out[k] = v
+    unused = sorted(set(loaded) - used)
+    if unused:
+        # keys matching nothing mean the wrong/renamed checkpoint: the
+        # model would silently run on (partly) random weights
+        raise ValueError(
+            f"checkpoint {path!r} has keys the model does not: "
+            f"{unused[:4]}{'...' if len(unused) > 4 else ''}")
     return out
 
 
@@ -115,9 +126,19 @@ class InferFilter:
         self.luma_only = luma_only
         self.last_output = None          # for non-image models (pose)
         channels = 1 if luma_only else 3
-        if int(hidden) and not model.startswith("sr"):
+        if int(hidden) and not (model.startswith("sr")
+                                and ":" not in model):
             raise ValueError("hidden= only applies to the sr models")
-        if model.startswith("sr"):
+        if ":" in model:
+            # custom module:function FIRST — a user module named
+            # 'sr_models' must not be hijacked by the sr-builtin prefix
+            mod, fn = model.split(":", 1)
+            m = importlib.import_module(mod)
+            self.apply = getattr(m, fn)
+            self.params = None
+            self.scale = 1
+            self.kind = "image"
+        elif model.startswith("sr"):
             from ..models import sr
             scale = int(model[2]) if len(model) > 2 and model[2].isdigit() else 2
             kw = {"hidden": int(hidden)} if int(hidden) else {}
@@ -153,13 +174,6 @@ class InferFilter:
             self.apply = classify.apply
             self.scale = 1
             self.kind = "vector"
-        elif ":" in model:
-            mod, fn = model.split(":", 1)
-            m = importlib.import_module(mod)
-            self.apply = getattr(m, fn)
-            self.params = None
-            self.scale = 1
-            self.kind = "image"
         else:
             raise ValueError(f"unknown infer model {model!r} "
                              "(sr2x|sr3x|denoise|pose|classify|"
@@ -193,19 +207,31 @@ class InferFilter:
         x = csc.to_nchw(rgb)
         out = self._run(x)
         if self.kind == "vector":
-            self.last_output = out
+            # __call__ runs under FilterGraph's jit: a direct assignment
+            # would store a TRACER on the instance (stale after the
+            # first compile, UnexpectedTracerError on read — the
+            # CLAUDE.md tracer-leak class).  debug.callback executes on
+            # every run, eager or compiled, with the concrete values.
+            def _stash(a):
+                self.last_output = np.asarray(a)
+            jax.debug.callback(_stash, out)
             return fb
         return csc.from_nchw(out, "rgbpf32", fb.colorspace)
 
     def _call_luma(self, fb: FrameBatch) -> FrameBatch:
         if fb.fmt.is_rgb:
             raise ValueError("luma_only infer requires a YUV input")
+        if fb.fmt.bits != 8:
+            raise ValueError("luma_only infer is an 8-bit lane (got "
+                             f"{fb.format}); insert format=yuv420p first")
         y = fb.planes["y"].astype(jnp.float32)[:, None] / 255.0
         out = jnp.clip(self._run(y), 0.0, 1.0)
         y_out = jnp.round(out[:, 0] * 255.0).astype(jnp.uint8)
         r = self.scale
         planes = {"y": y_out}
         for c in ("u", "v"):
+            if c not in fb.planes:       # gray8: luma IS the image
+                continue
             p = fb.planes[c]
             if r != 1:   # keep chroma consistent with the scaled luma
                 p = resize.resize_plane(p, p.shape[1] * r, p.shape[2] * r,

@@ -669,3 +669,81 @@ def test_run_frames_sparse_keep_gathers_on_device():
                               np.arange(n, dtype=np.int64), n)]))
     assert [p for (_pl, p, _fb) in got] == [0, 4]
     assert int(got[1][0]["y"][0, 0]) == 10 + 20 * 4
+
+
+def test_review_fixes_filters_batch():
+    """Round-3 review fixes across builtin/expr/infer."""
+    import numpy as np
+    import pytest as _pytest
+    from gmat_tpu.core.frame import from_numpy_yuv420
+    from gmat_tpu.filters.expr import compile_expr
+    from gmat_tpu.filters.graph import FilterGraph, FilterError
+
+    # expr: scientific notation + av_strtod suffixes; nan-safe rounding
+    assert compile_expr("gt(pts,1e6)")({"pts": 2e6}) == 1.0
+    assert compile_expr("1M+2k")({}) == 1002000.0
+    assert compile_expr("1Ki+1B")({}) == 1032.0
+    assert str(compile_expr("floor(t)")({"t": float("nan")})) == "nan"
+
+    # select threshold= sugar (FrameSelect-style scene threshold)
+    rng = np.random.default_rng(0)
+    n, h, w = 6, 32, 32
+    y = np.full((n, h, w), 100, np.uint8)
+    y[3:] = rng.integers(0, 256, (3, h, w)).astype(np.uint8)  # hard cut
+    u = np.full((n, h // 2, w // 2), 110, np.uint8)
+    v = np.full((n, h // 2, w // 2), 140, np.uint8)
+    fb = from_numpy_yuv420(y, u, v)
+    g = FilterGraph("select=threshold=0.3")
+    _, keep = g.process(fb, pts=np.arange(n, dtype=np.int64))
+    assert bool(keep[3]) and not bool(keep[1])
+    with _pytest.raises(FilterError):
+        FilterGraph("select=expr=gt(scene\\,0.4):threshold=0.3")
+
+    # transpose: packed float RGB transposes NHWC-correctly; yuv422p
+    # rejects with guidance (4:4:0 is not a carried layout)
+    g2 = FilterGraph("format=rgbpf32le,transpose=1")
+    out, _ = g2.process(fb, pts=np.arange(n, dtype=np.int64))
+    assert (out.width, out.height) == (h, w)
+    arr = np.asarray(out.planes["rgb"])
+    assert arr.shape == (n, w, h, 3)
+    ref, _ = FilterGraph("format=rgbpf32le").process(
+        from_numpy_yuv420(y, u, v), pts=np.arange(n, dtype=np.int64))
+    refa = np.asarray(ref.planes["rgb"])
+    np.testing.assert_allclose(
+        arr[0], refa[0].transpose(1, 0, 2)[:, ::-1],
+        atol=1e-6)
+
+
+def test_infer_custom_module_prefix_not_hijacked():
+    # review fix: 'sr'-prefixed module:function names are user models
+    import numpy as np
+    import sys
+    import types
+    from gmat_tpu.filters.infer import InferFilter
+    mod = types.ModuleType("srcustom_mod")
+    mod.double = lambda x: x * 2.0
+    sys.modules["srcustom_mod"] = mod
+    f = InferFilter(model="srcustom_mod:double")
+    assert f.params is None and f.kind == "image"
+
+
+def test_infer_vector_last_output_under_jit():
+    # review fix: pose/classify logits must be concrete values after a
+    # jitted graph run (was a leaked tracer)
+    import numpy as np
+    from gmat_tpu.core.frame import from_numpy_yuv420
+    from gmat_tpu.filters.graph import FilterGraph
+    n = 2
+    y = np.full((n, 120, 120), 128, np.uint8)
+    u = np.full((n, 60, 60), 110, np.uint8)
+    v = np.full((n, 60, 60), 140, np.uint8)
+    g = FilterGraph("scale=120:120,format=rgbpf32le,infer=pose")
+    fb = from_numpy_yuv420(y, u, v)
+    for _ in range(2):      # second call = compiled cache hit
+        g.process(fb, pts=np.arange(n, dtype=np.int64))
+    import jax
+    jax.effects_barrier()           # drain debug callbacks
+    # the infer instance is held by the graph's filter list
+    infs = [f for f in g.filters if hasattr(f, "last_output")]
+    out = np.asarray(infs[-1].last_output)
+    assert out.shape[0] == n and np.isfinite(out).all()
