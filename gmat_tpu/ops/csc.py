@@ -16,7 +16,6 @@ rounds to nearest (better quality, 1 LSB difference worst case).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -44,11 +43,6 @@ def _offset_bits(fmt: F.PixelFormat) -> int:
 def _quantize(x: jax.Array, maxv: float, exact: bool) -> jax.Array:
     x = jnp.clip(x, 0.0, maxv)
     return jnp.floor(x) if exact else jnp.round(x)
-
-
-def _upsample2x(c: jax.Array) -> jax.Array:
-    """Nearest 2x chroma upsample on (N, h, w)."""
-    return jnp.repeat(jnp.repeat(c, 2, axis=1), 2, axis=2)
 
 
 def _chroma_up(c: jax.Array, sub_h: int, sub_w: int) -> jax.Array:
@@ -94,7 +88,8 @@ def _yuv_to_float(fb: FrameBatch):
 
 
 def _pack_rgb(r, g, b, out_fmt: F.PixelFormat, src_maxv: float, exact: bool,
-              norm: Optional[float], shift: Optional[Sequence[float]]):
+              norm: Optional[float], shift: Optional[Sequence[float]],
+              src_float: bool = False):
     """Take float RGB in [0, src_maxv] and pack into the target format."""
     if out_fmt.is_float:
         # Canonical float-RGB range is [0, 1] (what _rgb_to_float assumes
@@ -106,8 +101,15 @@ def _pack_rgb(r, g, b, out_fmt: F.PixelFormat, src_maxv: float, exact: bool,
         chans = {"r": r, "g": g, "b": b}
         sh = shift or (0.0, 0.0, 0.0)
         nm = norm if norm is not None else src_maxv
-        out = [(jnp.clip(chans[c], 0, src_maxv) if exact else
-                jnp.clip(jnp.round(chans[c]), 0, src_maxv)) for c in "rgb"]
+        # float SOURCES skip the integer grid entirely: a pure channel
+        # reorder (rgbpf32 <-> bgrpf32/rgbapf32) must be lossless, not
+        # snapped to 1/255 steps
+        if src_float:
+            out = [jnp.clip(chans[c], 0, src_maxv) for c in "rgb"]
+        else:
+            out = [(jnp.clip(chans[c], 0, src_maxv) if exact else
+                    jnp.clip(jnp.round(chans[c]), 0, src_maxv))
+                   for c in "rgb"]
         out = [(o - s) / nm for o, s in zip(out, sh)]
         if out_fmt.channel_order.startswith("bgr"):
             out = out[::-1]
@@ -237,14 +239,17 @@ def yuv_to_yuv(fb: FrameBatch, out_format: str) -> FrameBatch:
         return fb.with_planes(planes, out_format)
     if out_has_c and not in_has_c:       # gray8 -> yuv: neutral chroma
         mid = 1 << (_offset_bits(out_fmt) - 1)
-        sub = out_fmt.plane("u").sub_w
-        cshape = (fb.batch, fb.height >> sub, fb.width >> sub)
+        pu = out_fmt.plane("u")
+        # per-axis shifts: 4:2:2 halves width only (sub_h = 0)
+        cshape = (fb.batch, fb.height >> pu.sub_h, fb.width >> pu.sub_w)
         neutral = jnp.full(cshape, mid, dt)
         planes["u"] = neutral
         planes["v"] = neutral
         return fb.with_planes(planes, out_format)
     ipu = in_fmt.plane("u") if in_has_c else None
     opu = out_fmt.plane("u") if out_has_c else None
+    if ipu is None or opu is None:       # gray -> gray: depth-only
+        return fb.with_planes(planes, out_format)
     if (ipu.sub_w, ipu.sub_h) != (opu.sub_w, opu.sub_h):
         # generic per-axis relayout (420<->444, 422<->444, 420<->422):
         # nearest-upsample to 4:4:4 then box-mean down to the target
@@ -262,11 +267,23 @@ def rgb_to_rgb(fb: FrameBatch, out_format: str, *, exact: bool = False,
                shift: Optional[Sequence[float]] = None) -> FrameBatch:
     """Channel reorder / depth / float conversion between RGB formats."""
     out_fmt = F.get(out_format)
+    if (fb.fmt.is_float and out_fmt.is_float and norm is None
+            and shift is None):
+        # pure channel reorder between float formats: bit-exact (the
+        # scale-by-255 round trip below costs 1 ulp)
+        arr = fb.planes["rgb"]
+        src_o, dst_o = fb.fmt.channel_order, out_fmt.channel_order
+        chans = {c: arr[..., i] for i, c in enumerate(src_o)}
+        out = [chans.get(c, jnp.ones_like(arr[..., 0])) for c in dst_o]
+        return fb.with_planes(
+            {"rgb": jnp.stack(out, axis=-1).astype(jnp.float32)},
+            out_format)
     r, g, b, src_maxv = _rgb_to_float(fb)
     if fb.fmt.is_float:
         r, g, b = (c * 255.0 for c in (r, g, b))
         src_maxv = 255.0
-    rgb = _pack_rgb(r, g, b, out_fmt, src_maxv, exact, norm, shift)
+    rgb = _pack_rgb(r, g, b, out_fmt, src_maxv, exact, norm, shift,
+                    src_float=fb.fmt.is_float)
     return fb.with_planes({"rgb": rgb}, out_format)
 
 

@@ -38,9 +38,15 @@ def crop(fb: FrameBatch, w: int, h: int, x: int = -1, y: int = -1) -> FrameBatch
     if x + w > fb.width or y + h > fb.height:
         raise ValueError(f"crop {w}x{h}+{x}+{y} outside {fb.width}x{fb.height}")
     fmt = fb.fmt
-    if fmt.is_yuv and any(p.sub_w for p in fmt.planes):
-        if (x | y | w | h) & 1:
-            raise ValueError("4:2:0 crop offsets/sizes must be even")
+    if fmt.is_yuv:
+        # per-axis alignment: 4:2:2 subsamples width only, so odd y/h
+        # are legal there (ffmpeg/CV-CUDA agree)
+        sw = max((p.sub_w for p in fmt.planes), default=0)
+        sh = max((p.sub_h for p in fmt.planes), default=0)
+        if ((x | w) & ((1 << sw) - 1)) or ((y | h) & ((1 << sh) - 1)):
+            raise ValueError(
+                "subsampled crop offsets/sizes must align to the "
+                f"chroma grid ({1 << sw}x{1 << sh}) for {fmt.name}")
     planes = {}
     for p in fmt.planes:
         px, py = x >> p.sub_w, y >> p.sub_h
@@ -179,14 +185,18 @@ def rotate(fb: FrameBatch, angle_deg: float, interp: str = "linear",
     planes = {}
     for p in fmt.planes:
         ph, pw = h >> p.sub_h, w >> p.sub_w
-        sub = 1 << p.sub_w
+        # rotate in LUMA coordinates and conjugate by the per-axis
+        # chroma scales: anisotropic subsampling (4:2:2) does not
+        # commute with rotation, so scaling x and y independently is
+        # the only correct general map (reduces to the symmetric
+        # 4:2:0 math when sub_w == sub_h)
+        fsx, fsy = float(1 << p.sub_w), float(1 << p.sub_h)
         ys = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 0)
         xs = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 1)
-        # inverse rotation about origin after removing the shift
-        xs_ = xs - shift_x / sub
-        ys_ = ys - shift_y / sub
-        sx = cos_a * xs_ - sin_a * ys_
-        sy = sin_a * xs_ + cos_a * ys_
+        xs_ = xs * fsx - shift_x
+        ys_ = ys * fsy - shift_y
+        sx = (cos_a * xs_ - sin_a * ys_) / fsx
+        sy = (sin_a * xs_ + cos_a * ys_) / fsy
         arr = fb.planes[p.name]
         packed = arr.ndim == 4
         if packed:

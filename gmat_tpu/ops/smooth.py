@@ -46,6 +46,9 @@ def gaussian_kernel1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
 
 
 def _pad_mode(border: str):
+    if border not in BORDERS:
+        raise ValueError(f"border_type must be one of {BORDERS}, "
+                         f"got {border!r}")
     return {"constant": "constant", "replicate": "edge",
             "reflect": "symmetric", "reflect101": "reflect",
             "wrap": "wrap"}[border]
@@ -121,6 +124,11 @@ def smooth(fb: FrameBatch, type: str = "gaussian", kw: int = 3, kh: int = 3,
            border_type: str = "constant", sigmaX: float = 0.0,
            sigmaY: float = 0.0) -> FrameBatch:
     """Filter-level entry matching smooth_nvcv option names."""
+    if kw < 1 or kh < 1 or kw % 2 == 0 or kh % 2 == 0:
+        # OpenCV/CV-CUDA reject even sizes; an even anchor would shift
+        # the whole image half a pixel silently
+        raise ValueError(f"smooth kernel sizes must be odd and >= 1, "
+                         f"got {kw}x{kh}")
     fmt = fb.fmt
     planes = {}
     for p in fmt.planes:

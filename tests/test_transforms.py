@@ -286,3 +286,59 @@ def test_resize_10bit_overshoot_clips_at_depth():
     fb = FrameBatch({"y": y, "u": u, "v": v}, "yuv420p10", 32, 16, "bt709")
     out = resize(fb, 64, 32, "bicubic")
     assert int(np.asarray(out.planes["y"]).max()) <= 1023
+
+
+def test_ops_review_fixes_422_and_float():
+    """Round-3 ops review: gray8->yuv422p chroma geometry, gray->gray
+    depth path, odd-y crop on 4:2:2, 4:2:2 rotate chroma alignment,
+    float RGB reorder losslessness, smooth validation."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest as _p
+    from gmat_tpu.core.frame import FrameBatch, from_numpy_yuv420
+    from gmat_tpu.ops import csc, geometry, smooth
+
+    h, w = 32, 48
+    y = np.tile(np.linspace(0, 255, w, dtype=np.uint8), (h, 1))[None]
+    g8 = FrameBatch({"y": jnp.asarray(y)}, "gray8", w, h)
+    out = csc.yuv_to_yuv(g8, "yuv422p")
+    assert out.planes["u"].shape == (1, h, w // 2)      # sub_h = 0
+    # gray -> gray depth-only path must not crash
+    assert csc.yuv_to_yuv(g8, "gray8").planes["y"].shape == (1, h, w)
+
+    # odd y/h crops are legal on 4:2:2 (width stays even-aligned)
+    u = np.full((1, h, w // 2), 100, np.uint8)
+    v = np.full((1, h, w // 2), 150, np.uint8)
+    fb422 = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                        "v": jnp.asarray(v)}, "yuv422p", w, h)
+    c = geometry.crop(fb422, 16, 7, 0, 1)
+    assert c.planes["y"].shape == (1, 7, 16)
+    assert c.planes["u"].shape == (1, 7, 8)
+    with _p.raises(ValueError):
+        geometry.crop(fb422, 15, 8, 1, 0)               # odd x/w still bad
+
+    # 4:2:2 rotate: chroma tracks luma (a left/right split stays a
+    # top/bottom split after 90 deg for BOTH planes)
+    y2 = np.zeros((1, 32, 32), np.uint8)
+    y2[:, :, :16] = 200
+    u2 = np.zeros((1, 32, 16), np.uint8)
+    u2[:, :, :8] = 200
+    fb = FrameBatch({"y": jnp.asarray(y2), "u": jnp.asarray(u2),
+                     "v": jnp.asarray(u2)}, "yuv422p", 32, 32)
+    r = geometry.rotate(fb, 90, center=True)
+    ry, ru = np.asarray(r.planes["y"]), np.asarray(r.planes["u"])
+    assert ry[0, 24, 16] > 150 and ry[0, 8, 16] < 50
+    assert ru[0, 24, 8] > 150 and ru[0, 8, 8] < 50
+
+    # float RGB reorder is lossless (no 1/255 grid snapping)
+    rgbf = np.random.default_rng(0).random((1, 8, 8, 3), np.float32)
+    fbf = FrameBatch({"rgb": jnp.asarray(rgbf)}, "rgbpf32", 8, 8)
+    back = csc.convert(fbf, "bgrpf32")
+    np.testing.assert_array_equal(np.asarray(back.planes["rgb"]),
+                                  rgbf[..., ::-1])
+
+    # smooth validation: even kernels and bogus borders raise
+    with _p.raises(ValueError):
+        smooth.smooth(g8, "gaussian", kw=4, kh=4)
+    with _p.raises(ValueError):
+        smooth.smooth(g8, "gaussian", border_type="bogus")
