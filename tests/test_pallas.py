@@ -593,3 +593,36 @@ def test_chunked_ladder_fused_crop_smooth_flip(rng):
         jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)))
     # identical math, different accumulation grouping: tiny f32 drift
     assert (np.abs(got - want) * 255).max() <= 0.51
+
+
+def test_pallas_review_fixes():
+    """Round-3 pallas review: k=1 chunked rungs need no lane alignment,
+    crop chroma scales per axis from the actual plane shapes, unknown
+    flip codes raise."""
+    import numpy as np
+    import pytest as _p
+    from gmat_tpu.ops import pallas_kernels as pk
+
+    # 1080p (cw=960, 960%128!=0) with a 5-rung ladder: the whole-frame
+    # bf16 budget may fail but k=1 chunked must be pickable
+    k = pk._pick_rungs_chunks(
+        1080, 1920, 540, 960,
+        ((1280, 720), (960, 540), (640, 360), (480, 270), (320, 180)))
+    assert k >= 1
+
+    # crop chroma window for 4:4:4-shaped planes (ch == h): the chroma
+    # matrices must cover the SAME rows as luma, not half of them
+    ahy, ahc, awy, awc = pk._i8_matrices(
+        64, 64, 64, 64, 32, 32, "bilinear", (0, 16, 32, 32), None, None)
+    np.testing.assert_allclose(ahc, ahy)
+    np.testing.assert_allclose(awc, awy)
+    # and 4:2:0 still halves both axes
+    ahy2, ahc2, _, _ = pk._i8_matrices(
+        64, 64, 32, 32, 32, 32, "bilinear", (0, 16, 32, 32), None, None)
+    assert ahc2.shape == (32, 32) and ahy2.shape == (32, 64)
+
+    with _p.raises(ValueError):
+        pk.fused_ladder(np.zeros((1, 32, 32), np.uint8),
+                        np.zeros((1, 16, 16), np.uint8),
+                        np.zeros((1, 16, 16), np.uint8),
+                        16, 16, interpret=True, flip=2)
