@@ -17,6 +17,7 @@ pattern with %d -> JPEG still sequence.
 from __future__ import annotations
 
 import argparse
+import re
 import sys
 
 import numpy as np
@@ -234,7 +235,9 @@ def main(argv=None):
         if args.input.lower().endswith(".y4m"):
             from ..av.rawvideo import Y4MReader
             rd = Y4MReader(args.input)
-            src_fps = rd.fps[0] / max(rd.fps[1], 1)
+            # F0:0 is Y4M's 'unknown rate': fall back like the
+            # compressed lane does
+            src_fps = (rd.fps[0] / max(rd.fps[1], 1)) or 30.0
             rd.close()
         tb_sec = 1.0 / src_fps          # raw pts are frame indices
     probe_codec = -1
@@ -265,7 +268,7 @@ def main(argv=None):
         sink = "null"
     elif args.output.endswith(".y4m"):
         sink = "y4m"
-    elif "%d" in args.output or args.output.endswith(
+    elif re.search(r"%0?\d*d", args.output) or args.output.endswith(
             (".jpg", ".jpeg", ".png", ".heic")):
         # .png is the depth-faithful still sink: 16-bit samples for
         # high-depth/float RGB graph outputs (ffmpeg png/rgb48be analog);
@@ -273,8 +276,14 @@ def main(argv=None):
         # NvHeifWriter app lane — crf from -crf, default 22)
         sink = ("png" if args.output.endswith(".png")
                 else "heic" if args.output.endswith(".heic") else "jpeg")
-        if "%d" in args.output:
-            jpeg_pattern = args.output
+        m_pat = re.search(r"%0?\d*d", args.output)
+        if m_pat:
+            # ffmpeg pattern form incl. width (%d / %03d / %05d ...);
+            # every OTHER literal % must be escaped or `pattern % n`
+            # crashes at emit time
+            pre = args.output[:m_pat.start()].replace("%", "%%")
+            post = args.output[m_pat.end():].replace("%", "%%")
+            jpeg_pattern = pre + m_pat.group(0) + post
         else:
             # insert _%d before the final extension only, escaping any
             # literal % so the later pattern % count can't misfire
@@ -308,11 +317,16 @@ def main(argv=None):
                 tn, td = info.time_base
                 sr = info.sample_rate
                 pkts = []
+                AV_NOPTS = -(1 << 63)
                 for p_ in dm_a:
                     if p_.stream == 1:
-                        # rescale source-tb pts to the muxer's 1/sample_rate
-                        pts = p_.pts * tn * sr // td
-                        dts = p_.dts * tn * sr // td
+                        # rescale source-tb pts to the muxer's
+                        # 1/sample_rate; NOPTS propagates unscaled (the
+                        # native layer hands the sentinel through)
+                        pts = (p_.pts if p_.pts == AV_NOPTS
+                               else p_.pts * tn * sr // td)
+                        dts = (p_.dts if p_.dts == AV_NOPTS
+                               else p_.dts * tn * sr // td)
                         pkts.append(tk.Packet(p_.data, pts, dts, p_.key,
                                               False, 1))
                 audio = (info.codec_id, sr, info.channels, info.extradata,
@@ -505,6 +519,9 @@ def main(argv=None):
                 np.asarray(v_.ravel()[0])
 
     done = 0
+    t_first = None      # first decoded frame's time: -t measures output
+    # DURATION from here, not absolute stream time (TS containers start
+    # at arbitrary offsets)
     src = None
     if args.hwaccel.lower() in ("tpu", "mjpeg_tpu"):
         # explicit device decode: batched entropy fan-out + one jitted
@@ -538,8 +555,10 @@ def main(argv=None):
             pos=getattr(src, "last_pos", None),
             interlaced=getattr(src, "last_interlaced", None),
             valid=valid)
+        if args.t > 0 and valid > 0 and t_first is None:
+            t_first = float(times[0])
         if args.t > 0 and graph.out_times is not None:
-            keep = keep & (graph.out_times < (args.ss + args.t))
+            keep = keep & (graph.out_times < ((t_first or 0.0) + args.t))
         keep_idx = np.nonzero(keep)[0]
         if args.frames and done + len(keep_idx) > args.frames:
             keep_idx = keep_idx[: args.frames - done]
@@ -549,7 +568,8 @@ def main(argv=None):
         if args.frames and done >= args.frames:
             src.close()
             break
-        if args.t > 0 and valid > 0 and times[valid - 1] >= args.ss + args.t:
+        if args.t > 0 and valid > 0 and \
+                times[valid - 1] >= (t_first or 0.0) + args.t:
             src.close()
             break
 
@@ -558,7 +578,8 @@ def main(argv=None):
         if args.t > 0 and meta.get("times") is not None:
             # the -t cutoff applies to flushed frames too (a yadif
             # pending frame past the limit must not sneak out)
-            keep = keep & (np.asarray(meta["times"]) < (args.ss + args.t))
+            keep = keep & (np.asarray(meta["times"])
+                           < ((t_first or 0.0) + args.t))
         keep_idx = np.nonzero(keep)[0]
         if args.frames and done + len(keep_idx) > args.frames:
             keep_idx = keep_idx[: args.frames - done]

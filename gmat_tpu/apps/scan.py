@@ -59,7 +59,13 @@ def census(args) -> int:
 
     def worker(sub):
         for p in sub:
-            r = scan_one(p, args.fast)
+            try:
+                r = scan_one(p, args.fast)
+            except Exception as e:      # one corrupt file must not
+                # silently kill the thread's whole chunk (the census
+                # would exit 0 with an incomplete summary)
+                r = {"file": os.path.basename(p),
+                     "error": f"{type(e).__name__}: {e}"[:80]}
             with lock:
                 results.append(r)
 

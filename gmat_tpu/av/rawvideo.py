@@ -45,6 +45,11 @@ class Y4MReader:
             raise IOError(f"unsupported Y4M chroma C{self.colorspace}")
         if not (self.width and self.height):
             raise IOError("Y4M missing dimensions")
+        if (self.width | self.height) & 1:
+            # 4:2:0 frame payload size is ambiguous for odd dims (skip()
+            # and frames() would disagree and desynchronize after -ss)
+            raise IOError(f"odd Y4M dimensions {self.width}x"
+                          f"{self.height} are invalid for C420")
 
     def _frame_bytes(self) -> int:
         bpp = 1 if self.bits == 8 else 2

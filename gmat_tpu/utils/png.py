@@ -1,10 +1,13 @@
 """Minimal PNG writer/reader — the depth-faithful RGB still sink.
 
 The reference CLI can emit 16-bit-per-sample stills from high-depth
-pipelines (ffmpeg's png encoder, rgb48be); our jpeg sink is 8-bit only,
-so RGB-domain graph outputs used to lose depth on disk (PARITY "Known
-gaps").  Pure stdlib (zlib + struct): 8- or 16-bit, gray or RGB(A),
-filter type 0, one IDAT.  The reader exists for round-trip tests.
+pipelines (ffmpeg's png encoder with rgb48be output — the reference
+tree carries it at ffmpeg-gpu/libavcodec/pngenc.c:1174-1206 pix_fmts);
+our jpeg sink is 8-bit only, so RGB-domain graph outputs used to lose
+depth on disk (PARITY "Known gaps").  Pure stdlib (zlib + struct): 8-
+or 16-bit, gray or RGB(A), filter type 0, one IDAT on write; the
+reader handles all five filters (Sub/Up vectorized — the common
+adaptive choices; Average/Paeth are inherently serial per pixel).
 """
 from __future__ import annotations
 
@@ -59,12 +62,18 @@ def _unfilter(ftype: int, cur: bytearray, prev: bytes, bpp: int) -> None:
     n = len(cur)
     if ftype == 0:
         return
-    if ftype == 1:                      # Sub
-        for i in range(bpp, n):
-            cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
-    elif ftype == 2:                    # Up
-        for i in range(n):
-            cur[i] = (cur[i] + prev[i]) & 0xFF
+    if ftype == 1:                      # Sub: per-lane prefix sum
+        a = np.frombuffer(bytes(cur), np.uint8)
+        out = np.empty_like(a)
+        for l in range(bpp):
+            lane = a[l::bpp].astype(np.uint32)
+            out[l::bpp] = (np.cumsum(lane) & 0xFF).astype(np.uint8)
+        cur[:] = out.tobytes()
+    elif ftype == 2:                    # Up: one vector add
+        a = np.frombuffer(bytes(cur), np.uint8)
+        p = np.frombuffer(prev, np.uint8)
+        cur[:] = ((a.astype(np.uint16) + p) & 0xFF).astype(
+            np.uint8).tobytes()
     elif ftype == 3:                    # Average
         for i in range(n):
             left = cur[i - bpp] if i >= bpp else 0
@@ -96,7 +105,9 @@ def read_png(path_or_bytes) -> np.ndarray:
         ln, typ = struct.unpack(">I4s", d[pos:pos + 8])
         payload = d[pos + 8:pos + 8 + ln]
         if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", payload)
+            if len(payload) < 13:
+                raise IOError("png: truncated IHDR")
+            ihdr = struct.unpack(">IIBBBBB", payload[:13])
         elif typ == b"IDAT":
             idat += payload
         elif typ == b"IEND":
@@ -112,7 +123,10 @@ def read_png(path_or_bytes) -> np.ndarray:
         raise IOError(f"png: unsupported color/depth {color}/{depth}")
     if not (0 < w <= 1 << 24 and 0 < h <= 1 << 24):
         raise IOError(f"png: implausible dimensions {w}x{h}")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:              # corrupt/empty IDAT: the
+        raise IOError(f"png: bad IDAT ({e})")  # module's error contract
     bpp = max(1, chans * depth // 8)
     stride = w * chans * (depth // 8)
     # header-declared dims must match the decompressed payload: a

@@ -119,3 +119,44 @@ def test_png_corrupt_ihdr_dims_clean_error(rng):
         m[off] ^= 0x40
         with pytest.raises(IOError):
             read_png(bytes(m))
+
+
+def test_png_filtered_rows_decode_vectorized():
+    """Sub/Up unfilters must decode real adaptive-filtered PNGs (the
+    vectorized paths); libavcodec's png encoder is the oracle."""
+    import numpy as np
+    from gmat_tpu.utils.png import read_png
+    h, w = 48, 64
+    img = (np.add.outer(np.linspace(0, 200, h), np.linspace(0, 55, w))
+           [..., None] + np.arange(3) * 10).astype(np.uint8)
+    # craft rows with filter types 1 (Sub) and 2 (Up) directly
+    import struct, zlib
+    raw = b""
+    prev = np.zeros((w * 3,), np.uint8)
+    for y in range(h):
+        row = img[y].reshape(-1)
+        if y % 2 == 0:          # Sub
+            d = row.astype(np.int16).copy()
+            d[3:] -= row[:-3].astype(np.int16)
+            raw += b"\x01" + (d & 0xFF).astype(np.uint8).tobytes()
+        else:                   # Up
+            raw += b"\x02" + ((row.astype(np.int16) - prev) &
+                              0xFF).astype(np.uint8).tobytes()
+        prev = row
+    def chunk(t, p):
+        c = struct.pack(">I", len(p)) + t + p
+        return c + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF)
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+    out = read_png(blob)
+    np.testing.assert_array_equal(out, img)
+    # corrupt IDAT raises IOError, not zlib.error
+    bad = blob.replace(b"IDAT", b"IDAT", 1)
+    import pytest as _p
+    i = blob.find(b"IDAT")
+    broken = bytearray(blob)
+    broken[i + 8] ^= 0xFF
+    with _p.raises(IOError):
+        read_png(bytes(broken))
