@@ -231,6 +231,20 @@ GAV_API long long gav_demux_nb_frames(void* h) {
     auto* d = (GavDemuxer*)h;
     return d->vstream < 0 ? 0 : d->fmt->streams[d->vstream]->nb_frames;
 }
+// First presentation time of the video stream in SECONDS (0 when
+// unknown) — TS containers start at arbitrary offsets and seek/time
+// targets must compensate.
+GAV_API double gav_demux_start_time(void* h) {
+    auto* d = (GavDemuxer*)h;
+    if (d->vstream >= 0) {
+        AVStream* st = d->fmt->streams[d->vstream];
+        if (st->start_time != AV_NOPTS_VALUE)
+            return st->start_time * av_q2d(st->time_base);
+    }
+    if (d->fmt->start_time != AV_NOPTS_VALUE)
+        return d->fmt->start_time / (double)AV_TIME_BASE;
+    return 0.0;
+}
 GAV_API void gav_demux_timebase(void* h, int* num, int* den) {
     auto* d = (GavDemuxer*)h;
     // audio-only sources report the audio stream timebase so seeks work

@@ -227,9 +227,12 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
                 yield from rd.frames()
             finally:
                 rd.close()
-        src = FrameBatchSource(frames(), batch, rd.width, rd.height, "bt709")
+        # unspecified colorspace follows the swscale convention: SD
+        # resolutions are bt601, HD bt709
+        cs = "bt709" if rd.width > 1024 or rd.height > 576 else "bt601"
+        src = FrameBatchSource(frames(), batch, rd.width, rd.height, cs)
         q = PrefetchQueue(iter(src), depth=depth, device=device,
-                          colorspace="bt709", width=rd.width,
+                          colorspace=cs, width=rd.width,
                           height=rd.height,
                           fmt={8: "yuv420p", 10: "yuv420p10",
                                16: "yuv420p16"}[bits])
@@ -249,9 +252,10 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
                 yield from rd.frames()
             finally:
                 rd.close()
-        src = FrameBatchSource(frames(), batch, width, height, "bt709")
+        cs = "bt709" if width > 1024 or height > 576 else "bt601"
+        src = FrameBatchSource(frames(), batch, width, height, cs)
         q = PrefetchQueue(iter(src), depth=depth, device=device,
-                          colorspace="bt709", width=width, height=height)
+                          colorspace=cs, width=width, height=height)
         q.fps = 30.0
         return q
 
@@ -264,11 +268,13 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
 
     # the backward keyframe seek lands up to a GOP before the target —
     # drop decoded frames whose time is still before `seek` (the y4m/raw
-    # lanes skip to the exact frame; the compressed lane must match)
+    # lanes skip to the exact frame; the compressed lane must match).
+    # All stream times are offset by start_time (TS containers begin at
+    # arbitrary pts); Demuxer.seek compensates too.
     AV_NOPTS = -(1 << 63)
     tbn, tbd = dm.time_base
     tb = tbn / max(tbd, 1)
-    min_t = seek - 1e-9 if seek > 0 else None
+    min_t = seek + dm.start_time - 1e-9 if seek > 0 else None
 
     def frames():
         key_pts = {}               # insertion-ordered set (oldest-first
@@ -277,9 +283,13 @@ def decode_stream(path: str, batch: int = 32, depth: int = 3,
             for pkt in dm:
                 if pkt.stream != 0:
                     continue
-                if pkt.key:
-                    key_pts[pkt.pts] = None
-                pos_by_pts[pkt.pts] = pkt.pos
+                # NOPTS packets can't be attributed by pts (they'd all
+                # collide on the sentinel): their frames report
+                # key=False / pos=-1, honestly unknown
+                if pkt.pts != AV_NOPTS:
+                    if pkt.key:
+                        key_pts[pkt.pts] = None
+                    pos_by_pts[pkt.pts] = pkt.pos
                 # bound both maps: orphaned entries (packets whose pts
                 # never emerges as a frame) must not accumulate forever
                 # in a 24/7 ingest; 512 packets >> any decoder reorder

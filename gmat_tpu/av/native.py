@@ -94,6 +94,8 @@ def _declare(name: str, lib: ctypes.CDLL):
             "gav_demux_fps": (ctypes.c_double, [ctypes.c_void_p]),
             "gav_demux_duration": (ctypes.c_double, [ctypes.c_void_p]),
             "gav_demux_nb_frames": (c_ll, [ctypes.c_void_p]),
+            "gav_demux_start_time": (ctypes.c_double,
+                                     [ctypes.c_void_p]),
             "gav_demux_timebase": (None, [ctypes.c_void_p, c_pi, c_pi]),
             "gav_demux_colorspace": (ctypes.c_int, [ctypes.c_void_p]),
             "gav_demux_extradata": (ctypes.c_int, [ctypes.c_void_p, c_ppu8]),

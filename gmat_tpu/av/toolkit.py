@@ -102,9 +102,17 @@ class Demuxer:
                       bool(key.value), bool(nonref.value), stream.value,
                       pos.value)
 
+    @property
+    def start_time(self) -> float:
+        """First presentation time in seconds (0 when unknown) — TS
+        containers start at arbitrary offsets; time targets add this."""
+        return float(self._lib.gav_demux_start_time(self._h))
+
     def seek(self, seconds: float) -> None:
+        """Seek to the keyframe at/before `seconds` of MEDIA time (the
+        stream's start offset is compensated automatically)."""
         num, den = self.time_base
-        ts = int(seconds * den / num)
+        ts = int((seconds + self.start_time) * den / num)
         if self._lib.gav_demux_seek(self._h, ts) < 0:
             raise IOError(f"seek: {native.last_error()}")
 

@@ -139,7 +139,11 @@ BGRA64 = _register(_packed_rgb("bgra64", "bgra", "uint16", 16))
 RGB48 = _register(_packed_rgb("rgb48", "rgb", "uint16", 16))
 BGR48 = _register(_packed_rgb("bgr48", "bgr", "uint16", 16))
 
-# GMAT-added float planar formats (libavutil/pixfmt.h:315-316): NCHW fp32.
+# GMAT-added float 'planar' formats (libavutil/pixfmt.h:315-316).
+# NOTE: FrameBatch storage is channels-LAST (h, w, c) like every other
+# RGB format here; the NCHW planar wire layout exists only past
+# csc.to_nchw (the DL-model handoff).  planar_rgb records the
+# reference-format semantic for that conversion, NOT the storage.
 RGBPF32 = _register(PixelFormat(
     "rgbpf32", (PlaneDesc("rgb", 0, 0, 3, "float32"),), 32,
     is_rgb=True, channel_order="rgb", is_float=True, planar_rgb=True))

@@ -858,8 +858,11 @@ class ThumbnailFilter:
             arr = np.asarray(planes["y"][i])
         else:
             rgb = np.asarray(planes["rgb"][i]).astype(np.float32)
-            ax = 0 if (fmt is not None and fmt.planar_rgb) else -1
             order = fmt.channel_order if fmt is not None else "rgb"
+            # channel axis from the ARRAY shape: csc emits channels-
+            # last, direct planar-float constructors may be NCHW
+            ax = (-1 if rgb.shape[-1] == len(order)
+                  else 0 if rgb.shape[0] == len(order) else -1)
             idx = {c: k for k, c in enumerate(order)}
             r = np.take(rgb, idx["r"], axis=ax)
             g = np.take(rgb, idx["g"], axis=ax)

@@ -28,13 +28,22 @@ _LUMA601 = (0.299, 0.587, 0.114)
 def _score_view(fmt, planes: dict) -> dict:
     """Planes the SAD actually reads.  YUV batches pass through (the
     reference sums all planes).  RGB batches reduce to BT.601 luma at
-    8-bit scale — NOT the old channel-0 proxy — handling packed
-    (..., H, W, C) and planar float (..., C, H, W) layouts; >8-bit and
-    float samples normalize to 0..255 so mafd uses bitdepth 8."""
+    8-bit scale — NOT the old channel-0 proxy; >8-bit and float samples
+    normalize to 0..255 so mafd uses bitdepth 8.
+
+    The channel axis is detected from the ARRAY: csc produces
+    channels-last for every RGB format (plane_shape is (h, w, c)), but
+    direct constructors may hold 'planar' float batches as NCHW
+    (FrameBatch.validate is opt-in) — keying on the format flag alone
+    mis-read csc-produced rgbpf32 as NCHW and reduced image ROWS as
+    channels."""
     if not fmt.is_rgb:
         return planes
     arr = planes["rgb"]
-    ax = arr.ndim - 3 if fmt.planar_rgb else arr.ndim - 1
+    nc = len(fmt.channel_order)
+    ax = (arr.ndim - 1 if arr.shape[-1] == nc
+          else arr.ndim - 3 if arr.ndim >= 3 and arr.shape[-3] == nc
+          else arr.ndim - 1)
     idx = {c: i for i, c in enumerate(fmt.channel_order)}
     a = arr.astype(jnp.float32)
     y = (_LUMA601[0] * jnp.take(a, idx["r"], axis=ax)

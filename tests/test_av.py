@@ -670,3 +670,38 @@ def test_decode16_preserves_full_range():
     assert y16.dtype == np.uint16
     assert int(y16.min()) <= 32 and int(y16.max()) >= 988, \
         (int(y16.min()), int(y16.max()))
+
+
+def test_demuxer_start_time_and_media_seek(tmp_path):
+    """Review fix: Demuxer.seek targets MEDIA time (start offset
+    compensated) and decode_stream's pre-roll filter uses the same
+    origin — a pts start offset must not break seeking."""
+    import numpy as np
+    path = str(tmp_path / "off.mp4")
+    enc = tk.Encoder("libx264", 96, 64, fps=(30, 1), gop=10,
+                     preset="ultrafast", crf=18.0)
+    pkts = []
+    for i in range(30):
+        y = np.full((64, 96), 20 + 7 * i, np.uint8)
+        u = np.full((32, 48), 110, np.uint8)
+        v = np.full((32, 48), 140, np.uint8)
+        pkts += enc.encode(y, u, v, pts=i)
+    pkts += enc.flush()
+    mux = tk.Muxer(path, 96, 64, (30, 1), tk.CODEC_H264, enc.extradata())
+    for p in pkts:
+        mux.write(tk.Packet(p.data, p.pts + 150, p.dts + 150, p.key,
+                            False, 0))   # 5-second pts start offset
+    mux.close(); enc.close()
+    dm = tk.Demuxer(path)
+    assert abs(dm.start_time - 5.0) < 0.1
+    dm.close()
+    from gmat_tpu.av.ingest import decode_stream
+    q = decode_stream(path, batch=8, seek=0.5)
+    got = []
+    for fb, pts, valid in q:
+        got.extend(int(np.asarray(fb.planes["y"])[i, 0, 0])
+                   for i in range(valid))
+    assert got, "seek produced no frames"
+    # first emitted frame is at/after MEDIA time 0.5s (frame ~15)
+    assert got[0] >= 20 + 7 * 14, got[:3]
+    assert len(got) <= 17

@@ -747,3 +747,21 @@ def test_infer_vector_last_output_under_jit():
     infs = [f for f in g.filters if hasattr(f, "last_output")]
     out = np.asarray(infs[-1].last_output)
     assert out.shape[0] == n and np.isfinite(out).all()
+
+
+def test_scene_rgb_channels_last_layout():
+    """Review fix: csc-produced rgbpf32 batches are channels-LAST; the
+    scene score must reduce true luma, not mistake image rows for
+    channels (both layouts are detected from the array shape)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gmat_tpu.core.frame import FrameBatch
+    from gmat_tpu.ops.scene import scene_scores
+    rng = np.random.default_rng(4)
+    n, h, w = 3, 16, 16
+    base = rng.uniform(0.2, 0.4, (1, h, w, 3)).astype(np.float32)
+    arr = np.concatenate([base, base, (base + 0.5).clip(0, 1)], 0)
+    fb = FrameBatch({"rgb": jnp.asarray(arr)}, "rgbpf32", w, h, "bt709")
+    s, _ = scene_scores(fb)
+    s = np.asarray(s)
+    assert s[1] < 1e-6 and s[2] > 0.5
