@@ -23,6 +23,22 @@ import sys
 import numpy as np
 
 
+def still_pattern(output: str):
+    """(has_explicit_pattern, safe_pattern) for a still-sequence output.
+
+    Recognizes ffmpeg-style %d / %0Nd patterns (escaping every OTHER
+    literal % so `pattern % n` can't crash), else derives base_%d.ext.
+    Shared with gmat-extract."""
+    m = re.search(r"%0?\d*d", output)
+    if m:
+        pre = output[:m.start()].replace("%", "%%")
+        post = output[m.end():].replace("%", "%%")
+        return True, pre + m.group(0) + post
+    base, dot, ext = output.rpartition(".")
+    return False, (base.replace("%", "%%") + "_%d" + dot
+                   + ext.replace("%", "%%"))
+
+
 def build_parser():
     p = argparse.ArgumentParser(
         prog="gmat", description="TPU-native GMAT video pipeline")
@@ -276,20 +292,7 @@ def main(argv=None):
         # NvHeifWriter app lane — crf from -crf, default 22)
         sink = ("png" if args.output.endswith(".png")
                 else "heic" if args.output.endswith(".heic") else "jpeg")
-        m_pat = re.search(r"%0?\d*d", args.output)
-        if m_pat:
-            # ffmpeg pattern form incl. width (%d / %03d / %05d ...);
-            # every OTHER literal % must be escaped or `pattern % n`
-            # crashes at emit time
-            pre = args.output[:m_pat.start()].replace("%", "%%")
-            post = args.output[m_pat.end():].replace("%", "%%")
-            jpeg_pattern = pre + m_pat.group(0) + post
-        else:
-            # insert _%d before the final extension only, escaping any
-            # literal % so the later pattern % count can't misfire
-            base, dot, ext = args.output.rpartition(".")
-            jpeg_pattern = (base.replace("%", "%%") + "_%d" + dot
-                            + ext.replace("%", "%%"))
+        jpeg_pattern = still_pattern(args.output)[1]
     else:
         sink = "mux"
         enc_kwargs = dict(codec_name=args.vcodec, preset=args.preset,

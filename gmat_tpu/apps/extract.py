@@ -34,6 +34,20 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from ..av.extractor import FrameExtractor, FrameSelect
+    from .cli import still_pattern
+
+    # resolve the output BEFORE decoding anything: a bad pattern must
+    # not burn a first-frame decode + remote jit compile first
+    out_lower = args.output.lower()
+    is_y4m = out_lower.endswith(".y4m")
+    pattern = None
+    if not is_y4m:
+        if not (out_lower.endswith((".jpg", ".jpeg"))
+                or still_pattern(args.output)[0]):
+            raise SystemExit(
+                f"gmat-extract: unsupported output {args.output!r} "
+                "(use .y4m, .jpg, or a %d pattern)")
+        pattern = still_pattern(args.output)[1]
 
     t0 = time.perf_counter()
     if args.scene > 0:
@@ -48,7 +62,7 @@ def main(argv=None):
     y4m = None
     try:
         for (y, u, v, pts) in frames:
-            if args.output.endswith(".y4m"):
+            if is_y4m:
                 if y4m is None:
                     from ..av.rawvideo import Y4MWriter
                     fps = getattr(src.dm, "fps", 0.0) or 30.0
@@ -60,17 +74,10 @@ def main(argv=None):
                 from ..core.frame import from_numpy_yuv420
                 fb = from_numpy_yuv420(y[None], u[None], v[None],
                                        colorspace=src.colorspace)
-                data = jpeg_tpu.encode_batch(fb, args.quality)[0]
-                if "%" in args.output:
-                    pattern = args.output
-                elif args.output.lower().endswith((".jpg", ".jpeg")):
-                    base, dot, ext = args.output.rpartition(".")
-                    pattern = base + "_%d" + dot + ext
-                else:
-                    raise SystemExit(
-                        f"gmat-extract: unsupported output "
-                        f"{args.output!r} (use .y4m, .jpg, or a %d "
-                        "pattern)")
+                # expand_range: decoded video is limited-range; JFIF is
+                # full range (ffmpeg's auto yuvj420p scaler behavior)
+                data = jpeg_tpu.encode_batch(fb, args.quality,
+                                             expand_range=True)[0]
                 with open(pattern % n, "wb") as f:
                     f.write(data)
             n += 1

@@ -3,8 +3,10 @@
 This is the *host* half of the still-image story (used by the overlay
 filter and as the oracle for the TPU DCT codec in ops/dct.py + av/heif.py).
 JPEG is full-range BT.601, which the device CSC (faithful to GMAT's
-limited-range-only kernels) doesn't cover, so the JFIF conversion happens
-here in numpy.
+limited-range-only kernels, yuv2rgb_cuda.cu:782-849) doesn't cover, so
+the JFIF conversion happens here in numpy.  Reference use: the nvjpeg
+sample decodes stills to BGR the same way
+(metrans/samples/AppNvjpegDec.cpp:24-67).
 """
 from __future__ import annotations
 

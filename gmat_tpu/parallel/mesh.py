@@ -33,9 +33,6 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
 
 
-def batch_spec() -> P:
-    return P(DATA_AXIS)
-
 
 def shard_batch(fb: FrameBatch, mesh: Mesh) -> FrameBatch:
     """Shard every plane's leading (frame) axis across the data axis."""
@@ -43,10 +40,6 @@ def shard_batch(fb: FrameBatch, mesh: Mesh) -> FrameBatch:
     planes = {k: jax.device_put(v, sh) for k, v in fb.planes.items()}
     return fb.with_planes(planes)
 
-
-def replicate(tree, mesh: Mesh):
-    sh = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
 def shard_sr_params(params: dict, mesh: Mesh) -> dict:

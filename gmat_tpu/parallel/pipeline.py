@@ -53,5 +53,12 @@ class ShardedPipeline:
 
 
 def run_sharded(fn: Callable, fb: FrameBatch, mesh: Optional[Mesh] = None):
-    """One-shot helper: shard -> jit(fn) -> return device result."""
-    return ShardedPipeline(fn, mesh)(fb)
+    """One-shot helper: shard -> jit(fn) -> device result, trimmed back
+    to the ORIGINAL batch length (shard() pads ragged batches by
+    repeating the last frame; a caller aggregating the raw result would
+    silently count the phantom frames)."""
+    n = fb.batch
+    out = ShardedPipeline(fn, mesh)(fb)
+    return jax.tree_util.tree_map(
+        lambda a: a[:n] if hasattr(a, "shape") and a.ndim >= 1
+        and a.shape[0] >= n else a, out)

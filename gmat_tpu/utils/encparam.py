@@ -109,5 +109,13 @@ def parse_enc_param(s: str, defaults: Dict = None) -> Dict:
         elif k in ("qmin", "qmax", "tune", "profile"):
             extras.append(f"{k}={v}")
     if extras:
-        out["opts"] = ",".join(extras)
+        # MERGE with any opts inherited from `defaults` (layered parses:
+        # metrans base params + per-rung suffix) — overwriting would
+        # silently drop the base VBV/maxrate/profile settings.  Keys set
+        # by this parse win over same-key defaults.
+        prev = out.get("opts", "")
+        new_keys = {e.split("=", 1)[0] for e in extras}
+        kept = [e for e in prev.split(",")
+                if e and e.split("=", 1)[0] not in new_keys]
+        out["opts"] = ",".join(kept + extras)
     return out

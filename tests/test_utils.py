@@ -165,3 +165,22 @@ def test_encparam_fractional_fps_and_vbvinit():
     assert out["fps"] == (29970, 1000)
     out = parse_enc_param("bitrate=2M:maxbitrate=2M:vbvbufsize=4M:vbvinit=2M")
     assert "rc_init_occupancy=2000000" in out["opts"]
+
+
+def test_encparam_layered_opts_merge():
+    """Review fix: a rung suffix parse must MERGE the defaults' opts
+    string (VBV/maxrate caps), not overwrite it; same-key overrides
+    still win."""
+    from gmat_tpu.utils.encparam import parse_enc_param
+    base = parse_enc_param(
+        "codec=h264:bitrate=4M:maxbitrate=6M:vbvbufsize=8M")
+    assert "maxrate=6000000" in base["opts"]
+    kw = parse_enc_param("bitrate=2M:qmin=16", dict(base))
+    assert kw["bitrate"] == 2000000
+    assert "maxrate=6000000" in kw["opts"]
+    assert "bufsize=8000000" in kw["opts"]
+    assert "qmin=16" in kw["opts"]
+    # same-key override wins
+    kw2 = parse_enc_param("maxbitrate=3M", dict(base))
+    assert kw2["opts"].count("maxrate=") == 1
+    assert "maxrate=3000000" in kw2["opts"]
