@@ -41,6 +41,18 @@ def _annexb_to_length_prefixed(nals: List[bytes]) -> bytes:
     return b"".join(struct.pack(">I", len(n)) + n for n in nals)
 
 
+def _lp_to_annexb(data: bytes, lsz: int) -> bytes:
+    """Length-prefixed NAL stream -> annexb (shared by items and
+    sequence samples so bounds handling can't diverge)."""
+    out = b""
+    i = 0
+    while i + lsz <= len(data):
+        ln = int.from_bytes(data[i:i + lsz], "big")
+        out += b"\x00\x00\x00\x01" + data[i + lsz:i + lsz + ln]
+        i += lsz + ln
+    return out
+
+
 @dataclasses.dataclass
 class _WItem:
     """One item being written: coded payload + metadata boxes."""
@@ -272,7 +284,9 @@ class HeifWriter:
     def _last_image_id(self) -> int:
         for i in range(len(self._items), 0, -1):
             it = self._items[i - 1]
-            if it.item_type == b"hvc1" and not it.hidden:
+            # visible presentations: plain stills AND grid items (their
+            # tiles are hidden; exif/alpha/thumbnails attach to the grid)
+            if it.item_type in (b"hvc1", b"grid") and not it.hidden:
                 return i
         raise ValueError("no image item to attach to")
 
@@ -387,12 +401,7 @@ class HeifItem:
     def to_annexb(self) -> bytes:
         nals, lsz = hevc.parse_hvcc(self.hvcc)
         out = b"".join(b"\x00\x00\x00\x01" + n for n in nals)
-        i = 0
-        while i + lsz <= len(self.data):
-            ln = int.from_bytes(self.data[i:i + lsz], "big")
-            out += b"\x00\x00\x00\x01" + self.data[i + lsz:i + lsz + ln]
-            i += lsz + ln
-        return out
+        return out + _lp_to_annexb(self.data, lsz)
 
 
 class HeifReader:
@@ -443,6 +452,9 @@ class HeifReader:
                 off_sz = body[0] >> 4
                 len_sz = body[0] & 15
                 base_sz = body[1] >> 4
+                # v1/v2: low nibble of byte 1 is index_size — an
+                # extent_index precedes each offset and must be skipped
+                idx_sz = body[1] & 15 if version >= 1 else 0
                 idx = 2
                 if version < 2:
                     count = struct.unpack(">H", body[idx:idx + 2])[0]; idx += 2
@@ -464,6 +476,7 @@ class HeifReader:
                     n_ext = struct.unpack(">H", body[idx:idx + 2])[0]; idx += 2
                     extents = []
                     for _ in range(n_ext):
+                        idx += idx_sz          # extent_index (unused)
                         off = int.from_bytes(body[idx:idx + off_sz], "big"); idx += off_sz
                         ln = int.from_bytes(body[idx:idx + len_sz], "big"); idx += len_sz
                         extents.append((base + off, ln))
@@ -588,7 +601,14 @@ class HeifReader:
             for it in self.items:
                 if it.item_id == self.primary:
                     return it
-            index = 0
+            # dangling pitm: fall back to the first DECODABLE
+            # presentation (items[0] could be an Exif/metadata item)
+            for it in self.items:
+                t = self.item_types.get(it.item_id, b"hvc1")
+                if t == b"grid" or (t == b"hvc1" and it.hvcc):
+                    return it
+            raise IOError("no decodable image item (dangling pitm and "
+                          "no hvc1/grid items)")
         return self.items[index]
 
     def exif(self, item_id: Optional[int] = None) -> Optional[bytes]:
@@ -855,13 +875,22 @@ def decode_thumbnail(data, index: Optional[int] = None):
     t = rdr.thumbnail_item(item.item_id)
     if t is None:
         return None
-    yuv = _decode_hvc1(t)
+    yuv = _decode_item(rdr, t)
     # a thumbnail with no properties of its own inherits only the
     # master's scale-invariant transforms — clap geometry is in
     # master-pixel coordinates and cannot apply to the smaller plane
     tr = t.transforms or [tf for tf in item.transforms
                           if tf[0] != "clap"]
     return apply_transforms(*yuv, tr) if tr else yuv
+
+
+def _decode_item(rdr: "HeifReader", item: HeifItem, workers: int = 0):
+    """Decode any presentation item: grid-coded items assemble their
+    canvas (phone HEICs store alpha planes and thumbnails as grids
+    too), plain hvc1 items decode directly."""
+    if rdr.item_types.get(item.item_id) == b"grid":
+        return _decode_grid(rdr, item, workers=workers)
+    return _decode_hvc1(item)
 
 
 def _decode_hvc1(item: HeifItem):
@@ -889,10 +918,7 @@ def decode_still(data, index: Optional[int] = None, apply: bool = True,
     (same transforms applied)."""
     rdr = HeifReader(data)
     item = rdr.read_image(index)
-    if rdr.item_types.get(item.item_id) == b"grid":
-        yuv = _decode_grid(rdr, item, workers=workers)
-    else:
-        yuv = _decode_hvc1(item)
+    yuv = _decode_item(rdr, item, workers=workers)
     if apply and item.transforms:
         yuv = apply_transforms(*yuv, item.transforms)
     if not with_alpha:
@@ -900,7 +926,7 @@ def decode_still(data, index: Optional[int] = None, apply: bool = True,
     a_item = rdr.alpha_item(item.item_id)
     alpha = None
     if a_item is not None:
-        a = _decode_hvc1(a_item)
+        a = _decode_item(rdr, a_item, workers=workers)
         # the alpha plane follows its own transforms when authored with
         # any, else tracks the master image's
         tr = a_item.transforms or item.transforms
@@ -961,19 +987,41 @@ def _decode_grid(rdr: "HeifReader", grid: HeifItem, workers: int = 0):
         if dec is not None:
             dec.close()
     else:
-        # parallel: one HEVC session per worker thread (decode releases
-        # the GIL) — the big-still analog of encode_still_grid(workers=)
+        # parallel: ONE HEVC session per worker thread, reused across
+        # that worker's tiles via reset() (decode releases the GIL) —
+        # the big-still analog of encode_still_grid(workers=); a
+        # session per TILE would pay 62 avcodec open/closes per image
+        import threading
+        tls = threading.local()
+        sessions = []
+        slock = threading.Lock()
+
         def one(t):
-            dec = tk.Decoder(tk.CODEC_HEVC, width=t.width, height=t.height)
+            dec = getattr(tls, "dec", None)
+            if dec is None or getattr(tls, "dims", None) != (t.width,
+                                                            t.height):
+                if dec is not None:
+                    dec.close()
+                    with slock:
+                        sessions.remove(dec)
+                dec = tk.Decoder(tk.CODEC_HEVC, width=t.width,
+                                 height=t.height)
+                tls.dec, tls.dims = dec, (t.width, t.height)
+                with slock:
+                    sessions.append(dec)
             frames = (list(dec.decode(t.to_annexb(), 0))
                       + list(dec.decode(None)))
-            dec.close()
+            dec.reset()
             if not frames:
                 raise IOError(f"grid tile {t.item_id} decoded no frame")
             return frames[0][:3]
 
-        with ThreadPoolExecutor(nw) as pool:
-            decoded = list(pool.map(one, tiles))
+        try:
+            with ThreadPoolExecutor(nw) as pool:
+                decoded = list(pool.map(one, tiles))
+        finally:
+            for dec in sessions:
+                dec.close()
     canvas = None
     for k, (ty, tu, tv) in enumerate(decoded):
         th, tw = ty.shape
@@ -1217,15 +1265,19 @@ class HeifSequenceWriter:
         n = len(self.samples)
         timescale = self.fps
         durs, offs, dur = self._timing()
+        # movie/track duration is the PRESENTATION length — the sum of
+        # edit durations (ISO 14496-12 8.3.2), so a leading empty edit
+        # extends it; media duration (mdhd) stays `dur`
+        pres_dur = dur + max(self.presentation_delay, 0)
         ftyp = _box(b"ftyp", b"msf1" + _u32(0) + b"msf1hevciso8")
         mvhd = _full(b"mvhd", 0, 0,
-                     _u32(0) * 2 + _u32(timescale) + _u32(dur) +
+                     _u32(0) * 2 + _u32(timescale) + _u32(pres_dur) +
                      _u32(0x00010000) + _u16(0x0100) + _u16(0) + _u32(0) * 2 +
                      _u32(0x00010000) + _u32(0) * 2 + _u32(0) + _u32(0x00010000) +
                      _u32(0) * 2 + _u32(0) + _u32(0x40000000) +
                      _u32(0) * 6 + _u32(2))
         tkhd = _full(b"tkhd", 0, 7,
-                     _u32(0) * 2 + _u32(1) + _u32(0) + _u32(dur) +
+                     _u32(0) * 2 + _u32(1) + _u32(0) + _u32(pres_dur) +
                      _u32(0) * 2 + _u16(0) * 2 + _u16(0) + _u16(0) +
                      _u32(0x00010000) + _u32(0) * 2 + _u32(0) +
                      _u32(0x00010000) + _u32(0) * 2 + _u32(0) +
@@ -1267,7 +1319,9 @@ class HeifSequenceWriter:
         edts = b""
         cts0 = 0
         if offs is not None:
-            cts0 = min(sum(durs[:i]) + offs[i] for i in range(n))
+            from itertools import accumulate
+            dts_pre = list(accumulate([0] + durs[:-1]))   # O(n), not O(n^2)
+            cts0 = min(d_ + o for d_, o in zip(dts_pre, offs))
         if cts0 > 0 or self.presentation_delay > 0:
             entries = []
             if self.presentation_delay > 0:
@@ -1470,13 +1524,7 @@ class HeifSequenceReader:
         out = b""
         if i == 0:
             out = b"".join(b"\x00\x00\x00\x01" + n for n in nals)
-        data = self.frames[i]
-        j = 0
-        while j + lsz <= len(data):
-            ln = int.from_bytes(data[j:j + lsz], "big")
-            out += b"\x00\x00\x00\x01" + data[j + lsz:j + lsz + ln]
-            j += lsz + ln
-        return out
+        return out + _lp_to_annexb(self.frames[i], lsz)
 
 
 def encode_sequence(frames, fps: int = 30, crf: float = 22.0,

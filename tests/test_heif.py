@@ -782,3 +782,83 @@ def test_heif_grid_parallel_decode_matches_serial():
     b = heif.decode_still(blob, workers=4)
     for pa, pb in zip(a, b):
         np.testing.assert_array_equal(pa, pb)
+
+
+def test_heif_grid_composes_alpha_and_exif_defaults():
+    """Review fixes: default-target attachment works on grid-only
+    writers, and grid-coded ALPHA planes decode (the phone-HEIC
+    grid-alpha layout crashed parse_hvcc before)."""
+    h, w = 96, 128
+    rng = np.random.default_rng(6)
+    y = rng.integers(16, 236, (h, w), dtype=np.uint8)
+    u = np.full((h // 2, w // 2), 100, np.uint8)
+    v = np.full((h // 2, w // 2), 150, np.uint8)
+    alpha = np.zeros((h, w), np.uint8)
+    alpha[20:70, 30:100] = 255
+    neutral = np.full((h // 2, w // 2), 128, np.uint8)
+
+    def tiles_of(py, pu, pv):
+        out = []
+        for r in range(2):
+            for c in range(2):
+                out.append(heif._encode_one_annexb(
+                    np.ascontiguousarray(py[r * 48:(r + 1) * 48,
+                                            c * 64:(c + 1) * 64]),
+                    np.ascontiguousarray(pu[r * 24:(r + 1) * 24,
+                                            c * 32:(c + 1) * 32]),
+                    np.ascontiguousarray(pv[r * 24:(r + 1) * 24,
+                                            c * 32:(c + 1) * 32]),
+                    16.0, True))
+        return out
+
+    wtr = heif.HeifWriter()
+    gid = wtr.add_grid(tiles_of(y, u, v), 2, 2, w, h)
+    exif = b"II*\x00" + bytes(8)
+    wtr.add_exif(exif)                     # default target = the grid
+    # alpha stored as its OWN grid item (large phone HEICs do this)
+    a_tiles = tiles_of(alpha, neutral, neutral)
+    a_gid = wtr.add_grid(a_tiles, 2, 2, w, h)
+    # demote the alpha grid to an aux: auxC property + auxl ref, unhide
+    it = wtr._items[a_gid - 1]
+    it.props.append((b"auxC", b"\0\0\0\0" + heif.ALPHA_AUX_TYPE + b"\0",
+                     True))
+    it.refs.append((b"auxl", [gid]))
+    wtr.primary_override = gid
+    blob = wtr.tobytes()
+    rdr = heif.HeifReader(blob)
+    assert rdr.exif(gid) == exif
+    dy, du, dv, da = heif.decode_still(blob, with_alpha=True)
+    np.testing.assert_array_equal(dy, y)
+    np.testing.assert_array_equal(da, alpha)
+
+
+def test_heif_iloc_index_size_and_pres_duration():
+    import struct as _s
+    # presentation duration includes the empty-edit delay
+    frames = [synth(64, 64, seed=i) for i in range(4)]
+    blob = heif.encode_sequence(frames, fps=30, crf=20.0,
+                                presentation_delay=6)
+    i = blob.find(b"tkhd")
+    dur = _s.unpack(">I", blob[i + 24:i + 28])[0]
+    assert dur == 4 + 6            # samples + delay (timescale = fps)
+    # iloc v1 with index_size=4: extent_index bytes must be skipped
+    y, u, v = synth(64, 64)
+    base = heif.encode_still(y, u, v, lossless=True)
+    it = heif.HeifReader(base).read_image()
+    from gmat_tpu.av.heif import _box, _full, _u32
+    pitm = _full(b"pitm", 0, 0, _s.pack(">H", 1))
+    body = bytes([0x44, 0x04]) + _s.pack(">H", 1)   # index_size=4
+    body += _s.pack(">H", 1) + _s.pack(">H", 1)     # id, method 1 (idat)
+    body += _s.pack(">H", 0) + _s.pack(">H", 1)     # dref, 1 extent
+    body += _s.pack(">I", 0xDEAD)                   # extent_index
+    body += _s.pack(">II", 0, len(it.data))
+    iloc = _full(b"iloc", 1, 0, body)
+    ispe = _full(b"ispe", 0, 0, _s.pack(">II", 64, 64))
+    ipco = _box(b"ipco", _box(b"hvcC", it.hvcc) + ispe)
+    ipma = _full(b"ipma", 0, 0, _s.pack(">I", 1)
+                 + _s.pack(">H", 1) + bytes([2, 0x81, 0x82]))
+    meta = _box(b"meta", b"\0\0\0\0" + pitm + iloc
+                + _box(b"iprp", ipco + ipma) + _box(b"idat", it.data))
+    crafted = _box(b"ftyp", b"heic" + _u32(0) + b"heicmif1") + meta
+    yd, ud, vd = heif.decode_still(crafted)
+    np.testing.assert_array_equal(yd, y)
