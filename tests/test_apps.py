@@ -678,3 +678,40 @@ def test_audio_stream_empty_first_push():
     rs.push(empty)
     y = rs.push(x)
     assert y.shape[1] == 2 and len(y) > 0
+
+
+def test_cli_device_codec_roundtrip_chain(clip, tmp_path):
+    """Cross-feature integration: mjpeg_tpu ENCODE (optimized tables)
+    -> -hwaccel tpu device DECODE -> filter graph -> .heic stills with
+    metadata -> decode + verify.  Exercises the whole device-codec
+    surface in one chain."""
+    import numpy as np
+    from gmat_tpu.apps.cli import main
+    from gmat_tpu.av import heif, jpeg_tpu
+
+    mj = str(tmp_path / "mid.mov")
+    rc = main(["-i", clip, "-vf", "scale=128:96", "-o", mj,
+               "-c:v", "mjpeg_tpu", "-q:v", "92",
+               "-enc-param", "optimize=1", "-frames", "6", "-batch", "6"])
+    assert rc == 0
+    # device decode -> crop+flip -> HEIC stills
+    pat = str(tmp_path / "s_%02d.heic")
+    rc = main(["-hwaccel", "tpu", "-i", mj,
+               "-vf", "crop=96:64,hflip", "-o", pat,
+               "-frames", "4", "-batch", "2", "-crf", "16"])
+    assert rc == 0
+    for i in range(4):
+        y, u, v = heif.decode_still(pat % i)
+        assert y.shape == (64, 96)
+    import os
+    assert not os.path.exists(pat % 4)
+    # the same frames through the software path agree within JPEG+HEVC
+    # lossy tolerance
+    sw = str(tmp_path / "w_%02d.heic")
+    rc = main(["-i", mj, "-vf", "crop=96:64,hflip", "-o", sw,
+               "-frames", "4", "-batch", "2", "-crf", "16"])
+    assert rc == 0
+    for i in range(4):
+        a, _, _ = heif.decode_still(pat % i)
+        b, _, _ = heif.decode_still(sw % i)
+        assert np.abs(a.astype(int) - b.astype(int)).mean() < 3.0
