@@ -35,7 +35,9 @@ def extract_to_torch(path: str, frame_interval: int = 0,
     """FrameExtractor -> torch NCHW fp32 tensors (the
     frame_extractor.extract_to_device_buffer analog).
 
-    Yields torch tensors of shape (batch, 3, H, W) in [0, 1].
+    Yields (tensor, pts) pairs; tensors are (n, 3, H, W) in [0, 1]
+    where n == batch except for the final partial batch (n == its
+    real frame count).
     """
     import jax.numpy as jnp
 
@@ -65,6 +67,9 @@ def extract_to_torch(path: str, frame_interval: int = 0,
                              "v": jnp.asarray(vs)}, "yuv420p", w, h,
                             fx.colorspace)
             x = fused.preprocess_nchw(fb, out_w, out_h)
-            yield jax_to_torch(x[:valid]), pts
+            # trim AFTER the torch conversion: a device-side x[:valid]
+            # would dispatch a tail-shaped slice program (a fresh remote
+            # compile — the very thing the padding above avoids)
+            yield jax_to_torch(x)[:valid], pts
     finally:
         fx.close()

@@ -44,6 +44,10 @@ def _bundled_weights(model: str, channels: int, hidden: int) -> str:
         name = "espcn_x3.npz"
     elif model == "denoise" and channels == 3:
         name = "dncnn.npz"
+    elif model == "denoise" and channels == 1:
+        # luma-only checkpoint (tools/train_denoise.py --channels 1);
+        # absent file falls through to '' like every other config
+        name = "dncnn_l.npz"
     if name:
         p = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "models", "weights", name)

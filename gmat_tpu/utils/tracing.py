@@ -58,8 +58,9 @@ def device_timer(label: str = "", sync=None):
     """Wall-clock a device region — the StopWatch analog (NvCommon.h:209)
     with a RELIABLE device sync.
 
-    Pass the region's output via `sync` (a value or a zero-arg callable);
-    the timer synchronizes by reading ONE scalar back to host, which is
+    Pass a zero-arg callable returning the region's output via `sync`
+    (a pre-existing array value also works for re-timing it); the timer
+    synchronizes by reading ONE scalar back to host, which is
     the only dependable barrier on the tunneled runtime
     (block_until_ready can return early there; see CLAUDE.md).  Without
     `sync` there is nothing to wait on and 'seconds' measures dispatch
@@ -77,6 +78,11 @@ def device_timer(label: str = "", sync=None):
             leaf = jax.tree_util.tree_leaves(val)
             if leaf:
                 float(np.asarray(leaf[0]).ravel()[0])  # real host barrier
+            else:
+                # a sync that yields an EMPTY pytree (lambda: None)
+                # provides no barrier: flag it like the missing case so
+                # dispatch-only time can't be misread as synced
+                out["sync_missing"] = True
         else:
             out["sync_missing"] = True
         out["seconds"] = time.perf_counter() - t0

@@ -33,9 +33,15 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default="")
-    p.add_argument("--out", default=os.path.join(
-        REPO, "gmat_tpu", "models", "weights", "dncnn.npz"))
+    p.add_argument("--channels", type=int, default=3, choices=(1, 3),
+                   help="1 trains the luma-only checkpoint "
+                        "(dncnn_l.npz — infer denoise luma_only=1)")
+    p.add_argument("--out", default="")
     args = p.parse_args(argv)
+    if not args.out:
+        name = "dncnn.npz" if args.channels == 3 else "dncnn_l.npz"
+        args.out = os.path.join(REPO, "gmat_tpu", "models", "weights",
+                                name)
 
     import jax
     if args.platform:
@@ -49,9 +55,14 @@ def main(argv=None):
     print(f"generating {args.patches} patches ...", flush=True)
     t0 = time.time()
     clean = make_dataset(args.patches, args.size, args.seed)
+    if args.channels == 1:
+        # BT.601 luma of the RGB patches: the luma-only training set
+        clean = (0.299 * clean[:, :1] + 0.587 * clean[:, 1:2]
+                 + 0.114 * clean[:, 2:3]).astype(np.float32)
     print(f"  {time.time() - t0:.1f}s", flush=True)
 
-    params = denoise.init_params(jax.random.PRNGKey(args.seed), channels=3)
+    params = denoise.init_params(jax.random.PRNGKey(args.seed),
+                                 channels=args.channels)
     sched = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.01)
     opt = optax.adam(sched)
     opt_state = opt.init(params)
@@ -89,21 +100,25 @@ def main(argv=None):
     clean_d = jax.device_put(clean, dev)
     sz = args.size
     t0 = time.time()
-    for i in range(0, args.steps, CHUNK):
-        n_steps = min(CHUNK, args.steps - i)
+    # whole chunks only: a ragged tail is a distinct jitted shape
+    total = ((args.steps + CHUNK - 1) // CHUNK) * CHUNK
+    for i in range(0, total, CHUNK):
         idxs = jnp.asarray(rng.integers(0, args.patches,
-                                        (n_steps, args.batch)))
+                                        (CHUNK, args.batch)))
         key = jax.random.PRNGKey(args.seed * 100003 + i)
         params, opt_state, loss = run_chunk(params, opt_state, idxs,
                                             key, clean_d)
-        if (i // CHUNK) % 20 == 0 or i + CHUNK >= args.steps:
+        if (i // CHUNK) % 20 == 0 or i + CHUNK >= total:
             l = float(np.asarray(loss))
-            print(f"step {i + n_steps:5d}  mse {l:.6f}  psnr "
+            print(f"step {i + CHUNK:5d}  mse {l:.6f}  psnr "
                   f"{-10 * np.log10(max(l, 1e-12)):.2f} dB  "
                   f"({time.time() - t0:.0f}s)", flush=True)
 
     # held-out eval at sigma=25
     test = make_dataset(16, sz, args.seed + 777)
+    if args.channels == 1:
+        test = (0.299 * test[:, :1] + 0.587 * test[:, 1:2]
+                + 0.114 * test[:, 2:3]).astype(np.float32)
     trng = np.random.default_rng(42)
     noisy = np.clip(test + trng.normal(0, 25.0 / 255, test.shape)
                     .astype(np.float32), 0, 1)

@@ -120,15 +120,22 @@ def main(argv=None):
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
     if not args.out:
+        # non-default widths land in their own file (the _bundled_weights
+        # naming): --hidden 128 must not overwrite the shipped h64 npz
+        # with shape-incompatible weights
+        suffix = f"_h{args.hidden}" if args.hidden != 64 else ""
         args.out = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "gmat_tpu", "models", "weights", f"espcn_x{args.scale}.npz")
+            "gmat_tpu", "models", "weights",
+            f"espcn_x{args.scale}{suffix}.npz")
     if args.hr % args.scale:
         raise SystemExit(f"--hr must be divisible by --scale")
 
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from gmat_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()     # tunnel remote compiles take minutes contended
     import jax.numpy as jnp
     import optax
     from gmat_tpu.models import sr
@@ -172,15 +179,17 @@ def main(argv=None):
     lrs_d = jax.device_put(lrs, dev)
     hrs_d = jax.device_put(hrs, dev)
     t0 = time.time()
-    for i in range(0, args.steps, CHUNK):
-        n_steps = min(CHUNK, args.steps - i)
+    # round the step count UP to whole chunks: a ragged tail chunk is a
+    # distinct jitted shape (= one extra full remote compile)
+    total = ((args.steps + CHUNK - 1) // CHUNK) * CHUNK
+    for i in range(0, total, CHUNK):
         idxs = jnp.asarray(rng.integers(0, args.patches,
-                                        (n_steps, args.batch)))
+                                        (CHUNK, args.batch)))
         params, opt_state, loss = run_chunk(params, opt_state, idxs,
                                             lrs_d, hrs_d)
         if (i // CHUNK) % 20 == 0 or i + CHUNK >= args.steps:
             l = float(np.asarray(loss))
-            print(f"step {i + n_steps:5d}  mse {l:.6f}  psnr "
+            print(f"step {i + CHUNK:5d}  mse {l:.6f}  psnr "
                   f"{-10 * np.log10(max(l, 1e-12)):.2f} dB  "
                   f"({time.time() - t0:.0f}s)", flush=True)
 
