@@ -34,12 +34,14 @@ def init_params(key: jax.Array, num_classes: int = 1000,
             "b": jnp.zeros((cout,), dtype),
         })
         cin = cout
-    head = {
-        "w": jax.random.normal(keys[-1], (cin, num_classes), dtype) *
-             jnp.asarray(np.sqrt(1.0 / cin), dtype),
-        "b": jnp.zeros((num_classes,), dtype),
-    }
-    return {"layers": layers, "head": head}
+    # FLAT head keys (like pose.py): the npz checkpoint loader handles
+    # top-level arrays and lists of layer dicts — a nested head dict
+    # could never load from infer=classify:weights=model.npz
+    return {"layers": layers,
+            "head_w": jax.random.normal(keys[-1], (cin, num_classes),
+                                        dtype) *
+            jnp.asarray(np.sqrt(1.0 / cin), dtype),
+            "head_b": jnp.zeros((num_classes,), dtype)}
 
 
 def apply(params: Dict, x: jax.Array) -> jax.Array:
@@ -54,5 +56,5 @@ def apply(params: Dict, x: jax.Array) -> jax.Array:
         h = jax.nn.relu(h + layer["b"].astype(jnp.float32)[None, :, None, None]
                         ).astype(layer["w"].dtype)
     h = jnp.mean(h.astype(jnp.float32), axis=(2, 3))  # global average pool
-    return h @ params["head"]["w"].astype(jnp.float32) + \
-        params["head"]["b"].astype(jnp.float32)
+    return h @ params["head_w"].astype(jnp.float32) + \
+        params["head_b"].astype(jnp.float32)

@@ -20,9 +20,11 @@ INPUT_SIZE = 120       # doc/3DDFA_filter.md input crop
 def init_params(key: jax.Array, widths=(16, 32, 64, 128),
                 dtype=jnp.float32) -> Dict:
     keys = jax.random.split(key, len(widths) + 1)
-    params = {"convs": [], "n_layers": len(widths)}
+    # NOTE: arrays only — a Python-int leaf (the old n_layers) breaks
+    # grad/optimizer tree ops over the params
+    params = {"convs": []}
     cin = 3
-    for i, (k, cout) in enumerate(zip(keys[:-1], widths)):
+    for k, cout in zip(keys[:-1], widths):
         fan_in = cin * 9
         params["convs"].append({
             "w": jax.random.normal(k, (cout, cin, 3, 3), dtype) *

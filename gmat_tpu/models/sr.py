@@ -64,15 +64,22 @@ def scale_of(params: Dict, channels: int = 3) -> int:
     return int(np.sqrt(rr))
 
 
-def apply(params: Dict, x: jax.Array) -> jax.Array:
-    """x: (N, C, H, W) fp32 in [0,1] -> (N, C, H*r, W*r)."""
+def _forward(params: Dict, x: jax.Array) -> jax.Array:
     r = scale_of(params, x.shape[1])
     h = jax.nn.relu(_conv(x, params["w1"], params["b1"], 2))
     h = jax.nn.relu(_conv(h, params["w2"], params["b2"], 1))
     h = _conv(h, params["w3"], params["b3"], 1)
-    return jnp.clip(pixel_shuffle(h, r), 0.0, 1.0)
+    return pixel_shuffle(h, r)
+
+
+def apply(params: Dict, x: jax.Array) -> jax.Array:
+    """x: (N, C, H, W) fp32 in [0,1] -> (N, C, H*r, W*r)."""
+    return jnp.clip(_forward(params, x), 0.0, 1.0)
 
 
 def loss_fn(params: Dict, x_lr: jax.Array, y_hr: jax.Array) -> jax.Array:
-    pred = apply(params, x_lr)
+    # UNclipped forward: differentiating through the inference clip
+    # zeroes gradients for every saturated pixel (half of them at init)
+    # and can stall training dead after an LR spike
+    pred = _forward(params, x_lr)
     return jnp.mean((pred - y_hr) ** 2)

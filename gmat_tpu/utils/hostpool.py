@@ -11,8 +11,13 @@ import os
 
 
 def n_workers(workers: int, n_items: int) -> int:
-    """Fan-out width: 0 sizes to the host core count, 1 forces the
-    serial path, always clamped to the item count."""
+    """Fan-out width: 0 sizes to the USABLE core count (cgroup/affinity
+    aware — os.cpu_count() reports the host's cores even when the
+    container is pinned to one), 1 forces the serial path, always
+    clamped to the item count."""
     if workers <= 0:
-        workers = os.cpu_count() or 1
+        try:
+            workers = len(os.sched_getaffinity(0)) or 1
+        except (AttributeError, OSError):
+            workers = os.cpu_count() or 1
     return max(1, min(workers, n_items))

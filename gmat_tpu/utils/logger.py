@@ -37,8 +37,10 @@ class _UdpSink(logging.Handler):
     def emit(self, record):
         try:
             self.sock.sendto((self.format(record) + "\n").encode(), self.addr)
-        except OSError:
-            pass
+        except Exception:
+            # stdlib convention: a bad %-format (or network error) must
+            # not crash the CALLER of logger.error — report and continue
+            self.handleError(record)
 
     def close(self):
         try:

@@ -30,8 +30,8 @@ class FpsLimiter:
     def tick(self, frames: int = 1):
         """Account for `frames` released frames (batched pipelines must
         pass their batch size or the limit is exceeded by that factor)."""
-        if not self.interval:
-            return
+        if not self.interval or frames <= 0:
+            return      # nothing released: sleeping would be pure stall
         now = time.perf_counter()
         if now < self._next:
             time.sleep(self._next - now)
