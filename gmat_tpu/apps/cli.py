@@ -417,10 +417,19 @@ def main(argv=None):
     def emit_jpeg(rgb_host, keep_idx):
         nonlocal out_count
         from ..av.jpeg import encode_rgb_to_jpeg
+        # ffmpeg image2 semantics: -q:v is the mjpeg qscale (2..31,
+        # lower = better); values >31 are direct JPEG quality mapped
+        # back to a qscale; 0 keeps the encoder default
+        q = 3
+        if 0 < args.qv <= 31:
+            q = int(round(args.qv))
+        elif args.qv > 31:
+            s = 5000.0 / args.qv if args.qv < 50 else 200 - 2 * args.qv
+            q = max(2, min(31, int(round(s / 6.25))))
         for i in keep_idx:
             path = jpeg_pattern % out_count
             with open(path, "wb") as f:
-                f.write(encode_rgb_to_jpeg(rgb_host[i]))
+                f.write(encode_rgb_to_jpeg(rgb_host[i], quality=q))
             out_count += 1
 
     def emit_png(rgb_host, keep_idx):

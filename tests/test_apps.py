@@ -715,3 +715,16 @@ def test_cli_device_codec_roundtrip_chain(clip, tmp_path):
         a, _, _ = heif.decode_still(pat % i)
         b, _, _ = heif.decode_still(sw % i)
         assert np.abs(a.astype(int) - b.astype(int)).mean() < 3.0
+
+
+def test_cli_jpeg_sink_honors_qscale(clip, tmp_path):
+    # ffmpeg image2 parity: -q:v controls the .jpg still sink quality
+    import os
+    from gmat_tpu.apps.cli import main
+    hi = str(tmp_path / "hi_%d.jpg")
+    lo = str(tmp_path / "lo_%d.jpg")
+    assert main(["-i", clip, "-o", hi, "-q:v", "2",
+                 "-frames", "2", "-batch", "2"]) == 0
+    assert main(["-i", clip, "-o", lo, "-q:v", "31",
+                 "-frames", "2", "-batch", "2"]) == 0
+    assert os.path.getsize(hi % 0) > os.path.getsize(lo % 0) * 1.2
