@@ -717,14 +717,25 @@ def test_cli_device_codec_roundtrip_chain(clip, tmp_path):
         assert np.abs(a.astype(int) - b.astype(int)).mean() < 3.0
 
 
-def test_cli_jpeg_sink_honors_qscale(clip, tmp_path):
+def test_cli_jpeg_sink_honors_qscale(tmp_path):
     # ffmpeg image2 parity: -q:v controls the .jpg still sink quality
+    # (textured input — flat frames compress to DC-only at any q)
     import os
+    import numpy as np
     from gmat_tpu.apps.cli import main
+    src = str(tmp_path / "in.y4m")
+    rng = np.random.default_rng(0)
+    with open(src, "wb") as f:
+        f.write(b"YUV4MPEG2 W160 H120 F30:1 Ip A1:1 C420jpeg\n")
+        for i in range(2):
+            f.write(b"FRAME\n")
+            f.write(rng.integers(0, 256, 160 * 120, dtype=np.uint8)
+                    .tobytes())
+            f.write(np.full(80 * 60 * 2, 128, np.uint8).tobytes())
     hi = str(tmp_path / "hi_%d.jpg")
     lo = str(tmp_path / "lo_%d.jpg")
-    assert main(["-i", clip, "-o", hi, "-q:v", "2",
+    assert main(["-i", src, "-o", hi, "-q:v", "2",
                  "-frames", "2", "-batch", "2"]) == 0
-    assert main(["-i", clip, "-o", lo, "-q:v", "31",
+    assert main(["-i", src, "-o", lo, "-q:v", "31",
                  "-frames", "2", "-batch", "2"]) == 0
     assert os.path.getsize(hi % 0) > os.path.getsize(lo % 0) * 1.2
