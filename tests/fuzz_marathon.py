@@ -1,0 +1,135 @@
+"""Opt-in long fuzz harness (not collected by pytest by default).
+
+Run from the repo root:
+    GMAT_FUZZ_N=12000 python tests/fuzz_marathon.py
+Byte flips/deletes/inserts over every JPEG wire format (native decode
+incl. the segment-parallel path), property-rich/grid/sequence HEICs,
+and HEVC slices+SEI; anything outside the parsers' documented error
+types is a finding.  Last full run: 12,000 iterations, zero unexpected
+exceptions (PARITY round-3 sweep section).
+"""
+import sys, os, random, ctypes
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from gmat_tpu.av import heif, hevc, jpeg_tpu, native
+from gmat_tpu.core.frame import from_numpy_yuv420
+
+rng = random.Random(99)
+lib = native.load("gmat_jpeg")
+p16 = ctypes.POINTER(ctypes.c_int16)
+
+y = np.random.RandomState(0).randint(0, 256, (1, 48, 64)).astype(np.uint8)
+u = np.random.RandomState(1).randint(0, 256, (1, 24, 32)).astype(np.uint8)
+v = np.random.RandomState(2).randint(0, 256, (1, 24, 32)).astype(np.uint8)
+fb = from_numpy_yuv420(y, u, v)
+corpus_jpeg = [jpeg_tpu.encode_batch(fb, 85)[0],
+               jpeg_tpu.encode_batch(fb, 85, progressive=True)[0],
+               jpeg_tpu.encode_batch(fb, 85, restart_mcus=2)[0],
+               jpeg_tpu.encode_batch(fb, 85, optimize=True)[0]]
+alpha = np.full((48, 64), 200, np.uint8)
+heic = heif.encode_still(y[0], u[0], v[0], crf=24.0, rotation=90,
+                         exif=b"II*\x00" + bytes(8), alpha=alpha,
+                         thumbnail=(32, 24), colr="pq",
+                         content_light=(100, 50))
+grid = heif.encode_still_grid(
+    np.random.RandomState(3).randint(0, 256, (96, 128)).astype(np.uint8),
+    np.full((48, 64), 100, np.uint8), np.full((48, 64), 150, np.uint8),
+    tile=64, crf=24.0)
+seq = heif.encode_sequence([(y[0], u[0], v[0])] * 6, fps=30, crf=24.0,
+                           gop=6, bf=2, presentation_delay=3)
+henc = __import__("gmat_tpu.av.toolkit", fromlist=["toolkit"])
+hevc_pkts = None
+try:
+    import gmat_tpu.av.toolkit as tk
+    e = tk.Encoder("libx265", 64, 48, fps=(30,1), gop=6, bf=2, crf=26.0,
+                   opts="x265-params=log-level=0")
+    ps = []
+    for i in range(6):
+        ps += e.encode(y[0][:48,:64], u[0][:24,:32], v[0][:24,:32], pts=i)
+    ps += e.flush()
+    hevc_pkts = [e.extradata() + ps[0].data] + [p.data for p in ps[1:]]
+    e.close()
+except Exception as ex:
+    print("hevc corpus fail", ex)
+
+def mutate(b, nmut):
+    m = bytearray(b)
+    for _ in range(nmut):
+        op = rng.random()
+        if op < 0.6:
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        elif op < 0.8 and len(m) > 40:
+            i = rng.randrange(len(m) - 16)
+            del m[i:i + rng.randrange(1, 16)]
+        else:
+            i = rng.randrange(len(m))
+            m[i:i] = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 8)))
+    return bytes(m)
+
+def native_jpeg_decode(data):
+    buf = np.frombuffer(data, np.uint8)
+    hnd = lib.gjpeg_parse(buf.ctypes.data_as(native.c_pu8), len(data))
+    if not hnd:
+        return
+    try:
+        wi, hi, ss = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+        lib.gjpeg_info(hnd, ctypes.byref(wi), ctypes.byref(hi), ctypes.byref(ss))
+        w, h, sub = wi.value, hi.value, ss.value
+        if not (0 < w <= 4096 and 0 < h <= 4096):
+            return
+        if sub == 0:
+            mx, my = (w + 15)//16, (h + 15)//16
+            yb, cb = (my*2, mx*2), (my, mx)
+        elif sub == 3:
+            mx, my = (w + 15)//16, (h + 7)//8
+            yb, cb = (my, mx*2), (my, mx)
+        elif sub == 2:
+            yb, cb = ((h+7)//8, (w+7)//8), (1, 1)
+        else:
+            yb = cb = ((h+7)//8, (w+7)//8)
+        yc = np.zeros(yb + (64,), np.int16)
+        uc = np.zeros(cb + (64,), np.int16)
+        vc = np.zeros(cb + (64,), np.int16)
+        lib.gjpeg_decode_coefs(hnd, yc.ctypes.data_as(p16),
+                               uc.ctypes.data_as(p16), vc.ctypes.data_as(p16))
+        lib.gjpeg_decode_coefs_mt(hnd, yc.ctypes.data_as(p16),
+                                  uc.ctypes.data_as(p16),
+                                  vc.ctypes.data_as(p16), 2)
+    finally:
+        lib.gjpeg_free(hnd)
+
+ALLOWED = (IOError, ValueError, __import__("struct").error, IndexError,
+           KeyError, EOFError, OverflowError, ZeroDivisionError)
+crashes = []
+N = int(os.environ.get("GMAT_FUZZ_N", "2000"))
+for it in range(N):
+    k = it % 6
+    nm = rng.randrange(1, 12)
+    try:
+        if k in (0, 1):
+            native_jpeg_decode(mutate(corpus_jpeg[rng.randrange(4)], nm))
+        elif k == 2:
+            b = mutate(heic, nm)
+            r = heif.HeifReader(b)
+            r.color_info(); r.exif(); r.alpha_item(); r.thumbnail_item()
+            for item in r.items[:2]:
+                item.to_annexb()
+        elif k == 3:
+            heif.HeifReader(mutate(grid, nm))
+        elif k == 4:
+            heif.HeifSequenceReader(mutate(seq, nm))
+        else:
+            pkt = mutate(hevc_pkts[rng.randrange(len(hevc_pkts))], nm)
+            hevc.parse_stream_slices([pkt])
+            hevc.stream_hdr_metadata([pkt])
+    except ALLOWED:
+        pass
+    except Exception as e:
+        crashes.append((k, it, type(e).__name__, str(e)[:120]))
+        if len(crashes) > 8:
+            break
+print(f"{N} iterations, {len(crashes)} unexpected exceptions")
+for c in crashes:
+    print(c)
