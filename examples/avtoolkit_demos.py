@@ -372,7 +372,13 @@ DEMOS = {
 }
 
 
+def _cache():
+    from gmat_tpu.utils.compile_cache import enable
+    enable()      # jitted demos ride the tunnel: cache remote compiles
+
+
 def main(argv=None):
+    _cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("demos", nargs="*", choices=[[], *DEMOS],
                     help="which demos to run (default: all)")

@@ -133,7 +133,10 @@ def perf_jpeg(args):
     jpeg_tpu.decode_batch(datas, workers=wk)
     t0 = time.perf_counter()
     for _ in range(reps):
-        jpeg_tpu.decode_batch(datas, workers=wk)
+        out = jpeg_tpu.decode_batch(datas, workers=wk)
+        # sync: the device dequant/IDCT is async — read one scalar back
+        # (block_until_ready is unreliable through the tunnel)
+        float(np.asarray(out.planes["y"][0, 0, 0]))
     dec_dt = time.perf_counter() - t0
     return {"case": "jpeg", "images": n * reps, "workers": wk,
             "encode_fps": round(n * reps / enc_dt, 1),
@@ -410,7 +413,8 @@ def perf_pipeline(args):
                                     batch=32, threads=args.threads or 1)
     else:
         from ..av.ingest import decode_stream
-        q = decode_stream(args.input, batch=32)
+        q = decode_stream(args.input, batch=32,
+                          threads=args.threads)
     for fb, pts, valid in q:
         last = fused.preprocess_nchw(fb, 224, 224)   # async dispatch
         total += int(valid)
@@ -542,6 +546,9 @@ def perf_ingest(args):
             w_ = ctx.Process(target=_ingest_worker,
                              args=(args.input, args.threads, ch))
             w_.start()
+            # close OUR copy of the child end: a worker dying before
+            # send() must surface as EOFError on recv, not a hang
+            ch.close()
             conns.append(pa)
             workers.append(w_)
         results = [c.recv() for c in conns]

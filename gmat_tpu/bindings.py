@@ -34,12 +34,13 @@ class FrameExtractor:
         self.width, self.height = self._fx.width, self._fx.height
 
     def set_frame_interval(self, n: int):
+        # the underlying extractor re-reads intervals every packet
+        # (SetInterval semantics); resetting the generator here would
+        # drop frames already decoded but not yet yielded
         self._fx.set_interval(frames=n)
-        self._it = None
 
     def set_time_interval(self, seconds: float):
         self._fx.set_interval(seconds=seconds)
-        self._it = None
 
     # reference getter verbs (frame_extractor.py:41-46)
     def get_width(self) -> int:
@@ -167,17 +168,32 @@ class NvEncLite:
         if width == 0 or height == 0:
             raise ValueError("width and height cannot be 0")
         from .av import toolkit as tk
+        from .utils.encparam import parse_enc_param
         self.w, self.h = width, height
         self._tk = tk
-        self._enc = None
+        # the reference's "-codec hevc -preset p1 -bitrate 4M" string
+        # maps through NvEncoderParam (utils/encparam) — ignoring it
+        # would silently encode at different settings than requested
+        self._kw = {"codec_name": "libx265", "crf": 20.0}
+        if init_param:
+            # "-codec hevc -preset p1 -bitrate 4M" -> the colon form
+            # parse_enc_param speaks ("codec=hevc:preset=p1:bitrate=4M")
+            toks = init_param.split()
+            pairs = ":".join(f"{k.lstrip('-')}={v}"
+                             for k, v in zip(toks[::2], toks[1::2]))
+            self._kw.update(parse_enc_param(pairs))
+        base_opts = "x265-params=log-level=0"
+        self._kw["opts"] = (base_opts + "," + self._kw["opts"]
+                            if self._kw.get("opts") else base_opts)
 
     def encode_frame(self, y, u, v) -> bytes:
         # each still is an independent GOP-1 session: flushing drains a
         # libavcodec encoder for good, so a fresh instance per frame
         # keeps repeated encode_frame calls valid (the reference's NVENC
         # still sessions behave the same way, CHeif.cpp:31-43)
-        enc = self._tk.Encoder("libx265", self.w, self.h, still_image=True,
-                               crf=20.0, opts="x265-params=log-level=0")
+        kw = dict(self._kw)
+        enc = self._tk.Encoder(kw.pop("codec_name"), self.w, self.h,
+                               still_image=True, **kw)
         try:
             pkts = enc.encode(y, u, v, pts=0) + enc.flush()
             return enc.extradata() + b"".join(p.data for p in pkts)
@@ -200,12 +216,10 @@ class NvDecLite:
     """Reference heif_format.py NvDecLite: still HEVC decode
     (CHeif.cpp:117-130)."""
 
-    def __init__(self):
-        self._dec = None
-
     def decode_still(self, pkt_data, pkt_size=None):
         from .av import toolkit as tk
-        data = bytes(pkt_data[:pkt_size] if pkt_size else pkt_data)
+        data = bytes(pkt_data[:pkt_size]
+                     if pkt_size is not None else pkt_data)
         dec = tk.Decoder(tk.CODEC_HEVC)
         frames = list(dec.decode(data)) + list(dec.decode(None))
         dec.close()
@@ -242,7 +256,7 @@ class NvHeifReader:
             data = bytes(img)
         else:
             data = np.asarray(img, np.uint8).tobytes()
-        self._blob = data[:size] if size else data
+        self._blob = data[:size] if size is not None else data
 
     def read_image(self):
         from .av import heif
