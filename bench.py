@@ -44,7 +44,25 @@ def main():
     from gmat_tpu.ops import fused
     from gmat_tpu.ops.pallas_kernels import fused_ladder, fused_ladder_i8
 
+    # backend discovery can HANG forever when the TPU tunnel is down
+    # (observed: jax.devices() blocks, backend UNAVAILABLE) — fail fast
+    # with a diagnosable line instead of eating the driver's timeout.
+    # The guard covers only device discovery, never compiles.
+    import os
+    import sys
+    import threading
+    _init_done = threading.Event()
+
+    def _init_watchdog():
+        if not _init_done.wait(180.0):
+            print("bench: TPU backend discovery exceeded 180s — tunnel "
+                  "down/unreachable (jax.devices() hang); aborting",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_init_watchdog, daemon=True).start()
     dev = jax.devices()[0]
+    _init_done.set()
     platform = dev.platform
     on_tpu = platform == "tpu"
 
