@@ -281,7 +281,12 @@ static void count_block(const int16_t* z, int& pred, uint32_t* dcf,
 // Optimal JPEG-legal Huffman table from symbol frequencies (T.81 Annex
 // K.2/K.3): pairwise frequency merge -> code lengths, 16-bit limit
 // adjustment, reserved symbol 256 guarantees no all-ones code.
-static void build_opt_table(uint32_t freq[257], uint8_t bits_out[17],
+// Returns false when any code length exceeds 32: the Annex-K demote
+// loop's pair invariant doesn't hold past bits[32] (a clamp would wrap
+// the counters / emit a DHT that disagrees with vals_out).  Reaching
+// depth 33 needs a ~Fib(35)-shaped frequency distribution — callers
+// fall back to the default tables, mirroring libjpeg's hard error.
+static bool build_opt_table(uint32_t freq[257], uint8_t bits_out[17],
                             uint8_t vals_out[256], int& nvals) {
     int codesize[257] = {0};
     int others[257];
@@ -305,9 +310,11 @@ static void build_opt_table(uint32_t freq[257], uint8_t bits_out[17],
         codesize[c2]++;
         while (others[c2] >= 0) { c2 = others[c2]; codesize[c2]++; }
     }
-    uint8_t bitsN[33] = {0};
-    for (int i = 0; i <= 256; i++)
-        if (codesize[i]) bitsN[codesize[i] > 32 ? 32 : codesize[i]]++;
+    int bitsN[33] = {0};
+    for (int i = 0; i <= 256; i++) {
+        if (codesize[i] > 32) return false;
+        if (codesize[i]) bitsN[codesize[i]]++;
+    }
     for (int l = 32; l > 16; l--)
         while (bitsN[l] > 0) {      // demote pairs into shorter prefixes
             int j = l - 2;
@@ -321,12 +328,25 @@ static void build_opt_table(uint32_t freq[257], uint8_t bits_out[17],
     while (l > 0 && bitsN[l] == 0) l--;
     if (l > 0) bitsN[l]--;          // drop the reserved symbol's code
     bits_out[0] = 0;
-    for (int i = 1; i <= 16; i++) bits_out[i] = bitsN[i];
+    for (int i = 1; i <= 16; i++) bits_out[i] = (uint8_t)bitsN[i];
     // canonical symbol order: original code length, ties by value
     nvals = 0;
     for (int len = 1; len <= 32; len++)
         for (int i = 0; i < 256; i++)
             if (codesize[i] == len) vals_out[nvals++] = (uint8_t)i;
+    return true;
+}
+
+// Annex-K default table for slot t (0=DC luma, 1=AC luma, 2=DC chroma,
+// 3=AC chroma) — the build_opt_table fallback when depth>32.
+static void default_huff_table(int t, const uint8_t*& b, const uint8_t*& v,
+                               int& n) {
+    switch (t) {
+        case 0: b = DC_L_BITS; v = DC_L_VALS; n = 12; break;
+        case 1: b = AC_L_BITS; v = AC_L_VALS; n = 162; break;
+        case 2: b = DC_C_BITS; v = DC_C_VALS; n = 12; break;
+        default: b = AC_C_BITS; v = AC_C_VALS; n = 162; break;
+    }
 }
 
 // subsamp: 0 = 4:2:0, 1 = 4:4:4, 2 = grayscale, 3 = 4:2:2
@@ -401,7 +421,13 @@ GJ_API int gjpeg_encode_ro(const int16_t* yc, const int16_t* uc,
         int nv[4] = {0, 0, 0, 0};
         int ntab = ncomp == 3 ? 4 : 2;
         for (int t = 0; t < ntab; t++)
-            build_opt_table(fq[t], bits[t], vals[t], nv[t]);
+            if (!build_opt_table(fq[t], bits[t], vals[t], nv[t])) {
+                const uint8_t *db, *dv; int dn;
+                default_huff_table(t, db, dv, dn);
+                memcpy(bits[t], db, 17);
+                memcpy(vals[t], dv, dn);
+                nv[t] = dn;
+            }
         put_dht(o, 0, 0, bits[0], vals[0], nv[0]);
         put_dht(o, 1, 0, bits[1], vals[1], nv[1]);
         if (ncomp == 3) {
@@ -459,7 +485,12 @@ GJ_API int gjpeg_encode_ro(const int16_t* yc, const int16_t* uc,
                 });
     bw.flush();
     put_marker(o, 0xD9);                                 // EOI
-    if ((long long)o.size() > capacity) return -1;
+    if ((long long)o.size() > capacity) {
+        snprintf(gj_err, sizeof gj_err,
+                 "encode needs %lld bytes, capacity %lld",
+                 (long long)o.size(), capacity);
+        return -1;
+    }
     memcpy(outbuf, o.data(), o.size());
     return (int)o.size();
 }
@@ -783,17 +814,33 @@ GJ_API int gjpeg_encode_progressive_r(const int16_t* yc,
             prog_run_scan(cs, sc, bufs, g, mcux, mcuy, restart);
             uint8_t bits0[17], vals0[256], bits1[17], vals1[256];
             int nv0 = 0, nv1 = 0;
+            // Huffman depth >32 needs a Fibonacci-shaped distribution —
+            // unreachable for real images, but progressive AC alphabets
+            // (EOBn runs) have no default-table fallback, so fail loudly
+            // rather than emit symbols the DHT can't encode.
             if (sc.ss == 0) {           // DC first: one table per class
-                build_opt_table(fq[0], bits0, vals0, nv0);
+                if (!build_opt_table(fq[0], bits0, vals0, nv0)) {
+                    snprintf(gj_err, sizeof gj_err,
+                             "progressive DC table depth overflow");
+                    return -2;
+                }
                 put_dht(o, 0, 0, bits0, vals0, nv0);
                 build_enc(bits0, vals0, nv0, enc0);
                 if (sc.ncomp > 1) {
-                    build_opt_table(fq[1], bits1, vals1, nv1);
+                    if (!build_opt_table(fq[1], bits1, vals1, nv1)) {
+                        snprintf(gj_err, sizeof gj_err,
+                                 "progressive DC table depth overflow");
+                        return -2;
+                    }
                     put_dht(o, 0, 1, bits1, vals1, nv1);
                     build_enc(bits1, vals1, nv1, enc1);
                 }
             } else {                    // AC scan: table id 0, redefined
-                build_opt_table(fq[1], bits1, vals1, nv1);
+                if (!build_opt_table(fq[1], bits1, vals1, nv1)) {
+                    snprintf(gj_err, sizeof gj_err,
+                             "progressive AC table depth overflow");
+                    return -2;
+                }
                 put_dht(o, 1, 0, bits1, vals1, nv1);
                 build_enc(bits1, vals1, nv1, enc1);
             }
@@ -815,7 +862,12 @@ GJ_API int gjpeg_encode_progressive_r(const int16_t* yc,
         bw.flush();
     }
     put_marker(o, 0xD9);
-    if ((long long)o.size() > capacity) return -1;
+    if ((long long)o.size() > capacity) {
+        snprintf(gj_err, sizeof gj_err,
+                 "encode needs %lld bytes, capacity %lld",
+                 (long long)o.size(), capacity);
+        return -1;
+    }
     memcpy(outbuf, o.data(), o.size());
     return (int)o.size();
 }
@@ -1089,7 +1141,17 @@ GJ_API void* gjpeg_parse(const uint8_t* buf, long long size) {
                          f->comp_v[2]);
                 delete f; return nullptr;
             }
-            if (f->ncomp == 1) f->subsamp = 2;
+            if (f->ncomp == 1) {
+                // Single-component frames: declared sampling factors are
+                // layout-irrelevant (the sole component defines hmax/vmax,
+                // so its dims equal the frame dims regardless — T.81
+                // A.1.1), but decode_progressive sizes its MCU buffers
+                // from comp_h/comp_v.  Normalize to 1x1 so an attacker
+                // declaring 4x4 sampling can't inflate bufw past the
+                // caller's ceil(w/8)*ceil(h/8) block allocation.
+                f->comp_h[0] = f->comp_v[0] = 1;
+                f->subsamp = 2;
+            }
             else if (f->comp_h[0] == 2 && f->comp_v[0] == 2) f->subsamp = 0;
             else if (f->comp_h[0] == 1 && f->comp_v[0] == 1) f->subsamp = 1;
             else if (f->comp_h[0] == 2 && f->comp_v[0] == 1) f->subsamp = 3;

@@ -31,6 +31,11 @@ from . import native
 
 SUBSAMP_420, SUBSAMP_444, SUBSAMP_GRAY, SUBSAMP_422 = 0, 1, 2, 3
 
+# First-attempt encode buffer heuristic (bytes/pixel). Legal worst-case
+# content can exceed it; encode_one retries once with the analytic
+# 4 B/coefficient bound when the native encoder reports overflow.
+_CAP_BPP = 6
+
 
 from ..utils.hostpool import n_workers as _n_workers  # noqa: E402
 
@@ -188,25 +193,40 @@ def encode_batch(fb: FrameBatch, quality: int = 90,
         raise ValueError(
             "encode_batch expects yuv420p/nv12/yuv422p/yuv444p/gray8")
 
-    cap = w * h * 6 + (1 << 16)
+    cap = w * h * _CAP_BPP + (1 << 16)
+
+    def _call(i, buf, capn):
+        if progressive:
+            return lib.gjpeg_encode_progressive_r(
+                planes[0][i].ctypes.data_as(p16),
+                planes[1][i].ctypes.data_as(p16),
+                planes[2][i].ctypes.data_as(p16), w, h, subsamp,
+                qyp, qcp, buf.ctypes.data_as(native.c_pu8), capn,
+                int(restart_mcus))
+        return lib.gjpeg_encode_ro(
+            planes[0][i].ctypes.data_as(p16),
+            planes[1][i].ctypes.data_as(p16),
+            planes[2][i].ctypes.data_as(p16), w, h, subsamp,
+            qyp, qcp, buf.ctypes.data_as(native.c_pu8), capn,
+            int(restart_mcus), int(bool(optimize)))
 
     def encode_one(i, buf):
-        if progressive:
-            n = lib.gjpeg_encode_progressive_r(
-                planes[0][i].ctypes.data_as(p16),
-                planes[1][i].ctypes.data_as(p16),
-                planes[2][i].ctypes.data_as(p16), w, h, subsamp,
-                qyp, qcp, buf.ctypes.data_as(native.c_pu8), cap,
-                int(restart_mcus))
-        else:
-            n = lib.gjpeg_encode_ro(
-                planes[0][i].ctypes.data_as(p16),
-                planes[1][i].ctypes.data_as(p16),
-                planes[2][i].ctypes.data_as(p16), w, h, subsamp,
-                qyp, qcp, buf.ctypes.data_as(native.c_pu8), cap,
-                int(restart_mcus), int(bool(optimize)))
+        n = _call(i, buf, cap)
+        if n == -1:
+            # Legal worst-case content (4:4:4 near quality 100) can beat
+            # the 6 B/px heuristic: retry once with the analytic bound of
+            # 4 B/coefficient (covers max magnitude bits + 0xFF stuffing).
+            ncoef = planes[0][i].size if subsamp == 2 else (
+                planes[0][i].size + planes[1][i].size + planes[2][i].size)
+            big = int(ncoef) * 4 + (1 << 16)
+            if big > cap:
+                bbuf = np.empty(big, np.uint8)
+                n = _call(i, bbuf, big)
+                if n >= 0:
+                    return bbuf[:n].tobytes()
         if n < 0:
-            raise IOError("jpeg encode overflow")
+            raise IOError("jpeg encode failed: "
+                          + lib.gjpeg_last_error().decode())
         return buf[:n].tobytes()
 
     nw = _n_workers(workers, fb.batch)

@@ -853,3 +853,52 @@ def test_progressive_encode_with_restart_intervals(rng, fmt):
     a = np.asarray(Image.open(io.BytesIO(base[0])).convert("RGB"))
     b = np.asarray(Image.open(io.BytesIO(pr[0])).convert("RGB"))
     np.testing.assert_array_equal(a, b)
+
+
+def _patch_sof_sampling(blob: bytes, hv: int) -> bytes:
+    """Rewrite the first component's SOF sampling byte (h<<4|v)."""
+    mut = bytearray(blob)
+    for i in range(2, len(mut) - 1):
+        if mut[i] == 0xFF and mut[i + 1] in (0xC0, 0xC2):
+            mut[i + 11] = hv
+            return bytes(mut)
+    raise AssertionError("no SOF marker found")
+
+
+@pytest.mark.parametrize("progressive", [True, False])
+def test_gray_hostile_sof_sampling(rng, progressive):
+    """Gray JPEGs declaring >1x1 sampling decode exactly like 1x1:
+    sampling factors are layout-irrelevant for single-component frames
+    (T.81 A.1.1 — the sole component defines hmax/vmax).  Regression for
+    a heap overflow where the progressive decoder sized its MCU buffers
+    from the attacker-controlled SOF factors (advisor r3, high)."""
+    from gmat_tpu.core.frame import FrameBatch
+    for h, w in ((9, 9), (24, 17)):
+        y = rng.integers(0, 256, (1, h, w)).astype(np.uint8)
+        fb = FrameBatch({"y": jnp.asarray(y)}, "gray8", w, h)
+        blob = jpeg_tpu.encode_batch(fb, quality=90,
+                                     progressive=progressive)[0]
+        ref = np.asarray(jpeg_tpu.decode_batch([blob]).planes["y"])
+        for hv in (0x44, 0x21, 0xF4, 0x04):
+            got = jpeg_tpu.decode_batch([_patch_sof_sampling(blob, hv)])
+            np.testing.assert_array_equal(np.asarray(got.planes["y"]),
+                                          ref, err_msg=hex(hv))
+
+
+def test_encode_overflow_retries_with_larger_buffer(rng, monkeypatch):
+    """Content beating the bytes/px heuristic must retry with the
+    analytic 4 B/coefficient bound, not raise (advisor r3, low)."""
+    from gmat_tpu.core.frame import FrameBatch
+    h = w = 192
+    planes = {k: jnp.asarray(rng.integers(0, 256, (1, h, w))
+                             .astype(np.uint8)) for k in "yuv"}
+    fb = FrameBatch(planes, "yuv444p", w, h)
+    want = jpeg_tpu.encode_batch(fb, quality=100)
+    assert len(want[0]) > (1 << 16)   # exceeds the shrunken first buffer
+    monkeypatch.setattr(jpeg_tpu, "_CAP_BPP", 0)
+    got = jpeg_tpu.encode_batch(fb, quality=100)
+    assert got == want
+    prog = jpeg_tpu.encode_batch(fb, quality=100, progressive=True)
+    monkeypatch.setattr(jpeg_tpu, "_CAP_BPP", 6)
+    assert prog == jpeg_tpu.encode_batch(fb, quality=100,
+                                         progressive=True)
