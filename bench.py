@@ -45,19 +45,51 @@ def main():
     from gmat_tpu.ops.pallas_kernels import fused_ladder, fused_ladder_i8
 
     # backend discovery can HANG forever when the TPU tunnel is down
-    # (observed: jax.devices() blocks, backend UNAVAILABLE) — fail fast
-    # with a diagnosable line instead of eating the driver's timeout.
-    # The guard covers only device discovery, never compiles.
+    # (observed: jax.devices() blocks, backend UNAVAILABLE).  A dead
+    # tunnel is often TRANSIENT, so before committing this process to
+    # backend init, probe discovery in short-lived subprocesses: up to 3
+    # bounded windows (~2 min each) with pauses between.  Only when a
+    # probe succeeds do we initialize in-process (guarded by a final
+    # watchdog in case the tunnel dies between probe and init).  The
+    # guards cover only device discovery, never compiles.
     import os
+    import subprocess
     import sys
     import threading
+
+    def _probe_discovery(timeout_s: float) -> bool:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                timeout=timeout_s, capture_output=True, text=True)
+            return r.returncode == 0 and r.stdout.strip() != ""
+        except subprocess.TimeoutExpired:
+            return False
+
+    windows = int(os.environ.get("GMAT_BENCH_PROBE_WINDOWS", "3"))
+    probe_s = float(os.environ.get("GMAT_BENCH_PROBE_S", "120"))
+    pause_s = float(os.environ.get("GMAT_BENCH_PROBE_PAUSE_S", "20"))
+    for attempt in range(windows):
+        if _probe_discovery(probe_s):
+            break
+        print("bench: device-discovery probe %d/%d failed (tunnel "
+              "down/unreachable)" % (attempt + 1, windows),
+              file=sys.stderr, flush=True)
+        if attempt == windows - 1:
+            print("bench: TPU backend discovery failed across %d retry "
+                  "windows — aborting" % windows,
+                  file=sys.stderr, flush=True)
+            sys.exit(3)
+        time.sleep(pause_s)
+
     _init_done = threading.Event()
 
     def _init_watchdog():
         if not _init_done.wait(180.0):
-            print("bench: TPU backend discovery exceeded 180s — tunnel "
-                  "down/unreachable (jax.devices() hang); aborting",
-                  file=sys.stderr, flush=True)
+            print("bench: in-process backend init exceeded 180s after a "
+                  "successful discovery probe — tunnel died mid-init; "
+                  "aborting", file=sys.stderr, flush=True)
             os._exit(3)
 
     threading.Thread(target=_init_watchdog, daemon=True).start()
