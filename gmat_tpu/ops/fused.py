@@ -111,12 +111,15 @@ def preprocess(fb: FrameBatch, out_w: int, out_h: int,
 _PALLAS_METHODS = ("bilinear", "nearest", "bicubic", "area", "lanczos3")
 
 
-def _pallas_eligible(fb: FrameBatch, method: str, kw: dict) -> bool:
+def _pallas_eligible(fb: FrameBatch, method: str, kw: dict,
+                     force: bool = False) -> bool:
     if kw:
         return False
     if (fb.format not in ("yuv420p", "nv12", "yuv420p10", "yuv444p")
             or method not in _PALLAS_METHODS):
         return False
+    if force:       # use_pallas="interpret": run the kernel anywhere
+        return True
     try:
         # default backend decides; callers lowering for a non-default
         # device set (e.g. a forced-CPU mesh) pass use_pallas="never"
@@ -170,8 +173,10 @@ def preprocess_nchw(fb: FrameBatch, out_w: int, out_h: int, *,
 
     On a TPU the bilinear yuv420 path dispatches to the Pallas int8-MXU
     kernel (~1.5x the XLA path, <=1.1 u8-LSB vs exact); pass
-    use_pallas="never" to force the XLA path or "bf16" for the bf16
-    kernel.  crop_box / smooth=(kw, kh, sigmaX, sigmaY, border) /
+    use_pallas="never" to force the XLA path, "bf16" for the bf16
+    kernel, or "interpret" to run the Pallas kernel in interpret mode on
+    any backend (CPU meshes — the multichip dryrun validates the real
+    kernel this way).  crop_box / smooth=(kw, kh, sigmaX, sigmaY, border) /
     flip_code ride the kernel's interpolation matrices at zero cost
     (BASELINE config #2's single-pass chain); ineligible combinations
     (odd crops, constant-border smooth, non-420 crops) fall back to the
@@ -182,8 +187,9 @@ def preprocess_nchw(fb: FrameBatch, out_w: int, out_h: int, *,
                 else float((1 << csc._offset_bits(fb.fmt)) - 1))
     fusable = (_fusable_crop(fb, crop_box) and _fusable_smooth(smooth)
                and flip_code in (None, -1, 0, 1))
+    interp = use_pallas == "interpret"
     if (use_pallas != "never" and fusable
-            and _pallas_eligible(fb, method, kw)):
+            and _pallas_eligible(fb, method, kw, force=interp)):
         from .pallas_kernels import (fused_ladder, fused_ladder_i8,
                                      fused_ladder_u16)
         cb = (tuple(int(x) for x in crop_box)
@@ -196,7 +202,8 @@ def preprocess_nchw(fb: FrameBatch, out_w: int, out_h: int, *,
                                     fb.planes["v"], out_h, out_w, 10,
                                     fb.colorspace, method, norm,
                                     tuple(shift), crop_box=cb,
-                                    smooth=sm, flip=flip_code)
+                                    smooth=sm, flip=flip_code,
+                                    interpret=interp)
         if fb.format == "yuv444p":
             # 4:4:4 chroma resampling is a real downscale (not the 4:2:0
             # near-identity), so int8 tap quantization × CSC gain blows
@@ -206,7 +213,7 @@ def preprocess_nchw(fb: FrameBatch, out_w: int, out_h: int, *,
             k = fused_ladder if use_pallas == "bf16" else fused_ladder_i8
         return k(fb.planes["y"], fb.planes["u"], fb.planes["v"],
                  out_h, out_w, fb.colorspace, method, norm, tuple(shift),
-                 crop_box=cb, smooth=sm, flip=flip_code)
+                 crop_box=cb, smooth=sm, flip=flip_code, interpret=interp)
     out = preprocess(fb, out_w, out_h, "rgbpf32", method=method, norm=norm,
                      shift=shift, crop_box=crop_box, flip_code=flip_code,
                      smooth=smooth, **kw)
