@@ -81,7 +81,7 @@ def test_preprocess_nchw_dispatches_u16(rng, monkeypatch):
     orig = pk.fused_ladder_u16
     # interpret mode: no TPU on CI
     monkeypatch.setattr(pk, "fused_ladder_u16",
-                        lambda *a, **k: orig(*a, **k, interpret=True))
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
     got = np.asarray(fused_mod.preprocess_nchw(fb, 16, 16, norm=1023.0))
     want = np.asarray(fused_mod.preprocess_nchw(fb, 16, 16, norm=1023.0,
                                                 use_pallas="never"))
@@ -344,7 +344,7 @@ def test_preprocess_nchw_444_dispatch(rng, monkeypatch):
 
     def spy(*a, **k):
         called["bf16"] = True
-        return orig(*a, **k, interpret=True)
+        return orig(*a, **{**k, "interpret": True})
     monkeypatch.setattr(pk, "fused_ladder", spy)
     got = np.asarray(fused_mod.preprocess_nchw(fb, 16, 16))
     want = np.asarray(fused_mod.preprocess_nchw(fb, 16, 16,
