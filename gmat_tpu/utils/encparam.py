@@ -92,12 +92,24 @@ def parse_enc_param(s: str, defaults: Dict = None) -> Dict:
             # NVENC profile GUID names (baseline/main/high/high444/main10)
             # are already the libx264/x265 -profile strings
             x264_extra.append(("profile", v.lower()))
-        elif k in ("lookahead", "temporalaq", "aq"):
-            pass   # quality knobs without a 1:1 libx264 flag; accepted
+        elif k == "lookahead":
+            # NvEncoderParam.h:152 -lookahead N -> rcParams.lookaheadDepth
+            x264_extra.append(("lookahead", int(v)))
+        elif k == "aq":
+            # NvEncoderParam.h:162-165 -aq N -> enableAQ + aqStrength
+            # (NVENC strength 1..15); mapped onto the x264/x265
+            # aq-strength scale around its 1.0 default: 1..15 -> 0.5..2.0
+            x264_extra.append(("aq", int(v)))
+        elif k == "temporalaq":
+            # NvEncoderParam.h:158 -temporalaq -> enableTemporalAQ;
+            # nearest analogs: x264 mbtree, x265 aq-motion
+            x264_extra.append(("temporalaq", 1))
         else:
             raise ValueError(f"unknown encoder option {k!r} in {s!r}")
 
+    hevc = out.get("codec_name") == "libx265"
     extras = []
+    x265p = []      # libx265 exposes few AVOptions; route via x265-params
     for k, v in x264_extra:
         if k == "maxbitrate":
             extras.append(f"maxrate={v}")
@@ -106,16 +118,52 @@ def parse_enc_param(s: str, defaults: Dict = None) -> Dict:
         elif k == "vbvinit":
             # NVENC vbvInitialDelay -> libavcodec rc_initial_buffer_occupancy
             extras.append(f"rc_init_occupancy={v}")
+        elif k == "lookahead":
+            if hevc:
+                x265p.append(f"rc-lookahead={v}")
+            else:
+                extras.append(f"rc-lookahead={v}")
+        elif k == "aq":
+            strength = 0.5 + (min(max(v, 1), 15) - 1) * 1.5 / 14.0
+            if hevc:
+                x265p.append("aq-mode=1")
+                x265p.append(f"aq-strength={strength:.2f}")
+            else:
+                extras.append("aq-mode=1")
+                extras.append(f"aq-strength={strength:.2f}")
+        elif k == "temporalaq":
+            if hevc:
+                x265p.append("aq-motion=1")
+            else:
+                extras.append("mbtree=1")
         elif k in ("qmin", "qmax", "tune", "profile"):
             extras.append(f"{k}={v}")
+    if x265p:
+        extras.append("x265-params=" + ":".join(x265p))
     if extras:
         # MERGE with any opts inherited from `defaults` (layered parses:
         # metrans base params + per-rung suffix) — overwriting would
         # silently drop the base VBV/maxrate/profile settings.  Keys set
-        # by this parse win over same-key defaults.
+        # by this parse win over same-key defaults; x265-params merges at
+        # the sub-option level (base rc-lookahead survives a rung's aq).
         prev = out.get("opts", "")
         new_keys = {e.split("=", 1)[0] for e in extras}
-        kept = [e for e in prev.split(",")
-                if e and e.split("=", 1)[0] not in new_keys]
+        kept = []
+        for e in filter(None, prev.split(",")):
+            key = e.split("=", 1)[0]
+            if key == "x265-params" and "x265-params" in new_keys:
+                base_sub = dict(p.split("=", 1) for p in
+                                e.split("=", 1)[1].split(":") if "=" in p)
+                for i, ne in enumerate(extras):
+                    if ne.startswith("x265-params="):
+                        new_sub = dict(p.split("=", 1) for p in
+                                       ne.split("=", 1)[1].split(":")
+                                       if "=" in p)
+                        base_sub.update(new_sub)
+                        extras[i] = "x265-params=" + ":".join(
+                            f"{k}={v}" for k, v in base_sub.items())
+                continue
+            if key not in new_keys:
+                kept.append(e)
         out["opts"] = ",".join(kept + extras)
     return out

@@ -184,3 +184,83 @@ def test_encparam_layered_opts_merge():
     kw2 = parse_enc_param("maxbitrate=3M", dict(base))
     assert kw2["opts"].count("maxrate=") == 1
     assert "maxrate=3000000" in kw2["opts"]
+
+
+def test_encparam_quality_knobs_h264():
+    """lookahead/aq/temporalaq map to libx264 rc-lookahead/aq-mode+
+    aq-strength/mbtree (NvEncoderParam.h:152,158,162-165)."""
+    from gmat_tpu.utils.encparam import parse_enc_param
+    out = parse_enc_param("codec=h264:lookahead=25:aq=8:temporalaq")
+    assert "rc-lookahead=25" in out["opts"]
+    assert "aq-mode=1" in out["opts"]
+    assert "aq-strength=1.25" in out["opts"]     # NVENC 8/15 -> x264 1.25
+    assert "mbtree=1" in out["opts"]
+
+
+def test_encparam_quality_knobs_hevc_via_x265_params():
+    """libx265 exposes few AVOptions: the knobs ride x265-params."""
+    from gmat_tpu.utils.encparam import parse_enc_param
+    out = parse_enc_param("codec=hevc:lookahead=30:aq=1:temporalaq")
+    assert "x265-params=" in out["opts"]
+    p = [e for e in out["opts"].split(",") if e.startswith("x265-params=")][0]
+    sub = p.split("=", 1)[1]
+    assert "rc-lookahead=30" in sub
+    assert "aq-mode=1" in sub and "aq-strength=0.50" in sub
+    assert "aq-motion=1" in sub
+
+
+def test_encparam_x265_params_layered_merge():
+    """A rung's aq must not clobber the base parse's x265-params
+    rc-lookahead (sub-option-level merge)."""
+    from gmat_tpu.utils.encparam import parse_enc_param
+    base = parse_enc_param("codec=hevc:lookahead=40")
+    rung = parse_enc_param("aq=15", base)
+    p = [e for e in rung["opts"].split(",")
+         if e.startswith("x265-params=")][0].split("=", 1)[1]
+    assert "rc-lookahead=40" in p and "aq-strength=2.00" in p
+
+
+def test_quality_knobs_reach_the_encoder_bitstream(tmp_path):
+    """x264/x265 write their full option string into an info SEI; encode a
+    few frames and assert the knobs arrived (VERDICT r3 item 4)."""
+    import numpy as np
+    from gmat_tpu.av import toolkit as tk
+    from gmat_tpu.utils.encparam import parse_enc_param
+
+    w, h = 192, 128
+    rng = np.random.default_rng(7)
+    frames = [(rng.integers(0, 256, (h, w)).astype(np.uint8),
+               rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8),
+               rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8))
+              for _ in range(3)]
+
+    kw = parse_enc_param("codec=h264:lookahead=25:aq=8:preset=p3")
+    enc = tk.Encoder(kw.pop("codec_name"), w, h, fps=(30, 1),
+                     preset=kw.get("preset", "veryfast"),
+                     opts=kw.get("opts", ""))
+    blob = b""
+    for i, (y, u, v) in enumerate(frames):
+        for p in enc.encode(y, u, v, pts=i):
+            blob += bytes(p.data if hasattr(p, "data") else p)
+    for p in enc.flush():
+        blob += bytes(p.data if hasattr(p, "data") else p)
+    blob += bytes(enc.extradata() or b"")   # GLOBAL_HEADER: SEI may sit here
+    enc.close()
+    assert b"rc_lookahead=25" in blob       # x264 SEI option dump
+    assert b"aq=1:1.25" in blob
+    assert b"mbtree=1" in blob or b"mbtree=0" in blob  # present either way
+
+    kw = parse_enc_param("codec=hevc:lookahead=20:aq=8:preset=p3")
+    enc = tk.Encoder(kw.pop("codec_name"), w, h, fps=(30, 1),
+                     preset=kw.get("preset", "veryfast"),
+                     opts=kw.get("opts", ""))
+    blob = b""
+    for i, (y, u, v) in enumerate(frames):
+        for p in enc.encode(y, u, v, pts=i):
+            blob += bytes(p.data if hasattr(p, "data") else p)
+    for p in enc.flush():
+        blob += bytes(p.data if hasattr(p, "data") else p)
+    blob += bytes(enc.extradata() or b"")   # x265 info SEI rides extradata
+    enc.close()
+    assert b"rc-lookahead=20" in blob       # x265 SEI option dump
+    assert b"aq-mode=1" in blob and b"aq-strength=1.25" in blob
