@@ -193,10 +193,14 @@ def rotate(fb: FrameBatch, angle_deg: float, interp: str = "linear",
         fsx, fsy = float(1 << p.sub_w), float(1 << p.sub_h)
         ys = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 0)
         xs = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 1)
-        xs_ = xs * fsx - shift_x
-        ys_ = ys * fsy - shift_y
-        sx = (cos_a * xs_ - sin_a * ys_) / fsx
-        sy = (sin_a * xs_ + cos_a * ys_) / fsy
+
+        def src_coords(xs, ys, fsx=fsx, fsy=fsy):
+            xs_ = xs * fsx - shift_x
+            ys_ = ys * fsy - shift_y
+            return ((cos_a * xs_ - sin_a * ys_) / fsx,
+                    (sin_a * xs_ + cos_a * ys_) / fsy)
+
+        sx, sy = src_coords(xs, ys)
         arr = fb.planes[p.name]
         packed = arr.ndim == 4
         if packed:
@@ -208,9 +212,15 @@ def rotate(fb: FrameBatch, angle_deg: float, interp: str = "linear",
             sample = _cubic_sample
         elif interp in ("nearest", "point"):
             sample = _nearest_sample
+        elif interp == "area":
+            # NVCV_INTERP_AREA (vf_rotate_nvcv.c:129-132): box-average the
+            # dst pixel's source preimage — 3x3 supersample of the pixel
+            # footprint with bilinear taps (exact for the pure-rotation
+            # footprint up to the 3-point box quadrature)
+            sample = None
         else:
             raise ValueError(f"rotate interp {interp!r} "
-                             "(linear|cubic|nearest)")
+                             "(linear|cubic|nearest|area)")
         # out-of-frame fill: black.  For YUV that means neutral chroma
         # (mid = 1<<(bits-1)) on u/v — a 0 fill there renders green corners.
         fill = 0.0
@@ -218,7 +228,17 @@ def rotate(fb: FrameBatch, angle_deg: float, interp: str = "linear",
             fill = float(1 << (fmt.bits - 1))
             if fmt.name in ("p010", "p016", "yuv420p16"):
                 fill = float(1 << 15)
-        out = sample(arr, sy, sx, fill)
+        if sample is None:      # area: average 9 bilinear sub-taps
+            offs = (-1.0 / 3.0, 0.0, 1.0 / 3.0)
+            acc = None
+            for dy in offs:
+                for dx in offs:
+                    ssx, ssy = src_coords(xs + dx, ys + dy)
+                    smp = _bilinear_sample(arr, ssy, ssx, fill)
+                    acc = smp if acc is None else acc + smp
+            out = acc / 9.0
+        else:
+            out = sample(arr, sy, sx, fill)
         if packed:
             out = jnp.transpose(out.reshape(n, c, ph, pw), (0, 2, 3, 1))
         if not fmt.is_float:

@@ -342,3 +342,76 @@ def test_ops_review_fixes_422_and_float():
         smooth.smooth(g8, "gaussian", kw=4, kh=4)
     with _p.raises(ValueError):
         smooth.smooth(g8, "gaussian", border_type="bogus")
+
+
+def _np_bilinear(img, sy, sx, fill=0.0):
+    """Independent numpy bilinear sampler, clamp-to-edge taps; the whole
+    sample becomes `fill` when the CENTER coordinate is out of frame
+    (the rotate sampler's policy)."""
+    h, w = img.shape
+    valid = (sy >= -1e-4) & (sy <= h - 1 + 1e-4) & \
+            (sx >= -1e-4) & (sx <= w - 1 + 1e-4)
+    sy = np.clip(sy, 0.0, h - 1.0)
+    sx = np.clip(sx, 0.0, w - 1.0)
+    x0 = np.floor(sx).astype(int)
+    y0 = np.floor(sy).astype(int)
+    fx = sx - x0
+    fy = sy - y0
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    out = (img[y0, x0] * (1 - fy) * (1 - fx) + img[y0, x1] * (1 - fy) * fx +
+           img[y1, x0] * fy * (1 - fx) + img[y1, x1] * fy * fx)
+    return np.where(valid, out, fill)
+
+
+def test_rotate_area_matches_supersampled_oracle(rng):
+    """interp=area (NVCV_INTERP_AREA, vf_rotate_nvcv.c:129-132): the dst
+    pixel's source preimage is box-averaged — oracle: 3x3 supersample of
+    the pixel footprint with bilinear taps, computed independently."""
+    h, w = 24, 32
+    img = rng.integers(0, 256, (1, h, w, 3)).astype(np.uint8)
+    fb = from_numpy_rgb(img)
+    angle = 30.0
+    out = geometry.rotate(fb, angle, interp="area", center=True)
+    got = np.asarray(out.planes["rgb"])[0].astype(np.float64)
+
+    a = np.radians(angle)
+    ca, sa = np.cos(a), np.sin(a)
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    shx = cx - (ca * cx + sa * cy)
+    shy = cy - (-sa * cx + ca * cy)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    want = np.zeros((h, w, 3))
+    for dy in (-1 / 3, 0.0, 1 / 3):
+        for dx in (-1 / 3, 0.0, 1 / 3):
+            xs_ = (xs + dx) - shx
+            ys_ = (ys + dy) - shy
+            sx = ca * xs_ - sa * ys_
+            sy = sa * xs_ + ca * ys_
+            for c in range(3):
+                want[..., c] += _np_bilinear(
+                    img[0, :, :, c].astype(np.float64), sy, sx)
+    want = np.clip(np.round(want / 9.0), 0, 255)
+    assert np.abs(got - want).max() <= 1.0
+
+
+def test_rotate_area_smooths_vs_bilinear(rng):
+    """area averages a 9-tap footprint, so on noise it must differ from
+    plain bilinear (i.e. it's not silently aliased to linear) while
+    agreeing on a constant image."""
+    h, w = 16, 16
+    noise = rng.integers(0, 256, (1, h, w, 3)).astype(np.uint8)
+    fb = from_numpy_rgb(noise)
+    a = np.asarray(geometry.rotate(fb, 10.0, interp="area",
+                                   center=True).planes["rgb"]).astype(int)
+    b = np.asarray(geometry.rotate(fb, 10.0, interp="linear",
+                                   center=True).planes["rgb"]).astype(int)
+    assert np.abs(a - b).max() > 2
+    flat = from_numpy_rgb(np.full((1, h, w, 3), 200, np.uint8))
+    af = np.asarray(geometry.rotate(flat, 10.0, interp="area",
+                                    center=True).planes["rgb"])
+    bf = np.asarray(geometry.rotate(flat, 10.0, interp="linear",
+                                    center=True).planes["rgb"])
+    # interior window: every supersample tap stays in frame there
+    d = np.abs(af.astype(int) - bf.astype(int))[0, 5:11, 5:11]
+    assert d.max() <= 1
