@@ -136,6 +136,33 @@ def hevc_rps(args) -> int:
                                           "max_fall": cll.max_fall}
     if hdr["recovery_points"]:
         summary["recovery_points"] = hdr["recovery_points"]
+    # pic_timing / buffering_period census (needs the SPS VUI HRD
+    # context — HevcParserImpl.cpp:203-205 analog)
+    ti = hevc.stream_timing_info(packets)
+    vui = ti.get("vui")
+    if vui is not None and (ti["pic_timings"] or ti["buffering_periods"]):
+        hrd = vui.hrd
+        if hrd is not None:
+            summary["hrd"] = {
+                "nal_hrd": hrd.nal_hrd, "vcl_hrd": hrd.vcl_hrd,
+                "au_cpb_removal_delay_len": hrd.au_cpb_removal_delay_len,
+                "dpb_output_delay_len": hrd.dpb_output_delay_len}
+        pts = ti["pic_timings"]
+        if pts:
+            summary["pic_timing"] = {
+                "count": len(pts),
+                "pic_structs": sorted({p.pic_struct_name for p in pts
+                                       if p.pic_struct_name}),
+                "cpb_removal_delays": [p.au_cpb_removal_delay
+                                       for p in pts[:8]],
+                "dpb_output_delays": [p.pic_dpb_output_delay
+                                      for p in pts[:8]]}
+        bps = ti["buffering_periods"]
+        if bps:
+            summary["buffering_period"] = {
+                "count": len(bps),
+                "initial_cpb_removal_delay":
+                    list(bps[0].initial_cpb_removal_delay)}
     print(json.dumps(summary))
     return 0
 

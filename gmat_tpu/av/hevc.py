@@ -350,6 +350,118 @@ class SpsFull:
     pic_size_in_ctbs: int = 1          # PicSizeInCtbsY (slice addresses)
     lt_present: bool = False           # long_term_ref_pics_present_flag
     lt_poc_lsb_sps: tuple = ()         # lt_ref_pic_poc_lsb_sps[i]
+    vui: Optional["Vui"] = None        # E.2.1 (pic_timing SEI context)
+
+
+@dataclasses.dataclass
+class Hrd:
+    """E.2.2 hrd_parameters — the subset pic_timing/buffering_period SEIs
+    need (HevcParserImpl.cpp HRD context, Hevc.h:110)."""
+    nal_hrd: bool = False
+    vcl_hrd: bool = False
+    sub_pic_hrd: bool = False
+    tick_divisor: int = 2                       # tick_divisor_minus2 + 2
+    du_cpb_removal_delay_len: int = 24          # *_increment_length_minus1+1
+    sub_pic_cpb_in_pic_timing: bool = False
+    dpb_output_delay_du_len: int = 24
+    bit_rate_scale: int = 0
+    cpb_size_scale: int = 0
+    initial_cpb_removal_delay_len: int = 24     # *_length_minus1 + 1
+    au_cpb_removal_delay_len: int = 24
+    dpb_output_delay_len: int = 24
+    cpb_cnt: tuple = (1,)                       # per sub-layer
+
+    @property
+    def cpb_dpb_delays_present(self) -> bool:
+        return self.nal_hrd or self.vcl_hrd
+
+
+@dataclasses.dataclass
+class Vui:
+    """E.2.1 vui_parameters — timing/field flags + HRD."""
+    field_seq: bool = False
+    frame_field_info_present: bool = False
+    num_units_in_tick: int = 0
+    time_scale: int = 0
+    hrd: Optional[Hrd] = None
+
+
+def _parse_sub_layer_hrd(r: "BitReader", cpb_cnt: int, sub_pic: bool):
+    for _ in range(cpb_cnt):
+        r.ue(); r.ue()                          # bit_rate / cpb_size value
+        if sub_pic:
+            r.ue(); r.ue()                      # *_du values
+        r.u(1)                                  # cbr_flag
+
+
+def parse_hrd(r: "BitReader", max_sub_layers: int,
+              common_inf: bool = True) -> Hrd:
+    """E.2.2 hrd_parameters(commonInfPresentFlag, maxNumSubLayersMinus1)."""
+    h = Hrd()
+    if common_inf:
+        h.nal_hrd = bool(r.u(1))
+        h.vcl_hrd = bool(r.u(1))
+        if h.nal_hrd or h.vcl_hrd:
+            h.sub_pic_hrd = bool(r.u(1))
+            if h.sub_pic_hrd:
+                h.tick_divisor = r.u(8) + 2
+                h.du_cpb_removal_delay_len = r.u(5) + 1
+                h.sub_pic_cpb_in_pic_timing = bool(r.u(1))
+                h.dpb_output_delay_du_len = r.u(5) + 1
+            h.bit_rate_scale = r.u(4)
+            h.cpb_size_scale = r.u(4)
+            if h.sub_pic_hrd:
+                r.u(4)                          # cpb_size_du_scale
+            h.initial_cpb_removal_delay_len = r.u(5) + 1
+            h.au_cpb_removal_delay_len = r.u(5) + 1
+            h.dpb_output_delay_len = r.u(5) + 1
+    cpb_cnts = []
+    for _ in range(max_sub_layers):
+        fixed_general = r.u(1)
+        fixed_within = r.u(1) if not fixed_general else 1
+        low_delay = 0
+        if fixed_within:
+            r.ue()                              # elemental_duration_in_tc
+        else:
+            low_delay = r.u(1)
+        cpb = 1 if low_delay else r.ue() + 1
+        cpb_cnts.append(cpb)
+        if h.nal_hrd:
+            _parse_sub_layer_hrd(r, cpb, h.sub_pic_hrd)
+        if h.vcl_hrd:
+            _parse_sub_layer_hrd(r, cpb, h.sub_pic_hrd)
+    h.cpb_cnt = tuple(cpb_cnts)
+    return h
+
+
+def parse_vui(r: "BitReader", max_sub_layers: int) -> Vui:
+    """E.2.1 vui_parameters (after vui_parameters_present_flag)."""
+    v = Vui()
+    if r.u(1):                                  # aspect_ratio_info_present
+        if r.u(8) == 255:                       # EXTENDED_SAR
+            r.u(32)
+    if r.u(1):                                  # overscan_info_present
+        r.u(1)
+    if r.u(1):                                  # video_signal_type_present
+        r.u(4)                                  # video_format + full_range
+        if r.u(1):                              # colour_description_present
+            r.u(24)
+    if r.u(1):                                  # chroma_loc_info_present
+        r.ue(); r.ue()
+    r.u(1)                                      # neutral_chroma_indication
+    v.field_seq = bool(r.u(1))
+    v.frame_field_info_present = bool(r.u(1))
+    if r.u(1):                                  # default_display_window
+        r.ue(); r.ue(); r.ue(); r.ue()
+    if r.u(1):                                  # vui_timing_info_present
+        v.num_units_in_tick = r.u(32)
+        v.time_scale = r.u(32)
+        if r.u(1):                              # poc_proportional_to_timing
+            r.ue()
+        if r.u(1):                              # vui_hrd_parameters_present
+            v.hrd = parse_hrd(r, max_sub_layers)
+    # bitstream_restriction fields follow; nothing downstream needs them
+    return v
 
 
 def parse_sps_full(nal: bytes) -> SpsFull:
@@ -408,9 +520,17 @@ def parse_sps_full(nal: bytes) -> SpsFull:
     ctb_log2 = log2_min_cb + log2_diff_cb
     ctb = 1 << ctb_log2
     pic_size_in_ctbs = ((w + ctb - 1) // ctb) * ((h + ctb - 1) // ctb)
+    vui = None
+    try:
+        r.u(1)                                    # sps_temporal_mvp_enabled
+        r.u(1)                                    # strong_intra_smoothing
+        if r.u(1):                                # vui_parameters_present
+            vui = parse_vui(r, max_sub_layers)
+    except ValueError:
+        vui = None      # truncated tail: VUI context simply unavailable
     sps = parse_sps(nal)
     return SpsFull(sps, log2_max_poc, rps_list, sps_id, sep_colour,
-                   pic_size_in_ctbs, lt_present, tuple(lt_lsb))
+                   pic_size_in_ctbs, lt_present, tuple(lt_lsb), vui)
 
 
 @dataclasses.dataclass
@@ -744,16 +864,25 @@ def analyze_skippable(packets, slices=None) -> list:
 
 
 # ------------------------------------------------------------------ SEI
-# D.2/D.3 supplemental enhancement information — the subset carrying HDR
-# static metadata and recovery points (the reference parser's Hevc.h SEI
-# structs; HevcParserImpl.cpp SEI sections).  pic_timing needs HRD
-# context from VPS/SPS and is out of scope (tracked in PARITY).
+# D.2/D.3 supplemental enhancement information (the reference parser's
+# Hevc.h SEI structs; HevcParserImpl.cpp SEI sections): HDR static
+# metadata, recovery points, and — with the SPS VUI/HRD context parsed
+# above — pic_timing and buffering_period.
 
 NAL_SEI_PREFIX, NAL_SEI_SUFFIX = 39, 40
 
+SEI_BUFFERING_PERIOD = 0
+SEI_PIC_TIMING = 1
 SEI_RECOVERY_POINT = 6
 SEI_MASTERING_DISPLAY = 137
 SEI_CONTENT_LIGHT_LEVEL = 144
+
+# Table D-1 pic_struct interpretation
+PIC_STRUCT_NAMES = (
+    "frame", "top", "bottom", "top_bottom", "bottom_top",
+    "top_bottom_top", "bottom_top_bottom", "frame_doubling",
+    "frame_tripling", "top_paired_prev_bottom", "bottom_paired_prev_top",
+    "top_paired_next_bottom", "bottom_paired_next_top")
 
 
 @dataclasses.dataclass
@@ -875,6 +1004,146 @@ def parse_recovery_point(payload: bytes) -> RecoveryPoint:
         return (k + 1) // 2 if k % 2 else -(k // 2)
 
     return RecoveryPoint(se(), bool(u(1)), bool(u(1)))
+
+
+class _RawBits:
+    """Bit reader over an already-RBSP payload (parse_sei strips
+    emulation bytes; BitReader would re-strip 00 00 03 sequences)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def u(self, n: int) -> int:
+        if self.pos + n > len(self.data) * 8:
+            raise ValueError("truncated SEI payload")
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | ((self.data[self.pos >> 3]
+                             >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("bad exp-golomb in SEI")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+
+@dataclasses.dataclass
+class PicTiming:
+    """D.2.3 pic_timing — pic_struct / scan type + the CPB/DPB delays
+    (HevcParserImpl.cpp:203-205 processes these with HRD context)."""
+    pic_struct: Optional[int] = None            # Table D-1
+    source_scan_type: Optional[int] = None      # 0 interlaced 1 progressive
+    duplicate_flag: Optional[bool] = None
+    au_cpb_removal_delay: Optional[int] = None  # *_minus1 + 1
+    pic_dpb_output_delay: Optional[int] = None
+    pic_dpb_output_du_delay: Optional[int] = None
+
+    @property
+    def pic_struct_name(self) -> Optional[str]:
+        if self.pic_struct is None:
+            return None
+        if 0 <= self.pic_struct < len(PIC_STRUCT_NAMES):
+            return PIC_STRUCT_NAMES[self.pic_struct]
+        return f"reserved({self.pic_struct})"
+
+
+def parse_pic_timing(payload: bytes, vui: "Vui") -> PicTiming:
+    """pic_timing SEI needs the active SPS's VUI for field widths and
+    presence flags (why the reference parser keeps HRD context around,
+    Hevc.h:110)."""
+    r = _RawBits(payload)
+    pt = PicTiming()
+    if vui.frame_field_info_present:
+        pt.pic_struct = r.u(4)
+        pt.source_scan_type = r.u(2)
+        pt.duplicate_flag = bool(r.u(1))
+    hrd = vui.hrd
+    if hrd is not None and hrd.cpb_dpb_delays_present:
+        pt.au_cpb_removal_delay = r.u(hrd.au_cpb_removal_delay_len) + 1
+        pt.pic_dpb_output_delay = r.u(hrd.dpb_output_delay_len)
+        if hrd.sub_pic_hrd:
+            pt.pic_dpb_output_du_delay = r.u(hrd.dpb_output_delay_du_len)
+        # du_common / num_decoding_units fields follow when
+        # sub_pic_cpb_in_pic_timing — nothing downstream reads them
+    return pt
+
+
+@dataclasses.dataclass
+class BufferingPeriod:
+    """D.2.2 buffering_period — initial CPB removal delays (layer 0)."""
+    sps_id: int = 0
+    irap_cpb_params_present: bool = False
+    cpb_delay_offset: int = 0
+    dpb_delay_offset: int = 0
+    concatenation: bool = False
+    au_cpb_removal_delay_delta: int = 1         # *_minus1 + 1
+    initial_cpb_removal_delay: tuple = ()       # nal then vcl, per CPB
+    initial_cpb_removal_offset: tuple = ()
+
+
+def parse_buffering_period(payload: bytes, vui: "Vui") -> BufferingPeriod:
+    r = _RawBits(payload)
+    bp = BufferingPeriod()
+    bp.sps_id = r.ue()
+    hrd = vui.hrd
+    if hrd is None:
+        return bp
+    if not hrd.sub_pic_hrd:
+        bp.irap_cpb_params_present = bool(r.u(1))
+    if bp.irap_cpb_params_present:
+        bp.cpb_delay_offset = r.u(hrd.au_cpb_removal_delay_len)
+        bp.dpb_delay_offset = r.u(hrd.dpb_output_delay_len)
+    bp.concatenation = bool(r.u(1))
+    bp.au_cpb_removal_delay_delta = r.u(hrd.au_cpb_removal_delay_len) + 1
+    delays, offsets = [], []
+    cpb = hrd.cpb_cnt[0] if hrd.cpb_cnt else 1
+    for present in (hrd.nal_hrd, hrd.vcl_hrd):
+        if not present:
+            continue
+        for _ in range(cpb):
+            delays.append(r.u(hrd.initial_cpb_removal_delay_len))
+            offsets.append(r.u(hrd.initial_cpb_removal_delay_len))
+            if hrd.sub_pic_hrd:
+                r.u(2 * hrd.initial_cpb_removal_delay_len)  # alt du pair
+    bp.initial_cpb_removal_delay = tuple(delays)
+    bp.initial_cpb_removal_offset = tuple(offsets)
+    return bp
+
+
+def stream_timing_info(packets) -> dict:
+    """Annexb packets -> pic_timing/buffering_period census: HRD summary
+    from the first SPS VUI, per-AU pic_struct + CPB/DPB delays (the
+    pic_timing lane of the reference parser, HevcParserImpl.cpp:203-205)."""
+    out: dict = {"pic_timings": [], "buffering_periods": []}
+    vui = None
+    for pkt in packets:
+        for nal in split_annexb(pkt):
+            t = nal_type(nal)
+            if t == NAL_SPS and vui is None:
+                try:
+                    vui = parse_sps_full(nal).vui
+                except ValueError:
+                    continue
+                if vui is not None:
+                    out["vui"] = vui
+            elif t in (NAL_SEI_PREFIX, NAL_SEI_SUFFIX) and vui is not None:
+                for m in parse_sei(nal):
+                    try:
+                        if m.payload_type == SEI_PIC_TIMING:
+                            out["pic_timings"].append(
+                                parse_pic_timing(m.payload, vui))
+                        elif m.payload_type == SEI_BUFFERING_PERIOD:
+                            out["buffering_periods"].append(
+                                parse_buffering_period(m.payload, vui))
+                    except ValueError:
+                        continue         # malformed message: skip it
+    return out
 
 
 def stream_hdr_metadata(packets) -> dict:

@@ -44,7 +44,7 @@ hevc_pkts = None
 try:
     import gmat_tpu.av.toolkit as tk
     e = tk.Encoder("libx265", 64, 48, fps=(30,1), gop=6, bf=2, crf=26.0,
-                   opts="x265-params=log-level=0")
+                   opts="x265-params=log-level=0:hrd=1:vbv-bufsize=200:vbv-maxrate=100")
     ps = []
     for i in range(6):
         ps += e.encode(y[0][:48,:64], u[0][:24,:32], v[0][:24,:32], pts=i)
@@ -124,6 +124,7 @@ for it in range(N):
             pkt = mutate(hevc_pkts[rng.randrange(len(hevc_pkts))], nm)
             hevc.parse_stream_slices([pkt])
             hevc.stream_hdr_metadata([pkt])
+            hevc.stream_timing_info([pkt])
     except ALLOWED:
         pass
     except Exception as e:
