@@ -78,6 +78,11 @@ def build_parser():
                    help="WxH for headerless raw input (.yuv/.nv12)")
     p.add_argument("-batch", type=int, default=32, help="TPU batch size")
     p.add_argument("-stats", action="store_true", help="print fps meter")
+    p.add_argument("-pad-batch", dest="pad_batch", action="store_true",
+                   help="constant-shape stream filters: pad survivor "
+                        "batches back to the nominal size (one compiled "
+                        "program instead of one per alive-count; costs "
+                        "throwaway compute on dead lanes)")
     p.add_argument("-threads", type=int, default=0, help="decoder threads")
     p.add_argument("-bits", type=int, default=8, choices=(8, 10, 16),
                    help="ingest depth: 10 = P010 lane (compressed or "
@@ -269,7 +274,8 @@ def main(argv=None):
                         dm_probe.height - t_ - b_)
         dm_probe.close()
 
-    graph = FilterGraph(args.vf, src_fps=src_fps)
+    graph = FilterGraph(args.vf, src_fps=src_fps,
+                        pad_batch=args.pad_batch)
     # yadif send_field (mode&1) doubles the output frame rate
     fps_tuple = (round(src_fps * graph.fps_mul * 1000), 1000)
     meter = FpsMeter("gmat", quiet=not args.stats)

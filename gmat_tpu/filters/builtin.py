@@ -521,6 +521,32 @@ def _empty_like(fb: FrameBatch) -> FrameBatch:
     return fb.with_planes({k: v[:0] for k, v in fb.planes.items()})
 
 
+def _pad_meta_to(meta, real: int, total: int):
+    """Grow every metadata track to `total` entries by repeating the last
+    value; entries past `real` are dead (keep=False, pad=True) — the
+    pad_batch constant-shape mode's bookkeeping."""
+    out = {}
+    for k, arr in meta.items():
+        if arr is None:
+            out[k] = None
+            continue
+        arr = np.asarray(arr)
+        padn = total - len(arr)
+        if padn > 0:
+            fill = arr[-1:] if len(arr) else np.zeros(1, arr.dtype)
+            arr = np.concatenate([arr, np.repeat(fill, padn, axis=0)])
+        out[k] = arr
+    keep = out.get("keep")
+    keep = (np.ones(total, bool) if keep is None else keep.copy())
+    keep[real:] = False
+    out["keep"] = keep
+    pad = out.get("pad")
+    pad = (np.zeros(total, bool) if pad is None else pad.copy())
+    pad[real:] = True
+    out["pad"] = pad
+    return out
+
+
 class YadifFilter:
     """yadif deinterlacer (vf_yadif_cuda analog) — streaming, batched.
 
@@ -547,8 +573,9 @@ class YadifFilter:
     """
 
     stream_filter = True
+    supports_pad_batch = True
 
-    def __init__(self, mode=0, parity=-1, deint=0):
+    def __init__(self, mode=0, parity=-1, deint=0, pad_batch=0):
         self.mode, self.deint = int(mode), int(deint)
         self.send_field = bool(self.mode & 1)
         self.skip_spatial = bool(self.mode & 2)
@@ -558,18 +585,40 @@ class YadifFilter:
         self.tff = 1 if p == -1 else (p ^ 1)
         self._hist = None        # plane dict, last 2 frames (device arrays)
         self._hist_meta = {}     # pts/times/keys/keep tails (np arrays)
+        # pad_batch=1: emit a CONSTANT-size batch (the nominal input batch)
+        # with dead tail frames masked out, instead of the compacted
+        # survivor count — collapses the per-distinct-alive-count compiles
+        # of a select->yadif->scale chain to ONE downstream program at the
+        # cost of deinterlacing up to batch-1 throwaway frames per batch
+        # (PARITY "known gaps" design note; worth it where remote compiles
+        # cost minutes, see BENCHMARKS).
+        self.pad_batch = bool(int(pad_batch))
+        self._pad_to = None
 
     def _outputs(self, fb, ext, ext_meta, count):
         from ..ops.yadif import deint_batch
-        out_planes = deint_batch(ext, self.tff, self.skip_spatial,
+        n_out = count
+        ext_run = ext
+        if self.pad_batch and self._pad_to:
+            n_out = max(self._pad_to, count)
+            m = next(iter(ext.values())).shape[0]
+            pad_m = (n_out + 2) - m
+            if pad_m > 0:
+                ext_run = {k: jnp.concatenate(
+                    [p, jnp.repeat(p[-1:], pad_m, axis=0)])
+                    for k, p in ext.items()}
+        out_planes = deint_batch(ext_run, self.tff, self.skip_spatial,
                                  self.send_field)
         ilace = ext_meta.get("interlaced")
         if (self.deint and not self.send_field and ilace is not None):
             # deint=1: progressive frames pass through untouched
             prog = (np.asarray(ilace[1:1 + count]) & 1) == 0
             if prog.any():
+                if n_out > count:       # pad tail: value irrelevant (dead)
+                    prog = np.concatenate(
+                        [prog, np.zeros(n_out - count, bool)])
                 sel = jnp.asarray(prog)
-                cur = {k: v[1:1 + count] for k, v in ext.items()}
+                cur = {k: v[1:1 + n_out] for k, v in ext_run.items()}
                 out_planes = {
                     k: jnp.where(sel.reshape((-1,) + (1,) * (v.ndim - 1)),
                                  cur[k], v)
@@ -596,6 +645,10 @@ class YadifFilter:
                 arr = meta.get(key)
                 out[key] = None if arr is None else np.repeat(arr, 2)
             meta = out
+        if n_out > count:           # pad_batch: mask the throwaway tail
+            real = count * self.fps_mul
+            total = n_out * self.fps_mul
+            meta = _pad_meta_to(meta, real, total)
         return ofb, meta
 
     def process_batch(self, fb: FrameBatch, meta):
@@ -605,6 +658,8 @@ class YadifFilter:
         # same regardless of batch boundaries, so output is
         # batching-invariant; and yadif never spends compute on frames
         # that were already dropped)
+        if self.pad_batch and self._pad_to is None:
+            self._pad_to = fb.batch      # nominal batch = first seen size
         alive = np.asarray(meta["keep"]).copy()
         pad = meta.get("pad")
         if pad is not None:

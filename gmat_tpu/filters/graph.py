@@ -140,7 +140,8 @@ class FilterGraph:
     drop, or double frames).  flush() drains stateful filters at EOF.
     """
 
-    def __init__(self, spec: str, src_fps: float = 30.0):
+    def __init__(self, spec: str, src_fps: float = 30.0,
+                 pad_batch: bool = False):
         self.spec = spec
         self.segments: List = []
         self.filters: List = []     # every instance, chain order — the
@@ -152,6 +153,8 @@ class FilterGraph:
             factory = FILTERS[name]
             if name in ("fps",):
                 kwargs.setdefault("src_fps", src_fps)
+            if pad_batch and getattr(factory, "supports_pad_batch", False):
+                kwargs.setdefault("pad_batch", 1)
             inst = factory(**kwargs)
             self.filters.append(inst)
             if getattr(inst, "batch_control", False):
