@@ -123,7 +123,8 @@ def hevc_rps(args) -> int:
                "ratio": round(nskip / max(len(res), 1), 3)}
     # static HDR metadata riding SEI NALs (mastering display colour
     # volume + content light level — HevcParser SEI sections analog)
-    hdr = hevc.stream_hdr_metadata(packets)
+    nals = [n for pk in packets for n in hevc.split_annexb(pk)]
+    hdr = hevc.stream_hdr_metadata(packets, nals=nals)
     md = hdr.get("mastering_display")
     if md is not None:
         summary["mastering_display"] = {
@@ -138,7 +139,7 @@ def hevc_rps(args) -> int:
         summary["recovery_points"] = hdr["recovery_points"]
     # pic_timing / buffering_period census (needs the SPS VUI HRD
     # context — HevcParserImpl.cpp:203-205 analog)
-    ti = hevc.stream_timing_info(packets)
+    ti = hevc.stream_timing_info(packets, nals=nals)
     vui = ti.get("vui")
     if vui is not None and (ti["pic_timings"] or ti["buffering_periods"]):
         hrd = vui.hrd

@@ -1109,21 +1109,30 @@ def parse_buffering_period(payload: bytes, vui: "Vui") -> BufferingPeriod:
         for _ in range(cpb):
             delays.append(r.u(hrd.initial_cpb_removal_delay_len))
             offsets.append(r.u(hrd.initial_cpb_removal_delay_len))
-            if hrd.sub_pic_hrd:
-                r.u(2 * hrd.initial_cpb_removal_delay_len)  # alt du pair
+            # D.2.2: the alt delay/offset pair is present when
+            # sub_pic_hrd OR irap_cpb_params_present (IRAP-aligned HRD)
+            if hrd.sub_pic_hrd or bp.irap_cpb_params_present:
+                r.u(2 * hrd.initial_cpb_removal_delay_len)
     bp.initial_cpb_removal_delay = tuple(delays)
     bp.initial_cpb_removal_offset = tuple(offsets)
     return bp
 
 
-def stream_timing_info(packets) -> dict:
+def iter_nals(packets, nals=None):
+    """Flatten annexb packets to NAL payloads; pass a pre-split `nals`
+    list to share one split across the stream_* census walkers."""
+    if nals is not None:
+        return nals
+    return (nal for pkt in packets for nal in split_annexb(pkt))
+
+
+def stream_timing_info(packets, nals=None) -> dict:
     """Annexb packets -> pic_timing/buffering_period census: HRD summary
     from the first SPS VUI, per-AU pic_struct + CPB/DPB delays (the
     pic_timing lane of the reference parser, HevcParserImpl.cpp:203-205)."""
     out: dict = {"pic_timings": [], "buffering_periods": []}
     vui = None
-    for pkt in packets:
-        for nal in split_annexb(pkt):
+    for nal in iter_nals(packets, nals):
             t = nal_type(nal)
             if t == NAL_SPS and vui is None:
                 try:
@@ -1146,14 +1155,13 @@ def stream_timing_info(packets) -> dict:
     return out
 
 
-def stream_hdr_metadata(packets) -> dict:
+def stream_hdr_metadata(packets, nals=None) -> dict:
     """Annexb packets -> {'mastering_display': MasteringDisplay,
     'content_light_level': ContentLightLevel, 'recovery_points': int}
     for whatever static HDR metadata the stream carries (first
     occurrence wins, like players apply it)."""
     out: dict = {"recovery_points": 0}
-    for pkt in packets:
-        for nal in split_annexb(pkt):
+    for nal in iter_nals(packets, nals):
             if nal_type(nal) not in (NAL_SEI_PREFIX, NAL_SEI_SUFFIX):
                 continue
             for m in parse_sei(nal):

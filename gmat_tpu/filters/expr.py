@@ -40,13 +40,14 @@ _TOKEN = re.compile(
     r"(dB|[yzafpnumcdhkKMGTPEZY]i?B?|B)?(?![0-9A-Za-z_.])"
     r"|([A-Za-z_]\w*)|(.))")
 
-_SUFFIX = {"y": 1e-24, "z": 1e-21, "a": 1e-18, "f": 1e-15, "p": 1e-12,
-           "n": 1e-9, "u": 1e-6, "m": 1e-3, "c": 1e-2, "d": 1e-1,
-           "h": 1e2, "k": 1e3, "K": 1e3, "M": 1e6, "G": 1e9, "T": 1e12,
-           "P": 1e15, "E": 1e18, "Z": 1e21, "Y": 1e24}
-_SUFFIX_I = {"k": 2.0 ** 10, "K": 2.0 ** 10, "M": 2.0 ** 20,
-             "G": 2.0 ** 30, "T": 2.0 ** 40, "P": 2.0 ** 50,
-             "E": 2.0 ** 60, "Z": 2.0 ** 70, "Y": 2.0 ** 80}
+# eval.c:69-104 si_prefixes: decimal value 10^exp; binary ('i') value
+# 2^(exp*10/3) — defined for EVERY prefix (1mi == 2^-10), not just k..Y
+_SUFFIX_EXP = {"y": -24, "z": -21, "a": -18, "f": -15, "p": -12,
+               "n": -9, "u": -6, "m": -3, "c": -2, "d": -1,
+               "h": 2, "k": 3, "K": 3, "M": 6, "G": 9, "T": 12,
+               "P": 15, "E": 18, "Z": 21, "Y": 24}
+_SUFFIX = {c: 10.0 ** e for c, e in _SUFFIX_EXP.items()}
+_SUFFIX_I = {c: 2.0 ** (e * 10.0 / 3.0) for c, e in _SUFFIX_EXP.items()}
 
 _NAN = float("nan")
 _INF = float("inf")
@@ -75,7 +76,12 @@ def _number_token(body: str, suf: str):
     """Token for a numeric literal. dB literals stay raw (pre-10^(x/20))
     so the parser can apply a leading '-' INSIDE the dB conversion, the
     way eval.c's parse_dB does (-3dB == 10^(-3/20), not -(3dB))."""
-    base = float(int(body, 16)) if body[:2].lower() == "0x" else float(body)
+    if body[:2].lower() == "0x":
+        # strtoul semantics: saturate at UINT64_MAX instead of growing an
+        # unbounded Python int (float() of which can raise OverflowError)
+        base = float(min(int(body, 16), _MASK64))
+    else:
+        base = float(body)
     if suf == "dB":
         return ("numdB", base)
     return ("num", _apply_suffix(base, suf or ""))
@@ -201,8 +207,10 @@ _FUNCS = {
     "not": lambda a: 1.0 if a == 0 else 0.0,
     # NOTE: if/ifnot/and/or/while/taylor/root and the stateful st/ld/random
     # are special forms handled in _parse_atom (lazy branches / var access)
-    "min": min,
-    "max": max,
+    # eval.c ternaries, NOT Python min/max: max(2,nan) -> nan (2>nan is
+    # false so d2 wins), max(nan,2) -> 2 — order-dependent like C
+    "min": lambda a, b: a if a < b else b,
+    "max": lambda a, b: a if a > b else b,
     "abs": abs,
     # C floor/ceil/round pass nan/inf through; math.floor raises — wrap
     "floor": lambda a: a if math.isnan(a) or math.isinf(a) \
@@ -481,7 +489,12 @@ class Expr:
             def f_random(env, i=i):
                 idx = _var_index(i(env))
                 v = var[idx]
-                r = 0 if math.isnan(v) else (int(v) & _MASK64)
+                if math.isnan(v):
+                    r = 0                    # eval.c:234 nan seed -> 0
+                elif math.isinf(v):
+                    r = 1 << 63              # C u64 cast of inf: x86 pattern
+                else:
+                    r = int(v) & _MASK64
                 r = (r * 1664525 + 1013904223) & _MASK64
                 var[idx] = float(r)
                 return r * (1.0 / _MASK64)
@@ -561,10 +574,23 @@ class Expr:
 
         if name == "print":     # eval.c:226-231 — log and pass through
             e0 = args[0]
+            e1 = args[1] if len(args) == 2 else None
 
-            def f_print(env, e0=e0):
+            def f_print(env, e0=e0, e1=e1):
                 x = e0(env)
-                _LOG.info("%f", x)
+                av_level = 32.0 if e1 is None else e1(env)  # AV_LOG_INFO
+                # AV_LOG_* -> logging: ERROR<=16, WARNING=24, INFO=32,
+                # VERBOSE/DEBUG>=40 (the level expr RUNS — side effects
+                # included, like eval.c's av_clip(eval_expr(...)))
+                if math.isnan(av_level) or av_level >= 40:
+                    lvl = logging.DEBUG
+                elif av_level >= 32:
+                    lvl = logging.INFO
+                elif av_level >= 24:
+                    lvl = logging.WARNING
+                else:
+                    lvl = logging.ERROR
+                _LOG.log(lvl, "%f", x)
                 return x
             return f_print
 

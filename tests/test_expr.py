@@ -188,3 +188,38 @@ def test_arity_checked_at_parse_time():
 def test_unknown_function_still_rejected():
     with pytest.raises(ValueError):
         compile_expr("nosuchfn(1)")
+
+
+# ---- round-4 review-fix regressions ----------------------------------------
+
+def test_binary_suffix_all_prefixes():
+    # si_prefixes bin_val = 2^(exp*10/3) for EVERY prefix (eval.c:69-104)
+    assert abs(ev("1mi") - 2.0 ** -10) < 1e-18
+    assert abs(ev("1ui") - 2.0 ** -20) < 1e-24
+    assert abs(ev("1ci") - 2.0 ** (-20 / 3.0)) < 1e-12
+    assert ev("1Ki") == 1024.0 and ev("1Mi") == 2.0 ** 20
+
+
+def test_hex_saturates_like_strtoul():
+    # strtoul saturation at UINT64_MAX, no OverflowError
+    big = "0x" + "F" * 300
+    assert ev(big) == float(2 ** 64 - 1)
+    assert ev("0x" + "F" * 16) == float(2 ** 64 - 1)
+
+
+def test_min_max_nan_ternary_semantics():
+    # eval.c ternaries are order-dependent under nan
+    assert math.isnan(ev("max(2, sqrt(-1))"))
+    assert ev("max(sqrt(-1), 2)") == 2.0
+    assert math.isnan(ev("min(2, sqrt(-1))"))
+    assert ev("min(sqrt(-1), 2)") == 2.0
+
+
+def test_random_with_inf_seed_never_raises():
+    assert 0.0 <= ev("st(0, exp(10000)); random(0)") <= 1.0
+    assert 0.0 <= ev("st(0, -1/0); random(0)") <= 1.0
+
+
+def test_print_level_arg_evaluates():
+    # the level expression RUNS (side effects included, like eval.c)
+    assert ev("print(5, st(3,40)); ld(3)") == 40.0

@@ -99,3 +99,31 @@ def test_scan_cli_prints_hrd_summary(tmp_path, capsys):
     assert summary["hrd"]["nal_hrd"] is True
     assert summary["pic_timing"]["count"] == 6
     assert all(d >= 1 for d in summary["pic_timing"]["cpb_removal_delays"])
+
+
+def test_buffering_period_irap_alt_pair_alignment():
+    """D.2.2: with irap_cpb_params_present=1 the alt delay/offset pair
+    follows each initial pair even without sub_pic_hrd — a second CPB's
+    values must still parse aligned (round-4 review fix)."""
+    hrd = hevc.Hrd(nal_hrd=True, initial_cpb_removal_delay_len=8,
+                   au_cpb_removal_delay_len=4, dpb_output_delay_len=4,
+                   cpb_cnt=(2,))
+    vui = hevc.Vui(hrd=hrd)
+    bits = ""
+    bits += "1"            # ue(sps_id)=0
+    bits += "1"            # irap_cpb_params_present
+    bits += "0101"         # cpb_delay_offset u(4) = 5
+    bits += "0110"         # dpb_delay_offset u(4) = 6
+    bits += "1"            # concatenation
+    bits += "0010"         # au_cpb_removal_delay_delta_minus1 u(4) = 2
+    for delay, offset in ((17, 3), (99, 42)):      # two CPBs
+        bits += format(delay, "08b") + format(offset, "08b")
+        bits += "1" * 16                            # alt pair (skipped)
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    payload = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    bp = hevc.parse_buffering_period(payload, vui)
+    assert bp.irap_cpb_params_present
+    assert bp.cpb_delay_offset == 5 and bp.dpb_delay_offset == 6
+    assert bp.concatenation and bp.au_cpb_removal_delay_delta == 3
+    assert bp.initial_cpb_removal_delay == (17, 99)
+    assert bp.initial_cpb_removal_offset == (3, 42)
