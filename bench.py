@@ -57,24 +57,32 @@ def main():
     import sys
     import threading
 
-    def _probe_discovery(timeout_s: float) -> bool:
+    def _probe_discovery(timeout_s: float):
+        """(ok, why): why distinguishes a hang from a real error, with
+        the probe's stderr tail so a broken env isn't misdiagnosed as a
+        dead tunnel."""
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
                  "import jax; print(jax.devices()[0].platform)"],
                 timeout=timeout_s, capture_output=True, text=True)
-            return r.returncode == 0 and r.stdout.strip() != ""
         except subprocess.TimeoutExpired:
-            return False
+            return False, "timed out (tunnel down/unreachable)"
+        if r.returncode == 0 and r.stdout.strip() != "":
+            return True, ""
+        tail = (r.stderr or "").strip().splitlines()[-3:]
+        return False, ("probe exited rc=%d: %s"
+                       % (r.returncode, " | ".join(tail) or "no stderr"))
 
     windows = int(os.environ.get("GMAT_BENCH_PROBE_WINDOWS", "3"))
     probe_s = float(os.environ.get("GMAT_BENCH_PROBE_S", "120"))
     pause_s = float(os.environ.get("GMAT_BENCH_PROBE_PAUSE_S", "20"))
     for attempt in range(windows):
-        if _probe_discovery(probe_s):
+        ok, why = _probe_discovery(probe_s)
+        if ok:
             break
-        print("bench: device-discovery probe %d/%d failed (tunnel "
-              "down/unreachable)" % (attempt + 1, windows),
+        print("bench: device-discovery probe %d/%d failed — %s"
+              % (attempt + 1, windows, why),
               file=sys.stderr, flush=True)
         if attempt == windows - 1:
             print("bench: TPU backend discovery failed across %d retry "
@@ -87,9 +95,11 @@ def main():
 
     def _init_watchdog():
         if not _init_done.wait(180.0):
-            print("bench: in-process backend init exceeded 180s after a "
-                  "successful discovery probe — tunnel died mid-init; "
-                  "aborting", file=sys.stderr, flush=True)
+            ctx = ("after a successful discovery probe — tunnel died "
+                   "mid-init" if windows > 0 else
+                   "(probes disabled via GMAT_BENCH_PROBE_WINDOWS=0)")
+            print("bench: in-process backend init exceeded 180s %s; "
+                  "aborting" % ctx, file=sys.stderr, flush=True)
             os._exit(3)
 
     threading.Thread(target=_init_watchdog, daemon=True).start()

@@ -441,16 +441,16 @@ GJ_API int gjpeg_encode_ro(const int16_t* yc, const int16_t* uc,
             build_enc(bits[3], vals[3], nv[3], acc_);
         }
     } else {
-        put_dht(o, 0, 0, DC_L_BITS, DC_L_VALS, 12);
-        put_dht(o, 1, 0, AC_L_BITS, AC_L_VALS, 162);
-        if (ncomp == 3) {
-            put_dht(o, 0, 1, DC_C_BITS, DC_C_VALS, 12);
-            put_dht(o, 1, 1, AC_C_BITS, AC_C_VALS, 162);
+        // same slot->table mapping as the optimize fallback: one source
+        // of truth (default_huff_table) for both paths
+        HuffEnc* encs[4] = {&dcl, &acl, &dcc, &acc_};
+        for (int t = 0; t < 4; t++) {
+            const uint8_t *db, *dv; int dn;
+            default_huff_table(t, db, dv, dn);
+            if (t < 2 || ncomp == 3)
+                put_dht(o, t & 1, t >> 1, db, dv, dn);
+            build_enc(db, dv, dn, *encs[t]);
         }
-        build_enc(DC_L_BITS, DC_L_VALS, 12, dcl);
-        build_enc(AC_L_BITS, AC_L_VALS, 162, acl);
-        build_enc(DC_C_BITS, DC_C_VALS, 12, dcc);
-        build_enc(AC_C_BITS, AC_C_VALS, 162, acc_);
     }
     // DRI
     if (restart > 0) {

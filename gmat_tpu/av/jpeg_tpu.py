@@ -212,7 +212,11 @@ def encode_batch(fb: FrameBatch, quality: int = 90,
 
     def encode_one(i, buf):
         n = _call(i, buf, cap)
-        if n == -1:
+        if n == -1 and b"capacity" in lib.gjpeg_last_error():
+            # Retry ONLY on a real capacity overflow ("encode needs N
+            # bytes, capacity M") — a -1 from parameter validation (bad
+            # dims/subsamp) would re-fail identically and the big-buffer
+            # allocation would be pure waste.
             # Legal worst-case content (4:4:4 near quality 100) can beat
             # the 6 B/px heuristic: retry once with the analytic bound of
             # 4 B/coefficient (covers max magnitude bits + 0xFF stuffing).

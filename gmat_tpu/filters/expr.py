@@ -55,6 +55,17 @@ _VARS = 10                       # eval.c:56 #define VARS 10
 _MASK64 = (1 << 64) - 1
 
 
+def _while_cap() -> int:
+    """0 (default) = unbounded, exactly like eval.c (while(1,1) spins).
+    Set GMAT_EXPR_WHILE_CAP=N to make runaway loops raise ValueError —
+    for harnesses evaluating untrusted expressions (the fuzz marathon)."""
+    import os
+    try:
+        return int(os.environ.get("GMAT_EXPR_WHILE_CAP", "0"))
+    except ValueError:
+        return 0
+
+
 def _apply_suffix(value: float, suf: str) -> float:
     """av_strtod postfix semantics (eval.c:114-137)."""
     if not suf:
@@ -277,8 +288,10 @@ _ARITY = {
 _SPECIAL = {"if", "ifnot", "and", "or", "st", "ld", "random", "while",
             "taylor", "root", "print"}
 
-# av_expr named constants (eval-time fallback: env vars shadow them)
-_CONSTS = {"PI": math.pi, "E": math.e, "PHI": (1.0 + math.sqrt(5.0)) / 2.0}
+# av_expr named constants (eval-time fallback: env vars shadow them);
+# QP2LAMBDA = FF_QP2LAMBDA (eval.c constants[] table)
+_CONSTS = {"PI": math.pi, "E": math.e, "PHI": (1.0 + math.sqrt(5.0)) / 2.0,
+           "QP2LAMBDA": 118.0}
 
 
 class Expr:
@@ -505,8 +518,18 @@ class Expr:
 
             def f_while(env, c=c, body=body):
                 d = _NAN
-                while c(env):            # nan is truthy in C too
+                cap = _while_cap()
+                if cap <= 0:
+                    while c(env):        # nan is truthy in C too
+                        d = body(env)
+                    return d
+                n = 0
+                while c(env):
                     d = body(env)
+                    n += 1
+                    if n >= cap:
+                        raise ValueError(
+                            f"while() exceeded GMAT_EXPR_WHILE_CAP={cap}")
                 return d
             return f_while
 

@@ -11,6 +11,7 @@ exceptions (PARITY round-3 sweep section).
 import sys, os, random, ctypes
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["GMAT_EXPR_WHILE_CAP"] = "100000"   # unbounded-by-spec while()
 import jax; jax.config.update("jax_platforms", "cpu")
 import numpy as np
 from gmat_tpu.av import heif, hevc, jpeg_tpu, native
@@ -100,12 +101,39 @@ def native_jpeg_decode(data):
     finally:
         lib.gjpeg_free(hnd)
 
+from gmat_tpu.filters.expr import compile_expr, _FUNCS
+
+_EXPR_TOKENS = (list(_FUNCS) + ["if", "ifnot", "and", "or", "st", "ld",
+                "random", "while", "taylor", "root", "print",
+                "(", ")", ",", "+", "-", "*", "/", "^", ";",
+                "0", "1", "2.5", "1e3", "0xff", "3dB", "1Ki", "nan_var",
+                "n", "t", "scene", "PI", "E", "QP2LAMBDA"])
+
+def fuzz_expr():
+    """Random token soup -> parse+eval must only ever raise ValueError
+    (or return a float).  Token-pool guided so a useful fraction parses."""
+    k = rng.randrange(1, 24)
+    text = "".join(rng.choice(_EXPR_TOKENS) for _ in range(k))
+    if rng.random() < 0.2:       # raw byte garbage lane
+        text = "".join(chr(rng.randrange(32, 127)) for _ in range(k))
+    try:
+        e = compile_expr(text)
+        v = e({"n": 3.0, "t": 0.5, "scene": 0.7, "nan_var": float("nan")})
+    except ValueError:
+        return                   # the engine's one documented error type
+    except RecursionError:
+        return                   # deeply nested parens: Python limit
+    except Exception as ex:      # anything else violates the contract —
+        raise AssertionError(    # AssertionError is NOT in ALLOWED
+            f"expr raised {type(ex).__name__} on {text!r}") from ex
+    assert isinstance(v, float), (text, v)
+
 ALLOWED = (IOError, ValueError, __import__("struct").error, IndexError,
            KeyError, EOFError, OverflowError, ZeroDivisionError)
 crashes = []
 N = int(os.environ.get("GMAT_FUZZ_N", "2000"))
 for it in range(N):
-    k = it % 6
+    k = it % 7
     nm = rng.randrange(1, 12)
     try:
         if k in (0, 1):
@@ -121,10 +149,13 @@ for it in range(N):
         elif k == 4:
             heif.HeifSequenceReader(mutate(seq, nm))
         else:
-            pkt = mutate(hevc_pkts[rng.randrange(len(hevc_pkts))], nm)
-            hevc.parse_stream_slices([pkt])
-            hevc.stream_hdr_metadata([pkt])
-            hevc.stream_timing_info([pkt])
+            if k == 5:
+                pkt = mutate(hevc_pkts[rng.randrange(len(hevc_pkts))], nm)
+                hevc.parse_stream_slices([pkt])
+                hevc.stream_hdr_metadata([pkt])
+                hevc.stream_timing_info([pkt])
+            else:
+                fuzz_expr()
     except ALLOWED:
         pass
     except Exception as e:

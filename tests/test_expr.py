@@ -223,3 +223,7 @@ def test_random_with_inf_seed_never_raises():
 def test_print_level_arg_evaluates():
     # the level expression RUNS (side effects included, like eval.c)
     assert ev("print(5, st(3,40)); ld(3)") == 40.0
+
+
+def test_qp2lambda_constant():
+    assert ev("QP2LAMBDA") == 118.0   # avutil.h:227 FF_QP2LAMBDA
