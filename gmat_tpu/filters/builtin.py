@@ -49,6 +49,32 @@ def _f_rotate(angle=0.0, interp="linear", shift_x=0.0, shift_y=0.0,
                                       center=bool(int(center)))
 
 
+def _f_pad(w="0", h="0", x="0", y="0", color="black"):
+    """vf_pad analog.  w/h/x/y accept av_expr with the vf_pad variable
+    set: iw/ih (+in_w/in_h), and ow/oh (+out_w/out_h) for x/y — e.g.
+    pad=iw+32:ih:(ow-iw)/2:0:gray."""
+    def run(fb):
+        env = {"iw": float(fb.width), "ih": float(fb.height),
+               "in_w": float(fb.width), "in_h": float(fb.height)}
+        ow = int(compile_expr(str(w))(env)) or fb.width
+        oh = int(compile_expr(str(h))(env)) or fb.height
+        env.update(ow=float(ow), oh=float(oh),
+                   out_w=float(ow), out_h=float(oh))
+        px = int(compile_expr(str(x))(env))
+        py = int(compile_expr(str(y))(env))
+        return geometry.pad(fb, ow, oh, px, py, color)
+    return run
+
+
+def _f_eq(contrast=1.0, brightness=0.0, saturation=1.0, gamma=1.0,
+          gamma_r=1.0, gamma_g=1.0, gamma_b=1.0, gamma_weight=1.0):
+    from ..ops import enhance
+    args = tuple(float(v) for v in (contrast, brightness, saturation,
+                                    gamma, gamma_r, gamma_g, gamma_b,
+                                    gamma_weight))
+    return lambda fb: enhance.eq(fb, *args)
+
+
 def _f_flip(code=0):
     return lambda fb: geometry.flip(fb, int(code))
 
@@ -1206,6 +1232,8 @@ FILTERS: Dict[str, Callable] = {
     "crop_nvcv": _f_crop,
     "rotate": _f_rotate,
     "rotate_nvcv": _f_rotate,
+    "pad": _f_pad,
+    "eq": _f_eq,
     "flip": _f_flip,
     "flip_nvcv": _f_flip,
     "hflip": _f_hflip,

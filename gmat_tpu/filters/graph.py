@@ -33,6 +33,8 @@ POSITIONAL = {
     "scale_npp": ("w", "h", "interp"),
     "rotate": ("angle", "interp", "shift_x", "shift_y"),
     "rotate_nvcv": ("angle", "interp", "shift_x", "shift_y"),
+    "pad": ("w", "h", "x", "y", "color"),
+    "eq": ("contrast", "brightness", "saturation", "gamma"),
     "flip": ("code",),
     "flip_nvcv": ("code",),
     "transpose": ("dir",),

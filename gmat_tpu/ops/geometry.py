@@ -245,3 +245,104 @@ def rotate(fb: FrameBatch, angle_deg: float, interp: str = "linear",
             out = jnp.clip(jnp.round(out), 0, F.clip_value(fmt))
         planes[p.name] = out.astype(fmt.planes[0].dtype)
     return fb.with_planes(planes)
+
+
+# ---------------------------------------------------------------- pad
+# vf_pad.c analog (the upstream filter ladder pipelines use for aspect
+# preservation): place the frame on a larger solid-color canvas.
+
+_COLOR_NAMES = {
+    "black": (0, 0, 0), "white": (255, 255, 255), "red": (255, 0, 0),
+    "lime": (0, 255, 0), "green": (0, 128, 0), "blue": (0, 0, 255),
+    "yellow": (255, 255, 0), "cyan": (0, 255, 255), "aqua": (0, 255, 255),
+    "magenta": (255, 0, 255), "fuchsia": (255, 0, 255),
+    "gray": (128, 128, 128), "grey": (128, 128, 128),
+    "navy": (0, 0, 128), "silver": (192, 192, 192),
+    "orange": (255, 165, 0), "pink": (255, 192, 203),
+}
+
+
+def parse_color(s: str):
+    """av_parse_color subset: names, #RRGGBB / 0xRRGGBB (optional AA
+    ignored), name@alpha (alpha ignored — no canvas blending)."""
+    s = str(s).strip().lower()
+    if "@" in s:
+        s = s.split("@", 1)[0]
+    if s in _COLOR_NAMES:
+        return _COLOR_NAMES[s]
+    h = s[1:] if s.startswith("#") else s[2:] if s.startswith("0x") else None
+    if h and len(h) in (6, 8) and all(c in "0123456789abcdef" for c in h):
+        return (int(h[0:2], 16), int(h[2:4], 16), int(h[4:6], 16))
+    raise ValueError(f"unknown color {s!r}")
+
+
+def _yuv_fill(rgb, cspace: str, fmt):
+    """Solid RGB -> per-plane YUV fill values at the frame's depth
+    (limited range, 8-bit studio math scaled to the sample layout:
+    lsb-aligned for yuv*pN, msb-aligned for p010/p016)."""
+    from ..core import color as cc
+    mat = np.asarray(cc.rgb2yuv_matrix(cspace), np.float64)
+    r, g, b = (float(v) for v in rgb)
+    y = mat[0] @ (r, g, b) + 16.0      # 8-bit studio swing, scaled below
+    u = mat[1] @ (r, g, b) + 128.0
+    v = mat[2] @ (r, g, b) + 128.0
+    msb = fmt.name in ("p010", "p016", "yuv420p16")
+    scale = float(1 << (16 - 8)) if msb else float(1 << (fmt.bits - 8))
+    maxv = float((1 << 16) - 1) if msb else float((1 << fmt.bits) - 1)
+    return {k: int(np.clip(round(val * scale), 0, maxv))
+            for k, val in (("y", y), ("u", u), ("v", v))}
+
+
+def pad(fb: FrameBatch, w: int, h: int, x: int = 0, y: int = 0,
+        color: str = "black") -> FrameBatch:
+    """Pad to (w, h) with the frame's top-left at (x, y); the border is
+    `color` (vf_pad semantics: w/h >= input, frame fully inside)."""
+    w, h, x, y = int(w), int(h), int(x), int(y)
+    if w < fb.width or h < fb.height:
+        raise ValueError(f"pad target {w}x{h} smaller than input "
+                         f"{fb.width}x{fb.height}")
+    if x < 0 or y < 0 or x + fb.width > w or y + fb.height > h:
+        raise ValueError(f"pad placement {x},{y} puts the frame outside "
+                         f"{w}x{h}")
+    fmt = fb.fmt
+    rgb = parse_color(color)
+    if fmt.is_yuv:
+        sw = max((p.sub_w for p in fmt.planes), default=0)
+        sh = max((p.sub_h for p in fmt.planes), default=0)
+        if ((x | w) & ((1 << sw) - 1)) or ((y | h) & ((1 << sh) - 1)):
+            raise ValueError(
+                "subsampled pad offsets/sizes must align to the chroma "
+                f"grid ({1 << sw}x{1 << sh}) for {fmt.name}")
+        fills = _yuv_fill(rgb, fb.colorspace, fmt)
+    planes = {}
+    for p in fmt.planes:
+        arr = fb.planes[p.name]
+        if fmt.is_yuv:
+            pw, ph = w >> p.sub_w, h >> p.sub_h
+            px, py = x >> p.sub_w, y >> p.sub_h
+            fill = fills.get(p.name, 0)
+            canvas = jnp.full((arr.shape[0], ph, pw), fill, arr.dtype)
+            planes[p.name] = canvas.at[:, py:py + arr.shape[1],
+                                       px:px + arr.shape[2]].set(arr)
+        else:
+            order = fmt.channel_order or "rgb"
+            chan = {"r": rgb[0], "g": rgb[1], "b": rgb[2], "a": 255}
+            vec = np.array([chan[c] for c in order], np.float64)
+            if fmt.is_float:
+                vec = vec / 255.0
+            elif fmt.bits > 8:
+                vec = vec * ((1 << fmt.bits) - 1) / 255.0
+            if arr.ndim == 4:       # packed (N, H, W, C)
+                canvas = jnp.broadcast_to(
+                    jnp.asarray(np.round(vec) if not fmt.is_float else vec,
+                                arr.dtype),
+                    (arr.shape[0], h, w, len(order))).copy()
+                planes[p.name] = canvas.at[:, y:y + arr.shape[1],
+                                           x:x + arr.shape[2], :].set(arr)
+            else:                   # planar float (N, C, H, W)
+                canvas = jnp.broadcast_to(
+                    jnp.asarray(vec, arr.dtype)[None, :, None, None],
+                    (arr.shape[0], len(order), h, w)).copy()
+                planes[p.name] = canvas.at[:, :, y:y + arr.shape[2],
+                                           x:x + arr.shape[3]].set(arr)
+    return FrameBatch(planes, fb.format, w, h, fb.colorspace)
