@@ -912,6 +912,120 @@ class FpsFilter:
         return out
 
 
+class TrimFilter:
+    """ffmpeg trim (f_trim.c): keep the window [start, end) by seconds,
+    pts, or frame index.  Drop logic mirrors the reference: a frame
+    passes the start gate when ANY configured start bound admits it, and
+    the end gate when ANY configured end bound does.  Like ffmpeg, pts
+    are NOT shifted — pair with setpts=PTS-STARTPTS to rebase."""
+
+    batch_control = True
+
+    def __init__(self, start=None, end=None, start_pts=None, end_pts=None,
+                 start_frame=None, end_frame=None, duration=None):
+        f = lambda v: None if v is None else float(v)
+        self.start, self.end = f(start), f(end)
+        self.duration = f(duration)
+        if self.duration is not None and self.end is None:
+            self.end = (self.start or 0.0) + self.duration
+        self.start_pts = None if start_pts is None else int(start_pts)
+        self.end_pts = None if end_pts is None else int(end_pts)
+        self.start_frame = None if start_frame is None else int(start_frame)
+        self.end_frame = None if end_frame is None else int(end_frame)
+        self.n = 0          # frames that reached this filter (alive only)
+
+    def keep_mask(self, fb, pts=None, times=None, keys=None, pos=None,
+                  keep=None):
+        out = np.zeros(fb.batch, bool)
+        for i in range(fb.batch):
+            if keep is not None and not keep[i]:
+                continue
+            t = None if times is None else float(times[i])
+            p = None if pts is None else int(pts[i])
+            idx = self.n
+            self.n += 1
+            # start gate: OR over configured bounds (f_trim.c)
+            starts = []
+            if self.start is not None:
+                starts.append(t is not None and t >= self.start - 1e-9)
+            if self.start_pts is not None:
+                starts.append(p is not None and p >= self.start_pts)
+            if self.start_frame is not None:
+                starts.append(idx >= self.start_frame)
+            if starts and not any(starts):
+                continue
+            ends = []
+            if self.end is not None:
+                ends.append(t is not None and t < self.end - 1e-9)
+            if self.end_pts is not None:
+                ends.append(p is not None and p < self.end_pts)
+            if self.end_frame is not None:
+                ends.append(idx < self.end_frame)
+            if ends and not any(ends):
+                continue
+            out[i] = True
+        return out
+
+
+class SetptsFilter:
+    """ffmpeg setpts (setpts.c): rewrite pts via av_expr.  Vars: PTS, N
+    (frames that reached this filter), T (seconds, when a times track
+    exists), STARTPTS, STARTT, PREV_INPTS, PREV_OUTPTS.  With tb= set,
+    the times track is recomputed as pts*tb; otherwise times pass
+    through unchanged.  A zero-compute stream segment: planes are
+    untouched, only metadata rewrites."""
+
+    stream_filter = True
+
+    def __init__(self, expr="PTS", tb=None):
+        self.expr = compile_expr(str(expr))
+        self.tb = None if tb is None else float(tb)
+        self.n = 0
+        self.startpts = None
+        self.startt = None
+        self.prev_in = self.prev_out = None
+
+    def process_batch(self, fb: FrameBatch, meta):
+        pts = meta.get("pts")
+        if pts is None:
+            return fb, meta
+        times = meta.get("times")
+        keep = meta.get("keep")
+        new_pts = np.array(pts, np.int64, copy=True)
+        new_times = (None if times is None
+                     else np.array(times, np.float64, copy=True))
+        for i in range(len(new_pts)):
+            if keep is not None and not keep[i]:
+                continue
+            p = float(pts[i])
+            if self.startpts is None:
+                self.startpts = p
+                self.startt = (float(times[i])
+                               if times is not None else 0.0)
+            env = {"PTS": p, "N": float(self.n),
+                   "T": float(times[i]) if times is not None else 0.0,
+                   "STARTPTS": self.startpts, "STARTT": self.startt,
+                   "PREV_INPTS": self.prev_in if self.prev_in is not None
+                   else p,
+                   "PREV_OUTPTS": self.prev_out
+                   if self.prev_out is not None else p,
+                   "TB": self.tb if self.tb is not None else 0.0}
+            v = self.expr(env)
+            self.prev_in, self.prev_out = p, v
+            self.n += 1
+            new_pts[i] = int(round(v))
+            if new_times is not None and self.tb is not None:
+                new_times[i] = v * self.tb
+        out = dict(meta)
+        out["pts"] = new_pts
+        if new_times is not None:
+            out["times"] = new_times
+        return fb, out
+
+    def flush(self):
+        return None
+
+
 class ThumbnailFilter:
     """thumbnail_cuda analog: pick the most representative frame of every
     window of `n` frames (min histogram distance to the window mean).
@@ -1234,6 +1348,8 @@ FILTERS: Dict[str, Callable] = {
     "rotate_nvcv": _f_rotate,
     "pad": _f_pad,
     "eq": _f_eq,
+    "trim": TrimFilter,
+    "setpts": SetptsFilter,
     "flip": _f_flip,
     "flip_nvcv": _f_flip,
     "hflip": _f_hflip,

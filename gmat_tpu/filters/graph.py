@@ -34,6 +34,8 @@ POSITIONAL = {
     "rotate": ("angle", "interp", "shift_x", "shift_y"),
     "rotate_nvcv": ("angle", "interp", "shift_x", "shift_y"),
     "pad": ("w", "h", "x", "y", "color"),
+    "trim": ("start", "end"),
+    "setpts": ("expr",),
     "eq": ("contrast", "brightness", "saturation", "gamma"),
     "flip": ("code",),
     "flip_nvcv": ("code",),

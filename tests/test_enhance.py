@@ -125,3 +125,70 @@ def test_pad_graph_expressions(rng):
                                   np.asarray(fb.planes["y"]))
     # gray fill: Y = mat@(128,128,128)+16 = 0.859*128+16 ~ 126
     assert 120 <= y[0, 0, 0] <= 130
+
+
+# ---- trim / setpts ----------------------------------------------------------
+
+def test_trim_by_seconds_and_frames(rng):
+    fb = _yuv(rng, n=10)
+    g = FilterGraph("trim=start=0.1:end=0.3")
+    out, keep = g.process(fb, pts=np.arange(10) * 100,
+                          times=np.arange(10) / 10.0)
+    assert list(np.nonzero(keep)[0]) == [1, 2]      # t in [0.1, 0.3)
+    g2 = FilterGraph("trim=start_frame=4:end_frame=7")
+    out2, keep2 = g2.process(fb, pts=np.arange(10) * 100,
+                             times=np.arange(10) / 10.0)
+    assert list(np.nonzero(keep2)[0]) == [4, 5, 6]
+
+
+def test_trim_or_within_gates(rng):
+    """f_trim.c: OR across configured start bounds (pts OR frame)."""
+    fb = _yuv(rng, n=6)
+    g = FilterGraph("trim=start_pts=400:start_frame=5")
+    out, keep = g.process(fb, pts=np.arange(6) * 100,
+                          times=np.arange(6) / 10.0)
+    assert list(np.nonzero(keep)[0]) == [4, 5]      # pts gate opens at 4
+
+
+def test_trim_counts_only_alive_frames(rng):
+    """frames dropped upstream are invisible to trim's frame counter
+    (ffmpeg chain semantics)."""
+    fb = _yuv(rng, n=8)
+    g = FilterGraph("select=mod(n\\,2),trim=start_frame=1:end_frame=3")
+    out, keep = g.process(fb, pts=np.arange(8) * 100,
+                          times=np.arange(8) / 10.0)
+    # select keeps odd n: 1,3,5,7 -> trim keeps its frames 1,2 -> 3,5
+    assert list(np.nonzero(keep)[0]) == [3, 5]
+
+
+def test_setpts_rebase_and_scale(rng):
+    fb = _yuv(rng, n=4)
+    g = FilterGraph("setpts=PTS-STARTPTS")
+    g.process(fb, pts=np.array([500, 600, 700, 800]),
+              times=np.arange(4) / 30.0)
+    assert list(g.out_pts) == [0, 100, 200, 300]
+    g2 = FilterGraph("setpts=0.5*(PTS-STARTPTS)")
+    g2.process(fb, pts=np.array([500, 600, 700, 800]),
+               times=np.arange(4) / 30.0)
+    assert list(g2.out_pts) == [0, 50, 100, 150]
+
+
+def test_setpts_n_var_and_prev(rng):
+    fb = _yuv(rng, n=3)
+    g = FilterGraph("setpts=N*42")
+    g.process(fb, pts=np.array([7, 9, 11]), times=np.arange(3) / 30.0)
+    assert list(g.out_pts) == [0, 42, 84]
+    g2 = FilterGraph("setpts=PREV_OUTPTS+100")
+    g2.process(fb, pts=np.array([7, 9, 11]), times=np.arange(3) / 30.0)
+    assert list(g2.out_pts) == [107, 207, 307]
+
+
+def test_trim_setpts_chain(rng):
+    """the canonical clip extraction: trim + rebase."""
+    fb = _yuv(rng, n=10)
+    g = FilterGraph("trim=start=0.2:end=0.5,setpts=PTS-STARTPTS")
+    out, keep = g.process(fb, pts=np.arange(10) * 100,
+                          times=np.arange(10) / 10.0)
+    kept = np.nonzero(keep)[0]
+    assert list(kept) == [2, 3, 4]
+    assert list(g.out_pts[kept]) == [0, 100, 200]
