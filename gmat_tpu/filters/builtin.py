@@ -20,6 +20,7 @@ decision and are handled by the graph runner.
 """
 from __future__ import annotations
 
+import math
 from typing import Callable, Dict, Optional
 
 import jax.numpy as jnp
@@ -51,17 +52,31 @@ def _f_rotate(angle=0.0, interp="linear", shift_x=0.0, shift_y=0.0,
 
 def _f_pad(w="0", h="0", x="0", y="0", color="black"):
     """vf_pad analog.  w/h/x/y accept av_expr with the vf_pad variable
-    set: iw/ih (+in_w/in_h), and ow/oh (+out_w/out_h) for x/y — e.g.
-    pad=iw+32:ih:(ow-iw)/2:0:gray."""
+    set: iw/ih (+in_w/in_h), ow/oh (+out_w/out_h), a (iw/ih aspect),
+    hsub/vsub, and x/y cross-references — x is evaluated, then y (with x
+    bound), then x again (with y bound), mirroring vf_pad.c:159-174.
+    Out-of-range x/y center the frame; all four round down to the chroma
+    grid (geometry.pad)."""
     def run(fb):
+        sw = max((p.sub_w for p in fb.fmt.planes), default=0)
+        sh = max((p.sub_h for p in fb.fmt.planes), default=0)
         env = {"iw": float(fb.width), "ih": float(fb.height),
-               "in_w": float(fb.width), "in_h": float(fb.height)}
-        ow = int(compile_expr(str(w))(env)) or fb.width
+               "in_w": float(fb.width), "in_h": float(fb.height),
+               "a": float(fb.width) / float(fb.height),
+               "hsub": float(1 << sw), "vsub": float(1 << sh)}
+        # w, then h (w bound), then w again (h bound) — vf_pad.c:128-148
+        env.update(ow=0.0, oh=0.0, out_w=0.0, out_h=0.0)
+        ow = int(compile_expr(str(w))(env))
+        env.update(ow=float(ow), out_w=float(ow))
         oh = int(compile_expr(str(h))(env)) or fb.height
-        env.update(ow=float(ow), oh=float(oh),
-                   out_w=float(ow), out_h=float(oh))
+        env.update(oh=float(oh), out_h=float(oh))
+        ow = int(compile_expr(str(w))(env)) or fb.width
+        env.update(ow=float(ow), out_w=float(ow), x=0.0, y=0.0)
         px = int(compile_expr(str(x))(env))
+        env["x"] = float(px)
         py = int(compile_expr(str(y))(env))
+        env["y"] = float(py)
+        px = int(compile_expr(str(x))(env))   # x may reference y
         return geometry.pad(fb, ow, oh, px, py, color)
     return run
 
@@ -190,28 +205,14 @@ def _f_null():
     return lambda fb: fb
 
 
-# the common av_parse_color names reference command lines actually use
-_COLOR_NAMES = {
-    "green": (0, 128, 0), "lime": (0, 255, 0), "blue": (0, 0, 255),
-    "red": (255, 0, 0), "black": (0, 0, 0), "white": (255, 255, 255),
-    "magenta": (255, 0, 255), "cyan": (0, 255, 255),
-    "yellow": (255, 255, 0), "gray": (128, 128, 128),
-}
-
-
 def _parse_color(color: str):
-    c = color[1:] if color.startswith("#") else color
-    if c.lower().startswith("0x"):
-        c = c[2:]
-    if c.lower() in _COLOR_NAMES:
-        return np.array(_COLOR_NAMES[c.lower()], np.float32)
-    if len(c) == 3:          # #RGB short hex
-        c = "".join(ch * 2 for ch in c)
-    if len(c) != 6 or any(ch not in "0123456789abcdefABCDEF" for ch in c):
-        raise FilterError(f"bad color {color!r} (use RRGGBB, #RGB, or a "
-                          f"name: {sorted(_COLOR_NAMES)})")
-    return np.array([int(c[0:2], 16), int(c[2:4], 16), int(c[4:6], 16)],
-                    np.float32)
+    """One shared av_parse_color subset for every filter: delegates to
+    ops.geometry.parse_color (names, #RGB[A]/#RRGGBB[AA]/0x/bare hex) so
+    pad and chromakey accept identical color syntax."""
+    try:
+        return np.array(geometry.parse_color(color), np.float32)
+    except ValueError as e:
+        raise FilterError(str(e)) from None
 
 
 def _f_chromakey(color="00FF00", similarity=0.01, blend=0.0):
@@ -914,10 +915,15 @@ class FpsFilter:
 
 class TrimFilter:
     """ffmpeg trim (f_trim.c): keep the window [start, end) by seconds,
-    pts, or frame index.  Drop logic mirrors the reference: a frame
-    passes the start gate when ANY configured start bound admits it, and
-    the end gate when ANY configured end bound does.  Like ffmpeg, pts
-    are NOT shifted — pair with setpts=PTS-STARTPTS to rebase."""
+    pts, or frame index.  Drop logic mirrors trim_filter_frame exactly:
+    a frame passes the start gate when ANY configured start bound admits
+    it, and the end gate when ANY configured end bound does; `duration`
+    is its own end-gate term measured from the first frame that passed
+    the start gate (f_trim.c first_pts, set AFTER the start gate); once
+    the end gate rejects a frame the filter latches EOF (s->eof=1) and
+    drops everything after, even late frames whose pts would re-enter
+    the window.  Like ffmpeg, pts are NOT shifted — pair with
+    setpts=PTS-STARTPTS to rebase."""
 
     batch_control = True
 
@@ -926,19 +932,21 @@ class TrimFilter:
         f = lambda v: None if v is None else float(v)
         self.start, self.end = f(start), f(end)
         self.duration = f(duration)
-        if self.duration is not None and self.end is None:
-            self.end = (self.start or 0.0) + self.duration
         self.start_pts = None if start_pts is None else int(start_pts)
         self.end_pts = None if end_pts is None else int(end_pts)
         self.start_frame = None if start_frame is None else int(start_frame)
         self.end_frame = None if end_frame is None else int(end_frame)
         self.n = 0          # frames that reached this filter (alive only)
+        self.first_t = None  # f_trim.c first_pts (seconds domain)
+        self.eof = False     # f_trim.c s->eof latch
 
     def keep_mask(self, fb, pts=None, times=None, keys=None, pos=None,
                   keep=None):
         out = np.zeros(fb.batch, bool)
         for i in range(fb.batch):
             if keep is not None and not keep[i]:
+                continue
+            if self.eof:     # EOF latched: drop without counting
                 continue
             t = None if times is None else float(times[i])
             p = None if pts is None else int(pts[i])
@@ -954,6 +962,9 @@ class TrimFilter:
                 starts.append(idx >= self.start_frame)
             if starts and not any(starts):
                 continue
+            # first_pts analog: first frame past the start gate
+            if self.first_t is None and t is not None:
+                self.first_t = t
             ends = []
             if self.end is not None:
                 ends.append(t is not None and t < self.end - 1e-9)
@@ -961,19 +972,30 @@ class TrimFilter:
                 ends.append(p is not None and p < self.end_pts)
             if self.end_frame is not None:
                 ends.append(idx < self.end_frame)
+            if self.duration is not None:
+                ends.append(t is not None and self.first_t is not None
+                            and t - self.first_t < self.duration - 1e-9)
             if ends and not any(ends):
+                self.eof = True
                 continue
             out[i] = True
         return out
 
 
+_AV_NOPTS = -(1 << 63)          # AV_NOPTS_VALUE (== INT64_MIN)
+
+
 class SetptsFilter:
     """ffmpeg setpts (setpts.c): rewrite pts via av_expr.  Vars: PTS, N
-    (frames that reached this filter), T (seconds, when a times track
-    exists), STARTPTS, STARTT, PREV_INPTS, PREV_OUTPTS.  With tb= set,
-    the times track is recomputed as pts*tb; otherwise times pass
-    through unchanged.  A zero-compute stream segment: planes are
-    untouched, only metadata rewrites."""
+    (frames that reached this filter), T (seconds), STARTPTS, STARTT,
+    PREV_INPTS/PREV_INT/PREV_OUTPTS/PREV_OUTT (NAN before the first
+    frame, setpts.c:113-118), TB.  Results map through D2TS
+    (internal.h:261): NaN -> AV_NOPTS_VALUE, else C-cast truncation
+    toward zero (saturating at the int64 range).  The times track is
+    recomputed as new_pts*tb so downstream seconds-based filters (trim)
+    see the rewritten timeline — tb comes from the tb= option or is
+    inferred from the incoming pts/times slope.  A zero-compute stream
+    segment: planes are untouched, only metadata rewrites."""
 
     stream_filter = True
 
@@ -981,9 +1003,38 @@ class SetptsFilter:
         self.expr = compile_expr(str(expr))
         self.tb = None if tb is None else float(tb)
         self.n = 0
-        self.startpts = None
-        self.startt = None
-        self.prev_in = self.prev_out = None
+        self.startpts = None        # NAN-equivalent until the first
+        self.startt = None          # frame with a real pts (setpts.c:158)
+        nan = float("nan")
+        self.prev_in = self.prev_out = nan
+        self.prev_in_t = self.prev_out_t = nan
+        self._tb_est = None
+
+    @staticmethod
+    def _d2ts(v: float) -> int:
+        """internal.h D2TS: NaN -> AV_NOPTS_VALUE, else (int64_t)(d)."""
+        if math.isnan(v):
+            return _AV_NOPTS
+        if v >= float(1 << 63):
+            return (1 << 63) - 1
+        if v <= float(-(1 << 63)):
+            return -(1 << 63)
+        return int(v)               # C cast truncates toward zero
+
+    def _infer_tb(self, pts, times, keep):
+        """pts->seconds slope from two alive frames (the link-timebase
+        analog; slope not ratio, so start-offset times stay correct)."""
+        prev = None
+        for i in range(len(pts)):
+            if keep is not None and not keep[i]:
+                continue
+            p, t = int(pts[i]), float(times[i])
+            if p == _AV_NOPTS or not math.isfinite(t):
+                continue
+            if prev is not None and p != prev[0]:
+                return (t - prev[1]) / (p - prev[0])
+            prev = (p, t)
+        return None
 
     def process_batch(self, fb: FrameBatch, meta):
         pts = meta.get("pts")
@@ -994,28 +1045,43 @@ class SetptsFilter:
         new_pts = np.array(pts, np.int64, copy=True)
         new_times = (None if times is None
                      else np.array(times, np.float64, copy=True))
+        if self.tb is not None:
+            self._tb_est = self.tb
+        elif self._tb_est is None and times is not None:
+            self._tb_est = self._infer_tb(pts, times, keep)
+        tb = self._tb_est
+        nan = float("nan")
         for i in range(len(new_pts)):
             if keep is not None and not keep[i]:
                 continue
-            p = float(pts[i])
-            if self.startpts is None:
+            p_i = int(pts[i])
+            p = nan if p_i == _AV_NOPTS else float(p_i)
+            t = (float(times[i]) if times is not None
+                 else (p * tb if tb is not None else nan))
+            if self.startpts is None and not math.isnan(p):
                 self.startpts = p
-                self.startt = (float(times[i])
-                               if times is not None else 0.0)
-            env = {"PTS": p, "N": float(self.n),
-                   "T": float(times[i]) if times is not None else 0.0,
-                   "STARTPTS": self.startpts, "STARTT": self.startt,
-                   "PREV_INPTS": self.prev_in if self.prev_in is not None
-                   else p,
-                   "PREV_OUTPTS": self.prev_out
-                   if self.prev_out is not None else p,
-                   "TB": self.tb if self.tb is not None else 0.0}
-            v = self.expr(env)
-            self.prev_in, self.prev_out = p, v
+                self.startt = t
+            env = {"PTS": p, "N": float(self.n), "T": t,
+                   "STARTPTS": self.startpts
+                   if self.startpts is not None else nan,
+                   "STARTT": self.startt
+                   if self.startt is not None else nan,
+                   "PREV_INPTS": self.prev_in,
+                   "PREV_INT": self.prev_in_t,
+                   "PREV_OUTPTS": self.prev_out,
+                   "PREV_OUTT": self.prev_out_t,
+                   "TB": tb if tb is not None else nan}
+            out_ts = self._d2ts(float(self.expr(env)))
             self.n += 1
-            new_pts[i] = int(round(v))
-            if new_times is not None and self.tb is not None:
-                new_times[i] = v * self.tb
+            new_pts[i] = out_ts
+            self.prev_in, self.prev_in_t = p, t
+            self.prev_out = nan if out_ts == _AV_NOPTS else float(out_ts)
+            self.prev_out_t = (self.prev_out * tb if tb is not None
+                               else nan)
+            if new_times is not None and tb is not None:
+                # only rewrite when the scale is known — a stale track
+                # beats a destroyed one when the slope can't be inferred
+                new_times[i] = self.prev_out_t
         out = dict(meta)
         out["pts"] = new_pts
         if new_times is not None:

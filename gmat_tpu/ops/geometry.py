@@ -263,17 +263,22 @@ _COLOR_NAMES = {
 
 
 def parse_color(s: str):
-    """av_parse_color subset: names, #RRGGBB / 0xRRGGBB (optional AA
-    ignored), name@alpha (alpha ignored — no canvas blending)."""
+    """av_parse_color subset — the ONE color parser every filter shares
+    (pad, chromakey): names, #RGB[A] / #RRGGBB[AA] / 0x-prefixed hex,
+    bare RRGGBB hex (chromakey option-string compat), name@alpha (alpha
+    ignored — no canvas blending)."""
     s = str(s).strip().lower()
     if "@" in s:
         s = s.split("@", 1)[0]
     if s in _COLOR_NAMES:
         return _COLOR_NAMES[s]
-    h = s[1:] if s.startswith("#") else s[2:] if s.startswith("0x") else None
-    if h and len(h) in (6, 8) and all(c in "0123456789abcdef" for c in h):
+    h = s[1:] if s.startswith("#") else s[2:] if s.startswith("0x") else s
+    if len(h) in (3, 4):                      # #RGB / #RGBA short hex
+        h = "".join(c * 2 for c in h)
+    if len(h) in (6, 8) and all(c in "0123456789abcdef" for c in h):
         return (int(h[0:2], 16), int(h[2:4], 16), int(h[4:6], 16))
-    raise ValueError(f"unknown color {s!r}")
+    raise ValueError(f"unknown color {s!r} (use a name, #RGB, RRGGBB, "
+                     "or 0xRRGGBB)")
 
 
 def _yuv_fill(rgb, cspace: str, fmt):
@@ -296,24 +301,30 @@ def _yuv_fill(rgb, cspace: str, fmt):
 def pad(fb: FrameBatch, w: int, h: int, x: int = 0, y: int = 0,
         color: str = "black") -> FrameBatch:
     """Pad to (w, h) with the frame's top-left at (x, y); the border is
-    `color` (vf_pad semantics: w/h >= input, frame fully inside)."""
+    `color`.  vf_pad.c semantics: out-of-range x/y fall back to centered
+    (vf_pad.c:176-179), then w/h/x/y round DOWN to the chroma grid
+    (ff_draw_round_to_sub with round_dir=-1, vf_pad.c:181-190) — an odd
+    (ow-iw)/2 centering offset proceeds instead of erroring."""
     w, h, x, y = int(w), int(h), int(x), int(y)
+    # centering fallback BEFORE grid rounding, like config_output
+    if x < 0 or x + fb.width > w:
+        x = (w - fb.width) // 2 if w >= fb.width else x
+    if y < 0 or y + fb.height > h:
+        y = (h - fb.height) // 2 if h >= fb.height else y
+    fmt = fb.fmt
+    rgb = parse_color(color)
+    if fmt.is_yuv:
+        sw = max((p.sub_w for p in fmt.planes), default=0)
+        sh = max((p.sub_h for p in fmt.planes), default=0)
+        w, x = (w >> sw) << sw, (x >> sw) << sw
+        h, y = (h >> sh) << sh, (y >> sh) << sh
+        fills = _yuv_fill(rgb, fb.colorspace, fmt)
     if w < fb.width or h < fb.height:
         raise ValueError(f"pad target {w}x{h} smaller than input "
                          f"{fb.width}x{fb.height}")
     if x < 0 or y < 0 or x + fb.width > w or y + fb.height > h:
         raise ValueError(f"pad placement {x},{y} puts the frame outside "
                          f"{w}x{h}")
-    fmt = fb.fmt
-    rgb = parse_color(color)
-    if fmt.is_yuv:
-        sw = max((p.sub_w for p in fmt.planes), default=0)
-        sh = max((p.sub_h for p in fmt.planes), default=0)
-        if ((x | w) & ((1 << sw) - 1)) or ((y | h) & ((1 << sh) - 1)):
-            raise ValueError(
-                "subsampled pad offsets/sizes must align to the chroma "
-                f"grid ({1 << sw}x{1 << sh}) for {fmt.name}")
-        fills = _yuv_fill(rgb, fb.colorspace, fmt)
     planes = {}
     for p in fmt.planes:
         arr = fb.planes[p.name]
@@ -332,17 +343,12 @@ def pad(fb: FrameBatch, w: int, h: int, x: int = 0, y: int = 0,
                 vec = vec / 255.0
             elif fmt.bits > 8:
                 vec = vec * ((1 << fmt.bits) - 1) / 255.0
-            if arr.ndim == 4:       # packed (N, H, W, C)
-                canvas = jnp.broadcast_to(
-                    jnp.asarray(np.round(vec) if not fmt.is_float else vec,
-                                arr.dtype),
-                    (arr.shape[0], h, w, len(order))).copy()
-                planes[p.name] = canvas.at[:, y:y + arr.shape[1],
-                                           x:x + arr.shape[2], :].set(arr)
-            else:                   # planar float (N, C, H, W)
-                canvas = jnp.broadcast_to(
-                    jnp.asarray(vec, arr.dtype)[None, :, None, None],
-                    (arr.shape[0], len(order), h, w)).copy()
-                planes[p.name] = canvas.at[:, :, y:y + arr.shape[2],
-                                           x:x + arr.shape[3]].set(arr)
+            # FrameBatch RGB storage is always channels-last (N, H, W, C)
+            # — core/frame.py validates plane shapes against the format
+            canvas = jnp.broadcast_to(
+                jnp.asarray(np.round(vec) if not fmt.is_float else vec,
+                            arr.dtype),
+                (arr.shape[0], h, w, len(order))).copy()
+            planes[p.name] = canvas.at[:, y:y + arr.shape[1],
+                                       x:x + arr.shape[2], :].set(arr)
     return FrameBatch(planes, fb.format, w, h, fb.colorspace)

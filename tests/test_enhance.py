@@ -107,11 +107,47 @@ def test_pad_validation(rng):
     with pytest.raises(ValueError):
         geometry.pad(fb, 16, 16)                 # smaller than input
     with pytest.raises(ValueError):
-        geometry.pad(fb, 32, 24, 3, 4)           # odd x on 4:2:0
-    with pytest.raises(ValueError):
-        geometry.pad(fb, 32, 24, 20, 0)          # frame sticks out
+        geometry.pad(fb, 23, 24)                 # rounds down below input
     with pytest.raises(ValueError):
         geometry.parse_color("nosuchcolor")
+
+
+def test_pad_rounds_to_chroma_grid_like_ff_draw(rng):
+    """vf_pad rounds x/y/w/h DOWN to the chroma grid
+    (ff_draw_round_to_sub round_dir=-1) instead of erroring."""
+    fb = _yuv(rng, h=16, w=22)
+    out = geometry.pad(fb, 32, 24, 5, 4)         # odd x on 4:2:0 -> 4
+    y = np.asarray(out.planes["y"])
+    np.testing.assert_array_equal(y[:, 4:20, 4:26],
+                                  np.asarray(fb.planes["y"]))
+    out2 = geometry.pad(fb, 33, 25, 4, 4)        # odd w/h -> 32x24
+    assert (out2.width, out2.height) == (32, 24)
+
+
+def test_pad_centers_out_of_range_xy(rng):
+    """vf_pad.c:176-179: x<0 or x+iw>w falls back to centered."""
+    fb = _yuv(rng, h=16, w=24)
+    ref = np.asarray(fb.planes["y"])
+    out = geometry.pad(fb, 32, 24, -1, -1)       # negative -> centered
+    np.testing.assert_array_equal(
+        np.asarray(out.planes["y"])[:, 4:20, 4:28], ref)
+    out2 = geometry.pad(fb, 32, 24, 20, 0)       # 20+24>32 -> x centered
+    np.testing.assert_array_equal(
+        np.asarray(out2.planes["y"])[:, 0:16, 4:28], ref)
+
+
+def test_pad_and_chromakey_share_one_color_parser(rng):
+    """pad accepts everything chromakey accepts (bare hex, short #RGB,
+    names) — one av_parse_color subset, not two divergent tables."""
+    fb = _yuv(rng, h=16, w=24)
+    for color in ("00FF00", "#0f0", "lime", "orange", "0x00ff00",
+                  "white@0.5"):
+        geometry.pad(fb, 32, 24, 4, 4, color=color)
+    from gmat_tpu.filters.builtin import _parse_color
+    np.testing.assert_array_equal(_parse_color("orange"),
+                                  np.array([255, 165, 0], np.float32))
+    np.testing.assert_array_equal(_parse_color("#0f0"),
+                                  np.array([0, 255, 0], np.float32))
 
 
 def test_pad_graph_expressions(rng):
@@ -161,6 +197,38 @@ def test_trim_counts_only_alive_frames(rng):
     assert list(np.nonzero(keep)[0]) == [3, 5]
 
 
+def test_trim_duration_measured_from_first_kept_frame(rng):
+    """f_trim.c: duration is its own end-gate term, pts - first_pts <
+    duration_tb, where first_pts is the first frame past the start gate
+    — NOT start+duration in absolute stream time."""
+    fb = _yuv(rng, n=10)
+    # mid-stream timestamps: duration=0.3 keeps the first 0.3s anyway
+    g = FilterGraph("trim=duration=0.3")
+    out, keep = g.process(fb, pts=np.arange(10) * 100,
+                          times=10.0 + np.arange(10) / 10.0)
+    assert list(np.nonzero(keep)[0]) == [0, 1, 2]
+    # duration windows from the start gate, not from t=0
+    g2 = FilterGraph("trim=start_frame=5:duration=0.2")
+    out2, keep2 = g2.process(fb, pts=np.arange(10) * 100,
+                             times=np.arange(10) / 10.0)
+    assert list(np.nonzero(keep2)[0]) == [5, 6]
+    # duration ORs with end_frame like any other end bound
+    g3 = FilterGraph("trim=duration=0.1:end_frame=3")
+    out3, keep3 = g3.process(fb, pts=np.arange(10) * 100,
+                             times=np.arange(10) / 10.0)
+    assert list(np.nonzero(keep3)[0]) == [0, 1, 2]
+
+
+def test_trim_eof_latch(rng):
+    """f_trim.c s->eof: once the end gate rejects a frame, everything
+    after is dropped — even late frames whose pts re-enter the window
+    (decode-order B-frame pattern)."""
+    fb = _yuv(rng, n=3)
+    g = FilterGraph("trim=end_pts=400")
+    out, keep = g.process(fb, pts=np.array([100, 420, 350]))
+    assert list(np.nonzero(keep)[0]) == [0]      # 350 latched out
+
+
 def test_setpts_rebase_and_scale(rng):
     fb = _yuv(rng, n=4)
     g = FilterGraph("setpts=PTS-STARTPTS")
@@ -178,9 +246,60 @@ def test_setpts_n_var_and_prev(rng):
     g = FilterGraph("setpts=N*42")
     g.process(fb, pts=np.array([7, 9, 11]), times=np.arange(3) / 30.0)
     assert list(g.out_pts) == [0, 42, 84]
+    # PREV_OUTPTS starts as NAN (setpts.c:113-118): frame 0 evaluates
+    # NAN+100 = NAN -> AV_NOPTS_VALUE, and the NaN chain propagates
     g2 = FilterGraph("setpts=PREV_OUTPTS+100")
     g2.process(fb, pts=np.array([7, 9, 11]), times=np.arange(3) / 30.0)
-    assert list(g2.out_pts) == [107, 207, 307]
+    assert list(g2.out_pts) == [AV_NOPTS] * 3
+    # ...while PREV_INPTS recovers: frame 0 is NOPTS, later frames real
+    g3 = FilterGraph("setpts=PREV_INPTS+1")
+    g3.process(fb, pts=np.array([7, 9, 11]), times=np.arange(3) / 30.0)
+    assert list(g3.out_pts) == [AV_NOPTS, 8, 10]
+
+
+AV_NOPTS = -(1 << 63)
+
+
+def test_setpts_d2ts_semantics(rng):
+    """D2TS (internal.h:261): NaN -> AV_NOPTS_VALUE, else C truncation
+    toward zero — no OverflowError/ValueError on nan/inf results."""
+    fb = _yuv(rng, n=2)
+    g = FilterGraph("setpts=mod(PTS\\,0)")       # eval.c fmod(x,0) = nan
+    g.process(fb, pts=np.array([100, 200]), times=np.arange(2) / 10.0)
+    assert list(g.out_pts) == [AV_NOPTS] * 2
+    g2 = FilterGraph("setpts=PTS/0")             # inf -> saturates
+    g2.process(fb, pts=np.array([100, 200]), times=np.arange(2) / 10.0)
+    assert list(g2.out_pts) == [(1 << 63) - 1] * 2
+    g3 = FilterGraph("setpts=PTS*1.5")           # 150, 300: trunc to 0
+    g3.process(fb, pts=np.array([101, 201]), times=np.arange(2) / 10.0)
+    assert list(g3.out_pts) == [151, 301]
+
+
+def test_setpts_pts_over_tb_infers_timebase(rng):
+    """setpts=PTS/TB without tb=: TB is inferred from the pts/times
+    slope (the link-timebase analog) instead of binding 0.0 and
+    crashing on int(inf)."""
+    fb = _yuv(rng, n=3)
+    g = FilterGraph("setpts=PTS+round(1/TB)")    # 1/TB = 1000
+    g.process(fb, pts=np.array([100, 200, 300]),
+              times=np.array([0.1, 0.2, 0.3]))
+    assert list(g.out_pts) == [1100, 1200, 1300]
+    # no times track and no tb= -> TB is NAN -> NOPTS, not a crash
+    g2 = FilterGraph("setpts=PTS/TB")
+    g2.process(fb, pts=np.array([100, 200, 300]))
+    assert list(g2.out_pts) == [AV_NOPTS] * 3
+
+
+def test_setpts_rewrites_times_for_downstream_trim(rng):
+    """finding: a seconds-based trim AFTER setpts must see the rewritten
+    timeline (ffmpeg trim compares pts in the rebased timebase)."""
+    fb = _yuv(rng, n=6)
+    g = FilterGraph("setpts=PTS-STARTPTS,trim=end=0.25")
+    out, keep = g.process(fb, pts=10000 + np.arange(6) * 100,
+                          times=10.0 + np.arange(6) / 10.0)
+    # rebased timeline starts at 0; end=0.25 keeps t = 0, .1, .2
+    assert list(np.nonzero(keep)[0]) == [0, 1, 2]
+    assert list(g.out_pts[keep]) == [0, 100, 200]
 
 
 def test_trim_setpts_chain(rng):
