@@ -590,10 +590,18 @@ def _default_clip(args, frames=90, w=1280, h=720):
     for i in range(frames):
         pkts += enc.encode(ys[i], us[i], vs[i], pts=i)
     pkts += enc.flush()
-    mux = tk.Muxer(path, w, h, (30, 1), tk.CODEC_H264, enc.extradata())
-    for pk in pkts:
-        mux.write(pk)
-    mux.close(); enc.close()
+    # write-then-rename: an interrupt mid-mux must not leave a truncated
+    # cache file that poisons every later run's numbers
+    tmp = path + f".tmp{os.getpid()}"
+    mux = tk.Muxer(tmp, w, h, (30, 1), tk.CODEC_H264, enc.extradata())
+    try:
+        for pk in pkts:
+            mux.write(pk)
+        mux.close(); enc.close()
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return path
 
 

@@ -53,16 +53,18 @@ def _f_rotate(angle=0.0, interp="linear", shift_x=0.0, shift_y=0.0,
 def _f_pad(w="0", h="0", x="0", y="0", color="black"):
     """vf_pad analog.  w/h/x/y accept av_expr with the vf_pad variable
     set: iw/ih (+in_w/in_h), ow/oh (+out_w/out_h), a (iw/ih aspect),
-    hsub/vsub, and x/y cross-references — x is evaluated, then y (with x
-    bound), then x again (with y bound), mirroring vf_pad.c:159-174.
+    sar/dar (square pixels on this pipeline: sar=1, dar=a), hsub/vsub,
+    and x/y cross-references — x is evaluated, then y (with x bound),
+    then x again (with y bound), mirroring vf_pad.c:159-174.
     Out-of-range x/y center the frame; all four round down to the chroma
     grid (geometry.pad)."""
     def run(fb):
         sw = max((p.sub_w for p in fb.fmt.planes), default=0)
         sh = max((p.sub_h for p in fb.fmt.planes), default=0)
+        aspect = float(fb.width) / float(fb.height)
         env = {"iw": float(fb.width), "ih": float(fb.height),
                "in_w": float(fb.width), "in_h": float(fb.height),
-               "a": float(fb.width) / float(fb.height),
+               "a": aspect, "sar": 1.0, "dar": aspect,
                "hsub": float(1 << sw), "vsub": float(1 << sh)}
         # w, then h (w bound), then w again (h bound) — vf_pad.c:128-148
         env.update(ow=0.0, oh=0.0, out_w=0.0, out_h=0.0)
@@ -942,6 +944,16 @@ class TrimFilter:
 
     def keep_mask(self, fb, pts=None, times=None, keys=None, pos=None,
                   keep=None):
+        # Seconds-domain gates need a times track (ffmpeg always has
+        # t = pts*tb; here times is an explicit input). Without it every
+        # `t >= start` term is false and the whole stream would silently
+        # vanish — diagnose instead (use *_pts/*_frame for pts-only runs).
+        if times is None and (self.start is not None or self.end is not None
+                              or self.duration is not None):
+            raise ValueError(
+                "trim: start/end/duration are in seconds and need a times "
+                "track; pass times= or use start_pts/end_pts/start_frame/"
+                "end_frame")
         out = np.zeros(fb.batch, bool)
         for i in range(fb.batch):
             if keep is not None and not keep[i]:
@@ -1009,6 +1021,8 @@ class SetptsFilter:
         self.prev_in = self.prev_out = nan
         self.prev_in_t = self.prev_out_t = nan
         self._tb_est = None
+        self._tb_anchor = None      # (pts, t) carried ACROSS batches so
+                                    # batch-1 streams can still infer tb
 
     @staticmethod
     def _d2ts(v: float) -> int:
@@ -1023,8 +1037,10 @@ class SetptsFilter:
 
     def _infer_tb(self, pts, times, keep):
         """pts->seconds slope from two alive frames (the link-timebase
-        analog; slope not ratio, so start-offset times stay correct)."""
-        prev = None
+        analog; slope not ratio, so start-offset times stay correct).
+        The anchor persists across process_batch calls so single-frame
+        batches (-batch 1 streaming) infer tb on the second frame."""
+        prev = self._tb_anchor
         for i in range(len(pts)):
             if keep is not None and not keep[i]:
                 continue
@@ -1034,6 +1050,7 @@ class SetptsFilter:
             if prev is not None and p != prev[0]:
                 return (t - prev[1]) / (p - prev[0])
             prev = (p, t)
+        self._tb_anchor = prev
         return None
 
     def process_batch(self, fb: FrameBatch, meta):

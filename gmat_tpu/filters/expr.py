@@ -236,9 +236,10 @@ _FUNCS = {
     "isnan": lambda a: 1.0 if math.isnan(a) else 0.0,
     "isinf": lambda a: 1.0 if math.isinf(a) else 0.0,
     # av_expr math set (animated overlay positions etc.)
-    "sin": math.sin,
-    "cos": math.cos,
-    "tan": math.tan,
+    # C sin(inf) sets EDOM but RETURNS nan; math.sin(inf) raises — wrap
+    "sin": _domain(math.sin),
+    "cos": _domain(math.cos),
+    "tan": _domain(math.tan),
     "atan": math.atan,
     "atan2": math.atan2,
     "asin": _domain(math.asin),
@@ -374,16 +375,24 @@ class Expr:
                                         else _div(l(env), r(env))))(node, rhs)
         return node
 
+    def _neg_db_literal(self):
+        """If the next tokens are `-<dB literal>`, consume them and return
+        a closure for 10^(-x/20) — eval.c parse_dB keeps the sign INSIDE
+        the conversion (-3dB == 10^(-3/20), not -(3dB)). Else None."""
+        if self._peek() == ("sym", "-") and self._peek(1)[0] == "numdB":
+            self._next()
+            _, raw = self._next()
+            v = 10.0 ** (-raw / 20.0)
+            return lambda env, v=v: v
+        return None
+
     def _signed_atom(self):
-        """One optional sign, then an atom — eval.c parse_pow/parse_dB.
-        `-3dB` keeps the sign inside the number: 10^(-3/20), NOT -(3dB)."""
+        """One optional sign, then an atom — eval.c parse_pow/parse_dB."""
         sign = 1
         if self._peek() in (("sym", "-"), ("sym", "+")):
-            if self._peek() == ("sym", "-") and self._peek(1)[0] == "numdB":
-                self._next()
-                _, raw = self._next()
-                v = 10.0 ** (-raw / 20.0)
-                return lambda env, v=v: v
+            node = self._neg_db_literal()
+            if node is not None:
+                return node
             _, s = self._next()
             sign = -1 if s == "-" else 1
         node = self._parse_atom()
@@ -397,12 +406,8 @@ class Expr:
         sign = 1
         node = None
         if self._peek() in (("sym", "-"), ("sym", "+")):
-            if self._peek() == ("sym", "-") and self._peek(1)[0] == "numdB":
-                self._next()
-                _, raw = self._next()
-                v = 10.0 ** (-raw / 20.0)
-                node = lambda env, v=v: v
-            else:
+            node = self._neg_db_literal()
+            if node is None:
                 _, s = self._next()
                 sign = -1 if s == "-" else 1
         if node is None:

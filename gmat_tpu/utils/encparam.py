@@ -124,13 +124,13 @@ def parse_enc_param(s: str, defaults: Dict = None) -> Dict:
             else:
                 extras.append(f"rc-lookahead={v}")
         elif k == "aq":
-            strength = 0.5 + (min(max(v, 1), 15) - 1) * 1.5 / 14.0
-            if hevc:
-                x265p.append("aq-mode=1")
-                x265p.append(f"aq-strength={strength:.2f}")
-            else:
-                extras.append("aq-mode=1")
-                extras.append(f"aq-strength={strength:.2f}")
+            # NVENC aqStrength 0 = autoselect: enable AQ, leave the
+            # encoder's default strength (x264/x265 aq-strength 1.0)
+            ps = x265p if hevc else extras
+            ps.append("aq-mode=1")
+            if v != 0:
+                strength = 0.5 + (min(max(v, 1), 15) - 1) * 1.5 / 14.0
+                ps.append(f"aq-strength={strength:.2f}")
         elif k == "temporalaq":
             if hevc:
                 x265p.append("aq-motion=1")

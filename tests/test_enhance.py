@@ -311,3 +311,44 @@ def test_trim_setpts_chain(rng):
     kept = np.nonzero(keep)[0]
     assert list(kept) == [2, 3, 4]
     assert list(g.out_pts[kept]) == [0, 100, 200]
+
+
+# ---- round-4 review regressions ---------------------------------------------
+
+def test_trim_seconds_without_times_raises(rng):
+    """Seconds gates with no times track must diagnose, not silently
+    drop the whole stream (review r4)."""
+    fb = _yuv(rng, n=6)
+    g = FilterGraph("trim=start=0.1")
+    with pytest.raises(ValueError, match="times"):
+        g.process(fb, pts=np.arange(6) * 100)
+    # pts/frame gates stay usable without times
+    g2 = FilterGraph("trim=start_pts=200")
+    out, keep = g2.process(fb, pts=np.arange(6) * 100)
+    assert list(np.nonzero(keep)[0]) == [2, 3, 4, 5]
+
+
+def test_setpts_tb_inferred_across_single_frame_batches(rng):
+    """-batch 1 streaming: the tb-inference anchor must persist across
+    process calls (review r4) — frame 0 has no tb yet (NAN -> NOPTS,
+    like ffmpeg before link tb is known), later frames rebase fine."""
+    g = FilterGraph("setpts=PTS/TB")
+    outs = []
+    for i in range(3):
+        fb = _yuv(rng, n=1)
+        g.process(fb, pts=np.array([(i + 1) * 100]),
+                  times=np.array([(i + 1) * 0.1]))
+        outs.extend(g.out_pts)
+    # tb = 0.001 inferred on the second frame: PTS/TB = 200/0.001
+    assert outs[1:] == [200000, 300000]
+
+
+def test_pad_sar_dar_vars(rng):
+    """vf_pad sar/dar variables (square pixels: sar=1, dar=a)."""
+    fb = _yuv(rng, n=1, h=16, w=24)
+    g = FilterGraph("pad=ih*dar:ih")   # canonical aspect-preserving pad
+    out, _ = g.process(fb)
+    assert (out.width, out.height) == (24, 16)
+    g2 = FilterGraph("pad=iw+8*sar:ih")
+    out2, _ = g2.process(fb)
+    assert (out2.width, out2.height) == (32, 16)

@@ -227,3 +227,12 @@ def test_print_level_arg_evaluates():
 
 def test_qp2lambda_constant():
     assert ev("QP2LAMBDA") == 118.0   # avutil.h:227 FF_QP2LAMBDA
+
+
+def test_trig_of_inf_is_nan_not_raise():
+    """C sin(inf)/cos(inf)/tan(inf) return nan (EDOM flag only);
+    math.sin raises ValueError — the wrapper must absorb it so a
+    mid-stream select='sin(1/t)' at t==0 can't crash the chain."""
+    for fn in ("sin", "cos", "tan"):
+        assert math.isnan(ev(f"{fn}(1/0)"))
+        assert math.isnan(ev(f"{fn}(-1/0)"))

@@ -264,3 +264,16 @@ def test_quality_knobs_reach_the_encoder_bitstream(tmp_path):
     enc.close()
     assert b"rc-lookahead=20" in blob       # x265 SEI option dump
     assert b"aq-mode=1" in blob and b"aq-strength=1.25" in blob
+
+
+def test_encparam_aq_zero_is_autoselect():
+    """NVENC aqStrength 0 = autoselect (NvEncoderParam.h:162-165): AQ is
+    enabled but the encoder's default strength is kept — no
+    aq-strength override (review r4)."""
+    from gmat_tpu.utils.encparam import parse_enc_param
+    out = parse_enc_param("codec=h264:aq=0")
+    assert "aq-mode=1" in out["opts"]
+    assert "aq-strength" not in out["opts"]
+    out = parse_enc_param("codec=hevc:aq=0")
+    assert "aq-mode=1" in out["opts"]
+    assert "aq-strength" not in out["opts"]
