@@ -29,7 +29,7 @@ import numpy as np
 from ..core import formats as F
 from ..core.frame import FrameBatch
 from ..ops import csc, fused, geometry, resize, smooth
-from .expr import compile_expr
+from .expr import compile_expr, _pow as _c_pow
 
 
 class FilterError(ValueError):
@@ -90,6 +90,124 @@ def _f_eq(contrast=1.0, brightness=0.0, saturation=1.0, gamma=1.0,
                                     gamma, gamma_r, gamma_g, gamma_b,
                                     gamma_weight))
     return lambda fb: enhance.eq(fb, *args)
+
+
+# ---- lut / lutyuv / lutrgb (vf_lut.c) --------------------------------------
+
+# AVOption alias storage (vf_lut.c:87-100): c0..c3 share offsets with
+# y/u/v and r/g/b/a — whichever option appears LAST in the filter
+# string wins, regardless of the filter's family.
+_LUT_SLOTS = {"c0": 0, "c1": 1, "c2": 2, "c3": 3,
+              "y": 0, "u": 1, "v": 2,
+              "r": 0, "g": 1, "b": 2, "a": 3}
+
+_LUT_FUNCS = {
+    # vf_lut.c:159-196 funcs1: evaluate against the CURRENT table entry's
+    # clipval/minval/maxval (carried in env).  pow is C-semantics _pow.
+    "gammaval": (1, 1, lambda env, g:
+                 _c_pow((env["clipval"] - env["minval"])
+                        / (env["maxval"] - env["minval"]), g)
+                 * (env["maxval"] - env["minval"]) + env["minval"]),
+    "gammaval709": (1, 1, lambda env, g: _gammaval709(env, g)),
+}
+
+
+def _gammaval709(env, g):
+    # vf_lut.c:184-196 — Rec.709 OETF with the filter's min/max range
+    mn, mx = env["minval"], env["maxval"]
+    level = (env["clipval"] - mn) / (mx - mn)
+    level = (4.5 * level if level < 0.018
+             else 1.099 * _c_pow(level, 1.0 / g) - 0.099)
+    return level * (mx - mn) + mn
+
+
+_LUT_CACHE: Dict = {}
+
+
+def _lut_table(expr_text, w, h, mn, mx, clip_max, size, dtype):
+    """One component table, vf_lut.c config_props val loop (306-334):
+    env vars w/h/val/maxval/minval/negval/clipval, nan result is a hard
+    error, result is C-int-truncated then clipped to [0, clip_max]."""
+    key = (expr_text, w, h, mn, mx, clip_max, size, dtype)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    e = compile_expr(expr_text, funcs=_LUT_FUNCS)
+    out = np.empty(size, dtype)
+    env = {"w": float(w), "h": float(h),
+           "minval": float(mn), "maxval": float(mx)}
+    for val in range(size):
+        env["val"] = float(val)
+        env["clipval"] = float(min(max(val, mn), mx))
+        env["negval"] = float(min(max(mn + mx - val, mn), mx))
+        res = e(env)
+        if math.isnan(res):
+            raise FilterError(f"lut: expression {expr_text!r} evaluates "
+                              f"to nan at val={val}")
+        iv = (clip_max if res > 0 else 0) if math.isinf(res) else int(res)
+        out[val] = min(max(iv, 0), clip_max)
+    if len(_LUT_CACHE) > 64:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = out
+    return out
+
+
+def _make_lut_filter(family):
+    def build(**kw):
+        slots = ["clipval"] * 4         # vf_lut default expression
+        for k, v in kw.items():         # kwargs keep source order
+            if k not in _LUT_SLOTS:
+                raise FilterError(f"lut: unknown option {k!r}")
+            slots[_LUT_SLOTS[k]] = str(v)
+
+        def run(fb):
+            from ..ops import enhance
+            fmt = fb.fmt
+            if fmt.is_float:
+                raise FilterError("lut operates on integer formats "
+                                  "(vf_lut.c format lists); convert first")
+            if fmt.name in ("p010", "p016"):
+                raise FilterError("lut: p010/p016 store samples shifted; "
+                                  "convert to yuv420p10/16 first")
+            depth = fmt.bits
+            if fmt.is_rgb:
+                if family == "yuv":
+                    raise FilterError("lutyuv requires a YUV format")
+                order = fmt.channel_order
+                dt = fmt.planes[0].dtype
+                size = 1 << (np.dtype(dt).itemsize * 8)
+                mx = 65535 if depth == 16 else 255   # vf_lut.c:273-281
+                color_slot = {"r": 0, "g": 1, "b": 2, "a": 3}
+                tab = np.empty((len(order), size), dt)
+                for ci, ch in enumerate(order):
+                    tab[ci] = _lut_table(slots[color_slot[ch]], fb.width,
+                                         fb.height, 0, mx, mx, size, dt)
+                return enhance.apply_luts(fb, {"rgb": tab})
+            gray = len(fmt.planes) == 1
+            if family == "rgb":
+                raise FilterError("lutrgb requires an RGB format")
+            if family == "yuv" and gray:
+                raise FilterError("lutyuv requires chroma planes "
+                                  "(vf_lut.c yuv_pix_fmts)")
+            sc = 1 << (depth - 8)
+            luts = {}
+            for p in fmt.planes:
+                dt = p.dtype
+                size = 1 << (np.dtype(dt).itemsize * 8)
+                if gray:                 # vf_lut.c default: full range
+                    mn, mx, cmax = 0, 255 * sc, 255 * sc
+                    slot = 0
+                elif p.name == "y":      # limited range, vf_lut.c:264-272
+                    mn, mx, cmax = 16 * sc, 235 * sc, (1 << depth) - 1
+                    slot = 0
+                else:                    # u / v
+                    mn, mx, cmax = 16 * sc, 240 * sc, (1 << depth) - 1
+                    slot = 1 if p.name == "u" else 2
+                luts[p.name] = _lut_table(slots[slot], fb.width, fb.height,
+                                          mn, mx, cmax, size, dt)
+            return enhance.apply_luts(fb, luts)
+        return run
+    return build
 
 
 def _f_flip(code=0):
@@ -1431,6 +1549,9 @@ FILTERS: Dict[str, Callable] = {
     "rotate_nvcv": _f_rotate,
     "pad": _f_pad,
     "eq": _f_eq,
+    "lut": _make_lut_filter("all"),
+    "lutyuv": _make_lut_filter("yuv"),
+    "lutrgb": _make_lut_filter("rgb"),
     "trim": TrimFilter,
     "setpts": SetptsFilter,
     "flip": _f_flip,

@@ -300,9 +300,14 @@ class Expr:
     `random`/`taylor`/`root` state) that persists across calls, exactly
     like AVExpr->var persists across av_expr_eval invocations."""
 
-    def __init__(self, text: str):
+    def __init__(self, text: str, funcs=None):
+        """funcs: optional caller-supplied functions (av_expr's funcs1/
+        funcs2 analog, eval.c:477-489) — {name: (min_args, max_args,
+        fn(env, *evaluated_args))}. Builtins are matched FIRST, exactly
+        like parse_primary's strmatch chain precedes the funcs1 scan."""
         self.text = text
         self.var: List[float] = [0.0] * _VARS
+        self._funcs = dict(funcs) if funcs else {}
         self._tokens = self._tokenize(text)
         self._pos = 0
         self._ast = self._parse_expr()
@@ -438,6 +443,14 @@ class Expr:
                         args.append(self._parse_expr())
                 self._expect(")")
                 if val not in _ARITY:
+                    if val in self._funcs:     # caller funcs AFTER builtins
+                        lo, hi, cf = self._funcs[val]
+                        if not lo <= len(args) <= hi:
+                            raise ValueError(
+                                f"{val}() takes {lo}-{hi} args, got "
+                                f"{len(args)} in {self.text!r}")
+                        return lambda env, cf=cf, args=args: \
+                            float(cf(env, *[a(env) for a in args]))
                     raise ValueError(f"unknown function {val!r} in {self.text!r}")
                 lo, hi = _ARITY[val]
                 if not lo <= len(args) <= hi:
@@ -628,5 +641,5 @@ class Expr:
         return self._ast(env)
 
 
-def compile_expr(text: str) -> Callable[[Env], float]:
-    return Expr(text)
+def compile_expr(text: str, funcs=None) -> Callable[[Env], float]:
+    return Expr(text, funcs=funcs)

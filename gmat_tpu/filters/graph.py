@@ -37,6 +37,9 @@ POSITIONAL = {
     "trim": ("start", "end"),
     "setpts": ("expr",),
     "eq": ("contrast", "brightness", "saturation", "gamma"),
+    "lut": ("c0", "c1", "c2", "c3"),
+    "lutyuv": ("c0", "c1", "c2", "c3"),
+    "lutrgb": ("c0", "c1", "c2", "c3"),
     "flip": ("code",),
     "flip_nvcv": ("code",),
     "transpose": ("dir",),

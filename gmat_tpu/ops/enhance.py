@@ -80,3 +80,35 @@ def eq(fb: FrameBatch, contrast: float = 1.0, brightness: float = 0.0,
         lut = jnp.asarray(_lut(c, b, g, gamma_weight))
         planes[name] = jnp.take(lut, arr)
     return fb.with_planes(planes)
+
+
+# ---- lut / lutyuv / lutrgb --------------------------------------------------
+
+def apply_luts(fb: FrameBatch, luts) -> FrameBatch:
+    """Apply per-component lookup tables (vf_lut.c's draw path as one
+    gather per plane — the TPU analog of its per-slice pixel loops).
+
+    `luts` maps plane name -> numpy table: shape (size,) for
+    single-channel planes, (C, size) for packed planes (C = channel
+    count).  Identity tables are skipped entirely so untouched planes
+    alias the input arrays (vf_lut applies them anyway; skipping is
+    observationally identical and lets XLA drop the op)."""
+    planes = dict(fb.planes)
+    for name, tab in luts.items():
+        arr = fb.planes[name]
+        tab = np.asarray(tab)
+        if tab.ndim == 1:
+            if np.array_equal(tab, np.arange(tab.size, dtype=tab.dtype)):
+                continue
+            planes[name] = jnp.take(jnp.asarray(tab), arr)
+        else:
+            ident = np.arange(tab.shape[1], dtype=tab.dtype)
+            chans = []
+            for c in range(tab.shape[0]):
+                ch = arr[..., c]
+                if np.array_equal(tab[c], ident):
+                    chans.append(ch)
+                else:
+                    chans.append(jnp.take(jnp.asarray(tab[c]), ch))
+            planes[name] = jnp.stack(chans, axis=-1)
+    return fb.with_planes(planes)

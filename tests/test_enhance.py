@@ -352,3 +352,119 @@ def test_pad_sar_dar_vars(rng):
     g2 = FilterGraph("pad=iw+8*sar:ih")
     out2, _ = g2.process(fb)
     assert (out2.width, out2.height) == (32, 16)
+
+
+# ---- lut / lutyuv / lutrgb (vf_lut.c) ---------------------------------------
+
+def _lut_oracle(expr_fn, mn, mx, cmax, size=256):
+    """Independent vf_lut table: env-free python closure per val."""
+    out = np.empty(size, np.int64)
+    for val in range(size):
+        clipval = min(max(val, mn), mx)
+        negval = min(max(mn + mx - val, mn), mx)
+        r = expr_fn(val, clipval, negval, mn, mx)
+        out[val] = min(max(int(r), 0), cmax)
+    return out
+
+
+def test_lut_default_clamps_to_limited_range(rng):
+    """Default expr 'clipval' clamps Y to [16,235], chroma to [16,240]."""
+    fb = _yuv(rng, n=2)
+    out, _ = FilterGraph("lutyuv").process(fb)
+    y = np.asarray(out.planes["y"])
+    assert y.min() >= 16 and y.max() <= 235
+    u = np.asarray(out.planes["u"])
+    assert u.min() >= 16 and u.max() <= 240
+    # and it IS the clamp of the input, not a rescale
+    np.testing.assert_array_equal(
+        y, np.clip(np.asarray(fb.planes["y"]), 16, 235))
+
+
+def test_lutyuv_negval_oracle(rng):
+    fb = _yuv(rng, n=1)
+    out, _ = FilterGraph("lutyuv=y=negval:u=128:v=128").process(fb)
+    oracle = _lut_oracle(lambda v, cv, nv, mn, mx: nv, 16, 235, 255)
+    np.testing.assert_array_equal(
+        np.asarray(out.planes["y"]),
+        oracle[np.asarray(fb.planes["y"]).astype(np.int64)])
+    assert np.all(np.asarray(out.planes["u"]) == 128)
+    assert np.all(np.asarray(out.planes["v"]) == 128)
+
+
+def test_lutyuv_gammaval_oracle(rng):
+    fb = _yuv(rng, n=1)
+    out, _ = FilterGraph("lutyuv=y=gammaval(0.5)").process(fb)
+
+    def g(v, cv, nv, mn, mx):
+        return ((cv - mn) / (mx - mn)) ** 0.5 * (mx - mn) + mn
+    oracle = _lut_oracle(g, 16, 235, 255)
+    np.testing.assert_array_equal(
+        np.asarray(out.planes["y"]),
+        oracle[np.asarray(fb.planes["y"]).astype(np.int64)])
+
+
+def test_lutrgb_invert_channel(rng):
+    from gmat_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+    rgb = rng.integers(0, 256, (1, 8, 8, 3)).astype(np.uint8)
+    fb = FrameBatch({"rgb": jnp.asarray(rgb)}, "rgb24", 8, 8)
+    out, _ = FilterGraph("lutrgb=r=maxval+minval-val").process(fb)
+    o = np.asarray(out.planes["rgb"])
+    np.testing.assert_array_equal(o[..., 0], 255 - rgb[..., 0])
+    np.testing.assert_array_equal(o[..., 1:], rgb[..., 1:])
+    # channel_order honored: same filter on bgr24 inverts channel 2
+    fb2 = FrameBatch({"rgb": jnp.asarray(rgb)}, "bgr24", 8, 8)
+    out2, _ = FilterGraph("lutrgb=r=maxval+minval-val").process(fb2)
+    o2 = np.asarray(out2.planes["rgb"])
+    np.testing.assert_array_equal(o2[..., 2], 255 - rgb[..., 2])
+    np.testing.assert_array_equal(o2[..., :2], rgb[..., :2])
+
+
+def test_lut_10bit_ranges(rng):
+    """yuv420p10: limited range scales by 1<<2, final clip at 1023."""
+    from gmat_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+    y = rng.integers(0, 1024, (1, 8, 8)).astype(np.uint16)
+    u = rng.integers(0, 1024, (1, 4, 4)).astype(np.uint16)
+    v = rng.integers(0, 1024, (1, 4, 4)).astype(np.uint16)
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p10", 8, 8)
+    out, _ = FilterGraph("lutyuv=y=negval").process(fb)
+    oracle = _lut_oracle(lambda vv, cv, nv, mn, mx: nv,
+                         64, 940, 1023, size=65536)
+    np.testing.assert_array_equal(np.asarray(out.planes["y"]),
+                                  oracle[y.astype(np.int64)])
+
+
+def test_lut_option_aliasing_last_wins(rng):
+    """c0 and y share AVOption storage (vf_lut.c:87-100): the later
+    option in the string wins; final clip is FULL range (max[A])."""
+    fb = _yuv(rng, n=1)
+    out, _ = FilterGraph("lutyuv=y=128:c0=255").process(fb)
+    assert np.all(np.asarray(out.planes["y"]) == 255)   # not 235!
+    out2, _ = FilterGraph("lutyuv=c0=255:y=128").process(fb)
+    assert np.all(np.asarray(out2.planes["y"]) == 128)
+
+
+def test_lut_family_and_format_errors(rng):
+    fb = _yuv(rng, n=1)
+    with pytest.raises(ValueError, match="RGB"):
+        FilterGraph("lutrgb").process(fb)
+    with pytest.raises(ValueError, match="unknown option"):
+        FilterGraph("lutyuv=q=5").process(fb)
+    # gray8 is full-range and only reachable via plain `lut`
+    from gmat_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+    g = rng.integers(0, 256, (1, 8, 8)).astype(np.uint8)
+    gray = FrameBatch({"y": jnp.asarray(g)}, "gray8", 8, 8)
+    out, _ = FilterGraph("lut=c0=negval").process(gray)
+    np.testing.assert_array_equal(np.asarray(out.planes["y"]), 255 - g)
+    with pytest.raises(ValueError, match="chroma"):
+        FilterGraph("lutyuv").process(gray)
+
+
+def test_lut_composes_in_jitted_chain(rng):
+    fb = _yuv(rng, n=2)
+    out, _ = FilterGraph("lutyuv=y=negval,scale=12:8,eq=contrast=1.2"
+                         ).process(fb)
+    assert (out.width, out.height) == (12, 8)

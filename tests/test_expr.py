@@ -236,3 +236,19 @@ def test_trig_of_inf_is_nan_not_raise():
     for fn in ("sin", "cos", "tan"):
         assert math.isnan(ev(f"{fn}(1/0)"))
         assert math.isnan(ev(f"{fn}(-1/0)"))
+
+
+def test_custom_funcs_hook():
+    """compile_expr(funcs=...) — the av_expr funcs1 analog. Builtins
+    match first (eval.c parse_primary precedes the funcs1 scan), so a
+    caller-supplied 'sin' is shadowed."""
+    funcs = {"double": (1, 1, lambda env, x: 2 * x + env.get("bias", 0.0)),
+             "sin": (1, 1, lambda env, x: 999.0)}
+    e = compile_expr("double(21)", funcs=funcs)
+    assert e({}) == 42.0
+    assert e({"bias": 1.0}) == 43.0
+    assert abs(compile_expr("sin(0)", funcs=funcs)({})) < 1e-12  # builtin
+    with pytest.raises(ValueError, match="unknown function"):
+        compile_expr("nosuch(1)")
+    with pytest.raises(ValueError, match="takes"):
+        compile_expr("double(1,2)", funcs=funcs)
