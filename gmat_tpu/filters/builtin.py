@@ -1112,6 +1112,163 @@ class TrimFilter:
         return out
 
 
+class FadeFilter:
+    """ffmpeg fade (vf_fade.c): fade in/out to black (or a color, or
+    alpha-only) with the reference's exact 16.16 fixed-point math.
+
+    Per-frame state machine (vf_fade.c:443-496 filter_frame): WAITING ->
+    FADING -> DONE; factor 0..65535, frame-count based
+    ((n - start_frame) * (65536//nb_frames)) or time based
+    ((t - t0) * 65535 / duration); fade-out inverts.  Pixel math:
+      luma/black: p = ((p - bl)*factor + (bl<<16) + 32768) >> 16,
+                  bl = 16<<(depth-8) on studio-range YUV, 0 on RGB
+      chroma:     p = ((p - mid)*factor + ((mid*2+1)<<15)) >> 16
+      color fade: clip(((c<<16) + (p - c)*factor + 32768) >> 16) per
+                  channel (RGB formats only, like query_formats)
+      alpha=1:    only the alpha channel fades (bl = 0)
+    Black fade on packed RGB covers width*bpp bytes — the alpha channel
+    fades too, matching the reference's filter_slice_luma loop.  The
+    whole batch applies as one vectorized where(factor<65535) op with a
+    per-frame factor column.  Frame counting skips frames an upstream
+    select dropped (alive-only, ffmpeg chain semantics)."""
+
+    stream_filter = True
+
+    def __init__(self, type="in", start_frame=0, nb_frames=25, alpha=0,
+                 start_time=0.0, duration=0.0, color="black"):
+        t = str(type).lower()
+        if t in ("in", "0"):
+            self.fade_out = False
+        elif t in ("out", "1"):
+            self.fade_out = True
+        else:
+            raise FilterError(f"fade type must be in|out, got {type!r}")
+        self.start_frame = int(start_frame)
+        self.nb_frames = max(1, int(nb_frames))
+        self.alpha = bool(int(alpha))
+        self.start_time = float(start_time)
+        self.duration = float(duration)
+        self.rgba = _parse_color(color if color is not None else "black")
+        self.black = tuple(int(v) for v in self.rgba) == (0, 0, 0)
+        self.state = 0              # 0 WAITING, 1 FADING, 2 DONE
+        self.n = 0                  # alive frames seen (frame_count_out)
+        self._t0 = self.start_time  # start_time_pts analog (seconds)
+
+    def _factor(self, idx, t):
+        """One frame through the vf_fade state machine; returns 0..65535."""
+        factor = 65535
+        if self.state == 0:
+            factor = 0
+            if ((self.start_time == 0.0 or (t is not None
+                                            and t >= self.start_time))
+                    and idx >= self.start_frame):
+                self.state = 1
+                # anchor swaps, vf_fade.c:456-464
+                if self.start_time == 0.0 and self.start_frame != 0:
+                    self._t0 = t if t is not None else 0.0
+                if self.start_time != 0.0 and self.start_frame == 0:
+                    self.start_frame = idx
+        if self.state == 1:
+            if self.duration == 0.0:
+                factor = (idx - self.start_frame) * (65536 // self.nb_frames)
+                if idx > self.start_frame + self.nb_frames:
+                    self.state = 2
+            else:
+                factor = int((t - self._t0) * 65535.0 / self.duration)
+                if t > self._t0 + self.duration:
+                    self.state = 2
+        if self.state == 2:
+            factor = 65535
+        factor = min(max(factor, 0), 65535)
+        return 65535 - factor if self.fade_out else factor
+
+    def process_batch(self, fb: FrameBatch, meta):
+        fmt = fb.fmt
+        if fmt.is_float or fmt.name in ("p010", "p016", "gray8") or \
+                (fmt.is_rgb and fmt.bits > 8):
+            raise FilterError(f"fade: unsupported format {fmt.name} "
+                              "(vf_fade.c pix_fmts); convert first")
+        times = meta.get("times")
+        if times is None and (self.start_time or self.duration):
+            raise FilterError("fade: start_time/duration are in seconds "
+                              "and need a times track")
+        keep = meta.get("keep")
+        factors = np.full(fb.batch, 65535, np.int64)
+        for i in range(fb.batch):
+            if keep is not None and not keep[i]:
+                continue
+            t = None if times is None else float(times[i])
+            factors[i] = self._factor(self.n, t)
+            self.n += 1
+        if np.all(factors == 65535):        # steady passthrough, no op
+            return fb, meta
+        f = jnp.asarray(factors[:, None, None].astype(np.int32))
+        live = jnp.asarray((factors < 65535)[:, None, None])
+        depth = fmt.bits
+        planes = dict(fb.planes)
+        if fmt.is_rgb:
+            arr = fb.planes["rgb"]
+            p32 = arr.astype(jnp.int32)
+            order = fmt.channel_order
+            fl, lv = f[..., None], live[..., None]
+            if self.alpha and "a" in order:
+                ai = order.index("a")
+                a = p32[..., ai]
+                fad = ((a * f + 32768) >> 16).astype(arr.dtype)
+                a_out = jnp.where(live, fad, arr[..., ai])
+                planes["rgb"] = arr.at[..., ai].set(a_out)
+            elif self.black:
+                fad = ((p32 * fl + 32768) >> 16).astype(arr.dtype)
+                planes["rgb"] = jnp.where(lv, fad, arr)
+            else:
+                cvals = {"r": int(self.rgba[0]), "g": int(self.rgba[1]),
+                         "b": int(self.rgba[2]), "a": 255}
+                c = jnp.asarray([cvals[ch] for ch in order], jnp.int32)
+                fad = jnp.clip(((c << 16) + (p32 - c) * fl + 32768) >> 16,
+                               0, 255).astype(arr.dtype)
+                out = jnp.where(lv, fad, arr)
+                if "a" in order:            # alpha untouched (do_alpha=0)
+                    ai = order.index("a")
+                    out = out.at[..., ai].set(arr[..., ai])
+                planes["rgb"] = out
+        else:
+            bl = 16 << (depth - 8)
+            bls = (bl << 16) + 32768
+            mid = 1 << (depth - 1)
+            # vf_fade.c:320 ships the literal 8421367 for 8-bit chroma
+            # (the comment's formula gives 8421376 — a 9-off typo that is
+            # observable at rounding boundaries); >8-bit uses the formula
+            # (vf_fade.c:337-338).  Match the binary, not the comment.
+            add = 8421367 if depth == 8 else ((mid << 1) + 1) << 15
+            for p in fmt.planes:
+                arr = fb.planes[p.name]
+                p32 = arr.astype(jnp.int32)
+                if p.name == "y":
+                    fad = (((p32 - bl) * f + bls) >> 16).astype(arr.dtype)
+                else:
+                    fad = (((p32 - mid) * f + add) >> 16).astype(arr.dtype)
+                planes[p.name] = jnp.where(live, fad, arr)
+        return fb.with_planes(planes), meta
+
+
+def _f_fade(type="in", t=None, start_frame=None, s=None, nb_frames=None,
+            n=None, alpha=0, start_time=None, st=None, duration=None,
+            d=None, color=None, c=None):
+    """Builder resolving the AVOption short aliases (t/s/n/st/d/c)."""
+    return FadeFilter(
+        type=t if t is not None else type,
+        start_frame=s if s is not None else
+        (start_frame if start_frame is not None else 0),
+        nb_frames=n if n is not None else
+        (nb_frames if nb_frames is not None else 25),
+        alpha=alpha,
+        start_time=st if st is not None else
+        (start_time if start_time is not None else 0.0),
+        duration=d if d is not None else
+        (duration if duration is not None else 0.0),
+        color=c if c is not None else color)
+
+
 _AV_NOPTS = -(1 << 63)          # AV_NOPTS_VALUE (== INT64_MIN)
 
 
@@ -1549,6 +1706,7 @@ FILTERS: Dict[str, Callable] = {
     "rotate_nvcv": _f_rotate,
     "pad": _f_pad,
     "eq": _f_eq,
+    "fade": _f_fade,
     "lut": _make_lut_filter("all"),
     "lutyuv": _make_lut_filter("yuv"),
     "lutrgb": _make_lut_filter("rgb"),

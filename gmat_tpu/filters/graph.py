@@ -37,6 +37,7 @@ POSITIONAL = {
     "trim": ("start", "end"),
     "setpts": ("expr",),
     "eq": ("contrast", "brightness", "saturation", "gamma"),
+    "fade": ("type", "start_frame", "nb_frames"),
     "lut": ("c0", "c1", "c2", "c3"),
     "lutyuv": ("c0", "c1", "c2", "c3"),
     "lutrgb": ("c0", "c1", "c2", "c3"),

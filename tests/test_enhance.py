@@ -468,3 +468,118 @@ def test_lut_composes_in_jitted_chain(rng):
     out, _ = FilterGraph("lutyuv=y=negval,scale=12:8,eq=contrast=1.2"
                          ).process(fb)
     assert (out.width, out.height) == (12, 8)
+
+
+# ---- fade (vf_fade.c) -------------------------------------------------------
+
+def _fade_oracle_yuv(y, u, v, factor, depth=8):
+    """Independent integer-exact vf_fade math (filter_slice_luma/chroma)."""
+    bl = 16 << (depth - 8)
+    bls = (bl << 16) + 32768
+    add = 8421367 if depth == 8 else ((1 << (depth - 1)) * 2 + 1) << 15
+    mid = 1 << (depth - 1)
+    dt = y.dtype
+    yf = (((y.astype(np.int64) - bl) * factor + bls) >> 16).astype(dt)
+    uf = (((u.astype(np.int64) - mid) * factor + add) >> 16).astype(dt)
+    vf = (((v.astype(np.int64) - mid) * factor + add) >> 16).astype(dt)
+    return yf, uf, vf
+
+
+def test_fade_in_frame_based_oracle(rng):
+    fb = _yuv(rng, n=8)
+    g = FilterGraph("fade=in:0:4")
+    out, _ = g.process(fb, pts=np.arange(8))
+    y0 = np.asarray(fb.planes["y"]); u0 = np.asarray(fb.planes["u"])
+    v0 = np.asarray(fb.planes["v"])
+    yo = np.asarray(out.planes["y"]); uo = np.asarray(out.planes["u"])
+    vo = np.asarray(out.planes["v"])
+    fpf = 65536 // 4
+    for i in range(8):
+        f = min(i * fpf, 65535)
+        if f >= 65535:                 # factor 65535 -> passthrough
+            np.testing.assert_array_equal(yo[i], y0[i])
+            np.testing.assert_array_equal(uo[i], u0[i])
+            continue
+        ye, ue, ve = _fade_oracle_yuv(y0[i], u0[i], v0[i], f)
+        np.testing.assert_array_equal(yo[i], ye)
+        np.testing.assert_array_equal(uo[i], ue)
+        np.testing.assert_array_equal(vo[i], ve)
+    # frame 0 of a fade-in is (nearly) black: Y==16, chroma ~128
+    assert np.all(yo[0] == 16) and np.all(np.abs(uo[0].astype(int) - 128) <= 1)
+
+
+def test_fade_out_time_based(rng):
+    fb = _yuv(rng, n=6)
+    g = FilterGraph("fade=type=out:start_time=0.2:duration=0.2")
+    out, _ = g.process(fb, pts=np.arange(6) * 100,
+                       times=np.arange(6) / 10.0)
+    y0 = np.asarray(fb.planes["y"]); yo = np.asarray(out.planes["y"])
+    # frames before start_time untouched (factor inverts to 65535)
+    np.testing.assert_array_equal(yo[0], y0[0])
+    np.testing.assert_array_equal(yo[1], y0[1])
+    # past start+duration: fully black
+    assert np.all(yo[5] == 16)
+    # mid-fade frame matches the oracle with factor = 65535 - int((t-t0)*65535/d)
+    f3 = 65535 - int((0.3 - 0.2) * 65535 / 0.2)
+    ye, _, _ = _fade_oracle_yuv(y0[3], y0[3], y0[3], f3)
+    np.testing.assert_array_equal(yo[3], ye)
+
+
+def test_fade_rgb_color_and_alpha(rng):
+    from gmat_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+    rgba = rng.integers(0, 256, (4, 8, 8, 4)).astype(np.uint8)
+    fb = FrameBatch({"rgb": jnp.asarray(rgba)}, "rgba", 8, 8)
+    # colored fade-in: frame 0 is the fade color, alpha untouched
+    g = FilterGraph("fade=in:0:4:color=red")
+    out, _ = g.process(fb, pts=np.arange(4))
+    o = np.asarray(out.planes["rgb"])
+    assert np.all(o[0, ..., 0] == 255) and np.all(o[0, ..., 1] == 0)
+    np.testing.assert_array_equal(o[..., 3], rgba[..., 3])
+    # alpha-only fade: rgb untouched, alpha ramps from 0
+    g2 = FilterGraph("fade=in:0:4:alpha=1")
+    out2, _ = g2.process(fb, pts=np.arange(4))
+    o2 = np.asarray(out2.planes["rgb"])
+    np.testing.assert_array_equal(o2[..., :3], rgba[..., :3])
+    assert np.all(o2[0, ..., 3] == 0)
+    # black fade on packed RGB fades ALL bytes incl alpha (luma slice
+    # covers width*bpp, vf_fade.c:264)
+    g3 = FilterGraph("fade=in:0:4")
+    out3, _ = g3.process(fb, pts=np.arange(4))
+    o3 = np.asarray(out3.planes["rgb"])
+    assert np.all(o3[0] == 0)
+    f1 = 65536 // 4
+    exp = ((rgba[1].astype(np.int64) * f1 + 32768) >> 16).astype(np.uint8)
+    np.testing.assert_array_equal(o3[1], exp)
+
+
+def test_fade_alive_only_counting(rng):
+    """Frames dropped by an upstream select don't advance the fade."""
+    fb = _yuv(rng, n=8)
+    g = FilterGraph("select=mod(n\\,2),fade=in:0:2")
+    out, keep = g.process(fb, pts=np.arange(8))
+    yo = np.asarray(out.planes["y"])
+    y0 = np.asarray(fb.planes["y"])
+    # survivors are n=1,3,5,7 -> fade frames 0,1,2,3: factors 0, 32768, done...
+    assert np.all(yo[1] == 16)                       # fade frame 0
+    ye, _, _ = _fade_oracle_yuv(y0[3], y0[3], y0[3], 32768)
+    np.testing.assert_array_equal(yo[3], ye)
+    np.testing.assert_array_equal(yo[7], y0[7])      # past the fade
+
+
+def test_fade_10bit_and_errors(rng):
+    from gmat_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+    y = rng.integers(0, 1024, (2, 8, 8)).astype(np.uint16)
+    u = rng.integers(0, 1024, (2, 4, 4)).astype(np.uint16)
+    v = rng.integers(0, 1024, (2, 4, 4)).astype(np.uint16)
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p10", 8, 8)
+    out, _ = FilterGraph("fade=in:0:4").process(fb, pts=np.arange(2))
+    yo = np.asarray(out.planes["y"])
+    assert np.all(yo[0] == 64)     # 10-bit studio black
+    ye, ue, _ = _fade_oracle_yuv(y[1], u[1], v[1], 16384, depth=10)
+    np.testing.assert_array_equal(yo[1], ye)
+    np.testing.assert_array_equal(np.asarray(out.planes["u"])[1], ue)
+    with pytest.raises(ValueError, match="times"):
+        FilterGraph("fade=in:st=1").process(fb, pts=np.arange(2))
