@@ -1112,6 +1112,204 @@ class TrimFilter:
         return out
 
 
+# ---- drawbox (vf_drawbox.c) ------------------------------------------------
+
+def _parse_color_rgba(color):
+    """av_parse_color with alpha: name/hex via the shared parser, plus
+    `@A` (0..1 float) and #RRGGBBAA / 0xRRGGBBAA alpha bytes."""
+    s = str(color).strip().lower()
+    alpha = 255
+    base = s
+    if "@" in s:
+        base, aspec = s.split("@", 1)
+        try:
+            av = float(aspec)
+        except ValueError:
+            raise FilterError(f"bad alpha {aspec!r} in color {color!r}") \
+                from None
+        alpha = int(av * 255 + 0.5) if av <= 1.0 else int(av)
+        alpha = min(max(alpha, 0), 255)
+    else:
+        h = (base[1:] if base.startswith("#")
+             else base[2:] if base.startswith("0x") else base)
+        if len(h) == 4 and all(ch in "0123456789abcdef" for ch in h):
+            h = "".join(ch * 2 for ch in h)
+        if len(h) == 8 and all(ch in "0123456789abcdef" for ch in h):
+            alpha = int(h[6:8], 16)
+    rgb = _parse_color(base)
+    return (int(rgb[0]), int(rgb[1]), int(rgb[2]), alpha)
+
+
+_SCALEBITS = 10
+_ONE_HALF = 1 << (_SCALEBITS - 1)
+
+
+def _fix(x):
+    return int(x * (1 << _SCALEBITS) + 0.5)
+
+
+def _rgb_to_yuv_ccir(r, g, b):
+    """libavutil/colorspace.h RGB_TO_{Y,U,V}_CCIR integer macros
+    (studio-swing color for the box, matching drawbox init)."""
+    y = (_fix(0.29900 * 219.0 / 255.0) * r + _fix(0.58700 * 219.0 / 255.0) * g
+         + _fix(0.11400 * 219.0 / 255.0) * b
+         + (_ONE_HALF + (16 << _SCALEBITS))) >> _SCALEBITS
+    u = ((-_fix(0.16874 * 224.0 / 255.0) * r - _fix(0.33126 * 224.0 / 255.0) * g
+          + _fix(0.50000 * 224.0 / 255.0) * b + _ONE_HALF - 1)
+         >> _SCALEBITS) + 128
+    v = ((_fix(0.50000 * 224.0 / 255.0) * r - _fix(0.41869 * 224.0 / 255.0) * g
+          - _fix(0.08131 * 224.0 / 255.0) * b + _ONE_HALF - 1)
+         >> _SCALEBITS) + 128
+    return y, u, v
+
+
+def _f_drawbox(x="0", y="0", width="0", w=None, height="0", h=None,
+               color="black", c=None, thickness="3", t=None, replace=0):
+    """vf_drawbox analog: a colored (or `invert`) box outline/fill.
+
+    x/y/w/h/t are av_expr with drawbox's variable set (dar/hsub/vsub/
+    in_w/iw/in_h/ih/sar/x/y/w/h/t and the per-expression `fill` bound:
+    iw, ih, iw-x, ih-y, INT_MAX — vf_drawbox.c:303-341), evaluated up to
+    5 rounds for cross-references with failures fatal only on the last.
+    w/h <= 0 take the input size.  The box border predicate is
+    pixel_belongs_to_box (vf_drawbox.c:367-371); `t=fill` fills.  YUV
+    paths blend toward the CCIR studio-swing color with double->uint8
+    truncation; a translucent color RE-BLENDS each shared chroma sample
+    once per covered luma pixel (the reference's x>>hsub writes,
+    vf_drawbox.c:148-152) — replicated via per-sample coverage counts.
+    RGB packed blends per channel (float32), alpha untouched unless
+    `replace=1` writes rgba directly; `color=invert` inverts luma (YUV)
+    or all three channels (RGB).  8-bit formats only, like pix_fmts[]."""
+    wexpr = w if w is not None else width
+    hexpr = h if h is not None else height
+    cstr = str(c if c is not None else color).strip().lower()
+    texpr = t if t is not None else thickness
+    replace = bool(int(replace))
+    invert = cstr == "invert"
+    if invert:
+        rgba = (0, 0, 0, 255)
+    else:
+        rgba = _parse_color_rgba(cstr)
+
+    def run(fb):
+        fmt = fb.fmt
+        if fmt.bits != 8 or fmt.is_float:
+            raise FilterError("drawbox supports 8-bit formats "
+                              "(vf_drawbox.c pix_fmts)")
+        W, H = fb.width, fb.height
+        sw = max((p.sub_w for p in fmt.planes), default=0)
+        sh = max((p.sub_h for p in fmt.planes), default=0)
+        env = {"dar": float(W) / float(H), "sar": 1.0,
+               "hsub": float(sw), "vsub": float(sh),
+               "in_w": float(W), "iw": float(W),
+               "in_h": float(H), "ih": float(H)}
+        nan = float("nan")
+        env.update(x=nan, y=nan, w=nan, h=nan, t=nan)
+        vals = {}
+        for rnd in range(6):            # i <= NUM_EXPR_EVALS (5)
+            last = rnd == 5
+            for key, expr, mx in (("x", x, W), ("y", y, H),
+                                  ("w", wexpr, W - vals.get("x", 0)),
+                                  ("h", hexpr, H - vals.get("y", 0)),
+                                  ("t", texpr, 2**31 - 1)):
+                env["fill"] = float(mx)
+                try:
+                    res = float(compile_expr(str(expr))(env))
+                except ValueError:
+                    if last:
+                        raise
+                    continue
+                env[key] = res
+                if not math.isnan(res):
+                    vals[key] = int(res)
+        if len(vals) < 5:
+            raise FilterError("drawbox: x/y/w/h/t evaluated to nan")
+        bx, by, bt = vals["x"], vals["y"], vals["t"]
+        bw = vals["w"] if vals["w"] > 0 else W
+        bh = vals["h"] if vals["h"] > 0 else H
+        if vals["w"] < 0 or vals["h"] < 0:
+            raise FilterError("drawbox: negative box size")
+        xs = np.arange(W)
+        ys = np.arange(H)
+        inbox = ((ys >= max(by, 0)) & (ys < min(by + bh, H)))[:, None] & \
+                ((xs >= max(bx, 0)) & (xs < min(bx + bw, W)))[None, :]
+        border = ((ys - by < bt) | (by + bh - 1 - ys < bt))[:, None] | \
+                 ((xs - bx < bt) | (bx + bw - 1 - xs < bt))[None, :]
+        mask = inbox & border
+        if not mask.any():
+            return fb
+        planes = dict(fb.planes)
+        if fmt.is_rgb:
+            order = fmt.channel_order
+            arr = fb.planes["rgb"]
+            m = jnp.asarray(mask)[None, :, :]
+            if invert:
+                out = arr
+                for ch in "rgb":
+                    ci = order.index(ch)
+                    out = out.at[..., ci].set(
+                        jnp.where(m, 255 - arr[..., ci], arr[..., ci]))
+                planes["rgb"] = out
+            elif replace and "a" in order:
+                cv = {"r": rgba[0], "g": rgba[1], "b": rgba[2],
+                      "a": rgba[3]}
+                col = jnp.asarray([cv[ch] for ch in order], arr.dtype)
+                planes["rgb"] = jnp.where(m[..., None], col, arr)
+            else:
+                # C blends in FLOAT here (vf_drawbox.c:207 float alpha);
+                # host-built f32 LUT reproduces it bit-exactly, applied
+                # as one gather per channel
+                a = np.float32(rgba[3] / 255.0)
+                idxf = np.arange(256, dtype=np.float32)
+                out = arr
+                cv = {"r": rgba[0], "g": rgba[1], "b": rgba[2]}
+                for ch in "rgb":
+                    ci = order.index(ch)
+                    lut = ((np.float32(1.0) - a) * idxf
+                           + a * np.float32(cv[ch])).astype(np.uint8)
+                    blend = jnp.take(jnp.asarray(lut), arr[..., ci])
+                    out = out.at[..., ci].set(jnp.where(m, blend,
+                                                        arr[..., ci]))
+                planes["rgb"] = out
+        else:
+            m = jnp.asarray(mask)[None, :, :]
+            yarr = fb.planes["y"]
+            if invert:
+                planes["y"] = jnp.where(m, 255 - yarr, yarr)
+            else:
+                # C blends in DOUBLE on YUV (vf_drawbox.c:146); a host
+                # float64 LUT reproduces the double->uint8 truncation
+                # bit-exactly (device f32 could flip floor boundaries)
+                ycol, ucol, vcol = _rgb_to_yuv_ccir(*rgba[:3])
+                alpha = rgba[3] / 255.0
+                idx = np.arange(256, dtype=np.float64)
+                lut_y = np.trunc((1.0 - alpha) * idx
+                                 + alpha * ycol).astype(np.uint8)
+                planes["y"] = jnp.where(
+                    m, jnp.take(jnp.asarray(lut_y), yarr), yarr)
+                # chroma: one blend PER covered luma pixel on the shared
+                # sample — coverage counts drive iterated truncating
+                # blends (compounds only when alpha < 1)
+                counts = mask.astype(np.int32)
+                if sw or sh:
+                    counts = counts.reshape(H >> sh, 1 << sh,
+                                            W >> sw, 1 << sw).sum((1, 3))
+                for name, colv in (("u", ucol), ("v", vcol)):
+                    if name not in fb.planes:
+                        continue
+                    arr = fb.planes[name]
+                    lut1 = jnp.asarray(np.trunc((1.0 - alpha) * idx
+                                                + alpha * colv)
+                                       .astype(np.uint8))
+                    steps = 1 if alpha >= 1.0 else int(counts.max())
+                    for i in range(steps):
+                        mi = jnp.asarray(counts > i)[None, :, :]
+                        arr = jnp.where(mi, jnp.take(lut1, arr), arr)
+                    planes[name] = arr
+        return fb.with_planes(planes)
+    return run
+
+
 class FadeFilter:
     """ffmpeg fade (vf_fade.c): fade in/out to black (or a color, or
     alpha-only) with the reference's exact 16.16 fixed-point math.
@@ -1707,6 +1905,7 @@ FILTERS: Dict[str, Callable] = {
     "pad": _f_pad,
     "eq": _f_eq,
     "fade": _f_fade,
+    "drawbox": _f_drawbox,
     "lut": _make_lut_filter("all"),
     "lutyuv": _make_lut_filter("yuv"),
     "lutrgb": _make_lut_filter("rgb"),

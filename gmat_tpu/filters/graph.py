@@ -38,6 +38,7 @@ POSITIONAL = {
     "setpts": ("expr",),
     "eq": ("contrast", "brightness", "saturation", "gamma"),
     "fade": ("type", "start_frame", "nb_frames"),
+    "drawbox": ("x", "y", "w", "h", "color", "thickness"),
     "lut": ("c0", "c1", "c2", "c3"),
     "lutyuv": ("c0", "c1", "c2", "c3"),
     "lutrgb": ("c0", "c1", "c2", "c3"),

@@ -583,3 +583,98 @@ def test_fade_10bit_and_errors(rng):
     np.testing.assert_array_equal(np.asarray(out.planes["u"])[1], ue)
     with pytest.raises(ValueError, match="times"):
         FilterGraph("fade=in:st=1").process(fb, pts=np.arange(2))
+
+
+# ---- drawbox (vf_drawbox.c) -------------------------------------------------
+
+def _drawbox_oracle_yuv(y, u, v, bx, by, bw, bh, t, rgba):
+    """Independent per-pixel vf_drawbox draw_region loop (420)."""
+    H, W = y.shape
+    SB, HALF = 10, 512
+    fix = lambda q: int(q * 1024 + 0.5)
+    r, g, b, a = rgba
+    yc = (fix(.299*219/255)*r + fix(.587*219/255)*g + fix(.114*219/255)*b
+          + (HALF + (16 << SB))) >> SB
+    uc = ((-fix(.16874*224/255)*r - fix(.33126*224/255)*g
+           + fix(.5*224/255)*b + HALF - 1) >> SB) + 128
+    vc = ((fix(.5*224/255)*r - fix(.41869*224/255)*g
+           - fix(.08131*224/255)*b + HALF - 1) >> SB) + 128
+    alpha = a / 255.0
+    y, u, v = y.copy(), u.copy(), v.copy()
+    for yy in range(max(by, 0), min(by + bh, H)):
+        for xx in range(max(bx, 0), min(bx + bw, W)):
+            if (yy - by < t or by + bh - 1 - yy < t or
+                    xx - bx < t or bx + bw - 1 - xx < t):
+                y[yy, xx] = int((1 - alpha) * y[yy, xx] + alpha * yc)
+                u[yy >> 1, xx >> 1] = int((1 - alpha) * u[yy >> 1, xx >> 1]
+                                          + alpha * uc)
+                v[yy >> 1, xx >> 1] = int((1 - alpha) * v[yy >> 1, xx >> 1]
+                                          + alpha * vc)
+    return y, u, v
+
+
+def test_drawbox_opaque_oracle(rng):
+    fb = _yuv(rng, n=2, h=16, w=24)
+    g = FilterGraph("drawbox=4:2:12:10:red:3")
+    out, _ = g.process(fb)
+    for i in range(2):
+        ye, ue, ve = _drawbox_oracle_yuv(
+            np.asarray(fb.planes["y"])[i], np.asarray(fb.planes["u"])[i],
+            np.asarray(fb.planes["v"])[i], 4, 2, 12, 10, 3,
+            (255, 0, 0, 255))
+        np.testing.assert_array_equal(np.asarray(out.planes["y"])[i], ye)
+        np.testing.assert_array_equal(np.asarray(out.planes["u"])[i], ue)
+        np.testing.assert_array_equal(np.asarray(out.planes["v"])[i], ve)
+
+
+def test_drawbox_translucent_chroma_compounding(rng):
+    """alpha<1 re-blends each shared chroma sample once per covered luma
+    pixel (vf_drawbox.c x>>hsub writes) — the oracle loop compounds the
+    same way."""
+    fb = _yuv(rng, n=1, h=16, w=24)
+    g = FilterGraph("drawbox=2:2:20:12:green@0.5:fill")
+    out, _ = g.process(fb)
+    ye, ue, ve = _drawbox_oracle_yuv(
+        np.asarray(fb.planes["y"])[0], np.asarray(fb.planes["u"])[0],
+        np.asarray(fb.planes["v"])[0], 2, 2, 20, 12, 2**31 - 1,
+        (0, 128, 0, 128))
+    np.testing.assert_array_equal(np.asarray(out.planes["y"])[0], ye)
+    np.testing.assert_array_equal(np.asarray(out.planes["u"])[0], ue)
+    np.testing.assert_array_equal(np.asarray(out.planes["v"])[0], ve)
+
+
+def test_drawbox_invert_and_expressions(rng):
+    fb = _yuv(rng, n=1, h=16, w=24)
+    # iw/4 etc expressions + invert color: luma inverted, chroma untouched
+    g = FilterGraph("drawbox=x=iw/4:y=ih/4:w=iw/2:h=ih/2:color=invert:t=fill")
+    out, _ = g.process(fb)
+    y0 = np.asarray(fb.planes["y"])[0]
+    yo = np.asarray(out.planes["y"])[0]
+    np.testing.assert_array_equal(yo[4:12, 6:18], 255 - y0[4:12, 6:18])
+    np.testing.assert_array_equal(yo[:4], y0[:4])
+    np.testing.assert_array_equal(np.asarray(out.planes["u"]),
+                                  np.asarray(fb.planes["u"]))
+    # w=0 -> full width (vf_drawbox.c:345)
+    g2 = FilterGraph("drawbox=0:0:0:4:white:fill")
+    out2, _ = g2.process(fb)
+    assert np.all(np.asarray(out2.planes["y"])[0, :4] == 235)
+
+
+def test_drawbox_rgb_blend_and_replace(rng):
+    from gmat_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+    rgba = rng.integers(0, 256, (1, 8, 12, 4)).astype(np.uint8)
+    fb = FrameBatch({"rgb": jnp.asarray(rgba)}, "rgba", 12, 8)
+    out, _ = FilterGraph("drawbox=2:2:6:4:blue@0.5:fill").process(fb)
+    o = np.asarray(out.planes["rgb"])[0]
+    a = np.float32(128 / 255.0)          # @0.5 -> alpha byte 128
+    exp_r = (np.float32(1.0) - a) * rgba[0, 2:6, 2:8, 0].astype(np.float32)
+    np.testing.assert_array_equal(o[2:6, 2:8, 0],
+                                  exp_r.astype(np.uint8))
+    np.testing.assert_array_equal(o[..., 3], rgba[0, ..., 3])  # alpha kept
+    # replace=1 writes color+alpha verbatim
+    out2, _ = FilterGraph(
+        "drawbox=2:2:6:4:blue@0.5:t=fill:replace=1").process(fb)
+    o2 = np.asarray(out2.planes["rgb"])[0]
+    assert np.all(o2[2:6, 2:8, 2] == 255) and np.all(o2[2:6, 2:8, 3] == 128)
+    np.testing.assert_array_equal(o2[:2], rgba[0, :2])
