@@ -210,6 +210,20 @@ def _make_lut_filter(family):
     return build
 
 
+def _f_unsharp(luma_msize_x=5, lx=None, luma_msize_y=5, ly=None,
+               luma_amount=1.0, la=None, chroma_msize_x=5, cx=None,
+               chroma_msize_y=5, cy=None, chroma_amount=0.0, ca=None):
+    """vf_unsharp builder with the AVOption short aliases."""
+    from ..ops import enhance
+    args = (int(lx if lx is not None else luma_msize_x),
+            int(ly if ly is not None else luma_msize_y),
+            float(la if la is not None else luma_amount),
+            int(cx if cx is not None else chroma_msize_x),
+            int(cy if cy is not None else chroma_msize_y),
+            float(ca if ca is not None else chroma_amount))
+    return lambda fb: enhance.unsharp(fb, *args)
+
+
 def _f_flip(code=0):
     return lambda fb: geometry.flip(fb, int(code))
 
@@ -1310,6 +1324,111 @@ def _f_drawbox(x="0", y="0", width="0", w=None, height="0", h=None,
     return run
 
 
+class HueFilter:
+    """ffmpeg hue (vf_hue.c): rotate chroma by a hue angle, scale by
+    saturation, shift luma by brightness — each an av_expr re-evaluated
+    per frame over n/pts/t/r/tb (vf_hue.c:342-414).
+
+    Chroma math is the reference's exact 16.16 rotation
+    (create_chrominance_lut):
+        u' = (cos*(u-mid) - sin*(v-mid) + (1<<15) + (mid<<16)) >> 16
+    with sin/cos = lrint(sin(hue)*65536*saturation), mid 128/512, result
+    clipped to uint8/uintp2(10); 10-bit inputs clip to 10 bits first
+    (apply_lut10).  Luma applies i + brightness*25.5 (102.4 at 10-bit)
+    with double->int truncation — host-built per-brightness LUTs keep
+    that bit-exact on device.  Frames are grouped by evaluated
+    (sin, cos, brightness) so a constant expression costs one vectorized
+    pass per batch."""
+
+    stream_filter = True
+
+    def __init__(self, h=None, s="1", H=None, b="0"):
+        self.h_expr = None if h is None else compile_expr(str(h))
+        self.H_expr = None if H is None else compile_expr(str(H))
+        self.s_expr = compile_expr(str(s))
+        self.b_expr = compile_expr(str(b))
+        self.n = 0
+        self._luma_luts = {}
+
+    def _params(self, env):
+        sat = min(max(float(self.s_expr(env)), -10.0), 10.0)
+        bright = min(max(float(self.b_expr(env)), -10.0), 10.0)
+        if self.H_expr is not None:
+            hue = float(self.H_expr(env))
+        elif self.h_expr is not None:
+            hue = float(self.h_expr(env)) * math.pi / 180.0
+        else:
+            hue = 0.0
+        hs = int(np.rint(math.sin(hue) * 65536.0 * sat))   # lrint
+        hc = int(np.rint(math.cos(hue) * 65536.0 * sat))
+        return hs, hc, bright
+
+    def _luma_lut(self, bright, bits):
+        key = (bright, bits)
+        lut = self._luma_luts.get(key)
+        if lut is None:
+            if bits > 8:
+                i = np.arange(65536, dtype=np.float64)
+                lut = np.clip(np.trunc(i + bright * 102.4),
+                              0, 1023).astype(np.uint16)
+            else:
+                i = np.arange(256, dtype=np.float64)
+                lut = np.clip(np.trunc(i + bright * 25.5),
+                              0, 255).astype(np.uint8)
+            if len(self._luma_luts) > 32:
+                self._luma_luts.clear()
+            self._luma_luts[key] = lut
+        return lut
+
+    def process_batch(self, fb: FrameBatch, meta):
+        fmt = fb.fmt
+        if fmt.is_rgb or fmt.is_float or fmt.name in ("p010", "p016") or \
+                "u" not in fb.planes:
+            raise FilterError("hue operates on planar YUV "
+                              "(vf_hue.c pix_fmts); convert first")
+        pts = meta.get("pts")
+        times = meta.get("times")
+        keep = meta.get("keep")
+        nan = float("nan")
+        groups: Dict = {}
+        for i in range(fb.batch):
+            if keep is not None and not keep[i]:
+                continue
+            env = {"n": float(self.n), "r": nan, "tb": nan,
+                   "pts": nan if pts is None or int(pts[i]) == _AV_NOPTS
+                   else float(int(pts[i])),
+                   "t": nan if times is None else float(times[i])}
+            groups.setdefault(self._params(env), []).append(i)
+            self.n += 1
+        bits = fmt.bits
+        mid = 512 if bits > 8 else 128
+        cmax = 1023 if bits > 8 else 255
+        planes = dict(fb.planes)
+        for (hs, hc, bright), idxs in groups.items():
+            if hs == 0 and hc == 65536 and bright == 0.0:
+                continue                        # exact identity
+            msk = np.zeros(fb.batch, bool)
+            msk[idxs] = True
+            m = jnp.asarray(msk)[:, None, None]
+            u = fb.planes["u"].astype(jnp.int32)
+            v = fb.planes["v"].astype(jnp.int32)
+            if bits > 8:                        # apply_lut10 input clip
+                u = jnp.clip(u, 0, 1023)
+                v = jnp.clip(v, 0, 1023)
+            ur, vr = u - mid, v - mid
+            add = (1 << 15) + (mid << 16)
+            nu = jnp.clip((hc * ur - hs * vr + add) >> 16, 0, cmax)
+            nv = jnp.clip((hs * ur + hc * vr + add) >> 16, 0, cmax)
+            dt = fb.planes["u"].dtype
+            planes["u"] = jnp.where(m, nu.astype(dt), planes["u"])
+            planes["v"] = jnp.where(m, nv.astype(dt), planes["v"])
+            if bright != 0.0:
+                lut = jnp.asarray(self._luma_lut(bright, bits))
+                y = planes["y"]
+                planes["y"] = jnp.where(m, jnp.take(lut, y), y)
+        return fb.with_planes(planes), meta
+
+
 class FadeFilter:
     """ffmpeg fade (vf_fade.c): fade in/out to black (or a color, or
     alpha-only) with the reference's exact 16.16 fixed-point math.
@@ -1906,6 +2025,8 @@ FILTERS: Dict[str, Callable] = {
     "eq": _f_eq,
     "fade": _f_fade,
     "drawbox": _f_drawbox,
+    "unsharp": _f_unsharp,
+    "hue": HueFilter,
     "lut": _make_lut_filter("all"),
     "lutyuv": _make_lut_filter("yuv"),
     "lutrgb": _make_lut_filter("rgb"),

@@ -39,6 +39,9 @@ POSITIONAL = {
     "eq": ("contrast", "brightness", "saturation", "gamma"),
     "fade": ("type", "start_frame", "nb_frames"),
     "drawbox": ("x", "y", "w", "h", "color", "thickness"),
+    "unsharp": ("luma_msize_x", "luma_msize_y", "luma_amount",
+                "chroma_msize_x", "chroma_msize_y", "chroma_amount"),
+    "hue": ("h", "s", "H", "b"),
     "lut": ("c0", "c1", "c2", "c3"),
     "lutyuv": ("c0", "c1", "c2", "c3"),
     "lutrgb": ("c0", "c1", "c2", "c3"),

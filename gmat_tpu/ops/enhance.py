@@ -112,3 +112,80 @@ def apply_luts(fb: FrameBatch, luts) -> FrameBatch:
                     chans.append(jnp.take(jnp.asarray(tab[c]), ch))
             planes[name] = jnp.stack(chans, axis=-1)
     return fb.with_planes(planes)
+
+
+# ---- unsharp (vf_unsharp.c) -------------------------------------------------
+
+def _binomial_band(n: int, steps: int) -> np.ndarray:
+    """(n, n) int32 band matrix of the vf_unsharp blur along one axis.
+
+    The reference's sr/sc accumulator cascade (vf_unsharp.c:114-125) is
+    2*steps chained 2-tap running sums == a BINOMIAL kernel C(2*steps, k)
+    (sum 2^(2*steps), hence scalebits = 2*steps per axis), with clamp-at-
+    edge sampling (x<=0 -> src[0], x>=w -> src[w-1]).  Expressed here as
+    a dense matrix so the blur is one MXU-friendly matmul per axis."""
+    row = np.ones(1, np.int64)
+    for _ in range(2 * steps):
+        row = np.convolve(row, [1, 1])
+    m = np.zeros((n, n), np.int64)
+    for i in range(n):
+        for k, c in enumerate(row):
+            j = min(max(i + k - steps, 0), n - 1)
+            m[i, j] += c
+    return m.astype(np.int32)
+
+
+def _unsharp_plane(arr, msx: int, msy: int, amount: int, bits: int):
+    """One plane: blur = (Kv @ x @ Kh^T + half) >> scalebits, then
+    res = clip(p + ((p - blur) * amount) >> (8 + bits)) — the exact
+    integer pipeline of DEF_UNSHARP_SLICE_FUNC (vf_unsharp.c:60-141)."""
+    sx, sy = msx // 2, msy // 2
+    scalebits = (sx + sy) * 2
+    half = 1 << (scalebits - 1)
+    n, h, w = arr.shape
+    kv = jnp.asarray(_binomial_band(h, sy))
+    kh = jnp.asarray(_binomial_band(w, sx))
+    x32 = arr.astype(jnp.int32)
+    acc = jnp.einsum("ij,njk,lk->nil", kv, x32, kh)
+    blur = (acc + half) >> scalebits
+    res = x32 + (((x32 - blur) * amount) >> (8 + bits))
+    maxv = (1 << bits) - 1
+    return jnp.clip(res, 0, maxv).astype(arr.dtype)
+
+
+def unsharp(fb: FrameBatch, lx: int = 5, ly: int = 5, la: float = 1.0,
+            cx: int = 5, cy: int = 5, ca: float = 0.0) -> FrameBatch:
+    """vf_unsharp: sharpen (amount>0) or blur (amount<0) luma and chroma
+    independently.  Matrix sizes odd 3..23, amounts clipped like the
+    AVOption range [-2, 5]; amount scales by 65536 with C double->int
+    truncation (set_filter_param, vf_unsharp.c:174-183).  amount==0
+    passes the plane through untouched."""
+    fmt = fb.fmt
+    if fmt.is_rgb or fmt.is_float or fmt.name in ("p010", "p016"):
+        raise ValueError("unsharp operates on planar YUV/gray "
+                         "(vf_unsharp.c avfilter_vf_unsharp formats)")
+    for v, nm in ((lx, "lx"), (ly, "ly"), (cx, "cx"), (cy, "cy")):
+        if not 3 <= v <= 23 or v % 2 == 0:
+            raise ValueError(f"unsharp {nm}={v}: matrix size must be odd, "
+                             "3..23")
+    la = min(max(float(la), -2.0), 5.0)
+    ca = min(max(float(ca), -2.0), 5.0)
+    # the reference selects the 8- vs 16-bit slice macro by CONTAINER
+    # width (vf_unsharp.c:142-143): 10-bit lsb-aligned planes shift by
+    # 8+16 and clip at 65535, not 1023 — match that
+    bits = np.dtype(fmt.planes[0].dtype).itemsize * 8
+    # guard the reference's own overflow envelope: uint32 accumulation
+    # wraps past bits + 2*(sx+sy) >= 32; we refuse instead of wrapping
+    for mx, my, nm in ((lx, ly, "luma"), (cx, cy, "chroma")):
+        if bits + (mx // 2 + my // 2) * 2 > 31:
+            raise ValueError(f"unsharp: {nm} matrix {mx}x{my} overflows "
+                             f"{bits}-bit accumulation (reference wraps "
+                             "uint32 here); use a smaller matrix")
+    lam, cam = int(la * 65536.0), int(ca * 65536.0)
+    planes = {}
+    for p in fmt.planes:
+        arr = fb.planes[p.name]
+        msx, msy, am = (lx, ly, lam) if p.name == "y" else (cx, cy, cam)
+        planes[p.name] = arr if am == 0 else _unsharp_plane(
+            arr, msx, msy, am, bits)
+    return fb.with_planes(planes)

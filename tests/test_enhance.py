@@ -678,3 +678,144 @@ def test_drawbox_rgb_blend_and_replace(rng):
     o2 = np.asarray(out2.planes["rgb"])[0]
     assert np.all(o2[2:6, 2:8, 2] == 255) and np.all(o2[2:6, 2:8, 3] == 128)
     np.testing.assert_array_equal(o2[:2], rgba[0, :2])
+
+
+# ---- unsharp (vf_unsharp.c) -------------------------------------------------
+
+def _unsharp_oracle(plane, msx, msy, amount_f, bits=8):
+    """Independent reimplementation: binomial blur with edge clamp, then
+    res = p + ((p - round(blur)) * amount) >> (8+bits), clipped."""
+    sx, sy = msx // 2, msy // 2
+    amount = int(amount_f * 65536.0)
+    if amount == 0:
+        return plane.copy()
+    row = np.ones(1, np.int64)
+    for _ in range(2 * sx):
+        row = np.convolve(row, [1, 1])
+    col = np.ones(1, np.int64)
+    for _ in range(2 * sy):
+        col = np.convolve(col, [1, 1])
+    h, w = plane.shape
+    p64 = plane.astype(np.int64)
+    padded = np.pad(p64, ((sy, sy), (sx, sx)), mode="edge")
+    acc = np.zeros((h, w), np.int64)
+    for dy, cy_ in enumerate(col):
+        for dx, cx_ in enumerate(row):
+            acc += cy_ * cx_ * padded[dy:dy + h, dx:dx + w]
+    scalebits = (sx + sy) * 2
+    blur = (acc + (1 << (scalebits - 1))) >> scalebits
+    res = p64 + (((p64 - blur) * amount) >> (8 + bits))
+    return np.clip(res, 0, (1 << bits) - 1).astype(plane.dtype)
+
+
+def test_unsharp_oracle_default(rng):
+    fb = _yuv(rng, n=2, h=16, w=24)
+    out, _ = FilterGraph("unsharp").process(fb)     # 5:5:1.0, chroma off
+    for i in range(2):
+        exp = _unsharp_oracle(np.asarray(fb.planes["y"])[i], 5, 5, 1.0)
+        np.testing.assert_array_equal(np.asarray(out.planes["y"])[i], exp)
+    np.testing.assert_array_equal(np.asarray(out.planes["u"]),
+                                  np.asarray(fb.planes["u"]))
+
+
+def test_unsharp_blur_and_chroma(rng):
+    fb = _yuv(rng, n=1, h=16, w=24)
+    # negative amount blurs; asymmetric matrix; chroma active; aliases
+    out, _ = FilterGraph("unsharp=lx=7:ly=3:la=-1.5:ca=0.8").process(fb)
+    exp_y = _unsharp_oracle(np.asarray(fb.planes["y"])[0], 7, 3, -1.5)
+    np.testing.assert_array_equal(np.asarray(out.planes["y"])[0], exp_y)
+    exp_u = _unsharp_oracle(np.asarray(fb.planes["u"])[0], 5, 5, 0.8)
+    np.testing.assert_array_equal(np.asarray(out.planes["u"])[0], exp_u)
+
+
+def test_unsharp_16bit_container_semantics(rng):
+    """10-bit planes use the 16-bit slice macro: shift 8+16, clip 65535."""
+    from gmat_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+    y = rng.integers(0, 1024, (1, 8, 12)).astype(np.uint16)
+    u = rng.integers(0, 1024, (1, 4, 6)).astype(np.uint16)
+    v = rng.integers(0, 1024, (1, 4, 6)).astype(np.uint16)
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p10", 12, 8)
+    out, _ = FilterGraph("unsharp=5:5:2.0").process(fb)
+    exp = _unsharp_oracle(y[0], 5, 5, 2.0, bits=16)
+    np.testing.assert_array_equal(np.asarray(out.planes["y"])[0], exp)
+
+
+def test_unsharp_validation(rng):
+    fb = _yuv(rng, n=1)
+    with pytest.raises(ValueError, match="odd"):
+        FilterGraph("unsharp=4:5:1.0").process(fb)
+    with pytest.raises(ValueError, match="odd"):
+        FilterGraph("unsharp=25:5:1.0").process(fb)
+
+
+# ---- hue (vf_hue.c) ---------------------------------------------------------
+
+def _hue_oracle(u, v, hue_rad, sat, bits=8):
+    hs = int(np.rint(np.sin(hue_rad) * 65536.0 * sat))
+    hc = int(np.rint(np.cos(hue_rad) * 65536.0 * sat))
+    mid = 512 if bits > 8 else 128
+    cmax = 1023 if bits > 8 else 255
+    ui = u.astype(np.int64) - mid
+    vi = v.astype(np.int64) - mid
+    add = (1 << 15) + (mid << 16)
+    nu = np.clip((hc * ui - hs * vi + add) >> 16, 0, cmax)
+    nv = np.clip((hs * ui + hc * vi + add) >> 16, 0, cmax)
+    return nu.astype(u.dtype), nv.astype(v.dtype)
+
+
+def test_hue_rotation_oracle(rng):
+    fb = _yuv(rng, n=2)
+    out, _ = FilterGraph("hue=h=90:s=1.5").process(fb, pts=np.arange(2))
+    ue, ve = _hue_oracle(np.asarray(fb.planes["u"]),
+                         np.asarray(fb.planes["v"]),
+                         np.pi / 2, 1.5)
+    np.testing.assert_array_equal(np.asarray(out.planes["u"]), ue)
+    np.testing.assert_array_equal(np.asarray(out.planes["v"]), ve)
+    np.testing.assert_array_equal(np.asarray(out.planes["y"]),
+                                  np.asarray(fb.planes["y"]))  # b=0
+
+
+def test_hue_brightness_lut_and_identity(rng):
+    fb = _yuv(rng, n=1)
+    out, _ = FilterGraph("hue=b=2").process(fb, pts=np.arange(1))
+    y0 = np.asarray(fb.planes["y"])
+    exp = np.clip(np.trunc(y0.astype(np.float64) + 2 * 25.5),
+                  0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(out.planes["y"]), exp)
+    # pure identity is a true no-op (same arrays)
+    out2, _ = FilterGraph("hue").process(fb, pts=np.arange(1))
+    np.testing.assert_array_equal(np.asarray(out2.planes["u"]),
+                                  np.asarray(fb.planes["u"]))
+
+
+def test_hue_per_frame_expression(rng):
+    """h='n*90' evaluates per frame: frame 0 identity, frame 2 at 180
+    degrees (u,v mirrored around mid)."""
+    fb = _yuv(rng, n=3)
+    out, _ = FilterGraph("hue=h=n*90").process(fb, pts=np.arange(3))
+    np.testing.assert_array_equal(np.asarray(out.planes["u"])[0],
+                                  np.asarray(fb.planes["u"])[0])
+    ue, ve = _hue_oracle(np.asarray(fb.planes["u"])[2],
+                         np.asarray(fb.planes["v"])[2], np.pi, 1.0)
+    np.testing.assert_array_equal(np.asarray(out.planes["u"])[2], ue)
+    np.testing.assert_array_equal(np.asarray(out.planes["v"])[2], ve)
+
+
+def test_hue_10bit(rng):
+    from gmat_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+    y = rng.integers(0, 1024, (1, 8, 12)).astype(np.uint16)
+    u = rng.integers(0, 1024, (1, 4, 6)).astype(np.uint16)
+    v = rng.integers(0, 1024, (1, 4, 6)).astype(np.uint16)
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p10", 12, 8)
+    out, _ = FilterGraph("hue=H=PI/3:s=-2:b=1").process(fb,
+                                                        pts=np.arange(1))
+    ue, ve = _hue_oracle(u, v, np.pi / 3, -2.0, bits=10)
+    np.testing.assert_array_equal(np.asarray(out.planes["u"]), ue)
+    np.testing.assert_array_equal(np.asarray(out.planes["v"]), ve)
+    exp_y = np.clip(np.trunc(y.astype(np.float64) + 102.4),
+                    0, 1023).astype(np.uint16)
+    np.testing.assert_array_equal(np.asarray(out.planes["y"]), exp_y)
