@@ -210,6 +210,23 @@ def _make_lut_filter(family):
     return build
 
 
+def _f_lut3d(file=None, interp="tetrahedral"):
+    """vf_lut3d builder: .cube/.3dl file or the size-32 identity."""
+    from . import lut3d as _l3
+    if file:
+        try:
+            lut, scale = _l3.load_lut_file(str(file))
+        except OSError as e:
+            raise FilterError(f"lut3d: {e}") from None
+    else:
+        lut, scale = _l3.identity_lut(32)
+    mode = str(interp)
+    if mode not in _l3.INTERP_MODES:
+        raise FilterError(f"lut3d interp must be one of "
+                          f"{_l3.INTERP_MODES}, got {mode!r}")
+    return lambda fb: _l3.apply_lut3d(fb, lut, scale, mode)
+
+
 def _f_unsharp(luma_msize_x=5, lx=None, luma_msize_y=5, ly=None,
                luma_amount=1.0, la=None, chroma_msize_x=5, cx=None,
                chroma_msize_y=5, cy=None, chroma_amount=0.0, ca=None):
@@ -2027,6 +2044,7 @@ FILTERS: Dict[str, Callable] = {
     "drawbox": _f_drawbox,
     "unsharp": _f_unsharp,
     "hue": HueFilter,
+    "lut3d": _f_lut3d,
     "lut": _make_lut_filter("all"),
     "lutyuv": _make_lut_filter("yuv"),
     "lutrgb": _make_lut_filter("rgb"),

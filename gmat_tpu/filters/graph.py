@@ -42,6 +42,7 @@ POSITIONAL = {
     "unsharp": ("luma_msize_x", "luma_msize_y", "luma_amount",
                 "chroma_msize_x", "chroma_msize_y", "chroma_amount"),
     "hue": ("h", "s", "H", "b"),
+    "lut3d": ("file", "interp"),
     "lut": ("c0", "c1", "c2", "c3"),
     "lutyuv": ("c0", "c1", "c2", "c3"),
     "lutrgb": ("c0", "c1", "c2", "c3"),

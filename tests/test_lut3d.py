@@ -1,0 +1,174 @@
+"""lut3d filter — vf_lut3d.c analog (cube/3dl parse + 5 interp modes)."""
+import numpy as np
+import pytest
+
+import jax
+from gmat_tpu.core.frame import FrameBatch
+from gmat_tpu.filters import lut3d as l3
+from gmat_tpu.filters.graph import FilterGraph
+
+import jax.numpy as jnp
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _rgb_fb(rng, n=1, h=8, w=12, fmt="rgb24"):
+    c = 4 if fmt in ("rgba", "bgra") else 3
+    a = rng.integers(0, 256, (n, h, w, c)).astype(np.uint8)
+    return FrameBatch({"rgb": jnp.asarray(a)}, fmt, w, h), a
+
+
+def _oracle(px, lut, scale, mode):
+    """Independent per-pixel float32 reimplementation of the C kernel."""
+    S = lut.shape[0]
+    lm = np.float32(S - 1)
+    out = np.empty(3, np.float32)
+    s = np.empty(3, np.float32)
+    for ci in range(3):
+        v = np.float32(px[ci]) * (np.float32(1.0) / np.float32(255.0))
+        s[ci] = np.clip(v * (np.float32(scale[ci]) * lm), 0, lm)
+    if mode == "nearest":
+        i = [int(s[c] + 0.5) for c in range(3)]
+        return lut[i[0], i[1], i[2]]
+    p = [int(s[c]) for c in range(3)]
+    nx = [min(p[c] + 1, S - 1) for c in range(3)]
+    d = np.array([s[c] - p[c] for c in range(3)], np.float32)
+    C = lambda a, b, c_: lut[a, b, c_].astype(np.float32)
+    c000, c111 = C(p[0], p[1], p[2]), C(nx[0], nx[1], nx[2])
+    dr, dg, db = d
+    if mode == "trilinear":
+        lerp = lambda a, b, f: a + (b - a) * f
+        c00 = lerp(c000, C(nx[0], p[1], p[2]), dr)
+        c10 = lerp(C(p[0], nx[1], p[2]), C(nx[0], nx[1], p[2]), dr)
+        c01 = lerp(C(p[0], p[1], nx[2]), C(nx[0], p[1], nx[2]), dr)
+        c11 = lerp(C(p[0], nx[1], nx[2]), c111, dr)
+        return lerp(lerp(c00, c10, dg), lerp(c01, c11, dg), db)
+    if mode == "tetrahedral":
+        if dr > dg:
+            if dg > db:
+                return ((1-dr)*c000 + (dr-dg)*C(nx[0],p[1],p[2])
+                        + (dg-db)*C(nx[0],nx[1],p[2]) + db*c111)
+            if dr > db:
+                return ((1-dr)*c000 + (dr-db)*C(nx[0],p[1],p[2])
+                        + (db-dg)*C(nx[0],p[1],nx[2]) + dg*c111)
+            return ((1-db)*c000 + (db-dr)*C(p[0],p[1],nx[2])
+                    + (dr-dg)*C(nx[0],p[1],nx[2]) + dg*c111)
+        if db > dg:
+            return ((1-db)*c000 + (db-dg)*C(p[0],p[1],nx[2])
+                    + (dg-dr)*C(p[0],nx[1],nx[2]) + dr*c111)
+        if db > dr:
+            return ((1-dg)*c000 + (dg-db)*C(p[0],nx[1],p[2])
+                    + (db-dr)*C(p[0],nx[1],nx[2]) + dr*c111)
+        return ((1-dg)*c000 + (dg-dr)*C(p[0],nx[1],p[2])
+                + (dr-db)*C(nx[0],nx[1],p[2]) + db*c111)
+    raise AssertionError(mode)
+
+
+CUBE = """# comment
+TITLE "test look"
+LUT_3D_SIZE 2
+DOMAIN_MIN 0.0 0.0 0.0
+0.0 0.0 0.0
+1.0 0.1 0.2
+0.3 1.0 0.0
+1.0 1.0 0.25
+0.0 0.0 1.0
+1.0 0.5 1.0
+0.5 1.0 1.0
+1.0 1.0 1.0
+DOMAIN_MAX 1.0 1.0 1.0
+"""
+
+
+def test_parse_cube_red_fastest():
+    lut, scale = l3.parse_cube(CUBE)
+    assert lut.shape == (2, 2, 2, 3)
+    # line 2 (r=1,g=0,b=0) -> lut[1,0,0]
+    np.testing.assert_allclose(lut[1, 0, 0], [1.0, 0.1, 0.2])
+    # line 4 (r=1,g=1,b=0) -> lut[1,1,0]
+    np.testing.assert_allclose(lut[1, 1, 0], [1.0, 1.0, 0.25])
+    np.testing.assert_allclose(scale, [1, 1, 1])
+
+
+def test_cube_domain_scale():
+    txt = CUBE.replace("DOMAIN_MAX 1.0 1.0 1.0", "DOMAIN_MAX 2.0 1.0 1.0")
+    _, scale = l3.parse_cube(txt)
+    np.testing.assert_allclose(scale, [0.5, 1, 1])
+
+
+def test_parse_3dl():
+    size = 17
+    lines = ["0 1 2 3"]                 # ramp header (skipped)
+    for k in range(size ** 3):
+        lines.append(f"{k % 4096} {(k * 7) % 4096} 4095")
+    lut, scale = l3.parse_3dl("\n".join(lines))
+    assert lut.shape == (17, 17, 17, 3)
+    np.testing.assert_allclose(lut[0, 0, 1], [1 / 4096, 7 / 4096,
+                                              4095 / 4096], rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["nearest", "trilinear", "tetrahedral"])
+def test_lut3d_oracle(rng, mode, tmp_path):
+    lut = rng.random((5, 5, 5, 3)).astype(np.float32)
+    scale = np.ones(3, np.float32)
+    fb, src = _rgb_fb(rng, h=6, w=9)
+    out = l3.apply_lut3d(fb, lut, scale, mode)
+    o = np.asarray(out.planes["rgb"])
+    for yy in range(6):
+        for xx in range(9):
+            vec = _oracle(src[0, yy, xx], lut, scale, mode)
+            exp = np.clip((vec * np.float32(255.0)).astype(np.int32),
+                          0, 255).astype(np.uint8)
+            np.testing.assert_array_equal(o[0, yy, xx], exp)
+
+
+def test_lut3d_identity_close(rng):
+    fb, src = _rgb_fb(rng)
+    out = FilterGraph("lut3d").process(fb)[0]     # identity LUT
+    diff = np.abs(np.asarray(out.planes["rgb"]).astype(int) -
+                  src.astype(int))
+    assert diff.max() <= 1                        # float roundtrip only
+
+
+def test_lut3d_modes_agree_on_lattice(rng):
+    """All five interpolators are exact at lattice points."""
+    lut = rng.random((2, 2, 2, 3)).astype(np.float32)
+    a = np.zeros((1, 2, 2, 3), np.uint8)
+    a[0, 0, 1] = 255
+    a[0, 1, 0] = [255, 0, 255]
+    a[0, 1, 1] = [0, 255, 0]
+    fb = FrameBatch({"rgb": jnp.asarray(a)}, "rgb24", 2, 2)
+    outs = [np.asarray(l3.apply_lut3d(fb, lut, np.ones(3, np.float32),
+                                      m).planes["rgb"])
+            for m in l3.INTERP_MODES]
+    for o in outs[1:]:
+        np.testing.assert_array_equal(o, outs[0])
+
+
+def test_lut3d_cube_file_and_alpha(rng, tmp_path):
+    p = tmp_path / "look.cube"
+    p.write_text(CUBE)
+    fb, src = _rgb_fb(rng, fmt="rgba")
+    g = FilterGraph(f"lut3d=file={p}:interp=trilinear")
+    out, _ = g.process(fb)
+    o = np.asarray(out.planes["rgb"])
+    np.testing.assert_array_equal(o[..., 3], src[..., 3])  # alpha kept
+    assert not np.array_equal(o[..., :3], src[..., :3])
+    # white maps to lut[1,1,1] = (1,1,1) -> 255
+    white = FrameBatch({"rgb": jnp.full((1, 2, 2, 4), 255, jnp.uint8)},
+                       "rgba", 2, 2)
+    ow = np.asarray(g.process(white)[0].planes["rgb"])
+    assert np.all(ow[..., :3] == 255)
+
+
+def test_lut3d_yuv_rejected(rng):
+    from gmat_tpu.core.frame import from_numpy_yuv420
+    fb = from_numpy_yuv420(
+        rng.integers(0, 256, (1, 8, 12)).astype(np.uint8),
+        rng.integers(0, 256, (1, 4, 6)).astype(np.uint8),
+        rng.integers(0, 256, (1, 4, 6)).astype(np.uint8))
+    with pytest.raises(ValueError, match="RGB"):
+        FilterGraph("lut3d").process(fb)
