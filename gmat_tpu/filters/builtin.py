@@ -1341,6 +1341,41 @@ def _f_drawbox(x="0", y="0", width="0", w=None, height="0", h=None,
     return run
 
 
+class Hqdn3dFilter:
+    """ffmpeg hqdn3d: spatio-temporal denoise (ops/hqdn3d.py holds the
+    math).  A stream filter because the temporal IIR carries the
+    previous FILTERED frame across batches; frames an upstream select
+    dropped are excluded from both filtering and state (ffmpeg chain
+    semantics — dead lanes pass through untouched and are discarded
+    downstream)."""
+
+    stream_filter = True
+
+    def __init__(self, luma_spatial=0, chroma_spatial=0, luma_tmp=0,
+                 chroma_tmp=0):
+        from ..ops.hqdn3d import HQDN3D
+        try:
+            self.core = HQDN3D(float(luma_spatial), float(chroma_spatial),
+                               float(luma_tmp), float(chroma_tmp))
+        except ValueError as e:
+            raise FilterError(str(e)) from None
+
+    def process_batch(self, fb: FrameBatch, meta):
+        keep = meta.get("keep")
+        if keep is None or bool(np.all(keep)):
+            return self.core(fb), meta
+        idx = np.nonzero(keep)[0]
+        if len(idx) == 0:
+            return fb, meta
+        sel = jnp.asarray(idx)
+        sub = fb.with_planes({k: jnp.take(v, sel, axis=0)
+                              for k, v in fb.planes.items()})
+        den = self.core(sub)
+        planes = {k: fb.planes[k].at[sel].set(den.planes[k])
+                  for k in fb.planes}
+        return fb.with_planes(planes), meta
+
+
 class HueFilter:
     """ffmpeg hue (vf_hue.c): rotate chroma by a hue angle, scale by
     saturation, shift luma by brightness — each an av_expr re-evaluated
@@ -2045,6 +2080,7 @@ FILTERS: Dict[str, Callable] = {
     "unsharp": _f_unsharp,
     "hue": HueFilter,
     "lut3d": _f_lut3d,
+    "hqdn3d": Hqdn3dFilter,
     "lut": _make_lut_filter("all"),
     "lutyuv": _make_lut_filter("yuv"),
     "lutrgb": _make_lut_filter("rgb"),

@@ -43,6 +43,8 @@ POSITIONAL = {
                 "chroma_msize_x", "chroma_msize_y", "chroma_amount"),
     "hue": ("h", "s", "H", "b"),
     "lut3d": ("file", "interp"),
+    "hqdn3d": ("luma_spatial", "chroma_spatial", "luma_tmp",
+               "chroma_tmp"),
     "lut": ("c0", "c1", "c2", "c3"),
     "lutyuv": ("c0", "c1", "c2", "c3"),
     "lutrgb": ("c0", "c1", "c2", "c3"),
