@@ -144,7 +144,13 @@ def _lut_table(expr_text, w, h, mn, mx, clip_max, size, dtype):
         if math.isnan(res):
             raise FilterError(f"lut: expression {expr_text!r} evaluates "
                               f"to nan at val={val}")
-        iv = (clip_max if res > 0 else 0) if math.isinf(res) else int(res)
+        # C (int)res: cvttsd2si yields INT_MIN for +/-inf AND any value
+        # outside int32 range, so av_clip(...) lands on 0 — inf goes to
+        # BLACK in the reference, not white
+        if math.isinf(res) or not -2.0**31 <= res < 2.0**31:
+            iv = -(1 << 31)
+        else:
+            iv = int(res)
         out[val] = min(max(iv, 0), clip_max)
     if len(_LUT_CACHE) > 64:
         _LUT_CACHE.clear()
@@ -1146,29 +1152,12 @@ class TrimFilter:
 # ---- drawbox (vf_drawbox.c) ------------------------------------------------
 
 def _parse_color_rgba(color):
-    """av_parse_color with alpha: name/hex via the shared parser, plus
-    `@A` (0..1 float) and #RRGGBBAA / 0xRRGGBBAA alpha bytes."""
-    s = str(color).strip().lower()
-    alpha = 255
-    base = s
-    if "@" in s:
-        base, aspec = s.split("@", 1)
-        try:
-            av = float(aspec)
-        except ValueError:
-            raise FilterError(f"bad alpha {aspec!r} in color {color!r}") \
-                from None
-        alpha = int(av * 255 + 0.5) if av <= 1.0 else int(av)
-        alpha = min(max(alpha, 0), 255)
-    else:
-        h = (base[1:] if base.startswith("#")
-             else base[2:] if base.startswith("0x") else base)
-        if len(h) == 4 and all(ch in "0123456789abcdef" for ch in h):
-            h = "".join(ch * 2 for ch in h)
-        if len(h) == 8 and all(ch in "0123456789abcdef" for ch in h):
-            alpha = int(h[6:8], 16)
-    rgb = _parse_color(base)
-    return (int(rgb[0]), int(rgb[1]), int(rgb[2]), alpha)
+    """Shared av_parse_color with alpha (geometry.parse_color_rgba):
+    names/hex plus `@A` and #RRGGBBAA alpha bytes."""
+    try:
+        return geometry.parse_color_rgba(color)
+    except ValueError as e:
+        raise FilterError(str(e)) from None
 
 
 _SCALEBITS = 10
@@ -1403,12 +1392,17 @@ class HueFilter:
         self._luma_luts = {}
 
     def _params(self, env):
-        sat = min(max(float(self.s_expr(env)), -10.0), 10.0)
-        bright = min(max(float(self.b_expr(env)), -10.0), 10.0)
+        # HueContext stores hue/saturation/brightness in FLOAT fields:
+        # every evaluated double rounds through float32 before the lrint
+        # / LUT build (vf_hue.c:66-72) — skipping that flips coefficients
+        # by one at rounding boundaries
+        f32 = lambda v: float(np.float32(v))
+        sat = min(max(f32(self.s_expr(env)), -10.0), 10.0)
+        bright = min(max(f32(self.b_expr(env)), -10.0), 10.0)
         if self.H_expr is not None:
-            hue = float(self.H_expr(env))
+            hue = f32(self.H_expr(env))
         elif self.h_expr is not None:
-            hue = float(self.h_expr(env)) * math.pi / 180.0
+            hue = f32(f32(self.h_expr(env)) * math.pi / 180.0)
         else:
             hue = 0.0
         hs = int(np.rint(math.sin(hue) * 65536.0 * sat))   # lrint
@@ -1561,6 +1555,12 @@ class FadeFilter:
         if times is None and (self.start_time or self.duration):
             raise FilterError("fade: start_time/duration are in seconds "
                               "and need a times track")
+        if self.alpha and not (fmt.is_rgb and "a" in fmt.channel_order):
+            # ffmpeg's alpha=1 restricts format negotiation to
+            # alpha-capable formats (vf_fade.c:154-156) — fading the
+            # visible picture instead would be silently wrong
+            raise FilterError(f"fade alpha=1 needs an alpha channel; "
+                              f"{fmt.name} has none (convert first)")
         keep = meta.get("keep")
         factors = np.full(fb.batch, 65535, np.int64)
         for i in range(fb.batch):
@@ -1608,7 +1608,12 @@ class FadeFilter:
             # (the comment's formula gives 8421376 — a 9-off typo that is
             # observable at rounding boundaries); >8-bit uses the formula
             # (vf_fade.c:337-338).  Match the binary, not the comment.
+            # At depth 16 the C `const int add` overflows and wraps to a
+            # negative int32 — reproduce that wrap, both for fidelity and
+            # because JAX refuses a Python int past int32 range.
             add = 8421367 if depth == 8 else ((mid << 1) + 1) << 15
+            if add >= (1 << 31):
+                add -= 1 << 32
             for p in fmt.planes:
                 arr = fb.planes[p.name]
                 p32 = arr.astype(jnp.int32)

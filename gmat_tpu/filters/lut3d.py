@@ -58,16 +58,25 @@ def parse_cube(text: str) -> Tuple[np.ndarray, np.ndarray]:
             size = int(line.split()[1], 0)
             if not 2 <= size <= 256:
                 raise LutError(f"bad LUT_3D_SIZE {size}")
+        elif size is None:
+            # the reference scans for LUT_3D_SIZE first and ignores
+            # EVERYTHING before it — a DOMAIN_* header above the size
+            # line has no effect there, so none here either
+            continue
+        elif len(vals) >= size ** 3:
+            break           # parse_cube `break`s after the last entry;
+                            # trailing DOMAIN_*/junk is never seen
         elif u.startswith("DOMAIN_MIN"):
             mn = np.array([float(v) for v in line.split()[1:4]])
         elif u.startswith("DOMAIN_MAX"):
             mx = np.array([float(v) for v in line.split()[1:4]])
-        elif u.startswith("TITLE") or u.startswith("LUT_1D_SIZE"):
-            if u.startswith("LUT_1D_SIZE"):
-                raise LutError("1D .cube passed to lut3d")
+        elif u.startswith("TITLE"):
+            pass
+        elif u.startswith("LUT_1D_SIZE"):
+            raise LutError("1D .cube passed to lut3d")
         else:
             parts = line.split()
-            if size is not None and len(parts) >= 3:
+            if len(parts) >= 3:
                 try:
                     vals.append((float(parts[0]), float(parts[1]),
                                  float(parts[2])))

@@ -146,8 +146,11 @@ def _unsharp_plane(arr, msx: int, msy: int, amount: int, bits: int):
     kv = jnp.asarray(_binomial_band(h, sy))
     kh = jnp.asarray(_binomial_band(w, sx))
     x32 = arr.astype(jnp.int32)
+    # the reference accumulates in uint32 and wraps mod 2^32 for large
+    # 16-bit matrices; int32 overflow wraps identically bit-for-bit, and
+    # the mask below turns the arithmetic >> into C's LOGICAL uint32 >>
     acc = jnp.einsum("ij,njk,lk->nil", kv, x32, kh)
-    blur = (acc + half) >> scalebits
+    blur = ((acc + half) >> scalebits) & ((1 << (32 - scalebits)) - 1)
     res = x32 + (((x32 - blur) * amount) >> (8 + bits))
     maxv = (1 << bits) - 1
     return jnp.clip(res, 0, maxv).astype(arr.dtype)
@@ -165,22 +168,22 @@ def unsharp(fb: FrameBatch, lx: int = 5, ly: int = 5, la: float = 1.0,
         raise ValueError("unsharp operates on planar YUV/gray "
                          "(vf_unsharp.c avfilter_vf_unsharp formats)")
     for v, nm in ((lx, "lx"), (ly, "ly"), (cx, "cx"), (cy, "cy")):
-        if not 3 <= v <= 23 or v % 2 == 0:
-            raise ValueError(f"unsharp {nm}={v}: matrix size must be odd, "
-                             "3..23")
+        if not 3 <= v <= 23:        # AVOption MIN_SIZE..MAX_SIZE; even
+            raise ValueError(        # values floor to odd via msize/2
+                f"unsharp {nm}={v}: matrix size must be 3..23")
     la = min(max(float(la), -2.0), 5.0)
     ca = min(max(float(ca), -2.0), 5.0)
     # the reference selects the 8- vs 16-bit slice macro by CONTAINER
     # width (vf_unsharp.c:142-143): 10-bit lsb-aligned planes shift by
     # 8+16 and clip at 65535, not 1023 — match that
     bits = np.dtype(fmt.planes[0].dtype).itemsize * 8
-    # guard the reference's own overflow envelope: uint32 accumulation
-    # wraps past bits + 2*(sx+sy) >= 32; we refuse instead of wrapping
+    # the reference's only size gate (init, vf_unsharp.c:194); its uint32
+    # wraparound beyond that envelope is reproduced by the int32
+    # accumulation + masked shift in _unsharp_plane
     for mx, my, nm in ((lx, ly, "luma"), (cx, cy, "chroma")):
-        if bits + (mx // 2 + my // 2) * 2 > 31:
-            raise ValueError(f"unsharp: {nm} matrix {mx}x{my} overflows "
-                             f"{bits}-bit accumulation (reference wraps "
-                             "uint32 here); use a smaller matrix")
+        if (mx // 2 + my // 2) * 2 >= 26:
+            raise ValueError(f"unsharp: {nm} matrix size too big "
+                             "(scalebits >= 26, vf_unsharp.c init)")
     lam, cam = int(la * 65536.0), int(ca * 65536.0)
     planes = {}
     for p in fmt.planes:

@@ -262,23 +262,41 @@ _COLOR_NAMES = {
 }
 
 
-def parse_color(s: str):
+def parse_color_rgba(s: str):
     """av_parse_color subset — the ONE color parser every filter shares
-    (pad, chromakey): names, #RGB[A] / #RRGGBB[AA] / 0x-prefixed hex,
-    bare RRGGBB hex (chromakey option-string compat), name@alpha (alpha
-    ignored — no canvas blending)."""
+    (pad, chromakey, fade, drawbox): names, #RGB[A] / #RRGGBB[AA] /
+    0x-prefixed hex, bare RRGGBB hex (chromakey option-string compat),
+    name@A (A as 0..1 float, or 0..255 when > 1).  Returns (r, g, b, a);
+    callers that don't blend just drop the alpha via parse_color."""
     s = str(s).strip().lower()
+    alpha = 255
+    explicit = False                          # av_parse_color: @A wins
     if "@" in s:
-        s = s.split("@", 1)[0]
+        s, aspec = s.split("@", 1)
+        try:
+            av = float(aspec)
+        except ValueError:
+            raise ValueError(f"bad alpha {aspec!r} in color") from None
+        alpha = int(av * 255 + 0.5) if av <= 1.0 else int(av)
+        alpha = min(max(alpha, 0), 255)
+        explicit = True
     if s in _COLOR_NAMES:
-        return _COLOR_NAMES[s]
+        return _COLOR_NAMES[s] + (alpha,)
     h = s[1:] if s.startswith("#") else s[2:] if s.startswith("0x") else s
     if len(h) in (3, 4):                      # #RGB / #RGBA short hex
         h = "".join(c * 2 for c in h)
     if len(h) in (6, 8) and all(c in "0123456789abcdef" for c in h):
-        return (int(h[0:2], 16), int(h[2:4], 16), int(h[4:6], 16))
+        if len(h) == 8 and not explicit:
+            alpha = int(h[6:8], 16)
+        return (int(h[0:2], 16), int(h[2:4], 16), int(h[4:6], 16), alpha)
     raise ValueError(f"unknown color {s!r} (use a name, #RGB, RRGGBB, "
                      "or 0xRRGGBB)")
+
+
+def parse_color(s: str):
+    """RGB-only view of parse_color_rgba (alpha dropped — no canvas
+    blending in pad/chromakey)."""
+    return parse_color_rgba(s)[:3]
 
 
 def _yuv_fill(rgb, cspace: str, fmt):

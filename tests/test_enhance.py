@@ -744,10 +744,17 @@ def test_unsharp_16bit_container_semantics(rng):
 
 def test_unsharp_validation(rng):
     fb = _yuv(rng, n=1)
-    with pytest.raises(ValueError, match="odd"):
-        FilterGraph("unsharp=4:5:1.0").process(fb)
-    with pytest.raises(ValueError, match="odd"):
+    # AVOption range is 3..23 with EVEN values legal (msize/2 floors):
+    # unsharp=4 behaves exactly like unsharp=5
+    o4, _ = FilterGraph("unsharp=4:4:1.0").process(fb)
+    o5, _ = FilterGraph("unsharp=5:5:1.0").process(fb)
+    np.testing.assert_array_equal(np.asarray(o4.planes["y"]),
+                                  np.asarray(o5.planes["y"]))
+    with pytest.raises(ValueError, match="3..23"):
         FilterGraph("unsharp=25:5:1.0").process(fb)
+    # the reference's only size gate: scalebits >= 26
+    with pytest.raises(ValueError, match="too big"):
+        FilterGraph("unsharp=15:13:1.0").process(fb)
 
 
 # ---- hue (vf_hue.c) ---------------------------------------------------------
@@ -819,3 +826,94 @@ def test_hue_10bit(rng):
     exp_y = np.clip(np.trunc(y.astype(np.float64) + 102.4),
                     0, 1023).astype(np.uint16)
     np.testing.assert_array_equal(np.asarray(out.planes["y"]), exp_y)
+
+
+# ---- round-4 review regressions (second pass) -------------------------------
+
+def test_unsharp_13x13_8bit_exact(rng):
+    """bits+scalebits == 32 is exact in the reference's uint32
+    accumulation — must be accepted and match the oracle (review r4)."""
+    fb = _yuv(rng, n=1, h=16, w=24)
+    out, _ = FilterGraph("unsharp=13:13:1.0").process(fb)
+    exp = _unsharp_oracle(np.asarray(fb.planes["y"])[0], 13, 13, 1.0)
+    np.testing.assert_array_equal(np.asarray(out.planes["y"])[0], exp)
+
+
+def test_unsharp_16bit_uint32_wrap(rng):
+    """Past the exact envelope the reference wraps its uint32
+    accumulator; the int32 einsum + masked logical shift reproduces
+    that (review r4)."""
+    from gmat_tpu.core.frame import FrameBatch
+    from gmat_tpu.ops.enhance import unsharp
+    import jax.numpy as jnp
+    y = rng.integers(0, 65536, (1, 12, 12)).astype(np.uint16)
+    u = rng.integers(0, 65536, (1, 6, 6)).astype(np.uint16)
+    v = rng.integers(0, 65536, (1, 6, 6)).astype(np.uint16)
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p16", 12, 12)
+    out = unsharp(fb, 11, 9, 1.5)       # scalebits 18: wraps on uint16
+    # wrap-emulating oracle: uint32 accumulate, logical shift
+    sx, sy = 5, 4
+    row = np.ones(1, np.int64)
+    for _ in range(2 * sx):
+        row = np.convolve(row, [1, 1])
+    col = np.ones(1, np.int64)
+    for _ in range(2 * sy):
+        col = np.convolve(col, [1, 1])
+    p64 = y[0].astype(np.int64)
+    padded = np.pad(p64, ((sy, sy), (sx, sx)), mode="edge")
+    acc = np.zeros_like(p64)
+    for dy, cy_ in enumerate(col):
+        for dx, cx_ in enumerate(row):
+            acc += cy_ * cx_ * padded[dy:dy + 12, dx:dx + 12]
+    scalebits = (sx + sy) * 2
+    blur = ((acc + (1 << (scalebits - 1))) % (1 << 32)) >> scalebits
+    amount = int(1.5 * 65536)
+    prod = (p64 - blur) * amount
+    prod = ((prod + (1 << 31)) % (1 << 32)) - (1 << 31)   # int32 wrap
+    res = p64 + (prod >> 24)
+    exp = np.clip(res, 0, 65535).astype(np.uint16)
+    np.testing.assert_array_equal(np.asarray(out.planes["y"])[0], exp)
+
+
+def test_fade_16bit_wrapped_add(rng):
+    """depth-16 chroma add constant wraps int32 in the C source; fade
+    must accept yuv420p16 and reproduce the wrapped math (review r4)."""
+    from gmat_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+    y = rng.integers(0, 65536, (2, 8, 8)).astype(np.uint16)
+    u = rng.integers(0, 65536, (2, 4, 4)).astype(np.uint16)
+    v = rng.integers(0, 65536, (2, 4, 4)).astype(np.uint16)
+    fb = FrameBatch({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                     "v": jnp.asarray(v)}, "yuv420p16", 8, 8)
+    out, _ = FilterGraph("fade=in:0:4").process(fb, pts=np.arange(2))
+    add = ((1 << 16) + 1) << 15
+    add -= 1 << 32                    # the C int32 wrap
+    f = 65536 // 4
+    exp_u = (((u[1].astype(np.int64) - 32768) * f + add) >> 16) \
+        .astype(np.uint16)
+    np.testing.assert_array_equal(np.asarray(out.planes["u"])[1], exp_u)
+
+
+def test_fade_alpha_without_alpha_channel_raises(rng):
+    fb = _yuv(rng, n=2)
+    with pytest.raises(ValueError, match="alpha"):
+        FilterGraph("fade=in:0:4:alpha=1").process(fb, pts=np.arange(2))
+
+
+def test_lut_int_cast_saturation_matches_c(rng):
+    """(int)res is cvttsd2si: +/-inf and out-of-int32-range all produce
+    INT_MIN -> clip to 0 (BLACK), never clip_max (review r4)."""
+    fb = _yuv(rng, n=1)
+    out, _ = FilterGraph("lutyuv=y=val*1e10").process(fb)
+    assert np.all(np.asarray(out.planes["y"]) == 0)
+
+
+def test_color_rgba_shared_parser():
+    from gmat_tpu.ops.geometry import parse_color_rgba
+    assert parse_color_rgba("red") == (255, 0, 0, 255)
+    assert parse_color_rgba("green@0.5") == (0, 128, 0, 128)
+    assert parse_color_rgba("#11223344") == (0x11, 0x22, 0x33, 0x44)
+    assert parse_color_rgba("#11223344@1.0") == (0x11, 0x22, 0x33, 255)
+    with pytest.raises(ValueError):
+        parse_color_rgba("red@bogus")

@@ -94,9 +94,15 @@ def test_parse_cube_red_fastest():
 
 
 def test_cube_domain_scale():
-    txt = CUBE.replace("DOMAIN_MAX 1.0 1.0 1.0", "DOMAIN_MAX 2.0 1.0 1.0")
+    # DOMAIN_* interleaved with the data (the C try_again loop) counts...
+    txt = CUBE.replace("0.3 1.0 0.0", "DOMAIN_MAX 2.0 1.0 1.0\n0.3 1.0 0.0")
     _, scale = l3.parse_cube(txt)
     np.testing.assert_allclose(scale, [0.5, 1, 1])
+    # ...but DOMAIN_* BEFORE LUT_3D_SIZE or AFTER the last entry is
+    # ignored, exactly like parse_cube's scan/break structure
+    txt2 = "DOMAIN_MAX 2.0 2.0 2.0\n" + CUBE + "\nDOMAIN_MAX 4.0 4.0 4.0"
+    _, scale2 = l3.parse_cube(txt2)
+    np.testing.assert_allclose(scale2, [1, 1, 1])
 
 
 def test_parse_3dl():
