@@ -55,7 +55,11 @@ def parse_cube(text: str) -> Tuple[np.ndarray, np.ndarray]:
     for line in _data_lines(text):
         u = line.upper()
         if u.startswith("LUT_3D_SIZE"):
-            size = int(line.split()[1], 0)
+            parts = line.split()
+            try:
+                size = int(parts[1], 0)
+            except (IndexError, ValueError):
+                raise LutError(f"bad LUT_3D_SIZE line {line!r}") from None
             if not 2 <= size <= 256:
                 raise LutError(f"bad LUT_3D_SIZE {size}")
         elif size is None:
@@ -66,10 +70,17 @@ def parse_cube(text: str) -> Tuple[np.ndarray, np.ndarray]:
         elif len(vals) >= size ** 3:
             break           # parse_cube `break`s after the last entry;
                             # trailing DOMAIN_*/junk is never seen
-        elif u.startswith("DOMAIN_MIN"):
-            mn = np.array([float(v) for v in line.split()[1:4]])
-        elif u.startswith("DOMAIN_MAX"):
-            mx = np.array([float(v) for v in line.split()[1:4]])
+        elif u.startswith("DOMAIN_MIN") or u.startswith("DOMAIN_MAX"):
+            try:
+                trio = [float(v) for v in line.split()[1:4]]
+            except ValueError:
+                raise LutError(f"bad DOMAIN line {line!r}") from None
+            if len(trio) != 3:
+                raise LutError(f"bad DOMAIN line {line!r}")
+            if u.startswith("DOMAIN_MIN"):
+                mn = np.asarray(trio)
+            else:
+                mx = np.asarray(trio)
         elif u.startswith("TITLE"):
             pass
         elif u.startswith("LUT_1D_SIZE"):

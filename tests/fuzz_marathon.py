@@ -128,6 +128,19 @@ def fuzz_expr():
             f"expr raised {type(ex).__name__} on {text!r}") from ex
     assert isinstance(v, float), (text, v)
 
+from gmat_tpu.filters.lut3d import parse_cube, parse_3dl
+
+_CUBE_BASE = ("LUT_3D_SIZE 3\n" + "\n".join(
+    f"{r/2} {g/2} {b/2}" for b in range(3) for g in range(3)
+    for r in range(3))).encode()
+
+def fuzz_cube(nm):
+    """3D-LUT text parsers: only LutError (a ValueError) may escape."""
+    b = mutate(_CUBE_BASE, nm)
+    txt = b.decode("latin-1")
+    parse_cube(txt)
+    parse_3dl(txt)
+
 ALLOWED = (IOError, ValueError, __import__("struct").error, IndexError,
            KeyError, EOFError, OverflowError, ZeroDivisionError)
 crashes = []
@@ -154,8 +167,10 @@ for it in range(N):
                 hevc.parse_stream_slices([pkt])
                 hevc.stream_hdr_metadata([pkt])
                 hevc.stream_timing_info([pkt])
-            else:
+            elif it % 2:
                 fuzz_expr()
+            else:
+                fuzz_cube(nm)
     except ALLOWED:
         pass
     except Exception as e:

@@ -178,3 +178,14 @@ def test_lut3d_yuv_rejected(rng):
         rng.integers(0, 256, (1, 4, 6)).astype(np.uint8))
     with pytest.raises(ValueError, match="RGB"):
         FilterGraph("lut3d").process(fb)
+
+
+def test_parser_malformed_headers_raise_luterror():
+    """Fuzz regressions: malformed size/domain headers must raise
+    LutError, never bare ValueError/IndexError."""
+    for bad in ("LUT_3D_SIZE A\n0 0 0", "LUT_3D_SIZE\n", "LUT_3D_SIZE +",
+                "LUT_3D_SIZE 2\nDOMAIN_MIN 0 0\n" + "0 0 0\n" * 8,
+                "LUT_3D_SIZE 2\nDOMAIN_MAX x y z\n" + "0 0 0\n" * 8,
+                "LUT_3D_SIZE 999999"):
+        with pytest.raises(l3.LutError):
+            l3.parse_cube(bad)
