@@ -233,6 +233,23 @@ def _f_lut3d(file=None, interp="tetrahedral"):
     return lambda fb: _l3.apply_lut3d(fb, lut, scale, mode)
 
 
+def _f_lut1d(file=None, interp="linear"):
+    """vf_lut1d builder: 1D .cube file or the size-32 identity."""
+    from . import lut3d as _l3
+    if file:
+        try:
+            lut, scale = _l3.load_lut1d_file(str(file))
+        except OSError as e:
+            raise FilterError(f"lut1d: {e}") from None
+    else:
+        lut, scale = _l3.identity_lut_1d(32)
+    mode = str(interp)
+    if mode not in _l3.INTERP_1D_MODES:
+        raise FilterError(f"lut1d interp must be one of "
+                          f"{_l3.INTERP_1D_MODES}, got {mode!r}")
+    return lambda fb: _l3.apply_lut1d(fb, lut, scale, mode)
+
+
 def _f_unsharp(luma_msize_x=5, lx=None, luma_msize_y=5, ly=None,
                luma_amount=1.0, la=None, chroma_msize_x=5, cx=None,
                chroma_msize_y=5, cy=None, chroma_amount=0.0, ca=None):
@@ -2085,6 +2102,7 @@ FILTERS: Dict[str, Callable] = {
     "unsharp": _f_unsharp,
     "hue": HueFilter,
     "lut3d": _f_lut3d,
+    "lut1d": _f_lut1d,
     "hqdn3d": Hqdn3dFilter,
     "lut": _make_lut_filter("all"),
     "lutyuv": _make_lut_filter("yuv"),

@@ -43,6 +43,7 @@ POSITIONAL = {
                 "chroma_msize_x", "chroma_msize_y", "chroma_amount"),
     "hue": ("h", "s", "H", "b"),
     "lut3d": ("file", "interp"),
+    "lut1d": ("file", "interp"),
     "hqdn3d": ("luma_spatial", "chroma_spatial", "luma_tmp",
                "chroma_tmp"),
     "lut": ("c0", "c1", "c2", "c3"),

@@ -22,6 +22,7 @@ clipf(s * scale_c * (S-1), 0, S-1); interp; out = clip_uintp2(trunc
 """
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -267,5 +268,145 @@ def apply_lut3d(fb: FrameBatch, lut: np.ndarray, scale: np.ndarray,
     for ci, ch in enumerate("rgb"):
         v = jnp.clip((vec[..., ci] * maxval).astype(jnp.int32),
                      0, maxval.astype(np.int32))
+        out = out.at[..., order.index(ch)].set(v.astype(arr.dtype))
+    return fb.with_planes({"rgb": out})
+
+
+# ---- lut1d (vf_lut3d.c CONFIG_LUT1D_FILTER section) -------------------------
+
+INTERP_1D_MODES = ("nearest", "linear", "cubic", "cosine", "spline")
+
+
+def parse_cube_1d(text: str) -> Tuple[np.ndarray, np.ndarray]:
+    """1D .cube -> (lut (S, 3) float32, scale (3,)).  Same scan/break
+    structure as parse_cube (parse_cube_1d, vf_lut3d.c:1638-1694) with
+    the extra LUT_1D_INPUT_RANGE header (two floats applied to all
+    three channels)."""
+    size = None
+    mn = np.zeros(3, np.float64)
+    mx = np.ones(3, np.float64)
+    vals = []
+    for line in _data_lines(text):
+        u = line.upper()
+        if u.startswith("LUT_1D_SIZE"):
+            parts = line.split()
+            try:
+                size = int(parts[1], 0)
+            except (IndexError, ValueError):
+                raise LutError(f"bad LUT_1D_SIZE line {line!r}") from None
+            if not 2 <= size <= 65536:          # MAX_1D_LEVEL
+                raise LutError(f"bad LUT_1D_SIZE {size}")
+        elif size is None:
+            continue
+        elif len(vals) >= size:
+            break
+        elif u.startswith("LUT_1D_INPUT_RANGE"):
+            try:
+                lo, hi = (float(v) for v in line.split()[1:3])
+            except ValueError:
+                raise LutError(f"bad LUT_1D_INPUT_RANGE {line!r}") \
+                    from None
+            mn[:] = lo
+            mx[:] = hi
+        elif u.startswith("DOMAIN_MIN") or u.startswith("DOMAIN_MAX"):
+            try:
+                trio = [float(v) for v in line.split()[1:4]]
+            except ValueError:
+                raise LutError(f"bad DOMAIN line {line!r}") from None
+            if len(trio) != 3:
+                raise LutError(f"bad DOMAIN line {line!r}")
+            (mn if u.startswith("DOMAIN_MIN") else mx)[:] = trio
+        elif u.startswith("TITLE"):
+            pass
+        elif u.startswith("LUT_3D_SIZE"):
+            raise LutError("3D .cube passed to lut1d")
+        else:
+            parts = line.split()
+            if len(parts) >= 3:
+                try:
+                    vals.append((float(parts[0]), float(parts[1]),
+                                 float(parts[2])))
+                except ValueError:
+                    raise LutError(f"bad .cube data line {line!r}") \
+                        from None
+    if size is None:
+        raise LutError(".cube has no LUT_1D_SIZE")
+    if len(vals) < size:
+        raise LutError(f".cube has {len(vals)} entries, needs {size}")
+    lut = np.asarray(vals[:size], np.float32)
+    scale = np.clip(1.0 / (mx - mn), 0.0, 1.0).astype(np.float32)
+    return lut, scale
+
+
+def identity_lut_1d(size: int = 32) -> Tuple[np.ndarray, np.ndarray]:
+    c = np.float32(1.0 / (size - 1))
+    i = np.arange(size, dtype=np.float32) * c
+    return np.stack([i, i, i], axis=-1), np.ones(3, np.float32)
+
+
+def load_lut1d_file(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    with open(path, "r", errors="replace") as f:
+        text = f.read()
+    if path.lower().endswith(".cube"):
+        return parse_cube_1d(text)
+    raise LutError(f"unsupported 1D LUT extension on {path!r} "
+                   "(.cube supported)")
+
+
+def _interp_1d(col, S, s, mode):
+    """One channel: s (N,H,W) scaled positions, col (S,) table."""
+    prev = s.astype(jnp.int32)
+    nxt = jnp.minimum(prev + 1, S - 1)
+    d = s - prev.astype(jnp.float32)
+    p = jnp.take(col, prev)
+    n = jnp.take(col, nxt)
+    if mode == "nearest":
+        return jnp.take(col, (s + np.float32(0.5)).astype(jnp.int32))
+    if mode == "linear":
+        return p + (n - p) * d
+    if mode == "cosine":
+        m = (np.float32(1.0) - jnp.cos(d * np.float32(math.pi))) \
+            * np.float32(0.5)
+        return p + (n - p) * m
+    y0 = jnp.take(col, jnp.maximum(prev - 1, 0))
+    y3 = jnp.take(col, jnp.minimum(nxt + 1, S - 1))
+    if mode == "cubic":
+        mu2 = d * d
+        a0 = y3 - n - y0 + p
+        a1 = y0 - p - a0
+        a2 = n - y0
+        return a0 * d * mu2 + a1 * mu2 + a2 * d + p
+    if mode == "spline":
+        c0 = p
+        c1 = np.float32(0.5) * (n - y0)
+        c2 = y0 - np.float32(2.5) * p + np.float32(2.0) * n \
+            - np.float32(0.5) * y3
+        c3 = np.float32(0.5) * (y3 - y0) + np.float32(1.5) * (p - n)
+        return ((c3 * d + c2) * d + c1) * d + c0
+    raise LutError(f"unknown 1D interp mode {mode!r}; use one of "
+                   f"{INTERP_1D_MODES}")
+
+
+def apply_lut1d(fb: FrameBatch, lut: np.ndarray, scale: np.ndarray,
+                interp: str = "linear") -> FrameBatch:
+    """Apply per-channel 1D curves to an integer RGB FrameBatch."""
+    fmt = fb.fmt
+    if not fmt.is_rgb or fmt.is_float:
+        raise LutError("lut1d operates on integer RGB frames "
+                       "(format=rgb24/... first)")
+    S = lut.shape[0]
+    order = fmt.channel_order
+    arr = fb.planes["rgb"]
+    maxval = np.float32((1 << fmt.bits) - 1)
+    lut_max = np.float32(S - 1)
+    out = arr
+    for ci, ch in enumerate("rgb"):
+        pos = arr[..., order.index(ch)].astype(jnp.float32) \
+            * (np.float32(1.0) / maxval)
+        pos = jnp.clip(pos * (np.float32(scale[ci]) * lut_max),
+                       0.0, lut_max)
+        vec = _interp_1d(jnp.asarray(lut[:, ci]), S, pos, interp)
+        v = jnp.clip((vec * maxval).astype(jnp.int32), 0,
+                     maxval.astype(np.int32))
         out = out.at[..., order.index(ch)].set(v.astype(arr.dtype))
     return fb.with_planes({"rgb": out})

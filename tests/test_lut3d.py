@@ -189,3 +189,75 @@ def test_parser_malformed_headers_raise_luterror():
                 "LUT_3D_SIZE 999999"):
         with pytest.raises(l3.LutError):
             l3.parse_cube(bad)
+
+
+# ---- lut1d ------------------------------------------------------------------
+
+CUBE1D = """TITLE "curve"
+LUT_1D_SIZE 4
+LUT_1D_INPUT_RANGE 0.0 1.0
+0.0 0.0 0.1
+0.2 0.3 0.4
+0.6 0.5 0.7
+1.0 1.0 0.9
+"""
+
+
+def _oracle_1d(v, col, scale_c, mode, S):
+    s = np.clip(np.float32(v) / np.float32(255.0)
+                * (np.float32(scale_c) * np.float32(S - 1)), 0, S - 1)
+    prev = int(s)
+    nxt = min(prev + 1, S - 1)
+    d = np.float32(s - prev)
+    p, n = col[prev], col[nxt]
+    if mode == "nearest":
+        return col[int(s + 0.5)]
+    if mode == "linear":
+        return p + (n - p) * d
+    if mode == "cosine":
+        m = (np.float32(1.0) - np.float32(np.cos(d * np.float32(np.pi)))) \
+            * np.float32(0.5)
+        return p + (n - p) * m
+    y0, y3 = col[max(prev - 1, 0)], col[min(nxt + 1, S - 1)]
+    if mode == "cubic":
+        mu2 = d * d
+        a0 = y3 - n - y0 + p
+        a1 = y0 - p - a0
+        a2 = n - y0
+        return a0 * d * mu2 + a1 * mu2 + a2 * d + p
+    c0 = p
+    c1 = np.float32(0.5) * (n - y0)
+    c2 = y0 - np.float32(2.5) * p + np.float32(2.0) * n \
+        - np.float32(0.5) * y3
+    c3 = np.float32(0.5) * (y3 - y0) + np.float32(1.5) * (p - n)
+    return ((c3 * d + c2) * d + c1) * d + c0
+
+
+@pytest.mark.parametrize("mode", list(l3.INTERP_1D_MODES))
+def test_lut1d_oracle(rng, mode):
+    lut, scale = l3.parse_cube_1d(CUBE1D)
+    assert lut.shape == (4, 3)
+    fb, src = _rgb_fb(rng, h=4, w=6)
+    out = l3.apply_lut1d(fb, lut, scale, mode)
+    o = np.asarray(out.planes["rgb"])
+    for yy in range(4):
+        for xx in range(6):
+            for ci in range(3):
+                vec = _oracle_1d(src[0, yy, xx, ci], lut[:, ci],
+                                 scale[ci], mode, 4)
+                exp = np.uint8(min(max(int(np.float32(vec)
+                                           * np.float32(255.0)), 0), 255))
+                assert o[0, yy, xx, ci] == exp, (mode, yy, xx, ci)
+
+
+def test_lut1d_identity_and_graph(rng):
+    fb, src = _rgb_fb(rng)
+    out, _ = FilterGraph("lut1d").process(fb)
+    diff = np.abs(np.asarray(out.planes["rgb"]).astype(int) - src.astype(int))
+    assert diff.max() <= 1
+    # file through the graph; input range scales positions
+    import tempfile, os
+    p = os.path.join(tempfile.gettempdir(), "curve1d.cube")
+    open(p, "w").write(CUBE1D)
+    out2, _ = FilterGraph(f"lut1d=file={p}:interp=spline").process(fb)
+    assert not np.array_equal(np.asarray(out2.planes["rgb"]), src)
