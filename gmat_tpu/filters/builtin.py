@@ -233,6 +233,164 @@ def _f_lut3d(file=None, interp="tetrahedral"):
     return lambda fb: _l3.apply_lut3d(fb, lut, scale, mode)
 
 
+# ---- curves (vf_curves.c) --------------------------------------------------
+
+# curves_presets[] table, vf_curves.c:115-144
+_CURVES_PRESETS = {
+    "none": (None, None, None, None),
+    "color_negative": ("0.129/1 0.466/0.498 0.725/0",
+                       "0.109/1 0.301/0.498 0.517/0",
+                       "0.098/1 0.235/0.498 0.423/0", None),
+    "cross_process": ("0/0 0.25/0.156 0.501/0.501 0.686/0.745 1/1",
+                      "0/0 0.25/0.188 0.38/0.501 0.745/0.815 1/0.815",
+                      "0/0 0.231/0.094 0.709/0.874 1/1", None),
+    "darker": (None, None, None, "0/0 0.5/0.4 1/1"),
+    "increase_contrast": (None, None, None,
+                          "0/0 0.149/0.066 0.831/0.905 0.905/0.98 1/1"),
+    "lighter": (None, None, None, "0/0 0.4/0.5 1/1"),
+    "linear_contrast": (None, None, None,
+                        "0/0 0.305/0.286 0.694/0.713 1/1"),
+    "medium_contrast": (None, None, None,
+                        "0/0 0.286/0.219 0.639/0.643 1/1"),
+    "negative": (None, None, None, "0/1 1/0"),
+    "strong_contrast": (None, None, None,
+                        "0/0 0.301/0.196 0.592/0.6 0.686/0.737 1/1"),
+    "vintage": ("0/0.11 0.42/0.51 1/0.95", "0/0 0.50/0.48 1/1",
+                "0/0.22 0.49/0.44 1/0.8", None),
+}
+
+
+def _curves_parse_points(s, lut_size):
+    """parse_points_str (vf_curves.c:157-199): 'x/y x/y ...' with [0,1]
+    range checks and strictly-increasing scaled x."""
+    if s is None:
+        return []
+    scale = lut_size - 1
+    pts = []
+    for tok in str(s).replace(",", " ").split():
+        xy = tok.split("/")
+        if len(xy) != 2:
+            raise FilterError(f"curves: bad point {tok!r} (use x/y)")
+        try:
+            x, y = float(xy[0]), float(xy[1])
+        except ValueError:
+            raise FilterError(f"curves: bad point {tok!r}") from None
+        if not (0.0 <= x <= 1.0 and 0.0 <= y <= 1.0):
+            raise FilterError(f"curves: point ({x};{y}) outside [0;1]")
+        if pts and int(pts[-1][0] * scale) >= int(x * scale):
+            raise FilterError(f"curves: points not strictly increasing "
+                              f"at {tok!r}")
+        pts.append((x, y))
+    return pts
+
+
+def _curves_spline_graph(points, depth):
+    """Natural cubic spline LUT — interpolate() (vf_curves.c:219-338)
+    with the same tridiagonal solve, segment polynomials, truncating
+    CLIP, and constant left/right padding."""
+    lut_size = 1 << depth
+    scale = lut_size - 1
+    cmax = scale
+
+    def clip(v):
+        return min(max(int(v), 0), cmax)    # double -> int truncation
+
+    n = len(points)
+    if n == 0:
+        return np.arange(lut_size, dtype=np.int64)
+    y = np.empty(lut_size, np.int64)
+    if n == 1:
+        y[:] = clip(points[0][1] * scale)
+        return y
+    xs = [p[0] for p in points]
+    ys = [p[1] for p in points]
+    h = [xs[i + 1] - xs[i] for i in range(n - 1)]
+    r = [0.0] * n
+    for i in range(1, n - 1):
+        r[i] = 6.0 * ((ys[i + 1] - ys[i]) / h[i]
+                      - (ys[i] - ys[i - 1]) / h[i - 1])
+    bd = [0.0] * n
+    md = [0.0] * n
+    ad = [0.0] * n
+    md[0] = md[n - 1] = 1.0
+    for i in range(1, n - 1):
+        bd[i] = h[i - 1]
+        md[i] = 2.0 * (h[i - 1] + h[i])
+        ad[i] = h[i]
+    for i in range(1, n):
+        den = md[i] - bd[i] * ad[i - 1]
+        k = 1.0 / den if den else 1.0
+        ad[i] *= k
+        r[i] = (r[i] - bd[i] * r[i - 1]) * k
+    for i in range(n - 2, -1, -1):
+        r[i] = r[i] - ad[i] * r[i + 1]
+    for i in range(int(xs[0] * scale)):
+        y[i] = clip(ys[0] * scale)
+    for i in range(n - 1):
+        a = ys[i]
+        b = (ys[i + 1] - ys[i]) / h[i] - h[i] * r[i] / 2.0 \
+            - h[i] * (r[i + 1] - r[i]) / 6.0
+        c = r[i] / 2.0
+        d = (r[i + 1] - r[i]) / (6.0 * h[i])
+        x_start = int(xs[i] * scale)
+        x_end = int(xs[i + 1] * scale)
+        for x in range(x_start, x_end + 1):
+            xx = (x - x_start) * 1.0 / scale
+            yy = a + b * xx + c * xx * xx + d * xx * xx * xx
+            y[x] = clip(yy * scale)
+    for i in range(int(xs[-1] * scale), lut_size):
+        y[i] = clip(ys[-1] * scale)
+    return y
+
+
+def _f_curves(preset="none", master=None, m=None, red=None, r=None,
+              green=None, g=None, blue=None, b=None, all=None):
+    """vf_curves: per-channel natural-spline tone curves + master curve
+    composition (graph[i] = master[graph[i]], vf_curves.c:666-670);
+    `all` seeds every unset channel; presets fill remaining unset ones
+    (curves_init).  RGB integer formats."""
+    preset = str(preset).lower()
+    if preset not in _CURVES_PRESETS:
+        raise FilterError(f"curves: unknown preset {preset!r}; one of "
+                          f"{sorted(_CURVES_PRESETS)}")
+    comp = [r if r is not None else red,
+            g if g is not None else green,
+            b if b is not None else blue,
+            m if m is not None else master]
+    if all is not None:
+        for i in range(3):
+            if comp[i] is None:
+                comp[i] = all
+    pr = _CURVES_PRESETS[preset]
+    for i in range(4):
+        if comp[i] is None and pr[i] is not None:
+            comp[i] = pr[i]
+
+    def run(fb):
+        from ..ops import enhance
+        fmt = fb.fmt
+        if not fmt.is_rgb or fmt.is_float:
+            raise FilterError("curves operates on integer RGB frames "
+                              "(vf_curves.c pix_fmts); convert first")
+        depth = fmt.bits
+        dt = fmt.planes[0].dtype
+        graphs = [_curves_spline_graph(
+            _curves_parse_points(comp[i], 1 << depth), depth)
+            for i in range(4)]
+        if comp[3] is not None:
+            for i in range(3):
+                graphs[i] = graphs[3][graphs[i]]
+        order = fmt.channel_order
+        tab = np.empty((len(order), 1 << depth), dt)
+        ident = np.arange(1 << depth, dtype=np.int64)
+        slot = {"r": 0, "g": 1, "b": 2}
+        for ci, ch in enumerate(order):
+            tab[ci] = (graphs[slot[ch]] if ch in slot else ident) \
+                .astype(dt)
+        return enhance.apply_luts(fb, {"rgb": tab})
+    return run
+
+
 def _f_lut1d(file=None, interp="linear"):
     """vf_lut1d builder: 1D .cube file or the size-32 identity."""
     from . import lut3d as _l3
@@ -2103,6 +2261,7 @@ FILTERS: Dict[str, Callable] = {
     "hue": HueFilter,
     "lut3d": _f_lut3d,
     "lut1d": _f_lut1d,
+    "curves": _f_curves,
     "hqdn3d": Hqdn3dFilter,
     "lut": _make_lut_filter("all"),
     "lutyuv": _make_lut_filter("yuv"),

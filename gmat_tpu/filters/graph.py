@@ -44,6 +44,7 @@ POSITIONAL = {
     "hue": ("h", "s", "H", "b"),
     "lut3d": ("file", "interp"),
     "lut1d": ("file", "interp"),
+    "curves": ("preset", "master"),
     "hqdn3d": ("luma_spatial", "chroma_spatial", "luma_tmp",
                "chroma_tmp"),
     "lut": ("c0", "c1", "c2", "c3"),

@@ -261,3 +261,69 @@ def test_lut1d_identity_and_graph(rng):
     open(p, "w").write(CUBE1D)
     out2, _ = FilterGraph(f"lut1d=file={p}:interp=spline").process(fb)
     assert not np.array_equal(np.asarray(out2.planes["rgb"]), src)
+
+
+# ---- curves (vf_curves.c) ---------------------------------------------------
+
+def test_curves_spline_properties():
+    from gmat_tpu.filters.builtin import (_curves_spline_graph,
+                                          _curves_parse_points)
+    pts = _curves_parse_points("0/0 0.5/0.7 1/1", 256)
+    g = _curves_spline_graph(pts, 8)
+    # interpolates the control points (within the truncation LSB)
+    assert abs(int(g[0]) - 0) <= 1
+    assert abs(int(g[127]) - int(0.7 * 255)) <= 2
+    assert abs(int(g[255]) - 255) <= 1
+    assert g.min() >= 0 and g.max() <= 255
+    # identity points give (near-)identity
+    gi = _curves_spline_graph(_curves_parse_points("0/0 1/1", 256), 8)
+    assert np.abs(gi - np.arange(256)).max() <= 1
+    # no points -> exact identity; one point -> constant
+    np.testing.assert_array_equal(
+        _curves_spline_graph([], 8), np.arange(256))
+    assert np.all(_curves_spline_graph([(0.3, 0.5)], 8) == 127)
+    # left/right padding is constant
+    gp = _curves_spline_graph(_curves_parse_points("0.25/0.5 0.75/0.5",
+                                                   256), 8)
+    assert np.all(gp[:63] == 127) and np.all(gp[200:] == 127)
+
+
+def test_curves_validation():
+    from gmat_tpu.filters.builtin import _curves_parse_points
+    with pytest.raises(ValueError, match="outside"):
+        _curves_parse_points("0/0 1.5/1", 256)
+    with pytest.raises(ValueError, match="increasing"):
+        _curves_parse_points("0.5/0 0.5/1", 256)
+    with pytest.raises(ValueError, match="bad point"):
+        _curves_parse_points("0.5", 256)
+
+
+def test_curves_filter_presets_and_master(rng):
+    from gmat_tpu.filters.builtin import FILTERS
+    fb, src = _rgb_fb(rng, h=8, w=12)
+    # darker preset lowers the mean of all channels
+    out, _ = FilterGraph("curves=preset=darker").process(fb)
+    o = np.asarray(out.planes["rgb"])
+    assert o.astype(float).mean() < src.astype(float).mean()
+    # negative master inverts (within spline truncation)
+    neg = FILTERS["curves"](m="0/1 1/0")(fb)
+    on = np.asarray(neg.planes["rgb"]).astype(int)
+    assert np.abs(on - (255 - src.astype(int))).max() <= 1
+    # per-channel points touch only that channel
+    redx = FILTERS["curves"](r="0/1 1/0")(fb)
+    orx = np.asarray(redx.planes["rgb"])
+    np.testing.assert_array_equal(orx[..., 1:], src[..., 1:])
+    assert np.abs(orx[..., 0].astype(int)
+                  - (255 - src[..., 0].astype(int))).max() <= 1
+    # unknown preset rejected
+    with pytest.raises(ValueError, match="preset"):
+        FilterGraph("curves=preset=bogus").process(fb)
+
+
+def test_curves_vintage_16bit(rng):
+    from gmat_tpu.filters.builtin import FILTERS
+    a = rng.integers(0, 65536, (1, 6, 8, 3)).astype(np.uint16)
+    fb = FrameBatch({"rgb": jnp.asarray(a)}, "rgb48", 8, 6)
+    out = FILTERS["curves"](preset="vintage")(fb)
+    o = np.asarray(out.planes["rgb"])
+    assert o.dtype == np.uint16 and not np.array_equal(o, a)
