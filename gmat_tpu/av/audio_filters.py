@@ -166,11 +166,44 @@ def parse_audio_filters(desc: str) -> List[Tuple[str, Dict[str, float]]]:
                 chain.append((name.strip(), {"tempo": float(val)}))
             elif name.strip() == "volume":
                 chain.append((name.strip(), {"volume": float(val)}))
+            elif name.strip() == "afade":
+                chain.append((name.strip(), _parse_afade_opts(val)))
             else:
                 raise ValueError(f"unknown audio filter {name!r}")
+        elif part == "afade":
+            chain.append(("afade", {}))
         else:
             raise ValueError(f"audio filter needs a value: {part!r}")
     return chain
+
+
+_AFADE_ALIASES = {"t": "type", "ss": "start_sample", "ns": "nb_samples",
+                  "st": "start_time", "d": "duration", "c": "curve"}
+
+
+def _parse_afade_opts(val: str) -> Dict:
+    """'t=in:ss=0:ns=44100:c=qsin' (or positional 'in:0:44100')."""
+    kw: Dict = {}
+    order = ("type", "start_sample", "nb_samples")
+    positional = True
+    for i, tok in enumerate(filter(None, val.split(":"))):
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            k = _AFADE_ALIASES.get(k.strip(), k.strip())
+            positional = False
+        elif positional and i < len(order):
+            k, v = order[i], tok
+        else:
+            raise ValueError(f"afade: bad option {tok!r}")
+        if k in ("start_sample", "nb_samples"):
+            kw[k] = int(v)
+        elif k in ("start_time", "duration"):
+            kw[k] = float(v)
+        elif k in ("type", "curve"):
+            kw[k] = v
+        else:
+            raise ValueError(f"afade: unknown option {k!r}")
+    return kw
 
 
 class AresampleStream:
@@ -246,6 +279,8 @@ class AudioFilterStream:
                 self.stages.append(st)
             elif name == "atempo":
                 self.stages.append(AtempoStream(self.out_rate, kw["tempo"]))
+            elif name == "afade":
+                self.stages.append(AfadeStream(self.out_rate, **kw))
             elif name == "volume":
                 vol = float(kw["volume"])
                 self.stages.append(("volume", vol))
@@ -283,6 +318,127 @@ def apply_audio_filters(samples: np.ndarray, rate: int, desc: str):
             samples, rate = aresample(samples, rate, **kw)
         elif name == "atempo":
             samples = atempo(samples, rate, **kw)
+        elif name == "afade":
+            st = AfadeStream(rate, **kw)
+            samples = st.push(samples)
         elif name == "volume":
             samples = volume(samples, rate, **kw)
     return samples, rate
+
+
+# ---- afade (af_afade.c) -----------------------------------------------------
+
+def _afade_gain(curve: str, index: np.ndarray, rng: int) -> np.ndarray:
+    """Vectorized fade_gain (af_afade.c:70-146): index may be negative or
+    past range (clipped), every curve in double like the C switch."""
+    g = np.clip(index.astype(np.float64) / float(rng), 0.0, 1.0)
+    if curve == "tri":
+        return g
+    if curve == "qsin":
+        return np.sin(g * np.pi / 2.0)
+    if curve == "iqsin":
+        return 0.6366197723675814 * np.arcsin(g)
+    if curve == "esin":
+        return 1.0 - np.cos(np.pi / 4.0 * ((2.0 * g - 1) ** 3 + 1))
+    if curve == "hsin":
+        return (1.0 - np.cos(g * np.pi)) / 2.0
+    if curve == "ihsin":
+        return 0.3183098861837907 * np.arccos(1 - 2 * g)
+    if curve == "exp":
+        return np.exp(-11.512925464970227 * (1 - g))
+    if curve == "log":
+        with np.errstate(divide="ignore"):
+            return np.clip(1 + 0.2 * np.log10(g), 0.0, 1.0)
+    if curve == "par":
+        return 1 - np.sqrt(1 - g)
+    if curve == "ipar":
+        return 1 - (1 - g) * (1 - g)
+    if curve == "qua":
+        return g * g
+    if curve == "cub":
+        return g ** 3
+    if curve == "squ":
+        return np.sqrt(g)
+    if curve == "cbr":
+        return np.cbrt(g)
+    if curve == "dese":
+        return np.where(g <= 0.5, np.cbrt(2 * g) / 2,
+                        1 - np.cbrt(2 * (1 - g)) / 2)
+    if curve == "desi":
+        return np.where(g <= 0.5, (2 * g) ** 3 / 2,
+                        1 - (2 * (1 - g)) ** 3 / 2)
+    if curve == "losi":
+        a = 1.0 / (1.0 - 0.787) - 1
+        A = 1.0 / (1.0 + np.exp(-((g - 0.5) * a * 2.0)))
+        B = 1.0 / (1.0 + np.exp(a))
+        C = 1.0 / (1.0 + np.exp(-a))
+        return (A - B) / (C - B)
+    if curve == "sinc":
+        with np.errstate(invalid="ignore"):
+            return np.where(g >= 1.0, 1.0,
+                            np.sin(np.pi * (1.0 - g)) / (np.pi * (1.0 - g)))
+    if curve == "isinc":
+        with np.errstate(invalid="ignore"):
+            return np.where(g <= 0.0, 0.0,
+                            1.0 - np.sin(np.pi * g) / (np.pi * g))
+    if curve in ("nofade", "none"):
+        return np.ones_like(g)
+    raise ValueError(f"afade: unknown curve {curve!r}")
+
+
+_AFADE_CURVES = ("tri", "qsin", "iqsin", "esin", "hsin", "ihsin", "exp",
+                 "log", "par", "ipar", "qua", "cub", "squ", "cbr", "dese",
+                 "desi", "losi", "sinc", "isinc", "nofade", "none")
+
+
+class AfadeStream:
+    """Streaming afade (af_afade.c filter_frame): gain ramp over an
+    absolute sample window; before a fade-in / after a fade-out the
+    block is silenced, past a fade-in / before a fade-out it passes
+    through untouched.  Sample position counts pushed samples (the
+    pts-derived cur_sample of the reference)."""
+
+    def __init__(self, rate: int, type="in", start_sample=0,
+                 nb_samples=44100, start_time=None, duration=None,
+                 curve="tri"):
+        t = str(type).lower()
+        if t in ("in", "0"):
+            self.out = False
+        elif t in ("out", "1"):
+            self.out = True
+        else:
+            raise ValueError(f"afade type must be in|out, got {type!r}")
+        self.curve = str(curve).lower()
+        if self.curve not in _AFADE_CURVES:
+            raise ValueError(f"afade: unknown curve {self.curve!r}")
+        rate = int(rate)
+        self.start = int(round(float(start_time) * rate)) \
+            if start_time is not None else int(start_sample)
+        self.range = int(round(float(duration) * rate)) \
+            if duration is not None else int(nb_samples)
+        self.range = max(1, self.range)
+        self._pos = 0
+
+    def push(self, block: np.ndarray) -> np.ndarray:
+        n = len(block)
+        cur = self._pos
+        self._pos += n
+        if n == 0:
+            return block
+        # passthrough regions (af_afade.c:278-280)
+        if (not self.out and self.start + self.range < cur) or \
+                (self.out and cur + n < self.start):
+            return block
+        # silence regions (af_afade.c:291-294)
+        if (not self.out and cur + n < self.start) or \
+                (self.out and self.start + self.range < cur):
+            return np.zeros_like(block)
+        if not self.out:
+            idx = (cur - self.start) + np.arange(n)
+        else:
+            idx = (self.start + self.range - cur) - np.arange(n)
+        gain = _afade_gain(self.curve, idx, self.range)[:, None]
+        return (block.astype(np.float64) * gain).astype(block.dtype)
+
+    def flush(self) -> np.ndarray:
+        return np.zeros((0, 0), np.int16)

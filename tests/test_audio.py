@@ -333,3 +333,74 @@ def test_aresample_stream_heavy_downsample():
     want = np.clip(x[i0].astype(np.float32) * (1 - f) +
                    x[i1].astype(np.float32) * f, -32768, 32767).astype(np.int16)
     np.testing.assert_array_equal(got, want[: len(got)])
+
+
+# ---- afade (af_afade.c) -----------------------------------------------------
+
+def test_afade_in_tri_oracle():
+    from gmat_tpu.av.audio_filters import AfadeStream
+    rate = 1000
+    blk = np.full((2000, 2), 10000, np.int16)
+    st = AfadeStream(rate, type="in", start_sample=500, nb_samples=1000)
+    out = st.push(blk)
+    # before start: silence... wait, within-window block is gain-ramped;
+    # samples 0..499 have index<0 -> gain clipped to 0
+    assert np.all(out[:500] == 0)
+    # linear ramp across the window (double gain, int16 truncation)
+    idx = np.arange(2000) - 500
+    g = np.clip(idx / 1000.0, 0, 1)
+    exp = (10000.0 * g).astype(np.int16)
+    np.testing.assert_array_equal(out[:, 0], exp)
+    # past the window in a later block: passthrough (identity object ok)
+    out2 = st.push(blk)
+    np.testing.assert_array_equal(out2, blk)
+
+
+def test_afade_out_and_silence_regions():
+    from gmat_tpu.av.audio_filters import AfadeStream
+    st = AfadeStream(100, type="out", start_time=1.0, duration=0.5)
+    a = np.full((80, 1), 1000, np.int16)
+    np.testing.assert_array_equal(st.push(a), a)      # cur+n < start
+    st.push(np.full((70, 1), 1000, np.int16))         # crosses the window
+    tail = st.push(np.full((50, 1), 1000, np.int16))  # past start+range
+    assert np.all(tail == 0)
+
+
+@pytest.mark.parametrize("curve", ["qsin", "hsin", "exp", "log", "par",
+                                   "cub", "losi", "sinc", "dese",
+                                   "nofade"])
+def test_afade_curves_monotone_bounds(curve):
+    from gmat_tpu.av.audio_filters import _afade_gain
+    g = _afade_gain(curve, np.arange(0, 1001), 1000)
+    assert np.all(g >= -1e-12) and np.all(g <= 1 + 1e-12)
+    assert abs(g[-1] - 1.0) < 1e-6 or curve == "nofade"
+    if curve == "nofade":
+        assert np.all(g == 1.0)
+
+
+def test_afade_chain_and_streaming_equivalence():
+    from gmat_tpu.av.audio_filters import (AudioFilterStream,
+                                           apply_audio_filters)
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((4000, 2)) * 8000).astype(np.int16)
+    desc = "afade=t=in:ss=100:ns=2000:c=qsin,volume=0.5"
+    one, _ = apply_audio_filters(x.copy(), 8000, desc)
+    st = AudioFilterStream(desc, 8000)
+    parts = [st.push(x[i:i + 333].copy()) for i in range(0, 4000, 333)]
+    tail = st.flush()
+    if tail.size:
+        parts.append(tail)
+    chunked = np.concatenate([p for p in parts if p.size])
+    np.testing.assert_array_equal(one, chunked)
+
+
+def test_afade_option_parsing_errors():
+    from gmat_tpu.av.audio_filters import parse_audio_filters
+    chain = parse_audio_filters("afade=in:0:500")
+    assert chain[0][1] == {"type": "in", "start_sample": 0,
+                           "nb_samples": 500}
+    with pytest.raises(ValueError, match="curve"):
+        from gmat_tpu.av.audio_filters import AfadeStream
+        AfadeStream(100, curve="bogus")
+    with pytest.raises(ValueError, match="unknown option"):
+        parse_audio_filters("afade=zz=1")
