@@ -1,10 +1,11 @@
-"""Audio filters: atempo / volume / aresample.
+"""Audio filters: atempo / volume / aresample / afade.
 
 Covers the audio filter chain the reference drives through libavfilter
 (AppMeTrans options.xml `<AudioFilterDesc>atempo=0.7143</AudioFilterDesc>`,
 AppMeTrans.cpp:176-200).  atempo is a WSOLA-style time stretch (same
-algorithm family as ffmpeg's af_atempo); all filters operate on
-interleaved s16 numpy blocks.
+algorithm family as ffmpeg's af_atempo); afade rebuilds af_afade.c's
+20-curve gain family with streaming window semantics; all filters
+operate on interleaved s16 numpy blocks.
 """
 from __future__ import annotations
 
@@ -412,10 +413,12 @@ class AfadeStream:
         if self.curve not in _AFADE_CURVES:
             raise ValueError(f"afade: unknown curve {self.curve!r}")
         rate = int(rate)
+        # config_output uses FALSY checks (af_afade.c `if (s->duration)`)
+        # — an explicit st=0 / d=0 means unset, ss/ns are kept
         self.start = int(round(float(start_time) * rate)) \
-            if start_time is not None else int(start_sample)
+            if start_time else int(start_sample)
         self.range = int(round(float(duration) * rate)) \
-            if duration is not None else int(nb_samples)
+            if duration else int(nb_samples)
         self.range = max(1, self.range)
         self._pos = 0
 

@@ -365,6 +365,15 @@ def _f_curves(preset="none", master=None, m=None, red=None, r=None,
     for i in range(4):
         if comp[i] is None and pr[i] is not None:
             comp[i] = pr[i]
+    # fail bad option strings at GRAPH BUILD time (syntax / [0,1] range /
+    # float x order); the scale-dependent closeness check still runs per
+    # depth like config_input
+    for c in comp:
+        pts = _curves_parse_points(c, 1 << 24)
+        for (x0, _), (x1, _) in zip(pts, pts[1:]):
+            if x1 <= x0:
+                raise FilterError("curves: x must be strictly increasing")
+    cache: Dict = {}
 
     def run(fb):
         from ..ops import enhance
@@ -374,19 +383,22 @@ def _f_curves(preset="none", master=None, m=None, red=None, r=None,
                               "(vf_curves.c pix_fmts); convert first")
         depth = fmt.bits
         dt = fmt.planes[0].dtype
-        graphs = [_curves_spline_graph(
-            _curves_parse_points(comp[i], 1 << depth), depth)
-            for i in range(4)]
-        if comp[3] is not None:
-            for i in range(3):
-                graphs[i] = graphs[3][graphs[i]]
-        order = fmt.channel_order
-        tab = np.empty((len(order), 1 << depth), dt)
-        ident = np.arange(1 << depth, dtype=np.int64)
-        slot = {"r": 0, "g": 1, "b": 2}
-        for ci, ch in enumerate(order):
-            tab[ci] = (graphs[slot[ch]] if ch in slot else ident) \
-                .astype(dt)
+        tab = cache.get(fmt.name)       # order+dtype live in the table
+        if tab is None:
+            graphs = [_curves_spline_graph(
+                _curves_parse_points(comp[i], 1 << depth), depth)
+                for i in range(4)]
+            if comp[3] is not None:
+                for i in range(3):
+                    graphs[i] = graphs[3][graphs[i]]
+            order = fmt.channel_order
+            tab = np.empty((len(order), 1 << depth), dt)
+            ident = np.arange(1 << depth, dtype=np.int64)
+            slot = {"r": 0, "g": 1, "b": 2}
+            for ci, ch in enumerate(order):
+                tab[ci] = (graphs[slot[ch]] if ch in slot else ident) \
+                    .astype(dt)
+            cache[fmt.name] = tab
         return enhance.apply_luts(fb, {"rgb": tab})
     return run
 

@@ -87,14 +87,18 @@ def parse_cube(text: str) -> Tuple[np.ndarray, np.ndarray]:
         elif u.startswith("LUT_1D_SIZE"):
             raise LutError("1D .cube passed to lut3d")
         else:
+            # the reference errors on any line that isn't 3 floats here
+            # (av_sscanf != 3 -> AVERROR_INVALIDDATA); skipping short
+            # lines would silently shift every later entry
             parts = line.split()
-            if len(parts) >= 3:
-                try:
-                    vals.append((float(parts[0]), float(parts[1]),
-                                 float(parts[2])))
-                except ValueError:
-                    raise LutError(f"bad .cube data line {line!r}") \
-                        from None
+            if len(parts) < 3:
+                raise LutError(f"bad .cube data line {line!r}")
+            try:
+                vals.append((float(parts[0]), float(parts[1]),
+                             float(parts[2])))
+            except ValueError:
+                raise LutError(f"bad .cube data line {line!r}") \
+                    from None
     if size is None:
         raise LutError(".cube has no LUT_3D_SIZE")
     if len(vals) < size ** 3:
@@ -322,13 +326,14 @@ def parse_cube_1d(text: str) -> Tuple[np.ndarray, np.ndarray]:
             raise LutError("3D .cube passed to lut1d")
         else:
             parts = line.split()
-            if len(parts) >= 3:
-                try:
-                    vals.append((float(parts[0]), float(parts[1]),
-                                 float(parts[2])))
-                except ValueError:
-                    raise LutError(f"bad .cube data line {line!r}") \
-                        from None
+            if len(parts) < 3:              # av_sscanf != 3 -> error
+                raise LutError(f"bad .cube data line {line!r}")
+            try:
+                vals.append((float(parts[0]), float(parts[1]),
+                             float(parts[2])))
+            except ValueError:
+                raise LutError(f"bad .cube data line {line!r}") \
+                    from None
     if size is None:
         raise LutError(".cube has no LUT_1D_SIZE")
     if len(vals) < size:
@@ -398,13 +403,14 @@ def apply_lut1d(fb: FrameBatch, lut: np.ndarray, scale: np.ndarray,
     order = fmt.channel_order
     arr = fb.planes["rgb"]
     maxval = np.float32((1 << fmt.bits) - 1)
-    lut_max = np.float32(S - 1)
     out = arr
     for ci, ch in enumerate("rgb"):
-        pos = arr[..., order.index(ch)].astype(jnp.float32) \
-            * (np.float32(1.0) / maxval)
-        pos = jnp.clip(pos * (np.float32(scale[ci]) * lut_max),
-                       0.0, lut_max)
+        # the 1D kernel precombines ONE f32 constant
+        # (scale.c / factor) * (lutsize-1) and does a single multiply,
+        # with no position clip (DEFINE_INTERP_FUNC_PLANAR_1D) — a
+        # different f32 rounding sequence than the 3D kernel's
+        sc = (np.float32(scale[ci]) / maxval) * np.float32(S - 1)
+        pos = arr[..., order.index(ch)].astype(jnp.float32) * sc
         vec = _interp_1d(jnp.asarray(lut[:, ci]), S, pos, interp)
         v = jnp.clip((vec * maxval).astype(jnp.int32), 0,
                      maxval.astype(np.int32))

@@ -404,3 +404,12 @@ def test_afade_option_parsing_errors():
         AfadeStream(100, curve="bogus")
     with pytest.raises(ValueError, match="unknown option"):
         parse_audio_filters("afade=zz=1")
+
+
+def test_afade_zero_time_options_mean_unset():
+    """af_afade config_output uses falsy checks: st=0 / d=0 keep the
+    ss/ns values (review r4)."""
+    from gmat_tpu.av.audio_filters import AfadeStream
+    st = AfadeStream(1000, type="in", start_sample=500, nb_samples=800,
+                     start_time=0.0, duration=0.0)
+    assert st.start == 500 and st.range == 800

@@ -204,8 +204,10 @@ LUT_1D_INPUT_RANGE 0.0 1.0
 
 
 def _oracle_1d(v, col, scale_c, mode, S):
-    s = np.clip(np.float32(v) / np.float32(255.0)
-                * (np.float32(scale_c) * np.float32(S - 1)), 0, S - 1)
+    # the 1D kernel's exact f32 sequence: one precombined constant
+    # (scale/factor)*(S-1), single multiply, NO position clip
+    sc = (np.float32(scale_c) / np.float32(255.0)) * np.float32(S - 1)
+    s = np.float32(v) * sc
     prev = int(s)
     nxt = min(prev + 1, S - 1)
     d = np.float32(s - prev)
@@ -327,3 +329,21 @@ def test_curves_vintage_16bit(rng):
     out = FILTERS["curves"](preset="vintage")(fb)
     o = np.asarray(out.planes["rgb"])
     assert o.dtype == np.uint16 and not np.array_equal(o, a)
+
+
+def test_cube_malformed_data_line_rejected():
+    """Short or junk data lines after LUT_3D_SIZE error out like
+    av_sscanf != 3 (review r4) — silent skipping would shift entries."""
+    with pytest.raises(l3.LutError, match="data line"):
+        l3.parse_cube("LUT_3D_SIZE 2\n0.1 0.2\n" + "0 0 0\n" * 8)
+    with pytest.raises(l3.LutError, match="data line"):
+        l3.parse_cube("LUT_3D_SIZE 2\nGARBAGE_KEYWORD\n" + "0 0 0\n" * 8)
+    with pytest.raises(l3.LutError, match="data line"):
+        l3.parse_cube_1d("LUT_1D_SIZE 4\n0.2 0.3\n" + "0 0 0\n" * 4)
+
+
+def test_curves_validates_at_build_time(rng):
+    with pytest.raises(ValueError, match="bad point"):
+        FilterGraph("curves=master=0/x")
+    with pytest.raises(ValueError, match="increasing"):
+        FilterGraph("curves=master=0.5/0 0.4/1".replace(" ", "\\ "))
