@@ -233,6 +233,69 @@ def _f_lut3d(file=None, interp="tetrahedral"):
     return lambda fb: _l3.apply_lut3d(fb, lut, scale, mode)
 
 
+# ---- colorchannelmixer (vf_colorchannelmixer.c) ----------------------------
+
+def _f_colorchannelmixer(rr=1.0, rg=0.0, rb=0.0, ra=0.0,
+                         gr=0.0, gg=1.0, gb=0.0, ga=0.0,
+                         br=0.0, bg=0.0, bb=1.0, ba=0.0,
+                         ar=0.0, ag=0.0, ab=0.0, aa=1.0,
+                         pc="none", pa=0.0):
+    """vf_colorchannelmixer: each output channel is a mix of the four
+    input channels.  The reference precomputes per-pair integer LUTs
+    lut[out][in][v] = lrint(v * coef) and sums FOUR ROUNDED terms
+    (colorchannelmixer_template.c:197-209) — matching that per-term
+    rounding here (a single f32 matmul would differ by 1 LSB), then
+    clips to the depth.  Integer RGB formats; the alpha row only applies
+    when the format has alpha.  preserve modes other than `none` are
+    not implemented (pc option, preserve_color.h)."""
+    coefs = {}
+    for name, v in (("rr", rr), ("rg", rg), ("rb", rb), ("ra", ra),
+                    ("gr", gr), ("gg", gg), ("gb", gb), ("ga", ga),
+                    ("br", br), ("bg", bg), ("bb", bb), ("ba", ba),
+                    ("ar", ar), ("ag", ag), ("ab", ab), ("aa", aa)):
+        v = float(v)
+        if not -2.0 <= v <= 2.0:
+            raise FilterError(f"colorchannelmixer {name}={v} outside "
+                              "[-2, 2]")
+        coefs[name] = v
+    if str(pc).lower() not in ("none", "0"):
+        raise FilterError("colorchannelmixer: preserve modes beyond "
+                          "'none' are not implemented")
+
+    def run(fb):
+        fmt = fb.fmt
+        if not fmt.is_rgb or fmt.is_float:
+            raise FilterError("colorchannelmixer operates on integer RGB "
+                              "frames; convert first")
+        depth = fmt.bits
+        size = 1 << depth
+        order = fmt.channel_order
+        have_alpha = "a" in order
+        arr = fb.planes["rgb"]
+        idx = np.arange(size, dtype=np.float64)
+        ins = "rgba" if have_alpha else "rgb"
+        chan = {ch: arr[..., order.index(ch)].astype(jnp.int32)
+                for ch in ins}
+        res = {}
+        for oc in ("rgba" if have_alpha else "rgb"):
+            acc = None
+            for ic in ins:
+                c = coefs[oc + ic]
+                if c == 0.0:
+                    continue
+                lut = jnp.asarray(np.rint(idx * c).astype(np.int32))
+                term = jnp.take(lut, chan[ic])
+                acc = term if acc is None else acc + term
+            if acc is None:
+                acc = jnp.zeros_like(chan[oc])
+            res[oc] = jnp.clip(acc, 0, size - 1).astype(arr.dtype)
+        out = arr
+        for oc, v in res.items():
+            out = out.at[..., order.index(oc)].set(v)
+        return fb.with_planes({"rgb": out})
+    return run
+
+
 # ---- curves (vf_curves.c) --------------------------------------------------
 
 # curves_presets[] table, vf_curves.c:115-144
@@ -2274,6 +2337,7 @@ FILTERS: Dict[str, Callable] = {
     "lut3d": _f_lut3d,
     "lut1d": _f_lut1d,
     "curves": _f_curves,
+    "colorchannelmixer": _f_colorchannelmixer,
     "hqdn3d": Hqdn3dFilter,
     "lut": _make_lut_filter("all"),
     "lutyuv": _make_lut_filter("yuv"),

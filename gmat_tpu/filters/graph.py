@@ -45,6 +45,8 @@ POSITIONAL = {
     "lut3d": ("file", "interp"),
     "lut1d": ("file", "interp"),
     "curves": ("preset", "master"),
+    "colorchannelmixer": ("rr", "rg", "rb", "ra", "gr", "gg", "gb", "ga",
+                          "br", "bg", "bb", "ba", "ar", "ag", "ab", "aa"),
     "hqdn3d": ("luma_spatial", "chroma_spatial", "luma_tmp",
                "chroma_tmp"),
     "lut": ("c0", "c1", "c2", "c3"),

@@ -917,3 +917,46 @@ def test_color_rgba_shared_parser():
     assert parse_color_rgba("#11223344@1.0") == (0x11, 0x22, 0x33, 255)
     with pytest.raises(ValueError):
         parse_color_rgba("red@bogus")
+
+
+# ---- colorchannelmixer (vf_colorchannelmixer.c) -----------------------------
+
+def test_colorchannelmixer_per_term_rounding_oracle(rng):
+    from gmat_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+    a = rng.integers(0, 256, (1, 6, 9, 3)).astype(np.uint8)
+    fb = FrameBatch({"rgb": jnp.asarray(a)}, "rgb24", 9, 6)
+    # rec601-style grayscale mix on every output channel
+    g = FilterGraph("colorchannelmixer=.299:.587:.114:0:"
+                    ".299:.587:.114:0:.299:.587:.114")
+    out, _ = g.process(fb)
+    o = np.asarray(out.planes["rgb"])
+    r64 = a[..., 0].astype(np.int64)
+    g64 = a[..., 1].astype(np.int64)
+    b64 = a[..., 2].astype(np.int64)
+    # the reference sums FOUR individually lrint'ed LUT terms
+    exp = (np.rint(r64 * .299) + np.rint(g64 * .587)
+           + np.rint(b64 * .114)).clip(0, 255).astype(np.uint8)
+    for c in range(3):
+        np.testing.assert_array_equal(o[..., c], exp)
+
+
+def test_colorchannelmixer_alpha_and_identity(rng):
+    from gmat_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+    a = rng.integers(0, 256, (1, 4, 6, 4)).astype(np.uint8)
+    fb = FrameBatch({"rgb": jnp.asarray(a)}, "rgba", 6, 4)
+    out, _ = FilterGraph("colorchannelmixer").process(fb)   # identity
+    np.testing.assert_array_equal(np.asarray(out.planes["rgb"]), a)
+    # red channel fed by alpha; alpha stays identity
+    out2, _ = FilterGraph("colorchannelmixer=rr=0:ra=1").process(fb)
+    o2 = np.asarray(out2.planes["rgb"])
+    np.testing.assert_array_equal(o2[..., 0], a[..., 3])
+    np.testing.assert_array_equal(o2[..., 3], a[..., 3])
+    # negative coefs clip at zero
+    out3, _ = FilterGraph("colorchannelmixer=rr=-1").process(fb)
+    assert np.all(np.asarray(out3.planes["rgb"])[..., 0] == 0)
+    with pytest.raises(ValueError, match="outside"):
+        FilterGraph("colorchannelmixer=rr=3")
+    with pytest.raises(ValueError, match="preserve"):
+        FilterGraph("colorchannelmixer=pc=lum")
