@@ -296,6 +296,94 @@ def _f_colorchannelmixer(rr=1.0, rg=0.0, rb=0.0, ra=0.0,
     return run
 
 
+# ---- colorbalance (vf_colorbalance.c) --------------------------------------
+
+def _f_colorbalance(rs=0.0, gs=0.0, bs=0.0, rm=0.0, gm=0.0, bm=0.0,
+                    rh=0.0, gh=0.0, bh=0.0, pl=0):
+    """vf_colorbalance: shadow/midtone/highlight shifts per channel,
+    optional HSL lightness preservation.
+
+    Exact float32 port of the C kernels: per-pixel l = max3+min3 (note:
+    NOT halved until preservel), get_component's a=4/b=0.333/scale=0.7
+    weighting (vf_colorbalance.c:94-108), preservel's RGB->HSL->RGB with
+    hfun (vf_colorbalance.c:110-151), lrintf output rounding.  Integer
+    RGB formats; alpha passes through."""
+    prm = {}
+    for name, v in (("rs", rs), ("gs", gs), ("bs", bs), ("rm", rm),
+                    ("gm", gm), ("bm", bm), ("rh", rh), ("gh", gh),
+                    ("bh", bh)):
+        v = float(v)
+        if not -1.0 <= v <= 1.0:
+            raise FilterError(f"colorbalance {name}={v} outside [-1, 1]")
+        prm[name] = np.float32(v)
+    pl = bool(int(pl))
+
+    def get_component(v, l, s, m, h):
+        a, b, scale = np.float32(4.0), np.float32(0.333), np.float32(0.7)
+        half, zero, one = np.float32(0.5), np.float32(0.0), np.float32(1.0)
+        s = s * jnp.clip((b - l) * a + half, zero, one) * scale
+        m = m * jnp.clip((l - b) * a + half, zero, one) \
+            * jnp.clip((one - l - b) * a + half, zero, one) * scale
+        h = h * jnp.clip((l + b - one) * a + half, zero, one) * scale
+        return jnp.clip(v + s + m + h, zero, one)
+
+    def hfun(n, h, s, l):
+        one = np.float32(1.0)
+        a = s * jnp.minimum(l, one - l)
+        k = jnp.mod(n + h / np.float32(30.0), np.float32(12.0))
+        t = jnp.maximum(jnp.minimum(jnp.minimum(
+            k - np.float32(3.0), np.float32(9.0) - k), one), -one)
+        return jnp.clip(l - a * t, np.float32(0.0), one)
+
+    def preservel(r, g, b, l):
+        one, zero = np.float32(1.0), np.float32(0.0)
+        mx = jnp.maximum(jnp.maximum(r, g), b)
+        mn = jnp.minimum(jnp.minimum(r, g), b)
+        l = l * np.float32(0.5)
+        d = jnp.where(mx > mn, mx - mn, one)       # guarded denominator
+        h = jnp.where(
+            (r == g) & (g == b), zero,
+            jnp.where(mx == r, np.float32(60.0) * ((g - b) / d),
+                      jnp.where(mx == g,
+                                np.float32(60.0) * (np.float32(2.0)
+                                                    + (b - r) / d),
+                                np.float32(60.0) * (np.float32(4.0)
+                                                    + (r - g) / d))))
+        h = jnp.where(h < zero, h + np.float32(360.0), h)
+        den = one - jnp.abs(np.float32(2.0) * l - one)
+        s = jnp.where((mx == one) | (mn == zero), zero,
+                      (mx - mn) / jnp.where(den > zero, den, one))
+        return (hfun(np.float32(0.0), h, s, l),
+                hfun(np.float32(8.0), h, s, l),
+                hfun(np.float32(4.0), h, s, l))
+
+    def run(fb):
+        fmt = fb.fmt
+        if not fmt.is_rgb or fmt.is_float:
+            raise FilterError("colorbalance operates on integer RGB "
+                              "frames; convert first")
+        order = fmt.channel_order
+        arr = fb.planes["rgb"]
+        maxv = np.float32((1 << fmt.bits) - 1)
+        r = arr[..., order.index("r")].astype(jnp.float32) / maxv
+        g = arr[..., order.index("g")].astype(jnp.float32) / maxv
+        b = arr[..., order.index("b")].astype(jnp.float32) / maxv
+        l = jnp.maximum(jnp.maximum(r, g), b) \
+            + jnp.minimum(jnp.minimum(r, g), b)
+        ro = get_component(r, l, prm["rs"], prm["rm"], prm["rh"])
+        go = get_component(g, l, prm["gs"], prm["gm"], prm["gh"])
+        bo = get_component(b, l, prm["bs"], prm["bm"], prm["bh"])
+        if pl:
+            ro, go, bo = preservel(ro, go, bo, l)
+        out = arr
+        imax = int(maxv)
+        for ch, v in (("r", ro), ("g", go), ("b", bo)):
+            q = jnp.clip(jnp.round(v * maxv).astype(jnp.int32), 0, imax)
+            out = out.at[..., order.index(ch)].set(q.astype(arr.dtype))
+        return fb.with_planes({"rgb": out})
+    return run
+
+
 # ---- curves (vf_curves.c) --------------------------------------------------
 
 # curves_presets[] table, vf_curves.c:115-144
@@ -2338,6 +2426,7 @@ FILTERS: Dict[str, Callable] = {
     "lut1d": _f_lut1d,
     "curves": _f_curves,
     "colorchannelmixer": _f_colorchannelmixer,
+    "colorbalance": _f_colorbalance,
     "hqdn3d": Hqdn3dFilter,
     "lut": _make_lut_filter("all"),
     "lutyuv": _make_lut_filter("yuv"),

@@ -47,6 +47,8 @@ POSITIONAL = {
     "curves": ("preset", "master"),
     "colorchannelmixer": ("rr", "rg", "rb", "ra", "gr", "gg", "gb", "ga",
                           "br", "bg", "bb", "ba", "ar", "ag", "ab", "aa"),
+    "colorbalance": ("rs", "gs", "bs", "rm", "gm", "bm", "rh", "gh",
+                     "bh"),
     "hqdn3d": ("luma_spatial", "chroma_spatial", "luma_tmp",
                "chroma_tmp"),
     "lut": ("c0", "c1", "c2", "c3"),

@@ -960,3 +960,84 @@ def test_colorchannelmixer_alpha_and_identity(rng):
         FilterGraph("colorchannelmixer=rr=3")
     with pytest.raises(ValueError, match="preserve"):
         FilterGraph("colorchannelmixer=pc=lum")
+
+
+# ---- colorbalance (vf_colorbalance.c) ---------------------------------------
+
+def _cb_oracle_px(r8, g8, b8, prm, pl=False, maxv=255.0):
+    f = np.float32
+    r, g, b = f(r8) / f(maxv), f(g8) / f(maxv), f(b8) / f(maxv)
+    l = max(r, g, b) + min(r, g, b)
+
+    def comp(v, s, m, h):
+        a, bb, sc = f(4.0), f(0.333), f(0.7)
+        cl = lambda x: min(max(x, f(0)), f(1))
+        s = f(s) * cl((bb - l) * a + f(0.5)) * sc
+        m = f(m) * cl((l - bb) * a + f(0.5)) * cl((f(1) - l - bb) * a
+                                                  + f(0.5)) * sc
+        h = f(h) * cl((l + bb - f(1)) * a + f(0.5)) * sc
+        return cl(v + s + m + h)
+
+    r = comp(r, prm.get("rs", 0), prm.get("rm", 0), prm.get("rh", 0))
+    g = comp(g, prm.get("gs", 0), prm.get("gm", 0), prm.get("gh", 0))
+    b = comp(b, prm.get("bs", 0), prm.get("bm", 0), prm.get("bh", 0))
+    if pl:
+        mx, mn = max(r, g, b), min(r, g, b)
+        ll = l * f(0.5)
+        if r == g == b:
+            h = f(0.0)
+        elif mx == r:
+            h = f(60.0) * ((g - b) / (mx - mn))
+        elif mx == g:
+            h = f(60.0) * (f(2.0) + (b - r) / (mx - mn))
+        else:
+            h = f(60.0) * (f(4.0) + (r - g) / (mx - mn))
+        if h < 0:
+            h += f(360.0)
+        s = f(0.0) if (mx == 1.0 or mn == 0.0) \
+            else (mx - mn) / (f(1) - abs(f(2) * ll - f(1)))
+
+        def hfun(n):
+            a = s * min(ll, f(1) - ll)
+            k = np.fmod(f(n) + h / f(30.0), f(12.0))
+            return min(max(ll - a * max(min(k - f(3), f(9) - k, f(1)),
+                                        f(-1)), f(0)), f(1))
+        r, g, b = hfun(0.0), hfun(8.0), hfun(4.0)
+    rnd = lambda v: int(min(max(np.rint(np.float32(v) * np.float32(maxv)),
+                                0), maxv))
+    return rnd(r), rnd(g), rnd(b)
+
+
+@pytest.mark.parametrize("pl", [0, 1])
+def test_colorbalance_oracle(rng, pl):
+    from gmat_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+    a = rng.integers(0, 256, (1, 5, 7, 3)).astype(np.uint8)
+    fb = FrameBatch({"rgb": jnp.asarray(a)}, "rgb24", 7, 5)
+    prm = dict(rs=0.3, gm=-0.4, bh=0.25, rm=0.1)
+    g = FilterGraph("colorbalance=rs=0.3:gm=-0.4:bh=0.25:rm=0.1"
+                    f":pl={pl}")
+    out, _ = g.process(fb)
+    o = np.asarray(out.planes["rgb"])
+    # pl=0 is pure clipped adds: bit-exact.  pl=1 walks through HSL
+    # divisions where XLA's fma contraction can differ from any given C
+    # build by 1 ulp (gcc defaults to -ffp-contract=fast too, so the
+    # reference itself is compiler-dependent here) -> allow 1 LSB.
+    tol = 0 if not pl else 1
+    for yy in range(5):
+        for xx in range(7):
+            exp = _cb_oracle_px(*a[0, yy, xx], prm, pl=bool(pl))
+            got = tuple(int(v) for v in o[0, yy, xx])
+            assert all(abs(gv - ev) <= tol for gv, ev in zip(got, exp)), \
+                (yy, xx, got, exp, tuple(a[0, yy, xx]))
+
+
+def test_colorbalance_identity_and_validation(rng):
+    from gmat_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+    a = rng.integers(0, 256, (1, 4, 6, 4)).astype(np.uint8)
+    fb = FrameBatch({"rgb": jnp.asarray(a)}, "rgba", 6, 4)
+    out, _ = FilterGraph("colorbalance").process(fb)
+    np.testing.assert_array_equal(np.asarray(out.planes["rgb"]), a)
+    with pytest.raises(ValueError, match="outside"):
+        FilterGraph("colorbalance=rs=2")
