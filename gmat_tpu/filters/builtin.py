@@ -262,6 +262,9 @@ def _f_colorchannelmixer(rr=1.0, rg=0.0, rb=0.0, ra=0.0,
         raise FilterError("colorchannelmixer: preserve modes beyond "
                           "'none' are not implemented")
 
+    lut_cache: Dict = {}        # numpy cached, converted inside the
+                                # traced fn (CLAUDE.md tracer-leak rule)
+
     def run(fb):
         fmt = fb.fmt
         if not fmt.is_rgb or fmt.is_float:
@@ -272,7 +275,12 @@ def _f_colorchannelmixer(rr=1.0, rg=0.0, rb=0.0, ra=0.0,
         order = fmt.channel_order
         have_alpha = "a" in order
         arr = fb.planes["rgb"]
-        idx = np.arange(size, dtype=np.float64)
+        luts = lut_cache.get(depth)
+        if luts is None:
+            idx = np.arange(size, dtype=np.float64)
+            luts = {k: np.rint(idx * c).astype(np.int32)
+                    for k, c in coefs.items() if c != 0.0}
+            lut_cache[depth] = luts
         ins = "rgba" if have_alpha else "rgb"
         chan = {ch: arr[..., order.index(ch)].astype(jnp.int32)
                 for ch in ins}
@@ -280,11 +288,9 @@ def _f_colorchannelmixer(rr=1.0, rg=0.0, rb=0.0, ra=0.0,
         for oc in ("rgba" if have_alpha else "rgb"):
             acc = None
             for ic in ins:
-                c = coefs[oc + ic]
-                if c == 0.0:
+                if oc + ic not in luts:
                     continue
-                lut = jnp.asarray(np.rint(idx * c).astype(np.int32))
-                term = jnp.take(lut, chan[ic])
+                term = jnp.take(jnp.asarray(luts[oc + ic]), chan[ic])
                 acc = term if acc is None else acc + term
             if acc is None:
                 acc = jnp.zeros_like(chan[oc])
@@ -321,10 +327,12 @@ def _f_colorbalance(rs=0.0, gs=0.0, bs=0.0, rm=0.0, gm=0.0, bm=0.0,
     def get_component(v, l, s, m, h):
         a, b, scale = np.float32(4.0), np.float32(0.333), np.float32(0.7)
         half, zero, one = np.float32(0.5), np.float32(0.0), np.float32(1.0)
-        s = s * jnp.clip((b - l) * a + half, zero, one) * scale
-        m = m * jnp.clip((l - b) * a + half, zero, one) \
-            * jnp.clip((one - l - b) * a + half, zero, one) * scale
-        h = h * jnp.clip((l + b - one) * a + half, zero, one) * scale
+        # C's `s *= x * scale` evaluates the RHS first: s * (x*scale) —
+        # keep that f32 association (1-ulp observable at lrintf)
+        s = s * (jnp.clip((b - l) * a + half, zero, one) * scale)
+        m = m * ((jnp.clip((l - b) * a + half, zero, one)
+                  * jnp.clip((one - l - b) * a + half, zero, one)) * scale)
+        h = h * (jnp.clip((l + b - one) * a + half, zero, one) * scale)
         return jnp.clip(v + s + m + h, zero, one)
 
     def hfun(n, h, s, l):
@@ -353,9 +361,14 @@ def _f_colorbalance(rs=0.0, gs=0.0, bs=0.0, rm=0.0, gm=0.0, bm=0.0,
         den = one - jnp.abs(np.float32(2.0) * l - one)
         s = jnp.where((mx == one) | (mn == zero), zero,
                       (mx - mn) / jnp.where(den > zero, den, one))
-        return (hfun(np.float32(0.0), h, s, l),
-                hfun(np.float32(8.0), h, s, l),
-                hfun(np.float32(4.0), h, s, l))
+        # C divides by den==0 when the INPUT is pure white/black but the
+        # adjusted channels aren't at the s-guard extremes: s=inf, then
+        # a = inf*0 = NaN and lrintf(NaN) saturates to INT_MIN -> clip 0
+        # (black) on x86.  Reproduce that instead of silently returning
+        # the finite lightness-preserved value.
+        bad = (den <= zero) & ~((mx == one) | (mn == zero))
+        return tuple(jnp.where(bad, zero, hfun(np.float32(n), h, s, l))
+                     for n in (0.0, 8.0, 4.0))
 
     def run(fb):
         fmt = fb.fmt
@@ -517,13 +530,11 @@ def _f_curves(preset="none", master=None, m=None, red=None, r=None,
         if comp[i] is None and pr[i] is not None:
             comp[i] = pr[i]
     # fail bad option strings at GRAPH BUILD time (syntax / [0,1] range /
-    # float x order); the scale-dependent closeness check still runs per
-    # depth like config_input
+    # monotonic x — a huge scale so only true order violations trip
+    # here); the real scale-dependent closeness check reruns per depth
+    # like config_input
     for c in comp:
-        pts = _curves_parse_points(c, 1 << 24)
-        for (x0, _), (x1, _) in zip(pts, pts[1:]):
-            if x1 <= x0:
-                raise FilterError("curves: x must be strictly increasing")
+        _curves_parse_points(c, 1 << 24)
     cache: Dict = {}
 
     def run(fb):

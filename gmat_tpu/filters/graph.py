@@ -46,9 +46,10 @@ POSITIONAL = {
     "lut1d": ("file", "interp"),
     "curves": ("preset", "master"),
     "colorchannelmixer": ("rr", "rg", "rb", "ra", "gr", "gg", "gb", "ga",
-                          "br", "bg", "bb", "ba", "ar", "ag", "ab", "aa"),
+                          "br", "bg", "bb", "ba", "ar", "ag", "ab", "aa",
+                          "pc", "pa"),
     "colorbalance": ("rs", "gs", "bs", "rm", "gm", "bm", "rh", "gh",
-                     "bh"),
+                     "bh", "pl"),
     "hqdn3d": ("luma_spatial", "chroma_spatial", "luma_tmp",
                "chroma_tmp"),
     "lut": ("c0", "c1", "c2", "c3"),
