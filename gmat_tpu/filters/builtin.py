@@ -596,6 +596,40 @@ def _f_unsharp(luma_msize_x=5, lx=None, luma_msize_y=5, ly=None,
     return lambda fb: enhance.unsharp(fb, *args)
 
 
+def _f_sharpen_npp(border_type="replicate"):
+    """vf_sharpen_npp.c analog: NPP's fixed 3x3 sharpen
+    (nppiFilterSharpenBorder_8u_C1R, vf_sharpen_npp.c:166-168) applied to
+    every plane.  The NPP kernel is (-1 -1 -1; -1 16 -1; -1 -1 -1)/8 with
+    replicate border — the only border the AVOption table admits
+    (vf_sharpen_npp.c:132-133).  Formats follow the reference's
+    supported_formats: yuv420p and yuv444p (vf_sharpen_npp.c:36-39).
+
+    acc/8 carries at most 3 fractional bits and |acc| <= 16*255, so the
+    f32 quotient is exact and jnp.rint gives true round-half-even; NPP's
+    tie direction (acc % 8 == 4) is undocumented, noted in PARITY.md.
+    """
+    if str(border_type) not in ("replicate", str(2)):
+        # NPP_BORDER_REPLICATE == 2 is both min and max of the option
+        raise FilterError("sharpen_npp: only border_type=replicate "
+                          "is supported (as in the reference)")
+
+    def run(fb):
+        if fb.format not in ("yuv420p", "yuv444p"):
+            raise FilterError("sharpen_npp supports yuv420p/yuv444p only "
+                              "(vf_sharpen_npp.c supported_formats)")
+        planes = {}
+        for name, arr in fb.planes.items():
+            c = arr.astype(jnp.int32)
+            p = jnp.pad(c, ((0, 0), (1, 1), (1, 1)), mode="edge")
+            ring = (p[:, :-2, :-2] + p[:, :-2, 1:-1] + p[:, :-2, 2:]
+                    + p[:, 1:-1, :-2] + p[:, 1:-1, 2:]
+                    + p[:, 2:, :-2] + p[:, 2:, 1:-1] + p[:, 2:, 2:])
+            acc = (16 * c - ring).astype(jnp.float32) * jnp.float32(0.125)
+            planes[name] = jnp.clip(jnp.rint(acc), 0, 255).astype(jnp.uint8)
+        return fb.with_planes(planes)
+    return run
+
+
 def _f_flip(code=0):
     return lambda fb: geometry.flip(fb, int(code))
 
@@ -608,14 +642,36 @@ def _f_vflip():
     return lambda fb: geometry.flip(fb, 0)
 
 
-def _f_transpose(dir=0):
-    """ffmpeg transpose: 0=cclock_flip (plain transpose), 1=clock,
-    2=cclock, 3=clock_flip (anti-diagonal).  Swaps W and H."""
-    d = int(dir)
+def _f_transpose(dir=0, passthrough="none"):
+    """ffmpeg transpose / transpose_npp: 0=cclock_flip (plain transpose),
+    1=clock, 2=cclock, 3=clock_flip (anti-diagonal).  Swaps W and H.
+
+    Named dir constants and the passthrough option follow
+    vf_transpose_npp.c:428-439: ``passthrough=landscape`` leaves frames
+    with w>=h untouched, ``portrait`` leaves w<=h untouched
+    (npptranspose_config_props, vf_transpose_npp.c:257-259).  The
+    reference resolves passthrough once at link-configure time; frame
+    dims here are likewise fixed per FrameBatch stream segment, so the
+    per-call check is equivalent.
+    """
+    names = {"cclock_flip": 0, "clock": 1, "cclock": 2, "clock_flip": 3}
+    d = names.get(str(dir), dir)
+    try:
+        d = int(d)
+    except (TypeError, ValueError):
+        raise FilterError(f"transpose: bad dir '{dir}'")
     if d not in (0, 1, 2, 3):
         raise FilterError("transpose dir must be 0..3")
+    pt_modes = {"none": 0, "0": 0, "landscape": 1, "1": 1,
+                "portrait": 2, "2": 2}
+    pt = pt_modes.get(str(passthrough))
+    if pt is None:
+        raise FilterError(f"transpose: bad passthrough '{passthrough}'")
 
     def run(fb):
+        if (pt == 1 and fb.width >= fb.height) or \
+           (pt == 2 and fb.width <= fb.height):
+            return fb
         if fb.format == "yuv422p":
             # transposing horizontal-only chroma yields 4:4:0, a layout
             # we don't carry — ffmpeg's transpose outputs yuv440p here
@@ -2449,6 +2505,8 @@ FILTERS: Dict[str, Callable] = {
     "hflip": _f_hflip,
     "vflip": _f_vflip,
     "transpose": _f_transpose,
+    "transpose_npp": _f_transpose,
+    "sharpen_npp": _f_sharpen_npp,
     "smooth": _f_smooth,
     "smooth_nvcv": _f_smooth,
     "scale": _f_scale,

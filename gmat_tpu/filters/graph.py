@@ -57,7 +57,9 @@ POSITIONAL = {
     "lutrgb": ("c0", "c1", "c2", "c3"),
     "flip": ("code",),
     "flip_nvcv": ("code",),
-    "transpose": ("dir",),
+    "transpose": ("dir", "passthrough"),
+    "transpose_npp": ("dir", "passthrough"),
+    "sharpen_npp": ("border_type",),
     "smooth": ("type", "kw", "kh", "border_type", "sigmaX", "sigmaY"),
     "smooth_nvcv": ("type", "kw", "kh", "border_type", "sigmaX", "sigmaY"),
     "format": ("pix_fmt", "norm", "shift"),

@@ -216,6 +216,82 @@ def test_transpose_swaps_dimensions(rng):
         np.testing.assert_array_equal(np.asarray(out.planes["rgb"]), want)
 
 
+def test_transpose_named_dirs_and_passthrough(rng):
+    """transpose_npp named dir constants + passthrough geometry gates
+    (vf_transpose_npp.c:428-439, 257-259)."""
+    rgb = rng.integers(0, 256, (1, 16, 32, 3)).astype(np.uint8)   # landscape
+    fb = from_numpy_rgb(rgb)
+    for name, num in (("cclock_flip", 0), ("clock", 1),
+                      ("cclock", 2), ("clock_flip", 3)):
+        a, _ = FilterGraph(f"transpose_npp={name}").process(fb)
+        b, _ = FilterGraph(f"transpose={num}").process(fb)
+        np.testing.assert_array_equal(np.asarray(a.planes["rgb"]),
+                                      np.asarray(b.planes["rgb"]))
+    # landscape passthrough on a w>h frame: untouched, dims keep W x H
+    out, _ = FilterGraph("transpose=clock:landscape").process(fb)
+    assert (out.width, out.height) == (32, 16)
+    np.testing.assert_array_equal(np.asarray(out.planes["rgb"]), rgb)
+    # portrait passthrough does NOT trigger on landscape input
+    out2, _ = FilterGraph("transpose=clock:portrait").process(fb)
+    assert (out2.width, out2.height) == (16, 32)
+    # square frames satisfy both gates (w>=h and w<=h)
+    sq = from_numpy_rgb(rng.integers(0, 256, (1, 8, 8, 3)).astype(np.uint8))
+    for pt in ("landscape", "portrait"):
+        o, _ = FilterGraph(f"transpose=clock:{pt}").process(sq)
+        np.testing.assert_array_equal(np.asarray(o.planes["rgb"]),
+                                      np.asarray(sq.planes["rgb"]))
+    with pytest.raises(FilterError, match="passthrough"):
+        FilterGraph("transpose=clock:sideways")
+    with pytest.raises(FilterError, match="dir"):
+        FilterGraph("transpose=rot180")
+
+
+def _sharpen_oracle(plane):
+    """Independent NPP FilterSharpen math: 3x3 (-1,...,16,...,-1)/8,
+    replicate border, round-half-even, saturate to u8 — scalar loops,
+    no shared code with the filter."""
+    h, w = plane.shape
+    p = plane.astype(np.int64)
+    out = np.empty_like(plane)
+    for y in range(h):
+        for x in range(w):
+            acc = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    yy = min(max(y + dy, 0), h - 1)
+                    xx = min(max(x + dx, 0), w - 1)
+                    k = 16 if (dy == 0 and dx == 0) else -1
+                    acc += k * p[yy, xx]
+            v = float(np.float32(acc) * np.float32(0.125))
+            r = np.rint(v)               # numpy rint = half-even
+            out[y, x] = min(max(int(r), 0), 255)
+    return out
+
+
+def test_sharpen_npp_oracle(rng):
+    y = rng.integers(0, 256, (2, 12, 14)).astype(np.uint8)
+    u = rng.integers(0, 256, (2, 6, 7)).astype(np.uint8)
+    v = rng.integers(0, 256, (2, 6, 7)).astype(np.uint8)
+    fb = from_numpy_yuv420(y, u, v)
+    out, _ = FilterGraph("sharpen_npp").process(fb)
+    for name, src in (("y", y), ("u", u), ("v", v)):
+        got = np.asarray(out.planes[name])
+        for i in range(2):
+            np.testing.assert_array_equal(got[i], _sharpen_oracle(src[i]),
+                                          err_msg=f"plane {name}[{i}]")
+    # flat regions are fixed points (16c - 8c = 8c, /8 = c)
+    flat = from_numpy_yuv420(*(np.full(s, 77, np.uint8) for s in
+                               ((1, 8, 8), (1, 4, 4), (1, 4, 4))))
+    o2, _ = FilterGraph("sharpen_npp=replicate").process(flat)
+    assert np.all(np.asarray(o2.planes["y"]) == 77)
+    # format gate + border option gate
+    rgb = from_numpy_rgb(rng.integers(0, 256, (1, 8, 8, 3)).astype(np.uint8))
+    with pytest.raises(FilterError, match="yuv420p/yuv444p"):
+        FilterGraph("sharpen_npp").process(rgb)
+    with pytest.raises(FilterError, match="border"):
+        FilterGraph("sharpen_npp=reflect")
+
+
 def test_infer_denoise_luma(rng):
     """denoise model in the reference's luma-only IO mode: same dims,
     chroma passthrough untouched."""
