@@ -642,7 +642,7 @@ def _f_vflip():
     return lambda fb: geometry.flip(fb, 0)
 
 
-def _f_transpose(dir=0, passthrough="none"):
+def _f_transpose(dir=0, passthrough="none", _npp=False):
     """ffmpeg transpose / transpose_npp: 0=cclock_flip (plain transpose),
     1=clock, 2=cclock, 3=clock_flip (anti-diagonal).  Swaps W and H.
 
@@ -652,14 +652,16 @@ def _f_transpose(dir=0, passthrough="none"):
     (npptranspose_config_props, vf_transpose_npp.c:257-259).  The
     reference resolves passthrough once at link-configure time; frame
     dims here are likewise fixed per FrameBatch stream segment, so the
-    per-call check is equivalent.
+    per-call check is equivalent.  The transpose_npp alias additionally
+    enforces the reference's supported_formats gate (yuv420p/yuv444p,
+    vf_transpose_npp.c:37-40) so graphs validated here port unchanged.
     """
     names = {"cclock_flip": 0, "clock": 1, "cclock": 2, "clock_flip": 3}
     d = names.get(str(dir), dir)
     try:
         d = int(d)
     except (TypeError, ValueError):
-        raise FilterError(f"transpose: bad dir '{dir}'")
+        raise FilterError(f"transpose: bad dir '{dir}'") from None
     if d not in (0, 1, 2, 3):
         raise FilterError("transpose dir must be 0..3")
     pt_modes = {"none": 0, "0": 0, "landscape": 1, "1": 1,
@@ -671,7 +673,13 @@ def _f_transpose(dir=0, passthrough="none"):
     def run(fb):
         if (pt == 1 and fb.width >= fb.height) or \
            (pt == 2 and fb.width <= fb.height):
+            # reference passthrough short-circuits BEFORE the format gate
+            # (npptranspose_config_props returns at :258-269 without ever
+            # reaching init_processing_chain's format_is_supported :196)
             return fb
+        if _npp and fb.format not in ("yuv420p", "yuv444p"):
+            raise FilterError("transpose_npp supports yuv420p/yuv444p only "
+                              "(vf_transpose_npp.c:37-40 supported_formats)")
         if fb.format == "yuv422p":
             # transposing horizontal-only chroma yields 4:4:0, a layout
             # we don't carry — ffmpeg's transpose outputs yuv440p here
@@ -2505,7 +2513,7 @@ FILTERS: Dict[str, Callable] = {
     "hflip": _f_hflip,
     "vflip": _f_vflip,
     "transpose": _f_transpose,
-    "transpose_npp": _f_transpose,
+    "transpose_npp": lambda **kw: _f_transpose(_npp=True, **kw),
     "sharpen_npp": _f_sharpen_npp,
     "smooth": _f_smooth,
     "smooth_nvcv": _f_smooth,

@@ -221,12 +221,17 @@ def test_transpose_named_dirs_and_passthrough(rng):
     (vf_transpose_npp.c:428-439, 257-259)."""
     rgb = rng.integers(0, 256, (1, 16, 32, 3)).astype(np.uint8)   # landscape
     fb = from_numpy_rgb(rgb)
+    yuv = from_numpy_yuv420(
+        rng.integers(0, 256, (1, 16, 32)).astype(np.uint8),
+        rng.integers(0, 256, (1, 8, 16)).astype(np.uint8),
+        rng.integers(0, 256, (1, 8, 16)).astype(np.uint8))
     for name, num in (("cclock_flip", 0), ("clock", 1),
                       ("cclock", 2), ("clock_flip", 3)):
-        a, _ = FilterGraph(f"transpose_npp={name}").process(fb)
-        b, _ = FilterGraph(f"transpose={num}").process(fb)
-        np.testing.assert_array_equal(np.asarray(a.planes["rgb"]),
-                                      np.asarray(b.planes["rgb"]))
+        a, _ = FilterGraph(f"transpose_npp={name}").process(yuv)
+        b, _ = FilterGraph(f"transpose={num}").process(yuv)
+        for pl in ("y", "u", "v"):
+            np.testing.assert_array_equal(np.asarray(a.planes[pl]),
+                                          np.asarray(b.planes[pl]))
     # landscape passthrough on a w>h frame: untouched, dims keep W x H
     out, _ = FilterGraph("transpose=clock:landscape").process(fb)
     assert (out.width, out.height) == (32, 16)
@@ -244,6 +249,23 @@ def test_transpose_named_dirs_and_passthrough(rng):
         FilterGraph("transpose=clock:sideways")
     with pytest.raises(FilterError, match="dir"):
         FilterGraph("transpose=rot180")
+
+
+def test_transpose_npp_format_gate(rng):
+    """transpose_npp enforces supported_formats (vf_transpose_npp.c:37-40)
+    like the reference; generic transpose stays format-agnostic; the
+    passthrough short-circuit precedes the gate (config_props returns at
+    :258-269 before init_processing_chain's format check at :196)."""
+    rgb = rng.integers(0, 256, (1, 16, 32, 3)).astype(np.uint8)
+    fb = from_numpy_rgb(rgb)
+    with pytest.raises(FilterError, match="yuv420p/yuv444p"):
+        FilterGraph("transpose_npp=clock").process(fb)
+    # generic transpose on the same input is fine
+    out, _ = FilterGraph("transpose=clock").process(fb)
+    assert (out.width, out.height) == (16, 32)
+    # passthrough-on-unsupported-format passes through, like the reference
+    o2, _ = FilterGraph("transpose_npp=clock:landscape").process(fb)
+    np.testing.assert_array_equal(np.asarray(o2.planes["rgb"]), rgb)
 
 
 def _sharpen_oracle(plane):
