@@ -125,6 +125,12 @@ YUV444P10 = _register(_yuv444("yuv444p10", "uint16", 10))  # lsb-aligned
 YUV444P16 = _register(_yuv444("yuv444p16", "uint16", 16))
 GRAY8 = _register(PixelFormat("gray8", (PlaneDesc("y", 0, 0, 1, "uint8"),),
                               8, is_rgb=False))
+# lsb-aligned >8-bit gray (AV_PIX_FMT_GRAY10/16LE): the extractplanes
+# output formats for 10/16-bit sources (vf_extractplanes.c:150-199)
+GRAY10 = _register(PixelFormat("gray10", (PlaneDesc("y", 0, 0, 1, "uint16"),),
+                               10, is_rgb=False))
+GRAY16 = _register(PixelFormat("gray16", (PlaneDesc("y", 0, 0, 1, "uint16"),),
+                               16, is_rgb=False))
 
 # --- RGB --------------------------------------------------------------------
 RGB24 = _register(_packed_rgb("rgb24", "rgb", "uint8", 8))

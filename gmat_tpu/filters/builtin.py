@@ -775,6 +775,209 @@ def _f_null():
     return lambda fb: fb
 
 
+# component flag bits shared by negate/extractplanes (vf_negate.c:30-36,
+# vf_extractplanes.c:33-39 — identical values in both tables)
+_COMP_BITS = {"r": 0x01, "g": 0x02, "b": 0x04, "a": 0x08,
+              "y": 0x10, "u": 0x20, "v": 0x40}
+
+
+def _parse_comp_flags(spec, what: str) -> int:
+    """AV_OPT_TYPE_FLAGS subset: int, or '+'/'|'-joined names from
+    _COMP_BITS (ffmpeg's flag-option grammar)."""
+    s = str(spec).strip()
+    try:
+        val = int(s, 0)
+    except ValueError:
+        val = 0
+        for tok in s.replace("|", "+").split("+"):
+            tok = tok.strip()
+            if not tok:
+                continue
+            if tok not in _COMP_BITS:
+                raise FilterError(f"{what}: unknown component '{tok}'")
+            val |= _COMP_BITS[tok]
+    if not 1 <= val <= 0xFF:
+        raise FilterError(f"{what}: component flags out of range")
+    return val
+
+
+def _comp_avail(fmt) -> int:
+    """vf_negate.c:341-344 / vf_extractplanes.c:228-231 comp_avail:
+    RGB formats expose r/g/b, YUV exposes y (+u/v when chroma planes
+    exist), alpha when the format carries one."""
+    if fmt.is_rgb:
+        avail = _COMP_BITS["r"] | _COMP_BITS["g"] | _COMP_BITS["b"]
+        if "a" in (fmt.channel_order or ""):
+            avail |= _COMP_BITS["a"]
+    else:
+        avail = _COMP_BITS["y"]
+        if any(p.name in ("u", "uv") for p in fmt.planes):
+            avail |= _COMP_BITS["u"] | _COMP_BITS["v"]
+    return avail
+
+
+_NEGATE_FORMATS = ("yuv420p", "yuv422p", "yuv444p", "yuv420p10",
+                   "yuv444p10", "yuv420p16", "yuv444p16", "gray8",
+                   "gray10", "gray16", "rgb24", "bgr24", "rgba", "bgra",
+                   "rgb48", "bgr48", "rgba64", "bgra64")
+
+
+def _f_negate(components=0x77, negate_alpha=0):
+    """vf_negate.c analog: per-component value inversion (max - v).
+
+    Semantics transcribed from the C, including its packed-format quirk:
+    for packed RGB the per-CHANNEL mask is built only from
+    `components` (config_input vf_negate.c:374-385 — `negate_alpha`
+    never feeds it), so ``negate=negate_alpha=1`` on rgba leaves alpha
+    untouched exactly like the reference; negating packed alpha needs
+    ``components=r+g+b+a``.  Planar formats instead use the plane mask
+    (default 0x7, vf_negate.c:338).  Components are validated against
+    the format only when explicitly set (!= the 0x77 default,
+    vf_negate.c:340-346).
+    """
+    req = _parse_comp_flags(components, "negate")
+    nalpha = int(negate_alpha)
+
+    def run(fb):
+        fmt = fb.fmt
+        if fb.format not in _NEGATE_FORMATS:
+            raise FilterError(f"negate: unsupported format {fb.format}")
+        if req != 0x77 and req & ~_comp_avail(fmt):
+            raise FilterError("negate: requested components not available")
+        maxv = (1 << fmt.bits) - 1
+        planes = dict(fb.planes)
+        if fmt.is_rgb:
+            order = fmt.channel_order
+            arr = fb.planes["rgb"]
+            chans = []
+            for i, ch in enumerate(order):
+                bit = _COMP_BITS[ch]
+                c = arr[..., i]
+                chans.append(maxv - c if req & bit else c)
+            planes["rgb"] = jnp.stack(chans, axis=-1).astype(arr.dtype)
+        else:
+            if req != 0x77:
+                mask = {"y": bool(req & 0x10), "u": bool(req & 0x20),
+                        "v": bool(req & 0x40)}
+            else:
+                mask = {"y": True, "u": True, "v": True}
+            for name, arr in fb.planes.items():
+                if mask.get(name, False):
+                    planes[name] = (maxv - arr.astype(jnp.int32)) \
+                        .astype(arr.dtype)
+        return fb.with_planes(planes)
+    return run
+
+
+def _f_swapuv():
+    """vf_swapuv.c analog: swap the U and V planes (pure relabel)."""
+    def run(fb):
+        if not all(n in fb.planes for n in ("u", "v")):
+            raise FilterError("swapuv needs a 3-plane YUV input")
+        planes = dict(fb.planes)
+        planes["u"], planes["v"] = planes["v"], planes["u"]
+        return fb.with_planes(planes)
+    return run
+
+
+def _f_extractplanes(planes="y"):
+    """vf_extractplanes.c analog: pull one component out as a gray
+    stream (gray8/gray10/gray16 keyed on source depth, the out*_pixfmts
+    ladder at vf_extractplanes.c:150-199).  The reference fans multiple
+    requested planes out to multiple output pads; this graph is a single
+    chain, so exactly one plane may be requested per filter instance
+    (run several graphs for several planes — same data, same math).
+    Values are copied verbatim (no colorspace conversion), matching
+    extract_from_packed/av_image_copy_plane.
+    """
+    req = _parse_comp_flags(planes, "extractplanes")
+    if bin(req).count("1") != 1:
+        raise FilterError("extractplanes: exactly one plane per instance "
+                          "in a linear graph (run one graph per plane)")
+
+    def run(fb):
+        fmt = fb.fmt
+        if fmt.is_float:
+            raise FilterError("extractplanes: float RGB unsupported")
+        if req & ~_comp_avail(fmt):
+            raise FilterError("extractplanes: requested plane not available")
+        gray = {8: "gray8", 10: "gray10", 16: "gray16"}.get(fmt.bits)
+        if gray is None:
+            raise FilterError(f"extractplanes: no gray{fmt.bits} output")
+        if fmt.is_rgb:
+            ch = {0x01: "r", 0x02: "g", 0x04: "b", 0x08: "a"}[req]
+            idx = fmt.channel_order.index(ch)
+            out = fb.planes["rgb"][..., idx]
+            return FrameBatch({"y": out}, gray, fb.width, fb.height,
+                              fb.colorspace)
+        name = {0x10: "y", 0x20: "u", 0x40: "v"}[req]
+        out = fb.planes[name]
+        return FrameBatch({"y": out}, gray, out.shape[2], out.shape[1],
+                          fb.colorspace)
+    return run
+
+
+def _f_monochrome(cb=0.0, cr=0.0, size=1.0, high=0.0):
+    """vf_monochrome.c analog: luma-weighted custom color filter, chroma
+    cleared to neutral.  Float32 math transcribed from PROCESS()
+    (vf_monochrome.c:69-78): the chroma distance filter
+    exp(-clip(((b-u)^2+(r-v)^2)*1/size, 0, 1)), the beta=0.6 envelope
+    (vf_monochrome.c:46-59), t = tt + (1-tt)*(1-high), output
+    lrintf(((1-t)*y + t*ny*y) * max) clipped to depth.  Chroma planes
+    are set to half = 1<<(depth-1) (clear_slice, vf_monochrome.c:158+).
+    """
+    b0, r0 = float(cb), float(cr)
+    sz, hi = float(size), float(high)
+    if not -1.0 <= b0 <= 1.0 or not -1.0 <= r0 <= 1.0:
+        raise FilterError("monochrome: cb/cr must be in [-1, 1]")
+    if not 0.1 <= sz <= 10.0:
+        raise FilterError("monochrome: size must be in [0.1, 10]")
+    if not 0.0 <= hi <= 1.0:
+        raise FilterError("monochrome: high must be in [0, 1]")
+
+    def run(fb):
+        fmt = fb.fmt
+        if fmt.is_rgb or fb.format in ("gray8", "gray10", "gray16",
+                                       "nv12", "p010", "p016"):
+            raise FilterError("monochrome supports planar YUV only "
+                              "(vf_monochrome.c pixel_fmts)")
+        depth = fmt.bits
+        maxf = jnp.float32((1 << depth) - 1)
+        imax = jnp.float32(1.0) / maxf
+        y = fb.planes["y"].astype(jnp.float32) * imax
+        u = fb.planes["u"].astype(jnp.float32) * imax - jnp.float32(0.5)
+        v = fb.planes["v"].astype(jnp.float32) * imax - jnp.float32(0.5)
+        # chroma sampled at x>>subw, y>>subh == nearest repeat up to luma
+        # (repeat by the subsample FACTOR then crop — ceil-sized chroma
+        # planes of odd-dim frames would repeat short otherwise)
+        updesc = next(p for p in fmt.planes if p.name == "u")
+        if updesc.sub_w or updesc.sub_h:
+            fy, fx = 1 << updesc.sub_h, 1 << updesc.sub_w
+            u = jnp.repeat(jnp.repeat(u, fy, axis=1), fx, axis=2)
+            v = jnp.repeat(jnp.repeat(v, fy, axis=1), fx, axis=2)
+            u = u[:, :y.shape[1], :y.shape[2]]
+            v = v[:, :y.shape[1], :y.shape[2]]
+        bb = jnp.float32(np.float32(b0) * np.float32(0.5))
+        rr = jnp.float32(np.float32(r0) * np.float32(0.5))
+        size_i = jnp.float32(np.float32(1.0) / np.float32(sz))
+        ihigh = jnp.float32(np.float32(1.0) - np.float32(hi))
+        dist = ((bb - u) * (bb - u) + (rr - v) * (rr - v)) * size_i
+        ny = jnp.exp(-jnp.clip(dist, 0.0, 1.0))
+        beta = jnp.float32(0.6)
+        t_lo = jnp.abs(y / beta - jnp.float32(1.0))
+        env_lo = jnp.float32(1.0) - t_lo * t_lo
+        t_hi = (jnp.float32(1.0) - y) / (jnp.float32(1.0) - beta)
+        env_hi = t_hi * t_hi * (jnp.float32(3.0) - jnp.float32(2.0) * t_hi)
+        tt = jnp.where(y < beta, env_lo, env_hi)
+        t = tt + (jnp.float32(1.0) - tt) * ihigh
+        out = (jnp.float32(1.0) - t) * y + t * ny * y
+        out_i = jnp.clip(jnp.rint(out * maxf), 0, (1 << depth) - 1)
+        dt = fb.planes["y"].dtype
+        half = jnp.full_like(fb.planes["u"], 1 << (depth - 1))
+        return fb.with_planes({"y": out_i.astype(dt), "u": half, "v": half})
+    return run
+
+
 def _parse_color(color: str):
     """One shared av_parse_color subset for every filter: delegates to
     ops.geometry.parse_color (names, #RGB[A]/#RRGGBB[AA]/0x/bare hex) so
@@ -2523,6 +2726,12 @@ FILTERS: Dict[str, Callable] = {
     "format": _f_format,
     "format_cuda": _f_format,
     "null": _f_null,
+    "copy": _f_null,
+    "negate": _f_negate,
+    "swapuv": _f_swapuv,
+    "extractplanes": _f_extractplanes,
+    "alphaextract": lambda: _f_extractplanes(planes="a"),
+    "monochrome": _f_monochrome,
     # hwupload/hwdownload are no-ops here: batches live in HBM for the
     # whole graph (doc pipelines with hwupload_cuda run unmodified,
     # FFmpeg_GPU_Acceleration.md:55-104)

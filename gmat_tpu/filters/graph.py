@@ -79,8 +79,14 @@ POSITIONAL = {
     "yadif": ("mode", "parity", "deint"),
     "yadif_cuda": ("mode", "parity", "deint"),
     "null": (),
+    "copy": (),
     "hflip": (),
     "vflip": (),
+    "negate": ("components", "negate_alpha"),
+    "swapuv": (),
+    "extractplanes": ("planes",),
+    "alphaextract": (),
+    "monochrome": ("cb", "cr", "size", "high"),
 }
 
 

@@ -863,3 +863,150 @@ def test_scene_rgb_channels_last_layout():
     s, _ = scene_scores(fb)
     s = np.asarray(s)
     assert s[1] < 1e-6 and s[2] > 0.5
+
+
+# ---- negate / swapuv / extractplanes / monochrome ---------------------------
+
+def test_negate_planar_and_depth(rng):
+    fb = yuv_batch(rng, n=2, h=16, w=24)
+    out, _ = FilterGraph("negate").process(fb)
+    for pl in ("y", "u", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(out.planes[pl]),
+            255 - np.asarray(fb.planes[pl]))
+    # components=y negates only luma
+    o2, _ = FilterGraph("negate=y").process(fb)
+    np.testing.assert_array_equal(np.asarray(o2.planes["y"]),
+                                  255 - np.asarray(fb.planes["y"]))
+    np.testing.assert_array_equal(np.asarray(o2.planes["u"]),
+                                  np.asarray(fb.planes["u"]))
+    # 10-bit: max = 1023 (vf_negate.c:263 max = (1<<depth)-1)
+    y10 = rng.integers(0, 1024, (1, 8, 8)).astype(np.uint16)
+    u10 = rng.integers(0, 1024, (1, 4, 4)).astype(np.uint16)
+    v10 = rng.integers(0, 1024, (1, 4, 4)).astype(np.uint16)
+    fb10 = from_numpy_yuv420(y10, u10, v10, fmt="yuv420p10")
+    o3, _ = FilterGraph("negate").process(fb10)
+    np.testing.assert_array_equal(np.asarray(o3.planes["y"]), 1023 - y10)
+    # asking for r on a YUV input errors (comp_avail check)
+    with pytest.raises(FilterError, match="not available"):
+        FilterGraph("negate=r").process(fb)
+
+
+def test_negate_packed_alpha_quirk(rng):
+    """vf_negate.c:374-385: for packed formats the channel mask comes only
+    from `components`, so negate_alpha alone leaves packed alpha alone."""
+    rgba = rng.integers(0, 256, (1, 8, 8, 4)).astype(np.uint8)
+    fb = from_numpy_rgb(rgba, fmt="rgba")
+    out, _ = FilterGraph("negate=negate_alpha=1").process(fb)
+    got = np.asarray(out.planes["rgb"])
+    np.testing.assert_array_equal(got[..., :3], 255 - rgba[..., :3])
+    np.testing.assert_array_equal(got[..., 3], rgba[..., 3])   # untouched
+    # explicit components=r+g+b+a DOES negate alpha
+    o2, _ = FilterGraph("negate=r+g+b+a").process(fb)
+    np.testing.assert_array_equal(np.asarray(o2.planes["rgb"]), 255 - rgba)
+    # bgr ordering maps the component to the right channel
+    bgr = rng.integers(0, 256, (1, 4, 4, 3)).astype(np.uint8)
+    fbb = from_numpy_rgb(bgr, fmt="bgr24")
+    o3, _ = FilterGraph("negate=r").process(fbb)
+    got3 = np.asarray(o3.planes["rgb"])
+    np.testing.assert_array_equal(got3[..., 2], 255 - bgr[..., 2])  # R at idx 2
+    np.testing.assert_array_equal(got3[..., :2], bgr[..., :2])
+
+
+def test_swapuv(rng):
+    fb = yuv_batch(rng, n=1, h=8, w=8)
+    out, _ = FilterGraph("swapuv").process(fb)
+    np.testing.assert_array_equal(np.asarray(out.planes["u"]),
+                                  np.asarray(fb.planes["v"]))
+    np.testing.assert_array_equal(np.asarray(out.planes["v"]),
+                                  np.asarray(fb.planes["u"]))
+    rgb = from_numpy_rgb(np.zeros((1, 4, 4, 3), np.uint8))
+    with pytest.raises(FilterError, match="YUV"):
+        FilterGraph("swapuv").process(rgb)
+
+
+def test_extractplanes(rng):
+    fb = yuv_batch(rng, n=2, h=16, w=24)
+    oy, _ = FilterGraph("extractplanes=y").process(fb)
+    assert oy.format == "gray8" and (oy.width, oy.height) == (24, 16)
+    np.testing.assert_array_equal(np.asarray(oy.planes["y"]),
+                                  np.asarray(fb.planes["y"]))
+    ou, _ = FilterGraph("extractplanes=u").process(fb)
+    assert (ou.width, ou.height) == (12, 8)   # chroma plane dims
+    np.testing.assert_array_equal(np.asarray(ou.planes["y"]),
+                                  np.asarray(fb.planes["u"]))
+    # packed RGB channel extraction, verbatim values
+    rgba = rng.integers(0, 256, (1, 8, 8, 4)).astype(np.uint8)
+    fbr = from_numpy_rgb(rgba, fmt="rgba")
+    og, _ = FilterGraph("extractplanes=g").process(fbr)
+    np.testing.assert_array_equal(np.asarray(og.planes["y"]), rgba[..., 1])
+    oa, _ = FilterGraph("alphaextract").process(fbr)
+    np.testing.assert_array_equal(np.asarray(oa.planes["y"]), rgba[..., 3])
+    # 16-bit source -> gray16
+    r48 = rng.integers(0, 65536, (1, 4, 4, 3)).astype(np.uint16)
+    f48 = from_numpy_rgb(r48, fmt="rgb48")
+    o16, _ = FilterGraph("extractplanes=b").process(f48)
+    assert o16.format == "gray16"
+    np.testing.assert_array_equal(np.asarray(o16.planes["y"]), r48[..., 2])
+    # multiple planes per instance rejected (single-chain graph)
+    with pytest.raises(FilterError, match="one plane"):
+        FilterGraph("extractplanes=y+u")
+    # alpha from an alpha-less format errors
+    with pytest.raises(FilterError, match="not available"):
+        FilterGraph("extractplanes=a").process(fb)
+
+
+def _monochrome_oracle(y8, u8, v8, cb, cr, size, high, depth=8):
+    """Scalar float32 transcription of vf_monochrome.c PROCESS()."""
+    f = np.float32
+    maxv = f((1 << depth) - 1)
+    imax = f(1.0) / maxv
+    b = f(cb) * f(0.5)
+    r = f(cr) * f(0.5)
+    isize = f(1.0) / f(size)
+    ihigh = f(1.0) - f(high)
+    beta = f(0.6)
+    h, w = y8.shape
+    out = np.empty_like(y8)
+    for yy in range(h):
+        for xx in range(w):
+            y = f(y8[yy, xx]) * imax
+            u = f(u8[yy >> 1, xx >> 1]) * imax - f(0.5)
+            v = f(v8[yy >> 1, xx >> 1]) * imax - f(0.5)
+            d = ((b - u) * (b - u) + (r - v) * (r - v)) * isize
+            ny = np.exp(min(max(d, f(0.0)), f(1.0)).astype(np.float32) * f(-1.0)).astype(f)
+            if y < beta:
+                tmp = abs(y / beta - f(1.0))
+                tt = f(1.0) - tmp * tmp
+            else:
+                tmp = (f(1.0) - y) / (f(1.0) - beta)
+                tt = tmp * tmp * (f(3.0) - f(2.0) * tmp)
+            t = tt + (f(1.0) - tt) * ihigh
+            nyv = (f(1.0) - t) * y + t * ny * y
+            out[yy, xx] = min(max(int(np.rint(nyv * maxv)), 0),
+                              (1 << depth) - 1)
+    return out
+
+
+def test_monochrome_oracle(rng):
+    y = rng.integers(0, 256, (1, 10, 12)).astype(np.uint8)
+    u = rng.integers(0, 256, (1, 5, 6)).astype(np.uint8)
+    v = rng.integers(0, 256, (1, 5, 6)).astype(np.uint8)
+    fb = from_numpy_yuv420(y, u, v)
+    for cb, cr, size, high in ((0.0, 0.0, 1.0, 0.0),
+                               (0.3, -0.2, 2.5, 0.4)):
+        out, _ = FilterGraph(
+            f"monochrome=cb={cb}:cr={cr}:size={size}:high={high}").process(fb)
+        want = _monochrome_oracle(y[0], u[0], v[0], cb, cr, size, high)
+        got = np.asarray(out.planes["y"])[0]
+        # expf vs XLA exp can differ in the last ulp -> at most 1 LSB
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 1, (diff.max(), (cb, cr, size, high))
+        assert (diff > 0).mean() < 0.02
+        np.testing.assert_array_equal(np.asarray(out.planes["u"]), 128)
+        np.testing.assert_array_equal(np.asarray(out.planes["v"]), 128)
+    with pytest.raises(FilterError, match="size"):
+        FilterGraph("monochrome=size=0.01")
+    rgbfb = from_numpy_rgb(rng.integers(0, 256, (1, 4, 4, 3)).astype(np.uint8))
+    with pytest.raises(FilterError, match="planar YUV"):
+        FilterGraph("monochrome").process(rgbfb)
