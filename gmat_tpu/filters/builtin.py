@@ -2483,6 +2483,321 @@ def _f_infer(model="sr2x", weights="", luma_only=0, precision="bf16",
                        precision=precision, hidden=int(hidden))
 
 
+class BlendFilter:
+    """blend / tblend (vf_blend.c analog) — two-source compositing with
+    the full 39-mode family of blend_modes.c, per-component modes,
+    opacities, and per-pixel expressions.
+
+    blend: the TOP stream is the main graph; the BOTTOM comes from
+    ``video=FILE`` (decoded in lockstep like overlay/psnr's second
+    input; ff_framesync_dualinput_get, vf_blend.c:229-243), with
+    framesync eof_action repeat (default) | pass | endall when the
+    bottom ends first.  Dims must match (config_output EINVAL,
+    vf_blend.c:330-338).
+
+    tblend: TOP = current frame, BOTTOM = previous frame; the first
+    frame is consumed without output (tblend_filter_frame,
+    vf_blend.c:427-446); earlier select drops never reach the pair
+    window (ffmpeg chain order).
+
+    Component mapping follows the C plane order: c0/c1/c2 = Y/U/V
+    (+c3 = A) for YUV, c0 for gray, and G/B/R(/A) for float RGB (GBRP
+    plane order).  ``all_mode`` >= 0 overrides every component's mode;
+    ``all_opacity`` < 1 overrides opacities (config_params,
+    vf_blend.c:290-297).  Expressions (cN_expr/all_expr) override modes
+    per component and are evaluated per pixel on host with vars
+    X/Y/W/H/SW/SH/T/N/A/B/TOP/BOTTOM (vf_blend.c:51) — exact but slow,
+    like the reference's av_expr_eval path.
+
+    Integer stores replicate the C float->PIXEL conversion (x86
+    truncation with low-bits wrap — ops/blend._trunc_store)."""
+
+    stream_filter = True
+
+    def __init__(self, tblend=False, video="", vw=0, vh=0,
+                 eof_action="repeat", shortest=0, all_mode=-1,
+                 all_expr=None, all_opacity=1.0, **kw):
+        from ..ops import blend as BL
+        self.tblend = bool(tblend)
+        self.video = str(video)
+        self.vw, self.vh = int(vw), int(vh)
+        if self.tblend:
+            if self.video:
+                raise FilterError("tblend takes no video= (temporal blend)")
+        elif not self.video:
+            raise FilterError("blend needs video=FILE (the bottom stream)")
+        self.eof_action = "endall" if int(shortest) else str(eof_action)
+        if self.eof_action not in ("repeat", "pass", "endall"):
+            raise FilterError(f"blend eof_action {self.eof_action!r}")
+
+        def parse_mode(v, dflt):
+            if v is None:
+                return dflt
+            s = str(v)
+            if s.lstrip("-").isdigit():
+                i = int(s)
+                if i == -1:
+                    return -1
+                if not 0 <= i < len(BL.MODE_ENUM):
+                    raise FilterError(f"blend mode {i} out of range")
+                return BL.MODE_ENUM[i]
+            if s not in BL.MODE_NAMES:
+                raise FilterError(f"unknown blend mode {s!r}")
+            return BL.MODE_NAMES[s]
+
+        amode = parse_mode(all_mode, -1)
+        aopa = float(all_opacity)
+        if not 0.0 <= aopa <= 1.0:
+            raise FilterError("blend all_opacity must be in [0,1]")
+        self.params = []
+        for i in range(4):
+            mode = parse_mode(kw.pop(f"c{i}_mode", None), "normal")
+            opa = float(kw.pop(f"c{i}_opacity", 1.0))
+            if not 0.0 <= opa <= 1.0:
+                raise FilterError(f"blend c{i}_opacity must be in [0,1]")
+            expr = kw.pop(f"c{i}_expr", None)
+            # config_params: all_mode >= 0 overrides; all_opacity < 1
+            # overrides; all_expr fills unset exprs (vf_blend.c:290-303)
+            if amode != -1:
+                mode = amode
+            if aopa < 1.0:
+                opa = aopa
+            if expr is None and all_expr is not None:
+                expr = all_expr
+            e = compile_expr(str(expr)) if expr is not None else None
+            self.params.append((mode, opa, e))
+        if kw:
+            raise FilterError(f"blend: unknown options {sorted(kw)}")
+        self._gen = None
+        self._last_bottom = None   # np plane dict (eof repeat)
+        self._ended = False
+        self._prev = None          # tblend carried frame (device planes)
+        self._prev_meta = None
+        self._n = 0                # inlink frame_count_out analog
+
+    # -- bottom stream ---------------------------------------------------
+    def _video_gen(self):
+        from ..av.ingest import decode_stream
+        if (self.video.lower().endswith((".yuv", ".nv12", ".iyuv", ".raw"))
+                and not (self.vw and self.vh)):
+            raise FilterError("headerless raw bottom video needs vw=W:vh=H")
+        src = decode_stream(self.video, batch=8,
+                            width=self.vw, height=self.vh)
+        try:
+            for bfb, _bpts, bvalid in src:
+                host = {k: np.asarray(v) for k, v in bfb.planes.items()}
+                for i in range(int(bvalid)):
+                    yield {k: host[k][i] for k in host}
+        finally:
+            src.close()
+
+    def _next_bottom(self):
+        if self._gen is None:
+            self._gen = self._video_gen()
+        try:
+            f = next(self._gen)
+            self._last_bottom = f
+            return f
+        except StopIteration:
+            return None
+
+    # -- per-plane application --------------------------------------------
+    @staticmethod
+    def _plane_params(fmt):
+        """[(plane_key, channel_index_or_None, param_idx)] in C plane
+        order: YUV y/u/v(/a) = 0/1/2(/3); float RGB channels in GBRP
+        plane order G/B/R/A = 0/1/2/3."""
+        if fmt.is_rgb:
+            order = fmt.channel_order          # "rgb" / "rgba"
+            out = [("rgb", order.index("g"), 0), ("rgb", order.index("b"), 1),
+                   ("rgb", order.index("r"), 2)]
+            if "a" in order:
+                out.append(("rgb", order.index("a"), 3))
+            return out
+        names = [p.name for p in fmt.planes]
+        return [(n, None, i) for i, n in enumerate(names)]
+
+    def _eval_expr(self, e, top, bottom, depth, is_float, fw, fh, t, n):
+        """Per-pixel host evaluation (DEFINE_BLEND_EXPR, vf_blend.c:127-
+        160): dst = av_expr_eval(...), int stores truncate/wrap."""
+        tnp = np.asarray(top)
+        bnp = np.asarray(bottom)
+        h, w = tnp.shape
+        out = np.empty_like(tnp)
+        env = {"W": float(w), "H": float(h), "SW": w / float(fw),
+               "SH": h / float(fh), "T": t, "N": float(n)}
+        for yy in range(h):
+            env["Y"] = float(yy)
+            for xx in range(w):
+                env["X"] = float(xx)
+                env["A"] = env["TOP"] = float(tnp[yy, xx])
+                env["B"] = env["BOTTOM"] = float(bnp[yy, xx])
+                v = e(env)
+                if is_float:
+                    out[yy, xx] = np.float32(v)
+                else:
+                    # C (PIXEL)(double): cvttsd2si + low bits
+                    if not np.isfinite(v) or not (-2**31 <= v < 2**31):
+                        i = -2**31
+                    else:
+                        i = int(v)      # trunc toward zero
+                    out[yy, xx] = i & ((1 << (8 if depth <= 8 else 16)) - 1)
+        return out
+
+    def _blend_batch(self, fb, bottom_planes, times, n0):
+        """Blend full batches plane by plane; bottom_planes are stacked
+        device arrays matching fb.planes."""
+        from ..ops import blend as BL
+        fmt = fb.fmt
+        depth = fmt.bits
+        out = dict(fb.planes)
+        for key, chan, pidx in self._plane_params(fmt):
+            mode, opa, e = self.params[pidx]
+            top = fb.planes[key] if chan is None \
+                else fb.planes[key][..., chan]
+            bot = bottom_planes[key] if chan is None \
+                else bottom_planes[key][..., chan]
+            if e is not None:
+                frames = []
+                for i in range(top.shape[0]):
+                    t = float(times[i]) if times is not None else _NANF
+                    frames.append(self._eval_expr(
+                        e, top[i], bot[i], depth, fmt.is_float,
+                        fb.width, fb.height, t, n0 + i))
+                res = jnp.asarray(np.stack(frames))
+            else:
+                res = BL.blend_plane(top, bot, mode, opa, depth)
+            if chan is None:
+                out[key] = res
+            else:
+                out[key] = out[key].at[..., chan].set(res)
+        return fb.with_planes(out)
+
+    # -- stream protocol ----------------------------------------------------
+    def process_batch(self, fb: FrameBatch, meta):
+        fmt = fb.fmt
+        if fmt.is_rgb and not fmt.is_float:
+            raise FilterError("blend: packed integer RGB unsupported "
+                              "(vf_blend.c pix_fmts — planar YUV/gray/"
+                              "float RGB); insert format= first")
+        if fb.format in ("nv12", "p010", "p016"):
+            raise FilterError(f"blend: {fb.format} unsupported")
+        alive = np.asarray(meta["keep"]).copy()
+        pad = meta.get("pad")
+        if pad is not None:
+            alive &= ~np.asarray(pad)
+        idx = np.nonzero(alive)[0]
+        if len(idx) < fb.batch:
+            sel = jnp.asarray(idx)
+            fb = fb.with_planes({k: jnp.take(p, sel, axis=0)
+                                 for k, p in fb.planes.items()})
+            meta = _meta_take(meta, idx)
+        v = len(idx)
+        if v == 0:
+            return _empty_like(fb), meta
+        times = meta.get("times")
+
+        if self.tblend:
+            ext = {k: (jnp.concatenate([self._prev[k], p])
+                       if self._prev is not None else p)
+                   for k, p in fb.planes.items()}
+            m = next(iter(ext.values())).shape[0]
+            self._prev = {k: p[-1:] for k, p in ext.items()}
+            if m < 2:
+                self._n += v
+                return _empty_like(fb), _meta_take(meta, slice(0, 0))
+            tops = {k: p[1:] for k, p in ext.items()}
+            bots = {k: p[:-1] for k, p in ext.items()}
+            count = m - 1
+            # output props follow the TOP (current) frame: the last
+            # `count` frames of this batch
+            out_meta = _meta_take(meta, slice(v - count, v))
+            first = self._prev_meta is None
+            n0 = self._n + (1 if first else 0)
+            self._n += v
+            self._prev_meta = True
+            tfb = fb.with_planes(tops)
+            out_times = out_meta.get("times")
+            return self._blend_batch(tfb, bots, out_times, n0), out_meta
+
+        # dual input: one bottom frame per surviving top frame
+        bots, keep_rows, passthru = [], [], []
+        for i in range(v):
+            f = None if self._ended else self._next_bottom()
+            if f is None:
+                if self.eof_action == "repeat" and self._last_bottom:
+                    f = self._last_bottom
+                elif self.eof_action == "pass":
+                    passthru.append(i)
+                    bots.append(None)
+                    keep_rows.append(True)
+                    continue
+                else:                   # endall
+                    self._ended = True
+                    keep_rows.append(False)
+                    bots.append(None)
+                    continue
+            bots.append(f)
+            keep_rows.append(True)
+        n0 = self._n
+        self._n += v
+        keep_np = np.array(keep_rows, bool)
+        if not keep_np.any():
+            meta = dict(meta)
+            meta["keep"] = np.zeros(v, bool)
+            return fb, meta
+        if not keep_np.all():
+            sel = np.nonzero(keep_np)[0]
+            fb = fb.with_planes({k: jnp.take(p, jnp.asarray(sel), axis=0)
+                                 for k, p in fb.planes.items()})
+            meta = _meta_take(meta, sel)
+            bots = [bots[i] for i in sel]
+            passthru = [int(np.searchsorted(sel, i)) for i in passthru
+                        if i in set(sel.tolist())]
+            times = meta.get("times")
+        blend_rows = [i for i in range(len(bots)) if bots[i] is not None]
+        if not blend_rows:
+            return fb, meta
+        bfbs = self._bottom_batch(fb, [bots[i] for i in blend_rows])
+        sub = fb if len(blend_rows) == len(bots) else fb.with_planes(
+            {k: jnp.take(p, jnp.asarray(blend_rows), axis=0)
+             for k, p in fb.planes.items()})
+        sub_times = None if times is None else \
+            np.asarray(times)[blend_rows]
+        blended = self._blend_batch(sub, bfbs, sub_times, n0)
+        if len(blend_rows) == len(bots):
+            return blended, meta
+        out = dict(fb.planes)
+        rows = jnp.asarray(blend_rows)
+        for k in out:
+            out[k] = out[k].at[rows].set(blended.planes[k])
+        return fb.with_planes(out), meta
+
+    def _bottom_batch(self, fb, frames):
+        """Stack decoded bottom frames and conform them to the main
+        stream's format (format negotiation analog); dims must already
+        match (config_output EINVAL, vf_blend.c:330-338)."""
+        from ..core.frame import from_numpy_yuv420
+        ys = np.stack([f["y"] for f in frames])
+        us = np.stack([f["u"] for f in frames])
+        vs = np.stack([f["v"] for f in frames])
+        bh, bw = ys.shape[1], ys.shape[2]
+        if (bw, bh) != (fb.width, fb.height):
+            raise FilterError(
+                f"blend: bottom video {bw}x{bh} does not match the top "
+                f"stream {fb.width}x{fb.height} (vf_blend.c config_output)")
+        bfb = from_numpy_yuv420(ys, us, vs, colorspace=fb.colorspace)
+        if bfb.format != fb.format:
+            bfb = csc.convert(bfb, fb.format)
+        return bfb.planes
+
+    def flush(self):
+        return None
+
+
+_NANF = float("nan")
+
+
 class MetricFilter:
     """psnr / ssim reference-comparison filters (libavfilter vf_psnr.c /
     vf_ssim.c analogs — the upstream quality filters the reference tree
