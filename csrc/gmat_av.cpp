@@ -24,6 +24,7 @@ extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavcodec/bsf.h>
 #include <libavutil/imgutils.h>
+#include <libavutil/mastering_display_metadata.h>
 #include <libavutil/opt.h>
 #include <libavutil/pixdesc.h>
 #include <libswscale/swscale.h>
@@ -260,6 +261,45 @@ GAV_API int gav_demux_colorspace(void* h) {
         case AVCOL_SPC_BT2020_NCL: case AVCOL_SPC_BT2020_CL: return 2;
         default: return 0;
     }
+}
+GAV_API int gav_demux_colortrc(void* h) {
+    // raw AVColorTransferCharacteristic (0 = unspecified) — the HDR
+    // lane's linearize default (vf_zscale.c tin, colorspace.c:170-173)
+    auto* d = (GavDemuxer*)h;
+    if (d->vstream < 0) return 0;
+    return (int)d->fmt->streams[d->vstream]->codecpar->color_trc;
+}
+GAV_API int gav_demux_colorprim(void* h) {
+    // raw AVColorPrimaries (0 = unspecified/reserved)
+    auto* d = (GavDemuxer*)h;
+    if (d->vstream < 0) return 0;
+    return (int)d->fmt->streams[d->vstream]->codecpar->color_primaries;
+}
+GAV_API int gav_demux_hdr(void* h, double* max_lum, int* max_cll) {
+    // stream-level HDR10 static metadata: mastering-display max
+    // luminance (cd/m2) + content-light MaxCLL, the inputs
+    // ff_determine_signal_peak reads (colorspace.c:153-175).
+    // Returns a bitmask: 1 = mastering display present, 2 = CLL present.
+    auto* d = (GavDemuxer*)h;
+    *max_lum = 0.0; *max_cll = 0;
+    if (d->vstream < 0) return 0;
+    AVStream* st = d->fmt->streams[d->vstream];
+    int found = 0;
+    if (uint8_t* sd = av_stream_get_side_data(
+            st, AV_PKT_DATA_MASTERING_DISPLAY_METADATA, nullptr)) {
+        auto* m = (AVMasteringDisplayMetadata*)sd;
+        if (m->has_luminance) {
+            *max_lum = av_q2d(m->max_luminance);
+            found |= 1;
+        }
+    }
+    if (uint8_t* sd = av_stream_get_side_data(
+            st, AV_PKT_DATA_CONTENT_LIGHT_LEVEL, nullptr)) {
+        auto* c = (AVContentLightMetadata*)sd;
+        *max_cll = (int)c->MaxCLL;
+        found |= 2;
+    }
+    return found;
 }
 GAV_API int gav_demux_extradata(void* h, unsigned char** data) {
     auto* d = (GavDemuxer*)h;

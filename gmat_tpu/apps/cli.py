@@ -262,11 +262,32 @@ def main(argv=None):
             rd.close()
         tb_sec = 1.0 / src_fps          # raw pts are frame indices
     probe_codec = -1
+    stream_meta = {}
     if not is_raw_input:
         dm_probe = tk.Demuxer(args.input)
         src_fps = dm_probe.fps or 30.0
         tb_sec = dm_probe.time_base[0] / dm_probe.time_base[1]
         probe_codec = dm_probe.codec_id
+        # HDR link state (trc/primaries + mdcv/clli peaks) — seeds
+        # zscale/tonemap defaults like AVFilterLink propagation
+        stream_meta = dm_probe.stream_meta()
+        if (dm_probe.codec_name == "hevc"
+                and not (stream_meta.get("max_luminance")
+                         or stream_meta.get("max_cll"))):
+            # HDR10 static metadata usually rides SEI, not container
+            # boxes — parse the first access unit with our HevcParser
+            # (the frame-side-data path ff_determine_signal_peak reads)
+            pkt = dm_probe.read()
+            if pkt is not None:
+                from ..av import hevc as _hevc
+                md = _hevc.stream_hdr_metadata([pkt.data])
+                if "mastering_display" in md:
+                    stream_meta["max_luminance"] = \
+                        md["mastering_display"].max_nits
+                if "content_light_level" in md:
+                    cll = md["content_light_level"].max_cll
+                    if cll:
+                        stream_meta["max_cll"] = cll
         if args.crop:
             # cuvid-style TOPxBOTTOMxLEFTxRIGHT -> (x, y, w, h)
             t_, b_, l_, r_ = (int(x) for x in args.crop.lower().split("x"))
@@ -275,7 +296,7 @@ def main(argv=None):
         dm_probe.close()
 
     graph = FilterGraph(args.vf, src_fps=src_fps,
-                        pad_batch=args.pad_batch)
+                        pad_batch=args.pad_batch, stream_meta=stream_meta)
     # yadif send_field (mode&1) doubles the output frame rate
     fps_tuple = (round(src_fps * graph.fps_mul * 1000), 1000)
     meter = FpsMeter("gmat", quiet=not args.stats)

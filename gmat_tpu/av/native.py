@@ -98,6 +98,11 @@ def _declare(name: str, lib: ctypes.CDLL):
                                      [ctypes.c_void_p]),
             "gav_demux_timebase": (None, [ctypes.c_void_p, c_pi, c_pi]),
             "gav_demux_colorspace": (ctypes.c_int, [ctypes.c_void_p]),
+            "gav_demux_colortrc": (ctypes.c_int, [ctypes.c_void_p]),
+            "gav_demux_colorprim": (ctypes.c_int, [ctypes.c_void_p]),
+            "gav_demux_hdr": (ctypes.c_int, [ctypes.c_void_p,
+                                             ctypes.POINTER(ctypes.c_double),
+                                             c_pi]),
             "gav_demux_extradata": (ctypes.c_int, [ctypes.c_void_p, c_ppu8]),
             "gav_demux_read": (ctypes.c_int, [ctypes.c_void_p, c_ppu8, c_pll,
                                               c_pll, c_pi, c_pi, c_pi,

@@ -81,6 +81,37 @@ class Demuxer:
                                      ctypes.byref(den))
         self.time_base = (num.value, den.value)
 
+    # AVColorTransferCharacteristic / AVColorPrimaries enum values
+    # (libavutil/pixfmt.h) -> the names core/transfer canonicalizes.
+    # Unmapped values (unspecified/reserved) probe as None.
+    _TRC_NAMES = {1: "bt709", 4: "gamma22", 5: "gamma28", 6: "smpte170m",
+                  8: "linear", 13: "srgb", 14: "2020_10", 15: "2020_12",
+                  16: "smpte2084", 18: "arib-std-b67"}
+    _PRIM_NAMES = {1: "bt709", 5: "bt470bg", 6: "smpte170m", 9: "bt2020",
+                   11: "smpte431", 12: "smpte432"}
+
+    def stream_meta(self) -> dict:
+        """HDR-relevant stream tags as FilterGraph link state: trc /
+        primaries names plus mastering-display max_luminance (cd/m2) and
+        content-light MaxCLL — the inputs ff_determine_signal_peak reads
+        (ffmpeg-gpu/libavfilter/colorspace.c:153-175)."""
+        meta = {}
+        trc = self._TRC_NAMES.get(self._lib.gav_demux_colortrc(self._h))
+        if trc:
+            meta["trc"] = trc
+        prim = self._PRIM_NAMES.get(self._lib.gav_demux_colorprim(self._h))
+        if prim:
+            meta["primaries"] = prim
+        max_lum = ctypes.c_double()
+        max_cll = ctypes.c_int()
+        found = self._lib.gav_demux_hdr(self._h, ctypes.byref(max_lum),
+                                        ctypes.byref(max_cll))
+        if found & 1 and max_lum.value > 0:
+            meta["max_luminance"] = max_lum.value
+        if found & 2 and max_cll.value > 0:
+            meta["max_cll"] = max_cll.value
+        return meta
+
     def extradata(self) -> bytes:
         p = native.c_pu8()
         n = self._lib.gav_demux_extradata(self._h, ctypes.byref(p))

@@ -756,7 +756,11 @@ def _f_format(pix_fmt="rgbpf32", norm=0.0, shift=0.0):
     # format_cuda option `pix_fmt` (vf_format_cuda.c:69-72); norm/shift for
     # the nv12_to_rgbpf32_shift variant (format_cuda_kernel.cu:591-607)
     name_map = {"rgbpf32le": "rgbpf32", "rgbapf32le": "rgbapf32",
-                "bgrpf32le": "bgrpf32"}
+                "bgrpf32le": "bgrpf32",
+                # ffmpeg's planar float RGB names (tonemap's pixfmts) map
+                # onto our packed float layout — same samples, one plane
+                "gbrpf32": "rgbpf32", "gbrpf32le": "rgbpf32",
+                "gbrapf32": "rgbapf32", "gbrapf32le": "rgbapf32"}
     fmt = name_map.get(pix_fmt, pix_fmt)
     target = F.get(fmt)
     kw = {}
@@ -3070,3 +3074,5 @@ FILTERS: Dict[str, Callable] = {
     "psnr": _f_psnr,
     "ssim": _f_ssim,
 }
+
+from . import hdr  # noqa: E402,F401 — registers tonemap/zscale into FILTERS

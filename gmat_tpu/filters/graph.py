@@ -87,6 +87,10 @@ POSITIONAL = {
     "extractplanes": ("planes",),
     "alphaextract": (),
     "monochrome": ("cb", "cr", "size", "high"),
+    # tonemap's single positional is the algorithm (vf_tonemap.c options
+    # table); zscale's are w/h (vf_zscale.c:1004-1006)
+    "tonemap": ("tonemap", "param", "desat", "peak"),
+    "zscale": ("w", "h"),
 }
 
 
@@ -171,18 +175,26 @@ class FilterGraph:
     """
 
     def __init__(self, spec: str, src_fps: float = 30.0,
-                 pad_batch: bool = False):
+                 pad_batch: bool = False,
+                 stream_meta: Optional[Dict] = None):
         self.spec = spec
         self.segments: List = []
         self.filters: List = []     # every instance, chain order — the
         # public handle for reading per-filter state (infer logits,
         # select counters) after processing
+        # link state — the build-time analog of AVFilterLink property
+        # propagation: seeded from the CLI's stream probe (color_trc +
+        # mdcv/clli side data), read and mutated in chain order by
+        # link-aware filters (zscale/tonemap; see filters/hdr.py)
+        self.link_state: Dict = dict(stream_meta or {})
         chain = parse_graph(spec)
         pure: List = []
         for name, kwargs in chain:
             factory = FILTERS[name]
             if name in ("fps",):
                 kwargs.setdefault("src_fps", src_fps)
+            if getattr(factory, "wants_link", False):
+                kwargs.setdefault("_link", self.link_state)
             if pad_batch and getattr(factory, "supports_pad_batch", False):
                 kwargs.setdefault("pad_batch", 1)
             inst = factory(**kwargs)

@@ -156,6 +156,12 @@ def _rgb_to_float(fb: FrameBatch):
     """Return (r, g, b) float at native scale, plus the scale max."""
     fmt = fb.fmt
     arr = fb.planes["rgb"].astype(jnp.float32)
+    if fmt.is_float:
+        # float sources clamp to the canonical [0,1] range on read, like
+        # swscale's float input readers (av_clipf) — HDR overbrights >1.0
+        # (e.g. a tonemapped highlight after gamut mapping) must saturate
+        # at signal white, not leak through the matrix into Y codes >235
+        arr = jnp.clip(arr, 0.0, 1.0)
     order = fmt.channel_order
     chans = {c: arr[..., i] for i, c in enumerate(order)}
     maxv = 1.0 if fmt.is_float else float(F.max_value(fmt))
