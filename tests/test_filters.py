@@ -1010,3 +1010,37 @@ def test_monochrome_oracle(rng):
     rgbfb = from_numpy_rgb(rng.integers(0, 256, (1, 4, 4, 3)).astype(np.uint8))
     with pytest.raises(FilterError, match="planar YUV"):
         FilterGraph("monochrome").process(rgbfb)
+
+
+def test_sharpen_npp_tie_half_even():
+    """acc % 8 == 4 tie cases, constructed explicitly (VERDICT-r4 #7).
+
+    NPP does not document nppiFilterSharpenBorder's tie direction; we
+    chose round-half-even and this test makes the choice falsifiable:
+    100.5 must round DOWN to 100 (round-half-up would give 101) and
+    101.5 must round UP to 102 (truncation would give 101).  Against
+    real NPP output the divergence envelope is at most +/-1 LSB and
+    only on pixels whose acc hits the tie exactly.
+    """
+    # interior pixel (1,1) of a 3x3 plane: acc = 16*center - sum(ring)
+    def plane(center, ring_sum):
+        # seven ring pixels at 100, the eighth adjusts to ring_sum
+        vals = [100] * 7 + [ring_sum - 700]
+        p = np.array([[vals[0], vals[1], vals[2]],
+                      [vals[3], center, vals[4]],
+                      [vals[5], vals[6], vals[7]]], np.uint8)
+        return p[None]
+
+    def run(p):
+        # yuv444p: chroma planes same size
+        fb = from_numpy_yuv420(p, p.copy(), p.copy(), fmt="yuv444p")
+        out, _ = FilterGraph("sharpen_npp").process(fb)
+        return int(np.asarray(out.planes["y"])[0, 1, 1])
+
+    # center=100, ring=796 -> acc = 1600-796 = 804 -> 100.5 -> 100 (even)
+    assert run(plane(100, 796)) == 100
+    # center=101, ring=804 -> acc = 1616-804 = 812 -> 101.5 -> 102 (even)
+    assert run(plane(101, 804)) == 102
+    # sanity: one step off the tie rounds normally
+    assert run(plane(100, 795)) == 101   # 100.625 -> 101
+    assert run(plane(100, 797)) == 100   # 100.375 -> 100
