@@ -1399,8 +1399,12 @@ class YadifFilter:
         self.pad_batch = bool(int(pad_batch))
         self._pad_to = None
 
-    def _outputs(self, fb, ext, ext_meta, count):
+    def _deint(self, ext_run):
         from ..ops.yadif import deint_batch
+        return deint_batch(ext_run, self.tff, self.skip_spatial,
+                           self.send_field)
+
+    def _outputs(self, fb, ext, ext_meta, count):
         n_out = count
         ext_run = ext
         if self.pad_batch and self._pad_to:
@@ -1411,8 +1415,7 @@ class YadifFilter:
                 ext_run = {k: jnp.concatenate(
                     [p, jnp.repeat(p[-1:], pad_m, axis=0)])
                     for k, p in ext.items()}
-        out_planes = deint_batch(ext_run, self.tff, self.skip_spatial,
-                                 self.send_field)
+        out_planes = self._deint(ext_run)
         ilace = ext_meta.get("interlaced")
         if (self.deint and not self.send_field and ilace is not None):
             # deint=1: progressive frames pass through untouched
@@ -1528,6 +1531,71 @@ class YadifFilter:
                 ext_meta[key] = np.concatenate([arr, arr[-1:]])
         self._hist = None
         return self._outputs(self._last_fb, ext, ext_meta, 1)
+
+
+class BwdifFilter(YadifFilter):
+    """bwdif deinterlacer (vf_bwdif.c analog) — yadif's streaming state
+    machine (shared prev/cur/next register, auto parity, deint gating,
+    pad_batch) with the BBC Weston 3-field kernel (ops/bwdif.py).
+
+    Options mirror bwdif_options (vf_bwdif.c:366-380): mode send_frame(0)
+    / send_field(1, the DEFAULT — unlike yadif), parity tff(0)/bff(1)/
+    auto(-1), deint all(0)/interlaced(1); named constants accepted.
+    Frames need w>=3 and h>=4 (config_props, vf_bwdif.c:336-339).
+
+    FIELD_END semantics (yadif_common.c:47-48,112): the stream's first
+    output field and — in send_field mode — the flushed final frame's
+    second field are spatial-only filter_intra interpolations.
+    """
+
+    _MODES = {"send_frame": 0, "send_field": 1}
+    _PARITIES = {"tff": 0, "bff": 1, "auto": -1}
+    _DEINTS = {"all": 0, "interlaced": 1}
+
+    def __init__(self, mode=1, parity=-1, deint=0, pad_batch=0):
+        def named(v, table, what):
+            if isinstance(v, str) and not v.lstrip("-").isdigit():
+                if v not in table:
+                    raise FilterError(f"bwdif: unknown {what} {v!r}")
+                return table[v]
+            return int(v)
+
+        mode = named(mode, self._MODES, "mode")
+        parity = named(parity, self._PARITIES, "parity")
+        deint = named(deint, self._DEINTS, "deint")
+        if mode not in (0, 1):
+            raise FilterError("bwdif: mode must be send_frame(0) or "
+                              "send_field(1)")
+        super().__init__(mode=mode, parity=parity, deint=deint,
+                         pad_batch=pad_batch)
+        self._intra_first = True      # stream start = FIELD_END
+        self._in_flush = False
+
+    def _deint(self, ext_run):
+        from ..ops.bwdif import bwdif_batch
+        intra_first = self._intra_first
+        self._intra_first = False
+        intra_last = -1
+        if self._in_flush and self.send_field:
+            # flush emits exactly one real frame at output index 0
+            # (pad_batch repeats after it are dead lanes)
+            intra_last = 0
+        return bwdif_batch(ext_run, self.tff, self.send_field,
+                           intra_first=intra_first, intra_last=intra_last)
+
+    def process_batch(self, fb: FrameBatch, meta):
+        if fb.width < 3 or fb.height < 4:
+            raise FilterError("bwdif: video of less than 3 columns or 4 "
+                              "lines is not supported (vf_bwdif.c "
+                              "config_props)")
+        return super().process_batch(fb, meta)
+
+    def flush(self):
+        self._in_flush = True
+        try:
+            return super().flush()
+        finally:
+            self._in_flush = False
 
 
 # ---- batch-control filters (select family) --------------------------------
@@ -3062,6 +3130,7 @@ FILTERS: Dict[str, Callable] = {
     "overlay": _f_overlay,
     "overlay_cuda": _f_overlay,
     "yadif": YadifFilter,
+    "bwdif": BwdifFilter,
     "yadif_cuda": YadifFilter,
     "select": SelectFilter,
     "select_cuda": SelectFilter,

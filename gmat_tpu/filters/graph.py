@@ -77,6 +77,7 @@ POSITIONAL = {
     "overlay": ("path", "x", "y"),
     "overlay_cuda": ("path", "x", "y"),
     "yadif": ("mode", "parity", "deint"),
+    "bwdif": ("mode", "parity", "deint"),
     "yadif_cuda": ("mode", "parity", "deint"),
     "null": (),
     "copy": (),
