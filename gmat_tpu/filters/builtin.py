@@ -596,6 +596,129 @@ def _f_unsharp(luma_msize_x=5, lx=None, luma_msize_y=5, ly=None,
     return lambda fb: enhance.unsharp(fb, *args)
 
 
+def _f_boxblur(luma_radius=None, lr=None, luma_power=None, lp=None,
+               chroma_radius=None, cr=None, chroma_power=None, cp=None,
+               alpha_radius=None, ar=None, alpha_power=None, ap=None):
+    """vf_boxblur.c analog.  Radius options are av_expr strings over
+    w/h/cw/ch/hsub/vsub (ff_boxblur_eval_filter_params, boxblur.c:
+    62-107); chroma/alpha default to the luma values (:66-80); powers
+    default luma=2, chroma/alpha=-1 (=inherit).  Radii are validated
+    per component against its plane dims: 0 <= r and 2r <= min(w,h)
+    (CHECK_RADIUS_VAL, boxblur.c:114-124).  Integer planar formats
+    only, like the C's query_formats planar/8-16-bit gate."""
+    lum_r = str(lr if lr is not None else
+                luma_radius if luma_radius is not None else "2")
+    lum_p = int(lp if lp is not None else
+                luma_power if luma_power is not None else 2)
+    chr_r = cr if cr is not None else chroma_radius
+    chr_p = int(cp if cp is not None else
+                chroma_power if chroma_power is not None else -1)
+    alp_r = ar if ar is not None else alpha_radius
+    alp_p = int(ap if ap is not None else
+                alpha_power if alpha_power is not None else -1)
+    chr_r = lum_r if chr_r is None else str(chr_r)
+    alp_r = lum_r if alp_r is None else str(alp_r)
+    if chr_p < 0:
+        chr_p = lum_p
+    if alp_p < 0:
+        alp_p = lum_p
+    if lum_p < 0:
+        raise FilterError("boxblur: luma_power must be >= 0")
+
+    from ..ops.blur import box_blur_plane
+
+    def run(fb):
+        fmt = fb.fmt
+        if fmt.is_rgb:
+            raise FilterError("boxblur supports planar integer YUV/gray "
+                              "formats only (vf_boxblur.c query_formats)")
+        sw = max((p.sub_w for p in fmt.planes), default=0)
+        sh = max((p.sub_h for p in fmt.planes), default=0)
+        cw, ch = fb.width >> sw, fb.height >> sh
+        env = {"w": float(fb.width), "h": float(fb.height),
+               "cw": float(cw), "ch": float(ch),
+               "hsub": float(1 << sw), "vsub": float(1 << sh)}
+        radii = {}
+        for name, expr, (pw, ph) in (("luma", lum_r, (fb.width, fb.height)),
+                                     ("chroma", chr_r, (cw, ch)),
+                                     ("alpha", alp_r, (fb.width, fb.height))):
+            r = int(compile_expr(expr)(env))   # double -> int truncation
+            if r < 0 or 2 * r > min(pw, ph):
+                raise FilterError(
+                    f"boxblur: invalid {name} radius value {r}, must be "
+                    f">= 0 and <= {min(pw, ph) // 2}")
+            radii[name] = r
+        params = {"y": (radii["luma"], lum_p),
+                  "u": (radii["chroma"], chr_p),
+                  "v": (radii["chroma"], chr_p),
+                  "a": (radii["alpha"], alp_p)}
+        planes = {}
+        for pname, arr in fb.planes.items():
+            r, p = params.get(pname, (radii["luma"], lum_p))
+            planes[pname] = box_blur_plane(arr, r, p)
+        return fb.with_planes(planes)
+    return run
+
+
+def _f_gblur(sigma=0.5, steps=1, planes=0xF, sigmaV=-1.0):
+    """vf_gblur.c analog: recursive (IIR) gaussian, `steps` passes,
+    per-plane enable bitmask (y=1, u=2, v=4, a=8), independent vertical
+    sigma (sigmaV=-1 inherits sigma).  Option ranges follow
+    gblur_options (vf_gblur.c:43-49)."""
+    sigma = float(sigma)
+    steps = int(steps)
+    planes = int(planes)
+    sigma_v = float(sigmaV)
+    if not (0.0 <= sigma <= 1024.0):
+        raise FilterError("gblur: sigma out of range [0, 1024]")
+    if not (1 <= steps <= 6):
+        raise FilterError("gblur: steps out of range [1, 6]")
+    if not (0 <= planes <= 0xF):
+        raise FilterError("gblur: planes out of range [0, 0xF]")
+    if not (-1.0 <= sigma_v <= 1024.0):
+        raise FilterError("gblur: sigmaV out of range [-1, 1024]")
+    if sigma_v < 0:
+        sigma_v = sigma
+
+    from ..ops.blur import gblur_plane
+
+    def run(fb):
+        fmt = fb.fmt
+        if sigma == 0:
+            return fb
+        if fmt.is_rgb:
+            # packed uint RGB has no C analog (gblur's pix_fmts carry
+            # only *planar* GBRP); the float lane maps to GBRPF32.  The
+            # planes mask addresses C plane indices, which for GBR
+            # formats are 0=G, 1=B, 2=R, 3=A (pixdesc GBRP layout).
+            if not fmt.is_float:
+                raise FilterError("gblur supports planar YUV/gray and "
+                                  "float RGB (GBRPF32 analog) only")
+            plane_of = {"g": 0, "b": 1, "r": 2, "a": 3}
+            arr = fb.planes["rgb"]
+            n, h, w, chn = arr.shape
+            nchw = jnp.transpose(arr, (0, 3, 1, 2))
+            folded = nchw.reshape(n * chn, h, w)
+            o = gblur_plane(folded, sigma, sigma_v, steps, 0.0)
+            o = o.reshape(n, chn, h, w)
+            keep = [ci for ci, cname in enumerate(fmt.channel_order)
+                    if not (planes & (1 << plane_of[cname]))]
+            for ci in keep:
+                o = o.at[:, ci].set(nchw[:, ci])
+            out = jnp.transpose(o, (0, 2, 3, 1))
+            return fb.with_planes({"rgb": out})
+        maxv = float((1 << fmt.bits) - 1)
+        bit_of = {"y": 0, "u": 1, "v": 2, "a": 3}
+        out = {}
+        for pname, arr in fb.planes.items():
+            if planes & (1 << bit_of.get(pname, 0)):
+                out[pname] = gblur_plane(arr, sigma, sigma_v, steps, maxv)
+            else:
+                out[pname] = arr
+        return fb.with_planes(out)
+    return run
+
+
 def _f_sharpen_npp(border_type="replicate"):
     """vf_sharpen_npp.c analog: NPP's fixed 3x3 sharpen
     (nppiFilterSharpenBorder_8u_C1R, vf_sharpen_npp.c:166-168) applied to
@@ -3106,6 +3229,8 @@ FILTERS: Dict[str, Callable] = {
     "transpose_npp": lambda **kw: _f_transpose(_npp=True, **kw),
     "sharpen_npp": _f_sharpen_npp,
     "smooth": _f_smooth,
+    "boxblur": _f_boxblur,
+    "gblur": _f_gblur,
     "smooth_nvcv": _f_smooth,
     "scale": _f_scale,
     "scale_cuda": _f_scale,

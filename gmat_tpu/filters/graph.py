@@ -78,6 +78,11 @@ POSITIONAL = {
     "overlay_cuda": ("path", "x", "y"),
     "yadif": ("mode", "parity", "deint"),
     "bwdif": ("mode", "parity", "deint"),
+    # boxblur positionals per the documented shorthand (vf_boxblur.c
+    # options order); gblur per gblur_options
+    "boxblur": ("luma_radius", "luma_power", "chroma_radius",
+                "chroma_power", "alpha_radius", "alpha_power"),
+    "gblur": ("sigma", "steps", "planes", "sigmaV"),
     "yadif_cuda": ("mode", "parity", "deint"),
     "null": (),
     "copy": (),
