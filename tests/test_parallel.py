@@ -70,3 +70,31 @@ def test_scene_scores_sharded(rng, mesh8):
         s2, m2 = jax.jit(lambda fb: scene_scores(fb))(fb2)
     s1, m1 = scene_scores(fb)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-5)
+
+
+def test_dp_scaling_shape_flops(rng):
+    """Serialization canary (VERDICT-r4 item 6): the compiled PER-DEVICE
+    ladder program must shrink ~linearly with the dp mesh size.  An
+    accidentally-serialized sharded pipeline (e.g. an all-gather pulling
+    the whole batch onto one device before the ladder) keeps per-device
+    flops ~constant — wall-clock can't catch that on a 1-core host, the
+    partitioned program cost can.  tools/scaling_shape.py records the
+    full 1/2/4/8 table into SCALING.json."""
+    fb = yuv(rng, n=8, h=32, w=48)
+
+    def ladder(y, u, v):
+        b = FrameBatch({"y": y, "u": u, "v": v}, "yuv420p",
+                       y.shape[2], y.shape[1], "bt709")
+        return fused.preprocess_nchw(b, 16, 16, use_pallas="never")
+
+    flops = {}
+    for n in (1, 8):
+        mesh = pm.make_mesh(n, 1, devices=jax.devices()[:n])
+        sh = NamedSharding(mesh, P(pm.DATA_AXIS))
+        args = [jax.device_put(fb.planes[k], sh) for k in ("y", "u", "v")]
+        with mesh:
+            cost = jax.jit(ladder).lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops[n] = float(cost["flops"])
+    assert flops[8] <= 1.35 * flops[1] / 8, flops
