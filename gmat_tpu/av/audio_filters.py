@@ -169,13 +169,54 @@ def parse_audio_filters(desc: str) -> List[Tuple[str, Dict[str, float]]]:
                 chain.append((name.strip(), {"volume": float(val)}))
             elif name.strip() == "afade":
                 chain.append((name.strip(), _parse_afade_opts(val)))
+            elif name.strip() == "aecho":
+                chain.append((name.strip(), _parse_aecho_opts(val)))
+            elif name.strip() == "pan":
+                chain.append((name.strip(), {"args": val}))
+            elif name.strip() == "loudnorm":
+                from .loudnorm import parse_loudnorm_opts
+                chain.append((name.strip(), parse_loudnorm_opts(val)))
+            elif name.strip() == "dynaudnorm":
+                from .dynaudnorm import parse_dynaudnorm_opts
+                chain.append((name.strip(), parse_dynaudnorm_opts(val)))
             else:
                 raise ValueError(f"unknown audio filter {name!r}")
         elif part == "afade":
             chain.append(("afade", {}))
+        elif part == "aecho":
+            chain.append(("aecho", {}))
+        elif part == "loudnorm":
+            chain.append(("loudnorm", {}))
+        elif part == "dynaudnorm":
+            chain.append(("dynaudnorm", {}))
         else:
             raise ValueError(f"audio filter needs a value: {part!r}")
     return chain
+
+
+_AECHO_ORDER = ("in_gain", "out_gain", "delays", "decays")
+
+
+def _parse_aecho_opts(val: str) -> Dict:
+    """'0.8:0.9:1000|1800:0.3|0.25' positional, or named k=v options."""
+    kw: Dict = {}
+    positional = True
+    for i, tok in enumerate(val.split(":")):
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            k = k.strip()
+            positional = False
+        elif positional and i < len(_AECHO_ORDER):
+            k, v = _AECHO_ORDER[i], tok
+        else:
+            raise ValueError(f"aecho: bad option {tok!r}")
+        if k in ("in_gain", "out_gain"):
+            kw[k] = float(v)
+        elif k in ("delays", "decays"):
+            kw[k] = v
+        else:
+            raise ValueError(f"aecho: unknown option {k!r}")
+    return kw
 
 
 _AFADE_ALIASES = {"t": "type", "ss": "start_sample", "ns": "nb_samples",
@@ -282,6 +323,16 @@ class AudioFilterStream:
                 self.stages.append(AtempoStream(self.out_rate, kw["tempo"]))
             elif name == "afade":
                 self.stages.append(AfadeStream(self.out_rate, **kw))
+            elif name == "aecho":
+                self.stages.append(AechoStream(self.out_rate, **kw))
+            elif name == "pan":
+                self.stages.append(("pan", PanFilter(self.out_rate, **kw)))
+            elif name == "loudnorm":
+                from .loudnorm import LoudnormStream
+                self.stages.append(LoudnormStream(self.out_rate, **kw))
+            elif name == "dynaudnorm":
+                from .dynaudnorm import DynaudnormStream
+                self.stages.append(DynaudnormStream(self.out_rate, **kw))
             elif name == "volume":
                 vol = float(kw["volume"])
                 self.stages.append(("volume", vol))
@@ -291,7 +342,10 @@ class AudioFilterStream:
             if block.size == 0:
                 break
             if isinstance(st, tuple):
-                block = volume(block, 0, st[1])
+                if st[0] == "pan":
+                    block = st[1].process(block)
+                else:
+                    block = volume(block, 0, st[1])
             else:
                 block = st.push(block)
         return block
@@ -322,6 +376,22 @@ def apply_audio_filters(samples: np.ndarray, rate: int, desc: str):
         elif name == "afade":
             st = AfadeStream(rate, **kw)
             samples = st.push(samples)
+        elif name == "aecho":
+            st = AechoStream(rate, **kw)
+            parts = [p for p in (st.push(samples), st.flush()) if p.size]
+            samples = np.concatenate(parts) if parts else samples[:0]
+        elif name == "pan":
+            samples = PanFilter(rate, **kw).process(samples)
+        elif name == "loudnorm":
+            from .loudnorm import LoudnormStream
+            st = LoudnormStream(rate, **kw)
+            parts = [p for p in (st.push(samples), st.flush()) if p.size]
+            samples = np.concatenate(parts) if parts else samples[:0]
+        elif name == "dynaudnorm":
+            from .dynaudnorm import DynaudnormStream
+            st = DynaudnormStream(rate, **kw)
+            parts = [p for p in (st.push(samples), st.flush()) if p.size]
+            samples = np.concatenate(parts) if parts else samples[:0]
         elif name == "volume":
             samples = volume(samples, rate, **kw)
     return samples, rate
@@ -445,3 +515,393 @@ class AfadeStream:
 
     def flush(self) -> np.ndarray:
         return np.zeros((0, 0), np.int16)
+
+
+# ---- aecho (af_aecho.c) -----------------------------------------------------
+
+class AechoStream:
+    """Streaming echo (af_aecho.c:157-196 ECHO macro, s16 lane): a
+    feedforward comb over the raw-input delay ring —
+    ``out = out_gain * (in*in_gain + sum_j dbuf[n - lag_j]*decay_j)``
+    in double, av_clipd to int16 range, C double->int16 store
+    truncation toward zero.  The C writes dbuf[index] AFTER the taps,
+    so a 0-sample delay (sub-ms at low rates) reads the value from
+    max_samples ago — lag_j = samples_j or max_samples when 0.
+    At EOF the C's request_frame pushes max_samples of silence through
+    the comb in <=2048-sample frames (af_aecho.c:271-293); flush()
+    reproduces that tail."""
+
+    def __init__(self, rate: int, in_gain=0.6, out_gain=0.3,
+                 delays="1000", decays="0.5"):
+        self.in_gain = float(in_gain)
+        self.out_gain = float(out_gain)
+        if not 0.0 <= self.in_gain <= 1.0:
+            raise ValueError("aecho: in_gain out of range [0, 1]")
+        if not 0.0 <= self.out_gain <= 1.0:
+            raise ValueError("aecho: out_gain out of range [0, 1]")
+        self.delay = [float(t) for t in str(delays).split("|") if t != ""]
+        self.decay = [float(t) for t in str(decays).split("|") if t != ""]
+        if len(self.delay) != len(self.decay):
+            raise ValueError(
+                f"aecho: number of delays {len(self.delay)} differs from "
+                f"number of decays {len(self.decay)}")
+        if not self.delay:
+            raise ValueError("aecho: at least one decay & delay must be set")
+        for d in self.delay:
+            if not 0.0 < d <= 90000.0:
+                raise ValueError(
+                    f"aecho: delay {d} out of allowed range (0, 90000]")
+        for d in self.decay:
+            if not 0.0 < d <= 1.0:
+                raise ValueError(
+                    f"aecho: decay {d} out of allowed range (0, 1]")
+        # config_output: double -> int assignment truncation
+        self.samples = [int(d * int(rate) / 1000.0) for d in self.delay]
+        self.max_samples = max(self.samples)
+        if self.max_samples <= 0:
+            raise ValueError("aecho: nothing to echo - missing delay samples")
+        self.lags = [s if s > 0 else self.max_samples for s in self.samples]
+        self._hist = None            # (max_samples, ch) float64 raw inputs
+        self._ch = 0
+        self._flushed = False
+
+    def push(self, block: np.ndarray) -> np.ndarray:
+        n = len(block)
+        if n == 0:
+            return block
+        x = block.astype(np.float64)
+        self._ch = x.shape[1]
+        if self._hist is None:
+            self._hist = np.zeros((self.max_samples, self._ch), np.float64)
+        ext = np.concatenate([self._hist, x])
+        out = x * self.in_gain
+        for lag, decay in zip(self.lags, self.decay):
+            off = self.max_samples - lag
+            out += ext[off:off + n] * decay
+        out *= self.out_gain
+        self._hist = ext[-self.max_samples:]
+        return np.trunc(np.clip(out, -32768.0, 32767.0)).astype(np.int16)
+
+    def flush(self) -> np.ndarray:
+        if self._hist is None or self._flushed:
+            return np.zeros((0, 0), np.int16)
+        self._flushed = True
+        outs, remaining = [], self.max_samples
+        while remaining > 0:
+            nb = min(remaining, 2048)
+            outs.append(self.push(np.zeros((nb, self._ch), np.int16)))
+            remaining -= nb
+        return np.concatenate(outs)
+
+
+# ---- pan (af_pan.c) ---------------------------------------------------------
+
+# AVChannel ids for the names af_pan's parse_channel_name accepts
+# (libavutil/channel_layout.h enum AVChannel; %7[A-Z] = upper-case only)
+_CHAN_IDS = {
+    "FL": 0, "FR": 1, "FC": 2, "LFE": 3, "BL": 4, "BR": 5, "FLC": 6,
+    "FRC": 7, "BC": 8, "SL": 9, "SR": 10, "TC": 11, "TFL": 12, "TFC": 13,
+    "TFR": 14, "TBL": 15, "TBC": 16, "TBR": 17, "DL": 18, "DR": 19,
+    "WL": 20, "WR": 21, "SDL": 22, "SDR": 23, "LFE2": 24,
+}
+
+# named layouts (av_channel_layout_from_string subset): name -> channel ids
+_LAYOUTS = {
+    "mono": [2], "stereo": [0, 1], "2.1": [0, 1, 3], "3.0": [0, 1, 2],
+    "3.1": [0, 1, 2, 3], "quad": [0, 1, 4, 5], "4.0": [0, 1, 2, 8],
+    "5.0": [0, 1, 2, 4, 5], "5.0(side)": [0, 1, 2, 9, 10],
+    "5.1": [0, 1, 2, 3, 4, 5], "5.1(side)": [0, 1, 2, 3, 9, 10],
+    "6.1": [0, 1, 2, 3, 8, 9, 10], "7.1": [0, 1, 2, 3, 4, 5, 9, 10],
+    "downmix": [18, 19],
+}
+
+# av_channel_layout_default(count) = FIRST channel_layout_map entry with
+# that count (libavutil/channel_layout.c:173-203,960-968) — what swr sees
+# as the input layout when pan feeds it a bare channel count.
+_DEFAULT_IDS = {
+    1: [2], 2: [0, 1], 3: [0, 1, 3], 4: [0, 1, 2, 8], 5: [0, 1, 2, 4, 5],
+    6: [0, 1, 2, 3, 4, 5], 7: [0, 1, 2, 3, 8, 9, 10],
+    8: [0, 1, 2, 3, 4, 5, 9, 10],
+}
+
+
+def _lrintf(x):
+    """C lrintf(double expr): the argument is converted to float32
+    first (round-to-nearest), then rounded half-even to integer."""
+    return np.round(np.asarray(x, np.float64).astype(np.float32))
+
+
+def _parse_layout(text):
+    """-> (nb_channels, channel_ids or None).  Supports layout names,
+    'Nc' channel counts, 'FL+FR' combos and hex masks — the
+    av_channel_layout_from_string subset pan descriptions use."""
+    text = text.strip()
+    if text in _LAYOUTS:
+        ids = _LAYOUTS[text]
+        return len(ids), list(ids)
+    if text.endswith(("c", "C")) and text[:-1].isdigit():
+        return int(text[:-1]), None
+    if text.startswith("0x"):
+        mask = int(text, 16)
+        ids = [i for i in range(64) if mask >> i & 1]
+        if ids:
+            return len(ids), ids
+    if "+" in text or text in _CHAN_IDS:
+        ids = []
+        for part in text.split("+"):
+            if part not in _CHAN_IDS:
+                raise ValueError(f"pan: unknown channel {part!r}")
+            ids.append(_CHAN_IDS[part])
+        return len(ids), ids
+    raise ValueError(f"pan: cannot parse channel layout {text!r}")
+
+
+class PanFilter:
+    """af_pan.c rebuild: out-channel gain rows over input channels, with
+    the '<' renormalization flag, named (FL/FR/...) or numbered (cN)
+    channels, and the pure-gain channel-map fast path.
+
+    Mixing math is libswresample's s16 integer rematrix (the C
+    delegates to swr_set_matrix, af_pan.c:337), reproduced from
+    rematrix.c/rematrix_template.c and verified bit-exact against the
+    real libswresample.so.4 in tests/test_audio_mix.py:
+
+    - ``native_matrix``: per-row error-diffused Q15 quantization
+      ``c = lrintf(m*32768 + rem); rem += target - c``
+      (rematrix.c:487-497) — drives the 1- and 2-input rows and the
+      mix6to2/mix8to2 whole-matrix specials;
+    - clip variants (``av_clip_int16``) engage only when some row's
+      ``sum |c|`` exceeds 32768 (rematrix.c:500-508);
+    - 5.1/5.1(back)->stereo and 7.1->stereo matrices with shared
+      FC/LFE coefficients use mix6to2/mix8to2
+      (rematrix_template.c:71-116), where BOTH outputs reuse row 0's
+      FC/LFE products (the template's ``t``);
+    - rows with >=3 inputs otherwise hit the generic fallback
+      (rematrix.c:650-656): plain ``matrix32 = lrintf(m*32768)``
+      (no diffusion), int32 accumulate, ``(v+16384)>>15``, UNCLIPPED
+      low-bits int16 store;
+    - a 1-input row whose double gain is exactly 1.0 is copied
+      verbatim (swri_rematrix case 1);
+    - pure 0/1 matrices skip swr mixing entirely for the channel-map
+      path (af_pan.c query_formats are_gains_pure, decided on the
+      PARSED table before renumber/renorm)."""
+
+    def __init__(self, rate: int, args: str):
+        args = str(args)
+        parts = args.split("|")
+        if not parts or not parts[0].strip():
+            raise ValueError("pan: channel layout not specified")
+        self.nb_out, self.out_ids = _parse_layout(parts[0])
+        if self.nb_out < 1 or self.nb_out > 64:
+            raise ValueError("pan: bad output channel count")
+        self.rows = []           # (out_idx, renorm, [(gain, named, ch)])
+        used_out = set()
+        self._named_in = 0
+        self._unnamed_in = 0
+        for seg in parts[1:]:
+            out_idx, named, rest = self._channel_ref(seg)
+            if named:
+                if self.out_ids is None or out_idx not in self.out_ids:
+                    raise ValueError(
+                        f"pan: channel does not exist in the chosen "
+                        f"layout: {seg!r}")
+                out_idx = self.out_ids.index(out_idx)
+            if not 0 <= out_idx < self.nb_out:
+                raise ValueError(f"pan: invalid out channel in {seg!r}")
+            if out_idx in used_out:
+                raise ValueError(
+                    f"pan: can not reference out channel {out_idx} twice")
+            used_out.add(out_idx)
+            rest = rest.lstrip()
+            if rest.startswith("="):
+                renorm = False
+            elif rest.startswith("<"):
+                renorm = True
+            else:
+                raise ValueError(
+                    f"pan: syntax error after channel name in {seg!r}")
+            terms = self._parse_terms(rest[1:])
+            self.rows.append((out_idx, renorm, terms))
+        if self._named_in and self._unnamed_in:
+            raise ValueError("pan: can not mix named and numbered channels")
+        self._need_renumber = bool(self._named_in)
+        # are_gains_pure (af_pan.c:214-234): decided on the parsed gain
+        # table (duplicate in-channel terms overwrite, like the C's
+        # gain[out][in] assignment), BEFORE renumbering or renorm.
+        self._pure = True
+        for _out, _ren, terms in self.rows:
+            row = {}
+            for gain, _named, ch in terms:
+                row[ch] = gain
+            gains = [g for g in row.values() if g != 0.0]
+            if any(g != 1.0 for g in gains) or len(gains) > 1:
+                self._pure = False
+                break
+
+    def _channel_ref(self, text):
+        """Leading channel name ('FL', 'c2') -> (id, named, rest)."""
+        t = text.lstrip()
+        i = 0
+        while i < len(t) and "A" <= t[i] <= "Z":
+            i += 1
+        if 0 < i <= 7 and t[:i] in _CHAN_IDS:
+            return _CHAN_IDS[t[:i]], True, t[i:]
+        if t[:1] == "c":
+            j = 1
+            while j < len(t) and t[j].isdigit():
+                j += 1
+            if j > 1:
+                ch = int(t[1:j])
+                if 0 <= ch < 64:
+                    return ch, False, t[j:]
+        raise ValueError(f"pan: expected channel name, got {text!r}")
+
+    def _parse_terms(self, text):
+        """'0.5*c0+0.5*FL-0.2*c1' -> [(signed_gain, named, ch_id)]."""
+        import re as _re
+        terms = []
+        rest = text
+        sign = 1.0
+        while True:
+            rest = rest.lstrip()
+            m = _re.match(r"[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?", rest)
+            gain = 1.0
+            if m and m.group(0) not in ("+", "-"):
+                gain = float(m.group(0))
+                rest = rest[m.end():].lstrip()
+                if rest.startswith("*"):
+                    rest = rest[1:]
+            ch, named, rest = self._channel_ref(rest)
+            if named:
+                self._named_in += 1
+            else:
+                self._unnamed_in += 1
+            terms.append((sign * gain, named, ch))
+            rest = rest.lstrip()
+            if not rest:
+                return terms
+            if rest.startswith("-"):
+                sign = -1.0
+            elif rest.startswith("+"):
+                sign = 1.0
+            else:
+                raise ValueError(f"pan: syntax error near {rest!r}")
+            rest = rest[1:]
+
+    def _matrix(self, nb_in: int, in_ids=None) -> np.ndarray:
+        """Dense (nb_out, nb_in) double matrix after the config_props
+        renumber (named in-channels -> input indices) and '<' renorm."""
+        m = np.zeros((self.nb_out, nb_in), np.float64)
+        for out_idx, renorm, terms in self.rows:
+            for gain, named, ch in terms:
+                if named:
+                    ids = in_ids if in_ids is not None \
+                        else list(range(nb_in))
+                    if ch not in ids:
+                        continue      # silently dropped like the C renumber
+                    # config_props renumber walks raw ids ASCENDING
+                    # (af_pan.c:272-280): position among present ids
+                    ch = sorted(ids).index(ch)
+                if ch >= nb_in:
+                    continue
+                m[out_idx, ch] = gain
+            if renorm:
+                t = np.abs(m[out_idx]).sum()
+                if not (-1e-5 < t < 1e-5):
+                    m[out_idx] /= t
+        return m
+
+    def _mix_to2(self, m, in_ids):
+        """get_mix_any_func specials (rematrix_template.c:92-116):
+        5.1/5.1(back)->stereo -> mix6to2, 7.1->stereo -> mix8to2.
+        Returns (row0 extra taps, row1 extra taps) or None; FC/LFE
+        (inputs 2,3) are shared between both outputs via ROW 0's
+        coefficients (the template's ``t``)."""
+        if self.out_ids != [0, 1]:
+            return None
+        if (in_ids in ([0, 1, 2, 3, 4, 5], [0, 1, 2, 3, 9, 10])
+                and m[0][2] == m[1][2] and m[0][3] == m[1][3]
+                and not m[0][1] and not m[0][5]
+                and not m[1][0] and not m[1][4]):
+            return [0, 4], [1, 5]
+        if (in_ids == [0, 1, 2, 3, 4, 5, 9, 10]
+                and m[0][2] == m[1][2] and m[0][3] == m[1][3]
+                and not m[0][1] and not m[0][5]
+                and not m[1][0] and not m[1][4]
+                and not m[0][7] and not m[1][6]):
+            return [0, 4, 6], [1, 5, 7]
+        return None
+
+    def process(self, block: np.ndarray, in_ids=None) -> np.ndarray:
+        n, nb_in = block.shape
+        if in_ids is None:
+            in_ids = _DEFAULT_IDS.get(nb_in)
+        m = self._matrix(nb_in, in_ids)
+        if self._pure:
+            # swr channel mapping: verbatim copies, silence when empty
+            out = np.zeros((n, self.nb_out), np.int16)
+            for i in range(self.nb_out):
+                nz = np.nonzero(m[i])[0]
+                if nz.size:
+                    out[:, i] = block[:, nz[0]]
+            return out
+        # native_matrix: per-row error-diffused Q15 (rematrix.c:487-497);
+        # note the C's rem update genuinely double-accumulates
+        # (rem += target - c where target already includes rem)
+        native = np.zeros_like(m)
+        for i in range(self.nb_out):
+            rem = 0.0
+            for j in range(nb_in):
+                target = m[i, j] * 32768.0 + rem
+                c = float(_lrintf(target))
+                native[i, j] = c
+                rem += target - c
+        nat32 = native.astype(np.int64).astype(np.int32)  # C int store
+        clip = int(np.abs(native).sum(axis=1).max(initial=0)) > 32768
+        x32 = block.astype(np.int32)
+
+        def R(v):
+            # TEMPLATE_REMATRIX_S16: (x+16384)>>15, av_clip_int16 only
+            # in the clip variant, int16 low-bits store otherwise
+            v = (v + np.int32(16384)) >> np.int32(15)
+            if clip:
+                v = np.clip(v, -32768, 32767)
+            return v.astype(np.int16)
+
+        with np.errstate(over="ignore"):
+            special = self._mix_to2(m, in_ids)
+            if special is not None:
+                t = (x32[:, 2] * nat32[0, 2]
+                     + x32[:, 3] * nat32[0, 3]).astype(np.int32)
+                cols = []
+                for r, taps in enumerate(special):
+                    v = t.copy()
+                    for j in taps:
+                        v += x32[:, j] * nat32[r, j]
+                    cols.append(R(v))
+                return np.stack(cols, axis=1)
+            out = np.zeros((n, self.nb_out), np.int16)
+            # >=3-input fallback rows: PLAIN lrintf(m*32768) (matrix32,
+            # rematrix.c:561 — no diffusion), always unclipped
+            m32 = _lrintf(m * 32768.0).astype(np.int64).astype(np.int32)
+            for i in range(self.nb_out):
+                nz = np.nonzero(m[i])[0]
+                if nz.size == 0:
+                    continue
+                if nz.size == 1:
+                    j = nz[0]
+                    if m[i, j] == 1.0:            # swri_rematrix case 1
+                        out[:, i] = block[:, j]   # verbatim copy
+                    else:
+                        out[:, i] = R(x32[:, j] * nat32[i, j])
+                elif nz.size == 2:
+                    j1, j2 = nz
+                    out[:, i] = R(x32[:, j1] * nat32[i, j1]
+                                  + x32[:, j2] * nat32[i, j2])
+                else:
+                    v = np.zeros(n, np.int32)
+                    for j in nz:
+                        v += x32[:, j] * m32[i, j]
+                    out[:, i] = ((v + np.int32(16384))
+                                 >> np.int32(15)).astype(np.int16)
+        return out
