@@ -1,4 +1,5 @@
-"""Audio filters: atempo / volume / aresample / afade.
+"""Audio filters: atempo / volume / aresample / afade / aecho / pan
+/ loudnorm (av/loudnorm.py) / dynaudnorm (av/dynaudnorm.py).
 
 Covers the audio filter chain the reference drives through libavfilter
 (AppMeTrans options.xml `<AudioFilterDesc>atempo=0.7143</AudioFilterDesc>`,
