@@ -1,5 +1,6 @@
 """Audio filters: atempo / volume / aresample / afade / aecho / pan
-/ loudnorm (av/loudnorm.py) / dynaudnorm (av/dynaudnorm.py).
+/ loudnorm (av/loudnorm.py) / dynaudnorm (av/dynaudnorm.py) /
+amix (av/amix.py).
 
 Covers the audio filter chain the reference drives through libavfilter
 (AppMeTrans options.xml `<AudioFilterDesc>atempo=0.7143</AudioFilterDesc>`,
@@ -180,6 +181,9 @@ def parse_audio_filters(desc: str) -> List[Tuple[str, Dict[str, float]]]:
             elif name.strip() == "dynaudnorm":
                 from .dynaudnorm import parse_dynaudnorm_opts
                 chain.append((name.strip(), parse_dynaudnorm_opts(val)))
+            elif name.strip() == "amix":
+                from .amix import parse_amix_opts
+                chain.append((name.strip(), parse_amix_opts(val)))
             else:
                 raise ValueError(f"unknown audio filter {name!r}")
         elif part == "afade":
@@ -334,6 +338,9 @@ class AudioFilterStream:
             elif name == "dynaudnorm":
                 from .dynaudnorm import DynaudnormStream
                 self.stages.append(DynaudnormStream(self.out_rate, **kw))
+            elif name == "amix":
+                from .amix import AmixStream
+                self.stages.append(AmixStream(self.out_rate, **kw))
             elif name == "volume":
                 vol = float(kw["volume"])
                 self.stages.append(("volume", vol))
@@ -391,6 +398,11 @@ def apply_audio_filters(samples: np.ndarray, rate: int, desc: str):
         elif name == "dynaudnorm":
             from .dynaudnorm import DynaudnormStream
             st = DynaudnormStream(rate, **kw)
+            parts = [p for p in (st.push(samples), st.flush()) if p.size]
+            samples = np.concatenate(parts) if parts else samples[:0]
+        elif name == "amix":
+            from .amix import AmixStream
+            st = AmixStream(rate, **kw)
             parts = [p for p in (st.push(samples), st.flush()) if p.size]
             samples = np.concatenate(parts) if parts else samples[:0]
         elif name == "volume":
