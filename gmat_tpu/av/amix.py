@@ -69,16 +69,23 @@ def parse_amix_opts(val: str) -> Dict:
 
 
 def parse_weights(weights_str: str, nb_inputs: int):
-    """af_amix.c:516-539: av_strtod tokens, last weight repeated."""
-    toks = weights_str.split()
-    weights = []
-    last = 1.0
-    for i in range(nb_inputs):
-        if i < len(toks):
-            try:
-                last = float(toks[i])
-            except ValueError:
-                last = 0.0     # av_strtod on garbage -> 0 consumed
+    """af_amix.c:516-539: av_strtod tokens (dB/SI/hex postfixes via
+    filters/expr.av_strtod), one separator char skipped between tokens,
+    last weight repeated for the remaining inputs."""
+    from ..filters.expr import av_strtod
+    s = str(weights_str)
+    weights: List[float] = []
+    last, p = 1.0, 0
+    i = 0
+    while i < nb_inputs:
+        last, p = av_strtod(s, p)
+        weights.append(last)
+        if p < len(s):
+            p += 1               # the C's `if (p && *p) p++`
+        else:
+            break
+        i += 1
+    while len(weights) < nb_inputs:
         weights.append(last)
     return np.array(weights, np.float32)
 

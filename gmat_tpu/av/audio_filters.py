@@ -546,14 +546,20 @@ class AechoStream:
 
     def __init__(self, rate: int, in_gain=0.6, out_gain=0.3,
                  delays="1000", decays="0.5"):
-        self.in_gain = float(in_gain)
-        self.out_gain = float(out_gain)
+        # the C stores every option as float32 (AV_OPT_TYPE_FLOAT gains,
+        # av_sscanf("%f") delay/decay arrays, af_aecho.c:30-55,73-85) and
+        # promotes the float VALUES to double in the ECHO taps — the
+        # f32 rounding of e.g. 0.7 flips ~0.25% of int16 samples by 1
+        self.in_gain = float(np.float32(in_gain))
+        self.out_gain = float(np.float32(out_gain))
         if not 0.0 <= self.in_gain <= 1.0:
             raise ValueError("aecho: in_gain out of range [0, 1]")
         if not 0.0 <= self.out_gain <= 1.0:
             raise ValueError("aecho: out_gain out of range [0, 1]")
-        self.delay = [float(t) for t in str(delays).split("|") if t != ""]
-        self.decay = [float(t) for t in str(decays).split("|") if t != ""]
+        self.delay = [float(np.float32(t))
+                      for t in str(delays).split("|") if t != ""]
+        self.decay = [float(np.float32(t))
+                      for t in str(decays).split("|") if t != ""]
         if len(self.delay) != len(self.decay):
             raise ValueError(
                 f"aecho: number of delays {len(self.delay)} differs from "
@@ -568,8 +574,11 @@ class AechoStream:
             if not 0.0 < d <= 1.0:
                 raise ValueError(
                     f"aecho: decay {d} out of allowed range (0, 1]")
-        # config_output: double -> int assignment truncation
-        self.samples = [int(d * int(rate) / 1000.0) for d in self.delay]
+        # config_output (af_aecho.c:211): float delay * int rate is a
+        # FLOAT product, then double /1000.0, then int truncation
+        self.samples = [int(float(np.float32(np.float32(d)
+                                             * np.float32(rate)))
+                            / 1000.0) for d in self.delay]
         self.max_samples = max(self.samples)
         if self.max_samples <= 0:
             raise ValueError("aecho: nothing to echo - missing delay samples")

@@ -111,18 +111,33 @@ def _fade_vec(prev: float, nxt: float, n: int) -> np.ndarray:
     return f0 * prev + (1.0 - f0) * nxt
 
 
+_TWO63 = float(1 << 63)
+_INT64_MIN = -(1 << 63)
+
+
+def _llrint63(x: float) -> int:
+    """llrint(x * 2^63) with x86-64 overflow semantics: values at or
+    past 2^63 come back as INT64_MIN (cvttsd2si-style saturation) —
+    load-bearing for setup_compress_thresh, where it is the ONLY thing
+    stopping the walk below 1.0 for thresholds above ~0.79 (verified
+    against the compiled reference function)."""
+    v = float(np.rint(x * _TWO63))
+    if v >= _TWO63 or v < -_TWO63:
+        return _INT64_MIN
+    return int(v)
+
+
 def setup_compress_thresh(threshold: float) -> float:
     """af_dynaudnorm.c:560-580 — walks the largest t with
     bound(t, 1.0) <= threshold via halving steps; the llrint-at-2^63
-    guard keeps steps that no longer change the double from looping."""
+    guard both stops no-op steps AND (via overflow saturation) caps the
+    walk just below 1.0."""
     if not (threshold > _DBL_EPSILON and threshold < 1.0 - _DBL_EPSILON):
         return threshold
     current = threshold
     step = 1.0
-    two63 = float(1 << 63)
     while step > _DBL_EPSILON:
-        while (np.rint((current + step) * two63)
-               > np.rint(current * two63)
+        while (_llrint63(current + step) > _llrint63(current)
                and float(_bound(current + step, 1.0)) <= threshold):
             current += step
         step /= 2.0
@@ -181,7 +196,12 @@ class DynaudnormStream:
         self.gain_history_minimum = [deque() for _ in range(ch)]
         self.gain_history_smoothed = [deque() for _ in range(ch)]
         self.threshold_history = [deque() for _ in range(ch)]
-        self.window = np.zeros((self.frame_len, ch))
+        # the C allocates the analysis window at frame_len*2 samples
+        # (config_input: ff_get_audio_buffer(outlink, s->frame_len * 2))
+        # and analyzes the WHOLE zero-padded frame in overlap mode, so
+        # RMS/stddev denominators see 2*frame_len — load-bearing for
+        # targetrms/compress with overlap>0
+        self.window = np.zeros((self.frame_len * 2, ch))
         self.queue: deque = deque()
         self._pending = np.zeros((0, ch))
         self._bypass = self._parse_bypass(ch)

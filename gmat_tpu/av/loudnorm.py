@@ -433,10 +433,13 @@ class LoudnormStream:
                                  else self.target_i - shortterm)
             self.delta[:] = 10.0 ** (env_shortterm / 20.0)
             self.prev_delta = self.delta[self.index]
-            g = self.delta[self.index] * self.offset
-            # fill the whole 210 ms ring from buf (cursor wraps to 0)
+            # fill the whole 210 ms ring from buf (cursor wraps to 0);
+            # (buf * delta) * offset keeps the C's left association
+            # (:491) — precombining the constants is 1 ulp off, enough
+            # to flip a `this > ceiling` peak predicate
             self.lim.index = 0
-            self.lim.write_adv(self.buf[:self.limiter_frames] * g)
+            self.lim.write_adv((self.buf[:self.limiter_frames]
+                                * self.delta[self.index]) * self.offset)
             self.buf_index = self.limiter_frames
             dst = self.lim.run(self.subframe, first_frame=True)
             self.r128_out.add_frames(dst)
@@ -453,7 +456,9 @@ class LoudnormStream:
             wr = (self.prev_buf_index + np.arange(n)) % self.buf_frames
             rd = (self.buf_index + np.arange(n)) % self.buf_frames
             ramp = gain + (np.arange(n) / n) * (gain_next - gain)
-            self.lim.write_adv(self.buf[rd] * (ramp * self.offset)[:, None])
+            # (buf * gain) * offset — the C's association (:519)
+            self.lim.write_adv((self.buf[rd] * ramp[:, None])
+                               * self.offset)
             self.buf[wr] = src
             self.prev_buf_index = (self.prev_buf_index + n) \
                 % self.buf_frames
@@ -494,9 +499,10 @@ class LoudnormStream:
 
         if self.frame_type == FINAL:
             gain = self._gaussian((self.index + 10) % 30)
-            g = gain * self.offset
             self.lim.index = 0
-            self.lim.write_adv(src[:self.limiter_frames] * g)
+            # (src * gain) * offset, the C's association (:581,:597)
+            self.lim.write_adv((src[:self.limiter_frames] * gain)
+                               * self.offset)
             src_index = self.limiter_frames
             outs = []
             for _ in range(n // self.subframe):
@@ -505,7 +511,7 @@ class LoudnormStream:
                 take = src[src_index:src_index + self.subframe]
                 blk = np.zeros((self.subframe, ch))
                 if len(take):
-                    blk[:len(take)] = take * g
+                    blk[:len(take)] = (take * gain) * self.offset
                 self.lim.write_adv(blk)
                 src_index += len(take)
             dst = (np.concatenate(outs) if outs

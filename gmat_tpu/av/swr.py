@@ -25,11 +25,24 @@ class _AVChannelLayout(ctypes.Structure):
                 ("u", ctypes.c_uint64), ("opaque", ctypes.c_void_p)]
 
 
+def _open_first(names):
+    last = None
+    for n in names:
+        try:
+            return ctypes.CDLL(n)
+        except OSError as e:
+            last = e
+    raise OSError(f"none of {names} loadable: {last}")
+
+
 def _load():
     global _lib
     if _lib is None:
-        swr = ctypes.CDLL("libswresample.so.4")
-        avu = ctypes.CDLL("libavutil.so.57")
+        # try the ffmpeg 5/6/7 sonames, then the dev symlink
+        swr = _open_first(["libswresample.so.4", "libswresample.so.5",
+                           "libswresample.so.3", "libswresample.so"])
+        avu = _open_first(["libavutil.so.57", "libavutil.so.58",
+                           "libavutil.so.59", "libavutil.so"])
         swr.swr_alloc_set_opts2.restype = ctypes.c_int
         swr.swr_init.restype = ctypes.c_int
         swr.swr_convert.restype = ctypes.c_int

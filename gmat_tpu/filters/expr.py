@@ -83,6 +83,30 @@ def _apply_suffix(value: float, suf: str) -> float:
     return value * mult
 
 
+_STRTOD_RE = re.compile(
+    r"(0[xX][0-9a-fA-F]+|[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)"
+    r"(dB|[yzafpnumcdhkKMGTPEZY]i?B?|B)?")
+
+
+def av_strtod(text: str, pos: int = 0):
+    """Standalone av_strtod (eval.c:106-143): returns (value, newpos).
+    On parse failure returns (0.0, pos) — the tail stays put, exactly
+    like strtod, so callers reproduce the C's one-char skip loops
+    (e.g. af_amix parse_weights)."""
+    ws = pos
+    while ws < len(text) and text[ws].isspace():   # strtod skips space
+        ws += 1
+    m = _STRTOD_RE.match(text, ws)
+    if not m:
+        return 0.0, pos
+    body, suf = m.group(1), m.group(2) or ""
+    if body[:2].lower() == "0x":
+        base = float(min(int(body, 16), _MASK64))
+    else:
+        base = float(body)
+    return _apply_suffix(base, suf), m.end()
+
+
 def _number_token(body: str, suf: str):
     """Token for a numeric literal. dB literals stay raw (pre-10^(x/20))
     so the parser can apply a leading '-' INSIDE the dB conversion, the

@@ -25,13 +25,20 @@ def bound(threshold, val):
     return math.erf(CONST * (val / threshold)) * threshold
 
 
+def _llrint63(x):
+    """llrint(x * 2^63): x86-64 overflow -> INT64_MIN (cvttsd2si)."""
+    v = float(np.rint(x * float(1 << 63)))
+    if v >= float(1 << 63) or v < -float(1 << 63):
+        return -(1 << 63)
+    return int(v)
+
+
 def setup_compress_thresh(threshold):
     if threshold > DBL_EPSILON and threshold < 1.0 - DBL_EPSILON:
         current = threshold
         step = 1.0
         while step > DBL_EPSILON:
-            while (np.rint((current + step) * float(1 << 63))
-                   > np.rint(current * float(1 << 63))
+            while (_llrint63(current + step) > _llrint63(current)
                    and bound(current + step, 1.0) <= threshold):
                 current += step
             step /= 2.0
@@ -68,7 +75,10 @@ class OracleDynaudnorm:
         self.gh_min = [[] for _ in range(channels)]
         self.gh_smooth = [[] for _ in range(channels)]
         self.th_hist = [[] for _ in range(channels)]
-        self.window = [[0.0] * self.frame_len for _ in range(channels)]
+        # ff_get_audio_buffer(outlink, frame_len * 2): the analysis
+        # window frame is twice frame_len, upper half permanently zero
+        self.window = [[0.0] * (self.frame_len * 2)
+                       for _ in range(channels)]
         self.queue = []
         self.eof = False
 

@@ -206,6 +206,12 @@ def test_parse_opts_and_weights():
                   "normalize": False, "audio": "x.mp4"}
     np.testing.assert_array_equal(parse_weights("2", 3), [2, 2, 2])
     np.testing.assert_array_equal(parse_weights("1 2 3", 2), [1, 2])
+    # av_strtod postfixes (eval.c:106-143): dB, SI prefixes, and the
+    # one-char skip on unconsumed tails
+    np.testing.assert_allclose(parse_weights("1 2dB", 2),
+                               [1.0, 10.0 ** (2 / 20.0)], rtol=1e-6)
+    np.testing.assert_allclose(parse_weights("0.5x 2", 2), [0.5, 2.0])
+    np.testing.assert_allclose(parse_weights("1k", 2), [1000.0, 1000.0])
     for bad in ["duration=sometimes", "inputs=0", "normalize=x",
                 "dropout_transition=-1", "nosuch=1", "inputs"]:
         with pytest.raises(ValueError):

@@ -25,8 +25,14 @@ from gmat_tpu.av.audio_filters import (AechoStream, PanFilter,
 
 def aecho_oracle(x, rate, in_gain, out_gain, delays, decays):
     """x: (n, ch) int16; returns (n + max_samples, ch) int16 including
-    the EOF tail."""
-    samples = [int(d * rate / 1000.0) for d in delays]
+    the EOF tail.  Options quantize through float32 like the C's
+    AV_OPT_TYPE_FLOAT fields / av_sscanf("%f") arrays."""
+    in_gain = float(np.float32(in_gain))
+    out_gain = float(np.float32(out_gain))
+    delays = [float(np.float32(d)) for d in delays]
+    decays = [float(np.float32(d)) for d in decays]
+    samples = [int(float(np.float32(np.float32(d) * np.float32(rate)))
+                   / 1000.0) for d in delays]
     max_samples = max(samples)
     n, ch = x.shape
     full = np.concatenate([x, np.zeros((max_samples, ch), np.int16)])
@@ -84,6 +90,24 @@ def test_aecho_defaults_and_validation():
     # sub-sample delay at low rate -> samples=0 -> "nothing to echo"
     with pytest.raises(ValueError, match="[Nn]othing to echo"):
         AechoStream(8000, delays="0.1", decays="0.5")
+
+
+def test_aecho_float32_option_quantization():
+    """decay=0.7 is not float32-representable: the C's float storage
+    makes the effective tap 0.69999998807...; using the double would
+    flip ~0.25% of samples by 1 LSB (regression for the f32 fix)."""
+    x = _sig(20000, 1, seed=13)
+    got, _ = apply_audio_filters(x, 8000, "aecho=0.6:0.3:50:0.7")
+    ref = aecho_oracle(x, 8000, 0.6, 0.3, [50.0], [0.7])
+    np.testing.assert_array_equal(got, ref)
+    # double-math variant must actually differ somewhere, or this test
+    # guards nothing
+    st = AechoStream(8000, 0.6, 0.3, "50", "0.7")
+    st.decay = [0.7]
+    st.in_gain, st.out_gain = 0.6, 0.3
+    parts = [p for p in (st.push(x), st.flush()) if p.size]
+    dbl = np.concatenate(parts)
+    assert (dbl != got).any()
 
 
 def test_aecho_zero_delay_tap_reads_oldest():

@@ -36,6 +36,11 @@ def _oracle(x, **kw):
     {"correctdc": True, "gausssize": 5, "framelen": 100},
     {"compress": 3.0, "gausssize": 5, "framelen": 100},
     {"overlap": 0.5, "gausssize": 5, "framelen": 100},
+    # overlap AND targetrms together: the analysis window is the C's
+    # 2*frame_len zero-padded frame, so RMS sees half zeros (regression
+    # for the sqrt(2) rms_gain bug)
+    {"overlap": 0.5, "targetrms": 0.3, "gausssize": 5, "framelen": 100},
+    {"overlap": 0.5, "compress": 3.0, "gausssize": 5, "framelen": 100},
     {"maxgain": 2.0, "threshold": 0.01, "gausssize": 5,
      "framelen": 100},
 ])
@@ -68,6 +73,19 @@ def test_even_gausssize_forced_odd():
 def test_setup_compress_thresh_matches():
     for t in [0.0, 1.0, 0.1, 0.25, 0.5, 0.9, 0.99, 1e-18]:
         assert setup_compress_thresh(t) == oracle_sct(t)
+
+
+def test_setup_compress_thresh_pins_compiled_c():
+    """Values from the reference function compiled with gcc -O2 on this
+    host (llrint INT64_MIN saturation caps the walk just below 1.0 for
+    thresholds above ~0.789 — the np.rint model used to escape to 5x)."""
+    pins = {0.25: 0.25000013379310326, 0.5: 0.5067892617803369,
+            0.7: 0.78806984732172158, 0.79: 0.99999999999999956,
+            0.9: 0.99999999999999967, 0.99: 0.99999999999999978,
+            0.999: 0.99999999999999989}
+    for t, want in pins.items():
+        assert setup_compress_thresh(t) == want
+        assert setup_compress_thresh(t) < 1.0
 
 
 def test_quiet_signal_amplified():
