@@ -214,6 +214,9 @@ def main():
         "batch": n,
         "quality_max_lsb_vs_exact_f32": round(max_lsb, 3),
         "timing": ("absolute" if "absolute" in timings else "marginal"),
+        # device-compute cost per frame: judge regressions against this,
+        # not against tunnel weather (VERDICT-r4 weak #6)
+        "usec_per_frame": round(1e6 / fps, 2),
     }))
 
 

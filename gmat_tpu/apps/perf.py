@@ -687,8 +687,6 @@ def perf_graph(args):
     jit cancels tunnel dispatch).  Filters run exactly as metrans
     run_session applies them: FilterGraph.process on each rung's
     FrameBatch after the fused_rungs Pallas pass."""
-    import tempfile
-
     import jax
     import jax.numpy as jnp
 
@@ -701,37 +699,28 @@ def perf_graph(args):
     on_tpu = dev.platform == "tpu"
     n, h, w = (32 if on_tpu else 2), args.height, args.width
     rng = np.random.default_rng(0)
-    y = jax.device_put(rng.integers(0, 256, (n, h, w)).astype(np.uint8),
-                       dev)
-    u = jax.device_put(rng.integers(0, 256, (n, h // 2, w // 2))
-                       .astype(np.uint8), dev)
-    v = jax.device_put(rng.integers(0, 256, (n, h // 2, w // 2))
-                       .astype(np.uint8), dev)
+    bufs = []     # TWO resident buffer sets: the loop body must depend
+    for _ in range(2):   # on i or XLA hoists it out (see bench.py)
+        bufs.append(tuple(jax.device_put(
+            rng.integers(0, 256, shape).astype(np.uint8), dev)
+            for shape in ((n, h, w), (n, h // 2, w // 2),
+                          (n, h // 2, w // 2))))
+    flat = (*bufs[0], *bufs[1])
     rungs = ((1280, 720), (640, 360))
 
-    # small identity-ish .cube for the lut3d stage
-    cube = tempfile.NamedTemporaryFile("w", suffix=".cube", delete=False)
-    size = 9
-    cube.write("LUT_3D_SIZE %d\n" % size)
-    for b in range(size):
-        for g in range(size):
-            for r in range(size):
-                cube.write("%f %f %f\n" % (
-                    (r / (size - 1)) ** 0.95, (g / (size - 1)) ** 0.98,
-                    (b / (size - 1)) ** 1.02))
-    cube.close()
-
+    # eq (LUT contrast/brightness) + lutyuv (per-channel expression LUT,
+    # the per-channel-gather class VERDICT-r4 names) + unsharp (band
+    # matmuls) — all YUV-native like the rung graphs metrans attaches
+    # (lut3d is RGB-only in vf_lut3d.c's format list, so it cannot sit
+    # on a yuv420p rung without a format round-trip there either)
     descs = {
         0: "",
         1: "eq=contrast=1.2:brightness=0.05",
-        3: "eq=contrast=1.2:brightness=0.05,lut3d=%s,"
-           "unsharp=5:5:0.8" % cube.name,
+        3: "eq=contrast=1.2:brightness=0.05,"
+           "lutyuv=y=gammaval(0.9):u=val:v=val,unsharp=5:5:0.8",
     }
-    import atexit
-    atexit.register(lambda: os.path.exists(cube.name)
-                    and os.unlink(cube.name))
 
-    def make(desc, reps):
+    def make(desc):
         graphs = [FilterGraph(desc, 30.0) if desc else None
                   for _ in rungs]
 
@@ -747,40 +736,52 @@ def perf_graph(args):
                              rb.planes["v"]))
             return outs
 
+        def step(yy, uu, vv):
+            outs = rung_outs(yy, uu, vv)
+            acc = jnp.float32(0.0)
+            for (ow, oh), g2, (ry, ru, rv) in zip(rungs, graphs, outs):
+                rb = FrameBatch({"y": ry, "u": ru, "v": rv},
+                                "yuv420p", ow, oh, "bt709")
+                if g2 is not None:
+                    rb, _ = g2.process(rb)
+                # consume ALL planes or XLA dead-code-eliminates the
+                # unused plane's filter work and inflates the fps
+                acc = acc + (jnp.sum(rb.planes["y"].astype(jnp.float32))
+                             + jnp.sum(rb.planes["u"].astype(jnp.float32))
+                             + jnp.sum(rb.planes["v"].astype(jnp.float32)))
+            return acc
+
+        # reps is a TRACED fori_loop bound: one remote compile per desc
+        # instead of one per (desc, reps) — the tunnel's compile latency
+        # is the long pole.  The body alternates buffer sets via
+        # lax.cond so it depends on i (XLA would hoist an invariant body
+        # out of the loop and the marginal timing would measure nothing).
         @jax.jit
-        def f(yy, uu, vv):
+        def f(y0, u0, v0, y1, u1, v1, reps):
             def body(i, acc):
-                outs = rung_outs(yy, uu, vv)
-                for (ow, oh), g2, (ry, ru, rv) in zip(rungs, graphs,
-                                                      outs):
-                    rb = FrameBatch({"y": ry, "u": ru, "v": rv},
-                                    "yuv420p", ow, oh, "bt709")
-                    if g2 is not None:
-                        rb, _ = g2.process(rb)
-                    # consume ALL planes or XLA dead-code-eliminates the
-                    # unused plane's filter work and inflates the fps
-                    acc = acc + (jnp.sum(rb.planes["y"].astype(
-                        jnp.float32)) + jnp.sum(rb.planes["u"].astype(
-                            jnp.float32)) + jnp.sum(rb.planes["v"]
-                                                    .astype(jnp.float32)))
-                return acc
+                return acc + jax.lax.cond(
+                    i % 2 == 0,
+                    lambda: step(y0, u0, v0),
+                    lambda: step(y1, u1, v1))
             return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
         return f
 
-    def best_time(f, trials=4):
-        _ = float(np.asarray(f(y, u, v)))
+    def best_time(f, reps, trials=4):
+        r = jnp.int32(reps)
+        _ = float(np.asarray(f(*flat, r)))
         ts = []
         for _2 in range(trials):
             t0 = time.perf_counter()
-            _ = float(np.asarray(f(y, u, v)))
+            _ = float(np.asarray(f(*flat, r)))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
     r_lo, r_hi = (4, 12) if on_tpu else (1, 3)
     rows = {}
     for k, desc in descs.items():
-        t_lo = best_time(make(desc, r_lo))
-        t_hi = best_time(make(desc, r_hi))
+        f = make(desc)
+        t_lo = best_time(f, r_lo)
+        t_hi = best_time(f, r_hi)
         if t_hi - t_lo < 0.002:
             fps = n * r_hi / t_hi
             timing = "absolute"

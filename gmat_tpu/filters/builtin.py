@@ -1693,11 +1693,36 @@ class BwdifFilter(YadifFilter):
                          pad_batch=pad_batch)
         self._intra_first = True      # stream start = FIELD_END
         self._in_flush = False
+        self._run_ilace = None
+        self._run_count = 0
+
+    def _outputs(self, fb, ext, ext_meta, count):
+        # stash the run's interlaced flags so _deint can keep FIELD_END
+        # alive through deint=interlaced progressive passthrough
+        self._run_ilace = ext_meta.get("interlaced")
+        self._run_count = count
+        try:
+            return super()._outputs(fb, ext, ext_meta, count)
+        finally:
+            self._run_ilace = None
 
     def _deint(self, ext_run):
         from ..ops.bwdif import bwdif_batch
-        intra_first = self._intra_first
-        self._intra_first = False
+        intra_first = -1
+        if self._intra_first:
+            # FIELD_END persists until a frame is actually FILTERED
+            # (yadif_common.c: return_frame clears it; deint-passthrough
+            # frames never reach filter()), so with deint=interlaced the
+            # spatial-only first field lands on the first interlaced
+            # frame, not output index 0
+            j = 0
+            if self.deint and self._run_ilace is not None:
+                fl = np.asarray(self._run_ilace[1:1 + self._run_count])
+                filt = np.nonzero((fl.astype(np.int64) & 1) != 0)[0]
+                j = int(filt[0]) if filt.size else -1
+            if j >= 0:
+                intra_first = j
+                self._intra_first = False
         intra_last = -1
         if self._in_flush and self.send_field:
             # flush emits exactly one real frame at output index 0

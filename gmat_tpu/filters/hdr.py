@@ -131,6 +131,19 @@ def _f_tonemap(tonemap="none", param=None, desat=2.0, peak=0.0,
 _f_tonemap.wants_link = True
 
 
+# av_parse_video_size abbreviations (libavutil/parseutils.c
+# video_size_abbrs, common subset)
+_VIDEO_SIZE_ABBRS = {
+    "qcif": (176, 144), "cif": (352, 288), "qvga": (320, 240),
+    "vga": (640, 480), "svga": (800, 600), "xga": (1024, 768),
+    "sxga": (1280, 1024), "wxga": (1366, 768), "wsxga": (1600, 1024),
+    "hd480": (852, 480), "hd720": (1280, 720), "hd1080": (1920, 1080),
+    "2k": (2048, 1080), "2kdci": (2048, 1080), "4k": (4096, 2160),
+    "4kdci": (4096, 2160), "uhd2160": (3840, 2160),
+    "uhd4320": (7680, 4320), "ntsc": (720, 480), "pal": (720, 576),
+}
+
+
 def _f_zscale(w="0", h="0", t=None, tin=None, p=None, pin=None, m=None,
               min=None, r=None, rin=None, npl=None, f="bilinear",
               transfer=None, transferin=None, primaries=None,
@@ -150,7 +163,14 @@ def _f_zscale(w="0", h="0", t=None, tin=None, p=None, pin=None, m=None,
     f = _pick(None if f == "bilinear" else f, filter, "filter") or "bilinear"
     size = _pick(s, size, "size")
     if size:
-        w, h = str(size).lower().split("x")
+        size = str(size).lower()
+        if size in _VIDEO_SIZE_ABBRS:          # av_parse_video_size names
+            w, h = _VIDEO_SIZE_ABBRS[size]
+        elif "x" in size:
+            w, h = size.split("x", 1)
+        else:
+            raise FilterError(f"zscale: cannot parse size {size!r} "
+                              "(WxH or a known abbreviation)")
     dither = _pick(None if dither == "none" else dither, d, "dither")
     if dither not in (None, "none"):
         raise FilterError("zscale: only dither=none is supported (the "
@@ -162,10 +182,16 @@ def _f_zscale(w="0", h="0", t=None, tin=None, p=None, pin=None, m=None,
                 "studio/limited range like the reference kernels "
                 "(yuv2rgb_cuda.cu get_constants)")
     w, h = int(w), int(h)
+    if w < 0 and h < 0:
+        raise FilterError("zscale: w and h cannot both be negative")
     npl_v = 100.0 if npl is None or math.isnan(float(npl)) else float(npl)
+    if str(f) in ("spline16", "spline36"):
+        # zimg's spline kernels are not implemented; erroring beats
+        # silently substituting bicubic (the dither/range policy)
+        raise FilterError(f"zscale: resample filter {f!r} is not "
+                          "supported — use bilinear/bicubic/lanczos")
     interp = {"point": "nearest", "bilinear": "bilinear",
-              "bicubic": "bicubic", "spline16": "bicubic",
-              "spline36": "bicubic", "lanczos": "lanczos"}.get(str(f))
+              "bicubic": "bicubic", "lanczos": "lanczos3"}.get(str(f))
     if interp is None:
         raise FilterError(f"zscale: unknown resample filter {f!r}")
 
@@ -239,11 +265,26 @@ def _f_zscale(w="0", h="0", t=None, tin=None, p=None, pin=None, m=None,
             out_fmt = "rgbapf32"
         nfb = FrameBatch({"rgb": x}, out_fmt, fb.width, fb.height,
                          m_cs or fb.colorspace)
-        if w > 0 or h > 0:
+        if w != 0 or h != 0:
             from ..ops import resize as R
-            ow = w if w > 0 else nfb.width
-            oh = h if h > 0 else nfb.height
-            nfb = R.resize(nfb, ow, oh, interp)
+            ow, oh = w, h
+            # ffmpeg scale_eval semantics: 0 keeps the input dim, -1
+            # preserves aspect, -N preserves aspect rounded to a
+            # multiple of N (ff_scale_adjust_dimensions)
+            if ow == 0:
+                ow = nfb.width
+            if oh == 0:
+                oh = nfb.height
+            if ow < 0:
+                div = max(-w, 1)
+                ow = max(round(oh * nfb.width / nfb.height), 1)
+                ow = max(round(ow / div), 1) * div
+            elif oh < 0:
+                div = max(-h, 1)
+                oh = max(round(ow * nfb.height / nfb.width), 1)
+                oh = max(round(oh / div), 1) * div
+            if (ow, oh) != (nfb.width, nfb.height):
+                nfb = R.resize(nfb, ow, oh, interp)
         return nfb
 
     return run

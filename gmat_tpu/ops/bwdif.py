@@ -64,15 +64,19 @@ def bwdif_intra_plane(cur: jax.Array, parity: int) -> jax.Array:
     c = cur.astype(jnp.int32)
     h = c.shape[1]
     r = _rows(h)
-    # mirror maps (df == 1 for planar samples):
-    #   prefs  = y+1 if y+1 < h else y-1
-    #   mrefs  = y-1 if y >= 1  else y+1
-    #   prefs3 = y+3 if y+3 < h else y-1   (falls back ONE row up)
-    #   mrefs3 = y-3 if y >= 3  else y+1   (ONE row down)
-    ip1 = np.where(r + 1 < h, r + 1, r - 1)
-    im1 = np.where(r >= 1, r - 1, r + 1)
-    ip3 = np.where(r + 3 < h, r + 3, r - 1)
-    im3 = np.where(r >= 3, r - 3, r + 1)
+    # mirror maps: the C's guards are in BYTES — df = bytes/sample
+    # ((depth+7)/8, filter_slice:223), so 16-bit planes mirror one row
+    # early at both borders (prefs = (y+df)<h ? refs : -refs, etc.,
+    # :235-239).  A quirk of the byte-based guard, reproduced exactly:
+    #   prefs  = y+1 if y+df  < h   else y-1
+    #   mrefs  = y-1 if y > df-1    else y+1
+    #   prefs3 = y+3 if y+3df < h   else y-1   (falls back ONE row up)
+    #   mrefs3 = y-3 if y > 3df-1   else y+1   (ONE row down)
+    df = 2 if dt == jnp.uint16 else 1
+    ip1 = np.where(r + df < h, r + 1, r - 1)
+    im1 = np.where(r > df - 1, r - 1, r + 1)
+    ip3 = np.where(r + 3 * df < h, r + 3, r - 1)
+    im3 = np.where(r > 3 * df - 1, r - 3, r + 1)
     interpol = (COEF_SP[0] * (_take_rows(c, im1) + _take_rows(c, ip1))
                 - COEF_SP[1] * (_take_rows(c, im3) + _take_rows(c, ip3))
                 ) >> 13
@@ -101,11 +105,13 @@ def bwdif_plane(prev: jax.Array, cur: jax.Array, next_: jax.Array,
     next2 = cc if kparity else nx
 
     # row-mirror maps shared by line+edge (filter_slice:241-252):
-    # prefs/mrefs mirror at the frame border; ±2/±3/±4 taps are only
-    # read by row classes whose ranges keep them in bounds, so plain
-    # clamped shifts are exact there.
-    ip1 = np.where(r + 1 < h, r + 1, r - 1)
-    im1 = np.where(r >= 1, r - 1, r + 1)
+    # prefs/mrefs mirror at the frame border with the C's BYTE-based
+    # guards (df = bytes/sample — 16-bit planes mirror one row early);
+    # ±2/±3/±4 taps are only read by row classes whose ranges keep them
+    # in bounds, so plain clamped shifts are exact there.
+    df = 2 if dt == jnp.uint16 else 1
+    ip1 = np.where(r + df < h, r + 1, r - 1)
+    im1 = np.where(r > df - 1, r - 1, r + 1)
 
     c_ = _take_rows(cc, im1)
     e_ = _take_rows(cc, ip1)
@@ -197,14 +203,17 @@ def _line_frames(prev_planes, cur_planes, next_planes, parity, tff):
 @partial(jax.jit, static_argnames=("tff", "send_field", "intra_first",
                                    "intra_last"))
 def bwdif_batch(ext_planes, tff: int, send_field: bool,
-                intra_first: bool = False, intra_last: int = -1):
+                intra_first: int = -1, intra_last: int = -1):
     """One jitted pass over an extended frame sequence (same layout as
     ops/yadif.deint_batch): frame 0 is previous context, frame M-1 the
     look-ahead; outputs cover frames 1..M-2.
 
-    intra_first: the stream's first output frame — its FIRST field is
-    spatial-only (yadif_common.c:107-112 sets FIELD_END when cur is the
-    cloned first frame; bwdif's filter() consumes it, vf_bwdif.c:233).
+    intra_first >= 0: that OUTPUT index's FIRST field is spatial-only
+    (yadif_common.c:107-112 sets FIELD_END when cur is the cloned first
+    frame; bwdif's filter() consumes it, vf_bwdif.c:233).  An INDEX
+    rather than a flag because with deint=interlaced FIELD_END persists
+    through progressive passthrough frames — it lands on the first
+    frame that is actually FILTERED, not output index 0.
     intra_last >= 0: EOF flush in send_field mode — that OUTPUT index's
     SECOND field is spatial-only (BACK_END -> END promotion in
     return_frame, yadif_common.c:47-48).  An index (not "the last")
@@ -215,10 +224,12 @@ def bwdif_batch(ext_planes, tff: int, send_field: bool,
     cur = {k: v[1: m - 1] for k, v in ext_planes.items()}
     nxt = {k: v[2:] for k, v in ext_planes.items()}
     first = _line_frames(prev, cur, nxt, tff ^ 1, tff)
-    if intra_first:
-        head = {k: v[1:2] for k, v in ext_planes.items()}
+    if intra_first >= 0:
+        j = intra_first
+        head = {k: v[1 + j: 2 + j] for k, v in ext_planes.items()}
         ih = _intra_frames(head, tff ^ 1)
-        first = {k: jnp.concatenate([ih[k], v[1:]]) for k, v in first.items()}
+        first = {k: jnp.concatenate([v[:j], ih[k], v[j + 1:]])
+                 for k, v in first.items()}
     if not send_field:
         return first
     second = _line_frames(prev, cur, nxt, tff, tff)

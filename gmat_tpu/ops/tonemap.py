@@ -16,24 +16,34 @@ Math parity notes (tonemap():110-173 and init():65-88):
     overbright = max(luma-desat,1e-6)/max(luma,1e-6).
   * the tone curve is applied to sig = max(max3(r,g,b), 1e-6) and the
     colour is scaled linearly by sig/sig_orig — never per-channel.
-  * scalar curve constants (hable(peak), the mobius a/b knee, the gamma
-    toe scale) are evaluated host-side in float64 like the C's
-    double-promoted expressions; per-pixel math runs float32 like the
-    C's float lvalues.
+  * scalar curve constants follow the C's exact precisions:
+    hable(peak) is the FLOAT hable() applied to the double peak
+    (float32 throughout); the mobius a/b knee values are computed in
+    double (peak participates in every term) then stored to float, and
+    the scale numerator (b*b + 2bj + j*j)/(b-a) is float32; the gamma
+    toe scale is double pow.  Per-pixel math runs float32 like the C's
+    float lvalues.
 """
 from __future__ import annotations
 
 import math
 
 import jax.numpy as jnp
+import numpy as np
 
 METHODS = ("none", "linear", "gamma", "clip", "reinhard", "hable",
            "mobius")
 
 
-def _hable(x: float) -> float:
-    a, b, c, d, e, f = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30
-    return (x * (x * a + b * c) + d * e) / (x * (x * a + b) + d * f) - e / f
+def _hable32(x: float) -> float:
+    """The C's `static float hable(float)` (vf_tonemap.c:90-94):
+    float32 arithmetic including the argument conversion."""
+    f32 = np.float32
+    x = f32(x)
+    a, b, c, d, e, f = (f32(0.15), f32(0.50), f32(0.10), f32(0.20),
+                        f32(0.02), f32(0.30))
+    return float(f32(f32(x * f32(x * a + b * c) + d * e)
+                     / f32(x * f32(x * a + b) + d * f)) - f32(e / f))
 
 
 def resolve_param(method: str, param: float) -> float:
@@ -92,15 +102,26 @@ def tonemap_rgb(rgb: jnp.ndarray, method: str, param: float, desat: float,
         a, bb, c, d, e, f = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30
         h = ((sig * (sig * a + bb * c) + d * e)
              / (sig * (sig * a + bb) + d * f) - e / f)
-        sig = h / _hable(peak)
+        sig = h / _hable32(peak)          # float32 like the C's hable()
     elif method == "reinhard":
         sig = sig / (sig + param) * ((peak + param) / peak)
     elif method == "mobius":
-        j = param
-        a = -j * j * (peak - 1.0) / (j * j - 2.0 * j + peak)
-        bj = (j * j - 2.0 * j * peak + peak) / max(peak - 1.0, 1e-6)
-        scale = (bj * bj + 2.0 * bj * j + j * j) / (bj - a)
-        sig = jnp.where(sig <= j, sig, scale * (sig + a) / (sig + bj))
+        f32 = np.float32
+        j = param                          # float j in the C (f32 field)
+        j32 = f32(j)
+        # a/b: double expressions (peak participates in every term),
+        # STORED to float (vf_tonemap.c:96-107)
+        # (j*j - 2.0f*j) is a FLOAT subtraction before peak promotes it
+        a = f32(-float(f32(j32 * j32)) * (peak - 1.0)
+                / (float(f32(f32(j32 * j32) - f32(2.0 * j32))) + peak))
+        bj = f32((float(f32(j32 * j32)) - float(f32(2.0 * j32)) * peak
+                  + peak) / max(peak - 1.0, 1e-6))
+        # the scale numerator/denominator are float32 per the return
+        # expression's float operands
+        scale = float(f32(f32(bj * bj + f32(f32(2.0) * bj) * j32
+                              + f32(j32 * j32)) / f32(bj - a)))
+        sig = jnp.where(sig <= j, sig,
+                        scale * (sig + float(a)) / (sig + float(bj)))
 
     scale = sig / sig_orig
     return jnp.stack([r * scale, g * scale, b * scale], axis=-1)

@@ -27,10 +27,13 @@ CS = (5077, 981)
 
 
 def _intra_row(cur, y, w, h, clip_max, out):
-    prefs = 1 if y + 1 < h else -1
-    mrefs = -1 if y > 0 else 1
-    prefs3 = 3 if y + 3 < h else -1
-    mrefs3 = -3 if y > 2 else 1
+    # the C's guards are in BYTES (df = bytes/sample, filter_slice:223):
+    # 16-bit planes mirror one row early at both borders
+    df = 2 if clip_max > 255 else 1
+    prefs = 1 if y + df < h else -1
+    mrefs = -1 if y > df - 1 else 1
+    prefs3 = 3 if y + 3 * df < h else -1
+    mrefs3 = -3 if y > 3 * df - 1 else 1
     c = cur.astype(np.int64)
     for x in range(w):
         interpol = (CS[0] * (c[y + mrefs, x] + c[y + prefs, x])
@@ -55,8 +58,9 @@ def oracle_frame(prev, cur, next_, parity, tff, clip_max, field_end=False):
         if field_end:
             _intra_row(cur, y, w, h, clip_max, out)
             continue
-        prefs = 1 if y + 1 < h else -1
-        mrefs = -1 if y > 0 else 1
+        df = 2 if clip_max > 255 else 1
+        prefs = 1 if y + df < h else -1
+        mrefs = -1 if y > df - 1 else 1
         is_edge = (y < 4) or (y + 5 > h)
         spat = 0 if ((y < 2) or (y + 3 > h)) else 1
         for x in range(w):
@@ -281,3 +285,15 @@ def test_bwdif_deint_interlaced_passthrough(rng):
     got = np.asarray(ofb.planes["y"])[keep]
     # frame 0 is progressive -> unchanged
     np.testing.assert_array_equal(got[0], frames[0][0])
+    # FIELD_END persists through the progressive passthrough: the first
+    # FILTERED frame (index 1, tff from bit1 -> first field parity 0)
+    # is spatial-only filter_intra, not temporally filtered
+    want1 = frames[1][0].copy()
+    h, w = want1.shape
+    for yy in range(h):
+        if (yy ^ 0) & 1:
+            _intra_row(frames[1][0], yy, w, h, 255, want1)
+    np.testing.assert_array_equal(got[1], want1)
+    # frame 2 (progressive again) passes through; the last frame stays
+    # in the lookahead register until flush
+    np.testing.assert_array_equal(got[2], frames[2][0])

@@ -327,6 +327,35 @@ def test_zscale_resize_and_matrix_tag(rng):
     assert out.format == "rgbpf32"
 
 
+def test_zscale_dim_and_filter_grammar(rng):
+    """ffmpeg scale_eval semantics + av_parse_video_size names +
+    resample-filter mapping (review-pass regressions)."""
+    fb = _pq_batch(rng, h=18, w=32)
+    # -1 preserves aspect (was: silently kept the input width)
+    g = FilterGraph("zscale=w=-1:h=9", stream_meta={"trc": "smpte2084"})
+    out, _ = g.process(fb)
+    assert (out.width, out.height) == (16, 9)
+    # -2 rounds to even
+    g = FilterGraph("zscale=w=-2:h=9", stream_meta={"trc": "smpte2084"})
+    out, _ = g.process(fb)
+    assert (out.width, out.height) == (16, 9)
+    # f=lanczos resolves (was: crashed on the unknown 'lanczos' key)
+    g = FilterGraph("zscale=w=16:h=10:f=lanczos",
+                    stream_meta={"trc": "smpte2084"})
+    out, _ = g.process(fb)
+    assert (out.width, out.height) == (16, 10)
+    # named sizes
+    from gmat_tpu.filters.hdr import _VIDEO_SIZE_ABBRS
+    assert _VIDEO_SIZE_ABBRS["hd720"] == (1280, 720)
+    with pytest.raises(FilterError, match="cannot parse size"):
+        FilterGraph("zscale=s=nosuchsize")
+    # spline kernels are rejected, not silently bicubic
+    with pytest.raises(FilterError, match="spline36"):
+        FilterGraph("zscale=w=16:h=10:f=spline36")
+    with pytest.raises(FilterError, match="both"):
+        FilterGraph("zscale=w=-1:h=-1")
+
+
 def test_zscale_linear_only_noop_on_trc_match(rng):
     # t == tin -> pixels unchanged (just the float conversion).  zscale
     # converts at full float precision (zimg lane) while format_cuda
