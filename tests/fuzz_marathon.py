@@ -141,6 +141,23 @@ def fuzz_cube(nm):
     parse_cube(txt)
     parse_3dl(txt)
 
+
+_AUDIO_DESCS = [
+    "loudnorm=I=-16:TP=-1.5:LRA=11", "dynaudnorm=f=200:g=7:s=2:p=0.9",
+    "aecho=0.6:0.3:40|90:0.4|0.2", "pan=stereo|c0=0.5*c0+0.5*c1|c1=c1",
+    "amix=inputs=2:duration=first:weights=1 0.5",
+    "afade=t=in:d=2:curve=qsin", "atempo=1.25,volume=0.5,aresample=32000",
+]
+
+
+def fuzz_audio_desc(nm):
+    """Audio filter-chain descriptions: parse_audio_filters and the
+    per-filter option parsers may only raise ValueError on garbage."""
+    from gmat_tpu.av.audio_filters import parse_audio_filters
+    base = _AUDIO_DESCS[rng.randrange(len(_AUDIO_DESCS))].encode()
+    txt = mutate(base, nm).decode("latin-1")
+    parse_audio_filters(txt)
+
 ALLOWED = (IOError, ValueError, __import__("struct").error, IndexError,
            KeyError, EOFError, OverflowError, ZeroDivisionError)
 crashes = []
@@ -167,10 +184,12 @@ for it in range(N):
                 hevc.parse_stream_slices([pkt])
                 hevc.stream_hdr_metadata([pkt])
                 hevc.stream_timing_info([pkt])
-            elif it % 2:
+            elif it % 3 == 1:
                 fuzz_expr()
-            else:
+            elif it % 3 == 2:
                 fuzz_cube(nm)
+            else:
+                fuzz_audio_desc(nm)
     except ALLOWED:
         pass
     except Exception as e:
