@@ -137,9 +137,73 @@ def atempo(samples: np.ndarray, rate: int, tempo: float = 1.0) -> np.ndarray:
     return np.concatenate(parts) if parts else samples[:0]
 
 
-def volume(samples: np.ndarray, rate: int, volume: float = 1.0) -> np.ndarray:
-    y = samples.astype(np.float32) * float(volume)
-    return np.clip(y, -32768, 32767).astype(np.int16)
+_VOLUME_PRECISIONS = ("fixed", "float", "double")
+
+
+def _parse_volume_opts(val: str) -> Dict:
+    """af_volume options (af_volume.c:60-78): positional or named
+    volume expression (av_expr: dB suffixes, arithmetic), precision
+    fixed/float/double, eval once (the default; 'frame' only matters
+    for per-frame vars, which a constant expression doesn't use)."""
+    kw: Dict = {}
+    for i, tok in enumerate(str(val).split(":")):
+        tok = tok.strip()
+        if not tok:
+            continue
+        k, _, v = tok.partition("=")
+        k = k.strip()
+        if _ and k in ("volume", "v"):
+            kw["volume"] = v
+        elif _ and k == "precision":
+            if v not in _VOLUME_PRECISIONS:
+                raise ValueError(f"volume: bad precision {v!r}")
+            kw["precision"] = v
+        elif _ and k == "eval":
+            if v not in ("once", "frame"):
+                raise ValueError(f"volume: bad eval mode {v!r}")
+        elif not _ and i == 0:
+            kw["volume"] = tok
+        else:
+            raise ValueError(f"volume: unknown option {tok!r}")
+    return kw
+
+
+def _volume_value(volume) -> float:
+    """Evaluate the volume option like af_volume's av_expr (handles
+    '-6dB', '1/2', plain numbers)."""
+    if isinstance(volume, str):
+        from ..filters.expr import compile_expr
+        v = float(compile_expr(volume)({}))
+    else:
+        v = float(volume)
+    if np.isnan(v):
+        raise ValueError("volume: invalid value NaN")
+    return v
+
+
+def volume(samples: np.ndarray, rate: int, volume=1.0,
+           precision: str = "float") -> np.ndarray:
+    """af_volume's three lanes (af_volume.c:136-242):
+    - fixed: s16 stays integer — volume_i = (int)(v*256 + 0.5),
+      out = av_clip_int16((in*volume_i + 128) >> 8)  (:183-191);
+    - float (the DEFAULT): s16 -> f32 (x * 1/32768), f32 multiply,
+      back via lrintf(x*32768) clipped — the aresample conversions
+      ffmpeg's format negotiation inserts around the FLT-only filter;
+    - double: same in f64."""
+    vol = _volume_value(volume)
+    if precision == "fixed":
+        vol_i = int(vol * 256 + 0.5)
+        y = (samples.astype(np.int64) * vol_i + 128) >> 8
+        return np.clip(y, -32768, 32767).astype(np.int16)
+    if precision == "double":
+        y = (samples.astype(np.float64) / 32768.0) * vol
+        return np.clip(np.rint(y * 32768.0), -32768,
+                       32767).astype(np.int16)
+    f32 = np.float32
+    x = samples.astype(np.float32) * f32(1.0 / 32768.0)
+    y = x * f32(vol)
+    return np.clip(np.rint(y * f32(32768.0)), -32768,
+                   32767).astype(np.int16)
 
 
 def aresample(samples: np.ndarray, rate: int, out_rate: int) -> Tuple[np.ndarray, int]:
@@ -168,7 +232,7 @@ def parse_audio_filters(desc: str) -> List[Tuple[str, Dict[str, float]]]:
             elif name.strip() == "atempo":
                 chain.append((name.strip(), {"tempo": float(val)}))
             elif name.strip() == "volume":
-                chain.append((name.strip(), {"volume": float(val)}))
+                chain.append((name.strip(), _parse_volume_opts(val)))
             elif name.strip() == "afade":
                 chain.append((name.strip(), _parse_afade_opts(val)))
             elif name.strip() == "aecho":
@@ -342,8 +406,8 @@ class AudioFilterStream:
                 from .amix import AmixStream
                 self.stages.append(AmixStream(self.out_rate, **kw))
             elif name == "volume":
-                vol = float(kw["volume"])
-                self.stages.append(("volume", vol))
+                _volume_value(kw.get("volume", 1.0))   # validate at build
+                self.stages.append(("volume", kw))
 
     def _through(self, block: np.ndarray, start: int) -> np.ndarray:
         for st in self.stages[start:]:
@@ -353,7 +417,7 @@ class AudioFilterStream:
                 if st[0] == "pan":
                     block = st[1].process(block)
                 else:
-                    block = volume(block, 0, st[1])
+                    block = volume(block, 0, **st[1])
             else:
                 block = st.push(block)
         return block

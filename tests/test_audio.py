@@ -413,3 +413,48 @@ def test_afade_zero_time_options_mean_unset():
     st = AfadeStream(1000, type="in", start_sample=500, nb_samples=800,
                      start_time=0.0, duration=0.0)
     assert st.start == 500 and st.range == 800
+
+
+def test_volume_af_volume_parity():
+    """af_volume lanes: fixed-point s16 (volume_i=(int)(v*256+0.5),
+    (x*vol+128)>>8 clipped), the float default's lrintf rounding, dB
+    expression values via av_expr."""
+    from gmat_tpu.av.audio_filters import volume, _parse_volume_opts
+    import numpy as np
+    import pytest
+    x = np.array([[-32768, -1], [1, 32767], [100, -100],
+                  [1000, -1000]], np.int16)
+    # fixed: exact integer math
+    got = volume(x, 0, 0.5, precision="fixed")
+    vol_i = int(0.5 * 256 + 0.5)
+    want = np.clip((x.astype(np.int64) * vol_i + 128) >> 8,
+                   -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(got, want)
+    # float (default): rounds half away from trunc — 1 -> 1 at 0.5 gain
+    # would truncate to 0; lrintf gives 0.5 -> round-half-even
+    got = volume(x, 0, 0.5)
+    f32 = np.float32
+    want = np.clip(np.rint((x.astype(np.float32) * f32(1 / 32768.0))
+                           * f32(0.5) * f32(32768.0)),
+                   -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(got, want)
+    # dB values through av_expr
+    got_db = volume(x, 0, "-6.0206dB")
+    got_lin = volume(x, 0, 10.0 ** (-6.0206 / 20.0))
+    np.testing.assert_array_equal(got_db, got_lin)
+    # option grammar
+    kw = _parse_volume_opts("0.5:precision=fixed")
+    assert kw == {"volume": "0.5", "precision": "fixed"}
+    kw = _parse_volume_opts("volume=-3dB")
+    assert kw == {"volume": "-3dB"}
+    for bad in ["0.5:precision=int", "0.5:eval=never", "0.5:nosuch=1"]:
+        with pytest.raises(ValueError):
+            _parse_volume_opts(bad)
+
+
+def test_volume_chain_db():
+    from gmat_tpu.av.audio_filters import apply_audio_filters, volume
+    import numpy as np
+    x = (np.arange(-4000, 4000, 8, dtype=np.int16)).reshape(-1, 2)
+    y, rate = apply_audio_filters(x, 48000, "volume=-6dB")
+    np.testing.assert_array_equal(y, volume(x, 0, "-6dB"))
