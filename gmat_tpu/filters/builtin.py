@@ -2019,6 +2019,83 @@ def _rgb_to_yuv_ccir(r, g, b):
     return y, u, v
 
 
+def _f_delogo(x="-1", y="-1", w="-1", h="-1", show=0):
+    """vf_delogo.c analog: interpolate the logo region away from the
+    four band-expanded edges (ops/delogo.py has the kernel math).
+
+    x/y/w/h are av_expr options evaluated once with zeroed variables —
+    exactly init() (vf_delogo.c:237-247; the C re-evaluates per frame
+    with n/t, which only matters for time-varying expressions).  The
+    filter_frame auto-clamp for regions touching the frame edge and the
+    band=1 expansion are applied at run time per vf_delogo.c:310-332;
+    chroma planes get the rounded-down offsets with lost bits injected
+    into the size and band>>min(hsub,vsub) (:352-366).  SAR is assumed
+    square like the C's unknown-SAR fallback (:347-350).  8-bit planar
+    YUV / gray only (pix_fmts :230-236)."""
+    env = {"n": 0.0, "t": 0.0}
+    vals = {}
+    for name, expr in (("x", x), ("y", y), ("w", w), ("h", h)):
+        try:
+            vals[name] = int(float(compile_expr(str(expr))(env)))
+        except ValueError as e:
+            raise FilterError(f"delogo: bad expression for {name}: {e}")
+        if vals[name] == -1:
+            raise FilterError(f"delogo: option {name} was not set")
+    show = bool(int(show))
+
+    def run(fb):
+        from ..ops.delogo import apply_delogo_plane
+        fmt = fb.fmt
+        if fmt.is_rgb or fmt.is_float or fmt.bits != 8:
+            raise FilterError("delogo supports 8-bit planar YUV/gray "
+                              "(vf_delogo.c pix_fmts)")
+        W, H = fb.width, fb.height
+        band = 1
+        # config_props check on the init-expanded region
+        # (vf_delogo.c:241-247 expansion + :279-289 check): runs BEFORE
+        # any frame in ffmpeg, so x=0 or an overflowing box is an error
+        # here, not an auto-clamp (the clamp below only rescues
+        # re-evaluated per-frame expressions)
+        cx, cy = vals["x"] - band, vals["y"] - band
+        cw, ch2 = vals["w"] + 2 * band, vals["h"] + 2 * band
+        if (cx + (band - 1) < 0 or cx + cw - (band * 2 - 2) > W
+                or cy + (band - 1) < 0
+                or cy + ch2 - (band * 2 - 2) > H):
+            raise FilterError("delogo: logo area is outside of the frame")
+        sx, sy, sw_, sh_ = vals["x"], vals["y"], vals["w"], vals["h"]
+        # filter_frame edge auto-clamp (:314-321)
+        if sx + (band - 1) <= 0:
+            sx = 1 + band
+        if sy + (band - 1) <= 0:
+            sy = 1 + band
+        if sx + sw_ - (band * 2 - 2) > W:
+            sw_ = W - sx - (band * 2 - 2)
+        if sy + sh_ - (band * 2 - 2) > H:
+            sh_ = H - sy - (band * 2 - 2)
+        if (sx + (band - 1) < 0 or sx + sw_ - (band * 2 - 2) > W
+                or sy + (band - 1) < 0
+                or sy + sh_ - (band * 2 - 2) > H):
+            raise FilterError("delogo: logo area is outside of the frame")
+        sw_ += band * 2
+        sh_ += band * 2
+        sx -= band
+        sy -= band
+        out = {}
+        for name, plane in fb.planes.items():
+            ph, pw = plane.shape[1], plane.shape[2]
+            hsub = 1 if name in ("u", "v") and pw < W else 0
+            vsub = 1 if name in ("u", "v") and ph < H else 0
+            out[name] = apply_delogo_plane(
+                plane, pw, ph, 1, 1, sx >> hsub, sy >> vsub,
+                (sw_ + (sx & ((1 << hsub) - 1)) + (1 << hsub) - 1)
+                >> hsub,
+                (sh_ + (sy & ((1 << vsub) - 1)) + (1 << vsub) - 1)
+                >> vsub,
+                band >> min(hsub, vsub), show)
+        return fb.with_planes(out)
+    return run
+
+
 def _f_drawbox(x="0", y="0", width="0", w=None, height="0", h=None,
                color="black", c=None, thickness="3", t=None, replace=0):
     """vf_drawbox analog: a colored (or `invert`) box outline/fill.
@@ -3234,6 +3311,7 @@ FILTERS: Dict[str, Callable] = {
     "fade": _f_fade,
     "drawbox": _f_drawbox,
     "unsharp": _f_unsharp,
+    "delogo": _f_delogo,
     "hue": HueFilter,
     "lut3d": _f_lut3d,
     "lut1d": _f_lut1d,
