@@ -28,6 +28,7 @@ import numpy as np
 
 from ..core import formats as F
 from ..core.frame import FrameBatch
+from ..ops.lut import apply_lut as _mxu_lut
 from ..ops import csc, fused, geometry, resize, smooth
 from .expr import compile_expr, _pow as _c_pow
 
@@ -290,7 +291,7 @@ def _f_colorchannelmixer(rr=1.0, rg=0.0, rb=0.0, ra=0.0,
             for ic in ins:
                 if oc + ic not in luts:
                     continue
-                term = jnp.take(jnp.asarray(luts[oc + ic]), chan[ic])
+                term = _mxu_lut(chan[ic], luts[oc + ic])
                 acc = term if acc is None else acc + term
             if acc is None:
                 acc = jnp.zeros_like(chan[oc])
@@ -2096,6 +2097,68 @@ def _f_delogo(x="-1", y="-1", w="-1", h="-1", show=0):
     return run
 
 
+def _f_deband(**opts):
+    """vf_deband.c analog (ops/deband.py has the kernels): per-plane
+    thresholds 1thr..4thr in [0.00003, 0.5] (option names start with a
+    digit, hence **opts), range/r sampling distance, direction/d in
+    [-2pi, 2pi], blur/b average-vs-all-four mode, coupling/c (444/RGB
+    only).  thr[p] = (int)(maxval * threshold[p]) like config_input."""
+    thr = [0.02] * 4
+    rng_ = 16
+    direction = 2.0 * math.pi
+    blur = True
+    coupling = False
+    for k, v in opts.items():
+        if k in ("1thr", "2thr", "3thr", "4thr"):
+            f = float(v)
+            if not 0.00003 <= f <= 0.5:
+                raise FilterError(f"deband: {k}={v} out of [3e-05, 0.5]")
+            thr[int(k[0]) - 1] = f
+        elif k in ("range", "r"):
+            rng_ = int(v)
+        elif k in ("direction", "d"):
+            direction = float(v)
+            if not -2 * math.pi <= direction <= 2 * math.pi:
+                raise FilterError("deband: direction out of [-2pi, 2pi]")
+        elif k in ("blur", "b"):
+            blur = bool(int(v))
+        elif k in ("coupling", "c"):
+            coupling = bool(int(v))
+        else:
+            raise FilterError(f"deband: unknown option {k!r}")
+
+    def run(fb):
+        from ..ops.deband import deband_coupled, deband_plane, offset_table
+        fmt = fb.fmt
+        if fmt.is_float or fmt.is_rgb and "rgb" in fb.planes:
+            raise FilterError("deband operates on planar integer "
+                              "YUV/gray frames here")
+        W, H = fb.width, fb.height
+        x_pos, y_pos = offset_table(W, H, rng_, direction)
+        order = ["y", "u", "v", "a"]
+        names = [nm for nm in order if nm in fb.planes]
+        maxv = (1 << fmt.bits) - 1
+        thrs = {nm: int(maxv * thr[i]) for i, nm in enumerate(names)}
+        if coupling:
+            shapes = {fb.planes[nm].shape for nm in names}
+            if len(shapes) != 1:
+                raise FilterError("deband: coupling needs 4:4:4 input "
+                                  "(cpix_fmts, vf_deband.c:102-113)")
+            outs = deband_coupled([fb.planes[nm] for nm in names],
+                                  x_pos, y_pos,
+                                  [thrs[nm] for nm in names], blur)
+            return fb.with_planes(dict(zip(names, outs)))
+        out = {}
+        for nm in names:
+            p = fb.planes[nm]
+            ph, pw = p.shape[1], p.shape[2]
+            # chroma indexes the LUMA-width table with its own coords
+            out[nm] = deband_plane(p, x_pos[:ph, :pw], y_pos[:ph, :pw],
+                                   thrs[nm], blur)
+        return fb.with_planes(out)
+    return run
+
+
 def _f_drawbox(x="0", y="0", width="0", w=None, height="0", h=None,
                color="black", c=None, thickness="3", t=None, replace=0):
     """vf_drawbox analog: a colored (or `invert`) box outline/fill.
@@ -2200,7 +2263,7 @@ def _f_drawbox(x="0", y="0", width="0", w=None, height="0", h=None,
                     ci = order.index(ch)
                     lut = ((np.float32(1.0) - a) * idxf
                            + a * np.float32(cv[ch])).astype(np.uint8)
-                    blend = jnp.take(jnp.asarray(lut), arr[..., ci])
+                    blend = _mxu_lut(arr[..., ci], lut)
                     out = out.at[..., ci].set(jnp.where(m, blend,
                                                         arr[..., ci]))
                 planes["rgb"] = out
@@ -2218,8 +2281,7 @@ def _f_drawbox(x="0", y="0", width="0", w=None, height="0", h=None,
                 idx = np.arange(256, dtype=np.float64)
                 lut_y = np.trunc((1.0 - alpha) * idx
                                  + alpha * ycol).astype(np.uint8)
-                planes["y"] = jnp.where(
-                    m, jnp.take(jnp.asarray(lut_y), yarr), yarr)
+                planes["y"] = jnp.where(m, _mxu_lut(yarr, lut_y), yarr)
                 # chroma: one blend PER covered luma pixel on the shared
                 # sample — coverage counts drive iterated truncating
                 # blends (compounds only when alpha < 1)
@@ -2231,13 +2293,12 @@ def _f_drawbox(x="0", y="0", width="0", w=None, height="0", h=None,
                     if name not in fb.planes:
                         continue
                     arr = fb.planes[name]
-                    lut1 = jnp.asarray(np.trunc((1.0 - alpha) * idx
-                                                + alpha * colv)
-                                       .astype(np.uint8))
+                    lut1 = np.trunc((1.0 - alpha) * idx
+                                    + alpha * colv).astype(np.uint8)
                     steps = 1 if alpha >= 1.0 else int(counts.max())
                     for i in range(steps):
                         mi = jnp.asarray(counts > i)[None, :, :]
-                        arr = jnp.where(mi, jnp.take(lut1, arr), arr)
+                        arr = jnp.where(mi, _mxu_lut(arr, lut1), arr)
                     planes[name] = arr
         return fb.with_planes(planes)
     return run
@@ -2384,7 +2445,7 @@ class HueFilter:
             if bright != 0.0:
                 lut = jnp.asarray(self._luma_lut(bright, bits))
                 y = planes["y"]
-                planes["y"] = jnp.where(m, jnp.take(lut, y), y)
+                planes["y"] = jnp.where(m, _mxu_lut(y, lut), y)
         return fb.with_planes(planes), meta
 
 
@@ -3312,6 +3373,7 @@ FILTERS: Dict[str, Callable] = {
     "drawbox": _f_drawbox,
     "unsharp": _f_unsharp,
     "delogo": _f_delogo,
+    "deband": _f_deband,
     "hue": HueFilter,
     "lut3d": _f_lut3d,
     "lut1d": _f_lut1d,

@@ -145,9 +145,12 @@ def parse_graph(spec: str) -> List[Tuple[str, Dict[str, str]]]:
         if argstr:
             named_seen = False
             for i, tok in enumerate(_split(argstr, ":")):
+                # named options may START with a digit (deband's
+                # 1thr..4thr are real AVOption names); only a purely
+                # numeric "key" stays positional
                 if "=" in tok and \
                         tok.split("=", 1)[0].replace("_", "").isalnum() and \
-                        not tok.split("=", 1)[0][0].isdigit():
+                        not tok.split("=", 1)[0].isdigit():
                     k, v = tok.split("=", 1)
                     kwargs[k.strip()] = v
                     named_seen = True

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.frame import FrameBatch
+from .lut import apply_lut
 
 
 def _clipf(v, lo, hi):
@@ -77,8 +78,7 @@ def eq(fb: FrameBatch, contrast: float = 1.0, brightness: float = 0.0,
         if _identity(c, b, g):
             planes[name] = arr
             continue
-        lut = jnp.asarray(_lut(c, b, g, gamma_weight))
-        planes[name] = jnp.take(lut, arr)
+        planes[name] = apply_lut(arr, _lut(c, b, g, gamma_weight))
     return fb.with_planes(planes)
 
 
@@ -100,7 +100,7 @@ def apply_luts(fb: FrameBatch, luts) -> FrameBatch:
         if tab.ndim == 1:
             if np.array_equal(tab, np.arange(tab.size, dtype=tab.dtype)):
                 continue
-            planes[name] = jnp.take(jnp.asarray(tab), arr)
+            planes[name] = apply_lut(arr, tab)
         else:
             ident = np.arange(tab.shape[1], dtype=tab.dtype)
             chans = []
@@ -109,7 +109,7 @@ def apply_luts(fb: FrameBatch, luts) -> FrameBatch:
                 if np.array_equal(tab[c], ident):
                     chans.append(ch)
                 else:
-                    chans.append(jnp.take(jnp.asarray(tab[c]), ch))
+                    chans.append(apply_lut(ch, tab[c]))
             planes[name] = jnp.stack(chans, axis=-1)
     return fb.with_planes(planes)
 
