@@ -2097,6 +2097,110 @@ def _f_delogo(x="-1", y="-1", w="-1", h="-1", show=0):
     return run
 
 
+class NoiseFilter:
+    """vf_noise.c analog (ops/noise.py): film-grain synthesis with the
+    exact AVLFG streams, noise-table math and per-frame temporal
+    rand_shift regeneration.  Stateful across batches (the LFG draw
+    sequence is stream-order), hence a stream filter.
+
+    Options: all_seed/all_strength|alls/all_flags|allf seed every
+    component; c0..c3 variants override (c0_seed, c0s, c0f...).  Flags
+    are any of a/p/t/u joined with '+' (AV_OPT_TYPE_FLAGS grammar).
+    NOISE_AVERAGED ('a') is rejected — the reference's averaged path
+    does an out-of-bounds prev_shift write (vf_noise.c:214) with
+    layout-dependent effects; there is nothing well-defined to match.
+    8-bit planar formats (the query_formats depth check)."""
+
+    stream_filter = True
+    _FLAG = {"a": 8, "p": 16, "t": 4, "u": 2}
+
+    def __init__(self, **opts):
+        import re as _re
+        from ..ops.noise import build_noise
+        seeds = [-1] * 5           # index 4 = "all"
+        strengths = [0] * 5
+        flags = [0] * 5
+
+        def slot(k):
+            m = _re.match(r"(all|c[0-3])(_seed|_strength|s|_flags|f)$", k)
+            if not m:
+                raise FilterError(f"noise: unknown option {k!r}")
+            i = 4 if m.group(1) == "all" else int(m.group(1)[1])
+            return i, m.group(2)
+
+        for k, v in opts.items():
+            i, kind = slot(k)
+            if kind == "_seed":
+                seeds[i] = int(v)
+            elif kind in ("_strength", "s"):
+                strengths[i] = int(v)
+                if not 0 <= strengths[i] <= 100:
+                    raise FilterError("noise: strength out of [0, 100]")
+            else:
+                fl = 0
+                for tok in str(v).split("+"):
+                    tok = tok.strip()
+                    if tok not in self._FLAG:
+                        raise FilterError(f"noise: unknown flag {tok!r}")
+                    fl |= self._FLAG[tok]
+                flags[i] = fl
+        self.params = []
+        for c in range(4):
+            # init() merge (vf_noise.c:283-292): the seed is ALWAYS
+            # all_seed-or-123457 (cN_seed options are dead in the
+            # reference — the loop overwrites them); all_strength/
+            # all_flags WIN over per-component values when set
+            seed = seeds[4] if seeds[4] >= 0 else 123457
+            strength = strengths[4] if strengths[4] else strengths[c]
+            fl = flags[4] if flags[4] else flags[c]
+            if strength and (fl & 8):
+                raise FilterError(
+                    "noise: averaged mode ('a') is not supported — the "
+                    "reference implementation's prev_shift rotation "
+                    "writes out of bounds (vf_noise.c:214)")
+            self.params.append({"seed": seed, "strength": strength,
+                                "flags": fl, "tab": None, "lfg": None,
+                                "shift": None})
+        for c, p in enumerate(self.params):
+            if p["strength"]:
+                p["tab"], p["lfg"] = build_noise(p["strength"],
+                                                 p["flags"], p["seed"], c)
+
+    def process_batch(self, fb, meta):
+        from ..ops.noise import MAX_RES, MAX_SHIFT, apply_noise_plane
+        fmt = fb.fmt
+        if fmt.bits != 8 or fmt.is_float or "rgb" in fb.planes:
+            raise FilterError("noise: 8-bit planar formats only")
+        n = fb.batch
+        order = [nm for nm in ("y", "u", "v", "a") if nm in fb.planes]
+        # per-frame rand_shift draws, comps in order per frame like
+        # filter_frame (:261-271)
+        per_frame = []
+        for _f in range(n):
+            row = {}
+            for c, p in enumerate(self.params):
+                if not p["strength"]:
+                    continue
+                if p["shift"] is None or (p["flags"] & 4):
+                    p["shift"] = (p["lfg"].get_block(MAX_RES)
+                                  .astype(np.int64)
+                                  & (MAX_SHIFT - 1)).astype(np.int32)
+                row[c] = p["shift"]
+            per_frame.append(row)
+        out = {}
+        for ci, nm in enumerate(order):
+            p = self.params[ci]
+            if not p["strength"]:
+                out[nm] = fb.planes[nm]
+                continue
+            shifts = np.stack([per_frame[f][ci] for f in range(n)])
+            out[nm] = apply_noise_plane(fb.planes[nm], p["tab"], shifts)
+        return fb.with_planes(out), meta
+
+    def flush(self):
+        return None
+
+
 def _f_deband(**opts):
     """vf_deband.c analog (ops/deband.py has the kernels): per-plane
     thresholds 1thr..4thr in [0.00003, 0.5] (option names start with a
@@ -3374,6 +3478,7 @@ FILTERS: Dict[str, Callable] = {
     "unsharp": _f_unsharp,
     "delogo": _f_delogo,
     "deband": _f_deband,
+    "noise": NoiseFilter,
     "hue": HueFilter,
     "lut3d": _f_lut3d,
     "lut1d": _f_lut1d,

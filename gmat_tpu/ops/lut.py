@@ -26,7 +26,7 @@ def apply_lut(x: jnp.ndarray, lut) -> jnp.ndarray:
     the MXU path."""
     tab = np.asarray(lut) if isinstance(lut, np.ndarray) else lut
     n = tab.shape[0]
-    if jax.default_backend() == "tpu" and n <= 4096 and tab.ndim == 1:
+    if jax.default_backend() == "tpu" and n <= 8192 and tab.ndim == 1:
         # integer tables up to 2^24 are exact in f32; u8-range tables
         # (<= 256, needing 8 mantissa bits) ride bf16 at 2x MXU rate
         if isinstance(tab, np.ndarray) and \
