@@ -221,6 +221,11 @@ def aresample(samples: np.ndarray, rate: int, out_rate: int) -> Tuple[np.ndarray
     return y, out_rate
 
 
+_BIQUAD_NAMES = ("equalizer", "bass", "lowshelf", "treble", "highshelf",
+                 "tiltshelf", "lowpass", "highpass", "bandpass",
+                 "bandreject", "allpass", "biquad")
+
+
 def parse_audio_filters(desc: str) -> List[Tuple[str, Dict[str, float]]]:
     """'atempo=0.7143,volume=0.5' -> [('atempo', {...}), ...]."""
     chain = []
@@ -248,6 +253,10 @@ def parse_audio_filters(desc: str) -> List[Tuple[str, Dict[str, float]]]:
             elif name.strip() == "amix":
                 from .amix import parse_amix_opts
                 chain.append((name.strip(), parse_amix_opts(val)))
+            elif name.strip() in _BIQUAD_NAMES:
+                from .biquads import parse_biquad_opts
+                chain.append((name.strip(),
+                              parse_biquad_opts(name.strip(), val)))
             else:
                 raise ValueError(f"unknown audio filter {name!r}")
         elif part == "afade":
@@ -258,6 +267,8 @@ def parse_audio_filters(desc: str) -> List[Tuple[str, Dict[str, float]]]:
             chain.append(("loudnorm", {}))
         elif part == "dynaudnorm":
             chain.append(("dynaudnorm", {}))
+        elif part in _BIQUAD_NAMES:
+            chain.append((part, {}))
         else:
             raise ValueError(f"audio filter needs a value: {part!r}")
     return chain
@@ -405,6 +416,10 @@ class AudioFilterStream:
             elif name == "amix":
                 from .amix import AmixStream
                 self.stages.append(AmixStream(self.out_rate, **kw))
+            elif name in _BIQUAD_NAMES:
+                from .biquads import BiquadStream
+                self.stages.append(BiquadStream(self.out_rate, name,
+                                                **kw))
             elif name == "volume":
                 _volume_value(kw.get("volume", 1.0))   # validate at build
                 self.stages.append(("volume", kw))
@@ -469,6 +484,9 @@ def apply_audio_filters(samples: np.ndarray, rate: int, desc: str):
             st = AmixStream(rate, **kw)
             parts = [p for p in (st.push(samples), st.flush()) if p.size]
             samples = np.concatenate(parts) if parts else samples[:0]
+        elif name in _BIQUAD_NAMES:
+            from .biquads import BiquadStream
+            samples = BiquadStream(rate, name, **kw).push(samples)
         elif name == "volume":
             samples = volume(samples, rate, **kw)
     return samples, rate

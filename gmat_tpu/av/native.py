@@ -20,6 +20,7 @@ _LIBS = {
     "gmat_av": (["gmat_av.cpp"], ["-lavformat", "-lavcodec", "-lavutil",
                                   "-lswscale", "-lswresample"]),
     "gmat_jpeg": (["gmat_jpeg.cpp"], []),
+    "gmat_dsp": (["gmat_dsp.cpp"], []),
 }
 
 
@@ -212,6 +213,16 @@ def _declare(name: str, lib: ctypes.CDLL):
                                               ctypes.POINTER(ctypes.c_ushort),
                                               ctypes.POINTER(ctypes.c_ushort),
                                               c_ll, ctypes.c_int]),
+        }
+    elif name == "gmat_dsp":
+        c_ps16 = ctypes.POINTER(ctypes.c_short)
+        c_pd = ctypes.POINTER(ctypes.c_double)
+        sigs = {
+            "gdsp_biquad_di_s16": (None, [
+                c_ps16, c_ps16, ctypes.c_int, c_pd,
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                ctypes.c_double, ctypes.c_double,
+                ctypes.c_double, ctypes.c_int, c_pll]),
         }
     elif name == "gmat_jpeg":
         c_pi16 = ctypes.POINTER(ctypes.c_int16)
