@@ -163,6 +163,11 @@ def _parse_volume_opts(val: str) -> Dict:
                 raise ValueError(f"volume: bad eval mode {v!r}")
         elif not _ and i == 0:
             kw["volume"] = tok
+        elif not _ and i == 1:
+            # positional precision, declaration order like ffmpeg
+            if tok not in _VOLUME_PRECISIONS:
+                raise ValueError(f"volume: bad precision {tok!r}")
+            kw["precision"] = tok
         else:
             raise ValueError(f"volume: unknown option {tok!r}")
     return kw
@@ -421,7 +426,10 @@ class AudioFilterStream:
                 self.stages.append(BiquadStream(self.out_rate, name,
                                                 **kw))
             elif name == "volume":
-                _volume_value(kw.get("volume", 1.0))   # validate at build
+                # resolve the expression ONCE at build: the streaming
+                # hot path must not re-run compile_expr per block
+                kw = dict(kw)
+                kw["volume"] = _volume_value(kw.get("volume", 1.0))
                 self.stages.append(("volume", kw))
 
     def _through(self, block: np.ndarray, start: int) -> np.ndarray:

@@ -64,6 +64,27 @@ def _exp10(x: float) -> float:
     return math.exp2(_LOG2_10 * x)
 
 
+# which named options each filter declares (af_biquads.c:1500-1674);
+# gain exists only on the gain-shaped filters, csg only on bandpass...
+_GAIN_NAMES = ("equalizer", "bass", "lowshelf", "treble", "highshelf",
+               "tiltshelf")
+# positional shorthand = option-declaration order per filter table
+_POSITIONAL = {
+    "equalizer": ("frequency", "width_type", "width", "gain"),
+    "bass": ("frequency", "width_type", "width", "gain"),
+    "lowshelf": ("frequency", "width_type", "width", "gain"),
+    "treble": ("frequency", "width_type", "width", "gain"),
+    "highshelf": ("frequency", "width_type", "width", "gain"),
+    "tiltshelf": ("frequency", "width_type", "width", "gain"),
+    "bandpass": ("frequency", "width_type", "width", "csg"),
+    "bandreject": ("frequency", "width_type", "width"),
+    "lowpass": ("frequency", "width_type", "width", "poles"),
+    "highpass": ("frequency", "width_type", "width", "poles"),
+    "allpass": ("frequency", "width_type", "width"),
+    "biquad": ("a0", "a1", "a2", "b0", "b1", "b2"),
+}
+
+
 def parse_biquad_opts(name: str, val: str) -> Dict:
     """Shared option grammar (af_biquads.c:1456-1674)."""
     if name not in _DEFAULTS:
@@ -74,17 +95,28 @@ def parse_biquad_opts(name: str, val: str) -> Dict:
              "g": "gain", "m": "mix", "c": "channels", "n": "normalize",
              "p": "poles", "a": "transform", "r": "precision",
              "b": "blocksize", "o": "order"}
+    pos = _POSITIONAL[name]
+    named_seen = False
     for i, tok in enumerate(str(val).split(":")):
         tok = tok.strip()
         if not tok:
             continue
         if "=" not in tok:
-            if i == 0:            # positional frequency (or a0 for biquad)
-                kw["a0" if name == "biquad" else "frequency"] = float(tok)
-                continue
-            raise ValueError(f"{name}: bad option {tok!r}")
-        k, v = tok.split("=", 1)
-        k = alias.get(k.strip(), k.strip())
+            # positional shorthand in declaration order, like ffmpeg's
+            # av_opt_set_from_string
+            if named_seen or i >= len(pos):
+                raise ValueError(f"{name}: bad option {tok!r}")
+            k, v = pos[i], tok
+        else:
+            k, v = tok.split("=", 1)
+            k = alias.get(k.strip(), k.strip())
+            named_seen = True
+        if k == "gain" and name not in _GAIN_NAMES:
+            raise ValueError(f"{name}: has no gain option "
+                             "(af_biquads.c option tables)")
+        if name == "biquad" and k in ("frequency", "width",
+                                      "width_type", "gain"):
+            raise ValueError(f"{name}: has no {k} option")
         if k == "frequency":
             kw[k] = float(v)
             if not 0 <= kw[k] <= 999999:
@@ -174,8 +206,11 @@ def compute_coeffs(name: str, rate: int, frequency: Optional[float] = None,
     elif wt == QFACTOR:
         alpha = math.sin(w0) / (2 * width)
     else:  # SLOPE
-        alpha = math.sin(w0) / 2 * math.sqrt(
-            (A + 1 / A) * (1 / width - 1) + 2)
+        # np.sqrt: a negative radicand (width > 1) is nan like the C's
+        # sqrt, not a Python ValueError
+        with np.errstate(invalid="ignore"):
+            alpha = float(math.sin(w0) / 2 * np.sqrt(
+                np.float64((A + 1 / A) * (1 / width - 1) + 2)))
     beta = 2 * math.sqrt(A)
 
     cw = math.cos(w0)
@@ -304,11 +339,15 @@ def compute_coeffs(name: str, rate: int, frequency: Optional[float] = None,
             b1 = -2 * cw
             b2 = 1 + alpha
 
-    a1 /= a0
-    a2 /= a0
-    b0 /= a0
-    b1 /= a0
-    b2 /= a0
+    # C double division: a0 == 0 (biquad=a0=0) yields inf/nan garbage,
+    # never a crash
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a0f = np.float64(a0)
+        a1 = float(np.float64(a1) / a0f)
+        a2 = float(np.float64(a2) / a0f)
+        b0 = float(np.float64(b0) / a0f)
+        b1 = float(np.float64(b1) / a0f)
+        b2 = float(np.float64(b2) / a0f)
 
     if normalize and abs(b0 + b1 + b2) > 1e-6:
         factor = (1.0 + a1 + a2) / (b0 + b1 + b2)

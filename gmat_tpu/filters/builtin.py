@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 from typing import Callable, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -2201,66 +2202,110 @@ class NoiseFilter:
         return None
 
 
-def _f_deband(**opts):
+class DebandFilter:
     """vf_deband.c analog (ops/deband.py has the kernels): per-plane
-    thresholds 1thr..4thr in [0.00003, 0.5] (option names start with a
-    digit, hence **opts), range/r sampling distance, direction/d in
+    thresholds 1thr..4thr in [0.00003, 0.5] (digit-leading AVOption
+    names, hence **opts), range/r sampling distance, direction/d in
     [-2pi, 2pi], blur/b average-vs-all-four mode, coupling/c (444/RGB
-    only).  thr[p] = (int)(maxval * threshold[p]) like config_input."""
-    thr = [0.02] * 4
-    rng_ = 16
-    direction = 2.0 * math.pi
-    blur = True
-    coupling = False
-    for k, v in opts.items():
-        if k in ("1thr", "2thr", "3thr", "4thr"):
-            f = float(v)
-            if not 0.00003 <= f <= 0.5:
-                raise FilterError(f"deband: {k}={v} out of [3e-05, 0.5]")
-            thr[int(k[0]) - 1] = f
-        elif k in ("range", "r"):
-            rng_ = int(v)
-        elif k in ("direction", "d"):
-            direction = float(v)
-            if not -2 * math.pi <= direction <= 2 * math.pi:
-                raise FilterError("deband: direction out of [-2pi, 2pi]")
-        elif k in ("blur", "b"):
-            blur = bool(int(v))
-        elif k in ("coupling", "c"):
-            coupling = bool(int(v))
-        else:
-            raise FilterError(f"deband: unknown option {k!r}")
+    only).  thr[p] = (int)(maxval * threshold[p]) like config_input.
 
-    def run(fb):
-        from ..ops.deband import deband_coupled, deband_plane, offset_table
+    Runs as a stream filter so the (h, w) offset tables live as
+    DEVICE-RESIDENT jit ARGUMENTS (uploaded once per geometry) — baked
+    as constants they would be ~16 MB of HLO per 1080p shape, which the
+    remote-compile tunnel cannot afford (CLAUDE.md: HTTP 413 past
+    ~100 MB).  The per-pixel random 4-reference access is inherently a
+    gather (the C is equally gather-bound) — this is the one new filter
+    the one-hot MXU LUT path cannot serve."""
+
+    stream_filter = True
+
+    def __init__(self, **opts):
+        thr = [0.02] * 4
+        self.rng_ = 16
+        self.direction = 2.0 * math.pi
+        self.blur = True
+        self.coupling = False
+        for k, v in opts.items():
+            if k in ("1thr", "2thr", "3thr", "4thr"):
+                f = float(v)
+                if not 0.00003 <= f <= 0.5:
+                    raise FilterError(
+                        f"deband: {k}={v} out of [3e-05, 0.5]")
+                thr[int(k[0]) - 1] = f
+            elif k in ("range", "r"):
+                self.rng_ = int(v)
+            elif k in ("direction", "d"):
+                self.direction = float(v)
+                if not -2 * math.pi <= self.direction <= 2 * math.pi:
+                    raise FilterError(
+                        "deband: direction out of [-2pi, 2pi]")
+            elif k in ("blur", "b"):
+                self.blur = bool(int(v))
+            elif k in ("coupling", "c"):
+                self.coupling = bool(int(v))
+            else:
+                raise FilterError(f"deband: unknown option {k!r}")
+        self.thr = thr
+        self._dev_tables = {}          # (W, H) -> (jnp xpos, jnp ypos)
+        self._jitted = {}
+
+    def _tables(self, W, H):
+        t = self._dev_tables.get((W, H))
+        if t is None:
+            from ..ops.deband import offset_table
+            xp, yp = offset_table(W, H, self.rng_, self.direction)
+            t = (jnp.asarray(xp), jnp.asarray(yp))
+            self._dev_tables[(W, H)] = t
+        return t
+
+    def _kernel(self, key):
+        fn = self._jitted.get(key)
+        if fn is None:
+            from ..ops.deband import deband_coupled, deband_plane
+            if key[0] == "plane":
+                _, thr, blur = key
+                fn = jax.jit(lambda p, xp, yp:
+                             deband_plane(p, xp, yp, thr, blur))
+            else:
+                _, thrs, blur = key
+                fn = jax.jit(lambda ps, xp, yp:
+                             deband_coupled(ps, xp, yp, list(thrs), blur))
+            self._jitted[key] = fn
+        return fn
+
+    def process_batch(self, fb, meta):
         fmt = fb.fmt
         if fmt.is_float or fmt.is_rgb and "rgb" in fb.planes:
             raise FilterError("deband operates on planar integer "
                               "YUV/gray frames here")
         W, H = fb.width, fb.height
-        x_pos, y_pos = offset_table(W, H, rng_, direction)
+        x_pos, y_pos = self._tables(W, H)
         order = ["y", "u", "v", "a"]
         names = [nm for nm in order if nm in fb.planes]
         maxv = (1 << fmt.bits) - 1
-        thrs = {nm: int(maxv * thr[i]) for i, nm in enumerate(names)}
-        if coupling:
+        thrs = {nm: int(maxv * self.thr[i])
+                for i, nm in enumerate(names)}
+        if self.coupling:
             shapes = {fb.planes[nm].shape for nm in names}
             if len(shapes) != 1:
                 raise FilterError("deband: coupling needs 4:4:4 input "
                                   "(cpix_fmts, vf_deband.c:102-113)")
-            outs = deband_coupled([fb.planes[nm] for nm in names],
-                                  x_pos, y_pos,
-                                  [thrs[nm] for nm in names], blur)
-            return fb.with_planes(dict(zip(names, outs)))
+            fn = self._kernel(("coupled",
+                               tuple(thrs[nm] for nm in names),
+                               self.blur))
+            outs = fn([fb.planes[nm] for nm in names], x_pos, y_pos)
+            return fb.with_planes(dict(zip(names, outs))), meta
         out = {}
         for nm in names:
-            p = fb.planes[nm]
-            ph, pw = p.shape[1], p.shape[2]
+            pl = fb.planes[nm]
+            ph, pw = pl.shape[1], pl.shape[2]
             # chroma indexes the LUMA-width table with its own coords
-            out[nm] = deband_plane(p, x_pos[:ph, :pw], y_pos[:ph, :pw],
-                                   thrs[nm], blur)
-        return fb.with_planes(out)
-    return run
+            fn = self._kernel(("plane", thrs[nm], self.blur))
+            out[nm] = fn(pl, x_pos[:ph, :pw], y_pos[:ph, :pw])
+        return fb.with_planes(out), meta
+
+    def flush(self):
+        return None
 
 
 def _f_drawbox(x="0", y="0", width="0", w=None, height="0", h=None,
@@ -3477,7 +3522,7 @@ FILTERS: Dict[str, Callable] = {
     "drawbox": _f_drawbox,
     "unsharp": _f_unsharp,
     "delogo": _f_delogo,
-    "deband": _f_deband,
+    "deband": DebandFilter,
     "noise": NoiseFilter,
     "hue": HueFilter,
     "lut3d": _f_lut3d,

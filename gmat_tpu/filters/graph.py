@@ -26,6 +26,9 @@ from .builtin import FILTERS, FilterError
 
 # positional option names per filter (ffmpeg shorthand order)
 POSITIONAL = {
+    "delogo": ("x", "y", "w", "h", "show"),
+    "deband": ("1thr", "2thr", "3thr", "4thr", "range", "direction",
+               "blur", "coupling"),
     "crop": ("w", "h", "x", "y"),
     "crop_nvcv": ("w", "h", "x", "y"),
     "scale": ("w", "h", "interp"),

@@ -23,6 +23,7 @@ from typing import Dict, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 _TABLE_CACHE: Dict[Tuple, Tuple[np.ndarray, np.ndarray]] = {}
@@ -52,26 +53,31 @@ def offset_table(w: int, h: int, rng: int, direction: float):
     return x_pos, y_pos
 
 
-def _refs(plane: jnp.ndarray, x_pos: np.ndarray, y_pos: np.ndarray):
+def _refs(plane: jnp.ndarray, x_pos: jnp.ndarray, y_pos: jnp.ndarray):
     """The four clipped reference samples (±y_pos, ±x_pos) per pixel;
-    plane (N, h, w) -> four (N, h, w) int32 arrays."""
+    plane (N, h, w) -> four (N, h, w) int32 arrays.
+
+    x_pos/y_pos are DEVICE arrays passed as jit arguments — the (h, w)
+    index maps must never bake into the compiled program as constants
+    (a 1080p pair is ~16 MB of HLO constant; the remote-compile tunnel
+    rejects requests past ~100 MB and uploads at ~30 MB/s)."""
     n, h, w = plane.shape
-    yy = np.arange(h)[:, None]
-    xx = np.arange(w)[None, :]
-    iyp = np.clip(yy + y_pos, 0, h - 1)
-    iym = np.clip(yy - y_pos, 0, h - 1)
-    ixp = np.clip(xx + x_pos, 0, w - 1)
-    ixm = np.clip(xx - x_pos, 0, w - 1)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    iyp = jnp.clip(yy + y_pos, 0, h - 1)
+    iym = jnp.clip(yy - y_pos, 0, h - 1)
+    ixp = jnp.clip(xx + x_pos, 0, w - 1)
+    ixm = jnp.clip(xx - x_pos, 0, w - 1)
     flat = plane.reshape(n, h * w).astype(jnp.int32)
 
     def g(iy, ix):
         idx = (iy * w + ix).reshape(-1)
-        return jnp.take(flat, jnp.asarray(idx), axis=1).reshape(n, h, w)
+        return jnp.take(flat, idx, axis=1).reshape(n, h, w)
 
     return g(iyp, ixp), g(iym, ixp), g(iym, ixm), g(iyp, ixm)
 
 
-def deband_plane(plane: jnp.ndarray, x_pos: np.ndarray, y_pos: np.ndarray,
+def deband_plane(plane: jnp.ndarray, x_pos: jnp.ndarray, y_pos: jnp.ndarray,
                  thr: int, blur: bool) -> jnp.ndarray:
     """Uncoupled per-plane kernel (deband_8_c / deband_16_c)."""
     r0, r1, r2, r3 = _refs(plane, x_pos, y_pos)

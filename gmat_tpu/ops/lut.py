@@ -22,9 +22,9 @@ import jax.numpy as jnp
 
 def apply_lut(x: jnp.ndarray, lut) -> jnp.ndarray:
     """Return lut[x] exactly.  `x`: integer array (u8/u16/i32 indices,
-    all in range); `lut`: 1-D table (numpy or jnp), <= 4096 entries for
-    the MXU path."""
-    tab = np.asarray(lut) if isinstance(lut, np.ndarray) else lut
+    all in range); `lut`: 1-D table (numpy or jnp), <= 8192 entries for
+    the MXU path (noise's 5120-entry grain table is the largest user)."""
+    tab = lut if hasattr(lut, "shape") else np.asarray(lut)
     n = tab.shape[0]
     if jax.default_backend() == "tpu" and n <= 8192 and tab.ndim == 1:
         # integer tables up to 2^24 are exact in f32; u8-range tables

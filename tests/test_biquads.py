@@ -54,22 +54,50 @@ def oracle_coeffs(name, rate, frequency, width_type, width, gain=0.0,
         else:
             c = ((1 + cw) / 2, -(1 + cw), (1 + cw) / 2,
                  1 + alpha, -2 * cw, 1 - alpha)
-    elif name == "bass":
-        bb = math.sqrt((A * A + 1) - (A - 1) * (A - 1))
-        c = (A * ((A + 1) - (A - 1) * cw + bb * alpha),
-             2 * A * ((A - 1) - (A + 1) * cw),
-             A * ((A + 1) - (A - 1) * cw - bb * alpha),
-             (A + 1) + (A - 1) * cw + bb * alpha,
-             -2 * ((A - 1) + (A + 1) * cw),
-             (A + 1) + (A - 1) * cw - bb * alpha)
+    elif name in ("bass", "lowshelf", "tiltshelf"):
+        # bass recomputes beta; lowshelf/tiltshelf keep beta=2*sqrt(A);
+        # all three share A = exp10(gain/40) in the 2-pole body, and
+        # tiltshelf divides b0/b1/b2 by that A after normalization
+        bb = math.sqrt((A * A + 1) - (A - 1) * (A - 1)) \
+            if name == "bass" else beta
+        if poles == 1:
+            A1 = exp10(gain / 20)
+            ro = -math.sin(w0 / 2.0 - math.pi / 4) \
+                / math.sin(w0 / 2.0 + math.pi / 4)
+            n = (A1 + 1) / (A1 - 1)
+            alpha1 = n - (1 if n > 0 else -1) * math.sqrt(n * n - 1) \
+                if A1 != 1.0 else 0.0
+            beta0 = ((1 + A1) + (1 - A1) * alpha1) * 0.5
+            beta1 = ((1 - A1) + (1 + A1) * alpha1) * 0.5
+            c = (beta0 + ro * beta1, -beta1 - ro * beta0, 0.0,
+                 1 + ro * alpha1, -ro - alpha1, 0.0)
+        else:
+            c = (A * ((A + 1) - (A - 1) * cw + bb * alpha),
+                 2 * A * ((A - 1) - (A + 1) * cw),
+                 A * ((A + 1) - (A - 1) * cw - bb * alpha),
+                 (A + 1) + (A - 1) * cw + bb * alpha,
+                 -2 * ((A - 1) + (A + 1) * cw),
+                 (A + 1) + (A - 1) * cw - bb * alpha)
     elif name == "treble":
         bb = math.sqrt((A * A + 1) - (A - 1) * (A - 1))
-        c = (A * ((A + 1) + (A - 1) * cw + bb * alpha),
-             -2 * A * ((A - 1) + (A + 1) * cw),
-             A * ((A + 1) + (A - 1) * cw - bb * alpha),
-             (A + 1) - (A - 1) * cw + bb * alpha,
-             2 * ((A - 1) - (A + 1) * cw),
-             (A + 1) - (A - 1) * cw - bb * alpha)
+        if poles == 1:
+            A1 = exp10(gain / 20)
+            ro = math.sin(w0 / 2.0 - math.pi / 4) \
+                / math.sin(w0 / 2.0 + math.pi / 4)
+            n = (A1 + 1) / (A1 - 1)
+            alpha1 = n - (1 if n > 0 else -1) * math.sqrt(n * n - 1) \
+                if A1 != 1.0 else 0.0
+            beta0 = ((1 + A1) + (1 - A1) * alpha1) * 0.5
+            beta1 = ((1 - A1) + (1 + A1) * alpha1) * 0.5
+            c = (beta0 + ro * beta1, beta1 + ro * beta0, 0.0,
+                 1 + ro * alpha1, ro + alpha1, 0.0)
+        else:
+            c = (A * ((A + 1) + (A - 1) * cw + bb * alpha),
+                 -2 * A * ((A - 1) + (A + 1) * cw),
+                 A * ((A + 1) + (A - 1) * cw - bb * alpha),
+                 (A + 1) - (A - 1) * cw + bb * alpha,
+                 2 * ((A - 1) - (A + 1) * cw),
+                 (A + 1) - (A - 1) * cw - bb * alpha)
     elif name == "highshelf":   # like treble but beta = 2*sqrt(A)
         c = (A * ((A + 1) + (A - 1) * cw + beta * alpha),
              -2 * A * ((A - 1) + (A + 1) * cw),
@@ -97,6 +125,8 @@ def oracle_coeffs(name, rate, frequency, width_type, width, gain=0.0,
     if normalize and abs(b0 + b1 + b2) > 1e-6:
         f = (1.0 + a1 + a2) / (b0 + b1 + b2)
         b0, b1, b2 = b0 * f, b1 * f, b2 * f
+    if name == "tiltshelf":
+        b0, b1, b2 = b0 / A, b1 / A, b2 / A
     return b0, b1, b2, a1, a2
 
 
@@ -166,6 +196,19 @@ def _sig(n=6000, ch=2, seed=0, amp=9000):
                                         width=0.4)),
     ("lowpass", "f=1000:n=1", dict(frequency=1000, width_type="q",
                                    width=0.707, normalize=True)),
+    ("lowshelf", "g=7:f=150", dict(frequency=150, width_type="q",
+                                   width=0.5, gain=7)),
+    ("tiltshelf", "g=6:f=800", dict(frequency=800, width_type="q",
+                                    width=0.5, gain=6)),
+    ("tiltshelf", "g=6:f=800:n=1",
+     dict(frequency=800, width_type="q", width=0.5, gain=6,
+          normalize=True)),
+    ("bass", "g=9:f=100:p=1", dict(frequency=100, width_type="q",
+                                   width=0.5, gain=9, poles=1)),
+    ("bass", "g=-9:f=100:p=1", dict(frequency=100, width_type="q",
+                                    width=0.5, gain=-9, poles=1)),
+    ("treble", "g=5:f=4000:p=1", dict(frequency=4000, width_type="q",
+                                      width=0.5, gain=5, poles=1)),
 ])
 def test_biquad_matches_oracle(name, opts, okw):
     rate = 48000
@@ -222,7 +265,9 @@ def test_biquad_bypass_and_gates():
     np.testing.assert_array_equal(got, x)
     for bad in ["lowpass=f=-5", "lowpass=a=zdf", "lowpass=r=f32",
                 "lowpass=b=256", "lowpass=zz=1", "allpass=o=3",
-                "bass=p=3", "lowpass=m=2"]:
+                "bass=p=3", "lowpass=m=2",
+                "lowpass=g=6",           # no gain option on lowpass
+                "bandpass=g=1", "biquad=f=100"]:
         with pytest.raises(ValueError):
             apply_audio_filters(x, 48000, bad)
 
@@ -230,5 +275,20 @@ def test_biquad_bypass_and_gates():
 def test_parse_positional_frequency():
     kw = parse_biquad_opts("lowpass", "1200")
     assert kw == {"frequency": 1200.0}
+    # multi-positional shorthand in declaration order
+    kw = parse_biquad_opts("lowpass", "1000:q:0.9")
+    assert kw == {"frequency": 1000.0, "width_type": "q", "width": 0.9}
+    kw = parse_biquad_opts("biquad", "1:0:0:0.5:0.2:0.1")
+    assert kw == {"a0": 1.0, "a1": 0.0, "a2": 0.0,
+                  "b0": 0.5, "b1": 0.2, "b2": 0.1}
+    from gmat_tpu.av.audio_filters import _parse_volume_opts
+    assert _parse_volume_opts("0.5:fixed") == {"volume": "0.5",
+                                               "precision": "fixed"}
+    # biquad=a0=0 is C garbage (inf/nan), never a crash
+    import numpy as np
+    x = np.zeros((64, 1), np.int16)
+    from gmat_tpu.av.audio_filters import apply_audio_filters
+    y, _ = apply_audio_filters(x, 48000, "biquad=a0=0:b0=1")
+    assert y.shape == x.shape
     b = compute_coeffs("lowpass", 48000, frequency=24001)
     assert b[5] is True            # above nyquist -> bypass
