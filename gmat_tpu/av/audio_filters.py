@@ -334,8 +334,12 @@ def _parse_afade_opts(val: str) -> Dict:
 
 
 class AresampleStream:
-    """Streaming linear-interp resampler: uniform output grid
-    t_k = k * rate / out_rate across chunk boundaries (1-sample carry)."""
+    """Streaming resampler.  Primary engine: the REAL libswresample
+    (av/swr.py) — exactly what af_aresample delegates to
+    (af_aresample.c swr_convert_frame), so output matches ffmpeg's
+    polyphase resampler, not an approximation.  Falls back to the
+    original linear-interp grid (uniform t_k = k*rate/out_rate with a
+    1-sample carry) when the library is unavailable."""
 
     def __init__(self, rate: int, out_rate: int):
         self.rate, self.out_rate = int(rate), int(out_rate)
@@ -343,10 +347,27 @@ class AresampleStream:
         self._t = 0.0             # absolute source index of next output
         self._base = 0
         self._buf = None
+        self._swr = None
+        self._swr_failed = self.rate == self.out_rate
+
+    def _swr_engine(self, ch: int):
+        if self._swr is None and not self._swr_failed:
+            try:
+                from .swr import SwrStream
+                self._swr = SwrStream(self.rate, self.out_rate, ch)
+            except Exception:
+                self._swr_failed = True
+        return self._swr
 
     def push(self, samples: np.ndarray) -> np.ndarray:
         if self.out_rate == self.rate:
             return samples
+        if samples.size and self._buf is None:
+            eng = self._swr_engine(samples.shape[1])
+            if eng is not None:
+                return eng.push(samples)
+        elif self._swr is not None:
+            return self._swr.push(samples)
         x = samples.astype(np.float32)
         # an empty (0, 0)-shaped first block must not seed _buf: the
         # next concatenate would fail on the channel-axis mismatch
@@ -387,6 +408,8 @@ class AresampleStream:
     def flush(self) -> np.ndarray:
         if self.out_rate == self.rate:
             return np.zeros((0, 0), np.int16)
+        if self._swr is not None:
+            return self._swr.flush()
         return self._produce(last=True)
 
 

@@ -229,8 +229,12 @@ def test_aresample_stream_matches_oneshot():
     rng = np.random.default_rng(6)
     rate, out_rate = 48000, 44100
     x = rng.integers(-2000, 2000, (48000, 2)).astype(np.int16)
-    want_len, _ = aresample(x, rate, out_rate)
+    st0 = AresampleStream(rate, out_rate)
+    st0._swr_failed = True
+    parts = [q for q in (st0.push(x), st0.flush()) if q.size]
+    want_len = np.concatenate(parts)
     st = AresampleStream(rate, out_rate)
+    st._swr_failed = True      # pin the linear FALLBACK lane
     outs = []
     for s in range(0, len(x), 1000):
         o = st.push(x[s:s + 1000])
@@ -316,6 +320,7 @@ def test_aresample_stream_heavy_downsample():
     rate, out_rate = 48000, 8000
     x = rng.integers(-2000, 2000, (48000, 2)).astype(np.int16)
     st = AresampleStream(rate, out_rate)
+    st._swr_failed = True      # pin the linear FALLBACK lane
     outs = []
     for s in range(0, len(x), 1024):
         o = st.push(x[s:s + 1024])
@@ -458,3 +463,28 @@ def test_volume_chain_db():
     x = (np.arange(-4000, 4000, 8, dtype=np.int16)).reshape(-1, 2)
     y, rate = apply_audio_filters(x, 48000, "volume=-6dB")
     np.testing.assert_array_equal(y, volume(x, 0, "-6dB"))
+
+
+def test_aresample_swr_primary_lane():
+    """The default engine is the REAL libswresample (what af_aresample
+    delegates to): chunked == one-shot, length ~ n*out/in, and output
+    differs from the linear fallback (a real polyphase kernel)."""
+    from gmat_tpu.av.audio_filters import AresampleStream
+    rng = np.random.default_rng(8)
+    rate, out_rate = 48000, 44100
+    x = rng.integers(-9000, 9000, (rate, 2)).astype(np.int16)
+    one = AresampleStream(rate, out_rate)
+    a = one.push(x); b = one.flush()
+    whole = np.concatenate([q for q in (a, b) if q.size])
+    assert abs(len(whole) - out_rate) <= 64
+    st = AresampleStream(rate, out_rate)
+    outs = [st.push(x[i:i + 777]) for i in range(0, len(x), 777)]
+    outs.append(st.flush())
+    got = np.concatenate([q for q in outs if q.size])
+    np.testing.assert_array_equal(got, whole)
+    lin = AresampleStream(rate, out_rate)
+    lin._swr_failed = True
+    la = lin.push(x); lb = lin.flush()
+    linear = np.concatenate([q for q in (la, lb) if q.size])
+    m = min(len(linear), len(whole))
+    assert (whole[:m] != linear[:m]).any()
