@@ -591,8 +591,11 @@ def _default_clip(args, frames=90, w=1280, h=720):
         pkts += enc.encode(ys[i], us[i], vs[i], pts=i)
     pkts += enc.flush()
     # write-then-rename: an interrupt mid-mux must not leave a truncated
-    # cache file that poisons every later run's numbers
-    tmp = path + f".tmp{os.getpid()}"
+    # cache file that poisons every later run's numbers.  The tmp name
+    # must still END in .mp4 — libavformat guesses the muxer from the
+    # extension, and a bare .tmpPID suffix fails alloc_output_context
+    # (this only ever worked when the cached clip already existed)
+    tmp = path + f".tmp{os.getpid()}.mp4"
     mux = tk.Muxer(tmp, w, h, (30, 1), tk.CODEC_H264, enc.extradata())
     try:
         for pk in pkts:

@@ -14,8 +14,10 @@ Exact integer transcription of the reference:
 - Per-frame rand_shift regeneration for NOISE_TEMPORAL
   (vf_noise.c:261-271), one-time otherwise.
 
-The per-pixel apply (ff_line_noise_c: dst = clip_u8(src + noise[shift
-+ (x % MAX_RES)]) with shift = rand_shift[y % MAX_RES]) runs on device:
+The per-pixel apply runs on device: ff_line_noise_c indexes
+noise[shift + i] per MAX_RES-wide CHUNK (the x-loop at vf_noise.c:
+205-218 restarts the table at each 4096-column chunk), which is
+exactly dst = clip_u8(src + noise[shift[y & 4095] + (x % 4096)]);
 the (frame, row) shift vectors upload tiny (N x 4096 ints) and the
 noise map materializes through the one-hot MXU LUT path (ops/lut.py) —
 never a host-built full-resolution map (a temporal 1080p batch would be
