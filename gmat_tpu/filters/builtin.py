@@ -2202,6 +2202,131 @@ class NoiseFilter:
         return None
 
 
+class VignetteFilter:
+    """vf_vignette.c analog (ops/vignette.py): natural cos^4 lens
+    falloff (or its reverse), SAR-aware aspect scaling, per-pixel LCG
+    dither with state persisting across frames (jumped in closed form
+    on device — only the per-frame 32-bit seeds cross the tunnel), and
+    the eval=init/frame expression modes (init auto-promotes to frame
+    when angle/x0/y0 evaluate NaN, i.e. reference n/t/pts —
+    vf_vignette.c:166-169).  8-bit planar YUV / gray (the packed-RGB24
+    lane of pix_fmts is not wired here)."""
+
+    stream_filter = True
+
+    def __init__(self, angle="PI/5", a=None, x0="w/2", y0="h/2", mode=0,
+                 eval="init", dither=1, aspect="1"):
+        self.angle_expr = str(a if a is not None else angle)
+        self.x0_expr, self.y0_expr = str(x0), str(y0)
+        modes = {"forward": 0, "backward": 1, "0": 0, "1": 1}
+        if str(mode) not in modes:
+            raise FilterError(f"vignette: bad mode {mode!r}")
+        self.backward = bool(modes[str(mode)])
+        if str(eval) not in ("init", "frame"):
+            raise FilterError(f"vignette: bad eval mode {eval!r}")
+        self.eval_frame = str(eval) == "frame"
+        self.do_dither = bool(int(dither))
+        asp = str(aspect)
+        if "/" in asp:
+            num, den = asp.split("/", 1)
+            self.aspect = float(num) / float(den)
+        else:
+            self.aspect = float(asp)
+        if self.aspect < 0:
+            raise FilterError("vignette: aspect must be >= 0")
+        for e in (self.angle_expr, self.x0_expr, self.y0_expr):
+            compile_expr(str(e))        # syntax-check at build
+        self._dither_state = 0          # uint32_t context field, zeroed
+        self._frame_no = 0
+        self._dev = {}                  # (W, H) -> (fmap, A, C) device
+        self._jit = {}
+
+    def _env(self, W, H, n=float("nan"), t=float("nan")):
+        return {"w": float(W), "h": float(H), "n": n, "t": t,
+                "pts": float("nan"), "r": float("nan"),
+                "tb": float("nan")}
+
+    def _params(self, W, H, n, t):
+        env = self._env(W, H, n, t)
+        ang = float(compile_expr(self.angle_expr)(env))
+        px0 = float(compile_expr(self.x0_expr)(env))
+        py0 = float(compile_expr(self.y0_expr)(env))
+        if any(math.isnan(v) for v in (ang, px0, py0)):
+            self.eval_frame = True      # init -> frame auto-promotion
+            return None
+        ang = min(max(ang, 0.0), math.pi / 2)      # av_clipf
+        # sar assumed 1:1 (config_props fallback): yscale = aspect
+        return ang, px0, py0, 1.0, self.aspect
+
+    def _tables(self, W, H, total, params):
+        from ..ops.vignette import lcg_jump_tables, natural_fmap
+        key = (W, H, params)
+        t = self._dev.get(key)
+        if t is None:
+            ang, px0, py0, xs, ys = params
+            fmap = natural_fmap(W, H, px0, py0, xs, ys, ang,
+                                self.backward)
+            A, C = lcg_jump_tables(total)
+            t = (jnp.asarray(fmap), jnp.asarray(A), jnp.asarray(C))
+            self._dev = {key: t}        # keep one geometry resident
+        return t
+
+    def process_batch(self, fb, meta):
+        from ..ops.vignette import apply_vignette, lcg_after
+        fmt = fb.fmt
+        if fmt.bits != 8 or fmt.is_float or "rgb" in fb.planes:
+            raise FilterError("vignette: 8-bit planar YUV/gray only")
+        W, H = fb.width, fb.height
+        names = [nm for nm in ("y", "u", "v", "a") if nm in fb.planes]
+        planes = [fb.planes[nm] for nm in names]
+        subs, offsets, total = [], [], 0
+        for pl in planes:
+            ph, pw = pl.shape[1], pl.shape[2]
+            subs.append((1 if pw < W else 0, 1 if ph < H else 0))
+            offsets.append(total)
+            total += ph * pw
+        n = fb.batch
+        times = meta.get("times")
+        params = None
+        if not self.eval_frame:
+            params = self._params(W, H, float("nan"), float("nan"))
+        if params is not None:
+            fmap, A, C = self._tables(W, H, total, params)
+            seeds = np.empty(n, np.uint32)
+            s = self._dither_state
+            for i in range(n):
+                seeds[i] = s
+                s = lcg_after(s, total) if self.do_dither else s
+            self._dither_state = s
+            outs = apply_vignette(planes, fmap, A, C,
+                                  jnp.asarray(seeds), tuple(offsets),
+                                  self.do_dither, tuple(subs))
+        else:
+            # frame mode: per-frame expressions -> per-frame fmap
+            outs_per = [[] for _ in planes]
+            for i in range(n):
+                t = (float(times[i]) if times is not None
+                     else float("nan"))
+                pr = self._params(W, H, float(self._frame_no + i), t)
+                fmap, A, C = self._tables(W, H, total, pr)
+                seed = np.uint32(self._dither_state)
+                if self.do_dither:
+                    self._dither_state = lcg_after(self._dither_state,
+                                                   total)
+                fouts = apply_vignette(
+                    [p[i:i + 1] for p in planes], fmap, A, C,
+                    jnp.asarray(seed[None]), tuple(offsets),
+                    self.do_dither, tuple(subs))
+                for k, o in enumerate(fouts):
+                    outs_per[k].append(o)
+            outs = [jnp.concatenate(o) for o in outs_per]
+        self._frame_no += n
+        return fb.with_planes(dict(zip(names, outs))), meta
+
+    def flush(self):
+        return None
+
+
 class DebandFilter:
     """vf_deband.c analog (ops/deband.py has the kernels): per-plane
     thresholds 1thr..4thr in [0.00003, 0.5] (digit-leading AVOption
@@ -3524,6 +3649,7 @@ FILTERS: Dict[str, Callable] = {
     "delogo": _f_delogo,
     "deband": DebandFilter,
     "noise": NoiseFilter,
+    "vignette": VignetteFilter,
     "hue": HueFilter,
     "lut3d": _f_lut3d,
     "lut1d": _f_lut1d,
