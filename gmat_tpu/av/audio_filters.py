@@ -146,6 +146,7 @@ def _parse_volume_opts(val: str) -> Dict:
     fixed/float/double, eval once (the default; 'frame' only matters
     for per-frame vars, which a constant expression doesn't use)."""
     kw: Dict = {}
+    named_seen = False
     for i, tok in enumerate(str(val).split(":")):
         tok = tok.strip()
         if not tok:
@@ -154,20 +155,26 @@ def _parse_volume_opts(val: str) -> Dict:
         k = k.strip()
         if _ and k in ("volume", "v"):
             kw["volume"] = v
+            named_seen = True
         elif _ and k == "precision":
             if v not in _VOLUME_PRECISIONS:
                 raise ValueError(f"volume: bad precision {v!r}")
             kw["precision"] = v
+            named_seen = True
         elif _ and k == "eval":
             if v not in ("once", "frame"):
                 raise ValueError(f"volume: bad eval mode {v!r}")
-        elif not _ and i == 0:
+            named_seen = True
+        elif not _ and not named_seen and i == 0:
             kw["volume"] = tok
-        elif not _ and i == 1:
+        elif not _ and not named_seen and i == 1:
             # positional precision, declaration order like ffmpeg
             if tok not in _VOLUME_PRECISIONS:
                 raise ValueError(f"volume: bad precision {tok!r}")
             kw["precision"] = tok
+        elif not _ and not named_seen and i == 2:
+            if tok not in ("once", "frame"):
+                raise ValueError(f"volume: bad eval mode {tok!r}")
         else:
             raise ValueError(f"volume: unknown option {tok!r}")
     return kw

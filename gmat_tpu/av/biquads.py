@@ -68,20 +68,30 @@ def _exp10(x: float) -> float:
 # gain exists only on the gain-shaped filters, csg only on bandpass...
 _GAIN_NAMES = ("equalizer", "bass", "lowshelf", "treble", "highshelf",
                "tiltshelf")
-# positional shorthand = option-declaration order per filter table
+# positional shorthand = FULL option-declaration order per filter table
+# (af_biquads.c:1500-1674; aliases share their primary's slot, consts
+# are skipped — ffmpeg binds positionals by walking the same order)
+_TAIL = ("mix", "channels", "normalize", "transform", "precision",
+         "blocksize")
 _POSITIONAL = {
-    "equalizer": ("frequency", "width_type", "width", "gain"),
-    "bass": ("frequency", "width_type", "width", "gain"),
-    "lowshelf": ("frequency", "width_type", "width", "gain"),
-    "treble": ("frequency", "width_type", "width", "gain"),
-    "highshelf": ("frequency", "width_type", "width", "gain"),
-    "tiltshelf": ("frequency", "width_type", "width", "gain"),
-    "bandpass": ("frequency", "width_type", "width", "csg"),
-    "bandreject": ("frequency", "width_type", "width"),
-    "lowpass": ("frequency", "width_type", "width", "poles"),
-    "highpass": ("frequency", "width_type", "width", "poles"),
-    "allpass": ("frequency", "width_type", "width"),
-    "biquad": ("a0", "a1", "a2", "b0", "b1", "b2"),
+    "equalizer": ("frequency", "width_type", "width", "gain") + _TAIL,
+    "bass": ("frequency", "width_type", "width", "gain",
+             "poles") + _TAIL,
+    "lowshelf": ("frequency", "width_type", "width", "gain",
+                 "poles") + _TAIL,
+    "treble": ("frequency", "width_type", "width", "gain",
+               "poles") + _TAIL,
+    "highshelf": ("frequency", "width_type", "width", "gain",
+                  "poles") + _TAIL,
+    "tiltshelf": ("frequency", "width_type", "width", "gain",
+                  "poles") + _TAIL,
+    "bandpass": ("frequency", "width_type", "width", "csg") + _TAIL,
+    "bandreject": ("frequency", "width_type", "width") + _TAIL,
+    "lowpass": ("frequency", "width_type", "width", "poles") + _TAIL,
+    "highpass": ("frequency", "width_type", "width", "poles") + _TAIL,
+    "allpass": ("frequency", "width_type", "width", "mix", "channels",
+                "order", "transform", "precision"),
+    "biquad": ("a0", "a1", "a2", "b0", "b1", "b2") + _TAIL,
 }
 
 
@@ -100,7 +110,7 @@ def parse_biquad_opts(name: str, val: str) -> Dict:
     for i, tok in enumerate(str(val).split(":")):
         tok = tok.strip()
         if not tok:
-            continue
+            raise ValueError(f"{name}: empty option value")
         if "=" not in tok:
             # positional shorthand in declaration order, like ffmpeg's
             # av_opt_set_from_string

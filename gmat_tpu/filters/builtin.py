@@ -2202,6 +2202,152 @@ class NoiseFilter:
         return None
 
 
+class TpadFilter:
+    """vf_tpad.c analog: temporally pad the stream — `start` frames
+    before input (solid color via the CCIR draw conversion, or clones
+    of the FIRST frame) and `stop` frames after EOF (color or clones of
+    the LAST frame).  start_duration/stop_duration accept seconds or
+    'Nms' and convert at the graph frame rate like config_input's
+    av_rescale over frame_rate.  pts semantics follow activate(): pads
+    step by one frame duration and shift the input's pts by the start
+    padding.  stop=-1 (infinite padding) is rejected — unbounded output
+    has no meaning in a flush-at-EOF batch graph."""
+
+    stream_filter = True
+
+    def __init__(self, start=0, stop=0, start_mode="add",
+                 stop_mode="add", start_duration=0, stop_duration=0,
+                 color="black", src_fps: float = 30.0):
+        modes = {"add": 0, "clone": 1, "0": 0, "1": 1}
+        if str(start_mode) not in modes or str(stop_mode) not in modes:
+            raise FilterError("tpad: mode must be add or clone")
+        self.start_mode = modes[str(start_mode)]
+        self.stop_mode = modes[str(stop_mode)]
+        self.pad_start = int(start)
+        self.pad_stop = int(stop)
+        if self.pad_stop < 0:
+            raise FilterError("tpad: stop=-1 (infinite padding) is not "
+                              "supported in the batch graph")
+
+        def dur(v):
+            s = str(v).strip()
+            if s.endswith("ms"):
+                return float(s[:-2]) / 1000.0
+            if s.endswith("s"):
+                return float(s[:-1])
+            return float(s)
+
+        fps = float(src_fps) or 30.0
+        if dur(start_duration):
+            self.pad_start = int(round(dur(start_duration) * fps))
+        if dur(stop_duration):
+            self.pad_stop = int(round(dur(stop_duration) * fps))
+        self.rgba = _parse_color_rgba(str(color).strip().lower())
+        self._pts_step = None
+        self._pts_step_t = 0.0
+        self._started = False
+        self._last = None            # (planes dict, meta row) for stop
+        self._geom = None            # (format, w, h, colorspace)
+
+    def _color_planes(self, shapes, dtypes, count):
+        ycol, ucol, vcol = _rgb_to_yuv_ccir(*self.rgba[:3])
+        vals = {"y": ycol, "u": ucol, "v": vcol, "a": self.rgba[3]}
+        return {nm: jnp.full((count,) + shapes[nm],
+                             np.uint8(vals.get(nm, 0)), dtypes[nm])
+                for nm in shapes}
+
+    def process_batch(self, fb: FrameBatch, meta):
+        pts = meta.get("pts")
+        times = meta.get("times")
+        if self._pts_step is None:
+            if pts is not None and len(pts) > 1:
+                d = np.diff(np.asarray(pts, np.int64))
+                self._pts_step = int(np.median(d)) if len(d) else 1
+            else:
+                self._pts_step = 1
+            self._pts_step_t = (float(np.median(np.diff(times)))
+                                if times is not None and len(times) > 1
+                                else 0.0)
+        n = fb.batch
+        if n:
+            self._geom = (fb.format, fb.width, fb.height, fb.colorspace)
+            if self.pad_stop:
+                self._last = ({k: v[n - 1:n]
+                               for k, v in fb.planes.items()},
+                              _meta_take(meta, slice(n - 1, n)))
+        out_fb, out_meta = fb, dict(meta)
+        if pts is not None and self.pad_start:
+            out_meta["pts"] = (np.asarray(pts)
+                               + self.pad_start * self._pts_step)
+        if not self._started and n:
+            self._started = True
+            k = self.pad_start
+            if k:
+                if self.start_mode == 1:          # clone the FIRST frame
+                    pads = {nm: jnp.repeat(v[:1], k, axis=0)
+                            for nm, v in fb.planes.items()}
+                else:
+                    shapes = {nm: v.shape[1:]
+                              for nm, v in fb.planes.items()}
+                    dts = {nm: v.dtype for nm, v in fb.planes.items()}
+                    pads = self._color_planes(shapes, dts, k)
+                pad_pts = np.arange(k, dtype=np.int64) * self._pts_step
+                pmeta = {}
+                for key, arr in out_meta.items():
+                    if arr is None:
+                        pmeta[key] = None
+                    elif key == "pts":
+                        pmeta[key] = pad_pts.astype(
+                            np.asarray(arr).dtype)
+                    elif key == "keep":
+                        pmeta[key] = np.ones(k, bool)
+                    elif key == "pad":
+                        pmeta[key] = np.zeros(k, bool)
+                    elif key == "times":
+                        pmeta[key] = (np.arange(k) * self._pts_step_t)                             .astype(np.asarray(arr).dtype)
+                    else:
+                        pmeta[key] = np.zeros(
+                            k, np.asarray(arr).dtype)
+                planes = {nm: jnp.concatenate([pads[nm], v])
+                          for nm, v in out_fb.planes.items()}
+                out_fb = fb.with_planes(planes)
+                out_meta = _meta_concat(pmeta, out_meta)
+        return out_fb, out_meta
+
+    def flush(self):
+        if not self.pad_stop or self._last is None:
+            return None              # C: no cached frame -> plain EOF
+        k = self.pad_stop
+        planes1, meta1 = self._last
+        if self.stop_mode == 1:
+            planes = {nm: jnp.repeat(v, k, axis=0)
+                      for nm, v in planes1.items()}
+        else:
+            shapes = {nm: v.shape[1:] for nm, v in planes1.items()}
+            dts = {nm: v.dtype for nm, v in planes1.items()}
+            planes = self._color_planes(shapes, dts, k)
+        step = self._pts_step or 1
+        last_pts = meta1.get("pts")
+        start = (int(np.asarray(last_pts)[0])
+                 + self.pad_start * step + step)             if last_pts is not None else 0
+        meta = {}
+        for key, arr in meta1.items():
+            if arr is None:
+                meta[key] = None
+            elif key == "pts":
+                meta[key] = (start + np.arange(k, dtype=np.int64)
+                             * step).astype(np.asarray(arr).dtype)
+            elif key == "keep":
+                meta[key] = np.ones(k, bool)
+            elif key == "pad":
+                meta[key] = np.zeros(k, bool)
+            else:
+                meta[key] = np.repeat(np.asarray(arr)[:1], k, axis=0)
+        fmt, w, h, cs = self._geom
+        fb = FrameBatch(planes, fmt, w, h, cs)
+        return fb, meta
+
+
 class VignetteFilter:
     """vf_vignette.c analog (ops/vignette.py): natural cos^4 lens
     falloff (or its reverse), SAR-aware aspect scaling, per-pixel LCG
@@ -2238,7 +2384,8 @@ class VignetteFilter:
             compile_expr(str(e))        # syntax-check at build
         self._dither_state = 0          # uint32_t context field, zeroed
         self._frame_no = 0
-        self._dev = {}                  # (W, H) -> (fmap, A, C) device
+        self._dev_fmap = {}
+        self._dev_ac = {}
         self._jit = {}
 
     def _env(self, W, H, n=float("nan"), t=float("nan")):
@@ -2251,28 +2398,51 @@ class VignetteFilter:
         ang = float(compile_expr(self.angle_expr)(env))
         px0 = float(compile_expr(self.x0_expr)(env))
         py0 = float(compile_expr(self.y0_expr)(env))
-        if any(math.isnan(v) for v in (ang, px0, py0)):
+        had_nan = any(math.isnan(v) for v in (ang, px0, py0))
+        if had_nan and not self.eval_frame:
             self.eval_frame = True      # init -> frame auto-promotion
             return None
-        ang = min(max(ang, 0.0), math.pi / 2)      # av_clipf
+        # av_clipf(NaN) returns NaN (ternary comparisons are false) —
+        # the C proceeds with NaN geometry and emits clipped garbage,
+        # never an error
+        if not math.isnan(ang):
+            ang = min(max(ang, 0.0), math.pi / 2)
         # sar assumed 1:1 (config_props fallback): yscale = aspect
         return ang, px0, py0, 1.0, self.aspect
 
-    def _tables(self, W, H, total, params):
-        from ..ops.vignette import lcg_jump_tables, natural_fmap
-        key = (W, H, params)
-        t = self._dev.get(key)
+    def _jump_tables(self, total):
+        t = self._dev_ac.get(total)
         if t is None:
-            ang, px0, py0, xs, ys = params
-            fmap = natural_fmap(W, H, px0, py0, xs, ys, ang,
-                                self.backward)
+            from ..ops.vignette import lcg_jump_tables
             A, C = lcg_jump_tables(total)
-            t = (jnp.asarray(fmap), jnp.asarray(A), jnp.asarray(C))
-            self._dev = {key: t}        # keep one geometry resident
+            t = (jnp.asarray(A), jnp.asarray(C))
+            self._dev_ac = {total: t}   # one geometry resident
         return t
 
+    def _fmap(self, W, H, params):
+        key = (W, H, params)
+        t = self._dev_fmap.get(key)
+        if t is None:
+            from ..ops.vignette import natural_fmap
+            ang, px0, py0, xs, ys = params
+            t = jnp.asarray(natural_fmap(W, H, px0, py0, xs, ys, ang,
+                                         self.backward))
+            self._dev_fmap = {key: t}   # one param set resident
+        return t
+
+    def _kernel(self, key):
+        fn = self._jit.get(key)
+        if fn is None:
+            from ..ops.vignette import apply_vignette
+            _, do_dither, offsets, subs = key
+            fn = jax.jit(lambda planes, fmap, A, C, seeds:
+                         apply_vignette(planes, fmap, A, C, seeds,
+                                        offsets, do_dither, subs))
+            self._jit[key] = fn
+        return fn
+
     def process_batch(self, fb, meta):
-        from ..ops.vignette import apply_vignette, lcg_after
+        from ..ops.vignette import lcg_after
         fmt = fb.fmt
         if fmt.bits != 8 or fmt.is_float or "rgb" in fb.planes:
             raise FilterError("vignette: 8-bit planar YUV/gray only")
@@ -2287,36 +2457,39 @@ class VignetteFilter:
             total += ph * pw
         n = fb.batch
         times = meta.get("times")
+        shapes = tuple(pl.shape for pl in planes)
+        fn = self._kernel((shapes, self.do_dither, tuple(offsets),
+                           tuple(subs)))
+        A, C = self._jump_tables(total)
         params = None
         if not self.eval_frame:
             params = self._params(W, H, float("nan"), float("nan"))
         if params is not None:
-            fmap, A, C = self._tables(W, H, total, params)
+            fmap = self._fmap(W, H, params)
             seeds = np.empty(n, np.uint32)
             s = self._dither_state
             for i in range(n):
                 seeds[i] = s
                 s = lcg_after(s, total) if self.do_dither else s
             self._dither_state = s
-            outs = apply_vignette(planes, fmap, A, C,
-                                  jnp.asarray(seeds), tuple(offsets),
-                                  self.do_dither, tuple(subs))
+            outs = fn(planes, fmap, A, C, jnp.asarray(seeds))
         else:
             # frame mode: per-frame expressions -> per-frame fmap
+            fn1 = self._kernel((tuple((1,) + s[1:] for s in shapes),
+                                self.do_dither, tuple(offsets),
+                                tuple(subs)))
             outs_per = [[] for _ in planes]
             for i in range(n):
                 t = (float(times[i]) if times is not None
                      else float("nan"))
                 pr = self._params(W, H, float(self._frame_no + i), t)
-                fmap, A, C = self._tables(W, H, total, pr)
+                fmap = self._fmap(W, H, pr)
                 seed = np.uint32(self._dither_state)
                 if self.do_dither:
                     self._dither_state = lcg_after(self._dither_state,
                                                    total)
-                fouts = apply_vignette(
-                    [p[i:i + 1] for p in planes], fmap, A, C,
-                    jnp.asarray(seed[None]), tuple(offsets),
-                    self.do_dither, tuple(subs))
+                fouts = fn1([p[i:i + 1] for p in planes], fmap, A, C,
+                            jnp.asarray(seed[None]))
                 for k, o in enumerate(fouts):
                     outs_per[k].append(o)
             outs = [jnp.concatenate(o) for o in outs_per]
@@ -2374,13 +2547,22 @@ class DebandFilter:
         self._dev_tables = {}          # (W, H) -> (jnp xpos, jnp ypos)
         self._jitted = {}
 
-    def _tables(self, W, H):
-        t = self._dev_tables.get((W, H))
+    def _tables(self, W, H, ph=None, pw=None):
+        """Device-resident tables; chroma slices cached alongside so
+        the hot path never issues eager per-batch slice ops."""
+        key = (W, H, ph, pw)
+        t = self._dev_tables.get(key)
         if t is None:
-            from ..ops.deband import offset_table
-            xp, yp = offset_table(W, H, self.rng_, self.direction)
-            t = (jnp.asarray(xp), jnp.asarray(yp))
-            self._dev_tables[(W, H)] = t
+            if ph is None:
+                from ..ops.deband import offset_table
+                xp, yp = offset_table(W, H, self.rng_, self.direction)
+                t = (jnp.asarray(xp), jnp.asarray(yp))
+            else:
+                fx, fy = self._tables(W, H)
+                t = (fx[:ph, :pw], fy[:ph, :pw])
+                t = tuple(jax.block_until_ready(a) if hasattr(
+                    a, "block_until_ready") else a for a in t)
+            self._dev_tables[key] = t
         return t
 
     def _kernel(self, key):
@@ -2426,7 +2608,8 @@ class DebandFilter:
             ph, pw = pl.shape[1], pl.shape[2]
             # chroma indexes the LUMA-width table with its own coords
             fn = self._kernel(("plane", thrs[nm], self.blur))
-            out[nm] = fn(pl, x_pos[:ph, :pw], y_pos[:ph, :pw])
+            xs, ys = self._tables(W, H, ph, pw)
+            out[nm] = fn(pl, xs, ys)
         return fb.with_planes(out), meta
 
     def flush(self):
@@ -3650,6 +3833,7 @@ FILTERS: Dict[str, Callable] = {
     "deband": DebandFilter,
     "noise": NoiseFilter,
     "vignette": VignetteFilter,
+    "tpad": TpadFilter,
     "hue": HueFilter,
     "lut3d": _f_lut3d,
     "lut1d": _f_lut1d,

@@ -26,6 +26,8 @@ from .builtin import FILTERS, FilterError
 
 # positional option names per filter (ffmpeg shorthand order)
 POSITIONAL = {
+    "tpad": ("start", "stop", "start_mode", "stop_mode",
+             "start_duration", "stop_duration", "color"),
     "delogo": ("x", "y", "w", "h", "show"),
     "deband": ("1thr", "2thr", "3thr", "4thr", "range", "direction",
                "blur", "coupling"),
@@ -203,7 +205,7 @@ class FilterGraph:
         pure: List = []
         for name, kwargs in chain:
             factory = FILTERS[name]
-            if name in ("fps",):
+            if name in ("fps", "tpad"):
                 kwargs.setdefault("src_fps", src_fps)
             if getattr(factory, "wants_link", False):
                 kwargs.setdefault("_link", self.link_state)

@@ -143,3 +143,17 @@ def test_vignette_frame_mode(rng):
                          1.0, 1.0, False, 0, do_dither=False)
     np.testing.assert_array_equal(gy[0], w0[0][0:16])
     np.testing.assert_array_equal(gy[1], w1[0])
+
+
+def test_vignette_nan_exprs_emit_garbage_not_crash(rng):
+    """pts is always NaN in this chain: the C clips NaN geometry and
+    emits clipped garbage (cvttsd2si -> 0), never an error — init mode
+    auto-promotes to frame mode first (review regression)."""
+    y, u, v = _clip(rng, n=2, h=16, w=16)
+    for desc in ("vignette=x0=pts:eval=frame:dither=0",
+                 "vignette=x0=pts:dither=0"):        # init auto-promote
+        g = FilterGraph(desc)
+        out, _ = g.process(from_numpy_yuv420(y, u, v))
+        gy = np.asarray(out.planes["y"])
+        assert gy.shape == y.shape
+        assert (gy == 0).all()          # NaN fmap -> INT_MIN -> clip 0
