@@ -271,6 +271,7 @@ def main(argv=None):
         # HDR link state (trc/primaries + mdcv/clli peaks) — seeds
         # zscale/tonemap defaults like AVFilterLink propagation
         stream_meta = dm_probe.stream_meta()
+        stream_meta["time_base"] = dm_probe.time_base
         if (dm_probe.codec_name == "hevc"
                 and not (stream_meta.get("max_luminance")
                          or stream_meta.get("max_cll"))):

@@ -21,6 +21,7 @@ decision and are handled by the graph runner.
 from __future__ import annotations
 
 import math
+from fractions import Fraction
 from typing import Callable, Dict, Optional
 
 import jax
@@ -1879,6 +1880,238 @@ class SelectFilter:
             seen += 1
         self.n += seen
         return out
+
+
+def _av_rescale(a: int, b: int, c: int) -> int:
+    """av_rescale with AV_ROUND_NEAR_INF (round half away from zero)."""
+    if a >= 0:
+        return (a * b + c // 2) // c
+    return -((-a * b + c // 2) // c)
+
+
+class FramerateFilter:
+    """vf_framerate.c analog: up/downsample a progressive stream to a
+    target rate by frame cloning + linear blending, with optional SAD
+    scene-change gating.
+
+    Exact semantics kept: the dest_time_base reduction (config_output
+    :388-392), work_pts = start_pts + n frame durations, the 128-max
+    (BLEND_FACTOR_DEPTH(8)) blend factors with av_rescale NEAR rounding
+    and the separate /256 interp_start/interp_end window, the (s1*f1 +
+    s2*f2 + 64) >> 7 integer blend, mafd/diff scene scoring with the
+    prev_mafd carry (get_scene_score :65-87), per-pair score caching,
+    PTS-discontinuity restart, and the flush tail (a last work frame
+    inside pts1+delta, or the bare f1 when no f0 exists).
+
+    The source time base comes from the stream probe's link state
+    (time_base), falling back to frame-index pts at 1/src_fps.  8-bit
+    planar YUV here (the C also takes 9-12 bit)."""
+
+    stream_filter = True
+    wants_link = True
+
+    _FLAGS = {"scene_change_detect": 1, "scd": 1, "1": 1, "0": 0}
+
+    def __init__(self, fps="50", interp_start=15, interp_end=240,
+                 scene=8.2, flags="1", src_fps: float = 30.0,
+                 _link=None):
+        f = str(fps)
+        if "/" in f:
+            num, den = f.split("/", 1)
+            self.dest_fps = Fraction(int(num), int(den))
+        else:
+            self.dest_fps = Fraction(f).limit_denominator(100000)
+        if self.dest_fps <= 0:
+            raise FilterError("framerate: fps must be positive")
+        self.interp_start = int(interp_start)
+        self.interp_end = int(interp_end)
+        if not (0 <= self.interp_start <= 255
+                and 0 <= self.interp_end <= 255):
+            raise FilterError("framerate: interp window out of [0,255]")
+        self.scene = float(scene)
+        fl = 0
+        for tok in str(flags).split("+"):
+            if tok not in self._FLAGS:
+                raise FilterError(f"framerate: unknown flag {tok!r}")
+            fl |= self._FLAGS[tok]
+        self.scd = bool(fl & 1)
+        link = _link or {}
+        tb = link.get("time_base")
+        if tb:
+            self.src_tb = Fraction(int(tb[0]), int(tb[1]))
+        else:
+            # frame-index pts fallback: tb = 1/src_fps
+            self.src_tb = 1 / Fraction(str(src_fps)) \
+                .limit_denominator(100000)
+        # dest tb: gcd reduction of config_output :388-392
+        import math as _m
+        stn, std = self.src_tb.numerator, self.src_tb.denominator
+        dfn, dfd = self.dest_fps.numerator, self.dest_fps.denominator
+        g = Fraction(_m.gcd(stn * dfn, std * dfd), std * dfn)
+        self.dest_tb = g
+        self.fps_mul = float(self.dest_fps) / float(src_fps)
+        # one output frame = this many dest-tb ticks (exact by
+        # construction of dest_tb)
+        step = (1 / self.dest_fps) / self.dest_tb
+        self.frame_step = Fraction(step)
+        self.f0 = self.f1 = None          # planes dicts of (1, h, w)
+        self.pts0 = self.pts1 = 0
+        self.delta = 0
+        self.start_pts = None
+        self.n = 0
+        self.prev_mafd = 0.0
+        self.score = -1.0
+        self._jit_blend = None
+        self._names = None
+        self._geom = None
+
+    def _blend_fn(self):
+        if self._jit_blend is None:
+            def blend(p1, p2, f1, f2):
+                out = {}
+                for k in p1:
+                    a = p1[k].astype(jnp.int32)
+                    b = p2[k].astype(jnp.int32)
+                    out[k] = ((a * f1 + b * f2 + 64) >> 7) \
+                        .astype(p1[k].dtype)
+                return out
+            self._jit_blend = jax.jit(blend)
+        return self._jit_blend
+
+    def _scene_score(self) -> float:
+        """get_scene_score (:65-87): luma SAD -> mafd/diff."""
+        a = self.f0["y"].astype(jnp.int32)
+        b = self.f1["y"].astype(jnp.int32)
+        sad = float(np.asarray(jnp.sum(jnp.abs(a - b))))
+        h, w = a.shape[1], a.shape[2]
+        mafd = sad * 100.0 / (w * h) / (1 << 8)
+        diff = abs(mafd - self.prev_mafd)
+        ret = min(max(min(mafd, diff), 0.0), 100.0)
+        self.prev_mafd = mafd
+        return ret
+
+    def _work_pts(self) -> int:
+        v = self.start_pts + self.n * self.frame_step
+        # exact by construction; round-half-away like av_rescale NEAR
+        num, den = v.numerator, v.denominator
+        return _av_rescale(num, 1, den)
+
+    def _emit_work(self, flush: bool):
+        """process_work_frame (:156-204) loop; returns (planes, pts)
+        rows."""
+        outs = []
+        while True:
+            if self.f1 is None:
+                break
+            if self.f0 is None and not flush:
+                break
+            wp = self._work_pts()
+            if wp >= self.pts1 and not flush:
+                break
+            if self.f0 is None:
+                outs.append((self.f1, wp))       # flush: bare f1 moves
+                self.f1 = None
+                self.n += 1
+                continue
+            if wp >= self.pts1 + self.delta and flush:
+                break
+            interpolate = _av_rescale(wp - self.pts0, 128, self.delta)
+            interpolate8 = _av_rescale(wp - self.pts0, 256, self.delta)
+            if interpolate >= 128 or interpolate8 > self.interp_end:
+                outs.append((self.f1, wp))
+            elif interpolate <= 0 or interpolate8 < self.interp_start:
+                outs.append((self.f0, wp))
+            else:
+                sc = 0.0
+                if self.scd:
+                    if self.score < 0.0:
+                        self.score = self._scene_score()
+                    sc = self.score
+                if sc < self.scene:
+                    f2 = int(interpolate)
+                    work = self._blend_fn()(self.f0, self.f1,
+                                            jnp.int32(128 - f2),
+                                            jnp.int32(f2))
+                    outs.append((work, wp))
+                else:
+                    outs.append((self.f1 if interpolate > 64
+                                 else self.f0, wp))
+            self.n += 1
+        return outs
+
+    def _rows_to_batch(self, rows, meta_like):
+        names = self._names
+        planes = {nm: jnp.concatenate([r[0][nm] for r in rows])
+                  for nm in names}
+        pts = np.array([r[1] for r in rows], np.int64)
+        k = len(rows)
+        meta = {}
+        tb = float(self.dest_tb)
+        for key, arr in meta_like.items():
+            if arr is None:
+                meta[key] = None
+            elif key == "pts":
+                meta[key] = pts
+            elif key == "times":
+                meta[key] = (pts * tb).astype(np.float64)
+            elif key == "keep":
+                meta[key] = np.ones(k, bool)
+            elif key == "pad":
+                meta[key] = np.zeros(k, bool)
+            else:
+                meta[key] = np.zeros(k, np.asarray(arr).dtype)
+        fmt, w, h, cs = self._geom
+        return FrameBatch(planes, fmt, w, h, cs), meta
+
+    def process_batch(self, fb: FrameBatch, meta):
+        if fb.fmt.bits != 8 or "rgb" in fb.planes:
+            raise FilterError("framerate: 8-bit planar YUV only here")
+        n = fb.batch
+        self._names = list(fb.planes)
+        self._geom = (fb.format, fb.width, fb.height, fb.colorspace)
+        self._last_meta = {k: (None if v is None else np.asarray(v))
+                           for k, v in meta.items()}
+        pts_in = meta.get("pts")
+        rows = []
+        for i in range(n):
+            if meta.get("keep") is not None and not meta["keep"][i]:
+                continue
+            src_pts = (int(np.asarray(pts_in)[i]) if pts_in is not None
+                       else None)
+            if src_pts is None:
+                src_pts = self._frame_idx if hasattr(
+                    self, "_frame_idx") else 0
+            self._frame_idx = src_pts + 1
+            # rescale src pts -> dest tb (NEAR rounding)
+            r = Fraction(src_pts) * self.src_tb / self.dest_tb
+            pts = _av_rescale(r.numerator, 1, r.denominator)
+            if self.f1 is not None and pts == self.pts1:
+                continue                      # same-PTS frame ignored
+            frame = {nm: v[i:i + 1] for nm, v in fb.planes.items()}
+            self.f0, self.pts0 = self.f1, self.pts1
+            self.f1, self.pts1 = frame, pts
+            self.delta = self.pts1 - self.pts0
+            self.score = -1.0
+            if self.f0 is not None and self.delta < 0:
+                self.start_pts = self.pts1
+                self.n = 0
+                self.f0 = None
+            if self.start_pts is None:
+                self.start_pts = self.pts1
+            rows.extend(self._emit_work(flush=False))
+        if not rows:
+            empty = {nm: v[:0] for nm, v in fb.planes.items()}
+            return fb.with_planes(empty), _meta_take(meta, slice(0, 0))
+        return self._rows_to_batch(rows, meta)
+
+    def flush(self):
+        if self.f1 is None or self._geom is None:
+            return None
+        rows = self._emit_work(flush=True)
+        if not rows:
+            return None
+        fb, meta = self._rows_to_batch(rows, self._last_meta)
+        return fb, meta
 
 
 class FpsFilter:
@@ -3834,6 +4067,7 @@ FILTERS: Dict[str, Callable] = {
     "noise": NoiseFilter,
     "vignette": VignetteFilter,
     "tpad": TpadFilter,
+    "framerate": FramerateFilter,
     "hue": HueFilter,
     "lut3d": _f_lut3d,
     "lut1d": _f_lut1d,

@@ -73,6 +73,8 @@ POSITIONAL = {
     "select_cuda": ("expr",),
     "select_gpu": ("expr",),
     "fps": ("fps",),
+    "framerate": ("fps", "interp_start", "interp_end", "scene",
+                  "flags"),
     "thumbnail": ("n",),
     "thumbnail_cuda": ("n",),
     "tensorrt": ("model", "weights", "luma_only"),
@@ -205,7 +207,7 @@ class FilterGraph:
         pure: List = []
         for name, kwargs in chain:
             factory = FILTERS[name]
-            if name in ("fps", "tpad"):
+            if name in ("fps", "tpad", "framerate"):
                 kwargs.setdefault("src_fps", src_fps)
             if getattr(factory, "wants_link", False):
                 kwargs.setdefault("_link", self.link_state)
