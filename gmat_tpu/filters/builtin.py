@@ -1882,6 +1882,280 @@ class SelectFilter:
         return out
 
 
+def _f_exposure(exposure=0.0, black=0.0):
+    """vf_exposure.c analog: float-RGB exposure/black-level correction
+    — out = (x - black) * scale with scale = 1/(exp2f(-exposure) -
+    black), float32 throughout, NO output clamp (the C stores raw
+    floats).  gbrpf32 lane only (FILTER_PIXFMTS :123); alpha untouched."""
+    exposure = float(exposure)
+    black = float(black)
+    if not -3.0 <= exposure <= 3.0:
+        raise FilterError("exposure: exposure out of [-3, 3]")
+    if not -1.0 <= black <= 1.0:
+        raise FilterError("exposure: black out of [-1, 1]")
+    f32 = np.float32
+    scale = f32(1.0) / f32(np.exp2(f32(-exposure)) - f32(black))
+
+    def run(fb):
+        if not fb.fmt.is_rgb or not fb.fmt.is_float:
+            raise FilterError("exposure operates on float RGB "
+                              "(gbrpf32) — format=gbrpf32le first")
+        arr = fb.planes["rgb"]
+        rgb = (arr[..., :3] - f32(black)) * scale
+        if arr.shape[-1] == 4:
+            rgb = jnp.concatenate([rgb, arr[..., 3:]], axis=-1)
+        return fb.with_planes({"rgb": rgb})
+    return run
+
+
+def _kelvin2rgb(k: float) -> np.ndarray:
+    """vf_colortemperature.c:56-75, float32 math."""
+    f32 = np.float32
+    kelvin = f32(k) / f32(100.0)
+    rgb = np.zeros(3, np.float32)
+
+    def sat(v):
+        return f32(min(max(float(v), 0.0), 1.0))
+
+    if kelvin <= 66.0:
+        rgb[0] = 1.0
+        rgb[1] = sat(f32(0.39008157876901960784) * f32(np.log(kelvin))
+                     - f32(0.63184144378862745098))
+    else:
+        t = f32(max(float(kelvin) - 60.0, 0.0))
+        rgb[0] = sat(f32(1.29293618606274509804)
+                     * f32(np.power(t, f32(-0.1332047592))))
+        rgb[1] = sat(f32(1.12989086089529411765)
+                     * f32(np.power(t, f32(-0.0755148492))))
+    if kelvin >= 66.0:
+        rgb[2] = 1.0
+    elif kelvin <= 19.0:
+        rgb[2] = 0.0
+    else:
+        rgb[2] = sat(f32(0.54320678911019607843)
+                     * f32(np.log(kelvin - f32(10.0)))
+                     - f32(1.19625408914))
+    return rgb
+
+
+def _f_colortemperature(temperature=6500.0, mix=1.0, pl=0.0):
+    """vf_colortemperature.c analog: white-balance toward a Kelvin
+    temperature — per-pixel float32 scale by the kelvin2rgb color, mix
+    lerp, optional lightness preservation via the (max+min) sum ratio
+    (PROCESS :82-101), av_clip_uint8 truncating store.  8-bit packed
+    RGB here."""
+    temperature = float(temperature)
+    if not 1000.0 <= temperature <= 40000.0:
+        raise FilterError("colortemperature: temperature out of "
+                          "[1000, 40000]")
+    mix = float(mix)
+    pl = float(pl)
+    if not 0.0 <= mix <= 1.0 or not 0.0 <= pl <= 1.0:
+        raise FilterError("colortemperature: mix/pl out of [0, 1]")
+    color = _kelvin2rgb(temperature)
+
+    def run(fb):
+        fmt = fb.fmt
+        if not fmt.is_rgb or fmt.is_float or fmt.bits != 8:
+            raise FilterError("colortemperature: 8-bit RGB frames "
+                              "here (convert first)")
+        f32 = np.float32
+        arr = fb.planes["rgb"]
+        x = arr[..., :3].astype(jnp.float32)
+        eps = f32(np.finfo(np.float32).eps)
+        cvec = jnp.asarray(color)
+        n = x * cvec                                   # nr/ng/nb
+        n = x + (n - x) * f32(mix)                     # lerpf
+        l0 = (jnp.max(x, axis=-1) + jnp.min(x, axis=-1)) + eps
+        l1 = (jnp.max(n, axis=-1) + jnp.min(n, axis=-1)) + eps
+        scaled = n * (l0 / l1)[..., None]
+        out = n + (scaled - n) * f32(pl)
+        out = jnp.clip(out.astype(jnp.int32), 0, 255).astype(arr.dtype)
+        if arr.shape[-1] == 4:
+            out = jnp.concatenate([out, arr[..., 3:]], axis=-1)
+        return fb.with_planes({"rgb": out})
+    return run
+
+
+class SeparateFieldsFilter:
+    """vf_separatefields.c analog: split each frame into its two
+    fields (half height, double rate).  Field order follows each
+    frame's top_field_first flag (meta 'interlaced' bit1): the FIRST
+    emitted field is the top rows when tff else the bottom rows
+    (extract_field with type=!tff, :58-66).  pts semantics kept: first
+    field = 2*pts, second field = pts + next frame's pts, flushed last
+    field extrapolates by one step (flush_frame :105-118 with the EOF
+    status pts)."""
+
+    stream_filter = True
+    fps_mul = 2
+
+    def __init__(self):
+        self._second = None      # (planes, pts, tff)
+        self._step = None
+        self._geom = None
+
+    @staticmethod
+    def _field(planes, tff, first):
+        """Rows of the first/second field: first field starts at row 0
+        when tff (type=0) else row 1; the second field is the other."""
+        start = (0 if tff else 1) if first else (1 if tff else 0)
+        return {nm: v[:, start::2] for nm, v in planes.items()}
+
+    def process_batch(self, fb: FrameBatch, meta):
+        if fb.height & 1:
+            raise FilterError("separatefields: height must be even")
+        n = fb.batch
+        pts = meta.get("pts")
+        pts = (np.asarray(pts, np.int64) if pts is not None
+               else np.arange(n, dtype=np.int64))
+        il = meta.get("interlaced")
+        tffs = (((np.asarray(il, np.int64) >> 1) & 1).astype(bool)
+                if il is not None else np.ones(n, bool))
+        if self._step is None and n > 1:
+            self._step = int(np.median(np.diff(pts)))
+        self._geom = (fb.format, fb.width, fb.height // 2,
+                      fb.colorspace)
+        rows, out_pts = [], []
+        for i in range(n):
+            frame = {nm: v[i:i + 1] for nm, v in fb.planes.items()}
+            if self._second is not None:
+                sp, spts, stff = self._second
+                rows.append(self._field(sp, stff, first=False))
+                out_pts.append(spts + int(pts[i]))
+            rows.append(self._field(frame, bool(tffs[i]), first=True))
+            out_pts.append(2 * int(pts[i]))
+            self._second = (frame, int(pts[i]), bool(tffs[i]))
+        if not rows:
+            return fb.with_planes({nm: v[:0, ::2]
+                                   for nm, v in fb.planes.items()}), \
+                _meta_take(meta, slice(0, 0))
+        planes = {nm: jnp.concatenate([r[nm] for r in rows])
+                  for nm in rows[0]}
+        k = len(rows)
+        out = dict(meta)
+        out["pts"] = np.asarray(out_pts, np.int64)
+        for key in list(out):
+            if key == "pts" or out[key] is None:
+                continue
+            if key == "keep":
+                out[key] = np.ones(k, bool)
+            elif key == "pad":
+                out[key] = np.zeros(k, bool)
+            elif key == "interlaced":
+                out[key] = np.zeros(k, np.asarray(meta[key]).dtype)
+            else:
+                out[key] = np.repeat(np.asarray(meta[key]),
+                                     2, axis=0)[:k]
+        fmt, w, h, cs = self._geom
+        return FrameBatch(planes, fmt, w, h, cs), out
+
+    def flush(self):
+        if self._second is None or self._geom is None:
+            return None
+        sp, spts, stff = self._second
+        self._second = None
+        step = self._step or 1
+        planes = self._field(sp, stff, first=False)
+        fmt, w, h, cs = self._geom
+        fb = FrameBatch(planes, fmt, w, h, cs)
+        meta = {"pts": np.asarray([spts + spts + step], np.int64),
+                "times": None, "keys": None, "pos": None,
+                "interlaced": None, "keep": np.ones(1, bool),
+                "pad": np.zeros(1, bool)}
+        return fb, meta
+
+
+class WeaveFilter:
+    """vf_weave.c analog (weave + doubleweave): interleave successive
+    half-height frames into full interlaced frames.  first_field
+    top/bottom places the OLDER frame's rows on the first field;
+    doubleweave emits per input (overlapping pairs) with the field
+    roles alternating by consumed-frame parity (:99-101).  pts: in/2
+    for weave (C int trunc), prev's pts for doubleweave; outputs are
+    flagged interlaced with tff=!first_field."""
+
+    stream_filter = True
+
+    def __init__(self, first_field="top", double_weave=0):
+        ff_map = {"top": 0, "t": 0, "0": 0, "bottom": 1, "b": 1, "1": 1}
+        if str(first_field) not in ff_map:
+            raise FilterError(f"weave: bad first_field {first_field!r}")
+        self.first_field = ff_map[str(first_field)]
+        self.double = bool(int(double_weave))
+        self.fps_mul = 1 if self.double else 0.5
+        self._prev = None          # (planes, pts)
+        self._count = 0            # consumed frames
+
+    def _weave_pair(self, prev, cur, count):
+        weave = self.double and not (count & 1)
+        field1 = self.first_field if weave else (not self.first_field)
+        out = {}
+        for nm in cur:
+            a = cur[nm]
+            b = prev[nm]
+            n, h, w = a.shape
+            o = jnp.zeros((n, h * 2, w), a.dtype)
+            o = o.at[:, int(field1)::2].set(a)
+            o = o.at[:, int(not field1)::2].set(b)
+            out[nm] = o
+        return out
+
+    def process_batch(self, fb: FrameBatch, meta):
+        n = fb.batch
+        pts = meta.get("pts")
+        pts = (np.asarray(pts, np.int64) if pts is not None
+               else np.arange(n, dtype=np.int64))
+        rows, out_pts, out_il = [], [], []
+        for i in range(n):
+            frame = {nm: v[i:i + 1] for nm, v in fb.planes.items()}
+            self._count += 1
+            if self._prev is None:
+                self._prev = (frame, int(pts[i]))
+                continue
+            prev_planes, prev_pts = self._prev
+            rows.append(self._weave_pair(prev_planes, frame,
+                                         self._count))
+            if self.double:
+                out_pts.append(prev_pts)
+                self._prev = (frame, int(pts[i]))
+            else:
+                pv = int(pts[i])
+                out_pts.append(abs(pv) // 2 * (1 if pv >= 0 else -1))
+                self._prev = None
+            out_il.append(1 | ((0 if self.first_field else 1) << 1))
+        if not rows:
+            empty = {nm: jnp.zeros((0, v.shape[1] * 2, v.shape[2]),
+                                   v.dtype)
+                     for nm, v in fb.planes.items()}
+            return FrameBatch(empty, fb.format, fb.width,
+                              fb.height * 2, fb.colorspace), \
+                _meta_take(meta, slice(0, 0))
+        planes = {nm: jnp.concatenate([r[nm] for r in rows])
+                  for nm in rows[0]}
+        k = len(rows)
+        out = dict(meta)
+        out["pts"] = np.asarray(out_pts, np.int64)
+        for key in list(out):
+            if out[key] is None or key == "pts":
+                continue
+            if key == "keep":
+                out[key] = np.ones(k, bool)
+            elif key == "pad":
+                out[key] = np.zeros(k, bool)
+            elif key == "interlaced":
+                out[key] = np.asarray(out_il,
+                                      np.asarray(meta[key]).dtype)
+            else:
+                out[key] = np.asarray(meta[key])[-k:] if k <= n \
+                    else np.repeat(np.asarray(meta[key]), 2, axis=0)[:k]
+        return FrameBatch(planes, fb.format, fb.width, fb.height * 2,
+                          fb.colorspace), out
+
+    def flush(self):
+        return None
+
+
 def _av_rescale(a: int, b: int, c: int) -> int:
     """av_rescale with AV_ROUND_NEAR_INF (round half away from zero)."""
     if a >= 0:
@@ -4068,6 +4342,11 @@ FILTERS: Dict[str, Callable] = {
     "vignette": VignetteFilter,
     "tpad": TpadFilter,
     "framerate": FramerateFilter,
+    "separatefields": SeparateFieldsFilter,
+    "exposure": _f_exposure,
+    "colortemperature": _f_colortemperature,
+    "weave": WeaveFilter,
+    "doubleweave": lambda **kw: WeaveFilter(double_weave=1, **kw),
     "hue": HueFilter,
     "lut3d": _f_lut3d,
     "lut1d": _f_lut1d,

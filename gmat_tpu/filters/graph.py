@@ -75,6 +75,11 @@ POSITIONAL = {
     "fps": ("fps",),
     "framerate": ("fps", "interp_start", "interp_end", "scene",
                   "flags"),
+    "separatefields": (),
+    "exposure": ("exposure", "black"),
+    "colortemperature": ("temperature", "mix", "pl"),
+    "weave": ("first_field",),
+    "doubleweave": ("first_field",),
     "thumbnail": ("n",),
     "thumbnail_cuda": ("n",),
     "tensorrt": ("model", "weights", "luma_only"),
