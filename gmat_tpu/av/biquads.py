@@ -90,7 +90,7 @@ _POSITIONAL = {
     "lowpass": ("frequency", "width_type", "width", "poles") + _TAIL,
     "highpass": ("frequency", "width_type", "width", "poles") + _TAIL,
     "allpass": ("frequency", "width_type", "width", "mix", "channels",
-                "order", "transform", "precision"),
+                "normalize", "order", "transform", "precision"),
     "biquad": ("a0", "a1", "a2", "b0", "b1", "b2") + _TAIL,
 }
 

@@ -1963,7 +1963,11 @@ def _f_colortemperature(temperature=6500.0, mix=1.0, pl=0.0):
         arr = fb.planes["rgb"]
         x = arr[..., :3].astype(jnp.float32)
         eps = f32(np.finfo(np.float32).eps)
-        cvec = jnp.asarray(color)
+        # the C indexes via rgba_map (:111-113) — permute the kelvin
+        # color to the frame's channel order so bgr24/bgra get the red
+        # scale on the red channel
+        order = fmt.channel_order or "rgb"
+        cvec = jnp.asarray(color[["rgb".index(c) for c in order[:3]]])
         n = x * cvec                                   # nr/ng/nb
         n = x + (n - x) * f32(mix)                     # lerpf
         l0 = (jnp.max(x, axis=-1) + jnp.min(x, axis=-1)) + eps
@@ -1991,7 +1995,7 @@ class SeparateFieldsFilter:
     fps_mul = 2
 
     def __init__(self):
-        self._second = None      # (planes, pts, tff)
+        self._second = None      # (planes, meta row, pts, tff)
         self._step = None
         self._geom = None
 
@@ -2005,27 +2009,55 @@ class SeparateFieldsFilter:
     def process_batch(self, fb: FrameBatch, meta):
         if fb.height & 1:
             raise FilterError("separatefields: height must be even")
+        # only frames that REACH the filter are split (upstream drops
+        # and batch padding never arrive in the C chain)
+        alive = np.asarray(meta["keep"]).copy()
+        if meta.get("pad") is not None:
+            alive &= ~np.asarray(meta["pad"])
+        idx = np.nonzero(alive)[0]
+        if len(idx) < fb.batch:
+            sel = jnp.asarray(idx)
+            fb = fb.with_planes({k: jnp.take(p, sel, axis=0)
+                                 for k, p in fb.planes.items()})
+            meta = _meta_take(meta, idx)
         n = fb.batch
         pts = meta.get("pts")
         pts = (np.asarray(pts, np.int64) if pts is not None
                else np.arange(n, dtype=np.int64))
         il = meta.get("interlaced")
+        # AVFrame.top_field_first defaults to 0: unflagged streams
+        # separate bottom-field-first (extract_field type = !tff = 1)
         tffs = (((np.asarray(il, np.int64) >> 1) & 1).astype(bool)
-                if il is not None else np.ones(n, bool))
+                if il is not None else np.zeros(n, bool))
         if self._step is None and n > 1:
             self._step = int(np.median(np.diff(pts)))
-        self._geom = (fb.format, fb.width, fb.height // 2,
-                      fb.colorspace)
-        rows, out_pts = [], []
+        if n:
+            self._geom = (fb.format, fb.width, fb.height // 2,
+                          fb.colorspace)
+        rows, out_pts, src = [], [], []
+        # each field carries its SOURCE frame's props (the C emits the
+        # input frame / its clone); carried second fields index row 0
+        # of [carried row] + batch
+        off = 1 if self._second is not None else 0
+        ext_meta = (meta if self._second is None
+                    else _meta_concat(self._second[1], meta))
+        pend = (self._second[0], 0, self._second[2],
+                self._second[3]) if self._second is not None else None
         for i in range(n):
             frame = {nm: v[i:i + 1] for nm, v in fb.planes.items()}
-            if self._second is not None:
-                sp, spts, stff = self._second
+            if pend is not None:
+                sp, sj, spts, stff = pend
                 rows.append(self._field(sp, stff, first=False))
                 out_pts.append(spts + int(pts[i]))
+                src.append(sj)
             rows.append(self._field(frame, bool(tffs[i]), first=True))
             out_pts.append(2 * int(pts[i]))
-            self._second = (frame, int(pts[i]), bool(tffs[i]))
+            src.append(i + off)
+            pend = (frame, i + off, int(pts[i]), bool(tffs[i]))
+        if pend is not None:
+            sp, sj, spts, stff = pend
+            self._second = (sp, _meta_take(ext_meta, slice(sj, sj + 1)),
+                            spts, stff)
         if not rows:
             return fb.with_planes({nm: v[:0, ::2]
                                    for nm, v in fb.planes.items()}), \
@@ -2033,36 +2065,34 @@ class SeparateFieldsFilter:
         planes = {nm: jnp.concatenate([r[nm] for r in rows])
                   for nm in rows[0]}
         k = len(rows)
-        out = dict(meta)
+        out = _meta_take(ext_meta, np.asarray(src, np.int64))
         out["pts"] = np.asarray(out_pts, np.int64)
-        for key in list(out):
-            if key == "pts" or out[key] is None:
-                continue
-            if key == "keep":
-                out[key] = np.ones(k, bool)
-            elif key == "pad":
-                out[key] = np.zeros(k, bool)
-            elif key == "interlaced":
-                out[key] = np.zeros(k, np.asarray(meta[key]).dtype)
-            else:
-                out[key] = np.repeat(np.asarray(meta[key]),
-                                     2, axis=0)[:k]
+        if out.get("interlaced") is not None:
+            out["interlaced"] = np.zeros(
+                k, np.asarray(meta["interlaced"]).dtype)
+        out["keep"] = np.ones(k, bool)
+        if out.get("pad") is not None:
+            out["pad"] = np.zeros(k, bool)
         fmt, w, h, cs = self._geom
         return FrameBatch(planes, fmt, w, h, cs), out
 
     def flush(self):
         if self._second is None or self._geom is None:
             return None
-        sp, spts, stff = self._second
+        sp, srow, spts, stff = self._second
         self._second = None
         step = self._step or 1
         planes = self._field(sp, stff, first=False)
         fmt, w, h, cs = self._geom
         fb = FrameBatch(planes, fmt, w, h, cs)
-        meta = {"pts": np.asarray([spts + spts + step], np.int64),
-                "times": None, "keys": None, "pos": None,
-                "interlaced": None, "keep": np.ones(1, bool),
-                "pad": np.zeros(1, bool)}
+        meta = dict(srow)
+        meta["pts"] = np.asarray([spts + spts + step], np.int64)
+        if meta.get("interlaced") is not None:
+            meta["interlaced"] = np.zeros(
+                1, np.asarray(srow["interlaced"]).dtype)
+        meta["keep"] = np.ones(1, bool)
+        if meta.get("pad") is not None:
+            meta["pad"] = np.zeros(1, bool)
         return fb, meta
 
 
@@ -2071,7 +2101,9 @@ class WeaveFilter:
     half-height frames into full interlaced frames.  first_field
     top/bottom places the OLDER frame's rows on the first field;
     doubleweave emits per input (overlapping pairs) with the field
-    roles alternating by consumed-frame parity (:99-101).  pts: in/2
+    roles alternating by the 0-based input-frame parity (:99-101,
+    frame_count_out holds the pre-increment value inside
+    filter_frame).  pts: in/2
     for weave (C int trunc), prev's pts for doubleweave; outputs are
     flagged interlaced with tff=!first_field."""
 
@@ -2087,8 +2119,12 @@ class WeaveFilter:
         self._prev = None          # (planes, pts)
         self._count = 0            # consumed frames
 
-    def _weave_pair(self, prev, cur, count):
-        weave = self.double and not (count & 1)
+    def _weave_pair(self, prev, cur, index):
+        # vf_weave.c:99: weave = double && !(frame_count_out & 1) where
+        # frame_count_out inside filter_frame is the 0-BASED index of
+        # the frame being processed (avfilter.c:1131-1133 decrements
+        # before the call)
+        weave = self.double and not (index & 1)
         field1 = self.first_field if weave else (not self.first_field)
         out = {}
         for nm in cur:
@@ -2102,11 +2138,22 @@ class WeaveFilter:
         return out
 
     def process_batch(self, fb: FrameBatch, meta):
+        # compact away upstream drops / batch padding — only delivered
+        # frames enter the C's prev register
+        alive = np.asarray(meta["keep"]).copy()
+        if meta.get("pad") is not None:
+            alive &= ~np.asarray(meta["pad"])
+        idx = np.nonzero(alive)[0]
+        if len(idx) < fb.batch:
+            sel = jnp.asarray(idx)
+            fb = fb.with_planes({k: jnp.take(p, sel, axis=0)
+                                 for k, p in fb.planes.items()})
+            meta = _meta_take(meta, idx)
         n = fb.batch
         pts = meta.get("pts")
         pts = (np.asarray(pts, np.int64) if pts is not None
                else np.arange(n, dtype=np.int64))
-        rows, out_pts, out_il = [], [], []
+        rows, out_pts, out_il, src = [], [], [], []
         for i in range(n):
             frame = {nm: v[i:i + 1] for nm, v in fb.planes.items()}
             self._count += 1
@@ -2115,7 +2162,8 @@ class WeaveFilter:
                 continue
             prev_planes, prev_pts = self._prev
             rows.append(self._weave_pair(prev_planes, frame,
-                                         self._count))
+                                         self._count - 1))
+            src.append(i)            # av_frame_copy_props(out, in)
             if self.double:
                 out_pts.append(prev_pts)
                 self._prev = (frame, int(pts[i]))
@@ -2134,21 +2182,14 @@ class WeaveFilter:
         planes = {nm: jnp.concatenate([r[nm] for r in rows])
                   for nm in rows[0]}
         k = len(rows)
-        out = dict(meta)
+        out = _meta_take(meta, np.asarray(src, np.int64))
         out["pts"] = np.asarray(out_pts, np.int64)
-        for key in list(out):
-            if out[key] is None or key == "pts":
-                continue
-            if key == "keep":
-                out[key] = np.ones(k, bool)
-            elif key == "pad":
-                out[key] = np.zeros(k, bool)
-            elif key == "interlaced":
-                out[key] = np.asarray(out_il,
-                                      np.asarray(meta[key]).dtype)
-            else:
-                out[key] = np.asarray(meta[key])[-k:] if k <= n \
-                    else np.repeat(np.asarray(meta[key]), 2, axis=0)[:k]
+        if out.get("interlaced") is not None:
+            out["interlaced"] = np.asarray(
+                out_il, np.asarray(meta["interlaced"]).dtype)
+        out["keep"] = np.ones(k, bool)
+        if out.get("pad") is not None:
+            out["pad"] = np.zeros(k, bool)
         return FrameBatch(planes, fb.format, fb.width, fb.height * 2,
                           fb.colorspace), out
 
@@ -2745,6 +2786,7 @@ class TpadFilter:
             return float(s)
 
         fps = float(src_fps) or 30.0
+        self._fps = fps
         if dur(start_duration):
             self.pad_start = int(round(dur(start_duration) * fps))
         if dur(stop_duration):
@@ -2756,14 +2798,50 @@ class TpadFilter:
         self._last = None            # (planes dict, meta row) for stop
         self._geom = None            # (format, w, h, colorspace)
 
-    def _color_planes(self, shapes, dtypes, count):
-        ycol, ucol, vcol = _rgb_to_yuv_ccir(*self.rgba[:3])
-        vals = {"y": ycol, "u": ucol, "v": vcol, "a": self.rgba[3]}
+    def _color_planes(self, fmt, shapes, dtypes, count):
+        """ff_draw_color fill (drawutils.c:159-204): double-precision
+        conversion at the format's depth — BT.601/SMPTE170M
+        limited-range for YUV, identity full-range for RGB
+        (ff_draw_init2's UNSPECIFIED defaults), val = trunc(x*max+0.5)."""
+        r, g, b, a = (c / 255.0 for c in self.rgba)
+        mx = (1 << fmt.bits) - 1
+        if fmt.is_rgb:
+            if fmt.is_float:
+                raise FilterError("tpad: color padding needs an 8-16 "
+                                  "bit format (ff_draw_init2 rejects "
+                                  "float depths)")
+            comp = {"r": r, "g": g, "b": b, "a": a}
+            vec = [int(comp[c] * mx + 0.5)
+                   for c in (fmt.channel_order or "rgb")]
+            return {nm: jnp.broadcast_to(
+                        jnp.asarray(vec, dtypes[nm]),
+                        (count,) + shapes[nm])
+                    for nm in shapes}
+        cr, cg, cb = 0.299, 0.587, 0.114
+        y = cr * r + cg * g + cb * b
+        bs, rs = 0.5 / (cb - 1.0), 0.5 / (cr - 1.0)
+        u = bs * cr * r + bs * cg * g + 0.5 * b
+        v = 0.5 * r + rs * cg * g + rs * cb * b
+        vals = {"y": (y * 219 / 255 + 16 / 255),
+                "u": (u * 224 / 255 + 128 / 255),
+                "v": (v * 224 / 255 + 128 / 255), "a": a}
         return {nm: jnp.full((count,) + shapes[nm],
-                             np.uint8(vals.get(nm, 0)), dtypes[nm])
+                             int(vals.get(nm, 0.0) * mx + 0.5),
+                             dtypes[nm])
                 for nm in shapes}
 
     def process_batch(self, fb: FrameBatch, meta):
+        # compact upstream drops / batch padding: the C only ever sees
+        # (and clones for stop padding) frames actually delivered
+        alive = np.asarray(meta["keep"]).copy()
+        if meta.get("pad") is not None:
+            alive &= ~np.asarray(meta["pad"])
+        idx = np.nonzero(alive)[0]
+        if len(idx) < fb.batch:
+            sel = jnp.asarray(idx)
+            fb = fb.with_planes({k: jnp.take(p, sel, axis=0)
+                                 for k, p in fb.planes.items()})
+            meta = _meta_take(meta, idx)
         pts = meta.get("pts")
         times = meta.get("times")
         if self._pts_step is None:
@@ -2774,7 +2852,8 @@ class TpadFilter:
                 self._pts_step = 1
             self._pts_step_t = (float(np.median(np.diff(times)))
                                 if times is not None and len(times) > 1
-                                else 0.0)
+                                else (1.0 / self._fps
+                                      if times is not None else 0.0))
         n = fb.batch
         if n:
             self._geom = (fb.format, fb.width, fb.height, fb.colorspace)
@@ -2786,6 +2865,10 @@ class TpadFilter:
         if pts is not None and self.pad_start:
             out_meta["pts"] = (np.asarray(pts)
                                + self.pad_start * self._pts_step)
+        if times is not None and self.pad_start:
+            # keep the seconds track consistent with the shifted pts
+            out_meta["times"] = (np.asarray(times)
+                                 + self.pad_start * self._pts_step_t)
         if not self._started and n:
             self._started = True
             k = self.pad_start
@@ -2797,7 +2880,7 @@ class TpadFilter:
                     shapes = {nm: v.shape[1:]
                               for nm, v in fb.planes.items()}
                     dts = {nm: v.dtype for nm, v in fb.planes.items()}
-                    pads = self._color_planes(shapes, dts, k)
+                    pads = self._color_planes(fb.fmt, shapes, dts, k)
                 pad_pts = np.arange(k, dtype=np.int64) * self._pts_step
                 pmeta = {}
                 for key, arr in out_meta.items():
@@ -2832,7 +2915,8 @@ class TpadFilter:
         else:
             shapes = {nm: v.shape[1:] for nm, v in planes1.items()}
             dts = {nm: v.dtype for nm, v in planes1.items()}
-            planes = self._color_planes(shapes, dts, k)
+            planes = self._color_planes(F.get(self._geom[0]),
+                                        shapes, dts, k)
         step = self._pts_step or 1
         last_pts = meta1.get("pts")
         start = (int(np.asarray(last_pts)[0])

@@ -292,3 +292,14 @@ def test_parse_positional_frequency():
     assert y.shape == x.shape
     b = compute_coeffs("lowpass", 48000, frequency=24001)
     assert b[5] is True            # above nyquist -> bypass
+
+def test_parse_allpass_positional_normalize():
+    """allpass_options declare frequency, width_type, width, mix,
+    channels, NORMALIZE, order, transform, precision (af_biquads.c:1643
+    with MIX_CHANNELS_NORMALIZE_OPTION expanding before order): the 6th
+    positional binds normalize, not order."""
+    kw = parse_biquad_opts("allpass", "3000:q:0.707:1:all:1")
+    assert kw.get("normalize") in (True, 1, "1")
+    assert "order" not in kw
+    kw = parse_biquad_opts("allpass", "3000:q:0.707:1:all:0:1")
+    assert kw.get("order") in (1, "1", 1.0)

@@ -107,3 +107,24 @@ def test_colortemperature_gates(rng):
     for bad in ["colortemperature=500", "colortemperature=mix=2"]:
         with pytest.raises(FilterError):
             FilterGraph(bad)
+
+
+def test_colortemperature_bgr_order(rng):
+    """vf_colortemperature.c indexes channels via rgba_map: the SAME
+    image stored bgr24 must produce the channel-reversed rgb24 result
+    (regression: the red/blue scales were applied by position)."""
+    from gmat_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+    arr = rng.integers(0, 256, (2, 8, 8, 3)).astype(np.uint8)
+    fb_rgb = FrameBatch({"rgb": jnp.asarray(arr)}, "rgb24", 8, 8,
+                        "bt709")
+    fb_bgr = FrameBatch({"rgb": jnp.asarray(arr[..., ::-1])},
+                        "bgr24", 8, 8, "bt709")
+    g1 = FilterGraph("colortemperature=4000")
+    g2 = FilterGraph("colortemperature=4000")
+    got_rgb = np.asarray(g1.process(fb_rgb)[0].planes["rgb"])
+    got_bgr = np.asarray(g2.process(fb_bgr)[0].planes["rgb"])
+    np.testing.assert_array_equal(got_bgr, got_rgb[..., ::-1])
+    # and 4000K on rgb24 must actually WARM (blue scaled well below red)
+    assert got_rgb[..., 2].astype(int).sum() < arr[..., 2].astype(int).sum()
+    np.testing.assert_array_equal(got_rgb[..., 0], arr[..., 0])  # r scale = 1.0

@@ -105,9 +105,81 @@ def test_doubleweave_overlap(rng):
     outs, pts = _run(frames, "doubleweave", [5, 6, 7])
     assert len(outs) == 2
     assert pts == [5, 6]                # prev pts
-    # output 0: count=2 -> weave=1 -> field1=first_field=0: cur even
-    np.testing.assert_array_equal(outs[0][0::2], y[1])
-    np.testing.assert_array_equal(outs[0][1::2], y[0])
-    # output 1: count=3 -> weave=0 -> field1=1: cur odd
-    np.testing.assert_array_equal(outs[1][1::2], y[2])
-    np.testing.assert_array_equal(outs[1][0::2], y[1])
+    # vf_weave.c:99 weave = !(frame_count_out & 1) with frame_count_out
+    # = 0-based index of the frame being processed (avfilter.c
+    # decrements before filter_frame).  Output 0 processes frame 1:
+    # weave=!(1&1)=0 -> field1=!first_field=1: cur on odd rows
+    np.testing.assert_array_equal(outs[0][1::2], y[1])
+    np.testing.assert_array_equal(outs[0][0::2], y[0])
+    # output 1 processes frame 2: weave=!(2&1)=1 -> field1=0: cur even
+    np.testing.assert_array_equal(outs[1][0::2], y[2])
+    np.testing.assert_array_equal(outs[1][1::2], y[1])
+
+
+def test_separatefields_default_bff(rng):
+    """AVFrame.top_field_first defaults to 0: an unflagged stream
+    separates bottom-field-first (extract_field type = !tff = 1)."""
+    frames = _clip(rng, n=1)
+    y = frames[0]
+    outs, _ = _run(frames, "separatefields", [0])     # interlaced=None
+    np.testing.assert_array_equal(outs[0], y[0][1::2])
+
+
+def test_separatefields_keep_pad_masks(rng):
+    """Upstream-dropped and batch-pad frames never reach the filter
+    (ffmpeg chain semantics): their fields must not appear."""
+    y, u, v = _clip(rng, n=4)
+    g = FilterGraph("separatefields")
+    fb = from_numpy_yuv420(y, u, v)
+    ofb, k = g.process(fb, pts=np.arange(4) * 10,
+                       keep=np.array([True, False, True, True]),
+                       interlaced=np.array([3] * 4), valid=3)
+    ys = np.asarray(ofb.planes["y"])[k]
+    # survivors 0,2: first(0) | second(0), first(2); second(2) pends
+    assert len(ys) == 3
+    np.testing.assert_array_equal(ys[0], y[0][0::2])
+    np.testing.assert_array_equal(ys[1], y[0][1::2])
+    np.testing.assert_array_equal(ys[2], y[2][0::2])
+
+
+def test_separatefields_meta_alignment(rng):
+    """Each field carries its SOURCE frame's props (the C emits the
+    input frame/clone), including the second field carried across a
+    batch boundary."""
+    y, u, v = _clip(rng, n=3)
+    g = FilterGraph("separatefields")
+    t_all = []
+    for lo, hi in ((0, 2), (2, 3)):
+        fb = from_numpy_yuv420(y[lo:hi], u[lo:hi], v[lo:hi])
+        _, k = g.process(fb, pts=np.arange(lo, hi) * 10,
+                         times=np.arange(lo, hi, dtype=np.float64),
+                         interlaced=np.array([3] * (hi - lo)))
+        t_all.extend(np.asarray(g.out_times)[k].tolist())
+    # first(0) | second(0), first(1) | second(1), first(2)
+    assert t_all == [0.0, 0.0, 1.0, 1.0, 2.0]
+
+
+def test_weave_keep_mask_and_meta(rng):
+    """weave pairs only DELIVERED frames; output props come from the
+    second frame of each pair (av_frame_copy_props(out, in))."""
+    y, u, v = _clip(rng, n=4, h=8)
+    g = FilterGraph("weave=top")
+    fb = from_numpy_yuv420(y, u, v)
+    ofb, k = g.process(fb, pts=np.arange(4),
+                       times=np.array([0.0, 1.0, 2.0, 3.0]),
+                       keep=np.array([True, False, True, True]))
+    ys = np.asarray(ofb.planes["y"])[k]
+    assert len(ys) == 1
+    # pair is (f0, f2): first_field=top -> cur f2 on odd rows
+    np.testing.assert_array_equal(ys[0][0::2], y[0])
+    np.testing.assert_array_equal(ys[0][1::2], y[2])
+    assert np.asarray(g.out_times)[k].tolist() == [2.0]
+
+
+def test_weave_meta_second_of_pair(rng):
+    y, u, v = _clip(rng, n=4, h=8)
+    g = FilterGraph("weave=top")
+    fb = from_numpy_yuv420(y, u, v)
+    _, k = g.process(fb, pts=np.arange(4),
+                     times=np.array([0.0, 1.0, 2.0, 3.0]))
+    assert np.asarray(g.out_times)[k].tolist() == [1.0, 3.0]
