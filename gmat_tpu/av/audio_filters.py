@@ -265,6 +265,8 @@ def parse_audio_filters(desc: str) -> List[Tuple[str, Dict[str, float]]]:
             elif name.strip() == "amix":
                 from .amix import parse_amix_opts
                 chain.append((name.strip(), parse_amix_opts(val)))
+            elif name.strip() == "aloop":
+                chain.append((name.strip(), _parse_aloop_opts(val)))
             elif name.strip() in _BIQUAD_NAMES:
                 from .biquads import parse_biquad_opts
                 chain.append((name.strip(),
@@ -279,6 +281,8 @@ def parse_audio_filters(desc: str) -> List[Tuple[str, Dict[str, float]]]:
             chain.append(("loudnorm", {}))
         elif part == "dynaudnorm":
             chain.append(("dynaudnorm", {}))
+        elif part == "aloop":
+            chain.append(("aloop", {}))
         elif part in _BIQUAD_NAMES:
             chain.append((part, {}))
         else:
@@ -451,6 +455,8 @@ class AudioFilterStream:
             elif name == "amix":
                 from .amix import AmixStream
                 self.stages.append(AmixStream(self.out_rate, **kw))
+            elif name == "aloop":
+                self.stages.append(AloopStream(self.out_rate, **kw))
             elif name in _BIQUAD_NAMES:
                 from .biquads import BiquadStream
                 self.stages.append(BiquadStream(self.out_rate, name,
@@ -521,6 +527,16 @@ def apply_audio_filters(samples: np.ndarray, rate: int, desc: str):
             from .amix import AmixStream
             st = AmixStream(rate, **kw)
             parts = [p for p in (st.push(samples), st.flush()) if p.size]
+            samples = np.concatenate(parts) if parts else samples[:0]
+        elif name == "aloop":
+            # f_loop's audio semantics depend on the input frame
+            # segmentation (see AloopStream); the offline path feeds
+            # decoder-typical 1024-sample frames
+            st = AloopStream(rate, **kw)
+            parts = [st.push(samples[i:i + 1024])
+                     for i in range(0, len(samples), 1024)]
+            parts.append(st.flush())
+            parts = [p for p in parts if p.size]
             samples = np.concatenate(parts) if parts else samples[:0]
         elif name in _BIQUAD_NAMES:
             from .biquads import BiquadStream
@@ -734,6 +750,124 @@ class AechoStream:
             outs.append(self.push(np.zeros((nb, self._ch), np.int16)))
             remaining -= nb
         return np.concatenate(outs)
+
+
+class AloopStream:
+    """af_loop analog (f_loop.c:59-258, audio lane): capture `size`
+    samples starting at absolute sample position `start` and replay
+    them `loop` times, exactly as afilter_frame/push_samples do —
+    including the segmentation-dependent quirks of the C:
+
+    - the boundary block crossing `size` is EMITTED truncated to the
+      `written` prefix (frame->nb_samples = ret, :162); its tail goes
+      to the `left` fifo via write-whole-then-drain, which keeps
+      block[n-written:] (:156-160) — and with the activate() scheduler
+      that fifo is never drained (arequest_frame's left branch is only
+      reachable when aactivate stops calling it), so those samples are
+      dropped; we reproduce the drop.
+    - capture uses write-then-drain: the first recorded block writes
+      its whole prefix then drains (start - ignored_samples) (:145-150),
+      so `written` counts from the block START, not from `start`.
+    - replay cycles decrement loop per full pass (push_samples
+      :119-125); EOF truncates size to what was captured and replays
+      at EOF (aactivate :237-241).
+
+    loop=-1 (infinite) is rejected; total replayed samples are capped
+    to keep the one-shot emission materializable."""
+
+    _MAX_CLONES = 1 << 26
+
+    def __init__(self, rate: int, loop=0, size=0, start=0):
+        self.loop = int(loop)
+        self.size = int(size)
+        self.start = int(start)
+        if self.loop < 0:
+            raise ValueError("aloop: loop=-1 (infinite) is not "
+                             "supported in the batch pipeline")
+        if not 0 <= self.size <= 2**31 - 1:
+            raise ValueError("aloop: size out of [0, INT32_MAX]")
+        if self.start < 0:
+            raise ValueError("aloop: start must be >= 0")
+        if self.loop * self.size > self._MAX_CLONES:
+            raise ValueError(f"aloop: loop*size exceeds "
+                             f"{self._MAX_CLONES} materialized samples")
+        self._fifo = []              # captured section blocks
+        self._nb = 0                 # samples captured (post-drain)
+        self._ignored = 0
+        self._ch = 0
+
+    def _cycles(self) -> list:
+        sect = (np.concatenate(self._fifo) if len(self._fifo) > 1
+                else self._fifo[0])
+        self._fifo = [sect]
+        outs = []
+        while self.loop != 0 and self._nb > 0:
+            outs.append(sect)
+            if self.loop > 0:
+                self.loop -= 1
+        return outs
+
+    def push(self, block: np.ndarray) -> np.ndarray:
+        n = len(block)
+        if n == 0:
+            return block
+        self._ch = block.shape[1]
+        outs = []
+        if (self._ignored + n > self.start and self.size > 0
+                and self.loop != 0):
+            if self._nb < self.size:
+                written = min(n, self.size - self._nb)
+                buf = block[:written]
+                if not self._nb:
+                    drain = max(0, self.start - self._ignored)
+                    buf = buf[drain:]
+                    self._nb -= drain          # += written - drain below
+                self._fifo.append(buf)
+                self._nb += written
+                outs.append(block[:written])   # truncated passthrough
+                # (block[n-written:] would land in `left` and is never
+                # drained under activate() — dropped, like the C)
+                if self._nb == self.size:
+                    outs.extend(self._cycles())
+            else:                              # unreachable: cycles
+                outs.extend(self._cycles())    # exhaust loop at fill
+        else:
+            self._ignored += n
+            outs.append(block)
+        outs = [o for o in outs if len(o)]
+        return (np.concatenate(outs) if outs
+                else block[:0])
+
+    def flush(self) -> np.ndarray:
+        # EOF before the capture filled: size = nb_samples, replay now
+        if self._nb > 0 and self.loop != 0 and self._nb < self.size:
+            self.size = self._nb
+            outs = self._cycles()
+            if outs:
+                return np.concatenate(outs)
+        return np.zeros((0, self._ch or 1), np.int16)
+
+
+_ALOOP_ORDER = ("loop", "size", "start")
+
+
+def _parse_aloop_opts(val: str) -> Dict:
+    kw: Dict = {}
+    positional = True
+    for i, tok in enumerate(str(val).split(":")):
+        tok = tok.strip()
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            k = k.strip()
+            positional = False
+        elif positional and i < len(_ALOOP_ORDER):
+            k, v = _ALOOP_ORDER[i], tok
+        else:
+            raise ValueError(f"aloop: bad option {tok!r}")
+        if k not in _ALOOP_ORDER:
+            raise ValueError(f"aloop: unknown option {k!r}")
+        kw[k] = int(v)
+    return kw
 
 
 # ---- pan (af_pan.c) ---------------------------------------------------------

@@ -2939,6 +2939,179 @@ class TpadFilter:
         return fb, meta
 
 
+class LoopFilter:
+    """f_loop.c video `loop` analog: buffer `size` frames starting at
+    input frame index `start` (frame_count_out comparison, :357) and
+    replay them `loop` times in the middle of the stream.
+
+    Exact semantics kept: buffered frames pass through with their
+    original pts while recording (s->duration tracks last pts + one
+    frame duration, :369-375); each replayed clone gets
+    pts += duration - start_pts and carries its source frame's props
+    (push_frame :322-350, av_frame_clone); after every full cycle
+    duration advances to the cycle's end and loop decrements; frames
+    after the loop (and before `start`) get pts += duration (:381-383,
+    a no-op shift before any looping).  EOF before the buffer fills
+    truncates size to nb_frames and replays what was captured
+    (activate :404-407).  Divergences (documented): per-frame
+    pkt_duration is not tracked in the batch graph — one frame
+    duration = the inferred median pts step; loop=-1 (infinite) is
+    rejected like tpad's stop=-1; total replayed frames are capped to
+    keep one output batch materializable."""
+
+    stream_filter = True
+    _MAX_CLONES = 16384
+
+    def __init__(self, loop=0, size=0, start=0):
+        self.loop = int(loop)
+        self.size = int(size)
+        self.start = int(start)
+        if self.loop < 0:
+            raise FilterError("loop: loop=-1 (infinite) is not "
+                              "supported in the batch graph")
+        if not 0 <= self.size <= 32767:
+            raise FilterError("loop: size out of [0, INT16_MAX]")
+        if self.start < 0:
+            raise FilterError("loop: start must be >= 0")
+        if self.loop * self.size > self._MAX_CLONES:
+            raise FilterError(f"loop: loop*size exceeds "
+                              f"{self._MAX_CLONES} materialized frames")
+        self._buf = []            # (planes row, meta row, pts, time)
+        self._count = 0           # frame_count_out analog
+        self._duration = 0        # accumulated pts shift state
+        self._duration_t = 0.0
+        self._start_pts = 0
+        self._start_t = 0.0
+        self._step = None
+        self._step_t = 0.0
+        self._geom = None
+        self._last_pts = None
+        self._last_t = None
+
+    def _push_cycles(self, rows, out_pts, out_times, metas):
+        """Replay full buffer cycles until loop hits 0 (push_frame)."""
+        step, step_t = (self._step or 1), self._step_t
+        while self.loop != 0 and self._buf:
+            for planes, mrow, bpts, bt in self._buf:
+                rows.append(planes)
+                metas.append(mrow)
+                p = bpts + self._duration - self._start_pts
+                out_pts.append(p)
+                out_times.append(bt + self._duration_t - self._start_t)
+            self._duration = out_pts[-1] + step
+            self._duration_t = out_times[-1] + step_t
+            if self.loop > 0:
+                self.loop -= 1
+
+    def process_batch(self, fb: FrameBatch, meta):
+        alive = np.asarray(meta["keep"]).copy()
+        if meta.get("pad") is not None:
+            alive &= ~np.asarray(meta["pad"])
+        idx = np.nonzero(alive)[0]
+        if len(idx) < fb.batch:
+            sel = jnp.asarray(idx)
+            fb = fb.with_planes({k: jnp.take(p, sel, axis=0)
+                                 for k, p in fb.planes.items()})
+            meta = _meta_take(meta, idx)
+        n = fb.batch
+        pts = meta.get("pts")
+        pts = (np.asarray(pts, np.int64) if pts is not None
+               else np.arange(n, dtype=np.int64))
+        times = meta.get("times")
+        if self._step is None and n:
+            # carry the previous batch's tail so single-frame batches
+            # still infer a frame duration
+            seq = ([self._last_pts] if self._last_pts is not None
+                   else []) + pts.tolist()
+            d = np.diff(seq)
+            if len(d):
+                self._step = int(np.median(d))
+            if times is not None:
+                tq = ([self._last_t] if self._last_t is not None
+                      else []) + np.asarray(times, np.float64).tolist()
+                if len(tq) > 1:
+                    self._step_t = float(np.median(np.diff(tq)))
+        if n:
+            self._geom = (fb.format, fb.width, fb.height, fb.colorspace)
+            self._last_pts = int(pts[-1])
+            if times is not None:
+                self._last_t = float(times[-1])
+        rows, out_pts, out_times, metas = [], [], [], []
+        for i in range(n):
+            frame = {nm: v[i:i + 1] for nm, v in fb.planes.items()}
+            mrow = _meta_take(meta, slice(i, i + 1))
+            t_i = float(times[i]) if times is not None else 0.0
+            recording = (self._count >= self.start and self.size > 0
+                         and self.loop != 0)
+            self._count += 1
+            if recording and len(self._buf) < self.size:
+                if not self._buf:
+                    self._start_pts = int(pts[i])
+                    self._start_t = t_i
+                self._buf.append((frame, mrow, int(pts[i]), t_i))
+                step = self._step or 1
+                self._duration = int(pts[i]) + step
+                self._duration_t = t_i + self._step_t
+                rows.append(frame)
+                metas.append(mrow)
+                out_pts.append(int(pts[i]))
+                out_times.append(t_i)
+                if len(self._buf) == self.size:
+                    self._push_cycles(rows, out_pts, out_times, metas)
+            else:
+                rows.append(frame)
+                metas.append(mrow)
+                out_pts.append(int(pts[i]) + self._duration)
+                out_times.append(t_i + self._duration_t)
+        return self._assemble(fb, meta, rows, out_pts, out_times, metas)
+
+    def _assemble(self, fb, meta, rows, out_pts, out_times, metas):
+        if not rows:
+            return _empty_like(fb), _meta_take(meta, slice(0, 0))
+        planes = {nm: jnp.concatenate([r[nm] for r in rows])
+                  for nm in rows[0]}
+        k = len(rows)
+        out = metas[0]
+        for m in metas[1:]:
+            out = _meta_concat(out, m)
+        out["pts"] = np.asarray(out_pts, np.int64)
+        if out.get("times") is not None:
+            out["times"] = np.asarray(out_times,
+                                      np.asarray(out["times"]).dtype)
+        out["keep"] = np.ones(k, bool)
+        if out.get("pad") is not None:
+            out["pad"] = np.zeros(k, bool)
+        return FrameBatch(planes, fb.format, fb.width, fb.height,
+                          fb.colorspace), out
+
+    def flush(self):
+        # EOF before the buffer filled: size truncates to what was
+        # captured and the replay happens at EOF (activate :404-415)
+        if not self._buf or self.loop == 0 or len(self._buf) >= self.size:
+            return None
+        self.size = len(self._buf)
+        rows, out_pts, out_times, metas = [], [], [], []
+        self._push_cycles(rows, out_pts, out_times, metas)
+        self._buf = []
+        if not rows:
+            return None
+        planes = {nm: jnp.concatenate([r[nm] for r in rows])
+                  for nm in rows[0]}
+        out = metas[0]
+        for m in metas[1:]:
+            out = _meta_concat(out, m)
+        k = len(rows)
+        out["pts"] = np.asarray(out_pts, np.int64)
+        if out.get("times") is not None:
+            out["times"] = np.asarray(out_times,
+                                      np.asarray(out["times"]).dtype)
+        out["keep"] = np.ones(k, bool)
+        if out.get("pad") is not None:
+            out["pad"] = np.zeros(k, bool)
+        fmt, w, h, cs = self._geom
+        return FrameBatch(planes, fmt, w, h, cs), out
+
+
 class VignetteFilter:
     """vf_vignette.c analog (ops/vignette.py): natural cos^4 lens
     falloff (or its reverse), SAR-aware aspect scaling, per-pixel LCG
@@ -4425,6 +4598,7 @@ FILTERS: Dict[str, Callable] = {
     "noise": NoiseFilter,
     "vignette": VignetteFilter,
     "tpad": TpadFilter,
+    "loop": LoopFilter,
     "framerate": FramerateFilter,
     "separatefields": SeparateFieldsFilter,
     "exposure": _f_exposure,

@@ -40,6 +40,7 @@ POSITIONAL = {
     "rotate_nvcv": ("angle", "interp", "shift_x", "shift_y"),
     "pad": ("w", "h", "x", "y", "color"),
     "trim": ("start", "end"),
+    "loop": ("loop", "size", "start"),
     "setpts": ("expr",),
     "eq": ("contrast", "brightness", "saturation", "gamma"),
     "fade": ("type", "start_frame", "nb_frames"),
