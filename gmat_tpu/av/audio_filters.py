@@ -797,9 +797,14 @@ class AloopStream:
         self._ch = 0
 
     def _cycles(self) -> list:
+        # push_samples reads fifo[0:nb_samples] (:119-125) — when the
+        # first-block drain overshot (start - ignored > size), the C's
+        # av_audio_fifo_drain clamps so the fifo later holds MORE than
+        # nb_samples; only the first nb_samples replay
         sect = (np.concatenate(self._fifo) if len(self._fifo) > 1
                 else self._fifo[0])
         self._fifo = [sect]
+        sect = sect[:max(self._nb, 0)]
         outs = []
         while self.loop != 0 and self._nb > 0:
             outs.append(sect)

@@ -2940,24 +2940,30 @@ class TpadFilter:
 
 
 class LoopFilter:
-    """f_loop.c video `loop` analog: buffer `size` frames starting at
-    input frame index `start` (frame_count_out comparison, :357) and
-    replay them `loop` times in the middle of the stream.
+    """f_loop.c video `loop` analog: buffer `size` frames and replay
+    them `loop` times in the middle of the stream.
 
-    Exact semantics kept: buffered frames pass through with their
-    original pts while recording (s->duration tracks last pts + one
-    frame duration, :369-375); each replayed clone gets
+    Exact semantics kept: the recording gate is frame_count_out >=
+    start (:361) where frame_count_out is the POST-increment count —
+    ff_inlink_consume_frame's consume_update increments before
+    filter_frame runs (avfilter.c:1390) — so recording starts at input
+    frame index max(0, start-1).  Buffered frames pass through with
+    their original pts while recording; each replayed clone gets
     pts += duration - start_pts and carries its source frame's props
-    (push_frame :322-350, av_frame_clone); after every full cycle
-    duration advances to the cycle's end and loop decrements; frames
-    after the loop (and before `start`) get pts += duration (:381-383,
-    a no-op shift before any looping).  EOF before the buffer fills
-    truncates size to nb_frames and replays what was captured
-    (activate :404-407).  Divergences (documented): per-frame
-    pkt_duration is not tracked in the batch graph — one frame
-    duration = the inferred median pts step; loop=-1 (infinite) is
-    rejected like tpad's stop=-1; total replayed frames are capped to
-    keep one output batch materializable."""
+    (push_frame :322-350, av_frame_clone) with duration = last recorded
+    pts + one frame duration; after every full cycle duration advances
+    to the cycle's end and loop decrements; frames after the loop (and
+    before `start`) get pts += duration (:381-383, a no-op shift before
+    any looping).  EOF before the buffer fills truncates size to
+    nb_frames and replays what was captured (activate :404-407).
+
+    Divergences (documented): per-frame pkt_duration is not tracked in
+    the batch graph — one frame duration = the inferred median pts
+    step (if the buffer fills before any step is observable, the
+    replay is DEFERRED until the next frame or EOF reveals one, which
+    preserves output order); loop=-1 (infinite) is rejected like
+    tpad's stop=-1; total replayed frames are capped to keep one
+    output batch materializable."""
 
     stream_filter = True
     _MAX_CLONES = 16384
@@ -2977,7 +2983,7 @@ class LoopFilter:
             raise FilterError(f"loop: loop*size exceeds "
                               f"{self._MAX_CLONES} materialized frames")
         self._buf = []            # (planes row, meta row, pts, time)
-        self._count = 0           # frame_count_out analog
+        self._count = 0           # frame_count_out analog (post-incr)
         self._duration = 0        # accumulated pts shift state
         self._duration_t = 0.0
         self._start_pts = 0
@@ -2987,26 +2993,74 @@ class LoopFilter:
         self._geom = None
         self._last_pts = None
         self._last_t = None
+        self._pending = False     # buffer full before a step was known
+
+    def _infer_step(self, pts, times):
+        """Median frame duration, carrying the previous batch's tail so
+        single-frame batches still infer one."""
+        if self._step is None and len(pts):
+            seq = ([self._last_pts] if self._last_pts is not None
+                   else []) + list(pts)
+            d = np.diff(seq)
+            if len(d):
+                self._step = int(np.median(d))
+            if times is not None:
+                tq = ([self._last_t] if self._last_t is not None
+                      else []) + [float(t) for t in times]
+                if len(tq) > 1:
+                    self._step_t = float(np.median(np.diff(tq)))
+        if len(pts):
+            self._last_pts = int(pts[-1])
+            if times is not None:
+                self._last_t = float(times[-1])
 
     def _push_cycles(self, rows, out_pts, out_times, metas):
-        """Replay full buffer cycles until loop hits 0 (push_frame)."""
+        """Replay full buffer cycles until loop hits 0 (push_frame).
+        duration finalizes here from the last recorded frame, so a
+        deferred replay still uses the real frame duration."""
         step, step_t = (self._step or 1), self._step_t
+        self._duration = self._buf[-1][2] + step
+        self._duration_t = self._buf[-1][3] + step_t
         while self.loop != 0 and self._buf:
             for planes, mrow, bpts, bt in self._buf:
                 rows.append(planes)
                 metas.append(mrow)
-                p = bpts + self._duration - self._start_pts
-                out_pts.append(p)
+                out_pts.append(bpts + self._duration - self._start_pts)
                 out_times.append(bt + self._duration_t - self._start_t)
             self._duration = out_pts[-1] + step
             self._duration_t = out_times[-1] + step_t
             if self.loop > 0:
                 self.loop -= 1
+        self._pending = False
 
     def process_batch(self, fb: FrameBatch, meta):
         alive = np.asarray(meta["keep"]).copy()
         if meta.get("pad") is not None:
             alive &= ~np.asarray(meta["pad"])
+        n_alive = int(alive.sum())
+        raw_pts = meta.get("pts")
+        raw_times = meta.get("times")
+        apts = (np.asarray(raw_pts, np.int64)[alive]
+                if raw_pts is not None
+                else np.arange(n_alive, dtype=np.int64))
+        atimes = (np.asarray(raw_times, np.float64)[alive]
+                  if raw_times is not None else None)
+        self._infer_step(apts, atimes)
+        if fb.batch:
+            self._geom = (fb.format, fb.width, fb.height, fb.colorspace)
+        # fast path: no frame in this batch can record and no replay is
+        # pending -> passthrough with a uniform pts shift, no per-frame
+        # slicing / meta copies / device concat
+        if ((self.size == 0 or self.loop == 0 or
+             (not self._buf and self._count + n_alive < self.start))
+                and not self._pending):
+            self._count += n_alive
+            out = dict(meta)
+            if self._duration and raw_pts is not None:
+                out["pts"] = np.asarray(raw_pts) + self._duration
+            if self._duration_t and raw_times is not None:
+                out["times"] = np.asarray(raw_times) + self._duration_t
+            return fb, out
         idx = np.nonzero(alive)[0]
         if len(idx) < fb.batch:
             sel = jnp.asarray(idx)
@@ -3014,93 +3068,47 @@ class LoopFilter:
                                  for k, p in fb.planes.items()})
             meta = _meta_take(meta, idx)
         n = fb.batch
-        pts = meta.get("pts")
-        pts = (np.asarray(pts, np.int64) if pts is not None
-               else np.arange(n, dtype=np.int64))
-        times = meta.get("times")
-        if self._step is None and n:
-            # carry the previous batch's tail so single-frame batches
-            # still infer a frame duration
-            seq = ([self._last_pts] if self._last_pts is not None
-                   else []) + pts.tolist()
-            d = np.diff(seq)
-            if len(d):
-                self._step = int(np.median(d))
-            if times is not None:
-                tq = ([self._last_t] if self._last_t is not None
-                      else []) + np.asarray(times, np.float64).tolist()
-                if len(tq) > 1:
-                    self._step_t = float(np.median(np.diff(tq)))
-        if n:
-            self._geom = (fb.format, fb.width, fb.height, fb.colorspace)
-            self._last_pts = int(pts[-1])
-            if times is not None:
-                self._last_t = float(times[-1])
+        pts, times = apts, atimes
         rows, out_pts, out_times, metas = [], [], [], []
+        if self._pending and n:
+            self._push_cycles(rows, out_pts, out_times, metas)
         for i in range(n):
             frame = {nm: v[i:i + 1] for nm, v in fb.planes.items()}
             mrow = _meta_take(meta, slice(i, i + 1))
             t_i = float(times[i]) if times is not None else 0.0
-            recording = (self._count >= self.start and self.size > 0
-                         and self.loop != 0)
             self._count += 1
-            if recording and len(self._buf) < self.size:
+            if (self._count >= self.start and self.size > 0
+                    and self.loop != 0 and len(self._buf) < self.size):
                 if not self._buf:
                     self._start_pts = int(pts[i])
                     self._start_t = t_i
                 self._buf.append((frame, mrow, int(pts[i]), t_i))
-                step = self._step or 1
-                self._duration = int(pts[i]) + step
-                self._duration_t = t_i + self._step_t
                 rows.append(frame)
                 metas.append(mrow)
                 out_pts.append(int(pts[i]))
                 out_times.append(t_i)
                 if len(self._buf) == self.size:
-                    self._push_cycles(rows, out_pts, out_times, metas)
+                    if self._step is None:
+                        self._pending = True
+                    else:
+                        self._push_cycles(rows, out_pts, out_times,
+                                          metas)
             else:
                 rows.append(frame)
                 metas.append(mrow)
                 out_pts.append(int(pts[i]) + self._duration)
                 out_times.append(t_i + self._duration_t)
-        return self._assemble(fb, meta, rows, out_pts, out_times, metas)
-
-    def _assemble(self, fb, meta, rows, out_pts, out_times, metas):
         if not rows:
             return _empty_like(fb), _meta_take(meta, slice(0, 0))
-        planes = {nm: jnp.concatenate([r[nm] for r in rows])
-                  for nm in rows[0]}
-        k = len(rows)
-        out = metas[0]
-        for m in metas[1:]:
-            out = _meta_concat(out, m)
-        out["pts"] = np.asarray(out_pts, np.int64)
-        if out.get("times") is not None:
-            out["times"] = np.asarray(out_times,
-                                      np.asarray(out["times"]).dtype)
-        out["keep"] = np.ones(k, bool)
-        if out.get("pad") is not None:
-            out["pad"] = np.zeros(k, bool)
-        return FrameBatch(planes, fb.format, fb.width, fb.height,
-                          fb.colorspace), out
+        return self._assemble(rows, out_pts, out_times, metas)
 
-    def flush(self):
-        # EOF before the buffer filled: size truncates to what was
-        # captured and the replay happens at EOF (activate :404-415)
-        if not self._buf or self.loop == 0 or len(self._buf) >= self.size:
-            return None
-        self.size = len(self._buf)
-        rows, out_pts, out_times, metas = [], [], [], []
-        self._push_cycles(rows, out_pts, out_times, metas)
-        self._buf = []
-        if not rows:
-            return None
+    def _assemble(self, rows, out_pts, out_times, metas):
         planes = {nm: jnp.concatenate([r[nm] for r in rows])
                   for nm in rows[0]}
+        k = len(rows)
         out = metas[0]
         for m in metas[1:]:
             out = _meta_concat(out, m)
-        k = len(rows)
         out["pts"] = np.asarray(out_pts, np.int64)
         if out.get("times") is not None:
             out["times"] = np.asarray(out_times,
@@ -3110,6 +3118,22 @@ class LoopFilter:
             out["pad"] = np.zeros(k, bool)
         fmt, w, h, cs = self._geom
         return FrameBatch(planes, fmt, w, h, cs), out
+
+    def flush(self):
+        # EOF with a pending (deferred) replay, or before the buffer
+        # filled: size truncates to what was captured and the replay
+        # happens at EOF (activate :404-415)
+        fire = (self._buf and self.loop != 0
+                and (self._pending or len(self._buf) < self.size))
+        if not fire:
+            return None
+        self.size = len(self._buf)
+        rows, out_pts, out_times, metas = [], [], [], []
+        self._push_cycles(rows, out_pts, out_times, metas)
+        self._buf = []
+        if not rows:
+            return None
+        return self._assemble(rows, out_pts, out_times, metas)
 
 
 class VignetteFilter:

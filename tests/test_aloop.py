@@ -21,7 +21,9 @@ def oracle(blocks, loop, size, start):
 
     def cycles():
         nonlocal L
-        sect = np.concatenate(fifo)
+        # push_samples reads fifo[0:nb_samples]; after a clamped
+        # first-block drain the fifo can hold more than nb_samples
+        sect = np.concatenate(fifo)[:max(nb, 0)]
         while L != 0 and nb > 0:
             outs.append(sect)
             if L > 0:
@@ -118,3 +120,21 @@ def test_aloop_offline_and_parse(sig):
         AloopStream(48000, loop=-1, size=10)
     with pytest.raises(ValueError):
         AloopStream(48000, loop=10, size=2**31 - 1)
+
+
+def test_aloop_drain_overshoot(sig):
+    """start beyond the first recorded block's written prefix: the
+    clamped av_audio_fifo_drain leaves nb_samples negative, so the
+    fifo later holds more than nb_samples and only fifo[:nb] replays
+    (f_loop.c:145-152 + audio_fifo drain clamp)."""
+    kw = dict(loop=1, size=100, start=500)
+    chunks = [1024] * 3
+    got = _run_stream(sig, chunks, **kw)
+    want = oracle(_blocks(sig, chunks), **kw)
+    np.testing.assert_array_equal(got, want)
+    # emitted: block1[:100] (truncated), block2[:500], the cycle
+    # = fifo[:nb] = block2[:100], then block3 passes through (loop
+    # exhausted -> outer else branch)
+    exp = np.concatenate([sig[:100], sig[1024:1524], sig[1024:1124],
+                          sig[2048:3072]])
+    np.testing.assert_array_equal(got, exp)

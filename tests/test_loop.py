@@ -10,9 +10,12 @@ from .test_filters import from_numpy_yuv420
 
 def oracle(frames, pts, loop, size, start, step):
     """Literal f_loop.c:322-415 state machine: filter_frame records
-    frames with frame_count_out >= start into a size-bounded buffer
-    (pass-through with original pts, s->duration = pts + frame
-    duration), push_frame replays clones at pts + duration - start_pts
+    frames with frame_count_out >= start into a size-bounded buffer —
+    frame_count_out is POST-increment inside an activate filter
+    (ff_inlink_consume_frame -> consume_update, avfilter.c:1390), so
+    recording starts at input index max(0, start-1) — pass-through
+    with original pts, s->duration = last recorded pts + frame
+    duration; push_frame replays clones at pts + duration - start_pts
     with duration advancing and loop decrementing per full cycle, and
     non-recorded frames get pts += duration; EOF truncates size to
     nb_frames and replays what was captured."""
@@ -25,6 +28,7 @@ def oracle(frames, pts, loop, size, start, step):
 
     def push_cycles():
         nonlocal duration, L
+        duration = bpts[-1] + step
         while L != 0 and buf:
             for f, p in zip(buf, bpts):
                 outs.append(f)
@@ -34,8 +38,8 @@ def oracle(frames, pts, loop, size, start, step):
                 L -= 1
 
     for f, p in zip(frames, pts):
-        rec = count >= start and size > 0 and L != 0
         count += 1
+        rec = count >= start and size > 0 and L != 0
         if rec and len(buf) < size:
             if not buf:
                 start_pts = p
@@ -112,9 +116,10 @@ def test_loop_oracle_midstream(rng, batches):
     assert len(got) == len(want)
     for g_, w_ in zip(got, want):
         np.testing.assert_array_equal(g_, w_)
-    # shape sanity: 6 in + 2 cycles * 2 frames = 10 out
+    # shape sanity: 6 in + 2 cycles * 2 frames = 10 out; start=1
+    # records from index 0 (post-increment frame_count_out gate)
     assert len(got) == 10
-    assert got_pts == [0, 10, 20, 30, 40, 50, 60, 100, 110, 120]
+    assert got_pts == [0, 10, 20, 30, 40, 50, 80, 90, 100, 110]
 
 
 def test_loop_eof_truncation(rng):
@@ -172,3 +177,29 @@ def test_loop_keep_mask_and_times(rng):
     # times mirror pts/25 here (step_t 0.8 after compaction)
     np.testing.assert_allclose(got_times,
                                [p / 25.0 for p in want_pts], atol=1e-9)
+
+
+def test_loop_start_offset_vs_activate_count(rng):
+    """start=N records from input index N-1: ff_inlink_consume_frame
+    increments frame_count_out BEFORE filter_frame sees it."""
+    frames = _frames(rng, 4)
+    got, got_pts, _ = _run(frames, "loop=loop=1:size=1:start=2",
+                           [0, 10, 20, 30])
+    # frame index 1 (pts 10) is the looped frame; clone at
+    # 10 + (10+step) - 10 = 20, duration advances to 30
+    np.testing.assert_array_equal(got[2], frames[1][0])
+    assert got_pts == [0, 10, 20, 50, 60]
+
+
+def test_loop_deferred_step_single_frame_batches(rng):
+    """Buffer fills inside a single-frame first batch: the replay is
+    deferred until the pts step is known, preserving output order and
+    using the real frame duration."""
+    frames = _frames(rng, 3)
+    got, got_pts, _ = _run(frames, "loop=loop=1:size=1",
+                           [0, 10, 20], batches=[1, 1, 1])
+    want, want_pts = oracle([f[0] for f in frames], [0, 10, 20],
+                            loop=1, size=1, start=0, step=10)
+    assert got_pts == want_pts == [0, 10, 30, 40]
+    for g_, w_ in zip(got, want):
+        np.testing.assert_array_equal(g_, w_)
