@@ -2197,6 +2197,272 @@ class WeaveFilter:
         return None
 
 
+class _TelecineBase:
+    """Shared plumbing for telecine/detelecine (vf_telecine.c /
+    vf_detelecine.c): pattern parsing, the fps/time-base algebra
+    (config_output: fps_out = fps_in / pts_ratio, out_tb = in_tb *
+    pts_ratio, ts_unit = 1/(fps_out*out_tb)), output pts = start_time +
+    av_rescale(out_index, ts_unit) and the strided field weave."""
+
+    stream_filter = True
+    wants_link = True
+
+    _FF = {"top": 0, "t": 0, "0": 0, "bottom": 1, "b": 1, "1": 1}
+
+    def _setup(self, name, first_field, pattern, src_fps, _link,
+               num_per_digit):
+        if str(first_field) not in self._FF:
+            raise FilterError(f"{name}: bad first_field "
+                              f"{first_field!r}")
+        self.ff = self._FF[str(first_field)]
+        self.pattern = str(pattern)
+        if not self.pattern or not self.pattern.isdigit():
+            raise FilterError(f"{name}: pattern must be a non-empty "
+                              "digit string")
+        self.digits = [int(c) for c in self.pattern]
+        s = sum(self.digits)
+        if s == 0:
+            raise FilterError(f"{name}: all-zero pattern has no "
+                              "output rate")
+        # telecine: pts = 2L/sum; detelecine: pts = sum/2L
+        if num_per_digit == 2:
+            ratio = Fraction(2 * len(self.digits), s)
+        else:
+            ratio = Fraction(s, 2 * len(self.digits))
+        link = _link or {}
+        tb = link.get("time_base")
+        src_tb = (Fraction(int(tb[0]), int(tb[1])) if tb
+                  else 1 / Fraction(str(src_fps)).limit_denominator(
+                      100000))
+        src_f = Fraction(str(src_fps)).limit_denominator(100000)
+        self.fps_out = src_f / ratio
+        self.out_tb = src_tb * ratio
+        self.ts_unit = 1 / (self.fps_out * self.out_tb)
+        self.fps_mul = float(1 / ratio)
+        self._sec_per_out = float(1 / self.fps_out)
+        self.pos = 0
+        self.start_time = None
+        self._start_t = 0.0
+        self.occupied = False
+        self._temp = None
+        self._out_count = 0       # outlink frame_count_in analog
+        self._geom = None
+
+    @staticmethod
+    def _weave(early, late, ff):
+        """Rows [ff::2] from `early`, rows [!ff::2] from `late`."""
+        out = {}
+        for nm in early:
+            o = late[nm].at[:, ff::2].set(early[nm][:, ff::2])
+            out[nm] = o
+        return out
+
+    def _compact(self, fb, meta):
+        alive = np.asarray(meta["keep"]).copy()
+        if meta.get("pad") is not None:
+            alive &= ~np.asarray(meta["pad"])
+        idx = np.nonzero(alive)[0]
+        if len(idx) < fb.batch:
+            sel = jnp.asarray(idx)
+            fb = fb.with_planes({k: jnp.take(p, sel, axis=0)
+                                 for k, p in fb.planes.items()})
+            meta = _meta_take(meta, idx)
+        return fb, meta
+
+    def _emit(self, fb, meta, rows, metas, out_il):
+        if not rows:
+            return _empty_like(fb), _meta_take(meta, slice(0, 0))
+        planes = {nm: jnp.concatenate([r[nm] for r in rows])
+                  for nm in rows[0]}
+        k = len(rows)
+        out = metas[0]
+        for m in metas[1:]:
+            out = _meta_concat(out, m)
+        base = 0 if self.start_time is None else self.start_time
+        pts = [base + _av_rescale(self._out_count - k + j,
+                                  self.ts_unit.numerator,
+                                  self.ts_unit.denominator)
+               for j in range(k)]
+        out["pts"] = np.asarray(pts, np.int64)
+        if out.get("times") is not None:
+            t = [self._start_t + (self._out_count - k + j)
+                 * self._sec_per_out for j in range(k)]
+            out["times"] = np.asarray(
+                t, np.asarray(out["times"]).dtype)
+        if out_il is not None and out.get("interlaced") is not None:
+            out["interlaced"] = np.asarray(
+                out_il, np.asarray(out["interlaced"]).dtype)
+        out["keep"] = np.ones(k, bool)
+        if out.get("pad") is not None:
+            out["pad"] = np.zeros(k, bool)
+        return fb.with_planes(planes), out
+
+    def flush(self):
+        return None              # the C drops any buffered half frame
+
+
+class TelecineFilter(_TelecineBase):
+    """vf_telecine.c analog: expand a progressive stream by a telecine
+    field pattern (default 23: 24000/1001 film -> 30000/1001).  Each
+    pattern digit = fields the frame is displayed: a pending buffered
+    field weaves with the new frame's later field (interlaced=1,
+    tff=!first_field, :185-203), whole pairs emit the frame as-is
+    inheriting its flags (:205-217), an odd trailing field is buffered
+    (:219-227).  Output props come from the current input
+    (av_frame_copy_props :229-249); pts = start_time +
+    av_rescale(out_index, ts_unit); a 0 digit drops the frame."""
+
+    def __init__(self, first_field="top", pattern="23",
+                 src_fps: float = 30.0, _link=None):
+        self._setup("telecine", first_field, pattern, src_fps, _link,
+                    num_per_digit=2)
+
+    def process_batch(self, fb: FrameBatch, meta):
+        fb, meta = self._compact(fb, meta)
+        n = fb.batch
+        pts = meta.get("pts")
+        pts = (np.asarray(pts, np.int64) if pts is not None
+               else np.arange(n, dtype=np.int64))
+        times = meta.get("times")
+        il = meta.get("interlaced")
+        rows, metas, out_il = [], [], []
+        for i in range(n):
+            cur = {nm: v[i:i + 1] for nm, v in fb.planes.items()}
+            mrow = _meta_take(meta, slice(i, i + 1))
+            if self.start_time is None:
+                self.start_time = int(pts[i])
+                self._start_t = (float(times[i])
+                                 if times is not None else 0.0)
+            length = self.digits[self.pos]
+            self.pos += 1
+            if self.pos >= len(self.digits):
+                self.pos = 0
+            if not length:
+                continue
+            if self.occupied:
+                rows.append(self._weave(self._temp, cur, self.ff))
+                metas.append(mrow)
+                out_il.append(1 | ((0 if self.ff else 1) << 1))
+                self._out_count += 1
+                length -= 1
+                self.occupied = False
+            cur_il = int(np.asarray(il)[i]) if il is not None else 0
+            while length >= 2:
+                rows.append(cur)
+                metas.append(mrow)
+                out_il.append(cur_il)
+                self._out_count += 1
+                length -= 2
+            if length >= 1:
+                self._temp = cur
+                self.occupied = True
+        return self._emit(fb, meta, rows, metas, out_il)
+
+
+class DetelecineFilter(_TelecineBase):
+    """vf_detelecine.c analog: invert a telecine pattern back to the
+    progressive rate.  Exact filter_frame state machine kept
+    (:195-305): nskip_fields carry-over (>=2 drops the frame, ==1
+    buffers it), the len==1+occupied flush of the buffered frame, the
+    reverse weave (earlier field from the NEW pic), the len<=2
+    re-buffering, init_len/pattern_pos precomputation for start_frame
+    (:102-118).  Output props come from the current input; pts =
+    start_time + av_rescale(out_index, ts_unit)."""
+
+    def __init__(self, first_field="top", pattern="23", start_frame=0,
+                 src_fps: float = 30.0, _link=None):
+        self._setup("detelecine", first_field, pattern, src_fps, _link,
+                    num_per_digit=1)
+        self.start_frame = int(start_frame)
+        if not 0 <= self.start_frame <= 13:
+            raise FilterError("detelecine: start_frame out of [0, 13]")
+        if self.start_frame >= sum(self.digits):
+            raise FilterError("detelecine: start_frame is too big")
+        self.nskip = 0
+        self.init_len = 0
+        if self.start_frame:
+            nfields = 0
+            for d in self.digits:
+                nfields += d
+                self.pos += 1
+                if nfields >= 2 * self.start_frame:
+                    self.init_len = nfields - 2 * self.start_frame
+                    break
+
+    def _next_len(self):
+        length = 0
+        while not length and self.pos < len(self.digits):
+            length = self.digits[self.pos]
+            self.pos += 1
+        if self.pos >= len(self.digits):
+            self.pos = 0
+        return length
+
+    def process_batch(self, fb: FrameBatch, meta):
+        fb, meta = self._compact(fb, meta)
+        n = fb.batch
+        pts = meta.get("pts")
+        pts = (np.asarray(pts, np.int64) if pts is not None
+               else np.arange(n, dtype=np.int64))
+        times = meta.get("times")
+        rows, metas = [], []
+        for i in range(n):
+            cur = {nm: v[i:i + 1] for nm, v in fb.planes.items()}
+            mrow = _meta_take(meta, slice(i, i + 1))
+            if self.start_time is None:
+                self.start_time = int(pts[i])
+                self._start_t = (float(times[i])
+                                 if times is not None else 0.0)
+            if self.nskip >= 2:
+                self.nskip -= 2
+                continue
+            if self.nskip >= 1:
+                self._temp = cur
+                self.occupied = True
+                self.nskip -= 1
+                continue
+            length = self.init_len
+            self.init_len = 0
+            if not length:
+                length = self._next_len()
+            if not length:
+                continue
+            if length == 1 and self.occupied:
+                rows.append(self._temp)        # buffered frame as-is
+                metas.append(mrow)
+                self._out_count += 1
+                self.occupied = False
+                length = self._next_len()
+            if self.occupied:
+                # earlier field from the NEW pic, later from buffered
+                rows.append(self._weave(cur, self._temp, self.ff))
+                metas.append(mrow)
+                self._out_count += 1
+                self.occupied = False
+                if length <= 2:
+                    self._temp = cur
+                    self.occupied = True
+                length = length - 3 if length >= 3 else 0
+            else:
+                if length >= 2:
+                    rows.append(cur)
+                    metas.append(mrow)
+                    self._out_count += 1
+                    length -= 2
+                elif length == 1:
+                    rows.append(cur)
+                    metas.append(mrow)
+                    self._out_count += 1
+                    self._temp = cur
+                    self.occupied = True
+                    length -= 1
+            if length == 1 and self.occupied:
+                length -= 1
+                self.occupied = False
+            self.nskip = length
+        return self._emit(fb, meta, rows, metas, None)
+
+
 def _av_rescale(a: int, b: int, c: int) -> int:
     """av_rescale with AV_ROUND_NEAR_INF (round half away from zero)."""
     if a >= 0:
@@ -4625,6 +4891,8 @@ FILTERS: Dict[str, Callable] = {
     "loop": LoopFilter,
     "framerate": FramerateFilter,
     "separatefields": SeparateFieldsFilter,
+    "telecine": TelecineFilter,
+    "detelecine": DetelecineFilter,
     "exposure": _f_exposure,
     "colortemperature": _f_colortemperature,
     "weave": WeaveFilter,

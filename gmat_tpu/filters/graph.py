@@ -77,6 +77,8 @@ POSITIONAL = {
     "framerate": ("fps", "interp_start", "interp_end", "scene",
                   "flags"),
     "separatefields": (),
+    "telecine": ("first_field", "pattern"),
+    "detelecine": ("first_field", "pattern", "start_frame"),
     "exposure": ("exposure", "black"),
     "colortemperature": ("temperature", "mix", "pl"),
     "weave": ("first_field",),
@@ -213,7 +215,8 @@ class FilterGraph:
         pure: List = []
         for name, kwargs in chain:
             factory = FILTERS[name]
-            if name in ("fps", "tpad", "framerate"):
+            if name in ("fps", "tpad", "framerate", "telecine",
+                        "detelecine"):
                 kwargs.setdefault("src_fps", src_fps)
             if getattr(factory, "wants_link", False):
                 kwargs.setdefault("_link", self.link_state)
