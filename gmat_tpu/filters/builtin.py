@@ -2463,6 +2463,320 @@ class DetelecineFilter(_TelecineBase):
         return self._emit(fb, meta, rows, metas, None)
 
 
+class XfadeFilter:
+    """vf_xfade.c analog: cross-fade the main stream into a second
+    video (all 45 named transitions + `custom` expr — filters/xfade.py
+    holds the transcribed kernels).
+
+    Stream machine (xfade_activate :1836-1911): main frames before
+    first_pts+offset pass through; once reached, one frame from EACH
+    input blends per output with progress = clipf(1 - (pts-first-
+    offset)/duration, 0, 1) (1 -> 0), out pts/props from the main
+    frame; when pts-first-offset exceeds duration the fade is over and
+    the SECOND stream passes through while main frames are drained and
+    discarded.  duration/offset are AV_TIME_BASE microsecond options
+    rescaled to the stream tb (config_output :1782-1785).
+
+    The second input is `video=FILE` (decoded like overlay's), format-
+    converted to the main stream's full-res format; the C's 444/gray/
+    RGB-only pix_fmts gate is kept — run `format=yuv444p` first on
+    subsampled streams.  Divergences (documented): post-fade pts are
+    synthesized from the main cadence (the C remaps the second
+    stream's own pts, equal for matched CFR inputs, which the C
+    enforces); a second stream that ends before offset+duration ends
+    the output there (the C's activate would stall the graph)."""
+
+    stream_filter = True
+    wants_link = True
+
+    def __init__(self, transition="fade", duration=1.0, offset=0.0,
+                 expr="", video="", vw=0, vh=0,
+                 src_fps: float = 30.0, _link=None):
+        from .xfade import TRANSITIONS
+        self.transition = str(transition)
+        if self.transition not in TRANSITIONS:
+            raise FilterError(
+                f"xfade: unknown transition {transition!r}")
+        if self.transition == "custom" and not expr:
+            raise FilterError("xfade: custom transition needs expr=")
+        self._expr = (compile_expr(str(expr),
+                                   funcs=self._getpix_funcs())
+                      if expr else None)
+
+        def dur(v):
+            s = str(v).strip()
+            if s.endswith("ms"):
+                return float(s[:-2]) / 1000.0
+            if s.endswith("s"):
+                return float(s[:-1])
+            return float(s)
+
+        self.duration_s = dur(duration)
+        if not 0.0 < self.duration_s <= 60.0:
+            raise FilterError("xfade: duration out of (0, 60] seconds")
+        self.offset_s = dur(offset)
+        if not video:
+            raise FilterError("xfade needs video=FILE (second input)")
+        self.video = str(video)
+        self.vw, self.vh = int(vw), int(vh)
+        link = _link or {}
+        tb = link.get("time_base")
+        self.tb = (Fraction(int(tb[0]), int(tb[1])) if tb
+                   else 1 / Fraction(str(src_fps)).limit_denominator(
+                       100000))
+        # av_rescale_q(usec, AV_TIME_BASE_Q, tb)
+        self.duration_pts = _av_rescale(
+            int(round(self.duration_s * 1e6)),
+            self.tb.denominator, 1000000 * self.tb.numerator)
+        self.offset_pts = _av_rescale(
+            int(round(self.offset_s * 1e6)),
+            self.tb.denominator, 1000000 * self.tb.numerator)
+        self.first_pts = None
+        self.pts = None
+        self.over = False
+        self._b_ended = False
+        self._gen = None
+        self._n_after = 0
+        self._step = None
+        self._step_t = 0.0
+        self._last_pts = None
+        self._last_t = None
+        self._time = 0.0
+        self._geom = None          # (format, w, h, colorspace)
+        self._cur_ab = None        # custom getpix frames
+
+    # -- custom expr getpix (vf_xfade.c:1688-1745) -------------------------
+    def _getpix_funcs(self):
+        def mk(nb, plane):
+            def f(env, x, y):
+                stk = self._cur_ab[nb]
+                pl = min(plane, stk.shape[0] - 1)
+                xi = int(np.clip(x, 0, stk.shape[2] - 1))
+                yi = int(np.clip(y, 0, stk.shape[1] - 1))
+                return float(stk[pl, yi, xi])
+            return (2, 2, f)
+        fs = {}
+        for pl in range(4):
+            fs[f"a{pl}"] = mk(0, pl)
+            fs[f"b{pl}"] = mk(1, pl)
+        return fs
+
+    # -- second stream ------------------------------------------------------
+    def _video_gen(self):
+        from ..av.ingest import decode_stream
+        if (self.video.lower().endswith((".yuv", ".nv12", ".iyuv",
+                                         ".raw"))
+                and not (self.vw and self.vh)):
+            raise FilterError("headerless raw second video needs "
+                              "vw=W:vh=H")
+        src = decode_stream(self.video, batch=8,
+                            width=self.vw, height=self.vh)
+        try:
+            for bfb, _bpts, bvalid in src:
+                host = {k: np.asarray(v) for k, v in bfb.planes.items()}
+                for i in range(int(bvalid)):
+                    yield {k: host[k][i] for k in host}
+        finally:
+            src.close()
+
+    def _next_b(self):
+        """One second-input frame as a stack in the main format."""
+        if self._gen is None:
+            self._gen = self._video_gen()
+        try:
+            f = next(self._gen)
+        except StopIteration:
+            return None
+        from ..core.frame import from_numpy_yuv420
+        fmtname, w, h, cs = self._geom
+        if f["y"].shape != (h, w):
+            raise FilterError(
+                f"xfade: second input size {f['y'].shape[::-1]} does "
+                f"not match the main {w}x{h} (the C errors too)")
+        bfb = from_numpy_yuv420(f["y"][None], f["u"][None],
+                                f["v"][None], colorspace=cs)
+        if bfb.format != fmtname:
+            bfb = csc.convert(bfb, fmtname)
+        return self._stack(bfb.planes, F.get(fmtname))
+
+    # -- plane stacking -------------------------------------------------------
+    @staticmethod
+    def _stack(planes, fmt):
+        if fmt.is_rgb:
+            arr = np.asarray(planes["rgb"])[0]
+            return np.ascontiguousarray(np.transpose(arr, (2, 0, 1)))
+        names = [p.name for p in fmt.planes]
+        return np.stack([np.asarray(planes[n])[0] for n in names])
+
+    @staticmethod
+    def _unstack(stk, fmt):
+        if fmt.is_rgb:
+            return {"rgb": jnp.asarray(
+                np.transpose(stk, (1, 2, 0))[None])}
+        names = [p.name for p in fmt.planes]
+        return {n: jnp.asarray(stk[i][None])
+                for i, n in enumerate(names)}
+
+    def _ctx(self, fmt):
+        maxv = (1 << fmt.bits) - 1
+        nb = (len(fmt.channel_order or "rgb") if fmt.is_rgb
+              else len(fmt.planes))
+        chroma = 0 if fmt.is_rgb else maxv // 2
+        black = [0, chroma, chroma, maxv][:nb]
+        wch = maxv if fmt.is_rgb else maxv // 2
+        white = [maxv, wch, wch, maxv][:nb]
+        _, w, h, _ = self._geom
+        return {"w": w, "h": h, "maxv": maxv, "black": black,
+                "white": white, "is_rgb": fmt.is_rgb, "nb_planes": nb,
+                "expr": self._expr}
+
+    def process_batch(self, fb: FrameBatch, meta):
+        from .xfade import apply_transition
+        fmt = fb.fmt
+        if fmt.is_float:
+            raise FilterError("xfade: 8-16 bit integer formats only")
+        if any(p.sub_w or p.sub_h for p in fmt.planes):
+            raise FilterError("xfade: full-resolution planes only "
+                              "(format=yuv444p first) — vf_xfade.c "
+                              "pix_fmts")
+        alive = np.asarray(meta["keep"]).copy()
+        if meta.get("pad") is not None:
+            alive &= ~np.asarray(meta["pad"])
+        idx = np.nonzero(alive)[0]
+        if len(idx) < fb.batch:
+            sel = jnp.asarray(idx)
+            fb = fb.with_planes({k: jnp.take(p, sel, axis=0)
+                                 for k, p in fb.planes.items()})
+            meta = _meta_take(meta, idx)
+        n = fb.batch
+        if n:
+            self._geom = (fb.format, fb.width, fb.height,
+                          fb.colorspace)
+        pts = meta.get("pts")
+        pts = (np.asarray(pts, np.int64) if pts is not None
+               else np.arange(n, dtype=np.int64))
+        times = meta.get("times")
+        if self._step is None and n:
+            seq = ([self._last_pts] if self._last_pts is not None
+                   else []) + pts.tolist()
+            if len(seq) > 1:
+                self._step = int(np.median(np.diff(seq)))
+            if times is not None:
+                tq = ([self._last_t] if self._last_t is not None
+                      else []) + [float(t) for t in times]
+                if len(tq) > 1:
+                    self._step_t = float(np.median(np.diff(tq)))
+        if n:
+            self._last_pts = int(pts[-1])
+            if times is not None:
+                self._last_t = float(times[-1])
+        ctx = self._ctx(fmt)
+        rows, metas, out_pts, out_times = [], [], [], []
+        for i in range(n):
+            mrow = _meta_take(meta, slice(i, i + 1))
+            p_i = int(pts[i])
+            t_i = float(times[i]) if times is not None else 0.0
+            if self.over:
+                if self._b_ended:
+                    continue
+                bstk = self._next_b()
+                if bstk is None:
+                    self._b_ended = True
+                    continue
+                self._n_after += 1
+                rows.append(self._unstack(bstk, fmt))
+                metas.append(mrow)
+                out_pts.append((self.pts or 0)
+                               + self._n_after * (self._step or 1))
+                out_times.append(self._time
+                                 + self._n_after * self._step_t)
+                continue
+            if self.first_pts is None:
+                self.first_pts = p_i
+            self.pts = p_i
+            if self.first_pts + self.offset_pts > p_i:
+                rows.append({k: v[i:i + 1] for k, v in fb.planes.items()})
+                metas.append(mrow)
+                out_pts.append(p_i)
+                out_times.append(t_i)
+                self._time = t_i
+                continue
+            bstk = self._next_b()
+            if bstk is None:
+                self.over = True
+                self._b_ended = True
+                continue
+            astk = self._stack({k: v[i:i + 1]
+                                for k, v in fb.planes.items()}, fmt)
+            # progress: float division, av_clipf (xfade_frame :1804)
+            delta = p_i - self.first_pts - self.offset_pts
+            progress = float(np.clip(
+                np.float32(1.0) - (np.float32(delta)
+                                   / np.float32(self.duration_pts)),
+                np.float32(0.0), np.float32(1.0)))
+            self._cur_ab = (astk, bstk)
+            blended = apply_transition(self.transition, astk, bstk,
+                                       progress, ctx)
+            rows.append(self._unstack(blended, fmt))
+            metas.append(mrow)
+            out_pts.append(p_i)
+            out_times.append(t_i)
+            self._time = t_i
+            if p_i - (self.first_pts + self.offset_pts) \
+                    > self.duration_pts:
+                self.over = True
+        return self._assemble(fb, meta, rows, metas, out_pts,
+                              out_times)
+
+    def _assemble(self, fb, meta, rows, metas, out_pts, out_times):
+        if not rows:
+            return _empty_like(fb), _meta_take(meta, slice(0, 0))
+        planes = {nm: jnp.concatenate([r[nm] for r in rows])
+                  for nm in rows[0]}
+        k = len(rows)
+        out = metas[0]
+        for m in metas[1:]:
+            out = _meta_concat(out, m)
+        out["pts"] = np.asarray(out_pts, np.int64)
+        if out.get("times") is not None:
+            out["times"] = np.asarray(out_times,
+                                      np.asarray(out["times"]).dtype)
+        out["keep"] = np.ones(k, bool)
+        if out.get("pad") is not None:
+            out["pad"] = np.zeros(k, bool)
+        fmtname, w, h, cs = self._geom
+        return FrameBatch(planes, fmtname, w, h, cs), out
+
+    def flush(self):
+        # main EOF -> xfade_is_over; the second stream drains through
+        # (xfade_activate :1849-1859)
+        if self._b_ended or self._geom is None:
+            return None
+        fmtname, w, h, cs = self._geom
+        fmt = F.get(fmtname)
+        rows, out_pts, out_times = [], [], []
+        while True:
+            bstk = self._next_b()
+            if bstk is None:
+                self._b_ended = True
+                break
+            self._n_after += 1
+            rows.append(self._unstack(bstk, fmt))
+            out_pts.append((self.pts or 0)
+                           + self._n_after * (self._step or 1))
+            out_times.append(self._time + self._n_after * self._step_t)
+        if not rows:
+            return None
+        planes = {nm: jnp.concatenate([r[nm] for r in rows])
+                  for nm in rows[0]}
+        k = len(rows)
+        meta = {"pts": np.asarray(out_pts, np.int64),
+                "times": np.asarray(out_times, np.float64),
+                "keys": None, "pos": None, "interlaced": None,
+                "keep": np.ones(k, bool), "pad": np.zeros(k, bool)}
+        return FrameBatch(planes, fmtname, w, h, cs), meta
+
+
 def _av_rescale(a: int, b: int, c: int) -> int:
     """av_rescale with AV_ROUND_NEAR_INF (round half away from zero)."""
     if a >= 0:
@@ -4893,6 +5207,7 @@ FILTERS: Dict[str, Callable] = {
     "separatefields": SeparateFieldsFilter,
     "telecine": TelecineFilter,
     "detelecine": DetelecineFilter,
+    "xfade": XfadeFilter,
     "exposure": _f_exposure,
     "colortemperature": _f_colortemperature,
     "weave": WeaveFilter,

@@ -79,6 +79,7 @@ POSITIONAL = {
     "separatefields": (),
     "telecine": ("first_field", "pattern"),
     "detelecine": ("first_field", "pattern", "start_frame"),
+    "xfade": ("transition", "duration", "offset", "expr"),
     "exposure": ("exposure", "black"),
     "colortemperature": ("temperature", "mix", "pl"),
     "weave": ("first_field",),
@@ -216,7 +217,7 @@ class FilterGraph:
         for name, kwargs in chain:
             factory = FILTERS[name]
             if name in ("fps", "tpad", "framerate", "telecine",
-                        "detelecine"):
+                        "detelecine", "xfade"):
                 kwargs.setdefault("src_fps", src_fps)
             if getattr(factory, "wants_link", False):
                 kwargs.setdefault("_link", self.link_state)
