@@ -1451,6 +1451,22 @@ def _empty_like(fb: FrameBatch) -> FrameBatch:
     return fb.with_planes({k: v[:0] for k, v in fb.planes.items()})
 
 
+def _compact_alive(fb: FrameBatch, meta):
+    """Drop upstream-dropped (keep=False) and batch-pad frames before a
+    stream filter consumes the batch — ffmpeg chain semantics: a frame
+    dropped by select/fps never reaches the next filter."""
+    alive = np.asarray(meta["keep"]).copy()
+    if meta.get("pad") is not None:
+        alive &= ~np.asarray(meta["pad"])
+    idx = np.nonzero(alive)[0]
+    if len(idx) < fb.batch:
+        sel = jnp.asarray(idx)
+        fb = fb.with_planes({k: jnp.take(p, sel, axis=0)
+                             for k, p in fb.planes.items()})
+        meta = _meta_take(meta, idx)
+    return fb, meta
+
+
 def _pad_meta_to(meta, real: int, total: int):
     """Grow every metadata track to `total` entries by repeating the last
     value; entries past `real` are dead (keep=False, pad=True) — the
@@ -2011,15 +2027,7 @@ class SeparateFieldsFilter:
             raise FilterError("separatefields: height must be even")
         # only frames that REACH the filter are split (upstream drops
         # and batch padding never arrive in the C chain)
-        alive = np.asarray(meta["keep"]).copy()
-        if meta.get("pad") is not None:
-            alive &= ~np.asarray(meta["pad"])
-        idx = np.nonzero(alive)[0]
-        if len(idx) < fb.batch:
-            sel = jnp.asarray(idx)
-            fb = fb.with_planes({k: jnp.take(p, sel, axis=0)
-                                 for k, p in fb.planes.items()})
-            meta = _meta_take(meta, idx)
+        fb, meta = _compact_alive(fb, meta)
         n = fb.batch
         pts = meta.get("pts")
         pts = (np.asarray(pts, np.int64) if pts is not None
@@ -2140,15 +2148,7 @@ class WeaveFilter:
     def process_batch(self, fb: FrameBatch, meta):
         # compact away upstream drops / batch padding — only delivered
         # frames enter the C's prev register
-        alive = np.asarray(meta["keep"]).copy()
-        if meta.get("pad") is not None:
-            alive &= ~np.asarray(meta["pad"])
-        idx = np.nonzero(alive)[0]
-        if len(idx) < fb.batch:
-            sel = jnp.asarray(idx)
-            fb = fb.with_planes({k: jnp.take(p, sel, axis=0)
-                                 for k, p in fb.planes.items()})
-            meta = _meta_take(meta, idx)
+        fb, meta = _compact_alive(fb, meta)
         n = fb.batch
         pts = meta.get("pts")
         pts = (np.asarray(pts, np.int64) if pts is not None
@@ -2258,16 +2258,7 @@ class _TelecineBase:
         return out
 
     def _compact(self, fb, meta):
-        alive = np.asarray(meta["keep"]).copy()
-        if meta.get("pad") is not None:
-            alive &= ~np.asarray(meta["pad"])
-        idx = np.nonzero(alive)[0]
-        if len(idx) < fb.batch:
-            sel = jnp.asarray(idx)
-            fb = fb.with_planes({k: jnp.take(p, sel, axis=0)
-                                 for k, p in fb.planes.items()})
-            meta = _meta_take(meta, idx)
-        return fb, meta
+        return _compact_alive(fb, meta)
 
     def _emit(self, fb, meta, rows, metas, out_il):
         if not rows:
@@ -2424,7 +2415,15 @@ class DetelecineFilter(_TelecineBase):
             length = self.init_len
             self.init_len = 0
             if not length:
-                length = self._next_len()
+                while not length and self.pos < len(self.digits):
+                    length = self.digits[self.pos]
+                    self.pos += 1
+            # the C's end-of-string pattern_pos reset (:203) runs even
+            # when len came from init_len — a start_frame scan that
+            # ended on the last digit must wrap here, not one frame
+            # late (which would drop that frame and shift the phase)
+            if self.pos >= len(self.digits):
+                self.pos = 0
             if not length:
                 continue
             if length == 1 and self.occupied:
@@ -2617,6 +2616,18 @@ class XfadeFilter:
         return {n: jnp.asarray(stk[i][None])
                 for i, n in enumerate(names)}
 
+    @staticmethod
+    def _b_meta_row(mrow):
+        """Post-fade frames come from the SECOND stream: the C forwards
+        them with their own props, which the decode generator strips —
+        synthesize progressive rows instead of inheriting the drained
+        main frame's interlace/keyframe flags."""
+        row = dict(mrow)
+        for key in ("interlaced", "keys"):
+            if row.get(key) is not None:
+                row[key] = np.zeros_like(np.asarray(row[key]))
+        return row
+
     def _ctx(self, fmt):
         maxv = (1 << fmt.bits) - 1
         nb = (len(fmt.channel_order or "rgb") if fmt.is_rgb
@@ -2639,15 +2650,7 @@ class XfadeFilter:
             raise FilterError("xfade: full-resolution planes only "
                               "(format=yuv444p first) — vf_xfade.c "
                               "pix_fmts")
-        alive = np.asarray(meta["keep"]).copy()
-        if meta.get("pad") is not None:
-            alive &= ~np.asarray(meta["pad"])
-        idx = np.nonzero(alive)[0]
-        if len(idx) < fb.batch:
-            sel = jnp.asarray(idx)
-            fb = fb.with_planes({k: jnp.take(p, sel, axis=0)
-                                 for k, p in fb.planes.items()})
-            meta = _meta_take(meta, idx)
+        fb, meta = _compact_alive(fb, meta)
         n = fb.batch
         if n:
             self._geom = (fb.format, fb.width, fb.height,
@@ -2685,7 +2688,7 @@ class XfadeFilter:
                     continue
                 self._n_after += 1
                 rows.append(self._unstack(bstk, fmt))
-                metas.append(mrow)
+                metas.append(self._b_meta_row(mrow))
                 out_pts.append((self.pts or 0)
                                + self._n_after * (self._step or 1))
                 out_times.append(self._time
@@ -2747,14 +2750,35 @@ class XfadeFilter:
         fmtname, w, h, cs = self._geom
         return FrameBatch(planes, fmtname, w, h, cs), out
 
+    _FLUSH_CHUNK = 64
+
     def flush(self):
         # main EOF -> xfade_is_over; the second stream drains through
-        # (xfade_activate :1849-1859)
+        # (xfade_activate :1849-1859).  The tail is the NORMAL case
+        # (joining two clips: most of the second plays after the main
+        # ends), so it is emitted as bounded chunks, not one batch.
         if self._b_ended or self._geom is None:
             return None
         fmtname, w, h, cs = self._geom
         fmt = F.get(fmtname)
+        chunks = []
         rows, out_pts, out_times = [], [], []
+
+        def cut():
+            if not rows:
+                return
+            planes = {nm: jnp.concatenate([r[nm] for r in rows])
+                      for nm in rows[0]}
+            k = len(rows)
+            meta = {"pts": np.asarray(out_pts, np.int64),
+                    "times": np.asarray(out_times, np.float64),
+                    "keys": None, "pos": None, "interlaced": None,
+                    "keep": np.ones(k, bool), "pad": np.zeros(k, bool)}
+            chunks.append((FrameBatch(planes, fmtname, w, h, cs), meta))
+            rows.clear()
+            out_pts.clear()
+            out_times.clear()
+
         while True:
             bstk = self._next_b()
             if bstk is None:
@@ -2765,16 +2789,10 @@ class XfadeFilter:
             out_pts.append((self.pts or 0)
                            + self._n_after * (self._step or 1))
             out_times.append(self._time + self._n_after * self._step_t)
-        if not rows:
-            return None
-        planes = {nm: jnp.concatenate([r[nm] for r in rows])
-                  for nm in rows[0]}
-        k = len(rows)
-        meta = {"pts": np.asarray(out_pts, np.int64),
-                "times": np.asarray(out_times, np.float64),
-                "keys": None, "pos": None, "interlaced": None,
-                "keep": np.ones(k, bool), "pad": np.zeros(k, bool)}
-        return FrameBatch(planes, fmtname, w, h, cs), meta
+            if len(rows) >= self._FLUSH_CHUNK:
+                cut()
+        cut()
+        return chunks or None
 
 
 def _av_rescale(a: int, b: int, c: int) -> int:
@@ -3413,15 +3431,7 @@ class TpadFilter:
     def process_batch(self, fb: FrameBatch, meta):
         # compact upstream drops / batch padding: the C only ever sees
         # (and clones for stop padding) frames actually delivered
-        alive = np.asarray(meta["keep"]).copy()
-        if meta.get("pad") is not None:
-            alive &= ~np.asarray(meta["pad"])
-        idx = np.nonzero(alive)[0]
-        if len(idx) < fb.batch:
-            sel = jnp.asarray(idx)
-            fb = fb.with_planes({k: jnp.take(p, sel, axis=0)
-                                 for k, p in fb.planes.items()})
-            meta = _meta_take(meta, idx)
+        fb, meta = _compact_alive(fb, meta)
         pts = meta.get("pts")
         times = meta.get("times")
         if self._pts_step is None:

@@ -319,14 +319,18 @@ class FilterGraph:
             res = fl()
             if res is None:
                 continue
-            fb, meta = res
-            for key in ("pts", "times", "keys", "pos"):
-                meta.setdefault(key, None)
-            if meta.get("keep") is None:
-                meta["keep"] = np.ones(fb.batch, bool)
-            fb, meta = self._run_segments(fb, meta, i + 1)
-            if fb.batch:
-                outs.append((fb, meta["keep"], meta))
+            # a filter may flush a LIST of (fb, meta) chunks so an
+            # unbounded tail (xfade's second stream) never materializes
+            # as one giant batch
+            items = res if isinstance(res, list) else [res]
+            for fb, meta in items:
+                for key in ("pts", "times", "keys", "pos"):
+                    meta.setdefault(key, None)
+                if meta.get("keep") is None:
+                    meta["keep"] = np.ones(fb.batch, bool)
+                fb, meta = self._run_segments(fb, meta, i + 1)
+                if fb.batch:
+                    outs.append((fb, meta["keep"], meta))
         return outs
 
     def run_frames(self, batch_iter):

@@ -285,8 +285,11 @@ def _t_pixelize(a, b, p, c):
 def _diag(a, b, p, c, fx, fy):
     x, y = _grid(c)
     w, h = F(c["w"]), F(c["h"])
-    smooth = (F(1.0) + fx(x, c).astype(F) / w * (fy(y, c).astype(F) / h)
-              - F(p) * F(2.0)).astype(F)
+    # C groups left-to-right: ((x/w) * y) / h (:1090), NOT
+    # (x/w)*(y/h) — a different float32 rounding
+    t = ((fx(x, c).astype(F) / w).astype(F)
+         * fy(y, c).astype(F)).astype(F)
+    smooth = (F(1.0) + (t / h).astype(F) - F(p) * F(2.0)).astype(F)
     return _smooth_sel(a, b, smooth)
 
 
@@ -309,32 +312,40 @@ def _t_diagbr(a, b, p, c):
                  lambda y, c: c["h"] - 1 - y)
 
 
-def _slice_sel(a, b, coord, p):
+def _slice_sel(a, b, coord, frc, p):
     smooth = _smoothstep(-0.5, 0.0, coord - F(p) * F(1.5))
-    ss = np.where(smooth <= _fract(F(10.0) * coord), F(0.0), F(1.0))
+    ss = np.where(smooth <= _fract(frc), F(0.0), F(1.0))
     return _mix(b, a, ss)
 
 
 def _t_hlslice(a, b, p, c):
+    # hlslice computes fract(10.f * x / w) = (10*x)/w (:1206) while
+    # the smoothstep coord is the separate x/w — NOT fract(10*(x/w))
     x, _ = _grid(c)
-    return _slice_sel(a, b, (x.astype(F) / F(c["w"])).astype(F), p)
+    w = F(c["w"])
+    coord = (x.astype(F) / w).astype(F)
+    frc = ((F(10.0) * x.astype(F)).astype(F) / w).astype(F)
+    return _slice_sel(a, b, coord, frc, p)
 
 
 def _t_hrslice(a, b, p, c):
     x, _ = _grid(c)
     xx = ((c["w"] - 1 - x).astype(F) / F(c["w"])).astype(F)
-    return _slice_sel(a, b, xx, p)
+    return _slice_sel(a, b, xx, (F(10.0) * xx).astype(F), p)
 
 
 def _t_vuslice(a, b, p, c):
     _, y = _grid(c)
-    return _slice_sel(a, b, (y.astype(F) / F(c["h"])).astype(F), p)
+    h = F(c["h"])
+    coord = (y.astype(F) / h).astype(F)
+    frc = ((F(10.0) * y.astype(F)).astype(F) / h).astype(F)
+    return _slice_sel(a, b, coord, frc, p)
 
 
 def _t_vdslice(a, b, p, c):
     _, y = _grid(c)
     yy = ((c["h"] - 1 - y).astype(F) / F(c["h"])).astype(F)
-    return _slice_sel(a, b, yy, p)
+    return _slice_sel(a, b, yy, (F(10.0) * yy).astype(F), p)
 
 
 def _t_hblur(a, b, p, c):
@@ -354,8 +365,10 @@ def _t_hblur(a, b, p, c):
     for x in range(w):
         out[:, :, x] = _mix(sum0 / cnt, sum1 / cnt, F(p))
         if x + size < w:
-            sum0 = (sum0 + a[:, :, x + size] - a[:, :, x]).astype(F)
-            sum1 = (sum1 + b[:, :, x + size] - b[:, :, x]).astype(F)
+            # C adds the exact integer difference in ONE float op
+            # (:1345) — (sum+a2)-a1 rounds differently past 2^24
+            sum0 = (sum0 + (a[:, :, x + size] - a[:, :, x])).astype(F)
+            sum1 = (sum1 + (b[:, :, x + size] - b[:, :, x])).astype(F)
         else:
             sum0 = (sum0 - a[:, :, x]).astype(F)
             sum1 = (sum1 - b[:, :, x]).astype(F)

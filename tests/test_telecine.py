@@ -117,7 +117,12 @@ def oracle_detelecine(frames, pts, pattern, ff, src_fps, src_tb,
         length = init_len
         init_len = 0
         if not length:
-            length = next_len()
+            while not length and pos < len(digits):
+                length = digits[pos]
+                pos += 1
+        # :203 — the reset runs even when len came from init_len
+        if pos >= len(digits):
+            pos = 0
         if not length:
             continue
         if length == 1 and occupied:
@@ -253,3 +258,20 @@ def test_telecine_gates():
                 "detelecine=pattern=23:start_frame=6"):
         with pytest.raises(FilterError):
             FilterGraph(bad)
+
+
+def test_detelecine_start_frame_phase(rng):
+    """start_frame=2 on pattern 23: the init scan ends on the LAST
+    digit and the C wraps pattern_pos immediately (:203) even though
+    len came from init_len — the output is [as-is f0, weave(f1,f0),
+    weave(f2,f1), as-is f3], with no dropped frame."""
+    frames = _frames(rng, 4)
+    got, _ = _run(frames, "detelecine=pattern=23:start_frame=2", 30.0,
+                  [0, 1, 2, 3])
+    assert len(got) == 4
+    np.testing.assert_array_equal(got[0][0], frames[0][0])
+    np.testing.assert_array_equal(
+        got[1][0], _weave_np(frames[1], frames[0], 0)[0])
+    np.testing.assert_array_equal(
+        got[2][0], _weave_np(frames[2], frames[1], 0)[0])
+    np.testing.assert_array_equal(got[3][0], frames[3][0])

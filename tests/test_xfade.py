@@ -195,17 +195,18 @@ def oracle(name, A, B, p, ctx):
                     sm = F(F(1.0) + abs(F((F(y) - h2) / h2))
                            - pf * F(2.0))
                 elif name == "diagtl":
-                    sm = F(F(1.0) + F(F(x) / F(W)) * F(F(y) / F(H))
+                    sm = F(F(1.0) + F(F(F(F(x) / F(W)) * F(y)) / F(H))
                            - pf * F(2.0))
                 elif name == "diagtr":
-                    sm = F(F(1.0) + F(F(W - 1 - x) / F(W))
-                           * F(F(y) / F(H)) - pf * F(2.0))
+                    sm = F(F(1.0) + F(F(F(F(W - 1 - x) / F(W)) * F(y))
+                                      / F(H)) - pf * F(2.0))
                 elif name == "diagbl":
-                    sm = F(F(1.0) + F(F(x) / F(W))
-                           * F(F(H - 1 - y) / F(H)) - pf * F(2.0))
+                    sm = F(F(1.0) + F(F(F(F(x) / F(W)) * F(H - 1 - y))
+                                      / F(H)) - pf * F(2.0))
                 else:
-                    sm = F(F(1.0) + F(F(W - 1 - x) / F(W))
-                           * F(F(H - 1 - y) / F(H)) - pf * F(2.0))
+                    sm = F(F(1.0) + F(F(F(F(W - 1 - x) / F(W))
+                                       * F(H - 1 - y)) / F(H))
+                           - pf * F(2.0))
                 g = ssf(0.0, 1.0, sm)
                 for pl in range(P):
                     store(pl, y, x,
@@ -254,14 +255,18 @@ def oracle(name, A, B, p, ctx):
             for x in range(W):
                 if name == "hlslice":
                     co = F(F(x) / F(W))
+                    fr = F(F(F(10.0) * F(x)) / F(W))
                 elif name == "hrslice":
                     co = F(F(W - 1 - x) / F(W))
+                    fr = F(F(10.0) * co)
                 elif name == "vuslice":
                     co = F(F(y) / F(H))
+                    fr = F(F(F(10.0) * F(y)) / F(H))
                 else:
                     co = F(F(H - 1 - y) / F(H))
+                    fr = F(F(10.0) * co)
                 sm = ssf(-0.5, 0.0, F(co - pf * F(1.5)))
-                ss = F(0.0) if sm <= fractf(F(10.0) * co) else F(1.0)
+                ss = F(0.0) if sm <= fractf(fr) else F(1.0)
                 for pl in range(P):
                     store(pl, y, x,
                           mixf(B[pl, y, x], A[pl, y, x], ss))
@@ -279,10 +284,10 @@ def oracle(name, A, B, p, ctx):
                 for x in range(W):
                     store(pl, y, x, mixf(F(s0 / cnt), F(s1 / cnt), pf))
                     if x + size < W:
-                        s0 = F(s0 + F(A[pl, y, x + size])
-                               - F(A[pl, y, x]))
-                        s1 = F(s1 + F(B[pl, y, x + size])
-                               - F(B[pl, y, x]))
+                        s0 = F(s0 + F(F(A[pl, y, x + size])
+                                      - F(A[pl, y, x])))
+                        s1 = F(s1 + F(F(B[pl, y, x + size])
+                                      - F(B[pl, y, x])))
                     else:
                         s0 = F(s0 - F(A[pl, y, x]))
                         s1 = F(s1 - F(B[pl, y, x]))
@@ -518,3 +523,43 @@ def test_xfade_custom_and_gates(tmp_path):
     g2 = FilterGraph(f"xfade=video={second}", src_fps=5.0)
     with pytest.raises(FilterError, match="444"):
         g2.process(fb420, pts=np.arange(4))
+
+
+def test_xfade_flush_chunks_long_tail(tmp_path):
+    """The post-fade tail (the normal clip-join case) drains in
+    bounded chunks, never one giant batch."""
+    from gmat_tpu.core.frame import FrameBatch
+    from gmat_tpu.filters.graph import FilterGraph
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    W, H = 8, 6
+    b_frames = [(np.full((H, W), i % 256, np.uint8),
+                 np.full((H // 2, W // 2), 128, np.uint8),
+                 np.full((H // 2, W // 2), 128, np.uint8))
+                for i in range(150)]
+    second = str(tmp_path / "long.y4m")
+    _write_y4m(second, b_frames, W, H)
+    main_y = rng.integers(0, 256, (4, H, W)).astype(np.uint8)
+    fbs = FrameBatch(
+        {"y": jnp.asarray(main_y),
+         "u": jnp.full((4, H, W), 128, jnp.uint8),
+         "v": jnp.full((4, H, W), 128, jnp.uint8)},
+        "yuv444p", W, H, "bt709")
+    g = FilterGraph(f"xfade=duration=0.4:offset=0:video={second}",
+                    src_fps=5.0)
+    _, k = g.process(fbs, pts=np.arange(4))
+    consumed = int(k.sum())              # blends consume b 0..3
+    fl = g.flush() or []
+    assert len(fl) >= 2                  # chunked, not one batch
+    total, last_pts = 0, None
+    for ofb, kk, m in fl:
+        assert ofb.batch <= 64
+        total += int(kk.sum())
+        pts = np.asarray(m["pts"])[kk]
+        if last_pts is not None:
+            assert pts[0] == last_pts + 1     # contiguous across chunks
+        last_pts = int(pts[-1])
+    assert total == 150 - consumed
+    # luma identifies the source frame index: continuity check
+    y0 = int(np.asarray(fl[0][0].planes["y"])[0, 0, 0])
+    assert y0 == consumed % 256
