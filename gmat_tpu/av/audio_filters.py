@@ -267,6 +267,10 @@ def parse_audio_filters(desc: str) -> List[Tuple[str, Dict[str, float]]]:
                 chain.append((name.strip(), parse_amix_opts(val)))
             elif name.strip() == "aloop":
                 chain.append((name.strip(), _parse_aloop_opts(val)))
+            elif name.strip() == "adelay":
+                chain.append((name.strip(), _parse_adelay_opts(val)))
+            elif name.strip() == "apad":
+                chain.append((name.strip(), _parse_apad_opts(val)))
             elif name.strip() in _BIQUAD_NAMES:
                 from .biquads import parse_biquad_opts
                 chain.append((name.strip(),
@@ -283,6 +287,8 @@ def parse_audio_filters(desc: str) -> List[Tuple[str, Dict[str, float]]]:
             chain.append(("dynaudnorm", {}))
         elif part == "aloop":
             chain.append(("aloop", {}))
+        elif part == "adelay":
+            chain.append(("adelay", {}))
         elif part in _BIQUAD_NAMES:
             chain.append((part, {}))
         else:
@@ -457,6 +463,10 @@ class AudioFilterStream:
                 self.stages.append(AmixStream(self.out_rate, **kw))
             elif name == "aloop":
                 self.stages.append(AloopStream(self.out_rate, **kw))
+            elif name == "adelay":
+                self.stages.append(AdelayStream(self.out_rate, **kw))
+            elif name == "apad":
+                self.stages.append(ApadStream(self.out_rate, **kw))
             elif name in _BIQUAD_NAMES:
                 from .biquads import BiquadStream
                 self.stages.append(BiquadStream(self.out_rate, name,
@@ -537,6 +547,12 @@ def apply_audio_filters(samples: np.ndarray, rate: int, desc: str):
                      for i in range(0, len(samples), 1024)]
             parts.append(st.flush())
             parts = [p for p in parts if p.size]
+            samples = np.concatenate(parts) if parts else samples[:0]
+        elif name in ("adelay", "apad"):
+            st = (AdelayStream if name == "adelay"
+                  else ApadStream)(rate, **kw)
+            parts = [p for p in (st.push(samples), st.flush())
+                     if p.size]
             samples = np.concatenate(parts) if parts else samples[:0]
         elif name in _BIQUAD_NAMES:
             from .biquads import BiquadStream
@@ -873,6 +889,191 @@ def _parse_aloop_opts(val: str) -> Dict:
             raise ValueError(f"aloop: unknown option {k!r}")
         kw[k] = int(v)
     return kw
+
+
+def _parse_delay_token(arg: str, rate: int) -> int:
+    """parse_delays (af_adelay.c:157-181): 'NS' = N samples; 'Ns' =
+    seconds; bare number = milliseconds.  The non-sample forms compute
+    delay * rate / div in FLOAT (C float) then truncate to int64."""
+    arg = arg.strip()
+    m = None
+    if arg and arg[-1] == "S":
+        try:
+            m = int(arg[:-1])
+        except ValueError:
+            m = None
+    if m is not None:
+        res = m
+    else:
+        div = np.float32(1.0 if arg.endswith("s") else 1000.0)
+        body = arg[:-1] if arg.endswith("s") else arg
+        try:
+            delay = np.float32(body)
+        except ValueError:
+            raise ValueError(f"adelay: invalid delay {arg!r}")
+        res = int(np.float32(np.float32(delay * np.float32(rate))
+                             / div))
+    if res < 0:
+        raise ValueError("adelay: delay must be non negative")
+    return res
+
+
+def _parse_adelay_opts(val: str) -> Dict:
+    kw: Dict = {}
+    for i, tok in enumerate(str(val).split(":")):
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            k = k.strip()
+            if k not in ("delays", "all"):
+                raise ValueError(f"adelay: unknown option {k!r}")
+            kw[k] = v
+        elif i == 0:
+            kw["delays"] = tok
+        else:
+            raise ValueError(f"adelay: bad option {tok!r}")
+    return kw
+
+
+class AdelayStream:
+    """af_adelay.c analog (s16 lane): per-channel sample delays.
+
+    Exact semantics kept: the common minimum delay becomes LEADING
+    silence emitted before any input (s->padding, :221-234 + activate
+    :364-381); per-channel residual delays run as sample rings seeded
+    with silence (DELAY :66-93); `all=1` copies the last parsed delay
+    to the remaining channels (:209-212); EOF drains max_delay samples
+    of silence through the rings (:396-410)."""
+
+    def __init__(self, rate: int, delays="", all=0):
+        self.rate = int(rate)
+        self.all = int(all)
+        self.tokens = [t for t in str(delays).split("|") if t != ""]
+        self.passthrough = not self.tokens
+        self._parsed = [_parse_delay_token(t, self.rate)
+                        for t in self.tokens]
+        self._bufs = None
+        self._padding = 0
+        self.max_delay = 0
+
+    def _setup(self, ch: int):
+        d = list(self._parsed[:ch]) + [0] * max(0, ch - len(self._parsed))
+        npar = min(len(self._parsed), ch)
+        if self.all and npar:
+            for j in range(npar, ch):
+                d[j] = d[npar - 1]
+        self._padding = min(d)
+        d = [x - self._padding for x in d]
+        self.max_delay = max(d) if d else 0
+        self._bufs = [np.zeros(di, np.int16) for di in d]
+
+    def push(self, block: np.ndarray) -> np.ndarray:
+        if self.passthrough or block.size == 0:
+            return block
+        n, ch = block.shape
+        if self._bufs is None:
+            self._setup(ch)
+        outs = []
+        if self._padding:
+            outs.append(np.zeros((self._padding, ch), np.int16))
+            self._padding = 0
+        cols = []
+        for i in range(ch):
+            b = np.concatenate([self._bufs[i], block[:, i]])
+            cols.append(b[:n])
+            self._bufs[i] = b[n:]
+        outs.append(np.stack(cols, 1))
+        return np.concatenate(outs) if len(outs) > 1 else outs[0]
+
+    def flush(self) -> np.ndarray:
+        if self.passthrough or self._bufs is None or not self.max_delay:
+            return np.zeros((0, len(self._bufs or [0])), np.int16)
+        cols = []
+        for b in self._bufs:
+            pad = self.max_delay - len(b)
+            cols.append(np.concatenate([b, np.zeros(pad, np.int16)])
+                        if pad > 0 else b[:self.max_delay])
+        self._bufs = [b[:0] for b in self._bufs]
+        self.max_delay = 0
+        return np.stack(cols, 1)
+
+
+def _rescale_near(a: int, b: int, c: int) -> int:
+    if a >= 0:
+        return (a * b + c // 2) // c
+    return -((-a * b + c // 2) // c)
+
+
+def _parse_apad_opts(val: str) -> Dict:
+    order = ("packet_size", "pad_len", "whole_len", "pad_dur",
+             "whole_dur")
+    kw: Dict = {}
+    named = False
+    for i, tok in enumerate(str(val).split(":")):
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            k = k.strip()
+            named = True
+        elif not named and i < len(order):
+            k, v = order[i], tok
+        else:
+            raise ValueError(f"apad: bad option {tok!r}")
+        if k not in order:
+            raise ValueError(f"apad: unknown option {k!r}")
+        kw[k] = v
+    return kw
+
+
+class ApadStream:
+    """af_apad.c analog: append silence at EOF — pad_len samples (or
+    pad_dur seconds), or up to a whole_len/whole_dur stream target
+    (config_output :config, request_frame :request).  Both unset means
+    INFINITE padding in the C (for shortest-stream muxing) — rejected
+    in the offline pipeline."""
+
+    def __init__(self, rate: int, packet_size=4096, pad_len=-1,
+                 whole_len=-1, pad_dur=-1, whole_dur=-1):
+        self.rate = int(rate)
+        self.packet_size = int(packet_size)
+        self.pad_len = int(pad_len)
+        self.whole_len = int(whole_len)
+
+        def dur_us(v):
+            s = str(v).strip()
+            if s.endswith("ms"):
+                return int(round(float(s[:-2]) * 1e3))
+            if s.endswith("s"):
+                return int(round(float(s[:-1]) * 1e6))
+            return int(round(float(s) * 1e6))
+
+        if str(pad_dur) not in ("-1",):
+            if dur_us(pad_dur) >= 0:
+                self.pad_len = _rescale_near(dur_us(pad_dur),
+                                             self.rate, 1000000)
+        if str(whole_dur) not in ("-1",):
+            if dur_us(whole_dur) >= 0:
+                self.whole_len = _rescale_near(dur_us(whole_dur),
+                                               self.rate, 1000000)
+        if self.pad_len < 0 and self.whole_len < 0:
+            raise ValueError("apad: infinite padding (no pad_len/"
+                             "whole_len) is not supported offline")
+        self.pad_len_left = self.pad_len
+        self.whole_len_left = self.whole_len
+        self._ch = 1
+
+    def push(self, block: np.ndarray) -> np.ndarray:
+        if block.size:
+            self._ch = block.shape[1]
+            if self.whole_len >= 0:
+                self.whole_len_left = max(
+                    self.whole_len_left - len(block), 0)
+        return block
+
+    def flush(self) -> np.ndarray:
+        if self.whole_len >= 0 and self.pad_len < 0:
+            self.pad_len_left = self.whole_len_left
+        n = max(self.pad_len_left, 0)
+        self.pad_len_left = 0
+        return np.zeros((n, self._ch), np.int16)
 
 
 # ---- pan (af_pan.c) ---------------------------------------------------------
