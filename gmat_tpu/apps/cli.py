@@ -57,7 +57,7 @@ def build_parser():
     p.add_argument("-c:a", "--acodec", dest="acodec", default="",
                    help="audio codec (aac|ac3|mp2); empty drops audio")
     p.add_argument("-af", dest="af", default="",
-                   help="audio filter chain (atempo/volume/aresample/afade/aecho/pan/loudnorm/aloop/adelay/apad), "
+                   help="audio filter chain (atempo/volume/aresample/afade/aecho/pan/loudnorm/aloop/adelay/apad/areverse), "
                         "requires -c:a")
     p.add_argument("-b:a", dest="abitrate", default="128K")
     p.add_argument("-b:v", "--bitrate", dest="bitrate", default="0")

@@ -271,6 +271,8 @@ def parse_audio_filters(desc: str) -> List[Tuple[str, Dict[str, float]]]:
                 chain.append((name.strip(), _parse_adelay_opts(val)))
             elif name.strip() == "apad":
                 chain.append((name.strip(), _parse_apad_opts(val)))
+            elif name.strip() == "areverse":
+                chain.append((name.strip(), {}))
             elif name.strip() in _BIQUAD_NAMES:
                 from .biquads import parse_biquad_opts
                 chain.append((name.strip(),
@@ -289,6 +291,8 @@ def parse_audio_filters(desc: str) -> List[Tuple[str, Dict[str, float]]]:
             chain.append(("aloop", {}))
         elif part == "adelay":
             chain.append(("adelay", {}))
+        elif part == "areverse":
+            chain.append(("areverse", {}))
         elif part in _BIQUAD_NAMES:
             chain.append((part, {}))
         else:
@@ -467,6 +471,8 @@ class AudioFilterStream:
                 self.stages.append(AdelayStream(self.out_rate, **kw))
             elif name == "apad":
                 self.stages.append(ApadStream(self.out_rate, **kw))
+            elif name == "areverse":
+                self.stages.append(AreverseStream(self.out_rate))
             elif name in _BIQUAD_NAMES:
                 from .biquads import BiquadStream
                 self.stages.append(BiquadStream(self.out_rate, name,
@@ -548,9 +554,9 @@ def apply_audio_filters(samples: np.ndarray, rate: int, desc: str):
             parts.append(st.flush())
             parts = [p for p in parts if p.size]
             samples = np.concatenate(parts) if parts else samples[:0]
-        elif name in ("adelay", "apad"):
-            st = (AdelayStream if name == "adelay"
-                  else ApadStream)(rate, **kw)
+        elif name in ("adelay", "apad", "areverse"):
+            st = {"adelay": AdelayStream, "apad": ApadStream,
+                  "areverse": AreverseStream}[name](rate, **kw)
             parts = [p for p in (st.push(samples), st.flush())
                      if p.size]
             samples = np.concatenate(parts) if parts else samples[:0]
@@ -1074,6 +1080,27 @@ class ApadStream:
         n = max(self.pad_len_left, 0)
         self.pad_len_left = 0
         return np.zeros((n, self._ch), np.int16)
+
+
+class AreverseStream:
+    """f_reverse.c `areverse`: frame order reversed AND each frame's
+    samples reversed (reverse_samples_* :152-246) — the whole sample
+    stream reversed end-to-end.  Buffers the stream like the C."""
+
+    def __init__(self, rate: int):
+        self._parts: List[np.ndarray] = []
+
+    def push(self, block: np.ndarray) -> np.ndarray:
+        if block.size:
+            self._parts.append(block)
+        return block[:0]
+
+    def flush(self) -> np.ndarray:
+        if not self._parts:
+            return np.zeros((0, 0), np.int16)
+        y = np.concatenate(self._parts)[::-1]
+        self._parts = []
+        return np.ascontiguousarray(y)
 
 
 # ---- pan (af_pan.c) ---------------------------------------------------------

@@ -2462,6 +2462,213 @@ class DetelecineFilter(_TelecineBase):
         return self._emit(fb, meta, rows, metas, None)
 
 
+_IL_MODES = {"none": 0, "interleave": 1, "i": 1, "deinterleave": 2,
+             "d": 2, "0": 0, "1": 1, "2": 2}
+
+
+def _il_rowmap(h: int, mode: int, swap: int) -> np.ndarray:
+    """vf_il.c interleave() (:110-137) as a row gather map.  The C
+    copies only 2*(h>>1) rows — for odd heights the last output row is
+    UNINITIALIZED buffer memory; here it passes the source row through
+    (documented divergence)."""
+    m = h >> 1
+    a, b = int(swap), 1 - int(swap)
+    src = np.arange(h)
+    ys = np.arange(m)
+    if mode == 2:              # deinterleave: halves from the fields
+        src[:m] = 2 * ys + a
+        src[m:2 * m] = 2 * ys + b
+    elif mode == 1:            # interleave: fields from the halves
+        src[2 * ys + a] = ys
+        src[2 * ys + b] = ys + m
+    elif swap:                 # none + swap: pairwise field swap
+        src[2 * ys] = 2 * ys + 1
+        src[2 * ys + 1] = 2 * ys
+    return src
+
+
+def _f_il(**kw):
+    """vf_il.c analog: (de)interleave fields per plane group — luma /
+    chroma / alpha modes none|interleave|deinterleave plus per-group
+    field swaps, as pure row permutations (device gathers).  Output
+    props pass through (av_frame_copy_props)."""
+    alias = {"l": "luma_mode", "c": "chroma_mode", "a": "alpha_mode",
+             "ls": "luma_swap", "cs": "chroma_swap", "as": "alpha_swap"}
+    opts = {"luma_mode": "none", "chroma_mode": "none",
+            "alpha_mode": "none", "luma_swap": 0, "chroma_swap": 0,
+            "alpha_swap": 0}
+    for k, v in kw.items():
+        k = alias.get(k, k)
+        if k not in opts:
+            raise FilterError(f"il: unknown option {k!r}")
+        opts[k] = v
+    modes = {}
+    for g in ("luma", "chroma", "alpha"):
+        mv = str(opts[f"{g}_mode"])
+        if mv not in _IL_MODES:
+            raise FilterError(f"il: bad {g}_mode {mv!r}")
+        modes[g] = (_IL_MODES[mv], int(opts[f"{g}_swap"]))
+
+    maps = {}
+
+    def run(fb):
+        fmt = fb.fmt
+        out = {}
+        for p in fmt.planes:
+            if p.name in ("y", "rgb"):
+                mode, swap = modes["luma"]
+            elif p.name == "a":
+                mode, swap = modes["alpha"]
+            else:
+                mode, swap = modes["chroma"]
+            arr = fb.planes[p.name]
+            h = arr.shape[1]
+            key = (h, mode, swap)
+            if mode == 0 and not swap:
+                out[p.name] = arr
+                continue
+            if key not in maps:
+                maps[key] = jnp.asarray(_il_rowmap(h, mode, swap))
+            out[p.name] = jnp.take(arr, maps[key], axis=1)
+        return fb.with_planes(out)
+    return run
+
+
+class ShuffleFramesFilter:
+    """vf_shuffleframes.c analog: reorder frames in groups of
+    len(mapping).  mapping "m0|m1|..." (or space-separated), each in
+    [-1, N-1]: output slot n emits a clone of input frame m_n carrying
+    ITS props but slot n's pts (:96-104); -1 drops the slot.  A
+    partial group at EOF is dropped (uninit frees it, :118-124)."""
+
+    stream_filter = True
+
+    def __init__(self, mapping="0"):
+        toks = [t for t in str(mapping).replace("|", " ").split()
+                if t != ""]
+        if not toks:
+            raise FilterError("shuffleframes: empty mapping")
+        try:
+            self.map = [int(t) for t in toks]
+        except ValueError:
+            raise FilterError(f"shuffleframes: bad mapping {mapping!r}")
+        n = len(self.map)
+        for m in self.map:
+            if not -1 <= m < n:
+                raise FilterError(
+                    f"shuffleframes: index {m} out of [-1, {n - 1}]")
+        self._buf = []            # (planes row, meta row, pts)
+
+    def process_batch(self, fb: FrameBatch, meta):
+        fb, meta = _compact_alive(fb, meta)
+        n = fb.batch
+        pts = meta.get("pts")
+        pts = (np.asarray(pts, np.int64) if pts is not None
+               else np.arange(n, dtype=np.int64))
+        rows, metas, out_pts = [], [], []
+        N = len(self.map)
+        for i in range(n):
+            self._buf.append(({k: v[i:i + 1]
+                               for k, v in fb.planes.items()},
+                              _meta_take(meta, slice(i, i + 1)),
+                              int(pts[i])))
+            if len(self._buf) == N:
+                for slot in range(N):
+                    x = self.map[slot]
+                    if x < 0:
+                        continue
+                    planes_x, mrow_x, _ = self._buf[x]
+                    rows.append(planes_x)
+                    metas.append(mrow_x)
+                    out_pts.append(self._buf[slot][2])
+                self._buf = []
+        if not rows:
+            return _empty_like(fb), _meta_take(meta, slice(0, 0))
+        planes = {nm: jnp.concatenate([r[nm] for r in rows])
+                  for nm in rows[0]}
+        k = len(rows)
+        out = metas[0]
+        for m in metas[1:]:
+            out = _meta_concat(out, m)
+        out["pts"] = np.asarray(out_pts, np.int64)
+        # times follow pts: the clone keeps its own times track in the
+        # C only via copied props, but pts is the authoritative stamp
+        out["keep"] = np.ones(k, bool)
+        if out.get("pad") is not None:
+            out["pad"] = np.zeros(k, bool)
+        return fb.with_planes(planes), out
+
+    def flush(self):
+        self._buf = []            # partial group dropped, like uninit
+        return None
+
+
+class ReverseFilter:
+    """f_reverse.c analog: buffer the whole stream, emit it reversed
+    at EOF with the ORIGINAL pts sequence reattached in forward order
+    (request_frame :103-119: out = frames[last], out->pts =
+    pts[flush_idx++]).  The C holds every frame in memory too; the
+    flush drains in bounded chunks through the graph's list-flush
+    protocol."""
+
+    stream_filter = True
+    _FLUSH_CHUNK = 64
+
+    def __init__(self):
+        self._batches = []        # (planes dict, meta)
+        self._geom = None
+
+    def process_batch(self, fb: FrameBatch, meta):
+        fb, meta = _compact_alive(fb, meta)
+        if fb.batch:
+            self._batches.append((dict(fb.planes), meta))
+            self._geom = (fb.format, fb.width, fb.height, fb.colorspace)
+        return _empty_like(fb), _meta_take(meta, slice(0, 0))
+
+    def flush(self):
+        if not self._batches:
+            return None
+        fmtname, w, h, cs = self._geom
+        fwd_pts, fwd_times = [], []
+        have_times = all(m.get("times") is not None
+                         for _, m in self._batches)
+        rev_rows, rev_metas = [], []
+        for planes, m in self._batches:
+            n = next(iter(planes.values())).shape[0]
+            p = (np.asarray(m["pts"], np.int64) if m.get("pts")
+                 is not None else np.arange(n, dtype=np.int64))
+            fwd_pts.extend(int(v) for v in p)
+            if have_times:
+                fwd_times.extend(float(t) for t in m["times"])
+            for i in range(n):
+                rev_rows.append({k: v[i:i + 1]
+                                 for k, v in planes.items()})
+                rev_metas.append(_meta_take(m, slice(i, i + 1)))
+        self._batches = []
+        rev_rows.reverse()
+        rev_metas.reverse()
+        chunks = []
+        total = len(rev_rows)
+        for lo in range(0, total, self._FLUSH_CHUNK):
+            hi = min(lo + self._FLUSH_CHUNK, total)
+            planes = {nm: jnp.concatenate([r[nm]
+                                           for r in rev_rows[lo:hi]])
+                      for nm in rev_rows[lo]}
+            out = rev_metas[lo]
+            for m in rev_metas[lo + 1:hi]:
+                out = _meta_concat(out, m)
+            k = hi - lo
+            out["pts"] = np.asarray(fwd_pts[lo:hi], np.int64)
+            if out.get("times") is not None and have_times:
+                out["times"] = np.asarray(
+                    fwd_times[lo:hi], np.asarray(out["times"]).dtype)
+            out["keep"] = np.ones(k, bool)
+            if out.get("pad") is not None:
+                out["pad"] = np.zeros(k, bool)
+            chunks.append((FrameBatch(planes, fmtname, w, h, cs), out))
+        return chunks
+
+
 class XfadeFilter:
     """vf_xfade.c analog: cross-fade the main stream into a second
     video (all 45 named transitions + `custom` expr — filters/xfade.py
@@ -5218,6 +5425,9 @@ FILTERS: Dict[str, Callable] = {
     "telecine": TelecineFilter,
     "detelecine": DetelecineFilter,
     "xfade": XfadeFilter,
+    "il": _f_il,
+    "shuffleframes": ShuffleFramesFilter,
+    "reverse": ReverseFilter,
     "exposure": _f_exposure,
     "colortemperature": _f_colortemperature,
     "weave": WeaveFilter,

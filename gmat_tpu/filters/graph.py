@@ -80,6 +80,10 @@ POSITIONAL = {
     "telecine": ("first_field", "pattern"),
     "detelecine": ("first_field", "pattern", "start_frame"),
     "xfade": ("transition", "duration", "offset", "expr"),
+    "il": ("luma_mode", "chroma_mode", "alpha_mode", "luma_swap",
+           "chroma_swap", "alpha_swap"),
+    "shuffleframes": ("mapping",),
+    "reverse": (),
     "exposure": ("exposure", "black"),
     "colortemperature": ("temperature", "mix", "pl"),
     "weave": ("first_field",),
