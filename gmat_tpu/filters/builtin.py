@@ -2462,6 +2462,220 @@ class DetelecineFilter(_TelecineBase):
         return self._emit(fb, meta, rows, metas, None)
 
 
+@jax.jit
+def _zp_gather(x, ridx, rw, cidx, cw):
+    """Bicubic windowed gather with ABSOLUTE per-output indices passed
+    as arguments: the crop origin and size are data, not shape, so
+    every zoom level of a zoompan run reuses ONE compiled program per
+    (plane shape, output shape) — the per-frame-compile alternative is
+    minutes of remote compiles on the tunnel.  Float op order matches
+    ops/resize._gather_resize exactly (per-tap take, f32 multiply,
+    sequential accumulate)."""
+    acc = None
+    for k in range(4):
+        g = jnp.take(x, ridx[k], axis=1).astype(jnp.float32)
+        t = g * rw[k][None, :, None]
+        acc = t if acc is None else acc + t
+    out = None
+    for k in range(4):
+        g = jnp.take(acc, cidx[k], axis=2)
+        t = g * cw[k][None, None, :]
+        out = t if out is None else out + t
+    return out
+
+
+def _zp_taps(crop_n: int, out_n: int, origin: int):
+    """(4, out_n) absolute indices + weights for a crop_n-wide window
+    at `origin`, replicating _gather_resize's edge clamping."""
+    from ..ops.resize import _window_taps
+    idx0, wts = _window_taps(crop_n, out_n, "bicubic")
+    idx = np.stack([np.minimum(idx0 + k, crop_n - 1) + origin
+                    for k in range(4)]).astype(np.int32)
+    return idx, np.ascontiguousarray(wts.T)
+
+
+class ZoompanFilter:
+    """vf_zoompan.c analog: per-input Ken Burns zoom/pan — each input
+    frame produces `d` output frames (duration expr, default 90),
+    cropping a (in_w/zoom, in_h/zoom) window at the expression-driven
+    x/y (clipped to the frame, chroma-aligned down, :160-206) and
+    scaling it to the output size `s` (default hd720) at rate `fps`
+    (out pts = output index in the 1/fps tb).
+
+    The full expression-variable surface is kept (in/on/it/ot/time/
+    frame/zoom/pzoom/px/py/duration/pduration/a/sar/dar/hsub/vsub);
+    state carries across frames exactly like the C (x/y/prev_zoom
+    update from the LAST output of each input, prev_nb_frames from its
+    duration).  Divergence (documented): the C resamples the crop with
+    swscale BICUBIC; this uses ops/resize's bicubic device kernel —
+    the same analytic-vs-swscale envelope as the `scale` filter."""
+
+    stream_filter = True
+    wants_link = True
+    _MAX_PER_FRAME = 4096
+
+    def __init__(self, zoom="1", z=None, x="0", y="0", d="90",
+                 s="hd720", fps="25", src_fps: float = 30.0,
+                 _link=None):
+        from .hdr import _VIDEO_SIZE_ABBRS
+        self.zoom_expr = compile_expr(str(z if z is not None else zoom))
+        self.x_expr = compile_expr(str(x))
+        self.y_expr = compile_expr(str(y))
+        self.d_expr = compile_expr(str(d))
+        size = str(s).strip().lower()
+        if size in _VIDEO_SIZE_ABBRS:
+            self.out_w, self.out_h = _VIDEO_SIZE_ABBRS[size]
+        else:
+            try:
+                ww, hh = size.replace("x", ":").split(":")
+                self.out_w, self.out_h = int(ww), int(hh)
+            except ValueError:
+                raise FilterError(f"zoompan: bad size {s!r}")
+        f = str(fps)
+        if "/" in f:
+            num, den = f.split("/", 1)
+            self.fps = Fraction(int(num), int(den))
+        else:
+            self.fps = Fraction(f).limit_denominator(100000)
+        if self.fps <= 0:
+            raise FilterError("zoompan: fps must be positive")
+        link = _link or {}
+        tb = link.get("time_base")
+        self.src_tb = (Fraction(int(tb[0]), int(tb[1])) if tb
+                       else 1 / Fraction(str(src_fps))
+                       .limit_denominator(100000))
+        self.fps_mul = float(self.fps) / float(src_fps)
+        self._x = 0.0
+        self._y = 0.0
+        self._prev_zoom = 1.0
+        self._prev_nb = 0
+        self._in_count = 0          # inlink frame_count_out analog
+        self._out_count = 0         # outlink frame_count_in analog
+
+    def process_batch(self, fb: FrameBatch, meta):
+        fb, meta = _compact_alive(fb, meta)
+        fmt = fb.fmt
+        if fmt.is_rgb or fmt.is_float:
+            raise FilterError("zoompan: planar YUV/gray frames here")
+        n = fb.batch
+        pts = meta.get("pts")
+        pts = (np.asarray(pts, np.int64) if pts is not None
+               else np.arange(n, dtype=np.int64))
+        hsub = max(p.sub_w for p in fmt.planes)
+        vsub = max(p.sub_h for p in fmt.planes)
+        in_w, in_h = fb.width, fb.height
+        rows, metas, out_pts, out_times = [], [], [], []
+        sec_out = float(1 / self.fps)
+        if not hasattr(self, "_env"):
+            # var_values is a PERSISTENT struct in the C: vars not
+            # reset by the consume branch (duration/frame/it/ot) stay
+            # stale from the previous frame during the duration eval
+            self._env = {k: 0.0 for k in (
+                "in_w", "iw", "in_h", "ih", "out_w", "ow", "out_h",
+                "oh", "in", "on", "duration", "pduration", "in_time",
+                "it", "out_time", "time", "ot", "frame", "zoom",
+                "pzoom", "x", "px", "y", "py", "a", "sar", "dar",
+                "hsub", "vsub")}
+        env = self._env
+        for i in range(n):
+            mrow = _meta_take(meta, slice(i, i + 1))
+            # the consume branch's explicit re-initialization (:310-330)
+            env["in_w"] = env["iw"] = float(in_w)
+            env["in_h"] = env["ih"] = float(in_h)
+            env["out_w"] = env["ow"] = float(self.out_w)
+            env["out_h"] = env["oh"] = float(self.out_h)
+            env["in"] = float(self._in_count)     # frame_count_out - 1
+            env["on"] = float(self._out_count)
+            env["px"], env["py"] = self._x, self._y
+            env["x"] = env["y"] = 0.0
+            env["pzoom"] = self._prev_zoom
+            env["zoom"] = 1.0
+            env["pduration"] = float(self._prev_nb)
+            env["a"] = in_w / in_h
+            env["sar"] = 1.0
+            env["dar"] = env["a"] * env["sar"]
+            env["hsub"] = float(1 << hsub)
+            env["vsub"] = float(1 << vsub)
+            self._in_count += 1
+            nb = int(self.d_expr(env))
+            env["duration"] = float(nb)
+            it = float(int(pts[i]) * self.src_tb)
+            if max(nb, 1) > self._MAX_PER_FRAME:
+                raise FilterError(f"zoompan: duration {nb} exceeds "
+                                  f"{self._MAX_PER_FRAME} frames per "
+                                  "input")
+            zoom = dx = dy = -1.0
+            count = max(nb, 1)       # the C emits at least one frame
+            for j in range(count):
+                # output_single_frame's per-output vars (:160-175)
+                env["px"], env["py"] = self._x, self._y
+                env["pzoom"] = self._prev_zoom
+                env["pduration"] = float(self._prev_nb)
+                env["in_time"] = env["it"] = it
+                env["frame"] = float(j)
+                env["on"] = float(self._out_count)
+                env["out_time"] = env["time"] = env["ot"] = \
+                    self._out_count * sec_out
+                zoom = min(max(float(self.zoom_expr(env)), 1.0), 10.0)
+                env["zoom"] = zoom
+                w = int(in_w * (1.0 / zoom))
+                h = int(in_h * (1.0 / zoom))
+                dx = min(max(float(self.x_expr(env)), 0.0),
+                         max(float(in_w - w), 0.0))
+                env["x"] = dx
+                cx = int(dx) & ~((1 << hsub) - 1)
+                dy = min(max(float(self.y_expr(env)), 0.0),
+                         max(float(in_h - h), 0.0))
+                env["y"] = dy
+                cy = int(dy) & ~((1 << vsub) - 1)
+                out = {}
+                for p in fmt.planes:
+                    arr = fb.planes[p.name][i:i + 1]
+                    px = cx >> p.sub_w
+                    py = cy >> p.sub_h
+                    pw = -(-w >> p.sub_w) if p.sub_w else w
+                    ph = -(-h >> p.sub_h) if p.sub_h else h
+                    ow = self.out_w >> p.sub_w
+                    oh = self.out_h >> p.sub_h
+                    ridx, rw = _zp_taps(ph, oh, py)
+                    cidx, cw = _zp_taps(pw, ow, px)
+                    yv = _zp_gather(arr, jnp.asarray(ridx),
+                                    jnp.asarray(rw),
+                                    jnp.asarray(cidx),
+                                    jnp.asarray(cw))
+                    yv = jnp.clip(jnp.round(yv), 0,
+                                  F.clip_value(fmt))
+                    out[p.name] = yv.astype(arr.dtype)
+                rows.append(out)
+                metas.append(mrow)
+                out_pts.append(self._out_count)
+                out_times.append(self._out_count * sec_out)
+                self._out_count += 1
+            self._x, self._y = dx, dy
+            self._prev_zoom = zoom
+            self._prev_nb = nb
+        if not rows:
+            return _empty_like(fb), _meta_take(meta, slice(0, 0))
+        planes = {nm: jnp.concatenate([r[nm] for r in rows])
+                  for nm in rows[0]}
+        k = len(rows)
+        out = metas[0]
+        for m in metas[1:]:
+            out = _meta_concat(out, m)
+        out["pts"] = np.asarray(out_pts, np.int64)
+        if out.get("times") is not None:
+            out["times"] = np.asarray(out_times,
+                                      np.asarray(out["times"]).dtype)
+        out["keep"] = np.ones(k, bool)
+        if out.get("pad") is not None:
+            out["pad"] = np.zeros(k, bool)
+        return FrameBatch(planes, fb.format, self.out_w, self.out_h,
+                          fb.colorspace), out
+
+    def flush(self):
+        return None
+
+
 _IL_MODES = {"none": 0, "interleave": 1, "i": 1, "deinterleave": 2,
              "d": 2, "0": 0, "1": 1, "2": 2}
 
@@ -5428,6 +5642,7 @@ FILTERS: Dict[str, Callable] = {
     "il": _f_il,
     "shuffleframes": ShuffleFramesFilter,
     "reverse": ReverseFilter,
+    "zoompan": ZoompanFilter,
     "exposure": _f_exposure,
     "colortemperature": _f_colortemperature,
     "weave": WeaveFilter,

@@ -84,6 +84,7 @@ POSITIONAL = {
            "chroma_swap", "alpha_swap"),
     "shuffleframes": ("mapping",),
     "reverse": (),
+    "zoompan": ("zoom", "x", "y", "d", "s", "fps"),
     "exposure": ("exposure", "black"),
     "colortemperature": ("temperature", "mix", "pl"),
     "weave": ("first_field",),
@@ -221,7 +222,7 @@ class FilterGraph:
         for name, kwargs in chain:
             factory = FILTERS[name]
             if name in ("fps", "tpad", "framerate", "telecine",
-                        "detelecine", "xfade"):
+                        "detelecine", "xfade", "zoompan"):
                 kwargs.setdefault("src_fps", src_fps)
             if getattr(factory, "wants_link", False):
                 kwargs.setdefault("_link", self.link_state)
