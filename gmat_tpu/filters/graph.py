@@ -85,6 +85,8 @@ POSITIONAL = {
     "shuffleframes": ("mapping",),
     "reverse": (),
     "zoompan": ("zoom", "x", "y", "d", "s", "fps"),
+    "blend": ("c0_mode", "c1_mode", "c2_mode", "c3_mode", "all_mode"),
+    "tblend": ("c0_mode", "c1_mode", "c2_mode", "c3_mode", "all_mode"),
     "exposure": ("exposure", "black"),
     "colortemperature": ("temperature", "mix", "pl"),
     "weave": ("first_field",),
