@@ -2462,222 +2462,6 @@ class DetelecineFilter(_TelecineBase):
         return self._emit(fb, meta, rows, metas, None)
 
 
-class _BlendBase:
-    """Shared vf_blend.c plumbing: per-component params (c{i}_mode/
-    expr/opacity with the all_* overrides — all_opacity only applies
-    when < 1, config_params :295-298), plane->component mapping, and
-    the per-plane kernel dispatch (filters/blend.py)."""
-
-    stream_filter = True
-
-    def _setup_params(self, name, kw):
-        from .blend import MODE_NAMES, MODE_ALIASES
-        valid = set(MODE_NAMES) | set(MODE_ALIASES)
-        modes = ["normal"] * 4
-        opac = [1.0] * 4
-        exprs = [None] * 4
-        all_mode = kw.pop("all_mode", None)
-        all_opacity = kw.pop("all_opacity", None)
-        all_expr = kw.pop("all_expr", None)
-        for i in range(4):
-            m = kw.pop(f"c{i}_mode", None)
-            if m is not None:
-                if str(m) not in valid:
-                    raise FilterError(f"{name}: unknown mode {m!r}")
-                modes[i] = str(m)
-            o = kw.pop(f"c{i}_opacity", None)
-            if o is not None:
-                opac[i] = float(o)
-            e = kw.pop(f"c{i}_expr", None)
-            if e is not None:
-                exprs[i] = compile_expr(str(e))
-        if all_mode is not None:
-            if str(all_mode) not in valid:
-                raise FilterError(f"{name}: unknown mode {all_mode!r}")
-            modes = [str(all_mode)] * 4
-        if all_opacity is not None and float(all_opacity) < 1:
-            opac = [float(all_opacity)] * 4
-        if all_expr is not None:
-            ae = compile_expr(str(all_expr))
-            exprs = [e if e is not None else ae for e in exprs]
-        for o in opac:
-            if not 0.0 <= o <= 1.0:
-                raise FilterError(f"{name}: opacity out of [0, 1]")
-        self._modes, self._opac, self._exprs = modes, opac, exprs
-        if kw:
-            raise FilterError(f"{name}: unknown option "
-                              f"{next(iter(kw))!r}")
-
-    @staticmethod
-    def _components(fmt):
-        """[(plane name, channel index or None, param idx)] — YUV
-        planes map y/u/v/a -> c0..c3; packed RGB channels map
-        positionally (the C's planar GBRP order is G,B,R — documented
-        divergence for per-component options on RGB)."""
-        if fmt.is_rgb:
-            nc = len(fmt.channel_order or "rgb")
-            return [("rgb", c, c) for c in range(nc)]
-        order = {"y": 0, "u": 1, "v": 2, "a": 3}
-        return [(p.name, None, order[p.name]) for p in fmt.planes]
-
-    def _blend_pair(self, top_planes, bot_planes, fmt, n_var, t_var):
-        from .blend import blend_plane
-        depth = fmt.bits
-        out = {}
-        for name, ch, pi in self._components(fmt):
-            tp = np.asarray(top_planes[name])[0]
-            bp = np.asarray(bot_planes[name])[0]
-            if ch is not None:
-                tpc, bpc = tp[..., ch], bp[..., ch]
-            else:
-                tpc, bpc = tp, bp
-            res = blend_plane(tpc, bpc, self._modes[pi],
-                              self._opac[pi], depth,
-                              expr=self._exprs[pi],
-                              values={"N": n_var, "T": t_var,
-                                      "SW": 1.0, "SH": 1.0})
-            if ch is not None:
-                if name not in out:
-                    out[name] = np.asarray(top_planes[name])[0].copy()
-                out[name][..., ch] = res
-            else:
-                out[name] = res
-        return {k: jnp.asarray(v[None]) for k, v in out.items()}
-
-
-class TblendFilter(_BlendBase):
-    """vf_blend.c `tblend`: blend each frame (top) with the PREVIOUS
-    frame (bottom); the first frame only primes the register
-    (tblend_filter_frame :427-446).  Output props/pts come from the
-    current frame."""
-
-    def __init__(self, **kw):
-        self._setup_params("tblend", kw)
-        self._prev = None
-
-    def process_batch(self, fb: FrameBatch, meta):
-        fb, meta = _compact_alive(fb, meta)
-        fmt = fb.fmt
-        n = fb.batch
-        pts = meta.get("pts")
-        pts = (np.asarray(pts, np.int64) if pts is not None
-               else np.arange(n, dtype=np.int64))
-        times = meta.get("times")
-        rows, metas = [], []
-        for i in range(n):
-            cur = {k: v[i:i + 1] for k, v in fb.planes.items()}
-            if self._prev is not None:
-                t_var = (float(times[i]) if times is not None
-                         else float("nan"))
-                rows.append(self._blend_pair(cur, self._prev, fmt,
-                                             float(int(pts[i])), t_var))
-                metas.append(_meta_take(meta, slice(i, i + 1)))
-            self._prev = cur
-        if not rows:
-            return _empty_like(fb), _meta_take(meta, slice(0, 0))
-        planes = {nm: jnp.concatenate([r[nm] for r in rows])
-                  for nm in rows[0]}
-        out = metas[0]
-        for m in metas[1:]:
-            out = _meta_concat(out, m)
-        out["keep"] = np.ones(len(rows), bool)
-        if out.get("pad") is not None:
-            out["pad"] = np.zeros(len(rows), bool)
-        return fb.with_planes(planes), out
-
-    def flush(self):
-        self._prev = None
-        return None
-
-
-class BlendFilter(_BlendBase):
-    """vf_blend.c `blend`: blend the main stream (top) with a second
-    video (bottom, `video=FILE` like overlay) frame by frame; when the
-    bottom ends first the last frame repeats (framesync default).
-    Sizes must match (config_output :327-339); output props from the
-    top frame."""
-
-    def __init__(self, video="", vw=0, vh=0, **kw):
-        self._setup_params("blend", kw)
-        if not video:
-            raise FilterError("blend needs video=FILE (second input)")
-        self.video = str(video)
-        self.vw, self.vh = int(vw), int(vh)
-        self._gen = None
-        self._last_b = None
-
-    def _video_gen(self):
-        from ..av.ingest import decode_stream
-        if (self.video.lower().endswith((".yuv", ".nv12", ".iyuv",
-                                         ".raw"))
-                and not (self.vw and self.vh)):
-            raise FilterError("headerless raw bottom video needs "
-                              "vw=W:vh=H")
-        src = decode_stream(self.video, batch=8,
-                            width=self.vw, height=self.vh)
-        try:
-            for bfb, _bpts, bvalid in src:
-                host = {k: np.asarray(v) for k, v in bfb.planes.items()}
-                for i in range(int(bvalid)):
-                    yield {k: host[k][i] for k in host}
-        finally:
-            src.close()
-
-    def _next_b(self, fb):
-        if self._gen is None:
-            self._gen = self._video_gen()
-        try:
-            f = next(self._gen)
-        except StopIteration:
-            return self._last_b               # framesync: repeat last
-        from ..core.frame import from_numpy_yuv420
-        if f["y"].shape != (fb.height, fb.width):
-            raise FilterError("blend: second input size mismatch "
-                              "(the C errors)")
-        bfb = from_numpy_yuv420(f["y"][None], f["u"][None],
-                                f["v"][None],
-                                colorspace=fb.colorspace)
-        if bfb.format != fb.format:
-            bfb = csc.convert(bfb, fb.format)
-        self._last_b = dict(bfb.planes)
-        return self._last_b
-
-    def process_batch(self, fb: FrameBatch, meta):
-        fb, meta = _compact_alive(fb, meta)
-        fmt = fb.fmt
-        n = fb.batch
-        pts = meta.get("pts")
-        pts = (np.asarray(pts, np.int64) if pts is not None
-               else np.arange(n, dtype=np.int64))
-        times = meta.get("times")
-        rows, metas = [], []
-        for i in range(n):
-            cur = {k: v[i:i + 1] for k, v in fb.planes.items()}
-            bot = self._next_b(fb)
-            if bot is None:               # empty second stream
-                raise FilterError(f"blend: {self.video!r} has no "
-                                  "frames")
-            t_var = (float(times[i]) if times is not None
-                     else float("nan"))
-            rows.append(self._blend_pair(cur, bot, fmt,
-                                         float(int(pts[i])), t_var))
-            metas.append(_meta_take(meta, slice(i, i + 1)))
-        if not rows:
-            return _empty_like(fb), _meta_take(meta, slice(0, 0))
-        planes = {nm: jnp.concatenate([r[nm] for r in rows])
-                  for nm in rows[0]}
-        out = metas[0]
-        for m in metas[1:]:
-            out = _meta_concat(out, m)
-        out["keep"] = np.ones(len(rows), bool)
-        if out.get("pad") is not None:
-            out["pad"] = np.zeros(len(rows), bool)
-        return fb.with_planes(planes), out
-
-    def flush(self):
-        return None
-
-
 @jax.jit
 def _zp_gather(x, ridx, rw, cidx, cw):
     """Bicubic windowed gather with ABSOLUTE per-output indices passed
@@ -5860,7 +5644,7 @@ FILTERS: Dict[str, Callable] = {
     "reverse": ReverseFilter,
     "zoompan": ZoompanFilter,
     "blend": BlendFilter,
-    "tblend": TblendFilter,
+    "tblend": lambda **kw: BlendFilter(tblend=True, **kw),
     "exposure": _f_exposure,
     "colortemperature": _f_colortemperature,
     "weave": WeaveFilter,
