@@ -22,6 +22,8 @@ identity, bit-ops via bitcast; blend_modes.c:72-82).
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -95,6 +97,30 @@ def _harmonic_q(a, b):
         q = jnp.where(r >= df, q + 1, q)
         q = jnp.where(r < 0, q - 1, q)
     return q
+
+
+_COSF_LUTS = {}
+
+
+def _cosf_lut(depth):
+    """numpy f32 table of glibc cosf((float)(v * M_PI / MAX)) for
+    v = 0..MAX — the exact per-pixel cos the C interpolate mode sees
+    (argument computed in double, narrowed at the cosf call)."""
+    tab = _COSF_LUTS.get(depth)
+    if tab is None:
+        import ctypes
+        import ctypes.util
+        import math
+        libm = ctypes.CDLL(ctypes.util.find_library("m") or "libm.so.6")
+        libm.cosf.restype = ctypes.c_float
+        libm.cosf.argtypes = [ctypes.c_float]
+        maxv = (1 << depth) - 1
+        tab = np.fromiter(
+            (libm.cosf(np.float32(v * math.pi / maxv))
+             for v in range(maxv + 1)),
+            dtype=np.float32, count=maxv + 1)
+        _COSF_LUTS[depth] = tab
+    return tab
 
 
 def _int_expr(key, a, b, depth):
@@ -175,7 +201,9 @@ def _int_expr(key, a, b, depth):
         inner = _cdiv(b * _cdiv(a * (maxv - a), maxv), maxv)
         return clip(_cdiv(a * a, maxv) + 2 * inner)
     if key == "exclusion":
-        return a + b - 2 * _cdiv(a * b, maxv)
+        # C precedence: A + B - 2*A*B/MAX == A + B - ((2*A)*B)/MAX,
+        # with the 16-bit (2A)*B product wrapping int32 like gcc
+        return a + b - _cdiv(2 * a * b, maxv)
     if key == "pinlight":
         return jnp.where(b < half, jnp.minimum(a, 2 * b),
                          jnp.maximum(a, 2 * (b - half)))
@@ -216,14 +244,16 @@ def _int_expr(key, a, b, depth):
     if key == "stain":
         return 2 * maxv - a - b
     if key == "interpolate":
-        # lrintf(MAX*(2 - cosf(A*pi/MAX) - cosf(B*pi/MAX))*0.25f); the
-        # cos argument is computed in double then narrowed (A*M_PI/MAX)
-        import math
+        # lrintf(MAX*(2 - cosf(A*M_PI/MAX) - cosf(B*M_PI/MAX))*0.25f).
+        # The cos argument is a double (A*M_PI/MAX) narrowed at the
+        # cosf call; a per-pixel-value libm-cosf LUT reproduces that
+        # exactly (one-hot-matmul gather is exact for f32 tables)
+        from .lut import apply_lut
+        tab = _cosf_lut(depth)
         mf = jnp.float32((1 << depth) - 1)
-        arg_a = (a.astype(jnp.float32) * jnp.float32(math.pi / ((1 << depth) - 1)))
-        arg_b = (b.astype(jnp.float32) * jnp.float32(math.pi / ((1 << depth) - 1)))
-        v = mf * (jnp.float32(2.0) - jnp.cos(arg_a) - jnp.cos(arg_b)) \
-            * jnp.float32(0.25)
+        ca = apply_lut(a, tab).astype(jnp.float32)
+        cb = apply_lut(b, tab).astype(jnp.float32)
+        v = mf * (jnp.float32(2.0) - ca - cb) * jnp.float32(0.25)
         return jnp.rint(v).astype(jnp.int32)
     if key == "hardoverlay":
         q1 = _cdiv(maxv * b, 2 * maxv - 2 * a)
@@ -369,6 +399,7 @@ def blend_plane(top, bottom, mode: str, opacity: float, depth: int):
     everything else runs `dst = top + (EXPR - top) * opacity` with the C
     float store semantics (blend_modes.c:92-117).
     """
+    mode = MODE_NAMES.get(mode, mode)   # addition128/difference128 aliases
     if mode == "normal":
         if opacity == 1.0:
             return top

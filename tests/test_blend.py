@@ -3,7 +3,7 @@ blend_modes.c + vf_blend_init.h."""
 import numpy as np
 import pytest
 
-from gmat_tpu.filters.blend import MODE_NAMES, blend_plane
+from gmat_tpu.ops.blend import MODE_NAMES, blend_plane
 from gmat_tpu.filters.builtin import FilterError
 from gmat_tpu.filters.graph import FilterGraph
 
@@ -18,23 +18,39 @@ def c_div(a, b):
     return q if (a >= 0) == (b >= 0) else -q
 
 
+def _cosf(x):
+    import ctypes
+    import ctypes.util
+    libm = ctypes.CDLL(ctypes.util.find_library("m") or "libm.so.6")
+    libm.cosf.restype = ctypes.c_float
+    libm.cosf.argtypes = [ctypes.c_float]
+    return F(libm.cosf(float(x)))
+
+
+def w32(x):
+    """C int products/shifts wrap int32 at depth 16 (signed-overflow UB
+    that gcc on x86 wraps — verified against a gcc-compiled
+    transcription of the blend_modes.c macros)."""
+    return (x + 2**31) % 2**32 - 2**31
+
+
 def oracle_pixel(mode, A, B, maxv, depth):
     """blend_modes.c:120-154 single-pixel EXPR in C int arithmetic."""
     HALF = 1 << (depth - 1)
     MDIV = F(0.125) * F(1 << depth)
 
     def MUL(x, a, b):
-        return x * c_div(a * b, maxv)
+        return x * c_div(w32(a * b), maxv)
 
     def SCR(x, a, b):
-        return maxv - x * c_div((maxv - a) * (maxv - b), maxv)
+        return maxv - x * c_div(w32((maxv - a) * (maxv - b)), maxv)
 
     def BURN(a, b):
-        return a if a == 0 else max(0, maxv - c_div((maxv - b) << depth,
-                                                    a))
+        return a if a == 0 else max(0, maxv - c_div(w32((maxv - b)
+                                                        << depth), a))
 
     def DODGE(a, b):
-        return a if a == maxv else min(maxv, c_div(b << depth,
+        return a if a == maxv else min(maxv, c_div(w32(b << depth),
                                                    maxv - a))
 
     def CLIP(x):
@@ -69,35 +85,36 @@ def oracle_pixel(mode, A, B, maxv, depth):
     if mode == "hardmix":
         return 0 if A < maxv - B else maxv
     if mode == "heat":
-        return 0 if A == 0 else maxv - min(c_div((maxv - B) ** 2, A),
+        return 0 if A == 0 else maxv - min(c_div(w32((maxv - B) ** 2), A),
                                            maxv)
     if mode == "freeze":
-        return 0 if B == 0 else maxv - min(c_div((maxv - A) ** 2, B),
+        return 0 if B == 0 else maxv - min(c_div(w32((maxv - A) ** 2), B),
                                            maxv)
     if mode == "darken":
         return min(A, B)
     if mode == "lighten":
         return max(A, B)
     if mode == "divide":
-        return CLIP(maxv if B == 0 else c_div(maxv * A, B))
+        return CLIP(maxv if B == 0 else c_div(w32(maxv * A), B))
     if mode == "dodge":
         return DODGE(A, B)
     if mode == "burn":
         return BURN(A, B)
     if mode == "softlight":
-        return CLIP(c_div(A * A, maxv)
-                    + 2 * c_div(B * c_div(A * (maxv - A), maxv), maxv))
+        return CLIP(c_div(w32(A * A), maxv)
+                    + 2 * c_div(w32(B * c_div(w32(A * (maxv - A)),
+                                              maxv)), maxv))
     if mode == "exclusion":
         # C precedence: 2 * A * B / MAX = ((2*A)*B)/MAX
-        return A + B - c_div(2 * A * B, maxv)
+        return A + B - c_div(w32(2 * A * B), maxv)
     if mode == "pinlight":
         return min(A, 2 * B) if B < HALF else max(A, 2 * (B - HALF))
     if mode == "phoenix":
         return min(A, B) - max(A, B) + maxv
     if mode == "reflect":
-        return B if B == maxv else min(maxv, c_div(A * A, maxv - B))
+        return B if B == maxv else min(maxv, c_div(w32(A * A), maxv - B))
     if mode == "glow":
-        return A if A == maxv else min(maxv, c_div(B * B, maxv - A))
+        return A if A == maxv else min(maxv, c_div(w32(B * B), maxv - A))
     if mode == "and":
         return A & B
     if mode == "or":
@@ -113,8 +130,8 @@ def oracle_pixel(mode, A, B, maxv, depth):
     if mode == "softdifference":
         if A > B:
             return CLIP(0 if B == maxv
-                        else c_div((A - B) * maxv, maxv - B))
-        return CLIP(0 if B == 0 else c_div((B - A) * maxv, B))
+                        else c_div(w32((A - B) * maxv), maxv - B))
+        return CLIP(0 if B == 0 else c_div(w32((B - A) * maxv), B))
     if mode == "geometric":
         return int(np.round(np.sqrt(F(A * B))))
     if mode == "harmonic":
@@ -124,22 +141,25 @@ def oracle_pixel(mode, A, B, maxv, depth):
     if mode == "stain":
         return 2 * maxv - A - B
     if mode == "interpolate":
+        # lrintf of an all-float32 expression; cosf is glibc's (the
+        # argument A*M_PI/MAX is a double narrowed at the call)
         return int(np.round(F(maxv)
-                            * (F(2.0) - np.cos(F(A * np.pi / maxv))
-                               - np.cos(F(B * np.pi / maxv)))
+                            * (F(2.0) - _cosf(F(A * np.pi / maxv))
+                               - _cosf(F(B * np.pi / maxv)))
                             * F(0.25)))
     if mode == "hardoverlay":
         if A == maxv:
             return maxv
         return min(maxv,
-                   c_div(maxv * B, 2 * maxv - 2 * A) * (A > HALF)
-                   + c_div(2 * A * B, maxv) * (A <= HALF))
+                   c_div(w32(maxv * B), 2 * maxv - 2 * A) * (A > HALF)
+                   + c_div(w32(2 * A * B), maxv) * (A <= HALF))
     raise AssertionError(mode)
 
 
 def oracle_plane(top, bottom, mode, opacity, depth):
     """param->blend: EXPR then dst = top + (EXPR-top)*opacity with a
     truncating (wrapping) PIXEL store (blend_modes.c:91-117)."""
+    mode = MODE_NAMES.get(mode, mode)   # addition128/difference128
     maxv = (1 << depth) - 1
     out = np.empty_like(top)
     it = top.astype(np.int64)
